@@ -1,0 +1,698 @@
+"""Query catalog: every operator exposed as a (spark_fn, duckdb_oracle) pair.
+
+This is the engine's acceptance surface (driver contract in
+``__spark_entry__.py``): each entry is one operator/query from SURVEY §2
+or the north-star LLM-pipeline set, as
+
+* a Spark callable ``(spark, sf_dir) -> DataFrame``, and
+* an equivalent DuckDB SQL string over the same parquet tables.
+
+Determinism rules (learned the hard way, kept bit-exact):
+
+* double SUMs go through ``CAST(x AS DECIMAL(18,4))`` — exact decimal
+  addition is order-independent, then cast back to double;
+* float ``round()`` is NEVER used for oracle-compared values (Spark and
+  DuckDB disagree at exact-decimal boundaries); ratios stay raw doubles
+  (bit-identical when inputs + operation order match) or become integer
+  ppm;
+* every top-k has a full tie-break; every collect is sorted;
+* all hashing/tokenization comes from ``functions.portable`` rendered
+  per-dialect from one definition.
+
+Where a construct is ANSI-shared (windows, rollup, set ops, joins) one
+SQL string serves both engines — Catalyst and DuckDB plan it
+independently.  DataFrame-API composition is used where the operator
+library (``operators/``) adds value (dedup, similarity, as-of, spans).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import portable as P
+from .operators import dedup, relational, similarity
+from .operators import text as textops
+
+SPARK, DUCK = P.SPARK, P.DUCKDB
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the events table stores TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects; read nanos as long and rebuild a (microsecond)
+        # timestamp — the generator's values are micro-precision, so the
+        # div-1000 is exact and matches DuckDB's TIMESTAMP_NS view.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names or TABLES:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None, needs: tuple[str, ...] = ()):  # decorator
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+def shared_sql(name: str, sql: str, needs: tuple[str, ...]) -> None:
+    """One ANSI SQL text executed by BOTH engines (Catalyst plans it for
+    Spark; DuckDB runs it as the oracle)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, *needs)
+        return spark.sql(sql)
+
+    QUERIES[name] = fn
+    ORACLES[name] = sql
+
+
+# Exact decimal sum rendered back to double (order-independent => portable).
+# Scale 8 sits beyond the exact decimal precision of every source column /
+# product in the test schema, so the decimal cast never rounds — rounding
+# ties are where Spark (HALF_UP) and DuckDB (HALF_EVEN) disagree.
+def dsum(expr: str, scale: int = 8) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+# 1. TPC-H-style relational core (shared ANSI SQL)
+# --------------------------------------------------------------------------
+shared_sql(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum('l_quantity')} AS sum_qty,
+           {dsum('l_extendedprice')} AS sum_base_price,
+           {dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {dsum('l_quantity')} / COUNT(*) AS avg_qty,
+           {dsum('l_extendedprice')} / COUNT(*) AS avg_price,
+           {dsum('l_discount')} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    ("lineitem",),
+)
+
+shared_sql(
+    "q3_top_unshipped_orders",
+    f"""
+    SELECT o.o_orderkey, o.o_orderdate,
+           {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    ("customer", "orders", "lineitem"),
+)
+
+shared_sql(
+    "q5_region_nation_revenue",
+    f"""
+    SELECT r.r_name, n.n_name,
+           {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    ("region", "nation", "customer", "supplier", "orders", "lineitem"),
+)
+
+shared_sql(
+    "top3_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rnk
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ) t WHERE rnk <= 3
+    """,
+    ("customer", "orders"),
+)
+
+shared_sql(
+    "orders_rollup",
+    f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           {dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    ("orders",),
+)
+
+shared_sql(
+    "customer_set_ops",
+    """
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    ("orders",),
+)
+
+shared_sql(
+    "region_nation_pairs",
+    """
+    SELECT r.r_name || '/' || n.n_name AS pair
+    FROM region r CROSS JOIN nation n
+    """,
+    ("region", "nation"),
+)
+
+shared_sql(
+    "events_extreme_by_type",
+    """
+    SELECT event_type, event_id, user_id, value FROM (
+      SELECT event_type, event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rnk
+      FROM events
+    ) t WHERE rnk = 1
+    """,
+    ("events",),
+)
+
+shared_sql(
+    "events_running_sum",
+    f"""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,8)))
+                OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM events
+    """,
+    ("events",),
+)
+
+shared_sql(
+    "orders_monthly_status",
+    """
+    SELECT o_orderstatus,
+           EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate)
+             AS order_month,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    ("orders",),
+)
+
+
+@query(
+    "orders_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("O").alias("status_O"),
+        F.col("F").alias("status_F"),
+        F.col("P").alias("status_P"),
+    )
+
+
+@query(
+    "nation_customer_names",
+    oracle="""
+    SELECT n.n_name, string_agg(c.c_name, '|' ORDER BY c.c_name) AS customer_names,
+           COUNT(*) AS n_customers
+    FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def nation_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-and-collect (poisonous-animals pattern, SURVEY §2.4 row 1)."""
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    joined = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    out = relational.group_collect(joined, ["n_name"], "c_name", out_col="customer_names")
+    counts = joined.groupBy("n_name").agg(F.count("*").alias("n_customers"))
+    return out.join(counts, "n_name")
+
+
+@query(
+    "orders_date_span_months",
+    oracle="""
+    SELECT o_orderstatus,
+           EXTRACT(YEAR FROM d) * 100 + EXTRACT(MONTH FROM d) AS span_month,
+           COUNT(*) AS n_days
+    FROM (
+      SELECT o_orderstatus,
+             unnest(generate_series(CAST(o_orderdate AS DATE),
+                                    CAST(o_orderdate AS DATE)
+                                      + INTERVAL (o_orderkey % 7) DAY,
+                                    INTERVAL 1 DAY)) AS d
+      FROM orders
+    )
+    GROUP BY 1, 2
+    """,
+)
+def orders_date_span_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-interval expansion + monthly rollup (favourite-colours
+    acceptance semantics, ``examples/favourite_colours.py:63-87``)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.to_date("o_orderdate").alias("start_d"),
+        F.date_add(F.to_date("o_orderdate"), (F.col("o_orderkey") % 7).cast("int")).alias(
+            "end_d"
+        ),
+    )
+    days = relational.date_span_expand(orders, "start_d", "end_d", out_col="d")
+    return days.groupBy(
+        "o_orderstatus",
+        (F.year("d") * 100 + F.month("d")).alias("span_month"),
+    ).agg(F.count("*").alias("n_days"))
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id,
+             CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                  > 1800000 THEN 1
+                  WHEN LAG(epoch_ms(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) → sessions per user."""
+    events = load(spark, sf_dir, "events").withColumn("ts_ms", F.expr("unix_millis(ts)"))
+    sess = relational.sessionize(
+        events, by=["user_id"], ts_col="ts_ms", gap_seconds=1_800_000
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "events_asof_view_before_click",
+    oracle="""
+    SELECT a.event_id, a.user_id, a.ts, b.view_ts, b.view_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    ASOF LEFT JOIN (SELECT user_id, ts AS view_ts, value AS view_value
+                    FROM events WHERE event_type = 'view') b
+      ON a.user_id = b.user_id AND b.view_ts <= a.ts
+    """,
+)
+def events_asof_view_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click enriched with the user's most recent view at
+    or before it (union+window plan — no range-join blowup)."""
+    events = load(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    return relational.asof_join(
+        clicks, views, on="ts", by=["user_id"], right_value_cols=["view_ts", "view_value"]
+    )
+
+
+@query(
+    "events_hourly_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type, COUNT(*) AS n_events,
+           {dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — the batch twin of the
+    Structured-Streaming plan in ``streaming/events.py`` (same groupBy
+    works under ``readStream`` + watermark)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,8)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column → typed extraction + aggregate."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. Text analysis (north-star)
+# --------------------------------------------------------------------------
+@query(
+    "doc_lang_id",
+    oracle=f"""
+    SELECT lang, {P.lang_id_from_tokens('toks', DUCK)} AS lang_pred, COUNT(*) AS n_docs
+    FROM (SELECT lang, {P.tokens('text', DUCK)} AS toks FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = textops.with_lang_id(load(spark, sf_dir, "documents"), "text")
+    return docs.groupBy("lang", "lang_pred").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "doc_quality",
+    oracle=f"""
+    SELECT doc_id, {P.quality_score_ppm_from_tokens('text', 'toks', DUCK)} AS quality_ppm
+    FROM (SELECT doc_id, text, {P.tokens('text', DUCK)} AS toks FROM documents)
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.with_quality_score(load(spark, sf_dir, "documents"), "text").select(
+        "doc_id", "quality_ppm"
+    )
+
+
+@query(
+    "doc_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({P.token_count('text', DUCK)} AS BIGINT) AS ws_tokens,
+           CAST({P.size(P.regexp_tokens('text', DUCK), DUCK)} AS BIGINT) AS lex_tokens
+    FROM documents
+    """,
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textops.with_token_counts(load(spark, sf_dir, "documents"), "text")
+    return out.select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("lex_tokens").cast("long").alias("lex_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"SELECT doc_id, {P.fingerprint('text', DUCK)} AS fingerprint FROM documents",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.with_fingerprint(load(spark, sf_dir, "documents"), "text").select(
+        "doc_id", "fingerprint"
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. Deduplication (north-star)
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count, text
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@query(
+    "dedup_fingerprint",
+    oracle=f"""
+    SELECT {P.fingerprint('text', DUCK)} AS fingerprint,
+           MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.fingerprint_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _duck_minhash_pairs_oracle(n: int = 3, k: int = 16, bands: int = 4,
+                               threshold: float = 0.3) -> str:
+    """Oracle for banded-LSH pairs: band collision is equality of the
+    signature slice (same semantics as the bucket join, no LSH needed
+    at oracle scale)."""
+    r = k // bands
+    token_hashes = P.hash_array(P.tokens("text", DUCK), DUCK)
+    shingle_hashes = P.token_hash_ngrams("th", n, DUCK)
+    band_match = " OR ".join(
+        "("
+        + " AND ".join(f"a.mh[{b * r + j + 1}] = b.mh[{b * r + j + 1}]" for j in range(r))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, list_distinct(sh) AS hashset, {P.minhash_from_hashes('sh', k, DUCK)} AS mh
+      FROM (SELECT doc_id, {shingle_hashes} AS sh
+            FROM (SELECT doc_id, {token_hashes} AS th FROM documents))
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           {P.jaccard('a.hashset', 'b.hashset', DUCK)} AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE ({band_match})
+      AND {P.jaccard('a.hashset', 'b.hashset', DUCK)} >= {threshold}
+    """
+
+
+@query("dedup_minhash_lsh_pairs", oracle=_duck_minhash_pairs_oracle())
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, k=16, bands=4, threshold=0.3,
+    )
+
+
+@query(
+    "dedup_minhash_survivors",
+    oracle=f"""
+    WITH pairs AS ({_duck_minhash_pairs_oracle()})
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id_b FROM pairs)
+    """,
+)
+def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.minhash_dedup(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, k=16, bands=4, threshold=0.3,
+    )
+    return out.select("doc_id")
+
+
+@query(
+    "dedup_simhash_groups",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {P.simhash32_from_hashes('th', DUCK)} AS simhash
+      FROM (SELECT doc_id, {P.hash_array(P.tokens('text', DUCK), DUCK)} AS th FROM documents)
+    )
+    SELECT simhash, MIN(doc_id) AS keep_id, COUNT(*) AS member_count
+    FROM s GROUP BY simhash
+    """,
+)
+def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_groups(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang, list_distinct({P.token_hash_ngrams('th', 3, DUCK)}) AS hashset
+      FROM (SELECT doc_id, lang, {P.hash_array(P.tokens('text', DUCK), DUCK)} AS th
+            FROM documents)
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           {P.jaccard('a.hashset', 'b.hashset', DUCK)} AS jaccard
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE {P.jaccard('a.hashset', 'b.hashset', DUCK)} >= 0.2
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.2, block_col="lang",
+    )
+
+
+@query(
+    "emb_near_dup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           {P.cosine(P.cast_double_array('a.embedding', DUCK), P.cast_double_array('b.embedding', DUCK), DUCK)}
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {P.cosine(P.cast_double_array('a.embedding', DUCK), P.cast_double_array('b.embedding', DUCK), DUCK)} >= 0.4
+    """,
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, exact=True
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. Similarity search (north-star)
+# --------------------------------------------------------------------------
+def _duck_cosine(a: str, b: str) -> str:
+    return P.cosine(P.cast_double_array(a, DUCK), P.cast_double_array(b, DUCK), DUCK)
+
+
+@query(
+    "ann_topk_brute",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_duck_cosine('q.embedding', 'c.embedding')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_duck_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id ASC
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ) t WHERE rank <= 5
+    """,
+)
+def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "ann_topk_ivf",
+    oracle=f"""
+    WITH centroids AS (SELECT vec_id AS centroid_id, embedding AS cvec
+                       FROM embeddings WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_duck_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+      ) WHERE rn = 1
+    )
+    SELECT query_id, centroid_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, q.centroid_id,
+             c.vec_id AS neighbor_id,
+             {_duck_cosine('q.embedding', 'c.embedding')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_duck_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id ASC
+             ) AS rank
+      FROM assign q JOIN assign c
+        ON q.centroid_id = c.centroid_id AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ) t WHERE rank <= 5
+    """,
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 10), centroids, k=5)
+
+
+def _lsh_sig_duck() -> str:
+    return similarity.hyperplane_signature("embedding", 6, 64)(DUCK)
+
+
+@query(
+    "ann_topk_lsh",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, {_lsh_sig_duck()} AS bucket FROM embeddings)
+    SELECT query_id, bucket, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS neighbor_id,
+             {_duck_cosine('q.embedding', 'c.embedding')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_duck_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id ASC
+             ) AS rank
+      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ) t WHERE rank <= 5
+    """,
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.hyperplane_lsh_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_planes=6, dim=64
+    )

@@ -1,0 +1,422 @@
+"""Dialect-portable SQL expression builders (Spark SQL + DuckDB SQL).
+
+The LLM-pipeline operators (dedup, similarity, text analysis) must be
+*oracle-checkable*: the driver runs our Spark query and an equivalent
+DuckDB query and hash-compares values.  Anything involving hashing or
+tokenization only matches if both engines compute bit-identical results —
+so every such expression is defined ONCE here and rendered into either
+dialect.  The Spark side consumes these via ``F.expr(...)`` (still pure
+Catalyst — higher-order array functions are JVM-side, no Python UDFs in
+the hot path).
+
+Verified-identical primitives (probed against pyspark 4.1 + duckdb):
+``split('abc','') == ['a','b','c']``, ``ascii`` (codepoints), regex
+whitespace split (both keep leading/trailing empties — we filter), and
+64-bit modular arithmetic (DuckDB needs explicit ``::BIGINT`` to avoid
+32-bit overflow).
+
+Scale note: these run as whole-stage-codegen'd array expressions, O(len)
+per row with no shuffle; at 100 TB they scan-parallelize perfectly.  For
+non-oracle production paths, ``xxhash64``/``hash`` built-ins are cheaper —
+see ``fast_hash``.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+#: modulus for all polynomial hashing — large prime < 2^31 so products
+#: with 31 stay far below 2^63
+PRIME = 1_000_000_007
+
+
+def _check(dialect: str) -> None:
+    if dialect not in (SPARK, DUCKDB):
+        raise ValueError(f"unknown dialect {dialect!r}")
+
+
+# ---------------------------------------------------------------- array kit
+def transform(arr: str, var: str, body: str, d: str) -> str:
+    _check(d)
+    fn = "transform" if d == SPARK else "list_transform"
+    return f"{fn}({arr}, {var} -> {body})"
+
+
+def filter_(arr: str, var: str, body: str, d: str) -> str:
+    _check(d)
+    fn = "filter" if d == SPARK else "list_filter"
+    return f"{fn}({arr}, {var} -> {body})"
+
+
+def reduce_bigint(arr: str, init: int, acc_body: str, d: str) -> str:
+    """Sequential fold to BIGINT; ``acc_body`` uses variables acc / c."""
+    _check(d)
+    if d == SPARK:
+        return f"aggregate({arr}, {init}L, (acc, c) -> {acc_body})"
+    return (
+        f"list_reduce(list_prepend({init}::BIGINT, "
+        f"{transform(arr, 'c0', 'c0::BIGINT', d)}), (acc, c) -> {acc_body})"
+    )
+
+
+def reduce_double(arr: str, init: str, acc_body: str, d: str) -> str:
+    _check(d)
+    if d == SPARK:
+        return f"aggregate({arr}, cast({init} as double), (acc, c) -> {acc_body})"
+    return (
+        f"list_reduce(list_prepend({init}::DOUBLE, "
+        f"{transform(arr, 'c0', 'c0::DOUBLE', d)}), (acc, c) -> {acc_body})"
+    )
+
+
+def size(arr: str, d: str) -> str:
+    return f"size({arr})" if d == SPARK else f"len({arr})"
+
+
+def distinct(arr: str, d: str) -> str:
+    return f"array_distinct({arr})" if d == SPARK else f"list_distinct({arr})"
+
+
+def array_min(arr: str, d: str) -> str:
+    return f"array_min({arr})" if d == SPARK else f"list_min({arr})"
+
+
+def contains(arr: str, value: str, d: str) -> str:
+    return f"array_contains({arr}, {value})" if d == SPARK else f"list_contains({arr}, {value})"
+
+
+def element(arr: str, idx1: str, d: str) -> str:
+    """1-based element access (parenthesized: duckdb can't index a cast)."""
+    return f"element_at({arr}, {idx1})" if d == SPARK else f"({arr})[{idx1}]"
+
+
+def int_sequence(lo: int, hi_inclusive_expr: str, d: str) -> str:
+    """[lo..hi] inclusive integer array."""
+    if d == SPARK:
+        return f"sequence({lo}, {hi_inclusive_expr})"
+    # duckdb range() is end-exclusive and returns BIGINTs
+    return f"range({lo}, ({hi_inclusive_expr}) + 1)"
+
+
+def array_lit(values: list[str], d: str) -> str:
+    inner = ", ".join(values)
+    return f"array({inner})" if d == SPARK else f"[{inner}]"
+
+
+def str_array_lit(values: list[str], d: str) -> str:
+    return array_lit([f"'{v}'" for v in values], d)
+
+
+def intersect(a: str, b: str, d: str) -> str:
+    return f"array_intersect({a}, {b})" if d == SPARK else f"list_intersect({a}, {b})"
+
+
+def concat_ws_arr(sep: str, arr: str, d: str) -> str:
+    if d == SPARK:
+        return f"array_join({arr}, '{sep}')"
+    return f"array_to_string({arr}, '{sep}')"
+
+
+# ------------------------------------------------------------- text basics
+def regex_lit(pattern: str, d: str) -> str:
+    """Escape a regex for embedding in a single-quoted SQL literal."""
+    if d == SPARK:
+        return "'" + pattern.replace("\\", "\\\\") + "'"
+    return "'" + pattern + "'"
+
+
+def regexp_replace_all(s: str, pattern: str, repl: str, d: str) -> str:
+    """Replace ALL matches (Spark default; DuckDB needs the 'g' flag)."""
+    pat = regex_lit(pattern, d)
+    if d == SPARK:
+        return f"regexp_replace({s}, {pat}, '{repl}')"
+    return f"regexp_replace({s}, {pat}, '{repl}', 'g')"
+
+
+def ws_split(s: str, d: str) -> str:
+    pat = regex_lit(r"\s+", d)
+    if d == SPARK:
+        return f"split({s}, {pat})"
+    return f"regexp_split_to_array({s}, {pat})"
+
+
+def tokens(s: str, d: str) -> str:
+    """Lowercased whitespace tokens, empties removed (leading/trailing)."""
+    return filter_(ws_split(f"lower({s})", d), "t", "t <> ''", d)
+
+
+def regexp_tokens(s: str, d: str) -> str:
+    """BPE-ish lexical tokens: ASCII alnum runs or single punctuation.
+
+    Spark needs an explicit group index 0 (its default is capture group 1,
+    which errors on group-free patterns); DuckDB's default is already the
+    full match."""
+    pat = regex_lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]", d)
+    if d == SPARK:
+        return f"regexp_extract_all({s}, {pat}, 0)"
+    return f"regexp_extract_all({s}, {pat})"
+
+
+def normalize_text(s: str, d: str) -> str:
+    """lower + collapse whitespace + trim: canonical form for fingerprints."""
+    collapsed = regexp_replace_all(f"lower({s})", r"\s+", " ", d)
+    return f"trim({collapsed})"
+
+
+def word_ngrams(s: str, n: int, d: str) -> str:
+    """Distinct word n-gram shingles of the lowercased text.
+
+    Pass a *column name* holding the token array when calling repeatedly —
+    the expression inlines its input, so callers should materialize
+    ``tokens(text)`` as its own projected column first (both dialects
+    support that via a subquery / two-step select).
+    """
+    toks = tokens(s, d)
+    return ngrams_of_tokens(toks, n, d)
+
+
+def ngrams_of_tokens(toks: str, n: int, d: str) -> str:
+    """Distinct n-gram shingles over an existing token-array expression."""
+    if n == 1:
+        return distinct(toks, d)
+    joined = " || ' ' || ".join(
+        element(toks, "i" if k == 0 else f"i + {k}", d) for k in range(n)
+    )
+    seq = int_sequence(1, f"{size(toks, d)} - {n - 1}", d)
+    grams = transform(seq, "i", joined, d)
+    # Spark's sequence(1, x) is DESCENDING for x < 1 — guard short docs
+    empty = "array()" if d == SPARK else "[]"
+    guarded = f"(case when {size(toks, d)} < {n} then cast({empty} as array<string>) else {grams} end)" \
+        if d == SPARK else f"(case when {size(toks, d)} < {n} then [] else {grams} end)"
+    return distinct(guarded, d)
+
+
+# ---------------------------------------------------------------- hashing
+def char_hash(s: str, d: str) -> str:
+    """Polynomial rolling hash over characters: bit-identical across engines.
+
+    h = fold(7, acc*31 + codepoint(c)) mod PRIME — the deterministic,
+    dialect-portable analogue of a string hash.
+    """
+    chars = f"split({s}, '')" if d == SPARK else f"string_split({s}, '')"
+    if d == SPARK:
+        return f"aggregate({chars}, 7L, (acc, c) -> (acc * 31 + ascii(c)) % {PRIME})"
+    return (
+        f"list_reduce(list_prepend(7::BIGINT, "
+        f"list_transform({chars}, c -> ascii(c)::BIGINT)), "
+        f"(acc, c) -> (acc * 31 + c) % {PRIME})"
+    )
+
+
+def hash_array(arr: str, d: str) -> str:
+    """Element-wise char_hash over a string array."""
+    return transform(arr, "s", char_hash("s", d), d)
+
+
+def token_hash_ngrams(th: str, n: int, d: str) -> str:
+    """Distinct n-gram shingle hashes combined from a token-hash array.
+
+    shingle_hash(i) = fold over the window's n token hashes of
+    ``g = (g * 31 + h_k) % PRIME``.  Equivalent information to hashing the
+    shingle string, but ~4× cheaper: each token is char-hashed once and
+    windows combine with 2 integer ops — no n-gram string materialization.
+    ``th`` should be a materialized token-hash column.
+    """
+    if n == 1:
+        return distinct(th, d)
+    g = element(th, "i", d)
+    for k in range(1, n):
+        g = f"(({g}) * 31 + {element(th, f'i + {k}', d)}) % {PRIME}"
+    seq = int_sequence(1, f"{size(th, d)} - {n - 1}", d)
+    grams = transform(seq, "i", g, d)
+    if d == SPARK:
+        guarded = (
+            f"(case when {size(th, d)} < {n} "
+            f"then cast(array() as array<bigint>) else {grams} end)"
+        )
+    else:
+        guarded = f"(case when {size(th, d)} < {n} then [] else {grams} end)"
+    return distinct(guarded, d)
+
+
+def fast_hash(s: str, d: str) -> str:
+    """Engine-native 64-bit hash — FAST but not cross-engine-portable.
+
+    Spark's ``xxhash64`` is the production path at 100 TB; DuckDB's
+    ``hash`` differs, so queries using this can't be value-oracled.
+    """
+    return f"xxhash64({s})" if d == SPARK else f"hash({s})::BIGINT"
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for k permutation hashes."""
+    return [(2 * j + 1, (j * j + j + 1) % PRIME) for j in range(k)]
+
+
+def minhash_from_hashes(hashes: str, k: int, d: str) -> str:
+    """Array of k minhash values over a precomputed shingle-hash array.
+
+    minhash_j = min over shingles of (a_j * h + b_j) % PRIME.  Empty
+    shingle sets (short docs) yield PRIME as the sentinel minimum.
+
+    ``hashes`` should be a COLUMN NAME (materialized via a prior select /
+    subquery), not an inline expression — the k permutations each traverse
+    it, and neither engine CSEs a repeated inline computation.
+    """
+    parts = []
+    for a, b in minhash_params(k):
+        permuted = transform(hashes, "h", f"(({a} * h + {b}) % {PRIME})", d)
+        parts.append(f"coalesce({array_min(permuted, d)}, {PRIME})")
+    return array_lit(parts, d)
+
+
+def simhash32_from_hashes(tok_hashes: str, d: str) -> str:
+    """32-bit SimHash from a precomputed token-hash array column.
+
+    bit_b of the fingerprint is 1 iff sum over tokens of
+    ((hash >> b) & 1 ? +1 : -1) is positive.  Like
+    :func:`minhash_from_hashes`, pass a materialized column name — the 32
+    bit-sums each traverse the array.
+    """
+    bits = []
+    for b in range(32):
+        if d == SPARK:
+            contrib = f"(case when (shiftright(c, {b}) & 1) = 1 then 1 else -1 end)"
+        else:
+            contrib = f"(case when ((c >> {b}) & 1) = 1 then 1 else -1 end)"
+        total = reduce_bigint(tok_hashes, 0, f"acc + {contrib}", d)
+        bits.append(f"(case when ({total}) > 0 then {1 << b} else 0 end)")
+    return "(" + " + ".join(bits) + ")"
+
+
+# ------------------------------------------------------------- similarity
+def cast_double_array(arr: str, d: str) -> str:
+    if d == SPARK:
+        return transform(arr, "x", "cast(x as double)", d)
+    return f"{arr}::DOUBLE[]"
+
+
+def dot(a: str, b: str, d: str) -> str:
+    """Sequential dot product — same accumulation order in both engines,
+    so identical double inputs give BIT-IDENTICAL results (no rounding
+    needed downstream)."""
+    if d == SPARK:
+        return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), (acc, c) -> acc + c)"
+    # duckdb: index-based to avoid struct-field naming differences
+    idx = f"range(1, {size(a, d)} + 1)"
+    prods = f"list_transform({idx}, i -> {element(a, 'i', d)} * {element(b, 'i', d)})"
+    return f"list_reduce(list_prepend(0.0::DOUBLE, {prods}), (acc, c) -> acc + c)"
+
+
+def norm(a: str, d: str) -> str:
+    return f"sqrt({dot(a, a, d)})"
+
+
+def cosine(a: str, b: str, d: str) -> str:
+    return f"({dot(a, b, d)} / ({norm(a, d)} * {norm(b, d)}))"
+
+
+def jaccard(a: str, b: str, d: str) -> str:
+    """Jaccard similarity of two distinct-element string arrays."""
+    inter = size(intersect(a, b, d), d)
+    union = f"({size(a, d)} + {size(b, d)} - {inter})"
+    return f"(case when {union} = 0 then 0.0 else cast({inter} as double) / {union} end)"
+
+
+# ----------------------------------------------------------- text analysis
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "por", "para"],
+}
+
+
+def stopword_hits_from_tokens(toks: str, lang: str, d: str) -> str:
+    """Count of tokens (with multiplicity) found in the language's stoplist.
+
+    ``toks`` should be a materialized token-array column when called
+    repeatedly (lang_id evaluates 4 lists) — tokenizing is the expensive
+    part and neither engine CSEs repeated inline expressions."""
+    stops = str_array_lit(STOPWORDS[lang], d)
+    return size(filter_(toks, "t", contains(stops, "t", d), d), d)
+
+
+def stopword_hits(s: str, lang: str, d: str) -> str:
+    return stopword_hits_from_tokens(tokens(s, d), lang, d)
+
+
+def lang_id(s: str, d: str) -> str:
+    """Argmax stopword-hit language over an inline text expression —
+    prefer :func:`lang_id_from_tokens` with a materialized token column."""
+    return lang_id_from_tokens(tokens(s, d), d)
+
+
+def lang_id_from_tokens(toks: str, d: str) -> str:
+    """Argmax stopword-hit language, 'und' when no list hits at all,
+    deterministic en>de>fr>es tie-break."""
+    hits = {lang: stopword_hits_from_tokens(toks, lang, d) for lang in STOPWORDS}
+    total = " + ".join(f"({h})" for h in hits.values())
+    return (
+        "(case "
+        f"when ({total}) = 0 then 'und' "
+        f"when ({hits['en']}) >= ({hits['de']}) and ({hits['en']}) >= ({hits['fr']}) "
+        f"and ({hits['en']}) >= ({hits['es']}) then 'en' "
+        f"when ({hits['de']}) >= ({hits['fr']}) and ({hits['de']}) >= ({hits['es']}) then 'de' "
+        f"when ({hits['fr']}) >= ({hits['es']}) then 'fr' "
+        "else 'es' end)"
+    )
+
+
+def token_count(s: str, d: str) -> str:
+    return size(tokens(s, d), d)
+
+
+def alpha_ratio(s: str, d: str) -> str:
+    """Fraction of characters that are ASCII letters or space."""
+    stripped = regexp_replace_all(s, r"[^A-Za-z ]", "", d)
+    return (
+        f"(case when length({s}) = 0 then 0.0 "
+        f"else cast(length({stripped}) as double) / length({s}) end)"
+    )
+
+
+def int_div(a: str, b: str, d: str) -> str:
+    return f"({a}) div ({b})" if d == SPARK else f"({a}) // ({b})"
+
+
+def quality_score_ppm(s: str, d: str) -> str:
+    """Quality ppm over an inline text expression — prefer
+    :func:`quality_score_ppm_from_tokens` with a materialized column."""
+    return quality_score_ppm_from_tokens(s, tokens(s, d), d)
+
+
+def quality_score_ppm_from_tokens(s: str, toks: str, d: str) -> str:
+    """Heuristic document quality as EXACT integer parts-per-million of
+    0.4·alpha_ratio + 0.3·stopword_ratio(en) + 0.3·min(tokens, 64)/64.
+
+    Pure integer arithmetic (common denominator 640·len·tokens, then
+    integer-divided into ppm) — float ``round()`` disagrees between
+    engines at exact-decimal boundaries, integer division never does.
+    """
+    ls = f"length({s})"
+    stripped = regexp_replace_all(s, r"[^A-Za-z ]", "", d)
+    la = f"length({stripped})"
+    tc = size(toks, d)
+    h = stopword_hits_from_tokens(toks, "en", d)
+    m = f"least({tc}, 64)"
+    big = "bigint" if d == SPARK else "BIGINT"
+    num = (
+        f"(256 * cast({la} as {big}) * ({tc}) "
+        f"+ 192 * cast({h} as {big}) * ({ls}) "
+        f"+ 3 * cast({m} as {big}) * ({ls}) * ({tc}))"
+    )
+    den = f"(640 * cast({ls} as {big}) * ({tc}))"
+    ppm = int_div(f"{num} * 1000000", den, d)
+    return f"(case when ({ls}) = 0 or ({tc}) = 0 then 0 else {ppm} end)"
+
+
+def fingerprint(s: str, d: str) -> str:
+    """Rolling-hash document fingerprint over normalized text."""
+    return char_hash(normalize_text(s, d), d)

@@ -1,0 +1,259 @@
+"""Deduplication operators for LLM-scale training-data pipelines.
+
+Beyond the reference's surface (its dedup story is user-space Python —
+SURVEY §2.4/§2.5), these are first-class engine operators designed for
+~100 TB corpora:
+
+* :func:`exact_dedup` — hash-groupBy on the raw column(s).
+* :func:`fingerprint_dedup` — normalized rolling-hash fingerprint groups
+  (whitespace/case-insensitive exact dedup).
+* :func:`minhash_lsh_pairs` / :func:`minhash_dedup` — shingle → minhash
+  signature → banded LSH bucket join → exact-Jaccard verification.
+* :func:`simhash_groups` — 32-bit SimHash grouping.
+* :func:`ngram_jaccard_pairs` — blocked all-pairs n-gram Jaccard.
+
+All hashing comes from ``functions.portable`` so each operator has a
+bit-identical DuckDB oracle.  Everything is built-in Catalyst expressions
+(higher-order array functions) — no Python UDFs; the only shuffles are
+the groupBys/joins on hash keys, which partition uniformly by
+construction (hash keys), so the plans survive a 1000-executor scale-up.
+LSH parameters: ``k`` total hashes in ``bands`` bands of ``k/bands`` rows
+— P(candidate) = 1-(1-s^r)^b, the standard S-curve.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+
+SPARK = P.SPARK
+
+#: ``InferFiltersFromGenerate`` synthesizes ``size(arr) > 0`` filters under
+#: explode() and pushes them below the projection that materializes the
+#: array — re-deriving the whole shingle pipeline inside the filter, where
+#: per-window ``element_at(transform(...), i)`` recomputes the token-hash
+#: array O(tokens²) per row (observed 4-8× slowdown).  The rule only prunes
+#: empty arrays pre-generate; excluding it is strictly cheaper here.
+_EXCLUDED_RULES = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
+def _tune_session(df: DataFrame) -> None:
+    spark = df.sparkSession
+    current = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    if not current:
+        spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
+    elif _EXCLUDED_RULES not in current:
+        spark.conf.set("spark.sql.optimizer.excludedRules", f"{current},{_EXCLUDED_RULES}")
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """One survivor (min id) per distinct value of *cols*.
+
+    Implemented as min-by aggregation rather than ``dropDuplicates`` so
+    the survivor is deterministic (dropDuplicates keeps an arbitrary row).
+    """
+    return (
+        df.groupBy(*cols)
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .select(id_col, "dup_count", *cols)
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """Rolling-hash fingerprint of normalized text (portable.fingerprint)."""
+    return df.withColumn(out_col, F.expr(P.fingerprint(text_col, SPARK)))
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Dedup groups keyed by normalized-text fingerprint."""
+    return (
+        with_fingerprint(df, text_col)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def with_shingle_hashes(
+    df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingle_hashes"
+) -> DataFrame:
+    """Distinct word-n-gram shingle hashes: tokens → per-token char hash →
+    arithmetic n-window combination (``portable.token_hash_ngrams``).
+
+    Each token is hashed exactly once and no shingle strings are ever
+    materialized; stages are real columns so downstream signature/verify
+    passes re-traverse arrays, not text.
+    """
+    return (
+        df.withColumn("_tokens", F.expr(P.tokens(text_col, SPARK)))
+        .withColumn("_th", F.expr(P.hash_array("_tokens", SPARK)))
+        .withColumn(out_col, F.expr(P.token_hash_ngrams("_th", n, SPARK)))
+    )
+
+
+def with_minhash_signature(
+    df: DataFrame, text_col: str, n: int = 3, k: int = 16, out_col: str = "minhash"
+) -> DataFrame:
+    return with_shingle_hashes(df, text_col, n).withColumn(
+        out_col, F.expr(P.minhash_from_hashes("shingle_hashes", k, SPARK))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH + exact verification.
+
+    Plan shape (scale-reviewed):
+      1. one scan computing shingle hashes + k-hash signature (no shuffle);
+      2. explode to ``bands`` rows/doc, band key = the band's signature
+         slice as a string → shuffle on band key (uniform: hash values);
+      3. self-join per bucket with ``id_a < id_b`` → candidate pairs,
+         deduped across bands;
+      4. verify with exact Jaccard over the *shingle-hash sets* (numeric
+         intersect — cheaper than string shingles) ≥ ``threshold``.
+
+    Returns (id_a, id_b, jaccard).
+    """
+    _tune_session(df)
+    r = k // bands
+    sig = with_minhash_signature(df, text_col, n, k).select(
+        F.col(id_col).alias("_id"),
+        F.col("minhash"),
+        F.array_distinct("shingle_hashes").alias("_hashset"),
+    )
+    band_cols = []
+    for b in range(bands):
+        band_key = F.concat_ws(
+            "-",
+            F.lit(str(b)),
+            *[F.element_at("minhash", b * r + j + 1).cast("string") for j in range(r)],
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), band_key.alias("key")))
+    banded = sig.withColumn("_band", F.explode(F.array(*band_cols))).select(
+        "_id", "_hashset", F.col("_band.key").alias("band_key")
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(right, on="band_key")
+        .where(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._hashset").alias("set_a"),
+            F.col("r._hashset").alias("set_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = candidates.withColumn(
+        "jaccard", F.expr(P.jaccard("set_a", "set_b", SPARK))
+    ).where(F.col("jaccard") >= threshold)
+    return verified.select(
+        F.col("id_a").alias(f"{id_col}_a"), F.col("id_b").alias(f"{id_col}_b"), "jaccard"
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, id_col: str, text_col: str, **lsh_kwargs
+) -> DataFrame:
+    """Survivor set after removing LSH-confirmed near-duplicates.
+
+    A doc is dropped when it near-matches any doc with a smaller id
+    (single-link light: no transitive closure — at 100 TB the full
+    connected-components pass is a separate iterative job).
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
+    dropped = pairs.select(F.col(f"{id_col}_b").alias(id_col)).distinct()
+    return df.join(dropped, on=id_col, how="left_anti")
+
+
+def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """32-bit SimHash column (portable hashing; tokens hashed once)."""
+    return (
+        df.withColumn("_tokens", F.expr(P.tokens(text_col, SPARK)))
+        .withColumn("_tok_hashes", F.expr(P.hash_array("_tokens", SPARK)))
+        .withColumn(out_col, F.expr(P.simhash32_from_hashes("_tok_hashes", SPARK)))
+        .drop("_tokens", "_tok_hashes")
+    )
+
+
+def simhash_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Docs sharing an identical 32-bit SimHash (hard near-dup groups)."""
+    return (
+        with_simhash(df, text_col)
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("member_count"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    threshold: float = 0.3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Set-similarity join via inverted index (no cross join).
+
+    Pairs above a positive Jaccard threshold must share ≥1 shingle, so:
+    explode each doc's distinct shingle-hash set, equi-join on the hash
+    (plus ``block_col`` when given), count shared hashes per pair —
+    that count IS the intersection size — then
+    ``jaccard = inter / (|a| + |b| - inter)``.
+
+    Plan shape at scale: one scan + one shuffle on (shingle hash[, block])
+    + one pair-keyed aggregation; replaces the O(n²/blocks) cross join
+    (42s → ~2s at sf0.1 locally).  Skew caveat: a shingle present in a
+    large fraction of the corpus becomes a hot join key — production
+    pipelines drop ultra-frequent shingles first (a semantic choice this
+    operator deliberately doesn't make silently).
+    """
+    if threshold <= 0:
+        raise ValueError("inverted-index jaccard join requires threshold > 0")
+    _tune_session(df)
+    prepped = with_shingle_hashes(df, text_col, n).select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct("shingle_hashes").alias("_hashset"),
+        *([F.col(block_col).alias("_block")] if block_col else []),
+    ).withColumn("_size", F.size("_hashset"))
+    exploded = prepped.select(
+        "_id", "_size", *(["_block"] if block_col else []),
+        F.explode("_hashset").alias("_h"),
+    )
+    join_keys = ["_h"] + (["_block"] if block_col else [])
+    l, r = exploded.alias("l"), exploded.alias("r")
+    inter = (
+        l.join(r, on=join_keys)
+        .where(F.col("l._id") < F.col("r._id"))
+        .groupBy(F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"))
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.first("l._size").alias("_sa"),
+            F.first("r._size").alias("_sb"),
+        )
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_sa") + F.col("_sb") - F.col("_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("_ida").alias(f"{id_col}_a"),
+            F.col("_idb").alias(f"{id_col}_b"),
+            "jaccard",
+        )
+    )

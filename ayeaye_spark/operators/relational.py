@@ -1,0 +1,157 @@
+"""Relational operator helpers: the reference's user-space query patterns
+(SURVEY §2.4) as reusable DataFrame compositions, plus the as-of join the
+reference lacks (§2.5).
+
+Every helper is shuffle-aware:
+
+* :func:`group_collect` — groupBy + sorted collect_list (the
+  poisonous-animals pattern, ``examples/poisonous_animals.py:16-25``).
+* :func:`date_span_expand` — per-row date-interval explosion
+  (favourite-colours, ``examples/favourite_colours.py:63-87``).
+* :func:`top_k_per_group` — deterministic window top-k (global top-1 =
+  the NOAA hottest/coldest pattern, ``examples/noaa_climatology.py:62-84``).
+* :func:`asof_join` — scalable as-of join via union + window
+  carry-forward: ONE shuffle on (keys, ts) instead of a range join's
+  quadratic bucket blowup; the standard streaming-enrichment plan.
+* :func:`sessionize` — gap-based session ids (lag + cumulative sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_collect(
+    df: DataFrame,
+    group_cols: list[str],
+    collect_col: str,
+    *,
+    out_col: str | None = None,
+    as_string: bool = True,
+    sep: str = "|",
+) -> DataFrame:
+    """Sorted collect per group; string form keeps it oracle-comparable
+    (DuckDB: ``string_agg(x, sep ORDER BY x)``)."""
+    out_col = out_col or f"{collect_col}s"
+    collected = F.array_sort(F.collect_list(collect_col))
+    value = F.array_join(collected, sep) if as_string else collected
+    return df.groupBy(*group_cols).agg(value.alias(out_col))
+
+
+def date_span_expand(
+    df: DataFrame, start_col: str, end_col: str, *, out_col: str = "day"
+) -> DataFrame:
+    """One row per day in [start, end] per input row.
+
+    ``explode(sequence(...))`` is generated JVM-side; a 100 TB input with
+    bounded spans fans out linearly with no shuffle.
+    """
+    return df.withColumn(
+        out_col,
+        F.explode(
+            F.sequence(
+                F.to_date(F.col(start_col)),
+                F.to_date(F.col(end_col)),
+                F.expr("interval 1 day"),
+            )
+        ),
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    *,
+    descending: bool = True,
+    tiebreak_cols: list[str] | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Deterministic top-k: explicit tiebreak columns make the result
+    well-defined (and oracle-stable) even with duplicate order values."""
+    ordering = [F.desc(order_col) if descending else F.asc(order_col)]
+    ordering += [F.asc(c) for c in (tiebreak_cols or [])]
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(*ordering)
+    else:
+        w = Window.partitionBy(F.lit(1)).orderBy(*ordering)
+    return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: list[str] | None = None,
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_right",
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: each left row gets the most recent right row
+    with ``right.on <= left.on`` (``< `` when ``strict``), per ``by`` keys.
+
+    Implementation (scale path): tag and union both sides, ONE shuffle on
+    (by, on, side), then ``last(value, ignoreNulls)`` over an unbounded-
+    preceding window carries the latest right payload forward onto left
+    rows.  Equivalent to DuckDB's native ``ASOF JOIN``; avoids the range-
+    join blowup entirely.  Ties on ``on``: right rows sort before left
+    rows (non-strict) so an equal timestamp matches.
+    """
+    by = by or []
+    right_value_cols = right_value_cols or [
+        c for c in right.columns if c != on and c not in by
+    ]
+    l_tag, r_tag = (0, 1) if strict else (1, 0)  # sort order of ties
+    payload = F.struct(*[F.col(c) for c in right_value_cols])
+    left_cols = left.columns
+    l = left.withColumn("_side", F.lit(l_tag)).withColumn(
+        "_payload", F.lit(None).cast(
+            right.select(payload.alias("_p")).schema["_p"].dataType
+        )
+    )
+    r = right.select(
+        *[F.col(c) for c in by],
+        F.col(on),
+        F.lit(r_tag).alias("_side"),
+        payload.alias("_payload"),
+    )
+    unioned = l.select(
+        *[F.col(c) for c in left_cols], "_side", "_payload"
+    ).unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
+    out = carried.where(F.col("_side") == l_tag).select(
+        *[F.col(c) for c in left_cols],
+        *[
+            F.col(f"_match.{c}").alias(c + (suffix if c in left_cols else ""))
+            for c in right_value_cols
+        ],
+    )
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    by: list[str],
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the time since the
+    previous event (per ``by``) exceeds ``gap_seconds``.  One shuffle on
+    ``by``; cumulative sum of session starts numbers the sessions."""
+    w = Window.partitionBy(*by).orderBy(F.col(ts_col).asc())
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn("_new_session", is_new).withColumn(
+        session_col, F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).drop("_new_session")

@@ -1,0 +1,246 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star operators (BASELINE.json): approximate-nearest-neighbor over
+an embedding column.
+
+* :func:`cosine_topk` — brute-force exact top-k: broadcast the (small)
+  query set, one scan over the corpus, per-query window top-k.  At 100 TB
+  this is the correct *exact* plan: embarrassingly parallel scan, shuffle
+  only of (n_queries × corpus_partitions × k) candidate rows.
+* :func:`ivf_topk` — IVF-style bucketed ANN: corpus vectors are assigned
+  to their nearest centroid once (scan + broadcast of centroids), queries
+  probe only their own cell → the scan shrinks by ~|cells|.
+* :func:`hyperplane_lsh_topk` — sign-of-dot-product LSH bucketing with
+  deterministic pseudo-hyperplanes (portable arithmetic → oracle-able).
+* :func:`embedding_near_dup_pairs` — near-duplicate vector pairs
+  (cosine ≥ threshold), the embedding-space dedup path.
+
+Dot products use ``zip_with`` + ``aggregate`` — JVM codegen, sequential
+accumulation order (bit-identical to the DuckDB oracle's fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+
+SPARK = P.SPARK
+
+
+def _as_double(col: str) -> str:
+    return P.cast_double_array(col, SPARK)
+
+
+def with_unit_norm(df: DataFrame, vec_col: str, out_col: str = "unit_vec") -> DataFrame:
+    """L2-normalize once up front so cosine becomes a plain dot product."""
+    dbl = _as_double(vec_col)
+    return df.withColumn("_dvec", F.expr(dbl)).withColumn(
+        out_col,
+        F.expr(f"transform(_dvec, x -> x / {P.norm('_dvec', SPARK)})"),
+    ).drop("_dvec")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    Self-matches (same id) are excluded.  ``queries`` is broadcast — the
+    corpus scan is the only large-data pass.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.expr(P.cosine(_as_double("_qvec"), _as_double("_cvec"), SPARK)),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment: each vector → nearest centroid by cosine.
+
+    ``centroids`` (id_col, vec_col) is broadcast; ties break on smaller
+    centroid id (deterministic).
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_centvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(cent)).withColumn(
+        "_sim",
+        F.expr(P.cosine(_as_double(vec_col), _as_double("_centvec"), SPARK)),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_centvec", "_sim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ANN top-k probing only the query's IVF cell (1-probe).
+
+    Approximate by construction; the oracle replays the identical cell
+    assignment, so results still hash-match.
+    """
+    corpus_cells = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    query_cells = assign_cells(queries, centroids, id_col=id_col, vec_col=vec_col)
+    c = corpus_cells.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), "centroid_id"
+    )
+    q = query_cells.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"), "centroid_id"
+    )
+    scored = (
+        c.join(F.broadcast(q), on="centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.expr(P.cosine(_as_double("_qvec"), _as_double("_cvec"), SPARK)),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "centroid_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(vec_col: str, n_planes: int, dim: int) -> str:
+    """Deterministic random-hyperplane LSH signature as a Spark/DuckDB-
+    portable integer: bit p = 1 iff dot(vec, plane_p) > 0.
+
+    Plane components come from a fixed arithmetic formula
+    ``((p*31 + i*17) % 7) - 3`` — integer weights in [-3, 3], identical in
+    both dialects, no randomness at runtime (Date/random are banned in
+    driver workflows and non-portable anyway).
+    """
+
+    def plane_dot(p: int, d: str) -> str:
+        dbl = P.cast_double_array(vec_col, d)
+        idx = P.int_sequence(1, str(dim), d)
+        prods = P.transform(
+            idx, "i", f"{P.element(dbl, 'i', d)} * ((({p} * 31 + i * 17) % 7) - 3)", d
+        )
+        return P.reduce_double(prods, "0", "acc + c", d)
+
+    def build(d: str) -> str:
+        bits = [
+            f"(case when ({plane_dot(p, d)}) > 0 then {1 << p} else 0 end)"
+            for p in range(n_planes)
+        ]
+        return "(" + " + ".join(bits) + ")"
+
+    return build
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k among vectors sharing the query's LSH bucket."""
+    sig_builder = hyperplane_signature(vec_col, n_planes, dim)
+    sig_expr = sig_builder(SPARK)
+    c = corpus.withColumn("bucket", F.expr(sig_expr)).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), "bucket"
+    )
+    q = queries.withColumn("bucket", F.expr(sig_expr)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.expr(P.cosine(_as_double("_qvec"), _as_double("_cvec"), SPARK)),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "bucket", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Vector pairs with cosine ≥ threshold (embedding-space near-dups).
+
+    ``exact=False`` prefilters through LSH buckets (near-identical vectors
+    collide with high probability); ``exact=True`` is the all-pairs check
+    used as the small-scale oracle-verifiable variant.
+    """
+    if exact:
+        base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        joined = base.alias("l").crossJoin(base.alias("r")).where(
+            F.col("l._id") < F.col("r._id")
+        )
+    else:
+        sig_expr = hyperplane_signature(vec_col, n_planes, dim)(SPARK)
+        base = df.withColumn("bucket", F.expr(sig_expr)).select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "bucket"
+        )
+        joined = base.alias("l").join(base.alias("r"), on="bucket").where(
+            F.col("l._id") < F.col("r._id")
+        )
+    return (
+        joined.select(
+            F.col("l._id").alias(f"{id_col}_a"),
+            F.col("r._id").alias(f"{id_col}_b"),
+            F.expr(P.cosine(_as_double("l._v"), _as_double("r._v"), SPARK)).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

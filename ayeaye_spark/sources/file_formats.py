@@ -1,0 +1,335 @@
+"""File-format connectors: csv/tsv, ndjson, json, parquet, raw files.
+
+Spark-first equivalents of the reference connectors (SURVEY §2.1):
+
+* CsvConnector    — ``lib/ayeaye/connectors/csv_connector.py:13-270``
+* TsvConnector    — ``csv_connector.py:273-284``
+* NdjsonConnector — ``ndjson_connector.py:15-98``
+* JsonConnector   — ``json_connector.py:12-115`` (driver-side document)
+* ParquetConnector— ``parquet_connector.py:22-124`` (read; write was a
+  reference TODO — implemented here)
+* UncookedConnector — ``uncooked_connector.py:9-105`` (raw text/binary)
+
+Header contracts (``field_names`` / ``required_fields`` /
+``expected_fields`` / ``alias_fields`` — ``csv_connector.py:15-22``) become
+schema assertions against ``df.columns``; ``transform_map``
+(``csv_connector.py:59-62``) becomes ``withColumn`` with Column
+expressions.  Gzip + glob come free from Spark (codec auto-detect, glob
+paths), replacing SmartOpenModifier / FilesystemEnginePattern.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.pinnate import Pinnate
+from .base import AccessMode, ConnectorError, DataConnector, spark_path
+
+
+class SchemaContractError(ConnectorError):
+    """required/expected field contract violated (cf. csv_connector.py:132-151)."""
+
+
+def _apply_transform_map(df: DataFrame, transform_map: dict[str, Callable] | None) -> DataFrame:
+    if not transform_map:
+        return df
+    for column, fn in transform_map.items():
+        # fn receives the Column and returns a Column expression; plain
+        # python callables are wrapped into a (slow-path) udf.
+        try:
+            result = fn(F.col(column))
+            from pyspark.sql import Column
+
+            if not isinstance(result, Column):
+                raise TypeError
+            df = df.withColumn(column, result)
+        except TypeError:
+            df = df.withColumn(column, F.udf(fn)(F.col(column)))
+    return df
+
+
+class CsvConnector(DataConnector):
+    """``csv://`` — header contracts, aliasing, typing, row-range slicing.
+
+    Url options: ``;encoding=`` ``;sep=`` ``;start=`` ``;end=``
+    ``;infer_schema=`` (cf. ``csv_connector.py:64-67``).  Keyword args:
+    ``field_names``, ``required_fields``, ``expected_fields``,
+    ``alias_fields``, ``transform_map``, ``schema``.
+    """
+
+    engine_types = ["csv"]
+
+    def __init__(self, engine_url: str, access: AccessMode = AccessMode.READ, **kwargs: Any):
+        super().__init__(engine_url, access, **kwargs)
+        self.field_names: list[str] | None = kwargs.get("field_names")
+        self.required_fields: list[str] | None = kwargs.get("required_fields")
+        self.expected_fields: list[str] | None = kwargs.get("expected_fields")
+        self.alias_fields: Any = kwargs.get("alias_fields")
+        self.transform_map: dict[str, Callable] | None = kwargs.get("transform_map")
+        self.schema = kwargs.get("schema")
+        if self.alias_fields is not None and (
+            self.required_fields is not None or self.expected_fields is not None
+        ):
+            # mirrors the reference's incompatible-arg guard (csv_connector.py:100-106)
+            raise ValueError("alias_fields can't be used with required/expected_fields")
+
+    delimiter = ","
+
+    def _reader_options(self) -> dict[str, Any]:
+        opts: dict[str, Any] = {
+            "header": self.field_names is None,
+            "sep": self.url.option("sep", self.delimiter),
+            "encoding": self.url.option("encoding", "utf-8"),
+            "mode": "PERMISSIVE",  # missing trailing fields → null (csv_connector.py:212-214)
+        }
+        if self.url.bool_option("infer_schema", False):
+            opts["inferSchema"] = True
+        return opts
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        self._require_read()
+        path = spark_path(self.url)
+        reader = spark.read.options(**self._reader_options())
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        df = reader.csv(path)
+
+        start, end = self.url.int_option("start"), self.url.int_option("end")
+        if start is not None or end is not None:
+            df = self._slice_rows(spark, df, path, start, end)
+
+        if self.field_names is not None:
+            if len(self.field_names) < len(df.columns):
+                df = df.select(df.columns[: len(self.field_names)])
+            df = df.toDF(*self.field_names)
+        self._check_contracts(df)
+        df = self._apply_alias(df)
+        return _apply_transform_map(df, self.transform_map)
+
+    def _slice_rows(
+        self, spark: SparkSession, df: DataFrame, path: str, start: int | None, end: int | None
+    ) -> DataFrame:
+        """Positional row slice (``;start=;end=`` — csv_connector.py:171-205).
+
+        Compatibility feature for small single files: line numbers come from
+        ``zipWithIndex`` over the text lines, then the slice re-parses
+        through the CSV reader.  Documented non-scalable; large data should
+        filter on values, not positions.
+        """
+        header = self.field_names is None
+        sep = self.url.option("sep", self.delimiter)
+        lines = spark.sparkContext.textFile(path).zipWithIndex()
+        lo = start if start is not None else 0
+        hi = end if end is not None else float("inf")
+
+        def keep(pair):
+            _, idx = pair
+            data_idx = idx - 1 if header else idx
+            if header and idx == 0:
+                return True
+            return lo <= data_idx <= hi
+
+        kept = lines.filter(keep).map(lambda p: p[0])
+        reader = spark.read.options(**self._reader_options())
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return reader.csv(kept)
+
+    def _check_contracts(self, df: DataFrame) -> None:
+        cols = df.columns
+        if self.required_fields is not None:
+            missing = [c for c in self.required_fields if c not in cols]
+            if missing:
+                raise SchemaContractError(
+                    f"required fields missing from {self.engine_url}: {missing}"
+                )
+        if self.expected_fields is not None and list(self.expected_fields) != cols:
+            raise SchemaContractError(
+                f"expected fields {self.expected_fields} != actual {cols} in {self.engine_url}"
+            )
+
+    def _apply_alias(self, df: DataFrame) -> DataFrame:
+        if self.alias_fields is None:
+            return df
+        if isinstance(self.alias_fields, dict):
+            return df.withColumnsRenamed(self.alias_fields)
+        if len(self.alias_fields) != len(df.columns):
+            raise SchemaContractError(
+                f"alias_fields length {len(self.alias_fields)} != column count {len(df.columns)}"
+            )
+        return df.toDF(*self.alias_fields)
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        self._require_write()
+        if self.field_names is not None:
+            df = df.select(*self.field_names)  # projection on write (csv_connector.py:255-261)
+        df = _apply_transform_map(df, self.transform_map)
+        (
+            df.write.mode(mode)
+            .options(
+                header=True,
+                sep=self.url.option("sep", self.delimiter),
+                encoding=self.url.option("encoding", "utf-8"),
+            )
+            .csv(spark_path(self.url))
+        )
+
+
+class TsvConnector(CsvConnector):
+    """``tsv://`` — CSV with tab delimiter (csv_connector.py:273-284)."""
+
+    engine_types = ["tsv"]
+    delimiter = "\t"
+
+
+class NdjsonConnector(DataConnector):
+    """``ndjson://`` — one JSON document per line (ndjson_connector.py:15-98)."""
+
+    engine_types = ["ndjson"]
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        self._require_read()
+        reader = spark.read
+        schema = self.connector_kwargs.get("schema")
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.json(spark_path(self.url))
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        self._require_write()
+        df.write.mode(mode).json(spark_path(self.url))
+
+
+class ParquetConnector(DataConnector):
+    """``parquet://`` — vectorized columnar scan (parquet_connector.py:22-124).
+
+    Unlike the reference (columnar→row pivot, read-only), this is Spark's
+    native format: predicate pushdown, column pruning, partition pruning
+    all apply; write is supported (the reference left it TODO).
+    """
+
+    engine_types = ["parquet"]
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        self._require_read()
+        return spark.read.parquet(spark_path(self.url))
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        self._require_write()
+        writer = df.write.mode(mode)
+        partition_by = self.connector_kwargs.get("partition_by")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(spark_path(self.url))
+
+    def as_pandas(self, spark: SparkSession):
+        """Escape hatch mirroring ``parquet_connector.py:112-117``."""
+        return self.read(spark).toPandas()
+
+
+class JsonConnector(DataConnector):
+    """``json://`` — whole single JSON document (json_connector.py:12-115).
+
+    Documents are driver-side (manifests, summaries): ``.data`` returns a
+    :class:`Pinnate`; assignment + :meth:`flush` writes (``;indent=`` for
+    pretty-print).  ``as_dataframe`` lifts an array payload into a
+    DataFrame for distributed work.
+    """
+
+    engine_types = ["json"]
+    driver_side = True
+
+    def __init__(self, engine_url: str, access: AccessMode = AccessMode.READ, **kwargs: Any):
+        super().__init__(engine_url, access, **kwargs)
+        self._data: Pinnate | None = None
+
+    @property
+    def data(self) -> Pinnate:
+        self._require_read()
+        if self._data is None:
+            encoding = self.url.option("encoding", "utf-8")
+            with open(self.local_path, encoding=encoding) as f:
+                self._data = Pinnate(json.load(f))
+        return self._data
+
+    @data.setter
+    def data(self, value: Any) -> None:
+        self._require_write()
+        self._data = value if isinstance(value, Pinnate) else Pinnate(value)
+        self.flush()
+
+    def flush(self) -> None:
+        self._require_write()
+        indent = self.url.int_option("indent")
+        os.makedirs(os.path.dirname(self.local_path) or ".", exist_ok=True)
+        with open(self.local_path, "w", encoding=self.url.option("encoding", "utf-8")) as f:
+            f.write(self._data.as_json(indent=indent))
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        self._require_read()
+        return spark.read.option("multiLine", True).json(spark_path(self.url))
+
+    def as_dataframe(self, spark: SparkSession, array_field: str | None = None) -> DataFrame:
+        """Array payload (or array at *array_field*) → DataFrame of structs."""
+        payload = self.data.as_native()
+        if array_field is not None:
+            payload = payload[array_field]
+        if not isinstance(payload, list):
+            raise ConnectorError("as_dataframe requires an array payload")
+        return spark.createDataFrame(payload)
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        self._require_write()
+        df.write.mode(mode).option("multiLine", True).json(spark_path(self.url))
+
+
+class UncookedConnector(DataConnector):
+    """``file://`` — raw text or binary file (uncooked_connector.py:9-105).
+
+    ``;file_mode=b`` for binary.  ``.data`` reads driver-side; Spark-side
+    reads use ``text`` / ``binaryFile`` sources (the latter feeds the
+    multimodal pipeline — binary column + metadata).
+    """
+
+    engine_types = ["file"]
+
+    @property
+    def file_mode(self) -> str:
+        return self.url.option("file_mode", "t")
+
+    @property
+    def data(self):
+        self._require_read()
+        if self.file_mode == "b":
+            with open(self.local_path, "rb") as f:
+                return f.read()
+        encoding = self.url.option("encoding", "utf-8")
+        with open(self.local_path, encoding=encoding) as f:
+            return f.read()
+
+    @data.setter
+    def data(self, content) -> None:
+        self._require_write()
+        os.makedirs(os.path.dirname(self.local_path) or ".", exist_ok=True)
+        if self.file_mode == "b":
+            with open(self.local_path, "wb") as f:
+                f.write(content)
+        else:
+            with open(self.local_path, "w", encoding=self.url.option("encoding", "utf-8")) as f:
+                f.write(content)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        self._require_read()
+        path = spark_path(self.url)
+        if self.file_mode == "b":
+            return spark.read.format("binaryFile").load(path)
+        return spark.read.text(path)
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        self._require_write()
+        df.write.mode(mode).text(spark_path(self.url))

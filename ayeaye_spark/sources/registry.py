@@ -1,0 +1,86 @@
+"""engine_type → connector registry + factory.
+
+Re-expresses the reference's plugin registry / connector factory
+(``lib/ayeaye/connectors/__init__.py:21-142``): engine_types map to
+connector classes, users can :func:`register_connector` their own, and
+modifier prefixes (``gz+``, ``s3+``) are stripped before lookup (the
+modifiers ride along on the parsed url — Spark handles gzip codecs and
+``s3a://`` natively, see ``sources/base.py:spark_path``).
+
+Wildcard urls stay a single connector here (Spark reads glob paths in one
+scan); ``Dataset``/``Connect`` may still expand them into a
+:class:`MultiConnector` when per-file connectors are wanted.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Type
+
+from ..core.engine_url import EngineUrlError, split_engine_type
+from .base import AccessMode, DataConnector
+from .external import (
+    BigQueryConnector,
+    ElasticsearchConnector,
+    JdbcConnector,
+    KafkaConnector,
+    RestfulConnector,
+)
+from .file_formats import (
+    CsvConnector,
+    JsonConnector,
+    NdjsonConnector,
+    ParquetConnector,
+    TsvConnector,
+    UncookedConnector,
+)
+from .multi import FakeDataConnector, MultiConnector, PlaceholderDataConnector
+
+_REGISTRY: dict[str, Type[DataConnector]] = {}
+
+_KNOWN_MODIFIERS = {"gz", "gzip", "s3"}
+
+
+def register_connector(connector_class: Type[DataConnector], *engine_types: str) -> None:
+    """Register a connector class for its engine_types (plugin point)."""
+    types = engine_types or connector_class.engine_types
+    for et in types:
+        _REGISTRY[et.lower()] = connector_class
+
+
+for cls in (
+    CsvConnector, TsvConnector, NdjsonConnector, JsonConnector, ParquetConnector,
+    UncookedConnector, JdbcConnector, KafkaConnector, BigQueryConnector,
+    ElasticsearchConnector, RestfulConnector, FakeDataConnector,
+):
+    register_connector(cls)
+
+
+def registered_engine_types() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def connector_class_for(engine_url: str) -> Type[DataConnector]:
+    modifiers, engine_type = split_engine_type(engine_url)
+    unknown = [m for m in modifiers if m not in _KNOWN_MODIFIERS]
+    if unknown:
+        raise EngineUrlError(f"unknown engine_type modifiers {unknown} in {engine_url!r}")
+    try:
+        return _REGISTRY[engine_type]
+    except KeyError:
+        raise EngineUrlError(
+            f"unknown engine_type {engine_type!r}; registered: {registered_engine_types()}"
+        ) from None
+
+
+def connector_for(
+    engine_url: str | list[str],
+    access: AccessMode = AccessMode.READ,
+    **kwargs: Any,
+) -> DataConnector:
+    """Factory: engine_url (or list → MultiConnector) → connector instance."""
+    if isinstance(engine_url, (list, tuple)):
+        return MultiConnector(list(engine_url), access=access, **kwargs)
+    if not engine_url:
+        return PlaceholderDataConnector(engine_url, access=access, **kwargs)
+    cls = connector_class_for(engine_url)
+    return cls(engine_url, access=access, **kwargs)

@@ -1,0 +1,94 @@
+"""Structured Streaming operators.
+
+The reference's only stream access is bounded Kafka batch-by-offset
+(``kafka_connector.py:77-137``) — SURVEY §2.5 assigns real streaming to
+Spark built-ins.  This module packages the canonical patterns so models
+can declare them like any other transform:
+
+* :func:`windowed_counts` — watermarked tumbling/sliding window aggregate.
+* :func:`session_aggregate` — ``session_window`` gap sessions.
+* :func:`stream_from_parquet` — file-source stream over a parquet dir
+  (how tests and local smoke runs drive streaming deterministically).
+* :func:`run_to_memory` — drain a bounded stream into an in-memory table
+  synchronously (test/debug harness).
+
+All are batch/stream agnostic: pass a batch DataFrame and the same plan
+runs as a normal aggregate (used by the DuckDB oracle comparison); pass
+a streaming DataFrame and Spark maintains state with watermark eviction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_from_parquet(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked windowed count+sum per (window, group_cols)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return (
+        df.groupBy(win.alias("win"), *(group_cols or []))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *(group_cols or []),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregate(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Session-window aggregate (dynamic gap sessions, streaming-native)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("session"), *(by or []))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            *(by or []),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
+    """Execute a bounded stream fully (availableNow) into a memory sink;
+    returns the result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")

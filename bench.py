@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is forced to full materialization with the noop datasource
+(no driver collect, no output IO) — measures the engine, not the sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ayeaye_spark.catalog import QUERIES  # noqa: E402
+from ayeaye_spark.core.session import get_spark  # noqa: E402
+
+# Every catalog query except the deliberately-quadratic exact variant
+# (emb_near_dup_pairs exists as the small-scale oracle twin of the LSH
+# path; ann_topk_lsh / dedup_minhash_lsh_pairs are the scale paths).
+EXCLUDE = {"emb_near_dup_pairs"}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("ayeaye_spark_bench")
+
+    timings: dict[str, float] = {}
+    names = [n for n in QUERIES if n not in EXCLUDE]
+    for name in names:
+        t0 = time.monotonic()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

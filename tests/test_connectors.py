@@ -1,0 +1,262 @@
+"""Connector tests over tmp-dir fixtures (mirrors the reference's
+per-connector golden tests, SURVEY §5)."""
+
+import gzip
+import json
+import os
+
+import pytest
+
+from ayeaye_spark import AccessMode, connector_for
+from ayeaye_spark.core.engine_url import EngineUrlError
+from ayeaye_spark.sources.base import AccessModeError
+from ayeaye_spark.sources.external import JdbcConnector, KafkaConnector, decode_kafka_bound
+from ayeaye_spark.sources.file_formats import SchemaContractError
+from ayeaye_spark.sources.multi import MultiConnector
+from ayeaye_spark.sources.registry import connector_class_for
+
+
+@pytest.fixture()
+def data_dir(tmp_path):
+    (tmp_path / "creatures.csv").write_text(
+        "common_name,native_to\nCrown of thorns starfish,Indo-Pacific\nGolden dart frog,Colombia\n"
+    )
+    (tmp_path / "monkeys.tsv").write_text(
+        "common_name\tnative_to\nProboscis monkey\tBorneo\n"
+    )
+    (tmp_path / "mice.csv").write_text("house mouse,Mus musculus,everywhere\n")
+    # trailing-field-missing row (venomous_creatures.csv shape)
+    (tmp_path / "venomous.csv").write_text(
+        "common_name,native_to,toxic_scale\nGeo textile cone shell,\n"
+    )
+    (tmp_path / "pubs.ndjson").write_text(
+        '{"id": 1, "name": "Red Lion"}\n{"id": 2, "name": "White Hart"}\n'
+    )
+    with gzip.open(tmp_path / "parks.ndjson.gz", "wt") as f:
+        f.write('{"name": "Dartmoor", "size": 954}\n{"name": "Exmoor", "size": 693}\n')
+    (tmp_path / "doc.json").write_text(json.dumps({"animals": [{"name": "frog", "where": "bog"}]}))
+    (tmp_path / "quote.txt").write_text("one line\nand another\n")
+    return tmp_path
+
+
+class TestCsv:
+    def test_read(self, spark, data_dir):
+        c = connector_for(f"csv://{data_dir}/creatures.csv")
+        df = c.read(spark)
+        assert df.columns == ["common_name", "native_to"]
+        assert df.count() == 2
+
+    def test_headerless_field_names(self, spark, data_dir):
+        c = connector_for(
+            f"csv://{data_dir}/mice.csv",
+            field_names=["common_name", "scientific_name", "native_to"],
+        )
+        rows = c.read(spark).collect()
+        assert rows[0]["scientific_name"] == "Mus musculus"
+
+    def test_missing_trailing_fields_null(self, spark, data_dir):
+        rows = connector_for(f"csv://{data_dir}/venomous.csv").read(spark).collect()
+        assert rows[0]["native_to"] is None or rows[0]["native_to"] == ""
+        assert rows[0]["toxic_scale"] is None
+
+    def test_required_fields(self, spark, data_dir):
+        c = connector_for(f"csv://{data_dir}/creatures.csv", required_fields=["common_name"])
+        assert c.read(spark).count() == 2
+        bad = connector_for(f"csv://{data_dir}/creatures.csv", required_fields=["nope"])
+        with pytest.raises(SchemaContractError):
+            bad.read(spark)
+
+    def test_expected_fields_exact(self, spark, data_dir):
+        bad = connector_for(
+            f"csv://{data_dir}/creatures.csv", expected_fields=["native_to", "common_name"]
+        )
+        with pytest.raises(SchemaContractError):
+            bad.read(spark)
+
+    def test_alias_fields(self, spark, data_dir):
+        c = connector_for(f"csv://{data_dir}/creatures.csv", alias_fields={"native_to": "where"})
+        assert c.read(spark).columns == ["common_name", "where"]
+        c2 = connector_for(f"csv://{data_dir}/creatures.csv", alias_fields=["name", "place"])
+        assert c2.read(spark).columns == ["name", "place"]
+        with pytest.raises(ValueError):
+            connector_for(
+                f"csv://{data_dir}/creatures.csv",
+                alias_fields=["x", "y"],
+                required_fields=["x"],
+            )
+
+    def test_transform_map(self, spark, data_dir):
+        from pyspark.sql import functions as F
+
+        c = connector_for(
+            f"csv://{data_dir}/creatures.csv", transform_map={"common_name": F.upper}
+        )
+        rows = c.read(spark).orderBy("common_name").collect()
+        assert rows[0]["common_name"] == "CROWN OF THORNS STARFISH"
+
+    def test_row_slice(self, spark, data_dir):
+        c = connector_for(f"csv://{data_dir}/creatures.csv;start=1;end=1")
+        rows = c.read(spark).collect()
+        assert len(rows) == 1
+        assert rows[0]["common_name"] == "Golden dart frog"
+
+    def test_write_roundtrip(self, spark, data_dir, tmp_path):
+        df = connector_for(f"csv://{data_dir}/creatures.csv").read(spark)
+        out = connector_for(f"csv://{tmp_path}/out_csv", access=AccessMode.WRITE)
+        out.write(df)
+        back = connector_for(f"csv://{tmp_path}/out_csv").read(spark)
+        assert back.count() == 2
+
+    def test_write_needs_access(self, spark, data_dir):
+        df = connector_for(f"csv://{data_dir}/creatures.csv").read(spark)
+        with pytest.raises(AccessModeError):
+            connector_for(f"csv://{data_dir}/ro.csv").write(df)
+
+
+class TestOtherFormats:
+    def test_tsv(self, spark, data_dir):
+        rows = connector_for(f"tsv://{data_dir}/monkeys.tsv").read(spark).collect()
+        assert rows[0]["native_to"] == "Borneo"
+
+    def test_ndjson(self, spark, data_dir):
+        df = connector_for(f"ndjson://{data_dir}/pubs.ndjson").read(spark)
+        assert df.count() == 2
+        assert set(df.columns) == {"id", "name"}
+
+    def test_gz_ndjson(self, spark, data_dir):
+        df = connector_for(f"gz+ndjson://{data_dir}/parks.ndjson.gz").read(spark)
+        assert df.count() == 2
+
+    def test_json_document(self, data_dir, tmp_path):
+        c = connector_for(f"json://{data_dir}/doc.json")
+        assert c.data.animals[0].name == "frog"
+        out = connector_for(f"json://{tmp_path}/out.json;indent=2", access=AccessMode.WRITE)
+        out.data = {"x": [1, 2]}
+        assert json.load(open(tmp_path / "out.json")) == {"x": [1, 2]}
+
+    def test_json_as_dataframe(self, spark, data_dir):
+        c = connector_for(f"json://{data_dir}/doc.json")
+        df = c.as_dataframe(spark, "animals")
+        assert df.count() == 1
+
+    def test_parquet_roundtrip(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+        out = connector_for(f"parquet://{tmp_path}/t.parquet", access=AccessMode.READWRITE)
+        out.write(df)
+        assert out.read(spark).count() == 2
+
+    def test_file_text(self, spark, data_dir, tmp_path):
+        c = connector_for(f"file://{data_dir}/quote.txt")
+        assert "one line" in c.data
+        assert c.read(spark).count() == 2
+        w = connector_for(f"file://{tmp_path}/new.txt", access=AccessMode.WRITE)
+        w.data = "written"
+        assert open(tmp_path / "new.txt").read() == "written"
+
+    def test_file_binary(self, data_dir):
+        c = connector_for(f"file://{data_dir}/quote.txt;file_mode=b")
+        assert isinstance(c.data, bytes)
+
+
+class TestRegistry:
+    def test_unknown_engine_type(self):
+        with pytest.raises(EngineUrlError):
+            connector_class_for("nope://x")
+
+    def test_unknown_modifier(self):
+        with pytest.raises(EngineUrlError):
+            connector_class_for("zip+csv://x")
+
+    def test_plugin_registration(self):
+        from ayeaye_spark import register_connector
+        from ayeaye_spark.sources.base import DataConnector
+
+        class MyConnector(DataConnector):
+            engine_types = ["mything"]
+
+        register_connector(MyConnector)
+        assert connector_class_for("mything://anything") is MyConnector
+
+    def test_wildcard_glob_read(self, spark, data_dir):
+        df = connector_for(f"csv://{data_dir}/creature*.csv").read(spark)
+        assert df.count() == 2
+
+    def test_fake(self, spark):
+        assert connector_for("fake://").read(spark).count() == 1
+
+    def test_placeholder(self, spark):
+        c = connector_for("")
+        assert not c.datasource_exists
+
+
+class TestMulti:
+    def test_multi_read_with_source(self, spark, data_dir):
+        m = connector_for(
+            [f"csv://{data_dir}/creatures.csv", f"tsv://{data_dir}/monkeys.tsv"]
+        )
+        assert isinstance(m, MultiConnector)
+        df = m.read(spark)
+        assert df.count() == 3
+        assert "source_url" in df.columns
+        assert df.where(df.source_url.contains("monkeys")).count() == 1
+
+    def test_child_access(self, spark, data_dir):
+        url = f"csv://{data_dir}/creatures.csv"
+        m = connector_for([url])
+        assert m[url].read(spark).count() == 2
+        assert len(m) == 1
+
+    def test_add_engine_url(self, data_dir, resolver):
+        resolver.add(d=str(data_dir))
+        m = connector_for([f"csv://{data_dir}/creatures.csv"])
+        child = m.add_engine_url("tsv://{d}/monkeys.tsv")
+        assert len(m) == 2
+        assert "monkeys" in child.engine_url
+
+
+class TestExternalUrlMapping:
+    def test_kafka_bounds(self):
+        assert decode_kafka_bound("@(earliest)") == "earliest"
+        assert decode_kafka_bound("@(2019-05-15 08:00:00)") == 1557907200000
+        assert decode_kafka_bound(None) is None
+
+    def test_kafka_options(self):
+        k = KafkaConnector("kafka://broker:9092/mytopic;start=@(2019-05-15 08:00:00);end=@(latest)")
+        opts = k._bound_options()
+        assert opts["kafka.bootstrap.servers"] == "broker:9092"
+        assert opts["subscribe"] == "mytopic"
+        assert opts["startingTimestamp"] == "1557907200000"
+        assert opts["endingOffsets"] == "latest"
+
+    def test_jdbc_urls(self):
+        j = JdbcConnector("sqlite:///tmp/db.sqlite;table=animals")
+        assert j.jdbc_url == "jdbc:sqlite:/tmp/db.sqlite"
+        opts = j._jdbc_options()
+        assert opts["dbtable"] == "animals"
+        assert opts["driver"] == "org.sqlite.JDBC"
+        p = JdbcConnector("postgresql://host:5432/mydb", table="t")
+        assert p.jdbc_url == "jdbc:postgresql://host:5432/mydb"
+        assert p._jdbc_options(query="SELECT 1")["query"] == "SELECT 1"
+
+    def test_bigquery_mapping(self):
+        from ayeaye_spark.sources.external import BigQueryConnector
+
+        b = BigQueryConnector("bigquery://myproject/ds.table1")
+        assert b.table_ref == "myproject.ds.table1"
+        assert b._options()["table"] == "myproject.ds.table1"
+        assert b._options(query="SELECT 1")["viewsEnabled"] == "true"
+
+    def test_elasticsearch_mapping(self):
+        from ayeaye_spark.sources.external import ElasticsearchConnector
+
+        e = ElasticsearchConnector("elasticsearch://es-host:9200/myindex")
+        opts = e._es_options(None)
+        assert opts["es.nodes"] == "es-host"
+        assert opts["es.resource"] == "myindex"
+
+    def test_restful_stats(self):
+        from ayeaye_spark.sources.external import RestfulConnector
+
+        r = RestfulConnector("https://api.example.com/v1")
+        assert r.base_url == "https://api.example.com/v1"
+        assert r.stats["requests"] == 0

@@ -1,0 +1,114 @@
+"""Core unit tests: engine_url parsing, resolver context, Pinnate."""
+
+import pickle
+
+import pytest
+
+from ayeaye_spark.core.engine_url import EngineUrlError, parse_engine_url
+from ayeaye_spark.core.pinnate import Pinnate
+from ayeaye_spark.core.resolver import UnresolvedUrlError
+
+
+class TestEngineUrl:
+    def test_basic(self):
+        u = parse_engine_url("csv:///data/x.csv;encoding=latin-1;start=3;end=100")
+        assert u.engine_type == "csv"
+        assert u.locator == "/data/x.csv"
+        assert u.option("encoding") == "latin-1"
+        assert u.int_option("start") == 3
+        assert u.int_option("end") == 100
+        assert not u.has_wildcard
+
+    def test_modifiers(self):
+        u = parse_engine_url("s3+gz+csv://bucket/key.csv.gz")
+        assert u.modifiers == ("s3", "gz")
+        assert u.engine_type == "csv"
+        assert u.without_options() == "s3+gz+csv://bucket/key.csv.gz"
+
+    def test_kafka_style_options(self):
+        u = parse_engine_url("kafka://localhost/topic;start=@(2019-05-15 08:00:00);end=@(latest)")
+        assert u.option("start") == "@(2019-05-15 08:00:00)"
+        assert u.option("end") == "@(latest)"
+
+    def test_wildcard_and_template(self):
+        assert parse_engine_url("csv:///data/part-*.csv").has_wildcard
+        u = parse_engine_url("csv:///data/{env}/x.csv")
+        assert u.is_template
+        assert u.template_variables() == ["env"]
+
+    def test_errors(self):
+        with pytest.raises(EngineUrlError):
+            parse_engine_url("no-scheme-here")
+        with pytest.raises(EngineUrlError):
+            parse_engine_url("csv:///f.csv;start=abc").int_option("start")
+
+
+class TestResolver:
+    def test_named_and_secret(self, resolver):
+        resolver.add(env="prod")
+        resolver.add_secret(token="s3cr3t")
+        assert resolver.resolve("csv:///data/{env}/{token}.csv") == "csv:///data/prod/s3cr3t.csv"
+        without = resolver.resolve_without_secrets("csv:///data/{env}/{token}.csv")
+        assert without == "csv:///data/prod/{token}.csv"
+
+    def test_unresolved_raises(self, resolver):
+        with pytest.raises(UnresolvedUrlError):
+            resolver.resolve("csv:///{missing}.csv")
+
+    def test_unnamed_callable(self, resolver):
+        resolver.add(lambda url: url.replace("{dynamic}", "42"))
+        assert resolver.resolve("csv:///{dynamic}.csv") == "csv:///42.csv"
+
+    def test_scoped_context(self, resolver):
+        resolver.add(env="prod")
+        with resolver.context(env="test"):
+            assert resolver.resolve("x://{env}") == "x://test"
+        assert resolver.resolve("x://{env}") == "x://prod"
+
+    def test_capture_and_apply(self, resolver):
+        resolver.add(env="prod", build_id="b1")
+        resolver.add_secret(key="k")
+        captured = resolver.capture_context()
+        assert captured == {"mapper": {"env": "prod", "build_id": "b1"}}
+        resolver.brutal_reset()
+        resolver.apply_context(captured)
+        assert resolver.resolve("x://{env}/{build_id}") == "x://prod/b1"
+
+    def test_deferred_attribute(self, resolver):
+        deferred = resolver.later_value
+        resolver.add(later_value="now")
+        assert str(deferred) == "now"
+
+
+class TestPinnate:
+    def test_nested_access(self):
+        p = Pinnate({"a": {"b": 1}, "xs": [{"y": 2}, {"y": 3}]})
+        assert p.a.b == 1
+        assert p["a"]["b"] == 1
+        assert [x.y for x in p.xs] == [2, 3]
+
+    def test_as_dict_projection(self):
+        p = Pinnate({"a": 1, "b": 2, "c": 3})
+        assert p.as_dict("a", "c") == {"a": 1, "c": 3}
+
+    def test_as_json_roundtrip(self):
+        import json
+
+        p = Pinnate({"a": [1, 2], "b": {"c": "x"}})
+        assert json.loads(p.as_json()) == {"a": [1, 2], "b": {"c": "x"}}
+
+    def test_set_and_merge(self):
+        p = Pinnate({"a": 1})
+        p.b = 2
+        p["c"] = 3
+        assert p.as_native() == {"a": 1, "b": 2, "c": 3}
+        merged = p.merge({"d": 4})
+        assert merged.d == 4
+
+    def test_pickle(self):
+        p = Pinnate({"a": {"b": 5}})
+        assert pickle.loads(pickle.dumps(p)).a.b == 5
+
+    def test_equality_and_len(self):
+        assert Pinnate({"a": 1}) == {"a": 1}
+        assert len(Pinnate([1, 2, 3])) == 3

@@ -1,0 +1,272 @@
+"""Model lifecycle, PartitionedModel, ModelCollection tests (mirrors the
+reference's framework-behaviour layer, SURVEY §5)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ayeaye_spark import (
+    AccessMode,
+    Connect,
+    Model,
+    ModelCollection,
+    ModelGraphError,
+    PartitionedModel,
+    SubTaskFailed,
+)
+from ayeaye_spark.core.model import PartitionOption, TaskPartition
+from ayeaye_spark.plans import checks
+
+
+@pytest.fixture()
+def animals_csv(tmp_path):
+    p = tmp_path / "animals.csv"
+    p.write_text(
+        "name,where\nfrog,bog\ntoad,bog\nsnake,desert\n"
+    )
+    return p
+
+
+def make_grouper(animals_csv, tmp_path, spark_session):
+    out_dir = tmp_path / "grouped.parquet"
+
+    class GroupAnimals(Model):
+        animals = Connect(engine_url=f"csv://{animals_csv}")
+        grouped = Connect(engine_url=f"parquet://{out_dir}", access=AccessMode.WRITE)
+
+        def build(self):
+            df = self.animals.df.groupBy("where").agg(
+                F.array_join(F.array_sort(F.collect_list("name")), "|").alias("names")
+            )
+            self.grouped.write(df)
+            self.add_stat("groups", df.count())
+
+        def post_build_check(self):
+            from ayeaye_spark.sources.registry import connector_for
+
+            out = connector_for(self.grouped.engine_url).read(self.spark)
+            return out.count() == 2
+
+    return GroupAnimals, out_dir
+
+
+class TestModelLifecycle:
+    def test_go_runs_all_stages(self, spark, animals_csv, tmp_path):
+        GroupAnimals, out_dir = make_grouper(animals_csv, tmp_path, spark)
+        m = GroupAnimals()
+        m.log_to_stdout = False
+        assert m.go(spark) is True
+        assert m.stats["groups"] == 2
+        assert m.stats["build_seconds"] > 0
+        back = {r["where"]: r["names"] for r in spark.read.parquet(str(out_dir)).collect()}
+        assert back == {"bog": "frog|toad", "desert": "snake"}
+
+    def test_pre_check_failure_aborts(self, spark, animals_csv, tmp_path):
+        GroupAnimals, _ = make_grouper(animals_csv, tmp_path, spark)
+
+        class Failing(GroupAnimals):
+            def pre_build_check(self):
+                return False
+
+            def build(self):  # must never run
+                raise AssertionError("build ran despite failed pre-check")
+
+        m = Failing()
+        m.log_to_stdout = False
+        assert m.go(spark) is False
+
+    def test_connects_reflection(self, spark, animals_csv, tmp_path):
+        GroupAnimals, _ = make_grouper(animals_csv, tmp_path, spark)
+        names = set(GroupAnimals.connects())
+        assert names == {"animals", "grouped"}
+        assert GroupAnimals.connects()["animals"].access == AccessMode.READ
+
+    def test_lock_doc(self, spark, animals_csv, tmp_path, resolver):
+        resolver.add(env="test")
+        GroupAnimals, _ = make_grouper(animals_csv, tmp_path, spark)
+        doc = GroupAnimals().lock()
+        assert doc["model_class"] == "GroupAnimals"
+        assert doc["resolver_context"]["mapper"]["env"] == "test"
+        assert set(doc["datasets"]) == {"animals", "grouped"}
+
+    def test_dataset_iteration_compat(self, spark, animals_csv, tmp_path):
+        GroupAnimals, _ = make_grouper(animals_csv, tmp_path, spark)
+        m = GroupAnimals().set_spark(spark)
+        names = sorted(row["name"] for row in m.animals)
+        assert names == ["frog", "snake", "toad"]
+
+
+class TestPartitionedModel:
+    def _model(self, spark, results):
+        class Sharded(PartitionedModel):
+            def build(self):
+                pass
+
+            def partition_plea(self):
+                return PartitionOption(minimum=1, maximum=4, optimal=2)
+
+            def partition_slice(self, n):
+                return [("work", {"shard": i}) for i in range(4)]
+
+            def work(self, shard):
+                return shard * 10
+
+            def partition_subtask_complete(self, subtask_method_name, subtask_kwargs,
+                                           subtask_return_value):
+                results.append((subtask_kwargs["shard"], subtask_return_value))
+
+        m = Sharded()
+        m.log_to_stdout = False
+        return m
+
+    def test_thread_distribution(self, spark):
+        results = []
+        m = self._model(spark, results)
+        assert m.go(spark)
+        assert sorted(results) == [(0, 0), (1, 10), (2, 20), (3, 30)]
+
+    def test_subtask_failure_raises(self, spark):
+        class Exploding(PartitionedModel):
+            def build(self):
+                pass
+
+            def partition_slice(self, n):
+                return [TaskPartition(method_name="boom")]
+
+            def boom(self):
+                raise ValueError("bad shard")
+
+        m = Exploding()
+        m.log_to_stdout = False
+        with pytest.raises(SubTaskFailed) as err:
+            m.go(spark)
+        assert err.value.task_failed.exception_class_name == "ValueError"
+        assert "bad shard" in err.value.task_failed.traceback
+
+    def test_rdd_distribution(self, spark, resolver):
+        resolver.add(prefix="p")
+        collected = []
+
+        class RddSharded(PartitionedModel):
+            distribution = "rdd"
+
+            def build(self):
+                pass
+
+            def partition_slice(self, n):
+                return [("work", {"x": i}) for i in range(3)]
+
+            def work(self, x):
+                # executors see the re-applied resolver context
+                from ayeaye_spark.core.resolver import connector_resolver
+
+                return f"{connector_resolver.resolve('{prefix}')}{x}"
+
+            def partition_subtask_complete(self, m, k, v):
+                collected.append(v)
+
+        m = RddSharded()
+        m.log_to_stdout = False
+        assert m.go(spark)
+        assert sorted(collected) == ["p0", "p1", "p2"]
+
+
+class TestModelCollection:
+    def _three_models(self, tmp_path):
+        a, b, c = (tmp_path / n for n in ("a.parquet", "b.parquet", "c.parquet"))
+        src = tmp_path / "src.csv"
+        src.write_text("x\n1\n2\n")
+
+        class One(Model):
+            source = Connect(engine_url=f"csv://{src}")
+            out_a = Connect(engine_url=f"parquet://{a}", access=AccessMode.WRITE)
+
+            def build(self):
+                self.out_a.write(self.source.df)
+
+        class Two(Model):
+            in_a = Connect(engine_url=f"parquet://{a}")
+            out_b = Connect(engine_url=f"parquet://{b}", access=AccessMode.WRITE)
+
+            def build(self):
+                self.out_b.write(self.in_a.df)
+
+        class Three(Model):
+            in_a = Connect(engine_url=f"parquet://{a}")
+            out_c = Connect(engine_url=f"parquet://{c}", access=AccessMode.WRITE)
+
+            def build(self):
+                self.out_c.write(self.in_a.df)
+
+        return One, Two, Three
+
+    def test_run_order_layers(self, tmp_path):
+        One, Two, Three = self._three_models(tmp_path)
+        layers = ModelCollection({One, Two, Three}).run_order()
+        assert layers[0] == {One}
+        assert layers[1] == {Two, Three}
+
+    def test_cycle_detection(self, tmp_path):
+        class A(Model):
+            i = Connect(engine_url="parquet:///x")
+            o = Connect(engine_url="parquet:///y", access=AccessMode.WRITE)
+
+            def build(self): ...
+
+        class B(Model):
+            i = Connect(engine_url="parquet:///y")
+            o = Connect(engine_url="parquet:///x", access=AccessMode.WRITE)
+
+            def build(self): ...
+
+        with pytest.raises(ModelGraphError):
+            ModelCollection({A, B}).run_order()
+
+    def test_provenance_edges(self, tmp_path):
+        One, Two, Three = self._three_models(tmp_path)
+        edges = ModelCollection({One, Two, Three}).dataset_provenance()
+        linked = {(e.model_a.__name__ if e.model_a else None,
+                   e.model_b.__name__ if e.model_b else None) for e in edges}
+        assert ("One", "Two") in linked
+        assert ("One", "Three") in linked
+        assert (None, "One") in linked  # leaf source
+
+    def test_mermaid(self, tmp_path):
+        One, Two, Three = self._three_models(tmp_path)
+        mc = ModelCollection({One, Two, Three})
+        assert "graph TD" in mc.mermaid_run_order()
+        assert "One" in mc.mermaid_data_provenance()
+
+    def test_run_executes_in_order(self, spark, tmp_path):
+        One, Two, Three = self._three_models(tmp_path)
+        for model in (One, Two, Three):
+            model.log_to_stdout = False
+        executed = ModelCollection({One, Two, Three}).run(spark)
+        assert len(executed) == 3
+        assert spark.read.parquet(str(tmp_path / "c.parquet")).count() == 2
+
+
+class TestChecks:
+    def test_assert_columns(self, spark):
+        df = spark.createDataFrame([(1, "a")], ["id", "name"])
+        checks.assert_columns(df, required=["id"])
+        with pytest.raises(checks.CheckFailed):
+            checks.assert_columns(df, expected=["name", "id"])
+
+    def test_assert_single_value_and_conserved(self, spark):
+        df = spark.createDataFrame([(2020, 5.0), (2020, 7.0)], ["year", "v"])
+        assert checks.assert_single_value(df, "year") == 2020
+        checks.assert_conserved(df, df, "sum(v)", "sum(v)")
+        with pytest.raises(checks.CheckFailed):
+            checks.assert_single_value(
+                spark.createDataFrame([(1,), (2,)], ["year"]), "year"
+            )
+
+    def test_observed_metrics(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(1,), (2,), (3,)], ["x"])
+        df2, obs = checks.observed(df, "m", rows=F.count(F.lit(1)), total=F.sum("x"))
+        df2.write.format("noop").mode("overwrite").save()
+        assert obs.get["rows"] == 3
+        assert obs.get["total"] == 6

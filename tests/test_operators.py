@@ -1,0 +1,149 @@
+"""Operator unit tests with hand-computable golden expectations."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from ayeaye_spark.operators import dedup, multimodal, relational, similarity
+
+
+def ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def test_backward_match(self, spark):
+        left = spark.createDataFrame(
+            [(1, "u1", ts("2024-01-01T10:00:00")), (2, "u1", ts("2024-01-01T12:00:00")),
+             (3, "u2", ts("2024-01-01T09:00:00"))],
+            ["event_id", "user", "t"],
+        )
+        right = spark.createDataFrame(
+            [("u1", ts("2024-01-01T09:30:00"), 1.0), ("u1", ts("2024-01-01T11:00:00"), 2.0),
+             ("u2", ts("2024-01-01T09:30:00"), 9.0)],
+            ["user", "t", "v"],
+        )
+        out = relational.asof_join(left, right, on="t", by=["user"], right_value_cols=["v"])
+        got = {r["event_id"]: r["v"] for r in out.collect()}
+        assert got == {1: 1.0, 2: 2.0, 3: None}
+
+    def test_equal_ts_matches_non_strict(self, spark):
+        left = spark.createDataFrame([(1, "u", ts("2024-01-01T10:00:00"))], ["id", "user", "t"])
+        right = spark.createDataFrame([("u", ts("2024-01-01T10:00:00"), 7.0)], ["user", "t", "v"])
+        assert relational.asof_join(left, right, on="t", by=["user"]).collect()[0]["v"] == 7.0
+        strict = relational.asof_join(left, right, on="t", by=["user"], strict=True)
+        assert strict.collect()[0]["v"] is None
+
+
+class TestRelationalHelpers:
+    def test_group_collect_sorted(self, spark):
+        df = spark.createDataFrame([("a", "z"), ("a", "x"), ("b", "y")], ["k", "v"])
+        got = {r["k"]: r["vs"] for r in relational.group_collect(df, ["k"], "v").collect()}
+        assert got == {"a": "x|z", "b": "y"}
+
+    def test_top_k_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [("g", 5, 1), ("g", 5, 2), ("g", 3, 3)], ["k", "score", "id"]
+        )
+        rows = relational.top_k_per_group(df, ["k"], "score", 2, tiebreak_cols=["id"]).collect()
+        assert [(r["id"], r["rank"]) for r in sorted(rows, key=lambda r: r["rank"])] == [
+            (1, 1), (2, 2)
+        ]
+
+    def test_date_span_expand(self, spark):
+        df = spark.createDataFrame([("2024-01-30", "2024-02-02")], ["s", "e"])
+        days = relational.date_span_expand(df, "s", "e").select("day").collect()
+        assert len(days) == 4
+
+    def test_sessionize_gap(self, spark):
+        df = spark.createDataFrame(
+            [("u", 0), ("u", 100), ("u", 5000), ("u", 5100)], ["user", "t"]
+        )
+        out = relational.sessionize(df, by=["user"], ts_col="t", gap_seconds=1000)
+        sessions = {r["t"]: r["session_id"] for r in out.collect()}
+        assert sessions == {0: 1, 100: 1, 5000: 2, 5100: 2}
+
+
+class TestDedup:
+    def test_exact_dedup_survivor(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+        )
+        out = {r["text"]: (r["doc_id"], r["dup_count"])
+               for r in dedup.exact_dedup(df, ["text"], "doc_id").collect()}
+        assert out == {"same text": (1, 2), "other": (3, 1)}
+
+    def test_fingerprint_ignores_case_whitespace(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello   World"), (2, "hello world"), (3, "different")], ["doc_id", "text"]
+        )
+        groups = dedup.fingerprint_dedup(df, "text", "doc_id").collect()
+        counts = sorted(r["dup_count"] for r in groups)
+        assert counts == [1, 2]
+
+    def test_minhash_finds_near_dups(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " extra"), (3, "completely unrelated words here none match at all")],
+            ["doc_id", "text"],
+        )
+        pairs = dedup.minhash_lsh_pairs(df, "doc_id", "text", n=3, k=16, bands=4,
+                                        threshold=0.3).collect()
+        assert [(p["doc_id_a"], p["doc_id_b"]) for p in pairs] == [(1, 2)]
+        survivors = dedup.minhash_dedup(df, "doc_id", "text", n=3, k=16, bands=4,
+                                        threshold=0.3)
+        assert sorted(r["doc_id"] for r in survivors.collect()) == [1, 3]
+
+    def test_simhash_identical_for_same_tokens(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha  beta   GAMMA"), (3, "zeta eta theta")],
+            ["doc_id", "text"],
+        )
+        groups = dedup.simhash_groups(df, "doc_id", "text").collect()
+        assert sorted(g["member_count"] for g in groups) == [1, 2]
+
+    def test_ngram_jaccard_blocked(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d", "en"), (2, "a b c e", "en"), (3, "a b c d", "fr")],
+            ["doc_id", "text", "lang"],
+        )
+        pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.3,
+                                          block_col="lang").collect()
+        # doc 3 matches doc 1 textually but is in another block
+        assert [(p["doc_id_a"], p["doc_id_b"]) for p in pairs] == [(1, 2)]
+
+
+class TestSimilarity:
+    def test_cosine_topk_exact(self, spark):
+        rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = similarity.cosine_topk(df, df.where(F.col("vec_id") == 0), k=2).collect()
+        assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [3, 1]
+
+    def test_near_dup_pairs_exact(self, spark):
+        rows = [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, [0.0, 1.0])]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        pairs = similarity.embedding_near_dup_pairs(df, threshold=0.99, exact=True,
+                                                    dim=2).collect()
+        assert [(p["vec_id_a"], p["vec_id_b"]) for p in pairs] == [(0, 1)]
+
+
+class TestMultimodal:
+    def test_binary_pipeline(self, spark, tmp_path):
+        (tmp_path / "img1.png").write_bytes(b"\x89PNG fake content 1234")
+        (tmp_path / "img2.png").write_bytes(b"\x89PNG other bytes!")
+        df = multimodal.read_binary_dir(spark, str(tmp_path), "image")
+        assert df.count() == 2
+        assert df.schema["media_meta"].dataType.fieldNames()[0] == "media_type"
+        decoded = multimodal.decode_images(df).collect()
+        assert all(r["width"] > 0 for r in decoded)
+        feats = multimodal.extract_features(df, dim=4).collect()
+        assert all(len(r["features"]) == 4 for r in feats)
+
+    def test_frame_sample_plan(self, spark):
+        df = spark.createDataFrame([("v1", 3500)], ["path", "dur"])
+        df = df.withColumn(
+            "media_meta", F.struct(F.col("dur").cast("long").alias("duration_ms"))
+        )
+        frames = multimodal.frame_sample_plan(df, every_ms=1000)
+        assert frames.count() == 4  # 0,1000,2000,3000

@@ -1,0 +1,22 @@
+"""Catalog ⇄ DuckDB oracle parity (the driver's t2 gate, replicated).
+
+Runs at sf0.001 by default for speed; set AYEAYE_TEST_SF_DIR to
+/root/testdata/sf0.01 to replicate the driver's exact scale."""
+
+import pytest
+
+from ayeaye_spark.catalog import QUERIES
+
+from .conftest import SF_ORACLE
+from .oracle_harness import compare, duck_connection
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duck_connection(SF_ORACLE)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_match(name, spark, duck):
+    ok, msg = compare(name, spark, duck, SF_ORACLE)
+    assert ok, f"{name}: {msg}"
