@@ -81,6 +81,11 @@ class DatasetHandle:
         else:
             object.__setattr__(self, key, value)
 
+    def __getitem__(self, engine_url: str):
+        """Child access for MultiConnector-backed datasets
+        (``multi_connector.py:10-167`` semantics)."""
+        return self.connector[engine_url]
+
     def __iter__(self):
         """Row iteration compatibility: yields Spark ``Row``s via
         ``toLocalIterator`` (one partition at a time on the driver).  The

@@ -94,6 +94,14 @@ class LoggingMixin:
         self._progress_started: float | None = None
         self._progress_last_log: float | None = None
 
+    def set_logger(self, logger: Any) -> None:
+        """Attach an external logger: a callable taking the line, or a
+        file-like object with ``write`` (e.g. ``StringIO`` in tests)."""
+        if hasattr(logger, "write"):
+            self.external_logger = lambda line: logger.write(line + "\n")
+        else:
+            self.external_logger = logger
+
     def log(self, msg: str, level: str = "INFO") -> None:
         line = f"{time.strftime('%H:%M:%S')} {level} {msg}"
         if self.external_logger is not None:

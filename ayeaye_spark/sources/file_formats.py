@@ -188,7 +188,14 @@ class TsvConnector(CsvConnector):
 
 
 class NdjsonConnector(DataConnector):
-    """``ndjson://`` — one JSON document per line (ndjson_connector.py:15-98)."""
+    """``ndjson://`` — one JSON document per line (ndjson_connector.py:15-98).
+
+    ``;single_file`` writes ONE file at the exact locator path by streaming
+    rows through the driver (``toLocalIterator`` — one partition in memory
+    at a time).  Compatibility mode for small outputs where a downstream
+    consumer expects a single named file; large outputs should use the
+    default directory-of-parts write.
+    """
 
     engine_types = ["ndjson"]
 
@@ -202,7 +209,20 @@ class NdjsonConnector(DataConnector):
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         self._require_write()
+        if self.url.bool_option("single_file"):
+            self._write_single_file(df)
+            return
         df.write.mode(mode).json(spark_path(self.url))
+
+    def _write_single_file(self, df: DataFrame) -> None:
+        from pyspark.sql import functions as F
+
+        os.makedirs(os.path.dirname(self.local_path) or ".", exist_ok=True)
+        lines = df.select(F.to_json(F.struct(*df.columns)).alias("j")).toLocalIterator()
+        encoding = self.url.option("encoding", "utf-8")
+        with open(self.local_path, "w", encoding=encoding) as f:
+            for row in lines:
+                f.write(row["j"] + "\n")
 
 
 class ParquetConnector(DataConnector):

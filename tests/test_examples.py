@@ -1,0 +1,113 @@
+"""End-to-end example-model acceptance tests with the reference's golden
+expectations (SURVEY §5: ``tests/test_examples.py:37-135``)."""
+
+import io
+import json
+import os
+import sys
+
+import pytest
+
+EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
+sys.path.insert(0, os.path.dirname(EXAMPLES))
+
+from examples.favourite_colours import FavouriteColours  # noqa: E402
+from examples.manifest_mapper import AustralianAnimals  # noqa: E402
+from examples.noaa_extremes import NoaaExtremes  # noqa: E402
+from examples.poisonous_animals import PoisonousAnimals  # noqa: E402
+
+DATA = os.path.join(EXAMPLES, "data")
+
+
+def test_poisonous_animals_grouping(spark, resolver):
+    """Golden log line from the reference (test_examples.py:51-53)."""
+    log = io.StringIO()
+    with resolver.context(data_path=DATA):
+        m = PoisonousAnimals()
+        m.set_logger(log)
+        m.log_to_stdout = False
+        assert m.go(spark)
+    logs = log.getvalue()
+    assert (
+        "In Australia you could find Blue ringed octopus,Box jellyfish,Eastern brown snake"
+        in logs
+    )
+
+
+def test_favourite_colours_summary(spark, resolver, tmp_path):
+    """Golden summary values from the reference (test_examples.py:69-74):
+    Blue liked 2020-01-01..2020-02-15 → January 31, February 14."""
+    with resolver.context(data_path=DATA, output_path=str(tmp_path)):
+        m = FavouriteColours()
+        m.log_to_stdout = False
+        assert m.go(spark)
+    out = json.load(open(tmp_path / "favourite_colours_summary.json"))
+    assert out["Blue"]["January"] == 31
+    assert out["Blue"]["February"] == 14
+    assert out["Red"]["February"] == 9
+    assert out["Red"]["March"] == 8
+
+
+def test_favourite_colours_bad_data_checks(spark, resolver, tmp_path):
+    """Pre-check rejects multi-year input; post-check catches the swapped
+    start/end conservation failure (test_examples.py:76-115)."""
+    log = io.StringIO()
+    with resolver.context(data_path=DATA, output_path=str(tmp_path)):
+        m = FavouriteColours()
+        m.log_to_stdout = False
+        m.set_logger(log)
+        m.favourite_colours = type(m).favourite_colours.clone(
+            engine_url="csv://{data_path}/favourite_colours_bad_data.csv"
+        )
+        assert m.pre_build_check() is False
+        assert "only designed to work with data from a single year" in log.getvalue()
+
+        # single-year variant of the bad data: swapped pair only
+        swapped = tmp_path / "swapped.csv"
+        swapped.write_text(
+            "name,colour,start,end\n"
+            "Spiderman,Blue,2020-02-15,2020-01-01\n"
+            "Superman,Red,2020-02-01,2020-02-10\n"
+        )
+        m2 = FavouriteColours()
+        m2.log_to_stdout = False
+        m2.set_logger(log)
+        m2.favourite_colours = type(m2).favourite_colours.clone(
+            engine_url=f"csv://{swapped}"
+        )
+        m2.set_spark(spark)
+        assert m2.pre_build_check() is True
+        m2.build()
+        assert m2.post_build_check() is False
+        assert "Total days in input doesn't match total days in output" in log.getvalue()
+
+
+def test_australian_animals_manifest_fanout(spark, resolver, tmp_path):
+    """Golden per-file outputs (test_examples.py:117-135): poisonous output
+    has Box jellyfish but not Arizona Bark Scorpion."""
+    with resolver.context(input_path=DATA, output_path=str(tmp_path)):
+        m = AustralianAnimals()
+        m.log_to_stdout = False
+        assert m.go(spark)
+
+    poisonous = (tmp_path / "australian_poisonous_animals.json").read_text()
+    assert "Box jellyfish" in poisonous
+    assert "Arizona Bark Scorpion" not in poisonous
+    aquatic = (tmp_path / "australian_aquatic_animals.json").read_text()
+    assert "Australian giant cuttlefish" in aquatic
+    assert "Gharial" not in aquatic
+
+
+def test_noaa_extremes(spark, resolver):
+    """Hottest/coldest from the GHCN-D-shaped fixture (headerless gz csv)."""
+    log = io.StringIO()
+    with resolver.context(data_path=DATA):
+        m = NoaaExtremes()
+        m.set_logger(log)
+        m.log_to_stdout = False
+        assert m.go(spark)
+    assert m.hottest["v"] == 31.2
+    assert m.hottest["ID"] == "STATION0001"
+    assert m.coldest["v"] == -27.7
+    assert m.stats["measurements"] == 5
+    assert "Hottest: 31.2C at STATION0001" in log.getvalue()
