@@ -241,6 +241,98 @@ shared_sql(
 )
 
 
+shared_sql(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    ("customer", "orders"),
+)
+
+shared_sql(
+    "customers_with_open_orders",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    ("customer", "orders"),
+)
+
+shared_sql(
+    "orders_cube",
+    f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders, {dsum('o_totalprice')} AS total_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    ("orders",),
+)
+
+shared_sql(
+    "orders_grouping_sets",
+    f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    ("orders",),
+)
+
+shared_sql(
+    # exact median by deterministic middle-element pick — interpolation-free,
+    # so no engine-specific percentile float arithmetic can diverge
+    "orders_median_price",
+    """
+    SELECT o_orderpriority, o_totalprice AS median_price FROM (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ) t WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
+    """,
+    ("orders",),
+)
+
+shared_sql(
+    "events_lag_lead",
+    """
+    SELECT event_id, user_id,
+           LAG(event_type) OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    ("events",),
+)
+
+shared_sql(
+    "customer_balance_buckets",
+    """
+    SELECT CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY 1
+    """,
+    ("customer",),
+)
+
+shared_sql(
+    "part_brand_stats",
+    f"""
+    SELECT p_brand, SUBSTRING(p_type, 1, 6) AS type_prefix,
+           COUNT(*) AS n_parts,
+           COUNT(DISTINCT p_size) AS n_sizes,
+           {dsum('p_retailprice')} AS total_price
+    FROM part GROUP BY p_brand, SUBSTRING(p_type, 1, 6)
+    """,
+    ("part",),
+)
+
+
 @query(
     "orders_pivot_status",
     oracle="""

@@ -33,6 +33,11 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("ayeaye_spark_bench")
 
+    # warm the JVM/codegen/file-index paths so the first timed query
+    # measures the engine, not session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+
     timings: dict[str, float] = {}
     names = [n for n in QUERIES if n not in EXCLUDE]
     for name in names:
