@@ -1,0 +1,136 @@
+"""External-connector behaviour against a real local HTTP server (the
+reference mocks its transports — SURVEY §5; a live loopback server is a
+stronger check for the driver-side verbs and the mapPartitions fan-out)."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from ayeaye_spark import AccessMode, connector_for
+from ayeaye_spark.core.manifest import EngineFromManifest, manifest_build_context
+from ayeaye_spark.sources.external import ElasticsearchConnector, RestfulConnector
+
+
+class _Handler(BaseHTTPRequestHandler):
+    store: dict[str, bytes] = {}
+    fail_next: list[int] = []  # status codes to emit before succeeding
+
+    def _respond(self, code: int, payload: dict | None = None):
+        body = json.dumps(payload or {}).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if _Handler.fail_next:
+            return self._respond(_Handler.fail_next.pop(0))
+        if self.path in _Handler.store:
+            return self._respond(200, {"_source": json.loads(_Handler.store[self.path])})
+        if self.path.startswith("/echo/"):
+            return self._respond(200, {"echo": self.path.split("/")[-1]})
+        return self._respond(404)
+
+    def do_PUT(self):
+        length = int(self.headers["Content-Length"])
+        _Handler.store[self.path] = self.rfile.read(length)
+        self._respond(200, {"result": "created"})
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        body = json.loads(self.rfile.read(length) or b"{}")
+        self._respond(200, {"posted": body})
+
+    def do_DELETE(self):
+        _Handler.store.pop(self.path, None)
+        self._respond(200, {"result": "deleted"})
+
+    def log_message(self, *args):  # silence
+        pass
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    server = HTTPServer(("127.0.0.1", 0), _Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+class TestRestful:
+    def test_get_post_delete(self, http_server):
+        r = RestfulConnector(f"http://{http_server}", access=AccessMode.READWRITE)
+        assert r.get("/echo/hello") == {"echo": "hello"}
+        assert r.post("/anything", {"x": 1}) == {"posted": {"x": 1}}
+        assert r.delete("/echo/x")["result"] == "deleted"
+        assert r.stats["requests"] == 3
+
+    def test_retry_on_5xx(self, http_server):
+        _Handler.fail_next = [503, 502]
+        r = RestfulConnector(f"http://{http_server}")
+        assert r.get("/echo/retried") == {"echo": "retried"}
+        assert r.stats["retries"] == 2
+
+    def test_fan_out_distributed(self, spark, http_server):
+        r = RestfulConnector(f"http://{http_server}")
+        df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "key"])
+        out = r.fan_out(
+            df,
+            path_for_row=lambda row: f"/echo/{row['key']}",
+            result_schema="id long, key string, response string",
+        )
+        got = {row["key"]: json.loads(row["response"]) for row in out.collect()}
+        assert got == {"a": {"echo": "a"}, "b": {"echo": "b"}, "c": {"echo": "c"}}
+
+
+class TestElasticsearchPointOps:
+    def test_add_and_fetch(self, http_server):
+        e = ElasticsearchConnector(
+            f"elasticsearch://{http_server}/myindex", access=AccessMode.READWRITE
+        )
+        e.add({"name": "test doc"}, doc_id=42)
+        assert e.fetch(42) == {"name": "test doc"}
+        assert e.fetch(99999) is None
+
+
+class TestManifestIndirection:
+    def test_engine_from_manifest(self, tmp_path, resolver, spark):
+        data_file = tmp_path / "d1.ndjson"
+        data_file.write_text('{"x": 1}\n{"x": 2}\n')
+        manifest = tmp_path / "manifest.json"
+        manifest.write_text(json.dumps({"source_files": [str(data_file)]}))
+
+        url_source = EngineFromManifest(f"json://{manifest}", "source_files", "ndjson")
+        urls = url_source()
+        assert urls == [f"ndjson://{data_file}"]
+        assert connector_for(urls[0]).read(spark).count() == 2
+
+    def test_manifest_build_context(self, tmp_path, resolver):
+        manifest = tmp_path / "ctx.json"
+        manifest.write_text(json.dumps({"build_id": "b42", "env": "test"}))
+        with manifest_build_context(str(manifest)):
+            assert resolver.resolve("csv:///{env}/{build_id}.csv") == "csv:///test/b42.csv"
+
+
+class TestMethodOverlay:
+    def test_overlay_callable(self, spark, tmp_path):
+        p = tmp_path / "x.csv"
+        p.write_text("a,b\n1,2\n")
+
+        def row_total(connector, spark_session):
+            df = connector.read(spark_session)
+            return df.count()
+
+        c = connector_for(f"csv://{p}", method_overlay=row_total)
+        assert c.row_total(spark) == 1
+
+    def test_overlay_with_name(self, tmp_path):
+        def helper(connector):
+            return connector.engine_url.upper()
+
+        c = connector_for(f"file://{tmp_path}/f.txt", method_overlay=[(helper, "shout")])
+        assert c.shout().startswith("FILE://")
