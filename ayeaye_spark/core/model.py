@@ -369,6 +369,42 @@ class PartitionedModel(Model):
                 self.partition_subtask_complete(method_name, method_kwargs, value)
 
 
+class ModelRunner(PartitionedModel):
+    """A PartitionedModel whose subtasks are other models' ``go()`` runs
+    (the reference's ``common_pattern/parallel_model_runner.py:4-71``).
+
+    Declare ``models = [ModelA, ModelB, ...]`` (or pass to __init__);
+    each runs as a concurrent subtask sharing this runner's SparkSession —
+    Spark's scheduler interleaves their jobs.
+    """
+
+    models: list[type] = []
+
+    def __init__(self, models: list[type] | None = None):
+        super().__init__()
+        if models is not None:
+            self.models = list(models)
+
+    def build(self) -> None:
+        pass
+
+    def partition_slice(self, partition_count: int) -> list[TaskPartition]:
+        return [
+            TaskPartition(method_name="run_model", method_kwargs={"model_class": cls})
+            for cls in self.models
+        ]
+
+    def run_model(self, model_class: type) -> bool:
+        instance = model_class()
+        if self._spark is not None:
+            instance.set_spark(self._spark)
+        instance.log_to_stdout = self.log_to_stdout
+        ok = instance.go()
+        if not ok:
+            raise RuntimeError(f"{model_class.__name__} failed")
+        return ok
+
+
 class RuntimeKnowledge:
     """Worker sizing knowledge (``runtime/knowledge.py:12-55``): Spark's
     parallelism replaces process counting; ``cpu_task_ratio`` survives as

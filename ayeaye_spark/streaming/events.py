@@ -80,6 +80,47 @@ def session_aggregate(
     )
 
 
+def stateful_running_totals(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-key running count + sum
+    maintained across micro-batches via ``applyInPandasWithState``
+    (Arrow-batched, one state row per key — the pattern for operators
+    Structured Streaming lacks natively, SURVEY §2.5).
+
+    Emits the updated totals for each key seen in a micro-batch.  On a
+    batch DataFrame, falls back to the equivalent groupBy (same output,
+    no state) so the operator stays batch/stream agnostic.
+    """
+    if not events.isStreaming:
+        return events.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("double")).alias("total_value"),
+        )
+
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    output_schema = f"{key_col} long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update_totals(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update_totals, output_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
     """Execute a bounded stream fully (availableNow) into a memory sink;
     returns the result as a batch DataFrame."""

@@ -270,3 +270,73 @@ class TestChecks:
         df2.write.format("noop").mode("overwrite").save()
         assert obs.get["rows"] == 3
         assert obs.get["total"] == 6
+
+
+class TestModelRunner:
+    def test_runs_models_concurrently(self, spark, tmp_path):
+        from ayeaye_spark.core.model import ModelRunner
+
+        src = tmp_path / "in.csv"
+        src.write_text("x\n1\n2\n3\n")
+        outs = {}
+
+        def make(name):
+            out = tmp_path / f"{name}.parquet"
+            outs[name] = out
+
+            class M(Model):
+                source = Connect(engine_url=f"csv://{src}")
+                sink = Connect(engine_url=f"parquet://{out}", access=AccessMode.WRITE)
+
+                def build(self):
+                    self.sink.write(self.source.df)
+
+            M.__name__ = name
+            M.log_to_stdout = False
+            return M
+
+        runner = ModelRunner([make("MA"), make("MB")])
+        runner.log_to_stdout = False
+        assert runner.go(spark)
+        for out in outs.values():
+            assert spark.read.parquet(str(out)).count() == 3
+
+    def test_failure_propagates(self, spark):
+        from ayeaye_spark.core.model import ModelRunner
+
+        class Bad(Model):
+            def build(self):
+                raise RuntimeError("inner model exploded")
+
+        Bad.log_to_stdout = False
+        runner = ModelRunner([Bad])
+        runner.log_to_stdout = False
+        with pytest.raises(SubTaskFailed):
+            runner.go(spark)
+
+
+class TestLockingRoundTrip:
+    def test_apply_locking_hook(self, spark, tmp_path, resolver):
+        resolver.add(env="prod")
+
+        class Lockable(Model):
+            data = Connect(engine_url="csv://{env}/x.csv")
+            captured = None
+
+            def fetch_locking(self):
+                return {"my_payload": {"cursor": 42}}
+
+            def apply_locking(self, lock_doc):
+                self.captured = lock_doc["my_payload"]
+
+            def build(self): ...
+
+        doc = Lockable().lock()
+        assert doc["my_payload"] == {"cursor": 42}
+        assert doc["datasets"]["data"]["engine_url"] == "csv://prod/x.csv"
+        import json as _json
+
+        restored = _json.loads(Lockable().lock_json())
+        m2 = Lockable()
+        m2.apply_locking(restored)
+        assert m2.captured == {"cursor": 42}

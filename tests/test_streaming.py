@@ -56,3 +56,75 @@ def test_stateful_stream_dedup(spark, tmp_path):
     deduped = stream_df.select("user_id").dropDuplicates(["user_id"])
     result = streamops.run_to_memory(deduped, "stream_dedup_test", output_mode="append")
     assert result.count() == spark.read.parquet(path).select("user_id").distinct().count()
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches; final
+    totals equal the batch aggregate."""
+    path = _events_parquet(spark, tmp_path)
+    batch = spark.read.parquet(path)
+    expected = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in streamops.stateful_running_totals(batch).collect()
+    }
+
+    stream_df = streamops.stream_from_parquet(spark, path)
+    out = streamops.stateful_running_totals(stream_df)
+    q = (
+        out.writeStream.format("memory").queryName("stateful_totals")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT user_id, max(n_events) n, max(total_value) t "
+        "FROM stateful_totals GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["n"], round(r["t"], 6)) for r in rows}
+    assert got == expected
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a 2h watermark: a row arriving after
+    the watermark has advanced past it is dropped (batch-boundary
+    semantics — the file must arrive in a later micro-batch, so the test
+    drives two processAllAvailable rounds)."""
+    import datetime
+
+    d = tmp_path / "late_stream"
+    d.mkdir()
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(str(d / name))
+        return str(d / name)
+
+    t = datetime.datetime(2024, 6, 1, 10, 0, 0)
+
+    def ts(hours):
+        return t + datetime.timedelta(hours=hours)
+
+    p1 = write_batch("b1", [(ts(0), 1.0), (ts(1), 1.0), (ts(2), 1.0)])
+    schema = spark.read.parquet(p1).schema
+    stream = spark.readStream.schema(schema).parquet(str(d / "*"))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.sum("value").alias("v"))
+        .select(F.col("win.start").alias("ws"), "v")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("late_test")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()                       # watermark -> 10:00
+    write_batch("b2", [(ts(-2.0), 99.0), (ts(3), 1.0)])   # 08:00 is late
+    q.processAllAvailable()
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress if p["stateOperators"]
+    )
+    q.stop()
+    emitted = {r["ws"]: r["v"] for r in spark.sql("SELECT * FROM late_test").collect()}
+    assert dropped == 1
+    assert ts(-2.0) not in emitted
+    assert emitted.get(ts(0)) == 1.0
