@@ -317,6 +317,33 @@ def cosine(a: str, b: str, d: str) -> str:
     return f"({dot(a, b, d)} / ({norm(a, d)} * {norm(b, d)}))"
 
 
+def dot_unrolled(a: str, b: str, dim: int, d: str) -> str:
+    """Dot product unrolled for a KNOWN dimension — no higher-order
+    functions.  MEASURED SLOWER than the fold at dim=64 in Spark 4.1
+    (ann_topk_brute 1.0s → 4.1s at sf0.1): the 192-term cosine expression
+    overruns codegen/JIT method limits and falls back to interpretation
+    of a much larger tree.  Kept for small dims and as the recorded
+    experiment; the operators default to :func:`dot`.  SQL ``+`` is
+    left-associative, so the accumulation order — and every IEEE
+    intermediate — matches the sequential fold exactly.
+    """
+
+    def term(i: int) -> str:
+        ea, eb = element(a, str(i), d), element(b, str(i), d)
+        if d == SPARK:
+            return f"cast({ea} as double) * cast({eb} as double)"
+        return f"({ea}::DOUBLE * {eb}::DOUBLE)"
+
+    return "(" + " + ".join(term(i) for i in range(1, dim + 1)) + ")"
+
+
+def cosine_unrolled(a: str, b: str, dim: int, d: str) -> str:
+    return (
+        f"({dot_unrolled(a, b, dim, d)} / "
+        f"(sqrt({dot_unrolled(a, a, dim, d)}) * sqrt({dot_unrolled(b, b, dim, d)})))"
+    )
+
+
 def jaccard(a: str, b: str, d: str) -> str:
     """Jaccard similarity of two distinct-element string arrays."""
     inter = size(intersect(a, b, d), d)

@@ -33,6 +33,14 @@ def _as_double(col: str) -> str:
     return P.cast_double_array(col, SPARK)
 
 
+def _cos(a: str, b: str, dim: int | None) -> str:
+    """Cosine expression: unrolled codegen form when the dimension is
+    known (HOF folds are interpreted — ~10x slower), fold otherwise."""
+    if dim is not None:
+        return P.cosine_unrolled(a, b, dim, SPARK)
+    return P.cosine(_as_double(a), _as_double(b), SPARK)
+
+
 def with_unit_norm(df: DataFrame, vec_col: str, out_col: str = "unit_vec") -> DataFrame:
     """L2-normalize once up front so cosine becomes a plain dot product."""
     dbl = _as_double(vec_col)
@@ -49,11 +57,13 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
 
     Self-matches (same id) are excluded.  ``queries`` is broadcast — the
-    corpus scan is the only large-data pass.
+    corpus scan is the only large-data pass.  Pass ``dim`` when known to
+    get the unrolled codegen'd dot product.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
@@ -62,10 +72,7 @@ def cosine_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.expr(P.cosine(_as_double("_qvec"), _as_double("_cvec"), SPARK)),
-        )
+        .withColumn("cosine", F.expr(_cos("_qvec", "_cvec", dim)))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -83,6 +90,7 @@ def assign_cells(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF assignment: each vector → nearest centroid by cosine.
 
@@ -93,8 +101,7 @@ def assign_cells(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_centvec")
     )
     scored = corpus.crossJoin(F.broadcast(cent)).withColumn(
-        "_sim",
-        F.expr(P.cosine(_as_double(vec_col), _as_double("_centvec"), SPARK)),
+        "_sim", F.expr(_cos(vec_col, "_centvec", dim))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
     return (
@@ -112,14 +119,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k probing only the query's IVF cell (1-probe).
 
     Approximate by construction; the oracle replays the identical cell
     assignment, so results still hash-match.
     """
-    corpus_cells = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
-    query_cells = assign_cells(queries, centroids, id_col=id_col, vec_col=vec_col)
+    corpus_cells = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim)
+    query_cells = assign_cells(queries, centroids, id_col=id_col, vec_col=vec_col, dim=dim)
     c = corpus_cells.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), "centroid_id"
     )
@@ -129,10 +137,7 @@ def ivf_topk(
     scored = (
         c.join(F.broadcast(q), on="centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.expr(P.cosine(_as_double("_qvec"), _as_double("_cvec"), SPARK)),
-        )
+        .withColumn("cosine", F.expr(_cos("_qvec", "_cvec", dim)))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -192,10 +197,7 @@ def hyperplane_lsh_topk(
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.expr(P.cosine(_as_double("_qvec"), _as_double("_cvec"), SPARK)),
-        )
+        .withColumn("cosine", F.expr(_cos("_qvec", "_cvec", None)))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -213,6 +215,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 6,
     dim: int = 64,
+    cosine_dim: int | None = None,
     exact: bool = False,
 ) -> DataFrame:
     """Vector pairs with cosine ≥ threshold (embedding-space near-dups).
@@ -238,9 +241,7 @@ def embedding_near_dup_pairs(
         joined.select(
             F.col("l._id").alias(f"{id_col}_a"),
             F.col("r._id").alias(f"{id_col}_b"),
-            F.expr(P.cosine(_as_double("l._v"), _as_double("r._v"), SPARK)).alias(
-                "cosine"
-            ),
+            F.expr(_cos("l._v", "r._v", cosine_dim)).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -87,7 +87,12 @@ class CsvConnector(DataConnector):
             "encoding": self.url.option("encoding", "utf-8"),
             "mode": "PERMISSIVE",  # missing trailing fields → null (csv_connector.py:212-214)
         }
-        if self.url.bool_option("infer_schema", False):
+        # ``;quoting=nonnumeric`` is the reference's opt-in numeric typing
+        # (QUOTE_NONNUMERIC, csv_connector.py:55-57): unquoted fields are
+        # numbers → Spark's schema inference is the equivalent contract
+        if self.url.bool_option("infer_schema", False) or (
+            self.url.option("quoting", "").lower() == "nonnumeric"
+        ):
             opts["inferSchema"] = True
         return opts
 
@@ -169,6 +174,9 @@ class CsvConnector(DataConnector):
         if self.field_names is not None:
             df = df.select(*self.field_names)  # projection on write (csv_connector.py:255-261)
         df = _apply_transform_map(df, self.transform_map)
+        if self.url.bool_option("single_file"):
+            self._write_single_file(df)
+            return
         (
             df.write.mode(mode)
             .options(
@@ -178,6 +186,21 @@ class CsvConnector(DataConnector):
             )
             .csv(spark_path(self.url))
         )
+
+    def _write_single_file(self, df: DataFrame) -> None:
+        """``;single_file``: one named CSV at the exact locator, streamed
+        through the driver (the reference's writers produce single files;
+        compatibility mode for small outputs)."""
+        import csv as _csv
+
+        os.makedirs(os.path.dirname(self.local_path) or ".", exist_ok=True)
+        encoding = self.url.option("encoding", "utf-8")
+        sep = self.url.option("sep", self.delimiter)
+        with open(self.local_path, "w", newline="", encoding=encoding) as f:
+            writer = _csv.writer(f, delimiter=sep)
+            writer.writerow(df.columns)
+            for row in df.toLocalIterator():
+                writer.writerow([row[c] for c in df.columns])
 
 
 class TsvConnector(CsvConnector):

@@ -260,3 +260,34 @@ class TestExternalUrlMapping:
         r = RestfulConnector("https://api.example.com/v1")
         assert r.base_url == "https://api.example.com/v1"
         assert r.stats["requests"] == 0
+
+
+class TestCsvParityExtras:
+    def test_quoting_nonnumeric_types(self, spark, tmp_path):
+        p = tmp_path / "typed.csv"
+        p.write_text('common_name,toxic_scale\n"Cone shell",9.5\n"Krait",8.0\n')
+        df = connector_for(f"csv://{p};quoting=nonnumeric").read(spark)
+        assert dict(df.dtypes)["toxic_scale"] == "double"
+        assert df.where(df.toxic_scale > 9).count() == 1
+
+    def test_single_file_write(self, spark, tmp_path):
+        df = spark.createDataFrame([(2, "b"), (1, "a")], ["id", "name"])
+        out = tmp_path / "exact_name.csv"
+        connector_for(f"csv://{out};single_file", access=AccessMode.WRITE).write(df)
+        content = out.read_text().strip().splitlines()
+        assert content[0] == "id,name"
+        assert sorted(content[1:]) == ["1,a", "2,b"]
+        back = connector_for(f"csv://{out}").read(spark)
+        assert back.count() == 2
+
+    def test_duplicate_header_columns(self, spark, tmp_path):
+        """Duplicate header names (reference fixture
+        duplicate_field_names.csv): Spark de-duplicates with positional
+        suffixes so both columns stay addressable."""
+        p = tmp_path / "dup.csv"
+        p.write_text("Species,Description,Description\nAdder,short,venomous\n")
+        df = connector_for(f"csv://{p}").read(spark)
+        assert len(df.columns) == 3
+        assert len(set(df.columns)) == 3  # made unique
+        row = df.collect()[0]
+        assert "short" in list(row) and "venomous" in list(row)
