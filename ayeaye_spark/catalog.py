@@ -44,7 +44,20 @@ TABLES = [
 ]
 
 
+def _ensure_session_defaults(spark: SparkSession) -> None:
+    """Catalog queries run on the CALLER's session (the driver builds its
+    own) — pin the settings correctness depends on: UTC session timezone
+    (timestamps must collect identically to DuckDB's UTC-naive values)
+    and a local-scale shuffle width when the 200-partition default is in
+    place (plan shape is unaffected; AQE coalesces either way)."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_defaults(spark)
     if name == "events":
         # the events table stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read nanos as long and rebuild a (microsecond)
@@ -331,6 +344,30 @@ shared_sql(
     """,
     ("part",),
 )
+
+
+@query("events_approx_distinct_users")  # no oracle: approximate by design
+def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type — the sketch you
+    actually run at 100 TB (exact distinct shuffles every key; HLL ships
+    a constant-size sketch per partition).  Driver records a rows-only
+    check: the estimate is engine-specific by construction."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("lineitem_price_quantiles")  # no oracle: approximate by design
+def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles of extended price per
+    return flag (constant memory per partition; the exact-median query
+    ``orders_median_price`` is the oracle-checked counterpart)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles")
+    )
 
 
 @query(

@@ -138,6 +138,43 @@ def asof_join(
     return out
 
 
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    sum_cols: list[str] | None = None,
+    count: bool = True,
+    buckets: int = 16,
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """Two-stage salted aggregation for skewed group keys.
+
+    For plain sums Spark's map-side partial aggregation already tames
+    skew; salting earns its keep when the first stage is *not* partially
+    aggregatable — e.g. the groupBy feeds collect/distinct-style state,
+    or a downstream per-key join — or when a hot key's partials still
+    concentrate on one reducer.  Stage 1 groups by (keys, salt) →
+    uniform shuffle; stage 2 combines ``buckets`` partial rows per key.
+    Sum/count are decomposable, so the result is identical to the
+    unsalted aggregate.
+
+    The salt is ``pmod(hash(all columns), buckets)`` — deterministic per
+    row content, no RNG (workflow-safe, repeatable).
+    """
+    sum_cols = sum_cols or []
+    salted = df.withColumn(
+        salt_col, F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(buckets))
+    )
+    partial_aggs = [F.sum(c).alias(f"_p_{c}") for c in sum_cols]
+    if count:
+        partial_aggs.append(F.count(F.lit(1)).alias("_p_count"))
+    partial = salted.groupBy(*keys, salt_col).agg(*partial_aggs)
+    final_aggs = [F.sum(f"_p_{c}").alias(f"sum_{c}") for c in sum_cols]
+    if count:
+        final_aggs.append(F.sum("_p_count").alias("n_rows"))
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
 def sessionize(
     df: DataFrame,
     *,

@@ -267,7 +267,27 @@ class ParquetConnector(DataConnector):
         writer = df.write.mode(mode)
         partition_by = self.connector_kwargs.get("partition_by")
         if partition_by:
+            # hive-style layout → partition PRUNING on reads filtered by
+            # these columns (scan skips directories entirely)
             writer = writer.partitionBy(*partition_by)
+        bucket_by = self.connector_kwargs.get("bucket_by")
+        if bucket_by:
+            # (n, cols): co-locate rows by key so later joins/aggs on the
+            # bucket columns need NO shuffle; bucketed data must live in
+            # the catalog, so ``;table=`` names the table and the locator
+            # becomes its external path
+            n, cols = bucket_by
+            table = self.connector_kwargs.get("table") or self.url.option("table")
+            if not table:
+                raise ConnectorError("bucket_by requires a ;table= name (saveAsTable)")
+            (
+                writer.bucketBy(n, *cols)
+                .sortBy(*cols)
+                .option("path", spark_path(self.url))
+                .format("parquet")
+                .saveAsTable(table)
+            )
+            return
         writer.parquet(spark_path(self.url))
 
     def as_pandas(self, spark: SparkSession):
