@@ -738,6 +738,72 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "label_text_quality",
+    oracle=f"""
+    SELECT e.label,
+           COUNT(*) AS n_docs,
+           CAST(SUM(q.quality_ppm) AS BIGINT) AS total_quality_ppm,
+           SUM(d.n_chars) AS total_chars
+    FROM (SELECT doc_id, {P.quality_score_ppm_from_tokens('text', 'toks', DUCK)} AS quality_ppm
+          FROM (SELECT doc_id, text, {P.tokens('text', DUCK)} AS toks FROM documents)) q
+    JOIN documents d ON d.doc_id = q.doc_id
+    JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY e.label
+    """,
+)
+def label_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: text quality aggregated by embedding cluster
+    label (documents ⨝ embeddings on doc_id=vec_id).  Integer ppm sums →
+    exact; the embeddings side carries only (vec_id, label) after pruning."""
+    docs = textops.with_quality_score(load(spark, sf_dir, "documents"), "text")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id)
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("quality_ppm").cast("bigint").alias("total_quality_ppm"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH pairs AS ({_duck_minhash_pairs_oracle()}),
+    survivors AS (
+      SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id_b FROM pairs)
+    ),
+    profiled AS (
+      SELECT doc_id, lang,
+             {P.lang_id_from_tokens('toks', DUCK)} AS lang_pred,
+             {P.quality_score_ppm_from_tokens('text', 'toks', DUCK)} AS quality_ppm
+      FROM (SELECT doc_id, lang, text, {P.tokens('text', DUCK)} AS toks FROM survivors)
+    )
+    SELECT lang_pred, COUNT(*) AS n_docs,
+           CAST(SUM(quality_ppm) AS BIGINT) AS total_quality_ppm
+    FROM profiled WHERE quality_ppm >= 400000
+    GROUP BY lang_pred
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data-pipeline story in one plan: MinHash-LSH dedup →
+    language ID + quality scoring → quality filter → per-language corpus
+    stats.  Every stage is the operator library composing lazily — one
+    Catalyst plan, no intermediate materialization."""
+    docs = load(spark, sf_dir, "documents")
+    survivors = dedup.minhash_dedup(docs, "doc_id", "text", n=3, k=16, bands=4,
+                                    threshold=0.3)
+    profiled = textops.with_quality_score(textops.with_lang_id(survivors, "text"), "text")
+    return (
+        profiled.where(F.col("quality_ppm") >= 400000)
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("quality_ppm").cast("bigint").alias("total_quality_ppm"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # 4. Similarity search (north-star)
 # --------------------------------------------------------------------------
@@ -797,7 +863,9 @@ def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") % 50 == 0)
-    return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 10), centroids, k=5)
+    # queries ⊆ corpus → assign cells once, filter the query side from it
+    cells = similarity.assign_cells(emb, centroids)
+    return similarity.ivf_topk_from_cells(cells, cells.where(F.col("vec_id") < 10), k=5)
 
 
 def _lsh_sig_duck() -> str:
@@ -822,6 +890,21 @@ def _lsh_sig_duck() -> str:
 )
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.hyperplane_lsh_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=5, n_planes=6, dim=64
-    )
+    # bucket the corpus once; the query side filters the bucketed frame
+    sig = similarity.hyperplane_signature("embedding", 6, 64)(SPARK)
+    bucketed = emb.withColumn("bucket", F.expr(sig))
+    c = bucketed.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("_cvec"), "bucket")
+    q = bucketed.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec"), "bucket")
+    from ayeaye_spark.functions import portable as _P
+    from pyspark.sql import Window as _W
+    scored = (c.join(F.broadcast(q), on="bucket")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cosine", F.expr(_P.cosine(
+                  _P.cast_double_array("_qvec", SPARK),
+                  _P.cast_double_array("_cvec", SPARK), SPARK))))
+    w = _W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("query_id", "bucket", "neighbor_id", "cosine", "rank"))

@@ -240,6 +240,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.3,
     block_col: str | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Set-similarity join via inverted index (no cross join).
 
@@ -252,9 +253,12 @@ def ngram_jaccard_pairs(
     Plan shape at scale: one scan + one shuffle on (shingle hash[, block])
     + one pair-keyed aggregation; replaces the O(n²/blocks) cross join
     (42s → ~2s at sf0.1 locally).  Skew caveat: a shingle present in a
-    large fraction of the corpus becomes a hot join key — production
-    pipelines drop ultra-frequent shingles first (a semantic choice this
-    operator deliberately doesn't make silently).
+    large fraction of the corpus becomes a hot join key.  Pass
+    ``max_shingle_df`` to drop shingles whose document frequency exceeds
+    it from CANDIDATE GENERATION only — the standard production knob.
+    It is an explicit recall tradeoff (pairs sharing *only* ultra-common
+    shingles are missed); verification still uses the FULL hash sets, so
+    every returned jaccard value is exact.
     """
     if threshold <= 0:
         raise ValueError("inverted-index jaccard join requires threshold > 0")
@@ -269,6 +273,38 @@ def ngram_jaccard_pairs(
         F.explode("_hashset").alias("_h"),
     )
     join_keys = ["_h"] + (["_block"] if block_col else [])
+
+    if max_shingle_df is not None:
+        # candidates from RARE shingles only; exact jaccard re-computed
+        # from the FULL hash sets afterwards (join-count intersections
+        # would undercount once shingles are dropped)
+        freq = exploded.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+        keep = freq.where(F.col("_df") <= max_shingle_df).select("_h")
+        rare = exploded.join(keep, on="_h")
+        l, r = rare.alias("l"), rare.alias("r")
+        candidates = (
+            l.join(r, on=join_keys)
+            .where(F.col("l._id") < F.col("r._id"))
+            .select(F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"))
+            .dropDuplicates(["_ida", "_idb"])
+        )
+        sets = prepped.select("_id", "_hashset")
+        paired = (
+            candidates.join(sets.withColumnRenamed("_id", "_ida")
+                            .withColumnRenamed("_hashset", "_set_a"), on="_ida")
+            .join(sets.withColumnRenamed("_id", "_idb")
+                  .withColumnRenamed("_hashset", "_set_b"), on="_idb")
+        )
+        return (
+            paired.withColumn("jaccard", F.expr(P.jaccard("_set_a", "_set_b", SPARK)))
+            .where(F.col("jaccard") >= threshold)
+            .select(
+                F.col("_ida").alias(f"{id_col}_a"),
+                F.col("_idb").alias(f"{id_col}_b"),
+                "jaccard",
+            )
+        )
+
     l, r = exploded.alias("l"), exploded.alias("r")
     inter = (
         l.join(r, on=join_keys)

@@ -128,6 +128,23 @@ def ivf_topk(
     """
     corpus_cells = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim)
     query_cells = assign_cells(queries, centroids, id_col=id_col, vec_col=vec_col, dim=dim)
+    return ivf_topk_from_cells(
+        corpus_cells, query_cells, id_col=id_col, vec_col=vec_col, k=k, dim=dim
+    )
+
+
+def ivf_topk_from_cells(
+    corpus_cells: DataFrame,
+    query_cells: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF top-k over pre-assigned cells.  Use when queries come from the
+    corpus itself: one :func:`assign_cells` pass, queries filtered from it
+    — halves the assignment work vs calling :func:`ivf_topk`."""
     c = corpus_cells.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), "centroid_id"
     )

@@ -147,3 +147,29 @@ class TestMultimodal:
         )
         frames = multimodal.frame_sample_plan(df, every_ms=1000)
         assert frames.count() == 4  # 0,1000,2000,3000
+
+
+class TestJaccardFrequencyPruning:
+    def test_max_shingle_df_prunes_candidates_keeps_exact_jaccard(self, spark):
+        # docs 1,2 share a RARE bigram; docs 1,3 share only a COMMON one
+        df = spark.createDataFrame(
+            [
+                (1, "common words rare pair one"),
+                (2, "common words rare pair two"),
+                (3, "common words other thing here"),
+                (4, "common words yet another doc"),
+                (5, "common words fifth document now"),
+            ],
+            ["doc_id", "text"],
+        )
+        full = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.1)
+        pruned = dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=2, threshold=0.1, max_shingle_df=2
+        )
+        full_pairs = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in full.collect()}
+        pruned_pairs = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in pruned.collect()}
+        # "common words" (df=5) pairs disappear; the rare-shingle pair stays
+        assert (1, 2) in pruned_pairs
+        assert set(pruned_pairs) < set(full_pairs)
+        # surviving pair's jaccard is the EXACT full-set value
+        assert pruned_pairs[(1, 2)] == full_pairs[(1, 2)]

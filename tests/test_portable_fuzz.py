@@ -1,0 +1,98 @@
+"""Cross-engine fuzz: every portable expression must be bit-identical in
+Spark and DuckDB on adversarial text — unicode, emoji, punctuation runs,
+whitespace-only, empty strings, huge tokens.  One generated corpus, one
+pass per engine, row-by-row comparison (deterministic seed)."""
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ayeaye_spark.functions import portable as P
+
+WORDS = [
+    "the", "value", "spark", "müller", "naïve", "café", "中文", "данные",
+    "a", "x9", "HTTP", "don't", "co-op", "3.14", "€100", "omega:Ω",
+]
+PUNCT = [".", ",", "!!", "??", "—", "…", "(", ")", ";", ":"]
+WS = [" ", "  ", "\t", "\n", " \t ", "   "]
+
+
+def make_corpus(n=250, seed=42):
+    rng = random.Random(seed)
+    texts = ["", " ", "\t\n", "a", "ONE-TOKEN", "ü", "中 文 字", "  leading", "trailing  "]
+    while len(texts) < n:
+        parts = []
+        for _ in range(rng.randint(1, 40)):
+            parts.append(rng.choice(WORDS))
+            if rng.random() < 0.3:
+                parts.append(rng.choice(PUNCT))
+            parts.append(rng.choice(WS))
+        texts.append("".join(parts))
+    return texts
+
+
+EXPRS = {
+    "token_count": lambda d: P.token_count("text", d),
+    "lex_tokens": lambda d: P.size(P.regexp_tokens("text", d), d),
+    "fingerprint": lambda d: P.fingerprint("text", d),
+    "lang_id": lambda d: P.lang_id("text", d),
+    "quality_ppm": lambda d: P.quality_score_ppm("text", d),
+    "char_hash": lambda d: P.char_hash("text", d),
+}
+
+# two-step expressions over a materialized token-hash column
+HASH_EXPRS = {
+    "simhash": lambda d: P.simhash32_from_hashes("th", d),
+    "minhash4": lambda d: P.concat_ws_arr(
+        ",", P.minhash_from_hashes("sh", 4, d), d
+    ),
+}
+
+
+@pytest.mark.parametrize("seed", [42, 7])
+def test_portable_expressions_match_across_engines(spark, seed):
+    texts = make_corpus(seed=seed)
+    pdf = pd.DataFrame({"rid": range(len(texts)), "text": texts})
+
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("fuzz")
+    con = duckdb.connect()
+    con.register("fuzz", pdf)
+
+    cols_s = ", ".join(f"{fn(P.SPARK)} AS {name}" for name, fn in EXPRS.items())
+    cols_d = ", ".join(f"{fn(P.DUCKDB)} AS {name}" for name, fn in EXPRS.items())
+    srows = {r["rid"]: r.asDict() for r in spark.sql(
+        f"SELECT rid, {cols_s} FROM fuzz").collect()}
+    dcols = ["rid", *EXPRS]
+    drows = {r[0]: dict(zip(dcols, r)) for r in con.sql(
+        f"SELECT rid, {cols_d} FROM fuzz").fetchall()}
+
+    mismatches = []
+    for rid, srow in srows.items():
+        for name in EXPRS:
+            if srow[name] != drows[rid][name]:
+                mismatches.append((rid, name, srow[name], drows[rid][name], texts[rid][:60]))
+    assert not mismatches, f"{len(mismatches)} diffs; first: {mismatches[:5]}"
+
+    # hash-array two-step expressions
+    s_inner = (f"SELECT rid, {P.hash_array(P.tokens('text', P.SPARK), P.SPARK)} AS th, "
+               f"{P.token_hash_ngrams('th0', 2, P.SPARK)} AS sh FROM "
+               f"(SELECT rid, text, {P.hash_array(P.tokens('text', P.SPARK), P.SPARK)} AS th0 FROM fuzz)")
+    d_inner = (f"SELECT rid, {P.hash_array(P.tokens('text', P.DUCKDB), P.DUCKDB)} AS th, "
+               f"{P.token_hash_ngrams('th0', 2, P.DUCKDB)} AS sh FROM "
+               f"(SELECT rid, text, {P.hash_array(P.tokens('text', P.DUCKDB), P.DUCKDB)} AS th0 FROM fuzz)")
+    cols_s2 = ", ".join(f"{fn(P.SPARK)} AS {name}" for name, fn in HASH_EXPRS.items())
+    cols_d2 = ", ".join(f"{fn(P.DUCKDB)} AS {name}" for name, fn in HASH_EXPRS.items())
+    srows2 = {r["rid"]: r.asDict() for r in spark.sql(
+        f"SELECT rid, {cols_s2} FROM ({s_inner})").collect()}
+    dcols2 = ["rid", *HASH_EXPRS]
+    drows2 = {r[0]: dict(zip(dcols2, r)) for r in con.sql(
+        f"SELECT rid, {cols_d2} FROM ({d_inner})").fetchall()}
+    mismatches2 = [
+        (rid, name, srows2[rid][name], drows2[rid][name], texts[rid][:60])
+        for rid in srows2 for name in HASH_EXPRS
+        if srows2[rid][name] != drows2[rid][name]
+    ]
+    assert not mismatches2, f"{len(mismatches2)} diffs; first: {mismatches2[:5]}"
