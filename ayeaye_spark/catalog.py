@@ -168,6 +168,58 @@ shared_sql(
 )
 
 shared_sql(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {dsum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    ("lineitem",),
+)
+
+shared_sql(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    ("customer", "orders", "lineitem", "nation"),
+)
+
+shared_sql(
+    # promo-revenue share: conditional aggregation as exact integer basis
+    # points of decimal sums (a ratio of two decimal-exact sums stays
+    # bit-identical across engines)
+    "q14_promo_share",
+    f"""
+    SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                    THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,8))
+                    ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,8))) AS DOUBLE)
+             AS promo_share,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    ("lineitem", "part"),
+)
+
+shared_sql(
     "top3_orders_per_segment",
     """
     SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
@@ -344,6 +396,35 @@ shared_sql(
     """,
     ("part",),
 )
+
+
+shared_sql(
+    "customer_segment_intersect",
+    """
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    ("orders",),
+)
+
+
+@query(
+    "supplier_balance_unpivot",
+    oracle="""
+    SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS value FROM supplier
+    UNION ALL
+    SELECT s_suppkey, 'nationkey' AS metric, CAST(s_nationkey AS DOUBLE) FROM supplier
+    """,
+)
+def supplier_balance_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via ``stack`` (the unpivot surface; DuckDB oracle is
+    the equivalent UNION ALL)."""
+    sup = load(spark, sf_dir, "supplier")
+    return sup.selectExpr(
+        "s_suppkey",
+        "stack(2, 'acctbal', s_acctbal, 'nationkey', CAST(s_nationkey AS DOUBLE)) AS (metric, value)",
+    )
 
 
 @query("events_approx_distinct_users")  # no oracle: approximate by design
