@@ -59,19 +59,27 @@ class DeferredResolution:
 
 
 class ConnectorResolver:
-    """Process-wide (thread-local scoped) template/url resolution context."""
+    """Process-wide template/url resolution context.
+
+    The scoped-context stack is deliberately PROCESS-global (guarded by a
+    lock), not thread-local: ``ModelCollection.run`` and
+    ``PartitionedModel`` execute models on worker threads, and a
+    ``with connector_resolver.context(...)`` opened on the driver thread
+    must be visible to them (matching the reference's global resolver,
+    ``connect_resolve.py:273-342``).  Concurrent *independent* contexts
+    in one process are not supported — same as the reference.
+    """
 
     def __init__(self) -> None:
-        self._local = threading.local()
+        self._lock = threading.RLock()
+        self._shared_stack: list[dict[str, Any]] = []
         self._base_named: dict[str, Any] = {}
         self._base_secret: dict[str, Any] = {}
         self._base_unnamed: list[Callable[[str], str]] = []
 
     # -- scope stack -------------------------------------------------
     def _stack(self) -> list[dict[str, Any]]:
-        if not hasattr(self._local, "stack"):
-            self._local.stack = []
-        return self._local.stack
+        return self._shared_stack
 
     @property
     def _named(self) -> dict[str, Any]:
@@ -132,8 +140,7 @@ class ConnectorResolver:
         self._base_named.clear()
         self._base_secret.clear()
         self._base_unnamed.clear()
-        if hasattr(self._local, "stack"):
-            self._local.stack.clear()
+        self._shared_stack.clear()
 
     # -- attribute access --------------------------------------------
     def __getattr__(self, item: str) -> Any:

@@ -112,3 +112,17 @@ class TestPinnate:
     def test_equality_and_len(self):
         assert Pinnate({"a": 1}) == {"a": 1}
         assert len(Pinnate([1, 2, 3])) == 3
+
+
+class TestResolverThreadVisibility:
+    def test_scoped_context_visible_from_worker_threads(self, resolver):
+        """ModelCollection.run / PartitionedModel execute models on worker
+        threads — a driver-thread scoped context must be visible there."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with resolver.context(env="layered"):
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                results = list(pool.map(
+                    lambda _: resolver.resolve("x://{env}"), range(4)
+                ))
+        assert results == ["x://layered"] * 4
