@@ -767,6 +767,25 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def _components_oracle() -> str:
+    from .operators.graph import duckdb_components_oracle
+
+    return duckdb_components_oracle(_duck_minhash_pairs_oracle(), "doc_id", "documents")
+
+
+@query("dedup_transitive_components", oracle=_components_oracle())
+def dedup_transitive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup closure: connected components over the MinHash
+    near-dup pair graph (iterative label propagation vs the oracle's
+    recursive CTE); min id per component survives."""
+    from .operators.graph import dedup_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=16, bands=4,
+                                    threshold=0.3)
+    return dedup_components(docs, pairs, "doc_id")
+
+
 @query(
     "dedup_simhash_groups",
     oracle=f"""

@@ -1,0 +1,119 @@
+"""Iterative graph operators: connected components for dedup closure.
+
+MinHash/Jaccard pair generation yields an *edge list* of near-duplicate
+pairs; real corpus dedup needs the transitive closure — one surviving
+representative per connected component (A≈B, B≈C ⇒ drop two of three
+even if A and C never collided).
+
+:func:`connected_components` is iterative min-label propagation on the
+DataFrame API (the standard large-graph formulation — GraphX/GraphFrames
+aren't available to PySpark here, and the loop is a handful of joins):
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+repeated until a fixed point.  Converges in O(diameter) rounds; dedup
+components are tiny clusters, so 3-5 rounds in practice.  Each round is
+ONE shuffle (edge join + aggregate); ``localCheckpoint`` truncates the
+growing lineage so round N doesn't replay rounds 1..N-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(vertex, component) — component = min vertex id reachable.
+
+    ``edges`` is an undirected edge list given as (src, dst) columns of a
+    common orderable type.  Vertices with no edges are absent (callers
+    union isolated vertices back if needed — dedup survivors do).
+    """
+    both = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    both = both.distinct().localCheckpoint(eager=False)
+
+    labels = (
+        both.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+    )
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            both.join(labels, both.b == labels.v)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.v == neighbor_min.a, "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "new_label"
+                ),
+                F.col("label").alias("old_label"),
+            )
+        ).localCheckpoint(eager=True)  # materialize: convergence check + lineage cut
+        changed = updated.where(F.col("new_label") != F.col("old_label")).count()
+        labels = updated.select("v", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
+
+
+def dedup_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    pair_a: str | None = None,
+    pair_b: str | None = None,
+) -> DataFrame:
+    """(id, component, is_survivor) for every row of ``df`` given a
+    near-duplicate pair list: transitive closure via connected
+    components; the minimum id in each component survives.  Isolated
+    docs are their own (surviving) component."""
+    pair_a = pair_a or f"{id_col}_a"
+    pair_b = pair_b or f"{id_col}_b"
+    comps = connected_components(pairs, pair_a, pair_b)
+    out = (
+        df.select(id_col)
+        .join(comps, F.col(id_col) == F.col("vertex"), "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    return out.withColumn("is_survivor", F.col(id_col) == F.col("component"))
+
+
+def duckdb_components_oracle(pairs_cte: str, id_col: str = "doc_id",
+                             table: str = "documents") -> str:
+    """DuckDB oracle for :func:`dedup_components`: transitive closure via
+    a recursive CTE (reachability), component = min reachable id."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_cte}),
+    undirected AS (
+      SELECT {id_col}_a AS a, {id_col}_b AS b FROM pairs
+      UNION SELECT {id_col}_b, {id_col}_a FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT a, a FROM undirected
+      UNION
+      SELECT u.a, reach.r FROM undirected u JOIN reach ON reach.v = u.b
+    ),
+    comps AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
+    SELECT d.{id_col},
+           COALESCE(c.component, d.{id_col}) AS component,
+           d.{id_col} = COALESCE(c.component, d.{id_col}) AS is_survivor
+    FROM {table} d LEFT JOIN comps c ON c.v = d.{id_col}
+    """

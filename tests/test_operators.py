@@ -173,3 +173,33 @@ class TestJaccardFrequencyPruning:
         assert set(pruned_pairs) < set(full_pairs)
         # surviving pair's jaccard is the EXACT full-set value
         assert pruned_pairs[(1, 2)] == full_pairs[(1, 2)]
+
+
+class TestConnectedComponents:
+    def test_chain_and_isolated(self, spark):
+        from ayeaye_spark.operators.graph import connected_components, dedup_components
+
+        # components: {1,2,3} via chain, {7,9}; 5 isolated
+        edges = spark.createDataFrame([(1, 2), (2, 3), (9, 7)], ["a", "b"])
+        comps = {
+            r["vertex"]: r["component"]
+            for r in connected_components(edges, "a", "b").collect()
+        }
+        assert comps == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+        docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)], ["doc_id"])
+        pairs = edges.selectExpr("a AS doc_id_a", "b AS doc_id_b")
+        out = {r["doc_id"]: (r["component"], r["is_survivor"])
+               for r in dedup_components(docs, pairs, "doc_id").collect()}
+        assert out == {
+            1: (1, True), 2: (1, False), 3: (1, False),
+            5: (5, True), 7: (7, True), 9: (7, False),
+        }
+
+    def test_single_edge_convergence(self, spark):
+        from ayeaye_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame([(10, 4)], ["a", "b"])
+        comps = {r["vertex"]: r["component"]
+                 for r in connected_components(edges, "a", "b").collect()}
+        assert comps == {10: 4, 4: 4}
