@@ -9,8 +9,10 @@ or the north-star LLM-pipeline set, as
 
 Determinism rules (learned the hard way, kept bit-exact):
 
-* double SUMs go through ``CAST(x AS DECIMAL(18,4))`` — exact decimal
-  addition is order-independent, then cast back to double;
+* double SUMs go through a decimal cast AT THE EXPRESSION'S EXACT
+  DECIMAL PRECISION (see ``dsum``) — exact decimal addition is
+  order-independent, and the final decimal→double cast stays within
+  double-exact integer range;
 * float ``round()`` is NEVER used for oracle-compared values (Spark and
   DuckDB disagree at exact-decimal boundaries); ratios stay raw doubles
   (bit-identical when inputs + operation order match) or become integer
@@ -104,11 +106,15 @@ def shared_sql(name: str, sql: str, needs: tuple[str, ...]) -> None:
 
 
 # Exact decimal sum rendered back to double (order-independent => portable).
-# Scale 8 sits beyond the exact decimal precision of every source column /
-# product in the test schema, so the decimal cast never rounds — rounding
-# ties are where Spark (HALF_UP) and DuckDB (HALF_EVEN) disagree.
-def dsum(expr: str, scale: int = 8) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+# ``scale`` must EQUAL the expression's exact decimal precision (all source
+# columns are 2dp; a product of k such columns is exactly 2k dp):
+#  - below it, the cast rounds and Spark (HALF_UP) vs DuckDB (HALF_EVEN)
+#    tie-break differently (seen: sum_charge at scale 4);
+#  - above it, the summed integer representation can exceed 2^53 and the
+#    final decimal→double conversion differs by 1 ulp (DuckDB divides a
+#    rounded int128 by 10^scale; seen: 1.2e10 totals at scale 8).
+def dsum(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,{scale}))) AS DOUBLE)"
 
 
 # --------------------------------------------------------------------------
@@ -120,11 +126,11 @@ shared_sql(
     SELECT l_returnflag, l_linestatus,
            {dsum('l_quantity')} AS sum_qty,
            {dsum('l_extendedprice')} AS sum_base_price,
-           {dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-           {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
            {dsum('l_quantity')} / COUNT(*) AS avg_qty,
            {dsum('l_extendedprice')} / COUNT(*) AS avg_price,
-           {dsum('l_discount')} / COUNT(*) AS avg_disc,
+           {dsum('l_discount', 2)} / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -137,7 +143,7 @@ shared_sql(
     "q3_top_unshipped_orders",
     f"""
     SELECT o.o_orderkey, o.o_orderdate,
-           {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+           {dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -155,7 +161,7 @@ shared_sql(
     "q5_region_nation_revenue",
     f"""
     SELECT r.r_name, n.n_name,
-           {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+           {dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -170,7 +176,7 @@ shared_sql(
 shared_sql(
     "q6_forecast_revenue",
     f"""
-    SELECT {dsum('l_extendedprice * l_discount')} AS revenue,
+    SELECT {dsum('l_extendedprice * l_discount', 4)} AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -185,7 +191,7 @@ shared_sql(
     "q10_returned_items",
     f"""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+           {dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -207,9 +213,9 @@ shared_sql(
     "q14_promo_share",
     f"""
     SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
-                    THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,8))
-                    ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE)
-           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,8))) AS DOUBLE)
+                    THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))
+                    ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))) AS DOUBLE)
              AS promo_share,
            COUNT(*) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -281,7 +287,7 @@ shared_sql(
     "events_running_sum",
     f"""
     SELECT event_id, user_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(18,8)))
+           CAST(SUM(CAST(value AS DECIMAL(27,2)))
                 OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_value,
@@ -606,7 +612,7 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,8)")).cast("double").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value"

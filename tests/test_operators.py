@@ -203,3 +203,29 @@ class TestConnectedComponents:
         comps = {r["vertex"]: r["component"]
                  for r in connected_components(edges, "a", "b").collect()}
         assert comps == {10: 4, 4: 4}
+
+
+class TestScd2:
+    def test_merge_closes_and_chains_versions(self, spark):
+        from ayeaye_spark.operators.scd import scd2_apply
+
+        current = spark.createDataFrame(
+            [("u1", "bronze", 1, None), ("u2", "silver", 1, None),
+             ("u3", "gold", 1, 5)],  # u3 already closed
+            "key string, tier string, valid_from long, valid_to long",
+        )
+        updates = spark.createDataFrame(
+            [("u1", "silver", 10), ("u1", "gold", 20), ("u9", "bronze", 15)],
+            "key string, tier string, ts long",
+        )
+        out = scd2_apply(current, updates, key="key", ts_col="ts",
+                         attr_cols=["tier"])
+        rows = {(r["key"], r["tier"]): (r["valid_from"], r["valid_to"])
+                for r in out.collect()}
+        assert rows[("u1", "bronze")] == (1, 10)     # closed by first update
+        assert rows[("u1", "silver")] == (10, 20)    # chained within batch
+        assert rows[("u1", "gold")] == (20, None)    # open
+        assert rows[("u2", "silver")] == (1, None)   # untouched key
+        assert rows[("u3", "gold")] == (1, 5)        # closed history kept
+        assert rows[("u9", "bronze")] == (15, None)  # brand-new key
+        assert len(rows) == 6
