@@ -128,3 +128,54 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert dropped == 1
     assert ts(-2.0) not in emitted
     assert emitted.get(ts(0)) == 1.0
+
+
+def test_foreach_batch_exactly_once(spark, tmp_path):
+    """Replaying a committed batch_id must not duplicate data (the
+    at-least-once foreachBatch contract made exactly-once by idempotency)."""
+    from ayeaye_spark.streaming.sinks import idempotent_parquet_sink, read_all_batches
+
+    path = _events_parquet(spark, tmp_path)
+    out = str(tmp_path / "sink_out")
+    stream = streamops.stream_from_parquet(spark, path)
+    sink = idempotent_parquet_sink(out)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_rows = spark.read.parquet(path).count()
+    assert read_all_batches(spark, out).count() == n_rows
+
+    # simulate a failure replay: same batch df + same batch_id again
+    sink(spark.read.parquet(path), 0)
+    assert read_all_batches(spark, out).count() == n_rows  # unchanged
+
+
+def test_progress_logging_throttle(spark):
+    """log_progress emits at most once per interval, with an ETA."""
+    from ayeaye_spark import Model
+
+    lines = []
+
+    class M(Model):
+        def build(self):
+            pass
+
+    m = M()
+    m.log_to_stdout = False
+    m.progress_log_interval = 0.0  # no throttle for the first assertions
+    m.set_logger(lines.append)
+    m.log_progress(0.5)
+    assert any("PROGRESS 50.0%" in line and "eta" in line for line in lines)
+
+    m2 = M()
+    m2.log_to_stdout = False
+    m2.progress_log_interval = 3600  # heavy throttle: second call suppressed
+    seen = []
+    m2.set_logger(seen.append)
+    m2.log_progress(0.1)
+    m2.log_progress(0.2)
+    assert len([line for line in seen if "PROGRESS" in line]) == 1
