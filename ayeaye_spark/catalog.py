@@ -595,6 +595,38 @@ def events_asof_view_before_click(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "events_range_join_purchases",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS l_event_id, a.ts AS l_ts,
+           b.event_id AS r_event_id, b.ts AS r_ts
+    FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') a
+    JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') b
+      ON a.user_id = b.user_id
+     AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 600000
+    """,
+)
+def events_range_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: every (purchase, error) pair for a user within 10
+    minutes — bucketized equi-join (no native range join in Spark, no
+    per-key cross product either)."""
+    events = load(spark, sf_dir, "events").withColumn(
+        "ts_ms", F.expr("unix_millis(ts)")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "ts_ms"
+    )
+    errors = events.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts", "ts_ms"
+    )
+    out = relational.range_join(
+        purchases, errors, by=["user_id"], left_ts="ts_ms", right_ts="ts_ms",
+        within=600_000,
+    )
+    return out.select("user_id", "l_event_id", "l_ts", "r_event_id", "r_ts")
+
+
+@query(
     "events_hourly_window",
     oracle=f"""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -138,6 +138,53 @@ def asof_join(
     return out
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    by: list[str],
+    left_ts: str,
+    right_ts: str,
+    within: int,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Interval join: pairs with ``|left_ts - right_ts| <= within`` per
+    ``by`` keys (timestamps as integral values — epoch ms/s).
+
+    Spark has no native range join; a raw inequality join degenerates to
+    a per-key cross product.  Scale path: bucketize both sides by
+    ``floor(ts / within)`` and equi-join each left bucket against right
+    buckets {b-1, b, b+1} — any qualifying pair is within one bucket of
+    its partner, so recall is exact; the final filter trims the corners.
+    Shuffle is on (by, bucket): uniform, bounded fan-out of 3.
+    """
+    lb = left.withColumn("_b", F.floor(F.col(left_ts) / within))
+    rb = right.withColumn("_rb", F.floor(F.col(right_ts) / within)).withColumn(
+        "_b", F.explode(F.array(F.col("_rb") - 1, F.col("_rb"), F.col("_rb") + 1))
+    )
+    joined = lb.alias("l").join(
+        rb.alias("r"),
+        on=[F.col(f"l.{c}") == F.col(f"r.{c}") for c in by] + [F.col("l._b") == F.col("r._b")],
+    )
+    out_cols = (
+        [F.col(f"l.{c}").alias(c) for c in by]
+        + [
+            F.col(f"l.{c}").alias(f"{left_prefix}{c}")
+            for c in left.columns
+            if c not in by
+        ]
+        + [
+            F.col(f"r.{c}").alias(f"{right_prefix}{c}")
+            for c in right.columns
+            if c not in by
+        ]
+    )
+    return joined.where(
+        F.abs(F.col(f"l.{left_ts}") - F.col(f"r.{right_ts}")) <= within
+    ).select(*out_cols)
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],

@@ -229,3 +229,29 @@ class TestScd2:
         assert rows[("u3", "gold")] == (1, 5)        # closed history kept
         assert rows[("u9", "bronze")] == (15, None)  # brand-new key
         assert len(rows) == 6
+
+
+class TestRangeJoin:
+    def test_within_window_exact(self, spark):
+        left = spark.createDataFrame(
+            [("u", 1, 1000), ("u", 2, 5000), ("v", 3, 1000)],
+            ["user", "id", "t"],
+        )
+        right = spark.createDataFrame(
+            [("u", 10, 1400), ("u", 11, 9000), ("v", 12, 5000)],
+            ["user", "id", "t"],
+        )
+        out = relational.range_join(
+            left, right, by=["user"], left_ts="t", right_ts="t", within=1000
+        )
+        pairs = sorted((r["l_id"], r["r_id"]) for r in out.collect())
+        assert pairs == [(1, 10)]  # |1000-1400|<=1000; others outside or cross-user
+
+    def test_bucket_boundary_pairs_found(self, spark):
+        # pair straddles a bucket boundary: 999 vs 1001 with within=1000
+        left = spark.createDataFrame([("u", 1, 999)], ["user", "id", "t"])
+        right = spark.createDataFrame([("u", 2, 1001)], ["user", "id", "t"])
+        out = relational.range_join(
+            left, right, by=["user"], left_ts="t", right_ts="t", within=1000
+        )
+        assert [(r["l_id"], r["r_id"]) for r in out.collect()] == [(1, 2)]
