@@ -727,6 +727,76 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_vocabulary_top50",
+    oracle=f"""
+    SELECT token, n FROM (
+      SELECT token, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rnk
+      FROM (SELECT unnest({P.tokens('text', DUCK)}) AS token FROM documents)
+      GROUP BY token
+    ) t WHERE rnk <= 50
+    """,
+)
+def doc_vocabulary_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed wordcount: corpus vocabulary, top 50 tokens by
+    frequency (full tie-break on the token).  Explode → two-phase
+    count → global top-k; the canonical scan-shuffle-limit plan."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.expr(P.tokens("text", SPARK))).alias("token")
+    )
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    ranked = relational.top_k_per_group(
+        counts, [], "n", 50, tiebreak_cols=["token"], rank_col="rnk"
+    )
+    return ranked.select("token", "n")
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             MIN(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS step1_view,
+           COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view)
+             AS step2_click,
+           COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                            AND t_purchase > t_click) AS step3_purchase
+    FROM firsts
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose FIRST view precedes their first click
+    precedes their first purchase — one aggregation pass (min-per-step),
+    no self-joins."""
+    events = load(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("step1_view"),
+        F.count(
+            F.when(F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1)
+        ).alias("step2_click"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("step3_purchase"),
+    )
+
+
 # --------------------------------------------------------------------------
 # 3. Deduplication (north-star)
 # --------------------------------------------------------------------------
