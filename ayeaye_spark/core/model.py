@@ -32,7 +32,6 @@ from typing import Any, Callable
 
 from pyspark.sql import SparkSession
 
-from ..sources.base import AccessMode
 from .dataset import Connect, DatasetHandle
 from .resolver import connector_resolver
 

@@ -89,9 +89,12 @@ def asof_join(
     right_value_cols: list[str] | None = None,
     suffix: str = "_right",
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gets the most recent right row
-    with ``right.on <= left.on`` (``< `` when ``strict``), per ``by`` keys.
+    """As-of join: each left row gets the nearest right row at or before
+    (``direction="backward"``: ``right.on <= left.on``) or at or after
+    (``"forward"``: ``right.on >= left.on``) its own ``on`` value, per
+    ``by`` keys; ``strict`` excludes equality.
 
     Implementation (scale path): tag and union both sides, ONE shuffle on
     (by, on, side), then ``last(value, ignoreNulls)`` over an unbounded-
@@ -100,6 +103,8 @@ def asof_join(
     join blowup entirely.  Ties on ``on``: right rows sort before left
     rows (non-strict) so an equal timestamp matches.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     by = by or []
     right_value_cols = right_value_cols or [
         c for c in right.columns if c != on and c not in by
@@ -122,9 +127,12 @@ def asof_join(
         *[F.col(c) for c in left_cols], "_side", "_payload"
     ).unionByName(r, allowMissingColumns=True)
 
+    # forward = backward over reversed time: descending scan carries the
+    # NEXT right payload backwards; tie tags flip with the sort direction
+    ts_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(*[F.col(c) for c in by])
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))

@@ -255,3 +255,30 @@ class TestRangeJoin:
             left, right, by=["user"], left_ts="t", right_ts="t", within=1000
         )
         assert [(r["l_id"], r["r_id"]) for r in out.collect()] == [(1, 2)]
+
+
+class TestAsofForward:
+    def test_forward_match(self, spark):
+        left = spark.createDataFrame(
+            [(1, "u", 100), (2, "u", 500)], ["id", "user", "t"]
+        )
+        right = spark.createDataFrame(
+            [("u", 200, 1.0), ("u", 300, 2.0)], ["user", "t", "v"]
+        )
+        out = relational.asof_join(
+            left, right, on="t", by=["user"], right_value_cols=["v"],
+            direction="forward",
+        )
+        got = {r["id"]: r["v"] for r in out.collect()}
+        assert got == {1: 1.0, 2: None}  # next right at/after 100 is 200; none after 500
+
+    def test_forward_equal_ts(self, spark):
+        left = spark.createDataFrame([(1, "u", 200)], ["id", "user", "t"])
+        right = spark.createDataFrame([("u", 200, 9.0)], ["user", "t", "v"])
+        out = relational.asof_join(left, right, on="t", by=["user"],
+                                   right_value_cols=["v"], direction="forward")
+        assert out.collect()[0]["v"] == 9.0
+        strict = relational.asof_join(left, right, on="t", by=["user"],
+                                      right_value_cols=["v"], direction="forward",
+                                      strict=True)
+        assert strict.collect()[0]["v"] is None

@@ -96,3 +96,46 @@ def test_portable_expressions_match_across_engines(spark, seed):
         if srows2[rid][name] != drows2[rid][name]
     ]
     assert not mismatches2, f"{len(mismatches2)} diffs; first: {mismatches2[:5]}"
+
+
+def test_asof_join_fuzz_vs_duckdb(spark):
+    """Randomized as-of join (backward + forward) vs DuckDB's native ASOF
+    JOIN on 40 users x ~25 events (unique ts per user — engines may pick
+    differently among exact ties, which both treat as unspecified)."""
+    import random
+
+    rng = random.Random(1234)
+    left_rows, right_rows = [], []
+    rid = 0
+    for u in range(40):
+        ts_pool = rng.sample(range(1, 5000), 50)
+        for t in ts_pool[:25]:
+            left_rows.append((rid, u, t)); rid += 1
+        for t in ts_pool[25:]:
+            right_rows.append((u, t, float(t) / 7.0))
+
+    left = spark.createDataFrame(left_rows, "id long, u long, t long")
+    right = spark.createDataFrame(right_rows, "u long, t long, v double")
+
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(left_rows, columns=["id", "u", "t"]))
+    con.register("r", pd.DataFrame(right_rows, columns=["u", "t", "v"]))
+
+    back = {r["id"]: r["v"] for r in relational_asof(left, right, "backward").collect()}
+    duck_back = dict(con.sql(
+        "SELECT l.id, r.v FROM l ASOF LEFT JOIN r ON l.u = r.u AND r.t <= l.t"
+    ).fetchall())
+    assert back == duck_back
+
+    fwd = {r["id"]: r["v"] for r in relational_asof(left, right, "forward").collect()}
+    duck_fwd = dict(con.sql(
+        "SELECT l.id, r.v FROM l ASOF LEFT JOIN r ON l.u = r.u AND r.t >= l.t"
+    ).fetchall())
+    assert fwd == duck_fwd
+
+
+def relational_asof(left, right, direction):
+    from ayeaye_spark.operators.relational import asof_join
+
+    return asof_join(left, right, on="t", by=["u"], right_value_cols=["v"],
+                     direction=direction)
