@@ -1,0 +1,50 @@
+"""Physical-plan introspection: machine-readable facts from .explain.
+
+Used by the scale tests and available to models that want to assert plan
+shape before an expensive run ("did my join broadcast?", "did the filter
+reach the scan?") — the programmatic version of eyeballing
+``df.explain("formatted")``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_summary(df: DataFrame) -> dict:
+    """Summarize the executed plan: join strategies, exchanges, scans
+    (with pushed/partition filters and read schemas)."""
+    plan = physical_plan(df)
+    joins = re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+        r"BroadcastNestedLoopJoin|CartesianProduct)",
+        plan,
+    )
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    scans = []
+    for m in re.finditer(r"FileScan (\w+) \[([^\]]*)\]", plan):
+        fmt, cols = m.group(1), m.group(2)
+        tail = plan[m.end(): m.end() + 2000]
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", tail)
+        part = re.search(r"PartitionFilters: \[([^\]]*)\]", tail)
+        scans.append(
+            {
+                "format": fmt,
+                "columns": [c.split("#")[0] for c in cols.split(", ") if c],
+                "pushed_filters": pushed.group(1) if pushed else "",
+                "partition_filters": part.group(1) if part else "",
+            }
+        )
+    return {
+        "joins": joins,
+        "n_exchanges": len(exchanges),
+        "exchange_kinds": exchanges,
+        "scans": scans,
+        "whole_stage_codegen": "WholeStageCodegen" in plan,
+    }

@@ -1,0 +1,65 @@
+"""End-to-end multimodal pipeline: binary media → features → near-dups.
+
+Composes the multimodal plumbing with similarity search as one model:
+``binaryFile`` scan → (stubbed deterministic) feature extraction via
+Arrow-batched ``mapInPandas`` → pairwise cosine near-duplicate detection
+over the feature vectors → a manifest of media files to keep.  With a
+real decoder injected (PIL/ffmpeg), nothing else changes — the Spark
+plan is identical.
+"""
+
+import os
+import sys
+
+# allow running as a plain script: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ayeaye_spark import AccessMode, Connect, Model
+from ayeaye_spark.operators.multimodal import extract_features, read_binary_dir
+from ayeaye_spark.operators.similarity import embedding_near_dup_pairs
+
+
+class MediaDedupPipeline(Model):
+    keep_manifest = Connect(
+        engine_url="json://{output_path}/media_keep_manifest.json;indent=2",
+        access=AccessMode.WRITE,
+    )
+
+    media_dir: str = "{media_path}"  # resolved at build time
+    feature_dim = 8
+    near_dup_threshold = 0.999
+
+    def build(self):
+        from ayeaye_spark import connector_resolver
+
+        media_path = connector_resolver.resolve(self.media_dir)
+        media = read_binary_dir(self.spark, media_path, "image")
+        self.add_stat("n_files", media.count())
+
+        feats = extract_features(media, dim=self.feature_dim).withColumn(
+            "media_id", F.xxhash64("path")
+        )
+        pairs = embedding_near_dup_pairs(
+            feats, id_col="media_id", vec_col="features",
+            threshold=self.near_dup_threshold, exact=True,
+        )
+        dropped = pairs.select(F.col("media_id_b").alias("media_id")).distinct()
+        keep = feats.join(dropped, on="media_id", how="left_anti")
+
+        kept_paths = sorted(r["path"] for r in keep.select("path").collect())
+        self.keep_manifest.data = {
+            "kept": kept_paths,
+            "n_kept": len(kept_paths),
+            "n_dropped": self.stats["n_files"] - len(kept_paths),
+        }
+        self.log(f"kept {len(kept_paths)} of {self.stats['n_files']} media files")
+
+
+if __name__ == "__main__":
+    from ayeaye_spark import connector_resolver
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with connector_resolver.context(media_path=os.path.join(here, "data"), output_path=here):
+        MediaDedupPipeline().go()

@@ -111,3 +111,29 @@ def test_noaa_extremes(spark, resolver):
     assert m.coldest["v"] == -27.7
     assert m.stats["measurements"] == 5
     assert "Hottest: 31.2C at STATION0001" in log.getvalue()
+
+
+def test_media_dedup_pipeline(spark, resolver, tmp_path):
+    """Multimodal end-to-end: two byte-identical files dedupe, the
+    distinct one survives (feature cosine == 1.0 for identical bytes)."""
+    from examples.media_pipeline import MediaDedupPipeline
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.png").write_bytes(b"\x89PNG identical payload bytes 123")
+    (media / "b.png").write_bytes(b"\x89PNG identical payload bytes 123")
+    (media / "c.png").write_bytes(b"\x89PNG totally different bytes!!")
+
+    with resolver.context(media_path=str(media), output_path=str(tmp_path)):
+        m = MediaDedupPipeline()
+        m.log_to_stdout = False
+        assert m.go(spark)
+
+    import json
+
+    doc = json.load(open(tmp_path / "media_keep_manifest.json"))
+    assert doc["n_kept"] == 2
+    assert doc["n_dropped"] == 1
+    kept_names = {p.rsplit("/", 1)[-1] for p in doc["kept"]}
+    assert "c.png" in kept_names
+    assert {"a.png", "b.png"} & kept_names  # exactly one of the twins

@@ -104,3 +104,22 @@ class TestPushdown:
         assert "PushedFilters" in scan or "LessThan(l_shipdate" in scan or "DataFilters" in scan
         read_schema = scan.split("ReadSchema: ")[1][:200]
         assert "l_extendedprice" not in read_schema  # pruned
+
+
+class TestPlanSummary:
+    def test_summary_facts(self, spark):
+        from ayeaye_spark.plans.introspect import plan_summary
+
+        nation = load(spark, SF, "nation")
+        customer = load(spark, SF, "customer")
+        q = (
+            customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+            .where(F.col("c_acctbal") > 0)
+            .select("n_name", "c_acctbal")
+        )
+        facts = plan_summary(q)
+        assert "BroadcastHashJoin" in facts["joins"]
+        assert any(
+            "c_acctbal" in s["columns"] and len(s["columns"]) <= 3 for s in facts["scans"]
+        )  # projection pruned to join+filter+output columns
+        assert facts["whole_stage_codegen"]
