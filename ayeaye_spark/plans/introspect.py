@@ -36,7 +36,7 @@ def plan_summary(df: DataFrame) -> dict:
         scans.append(
             {
                 "format": fmt,
-                "columns": [c.split("#")[0] for c in cols.split(", ") if c],
+                "columns": [c.split("#")[0].strip() for c in cols.split(",") if c.strip()],
                 "pushed_filters": pushed.group(1) if pushed else "",
                 "partition_filters": part.group(1) if part else "",
             }
@@ -46,5 +46,6 @@ def plan_summary(df: DataFrame) -> dict:
         "n_exchanges": len(exchanges),
         "exchange_kinds": exchanges,
         "scans": scans,
-        "whole_stage_codegen": "WholeStageCodegen" in plan,
+        # codegen'd operators print as "*(n) Op" in the plan string
+        "whole_stage_codegen": "WholeStageCodegen" in plan or "*(" in plan,
     }
