@@ -46,6 +46,25 @@ def plan_summary(df: DataFrame) -> dict:
         "n_exchanges": len(exchanges),
         "exchange_kinds": exchanges,
         "scans": scans,
-        # codegen'd operators print as "*(n) Op" in the plan string
-        "whole_stage_codegen": "WholeStageCodegen" in plan or "*(" in plan,
+        "whole_stage_codegen": _has_codegen(df, plan),
     }
+
+
+def _has_codegen(df: DataFrame, plan: str) -> bool | None:
+    """True when codegen markers are visible ("*(n)" / "codegen id").
+    Returns None for a not-yet-finalized AQE plan — execute the frame
+    (any action) first if you need a definite answer."""
+    if "WholeStageCodegen" in plan or "*(" in plan:
+        return True
+    try:
+        jvm = df.sparkSession._jvm
+        formatted = jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        if "codegen id" in formatted:
+            return True
+        if "isFinalPlan=false" in formatted:
+            return None
+        return False
+    except Exception:
+        return None

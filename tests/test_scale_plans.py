@@ -117,9 +117,10 @@ class TestPlanSummary:
             .where(F.col("c_acctbal") > 0)
             .select("n_name", "c_acctbal")
         )
+        q.collect()  # actions on the frame itself finalize its AQE plan
         facts = plan_summary(q)
         assert "BroadcastHashJoin" in facts["joins"]
         assert any(
             "c_acctbal" in s["columns"] and len(s["columns"]) <= 3 for s in facts["scans"]
         )  # projection pruned to join+filter+output columns
-        assert facts["whole_stage_codegen"]
+        assert facts["whole_stage_codegen"] is True
