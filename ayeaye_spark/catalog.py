@@ -433,6 +433,48 @@ def supplier_balance_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+shared_sql(
+    # anomaly detection: z-scores derived ONLY from decimal-exact sums
+    # (value and value^2 are exactly 2/4 dp), so mean/std — and therefore
+    # every z — are identical doubles in both engines
+    "events_value_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(27,4))) AS DOUBLE) AS s2,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.s1 / s.n)
+             / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS zscore
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    WHERE abs((e.value - s.s1 / s.n)
+              / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))) > 3
+    """,
+    ("events",),
+)
+
+shared_sql(
+    # weekly-activity retention: users active in week 1 still active in
+    # week w (cohort = first active week)
+    "events_weekly_retention",
+    """
+    WITH weeks AS (
+      SELECT user_id,
+             CAST(FLOOR((EXTRACT(DAY FROM ts) - 1) / 7) AS BIGINT) AS wk
+      FROM events GROUP BY 1, 2
+    ),
+    cohort AS (SELECT user_id, MIN(wk) AS first_wk FROM weeks GROUP BY user_id)
+    SELECT c.first_wk, w.wk, COUNT(DISTINCT w.user_id) AS active_users
+    FROM cohort c JOIN weeks w ON w.user_id = c.user_id
+    GROUP BY c.first_wk, w.wk
+    """,
+    ("events",),
+)
+
+
 @query("events_approx_distinct_users")  # no oracle: approximate by design
 def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimate per event type — the sketch you
