@@ -178,6 +178,24 @@ class Connect:
         resolved = connector_resolver.resolve(url)
         return connector_for(resolved, access=self.access, **kwargs)
 
+    # -- standalone mode (connect.py:295-331) --------------------------
+    def handle(self, spark: SparkSession | None = None) -> DatasetHandle:
+        """Use a Connect OUTSIDE a model (the reference's standalone
+        mode): resolves immediately to a :class:`DatasetHandle`.
+
+        >>> animals = Connect(engine_url="csv:///data/animals.csv").handle()
+        >>> animals.df.count()
+        """
+
+        def spark_provider() -> SparkSession:
+            if spark is not None:
+                return spark
+            from .session import get_spark
+
+            return get_spark()
+
+        return DatasetHandle(self.build_connector(), spark_provider)
+
     # -- clone / DAG identity -----------------------------------------
     def clone(self, **overrides: Any) -> "Connect":
         """Reuse one dataset declaration across models (``connect.py:100-113``)

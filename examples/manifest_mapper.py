@@ -54,7 +54,7 @@ class AustralianAnimals(Model):
     def build_single_pass(self, output_dir: str):
         """Scale variant: every manifest file in ONE Spark job — multi-path
         read tagged with ``input_file_name()``, one partitioned write."""
-        df = self.menagerie.read(self.spark)  # MultiConnector union + source_url
+        df = self.menagerie.df  # MultiConnector union tagged with source_url
         exploded = df.select(
             F.explode("animals").alias("animal"),
             F.element_at(F.split("source_url", "/"), -1).alias("source_file"),

@@ -137,3 +137,19 @@ def test_media_dedup_pipeline(spark, resolver, tmp_path):
     kept_names = {p.rsplit("/", 1)[-1] for p in doc["kept"]}
     assert "c.png" in kept_names
     assert {"a.png", "b.png"} & kept_names  # exactly one of the twins
+
+
+def test_manifest_single_pass_variant(spark, resolver, tmp_path):
+    """The scale path of the manifest fan-out: ONE multi-path read +
+    partitioned write instead of a per-file driver loop."""
+    with resolver.context(input_path=DATA, output_path=str(tmp_path)):
+        m = AustralianAnimals()
+        m.log_to_stdout = False
+        m.set_spark(spark)
+        out_dir = str(tmp_path / "single_pass")
+        m.build_single_pass(out_dir)
+
+    result = spark.read.json(out_dir)
+    assert set(r["where"] for r in result.collect()) == {"Australia"}
+    assert result.where(result.source_file == "poisonous_animals.json").count() == 3
+    assert result.where(result.source_file == "aquatic_animals.json").count() == 1

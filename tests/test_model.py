@@ -340,3 +340,13 @@ class TestLockingRoundTrip:
         m2 = Lockable()
         m2.apply_locking(restored)
         assert m2.captured == {"cursor": 42}
+
+
+class TestStandaloneConnect:
+    def test_handle_outside_model(self, spark, tmp_path):
+        p = tmp_path / "solo.csv"
+        p.write_text("x,y\n1,a\n2,b\n")
+        handle = Connect(engine_url=f"csv://{p}").handle(spark)
+        assert handle.df.count() == 2
+        assert handle.engine_url.endswith("solo.csv")
+        assert [r["y"] for r in handle] == ["a", "b"]  # row-iteration compat
