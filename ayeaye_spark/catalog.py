@@ -83,7 +83,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
-def query(name: str, oracle: str | None = None, needs: tuple[str, ...] = ()):  # decorator
+def query(name: str, oracle: str | None = None):  # decorator
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
         QUERIES[name] = fn
         if oracle is not None:
