@@ -937,6 +937,40 @@ def dedup_transitive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH comps AS ({_components_oracle()})
+    SELECT c.component, COUNT(*) AS cluster_size,
+           SUM(d.n_chars) AS total_chars,
+           MIN(d.lang) AS min_lang
+    FROM comps c JOIN documents d ON d.doc_id = c.doc_id
+    GROUP BY c.component
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster profile: per connected component (size > 1),
+    member count, total characters, lexicographic min language — the
+    dedup report a pipeline operator would emit alongside the survivors."""
+    from .operators.graph import dedup_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=16, bands=4,
+                                    threshold=0.3)
+    comps = dedup_components(docs, pairs, "doc_id")
+    joined = comps.join(docs, on="doc_id")
+    return (
+        joined.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("lang").alias("min_lang"),
+        )
+        .where(F.col("cluster_size") > 1)
+    )
+
+
+@query(
     "dedup_simhash_groups",
     oracle=f"""
     WITH s AS (
