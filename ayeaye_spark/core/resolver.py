@@ -166,17 +166,21 @@ class ConnectorResolver:
         if with_secrets:
             mapping.update(self._secret)
 
+        leftover: list[str] = []
+
         def _sub(m: re.Match[str]) -> str:
             key = m.group(0)[1:-1]
             if key in mapping:
                 value = mapping[key]
                 if isinstance(value, DeferredResolution) or callable(value):
                     value = value()
+                # Single-pass: substituted values are literal text, never
+                # re-scanned for further {var} placeholders.
                 return str(value)
+            leftover.append(key)
             return m.group(0)
 
         url = _TEMPLATE_RE.sub(_sub, url)
-        leftover = _TEMPLATE_RE.findall(url)
         if leftover:
             raise UnresolvedUrlError(
                 f"Unresolved engine_url variables {leftover} in {engine_url!r}"
