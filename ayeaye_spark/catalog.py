@@ -226,6 +226,245 @@ shared_sql(
 )
 
 shared_sql(
+    # TPC-H Q4 adapted to this schema (no commit/receipt dates): priority
+    # mix of orders that had at least one returned item — EXISTS semijoin.
+    "q4_priority_returned",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    ("orders", "lineitem"),
+)
+
+shared_sql(
+    # TPC-H Q7: bidirectional nation-pair shipping volume by year.
+    "q7_nation_volume",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(vol_dec) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4)) AS vol_dec
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    ("supplier", "lineitem", "orders", "customer", "nation"),
+)
+
+shared_sql(
+    # TPC-H Q8: one nation's market share inside a region's ECONOMY-part
+    # order volume, per year.  Share = ratio of two exact decimal sums.
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN vol_dec
+                         ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE)
+             / CAST(SUM(vol_dec) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4)) AS vol_dec,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    ("part", "lineitem", "supplier", "orders", "customer", "nation", "region"),
+)
+
+shared_sql(
+    # TPC-H Q9 adapted (no partsupp): profit proxy = revenue minus
+    # retail-price * quantity, by supplier nation and order year.
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))
+               - CAST(p.p_retailprice * l.l_quantity AS DECIMAL(27,4)) AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    ("part", "lineitem", "supplier", "orders", "nation"),
+)
+
+shared_sql(
+    # TPC-H Q13: distribution of per-customer order counts; the filter
+    # lives in the LEFT JOIN condition so 0-order customers survive.
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    ("customer", "orders"),
+)
+
+shared_sql(
+    # TPC-H Q15: supplier(s) with the maximum quarterly revenue — CTE
+    # reused by both the join and the scalar-subquery max.
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    ("supplier", "lineitem"),
+)
+
+shared_sql(
+    # TPC-H Q17 adapted (brand only, no container): revenue lost to
+    # small-quantity orders — correlated scalar subquery per part.
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+    ("lineitem", "part"),
+)
+
+shared_sql(
+    # TPC-H Q18: large-volume orders via IN + HAVING on an exact decimal
+    # quantity sum.
+    "q18_large_orders",
+    f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {dsum('l.l_quantity')} AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(27,2))) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+    ("customer", "orders", "lineitem"),
+)
+
+shared_sql(
+    # TPC-H Q19: disjunctive brand/size/quantity predicates — exercises
+    # OR-predicate pushdown through the part join.
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT {dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 2 AND 12)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 3 AND 13)
+    """,
+    ("lineitem", "part"),
+)
+
+shared_sql(
+    # TPC-H Q21 adapted (no receipt dates): suppliers who were the ONLY
+    # supplier with returned items in a finished multi-supplier order —
+    # stacked EXISTS / NOT EXISTS correlated subqueries.
+    "q21_waiting_supplier",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 10
+    """,
+    ("supplier", "lineitem", "orders"),
+)
+
+shared_sql(
+    # TPC-H Q22 adapted (mktsegment instead of phone prefix): well-funded
+    # customers idle in the last year — scalar avg subquery + NOT EXISTS.
+    "q22_idle_rich_customers",
+    f"""
+    SELECT c.c_mktsegment, COUNT(*) AS numcust, {dsum('c.c_acctbal')} AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*)
+        FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    ("customer", "orders"),
+)
+
+shared_sql(
     "top3_orders_per_segment",
     """
     SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
