@@ -1256,8 +1256,10 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_near_dup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.4, exact=True
+    # vectorized all-pairs scan: bit-identical to the crossJoin+fold
+    # exact variant (tests assert so) at ~10x the speed
+    return similarity.embedding_near_dup_pairs_vectorized(
+        load(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
 
@@ -1352,6 +1354,19 @@ def _duck_cosine(a: str, b: str) -> str:
 def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "ann_topk_vectorized",
+    oracle=ORACLES["ann_topk_brute"],
+)
+def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same results as ann_topk_brute (bit-identical cosines — the numpy
+    path replays portable.dot's fold order), via the Arrow/numpy scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_vectorized(
+        emb, emb.where(F.col("vec_id") < 10), k=5
+    )
 
 
 @query(

@@ -127,6 +127,39 @@ class TestSimilarity:
                                                     dim=2).collect()
         assert [(p["vec_id_a"], p["vec_id_b"]) for p in pairs] == [(0, 1)]
 
+    def test_vectorized_topk_bit_identical(self, spark):
+        """The numpy path replays portable.dot's fold order — results
+        (including the float cosines) must equal the HOF path exactly."""
+        from ayeaye_spark.catalog import load
+        from tests.conftest import SF_SMALL
+
+        emb = load(spark, SF_SMALL, "embeddings")
+        q = emb.where(F.col("vec_id") < 5)
+        hof = sorted(map(tuple, similarity.cosine_topk(emb, q, k=7).collect()))
+        vec = sorted(map(tuple, similarity.cosine_topk_vectorized(emb, q, k=7).collect()))
+        assert hof == vec  # exact, cosine doubles included
+
+    def test_vectorized_near_dup_bit_identical(self, spark):
+        from ayeaye_spark.catalog import load
+        from tests.conftest import SF_SMALL
+
+        emb = load(spark, SF_SMALL, "embeddings")
+        slow = sorted(map(tuple, similarity.embedding_near_dup_pairs(
+            emb, threshold=0.4, exact=True).collect()))
+        fast = sorted(map(tuple, similarity.embedding_near_dup_pairs_vectorized(
+            emb, threshold=0.4).collect()))
+        assert slow == fast and len(fast) > 0
+
+    def test_vectorized_topk_plan_has_no_crossjoin(self, spark):
+        from ayeaye_spark.catalog import load
+        from tests.conftest import SF_SMALL
+
+        emb = load(spark, SF_SMALL, "embeddings")
+        df = similarity.cosine_topk_vectorized(emb, emb.where(F.col("vec_id") < 5), k=5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+        assert "MapInPandas" in plan
+
 
 class TestMultimodal:
     def test_binary_pipeline(self, spark, tmp_path):
