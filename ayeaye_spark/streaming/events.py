@@ -121,6 +121,53 @@ def stateful_running_totals(
     )
 
 
+def interval_event_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "30 minutes",
+    watermark: str = "2 hours",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: each left event pairs with
+    right events on the same keys arriving within ``[left_ts, left_ts +
+    max_delay]``.
+
+    On streaming inputs both sides are watermarked — the time-range
+    condition lets Spark bound the join state (left rows are evicted once
+    ``left_ts + max_delay`` falls behind the right watermark), so state
+    stays O(window x rate) at any scale instead of growing forever.  On
+    batch inputs the identical plan runs as a normal range join (how the
+    tests cross-check stream output against the batch answer).
+    """
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    keep = [c for c in r.columns if c not in on]
+    r = r.select(*on, *[F.col(c).alias(f"{right_prefix}{c}") for c in keep])
+    p_right_ts = f"{right_prefix}{right_ts}"
+    cond = (
+        F.col(p_right_ts) >= F.col(left_ts)
+    ) & (F.col(p_right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    return l.join(r, on=on, how="inner").where(cond)
+
+
+def enrich_with_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: a streaming fact joined to a small
+    static dimension.  The dimension is broadcast — no shuffle and no
+    streaming state at all; Spark re-plans it per micro-batch, picking up
+    dimension changes between batches."""
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
     """Execute a bounded stream fully (availableNow) into a memory sink;
     returns the result as a batch DataFrame."""

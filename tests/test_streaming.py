@@ -179,3 +179,50 @@ def test_progress_logging_throttle(spark):
     m2.log_progress(0.1)
     m2.log_progress(0.2)
     assert len([line for line in seen if "PROGRESS" in line]) == 1
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (view -> later click per user) gives
+    exactly the batch range-join answer on the same data."""
+    path = _events_parquet(spark, tmp_path)
+    batch = spark.read.parquet(path)
+    views_b = batch.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    clicks_b = batch.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+
+    def key_set(df):
+        return {(r["event_id"], r["r_event_id"]) for r in df.collect()}
+
+    expected = key_set(
+        streamops.interval_event_join(
+            views_b, clicks_b, on=["user_id"], max_delay="30 minutes"
+        )
+    )
+    assert expected  # non-trivial join at sf0.001
+
+    stream = streamops.stream_from_parquet(spark, path)
+    views_s = stream.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    clicks_s = stream.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    joined = streamops.interval_event_join(
+        views_s, clicks_s, on=["user_id"], max_delay="30 minutes"
+    )
+    got = key_set(streamops.run_to_memory(joined, "interval_join_test", output_mode="append"))
+    assert got == expected
+
+
+def test_enrich_with_static_broadcasts(spark, tmp_path):
+    """Stream-static join: every micro-batch row is enriched from the
+    broadcast dimension; no state, no shuffle of the stream side."""
+    path = _events_parquet(spark, tmp_path)
+    dim = spark.createDataFrame(
+        [("view", 1.0), ("click", 5.0), ("purchase", 25.0)], ["event_type", "weight"]
+    )
+    stream = streamops.stream_from_parquet(spark, path)
+    enriched = streamops.enrich_with_static(stream, dim, on=["event_type"])
+    result = streamops.run_to_memory(enriched, "enrich_test", output_mode="append")
+    rows = result.collect()
+    assert len(rows) == spark.read.parquet(path).count()
+    weighted = [r for r in rows if r["weight"] is not None]
+    batch_match = spark.read.parquet(path).where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).count()
+    assert len(weighted) == batch_match
