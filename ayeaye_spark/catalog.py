@@ -1401,8 +1401,9 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") % 50 == 0)
-    # queries ⊆ corpus → assign cells once, filter the query side from it
-    cells = similarity.assign_cells(emb, centroids)
+    # queries ⊆ corpus → assign cells once (vectorized — bit-identical to
+    # the HOF assignment), filter the query side from it
+    cells = similarity.assign_cells_vectorized(emb, centroids)
     return similarity.ivf_topk_from_cells(cells, cells.where(F.col("vec_id") < 10), k=5)
 
 
@@ -1428,9 +1429,9 @@ def _lsh_sig_duck() -> str:
 )
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    # bucket the corpus once; the query side filters the bucketed frame
-    sig = similarity.hyperplane_signature("embedding", 6, 64)(SPARK)
-    bucketed = emb.withColumn("bucket", F.expr(sig))
+    # bucket the corpus once (vectorized signature — same sign pattern as
+    # the SQL expression); the query side filters the bucketed frame
+    bucketed = similarity.with_lsh_bucket_vectorized(emb)
     c = bucketed.select(F.col("vec_id").alias("neighbor_id"),
                         F.col("embedding").alias("_cvec"), "bucket")
     q = bucketed.where(F.col("vec_id") < 10).select(

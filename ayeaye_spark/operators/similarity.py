@@ -427,3 +427,89 @@ def embedding_near_dup_pairs_vectorized(
     return df.select(id_col, vec_col).mapInPandas(
         gen, f"{id_col}_a long, {id_col}_b long, cosine double"
     )
+
+
+def assign_cells_vectorized(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized IVF assignment — bit-identical to :func:`assign_cells`
+    (same sequential fold → same cosine doubles → same argmax) at numpy
+    speed.  Centroids are collected (small by contract) and shipped in
+    the closure; ties pick the smallest centroid id, matching the
+    window's ``ORDER BY cosine DESC, centroid_id ASC``."""
+    import numpy as np
+
+    cent_rows = sorted(
+        centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    cent_mat = _matrix([r[1] for r in cent_rows])
+    cent_norm = np.sqrt(_seq_sqnorm(cent_mat))
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # copy the fields — StructType.add would MUTATE the DataFrame's
+    # cached schema object in place
+    schema = StructType(
+        corpus.select(id_col, vec_col).schema.fields
+        + [StructField("centroid_id", LongType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v_mat = _matrix(pdf[vec_col])
+            cos = _seq_dot_matrix(v_mat, cent_mat) / (
+                np.sqrt(_seq_sqnorm(v_mat))[:, None] * cent_norm[None, :]
+            )
+            # argmax returns the FIRST max — centroid matrix is sorted by
+            # id ascending, so ties resolve to the smallest id
+            pdf = pdf.copy()
+            pdf["centroid_id"] = cent_ids[np.argmax(cos, axis=1)]
+            yield pdf
+
+    return corpus.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def with_lsh_bucket_vectorized(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Vectorized :func:`hyperplane_signature` — same pseudo-hyperplane
+    weights ``((p*31 + i*17) % 7) - 3`` folded in the same order, so the
+    sign pattern (and bucket id) is bit-identical to the SQL expression,
+    without its O(dim^2) interpreted ``element_at(transform(...))`` cost."""
+    import numpy as np
+
+    w = np.array(
+        [[((p * 31 + i * 17) % 7) - 3 for i in range(1, dim + 1)] for p in range(n_planes)],
+        dtype=np.float64,
+    )
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cols = list(df.columns)
+    # copy — StructType.add mutates the cached schema in place
+    schema = StructType(df.schema.fields + [StructField(out_col, LongType())])
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v_mat = _matrix(pdf[vec_col])
+            dots = _seq_dot_matrix(v_mat, w)
+            pdf = pdf.copy()
+            pdf[out_col] = ((dots > 0).astype(np.int64) * powers[None, :]).sum(axis=1)
+            yield pdf
+
+    return df.select(*cols).mapInPandas(gen, schema)

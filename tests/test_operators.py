@@ -150,6 +150,40 @@ class TestSimilarity:
             emb, threshold=0.4).collect()))
         assert slow == fast and len(fast) > 0
 
+    def test_vectorized_assign_cells_bit_identical(self, spark):
+        from ayeaye_spark.catalog import load
+        from tests.conftest import SF_SMALL
+
+        emb = load(spark, SF_SMALL, "embeddings")
+        centroids = emb.where(F.col("vec_id") % 50 == 0)
+        hof = sorted(
+            (r["vec_id"], r["centroid_id"])
+            for r in similarity.assign_cells(emb, centroids).collect()
+        )
+        vec = sorted(
+            (r["vec_id"], r["centroid_id"])
+            for r in similarity.assign_cells_vectorized(emb, centroids).collect()
+        )
+        assert hof == vec
+
+    def test_vectorized_lsh_bucket_bit_identical(self, spark):
+        from ayeaye_spark.catalog import load
+        from tests.conftest import SF_SMALL
+
+        emb = load(spark, SF_SMALL, "embeddings")
+        sig = similarity.hyperplane_signature("embedding", 6, 64)(
+            similarity.SPARK
+        )
+        hof = sorted(
+            (r["vec_id"], r["bucket"])
+            for r in emb.withColumn("bucket", F.expr(sig)).select("vec_id", "bucket").collect()
+        )
+        vec = sorted(
+            (r["vec_id"], r["bucket"])
+            for r in similarity.with_lsh_bucket_vectorized(emb).select("vec_id", "bucket").collect()
+        )
+        assert hof == vec
+
     def test_vectorized_topk_plan_has_no_crossjoin(self, spark):
         from ayeaye_spark.catalog import load
         from tests.conftest import SF_SMALL
