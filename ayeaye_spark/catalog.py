@@ -58,8 +58,20 @@ def _ensure_session_defaults(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
 
 
+# (appId, sf_dir, table) -> DataFrame.  A DataFrame is a reusable plan
+# fragment; caching it skips the parquet footer/schema re-inference that
+# otherwise costs ~100ms per table per query (a 7-table join pays ~1s of
+# pure planning overhead without this).  Keyed by applicationId so a
+# stopped-and-recreated session never sees stale plans.
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_defaults(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # the events table stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read nanos as long and rebuild a (microsecond)
@@ -67,8 +79,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # div-1000 is exact and matches DuckDB's TIMESTAMP_NS view.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _LOAD_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
