@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import portable as P
-from .operators import dedup, relational, similarity
+from .operators import dedup, relational, sampling, similarity
 from .operators import text as textops
 
 SPARK, DUCK = P.SPARK, P.DUCKDB
@@ -1090,6 +1090,94 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             )
         ).alias("step3_purchase"),
+    )
+
+
+@query(
+    "docs_split_stats",
+    oracle=f"""
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM (SELECT CASE WHEN {sampling.bucket_expr('doc_id')} < 900 THEN 'train'
+                      WHEN {sampling.bucket_expr('doc_id')} < 950 THEN 'val'
+                      ELSE 'test' END AS split, n_chars
+          FROM documents) t
+    GROUP BY split ORDER BY split
+    """,
+)
+def docs_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test split (900/50/50 permille):
+    the same doc lands in the same split on any engine, run, or cluster
+    size — selection never touches rand() or row order."""
+    docs = sampling.deterministic_split(load(spark, sf_dir, "documents"), "doc_id")
+    return (
+        docs.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
+@query(
+    "docs_lang_rebalance",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS total_chars
+    FROM documents
+    WHERE {sampling.bucket_expr('doc_id')} <
+          CASE WHEN lang = 'en' THEN 300 ELSE 800 END
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def docs_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic downsampling: keep 30% of the dominant
+    language and 80% of the rest (corpus rebalancing).  Buckets nest, so
+    raising a rate only ADDS documents — already-selected docs stay."""
+    kept = sampling.rate_sample(
+        load(spark, sf_dir, "documents"), "doc_id",
+        rate_by={"lang": {"en": 300}}, default_permille=800,
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "docs_token_budget",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST({P.token_count('text', DUCK)} AS BIGINT) AS ntok,
+             {P.quality_score_ppm_from_tokens('text', 'toks', DUCK)} AS quality_ppm
+      FROM (SELECT doc_id, text, {P.tokens('text', DUCK)} AS toks FROM documents)
+    ),
+    ranked AS (
+      SELECT doc_id, ntok, quality_ppm,
+             SUM(ntok) OVER (ORDER BY quality_ppm DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM scored
+    )
+    SELECT COUNT(*) AS n_docs, SUM(ntok) AS total_tokens,
+           MIN(quality_ppm) AS min_quality_ppm
+    FROM ranked WHERE cum <= 15000
+    """,
+)
+def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token budgeting: keep the best documents until the
+    corpus hits a token budget (the data-curation cut).  Integer token
+    counts + total ordering (quality DESC, doc_id) make the kept set
+    exact on both engines."""
+    docs = textops.with_quality_score(load(spark, sf_dir, "documents"), "text")
+    docs = textops.with_token_counts(docs, "text").withColumn(
+        "ntok", F.col("ws_tokens").cast("long")
+    )
+    kept = sampling.token_budget_filter(
+        docs, id_col="doc_id", token_col="ntok", score_col="quality_ppm",
+        budget=15_000,
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("total_tokens"),
+        F.min("quality_ppm").alias("min_quality_ppm"),
     )
 
 

@@ -349,3 +349,47 @@ class TestAsofForward:
                                       right_value_cols=["v"], direction="forward",
                                       strict=True)
         assert strict.collect()[0]["v"] is None
+
+
+class TestSampling:
+    def test_split_covers_all_rows_deterministically(self, spark):
+        from ayeaye_spark.operators import sampling
+
+        df = spark.createDataFrame([(i,) for i in range(1000)], ["id"])
+        out = sampling.deterministic_split(df, "id")
+        counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 1000
+        assert set(counts) == {"train", "val", "test"}
+        assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+        # rerun gives the identical assignment
+        again = {r["id"]: r["split"] for r in sampling.deterministic_split(df, "id").collect()}
+        first = {r["id"]: r["split"] for r in out.collect()}
+        assert first == again
+
+    def test_split_permilles_must_sum(self, spark):
+        import pytest as _pytest
+
+        from ayeaye_spark.operators import sampling
+
+        df = spark.createDataFrame([(1,)], ["id"])
+        with _pytest.raises(ValueError):
+            sampling.deterministic_split(df, "id", splits=[("a", 500), ("b", 400)])
+
+    def test_rate_samples_nest(self, spark):
+        from ayeaye_spark.operators import sampling
+
+        df = spark.createDataFrame([(i,) for i in range(2000)], ["id"])
+        small = {r["id"] for r in sampling.rate_sample(df, "id", rate_permille=200).collect()}
+        large = {r["id"] for r in sampling.rate_sample(df, "id", rate_permille=600).collect()}
+        assert small and small < large  # strictly nested
+
+    def test_token_budget_boundary(self, spark):
+        from ayeaye_spark.operators import sampling
+
+        rows = [(1, 10, 900), (2, 10, 800), (3, 10, 700), (4, 10, 600)]
+        df = spark.createDataFrame(rows, ["id", "ntok", "score"])
+        kept = sampling.token_budget_filter(
+            df, id_col="id", token_col="ntok", score_col="score", budget=25
+        ).collect()
+        # 10 + 10 fit; the third row would reach 30 > 25
+        assert sorted(r["id"] for r in kept) == [1, 2]
