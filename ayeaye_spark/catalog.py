@@ -1181,6 +1181,69 @@ def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST({P.token_count('text', DUCK)} AS BIGINT) AS ntok
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, ntok,
+             (SUM(ntok) OVER (ORDER BY doc_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - ntok) // 2048 AS pack_id
+      FROM toks
+    )
+    SELECT pack_id, COUNT(*) AS n_docs, SUM(ntok) AS pack_tokens
+    FROM packed GROUP BY pack_id ORDER BY pack_id
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: contiguous greedy fill of 2048-token
+    packs over id-ordered documents; per-pack stats.  Exact integer
+    cumsum -> identical packs on both engines."""
+    docs = textops.with_token_counts(load(spark, sf_dir, "documents"), "text")
+    docs = docs.withColumn("ntok", F.col("ws_tokens").cast("long"))
+    packed = sampling.pack_sequences(
+        docs, id_col="doc_id", token_col="ntok", budget=2048
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("ntok").alias("pack_tokens"))
+        .orderBy("pack_id")
+    )
+
+
+def _duck_contamination_oracle(n: int = 3, min_shared: int = 2) -> str:
+    token_hashes = P.hash_array(P.tokens("text", DUCK), DUCK)
+    shingles = P.token_hash_ngrams("th", n, DUCK)
+    bkt = sampling.bucket_expr("doc_id")
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id, {bkt} AS bkt, list_distinct(sh) AS hs
+      FROM (SELECT doc_id, {shingles} AS sh
+            FROM (SELECT doc_id, {token_hashes} AS th FROM documents))
+    ),
+    ev AS (SELECT doc_id, unnest(hs) AS h FROM hashed WHERE bkt >= 950),
+    tr AS (SELECT doc_id, unnest(hs) AS h FROM hashed WHERE bkt < 900)
+    SELECT e.doc_id AS eval_id, t.doc_id AS train_id, COUNT(*) AS shared_ngrams
+    FROM ev e JOIN tr t ON e.h = t.h
+    GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+    """
+
+
+@query("decontaminate_splits", oracle=_duck_contamination_oracle())
+def decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination across the deterministic split: test-
+    split docs sharing >= 2 distinct 3-gram shingle hashes with a train-
+    split doc (inverted-index join, eval side broadcast)."""
+    docs = sampling.with_bucket(load(spark, sf_dir, "documents"), "doc_id")
+    ev = docs.where(F.col("bucket") >= 950)
+    tr = docs.where(F.col("bucket") < 900)
+    return dedup.contamination_pairs(ev, tr, "doc_id", "text", n=3, min_shared=2)
+
+
 # --------------------------------------------------------------------------
 # 3. Deduplication (north-star)
 # --------------------------------------------------------------------------

@@ -329,3 +329,41 @@ def ngram_jaccard_pairs(
             "jaccard",
         )
     )
+
+
+def contamination_pairs(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: (eval_id, train_id, shared_ngrams) for
+    every eval document sharing ≥ ``min_shared`` distinct word-n-gram
+    shingle hashes with a training document.
+
+    Inverted-index join, same scale shape as :func:`ngram_jaccard_pairs`:
+    explode each side's DISTINCT shingle hashes, equi-join on the hash
+    (shuffle on hash — uniform keys), count matches per doc pair =
+    exact distinct-overlap size.  The eval side is small in practice
+    (benchmarks), so its exploded form broadcasts and the train corpus
+    streams through one scan.
+    """
+    ev = (
+        with_shingle_hashes(eval_df, text_col, n)
+        .select(F.col(id_col).alias("eval_id"),
+                F.explode(F.array_distinct("shingle_hashes")).alias("_h"))
+    )
+    tr = (
+        with_shingle_hashes(train_df, text_col, n)
+        .select(F.col(id_col).alias("train_id"),
+                F.explode(F.array_distinct("shingle_hashes")).alias("_h"))
+    )
+    return (
+        tr.join(F.broadcast(ev), on="_h")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .where(F.col("shared_ngrams") >= min_shared)
+    )

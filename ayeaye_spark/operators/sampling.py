@@ -126,3 +126,30 @@ def token_budget_filter(
         .where(F.col("_cum_tokens") <= budget)
         .drop("_cum_tokens")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Contiguous-fill sequence packing: rows ordered by id, each row
+    joins the pack its running token count starts in — ``pack_id =
+    (cumsum - tokens) div budget``.
+
+    The deterministic streaming formulation of training-sequence packing
+    (docs → fixed-token training rows): exact integer math, one global
+    sort of the narrow (id, tokens) projection, no driver loop.  Packs
+    may overflow the budget by at most one document (standard greedy
+    fill; oversized docs would be pre-split upstream).
+    """
+    w = (
+        Window.orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # integer `div`, not `/`: float division of big longs loses exactness
+    return df.withColumn("_cum", F.sum(token_col).over(w)).withColumn(
+        "pack_id", F.expr(f"(_cum - {token_col}) div {budget}")
+    ).drop("_cum")

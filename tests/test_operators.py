@@ -393,3 +393,24 @@ class TestSampling:
         ).collect()
         # 10 + 10 fit; the third row would reach 30 > 25
         assert sorted(r["id"] for r in kept) == [1, 2]
+
+    def test_pack_sequences_greedy_fill(self, spark):
+        from ayeaye_spark.operators import sampling
+
+        rows = [(1, 1000), (2, 1000), (3, 100), (4, 2000), (5, 10)]
+        df = spark.createDataFrame(rows, ["id", "ntok"])
+        got = {r["id"]: r["pack_id"] for r in
+               sampling.pack_sequences(df, id_col="id", token_col="ntok", budget=2048).collect()}
+        # cum-ntok: 0, 1000, 2000, 2100, 4100 -> packs 0,0,0,1,2
+        assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 2}
+
+    def test_contamination_pairs_counts_distinct_overlap(self, spark):
+        ev = spark.createDataFrame([(100, "alpha beta gamma delta")], ["doc_id", "text"])
+        tr = spark.createDataFrame(
+            [(1, "alpha beta gamma epsilon"),   # shares 2 trigram-ish shingles? depends on n=2
+             (2, "totally different words here")],
+            ["doc_id", "text"],
+        )
+        pairs = dedup.contamination_pairs(ev, tr, "doc_id", "text", n=2, min_shared=2).collect()
+        assert [(p["eval_id"], p["train_id"]) for p in pairs] == [(100, 1)]
+        assert pairs[0]["shared_ngrams"] == 2  # 'alpha beta', 'beta gamma'
