@@ -1,0 +1,83 @@
+"""Python/numpy twins of the ``portable`` hash chain.
+
+Every function here reproduces the corresponding SQL expression in
+``functions.portable`` EXACTLY — same tokenization, same integer
+arithmetic mod ``PRIME`` — so a pandas-UDF stage can replace the
+interpreted higher-order-function stage without changing a single
+output value.  ``tests/test_portable_fuzz.py`` asserts the parity on
+the adversarial corpus; the DuckDB oracle gate asserts it end-to-end.
+
+Parity contract (and its edges):
+
+* tokenization splits on the JAVA regex ``\\s+`` — the ASCII class
+  ``[ \\t\\n\\x0b\\f\\r]+`` — NOT Python's unicode-aware ``\\s``;
+* ``char_hash`` folds code points (``ord``), matching Spark/DuckDB
+  ``ascii()`` for all Basic-Multilingual-Plane text (the engines split
+  supplementary-plane characters differently from each other too, so
+  non-BMP text is outside the portable contract entirely);
+* all arithmetic stays in int64: ``PRIME`` ≈ 1e9, multipliers ≤ 31 —
+  products < 2^63, no overflow, no floats anywhere.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .portable import PRIME, minhash_params
+
+# Java regex \s — ASCII-only whitespace (Python's \s would also match
+# unicode spaces like \xa0 and silently diverge from the SQL engines)
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def tokens(text: str) -> list[str]:
+    """Twin of ``portable.tokens``: lowercased ws-split, empties removed."""
+    return [t for t in _JAVA_WS.split(text.lower()) if t]
+
+
+def char_hash(token: str) -> int:
+    """Twin of ``portable.char_hash``: h = fold(7, h*31 + codepoint)."""
+    h = 7
+    for ch in token:
+        h = (h * 31 + ord(ch)) % PRIME
+    return h
+
+
+def token_hashes(toks: list[str], cache: dict[str, int]) -> list[int]:
+    """Char-hash each token, memoizing per distinct token (Zipf's law
+    makes the distinct set tiny relative to the token stream)."""
+    out = []
+    for t in toks:
+        h = cache.get(t)
+        if h is None:
+            h = cache[t] = char_hash(t)
+        out.append(h)
+    return out
+
+
+def shingle_hashes(th: list[int], n: int):
+    """Twin of ``portable.token_hash_ngrams``: distinct window-combined
+    n-gram hashes, ascending (set semantics downstream — order free)."""
+    import numpy as np
+
+    if len(th) < n:
+        return np.empty(0, dtype=np.int64)
+    arr = np.asarray(th, dtype=np.int64)
+    m = len(arr) - n + 1
+    g = arr[:m].copy()
+    for k in range(1, n):
+        g = (g * 31 + arr[k : k + m]) % PRIME
+    return np.unique(g)
+
+
+def minhash(sh, k: int):
+    """Twin of ``portable.minhash_from_hashes``: k affine-permutation
+    minima; empty shingle set yields the PRIME sentinel for every slot."""
+    import numpy as np
+
+    if len(sh) == 0:
+        return np.full(k, PRIME, dtype=np.int64)
+    params = minhash_params(k)
+    a = np.array([p[0] for p in params], dtype=np.int64)
+    b = np.array([p[1] for p in params], dtype=np.int64)
+    return ((a[:, None] * sh[None, :] + b[:, None]) % PRIME).min(axis=1)

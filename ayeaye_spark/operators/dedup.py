@@ -100,6 +100,41 @@ def with_minhash_signature(
     )
 
 
+def minhash_signatures_vectorized(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = 16
+) -> DataFrame:
+    """Stage-1 twin of :func:`with_minhash_signature` as one Arrow-batched
+    pandas pass: (_id, minhash, _hashset).
+
+    Runs the ``functions.portable_py`` chain (tokens → memoized char
+    hash → window-combined shingle hashes → k-permutation minima) —
+    bit-identical to the SQL expressions (fuzz-tested) at a fraction of
+    the interpreted-HOF cost.  Distinct tokens are hashed once per batch
+    (Zipf), everything else is numpy int64.
+    """
+    from ..functions import portable_py as PY
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cache: dict[str, int] = {}
+            ids, sigs, sets = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                th = PY.token_hashes(PY.tokens(text or ""), cache)
+                sh = PY.shingle_hashes(th, n)
+                ids.append(doc_id)
+                sigs.append(PY.minhash(sh, k).tolist())
+                sets.append(sh.tolist())
+            yield pd.DataFrame({"_id": ids, "minhash": sigs, "_hashset": sets})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, "_id long, minhash array<long>, _hashset array<long>"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -110,6 +145,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     strategy: str = "bucket",
+    signature: str = "vectorized",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact verification.
 
@@ -139,11 +175,14 @@ def minhash_lsh_pairs(
     """
     _tune_session(df)
     r = k // bands
-    sig = with_minhash_signature(df, text_col, n, k).select(
-        F.col(id_col).alias("_id"),
-        F.col("minhash"),
-        F.array_distinct("shingle_hashes").alias("_hashset"),
-    )
+    if signature == "vectorized":
+        sig = minhash_signatures_vectorized(df, id_col, text_col, n=n, k=k)
+    else:
+        sig = with_minhash_signature(df, text_col, n, k).select(
+            F.col(id_col).alias("_id"),
+            F.col("minhash"),
+            F.array_distinct("shingle_hashes").alias("_hashset"),
+        )
     band_cols = []
     for b in range(bands):
         band_key = F.concat_ws(

@@ -139,3 +139,33 @@ def relational_asof(left, right, direction):
 
     return asof_join(left, right, on="t", by=["u"], right_value_cols=["v"],
                      direction=direction)
+
+
+@pytest.mark.parametrize("seed", [42, 7])
+def test_python_twin_matches_sql_chain(spark, seed):
+    """functions.portable_py must reproduce the SQL hash chain exactly on
+    the adversarial corpus: tokens -> char hash -> 3-gram shingle hashes
+    -> minhash signature (the vectorized dedup stage's contract)."""
+    from ayeaye_spark.functions import portable_py as PY
+
+    texts = make_corpus(seed=seed)
+    pdf = pd.DataFrame({"rid": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("fuzz_py")
+
+    sql = (
+        f"SELECT rid, {P.token_hash_ngrams('th', 3, P.SPARK)} AS sh, "
+        f"{P.minhash_from_hashes('sh0', 8, P.SPARK)} AS mh FROM "
+        f"(SELECT rid, {P.hash_array(P.tokens('text', P.SPARK), P.SPARK)} AS th, "
+        f" {P.token_hash_ngrams('th0', 3, P.SPARK)} AS sh0 FROM "
+        f" (SELECT rid, text, {P.hash_array(P.tokens('text', P.SPARK), P.SPARK)} AS th0 "
+        f"  FROM fuzz_py))"
+    )
+    srows = {r["rid"]: (sorted(r["sh"]), list(r["mh"])) for r in spark.sql(sql).collect()}
+
+    cache = {}
+    for rid, text in enumerate(texts):
+        sh = PY.shingle_hashes(PY.token_hashes(PY.tokens(text), cache), 3)
+        mh = PY.minhash(sh, 8)
+        got = (sorted(sh.tolist()), mh.tolist())
+        assert got == srows[rid], f"rid={rid} text={text[:60]!r}"
