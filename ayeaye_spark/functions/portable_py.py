@@ -81,3 +81,17 @@ def minhash(sh, k: int):
     a = np.array([p[0] for p in params], dtype=np.int64)
     b = np.array([p[1] for p in params], dtype=np.int64)
     return ((a[:, None] * sh[None, :] + b[:, None]) % PRIME).min(axis=1)
+
+
+def simhash32(th) -> int:
+    """Twin of ``portable.simhash32_from_hashes``: bit b of the 32-bit
+    fingerprint is 1 iff the +/-1 vote sum of the tokens' b-th hash bits
+    is positive.  Votes use the FULL token stream (duplicates count)."""
+    import numpy as np
+
+    if len(th) == 0:
+        return 0
+    arr = np.asarray(th, dtype=np.int64)
+    bits = (arr[:, None] >> np.arange(32)) & 1          # (tokens, 32)
+    votes = (2 * bits - 1).sum(axis=0)
+    return int(((votes > 0).astype(np.int64) << np.arange(32)).sum())

@@ -163,9 +163,17 @@ def test_python_twin_matches_sql_chain(spark, seed):
     )
     srows = {r["rid"]: (sorted(r["sh"]), list(r["mh"])) for r in spark.sql(sql).collect()}
 
+    simhash_sql = (
+        f"SELECT rid, {P.simhash32_from_hashes('th', P.SPARK)} AS sim FROM "
+        f"(SELECT rid, {P.hash_array(P.tokens('text', P.SPARK), P.SPARK)} AS th FROM fuzz_py)"
+    )
+    ssim = {r["rid"]: r["sim"] for r in spark.sql(simhash_sql).collect()}
+
     cache = {}
     for rid, text in enumerate(texts):
-        sh = PY.shingle_hashes(PY.token_hashes(PY.tokens(text), cache), 3)
+        th = PY.token_hashes(PY.tokens(text), cache)
+        sh = PY.shingle_hashes(th, 3)
         mh = PY.minhash(sh, 8)
         got = (sorted(sh.tolist()), mh.tolist())
         assert got == srows[rid], f"rid={rid} text={text[:60]!r}"
+        assert PY.simhash32(th) == ssim[rid], f"simhash rid={rid} text={text[:60]!r}"
