@@ -1,0 +1,126 @@
+"""End-to-end training-corpus curation pipeline as one Model.
+
+The full LLM-data path composed from the engine's curation operators,
+all deterministic (hash-bucket selection, integer token math — the same
+corpus comes out on any cluster size or engine):
+
+1. near-duplicate removal (MinHash LSH, vectorized signatures);
+2. deterministic train/eval split (LCG id buckets);
+3. benchmark decontamination — drop train docs sharing n-grams with the
+   eval split;
+4. language rebalancing (stratified deterministic downsampling);
+5. quality-ranked token budgeting;
+6. training-sequence packing into fixed-token packs.
+
+Writes the packed corpus as parquet and a JSON stage-by-stage funnel
+manifest.  No reference counterpart (SURVEY §2.5 new capability) —
+the Model/Connect surface is the reference's (``model.py:55-92``).
+"""
+
+import os
+import sys
+
+# allow running as a plain script: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ayeaye_spark import AccessMode, Connect, Model
+from ayeaye_spark.operators import dedup, sampling
+from ayeaye_spark.operators import text as textops
+
+
+class TrainingCorpusPipeline(Model):
+    documents = Connect(engine_url="parquet://{docs_path}")
+    packed_corpus = Connect(
+        engine_url="parquet://{output_path}/packed_corpus.parquet",
+        access=AccessMode.READWRITE,  # post_build_check reads it back
+    )
+    funnel_manifest = Connect(
+        engine_url="json://{output_path}/corpus_funnel.json;indent=2",
+        access=AccessMode.READWRITE,  # post_build_check reads it back
+    )
+
+    pack_budget = 2048           # tokens per training sequence
+    corpus_budget = 15_000       # total token budget after quality ranking
+    en_keep_permille = 500       # downsample dominant language to 50%
+
+    def build(self):
+        funnel = {}
+        docs = self.documents.df
+        funnel["input"] = docs.count()
+
+        # 1. near-dup removal (transitive closure is a separate job at
+        # scale; single-link is the standard first pass)
+        docs = dedup.minhash_dedup(docs, "doc_id", "text", n=3, k=16,
+                                   bands=4, threshold=0.3)
+        funnel["after_dedup"] = docs.count()
+
+        # 2. deterministic split: eval buckets never train
+        docs = sampling.deterministic_split(docs, "doc_id")
+        train = docs.where(F.col("split") == "train").drop("split")
+        eval_docs = docs.where(F.col("split") != "train").drop("split")
+
+        # 3. decontamination: drop train docs overlapping the eval split
+        contaminated = dedup.contamination_pairs(
+            eval_docs, train, "doc_id", "text", n=3, min_shared=2
+        ).select(F.col("train_id").alias("doc_id")).distinct()
+        train = train.join(contaminated, on="doc_id", how="left_anti")
+        funnel["after_decontamination"] = train.count()
+
+        # 4. language rebalance (nested samples: growing a rate later
+        # only adds docs)
+        train = sampling.rate_sample(
+            train, "doc_id",
+            rate_by={"lang": {"en": self.en_keep_permille}},
+            default_permille=1000,
+        )
+        funnel["after_rebalance"] = train.count()
+
+        # 5. quality-ranked token budget
+        train = textops.with_quality_score(train, "text")
+        train = textops.with_token_counts(train, "text").withColumn(
+            "ntok", F.col("ws_tokens").cast("long")
+        )
+        train = sampling.token_budget_filter(
+            train, id_col="doc_id", token_col="ntok",
+            score_col="quality_ppm", budget=self.corpus_budget,
+        )
+        funnel["after_token_budget"] = train.count()
+
+        # 6. pack into fixed-token training sequences
+        packed = sampling.pack_sequences(
+            train, id_col="doc_id", token_col="ntok", budget=self.pack_budget
+        ).select("doc_id", "lang", "ntok", "quality_ppm", "pack_id")
+        self.packed_corpus.write(packed)
+
+        funnel["n_packs"] = packed.select("pack_id").distinct().count()
+        funnel["total_tokens"] = packed.agg(F.sum("ntok")).collect()[0][0]
+        self.funnel_manifest.data = funnel
+        for k, v in funnel.items():
+            self.add_stat(k, v)
+        self.log(f"corpus funnel: {funnel}")
+
+    def post_build_check(self) -> bool:
+        out = self.packed_corpus.df
+        # every pack except possibly the last stays within budget + one doc
+        overfull = out.groupBy("pack_id").agg(F.sum("ntok").alias("t")).where(
+            F.col("t") > self.pack_budget * 2
+        ).count()
+        if overfull:
+            self.log(f"{overfull} packs wildly over budget", "ERROR")
+            return False
+        if self.funnel_manifest.data["total_tokens"] > self.corpus_budget:
+            self.log("token budget exceeded", "ERROR")
+            return False
+        return True
+
+
+if __name__ == "__main__":
+    from ayeaye_spark import connector_resolver
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with connector_resolver.context(
+        docs_path="/root/testdata/sf0.001/documents.parquet", output_path=here
+    ):
+        TrainingCorpusPipeline().go()

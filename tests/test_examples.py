@@ -153,3 +153,36 @@ def test_manifest_single_pass_variant(spark, resolver, tmp_path):
     assert set(r["where"] for r in result.collect()) == {"Australia"}
     assert result.where(result.source_file == "poisonous_animals.json").count() == 3
     assert result.where(result.source_file == "aquatic_animals.json").count() == 1
+
+
+def test_training_corpus_pipeline(spark, resolver, tmp_path):
+    from examples.training_corpus import TrainingCorpusPipeline
+
+    with resolver.context(
+        docs_path="/root/testdata/sf0.001/documents.parquet",
+        output_path=str(tmp_path),
+    ):
+        model = TrainingCorpusPipeline()
+        assert model.go(), "model run (incl. post_build_check) must succeed"
+
+    import json
+
+    funnel = json.loads((tmp_path / "corpus_funnel.json").read_text())
+    # monotone funnel: every stage only removes documents
+    assert (funnel["input"] >= funnel["after_dedup"]
+            >= funnel["after_decontamination"] >= funnel["after_rebalance"]
+            >= funnel["after_token_budget"] > 0)
+    assert funnel["total_tokens"] <= TrainingCorpusPipeline.corpus_budget
+
+    packed = spark.read.parquet(str(tmp_path / "packed_corpus.parquet"))
+    assert packed.count() == funnel["after_token_budget"]
+    assert funnel["n_packs"] >= 1
+    # deterministic: a second run produces the identical doc set
+    with resolver.context(
+        docs_path="/root/testdata/sf0.001/documents.parquet",
+        output_path=str(tmp_path / "run2"),
+    ):
+        assert TrainingCorpusPipeline().go()
+    packed2 = spark.read.parquet(str(tmp_path / "run2" / "packed_corpus.parquet"))
+    assert sorted(r["doc_id"] for r in packed2.collect()) == \
+        sorted(r["doc_id"] for r in packed.collect())
