@@ -978,7 +978,9 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = textops.with_lang_id(load(spark, sf_dir, "documents"), "text")
+    docs = textops.profile_vectorized(
+        load(spark, sf_dir, "documents"), "doc_id", "text", extra_cols=("lang",)
+    )
     return docs.groupBy("lang", "lang_pred").agg(F.count("*").alias("n_docs"))
 
 
@@ -990,9 +992,10 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.with_quality_score(load(spark, sf_dir, "documents"), "text").select(
-        "doc_id", "quality_ppm"
-    )
+    # vectorized profile (bit-identical integer ppm, fuzz-tested)
+    return textops.profile_vectorized(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("doc_id", "quality_ppm")
 
 
 @query(
@@ -1484,7 +1487,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     survivors = dedup.minhash_dedup(docs, "doc_id", "text", n=3, k=16, bands=4,
                                     threshold=0.3)
-    profiled = textops.with_quality_score(textops.with_lang_id(survivors, "text"), "text")
+    profiled = textops.profile_vectorized(survivors, "doc_id", "text")
     return (
         profiled.where(F.col("quality_ppm") >= 400000)
         .groupBy("lang_pred")

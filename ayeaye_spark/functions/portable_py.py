@@ -95,3 +95,42 @@ def simhash32(th) -> int:
     bits = (arr[:, None] >> np.arange(32)) & 1          # (tokens, 32)
     votes = (2 * bits - 1).sum(axis=0)
     return int(((votes > 0).astype(np.int64) << np.arange(32)).sum())
+
+
+def stopword_hits(toks: list[str], lang: str) -> int:
+    """Twin of ``portable.stopword_hits_from_tokens`` (multiplicity counts)."""
+    from .portable import STOPWORDS
+
+    stops = frozenset(STOPWORDS[lang])
+    return sum(1 for t in toks if t in stops)
+
+
+def lang_id(toks: list[str]) -> str:
+    """Twin of ``portable.lang_id_from_tokens``: argmax stopword hits,
+    'und' on zero total, fixed en>de>fr>es tie-break (same CASE order)."""
+    en, de, fr, es = (stopword_hits(toks, lg) for lg in ("en", "de", "fr", "es"))
+    if en + de + fr + es == 0:
+        return "und"
+    if en >= de and en >= fr and en >= es:
+        return "en"
+    if de >= fr and de >= es:
+        return "de"
+    if fr >= es:
+        return "fr"
+    return "es"
+
+
+def quality_score_ppm(text: str, toks: list[str]) -> int:
+    """Twin of ``portable.quality_score_ppm_from_tokens``: exact integer
+    ppm of 0.4*alpha_ratio + 0.3*en_stopword_ratio + 0.3*min(tokens,64)/64
+    over the common denominator 640*len*tokens.  Positive operands, so
+    Python ``//`` (floor) equals SQL ``div`` (truncate)."""
+    ls = len(text)
+    tc = len(toks)
+    if ls == 0 or tc == 0:
+        return 0
+    la = sum(1 for c in text if c == " " or "A" <= c <= "Z" or "a" <= c <= "z")
+    h = stopword_hits(toks, "en")
+    m = min(tc, 64)
+    num = 256 * la * tc + 192 * h * ls + 3 * m * ls * tc
+    return (num * 1_000_000) // (640 * ls * tc)

@@ -68,3 +68,50 @@ def text_profile(df: DataFrame, text_col: str) -> DataFrame:
     out = with_quality_score(out, text_col)
     out = with_token_counts(out, text_col)
     return with_fingerprint(out, text_col).drop("_tokens")
+
+
+def profile_vectorized(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, lang_pred, quality_ppm, ws_tokens[, extra...]) in ONE Arrow
+    pass — the vectorized twin of lang-ID + quality + token count
+    (``functions.portable_py``, fuzz-tested bit parity).  Tokenizes each
+    document once for all three outputs; the SQL chain re-traverses the
+    token array per stopword list and per metric."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..functions import portable_py as PY
+
+    src = df.select(id_col, text_col, *extra_cols)
+    schema = StructType(
+        [src.schema[id_col],
+         StructField("lang_pred", StringType()),
+         StructField("quality_ppm", LongType()),
+         StructField("ws_tokens", LongType())]
+        + [src.schema[c] for c in extra_cols]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            langs, quals, ntoks = [], [], []
+            for t in pdf[text_col]:
+                t = t or ""
+                toks = PY.tokens(t)
+                langs.append(PY.lang_id(toks))
+                quals.append(PY.quality_score_ppm(t, toks))
+                ntoks.append(len(toks))
+            out = {id_col: pdf[id_col].tolist(), "lang_pred": langs,
+                   "quality_ppm": quals, "ws_tokens": ntoks}
+            for c in extra_cols:
+                out[c] = pdf[c].tolist()
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(gen, schema)

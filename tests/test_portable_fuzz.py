@@ -169,9 +169,19 @@ def test_python_twin_matches_sql_chain(spark, seed):
     )
     ssim = {r["rid"]: r["sim"] for r in spark.sql(simhash_sql).collect()}
 
+    lang_sql = (
+        f"SELECT rid, {P.lang_id_from_tokens('tk', P.SPARK)} AS lg, "
+        f"{P.quality_score_ppm_from_tokens('text', 'tk', P.SPARK)} AS q FROM "
+        f"(SELECT rid, text, {P.tokens('text', P.SPARK)} AS tk FROM fuzz_py)"
+    )
+    stext = {r["rid"]: (r["lg"], r["q"]) for r in spark.sql(lang_sql).collect()}
+
     cache = {}
     for rid, text in enumerate(texts):
-        th = PY.token_hashes(PY.tokens(text), cache)
+        toks = PY.tokens(text)
+        assert (PY.lang_id(toks), PY.quality_score_ppm(text, toks)) == stext[rid], \
+            f"text twin rid={rid} text={text[:60]!r}"
+        th = PY.token_hashes(toks, cache)
         sh = PY.shingle_hashes(th, 3)
         mh = PY.minhash(sh, 8)
         got = (sorted(sh.tolist()), mh.tolist())
