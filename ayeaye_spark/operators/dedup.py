@@ -13,10 +13,15 @@ SURVEY §2.4/§2.5), these are first-class engine operators designed for
 * :func:`ngram_jaccard_pairs` — blocked all-pairs n-gram Jaccard.
 
 All hashing comes from ``functions.portable`` so each operator has a
-bit-identical DuckDB oracle.  Everything is built-in Catalyst expressions
-(higher-order array functions) — no Python UDFs; the only shuffles are
-the groupBys/joins on hash keys, which partition uniformly by
-construction (hash keys), so the plans survive a 1000-executor scale-up.
+bit-identical DuckDB oracle.  Two interchangeable signature backends:
+the Catalyst higher-order-function expressions, and Arrow-batched
+pandas twins (``functions.portable_py``, fuzz-pinned to the same
+values) that win whenever a stage's output is consumed once — HOFs are
+interpreted, not codegen'd.  Self-join consumers keep the SQL chain
+(Spark recomputes each alias, and two pandas runs lose to two fused
+scans).  The only shuffles are the groupBys/joins on hash keys, which
+partition uniformly by construction, so the plans survive a
+1000-executor scale-up.
 LSH parameters: ``k`` total hashes in ``bands`` bands of ``k/bands`` rows
 — P(candidate) = 1-(1-s^r)^b, the standard S-curve.
 """

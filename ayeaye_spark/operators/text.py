@@ -1,12 +1,13 @@
 """Text-analysis operators: language ID, quality scoring, token counting,
 fingerprinting (north-star LLM-pipeline components, BASELINE.json).
 
-Each is a thin DataFrame wrapper over ``functions.portable`` expressions —
-pure Catalyst array/string expressions (no UDFs), bit-identical to their
-DuckDB oracles, scan-parallel with no shuffle, so they cost one pass over
-the corpus at any scale.  Tokenization is materialized ONCE per scan
-(``_tokens`` projection) — the language scorer alone evaluates four
-stopword lists, and neither engine CSEs repeated inline tokenizers.
+Two backends, bit-identical to the DuckDB oracles and to each other:
+``with_*`` wrap the ``functions.portable`` Catalyst expressions;
+``profile_vectorized`` computes lang ID + quality + token count from ONE
+tokenization per document in a single Arrow pass (the SQL chain
+re-traverses the token array per stopword list and per metric — HOFs
+don't codegen).  All scan-parallel with no shuffle: one pass over the
+corpus at any scale.
 """
 
 from __future__ import annotations

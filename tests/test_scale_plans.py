@@ -124,3 +124,37 @@ class TestPlanSummary:
             "c_acctbal" in s["columns"] and len(s["columns"]) <= 3 for s in facts["scans"]
         )  # projection pruned to join+filter+output columns
         assert facts["whole_stage_codegen"] is True
+
+
+class TestVectorizedOperatorPlans:
+    def test_profile_scans_only_needed_columns(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        docs = load(spark, SF, "documents")
+        q = textops.profile_vectorized(docs, "doc_id", "text")
+        plan = physical_plan(q)
+        read_schema = plan.split("ReadSchema: ")[1][:300]
+        assert "doc_id" in read_schema and "text" in read_schema
+        assert "n_chars" not in read_schema and "source" not in read_schema  # pruned
+
+    def test_contamination_broadcasts_eval_side(self, spark):
+        from ayeaye_spark.operators import dedup, sampling
+
+        docs = sampling.with_bucket(load(spark, SF, "documents"), "doc_id")
+        ev = docs.where(F.col("bucket") >= 950)
+        tr = docs.where(F.col("bucket") < 900)
+        q = dedup.contamination_pairs(ev, tr, "doc_id", "text")
+        plan = physical_plan(q)
+        assert "BroadcastHashJoin" in plan  # eval side broadcast, no SMJ
+        assert "SortMergeJoin" not in plan
+
+    def test_vectorized_topk_shuffles_only_candidates(self, spark):
+        from ayeaye_spark.operators import similarity
+
+        emb = load(spark, SF, "embeddings")
+        q = similarity.cosine_topk_vectorized(emb, emb.where(F.col("vec_id") < 5), k=5)
+        plan = physical_plan(q)
+        # one hash shuffle of the narrow candidate rows for the window,
+        # never an all-pairs join
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
