@@ -1247,6 +1247,63 @@ def decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_pairs(ev, tr, "doc_id", "text", n=3, min_shared=2)
 
 
+@query(
+    "events_trailing_hour_counts",
+    oracle="""
+    SELECT c AS trailing_events, COUNT(*) AS n FROM (
+      SELECT COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS c
+      FROM events) t
+    GROUP BY c ORDER BY c
+    """,
+)
+def events_trailing_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-event trailing-hour activity: a RANGE window over
+    epoch-microseconds (Spark needs a numeric ordering column for
+    interval frames; counts are integers, so cross-engine exact)."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql("""
+    SELECT c AS trailing_events, COUNT(*) AS n FROM (
+      SELECT COUNT(*) OVER (PARTITION BY user_id ORDER BY unix_micros(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS c
+      FROM events) t
+    GROUP BY c ORDER BY c
+    """)
+
+
+shared_sql(
+    # string-similarity join: edit distance is integer -> engine-exact
+    "nation_name_similarity",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           levenshtein(a.n_name, b.n_name) AS dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 2
+    ORDER BY dist, name_a, name_b
+    """,
+    ("nation",),
+)
+
+
+@query(
+    "doc_redact_numbers",
+    oracle=f"""
+    SELECT COUNT(*) AS n_docs_changed, SUM(removed) AS total_chars_removed
+    FROM (SELECT length(text) - length({P.regexp_replace_all('text', '[0-9]', '', DUCK)})
+            AS removed FROM documents) t
+    WHERE removed > 0
+    """,
+)
+def doc_redact_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing smoke: redact digits corpus-wide, report how
+    many docs changed and how many characters came out (exact ints)."""
+    red = textops.with_redaction(load(spark, sf_dir, "documents"), "text")
+    return red.where(F.col("chars_removed") > 0).agg(
+        F.count(F.lit(1)).alias("n_docs_changed"),
+        F.sum("chars_removed").alias("total_chars_removed"),
+    )
+
+
 # --------------------------------------------------------------------------
 # 3. Deduplication (north-star)
 # --------------------------------------------------------------------------

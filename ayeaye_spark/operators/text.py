@@ -116,3 +116,22 @@ def profile_vectorized(
             yield pd.DataFrame(out)
 
     return src.mapInPandas(gen, schema)
+
+
+def with_redaction(
+    df: DataFrame,
+    text_col: str,
+    *,
+    pattern: str = r"[0-9]",
+    replacement: str = "",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """PII-style scrubbing: regex-redact a character class / pattern from
+    the text (digits by default — emails/phones/IDs are the production
+    patterns).  Pure `regexp_replace`: scan-parallel, no shuffle, and the
+    removed-character count is exact integer arithmetic."""
+    return df.withColumn(
+        out_col, F.regexp_replace(F.col(text_col), pattern, replacement)
+    ).withColumn(
+        "chars_removed", F.length(text_col) - F.length(out_col)
+    )
