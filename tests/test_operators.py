@@ -112,6 +112,38 @@ class TestDedup:
         # doc 3 matches doc 1 textually but is in another block
         assert [(p["doc_id_a"], p["doc_id_b"]) for p in pairs] == [(1, 2)]
 
+    def test_degenerate_corpus_no_giant_bucket_row(self, spark):
+        # exact-duplicate-heavy corpus: every doc shares every band key.
+        # The bucket strategy must route the hot bucket to the streaming
+        # self-join path (no single collect_list row of all members) and
+        # still produce the full quadratic pair set.
+        n = 2000
+        text = "the quick brown fox jumps over the lazy dog"
+        df = spark.createDataFrame([(i, text) for i in range(n)], ["doc_id", "text"])
+        pairs = dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", n=3, k=16, bands=4, threshold=0.5,
+            max_bucket_size=64,
+        )
+        assert pairs.count() == n * (n - 1) // 2
+
+    def test_bucket_routing_matches_selfjoin(self, spark):
+        # corpus with one hot cluster (> cap) and normal near-dup pairs:
+        # hybrid routing must equal the pure self-join result exactly.
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        rows = [(i, "identical hot cluster text repeated verbatim") for i in range(20)]
+        rows += [(100, base), (101, base + " extra"),
+                 (102, "completely unrelated words none match at all")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        kw = dict(n=3, k=16, bands=4, threshold=0.3)
+        hybrid = {(p["doc_id_a"], p["doc_id_b"], p["jaccard"]) for p in
+                  dedup.minhash_lsh_pairs(df, "doc_id", "text",
+                                          max_bucket_size=8, **kw).collect()}
+        pure = {(p["doc_id_a"], p["doc_id_b"], p["jaccard"]) for p in
+                dedup.minhash_lsh_pairs(df, "doc_id", "text",
+                                        strategy="selfjoin", **kw).collect()}
+        assert hybrid == pure
+        assert (100, 101) in {(a, b) for a, b, _ in hybrid}
+
 
 class TestSimilarity:
     def test_cosine_topk_exact(self, spark):
@@ -126,6 +158,27 @@ class TestSimilarity:
         pairs = similarity.embedding_near_dup_pairs(df, threshold=0.99, exact=True,
                                                     dim=2).collect()
         assert [(p["vec_id_a"], p["vec_id_b"]) for p in pairs] == [(0, 1)]
+
+    def test_near_dup_auto_gates_driver_collect(self, spark, monkeypatch):
+        rows = [(i, [1.0, 0.0]) for i in range(10)] + [(100, [0.0, 1.0])]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+        # below the gate: exact vectorized path, full pair set
+        small = similarity.embedding_near_dup_pairs_auto(
+            df, threshold=0.99, max_exact_rows=100, dim=2
+        ).collect()
+        assert len(small) == 45  # all pairs among the 10 identical vectors
+
+        # above the gate: the exact (collect-the-corpus) path must NOT run
+        def boom(*a, **k):
+            raise AssertionError("exact path collected corpus above the gate")
+
+        monkeypatch.setattr(similarity, "embedding_near_dup_pairs_vectorized", boom)
+        big = similarity.embedding_near_dup_pairs_auto(
+            df, threshold=0.99, max_exact_rows=5, n_planes=2, dim=2
+        ).collect()
+        # LSH prefilter keeps high recall on identical vectors
+        assert len(big) == 45
 
     def test_vectorized_topk_bit_identical(self, spark):
         """The numpy path replays portable.dot's fold order — results

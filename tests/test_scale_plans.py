@@ -158,3 +158,64 @@ class TestVectorizedOperatorPlans:
         # never an all-pairs join
         assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestDistributedCumsum:
+    """The curation prefix sums must NOT funnel all rows through one
+    partition: the only SinglePartition exchange allowed is the one over
+    the tiny per-bucket totals aggregate."""
+
+    def _assert_no_full_row_single_partition(self, plan: str):
+        assert "hashpartitioning(_cb" in plan  # the parallel window shuffle
+        for seg in plan.split("Exchange SinglePartition")[1:]:
+            # a SinglePartition exchange must sit on top of the bucket-
+            # totals aggregate, never on the full row stream
+            assert "HashAggregate" in seg[:400], seg[:400]
+
+    def test_pack_sequences_plan(self, spark):
+        from ayeaye_spark.operators import sampling
+
+        docs = load(spark, SF, "documents").select("doc_id", F.col("n_chars").alias("ntok"))
+        q = sampling.pack_sequences(docs, id_col="doc_id", token_col="ntok", budget=2048)
+        self._assert_no_full_row_single_partition(physical_plan(q))
+
+    def test_token_budget_plan(self, spark):
+        from ayeaye_spark.operators import sampling
+
+        docs = load(spark, SF, "documents").select(
+            "doc_id", F.col("n_chars").alias("ntok"), F.col("n_chars").alias("score")
+        )
+        q = sampling.token_budget_filter(
+            docs, id_col="doc_id", token_col="ntok", score_col="score", budget=10_000
+        )
+        self._assert_no_full_row_single_partition(physical_plan(q))
+
+    def test_budget_prunes_buckets_before_shuffle(self, spark):
+        from ayeaye_spark.operators import sampling
+
+        rows = [(i, 10, float(1000 - i)) for i in range(1000)]
+        df = spark.createDataFrame(rows, ["id", "ntok", "score"])
+        kept = sampling.token_budget_filter(
+            df, id_col="id", token_col="ntok", score_col="score", budget=205
+        ).collect()
+        # top-20 scores fit (200 tokens); 21st would reach 210 > 205
+        assert sorted(r["id"] for r in kept) == list(range(20))
+
+    def test_cumsum_matches_global_window(self, spark):
+        from pyspark.sql import Window
+
+        from ayeaye_spark.operators import sampling
+
+        rows = [(i * 7 % 500, (i % 13) + 1) for i in range(500)]
+        df = spark.createDataFrame(rows, ["id", "ntok"])
+        w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        want = {r["id"]: r["cum"] for r in df.withColumn("cum", F.sum("ntok").over(w)).collect()}
+        got = {
+            r["id"]: r["pack_id"]
+            for r in sampling.pack_sequences(
+                df, id_col="id", token_col="ntok", budget=10, id_bucket_width=64
+            ).collect()
+        }
+        # pack_id = (cum - ntok) div 10 derived from the SAME cumsum
+        for (i, n) in rows:
+            assert got[i] == (want[i] - n) // 10
