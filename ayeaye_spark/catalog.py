@@ -29,6 +29,7 @@ library (``operators/``) adds value (dedup, similarity, as-of, spans).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,11 +52,53 @@ def _ensure_session_defaults(spark: SparkSession) -> None:
     own) — pin the settings correctness depends on: UTC session timezone
     (timestamps must collect identically to DuckDB's UTC-naive values)
     and a local-scale shuffle width when the 200-partition default is in
-    place (plan shape is unaffected; AQE coalesces either way)."""
+    place (plan shape is unaffected; AQE coalesces either way).
+
+    LOUD SIDE-EFFECT NOTE: these two settings must be live at ACTION
+    time (collect/write), which happens after the catalog function
+    returns a lazy DataFrame — so they cannot be save/restored here and
+    they outlive the call.  Callers embedding catalog queries in a
+    session with different needs should wrap the full
+    build-collect span in :func:`scoped_session_conf`.  The events
+    nanos-parquet flag, by contrast, is captured at plan time and IS
+    restored immediately (see :func:`load`)."""
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+@contextmanager
+def scoped_session_conf(spark: SparkSession, **confs: str):
+    """Set session confs for the duration of a block, restoring previous
+    values (or unsetting) on exit.  Use around a catalog-query
+    build-AND-collect span to keep the session's prior settings:
+
+        with scoped_session_conf(spark):                 # restore-only
+            rows = QUERIES["q1_pricing_summary"](spark, sf).collect()
+
+    With no ``confs``, snapshots/restores the keys the catalog touches.
+    """
+    keys = list(confs) or [
+        "spark.sql.session.timeZone",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.optimizer.excludedRules",
+        "spark.sql.legacy.parquet.nanosAsLong",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        yield spark
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, old)
 
 
 # (appId, sf_dir, table) -> DataFrame.  A DataFrame is a reusable plan
@@ -76,10 +119,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the events table stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read nanos as long and rebuild a (microsecond)
         # timestamp — the generator's values are micro-precision, so the
-        # div-1000 is exact and matches DuckDB's TIMESTAMP_NS view.
+        # div-1000 is exact and matches DuckDB's TIMESTAMP_NS view.  The
+        # flag is captured at PLAN time (verified: collect succeeds after
+        # restore), so restore it immediately — a later user parquet read
+        # in the same session must not silently get longs for timestamps.
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _LOAD_CACHE[key] = df

@@ -45,6 +45,16 @@ _EXCLUDED_RULES = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGener
 
 
 def _tune_session(df: DataFrame) -> None:
+    """Exclude ``InferFiltersFromGenerate`` for this session (see module
+    note: the rule re-derives the whole shingle pipeline inside a pushed
+    filter — measured 24s → 195s).
+
+    LOUD SIDE-EFFECT NOTE: optimization happens at ACTION time, after
+    the lazy DataFrame is returned, so the exclusion cannot be scoped to
+    this call and it outlives it (idempotent: appended once).  Wrap the
+    build-and-collect span in ``catalog.scoped_session_conf`` to restore
+    the previous optimizer rules afterwards.
+    """
     spark = df.sparkSession
     current = spark.conf.get("spark.sql.optimizer.excludedRules", None)
     if not current:

@@ -29,7 +29,7 @@ def connected_components(
     dst: str,
     *,
     max_iterations: int = 20,
-    collect_threshold: int = 2_000_000,
+    collect_threshold: int = 200_000,
 ) -> DataFrame:
     """(vertex, component) — component = min vertex id reachable.
 
@@ -43,7 +43,10 @@ def connected_components(
     driver-side union-find — O(E α) in milliseconds, 2 Spark jobs total
     instead of 2 per label-propagation round.  Above the threshold (or
     with ``collect_threshold=0``) the distributed min-label loop below
-    handles edge lists of any size.
+    handles edge lists of any size.  The default threshold is sized for
+    driver heap reality: collected ``Row`` tuples carry ~100x object
+    overhead over the raw ids, so 200k edges ≈ tens of MB — not the
+    hundreds of MB that 2M rows cost.
     """
     # ONE execution of the (possibly expensive) edge pipeline: collect up
     # to threshold+1 rows; only on overflow does the distributed loop

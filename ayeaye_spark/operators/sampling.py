@@ -36,8 +36,15 @@ HASH_BUCKETS = 1000
 
 def bucket_expr(id_col: str) -> str:
     """SQL text for the selection bucket — identical in Spark and DuckDB
-    (64-bit integer multiply/add/modulo; ids up to ~8e9 stay < 2^63)."""
-    return f"(({id_col} * {HASH_A} + {HASH_B}) % {HASH_BUCKETS})"
+    (64-bit integer multiply/add/modulo; ids up to ~8e9 stay < 2^63).
+
+    The double-mod is a portable ``pmod``: both engines' ``%`` keeps the
+    dividend's sign, so a bare mod would send every negative id to a
+    negative bucket — below every split boundary and every sample rate,
+    silently skewing selection.  Nonnegative ids hash identically either
+    way (the oracle pairing is unchanged)."""
+    mixed = f"({id_col} * {HASH_A} + {HASH_B})"
+    return f"(({mixed} % {HASH_BUCKETS} + {HASH_BUCKETS}) % {HASH_BUCKETS})"
 
 
 def with_bucket(df: DataFrame, id_col: str, out_col: str = "bucket") -> DataFrame:

@@ -107,6 +107,19 @@ class DataConnector:
         if not self.access.can_write:
             raise AccessModeError(f"{self.engine_url} opened without write access")
 
+    def as_pandas(self, spark: SparkSession | None = None):
+        """Entire dataset as a pandas DataFrame (reference
+        ``connectors/base.py:317-323`` exposes this on every connector).
+
+        Driver-side materialization — an escape hatch for small
+        datasets; large data stays a DataFrame."""
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ConnectorError(
+                "as_pandas needs a SparkSession: pass spark= or create one first"
+            )
+        return self.read(spark).toPandas()
+
     # -- filesystem helpers ------------------------------------------
     @property
     def local_path(self) -> str:

@@ -35,21 +35,53 @@ class SchemaContractError(ConnectorError):
     """required/expected field contract violated (cf. csv_connector.py:132-151)."""
 
 
-def _apply_transform_map(df: DataFrame, transform_map: dict[str, Callable] | None) -> DataFrame:
+def _value_udf(fn: Callable, return_type) -> Callable:
+    """Arrow-batched elementwise wrapper for a per-value python callable
+    (never row-at-a-time ``F.udf``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(return_type)
+    def _u(s):
+        return s.map(fn)
+
+    return _u
+
+
+def _apply_transform_map(df: DataFrame, transform_map: dict[str, Any] | None) -> DataFrame:
+    """Apply per-column transforms (cf. reference csv_connector.py:59-62).
+
+    Each value is one of:
+
+    * a Column-expression transform ``fn(col: Column) -> Column`` — the
+      fast JVM path, preferred;
+    * ``(fn, return_type)`` — an explicit per-value python callable, run
+      as an Arrow-batched pandas_udf with the declared result type;
+    * a bare per-value python callable — wrapped the same way with the
+      column's CURRENT type as the result type (a numeric transform on a
+      numeric column stays numeric; a type-CHANGING transform must use
+      the tuple form — the old behavior silently stringified).
+    """
     if not transform_map:
         return df
-    for column, fn in transform_map.items():
-        # fn receives the Column and returns a Column expression; plain
-        # python callables are wrapped into a (slow-path) udf.
-        try:
-            result = fn(F.col(column))
-            from pyspark.sql import Column
+    from pyspark.sql import Column
 
-            if not isinstance(result, Column):
-                raise TypeError
+    for column, spec in transform_map.items():
+        if isinstance(spec, tuple):
+            fn, rtype = spec
+            df = df.withColumn(column, _value_udf(fn, rtype)(F.col(column)))
+            continue
+        try:
+            result = spec(F.col(column))
+        except (TypeError, AttributeError):
+            # the callable can't work on a Column at all (e.g. calls str
+            # methods on its argument) — treat as per-value
+            result = None
+        if isinstance(result, Column):
             df = df.withColumn(column, result)
-        except TypeError:
-            df = df.withColumn(column, F.udf(fn)(F.col(column)))
+        else:
+            df = df.withColumn(
+                column, _value_udf(spec, df.schema[column].dataType)(F.col(column))
+            )
     return df
 
 

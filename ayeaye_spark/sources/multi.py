@@ -85,6 +85,14 @@ class MultiConnector(DataConnector):
         stays possible (cf. ``examples/manifest_mapper.py:49-57``).
         """
         self._require_read()
+        if not self.engine_urls:
+            # Connect(engine_url=[]) + add_engine_url at runtime is a
+            # legal reference pattern (multi_connector.py:63-90); an
+            # empty read must fail with intent, not IndexError.
+            raise ConnectorError(
+                "MultiConnector has no engine_urls yet — add_engine_url() "
+                "one before reading, or pass a non-empty list"
+            )
         children = self.data
         dfs = []
         for child in children:

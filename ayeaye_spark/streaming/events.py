@@ -37,15 +37,17 @@ def windowed_counts(
     slide: str | None = None,
     watermark: str = "2 hours",
     group_cols: list[str] | None = None,
+    value_col: str = "value",
 ) -> DataFrame:
-    """Watermarked windowed count+sum per (window, group_cols)."""
+    """Watermarked windowed count+sum per (window, group_cols); the
+    summed column is ``value_col`` (aliased ``sum_value`` regardless)."""
     df = events
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
     return (
         df.groupBy(win.alias("win"), *(group_cols or []))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum(value_col), 4).alias("sum_value"))
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
@@ -103,7 +105,10 @@ def stateful_running_totals(
 
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
-    output_schema = f"{key_col} long, n_events long, total_value double"
+    # derive the key field's type from the input schema — string or any
+    # other orderable key works, not just long
+    key_type = events.schema[key_col].dataType.simpleString()
+    output_schema = f"{key_col} {key_type}, n_events long, total_value double"
     state_schema = "n long, total double"
 
     def update_totals(key, pdf_iter, state):

@@ -291,3 +291,107 @@ class TestCsvParityExtras:
         assert len(set(df.columns)) == 3  # made unique
         row = df.collect()[0]
         assert "short" in list(row) and "venomous" in list(row)
+
+
+class TestTransformMapTyping:
+    def test_numeric_transform_keeps_type(self, spark, tmp_path):
+        p = tmp_path / "nums.csv"
+        p.write_text("a,b\n1,x\n2,y\n")
+        c = connector_for(
+            f"csv://{p};infer_schema=true",
+            transform_map={"a": lambda v: v * 2},
+        )
+        df = c.read(spark)
+        # Column arithmetic path: stays numeric, not stringified
+        assert df.schema["a"].dataType.typeName() in ("integer", "long", "double")
+        assert sorted(r["a"] for r in df.collect()) == [2, 4]
+
+    def test_per_value_callable_keeps_column_type(self, spark, tmp_path):
+        p = tmp_path / "strs.csv"
+        p.write_text("a,b\n1,hello\n2,world\n")
+        c = connector_for(
+            f"csv://{p}", transform_map={"b": lambda v: v.upper()}
+        )
+        df = c.read(spark)
+        assert df.schema["b"].dataType.typeName() == "string"
+        assert sorted(r["b"] for r in df.collect()) == ["HELLO", "WORLD"]
+        # no row-at-a-time PythonUDF in the plan: Arrow-batched eval only
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+    def test_explicit_return_type_tuple(self, spark, tmp_path):
+        p = tmp_path / "t.csv"
+        p.write_text("a,b\n1,x\n2,y\n")
+        c = connector_for(
+            f"csv://{p};infer_schema=true",
+            transform_map={"a": (lambda v: float(v) / 2, "double")},
+        )
+        df = c.read(spark)
+        assert df.schema["a"].dataType.typeName() == "double"
+        assert sorted(r["a"] for r in df.collect()) == [0.5, 1.0]
+
+
+class TestMultiConnectorEmpty:
+    def test_empty_engine_urls_raises_clearly(self, spark):
+        from ayeaye_spark.sources.multi import MultiConnector
+        from ayeaye_spark.sources.base import ConnectorError
+
+        mc = MultiConnector(engine_url=[])
+        with pytest.raises(ConnectorError, match="no engine_urls"):
+            mc.read(spark)
+
+    def test_add_engine_url_then_read(self, spark, tmp_path):
+        from ayeaye_spark.sources.multi import MultiConnector
+
+        p = tmp_path / "one.csv"
+        p.write_text("a,b\n1,x\n")
+        mc = MultiConnector(engine_url=[])
+        mc.add_engine_url(f"csv://{p}")
+        assert mc.read(spark).count() == 1
+
+
+class TestAsPandasBase:
+    def test_csv_as_pandas(self, spark, data_dir):
+        pdf = connector_for(f"csv://{data_dir}/creatures.csv").as_pandas(spark)
+        assert len(pdf) > 0 and "common_name" in pdf.columns
+
+    def test_ndjson_as_pandas_active_session(self, spark, tmp_path):
+        p = tmp_path / "x.ndjson"
+        p.write_text('{"a": 1}\n{"a": 2}\n')
+        # no explicit spark: falls back to the active session
+        pdf = connector_for(f"ndjson://{p}").as_pandas()
+        assert sorted(pdf["a"].tolist()) == [1, 2]
+
+
+class TestPatternExpansion:
+    def test_prefix_matcher_mirrors_reference(self):
+        from ayeaye_spark.sources.listing import pattern_prefix_matcher
+
+        prefix, matcher = pattern_prefix_matcher("data/sub/part-*.csv")
+        assert prefix == "data/sub/part-"
+        assert matcher("data/sub/part-0001.csv")
+        assert not matcher("data/sub/part-0001.csv.bak")  # fullmatch
+        assert not matcher("data/other/part-1.csv")
+
+    def test_reserved_chars_rejected(self):
+        from ayeaye_spark.sources.listing import pattern_prefix_matcher
+
+        with pytest.raises(NotImplementedError):
+            pattern_prefix_matcher("data/[ab]*.csv")
+        with pytest.raises(ValueError):
+            pattern_prefix_matcher("data/no_wildcard.csv")
+
+    def test_expand_pattern_local_fs(self, spark, tmp_path):
+        from ayeaye_spark.sources.listing import expand_pattern
+
+        d = tmp_path / "files"
+        d.mkdir()
+        for name in ("a-1.csv", "a-2.csv", "b-1.csv", "a-3.tsv"):
+            (d / name).write_text("x,y\n1,2\n")
+        urls = expand_pattern(spark, f"csv://{d}/a-*.csv")
+        assert [u.rsplit("/", 1)[1] for u in urls] == ["a-1.csv", "a-2.csv"]
+        assert all(u.startswith("csv://") for u in urls)
+        # expanded urls feed MultiConnector for per-file access
+        from ayeaye_spark.sources.multi import MultiConnector
+
+        assert MultiConnector(urls).read(spark).count() == 2

@@ -324,6 +324,26 @@ class TestConnectedComponents:
                  for r in connected_components(edges, "a", "b").collect()}
         assert comps == {10: 4, 4: 4}
 
+    def test_distributed_path_matches_union_find(self, spark):
+        from ayeaye_spark.operators.graph import connected_components
+
+        # long chains + cliques + isolated pairs, shuffled ids
+        raw = []
+        for c in range(5):  # 5 chains of 40 (diameter stress)
+            raw += [(c * 1000 + i, c * 1000 + i + 1) for i in range(40)]
+        raw += [(10_000 + i, 10_000 + j) for i in range(6) for j in range(i + 1, 6)]
+        raw += [(20_000, 30_000), (30_000, 25_000)]
+        edges = spark.createDataFrame(raw, ["a", "b"])
+
+        driver = {r["vertex"]: r["component"]
+                  for r in connected_components(edges, "a", "b").collect()}
+        # collect_threshold=0 forces the min-label-propagation loop
+        dist = {r["vertex"]: r["component"]
+                for r in connected_components(
+                    edges, "a", "b", collect_threshold=0, max_iterations=50
+                ).collect()}
+        assert dist == driver
+
 
 class TestScd2:
     def test_merge_closes_and_chains_versions(self, spark):
@@ -467,3 +487,55 @@ class TestSampling:
         pairs = dedup.contamination_pairs(ev, tr, "doc_id", "text", n=2, min_shared=2).collect()
         assert [(p["eval_id"], p["train_id"]) for p in pairs] == [(100, 1)]
         assert pairs[0]["shared_ngrams"] == 2  # 'alpha beta', 'beta gamma'
+
+
+class TestNegativeIdBuckets:
+    def test_negative_ids_bucket_in_range(self, spark):
+        from ayeaye_spark.operators import sampling
+
+        df = spark.createDataFrame([(i,) for i in range(-50, 50)], ["id"])
+        buckets = [r["bucket"] for r in sampling.with_bucket(df, "id").collect()]
+        assert all(0 <= b < sampling.HASH_BUCKETS for b in buckets)
+        # splits partition ALL rows, including negative ids
+        split = sampling.deterministic_split(df, "id")
+        assert split.count() == 100
+        # a 0-permille-complement rate keeps a proper subset, not everything
+        kept = sampling.rate_sample(df, "id", rate_permille=500).count()
+        assert 0 < kept < 100
+
+
+class TestHeaderDecode:
+    FIXTURES = "tests/fixtures/media"
+
+    def test_png_ihdr_golden(self):
+        b = open(f"{self.FIXTURES}/tiny.png", "rb").read()
+        got = multimodal.parse_png_header(b)
+        assert got == {"format": "png", "width": 3, "height": 2, "channels": 3}
+
+    def test_wav_riff_golden(self):
+        b = open(f"{self.FIXTURES}/tiny.wav", "rb").read()
+        got = multimodal.parse_wav_header(b)
+        # 2000 frames @ 8kHz mono 16-bit = 250ms, byte rate 16000
+        assert got == {"format": "wav", "channels": 1, "sample_rate": 8000,
+                       "duration_ms": 250}
+
+    def test_other_formats_golden(self):
+        gif = multimodal.parse_gif_header(open(f"{self.FIXTURES}/tiny.gif", "rb").read())
+        assert (gif["width"], gif["height"]) == (5, 4)
+        bmp = multimodal.parse_bmp_header(open(f"{self.FIXTURES}/tiny.bmp", "rb").read())
+        assert (bmp["width"], bmp["height"]) == (1, 2)
+        jpg = multimodal.parse_jpeg_header(open(f"{self.FIXTURES}/tiny.jpg", "rb").read())
+        assert (jpg["width"], jpg["height"]) == (9, 7)
+
+    def test_wrong_magic_returns_none(self):
+        junk = b"\x89PNG not really a png at all"
+        assert multimodal.parse_png_header(junk) is None
+        assert multimodal.parse_wav_header(b"RIFFxxxxNOPE") is None
+
+    def test_decode_images_end_to_end(self, spark):
+        df = multimodal.read_binary_dir(spark, self.FIXTURES, "image")
+        got = {r["format"]: r for r in multimodal.decode_images(df).collect()}
+        assert got["png"]["width"] == 3 and got["png"]["height"] == 2
+        assert got["wav"]["sample_rate"] == 8000 and got["wav"]["duration_ms"] == 250
+        assert got["jpeg"]["width"] == 9
+        assert {"gif", "bmp"} <= set(got)

@@ -226,3 +226,37 @@ def test_enrich_with_static_broadcasts(spark, tmp_path):
         F.col("event_type").isin("view", "click", "purchase")
     ).count()
     assert len(weighted) == batch_match
+
+
+def test_stateful_totals_string_key(spark, tmp_path):
+    """The state/output schema derives the key type from the input —
+    string keys work, not just long."""
+    import datetime
+
+    rows = [("a", 1.0, datetime.datetime(2024, 1, 1, 10)),
+            ("a", 2.0, datetime.datetime(2024, 1, 1, 11)),
+            ("b", 5.0, datetime.datetime(2024, 1, 1, 12))]
+    df = spark.createDataFrame(rows, ["name", "value", "ts"])
+    path = str(tmp_path / "sk")
+    df.write.parquet(path)
+
+    stream_df = streamops.stream_from_parquet(spark, path)
+    out = streamops.stateful_running_totals(stream_df, key_col="name")
+    q = (out.writeStream.format("memory").queryName("sk_totals")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["name"]: (r["n_events"], r["total_value"])
+           for r in spark.sql("SELECT * FROM sk_totals").collect()}
+    assert got == {"a": (2, 3.0), "b": (1, 5.0)}
+
+
+def test_windowed_counts_custom_value_col(spark):
+    import datetime
+
+    rows = [(datetime.datetime(2024, 1, 1, 10, 5), 2.0),
+            (datetime.datetime(2024, 1, 1, 10, 40), 3.0),
+            (datetime.datetime(2024, 1, 1, 11, 10), 7.0)]
+    df = spark.createDataFrame(rows, ["ts", "amount"])
+    got = {r["window_start"].hour: (r["n_events"], r["sum_value"])
+           for r in streamops.windowed_counts(df, value_col="amount").collect()}
+    assert got == {10: (2, 5.0), 11: (1, 7.0)}
