@@ -1734,3 +1734,126 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 5)
             .select("query_id", "bucket", "neighbor_id", "cosine", "rank"))
+
+
+# --------------------------------------------------------------------------
+# round-2 breadth: corpus profiling / cross-modal quality queries
+# --------------------------------------------------------------------------
+
+shared_sql(
+    "docs_source_stats",
+    """
+    SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+           SUM(n_chars) AS total_chars, MIN(doc_id) AS first_doc
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    needs=("documents",),
+)
+
+shared_sql(
+    "events_daily_active_users",
+    """
+    SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau,
+           COUNT(*) AS n_events
+    FROM events GROUP BY CAST(ts AS DATE) ORDER BY day
+    """,
+    needs=("events",),
+)
+
+
+@query(
+    "docs_repetition_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({P.size(P.tokens('text', DUCK), DUCK)} AS BIGINT) AS n_tokens,
+           CAST({P.size(P.distinct(P.tokens('text', DUCK), DUCK), DUCK)} AS BIGINT)
+             AS n_distinct,
+           {P.int_div(
+               f"CAST({P.size(P.distinct(P.tokens('text', DUCK), DUCK), DUCK)} AS BIGINT) * 1000000",
+               f"CAST({P.size(P.tokens('text', DUCK), DUCK)} AS BIGINT)", DUCK)}
+             AS distinct_ppm
+    FROM documents
+    """,
+)
+def docs_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: distinct-token ratio in integer ppm
+    (low ratio = TEMPLATE/boilerplate-heavy doc — the standard cheap
+    repetition filter in corpus curation).  Shuffle-free scan; exact
+    integer arithmetic on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    toks = P.tokens("text", SPARK)
+    n = f"CAST({P.size(toks, SPARK)} AS BIGINT)"
+    nd = f"CAST({P.size(P.distinct(toks, SPARK), SPARK)} AS BIGINT)"
+    return docs.select(
+        "doc_id",
+        F.expr(n).alias("n_tokens"),
+        F.expr(nd).alias("n_distinct"),
+        F.expr(P.int_div(f"{nd} * 1000000", n, SPARK)).alias("distinct_ppm"),
+    )
+
+
+@query(
+    "docs_token_histogram",
+    oracle=f"""
+    SELECT {P.int_div(f"CAST({P.token_count('text', DUCK)} AS BIGINT)", "20", DUCK)}
+             AS bucket,
+           COUNT(*) AS n_docs,
+           SUM(CAST({P.token_count('text', DUCK)} AS BIGINT)) AS total_tokens
+    FROM documents GROUP BY 1 ORDER BY bucket
+    """,
+)
+def docs_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (20-token buckets): the length profile a
+    curation pipeline reads before setting min/max-length filters.
+    Map-side combinable aggregate over a shuffle-free scan."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = f"CAST({P.token_count('text', SPARK)} AS BIGINT)"
+    return (
+        docs.select(
+            F.expr(P.int_div(ntok, "20", SPARK)).alias("bucket"),
+            F.expr(ntok).alias("_ntok"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_ntok").alias("total_tokens"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "emb_label_agreement",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.label AS la, b.label AS lb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {P.cosine(P.cast_double_array('a.embedding', DUCK), P.cast_double_array('b.embedding', DUCK), DUCK)} >= 0.4
+    )
+    SELECT COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS same_label_pairs,
+           {P.int_div("CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) * 1000000", "COUNT(*)", DUCK)}
+             AS agreement_ppm
+    FROM pairs
+    """,
+)
+def emb_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space sanity metric: of near-duplicate vector pairs
+    (cosine ≥ 0.4), what fraction share a cluster label?  Joins the
+    size-gated near-dup operator with the label column — integer counts
+    and ppm, so the check is exact while the pair generation reuses the
+    production path."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs_auto(emb, threshold=0.4)
+    lab = emb.select("vec_id", "label")
+    labeled = (
+        pairs.join(lab.withColumnRenamed("vec_id", "vec_id_a")
+                   .withColumnRenamed("label", "la"), on="vec_id_a")
+        .join(lab.withColumnRenamed("vec_id", "vec_id_b")
+              .withColumnRenamed("label", "lb"), on="vec_id_b")
+    )
+    agg = labeled.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("la") == F.col("lb"), 1).otherwise(0)).cast("bigint").alias("same_label_pairs"),
+    )
+    return agg.withColumn(
+        "agreement_ppm",
+        F.expr(P.int_div("same_label_pairs * 1000000", "n_pairs", SPARK)),
+    )

@@ -396,15 +396,17 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     block_col: str | None = None,
     max_shingle_df: int | None = None,
-    signature: str = "sql",
+    signature: str = "vectorized",
 ) -> DataFrame:
     """Set-similarity join via inverted index (no cross join).
 
-    ``signature="sql"`` is the default HERE (unlike minhash): the
-    prepped hash sets feed an exploded SELF-join, and Spark recomputes
-    both aliases — two runs of a pandas stage lose to two fused scans
-    of the codegen'd SQL chain (measured 2.3s vs 2.05s at sf0.1).
-    Single-use consumers (contamination) use the vectorized stage.
+    The exploded (id, size, hash) frame is materialized ONCE
+    (``localCheckpoint``) before the self-join: both join aliases read
+    the checkpoint instead of re-running the shingle pipeline per side.
+    That flips the round-1 tradeoff — the Arrow-vectorized shingle stage
+    now wins (measured at sf0.1: sql-no-ckpt 2.3s → vectorized+ckpt
+    1.1s steady-state); ``signature="sql"`` keeps the pure-codegen chain
+    available.
 
     Pairs above a positive Jaccard threshold must share ≥1 shingle, so:
     explode each doc's distinct shingle-hash set, equi-join on the hash
@@ -437,7 +439,10 @@ def ngram_jaccard_pairs(
             F.array_distinct("shingle_hashes").alias("_hashset"),
             *([F.col(block_col).alias("_block")] if block_col else []),
         )
-    prepped = prepped.withColumn("_size", F.size("_hashset"))
+    # one shingle pass serves both self-join aliases AND the exact-verify
+    # set lookups in the max_shingle_df path (pre-explode form: smallest
+    # stored footprint)
+    prepped = prepped.withColumn("_size", F.size("_hashset")).localCheckpoint(eager=False)
     exploded = prepped.select(
         "_id", "_size", *(["_block"] if block_col else []),
         F.explode("_hashset").alias("_h"),
