@@ -1857,3 +1857,54 @@ def emb_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agreement_ppm",
         F.expr(P.int_div("same_label_pairs * 1000000", "n_pairs", SPARK)),
     )
+
+
+def _duck_boilerplate_oracle(n: int = 3, min_df: int = 2) -> str:
+    token_hashes = P.hash_array(P.tokens("text", DUCK), DUCK)
+    shingles = P.token_hash_ngrams("th", n, DUCK)
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id, list_distinct(sh) AS hs
+      FROM (SELECT doc_id, {shingles} AS sh
+            FROM (SELECT doc_id, {token_hashes} AS th FROM documents))
+    ),
+    ex AS (SELECT doc_id, unnest(hs) AS h FROM hashed),
+    freq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h)
+    SELECT e.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.df >= {min_df} THEN 1 ELSE 0 END) AS BIGINT)
+             AS shared_shingles,
+           CASE WHEN COUNT(*) = 0 THEN 0
+                ELSE CAST(SUM(CASE WHEN f.df >= {min_df} THEN 1 ELSE 0 END) AS BIGINT)
+                     * 1000000 // COUNT(*) END AS boilerplate_ppm
+    FROM ex e JOIN freq f ON e.h = f.h
+    GROUP BY e.doc_id
+    """
+
+
+@query("docs_boilerplate_score", oracle=_duck_boilerplate_oracle())
+def docs_boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate signal: per doc, the ppm of its
+    distinct 3-gram shingles shared by ≥2 documents (headers/footers/
+    chrome detection before near-dup passes).  Inverted-index shape —
+    one shingling pass, hash-keyed df count, no self-join."""
+    return dedup.boilerplate_score(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, min_df=2
+    )
+
+
+from .operators.sampling import bucket_expr as _bexpr  # noqa: E402
+
+shared_sql(
+    "docs_stratified_sample",
+    f"""
+    SELECT lang, doc_id, n_chars, rk FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY {_bexpr('doc_id')}, doc_id
+             ) AS rk
+      FROM documents
+    ) t WHERE rk <= 10 ORDER BY lang, rk
+    """,
+    needs=("documents",),
+)

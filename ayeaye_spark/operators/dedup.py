@@ -538,3 +538,44 @@ def contamination_pairs(
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
         .where(F.col("shared_ngrams") >= min_shared)
     )
+
+
+def boilerplate_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """(id, n_shingles, shared_shingles, boilerplate_ppm): per document,
+    the fraction (integer ppm) of its distinct token-n-gram shingles
+    that also occur in at least ``min_df`` documents overall — the cheap
+    cross-document boilerplate signal (headers, footers, navigation
+    chrome) corpus curation filters on before near-dup passes.
+
+    Scale shape: one Arrow shingling pass materialized once
+    (``localCheckpoint`` — the frame feeds both the document-frequency
+    aggregate and the per-doc rollup), explode → hash-keyed df count
+    (uniform keys), join back, per-doc aggregate.  No self-join, no
+    quadratic stage.
+    """
+    prepped = shingle_hashsets_vectorized(df, id_col, text_col, n=n)
+    prepped = prepped.localCheckpoint(eager=False)
+    exploded = prepped.select("_id", F.explode("_hashset").alias("_h"))
+    dfreq = exploded.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        exploded.join(dfreq, on="_h")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_df") >= min_df, 1).otherwise(0)).alias("shared_shingles"),
+        )
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_shingles",
+        "shared_shingles",
+        F.expr("CASE WHEN n_shingles = 0 THEN 0 "
+               "ELSE shared_shingles * 1000000 div n_shingles END").alias("boilerplate_ppm"),
+    )

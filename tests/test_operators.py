@@ -539,3 +539,28 @@ class TestHeaderDecode:
         assert got["wav"]["sample_rate"] == 8000 and got["wav"]["duration_ms"] == 250
         assert got["jpeg"]["width"] == 9
         assert {"gif", "bmp"} <= set(got)
+
+
+class TestBoilerplateAndStratified:
+    def test_boilerplate_score_golden(self, spark):
+        # docs 1+2 share the 'a b c d' run (2 shared 2-shingles); doc 3 unique
+        rows = [(1, "a b c d x"), (2, "a b c d y"), (3, "p q r s t")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: (r["n_shingles"], r["shared_shingles"], r["boilerplate_ppm"])
+               for r in dedup.boilerplate_score(df, "doc_id", "text", n=2, min_df=2).collect()}
+        # doc1 2-shingles: ab bc cd dx -> shared: ab bc cd (3 of 4)
+        assert got[1] == (4, 3, 750000)
+        assert got[2] == (4, 3, 750000)
+        assert got[3] == (4, 0, 0)
+
+    def test_stratified_sample_deterministic(self, spark):
+        from ayeaye_spark.operators import sampling
+
+        rows = [(i, "g%d" % (i % 3)) for i in range(300)]
+        df = spark.createDataFrame(rows, ["id", "grp"])
+        a = sampling.stratified_sample(df, ["grp"], "id", k=5)
+        b = sampling.stratified_sample(df.repartition(13), ["grp"], "id", k=5)
+        sa = sorted((r["grp"], r["id"]) for r in a.collect())
+        sb = sorted((r["grp"], r["id"]) for r in b.collect())
+        assert sa == sb                     # partitioning-independent
+        assert len(sa) == 15                # 5 per group
