@@ -19,3 +19,19 @@ class TestSessionConfHygiene:
         with scoped_session_conf(spark, **{"spark.sql.shuffle.partitions": "7"}):
             assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
         assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+class TestStreamingCatalogEntry:
+    def test_stream_matches_batch_twin(self, spark):
+        from ayeaye_spark.catalog import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        batch = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in QUERIES["events_hourly_window"](spark, sf).collect()
+        }
+        stream = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in QUERIES["events_stream_hourly_counts"](spark, sf).collect()
+        }
+        assert stream == batch
