@@ -1898,24 +1898,19 @@ def docs_boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from .operators.sampling import bucket_expr as _bexpr  # noqa: E402
-
 shared_sql(
     "docs_stratified_sample",
     f"""
     SELECT lang, doc_id, n_chars, rk FROM (
       SELECT lang, doc_id, n_chars,
              ROW_NUMBER() OVER (
-               PARTITION BY lang ORDER BY {_bexpr('doc_id')}, doc_id
+               PARTITION BY lang ORDER BY {sampling.bucket_expr('doc_id')}, doc_id
              ) AS rk
       FROM documents
     ) t WHERE rk <= 10 ORDER BY lang, rk
     """,
     needs=("documents",),
 )
-
-
-_STREAM_RUN_SEQ = [0]
 
 
 @query("events_stream_hourly_counts")  # no oracle: streaming drain, rows-only check
@@ -1948,6 +1943,12 @@ def events_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
     stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = streamops.windowed_counts(stream, window="1 hour", group_cols=["event_type"])
-    _STREAM_RUN_SEQ[0] += 1
-    name = f"events_stream_hourly_{_STREAM_RUN_SEQ[0]}"
-    return streamops.run_to_memory(agg, name, output_mode="complete")
+    # one fixed sink name: availableNow queries terminate inside
+    # run_to_memory, so re-invocations replace the table instead of
+    # accumulating one fully-materialized memory table per call.  The
+    # result is detached from the sink (localCheckpoint) and the temp
+    # view dropped, so nothing outlives the call.
+    name = "events_stream_hourly_sink"
+    out = streamops.run_to_memory(agg, name, output_mode="complete").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out

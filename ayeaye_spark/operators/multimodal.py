@@ -105,6 +105,8 @@ def parse_jpeg_header(b: bytes) -> dict | None:
         if pos + 4 > len(b):
             return None
         seglen = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        if seglen < 2:  # malformed segment — would loop forever
+            return None
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
             return {"format": "jpeg", "width": w, "height": h,
@@ -207,7 +209,13 @@ def decode_images(
             decoded = pdf[content_col].map(decoder)
             out = pd.DataFrame(list(decoded))
             out.insert(0, "path", pdf[path_col].values)
-            yield out[[c for c in cols if c in out.columns]]
+            # a pluggable decoder may emit a subset of the schema (the
+            # round-1 {width,height,channels,mean_intensity} contract):
+            # fill absent columns with nulls, drop extras
+            for c in cols:
+                if c not in out.columns:
+                    out[c] = None
+            yield out[cols]
 
     return df.mapInPandas(run, schema=batch_schema)
 

@@ -250,8 +250,6 @@ def stratified_sample(
 
     One hash-shuffled window per group; no ``rand()``, no driver state.
     """
-    from pyspark.sql import Window
-
     w = Window.partitionBy(*group_cols).orderBy(
         F.expr(bucket_expr(id_col)), F.col(id_col)
     )

@@ -72,9 +72,10 @@ def _apply_transform_map(df: DataFrame, transform_map: dict[str, Any] | None) ->
             continue
         try:
             result = spec(F.col(column))
-        except (TypeError, AttributeError):
-            # the callable can't work on a Column at all (e.g. calls str
-            # methods on its argument) — treat as per-value
+        except (TypeError, AttributeError, ValueError):
+            # the callable can't work on a Column at all — str methods,
+            # or truthiness/comparison (bool(Column) raises ValueError,
+            # e.g. max(v, 0) / `if v`) — treat as per-value
             result = None
         if isinstance(result, Column):
             df = df.withColumn(column, result)
@@ -321,11 +322,6 @@ class ParquetConnector(DataConnector):
             )
             return
         writer.parquet(spark_path(self.url))
-
-    def as_pandas(self, spark: SparkSession):
-        """Escape hatch mirroring ``parquet_connector.py:112-117``."""
-        return self.read(spark).toPandas()
-
 
 class JsonConnector(DataConnector):
     """``json://`` — whole single JSON document (json_connector.py:12-115).

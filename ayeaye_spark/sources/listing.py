@@ -80,12 +80,26 @@ def expand_pattern(spark: SparkSession, engine_url: str) -> list[str]:
     if not fs.exists(jpath):
         return []
 
+    mods = "".join(f"{m}+" for m in modifiers)
     found: list[str] = []
     it = fs.listFiles(jpath, True)  # recursive
     while it.hasNext():
-        status = it.next()
-        full = status.getPath().toUri().getPath()
+        uri = it.next().getPath().toUri()
+        full = _match_target(uri.getAuthority(), uri.getPath())
         if matcher(full):
-            mods = "".join(f"{m}+" for m in modifiers)
             found.append(f"{mods}{engine_type}://{full}")
     return sorted(found)
+
+
+def _match_target(authority: str | None, path: str) -> str:
+    """URI → the string the pattern was written against.
+
+    Remote stores put the bucket in the URI *authority* and the key in
+    the path (``s3a://bucket/data/f.csv`` → authority ``bucket``, path
+    ``/data/f.csv``), while the reference-style pattern is
+    ``bucket/data/f.csv`` — so re-join them.  Local files have no
+    authority and match on the absolute path as-is.
+    """
+    if authority:
+        return f"{authority}{path}"
+    return path

@@ -564,3 +564,47 @@ class TestBoilerplateAndStratified:
         sb = sorted((r["grp"], r["id"]) for r in b.collect())
         assert sa == sb                     # partitioning-independent
         assert len(sa) == 15                # 5 per group
+
+
+class TestReviewRegressions:
+    def test_decode_with_subset_decoder_contract(self, spark):
+        # a round-1-style pluggable decoder returning only 4 keys must not
+        # crash; missing schema columns come back null
+        df = multimodal.read_binary_dir(spark, "tests/fixtures/media", "image")
+        rows = multimodal.decode_images(df, decoder=multimodal.fake_decode).collect()
+        assert all(r["format"] is None and r["width"] is not None for r in rows)
+
+    def test_transform_map_truthiness_callable_falls_back(self, spark, tmp_path):
+        p = tmp_path / "m.csv"
+        p.write_text("a,b\n-3,x\n2,y\n")
+        from ayeaye_spark import connector_for
+
+        c = connector_for(f"csv://{p};infer_schema=true",
+                          transform_map={"a": lambda v: max(v, 0)})
+        assert sorted(r["a"] for r in c.read(spark).collect()) == [0, 2]
+
+    def test_s3_style_uri_match_target(self):
+        from ayeaye_spark.sources.listing import _match_target, pattern_prefix_matcher
+
+        # s3a uris put the bucket in the authority; the pattern keeps it
+        _, matcher = pattern_prefix_matcher("bucket/data/part-*.csv")
+        assert matcher(_match_target("bucket", "/data/part-0001.csv"))
+        assert not matcher(_match_target("other", "/data/part-0001.csv"))
+        # local files: no authority, absolute path as-is
+        assert _match_target(None, "/tmp/x.csv") == "/tmp/x.csv"
+
+    def test_parquet_as_pandas_active_session(self, spark, tmp_path):
+        from ayeaye_spark import AccessMode, connector_for
+
+        df = spark.createDataFrame([(1, "x")], ["a", "b"])
+        connector_for(f"parquet://{tmp_path}/t", access=AccessMode.WRITE).write(df)
+        pdf = connector_for(f"parquet://{tmp_path}/t").as_pandas()
+        assert pdf["a"].tolist() == [1]
+
+    def test_stream_query_leaves_no_temp_view(self, spark):
+        from ayeaye_spark.catalog import QUERIES
+
+        out = QUERIES["events_stream_hourly_counts"](spark, "/root/testdata/sf0.001")
+        assert out.count() > 0
+        names = [t.name for t in spark.catalog.listTables()]
+        assert "events_stream_hourly_sink" not in names
