@@ -1952,3 +1952,63 @@ def events_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streamops.run_to_memory(agg, name, output_mode="complete").localCheckpoint()
     spark.catalog.dropTempView(name)
     return out
+
+
+def _duck_incremental_oracle(n: int = 3, k: int = 16, bands: int = 4,
+                             threshold: float = 0.3, split_at: int = 800) -> str:
+    """Oracle for incremental dedup: band-collision pairs over the tagged
+    corpus, then the drop rule (new-vs-old drops new; new-vs-new drops
+    the larger id)."""
+    r = k // bands
+    token_hashes = P.hash_array(P.tokens("text", DUCK), DUCK)
+    shingle_hashes = P.token_hash_ngrams("th", n, DUCK)
+    band_match = " OR ".join(
+        "("
+        + " AND ".join(f"a.mh[{b * r + j + 1}] = b.mh[{b * r + j + 1}]" for j in range(r))
+        + ")"
+        for b in range(bands)
+    )
+    bkt = sampling.bucket_expr("doc_id")
+    return f"""
+    WITH tagged AS (
+      SELECT doc_id, text, {bkt} >= {split_at} AS is_new FROM documents
+    ),
+    s AS (
+      SELECT doc_id, is_new, list_distinct(sh) AS hashset,
+             {P.minhash_from_hashes('sh', k, DUCK)} AS mh
+      FROM (SELECT doc_id, is_new, {shingle_hashes} AS sh
+            FROM (SELECT doc_id, is_new, {token_hashes} AS th FROM tagged))
+    ),
+    matched AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, a.is_new AS a_new, b.is_new AS b_new
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE ({band_match})
+        AND {P.jaccard('a.hashset', 'b.hashset', DUCK)} >= {threshold}
+    ),
+    dropped AS (
+      SELECT DISTINCT CASE WHEN a_new AND NOT b_new THEN ida
+                           WHEN b_new AND NOT a_new THEN idb
+                           WHEN a_new AND b_new THEN idb END AS doc_id
+      FROM matched WHERE a_new OR b_new
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE {sampling.bucket_expr('d.doc_id')} >= {split_at}
+      AND d.doc_id NOT IN (SELECT doc_id FROM dropped WHERE doc_id IS NOT NULL)
+    """
+
+
+@query("dedup_incremental_survivors", oracle=_duck_incremental_oracle())
+def dedup_incremental_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-batch dedup: treat the hash-bucket tail (≥800)
+    as a NEW batch folded into the existing deduplicated corpus —
+    survivors are new docs that near-duplicate neither the existing
+    corpus nor an earlier new doc.  The existing side is read, never
+    rewritten: the 100 TB shape for continuous ingestion."""
+    docs = sampling.with_bucket(load(spark, sf_dir, "documents"), "doc_id")
+    existing = docs.where(F.col("bucket") < 800)
+    increment = docs.where(F.col("bucket") >= 800)
+    out = dedup.minhash_dedup_incremental(
+        existing, increment, "doc_id", "text", n=3, k=16, bands=4, threshold=0.3
+    )
+    return out.select("doc_id", "lang", "n_chars")

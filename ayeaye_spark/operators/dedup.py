@@ -579,3 +579,47 @@ def boilerplate_score(
         F.expr("CASE WHEN n_shingles = 0 THEN 0 "
                "ELSE shared_shingles * 1000000 div n_shingles END").alias("boilerplate_ppm"),
     )
+
+
+def minhash_dedup_incremental(
+    existing: DataFrame,
+    increment: DataFrame,
+    id_col: str,
+    text_col: str,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Incremental corpus dedup: survivors of ``increment`` after
+    removing docs that near-duplicate the ``existing`` corpus OR an
+    earlier (smaller-id) increment doc.  The existing corpus is never
+    modified — the standard shape for folding a new crawl batch into a
+    deduplicated 100 TB corpus without re-deduping the whole thing.
+
+    Ids must be unique across both frames (they key the pair roles).
+    Drop rule per near-dup pair (a < b): new-vs-existing drops the new
+    doc whichever side it is on; new-vs-new drops the larger id.
+    """
+    ex = existing.select(id_col, text_col)
+    inc = increment.select(id_col, text_col)
+    tagged = ex.withColumn("_is_new", F.lit(False)).unionByName(
+        inc.withColumn("_is_new", F.lit(True))
+    )
+    pairs = minhash_lsh_pairs(tagged, id_col, text_col, **lsh_kwargs)
+    tags = tagged.select(id_col, "_is_new")
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    labeled = (
+        pairs.join(tags.withColumnRenamed(id_col, a)
+                   .withColumnRenamed("_is_new", "_a_new"), on=a)
+        .join(tags.withColumnRenamed(id_col, b)
+              .withColumnRenamed("_is_new", "_b_new"), on=b)
+    )
+    dropped = (
+        labeled.select(
+            F.when(F.col("_a_new") & ~F.col("_b_new"), F.col(a))
+            .when(F.col("_b_new") & ~F.col("_a_new"), F.col(b))
+            .when(F.col("_a_new") & F.col("_b_new"), F.col(b))
+            .alias(id_col)
+        )
+        .where(F.col(id_col).isNotNull())
+        .distinct()
+    )
+    return increment.join(dropped, on=id_col, how="left_anti")

@@ -608,3 +608,22 @@ class TestReviewRegressions:
         assert out.count() > 0
         names = [t.name for t in spark.catalog.listTables()]
         assert "events_stream_hourly_sink" not in names
+
+
+class TestIncrementalDedup:
+    def test_drop_rules_golden(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        other = "completely unrelated text with different words entirely here now"
+        existing = spark.createDataFrame([(1, base), (2, other)], ["doc_id", "text"])
+        increment = spark.createDataFrame(
+            [(10, base + " extra"),      # near-dups existing doc 1 -> dropped
+             (11, "fresh new unique content nothing matches this string at all"),
+             (12, "fully distinct sentence one of a pair duplicated inside the increment"),
+             (13, "fully distinct sentence one of a pair duplicated inside the increment zz")],
+            ["doc_id", "text"],
+        )
+        out = dedup.minhash_dedup_incremental(
+            existing, increment, "doc_id", "text", n=3, k=16, bands=4, threshold=0.3
+        )
+        # 10 dropped (matches existing), 13 dropped (matches 12, larger id)
+        assert sorted(r["doc_id"] for r in out.collect()) == [11, 12]
