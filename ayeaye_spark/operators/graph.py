@@ -81,9 +81,12 @@ def _connected_components_distributed(
     edges: DataFrame, src: str, dst: str, max_iterations: int
 ) -> DataFrame:
     """Iterative min-label propagation (the any-scale path)."""
-    both = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # materialize the (possibly expensive) edge pipeline once — the
+    # direction-doubling union would otherwise run it per branch
+    narrow = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=False
+    )
+    both = narrow.union(narrow.select(F.col("b").alias("a"), F.col("a").alias("b")))
     both = both.distinct().localCheckpoint(eager=False)
 
     labels = (

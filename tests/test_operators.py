@@ -627,3 +627,73 @@ class TestIncrementalDedup:
         )
         # 10 dropped (matches existing), 13 dropped (matches 12, larger id)
         assert sorted(r["doc_id"] for r in out.collect()) == [11, 12]
+
+
+class TestMediaParserProperties:
+    def test_png_roundtrip_random_dims(self):
+        import struct
+        import zlib
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        def make_png(w, h, color, depth=8):
+            def chunk(ctype, data):
+                return (struct.pack(">I", len(data)) + ctype + data
+                        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+            ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+            return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+        @settings(max_examples=50, deadline=None)
+        @given(w=st.integers(1, 1 << 24), h=st.integers(1, 1 << 24),
+               color=st.sampled_from([0, 2, 3, 4, 6]))
+        def check(w, h, color):
+            got = multimodal.parse_png_header(make_png(w, h, color))
+            assert got == {"format": "png", "width": w, "height": h,
+                           "channels": channels[color]}
+
+        check()
+
+    def test_wav_roundtrip_random_audio(self, tmp_path):
+        import io
+        import struct
+        import wave
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=30, deadline=None)
+        @given(nch=st.integers(1, 2), rate=st.sampled_from([8000, 16000, 44100]),
+               frames=st.integers(1, 5000))
+        def check(nch, rate, frames):
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as f:
+                f.setnchannels(nch)
+                f.setsampwidth(2)
+                f.setframerate(rate)
+                f.writeframes(b"\x00\x00" * frames * nch)
+            got = multimodal.parse_wav_header(buf.getvalue())
+            byte_rate = rate * nch * 2
+            assert got["channels"] == nch and got["sample_rate"] == rate
+            assert got["duration_ms"] == frames * nch * 2 * 1000 // byte_rate
+
+        check()
+
+    def test_parsers_never_crash_on_junk(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(b=st.binary(max_size=200))
+        def check(b):
+            # any of: parsed dict or None — never an exception/hang
+            for p in (multimodal.parse_png_header, multimodal.parse_jpeg_header,
+                      multimodal.parse_gif_header, multimodal.parse_bmp_header,
+                      multimodal.parse_wav_header):
+                r = p(b)
+                assert r is None or isinstance(r, dict)
+            assert isinstance(multimodal.header_decode(b), dict)
+
+        check()
