@@ -2012,3 +2012,41 @@ def dedup_incremental_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         existing, increment, "doc_id", "text", n=3, k=16, bands=4, threshold=0.3
     )
     return out.select("doc_id", "lang", "n_chars")
+
+
+shared_sql(
+    "lineitem_price_quartiles_exact",
+    """
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = GREATEST(CAST(CEIL(n * 0.25) AS BIGINT), 1)
+                    THEN l_extendedprice END) AS p25,
+           MAX(CASE WHEN rn = GREATEST(CAST(CEIL(n * 0.50) AS BIGINT), 1)
+                    THEN l_extendedprice END) AS p50,
+           MAX(CASE WHEN rn = GREATEST(CAST(CEIL(n * 0.75) AS BIGINT), 1)
+                    THEN l_extendedprice END) AS p75
+    FROM (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice ASC, l_orderkey ASC,
+                                         l_linenumber ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ) t
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    needs=("lineitem",),
+)
+
+shared_sql(
+    "events_user_activity_deciles",
+    """
+    SELECT decile, COUNT(*) AS n_users, SUM(n_events) AS total_events,
+           MIN(n_events) AS min_events, MAX(n_events) AS max_events
+    FROM (
+      SELECT user_id, n_events,
+             NTILE(10) OVER (ORDER BY n_events DESC, user_id ASC) AS decile
+      FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) u
+    ) t GROUP BY decile ORDER BY decile
+    """,
+    needs=("events",),
+)
