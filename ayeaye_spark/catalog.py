@@ -1393,30 +1393,45 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fingerprint_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-def _duck_minhash_pairs_oracle(n: int = 3, k: int = 16, bands: int = 4,
-                               threshold: float = 0.3) -> str:
-    """Oracle for banded-LSH pairs: band collision is equality of the
-    signature slice (same semantics as the bucket join, no LSH needed
-    at oracle scale)."""
+def _duck_band_match(k: int, bands: int) -> str:
+    """SQL predicate: sides a/b collide in at least one signature band
+    (DuckDB lists are 1-indexed)."""
     r = k // bands
-    token_hashes = P.hash_array(P.tokens("text", DUCK), DUCK)
-    shingle_hashes = P.token_hash_ngrams("th", n, DUCK)
-    band_match = " OR ".join(
+    return " OR ".join(
         "("
         + " AND ".join(f"a.mh[{b * r + j + 1}] = b.mh[{b * r + j + 1}]" for j in range(r))
         + ")"
         for b in range(bands)
     )
+
+
+def _duck_minhash_sig_cte(n: int, k: int, source_sql: str = "documents",
+                          extra_cols: tuple[str, ...] = ()) -> str:
+    """The shared signature CTE body (token hashes → shingles → distinct
+    hashset + minhash) — ONE definition so every minhash-family oracle
+    tests identical hashing/banding semantics."""
+    token_hashes = P.hash_array(P.tokens("text", DUCK), DUCK)
+    shingle_hashes = P.token_hash_ngrams("th", n, DUCK)
+    extras = "".join(f"{c}, " for c in extra_cols)
     return f"""
-    WITH s AS (
-      SELECT doc_id, list_distinct(sh) AS hashset, {P.minhash_from_hashes('sh', k, DUCK)} AS mh
-      FROM (SELECT doc_id, {shingle_hashes} AS sh
-            FROM (SELECT doc_id, {token_hashes} AS th FROM documents))
-    )
+      SELECT doc_id, {extras}list_distinct(sh) AS hashset,
+             {P.minhash_from_hashes('sh', k, DUCK)} AS mh
+      FROM (SELECT doc_id, {extras}{shingle_hashes} AS sh
+            FROM (SELECT doc_id, {extras}{token_hashes} AS th FROM {source_sql}))
+    """
+
+
+def _duck_minhash_pairs_oracle(n: int = 3, k: int = 16, bands: int = 4,
+                               threshold: float = 0.3) -> str:
+    """Oracle for banded-LSH pairs: band collision is equality of the
+    signature slice (same semantics as the bucket join, no LSH needed
+    at oracle scale)."""
+    return f"""
+    WITH s AS ({_duck_minhash_sig_cte(n, k)})
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            {P.jaccard('a.hashset', 'b.hashset', DUCK)} AS jaccard
     FROM s a JOIN s b ON a.doc_id < b.doc_id
-    WHERE ({band_match})
+    WHERE ({_duck_band_match(k, bands)})
       AND {P.jaccard('a.hashset', 'b.hashset', DUCK)} >= {threshold}
     """
 
@@ -1959,30 +1974,17 @@ def _duck_incremental_oracle(n: int = 3, k: int = 16, bands: int = 4,
     """Oracle for incremental dedup: band-collision pairs over the tagged
     corpus, then the drop rule (new-vs-old drops new; new-vs-new drops
     the larger id)."""
-    r = k // bands
-    token_hashes = P.hash_array(P.tokens("text", DUCK), DUCK)
-    shingle_hashes = P.token_hash_ngrams("th", n, DUCK)
-    band_match = " OR ".join(
-        "("
-        + " AND ".join(f"a.mh[{b * r + j + 1}] = b.mh[{b * r + j + 1}]" for j in range(r))
-        + ")"
-        for b in range(bands)
-    )
     bkt = sampling.bucket_expr("doc_id")
     return f"""
     WITH tagged AS (
       SELECT doc_id, text, {bkt} >= {split_at} AS is_new FROM documents
     ),
-    s AS (
-      SELECT doc_id, is_new, list_distinct(sh) AS hashset,
-             {P.minhash_from_hashes('sh', k, DUCK)} AS mh
-      FROM (SELECT doc_id, is_new, {shingle_hashes} AS sh
-            FROM (SELECT doc_id, is_new, {token_hashes} AS th FROM tagged))
-    ),
+    s AS ({_duck_minhash_sig_cte(n, k, source_sql="tagged", extra_cols=("is_new",))}),
     matched AS (
       SELECT a.doc_id AS ida, b.doc_id AS idb, a.is_new AS a_new, b.is_new AS b_new
       FROM s a JOIN s b ON a.doc_id < b.doc_id
-      WHERE ({band_match})
+      WHERE ({_duck_band_match(k, bands)})
+        AND (a.is_new OR b.is_new)
         AND {P.jaccard('a.hashset', 'b.hashset', DUCK)} >= {threshold}
     ),
     dropped AS (

@@ -255,6 +255,34 @@ def minhash_lsh_pairs(
     * ``"selfjoin"``: classic exploded band equi-join for EVERY bucket;
       per-row memory flat regardless of bucket size.
     """
+    candidates = lsh_candidate_pairs(
+        df, id_col, text_col, n=n, k=k, bands=bands,
+        strategy=strategy, signature=signature, max_bucket_size=max_bucket_size,
+    )
+    verified = candidates.withColumn(
+        "jaccard", F.expr(P.jaccard("set_a", "set_b", SPARK))
+    ).where(F.col("jaccard") >= threshold)
+    return verified.select(
+        F.col("id_a").alias(f"{id_col}_a"), F.col("id_b").alias(f"{id_col}_b"), "jaccard"
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    strategy: str = "bucket",
+    signature: str = "vectorized",
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Stage 1-3 of :func:`minhash_lsh_pairs`: banded candidate pairs
+    (id_a, id_b, set_a, set_b) WITHOUT the Jaccard verification — so
+    specialized consumers (incremental dedup) can prune candidates
+    before paying the exact-verify cost."""
     _tune_session(df)
     r = k // bands
     if signature == "vectorized":
@@ -341,12 +369,7 @@ def minhash_lsh_pairs(
             )
             .dropDuplicates(["id_a", "id_b"])
         )
-    verified = candidates.withColumn(
-        "jaccard", F.expr(P.jaccard("set_a", "set_b", SPARK))
-    ).where(F.col("jaccard") >= threshold)
-    return verified.select(
-        F.col("id_a").alias(f"{id_col}_a"), F.col("id_b").alias(f"{id_col}_b"), "jaccard"
-    )
+    return candidates
 
 
 def minhash_dedup(
@@ -597,29 +620,42 @@ def minhash_dedup_incremental(
     Ids must be unique across both frames (they key the pair roles).
     Drop rule per near-dup pair (a < b): new-vs-existing drops the new
     doc whichever side it is on; new-vs-new drops the larger id.
+
+    Cost shape: banding covers the union (collisions between a new doc
+    and ANY doc must surface), but existing-vs-existing candidate pairs
+    are pruned BEFORE the exact-Jaccard verification — the per-pair
+    set-intersection cost, the dominant term on an already-deduplicated
+    corpus, is only paid for pairs with a new side.
     """
+    threshold = lsh_kwargs.pop("threshold", 0.5)
     ex = existing.select(id_col, text_col)
     inc = increment.select(id_col, text_col)
     tagged = ex.withColumn("_is_new", F.lit(False)).unionByName(
         inc.withColumn("_is_new", F.lit(True))
     )
-    pairs = minhash_lsh_pairs(tagged, id_col, text_col, **lsh_kwargs)
-    tags = tagged.select(id_col, "_is_new")
-    a, b = f"{id_col}_a", f"{id_col}_b"
+    candidates = lsh_candidate_pairs(tagged, id_col, text_col, **lsh_kwargs)
+    tags = tagged.select(F.col(id_col).alias("_tid"), "_is_new")
     labeled = (
-        pairs.join(tags.withColumnRenamed(id_col, a)
-                   .withColumnRenamed("_is_new", "_a_new"), on=a)
-        .join(tags.withColumnRenamed(id_col, b)
-              .withColumnRenamed("_is_new", "_b_new"), on=b)
+        candidates.join(
+            tags.select(F.col("_tid").alias("id_a"), F.col("_is_new").alias("_a_new")),
+            on="id_a",
+        )
+        .join(
+            tags.select(F.col("_tid").alias("id_b"), F.col("_is_new").alias("_b_new")),
+            on="id_b",
+        )
+        .where(F.col("_a_new") | F.col("_b_new"))  # prune old-old pre-verify
     )
+    verified = labeled.withColumn(
+        "jaccard", F.expr(P.jaccard("set_a", "set_b", SPARK))
+    ).where(F.col("jaccard") >= threshold)
     dropped = (
-        labeled.select(
-            F.when(F.col("_a_new") & ~F.col("_b_new"), F.col(a))
-            .when(F.col("_b_new") & ~F.col("_a_new"), F.col(b))
-            .when(F.col("_a_new") & F.col("_b_new"), F.col(b))
+        verified.select(
+            F.when(F.col("_a_new") & ~F.col("_b_new"), F.col("id_a"))
+            .when(F.col("_b_new") & ~F.col("_a_new"), F.col("id_b"))
+            .otherwise(F.col("id_b"))  # new-new: drop the larger id
             .alias(id_col)
         )
-        .where(F.col(id_col).isNotNull())
         .distinct()
     )
     return increment.join(dropped, on=id_col, how="left_anti")
