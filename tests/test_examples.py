@@ -186,3 +186,39 @@ def test_training_corpus_pipeline(spark, resolver, tmp_path):
     packed2 = spark.read.parquet(str(tmp_path / "run2" / "packed_corpus.parquet"))
     assert sorted(r["doc_id"] for r in packed2.collect()) == \
         sorted(r["doc_id"] for r in packed.collect())
+
+
+def test_incremental_ingest(spark, resolver, tmp_path):
+    from examples.incremental_ingest import IncrementalIngest
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "a settled corpus document that stays where it is")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(10, base + " extra"),   # near-dups corpus doc 1 -> rejected
+         (11, "genuinely new content with its own words and nothing shared"),
+         (12, "another new document and one of an in-batch duplicate pair"),
+         (13, "another new document and one of an in-batch duplicate pair yy")],
+        ["doc_id", "text"],
+    )
+    corpus.write.parquet(f"{tmp_path}/corpus")
+    batch.write.parquet(f"{tmp_path}/batch")
+
+    with resolver.context(
+        corpus_path=f"{tmp_path}/corpus",
+        batch_path=f"{tmp_path}/batch",
+        output_path=str(tmp_path),
+    ):
+        model = IncrementalIngest()
+        assert model.go()
+
+    accepted = spark.read.parquet(f"{tmp_path}/accepted.parquet")
+    assert sorted(r["doc_id"] for r in accepted.collect()) == [11, 12]
+    import json
+
+    report = json.load(open(f"{tmp_path}/ingest_report.json"))
+    assert report == {"batch_size": 4, "accepted": 2, "rejected_near_dup": 2}
+    # partitioned append layout: one directory per predicted language
+    assert any(p.name.startswith("lang=") for p in (tmp_path / "accepted.parquet").iterdir())
