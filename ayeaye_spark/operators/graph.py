@@ -11,10 +11,13 @@ aren't available to PySpark here, and the loop is a handful of joins):
 
     label(v) ← min(label(v), min over neighbors u of label(u))
 
-repeated until a fixed point.  Converges in O(diameter) rounds; dedup
-components are tiny clusters, so 3-5 rounds in practice.  Each round is
-ONE shuffle (edge join + aggregate); ``localCheckpoint`` truncates the
-growing lineage so round N doesn't replay rounds 1..N-1.
+repeated until a fixed point, with POINTER JUMPING (path halving —
+``label(v) ← label(label(v))``) each round, so convergence is
+O(log diameter) instead of O(diameter): a billion-node chain closes in
+~30 rounds, not a billion.  Dedup components are tiny clusters, so 2-4
+rounds in practice.  Each round is two shuffles (edge join + aggregate,
+then the label self-join for the jump); ``localCheckpoint`` truncates
+the growing lineage so round N doesn't replay rounds 1..N-1.
 """
 
 from __future__ import annotations
@@ -101,14 +104,24 @@ def _connected_components_distributed(
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
+        prop = labels.join(neighbor_min, labels.v == neighbor_min.a, "left").select(
+            "v",
+            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("plabel"),
+            F.col("label").alias("old_label"),
+        )
+        # pointer jumping (path halving): label(v) <- label(label(v)).
+        # Plain neighbor-min propagation needs O(diameter) rounds — a
+        # long chain at 100 TB would never converge in a bounded loop;
+        # compressing label chains each round makes it O(log diameter).
+        lab2 = prop.select(F.col("v").alias("lv"), F.col("plabel").alias("llabel"))
         updated = (
-            labels.join(neighbor_min, labels.v == neighbor_min.a, "left")
+            prop.join(lab2, prop.plabel == lab2.lv, "left")
             .select(
                 "v",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                    "new_label"
-                ),
-                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("plabel"), F.coalesce("llabel", F.col("plabel"))
+                ).alias("new_label"),
+                "old_label",
             )
         ).localCheckpoint(eager=True)  # materialize: convergence check + lineage cut
         changed = updated.where(F.col("new_label") != F.col("old_label")).count()

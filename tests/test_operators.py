@@ -697,3 +697,20 @@ class TestMediaParserProperties:
             assert isinstance(multimodal.header_decode(b), dict)
 
         check()
+
+
+class TestPointerJumpingConvergence:
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        from ayeaye_spark.operators.graph import connected_components
+
+        # a 300-edge chain has diameter 300: plain min-label propagation
+        # cannot close it in 12 rounds; pointer jumping must
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(300)], ["a", "b"]
+        )
+        comps = {r["vertex"]: r["component"]
+                 for r in connected_components(
+                     edges, "a", "b", collect_threshold=0, max_iterations=12
+                 ).collect()}
+        assert set(comps.values()) == {0}
+        assert len(comps) == 301
