@@ -224,6 +224,7 @@ def minhash_lsh_pairs(
     strategy: str = "bucket",
     signature: str = "vectorized",
     max_bucket_size: int = 64,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact verification.
 
@@ -258,6 +259,7 @@ def minhash_lsh_pairs(
     candidates = lsh_candidate_pairs(
         df, id_col, text_col, n=n, k=k, bands=bands,
         strategy=strategy, signature=signature, max_bucket_size=max_bucket_size,
+        block_col=block_col,
     )
     verified = candidates.withColumn(
         "jaccard", F.expr(P.jaccard("set_a", "set_b", SPARK))
@@ -278,26 +280,41 @@ def lsh_candidate_pairs(
     strategy: str = "bucket",
     signature: str = "vectorized",
     max_bucket_size: int = 64,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Stage 1-3 of :func:`minhash_lsh_pairs`: banded candidate pairs
     (id_a, id_b, set_a, set_b) WITHOUT the Jaccard verification — so
     specialized consumers (incremental dedup) can prune candidates
-    before paying the exact-verify cost."""
+    before paying the exact-verify cost.
+
+    ``block_col`` restricts pairing to equal values of a blocking column
+    (e.g. language): the block value is folded into the band key, so
+    cross-block collisions never shuffle together at all — the standard
+    way to keep band buckets small and uniform on a multilingual corpus.
+    """
     _tune_session(df)
     r = k // bands
     if signature == "vectorized":
-        sig = minhash_signatures_vectorized(df, id_col, text_col, n=n, k=k)
+        if block_col:
+            sig = minhash_signatures_vectorized(df, id_col, text_col, n=n, k=k).join(
+                df.select(F.col(id_col).alias("_id"), F.col(block_col).alias("_blk")),
+                on="_id",
+            )
+        else:
+            sig = minhash_signatures_vectorized(df, id_col, text_col, n=n, k=k)
     else:
         sig = with_minhash_signature(df, text_col, n, k).select(
             F.col(id_col).alias("_id"),
             F.col("minhash"),
             F.array_distinct("shingle_hashes").alias("_hashset"),
+            *([F.col(block_col).alias("_blk")] if block_col else []),
         )
     band_cols = []
     for b in range(bands):
+        parts = [F.lit(str(b))] + ([F.col("_blk").cast("string")] if block_col else [])
         band_key = F.concat_ws(
             "-",
-            F.lit(str(b)),
+            *parts,
             *[F.element_at("minhash", b * r + j + 1).cast("string") for j in range(r)],
         )
         band_cols.append(F.struct(band_key.alias("key")))

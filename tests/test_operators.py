@@ -714,3 +714,22 @@ class TestPointerJumpingConvergence:
                  ).collect()}
         assert set(comps.values()) == {0}
         assert len(comps) == 301
+
+
+class TestBlockedLsh:
+    def test_block_col_prevents_cross_block_pairs(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        df = spark.createDataFrame(
+            [(1, base, "en"), (2, base + " extra", "en"),
+             (3, base, "fr"),   # textually identical to 1 but another block
+             (4, "completely unrelated words here none match at all", "en")],
+            ["doc_id", "text", "lang"],
+        )
+        kw = dict(n=3, k=16, bands=4, threshold=0.3)
+        blocked = {(p["doc_id_a"], p["doc_id_b"]) for p in
+                   dedup.minhash_lsh_pairs(df, "doc_id", "text",
+                                           block_col="lang", **kw).collect()}
+        assert blocked == {(1, 2)}  # (1,3) suppressed by the block
+        unblocked = {(p["doc_id_a"], p["doc_id_b"]) for p in
+                     dedup.minhash_lsh_pairs(df, "doc_id", "text", **kw).collect()}
+        assert (1, 3) in unblocked
