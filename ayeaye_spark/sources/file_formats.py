@@ -297,6 +297,21 @@ class ParquetConnector(DataConnector):
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         self._require_write()
+        sort_by = self.connector_kwargs.get("sort_by")
+        if sort_by:
+            # CLUSTER the output on these columns: range-partition (each
+            # output file owns a disjoint key range) then sort within —
+            # parquet min/max stats become tight per file AND per row
+            # group, so later range/point filters skip whole files (data
+            # skipping — the single-dimension z-order).  ``(n, cols)``
+            # pins the output file count (AQE may otherwise coalesce).
+            if isinstance(sort_by, tuple) and isinstance(sort_by[0], int):
+                n_files, cols = sort_by
+                df = df.repartitionByRange(n_files, *cols)
+            else:
+                cols = sort_by
+                df = df.repartitionByRange(*cols)
+            df = df.sortWithinPartitions(*cols)
         writer = df.write.mode(mode)
         partition_by = self.connector_kwargs.get("partition_by")
         if partition_by:

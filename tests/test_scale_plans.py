@@ -219,3 +219,40 @@ class TestDistributedCumsum:
         # pack_id = (cum - ntok) div 10 derived from the SAME cumsum
         for (i, n) in rows:
             assert got[i] == (want[i] - n) // 10
+
+
+class TestSortedWriteDataSkipping:
+    def test_sort_by_produces_tight_row_group_stats(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        events = load(spark, SF, "events").select("event_id", "user_id", "value")
+        out = connector_for(
+            f"parquet://{tmp_path}/ev_sorted", access=AccessMode.WRITE,
+            sort_by=(4, ["user_id"]),  # explicit file count beats AQE coalesce
+        )
+        out.write(events)
+
+        import glob
+
+        ranges = []
+        for f in glob.glob(f"{tmp_path}/ev_sorted/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = [
+                md.row_group(rg).column(i)
+                for rg in range(md.num_row_groups)
+                for i in range(md.row_group(rg).num_columns)
+            ]
+            stats = [c.statistics for c in cols if c.path_in_schema == "user_id"]
+            ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+        assert len(ranges) > 1  # multiple files, each a key range
+        # clustered layout: file ranges are pairwise non-overlapping
+        # (boundary keys may touch), so a point/range filter can skip
+        # every other file on min/max stats alone
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2
+        # and reading back with a point filter still matches
+        back = spark.read.parquet(f"{tmp_path}/ev_sorted")
+        uid = events.select("user_id").first()[0]
+        assert back.where(F.col("user_id") == uid).count() == \
+            events.where(F.col("user_id") == uid).count()
