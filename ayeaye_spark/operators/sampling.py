@@ -106,6 +106,10 @@ def rate_sample(
     return df.where(F.expr(f"{bucket_expr(id_col)} < {case}"))
 
 
+#: bucket fan-in per hierarchy level of the offsets prefix sum
+_OFFSET_FANIN = 65536
+
+
 def _bucketed_cumsum(
     df: DataFrame,
     *,
@@ -114,6 +118,7 @@ def _bucketed_cumsum(
     bucket_expr_sql: str,
     out_col: str,
     prune_above: int | None = None,
+    _depth: int = 1,
 ) -> DataFrame:
     """Distributed exact prefix sum: ``SUM(token_col) OVER (ORDER BY
     order_cols ROWS UNBOUNDED PRECEDING)`` without a single-partition
@@ -148,10 +153,29 @@ def _bucketed_cumsum(
     base = df.withColumn("_cb", bucket)
 
     totals = base.groupBy("_cb").agg(F.sum(token_col).alias("_bt"))
-    w_off = Window.orderBy("_cb").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_cb", F.coalesce(F.sum("_bt").over(w_off), F.lit(0).cast("long")).alias("_boff")
-    )
+    if _depth > 0:
+        # hierarchical offsets: the per-bucket-totals frame can itself be
+        # large (100 TB with 64k-row buckets → ~15M bucket rows); its
+        # prefix sum is the SAME primitive one level up, with buckets of
+        # buckets — the final single-partition window only ever sees
+        # #buckets / 65536 rows.  Exclusive prefix = inclusive − own.
+        inner = _bucketed_cumsum(
+            totals.withColumnRenamed("_cb", "_ocb"),  # free "_cb" for the level below
+            token_col="_bt",
+            order_cols=[F.asc("_ocb")],
+            bucket_expr_sql=f"_ocb div {_OFFSET_FANIN}",
+            out_col="_ibt",
+            _depth=_depth - 1,
+        )
+        offsets = inner.select(
+            F.col("_ocb").alias("_cb"), (F.col("_ibt") - F.col("_bt")).alias("_boff")
+        )
+    else:
+        w_off = Window.orderBy("_cb").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = totals.select(
+            "_cb",
+            F.coalesce(F.sum("_bt").over(w_off), F.lit(0).cast("long")).alias("_boff"),
+        )
     if prune_above is not None:
         # whole buckets past the budget can never contribute a kept row
         offsets = offsets.where(F.col("_boff") <= prune_above)
