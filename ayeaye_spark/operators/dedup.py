@@ -116,18 +116,30 @@ def with_minhash_signature(
 
 
 def minhash_signatures_vectorized(
-    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = 16
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = 16,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Stage-1 twin of :func:`with_minhash_signature` as one Arrow-batched
-    pandas pass: (_id, minhash, _hashset).
+    pandas pass: (_id, minhash, _hashset[, extra...]).
 
     Runs the ``functions.portable_py`` chain (tokens → memoized char
     hash → window-combined shingle hashes → k-permutation minima) —
     bit-identical to the SQL expressions (fuzz-tested) at a fraction of
     the interpreted-HOF cost.  Distinct tokens are hashed once per batch
-    (Zipf), everything else is numpy int64.
+    (Zipf), everything else is numpy int64.  ``extra_cols`` ride through
+    the same pass — no second scan/join to re-attach them.
     """
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
     from ..functions import portable_py as PY
+
+    src = df.select(id_col, text_col, *extra_cols)
+    schema = StructType(
+        [StructField("_id", LongType()),
+         StructField("minhash", ArrayType(LongType())),
+         StructField("_hashset", ArrayType(LongType()))]
+        + [src.schema[c] for c in extra_cols]
+    )
 
     def gen(batches):
         import pandas as pd
@@ -143,11 +155,12 @@ def minhash_signatures_vectorized(
                 ids.append(doc_id)
                 sigs.append(PY.minhash(sh, k).tolist())
                 sets.append(sh.tolist())
-            yield pd.DataFrame({"_id": ids, "minhash": sigs, "_hashset": sets})
+            out = {"_id": ids, "minhash": sigs, "_hashset": sets}
+            for c in extra_cols:
+                out[c] = pdf[c].tolist()
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, text_col).mapInPandas(
-        gen, "_id long, minhash array<long>, _hashset array<long>"
-    )
+    return src.mapInPandas(gen, schema)
 
 
 def shingle_hashsets_vectorized(
@@ -295,13 +308,12 @@ def lsh_candidate_pairs(
     _tune_session(df)
     r = k // bands
     if signature == "vectorized":
+        sig = minhash_signatures_vectorized(
+            df, id_col, text_col, n=n, k=k,
+            extra_cols=(block_col,) if block_col else (),
+        )
         if block_col:
-            sig = minhash_signatures_vectorized(df, id_col, text_col, n=n, k=k).join(
-                df.select(F.col(id_col).alias("_id"), F.col(block_col).alias("_blk")),
-                on="_id",
-            )
-        else:
-            sig = minhash_signatures_vectorized(df, id_col, text_col, n=n, k=k)
+            sig = sig.withColumnRenamed(block_col, "_blk")
     else:
         sig = with_minhash_signature(df, text_col, n, k).select(
             F.col(id_col).alias("_id"),
@@ -645,8 +657,10 @@ def minhash_dedup_incremental(
     corpus, is only paid for pairs with a new side.
     """
     threshold = lsh_kwargs.pop("threshold", 0.5)
-    ex = existing.select(id_col, text_col)
-    inc = increment.select(id_col, text_col)
+    block_col = lsh_kwargs.get("block_col")
+    keep_cols = [id_col, text_col] + ([block_col] if block_col else [])
+    ex = existing.select(*keep_cols)
+    inc = increment.select(*keep_cols)
     tagged = ex.withColumn("_is_new", F.lit(False)).unionByName(
         inc.withColumn("_is_new", F.lit(True))
     )

@@ -15,9 +15,10 @@ repeated until a fixed point, with POINTER JUMPING (path halving —
 ``label(v) ← label(label(v))``) each round, so convergence is
 O(log diameter) instead of O(diameter): a billion-node chain closes in
 ~30 rounds, not a billion.  Dedup components are tiny clusters, so 2-4
-rounds in practice.  Each round is two shuffles (edge join + aggregate,
-then the label self-join for the jump); ``localCheckpoint`` truncates
-the growing lineage so round N doesn't replay rounds 1..N-1.
+rounds in practice.  Per round: the propagation (edge join + aggregate)
+is computed once into a checkpoint, then one label self-join for the
+jump; ``localCheckpoint`` also truncates the growing lineage so round N
+doesn't replay rounds 1..N-1.
 """
 
 from __future__ import annotations
@@ -108,7 +109,7 @@ def _connected_components_distributed(
             "v",
             F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("plabel"),
             F.col("label").alias("old_label"),
-        )
+        ).localCheckpoint(eager=False)  # jump join reads this twice — once each side
         # pointer jumping (path halving): label(v) <- label(label(v)).
         # Plain neighbor-min propagation needs O(diameter) rounds — a
         # long chain at 100 TB would never converge in a bounded loop;

@@ -153,12 +153,18 @@ def _bucketed_cumsum(
     base = df.withColumn("_cb", bucket)
 
     totals = base.groupBy("_cb").agg(F.sum(token_col).alias("_bt"))
-    if _depth > 0:
+    integral_bucket = totals.schema["_cb"].dataType.typeName() in (
+        "byte", "short", "integer", "long",
+    )
+    if _depth > 0 and integral_bucket:
         # hierarchical offsets: the per-bucket-totals frame can itself be
         # large (100 TB with 64k-row buckets → ~15M bucket rows); its
         # prefix sum is the SAME primitive one level up, with buckets of
         # buckets — the final single-partition window only ever sees
         # #buckets / 65536 rows.  Exclusive prefix = inclusive − own.
+        # (Integral bucket types only — `div` needs them; non-integral
+        # buckets fall to the single window, which their caller chose.)
+        totals = totals.localCheckpoint(eager=False)  # inner base AND inner totals
         inner = _bucketed_cumsum(
             totals.withColumnRenamed("_cb", "_ocb"),  # free "_cb" for the level below
             token_col="_bt",
@@ -179,9 +185,10 @@ def _bucketed_cumsum(
     if prune_above is not None:
         # whole buckets past the budget can never contribute a kept row
         offsets = offsets.where(F.col("_boff") <= prune_above)
-        joined = base.join(F.broadcast(offsets), "_cb")  # inner join = prune
-    else:
-        joined = base.join(F.broadcast(offsets), "_cb")
+    # no forced broadcast: the offsets frame is tiny at test scale (AQE
+    # broadcasts it on its own) but ~#buckets rows at 100 TB — forcing a
+    # driver collect+broadcast there would just relocate the bottleneck
+    joined = base.join(offsets, "_cb")  # inner join = prune when filtered
 
     w_in = (
         Window.partitionBy("_cb")

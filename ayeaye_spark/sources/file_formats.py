@@ -307,9 +307,14 @@ class ParquetConnector(DataConnector):
             # pins the output file count (AQE may otherwise coalesce).
             if isinstance(sort_by, tuple) and isinstance(sort_by[0], int):
                 n_files, cols = sort_by
+            else:
+                n_files, cols = None, sort_by
+            # a bare column-name string is a natural call shape — don't
+            # let it star-splat into per-character "columns"
+            cols = [cols] if isinstance(cols, str) else list(cols)
+            if n_files is not None:
                 df = df.repartitionByRange(n_files, *cols)
             else:
-                cols = sort_by
                 df = df.repartitionByRange(*cols)
             df = df.sortWithinPartitions(*cols)
         writer = df.write.mode(mode)

@@ -56,6 +56,9 @@ class IncrementalIngest(Model):
         profiled = textops.with_quality_score(
             textops.with_lang_id(kept, "text"), "text"
         ).select("doc_id", "text", F.col("lang_pred").alias("lang"), "quality_ppm")
+        # materialize once: the write below and the report count would
+        # otherwise each re-run the full dedup + profiling lineage
+        profiled = profiled.localCheckpoint(eager=False)
 
         out = self.accepted
         out.connector_kwargs["partition_by"] = ["lang"]
@@ -87,12 +90,25 @@ class IncrementalIngest(Model):
 
 
 if __name__ == "__main__":
+    from pyspark.sql import SparkSession
+
     from ayeaye_spark import connector_resolver
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # demo batch: a hash-bucket slice of the corpus with FRESH ids
+    # (ids must be unique across corpus and batch — same-id twins would
+    # evade the a<b pairing and sail through "dedup")
+    demo = SparkSession.builder.master("local[4]").getOrCreate()
+    batch_dir = os.path.join(here, "demo_batch.parquet")
+    (
+        demo.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(F.expr("doc_id % 10 = 0"))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000_000))
+        .write.mode("overwrite").parquet(batch_dir)
+    )
     with connector_resolver.context(
         corpus_path="/root/testdata/sf0.001/documents.parquet",
-        batch_path="/root/testdata/sf0.001/documents.parquet",
+        batch_path=batch_dir,
         output_path=here,
     ):
         IncrementalIngest().go()

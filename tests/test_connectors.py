@@ -395,3 +395,15 @@ class TestPatternExpansion:
         from ayeaye_spark.sources.multi import MultiConnector
 
         assert MultiConnector(urls).read(spark).count() == 2
+
+
+class TestSortByStringForm:
+    def test_bare_string_sort_by(self, spark, tmp_path):
+        from ayeaye_spark import AccessMode
+
+        df = spark.createDataFrame([(i, i * 2) for i in range(100)], ["k", "v"])
+        out = connector_for(
+            f"parquet://{tmp_path}/s", access=AccessMode.WRITE, sort_by="k"
+        )
+        out.write(df)
+        assert spark.read.parquet(f"{tmp_path}/s").count() == 100

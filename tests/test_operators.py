@@ -733,3 +733,32 @@ class TestBlockedLsh:
         unblocked = {(p["doc_id_a"], p["doc_id_b"]) for p in
                      dedup.minhash_lsh_pairs(df, "doc_id", "text", **kw).collect()}
         assert (1, 3) in unblocked
+
+
+class TestReviewRegressions2:
+    def test_incremental_dedup_with_block_col(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        existing = spark.createDataFrame([(1, base, "en")], ["doc_id", "text", "lang"])
+        increment = spark.createDataFrame(
+            [(10, base + " extra", "en"),   # near-dups existing in same block -> drop
+             (11, base + " extra", "fr")],  # same text, another block -> kept
+            ["doc_id", "text", "lang"],
+        )
+        out = dedup.minhash_dedup_incremental(
+            existing, increment, "doc_id", "text",
+            n=3, k=16, bands=4, threshold=0.3, block_col="lang",
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == [11]
+
+    def test_vectorized_signatures_extra_cols_single_pass(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e", "en"), (2, "f g h i j", "fr")],
+            ["doc_id", "text", "lang"],
+        )
+        sig = dedup.minhash_signatures_vectorized(
+            df, "doc_id", "text", n=2, k=4, extra_cols=("lang",)
+        )
+        rows = {r["_id"]: r["lang"] for r in sig.collect()}
+        assert rows == {1: "en", 2: "fr"}
+        plan = sig._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1 and "Join" not in plan
