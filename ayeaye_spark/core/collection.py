@@ -114,7 +114,14 @@ class ModelCollection:
         remaining = list(nodes)
         layers: list[set[type]] = []
         while remaining:
-            ready = [n for n in remaining if n.sources <= satisfied]
+            # a model's OWN outputs never block it: a READWRITE dataset
+            # (write, then read back in post_build_check) is a
+            # self-loop, not a dependency.  (The reference reaches the
+            # same effect by accident — model_collection.py:114 tests
+            # ``access in [WRITE, WRITE]`` so READWRITE never counts as
+            # a target at all, silently LOSING downstream ordering;
+            # here the dataset still orders producer before consumers.)
+            ready = [n for n in remaining if (n.sources - n.targets) <= satisfied]
             if not ready:
                 cyclic = ", ".join(n.name for n in remaining)
                 raise ModelGraphError(

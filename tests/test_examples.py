@@ -222,3 +222,37 @@ def test_incremental_ingest(spark, resolver, tmp_path):
     assert report == {"batch_size": 4, "accepted": 2, "rejected_near_dup": 2}
     # partitioned append layout: one directory per predicted language
     assert any(p.name.startswith("lang=") for p in (tmp_path / "accepted.parquet").iterdir())
+
+
+def test_ann_index_lifecycle(spark, resolver, tmp_path):
+    from pyspark.sql import functions as F
+
+    from examples.ann_index import BuildAnnIndex, QueryAnnIndex, pipeline
+
+    with resolver.context(
+        emb_path="/root/testdata/sf0.001/embeddings.parquet",
+        index_path=str(tmp_path),
+    ):
+        coll = pipeline()
+        # run order must place the index build before the query model
+        order = [cls.__name__ for layer in coll.run_order() for cls in layer]
+        assert order.index("BuildAnnIndex") < order.index("QueryAnnIndex")
+        coll.run(spark)
+
+    cells = spark.read.parquet(f"{tmp_path}/cells.parquet")
+    assert cells.where(F.col("centroid_id").isNull()).count() == 0
+    out = spark.read.parquet(f"{tmp_path}/neighbors.parquet")
+    assert out.groupBy("query_id").count().where(F.col("count") > 5).count() == 0
+    assert out.select("query_id").distinct().count() == 10
+    # served results must equal the direct in-memory IVF answer
+    from ayeaye_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.where(F.col("vec_id") % 50 == 0)
+    fresh_cells = similarity.assign_cells_vectorized(emb, centroids)
+    want = similarity.ivf_topk_from_cells(
+        fresh_cells, fresh_cells.where(F.col("vec_id") < 10), k=5
+    )
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    expected = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in want.collect()}
+    assert got == expected
