@@ -447,7 +447,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.3,
     block_col: str | None = None,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | str | None = None,
     signature: str = "vectorized",
 ) -> DataFrame:
     """Set-similarity join via inverted index (no cross join).
@@ -471,7 +471,8 @@ def ngram_jaccard_pairs(
     (42s → ~2s at sf0.1 locally).  Skew caveat: a shingle present in a
     large fraction of the corpus becomes a hot join key.  Pass
     ``max_shingle_df`` to drop shingles whose document frequency exceeds
-    it from CANDIDATE GENERATION only — the standard production knob.
+    it from CANDIDATE GENERATION only — the standard production knob
+    (``"auto"`` = 1% of the corpus, floor 100 — the scale default).
     It is an explicit recall tradeoff (pairs sharing *only* ultra-common
     shingles are missed); verification still uses the FULL hash sets, so
     every returned jaccard value is exact.
@@ -501,6 +502,12 @@ def ngram_jaccard_pairs(
     )
     join_keys = ["_h"] + (["_block"] if block_col else [])
 
+    if max_shingle_df == "auto":
+        # scale default: prune shingles present in >1% of docs (floor
+        # 100 so small corpora are never pruned).  One count() over the
+        # pruned id projection — the price of not asking the caller to
+        # know their corpus size.
+        max_shingle_df = max(100, df.select(id_col).count() // 100)
     if max_shingle_df is not None:
         # candidates from RARE shingles only; exact jaccard re-computed
         # from the FULL hash sets afterwards (join-count intersections

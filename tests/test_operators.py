@@ -762,3 +762,19 @@ class TestReviewRegressions2:
         assert rows == {1: "en", 2: "fr"}
         plan = sig._jdf.queryExecution().executedPlan().toString()
         assert plan.count("MapInPandas") == 1 and "Join" not in plan
+
+
+class TestAutoShingleDf:
+    def test_auto_prunes_hot_shingles_only(self, spark):
+        common = "aa bb cc"
+        rows = [(i, f"{common} unique{i} filler{i} other{i}") for i in range(150)]
+        rows += [(1000, "rare pair content shared exactly here today"),
+                 (1001, "rare pair content shared exactly here today zz")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = {(p["doc_id_a"], p["doc_id_b"]) for p in
+                 dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.3,
+                                           max_shingle_df="auto").collect()}
+        # the rare near-dup pair survives; the 150 common-phrase docs share
+        # ONLY pruned hot shingles (df=150 > 100) so they produce no pairs
+        assert (1000, 1001) in pairs
+        assert not any(a < 1000 and b < 1000 for a, b in pairs)
