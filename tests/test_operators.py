@@ -778,3 +778,70 @@ class TestAutoShingleDf:
         # ONLY pruned hot shingles (df=150 > 100) so they produce no pairs
         assert (1000, 1001) in pairs
         assert not any(a < 1000 and b < 1000 for a, b in pairs)
+
+
+class TestCumsumProperties:
+    def test_budget_filter_matches_global_window_randomized(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ayeaye_spark.operators import sampling
+
+        @settings(max_examples=8, deadline=None)
+        @given(
+            rows=st.lists(
+                st.tuples(
+                    st.integers(-1000, 1000),            # id (may be negative)
+                    st.integers(1, 50),                  # tokens
+                    st.integers(-500, 500),              # integer score
+                ),
+                min_size=1, max_size=60, unique_by=lambda t: t[0],
+            ),
+            budget=st.integers(1, 800),
+        )
+        def check(rows, budget):
+            df = spark.createDataFrame(rows, ["id", "ntok", "score"])
+            got = sorted(
+                r["id"] for r in sampling.token_budget_filter(
+                    df, id_col="id", token_col="ntok", score_col="score",
+                    budget=budget,
+                ).collect()
+            )
+            # ground truth: python cumsum over the total order
+            want, cum = [], 0
+            for i, n, s in sorted(rows, key=lambda t: (-t[2], t[0])):
+                cum += n
+                if cum <= budget:
+                    want.append(i)
+            assert got == sorted(want)
+
+        check()
+
+    def test_pack_sequences_matches_python_randomized(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ayeaye_spark.operators import sampling
+
+        @settings(max_examples=8, deadline=None)
+        @given(
+            rows=st.lists(
+                st.tuples(st.integers(-10_000, 10_000), st.integers(1, 100)),
+                min_size=1, max_size=60, unique_by=lambda t: t[0],
+            ),
+            budget=st.integers(8, 256),
+            width=st.sampled_from([4, 64, 65536]),
+        )
+        def check(rows, budget, width):
+            df = spark.createDataFrame(rows, ["id", "ntok"])
+            got = {r["id"]: r["pack_id"] for r in sampling.pack_sequences(
+                df, id_col="id", token_col="ntok", budget=budget,
+                id_bucket_width=width,
+            ).collect()}
+            cum, want = 0, {}
+            for i, n in sorted(rows):
+                want[i] = cum // budget
+                cum += n
+            assert got == want
+
+        check()
