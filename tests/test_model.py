@@ -350,3 +350,37 @@ class TestStandaloneConnect:
         assert handle.df.count() == 2
         assert handle.engine_url.endswith("solo.csv")
         assert [r["y"] for r in handle] == ["a", "b"]  # row-iteration compat
+
+
+class TestReadWriteRunOrder:
+    def test_rw_output_orders_consumer_without_blocking_producer(self):
+        from ayeaye_spark import AccessMode, Connect, Model, ModelCollection
+
+        class Producer(Model):
+            src = Connect(engine_url="parquet:///tmp/rw_src")
+            out = Connect(engine_url="parquet:///tmp/rw_mid", access=AccessMode.READWRITE)
+
+            def build(self):  # pragma: no cover - order test only
+                pass
+
+        class Consumer(Model):
+            mid = Connect(engine_url="parquet:///tmp/rw_mid")
+            final = Connect(engine_url="parquet:///tmp/rw_out", access=AccessMode.WRITE)
+
+            def build(self):  # pragma: no cover - order test only
+                pass
+
+        layers = ModelCollection([Consumer, Producer]).run_order()
+        # the READWRITE dataset must still order producer before consumer
+        assert layers == [{Producer}, {Consumer}]
+
+    def test_rw_self_loop_alone_is_runnable(self):
+        from ayeaye_spark import AccessMode, Connect, Model, ModelCollection
+
+        class SelfRW(Model):
+            state = Connect(engine_url="parquet:///tmp/rw_state", access=AccessMode.READWRITE)
+
+            def build(self):  # pragma: no cover - order test only
+                pass
+
+        assert ModelCollection([SelfRW]).run_order() == [{SelfRW}]
