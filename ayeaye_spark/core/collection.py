@@ -116,12 +116,25 @@ class ModelCollection:
         while remaining:
             # a model's OWN outputs never block it: a READWRITE dataset
             # (write, then read back in post_build_check) is a
-            # self-loop, not a dependency.  (The reference reaches the
-            # same effect by accident — model_collection.py:114 tests
-            # ``access in [WRITE, WRITE]`` so READWRITE never counts as
-            # a target at all, silently LOSING downstream ordering;
-            # here the dataset still orders producer before consumers.)
-            ready = [n for n in remaining if (n.sources - n.targets) <= satisfied]
+            # self-loop, not a dependency — but ONLY when no other
+            # still-pending model also produces it (a READWRITE reader
+            # of another model's output must wait for that producer;
+            # two READWRITE appenders of one dataset stay a loud cycle
+            # error, never a silent concurrent-write race).  (The
+            # reference reaches self-runnability by accident —
+            # model_collection.py:114 tests ``access in [WRITE, WRITE]``
+            # so READWRITE never counts as a target at all, silently
+            # LOSING downstream ordering; here the dataset still orders
+            # producer before consumers.)
+            ready = []
+            for n in remaining:
+                others_targets: set[ModelDataset] = set()
+                for m in remaining:
+                    if m is not n:
+                        others_targets |= m.targets
+                self_only = n.targets - others_targets
+                if (n.sources - self_only) <= satisfied:
+                    ready.append(n)
             if not ready:
                 cyclic = ", ".join(n.name for n in remaining)
                 raise ModelGraphError(

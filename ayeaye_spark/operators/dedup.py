@@ -502,7 +502,14 @@ def ngram_jaccard_pairs(
     )
     join_keys = ["_h"] + (["_block"] if block_col else [])
 
-    if max_shingle_df == "auto":
+    if isinstance(max_shingle_df, str):
+        if max_shingle_df != "auto":
+            # fail at call time — an unrecognized string would otherwise
+            # reach the numeric DF comparison (ANSI: mid-job cast crash;
+            # non-ANSI: NULL predicate → silently zero pairs)
+            raise ValueError(
+                f"max_shingle_df must be an int, None, or 'auto'; got {max_shingle_df!r}"
+            )
         # scale default: prune shingles present in >1% of docs (floor
         # 100 so small corpora are never pruned).  One count() over the
         # pruned id projection — the price of not asking the caller to

@@ -37,7 +37,7 @@ class BuildAnnIndex(Model):
     )
     index_centroids = Connect(
         engine_url="parquet://{index_path}/centroids.parquet",
-        access=AccessMode.READWRITE,
+        access=AccessMode.WRITE,  # written once, never read back here
     )
 
     centroid_stride = 50  # every 50th vector is a centroid (deterministic)

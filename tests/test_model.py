@@ -384,3 +384,45 @@ class TestReadWriteRunOrder:
                 pass
 
         assert ModelCollection([SelfRW]).run_order() == [{SelfRW}]
+
+
+class TestReadWriteRunOrderCrossProducer:
+    def test_rw_reader_waits_for_other_writer(self):
+        from ayeaye_spark import AccessMode, Connect, Model, ModelCollection
+
+        class Writer(Model):
+            src = Connect(engine_url="parquet:///tmp/xp_src")
+            x = Connect(engine_url="parquet:///tmp/xp_x", access=AccessMode.WRITE)
+
+            def build(self):  # pragma: no cover
+                pass
+
+        class RwReader(Model):
+            # read-then-append on ANOTHER model's output: must run after it
+            x = Connect(engine_url="parquet:///tmp/xp_x", access=AccessMode.READWRITE)
+
+            def build(self):  # pragma: no cover
+                pass
+
+        assert ModelCollection([RwReader, Writer]).run_order() == [{Writer}, {RwReader}]
+
+    def test_two_rw_appenders_stay_an_error(self):
+        import pytest as _pytest
+
+        from ayeaye_spark import AccessMode, Connect, Model, ModelCollection
+        from ayeaye_spark.core.collection import ModelGraphError
+
+        class AppendA(Model):
+            x = Connect(engine_url="parquet:///tmp/xp_y", access=AccessMode.READWRITE)
+
+            def build(self):  # pragma: no cover
+                pass
+
+        class AppendB(Model):
+            x = Connect(engine_url="parquet:///tmp/xp_y", access=AccessMode.READWRITE)
+
+            def build(self):  # pragma: no cover
+                pass
+
+        with _pytest.raises(ModelGraphError):
+            ModelCollection([AppendA, AppendB]).run_order()

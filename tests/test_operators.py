@@ -845,3 +845,12 @@ class TestCumsumProperties:
             assert got == want
 
         check()
+
+
+class TestAutoShingleDfValidation:
+    def test_unknown_string_raises_at_call_time(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        with _pytest.raises(ValueError, match="auto"):
+            dedup.ngram_jaccard_pairs(df, "doc_id", "text", max_shingle_df="Auto")
