@@ -2052,3 +2052,47 @@ shared_sql(
     """,
     needs=("events",),
 )
+
+
+@query(
+    "docs_quality_percentile_by_lang",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {P.quality_score_ppm_from_tokens('text', 'toks', DUCK)} AS quality_ppm
+      FROM (SELECT doc_id, lang, text, {P.tokens('text', DUCK)} AS toks FROM documents)
+    ),
+    ranked AS (
+      SELECT doc_id, lang, quality_ppm,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY quality_ppm ASC, doc_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM scored
+    )
+    SELECT doc_id, lang, quality_ppm,
+           CASE WHEN n = 1 THEN 0
+                ELSE (rk - 1) * 1000000 // (n - 1) END AS pct_ppm
+    FROM ranked
+    """,
+)
+def docs_quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality percentile in integer ppm — the rank-based
+    normalization a curation pipeline uses to compare quality ACROSS
+    languages (raw scores aren't comparable between languages; ranks
+    are).  ``(rank-1) * 1e6 div (n-1)`` is pure integer math — exact on
+    both engines, unlike ``percent_rank``'s float division."""
+    from pyspark.sql import Window as W
+
+    docs = textops.with_quality_score(load(spark, sf_dir, "documents"), "text")
+    w = W.partitionBy("lang").orderBy(F.asc("quality_ppm"), F.asc("doc_id"))
+    wn = W.partitionBy("lang")
+    return (
+        docs.select("doc_id", "lang", "quality_ppm")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "pct_ppm",
+            F.expr("CASE WHEN n = 1 THEN 0 ELSE (rk - 1) * 1000000 div (n - 1) END"),
+        )
+        .select("doc_id", "lang", "quality_ppm", "pct_ppm")
+    )
