@@ -247,3 +247,42 @@ def sessionize(
     return df.withColumn("_new_session", is_new).withColumn(
         session_col, F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
     ).drop("_new_session")
+
+
+def grouped_stats_pandas(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group count / exact sum / min / max via ``applyInPandas``
+    (grouped-map: whole group as one pandas frame in, one row out).
+
+    The grouped-map modality exists for operators that genuinely need
+    the full group in memory (model scoring, per-group fitting); for
+    plain aggregates the groupBy twin is strictly better (map-side
+    combine, no group materialization) — a test pins this operator
+    bit-identical to it, so it serves as the template: numpy's pairwise
+    summation is NOT Spark's left-fold, so the sum accumulates
+    sequentially in the group's sorted order exactly like the decimal
+    path.
+    """
+    import pandas as pd
+
+    out_fields = ", ".join(f"{c} string" for c in group_cols)
+    schema = f"{out_fields}, n_rows long, total double, vmin double, vmax double"
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf.sort_values([value_col] + group_cols, kind="mergesort")[value_col]
+        # sequential left-fold in sorted order — deterministic regardless
+        # of partitioning (never numpy pairwise sum)
+        total = 0.0
+        for v in vals:
+            total += float(v)
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        row.update(
+            n_rows=[len(pdf)], total=[total],
+            vmin=[float(vals.iloc[0])], vmax=[float(vals.iloc[-1])],
+        )
+        return pd.DataFrame(row)
+
+    return df.groupBy(*group_cols).applyInPandas(stats, schema)

@@ -854,3 +854,34 @@ class TestAutoShingleDfValidation:
         df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
         with _pytest.raises(ValueError, match="auto"):
             dedup.ngram_jaccard_pairs(df, "doc_id", "text", max_shingle_df="Auto")
+
+
+class TestGroupedMapPandas:
+    def test_matches_groupby_aggregate(self, spark):
+        from ayeaye_spark.catalog import load
+        from ayeaye_spark.operators import relational
+
+        events = load(spark, "/root/testdata/sf0.001", "events")
+        got = {
+            r["event_type"]: (r["n_rows"], r["vmin"], r["vmax"])
+            for r in relational.grouped_stats_pandas(
+                events, ["event_type"], "value"
+            ).collect()
+        }
+        want = {
+            r["event_type"]: (r["n"], r["lo"], r["hi"])
+            for r in events.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("value").alias("lo"),
+                F.max("value").alias("hi"),
+            ).collect()
+        }
+        assert got == want
+        # the sequential sorted-order fold is partitioning-independent
+        a = relational.grouped_stats_pandas(events, ["event_type"], "value")
+        b = relational.grouped_stats_pandas(
+            events.repartition(13), ["event_type"], "value"
+        )
+        sa = {r["event_type"]: r["total"] for r in a.collect()}
+        sb = {r["event_type"]: r["total"] for r in b.collect()}
+        assert sa == sb  # bit-identical doubles
