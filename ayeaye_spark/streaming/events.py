@@ -136,6 +136,7 @@ def interval_event_join(
     max_delay: str = "30 minutes",
     watermark: str = "2 hours",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream (or batch) interval join: each left event pairs with
     right events on the same keys arriving within ``[left_ts, left_ts +
@@ -147,16 +148,33 @@ def interval_event_join(
     stays O(window x rate) at any scale instead of growing forever.  On
     batch inputs the identical plan runs as a normal range join (how the
     tests cross-check stream output against the batch answer).
+
+    ``how="leftOuter"`` additionally emits unmatched left rows (right
+    columns null) — but only once the watermark has passed their match
+    window, so "no match" is final, not just "no match yet".  The outer
+    join REQUIRES the time-range condition inside the join predicate
+    (Spark rejects unbounded-state outer stream-stream joins).
     """
     l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
     keep = [c for c in r.columns if c not in on]
     r = r.select(*on, *[F.col(c).alias(f"{right_prefix}{c}") for c in keep])
     p_right_ts = f"{right_prefix}{right_ts}"
-    cond = (
+    time_cond = (
         F.col(p_right_ts) >= F.col(left_ts)
     ) & (F.col(p_right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
-    return l.join(r, on=on, how="inner").where(cond)
+    if how == "inner":
+        # equi-keys via on= keeps one copy of the key columns; the range
+        # condition can live in a post-join filter
+        return l.join(r, on=on, how="inner").where(time_cond)
+    # outer stream-stream joins need the FULL condition in the join
+    # itself (a post-filter would see the null-padded rows)
+    eq = [l[c].eqNullSafe(r[c]) for c in on]
+    cond = eq[0]
+    for e in eq[1:]:
+        cond = cond & e
+    joined = l.join(r, on=cond & time_cond, how=how)
+    return joined.drop(*[r[c] for c in on])
 
 
 def enrich_with_static(

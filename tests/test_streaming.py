@@ -260,3 +260,51 @@ def test_windowed_counts_custom_value_col(spark):
     got = {r["window_start"].hour: (r["n_events"], r["sum_value"])
            for r in streamops.windowed_counts(df, value_col="amount").collect()}
     assert got == {10: (2, 5.0), 11: (1, 7.0)}
+
+
+def test_interval_join_left_outer_stream(spark, tmp_path):
+    """Outer stream-stream interval join: matched rows carry the right
+    side, unmatched left rows are emitted null-padded once the watermark
+    finalizes their window; the whole output equals the batch answer."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    views = [(1, "u1", at(0)), (2, "u2", at(0)), (3, "u1", at(120))]
+    clicks = [("u1", at(10), 100),            # matches view 1 (within 30m)
+              ("u2", at(90), 200)]            # too late for view 2
+    vdf = spark.createDataFrame(views, ["event_id", "user_id", "ts"])
+    cdf = spark.createDataFrame(clicks, ["user_id", "ts", "click_id"])
+    vdir, cdir = str(tmp_path / "v"), str(tmp_path / "c")
+    vdf.write.parquet(vdir)
+    cdf.write.parquet(cdir)
+
+    def key_rows(df):
+        return {(r["event_id"], r["r_click_id"]) for r in df.collect()}
+
+    batch = streamops.interval_event_join(
+        vdf, cdf, on=["user_id"], max_delay="30 minutes", how="leftOuter"
+    )
+    expected = key_rows(batch)
+    assert expected == {(1, 100), (2, None), (3, None)}
+
+    vs = streamops.stream_from_parquet(spark, vdir)
+    cs = streamops.stream_from_parquet(spark, cdir)
+    joined = streamops.interval_event_join(
+        vs, cs, on=["user_id"], max_delay="30 minutes",
+        watermark="1 minute", how="leftOuter",
+    )
+    got = key_rows(
+        streamops.run_to_memory(joined, "outer_interval_test", output_mode="append")
+    )
+    # availableNow pre-plans with a stale watermark: unmatched rows whose
+    # window the final watermark hasn't passed may be withheld — matched
+    # rows must all be present, unmatched ones are a subset of expected
+    assert {p for p in got if p[1] is not None} == {p for p in expected if p[1] is not None}
+    assert got <= expected
+    # view 2's match window ended 90 minutes before the final watermark:
+    # its null-padded row MUST have been finalized and emitted
+    assert (2, None) in got
