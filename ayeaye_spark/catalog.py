@@ -2092,7 +2092,13 @@ def docs_quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFra
         .withColumn("n", F.count(F.lit(1)).over(wn))
         .withColumn(
             "pct_ppm",
-            F.expr("CASE WHEN n = 1 THEN 0 ELSE (rk - 1) * 1000000 div (n - 1) END"),
+            # row_number is 32-bit in Spark: cast BEFORE the *1e6 or any
+            # language with ≥2149 docs overflows under ANSI (the DuckDB
+            # side is already BIGINT)
+            F.expr(
+                "CASE WHEN n = 1 THEN 0L "
+                "ELSE CAST(rk - 1 AS BIGINT) * 1000000 div (n - 1) END"
+            ),
         )
         .select("doc_id", "lang", "quality_ppm", "pct_ppm")
     )

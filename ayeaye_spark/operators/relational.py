@@ -260,25 +260,32 @@ def grouped_stats_pandas(
     The grouped-map modality exists for operators that genuinely need
     the full group in memory (model scoring, per-group fitting); for
     plain aggregates the groupBy twin is strictly better (map-side
-    combine, no group materialization) — a test pins this operator
-    bit-identical to it, so it serves as the template: numpy's pairwise
-    summation is NOT Spark's left-fold, so the sum accumulates
-    sequentially in the group's sorted order exactly like the decimal
-    path.
+    combine, no group materialization).  Null values are skipped like
+    the SQL aggregates (count still counts the rows); count/min/max are
+    test-pinned equal to the groupBy twin.  The sum accumulates
+    sequentially in VALUE-SORTED order — partitioning-independent
+    (test-pinned across repartitionings), but deliberately NOT the same
+    float fold as ``F.sum`` (whose order follows partition layout): do
+    not swap them inside an exact-equality oracle path.
     """
     import pandas as pd
 
-    out_fields = ", ".join(f"{c} string" for c in group_cols)
+    out_fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
     schema = f"{out_fields}, n_rows long, total double, vmin double, vmax double"
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = pdf.sort_values([value_col] + group_cols, kind="mergesort")[value_col]
+        vals = pdf[value_col].dropna().sort_values(kind="mergesort")
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        if len(vals) == 0:  # all-null group: SQL aggregates yield null
+            row.update(n_rows=[len(pdf)], total=[None], vmin=[None], vmax=[None])
+            return pd.DataFrame(row)
         # sequential left-fold in sorted order — deterministic regardless
         # of partitioning (never numpy pairwise sum)
         total = 0.0
         for v in vals:
             total += float(v)
-        row = {c: [pdf[c].iloc[0]] for c in group_cols}
         row.update(
             n_rows=[len(pdf)], total=[total],
             vmin=[float(vals.iloc[0])], vmax=[float(vals.iloc[-1])],

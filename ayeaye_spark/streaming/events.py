@@ -167,9 +167,15 @@ def interval_event_join(
         # equi-keys via on= keeps one copy of the key columns; the range
         # condition can live in a post-join filter
         return l.join(r, on=on, how="inner").where(time_cond)
+    if how not in ("leftOuter", "left", "left_outer"):
+        # rightOuter/fullOuter would need the right-side key copies
+        # coalesced back (they are dropped below) — unsupported here
+        raise ValueError(f"how must be 'inner' or 'leftOuter', got {how!r}")
     # outer stream-stream joins need the FULL condition in the join
-    # itself (a post-filter would see the null-padded rows)
-    eq = [l[c].eqNullSafe(r[c]) for c in on]
+    # itself (a post-filter would see the null-padded rows).  Plain ==
+    # (null-rejecting), so the matched subset equals the inner result —
+    # null keys never match, exactly as with on=.
+    eq = [l[c] == r[c] for c in on]
     cond = eq[0]
     for e in eq[1:]:
         cond = cond & e

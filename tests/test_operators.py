@@ -885,3 +885,20 @@ class TestGroupedMapPandas:
         sa = {r["event_type"]: r["total"] for r in a.collect()}
         sb = {r["event_type"]: r["total"] for r in b.collect()}
         assert sa == sb  # bit-identical doubles
+
+
+class TestGroupedMapPandasEdgeCases:
+    def test_int_group_col_and_nulls(self, spark):
+        from ayeaye_spark.operators import relational
+
+        rows = [(7, 1.0), (7, None), (8, None), (9, 3.0), (9, 2.0)]
+        df = spark.createDataFrame(rows, ["g", "value"])
+        got = {r["g"]: (r["n_rows"], r["total"], r["vmin"], r["vmax"])
+               for r in relational.grouped_stats_pandas(df, ["g"], "value").collect()}
+        # nulls skipped like SQL aggregates; count counts rows;
+        # all-null group yields null stats; int group key round-trips
+        assert got == {
+            7: (2, 1.0, 1.0, 1.0),
+            8: (1, None, None, None),
+            9: (2, 5.0, 2.0, 3.0),
+        }

@@ -308,3 +308,27 @@ def test_interval_join_left_outer_stream(spark, tmp_path):
     # view 2's match window ended 90 minutes before the final watermark:
     # its null-padded row MUST have been finalized and emitted
     assert (2, None) in got
+
+
+def test_interval_join_outer_matches_inner_on_matched_subset(spark):
+    """Null keys never match in either mode, and unsupported outer
+    directions fail loudly."""
+    import datetime
+
+    import pytest as _pytest
+
+    t = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    left = spark.createDataFrame([(1, None, t), (2, "u", t)],
+                                 ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame([(None, t, 50), ("u", t, 60)],
+                                  ["user_id", "ts", "click_id"])
+    inner = streamops.interval_event_join(left, right, on=["user_id"])
+    outer = streamops.interval_event_join(left, right, on=["user_id"],
+                                          how="leftOuter")
+    inner_keys = {(r["event_id"], r["r_click_id"]) for r in inner.collect()}
+    outer_keys = {(r["event_id"], r["r_click_id"]) for r in outer.collect()}
+    assert inner_keys == {(2, 60)}
+    assert outer_keys == {(1, None), (2, 60)}  # null-keyed row unmatched
+
+    with _pytest.raises(ValueError, match="leftOuter"):
+        streamops.interval_event_join(left, right, on=["user_id"], how="fullOuter")
