@@ -2016,9 +2016,9 @@ def dedup_incremental_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars")
 
 
-shared_sql(
+@query(
     "lineitem_price_quartiles_exact",
-    """
+    oracle="""
     SELECT l_returnflag,
            MAX(CASE WHEN rn = GREATEST(CAST(CEIL(n * 0.25) AS BIGINT), 1)
                     THEN l_extendedprice END) AS p25,
@@ -2029,15 +2029,30 @@ shared_sql(
     FROM (
       SELECT l_returnflag, l_extendedprice,
              ROW_NUMBER() OVER (PARTITION BY l_returnflag
-                                ORDER BY l_extendedprice ASC, l_orderkey ASC,
-                                         l_linenumber ASC) AS rn,
+                                ORDER BY l_extendedprice ASC) AS rn,
              COUNT(*) OVER (PARTITION BY l_returnflag) AS n
       FROM lineitem
     ) t
     GROUP BY l_returnflag ORDER BY l_returnflag
     """,
-    needs=("lineitem",),
 )
+def lineitem_price_quartiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 order statistics per return flag.  The oracle
+    sorts each group with a window; the Spark side uses the scalable
+    histogram locate-then-sort plan (`relational.exact_group_quantiles`)
+    — with only 3 groups, a per-group global sort runs as 3 giant
+    tasks, while the histogram plan's only sort touches the single
+    located bucket per target rank."""
+    li = load(spark, sf_dir, "lineitem")
+    q = relational.exact_group_quantiles(
+        li, "l_returnflag", "l_extendedprice", bucket_width=100.0
+    )
+    return q.select(
+        "l_returnflag",
+        F.col("q_25").alias("p25"),
+        F.col("q_50").alias("p50"),
+        F.col("q_75").alias("p75"),
+    ).orderBy("l_returnflag")
 
 shared_sql(
     "events_user_activity_deciles",

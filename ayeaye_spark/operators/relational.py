@@ -293,3 +293,69 @@ def grouped_stats_pandas(
         return pd.DataFrame(row)
 
     return df.groupBy(*group_cols).applyInPandas(stats, schema)
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """EXACT type-1 quantiles (order statistics at rank ``ceil(n*q)``)
+    per group, without sorting any group end-to-end.
+
+    The naive formulation (row_number over the group) sorts every row of
+    a group in one task — with few groups that is a handful of giant
+    sorts.  This is the scalable histogram locate-then-sort plan:
+
+    1. bucket values (``floor(v / bucket_width)``) and count per
+       (group, bucket) — a map-side-combined aggregate, fully parallel;
+    2. cumulative counts over the tiny histogram locate, for each target
+       rank, the bucket containing it and the rank's offset within it;
+    3. re-scan only the located buckets (a broadcast semi-filter that
+       reaches the scan) and pick the offset-th smallest value inside
+       each — a sort of ~one bucket's rows, not the group.
+
+    Ties are safe at every step: equal values share a bucket and any
+    stable in-bucket order yields the same VALUE at a given offset.
+    Output: (group_col, q_<pct> for each quantile), e.g. ``q_25``.
+    """
+    base = df.select(group_col, F.col(value_col).cast("double").alias("_v"))
+    b = base.withColumn("_bkt", F.floor(F.col("_v") / F.lit(bucket_width)).cast("long"))
+    hist = b.groupBy(group_col, "_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(group_col).orderBy("_bkt")
+    hist = hist.withColumn("_cum", F.sum("_c").over(w))
+    totals = hist.groupBy(group_col).agg(F.max("_cum").alias("_n"))
+
+    target_structs = [
+        F.struct(
+            F.lit(q).alias("_q"),
+            F.greatest(F.ceil(F.col("_n") * q).cast("long"), F.lit(1)).alias("_r"),
+        )
+        for q in quantiles
+    ]
+    targets = totals.select(
+        group_col, F.explode(F.array(*target_structs)).alias("_t")
+    ).select(group_col, F.col("_t._q").alias("_q"), F.col("_t._r").alias("_r"))
+
+    located = (
+        targets.join(hist, on=group_col)
+        .where((F.col("_cum") >= F.col("_r")) & (F.col("_cum") - F.col("_c") < F.col("_r")))
+        .select(
+            group_col, "_q", "_bkt",
+            (F.col("_r") - (F.col("_cum") - F.col("_c"))).alias("_k"),
+        )
+    )
+
+    cand = b.join(F.broadcast(located), on=[group_col, "_bkt"])
+    wv = Window.partitionBy(group_col, "_bkt", "_q").orderBy(F.asc("_v"))
+    picked = cand.withColumn("_rv", F.row_number().over(wv)).where(
+        F.col("_rv") == F.col("_k")
+    )
+    aggs = [
+        F.max(F.when(F.col("_q") == q, F.col("_v"))).alias(f"q_{int(q * 100)}")
+        for q in quantiles
+    ]
+    return picked.groupBy(group_col).agg(*aggs)

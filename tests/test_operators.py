@@ -902,3 +902,32 @@ class TestGroupedMapPandasEdgeCases:
             8: (1, None, None, None),
             9: (2, 5.0, 2.0, 3.0),
         }
+
+
+class TestExactGroupQuantiles:
+    def test_matches_sorted_order_statistics(self, spark):
+        import math
+        import random
+
+        from ayeaye_spark.operators import relational
+
+        rnd = random.Random(7)
+        rows = [("g%d" % (i % 3), rnd.uniform(-50, 50)) for i in range(999)]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        got = {r["g"]: (r["q_25"], r["q_50"], r["q_75"]) for r in
+               relational.exact_group_quantiles(df, "g", "v", bucket_width=5.0).collect()}
+        for g in ("g0", "g1", "g2"):
+            vals = sorted(v for k, v in rows if k == g)
+            n = len(vals)
+            want = tuple(vals[max(math.ceil(n * q), 1) - 1] for q in (0.25, 0.5, 0.75))
+            assert got[g] == want
+
+    def test_duplicate_heavy_and_tiny_groups(self, spark):
+        from ayeaye_spark.operators import relational
+
+        rows = [("a", 1.0)] * 50 + [("a", 2.0)] * 50 + [("b", 9.0)]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        got = {r["g"]: (r["q_25"], r["q_50"], r["q_75"]) for r in
+               relational.exact_group_quantiles(df, "g", "v").collect()}
+        assert got["a"] == (1.0, 1.0, 2.0)   # ranks 25, 50, 75 of [1x50, 2x50]
+        assert got["b"] == (9.0, 9.0, 9.0)
