@@ -111,28 +111,41 @@ _LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_defaults(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     cached = _LOAD_CACHE.get(key)
     if cached is not None:
         return cached
+    # evict plans belonging to stopped sessions so the cache is bounded by
+    # the live session's (sf_dir, table) working set
+    for stale in [k for k in _LOAD_CACHE if k[0] != app_id]:
+        del _LOAD_CACHE[stale]
     if name == "events":
-        # the events table stores TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects; read nanos as long and rebuild a (microsecond)
-        # timestamp — the generator's values are micro-precision, so the
-        # div-1000 is exact and matches DuckDB's TIMESTAMP_NS view.  The
-        # flag is captured at PLAN time (verified: collect succeeds after
-        # restore), so restore it immediately — a later user parquet read
-        # in the same session must not silently get longs for timestamps.
-        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        try:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # events.parquet stores ts as TIMESTAMP(MICROS) in this testdata
+        # (verified with pyarrow at sf0.001/0.01/0.1) and Spark reads it
+        # directly.  Some generators emit TIMESTAMP(NANOS), which Spark's
+        # reader only accepts via the nanosAsLong legacy flag — dispatch
+        # on the READ dtype rather than assuming either: if ts arrives as
+        # a long (nanos flag active elsewhere in the session, or a nanos
+        # file read through it), rebuild the micro-precision timestamp.
+        from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # nanos-as-long: values are micro-precision so div-1000 is exact
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        finally:
-            if prior is None:
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-            else:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+        elif isinstance(ts_type, TimestampNTZType):
+            # Spark 4 infers tz-less parquet micros as TIMESTAMP_NTZ; cast
+            # to TIMESTAMP (session tz pinned UTC => wall-clock preserving)
+            # so watermarks/windows work and collect matches DuckDB's
+            # naive-UTC values
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif not isinstance(ts_type, TimestampType):
+            raise TypeError(
+                f"events.ts read as unsupported type {ts_type}; expected "
+                "timestamp (micros) or long (nanosAsLong)"
+            )
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _LOAD_CACHE[key] = df
@@ -1940,23 +1953,23 @@ def events_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     by nature)."""
     from .streaming import events as streamops
 
+    from pyspark.sql.types import LongType
+
     _ensure_session_defaults(spark)
-    prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        # the file source needs a DIRECTORY; glob-filter to the events file
-        raw = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-    finally:
-        if prior is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source needs a DIRECTORY; glob-filter to the events file
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # same dtype dispatch as load(): ts is timestamp[us] in this testdata
+    # (read as TIMESTAMP_NTZ → cast to TIMESTAMP for watermark support);
+    # rebuild only if a nanosAsLong environment handed us longs
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = streamops.windowed_counts(stream, window="1 hour", group_cols=["event_type"])
     # one fixed sink name: availableNow queries terminate inside
     # run_to_memory, so re-invocations replace the table instead of

@@ -7,10 +7,51 @@ class TestSessionConfHygiene:
         catalog._LOAD_CACHE.clear()
         assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) in (None, "false")
         df = catalog.load(spark, "/root/testdata/sf0.001", "events")
-        # flag restored immediately after plan creation...
+        # flag untouched by the load path...
         assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) in (None, "false")
-        # ...and the plan still executes with timestamps rebuilt
+        # ...and the plan executes with ts as a real timestamp
         assert df.select("ts").first()[0] is not None
+
+
+class TestTestdataSchemaDrift:
+    """Guard against the round-2 failure class: load() assumptions about
+    the parquet physical types drifting from the actual testdata.  Reads
+    the footers directly with pyarrow (no Spark) so a mismatch fails in
+    ~1s rather than wiping out every downstream query."""
+
+    EXPECTED = {
+        "events": {
+            "event_id": "int64",
+            "ts": ("timestamp[us]", "timestamp[ns]", "timestamp[us, tz=UTC]"),
+            "user_id": "int64",
+            "event_type": "string",
+            "value": "double",
+        },
+        "lineitem": {"l_orderkey": "int64", "l_extendedprice": "double"},
+        "orders": {"o_orderkey": "int64", "o_orderdate": ("date32[day]", "timestamp[us]")},
+        "documents": {"doc_id": "int64", "text": "string"},
+        "embeddings": {"vec_id": "int64", "embedding": "list<element: float>"},
+    }
+
+    def test_parquet_physical_types_match_loader_assumptions(self):
+        import pyarrow.parquet as pq
+
+        for table, cols in self.EXPECTED.items():
+            schema = pq.read_schema(f"/root/testdata/sf0.001/{table}.parquet")
+            for col, want in cols.items():
+                got = str(schema.field(col).type)
+                allowed = (want,) if isinstance(want, str) else want
+                assert got in allowed, (
+                    f"{table}.{col}: parquet stores {got}, loader expects one "
+                    f"of {allowed} — update ayeaye_spark/catalog.py:load()"
+                )
+
+    def test_events_ts_loads_as_timestamp(self, spark):
+        from ayeaye_spark import catalog
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        df = catalog.load(spark, "/root/testdata/sf0.001", "events")
+        assert isinstance(df.schema["ts"].dataType, (TimestampType, TimestampNTZType))
 
     def test_scoped_session_conf_restores(self, spark):
         from ayeaye_spark.catalog import scoped_session_conf
