@@ -800,7 +800,9 @@ def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimate per event type — the sketch you
     actually run at 100 TB (exact distinct shuffles every key; HLL ships
     a constant-size sketch per partition).  Driver records a rows-only
-    check: the estimate is engine-specific by construction."""
+    check: the estimate is engine-specific by construction.  The
+    oracle-verified exact counterpart (same shape, same grouping) is
+    ``events_distinct_users_exact``."""
     events = load(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
@@ -808,11 +810,36 @@ def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_distinct_users_exact",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def events_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-users-per-event-type: the driver-verifiable twin of
+    ``events_approx_distinct_users`` (same grouping and shape, exact
+    COUNT DISTINCT instead of the HLL sketch).  At scale the exact form
+    is a two-stage shuffle on (event_type, user_id) then event_type —
+    Catalyst expands it automatically; partial aggregation keeps the
+    first shuffle at distinct-pair cardinality, not row count."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 @query("lineitem_price_quantiles")  # no oracle: approximate by design
 def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate quantiles of extended price per
-    return flag (constant memory per partition; the exact-median query
-    ``orders_median_price`` is the oracle-checked counterpart)."""
+    return flag (constant memory per partition).  The oracle-verified
+    exact counterpart with identical shape is
+    ``lineitem_price_quartiles_exact`` (histogram-locate algorithm);
+    ``orders_median_price`` covers the exact-median SQL form."""
     li = load(spark, sf_dir, "lineitem")
     # scalar columns, not one array column: the driver's canonicalizer
     # sorts/hashes cell values and cannot handle list cells.
