@@ -44,30 +44,37 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
 
+    # A failing query must cost its own timing only, never the whole
+    # bench (round 2 lost every number to one loader bug): per-query
+    # try/except, failures reported in "errors", JSON always emitted.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     names = [n for n in QUERIES if n not in EXCLUDE]
     for name in names:
         best = float("inf")
-        for _ in range(2):
-            t0 = time.monotonic()
-            df = QUERIES[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
+        try:
+            for _ in range(2):
+                t0 = time.monotonic()
+                df = QUERIES[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.monotonic() - t0)
+        except Exception as exc:  # noqa: BLE001 - survive any query failure
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": 2,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "catalog_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": 2,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
