@@ -343,6 +343,68 @@ class ParquetConnector(DataConnector):
             return
         writer.parquet(spark_path(self.url))
 
+class OrcConnector(DataConnector):
+    """``orc://`` — ORC columnar scan/write (no reference counterpart;
+    Spark-native, same pushdown/pruning properties as parquet).  Supports
+    the same ``partition_by`` / ``sort_by`` layout options — at scale the
+    layout decisions (hive partitioning for pruning, range-clustered
+    sort for data skipping) matter more than the container format.
+    """
+
+    engine_types = ["orc"]
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        self._require_read()
+        return spark.read.orc(spark_path(self.url))
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        self._require_write()
+        sort_by = self.connector_kwargs.get("sort_by")
+        if sort_by:
+            cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        writer = df.write.mode(mode)
+        partition_by = self.connector_kwargs.get("partition_by")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.orc(spark_path(self.url))
+
+
+class AvroConnector(DataConnector):
+    """``avro://`` — row-oriented Avro container (no reference
+    counterpart).  Spark ships Avro as an external module
+    (``spark-avro`` jar, absent in this container), so reads/writes are
+    gated: a missing data source surfaces as a loud
+    :class:`MissingDependencyError` at call time, never a silent no-op.
+    """
+
+    engine_types = ["avro"]
+
+    def _gate(self, exc: Exception) -> None:
+        from .base import MissingDependencyError
+
+        if "Failed to find data source: avro" in str(exc):
+            raise MissingDependencyError(
+                "avro:// needs the spark-avro jar "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+            ) from exc
+        raise exc
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        self._require_read()
+        try:
+            return spark.read.format("avro").load(spark_path(self.url))
+        except Exception as exc:  # AnalysisException at source resolution
+            self._gate(exc)
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        self._require_write()
+        try:
+            df.write.mode(mode).format("avro").save(spark_path(self.url))
+        except Exception as exc:
+            self._gate(exc)
+
+
 class JsonConnector(DataConnector):
     """``json://`` — whole single JSON document (json_connector.py:12-115).
 

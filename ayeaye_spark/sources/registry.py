@@ -26,9 +26,11 @@ from .external import (
     RestfulConnector,
 )
 from .file_formats import (
+    AvroConnector,
     CsvConnector,
     JsonConnector,
     NdjsonConnector,
+    OrcConnector,
     ParquetConnector,
     TsvConnector,
     UncookedConnector,
@@ -49,6 +51,7 @@ def register_connector(connector_class: Type[DataConnector], *engine_types: str)
 
 for cls in (
     CsvConnector, TsvConnector, NdjsonConnector, JsonConnector, ParquetConnector,
+    OrcConnector, AvroConnector,
     UncookedConnector, JdbcConnector, KafkaConnector, BigQueryConnector,
     ElasticsearchConnector, RestfulConnector, FakeDataConnector,
 ):

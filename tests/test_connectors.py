@@ -145,6 +145,34 @@ class TestOtherFormats:
         out.write(df)
         assert out.read(spark).count() == 2
 
+    def test_orc_roundtrip(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+        out = connector_for(f"orc://{tmp_path}/t.orc", access=AccessMode.READWRITE)
+        out.write(df)
+        assert sorted(r["name"] for r in out.read(spark).collect()) == ["a", "b"]
+
+    def test_orc_partitioned_write(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "x")], ["id", "grp"])
+        out = connector_for(
+            f"orc://{tmp_path}/p.orc", access=AccessMode.WRITE, partition_by=["grp"]
+        )
+        out.write(df)
+        import os
+
+        assert {d for d in os.listdir(tmp_path / "p.orc") if d.startswith("grp=")} == {
+            "grp=x", "grp=y",
+        }
+
+    def test_avro_gated_without_jar(self, spark, tmp_path):
+        from ayeaye_spark.sources.base import MissingDependencyError
+
+        df = spark.createDataFrame([(1, "a")], ["id", "name"])
+        out = connector_for(f"avro://{tmp_path}/t.avro", access=AccessMode.READWRITE)
+        with pytest.raises(MissingDependencyError, match="spark-avro"):
+            out.write(df)
+        with pytest.raises(MissingDependencyError, match="spark-avro"):
+            out.read(spark)
+
     def test_file_text(self, spark, data_dir, tmp_path):
         c = connector_for(f"file://{data_dir}/quote.txt")
         assert "one line" in c.data
