@@ -106,6 +106,24 @@ class TestPushdown:
         assert "l_extendedprice" not in read_schema  # pruned
 
 
+class TestExactDistinctPlan:
+    def test_two_stage_distinct_with_partial_agg(self, spark):
+        """events_distinct_users_exact must expand to Spark's two-shuffle
+        distinct-aggregate (partial agg on (event_type, user_id), then on
+        event_type) with the scan pruned to the two needed columns — the
+        shape that holds at 100 TB (first shuffle is distinct-pair
+        cardinality, not row count)."""
+        from ayeaye_spark.catalog import QUERIES
+
+        q = QUERIES["events_distinct_users_exact"](spark, SF)
+        plan = physical_plan(q)
+        assert plan.count("Exchange") <= 2
+        assert "HashAggregate" in plan
+        read_schema = plan.split("ReadSchema: ")[1][:200]
+        assert "user_id" in read_schema and "event_type" in read_schema
+        assert "props" not in read_schema and "value" not in read_schema
+
+
 class TestPlanSummary:
     def test_summary_facts(self, spark):
         from ayeaye_spark.plans.introspect import plan_summary
