@@ -1968,6 +1968,42 @@ shared_sql(
 )
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a streaming source with the same ts-dtype
+    dispatch as :func:`load` (timestamp[us] parquet read as
+    TIMESTAMP_NTZ → cast to TIMESTAMP for watermark support; a
+    nanosAsLong environment's longs → rebuilt micros)."""
+    from pyspark.sql.types import LongType
+
+    _ensure_session_defaults(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source needs a DIRECTORY; glob-filter to the events file
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _drain_stream(spark: SparkSession, agg: DataFrame, sink: str,
+                  output_mode: str = "complete") -> DataFrame:
+    """Run an availableNow streaming aggregate to a memory sink and
+    return the drained result.  One FIXED sink name per query:
+    availableNow queries terminate inside run_to_memory, so
+    re-invocations replace the table instead of accumulating one
+    fully-materialized memory table per call.  The result is detached
+    from the sink (localCheckpoint) and the temp view dropped, so
+    nothing outlives the call."""
+    from .streaming import events as streamops
+
+    out = streamops.run_to_memory(agg, sink, output_mode=output_mode).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    return out
+
+
 @query("events_stream_hourly_counts")  # no oracle: streaming drain, rows-only check
 def events_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming in the acceptance surface: the hourly
@@ -1980,33 +2016,24 @@ def events_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     by nature)."""
     from .streaming import events as streamops
 
-    from pyspark.sql.types import LongType
-
-    _ensure_session_defaults(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file source needs a DIRECTORY; glob-filter to the events file
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # same dtype dispatch as load(): ts is timestamp[us] in this testdata
-    # (read as TIMESTAMP_NTZ → cast to TIMESTAMP for watermark support);
-    # rebuild only if a nanosAsLong environment handed us longs
-    if isinstance(schema["ts"].dataType, LongType):
-        stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        stream = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _events_stream(spark, sf_dir)
     agg = streamops.windowed_counts(stream, window="1 hour", group_cols=["event_type"])
-    # one fixed sink name: availableNow queries terminate inside
-    # run_to_memory, so re-invocations replace the table instead of
-    # accumulating one fully-materialized memory table per call.  The
-    # result is detached from the sink (localCheckpoint) and the temp
-    # view dropped, so nothing outlives the call.
-    name = "events_stream_hourly_sink"
-    out = streamops.run_to_memory(agg, name, output_mode="complete").localCheckpoint()
-    spark.catalog.dropTempView(name)
-    return out
+    return _drain_stream(spark, agg, "events_stream_hourly_sink")
+
+
+@query("events_stream_sessions")  # no oracle: streaming drain, rows-only check
+def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (dynamic 30-minute gap) per user as a watermarked
+    stream — ``F.session_window`` state merges adjacent windows across
+    micro-batches, the streaming-native form of gap sessionization.  The
+    oracle-checked batch counterpart is ``events_sessionize`` (lag +
+    running-sum formulation); ``tests/test_catalog.py`` holds this
+    drain's session count per user equal to the batch twin's."""
+    from .streaming import events as streamops
+
+    stream = _events_stream(spark, sf_dir)
+    agg = streamops.session_aggregate(stream, gap="30 minutes", by=["user_id"])
+    return _drain_stream(spark, agg, "events_stream_sessions_sink")
 
 
 def _duck_incremental_oracle(n: int = 3, k: int = 16, bands: int = 4,

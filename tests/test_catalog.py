@@ -76,3 +76,23 @@ class TestStreamingCatalogEntry:
             for r in QUERIES["events_stream_hourly_counts"](spark, sf).collect()
         }
         assert stream == batch
+
+    def test_stream_sessions_match_batch_sessionize(self, spark):
+        """The session_window streaming drain must agree with the batch
+        lag+cumsum sessionization on sessions-per-user and total events
+        (same 30-minute gap)."""
+        from collections import Counter
+
+        from ayeaye_spark.catalog import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        stream_rows = QUERIES["events_stream_sessions"](spark, sf).collect()
+        n_sessions = Counter(r["user_id"] for r in stream_rows)
+        n_events = Counter()
+        for r in stream_rows:
+            n_events[r["user_id"]] += r["n_events"]
+        batch = {
+            r["user_id"]: (r["n_sessions"], r["n_events"])
+            for r in QUERIES["events_sessionize"](spark, sf).collect()
+        }
+        assert {u: (n_sessions[u], n_events[u]) for u in n_sessions} == batch

@@ -931,3 +931,60 @@ class TestExactGroupQuantiles:
                relational.exact_group_quantiles(df, "g", "v").collect()}
         assert got["a"] == (1.0, 1.0, 2.0)   # ranks 25, 50, 75 of [1x50, 2x50]
         assert got["b"] == (9.0, 9.0, 9.0)
+
+
+class TestUdtfRegistry:
+    """UDTFs are the SQL-addressable extensibility surface; each has a
+    built-in twin the tests hold it equivalent to (the twin is the hot
+    path)."""
+
+    def test_split_tokens_matches_posexplode_twin(self, spark):
+        from ayeaye_spark.functions.udtf_registry import register_udtfs
+
+        names = register_udtfs(spark)
+        assert {"split_tokens", "json_kv"} <= set(names)
+        spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, ""), (3, None)], ["id", "text"]
+        ).createOrReplaceTempView("t_docs")
+        via_udtf = spark.sql(
+            "SELECT d.id, s.pos, s.word FROM t_docs d, "
+            "LATERAL split_tokens(d.text) s"
+        ).collect()
+        twin = spark.sql(
+            "SELECT id, posexplode(split(text, '\\\\s+')) AS (pos, word) "
+            "FROM t_docs WHERE text IS NOT NULL AND text != ''"
+        ).collect()
+        assert sorted(map(tuple, via_udtf)) == sorted(map(tuple, twin))
+
+    def test_json_kv_handles_heterogeneous_values(self, spark):
+        from ayeaye_spark.functions.udtf_registry import register_udtfs
+
+        register_udtfs(spark)
+        rows = spark.sql(
+            """SELECT * FROM json_kv('{"a": "x", "n": 3, "o": {"k": 1}}')"""
+        ).collect()
+        got = {r["key"]: r["value"] for r in rows}
+        assert got == {"a": "x", "n": "3", "o": '{"k": 1}'}
+
+    def test_json_kv_ignores_invalid_docs(self, spark):
+        from ayeaye_spark.functions.udtf_registry import register_udtfs
+
+        register_udtfs(spark)
+        assert spark.sql("SELECT * FROM json_kv('not json')").count() == 0
+        assert spark.sql("SELECT * FROM json_kv('[1,2]')").count() == 0
+
+    def test_extra_registration(self, spark):
+        from pyspark.sql.functions import udtf
+
+        from ayeaye_spark.functions.udtf_registry import register_udtfs
+
+        @udtf(returnType="n: int")
+        class Pair:
+            def eval(self, x: int):
+                yield x,
+                yield x + 1,
+
+        names = register_udtfs(spark, pair=Pair)
+        assert "pair" in names
+        vals = [r["n"] for r in spark.sql("SELECT * FROM pair(5)").collect()]
+        assert vals == [5, 6]
