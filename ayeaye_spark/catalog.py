@@ -1097,6 +1097,29 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_weighted_quality_by_lang",
+    oracle=f"""
+    SELECT lang,
+           {P.int_div("SUM(q * n_chars)", "SUM(n_chars)", DUCK)} AS wq_ppm,
+           COUNT(*) AS n_docs
+    FROM (SELECT lang, n_chars,
+                 {P.quality_score_ppm_from_tokens('text', 'toks', DUCK)} AS q
+          FROM (SELECT lang, n_chars, text, {P.tokens('text', DUCK)} AS toks
+                FROM documents))
+    GROUP BY lang
+    """,
+)
+def docs_weighted_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-weighted mean quality per language via the GROUPED_AGG
+    pandas-UDF modality (integer ppm × integer weights → exact int64
+    sums, so the Python aggregation is oracle-comparable).  The SQL
+    twin in the oracle is the hot-path form."""
+    return textops.weighted_quality_by_group(
+        load(spark, sf_dir, "documents"), "lang", "n_chars"
+    )
+
+
+@query(
     "doc_token_counts",
     oracle=f"""
     SELECT doc_id,

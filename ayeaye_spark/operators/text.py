@@ -12,6 +12,8 @@ corpus at any scale.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified hints here
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -60,6 +62,49 @@ def with_token_counts(df: DataFrame, text_col: str) -> DataFrame:
 def with_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
     """Rolling-hash fingerprint over normalized text."""
     return df.withColumn(out_col, F.expr(P.fingerprint(text_col, SPARK)))
+
+
+def weighted_quality_by_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Weight-averaged quality per group — the GROUPED_AGG pandas-UDF
+    modality (Series → scalar inside ``groupBy().agg``), completing the
+    five Pandas-UDF shapes (scalar, mapInPandas, applyInPandas
+    grouped-map, applyInPandasWithState, grouped-agg).
+
+    Exactness contract: quality is integer ppm and weights are integers,
+    so the numpy int64 sums are order-independent and the floor-divide
+    matches any engine's integer division on positive operands — the
+    result is oracle-comparable despite crossing the Python boundary.
+    Built-in twin for hot paths: ``SUM(q*w) div SUM(w)`` (same integer
+    arithmetic, fully JVM-side); the UDAF form is the registration
+    surface for aggregations built-ins genuinely can't express.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _wmean_ppm(q: pd.Series, w: pd.Series) -> int:
+        qs = q.to_numpy(np.int64)
+        ws = w.to_numpy(np.int64)
+        den = int(ws.sum())
+        return int((qs * ws).sum()) // den if den else 0
+
+    # Spark disallows mixing grouped-agg pandas UDFs with JVM aggregates
+    # in one agg() (INVALID_PANDAS_UDF_PLACEMENT) — the count rides the
+    # same UDF modality.
+    @pandas_udf("long")
+    def _n_docs(q: pd.Series) -> int:
+        return len(q)
+
+    prof = with_quality_score(df, text_col)
+    return prof.groupBy(group_col).agg(
+        _wmean_ppm(F.col("quality_ppm"), F.col(weight_col)).alias("wq_ppm"),
+        _n_docs(F.col("quality_ppm")).alias("n_docs"),
+    )
 
 
 def text_profile(df: DataFrame, text_col: str) -> DataFrame:

@@ -988,3 +988,35 @@ class TestUdtfRegistry:
         assert "pair" in names
         vals = [r["n"] for r in spark.sql("SELECT * FROM pair(5)").collect()]
         assert vals == [5, 6]
+
+
+class TestGroupedAggPandasUdf:
+    def test_weighted_quality_matches_builtin_twin(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        docs = spark.createDataFrame(
+            [
+                (1, "en", 40, "the quick brown fox jumps over the lazy dog"),
+                (2, "en", 10, "zzz qqq"),
+                (3, "de", 25, "der schnelle braune fuchs"),
+                (4, "de", 5, ""),
+            ],
+            ["doc_id", "lang", "n_chars", "text"],
+        )
+        got = {
+            r["lang"]: (r["wq_ppm"], r["n_docs"])
+            for r in textops.weighted_quality_by_group(
+                docs, "lang", "n_chars"
+            ).collect()
+        }
+        prof = textops.with_quality_score(docs, "text")
+        twin = {
+            r["lang"]: (r["wq_ppm"], r["n_docs"])
+            for r in prof.groupBy("lang")
+            .agg(
+                F.expr("sum(quality_ppm * n_chars) div sum(n_chars)").alias("wq_ppm"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+            .collect()
+        }
+        assert got == twin and set(got) == {"en", "de"}
