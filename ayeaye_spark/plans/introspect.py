@@ -14,7 +14,13 @@ from pyspark.sql import DataFrame
 
 
 def physical_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """The executed plan, FINAL section only: an AdaptiveSparkPlan's
+    toString prints the current/final plan followed by a full copy of
+    the initial plan — counting nodes across both double-counts every
+    scan/join/exchange (and hides ReusedExchange wins).  Everything
+    after the Initial Plan marker is dropped."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
 
 
 def plan_summary(df: DataFrame) -> dict:
@@ -45,6 +51,7 @@ def plan_summary(df: DataFrame) -> dict:
         "joins": joins,
         "n_exchanges": len(exchanges),
         "exchange_kinds": exchanges,
+        "n_reused_exchanges": plan.count("ReusedExchange"),
         "scans": scans,
         "whole_stage_codegen": _has_codegen(df, plan),
     }
