@@ -59,9 +59,7 @@ def _ensure_session_defaults(spark: SparkSession) -> None:
     returns a lazy DataFrame — so they cannot be save/restored here and
     they outlive the call.  Callers embedding catalog queries in a
     session with different needs should wrap the full
-    build-collect span in :func:`scoped_session_conf`.  The events
-    nanos-parquet flag, by contrast, is captured at plan time and IS
-    restored immediately (see :func:`load`)."""
+    build-collect span in :func:`scoped_session_conf`."""
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":

@@ -28,9 +28,15 @@ from pyspark.sql.functions import udtf
 @udtf(returnType="word: string, pos: int")
 class SplitTokens:
     """``split_tokens(text)`` → one row per whitespace token with its
-    position.  Built-in twin (use in hot paths):
+    position (Python ``str.split`` semantics: leading/trailing/empty
+    input yields no empty tokens).  Built-in twin (use in hot paths) —
+    note the ``trim`` and the empty-string guard, without which regex
+    split emits '' tokens for padded or empty input and the positions
+    shift:
 
-        SELECT posexplode(split(text, '\\\\s+')) AS (pos, word)
+        SELECT pos, word
+        FROM ..., LATERAL posexplode(split(trim(text), '\\\\s+')) AS s(pos, word)
+        WHERE word != ''
     """
 
     def eval(self, text: str):  # noqa: D102 - contract in class docstring

@@ -79,17 +79,26 @@ def weighted_quality_by_group(
     so the numpy int64 sums are order-independent and the floor-divide
     matches any engine's integer division on positive operands — the
     result is oracle-comparable despite crossing the Python boundary.
-    Built-in twin for hot paths: ``SUM(q*w) div SUM(w)`` (same integer
-    arithmetic, fully JVM-side); the UDAF form is the registration
-    surface for aggregations built-ins genuinely can't express.
+    Rows where either operand is null are skipped (their weight does not
+    enter the denominator).  Built-in twin for hot paths::
+
+        SUM(q*w) div SUM(CASE WHEN q IS NOT NULL THEN w END)
+
+    (same integer arithmetic and null semantics, fully JVM-side); the
+    UDAF form is the registration surface for aggregations built-ins
+    genuinely can't express.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def _wmean_ppm(q: pd.Series, w: pd.Series) -> int:
-        qs = q.to_numpy(np.int64)
-        ws = w.to_numpy(np.int64)
+        # SQL-aggregate null semantics: rows where either operand is
+        # null are skipped.  Without the mask, a null becomes NaN and
+        # to_numpy(int64) wraps it to INT64_MIN — silent garbage.
+        ok = q.notna() & w.notna()
+        qs = q[ok].to_numpy(np.int64)
+        ws = w[ok].to_numpy(np.int64)
         den = int(ws.sum())
         return int((qs * ws).sum()) // den if den else 0
 

@@ -281,42 +281,39 @@ class NdjsonConnector(DataConnector):
                 f.write(row["j"] + "\n")
 
 
-class ParquetConnector(DataConnector):
-    """``parquet://`` — vectorized columnar scan (parquet_connector.py:22-124).
+def _apply_clustered_layout(df: DataFrame, sort_by) -> DataFrame:
+    """CLUSTER the output on these columns: range-partition (each output
+    file owns a disjoint key range) then sort within — columnar min/max
+    stats become tight per file AND per row group, so later range/point
+    filters skip whole files (data skipping — the single-dimension
+    z-order).  ``(n, cols)`` pins the output file count (AQE may
+    otherwise coalesce)."""
+    if isinstance(sort_by, tuple) and isinstance(sort_by[0], int):
+        n_files, cols = sort_by
+    else:
+        n_files, cols = None, sort_by
+    # a bare column-name string is a natural call shape — don't let it
+    # star-splat into per-character "columns"
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if n_files is not None:
+        df = df.repartitionByRange(n_files, *cols)
+    else:
+        df = df.repartitionByRange(*cols)
+    return df.sortWithinPartitions(*cols)
 
-    Unlike the reference (columnar→row pivot, read-only), this is Spark's
-    native format: predicate pushdown, column pruning, partition pruning
-    all apply; write is supported (the reference left it TODO).
-    """
 
-    engine_types = ["parquet"]
+class _ColumnarLayoutWriter:
+    """Shared write path for the columnar formats (parquet, orc):
+    ``sort_by`` clustered layout, ``partition_by`` hive pruning,
+    ``bucket_by`` catalog-registered co-located buckets."""
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        self._require_read()
-        return spark.read.parquet(spark_path(self.url))
+    _format: str  # "parquet" | "orc"
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         self._require_write()
         sort_by = self.connector_kwargs.get("sort_by")
         if sort_by:
-            # CLUSTER the output on these columns: range-partition (each
-            # output file owns a disjoint key range) then sort within —
-            # parquet min/max stats become tight per file AND per row
-            # group, so later range/point filters skip whole files (data
-            # skipping — the single-dimension z-order).  ``(n, cols)``
-            # pins the output file count (AQE may otherwise coalesce).
-            if isinstance(sort_by, tuple) and isinstance(sort_by[0], int):
-                n_files, cols = sort_by
-            else:
-                n_files, cols = None, sort_by
-            # a bare column-name string is a natural call shape — don't
-            # let it star-splat into per-character "columns"
-            cols = [cols] if isinstance(cols, str) else list(cols)
-            if n_files is not None:
-                df = df.repartitionByRange(n_files, *cols)
-            else:
-                df = df.repartitionByRange(*cols)
-            df = df.sortWithinPartitions(*cols)
+            df = _apply_clustered_layout(df, sort_by)
         writer = df.write.mode(mode)
         partition_by = self.connector_kwargs.get("partition_by")
         if partition_by:
@@ -337,37 +334,44 @@ class ParquetConnector(DataConnector):
                 writer.bucketBy(n, *cols)
                 .sortBy(*cols)
                 .option("path", spark_path(self.url))
-                .format("parquet")
+                .format(self._format)
                 .saveAsTable(table)
             )
             return
-        writer.parquet(spark_path(self.url))
+        writer.format(self._format).save(spark_path(self.url))
 
-class OrcConnector(DataConnector):
+
+class ParquetConnector(_ColumnarLayoutWriter, DataConnector):
+    """``parquet://`` — vectorized columnar scan (parquet_connector.py:22-124).
+
+    Unlike the reference (columnar→row pivot, read-only), this is Spark's
+    native format: predicate pushdown, column pruning, partition pruning
+    all apply; write is supported (the reference left it TODO).
+    """
+
+    engine_types = ["parquet"]
+    _format = "parquet"
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        self._require_read()
+        return spark.read.parquet(spark_path(self.url))
+
+class OrcConnector(_ColumnarLayoutWriter, DataConnector):
     """``orc://`` — ORC columnar scan/write (no reference counterpart;
-    Spark-native, same pushdown/pruning properties as parquet).  Supports
-    the same ``partition_by`` / ``sort_by`` layout options — at scale the
-    layout decisions (hive partitioning for pruning, range-clustered
-    sort for data skipping) matter more than the container format.
+    Spark-native, same pushdown/pruning properties as parquet).  The
+    write path is shared with :class:`ParquetConnector` — identical
+    ``partition_by`` / ``sort_by`` / ``bucket_by`` layout options; at
+    scale the layout decisions (hive partitioning for pruning,
+    range-clustered sort for data skipping, bucketed co-location)
+    matter more than the container format.
     """
 
     engine_types = ["orc"]
+    _format = "orc"
 
     def read(self, spark: SparkSession) -> DataFrame:
         self._require_read()
         return spark.read.orc(spark_path(self.url))
-
-    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
-        self._require_write()
-        sort_by = self.connector_kwargs.get("sort_by")
-        if sort_by:
-            cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
-            df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
-        writer = df.write.mode(mode)
-        partition_by = self.connector_kwargs.get("partition_by")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.orc(spark_path(self.url))
 
 
 class AvroConnector(DataConnector):

@@ -12,6 +12,14 @@ class TestSessionConfHygiene:
         # ...and the plan executes with ts as a real timestamp
         assert df.select("ts").first()[0] is not None
 
+    def test_scoped_session_conf_restores(self, spark):
+        from ayeaye_spark.catalog import scoped_session_conf
+
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        with scoped_session_conf(spark, **{"spark.sql.shuffle.partitions": "7"}):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
 
 class TestTestdataSchemaDrift:
     """Guard against the round-2 failure class: load() assumptions about
@@ -22,7 +30,12 @@ class TestTestdataSchemaDrift:
     EXPECTED = {
         "events": {
             "event_id": "int64",
-            "ts": ("timestamp[us]", "timestamp[ns]", "timestamp[us, tz=UTC]"),
+            # NOT timestamp[ns]: Spark rejects TIMESTAMP(NANOS) parquet
+            # outright (PARQUET_TYPE_ILLEGAL) unless the session-wide
+            # nanosAsLong flag is pre-set — load() handles the resulting
+            # long column but cannot read a nanos file unaided, so a
+            # nanos regeneration must fail THIS test loudly.
+            "ts": ("timestamp[us]", "timestamp[us, tz=UTC]"),
             "user_id": "int64",
             "event_type": "string",
             "value": "double",
@@ -52,14 +65,6 @@ class TestTestdataSchemaDrift:
 
         df = catalog.load(spark, "/root/testdata/sf0.001", "events")
         assert isinstance(df.schema["ts"].dataType, (TimestampType, TimestampNTZType))
-
-    def test_scoped_session_conf_restores(self, spark):
-        from ayeaye_spark.catalog import scoped_session_conf
-
-        before = spark.conf.get("spark.sql.shuffle.partitions")
-        with scoped_session_conf(spark, **{"spark.sql.shuffle.partitions": "7"}):
-            assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
-        assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
 class TestStreamingCatalogEntry:

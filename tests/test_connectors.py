@@ -163,6 +163,21 @@ class TestOtherFormats:
             "grp=x", "grp=y",
         }
 
+    def test_orc_clustered_write_tuple_form(self, spark, tmp_path):
+        """(n_files, cols) sort_by must work identically to parquet —
+        the layout path is shared."""
+        df = spark.createDataFrame([(i, i % 3) for i in range(30)], ["id", "grp"])
+        out = connector_for(
+            f"orc://{tmp_path}/c.orc", access=AccessMode.READWRITE,
+            sort_by=(2, ["id"]),
+        )
+        out.write(df)
+        import glob as _glob
+
+        files = _glob.glob(str(tmp_path / "c.orc" / "part-*"))
+        assert len(files) == 2
+        assert out.read(spark).count() == 30
+
     def test_avro_gated_without_jar(self, spark, tmp_path):
         from ayeaye_spark.sources.base import MissingDependencyError
 

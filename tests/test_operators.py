@@ -944,17 +944,28 @@ class TestUdtfRegistry:
         names = register_udtfs(spark)
         assert {"split_tokens", "json_kv"} <= set(names)
         spark.createDataFrame(
-            [(1, "the quick brown fox"), (2, ""), (3, None)], ["id", "text"]
+            [
+                (1, "the quick brown fox"),
+                (2, ""),
+                (3, None),
+                (4, "  padded   both ends  "),
+            ],
+            ["id", "text"],
         ).createOrReplaceTempView("t_docs")
         via_udtf = spark.sql(
             "SELECT d.id, s.pos, s.word FROM t_docs d, "
             "LATERAL split_tokens(d.text) s"
         ).collect()
+        # the DOCUMENTED twin: trim + empty-string guard (regex split
+        # emits '' tokens on padded/empty input that str.split never
+        # does, shifting positions)
         twin = spark.sql(
-            "SELECT id, posexplode(split(text, '\\\\s+')) AS (pos, word) "
-            "FROM t_docs WHERE text IS NOT NULL AND text != ''"
+            "SELECT id, pos, word FROM t_docs, "
+            "LATERAL posexplode(split(trim(text), '\\\\s+')) AS s(pos, word) "
+            "WHERE word != ''"
         ).collect()
         assert sorted(map(tuple, via_udtf)) == sorted(map(tuple, twin))
+        assert any(r["id"] == 4 for r in via_udtf)  # padded text covered
 
     def test_json_kv_handles_heterogeneous_values(self, spark):
         from ayeaye_spark.functions.udtf_registry import register_udtfs
@@ -1020,3 +1031,25 @@ class TestGroupedAggPandasUdf:
             .collect()
         }
         assert got == twin and set(got) == {"en", "de"}
+
+    def test_null_rows_skipped_not_wrapped(self, spark):
+        """A null text row yields null quality_ppm; without the pairwise
+        null mask the NaN→int64 cast wraps to INT64_MIN and poisons the
+        sum.  Null rows must be skipped (weight excluded from the
+        denominator), matching the documented SQL twin."""
+        from ayeaye_spark.operators import text as textops
+
+        docs = spark.createDataFrame(
+            [(1, "en", 40, "hello world this is fine"), (2, "en", 10, None)],
+            ["doc_id", "lang", "n_chars", "text"],
+        )
+        row = textops.weighted_quality_by_group(docs, "lang", "n_chars").collect()[0]
+        prof = textops.with_quality_score(docs, "text")
+        twin = prof.groupBy("lang").agg(
+            F.expr(
+                "sum(quality_ppm * n_chars) div "
+                "sum(CASE WHEN quality_ppm IS NOT NULL THEN n_chars END)"
+            ).alias("wq_ppm")
+        ).collect()[0]
+        assert row["wq_ppm"] == twin["wq_ppm"] and row["wq_ppm"] > 0
+        assert row["n_docs"] == 2  # count still covers all rows
