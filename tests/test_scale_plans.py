@@ -69,6 +69,34 @@ class TestBucketedJoin:
         assert join_section  # smoke: we did find the join
 
 
+    def test_orc_bucketed_join_has_no_shuffle(self, spark, tmp_path):
+        """The ORC connector shares the parquet layout path — bucketed
+        co-location must eliminate the join shuffle identically."""
+        orders = load(spark, SF, "orders")
+        customer = load(spark, SF, "customer")
+        connector_for(
+            f"orc://{tmp_path}/orders_ob;table=orders_orc_bucketed",
+            access=AccessMode.WRITE, bucket_by=(4, ["o_custkey"]),
+        ).write(orders)
+        connector_for(
+            f"orc://{tmp_path}/cust_ob;table=customer_orc_bucketed",
+            access=AccessMode.WRITE, bucket_by=(4, ["c_custkey"]),
+        ).write(customer.withColumn("c_custkey", F.col("c_custkey").cast("long")))
+
+        o = spark.table("orders_orc_bucketed")
+        c = spark.table("customer_orc_bucketed")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = o.join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").count()
+            plan = physical_plan(joined)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+        assert "Exchange hashpartitioning(c_custkey" not in plan
+        assert "FileScan orc" in plan
+
+
 class TestSaltedAggregate:
     def test_matches_plain_aggregate(self, spark):
         events = load(spark, SF, "events")
