@@ -12,7 +12,9 @@ analysis) are first-class operators designed for ~100 TB inputs.
 from .core.collection import ModelCollection, ModelGraphError, ProvenanceEdge
 from .core.dataset import Connect, Dataset, DatasetHandle
 from .core.engine_url import EngineUrl, EngineUrlError, parse_engine_url
+from .core.manifest import AbstractManifestMapper, EngineFromManifest, ManifestMapper
 from .core.model import (
+    LockingMode,
     Model,
     PartitionedModel,
     PartitionOption,
@@ -28,14 +30,18 @@ from .sources.registry import connector_for, register_connector, registered_engi
 __version__ = "0.1.0"
 
 __all__ = [
+    "AbstractManifestMapper",
     "AccessMode",
     "Connect",
     "ConnectorError",
     "ConnectorResolver",
     "Dataset",
     "DatasetHandle",
+    "EngineFromManifest",
     "EngineUrl",
     "EngineUrlError",
+    "LockingMode",
+    "ManifestMapper",
     "MissingDependencyError",
     "Model",
     "ModelCollection",

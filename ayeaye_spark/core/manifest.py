@@ -127,3 +127,9 @@ def manifest_build_context(manifest_path: str, **extra: Any):
         doc = json.load(f)
     doc.update(extra)
     return connector_resolver.context(**doc)
+
+
+# The reference exports this class as ``AbstractManifestMapper``
+# (lib/ayeaye/__init__.py:1) — keep that name importable so reference
+# users' models port without edits.
+AbstractManifestMapper = ManifestMapper

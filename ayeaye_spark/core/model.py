@@ -28,12 +28,22 @@ import time
 import traceback
 from concurrent.futures import ThreadPoolExecutor, as_completed
 from dataclasses import dataclass, field
+from enum import Enum
 from typing import Any, Callable
 
 from pyspark.sql import SparkSession
 
 from .dataset import Connect, DatasetHandle
 from .resolver import connector_resolver
+
+
+class LockingMode(Enum):
+    """What :meth:`Model.lock` captures (``model.py:17-26``): just the
+    resolver context, or additionally every dataset's resolved
+    engine_url (the repeatability superset)."""
+
+    CONTEXT = "context"
+    ALL_DATASETS = "all_datasets"
 
 
 class SubTaskFailed(RuntimeError):
@@ -212,23 +222,26 @@ class Model(LoggingMixin):
         self.stats[name] = self.stats.get(name, 0) + by
 
     # -- locking / repeatability (model.py:218-280) --------------------
-    def lock(self) -> dict[str, Any]:
-        """JSON-able doc capturing resolver context (without secrets) and
-        every dataset's resolved engine_url."""
+    def lock(self, locking_mode: LockingMode = LockingMode.ALL_DATASETS) -> dict[str, Any]:
+        """JSON-able doc capturing resolver context (without secrets)
+        and — under ``ALL_DATASETS`` (the default, the repeatability
+        superset) — every dataset's resolved engine_url; ``CONTEXT``
+        captures the resolver context alone (``model.py:218-280``)."""
         doc = {
             "model_class": type(self).__name__,
             "resolver_context": connector_resolver.capture_context(),
-            "datasets": {},
         }
-        for name, connect in type(self).connects().items():
-            url = connect.engine_url
-            if callable(url):
-                url = f"callable:{getattr(url, '__name__', repr(url))}"
-            elif isinstance(url, (list, tuple)):
-                url = [connector_resolver.resolve_without_secrets(u) for u in url]
-            elif isinstance(url, str):
-                url = connector_resolver.resolve_without_secrets(url)
-            doc["datasets"][name] = {"engine_url": url, "access": connect.access.name}
+        if locking_mode is LockingMode.ALL_DATASETS:
+            doc["datasets"] = {}
+            for name, connect in type(self).connects().items():
+                url = connect.engine_url
+                if callable(url):
+                    url = f"callable:{getattr(url, '__name__', repr(url))}"
+                elif isinstance(url, (list, tuple)):
+                    url = [connector_resolver.resolve_without_secrets(u) for u in url]
+                elif isinstance(url, str):
+                    url = connector_resolver.resolve_without_secrets(url)
+                doc["datasets"][name] = {"engine_url": url, "access": connect.access.name}
         doc.update(self.fetch_locking() or {})
         return doc
 

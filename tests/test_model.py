@@ -426,3 +426,32 @@ class TestReadWriteRunOrderCrossProducer:
 
         with _pytest.raises(ModelGraphError):
             ModelCollection([AppendA, AppendB]).run_order()
+
+
+class TestReferenceTopLevelParity:
+    """Everything the reference exports at package top level
+    (lib/ayeaye/__init__.py:1-8) must import from ayeaye_spark the same
+    way, so reference users' imports port without edits."""
+
+    def test_reference_exports_importable(self):
+        import ayeaye_spark as a
+
+        for name in [
+            "AbstractManifestMapper", "EngineFromManifest", "connector_resolver",
+            "Connect", "AccessMode", "LockingMode", "Model", "PartitionedModel",
+            "ModelCollection", "Pinnate",
+        ]:
+            assert hasattr(a, name), f"missing top-level export: {name}"
+
+    def test_lock_context_mode_omits_datasets(self):
+        from ayeaye_spark import Connect, LockingMode, Model, connector_resolver
+
+        class M(Model):
+            src = Connect(engine_url="fake://rows")
+
+        with connector_resolver.context():
+            full = M().lock()
+            ctx_only = M().lock(LockingMode.CONTEXT)
+        assert "datasets" in full and "src" in full["datasets"]
+        assert "datasets" not in ctx_only
+        assert ctx_only["resolver_context"] == full["resolver_context"]
