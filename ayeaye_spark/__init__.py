@@ -25,7 +25,12 @@ from .core.pinnate import Pinnate
 from .core.resolver import ConnectorResolver, UnresolvedUrlError, connector_resolver
 from .core.session import get_spark
 from .sources.base import AccessMode, ConnectorError, MissingDependencyError
-from .sources.registry import connector_for, register_connector, registered_engine_types
+from .sources.registry import (
+    connector_for,
+    connector_registry,
+    register_connector,
+    registered_engine_types,
+)
 
 __version__ = "0.1.0"
 
@@ -54,6 +59,7 @@ __all__ = [
     "TaskPartition",
     "UnresolvedUrlError",
     "connector_for",
+    "connector_registry",
     "connector_resolver",
     "get_spark",
     "parse_engine_url",

@@ -49,13 +49,46 @@ def register_connector(connector_class: Type[DataConnector], *engine_types: str)
         _REGISTRY[et.lower()] = connector_class
 
 
-for cls in (
+_BUILTIN_CONNECTORS: tuple[Type[DataConnector], ...] = (
     CsvConnector, TsvConnector, NdjsonConnector, JsonConnector, ParquetConnector,
     OrcConnector, AvroConnector,
     UncookedConnector, JdbcConnector, KafkaConnector, BigQueryConnector,
     ElasticsearchConnector, RestfulConnector, FakeDataConnector,
-):
+)
+
+for cls in _BUILTIN_CONNECTORS:
     register_connector(cls)
+
+
+class ConnectorPluginsRegistry:
+    """Reference-parity facade (``connectors/__init__.py:21-83``) over
+    the engine_type → class dict: ``register_connector(cls)``,
+    publicly-readable ``registered_connectors``, and ``reset()`` back to
+    the built-ins — so reference code using ``ayeaye.connector_registry``
+    ports verbatim."""
+
+    @property
+    def registered_connectors(self) -> list[Type[DataConnector]]:
+        seen: list[Type[DataConnector]] = []
+        for c in _REGISTRY.values():
+            if c not in seen:
+                seen.append(c)
+        return seen
+
+    def register_connector(self, connector_cls: Type[DataConnector]) -> None:
+        if not isinstance(connector_cls, type) or not issubclass(connector_cls, DataConnector):
+            raise TypeError(
+                "'connector_cls' should be a class (not object) and subclass of DataConnector"
+            )
+        register_connector(connector_cls)
+
+    def reset(self) -> None:
+        _REGISTRY.clear()
+        for c in _BUILTIN_CONNECTORS:
+            register_connector(c)
+
+
+connector_registry = ConnectorPluginsRegistry()
 
 
 def registered_engine_types() -> list[str]:

@@ -450,3 +450,35 @@ class TestSortByStringForm:
         )
         out.write(df)
         assert spark.read.parquet(f"{tmp_path}/s").count() == 100
+
+
+class TestConnectorRegistryFacade:
+    def test_reference_parity_surface(self, spark):
+        from ayeaye_spark import connector_registry
+        from ayeaye_spark.sources.base import DataConnector
+        from ayeaye_spark.sources.file_formats import CsvConnector
+
+        assert CsvConnector in connector_registry.registered_connectors
+
+        class MyConnector(DataConnector):
+            engine_types = ["my_protocol"]
+
+            def read(self, spark):  # pragma: no cover - registration test
+                raise NotImplementedError
+
+        connector_registry.register_connector(MyConnector)
+        try:
+            assert MyConnector in connector_registry.registered_connectors
+            from ayeaye_spark import registered_engine_types
+
+            assert "my_protocol" in registered_engine_types()
+        finally:
+            connector_registry.reset()
+        assert MyConnector not in connector_registry.registered_connectors
+        assert CsvConnector in connector_registry.registered_connectors
+
+    def test_rejects_non_class(self):
+        from ayeaye_spark import connector_registry
+
+        with pytest.raises(TypeError, match="subclass of DataConnector"):
+            connector_registry.register_connector(object())
