@@ -107,6 +107,31 @@ def scoped_session_conf(spark: SparkSession, **confs: str):
 _LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _normalize_events_ts(df: DataFrame, ts_type) -> DataFrame:
+    """events.ts to TIMESTAMP, dispatching on the READ dtype (shared by
+    the batch loader and the streaming source).  This testdata stores
+    TIMESTAMP(MICROS) — verified with pyarrow at sf0.001/0.01/0.1 —
+    which Spark 4 reads as TIMESTAMP_NTZ; some generators emit
+    TIMESTAMP(NANOS), which Spark only reads via the session-wide
+    nanosAsLong legacy flag, arriving here as a long column."""
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    if isinstance(ts_type, LongType):
+        # nanos-as-long: values are micro-precision so div-1000 is exact
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        # cast to TIMESTAMP (session tz pinned UTC => wall-clock
+        # preserving) so watermarks/windows work and collect matches
+        # DuckDB's naive-UTC values
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if not isinstance(ts_type, TimestampType):
+        raise TypeError(
+            f"events.ts read as unsupported type {ts_type}; expected "
+            "timestamp (micros) or long (nanosAsLong)"
+        )
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_defaults(spark)
     app_id = spark.sparkContext.applicationId
@@ -118,34 +143,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the live session's (sf_dir, table) working set
     for stale in [k for k in _LOAD_CACHE if k[0] != app_id]:
         del _LOAD_CACHE[stale]
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(MICROS) in this testdata
-        # (verified with pyarrow at sf0.001/0.01/0.1) and Spark reads it
-        # directly.  Some generators emit TIMESTAMP(NANOS), which Spark's
-        # reader only accepts via the nanosAsLong legacy flag — dispatch
-        # on the READ dtype rather than assuming either: if ts arrives as
-        # a long (nanos flag active elsewhere in the session, or a nanos
-        # file read through it), rebuild the micro-precision timestamp.
-        from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
-
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, LongType):
-            # nanos-as-long: values are micro-precision so div-1000 is exact
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(ts_type, TimestampNTZType):
-            # Spark 4 infers tz-less parquet micros as TIMESTAMP_NTZ; cast
-            # to TIMESTAMP (session tz pinned UTC => wall-clock preserving)
-            # so watermarks/windows work and collect matches DuckDB's
-            # naive-UTC values
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        elif not isinstance(ts_type, TimestampType):
-            raise TypeError(
-                f"events.ts read as unsupported type {ts_type}; expected "
-                "timestamp (micros) or long (nanosAsLong)"
-            )
-    else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _normalize_events_ts(df, df.schema["ts"].dataType)
     _LOAD_CACHE[key] = df
     return df
 
@@ -1990,12 +1990,8 @@ shared_sql(
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table as a streaming source with the same ts-dtype
-    dispatch as :func:`load` (timestamp[us] parquet read as
-    TIMESTAMP_NTZ → cast to TIMESTAMP for watermark support; a
-    nanosAsLong environment's longs → rebuilt micros)."""
-    from pyspark.sql.types import LongType
-
+    """The events table as a streaming source, ts normalized by the same
+    dtype dispatch as the batch loader (:func:`_normalize_events_ts`)."""
     _ensure_session_defaults(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source needs a DIRECTORY; glob-filter to the events file
@@ -2004,9 +2000,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(schema["ts"].dataType, LongType):
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return _normalize_events_ts(raw, schema["ts"].dataType)
 
 
 def _drain_stream(spark: SparkSession, agg: DataFrame, sink: str,

@@ -28,7 +28,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core.pinnate import Pinnate
-from .base import AccessMode, ConnectorError, DataConnector, spark_path
+from .base import (
+    AccessMode,
+    ConnectorError,
+    DataConnector,
+    MissingDependencyError,
+    spark_path,
+)
 
 
 class SchemaContractError(ConnectorError):
@@ -356,6 +362,7 @@ class ParquetConnector(_ColumnarLayoutWriter, DataConnector):
         self._require_read()
         return spark.read.parquet(spark_path(self.url))
 
+
 class OrcConnector(_ColumnarLayoutWriter, DataConnector):
     """``orc://`` — ORC columnar scan/write (no reference counterpart;
     Spark-native, same pushdown/pruning properties as parquet).  The
@@ -385,8 +392,6 @@ class AvroConnector(DataConnector):
     engine_types = ["avro"]
 
     def _gate(self, exc: Exception) -> None:
-        from .base import MissingDependencyError
-
         if "Failed to find data source: avro" in str(exc):
             raise MissingDependencyError(
                 "avro:// needs the spark-avro jar "
