@@ -1506,6 +1506,28 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_minhash_blocked_pairs",
+    oracle=f"""
+    WITH s AS ({_duck_minhash_sig_cte(3, 16, extra_cols=("lang",))})
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           {P.jaccard('a.hashset', 'b.hashset', DUCK)} AS jaccard
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE ({_duck_band_match(16, 4)})
+      AND {P.jaccard('a.hashset', 'b.hashset', DUCK)} >= 0.3
+    """,
+)
+def dedup_minhash_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-blocked MinHash LSH: the blocking value folds into the
+    band key so cross-language collisions never co-shuffle — on a
+    multilingual crawl this keeps bucket sizes small and uniform (the
+    100 TB shape).  Oracle: band collision AND lang equality."""
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, k=16, bands=4, threshold=0.3, block_col="lang",
+    )
+
+
+@query(
     "dedup_minhash_survivors",
     oracle=f"""
     WITH pairs AS ({_duck_minhash_pairs_oracle()})
