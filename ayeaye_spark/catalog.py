@@ -2058,6 +2058,26 @@ def events_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_stream(spark, agg, "events_stream_hourly_sink")
 
 
+@query(
+    "events_salted_type_counts",
+    oracle="""
+    SELECT event_type, SUM(user_id) AS sum_user_id, COUNT(*) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def events_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SALTED aggregate over the (low-cardinality, skewed)
+    event_type key — the skew pattern for keys whose partials
+    concentrate on one reducer.  Sum/count are decomposable, so the
+    result is value-identical to the plain aggregate; integer sum
+    (user_id) keeps it order-independent and oracle-exact.  The salt is
+    a deterministic content hash (no RNG — repeatable runs)."""
+    events = load(spark, sf_dir, "events")
+    return relational.salted_aggregate(
+        events, ["event_type"], sum_cols=["user_id"], count=True, buckets=16
+    )
+
+
 @query("events_stream_sessions")  # no oracle: streaming drain, rows-only check
 def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (dynamic 30-minute gap) per user as a watermarked
