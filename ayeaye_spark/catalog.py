@@ -2059,6 +2059,67 @@ def events_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_segment_scd2",
+    oracle="""
+    WITH upd AS (
+      SELECT o_custkey AS c_custkey, MAX(o_orderpriority) AS segment,
+             o_orderdate AS ts
+      FROM orders WHERE o_orderkey % 97 = 0
+      GROUP BY o_custkey, o_orderdate
+    ),
+    ukeys AS (SELECT DISTINCT c_custkey FROM upd),
+    cur AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             TIMESTAMP '1990-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    ),
+    chain AS (
+      SELECT c.c_custkey, c.segment, c.valid_from AS _vf
+      FROM cur c JOIN ukeys u ON u.c_custkey = c.c_custkey
+      UNION ALL
+      SELECT c_custkey, segment, ts FROM upd
+    ),
+    ver AS (
+      SELECT c_custkey, segment, _vf AS valid_from,
+             LEAD(_vf) OVER (PARTITION BY c_custkey ORDER BY _vf) AS valid_to
+      FROM chain
+    )
+    SELECT * FROM ver
+    UNION ALL
+    SELECT c.* FROM cur c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM ukeys)
+    """,
+)
+def customer_segment_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge on the acceptance surface: the current customer-segment
+    dimension (open since 1990-01-01) merged with a deterministic sample
+    of orders as segment-change events (one update per (custkey, date) —
+    MAX priority breaks same-day ties so the version chain is total-
+    ordered and cross-engine deterministic).  Anti-join + union + one
+    lead() window — the Delta-less MERGE emulation, one shuffle on the
+    key (``operators/scd.py``)."""
+    from .operators.scd import scd2_apply
+
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    current = customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .groupBy(F.col("o_custkey").alias("c_custkey"), F.col("o_orderdate").alias("ts"))
+        .agg(F.max("o_orderpriority").alias("segment"))
+    )
+    return scd2_apply(
+        current, updates, key="c_custkey", ts_col="ts", attr_cols=["segment"]
+    )
+
+
+@query(
     "events_salted_type_counts",
     oracle="""
     SELECT event_type, SUM(user_id) AS sum_user_id, COUNT(*) AS n_rows
