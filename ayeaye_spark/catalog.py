@@ -2134,8 +2134,11 @@ def events_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id) keeps it order-independent and oracle-exact.  The salt is
     a deterministic content hash (no RNG — repeatable runs)."""
     events = load(spark, sf_dir, "events")
+    # salt from the consumed columns only — the scan stays pruned to
+    # (event_type, user_id); see PLANS.md
     return relational.salted_aggregate(
-        events, ["event_type"], sum_cols=["user_id"], count=True, buckets=16
+        events, ["event_type"], sum_cols=["user_id"], count=True, buckets=16,
+        salt_source_cols=["event_type", "user_id"],
     )
 
 

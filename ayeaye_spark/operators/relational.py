@@ -201,6 +201,7 @@ def salted_aggregate(
     count: bool = True,
     buckets: int = 16,
     salt_col: str = "_salt",
+    salt_source_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-stage salted aggregation for skewed group keys.
 
@@ -213,12 +214,19 @@ def salted_aggregate(
     Sum/count are decomposable, so the result is identical to the
     unsalted aggregate.
 
-    The salt is ``pmod(hash(all columns), buckets)`` — deterministic per
-    row content, no RNG (workflow-safe, repeatable).
+    The salt is ``pmod(hash(salt_source_cols), buckets)`` — deterministic
+    per row content, no RNG (workflow-safe, repeatable).  The OUTPUT is
+    salt-independent (sum/count are decomposable), so the source columns
+    only affect distribution.  ``salt_source_cols`` defaults to every
+    column, which forces the scan to read them all — pass the columns
+    the aggregate already consumes (plus one row-varying column if the
+    consumed set is constant per key) so column pruning survives: a
+    count over a 100-column table should not read 100 columns to salt.
     """
     sum_cols = sum_cols or []
+    salt_src = salt_source_cols or df.columns
     salted = df.withColumn(
-        salt_col, F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(buckets))
+        salt_col, F.pmod(F.hash(*[F.col(c) for c in salt_src]), F.lit(buckets))
     )
     partial_aggs = [F.sum(c).alias(f"_p_{c}") for c in sum_cols]
     if count:
