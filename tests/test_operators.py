@@ -1053,3 +1053,59 @@ class TestGroupedAggPandasUdf:
         ).collect()[0]
         assert row["wq_ppm"] == twin["wq_ppm"] and row["wq_ppm"] > 0
         assert row["n_docs"] == 2  # count still covers all rows
+
+
+class TestScd2Randomized:
+    def test_matches_python_reference_on_seeded_batches(self, spark):
+        """scd2_apply vs a straightforward Python reference over seeded
+        random current/update batches — covers multi-update chains,
+        untouched keys, closed history, and brand-new keys in bulk."""
+        import random
+
+        from ayeaye_spark.operators.scd import scd2_apply
+
+        rng = random.Random(42)
+        for trial in range(3):
+            keys = [f"k{i}" for i in range(20)]
+            current_rows = []
+            for i, k in enumerate(keys):
+                # ~half the keys have closed history; all have an open row
+                if rng.random() < 0.5:
+                    current_rows.append((k, f"t{rng.randrange(5)}", 0, 5))
+                current_rows.append((k, f"t{rng.randrange(5)}", 5, None))
+            update_rows = []
+            for k in rng.sample(keys, 8) + [f"new{trial}"]:
+                for ts in sorted(rng.sample(range(10, 100), rng.randrange(1, 4))):
+                    update_rows.append((k, f"t{rng.randrange(5)}", ts))
+
+            current = spark.createDataFrame(
+                current_rows, "key string, tier string, valid_from long, valid_to long"
+            )
+            updates = spark.createDataFrame(
+                update_rows, "key string, tier string, ts long"
+            )
+            got = sorted(
+                (r["key"], r["tier"], r["valid_from"], r["valid_to"])
+                for r in scd2_apply(
+                    current, updates, key="key", ts_col="ts", attr_cols=["tier"]
+                ).collect()
+            )
+
+            # python reference: per key, chain open row + updates by ts
+            updated = {r[0] for r in update_rows}
+            want = []
+            for k, tier, vf, vt in current_rows:
+                if k not in updated or vt is not None:
+                    want.append((k, tier, vf, vt))
+            chains: dict = {}
+            for k, tier, vf, vt in current_rows:
+                if k in updated and vt is None:
+                    chains.setdefault(k, []).append((vf, tier))
+            for k, tier, ts in update_rows:
+                chains.setdefault(k, []).append((ts, tier))
+            for k, chain in chains.items():
+                chain.sort()
+                for i, (vf, tier) in enumerate(chain):
+                    vt = chain[i + 1][0] if i + 1 < len(chain) else None
+                    want.append((k, tier, vf, vt))
+            assert got == sorted(want), f"trial {trial} diverged"
