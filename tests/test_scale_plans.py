@@ -97,6 +97,45 @@ class TestBucketedJoin:
         assert "FileScan orc" in plan
 
 
+class TestAqeSkewJoin:
+    def test_skewed_partition_is_split(self, spark):
+        """The session's AQE skew-join config must actually engage: a
+        join with one hot key (95% of rows) should show
+        SortMergeJoin(skew=true) with a skew-aware AQEShuffleRead —
+        the runtime re-plan that replaces manual salting for joins at
+        100 TB.  Thresholds are lowered so local-scale data trips it."""
+        from pyspark.sql import functions as F
+
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            left = spark.range(200_000).select(
+                F.lit(0).alias("k"), F.col("id").alias("v")
+            ).union(
+                spark.range(10_000).select(
+                    (F.col("id") % 100 + 1).alias("k"), F.col("id").alias("v")
+                )
+            )
+            right = spark.range(101).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+            j = left.join(right, on="k")
+            j.collect()  # finalize the AQE plan on the frame itself
+            plan = physical_plan(j)
+        finally:
+            for k, old in saved.items():
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
+        assert "skew=true" in plan
+        assert "AQEShuffleRead" in plan and "skewed" in plan
+
+
 class TestSaltedAggregate:
     def test_matches_plain_aggregate(self, spark):
         events = load(spark, SF, "events")
