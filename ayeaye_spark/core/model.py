@@ -226,7 +226,10 @@ class Model(LoggingMixin):
         """JSON-able doc capturing resolver context (without secrets)
         and — under ``ALL_DATASETS`` (the default, the repeatability
         superset) — every dataset's resolved engine_url; ``CONTEXT``
-        captures the resolver context alone (``model.py:218-280``)."""
+        captures the resolver context alone (``model.py:218-280``).
+        Accepts the enum or its string value; anything else raises
+        rather than silently dropping the datasets section."""
+        locking_mode = LockingMode(locking_mode)
         doc = {
             "model_class": type(self).__name__,
             "resolver_context": connector_resolver.capture_context(),

@@ -304,6 +304,11 @@ def lsh_candidate_pairs(
     (e.g. language): the block value is folded into the band key, so
     cross-block collisions never shuffle together at all — the standard
     way to keep band buckets small and uniform on a multilingual corpus.
+    SQL-equality semantics: rows with a NULL block value never pair
+    (they are dropped before banding — ``concat_ws`` would otherwise
+    silently omit the null and merge them into an unblocked bucket);
+    the block value is length-prefixed in the key so values containing
+    the separator cannot alias across blocks.
     """
     _tune_session(df)
     r = k // bands
@@ -321,9 +326,17 @@ def lsh_candidate_pairs(
             F.array_distinct("shingle_hashes").alias("_hashset"),
             *([F.col(block_col).alias("_blk")] if block_col else []),
         )
+    if block_col:
+        # NULL block never pairs (matches the oracle's a.blk = b.blk);
+        # length prefix makes "a-1" vs "a" unambiguous in the joined key
+        sig = sig.where(F.col("_blk").isNotNull())
+        blk_part = [F.concat_ws(":", F.length(F.col("_blk").cast("string")),
+                                F.col("_blk").cast("string"))]
+    else:
+        blk_part = []
     band_cols = []
     for b in range(bands):
-        parts = [F.lit(str(b))] + ([F.col("_blk").cast("string")] if block_col else [])
+        parts = [F.lit(str(b))] + blk_part
         band_key = F.concat_ws(
             "-",
             *parts,

@@ -455,3 +455,18 @@ class TestReferenceTopLevelParity:
         assert "datasets" in full and "src" in full["datasets"]
         assert "datasets" not in ctx_only
         assert ctx_only["resolver_context"] == full["resolver_context"]
+
+    def test_lock_rejects_invalid_mode_but_accepts_string(self):
+        import pytest
+
+        from ayeaye_spark import Connect, LockingMode, Model, connector_resolver
+
+        class M(Model):
+            src = Connect(engine_url="fake://rows")
+
+        with connector_resolver.context():
+            by_string = M().lock("context")
+            assert "datasets" not in by_string
+            assert M().lock("all_datasets")["datasets"]
+            with pytest.raises(ValueError):
+                M().lock("all_the_datasets")

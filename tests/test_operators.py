@@ -1109,3 +1109,34 @@ class TestScd2Randomized:
                     vt = chain[i + 1][0] if i + 1 < len(chain) else None
                     want.append((k, tier, vf, vt))
             assert got == sorted(want), f"trial {trial} diverged"
+
+
+class TestBlockedMinhashEdgeCases:
+    def test_null_block_never_pairs(self, spark):
+        """SQL-equality semantics: NULL block values must not pair (the
+        band key would otherwise silently drop the null and merge them
+        into one unblocked bucket)."""
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        df = spark.createDataFrame(
+            [(1, base, None), (2, base + " extra", None), (3, base, "en"), (4, base + " extra", "en")],
+            ["doc_id", "text", "lang"],
+        )
+        pairs = dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", n=3, k=16, bands=4, threshold=0.3, block_col="lang"
+        ).collect()
+        assert [(p["doc_id_a"], p["doc_id_b"]) for p in pairs] == [(3, 4)]
+
+    def test_separator_in_block_value_cannot_alias(self, spark):
+        """A block value containing the band-key separator ('-') must not
+        merge buckets across blocks — the length prefix pins the block
+        boundary."""
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        df = spark.createDataFrame(
+            [(1, base, "zh-TW"), (2, base + " extra", "zh"), (3, base + " extra", "zh-TW")],
+            ["doc_id", "text", "lang"],
+        )
+        pairs = dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", n=3, k=16, bands=4, threshold=0.3, block_col="lang"
+        ).collect()
+        # only the same-block near-dup pair survives
+        assert [(p["doc_id_a"], p["doc_id_b"]) for p in pairs] == [(1, 3)]
