@@ -2059,6 +2059,51 @@ def events_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_monthly_gapless",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+             date_trunc('month', MAX(o_orderdate)) AS hi
+      FROM orders
+    ),
+    cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m FROM bounds)
+    SELECT strftime(m, '%Y-%m') AS month, COUNT(o_orderkey) AS n_orders
+    FROM cal LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+    GROUP BY 1
+    """,
+)
+def orders_monthly_gapless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gapless monthly order counts via a RECURSIVE CTE (Spark 4's
+    ``WITH RECURSIVE``): the calendar spine is generated by recursion
+    from the data's own bounds, then left-joined so empty months appear
+    as zero — the classic report-completeness pattern.  The recursion
+    depth is #months (tiny, driver-bounded); the join and aggregate are
+    ordinary distributed ops.  Oracle: DuckDB ``generate_series``
+    (recursion-free but value-identical)."""
+    register_views(spark, sf_dir, "orders")
+    # the stop bound rides IN the recursion row — a correlated
+    # `(SELECT hi FROM bounds)` in the step re-executes the bounds
+    # aggregate (an orders scan) every iteration: measured 19s vs 2s
+    return spark.sql("""
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(date_trunc('MONTH', MIN(o_orderdate)) AS DATE) AS lo,
+                 CAST(date_trunc('MONTH', MAX(o_orderdate)) AS DATE) AS hi
+          FROM orders
+        ),
+        cal(m, hi) AS (
+          SELECT lo, hi FROM bounds
+          UNION ALL
+          SELECT add_months(m, 1), hi FROM cal WHERE m < hi
+        )
+        SELECT date_format(m, 'yyyy-MM') AS month,
+               COUNT(o_orderkey) AS n_orders
+        FROM cal LEFT JOIN orders
+          ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
+        GROUP BY month
+    """)
+
+
+@query(
     "customer_segment_scd2",
     oracle="""
     WITH upd AS (
