@@ -32,6 +32,18 @@ class _Handler(BaseHTTPRequestHandler):
             return self._respond(200, {"_source": json.loads(_Handler.store[self.path])})
         if self.path.startswith("/echo/"):
             return self._respond(200, {"echo": self.path.split("/")[-1]})
+        if self.path.startswith("/page/"):
+            # paged list endpoint for the Python DataSource: 3 rows/page
+            page = int(self.path.split("/")[-1])
+            body = json.dumps(
+                [{"id": page * 3 + i, "name": f"row{page}_{i}"} for i in range(3)]
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         return self._respond(404)
 
     def do_PUT(self):
@@ -134,3 +146,34 @@ class TestMethodOverlay:
 
         c = connector_for(f"file://{tmp_path}/f.txt", method_overlay=[(helper, "shout")])
         assert c.shout().startswith("FILE://")
+
+
+class TestRestPythonDataSource:
+    """Spark 4 Python DataSource: paged REST GET fetched on executors,
+    one input partition per page."""
+
+    def test_paged_read(self, spark, http_server):
+        from ayeaye_spark.sources.pyds import register_python_datasources
+
+        assert "ayeaye_rest" in register_python_datasources(spark)
+        df = (
+            spark.read.format("ayeaye_rest")
+            .option("url", f"http://{http_server}/page/{{page}}")
+            .option("pages", 4)
+            .option("ddl", "id int, name string")
+            .load()
+        )
+        rows = sorted((r["id"], r["name"]) for r in df.collect())
+        assert len(rows) == 12  # 4 pages x 3 rows
+        assert rows[0] == (0, "row0_0") and rows[-1] == (11, "row3_2")
+        assert df.rdd.getNumPartitions() == 4  # one partition per page
+
+    def test_missing_options_raise(self, spark, http_server):
+        from ayeaye_spark.sources.pyds import register_python_datasources
+
+        register_python_datasources(spark)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="ddl"):
+            (spark.read.format("ayeaye_rest")
+             .option("url", f"http://{http_server}/page/{{page}}").load().collect())
