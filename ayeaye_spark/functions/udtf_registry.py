@@ -7,14 +7,17 @@ callables, csv_connector.py:59-62) and ``method_overlay``
 Spark adds a row→rows axis: Python UDTFs (``pyspark.sql.functions.udtf``),
 registered here so models can call them from SQL.
 
-PERFORMANCE CONTRACT: UDTFs execute row-at-a-time in Python workers —
-they are the SLOW PATH, for logic that genuinely cannot be expressed
+PERFORMANCE CONTRACT: UDTF ``eval`` runs row-at-a-time in Python
+workers — the SLOW PATH, for logic that genuinely cannot be expressed
 with built-in generators (``explode``/``posexplode``/``inline``/
-``stack``) or Arrow-batched ``mapInPandas``.  Every UDTF registered
-here has a built-in "twin" expression documented (and tested
-equivalent); hot paths should use the twin.  The UDTFs exist so user
-extensions have a first-class, SQL-addressable registration point —
-not for the engine's own operators.
+``stack``) or Arrow-batched ``mapInPandas``.  These registrations use
+``useArrow=True`` so at least the JVM↔Python transfer is Arrow-batched
+(Spark 4 arrow-optimized UDTFs), but the per-row Python dispatch
+remains.  Every UDTF registered here has a built-in "twin" expression
+documented (and tested equivalent); hot paths should use the twin.
+The UDTFs exist so user extensions have a first-class,
+SQL-addressable registration point — not for the engine's own
+operators.
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import udtf
 
 
-@udtf(returnType="word: string, pos: int")
+@udtf(returnType="word: string, pos: int", useArrow=True)
 class SplitTokens:
     """``split_tokens(text)`` → one row per whitespace token with its
     position (Python ``str.split`` semantics: leading/trailing/empty
@@ -44,7 +47,7 @@ class SplitTokens:
             yield w, i
 
 
-@udtf(returnType="key: string, value: string")
+@udtf(returnType="key: string, value: string", useArrow=True)
 class JsonKv:
     """``json_kv(doc)`` → one row per top-level key of a JSON object,
     value rendered as a string.  Built-in twin for fixed schemas:
