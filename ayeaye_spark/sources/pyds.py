@@ -24,7 +24,12 @@ from __future__ import annotations
 import json
 import time
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class RestDataSource(DataSource):
@@ -94,7 +99,62 @@ class RestReader(DataSourceReader):
             yield tuple(obj.get(f) for f in self.fields)
 
 
+class RestStreamDataSource(DataSource):
+    """``spark.readStream.format("ayeaye_rest_stream")`` — incremental
+    paged ingestion: the stream offset IS the page number, advanced one
+    page per micro-batch and persisted in the checkpoint, so a restart
+    resumes exactly where it stopped.  This is the jar-free stand-in
+    for the reference's bounded-by-offset Kafka consumption
+    (``kafka_connector.py:77-137``): same contract (externally-stored
+    positions, replayable ranges), HTTP instead of a broker.
+
+    Options: ``url`` (template with ``{page}``), ``ddl``,
+    ``start_page`` (default 0), ``end_page`` (exclusive; absent =
+    unbounded polling).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "ayeaye_rest_stream"
+
+    def schema(self) -> str:
+        ddl = self.options.get("ddl")
+        if not ddl:
+            raise ValueError("ayeaye_rest_stream requires .option('ddl', ...)")
+        return ddl
+
+    def simpleStreamReader(self, schema) -> "RestStreamReader":
+        return RestStreamReader(self.options, schema)
+
+
+class RestStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options, schema):
+        self.url = options.get("url")
+        if not self.url:
+            raise ValueError("ayeaye_rest_stream requires .option('url', ...)")
+        self.start_page = int(options.get("start_page", 0))
+        self.end_page = int(options["end_page"]) if "end_page" in options else None
+        self.fields = [f.name for f in schema.fields]
+
+    def initialOffset(self):
+        return {"page": self.start_page}
+
+    def read(self, start):
+        import urllib.request
+
+        page = start["page"]
+        if self.end_page is not None and page >= self.end_page:
+            return iter([]), start  # drained: offset unchanged
+        with urllib.request.urlopen(self.url.format(page=page)) as resp:
+            payload = json.loads(resp.read())
+        if isinstance(payload, dict):
+            payload = payload.get("data", [])
+        rows = [tuple(obj.get(f) for f in self.fields) for obj in payload]
+        return iter(rows), {"page": page + 1}
+
+
 def register_python_datasources(spark) -> list[str]:
     """Register this module's Python data sources; returns their names."""
     spark.dataSource.register(RestDataSource)
-    return [RestDataSource.name()]
+    spark.dataSource.register(RestStreamDataSource)
+    return [RestDataSource.name(), RestStreamDataSource.name()]

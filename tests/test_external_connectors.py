@@ -177,3 +177,29 @@ class TestRestPythonDataSource:
         with _pytest.raises(Exception, match="ddl"):
             (spark.read.format("ayeaye_rest")
              .option("url", f"http://{http_server}/page/{{page}}").load().collect())
+
+    def test_stream_advances_offset_across_restarts(self, spark, http_server, tmp_path):
+        """The stream offset (page number) persists in the checkpoint:
+        three separate availableNow runs against the same checkpoint
+        drain pages 0, 1, 2 in order without re-reading."""
+        from ayeaye_spark.sources.pyds import register_python_datasources
+
+        register_python_datasources(spark)
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        for _ in range(3):
+            stream = (
+                spark.readStream.format("ayeaye_rest_stream")
+                .option("url", f"http://{http_server}/page/{{page}}")
+                .option("ddl", "id int, name string")
+                .option("end_page", 3)
+                .load()
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out).option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(60)
+        rows = sorted(r["id"] for r in spark.read.parquet(out).collect())
+        assert rows == list(range(9))  # pages 0-2, 3 rows each, no rereads
