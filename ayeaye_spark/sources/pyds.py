@@ -27,8 +27,10 @@ import time
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -56,6 +58,9 @@ class RestDataSource(DataSource):
 
     def reader(self, schema) -> "RestReader":
         return RestReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool) -> "RestWriter":
+        return RestWriter(self.options, schema)
 
 
 class RestReader(DataSourceReader):
@@ -97,6 +102,46 @@ class RestReader(DataSourceReader):
             payload = payload.get("data", [])
         for obj in payload:
             yield tuple(obj.get(f) for f in self.fields)
+
+
+class RestWriter(DataSourceWriter):
+    """Executor-side REST sink: each partition POSTs its rows as ONE
+    JSON-array batch to ``write_url`` (batched like the reference's
+    BigQuery 1000-row buffer, ``bigquery.py:49`` — not per-row HTTP).
+    ``batch_size`` caps rows per POST (default 1000)."""
+
+    def __init__(self, options, schema):
+        self.url = options.get("write_url") or options.get("url")
+        if not self.url:
+            raise ValueError("ayeaye_rest write requires .option('write_url', ...)")
+        self.batch_size = int(options.get("batch_size", 1000))
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import urllib.request
+
+        posted = 0
+        buf = []
+
+        def flush():
+            nonlocal posted
+            if not buf:
+                return
+            body = json.dumps(buf).encode()
+            req = urllib.request.Request(
+                self.url, data=body, headers={"Content-Type": "application/json"}
+            )
+            with urllib.request.urlopen(req):
+                pass
+            posted += len(buf)
+            buf.clear()
+
+        for row in iterator:
+            buf.append({f: row[i] for i, f in enumerate(self.fields)})
+            if len(buf) >= self.batch_size:
+                flush()
+        flush()
+        return WriterCommitMessage()
 
 
 class RestStreamDataSource(DataSource):

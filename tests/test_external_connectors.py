@@ -51,9 +51,13 @@ class _Handler(BaseHTTPRequestHandler):
         _Handler.store[self.path] = self.rfile.read(length)
         self._respond(200, {"result": "created"})
 
+    ingested: list = []  # bodies POSTed to /ingest (for the REST sink test)
+
     def do_POST(self):
         length = int(self.headers.get("Content-Length", 0))
         body = json.loads(self.rfile.read(length) or b"{}")
+        if self.path == "/ingest":
+            _Handler.ingested.append(body)
         self._respond(200, {"posted": body})
 
     def do_DELETE(self):
@@ -203,3 +207,25 @@ class TestRestPythonDataSource:
             q.awaitTermination(60)
         rows = sorted(r["id"] for r in spark.read.parquet(out).collect())
         assert rows == list(range(9))  # pages 0-2, 3 rows each, no rereads
+
+    def test_rest_writer_posts_batched(self, spark, http_server):
+        """df.write.format('ayeaye_rest') POSTs each partition's rows as
+        one JSON-array batch to write_url (executor-side, batched)."""
+        from ayeaye_spark.sources.pyds import register_python_datasources
+
+        register_python_datasources(spark)
+        _Handler.ingested.clear()
+        df = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(10)], "id int, name string"
+        ).repartition(2)
+        (
+            df.write.format("ayeaye_rest")
+            .option("write_url", f"http://{http_server}/ingest")
+            .mode("append")
+            .save()
+        )
+        got = sorted(
+            (r["id"], r["name"]) for batch in _Handler.ingested for r in batch
+        )
+        assert got == [(i, f"n{i}") for i in range(10)]
+        assert len(_Handler.ingested) == 2  # one batched POST per partition
