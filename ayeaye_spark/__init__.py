@@ -25,6 +25,7 @@ from .core.pinnate import Pinnate
 from .core.resolver import ConnectorResolver, UnresolvedUrlError, connector_resolver
 from .core.session import get_spark
 from .sources.base import AccessMode, ConnectorError, MissingDependencyError
+from .sources.pyds import register_python_datasources
 from .sources.registry import (
     connector_for,
     connector_registry,
@@ -64,5 +65,6 @@ __all__ = [
     "get_spark",
     "parse_engine_url",
     "register_connector",
+    "register_python_datasources",
     "registered_engine_types",
 ]
