@@ -15,14 +15,20 @@ into Spark 4's first-class extension point — ``pyspark.sql.datasource``
 
 Partition planning: one input partition per page, fetched ON THE
 EXECUTORS in parallel — at scale the page count (thousands) spreads
-across the cluster and the driver never touches a payload.  Each
-partition's HTTP session retries 5xx like the connector does.
+across the cluster and the driver never touches a payload.  Every HTTP
+call shares one discipline (:func:`_fetch_json` / :func:`_post_json`):
+bounded ``timeout``, retry with exponential backoff on 5xx ONLY
+(4xx and non-HTTP errors such as malformed JSON surface immediately —
+retrying them hides the real failure), mirroring
+``external.py`` RestfulConnector's RETRY_CODES contract.
 """
 
 from __future__ import annotations
 
 import json
 import time
+import urllib.error
+import urllib.request
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -32,6 +38,58 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
+
+_RETRY_CODES = {500, 502, 503, 504}
+
+
+def _request_with_retry(req, *, retries: int, backoff: float, timeout: float):
+    """urlopen with bounded timeout and 5xx-only exponential-backoff
+    retry; returns the decoded JSON payload.  A JSON parse error of a
+    200 response is NOT retried — it propagates as itself."""
+    last_err = None
+    for attempt in range(retries + 1):
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                body = resp.read()
+            break
+        except urllib.error.HTTPError as exc:
+            if exc.code not in _RETRY_CODES:
+                raise
+            last_err = exc
+        except (urllib.error.URLError, TimeoutError, OSError) as exc:
+            last_err = exc  # transient transport errors retry too
+        if attempt == retries:
+            url = req if isinstance(req, str) else req.full_url
+            raise RuntimeError(
+                f"ayeaye_rest: {url} failed after {retries + 1} tries"
+            ) from last_err
+        time.sleep(backoff * (2**attempt))
+    return json.loads(body)
+
+
+def _fetch_json(url: str, *, retries: int, backoff: float, timeout: float):
+    payload = _request_with_retry(url, retries=retries, backoff=backoff, timeout=timeout)
+    if isinstance(payload, dict):
+        payload = payload.get("data", [])
+    return payload
+
+
+def _post_json(url: str, rows: list, *, retries: int, backoff: float, timeout: float):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(rows, default=str).encode(),  # date/decimal → str
+        headers={"Content-Type": "application/json"},
+    )
+    _request_with_retry(req, retries=retries, backoff=backoff, timeout=timeout)
+
+
+class _HttpOptions:
+    """Shared option parsing for the REST sources."""
+
+    def _init_http(self, options):
+        self.retries = int(options.get("retries", 3))
+        self.backoff = float(options.get("backoff", 0.1))
+        self.timeout = float(options.get("timeout", 30.0))
 
 
 class RestDataSource(DataSource):
@@ -43,7 +101,9 @@ class RestDataSource(DataSource):
       * ``ddl``   — result schema as a DDL string (required); each page
         must return a JSON array of objects (or an object with a
         ``data`` array), keyed by the schema's field names
-      * ``retries`` / ``backoff`` — 5xx retry budget (defaults 3 / 0.1s)
+      * ``retries`` / ``backoff`` / ``timeout`` — HTTP discipline
+        (defaults 3 / 0.1s / 30s)
+      * write side: ``write_url``, ``batch_size`` (see :class:`RestWriter`)
     """
 
     @classmethod
@@ -60,79 +120,72 @@ class RestDataSource(DataSource):
         return RestReader(self.options, schema)
 
     def writer(self, schema, overwrite: bool) -> "RestWriter":
+        if overwrite:
+            # a REST endpoint has no truncation contract we could honor —
+            # failing loudly beats silently appending under mode(overwrite)
+            raise ValueError(
+                "ayeaye_rest write supports mode('append') only: an HTTP "
+                "endpoint cannot be 'overwritten'"
+            )
         return RestWriter(self.options, schema)
 
 
-class RestReader(DataSourceReader):
+class RestReader(DataSourceReader, _HttpOptions):
     def __init__(self, options, schema):
         self.url = options.get("url")
         if not self.url:
             raise ValueError("ayeaye_rest requires .option('url', 'http://...{page}...')")
         self.pages = int(options.get("pages", 1))
-        self.retries = int(options.get("retries", 3))
-        self.backoff = float(options.get("backoff", 0.1))
+        self._init_http(options)
         self.fields = [f.name for f in schema.fields]
 
     def partitions(self):
         return [InputPartition(p) for p in range(self.pages)]
 
     def read(self, partition):
-        # runs on an EXECUTOR: fetch this page with the connector's 5xx
-        # retry discipline, then yield schema-ordered tuples
-        import urllib.request
-
-        url = self.url.format(page=partition.value)
-        last_err = None
-        for attempt in range(self.retries + 1):
-            try:
-                with urllib.request.urlopen(url) as resp:
-                    payload = json.loads(resp.read())
-                break
-            except Exception as exc:  # urllib raises on 5xx
-                last_err = exc
-                status = getattr(exc, "code", None)
-                if status is not None and status < 500:
-                    raise
-                if attempt == self.retries:
-                    raise RuntimeError(
-                        f"ayeaye_rest: {url} failed after {self.retries + 1} tries"
-                    ) from last_err
-                time.sleep(self.backoff * (2**attempt))
-        if isinstance(payload, dict):
-            payload = payload.get("data", [])
+        # runs on an EXECUTOR
+        payload = _fetch_json(
+            self.url.format(page=partition.value),
+            retries=self.retries, backoff=self.backoff, timeout=self.timeout,
+        )
         for obj in payload:
             yield tuple(obj.get(f) for f in self.fields)
 
 
-class RestWriter(DataSourceWriter):
-    """Executor-side REST sink: each partition POSTs its rows as ONE
-    JSON-array batch to ``write_url`` (batched like the reference's
+class RestCommitMessage(WriterCommitMessage):
+    def __init__(self, rows_posted: int = 0):
+        self.rows_posted = rows_posted
+
+
+class RestWriter(DataSourceWriter, _HttpOptions):
+    """Executor-side REST sink: each partition POSTs its rows in
+    JSON-array batches to ``write_url`` (batched like the reference's
     BigQuery 1000-row buffer, ``bigquery.py:49`` — not per-row HTTP).
-    ``batch_size`` caps rows per POST (default 1000)."""
+    ``batch_size`` caps rows per POST (default 1000).
+
+    Delivery semantics are AT-LEAST-ONCE: a task that fails after some
+    batches were POSTed is retried by Spark and re-POSTs them — an
+    idempotent endpoint (or an idempotency key in the rows) is the
+    receiver's job, exactly as with any non-transactional sink."""
 
     def __init__(self, options, schema):
         self.url = options.get("write_url") or options.get("url")
         if not self.url:
             raise ValueError("ayeaye_rest write requires .option('write_url', ...)")
         self.batch_size = int(options.get("batch_size", 1000))
+        self._init_http(options)
         self.fields = [f.name for f in schema.fields]
 
-    def write(self, iterator) -> WriterCommitMessage:
-        import urllib.request
-
+    def write(self, iterator) -> RestCommitMessage:
         posted = 0
-        buf = []
+        buf: list[dict] = []
 
         def flush():
             nonlocal posted
             if not buf:
                 return
-            body = json.dumps(buf).encode()
-            req = urllib.request.Request(
-                self.url, data=body, headers={"Content-Type": "application/json"}
-            )
-            with urllib.request.urlopen(req):
-                pass
+            _post_json(self.url, buf, retries=self.retries,
+                       backoff=self.backoff, timeout=self.timeout)
             posted += len(buf)
             buf.clear()
 
@@ -141,21 +194,24 @@ class RestWriter(DataSourceWriter):
             if len(buf) >= self.batch_size:
                 flush()
         flush()
-        return WriterCommitMessage()
+        return RestCommitMessage(posted)
 
 
 class RestStreamDataSource(DataSource):
     """``spark.readStream.format("ayeaye_rest_stream")`` — incremental
     paged ingestion: the stream offset IS the page number, advanced one
     page per micro-batch and persisted in the checkpoint, so a restart
-    resumes exactly where it stopped.  This is the jar-free stand-in
-    for the reference's bounded-by-offset Kafka consumption
+    resumes exactly where it stopped (including replay of a planned-but-
+    uncommitted batch via ``readBetweenOffsets``).  This is the jar-free
+    stand-in for the reference's bounded-by-offset Kafka consumption
     (``kafka_connector.py:77-137``): same contract (externally-stored
     positions, replayable ranges), HTTP instead of a broker.
 
     Options: ``url`` (template with ``{page}``), ``ddl``,
     ``start_page`` (default 0), ``end_page`` (exclusive; absent =
-    unbounded polling).
+    unbounded polling — an EMPTY page leaves the offset unchanged so
+    rows that arrive later are not skipped), plus
+    ``retries``/``backoff``/``timeout``.
     """
 
     @classmethod
@@ -172,30 +228,44 @@ class RestStreamDataSource(DataSource):
         return RestStreamReader(self.options, schema)
 
 
-class RestStreamReader(SimpleDataSourceStreamReader):
+class RestStreamReader(SimpleDataSourceStreamReader, _HttpOptions):
     def __init__(self, options, schema):
         self.url = options.get("url")
         if not self.url:
             raise ValueError("ayeaye_rest_stream requires .option('url', ...)")
         self.start_page = int(options.get("start_page", 0))
         self.end_page = int(options["end_page"]) if "end_page" in options else None
+        self._init_http(options)
         self.fields = [f.name for f in schema.fields]
 
     def initialOffset(self):
         return {"page": self.start_page}
 
-    def read(self, start):
-        import urllib.request
+    def _rows_for(self, page: int) -> list[tuple]:
+        payload = _fetch_json(
+            self.url.format(page=page),
+            retries=self.retries, backoff=self.backoff, timeout=self.timeout,
+        )
+        return [tuple(obj.get(f) for f in self.fields) for obj in payload]
 
+    def read(self, start):
         page = start["page"]
         if self.end_page is not None and page >= self.end_page:
             return iter([]), start  # drained: offset unchanged
-        with urllib.request.urlopen(self.url.format(page=page)) as resp:
-            payload = json.loads(resp.read())
-        if isinstance(payload, dict):
-            payload = payload.get("data", [])
-        rows = [tuple(obj.get(f) for f in self.fields) for obj in payload]
+        rows = self._rows_for(page)
+        if not rows:
+            # caught up with the producer: do NOT advance past a page
+            # that may fill in later — idle this batch and poll again
+            return iter([]), start
         return iter(rows), {"page": page + 1}
+
+    def readBetweenOffsets(self, start, end):
+        # crash recovery: a batch was planned (offset in the WAL) but not
+        # committed — replay exactly the pages in [start, end)
+        rows: list[tuple] = []
+        for page in range(start["page"], end["page"]):
+            rows.extend(self._rows_for(page))
+        return iter(rows)
 
 
 def register_python_datasources(spark) -> list[str]:

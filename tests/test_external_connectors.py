@@ -32,6 +32,8 @@ class _Handler(BaseHTTPRequestHandler):
             return self._respond(200, {"_source": json.loads(_Handler.store[self.path])})
         if self.path.startswith("/echo/"):
             return self._respond(200, {"echo": self.path.split("/")[-1]})
+        if self.path.startswith("/empty/"):
+            return self._respond(200, {})  # no "data" key -> empty page
         if self.path.startswith("/page/"):
             # paged list endpoint for the Python DataSource: 3 rows/page
             page = int(self.path.split("/")[-1])
@@ -229,3 +231,59 @@ class TestRestPythonDataSource:
         )
         assert got == [(i, f"n{i}") for i in range(10)]
         assert len(_Handler.ingested) == 2  # one batched POST per partition
+
+    def test_overwrite_mode_rejected(self, spark, http_server):
+        from ayeaye_spark.sources.pyds import register_python_datasources
+
+        register_python_datasources(spark)
+        df = spark.createDataFrame([(1, "a")], "id int, name string")
+        with pytest.raises(Exception, match="append"):
+            (df.write.format("ayeaye_rest")
+             .option("write_url", f"http://{http_server}/ingest")
+             .mode("overwrite").save())
+
+    def test_writer_serializes_dates(self, spark, http_server):
+        """Non-JSON-primitive columns (date/timestamp) must serialize
+        via default=str instead of crashing the write task."""
+        import datetime
+
+        from ayeaye_spark.sources.pyds import register_python_datasources
+
+        register_python_datasources(spark)
+        _Handler.ingested.clear()
+        df = spark.createDataFrame(
+            [(1, datetime.date(2024, 3, 1))], "id int, d date"
+        ).coalesce(1)
+        (df.write.format("ayeaye_rest")
+         .option("write_url", f"http://{http_server}/ingest")
+         .mode("append").save())
+        assert _Handler.ingested == [[{"id": 1, "d": "2024-03-01"}]]
+
+    def test_stream_empty_page_does_not_advance_offset(self, spark, http_server):
+        """Unbounded polling: an empty page leaves the offset unchanged
+        so rows arriving later are not skipped."""
+        from pyspark.sql.types import StructType
+
+        from ayeaye_spark.sources.pyds import RestStreamReader
+
+        schema = StructType.fromDDL("id int, name string")
+        reader = RestStreamReader(
+            {"url": f"http://{http_server}/empty/{{page}}"}, schema
+        )
+        # /empty/N returns {} -> data [] (the dict fallback)
+        rows, offset = reader.read({"page": 7})
+        assert list(rows) == [] and offset == {"page": 7}
+
+    def test_stream_read_between_offsets_replays_range(self, spark, http_server):
+        """Crash recovery path: readBetweenOffsets replays exactly the
+        planned-but-uncommitted page range."""
+        from pyspark.sql.types import StructType
+
+        from ayeaye_spark.sources.pyds import RestStreamReader
+
+        schema = StructType.fromDDL("id int, name string")
+        reader = RestStreamReader(
+            {"url": f"http://{http_server}/page/{{page}}"}, schema
+        )
+        rows = list(reader.readBetweenOffsets({"page": 1}, {"page": 3}))
+        assert [r[0] for r in rows] == [3, 4, 5, 6, 7, 8]  # pages 1-2 only
