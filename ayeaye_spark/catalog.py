@@ -1597,6 +1597,32 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_simhash_near_pairs",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {P.simhash32_from_hashes('th', DUCK)} AS simhash
+      FROM (SELECT doc_id, {P.hash_array(P.tokens('text', DUCK), DUCK)} AS th FROM documents)
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ 3 via pigeonhole
+    banding (4 × 8-bit chunks: ≤3 flips must leave one chunk intact, so
+    the chunk-key shuffle finds EVERY qualifying pair — recall 1.0, no
+    all-pairs scan).  The oracle is the plain quadratic Hamming filter:
+    equivalent by the pigeonhole guarantee, feasible only at gate
+    scale."""
+    return dedup.simhash_near_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        max_hamming=3, bands=4,
+    )
+
+
+@query(
     "dedup_simhash_groups",
     oracle=f"""
     WITH s AS (

@@ -1140,3 +1140,31 @@ class TestBlockedMinhashEdgeCases:
         ).collect()
         # only the same-block near-dup pair survives
         assert [(p["doc_id_a"], p["doc_id_b"]) for p in pairs] == [(1, 3)]
+
+
+class TestSimhashNearPairs:
+    def test_hamming_pairs_found_and_verified(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " extra"), (3, "completely unrelated words here none")],
+            ["doc_id", "text"],
+        )
+        pairs = dedup.simhash_near_pairs(
+            df, "doc_id", "text", max_hamming=3, bands=4
+        ).collect()
+        got = {(p["doc_id_a"], p["doc_id_b"]): p["hamming"] for p in pairs}
+        assert set(got) == {(1, 2)} and 0 <= got[(1, 2)] <= 3
+
+    def test_identical_docs_hamming_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma")], ["doc_id", "text"]
+        )
+        pairs = dedup.simhash_near_pairs(df, "doc_id", "text").collect()
+        assert [(p["doc_id_a"], p["doc_id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+    def test_pigeonhole_premise_enforced(self, spark):
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="max_hamming < bands"):
+            dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=4, bands=4)
