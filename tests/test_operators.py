@@ -1168,3 +1168,19 @@ class TestSimhashNearPairs:
 
         with _pytest.raises(ValueError, match="max_hamming < bands"):
             dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=4, bands=4)
+
+    def test_simple_signature_path_matches_vectorized(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " extra"), (3, "unrelated words entirely different")],
+            ["doc_id", "text"],
+        )
+        vec = sorted(
+            tuple(r) for r in dedup.simhash_near_pairs(
+                df, "doc_id", "text", signature="vectorized").collect()
+        )
+        simple = sorted(
+            tuple(r) for r in dedup.simhash_near_pairs(
+                df, "doc_id", "text", signature="simple").collect()
+        )
+        assert vec == simple and vec
