@@ -256,3 +256,48 @@ def test_ann_index_lifecycle(spark, resolver, tmp_path):
     got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
     expected = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in want.collect()}
     assert got == expected
+
+
+def test_rest_ingest_incremental(spark, resolver, tmp_path):
+    """The REST-stream example drains pages into ORC resumably: a second
+    run against the same checkpoint (with a higher page budget) ingests
+    only the new pages."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from examples.rest_ingest import RestIngest
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            page = int(self.path.split("/")[-1])
+            body = _json.dumps(
+                [{"id": page * 2 + i, "name": f"p{page}r{i}"} for i in range(2)]
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    api = f"http://127.0.0.1:{server.server_port}/page/{{page}}"
+    try:
+        with resolver.context(out_path=str(tmp_path), api_url=api):
+            m = RestIngest()
+            m.go()
+            assert m.stats["rows_ingested"] == 6  # pages 0-2 x 2 rows
+
+            m2 = RestIngest()
+            m2.pages = 5  # budget raised: only pages 3-4 are new
+            m2.go()
+            assert m2.stats["rows_ingested"] == 10
+        ids = sorted(
+            r["id"] for r in spark.read.orc(str(tmp_path / "rest_rows")).collect()
+        )
+        assert ids == list(range(10))  # no re-ingestion of pages 0-2
+    finally:
+        server.shutdown()
