@@ -101,3 +101,76 @@ class TestStreamingCatalogEntry:
             for r in QUERIES["events_sessionize"](spark, sf).collect()
         }
         assert {u: (n_sessions[u], n_events[u]) for u in n_sessions} == batch
+
+
+class TestCorrectnessWindow:
+    """The acceptance driver hard-verifies exactly the first 50
+    insertion-order entries of catalog.QUERIES.  Pin that window's
+    composition so a refactor can't silently push an operator family
+    back out of the hard signal (the round-1..3 failure mode)."""
+
+    def test_window_is_window_order(self):
+        from ayeaye_spark.catalog import _WINDOW_ORDER, QUERIES
+
+        assert len(_WINDOW_ORDER) == 50
+        assert list(QUERIES)[:50] == list(_WINDOW_ORDER)
+
+    def test_every_window_entry_has_oracle(self):
+        from ayeaye_spark.catalog import _WINDOW_ORDER, ORACLES
+
+        assert all(n in ORACLES for n in _WINDOW_ORDER)
+
+    def test_window_spans_operator_families(self):
+        from ayeaye_spark.catalog import _WINDOW_ORDER
+
+        window = set(_WINDOW_ORDER)
+        families = {
+            "tpch": {"q1_pricing_summary", "q9_product_profit"},
+            "window_fns": {"events_running_sum", "events_sessionize"},
+            "grouping": {"orders_rollup", "orders_pivot_status"},
+            "set_ops": {"customer_set_ops"},
+            "join_shapes": {
+                "events_asof_view_before_click",
+                "events_range_join_purchases",
+                "customers_with_open_orders",
+            },
+            "variant": {"events_props_variant"},
+            "exact_twins": {
+                "events_distinct_users_exact",
+                "lineitem_price_quartiles_exact",
+            },
+            "text": {"doc_lang_id", "doc_quality"},
+            "pandas_udaf": {"docs_weighted_quality_by_lang"},
+            "curation": {
+                "docs_token_budget",
+                "docs_pack_sequences",
+                "decontaminate_splits",
+            },
+            "dedup": {
+                "dedup_exact",
+                "dedup_minhash_lsh_pairs",
+                "dedup_transitive_components",
+                "dedup_incremental_survivors",
+                "dedup_simhash_near_pairs",
+            },
+            "ann": {"ann_topk_ivf", "ann_topk_lsh"},
+            "scd2": {"customer_segment_scd2"},
+            "recursive_cte": {"orders_monthly_gapless"},
+            "salted_agg": {"events_salted_type_counts"},
+        }
+        for family, members in families.items():
+            assert members <= window, f"{family}: {members - window} outside window"
+
+    def test_unverifiable_entries_outside_window(self):
+        """Approximate sketches (no oracle possible) and streaming drains
+        (rows-only by nature) must NOT consume hard-signal slots."""
+        from ayeaye_spark.catalog import _WINDOW_ORDER, QUERIES
+
+        tail = set(list(QUERIES)[50:])
+        for name in (
+            "events_approx_distinct_users",
+            "lineitem_price_quantiles",
+            "events_stream_hourly_counts",
+            "events_stream_sessions",
+        ):
+            assert name in tail and name not in set(_WINDOW_ORDER)
