@@ -2,9 +2,16 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+Output contract (round-3 verdict item #2: the full per-query map is
+~4,000 chars and overflowed the driver's tail capture, leaving
+``"parsed": null``):
+
+- FULL results — every per-query timing, per-run samples, streaming
+  setup/steady split, errors — are written to ``BENCH_LOCAL.json``
+  next to this file (committed per round).
+- stdout gets ONE COMPACT JSON line (same schema, ``queries`` holds
+  only the slowest 5) as the FINAL line, sized well under any tail
+  capture.
 
 Each query is forced to full materialization with the noop datasource
 (no driver collect, no output IO) — measures the engine, not the sink.
@@ -13,7 +20,11 @@ Per-query time is the MIN of 2 consecutive runs (steady state): the
 first run of a plan pays one-off JVM JIT/codegen + Python-worker spinup
 that vary run-to-run by several seconds on this box and say nothing
 about throughput; the min is reproducible.  ``"runs_per_query": 2`` in
-the JSON records the methodology.
+the JSON records the methodology.  For the two Structured Streaming
+drains the first run additionally pays state-store/checkpoint setup,
+so their first/steady split is reported separately under
+``"streaming"`` (round-3 verdict item #7) — the headline number stays
+the steady-state min, consistent with every other query.
 """
 
 from __future__ import annotations
@@ -23,7 +34,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 from ayeaye_spark.catalog import QUERIES  # noqa: E402
 from ayeaye_spark.core.session import get_spark  # noqa: E402
@@ -33,6 +45,10 @@ from ayeaye_spark.core.session import get_spark  # noqa: E402
 # path; ann_topk_lsh / dedup_minhash_lsh_pairs are the scale paths).
 EXCLUDE = {"emb_near_dup_pairs"}
 
+STREAMING = {"events_stream_hourly_counts", "events_stream_sessions"}
+
+SLOWEST_IN_STDOUT = 5
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,41 +56,82 @@ def main() -> None:
     spark = get_spark("ayeaye_spark_bench")
 
     # warm the JVM/codegen/file-index paths so the first timed query
-    # measures the engine, not session startup
+    # measures the engine, not session startup: a plain agg, a
+    # wide-decimal agg (q1's codegen profile — without this the first
+    # timed query absorbed ~2s of one-off JIT), the parquet footer
+    # read, and one Arrow round-trip to spin up the Python worker pool
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(1_000_000).selectExpr(
+        "sum(cast(id as decimal(27,2))) as a", "sum(cast(id as decimal(27,6))) as b"
+    ).collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    spark.range(1_000).toPandas()
 
     # A failing query must cost its own timing only, never the whole
     # bench (round 2 lost every number to one loader bug): per-query
     # try/except, failures reported in "errors", JSON always emitted.
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     names = [n for n in QUERIES if n not in EXCLUDE]
     for name in names:
-        best = float("inf")
+        runs: list[float] = []
+        # streaming drains get a third run: their first run pays
+        # state-store/checkpoint setup AND single runs are noisier, so
+        # min-of-2 was regularly polluted by one bad sample
+        n_runs = 3 if name in STREAMING else 2
         try:
-            for _ in range(2):
+            for _ in range(n_runs):
                 t0 = time.monotonic()
                 df = QUERIES[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.monotonic() - t0)
+                runs.append(time.monotonic() - t0)
         except Exception as exc:  # noqa: BLE001 - survive any query failure
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
-        timings[name] = round(best, 3)
+        samples[name] = [round(r, 3) for r in runs]
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    out = {
+    streaming = {
+        n: {"setup_s": samples[n][0], "steady_s": round(min(samples[n][1:]), 3)}
+        for n in STREAMING
+        if n in samples and len(samples[n]) > 1
+    }
+    full = {
         "metric": "catalog_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": samples,
+        "streaming": streaming,
         "runs_per_query": 2,
+        "runs_per_streaming_query": 3,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        full["errors"] = errors
+    with open(os.path.join(HERE, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(full, fh, indent=2, sort_keys=True)
+        fh.write("\n")
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:SLOWEST_IN_STDOUT]
+    )
+    compact = {
+        "metric": "catalog_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "runs_per_query": 2,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "sf": sf,
+        "full_results": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 
