@@ -222,19 +222,25 @@ class Model(LoggingMixin):
         self.stats[name] = self.stats.get(name, 0) + by
 
     # -- locking / repeatability (model.py:218-280) --------------------
-    def lock(self, locking_mode: LockingMode = LockingMode.ALL_DATASETS) -> dict[str, Any]:
+    def lock(self, locking_level: LockingMode = LockingMode.ALL_DATASETS) -> dict[str, Any]:
         """JSON-able doc capturing resolver context (without secrets)
-        and — under ``ALL_DATASETS`` (the default, the repeatability
-        superset) — every dataset's resolved engine_url; ``CONTEXT``
-        captures the resolver context alone (``model.py:218-280``).
+        and — under ``ALL_DATASETS`` — every dataset's resolved
+        engine_url; ``CONTEXT`` captures the resolver context alone.
+        The keyword matches the reference signature
+        (``model.py:242`` ``lock(self, locking_level=CONTEXT)``) so
+        ported ``lock(locking_level=...)`` calls work unchanged.
+        DELIBERATE DIVERGENCE: the default here is ``ALL_DATASETS``
+        (the repeatability superset) rather than the reference's
+        ``CONTEXT`` — a bare ``lock()`` should capture enough to
+        re-run the model, not just the resolver context.
         Accepts the enum or its string value; anything else raises
         rather than silently dropping the datasets section."""
-        locking_mode = LockingMode(locking_mode)
+        locking_level = LockingMode(locking_level)
         doc = {
             "model_class": type(self).__name__,
             "resolver_context": connector_resolver.capture_context(),
         }
-        if locking_mode is LockingMode.ALL_DATASETS:
+        if locking_level is LockingMode.ALL_DATASETS:
             doc["datasets"] = {}
             for name, connect in type(self).connects().items():
                 url = connect.engine_url

@@ -100,7 +100,12 @@ def weighted_quality_by_group(
         qs = q[ok].to_numpy(np.int64)
         ws = w[ok].to_numpy(np.int64)
         den = int(ws.sum())
-        return int((qs * ws).sum()) // den if den else 0
+        # den == 0 (all-null group / zero total weight) returns NULL,
+        # matching the built-in twin's SQL semantics: `SUM(q*w) div
+        # SUM(CASE WHEN q IS NOT NULL THEN w END)` is int-div-by-NULL
+        # => NULL, and an agreeing degenerate case keeps the UDAF
+        # interchangeable with the hot-path twin
+        return int((qs * ws).sum()) // den if den else None
 
     # Spark disallows mixing grouped-agg pandas UDFs with JVM aggregates
     # in one agg() (INVALID_PANDAS_UDF_PLACEMENT) — the count rides the

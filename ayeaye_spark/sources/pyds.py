@@ -169,7 +169,11 @@ class RestWriter(DataSourceWriter, _HttpOptions):
     receiver's job, exactly as with any non-transactional sink."""
 
     def __init__(self, options, schema):
-        self.url = options.get("write_url") or options.get("url")
+        # write_url only — NO fallback to the read option "url": that
+        # is a paging TEMPLATE ("...?page={page}") and a session that
+        # set only the read side would POST rows to a URL containing a
+        # literal "{page}" instead of failing here
+        self.url = options.get("write_url")
         if not self.url:
             raise ValueError("ayeaye_rest write requires .option('write_url', ...)")
         self.batch_size = int(options.get("batch_size", 1000))
@@ -254,8 +258,15 @@ class RestStreamReader(SimpleDataSourceStreamReader, _HttpOptions):
             return iter([]), start  # drained: offset unchanged
         rows = self._rows_for(page)
         if not rows:
-            # caught up with the producer: do NOT advance past a page
-            # that may fill in later — idle this batch and poll again
+            if self.end_page is not None:
+                # bounded ingest: the range [start_page, end_page) is a
+                # fixed work list, so a legitimately-empty page mid-range
+                # must be stepped over or every page after it is
+                # unreachable (the offset would pin here forever)
+                return iter([]), {"page": page + 1}
+            # unbounded polling: caught up with the producer — do NOT
+            # advance past a page that may fill in later; idle this
+            # batch and poll again
             return iter([]), start
         return iter(rows), {"page": page + 1}
 

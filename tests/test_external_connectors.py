@@ -287,3 +287,49 @@ class TestRestPythonDataSource:
         )
         rows = list(reader.readBetweenOffsets({"page": 1}, {"page": 3}))
         assert [r[0] for r in rows] == [3, 4, 5, 6, 7, 8]  # pages 1-2 only
+
+
+class TestRestStreamBoundedEmptyPage:
+    def test_bounded_mode_advances_past_empty_page(self, spark, http_server):
+        """With end_page set the page range is a fixed work list: an
+        empty mid-range page must be stepped over, or the offset pins
+        there forever and every later page is unreachable."""
+        from pyspark.sql.types import StructType
+
+        from ayeaye_spark.sources.pyds import RestStreamReader
+
+        schema = StructType.fromDDL("id int, name string")
+        reader = RestStreamReader(
+            {"url": f"http://{http_server}/empty/{{page}}", "end_page": "5"},
+            schema,
+        )
+        rows, offset = reader.read({"page": 2})
+        assert list(rows) == [] and offset == {"page": 3}
+
+    def test_unbounded_mode_still_idles_on_empty_page(self, spark, http_server):
+        from pyspark.sql.types import StructType
+
+        from ayeaye_spark.sources.pyds import RestStreamReader
+
+        schema = StructType.fromDDL("id int, name string")
+        reader = RestStreamReader(
+            {"url": f"http://{http_server}/empty/{{page}}"}, schema
+        )
+        rows, offset = reader.read({"page": 2})
+        assert list(rows) == [] and offset == {"page": 2}
+
+
+class TestRestWriterRequiresWriteUrl:
+    def test_read_url_is_not_a_write_fallback(self, spark, http_server):
+        """The read option "url" is a paging TEMPLATE — falling back to
+        it would POST rows to a literal '{page}' URL.  Writes must
+        require write_url explicitly."""
+        register = __import__(
+            "ayeaye_spark.sources.pyds", fromlist=["register_python_datasources"]
+        ).register_python_datasources
+        register(spark)
+        df = spark.createDataFrame([(1, "a")], "id int, name string")
+        with pytest.raises(Exception, match="write_url"):
+            (df.write.format("ayeaye_rest")
+             .option("url", f"http://{http_server}/page/{{page}}")
+             .mode("append").save())

@@ -470,3 +470,19 @@ class TestReferenceTopLevelParity:
             assert M().lock("all_datasets")["datasets"]
             with pytest.raises(ValueError):
                 M().lock("all_the_datasets")
+
+
+class TestLockReferenceKeyword:
+    def test_lock_accepts_reference_keyword(self):
+        """Reference signature is lock(self, locking_level=...)
+        (reference model.py:242) — ported keyword calls must work."""
+        from ayeaye_spark import Connect, LockingMode, Model, connector_resolver
+
+        class M(Model):
+            src = Connect(engine_url="fake://rows")
+
+        with connector_resolver.context():
+            ctx = M().lock(locking_level=LockingMode.CONTEXT)
+            full = M().lock(locking_level=LockingMode.ALL_DATASETS)
+        assert "datasets" not in ctx
+        assert "src" in full["datasets"]

@@ -1184,3 +1184,38 @@ class TestSimhashNearPairs:
                 df, "doc_id", "text", signature="simple").collect()
         )
         assert vec == simple and vec
+
+
+class TestGroupedAggDegenerateGroup:
+    def test_all_null_group_yields_null_like_sql_twin(self, spark):
+        """A group whose quality values are ALL null has denominator 0;
+        SQL's `SUM(q*w) div SUM(CASE WHEN q IS NOT NULL THEN w END)` is
+        int-div-by-NULL => NULL.  The UDAF must agree (it returned 0
+        before, silently diverging from its documented twin)."""
+        from pyspark.sql import functions as F
+
+        from ayeaye_spark.operators import text as textops
+
+        docs = spark.createDataFrame(
+            [(1, "en", 40, "hello world this is fine"),
+             (2, "xx", 10, None), (3, "xx", 7, None)],
+            ["doc_id", "lang", "n_chars", "text"],
+        )
+        got = {
+            r["lang"]: r["wq_ppm"]
+            for r in textops.weighted_quality_by_group(
+                docs, "lang", "n_chars"
+            ).collect()
+        }
+        prof = textops.with_quality_score(docs, "text")
+        twin = {
+            r["lang"]: r["wq_ppm"]
+            for r in prof.groupBy("lang").agg(
+                F.expr(
+                    "sum(quality_ppm * n_chars) div "
+                    "sum(CASE WHEN quality_ppm IS NOT NULL THEN n_chars END)"
+                ).alias("wq_ppm")
+            ).collect()
+        }
+        assert got == twin
+        assert got["xx"] is None and got["en"] is not None
