@@ -1363,8 +1363,13 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumsum -> identical packs on both engines."""
     docs = textops.with_token_counts(load(spark, sf_dir, "documents"), "text")
     docs = docs.withColumn("ntok", F.col("ws_tokens").cast("long"))
+    # tokenize ONCE: the two-phase cumsum fans out into totals + main
+    # branches, and without materializing the narrow (id, tokens)
+    # frame each branch re-runs the tokenization pass (same fix as
+    # docs_token_budget above)
+    toks = docs.select("doc_id", "ntok").localCheckpoint(eager=False)
     packed = sampling.pack_sequences(
-        docs, id_col="doc_id", token_col="ntok", budget=2048
+        toks, id_col="doc_id", token_col="ntok", budget=2048
     )
     return (
         packed.groupBy("pack_id")
