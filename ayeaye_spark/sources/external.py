@@ -50,20 +50,35 @@ class JdbcConnector(DataConnector):
     _DRIVERS = {
         "sqlite": "org.sqlite.JDBC",
         "mysql": "com.mysql.cj.jdbc.Driver",
-        "mysql+pymysql": "com.mysql.cj.jdbc.Driver",
         "postgresql": "org.postgresql.Driver",
     }
 
     @property
-    def jdbc_url(self) -> str:
+    def _dialect(self) -> str:
+        """sqlalchemy compound schemes are ``dialect+driver``
+        (``mysql+pymysql``), which the engine_url grammar parses as
+        modifier ``mysql`` + engine_type ``pymysql`` — the OPPOSITE
+        roles.  JDBC cares about the dialect only (the python driver
+        part names a client lib Spark never loads), so recover it from
+        the modifier chain when the engine_type itself isn't a known
+        dialect."""
         et = self.url.engine_type
+        if et == "jdbc" or et in self._DRIVERS:
+            return et
+        for m in self.url.modifiers:
+            if m in self._DRIVERS:
+                return m
+        return et
+
+    @property
+    def jdbc_url(self) -> str:
+        et = self._dialect
         if et == "jdbc":
             return "jdbc:" + self.url.locator
         if et == "sqlite":
             return f"jdbc:sqlite:{self.url.locator.lstrip('/') and '/' + self.url.locator.lstrip('/')}"
         host_db = self.url.locator
-        scheme = "mysql" if et.startswith("mysql") else et
-        return f"jdbc:{scheme}://{host_db}"
+        return f"jdbc:{et}://{host_db}"
 
     @property
     def table(self) -> str | None:
@@ -71,7 +86,7 @@ class JdbcConnector(DataConnector):
 
     def _jdbc_options(self, query: str | None = None) -> dict[str, str]:
         opts: dict[str, str] = {"url": self.jdbc_url}
-        driver = self._DRIVERS.get(self.url.engine_type)
+        driver = self._DRIVERS.get(self._dialect)
         if driver:
             opts["driver"] = driver
         if query is not None:

@@ -97,6 +97,12 @@ def registered_engine_types() -> list[str]:
 
 def connector_class_for(engine_url: str) -> Type[DataConnector]:
     modifiers, engine_type = split_engine_type(engine_url)
+    # sqlalchemy-style "dialect+driver" schemes (mysql+pymysql) are
+    # registered as one compound engine_type; an exact full-scheme match
+    # wins before the prefix is interpreted as a modifier chain
+    full_scheme = "+".join((*modifiers, engine_type))
+    if modifiers and full_scheme in _REGISTRY:
+        return _REGISTRY[full_scheme]
     unknown = [m for m in modifiers if m not in _KNOWN_MODIFIERS]
     if unknown:
         raise EngineUrlError(f"unknown engine_type modifiers {unknown} in {engine_url!r}")

@@ -482,3 +482,89 @@ class TestConnectorRegistryFacade:
 
         with pytest.raises(TypeError, match="subclass of DataConnector"):
             connector_registry.register_connector(object())
+
+
+class TestJdbcOptionContracts:
+    """Pin the EXACT spark.read.jdbc option dict per engine_url family.
+
+    No database driver jars ship in this container, so the live read
+    path can't run here — these contract tests freeze the full mapping
+    (url rewrite, driver class, table/query routing, credential and
+    partitioning passthrough) so a regression is caught without a
+    database.  Covers the reference's sqlalchemy_database.py engine
+    strings (sqlite/mysql/postgresql)."""
+
+    def test_sqlite_full_option_dict(self):
+        j = JdbcConnector("sqlite:///var/data/app.db;table=animals")
+        assert j._jdbc_options() == {
+            "url": "jdbc:sqlite:/var/data/app.db",
+            "driver": "org.sqlite.JDBC",
+            "dbtable": "animals",
+        }
+
+    def test_postgres_full_option_dict_with_credentials_and_partitioning(self):
+        j = JdbcConnector(
+            "postgresql://pg-host:5432/warehouse;table=public.orders;"
+            "user=svc;password=secret;numPartitions=8;"
+            "partitionColumn=o_orderkey;lowerBound=1;upperBound=6000000;"
+            "fetchsize=10000"
+        )
+        assert j._jdbc_options() == {
+            "url": "jdbc:postgresql://pg-host:5432/warehouse",
+            "driver": "org.postgresql.Driver",
+            "dbtable": "public.orders",
+            "user": "svc",
+            "password": "secret",
+            "numPartitions": "8",
+            "partitionColumn": "o_orderkey",
+            "lowerBound": "1",
+            "upperBound": "6000000",
+            "fetchsize": "10000",
+        }
+
+    def test_mysql_full_option_dict_and_pymysql_alias(self):
+        for scheme in ("mysql", "mysql+pymysql"):
+            j = JdbcConnector(f"{scheme}://db:3306/shop;table=parts;user=u")
+            assert j._jdbc_options() == {
+                "url": "jdbc:mysql://db:3306/shop",
+                "driver": "com.mysql.cj.jdbc.Driver",
+                "dbtable": "parts",
+                "user": "u",
+            }, scheme
+
+    def test_query_replaces_dbtable(self):
+        j = JdbcConnector("postgresql://h/db;table=t")
+        opts = j._jdbc_options(query="SELECT 1 AS x")
+        assert "dbtable" not in opts and opts["query"] == "SELECT 1 AS x"
+
+    def test_raw_jdbc_scheme_passthrough_no_driver_guess(self):
+        j = JdbcConnector("jdbc://oracle:thin:@h:1521/XE;table=t")
+        opts = j._jdbc_options()
+        assert opts["url"].startswith("jdbc:oracle:thin:")
+        assert "driver" not in opts  # unknown engine: let Spark resolve
+
+    def test_kwargs_beat_url_options(self):
+        j = JdbcConnector("postgresql://h/db;table=from_url", table="from_kwarg")
+        assert j._jdbc_options()["dbtable"] == "from_kwarg"
+
+    def test_no_table_or_query_raises(self):
+        from ayeaye_spark.sources.base import ConnectorError
+
+        with pytest.raises(ConnectorError, match="no table or query"):
+            JdbcConnector("postgresql://h/db")._jdbc_options()
+
+
+class TestCompoundSchemeRegistry:
+    def test_sqlalchemy_compound_scheme_resolves(self):
+        """mysql+pymysql:// must resolve via the registry: the full
+        compound scheme is a registered engine_type and wins over
+        interpreting 'mysql' as an unknown modifier (which raised)."""
+        from ayeaye_spark.sources.registry import connector_class_for
+
+        assert connector_class_for("mysql+pymysql://db/shop;table=t") is JdbcConnector
+
+    def test_modifier_chains_still_work(self):
+        from ayeaye_spark.sources.registry import connector_class_for
+
+        cls = connector_class_for("gz+csv:///data/x.csv.gz")
+        assert cls.__name__ == "CsvConnector"
