@@ -2414,6 +2414,72 @@ def docs_quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query("events_stream_exactly_once_dedup")  # no oracle: streaming drain
+def events_stream_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery made exactly-once in-stream: the events
+    stream UNIONED WITH ITSELF (every event delivered twice) passes
+    through state-backed ``dropDuplicatesWithinWatermark`` on event_id,
+    then the hourly windowed aggregate — the drained result must equal
+    the single-delivery batch aggregate, proving the dedup state
+    actually suppressed the second copies (pinned against the
+    ``events_hourly_window`` batch twin in ``tests/test_streaming.py``).
+    The span-covering watermark makes the suppression exhaustive for
+    the bounded replay; production picks a watermark sized to the
+    source's redelivery horizon so state stays bounded (rows-only
+    driver check: stream drains are engine-side by nature)."""
+    from .streaming import events as streamops
+
+    doubled = _events_stream(spark, sf_dir).unionByName(
+        _events_stream(spark, sf_dir)
+    )
+    deduped = streamops.dedup_within_watermark(
+        doubled, key_cols=["event_id"], watermark="3650 days"
+    )
+    agg = streamops.windowed_counts(
+        deduped, window="1 hour", group_cols=["event_type"], watermark=None
+    )
+    return _drain_stream(spark, agg, "events_stream_dedup_sink")
+
+
+def _duck_repeated_spans_oracle(n: int = 5, min_docs: int = 2) -> str:
+    token_hashes = P.hash_array(P.tokens("text", DUCK), DUCK)
+    grams = P.token_hash_ngrams_all("th", n, DUCK)
+    return f"""
+    WITH th AS (SELECT doc_id, {token_hashes} AS th FROM documents),
+    g AS (SELECT doc_id, {grams} AS garr, {P.size('th', DUCK)} AS ntok FROM th),
+    pos AS (SELECT doc_id, ntok, unnest(garr) AS sh,
+                   unnest(range(1, len(garr) + 1)) AS pos
+            FROM g),
+    dup AS (SELECT sh FROM pos GROUP BY sh
+            HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
+    hits AS (SELECT p.doc_id, p.ntok, p.pos FROM pos p JOIN dup d USING (sh)),
+    w AS (SELECT doc_id, ntok, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM hits)
+    SELECT doc_id, ntok AS total_tokens,
+           SUM(CASE WHEN prev IS NULL OR pos - prev > {n} THEN 1 ELSE 0 END)
+             AS n_spans,
+           SUM(CASE WHEN prev IS NULL THEN {n} ELSE LEAST(pos - prev, {n}) END)
+             AS dup_tokens,
+           SUM(CASE WHEN prev IS NULL THEN {n} ELSE LEAST(pos - prev, {n}) END)
+             * 1000000 // ntok AS dup_ppm
+    FROM w GROUP BY doc_id, ntok
+    """
+
+
+@query("docs_repeated_spans", oracle=_duck_repeated_spans_oracle())
+def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile: per document, coverage by
+    5-token spans that also occur in ≥2 documents — the signal behind
+    suffix-array-style exact substring dedup (near-verbatim syndication,
+    template paragraphs that survive document-level near-dup passes).
+    Interval-union math over window start positions is pure integer
+    arithmetic, so both engines produce identical rows."""
+    return dedup.repeated_span_profile(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=5, min_docs=2
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -214,8 +214,11 @@ def hash_array(arr: str, d: str) -> str:
     return transform(arr, "s", char_hash("s", d), d)
 
 
-def token_hash_ngrams(th: str, n: int, d: str) -> str:
-    """Distinct n-gram shingle hashes combined from a token-hash array.
+def token_hash_ngrams_all(th: str, n: int, d: str) -> str:
+    """POSITIONAL n-gram shingle hashes: element ``i`` (1-based) is the
+    hash of the n-token window starting at token ``i`` — order kept,
+    duplicates kept (the repeated-span operators need positions; the
+    set-semantics callers go through :func:`token_hash_ngrams`).
 
     shingle_hash(i) = fold over the window's n token hashes of
     ``g = (g * 31 + h_k) % PRIME``.  Equivalent information to hashing the
@@ -224,20 +227,24 @@ def token_hash_ngrams(th: str, n: int, d: str) -> str:
     ``th`` should be a materialized token-hash column.
     """
     if n == 1:
-        return distinct(th, d)
+        return th
     g = element(th, "i", d)
     for k in range(1, n):
         g = f"(({g}) * 31 + {element(th, f'i + {k}', d)}) % {PRIME}"
     seq = int_sequence(1, f"{size(th, d)} - {n - 1}", d)
     grams = transform(seq, "i", g, d)
     if d == SPARK:
-        guarded = (
+        return (
             f"(case when {size(th, d)} < {n} "
             f"then cast(array() as array<bigint>) else {grams} end)"
         )
-    else:
-        guarded = f"(case when {size(th, d)} < {n} then [] else {grams} end)"
-    return distinct(guarded, d)
+    return f"(case when {size(th, d)} < {n} then [] else {grams} end)"
+
+
+def token_hash_ngrams(th: str, n: int, d: str) -> str:
+    """Distinct n-gram shingle hashes (set semantics) — see
+    :func:`token_hash_ngrams_all` for the hash construction."""
+    return distinct(token_hash_ngrams_all(th, n, d), d)
 
 
 def fast_hash(s: str, d: str) -> str:

@@ -55,9 +55,10 @@ def token_hashes(toks: list[str], cache: dict[str, int]) -> list[int]:
     return out
 
 
-def shingle_hashes(th: list[int], n: int):
-    """Twin of ``portable.token_hash_ngrams``: distinct window-combined
-    n-gram hashes, ascending (set semantics downstream — order free)."""
+def shingle_hashes_positional(th: list[int], n: int):
+    """Twin of ``portable.token_hash_ngrams_all``: element ``i``
+    (0-based here) is the window hash starting at token ``i`` — order
+    kept, duplicates kept (positional span operators)."""
     import numpy as np
 
     if len(th) < n:
@@ -67,7 +68,15 @@ def shingle_hashes(th: list[int], n: int):
     g = arr[:m].copy()
     for k in range(1, n):
         g = (g * 31 + arr[k : k + m]) % PRIME
-    return np.unique(g)
+    return g
+
+
+def shingle_hashes(th: list[int], n: int):
+    """Twin of ``portable.token_hash_ngrams``: distinct window-combined
+    n-gram hashes, ascending (set semantics downstream — order free)."""
+    import numpy as np
+
+    return np.unique(shingle_hashes_positional(th, n))
 
 
 def minhash(sh, k: int):

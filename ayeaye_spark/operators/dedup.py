@@ -785,3 +785,109 @@ def minhash_dedup_incremental(
         .distinct()
     )
     return increment.join(dropped, on=id_col, how="left_anti")
+
+
+def positional_shingles_vectorized(
+    df: DataFrame, id_col: str, text_col: str, *, n: int
+) -> DataFrame:
+    """(_id, _ntok, _grams) in one Arrow pass: ``_grams[i]`` (0-based) is
+    the hash of the n-token window starting at token ``i`` — order kept,
+    duplicates kept (the positional twin of
+    :func:`shingle_hashsets_vectorized`; values match
+    ``portable.token_hash_ngrams_all``)."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from ..functions import portable_py as PY
+
+    src = df.select(id_col, text_col)
+    schema = StructType([
+        StructField("_id", LongType()),
+        StructField("_ntok", LongType()),
+        StructField("_grams", ArrayType(LongType())),
+    ])
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cache: dict[str, int] = {}
+            ids, ntoks, grams = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                th = PY.token_hashes(PY.tokens(text or ""), cache)
+                ids.append(doc_id)
+                ntoks.append(len(th))
+                grams.append(PY.shingle_hashes_positional(th, n).tolist())
+            yield pd.DataFrame({"_id": ids, "_ntok": ntoks, "_grams": grams})
+
+    return src.mapInPandas(gen, schema)
+
+
+def repeated_span_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication profile: per document, how much of it
+    is covered by n-token spans that ALSO appear in ≥ ``min_docs``
+    documents (cross-document repeats — the signal behind
+    suffix-array-style exact substring dedup: near-verbatim syndication,
+    shared boilerplate passages, template paragraphs that survive
+    document-level near-dup passes).
+
+    Returns ``(id, total_tokens, n_spans, dup_tokens, dup_ppm)`` for
+    documents with at least one such span: ``n_spans`` counts MAXIMAL
+    duplicated runs (overlapping/adjacent windows merged), ``dup_tokens``
+    the exact union length of all duplicated windows (interval-union
+    math over window start positions: first window contributes ``n``,
+    each next ``min(gap, n)``), ``dup_ppm`` the integer-ppm coverage.
+
+    Scale shape: one Arrow shingling pass materialized once
+    (``localCheckpoint`` — it feeds the document-frequency aggregate AND
+    the hit join), explode → hash-keyed duplicate-shingle aggregate
+    (uniform keys; hot boilerplate shingles are exactly the skew AQE's
+    skew-join split handles), semi-join back, per-document window for
+    the interval union (partitioned by doc — parallel).  No self-join,
+    no quadratic stage; the candidate volume is #duplicated-window
+    occurrences, not #pairs.
+    """
+    from pyspark.sql import Window as W
+
+    _tune_session(df)
+    grams = positional_shingles_vectorized(df, id_col, text_col, n=n)
+    grams = grams.localCheckpoint(eager=False)
+    pos = grams.select(
+        "_id", "_ntok", F.posexplode("_grams").alias("_pos0", "_sh")
+    ).select("_id", "_ntok", (F.col("_pos0") + 1).alias("_pos"), "_sh")
+    dup = (
+        pos.groupBy("_sh")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_sh")
+    )
+    hits = pos.join(dup, on="_sh", how="leftsemi")
+    w = W.partitionBy("_id").orderBy("_pos")
+    gapped = hits.withColumn("_prev", F.lag("_pos").over(w))
+    agg = gapped.groupBy("_id", "_ntok").agg(
+        F.sum(
+            F.when(F.col("_prev").isNull() | (F.col("_pos") - F.col("_prev") > n), 1)
+            .otherwise(0)
+        ).alias("n_spans"),
+        F.sum(
+            F.when(F.col("_prev").isNull(), F.lit(n)).otherwise(
+                F.least(F.col("_pos") - F.col("_prev"), F.lit(n))
+            )
+        ).alias("dup_tokens"),
+    )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        F.col("_ntok").alias("total_tokens"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        F.expr("CASE WHEN _ntok = 0 THEN 0L ELSE dup_tokens * 1000000 div _ntok END")
+        .alias("dup_ppm"),
+    )

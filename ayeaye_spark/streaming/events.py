@@ -35,14 +35,19 @@ def windowed_counts(
     ts_col: str = "ts",
     window: str = "1 hour",
     slide: str | None = None,
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
     group_cols: list[str] | None = None,
     value_col: str = "value",
 ) -> DataFrame:
     """Watermarked windowed count+sum per (window, group_cols); the
-    summed column is ``value_col`` (aliased ``sum_value`` regardless)."""
+    summed column is ``value_col`` (aliased ``sum_value`` regardless).
+
+    ``watermark=None`` means the stream is ALREADY watermarked upstream
+    (e.g. by a preceding stateful operator like
+    :func:`dedup_within_watermark`) — Spark disallows redefining the
+    watermark between chained stateful operators."""
     df = events
-    if df.isStreaming:
+    if df.isStreaming and watermark is not None:
         df = df.withWatermark(ts_col, watermark)
     win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
     return (
@@ -79,6 +84,35 @@ def session_aggregate(
             *(by or []),
             "n_events",
         )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once projection of an at-least-once stream: state-backed
+    ``dropDuplicatesWithinWatermark`` on ``key_cols``.
+
+    The WithinWatermark variant is the 100 TB-safe one: a key's dedup
+    state is EVICTED once the watermark passes its event time, so state
+    size is bounded by the watermark window — plain streaming
+    ``dropDuplicates`` keeps every key ever seen and grows without
+    bound.  The contract is correspondingly bounded: a duplicate
+    arriving later than ``watermark`` after the original is NOT
+    suppressed (at-least-once sources redeliver promptly; pick the
+    watermark to cover the redelivery horizon).
+
+    On a batch frame this degrades to plain ``dropDuplicates`` — the
+    batch-twin semantics used by the oracle-checked equivalents.
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(key_cols)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
     )
 
 

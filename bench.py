@@ -45,7 +45,11 @@ from ayeaye_spark.core.session import get_spark  # noqa: E402
 # path; ann_topk_lsh / dedup_minhash_lsh_pairs are the scale paths).
 EXCLUDE = {"emb_near_dup_pairs"}
 
-STREAMING = {"events_stream_hourly_counts", "events_stream_sessions"}
+STREAMING = {
+    "events_stream_hourly_counts",
+    "events_stream_sessions",
+    "events_stream_exactly_once_dedup",
+}
 
 SLOWEST_IN_STDOUT = 5
 

@@ -174,3 +174,32 @@ class TestCorrectnessWindow:
             "events_stream_sessions",
         ):
             assert name in tail and name not in set(_WINDOW_ORDER)
+
+
+class TestStreamExactlyOnceDedup:
+    def test_doubled_stream_dedups_to_batch_twin(self, spark):
+        """The events stream unioned with itself (every event delivered
+        twice) must, after dropDuplicatesWithinWatermark on event_id,
+        aggregate to EXACTLY the single-delivery batch result — i.e.
+        the dedup state really suppressed the second copies."""
+        from ayeaye_spark.catalog import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        batch = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in QUERIES["events_hourly_window"](spark, sf).collect()
+        }
+        stream = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in QUERIES["events_stream_exactly_once_dedup"](spark, sf).collect()
+        }
+        assert stream == batch
+
+    def test_batch_degradation_is_plain_dropduplicates(self, spark):
+        from ayeaye_spark.streaming.events import dedup_within_watermark
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (2, "b")], ["event_id", "event_type"]
+        )
+        out = dedup_within_watermark(df, key_cols=["event_id"])
+        assert out.count() == 2

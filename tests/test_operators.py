@@ -1219,3 +1219,50 @@ class TestGroupedAggDegenerateGroup:
         }
         assert got == twin
         assert got["xx"] is None and got["en"] is not None
+
+
+class TestRepeatedSpanProfile:
+    def _profile(self, spark, rows, n=3, min_docs=2):
+        from ayeaye_spark.operators.dedup import repeated_span_profile
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            r["doc_id"]: (r["total_tokens"], r["n_spans"], r["dup_tokens"], r["dup_ppm"])
+            for r in repeated_span_profile(df, "doc_id", "text", n=n,
+                                           min_docs=min_docs).collect()
+        }
+
+    def test_contiguous_run_merges_to_one_span(self, spark):
+        """'a b c d e' shared between A and B: three overlapping 3-gram
+        windows merge into ONE maximal span covering 5 tokens."""
+        got = self._profile(spark, [
+            (1, "a b c d e f"),
+            (2, "x y a b c d e q"),
+            (3, "p q r s t u v"),
+        ])
+        assert got == {
+            1: (6, 1, 5, 5 * 1_000_000 // 6),
+            2: (8, 1, 5, 5 * 1_000_000 // 8),
+        }  # doc 3 shares nothing -> absent
+
+    def test_separated_repeats_count_two_spans(self, spark):
+        """Two disjoint shared trigrams in one doc: 2 spans, union 6."""
+        got = self._profile(spark, [
+            (1, "a b c zz1 zz2 zz3 zz4 d e f"),
+            (2, "a b c mm nn d e f"),
+        ])
+        assert got[1] == (10, 2, 6, 6 * 1_000_000 // 10)
+        assert got[2] == (8, 2, 6, 6 * 1_000_000 // 8)
+
+    def test_within_doc_repeat_alone_does_not_count(self, spark):
+        """min_docs=2 counts CROSS-document repeats: a doc repeating its
+        own trigram with no other doc sharing it produces no row."""
+        got = self._profile(spark, [
+            (1, "a b c a b c"),
+            (2, "x y z w v u"),
+        ])
+        assert got == {}
+
+    def test_short_docs_produce_no_windows(self, spark):
+        got = self._profile(spark, [(1, "a b"), (2, "a b")])
+        assert got == {}  # < n tokens: no n-gram windows at all

@@ -187,3 +187,38 @@ def test_python_twin_matches_sql_chain(spark, seed):
         got = (sorted(sh.tolist()), mh.tolist())
         assert got == srows[rid], f"rid={rid} text={text[:60]!r}"
         assert PY.simhash32(th) == ssim[rid], f"simhash rid={rid} text={text[:60]!r}"
+
+
+class TestPositionalShingleParity:
+    def test_positional_shingles_three_way(self, spark):
+        """portable.token_hash_ngrams_all (SPARK + DUCKDB dialects) and
+        portable_py.shingle_hashes_positional produce the SAME ordered
+        gram list — positions included (the repeated-span operator's
+        correctness rests on index alignment, not just set equality)."""
+        from ayeaye_spark.functions import portable_py as PY
+
+        texts = make_corpus(seed=77)
+        pdf = pd.DataFrame({"rid": range(len(texts)), "text": texts})
+        spark.createDataFrame(pdf).createOrReplaceTempView("fuzz_pos")
+        duck = duckdb.connect()
+        duck.register("fuzz_pos_d", pdf)
+
+        for n in (1, 2, 5):
+            s_sql = (
+                f"SELECT rid, {P.token_hash_ngrams_all('th', n, P.SPARK)} AS g FROM "
+                f"(SELECT rid, {P.hash_array(P.tokens('text', P.SPARK), P.SPARK)} AS th "
+                f" FROM fuzz_pos)"
+            )
+            srows = {r["rid"]: list(r["g"]) for r in spark.sql(s_sql).collect()}
+            d_sql = (
+                f"SELECT rid, {P.token_hash_ngrams_all('th', n, P.DUCKDB)} AS g FROM "
+                f"(SELECT rid, {P.hash_array(P.tokens('text', P.DUCKDB), P.DUCKDB)} AS th "
+                f" FROM fuzz_pos_d)"
+            )
+            drows = {rid: list(g) for rid, g in duck.execute(d_sql).fetchall()}
+            cache = {}
+            for rid, text in enumerate(texts):
+                th = PY.token_hashes(PY.tokens(text), cache)
+                py = PY.shingle_hashes_positional(th, n).tolist()
+                assert py == srows[rid], f"spark n={n} rid={rid}"
+                assert py == drows[rid], f"duckdb n={n} rid={rid}"
