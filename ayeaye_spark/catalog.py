@@ -2480,6 +2480,61 @@ def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_range_search",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_duck_cosine('q.embedding', 'c.embedding')} AS cosine
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+      AND {_duck_cosine('q.embedding', 'c.embedding')} >= 0.3
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: every corpus vector within
+    cosine ≥ 0.3 of each probe vector — the fixed-similarity complement
+    of top-k retrieval (dedup sweeps / recall evaluation ask "everything
+    this similar", not "the k best").  Same scan shape as the top-k
+    family: probes broadcast, one corpus pass, no window at all.  The
+    fold-order dot product is bit-identical on both engines, so the
+    threshold cut selects identical pairs."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_range_search(
+        emb, emb.where(F.col("vec_id") < 10), threshold=0.3
+    )
+
+
+@query(
+    "docs_source_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             {P.quality_score_ppm_from_tokens('text', 'toks', DUCK)} AS quality_ppm
+      FROM (SELECT doc_id, source, text, {P.tokens('text', DUCK)} AS toks
+            FROM documents)
+    ),
+    stats AS (
+      SELECT source, {P.int_div('SUM(quality_ppm)', 'COUNT(*)', DUCK)}
+               AS source_mean_ppm
+      FROM scored GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.quality_ppm, st.source_mean_ppm
+    FROM scored s JOIN stats st USING (source)
+    WHERE st.source_mean_ppm >= 645000
+    """,
+)
+def docs_source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source-reputation curation: keep documents whose SOURCE
+    averages quality ≥ 0.645 (integer ppm) — the domain-level cut a web
+    pipeline applies before per-document filters.  Broadcast-join of the
+    tiny per-source aggregate back onto the corpus; the corpus is never
+    shuffled."""
+    kept = textops.source_quality_filter(
+        load(spark, sf_dir, "documents"), "text", "source", min_mean_ppm=645_000
+    )
+    return kept.select("doc_id", "source", "quality_ppm", "source_mean_ppm")
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -545,3 +545,38 @@ def with_lsh_bucket_vectorized(
             yield pdf
 
     return df.select(*cols).mapInPandas(gen, schema)
+
+
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float,
+    dim: int | None = None,
+) -> DataFrame:
+    """Radius search: every (query_id, neighbor_id, cosine) pair with
+    ``cosine >= threshold`` — the fixed-similarity complement of
+    :func:`cosine_topk` (retrieval wants "the k best"; dedup sweeps and
+    recall evaluation want "everything this similar").
+
+    Scale shape is identical to :func:`cosine_topk`: the query set is
+    broadcast as the small side, the corpus streams through ONE scan
+    with the codegen'd dot product, and — unlike top-k — there is no
+    per-query window at all, so the only shuffle-free filter emits
+    matches directly.  Output size is data-dependent (bounded by
+    #queries × #corpus, realized far smaller at any useful threshold).
+    Self-matches are excluded.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.expr(_cos("_qvec", "_cvec", dim)))
+        .where(F.col("cosine") >= threshold)
+        .select("query_id", "neighbor_id", "cosine")
+    )

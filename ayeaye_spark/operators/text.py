@@ -194,3 +194,31 @@ def with_redaction(
     ).withColumn(
         "chars_removed", F.length(text_col) - F.length(out_col)
     )
+
+
+def source_quality_filter(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    *,
+    min_mean_ppm: int,
+) -> DataFrame:
+    """Domain/source-level curation: keep documents whose SOURCE has a
+    mean quality score ≥ ``min_mean_ppm`` — the domain-reputation cut a
+    web-corpus pipeline applies before per-document filtering (a good
+    page on a spam domain is still dropped; that is the point).
+
+    Scale shape: one scoring pass feeds a per-source aggregate
+    (map-side combinable; output is #sources rows — tiny), which is
+    broadcast back onto a second scoring pass — the corpus itself is
+    never shuffled.  Scoring runs twice by design: caching the scored
+    corpus would pin ~the whole input in executor storage at 100 TB,
+    while re-scoring is one cheap narrow pass.  Integer-ppm mean
+    (``sum div count``) keeps the cut engine-exact.
+    """
+    scored = with_quality_score(df, text_col)
+    stats = scored.groupBy(source_col).agg(
+        F.expr("sum(quality_ppm) div count(1)").alias("source_mean_ppm"),
+    )
+    keep = stats.where(F.col("source_mean_ppm") >= min_mean_ppm)
+    return scored.join(F.broadcast(keep), on=source_col)

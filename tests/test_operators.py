@@ -1266,3 +1266,43 @@ class TestRepeatedSpanProfile:
     def test_short_docs_produce_no_windows(self, spark):
         got = self._profile(spark, [(1, "a b"), (2, "a b")])
         assert got == {}  # < n tokens: no n-gram windows at all
+
+
+class TestCosineRangeSearch:
+    def test_threshold_selects_and_excludes_self(self, spark):
+        from ayeaye_spark.operators.similarity import cosine_range_search
+
+        rows = [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),   # cosine 1.0 with 1
+            (3, [0.0, 1.0]),   # cosine 0.0 with 1
+            (4, [0.8, 0.6]),   # cosine 0.8 with 1
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        got = {
+            (r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in cosine_range_search(
+                df, df.where("vec_id = 1"), threshold=0.5
+            ).collect()
+        }
+        assert set(got) == {(1, 2), (1, 4)}  # self and orthogonal excluded
+        assert got[(1, 2)] == 1.0 and abs(got[(1, 4)] - 0.8) < 1e-12
+
+
+class TestSourceQualityFilter:
+    def test_low_mean_source_dropped_entirely(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        rows = [
+            (1, "good", "the quick brown fox jumps over the lazy dog again"),
+            (2, "good", "a fine and well written sentence with many words"),
+            (3, "bad", "zzz"),
+            (4, "bad", "qqq ##### !!!"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        kept = textops.source_quality_filter(
+            df, "text", "source", min_mean_ppm=500_000
+        )
+        out = kept.select("doc_id", "source").collect()
+        assert sorted(r["doc_id"] for r in out) == [1, 2]
+        assert {r["source"] for r in out} == {"good"}  # doc 3,4 dropped via source
