@@ -414,6 +414,43 @@ class AvroConnector(DataConnector):
             self._gate(exc)
 
 
+class XmlConnector(DataConnector):
+    """``xml://`` — Spark 4 NATIVE XML data source (no reference
+    counterpart; no external jar needed).  ``;row_tag=`` names the
+    repeating record element (default ``row``); ``;root_tag=`` the
+    document root used on write (default ``rows``).  Schema inference
+    and ``;sample_ratio=`` behave as the built-in source defines."""
+
+    engine_types = ["xml"]
+
+    @property
+    def row_tag(self) -> str:
+        return self.connector_kwargs.get("row_tag") or self.url.option(
+            "row_tag", "row"
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        self._require_read()
+        reader = spark.read.format("xml").option("rowTag", self.row_tag)
+        ratio = self.url.option("sample_ratio")
+        if ratio is not None:
+            reader = reader.option("samplingRatio", ratio)
+        return reader.load(spark_path(self.url))
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        self._require_write()
+        root = self.connector_kwargs.get("root_tag") or self.url.option(
+            "root_tag", "rows"
+        )
+        (
+            df.write.mode(mode)
+            .format("xml")
+            .option("rowTag", self.row_tag)
+            .option("rootTag", root)
+            .save(spark_path(self.url))
+        )
+
+
 class JsonConnector(DataConnector):
     """``json://`` — whole single JSON document (json_connector.py:12-115).
 

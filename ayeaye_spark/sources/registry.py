@@ -34,6 +34,7 @@ from .file_formats import (
     ParquetConnector,
     TsvConnector,
     UncookedConnector,
+    XmlConnector,
 )
 from .multi import FakeDataConnector, MultiConnector, PlaceholderDataConnector
 
@@ -51,7 +52,7 @@ def register_connector(connector_class: Type[DataConnector], *engine_types: str)
 
 _BUILTIN_CONNECTORS: tuple[Type[DataConnector], ...] = (
     CsvConnector, TsvConnector, NdjsonConnector, JsonConnector, ParquetConnector,
-    OrcConnector, AvroConnector,
+    OrcConnector, AvroConnector, XmlConnector,
     UncookedConnector, JdbcConnector, KafkaConnector, BigQueryConnector,
     ElasticsearchConnector, RestfulConnector, FakeDataConnector,
 )

@@ -568,3 +568,36 @@ class TestCompoundSchemeRegistry:
 
         cls = connector_class_for("gz+csv:///data/x.csv.gz")
         assert cls.__name__ == "CsvConnector"
+
+
+class TestXmlConnector:
+    def test_round_trip_with_row_tag(self, spark, tmp_path):
+        """xml:// uses Spark 4's native XML source: write a frame with a
+        custom row/root tag, read it back through the registry."""
+        from ayeaye_spark.sources.registry import connector_for
+        from ayeaye_spark.core.dataset import AccessMode
+
+        out = tmp_path / "animals_xml"
+        df = spark.createDataFrame(
+            [(1, "cat"), (2, "dog"), (3, "emu")], "id long, name string"
+        )
+        w = connector_for(
+            f"xml://{out};row_tag=animal;root_tag=zoo", access=AccessMode.WRITE
+        )
+        w.write(df.coalesce(1))
+        raw = next(p for p in out.iterdir() if p.suffix == ".xml").read_text()
+        assert "<zoo>" in raw and "<animal>" in raw
+
+        r = connector_for(f"xml://{out};row_tag=animal")
+        got = sorted((row["id"], row["name"]) for row in r.read(spark).collect())
+        assert got == [(1, "cat"), (2, "dog"), (3, "emu")]
+
+    def test_default_row_tag_and_registry(self, spark, tmp_path):
+        from ayeaye_spark.sources.file_formats import XmlConnector
+        from ayeaye_spark.sources.registry import connector_class_for
+
+        assert connector_class_for("xml:///tmp/x") is XmlConnector
+        p = tmp_path / "r.xml"
+        p.write_text("<rows><row><a>1</a></row><row><a>2</a></row></rows>")
+        got = XmlConnector(f"xml://{p}").read(spark).collect()
+        assert sorted(r["a"] for r in got) == [1, 2]

@@ -341,3 +341,46 @@ class TestSortedWriteDataSkipping:
         uid = events.select("user_id").first()[0]
         assert back.where(F.col("user_id") == uid).count() == \
             events.where(F.col("user_id") == uid).count()
+
+
+class TestRoundFourOperatorPlans:
+    def test_range_search_broadcasts_probes_one_scan(self, spark):
+        from ayeaye_spark.operators import similarity
+
+        emb = load(spark, SF, "embeddings")
+        q = similarity.cosine_range_search(
+            emb, emb.where(F.col("vec_id") < 10), threshold=0.3
+        )
+        plan = physical_plan(q)
+        # probes broadcast into a nested-loop over ONE corpus scan; no
+        # shuffle at all (no window/top-k), no per-query repartition
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert plan.count("Scan parquet") <= 2  # corpus once + probe subset
+
+    def test_repeated_spans_no_quadratic_stage(self, spark):
+        from ayeaye_spark.operators.dedup import repeated_span_profile
+
+        docs = load(spark, SF, "documents")
+        q = repeated_span_profile(docs, "doc_id", "text", n=5)
+        plan = physical_plan(q)
+        # candidate volume is #duplicated-window occurrences joined on
+        # the shingle hash — never an all-pairs product
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        # the per-doc interval union runs as a doc-partitioned window,
+        # not a global single-partition sort
+        assert "Exchange SinglePartition" not in plan
+
+    def test_source_quality_filter_broadcasts_stats(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        docs = load(spark, SF, "documents")
+        q = textops.source_quality_filter(
+            docs, "text", "source", min_mean_ppm=645_000
+        )
+        plan = physical_plan(q)
+        # the per-source aggregate (tiny) broadcasts back; the corpus is
+        # never shuffled for the join
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
