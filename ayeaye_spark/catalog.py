@@ -2535,6 +2535,77 @@ def docs_source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source", "quality_ppm", "source_mean_ppm")
 
 
+@query(
+    "docs_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({P.tokens('text', DUCK)}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS term_df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.term_df,
+             t.tf * 1000000 // d.term_df AS score_ppm
+      FROM tf t JOIN dfreq d USING (term)
+    )
+    SELECT doc_id, term, tf, term_df, score_ppm, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id
+        ORDER BY score_ppm DESC, tf DESC, term ASC) AS rank
+      FROM scored
+    ) r WHERE rank <= 5
+    """,
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 characteristic terms by integer-exact tf/df
+    (the rank shape of tf-idf without float logarithms): keyword
+    extraction / topical fingerprinting over the corpus."""
+    return textops.tfidf_top_terms(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=5
+    )
+
+
+@query(
+    "docs_length_midspread",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang, CAST({P.token_count('text', DUCK)} AS BIGINT) AS ntok
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, ntok,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY ntok ASC, doc_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM sized
+    )
+    SELECT doc_id, lang, ntok FROM ranked
+    WHERE rk * 4 >= n AND rk * 4 <= 3 * n
+    """,
+)
+def docs_length_midspread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language interquartile length filter: keep documents whose
+    token-count RANK sits in [n/4, 3n/4] of their language — the
+    outlier-trim a curation pass applies per group (too-short and
+    too-long tails dropped).  Rank inequalities ``rk*4 >= n`` /
+    ``rk*4 <= 3n`` are pure integer comparisons — exact per-group
+    quantile cuts with no float percentile on either engine."""
+    from pyspark.sql import Window as W
+
+    docs = textops.with_token_counts(load(spark, sf_dir, "documents"), "text")
+    sized = docs.select(
+        "doc_id", "lang", F.col("ws_tokens").cast("long").alias("ntok")
+    )
+    w = W.partitionBy("lang").orderBy(F.asc("ntok"), F.asc("doc_id"))
+    wn = W.partitionBy("lang")
+    return (
+        sized.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .where((F.col("rk") * 4 >= F.col("n")) & (F.col("rk") * 4 <= 3 * F.col("n")))
+        .select("doc_id", "lang", "ntok")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

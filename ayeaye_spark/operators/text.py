@@ -222,3 +222,40 @@ def source_quality_filter(
     )
     keep = stats.where(F.col("source_mean_ppm") >= min_mean_ppm)
     return scored.join(F.broadcast(keep), on=source_col)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-``k`` characteristic terms by an integer-exact
+    tf/df score (``tf * 1e6 div document_frequency`` — the rank shape of
+    tf-idf without float logarithms, so both engines agree bitwise).
+
+    Scale shape: explode tokens → (doc, term) counts (one hash shuffle,
+    map-side combined), term document frequencies from that same frame
+    (second tiny-keyed aggregate), hash join back on the term (the
+    vocabulary is Zipf-bounded but NOT forced broadcast — at web scale
+    it can be 1e8 rows), then a per-document window for the top-k.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.expr(P.tokens(text_col, SPARK))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("term_df"))
+    scored = tf.join(dfreq, on="term").withColumn(
+        "score_ppm", F.expr("tf * 1000000 div term_df")
+    )
+    w = W.partitionBy(id_col).orderBy(
+        F.desc("score_ppm"), F.desc("tf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "term_df", "score_ppm", "rank")
+    )
