@@ -2606,6 +2606,36 @@ def docs_length_midspread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_simhash60_near_pairs",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {P.simhash60_from_hashes('th', DUCK)} AS simhash
+      FROM (SELECT doc_id, {P.hash_array(P.tokens('text', DUCK), DUCK)} AS th
+            FROM documents)
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash60_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-fingerprint SimHash near-dup pairs: 60-bit fingerprints,
+    Hamming ≤ 3 via 4 × 15-bit pigeonhole bands — the CORPUS-SCALE
+    variant of ``dedup_simhash_near_pairs``.  Width is the scale knob:
+    banding buckets by chunk value, and 15-bit chunks give 32768 keys
+    per band (occupancy n/32768) where the 32-bit fingerprint's 8-bit
+    chunks give 256 — the difference between a workable candidate
+    volume and a quadratic blowup on a billion-document corpus.  Same
+    recall-1.0 pigeonhole guarantee; the oracle is the plain quadratic
+    Hamming filter, feasible only at gate scale."""
+    return dedup.simhash_near_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        max_hamming=3, bands=4, fp_bits=60,
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -297,6 +297,37 @@ def simhash32_from_hashes(tok_hashes: str, d: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+def simhash60_from_hashes(tok_hashes: str, d: str) -> str:
+    """60-bit SimHash from a precomputed token-hash array column — the
+    WIDE fingerprint for banded near-dup search at corpus scale.
+
+    Token hashes are mod ``PRIME`` (≈2^30), so only 30 independent bits
+    exist per hash; bits 30..59 come from the deterministic affine remix
+    ``(h * 31 + 17) % PRIME`` (bit b+30 of the fingerprint is bit b of
+    the remix).  Why wide matters: pigeonhole banding keys buckets by
+    chunk value, and bucket occupancy is ``n / 2^width`` — 15-bit chunks
+    of a 60-bit fingerprint give 32768 keys per band where 8-bit chunks
+    of the 32-bit one give 256, the difference between a workable
+    candidate volume and a quadratic blowup on a billion-document
+    corpus.
+    """
+    bits = []
+    for b in range(60):
+        if b < 30:
+            src = "c"
+            shift = b
+        else:
+            src = f"((c * 31 + 17) % {PRIME})"
+            shift = b - 30
+        if d == SPARK:
+            contrib = f"(case when (shiftright({src}, {shift}) & 1) = 1 then 1 else -1 end)"
+        else:
+            contrib = f"(case when (({src} >> {shift}) & 1) = 1 then 1 else -1 end)"
+        total = reduce_bigint(tok_hashes, 0, f"acc + {contrib}", d)
+        bits.append(f"(case when ({total}) > 0 then {1 << b} else 0 end)")
+    return "(" + " + ".join(bits) + ")"
+
+
 # ------------------------------------------------------------- similarity
 def cast_double_array(arr: str, d: str) -> str:
     if d == SPARK:

@@ -106,6 +106,26 @@ def simhash32(th) -> int:
     return int(((votes > 0).astype(np.int64) << np.arange(32)).sum())
 
 
+def simhash60(th) -> int:
+    """Twin of ``portable.simhash60_from_hashes``: 60-bit fingerprint,
+    bits 0..29 from the token hash, 30..59 from the affine remix
+    ``(h*31+17) % PRIME`` (token hashes are mod PRIME ≈ 2^30, so a
+    single hash carries only 30 independent bits)."""
+    import numpy as np
+
+    if len(th) == 0:
+        return 0
+    arr = np.asarray(th, dtype=np.int64)
+    remix = (arr * 31 + 17) % PRIME
+    fp = 0
+    for b in range(60):
+        src, shift = (arr, b) if b < 30 else (remix, b - 30)
+        ones = int(((src >> shift) & 1).sum())
+        if 2 * ones > len(arr):  # sum of +-1 contributions > 0
+            fp |= 1 << b
+    return fp
+
+
 def stopword_hits(toks: list[str], lang: str) -> int:
     """Twin of ``portable.stopword_hits_from_tokens`` (multiplicity counts)."""
     from .portable import STOPWORDS

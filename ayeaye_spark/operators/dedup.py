@@ -202,10 +202,16 @@ def shingle_hashsets_vectorized(
     return src.mapInPandas(gen, schema)
 
 
-def simhash_vectorized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_vectorized(
+    df: DataFrame, id_col: str, text_col: str, *, fp_bits: int = 32
+) -> DataFrame:
     """(id, simhash) via the Python twin — bit-identical to
-    :func:`with_simhash` without the 32 interpreted bit-sum traversals."""
+    :func:`with_simhash` without the 32/60 interpreted bit-sum
+    traversals.  ``fp_bits`` selects the compact (32) or wide (60)
+    fingerprint."""
     from ..functions import portable_py as PY
+
+    fp = {32: PY.simhash32, 60: PY.simhash60}[fp_bits]
 
     def gen(batches):
         import pandas as pd
@@ -217,7 +223,7 @@ def simhash_vectorized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             yield pd.DataFrame({
                 id_col: pdf[id_col].tolist(),
                 "simhash": [
-                    PY.simhash32(PY.token_hashes(PY.tokens(t or ""), cache))
+                    fp(PY.token_hashes(PY.tokens(t or ""), cache))
                     for t in pdf[text_col]
                 ],
             })
@@ -428,12 +434,17 @@ def minhash_dedup(
     return df.join(dropped, on=id_col, how="left_anti")
 
 
-def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    """32-bit SimHash column (portable hashing; tokens hashed once)."""
+def with_simhash(
+    df: DataFrame, text_col: str, out_col: str = "simhash", *, fp_bits: int = 32
+) -> DataFrame:
+    """SimHash column (portable hashing; tokens hashed once).
+    ``fp_bits``: 32 (compact) or 60 (wide — the corpus-scale banding
+    fingerprint, see ``portable.simhash60_from_hashes``)."""
+    expr = {32: P.simhash32_from_hashes, 60: P.simhash60_from_hashes}[fp_bits]
     return (
         df.withColumn("_tokens", F.expr(P.tokens(text_col, SPARK)))
         .withColumn("_tok_hashes", F.expr(P.hash_array("_tokens", SPARK)))
-        .withColumn(out_col, F.expr(P.simhash32_from_hashes("_tok_hashes", SPARK)))
+        .withColumn(out_col, F.expr(expr("_tok_hashes", SPARK)))
         .drop("_tokens", "_tok_hashes")
     )
 
@@ -460,10 +471,11 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     signature: str = "vectorized",
+    fp_bits: int = 32,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``
     via the PIGEONHOLE banding trick (the Google near-dup search): split
-    the 32-bit fingerprint into ``bands`` chunks — two hashes within
+    the fingerprint into ``bands`` chunks — two hashes within
     ``max_hamming`` (< bands) bit flips MUST agree on at least one whole
     chunk, so candidates are exactly the pairs sharing a (chunk index,
     chunk value) key.  One shuffle on the chunk keys, then an
@@ -471,24 +483,29 @@ def simhash_near_pairs(
     guarantee is lossless (recall 1.0), unlike probabilistic LSH.
 
     Requires ``max_hamming < bands`` (the pigeonhole premise); chunk
-    width is ``32 / bands`` bits.  SCALE NOTE: chunk keys are NOT
-    hash-uniform — similar corpora concentrate popular chunk values, so
-    a hot key quadratically inflates its bucket's candidate pairs (the
-    failure mode :func:`minhash_lsh_pairs` caps with
-    ``max_bucket_size``).  On exact-duplicate-heavy corpora run
-    :func:`exact_dedup` first or prefer the capped MinHash path; the
-    chunk join here is the textbook formulation.
+    width is ``fp_bits / bands`` bits, and WIDTH IS THE SCALE KNOB:
+    random-collision bucket occupancy is ``n / 2^width``, so 4 bands of
+    the 60-bit fingerprint (15-bit chunks, 32768 keys/band) stay
+    workable where the 32-bit one's 8-bit chunks (256 keys/band) go
+    quadratic on large corpora — prefer ``fp_bits=60`` beyond toy
+    scale.  SCALE NOTE: chunk keys are NOT hash-uniform — similar
+    corpora concentrate popular chunk values, so a hot key
+    quadratically inflates its bucket's candidate pairs (the failure
+    mode :func:`minhash_lsh_pairs` caps with ``max_bucket_size``).  On
+    exact-duplicate-heavy corpora run :func:`exact_dedup` first or
+    prefer the capped MinHash path; the chunk join here is the textbook
+    formulation.
     """
     if max_hamming >= bands:
         raise ValueError("pigeonhole banding needs max_hamming < bands")
-    if 32 % bands:
-        raise ValueError("bands must divide 32")
-    width = 32 // bands
+    if fp_bits % bands:
+        raise ValueError("bands must divide fp_bits")
+    width = fp_bits // bands
     mask = (1 << width) - 1
     if signature == "vectorized":
-        sig = simhash_vectorized(df, id_col, text_col)
+        sig = simhash_vectorized(df, id_col, text_col, fp_bits=fp_bits)
     else:
-        sig = with_simhash(df, text_col).select(
+        sig = with_simhash(df, text_col, fp_bits=fp_bits).select(
             F.col(id_col), F.col("simhash")
         )
     sig = sig.select(F.col(id_col).alias("_id"), "simhash").localCheckpoint(eager=False)

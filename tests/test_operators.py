@@ -1306,3 +1306,50 @@ class TestSourceQualityFilter:
         out = kept.select("doc_id", "source").collect()
         assert sorted(r["doc_id"] for r in out) == [1, 2]
         assert {r["source"] for r in out} == {"good"}  # doc 3,4 dropped via source
+
+
+class TestSimhash60:
+    def test_wide_sql_path_matches_vectorized(self, spark):
+        """The 60-bit fingerprint's SQL-expression path and numpy twin
+        must agree bitwise (same contract the 32-bit pair has)."""
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " extra"), (3, "unrelated words entirely different")],
+            ["doc_id", "text"],
+        )
+        vec = sorted(
+            tuple(r) for r in dedup.simhash_near_pairs(
+                df, "doc_id", "text", signature="vectorized",
+                max_hamming=9, bands=10, fp_bits=60).collect()
+        )
+        simple = sorted(
+            tuple(r) for r in dedup.simhash_near_pairs(
+                df, "doc_id", "text", signature="simple",
+                max_hamming=9, bands=10, fp_bits=60).collect()
+        )
+        assert vec == simple and vec
+
+    def test_wide_is_more_selective_than_compact(self, spark):
+        """At the same Hamming budget the 60-bit fingerprint admits a
+        SUBSET of the 32-bit variant's pairs on near-miss docs — the
+        compact fingerprint saturates and over-pairs, which is exactly
+        why the wide one is the scale path."""
+        rows = [(i, f"doc number {i} shares a large common prefix of words "
+                    f"with every sibling but then diverges uniquely "
+                    + " ".join(f"tok{i}_{j}" for j in range(6)))
+                for i in range(12)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        compact = {(r["doc_id_a"], r["doc_id_b"]) for r in dedup.simhash_near_pairs(
+            df, "doc_id", "text", max_hamming=3, bands=4, fp_bits=32).collect()}
+        wide = {(r["doc_id_a"], r["doc_id_b"]) for r in dedup.simhash_near_pairs(
+            df, "doc_id", "text", max_hamming=3, bands=4, fp_bits=60).collect()}
+        assert wide <= compact
+
+    def test_identical_docs_hamming_zero_wide(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma")], ["doc_id", "text"]
+        )
+        pairs = dedup.simhash_near_pairs(
+            df, "doc_id", "text", fp_bits=60
+        ).collect()
+        assert [(p["doc_id_a"], p["doc_id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
