@@ -159,6 +159,103 @@ def parse_wav_header(b: bytes) -> dict | None:
     return {"format": "wav", "channels": nch, "sample_rate": rate, "duration_ms": dur}
 
 
+def decode_wav_samples(b: bytes) -> dict | None:
+    """REAL PCM decode, no codec library: RIFF chunk walk + numpy
+    ``frombuffer`` over the data chunk (8-bit unsigned / 16-bit signed
+    LE PCM — the uncompressed formats).  Returns the header metadata
+    plus ``n_samples`` / ``rms`` / ``peak`` (sample stats normalized to
+    [0, 1]); ``None`` for non-WAV or compressed/esoteric encodings
+    (those need a real codec — see the ``decoder=`` injection point).
+    """
+    if len(b) < 36 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    import struct
+
+    import numpy as np
+
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        csize = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if cid == b"fmt " and pos + 24 <= len(b):
+            afmt, nch, rate, byte_rate, _align, bps = struct.unpack(
+                "<HHIIHH", b[pos + 8 : pos + 24]
+            )
+            fmt = (afmt, nch, rate, byte_rate, bps)
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + csize]
+            if fmt is not None:
+                break
+        pos += 8 + csize + (csize & 1)
+    if fmt is None or data is None:
+        return None
+    afmt, nch, rate, byte_rate, bps = fmt
+    if afmt != 1 or bps not in (8, 16):  # PCM only; 8/16-bit
+        return None
+    if bps == 16:
+        x = np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.float64)
+        x /= 32768.0
+    else:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    n = len(x) // max(nch, 1)
+    return {
+        "format": "wav", "channels": nch, "sample_rate": rate,
+        "duration_ms": (len(data) * 1000 // byte_rate) if byte_rate else None,
+        "n_samples": n,
+        "rms": float(np.sqrt((x * x).mean())) if len(x) else 0.0,
+        "peak": float(np.abs(x).max()) if len(x) else 0.0,
+    }
+
+
+def decode_bmp_pixels(b: bytes) -> dict | None:
+    """REAL pixel decode for uncompressed 24-bit BMP, no codec library:
+    header offsets + numpy over the padded pixel rows.  Returns the
+    header metadata plus a true ``mean_intensity`` (0..255 over all
+    channel bytes); ``None`` for non-BMP or compressed/other-depth
+    bitmaps."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    import struct
+
+    import numpy as np
+
+    data_off = struct.unpack("<I", b[10:14])[0]
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp, compression = struct.unpack("<HI", b[28:34])
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    rows = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    need = data_off + stride * rows
+    if len(b) < need:
+        return None
+    px = np.frombuffer(b[data_off:need], dtype=np.uint8).reshape(rows, stride)
+    px = px[:, : w * 3]  # drop row padding
+    return {
+        "format": "bmp", "width": w, "height": rows, "channels": 3,
+        "mean_intensity": float(px.mean()),
+    }
+
+
+def sample_decode(content: bytes) -> dict:
+    """Best real decode available without external codecs: full pixel /
+    PCM stats for uncompressed BMP and PCM WAV, header-only metadata
+    for png/jpeg/gif (entropy-coded — a real codec must be injected via
+    ``decoder=``), ``fake_decode`` for everything else.  Drop-in for
+    :func:`decode_images`' ``decoder=``."""
+    got = decode_bmp_pixels(content) if content else None
+    if got is None and content:
+        wav = decode_wav_samples(content)
+        if wav is not None:
+            got = {k: wav[k] for k in
+                   ("format", "channels", "sample_rate", "duration_ms")}
+    if got is not None:
+        out = dict.fromkeys(_META_KEYS)
+        out.update(got)
+        return out
+    return header_decode(content)
+
+
 _HEADER_PARSERS = (
     parse_png_header, parse_jpeg_header, parse_gif_header,
     parse_bmp_header, parse_wav_header,
@@ -212,6 +309,41 @@ def decode_images(
             # a pluggable decoder may emit a subset of the schema (the
             # round-1 {width,height,channels,mean_intensity} contract):
             # fill absent columns with nulls, drop extras
+            for c in cols:
+                if c not in out.columns:
+                    out[c] = None
+            yield out[cols]
+
+    return df.mapInPandas(run, schema=batch_schema)
+
+
+AUDIO_SCHEMA = (
+    "path string, format string, channels int, sample_rate int, "
+    "duration_ms long, n_samples long, rms double, peak double"
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    path_col: str = "path",
+    decoder: Callable[[bytes], dict | None] = decode_wav_samples,
+    batch_schema: str = AUDIO_SCHEMA,
+) -> DataFrame:
+    """Arrow-batched REAL audio decode via ``mapInPandas``: PCM WAV
+    content → per-file sample statistics (n_samples/rms/peak) with no
+    external codec.  Non-decodable rows (compressed formats) come back
+    with null stats rather than failing the batch — the filter-then-
+    route pattern a media pipeline needs (route nulls to a codec-backed
+    decoder elsewhere)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.strip().split()[0] for f in batch_schema.split(",")]
+        for pdf in batches:
+            decoded = [decoder(c) or {} for c in pdf[content_col]]
+            out = pd.DataFrame(decoded)
+            out.insert(0, "path", pdf[path_col].values)
             for c in cols:
                 if c not in out.columns:
                     out[c] = None

@@ -1353,3 +1353,81 @@ class TestSimhash60:
             df, "doc_id", "text", fp_bits=60
         ).collect()
         assert [(p["doc_id_a"], p["doc_id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+class TestRealSampleDecode:
+    FIXTURES = "tests/fixtures/media"
+
+    def test_wav_pcm_stats_golden(self):
+        """Full PCM decode of the golden fixture: 2000 16-bit samples at
+        8 kHz.  rms/peak are real sample statistics, not header fields."""
+        b = open(f"{self.FIXTURES}/tiny.wav", "rb").read()
+        got = multimodal.decode_wav_samples(b)
+        assert got["n_samples"] == 2000 and got["sample_rate"] == 8000
+        assert got["duration_ms"] == 250
+        assert 0.0 < got["rms"] <= got["peak"] <= 1.0
+
+    def test_wav_synthetic_known_rms(self):
+        """A constructed full-scale square wave has rms == peak == max
+        16-bit amplitude — pins the normalization math exactly."""
+        import struct
+
+        n, rate = 64, 1000
+        samples = b"".join(
+            struct.pack("<h", 16384 if i % 2 == 0 else -16384) for i in range(n)
+        )
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(samples))
+        )
+        got = multimodal.decode_wav_samples(hdr + samples)
+        assert got["n_samples"] == n
+        assert abs(got["rms"] - 0.5) < 1e-12 and abs(got["peak"] - 0.5) < 1e-12
+
+    def test_bmp_pixel_mean_golden(self):
+        b = open(f"{self.FIXTURES}/tiny.bmp", "rb").read()
+        got = multimodal.decode_bmp_pixels(b)
+        assert (got["width"], got["height"]) == (1, 2)
+        import struct
+
+        import numpy as np
+
+        off = struct.unpack("<I", b[10:14])[0]
+        px = np.frombuffer(b[off : off + 8], dtype=np.uint8).reshape(2, 4)[:, :3]
+        assert got["mean_intensity"] == float(px.mean())  # true pixel mean
+
+    def test_bmp_synthetic_known_mean(self):
+        import struct
+
+        # 2x1 24-bit BMP: pixels (10,20,30) and (40,50,60); stride pads to 8
+        row = bytes([10, 20, 30, 40, 50, 60, 0, 0])
+        hdr = (
+            b"BM" + struct.pack("<IHHI", 54 + len(row), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(row), 0, 0, 0, 0)
+        )
+        got = multimodal.decode_bmp_pixels(hdr + row)
+        assert got["width"] == 2 and got["height"] == 1
+        assert got["mean_intensity"] == 35.0  # mean of the six channel bytes
+
+    def test_compressed_formats_return_none(self):
+        png = open(f"{self.FIXTURES}/tiny.png", "rb").read()
+        assert multimodal.decode_bmp_pixels(png) is None
+        assert multimodal.decode_wav_samples(png) is None
+
+    def test_decode_audio_end_to_end(self, spark):
+        df = multimodal.read_binary_dir(spark, self.FIXTURES, "audio")
+        rows = {r["path"].rsplit("/", 1)[-1]: r
+                for r in multimodal.decode_audio(df).collect()}
+        wav = rows["tiny.wav"]
+        assert wav["n_samples"] == 2000 and wav["rms"] > 0
+        # non-audio files rode the same batch with null stats, no crash
+        assert rows["tiny.png"]["n_samples"] is None
+
+    def test_sample_decode_fills_real_bmp_intensity(self, spark):
+        df = multimodal.read_binary_dir(spark, self.FIXTURES, "image")
+        got = {r["format"]: r for r in multimodal.decode_images(
+            df, decoder=multimodal.sample_decode).collect()}
+        assert got["bmp"]["mean_intensity"] is not None   # real pixels
+        assert got["png"]["mean_intensity"] is None        # header-only
+        assert got["png"]["width"] == 3                    # metadata kept
