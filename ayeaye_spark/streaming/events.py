@@ -87,6 +87,30 @@ def session_aggregate(
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark, *, changelog: bool = True) -> None:
+    """Opt the session's streaming queries into the RocksDB state store
+    — the bounded-memory backend for LARGE stateful streams.  The
+    default HDFS-backed provider keeps every state key on the executor
+    HEAP (a watermark-window of keys at 100 TB event volume OOMs it);
+    RocksDB keeps working state on local disk with a block-cache budget,
+    and changelog checkpointing uploads per-batch deltas instead of
+    full snapshots.  Session-level because the provider must be fixed
+    before a query's first checkpoint — switching providers on an
+    existing checkpoint is not supported by Spark.
+    """
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    if changelog:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     *,

@@ -332,3 +332,33 @@ def test_interval_join_outer_matches_inner_on_matched_subset(spark):
 
     with _pytest.raises(ValueError, match="leftOuter"):
         streamops.interval_event_join(left, right, on=["user_id"], how="fullOuter")
+
+
+class TestRocksDBStateStore:
+    def test_rocksdb_provider_produces_identical_results(self, spark):
+        """The RocksDB state store (the bounded-memory backend for large
+        stateful streams) must be a drop-in: same drained results as the
+        default heap-backed provider on the windowed aggregate."""
+        from ayeaye_spark.catalog import QUERIES
+        from ayeaye_spark.streaming.events import ROCKSDB_PROVIDER, use_rocksdb_state
+
+        sf = "/root/testdata/sf0.001"
+        key = "spark.sql.streaming.stateStore.providerClass"
+        baseline = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in QUERIES["events_stream_hourly_counts"](spark, sf).collect()
+        }
+        before = spark.conf.get(key, None)
+        use_rocksdb_state(spark)
+        try:
+            assert spark.conf.get(key) == ROCKSDB_PROVIDER
+            rocks = {
+                (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+                for r in QUERIES["events_stream_hourly_counts"](spark, sf).collect()
+            }
+        finally:
+            if before is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, before)
+        assert rocks == baseline
