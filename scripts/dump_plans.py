@@ -80,6 +80,31 @@ HEADLINE = {
         "language folds into the band key, so cross-language candidates never "
         "co-shuffle; bucket sizes stay uniform on multilingual corpora."
     ),
+    "docs_repeated_spans": (
+        "positional shingle pass (Arrow, checkpointed once), hash-keyed "
+        "duplicate-shingle aggregate + semi-join back (candidate volume = "
+        "duplicated-window occurrences, never pairs), per-doc window for the "
+        "interval union."
+    ),
+    "ann_range_search": (
+        "probes broadcast into a nested-loop over ONE corpus scan; no window, "
+        "no hash shuffle at all — matches emit straight from the filter."
+    ),
+    "dedup_simhash60_near_pairs": (
+        "60-bit fingerprint, 4 x 15-bit pigeonhole bands: 32768 chunk keys per "
+        "band keep bucket occupancy n/32768 where the 32-bit variant's 8-bit "
+        "chunks would go quadratic; exact bit_count(xor) verify after the "
+        "chunk-key join."
+    ),
+    "docs_source_quality_filter": (
+        "per-source aggregate (#sources rows) broadcasts back onto a second "
+        "scoring scan; the corpus is never shuffled."
+    ),
+    "docs_tfidf_top_terms": (
+        "explode -> map-side-combined (doc, term) counts, term-df aggregate "
+        "hash-joined back (vocabulary not force-broadcast), per-doc top-k "
+        "window."
+    ),
     "orders_monthly_gapless": (
         "recursive CTE generates the month spine (depth = #months, tiny); the "
         "stop bound rides in the recursion row so no per-iteration re-scan of "
