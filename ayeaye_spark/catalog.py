@@ -2441,11 +2441,15 @@ def events_stream_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     return _drain_stream(spark, agg, "events_stream_dedup_sink")
 
 
-def _duck_repeated_spans_oracle(n: int = 5, min_docs: int = 2) -> str:
+def _duck_repeated_spans_oracle(
+    n: int = 5, min_docs: int = 2, src: str = "documents"
+) -> str:
+    """``src`` parameterizes the corpus relation so composite pipelines
+    can run the span profile over an already-filtered CTE."""
     token_hashes = P.hash_array(P.tokens("text", DUCK), DUCK)
     grams = P.token_hash_ngrams_all("th", n, DUCK)
     return f"""
-    WITH th AS (SELECT doc_id, {token_hashes} AS th FROM documents),
+    WITH th AS (SELECT doc_id, {token_hashes} AS th FROM {src}),
     g AS (SELECT doc_id, {grams} AS garr, {P.size('th', DUCK)} AS ntok FROM th),
     pos AS (SELECT doc_id, ntok, unnest(garr) AS sh,
                    unnest(range(1, len(garr) + 1)) AS pos
@@ -2633,6 +2637,99 @@ def dedup_simhash60_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(
         load(spark, sf_dir, "documents"), "doc_id", "text",
         max_hamming=3, bands=4, fp_bits=60,
+    )
+
+
+def _duck_curation_v2_oracle() -> str:
+    tokens = P.tokens("text", DUCK)
+    quality = P.quality_score_ppm_from_tokens("text", "toks", DUCK)
+    token_hashes = P.hash_array(P.tokens("text", DUCK), DUCK)
+    grams = P.token_hash_ngrams_all("th", 5, DUCK)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source, {quality} AS quality_ppm,
+             CAST({P.token_count('text', DUCK)} AS BIGINT) AS ntok
+      FROM (SELECT doc_id, lang, source, text, {tokens} AS toks FROM documents)
+    ),
+    src_stats AS (
+      SELECT source, {P.int_div('SUM(quality_ppm)', 'COUNT(*)', DUCK)}
+               AS source_mean_ppm
+      FROM scored GROUP BY source
+    ),
+    stage1 AS (
+      SELECT d.doc_id, d.lang, d.source, d.text
+      FROM documents d JOIN src_stats s USING (source)
+      WHERE s.source_mean_ppm >= 645000
+    ),
+    th AS (SELECT doc_id, {token_hashes} AS th FROM stage1),
+    g AS (SELECT doc_id, {grams} AS garr FROM th),
+    pos AS (SELECT doc_id, unnest(garr) AS sh,
+                   unnest(range(1, len(garr) + 1)) AS pos FROM g),
+    dup AS (SELECT sh FROM pos GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup d USING (sh)),
+    w AS (SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM hits),
+    span AS (
+      SELECT doc_id,
+             SUM(CASE WHEN prev IS NULL THEN 5 ELSE LEAST(pos - prev, 5) END)
+               AS dup_tokens
+      FROM w GROUP BY doc_id
+    ),
+    stage2 AS (
+      SELECT s1.doc_id, s1.lang, s1.source, sc.ntok
+      FROM stage1 s1
+      JOIN scored sc USING (doc_id)
+      LEFT JOIN span sp ON sp.doc_id = s1.doc_id
+      WHERE COALESCE(sp.dup_tokens * 1000000 // sc.ntok, 0) < 500000
+    ),
+    ranked AS (
+      SELECT doc_id, lang, source, ntok,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY ntok ASC, doc_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM stage2
+    )
+    SELECT doc_id, lang, source, ntok FROM ranked
+    WHERE rk * 4 >= n AND rk * 4 <= 3 * n
+    """
+
+
+@query("pipeline_curation_v2", oracle=_duck_curation_v2_oracle())
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline composing this round's operators,
+    value-exact against one composed DuckDB oracle:
+
+    1. source-reputation cut (keep docs whose SOURCE mean quality ≥
+       0.645 — broadcast of the tiny per-source aggregate);
+    2. exact-substring trim on the FILTERED corpus (drop docs that are
+       ≥50% covered by 5-token spans shared with other survivors);
+    3. per-language interquartile length trim (integer rank cuts).
+
+    Stage order is part of the contract — the span profile and the
+    quantile ranks are computed over each stage's survivor population,
+    exactly as the oracle's CTE chain does."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    stage1 = textops.source_quality_filter(
+        docs, "text", "source", min_mean_ppm=645_000
+    )
+    prof = dedup.repeated_span_profile(stage1, "doc_id", "text", n=5, min_docs=2)
+    stage2 = (
+        stage1.join(prof.select("doc_id", "dup_ppm"), on="doc_id", how="left")
+        .where(F.coalesce(F.col("dup_ppm"), F.lit(0)) < 500_000)
+    )
+    sized = textops.with_token_counts(stage2, "text").select(
+        "doc_id", "lang", "source", F.col("ws_tokens").cast("long").alias("ntok")
+    )
+    w = W.partitionBy("lang").orderBy(F.asc("ntok"), F.asc("doc_id"))
+    wn = W.partitionBy("lang")
+    return (
+        sized.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .where((F.col("rk") * 4 >= F.col("n")) & (F.col("rk") * 4 <= 3 * F.col("n")))
+        .select("doc_id", "lang", "source", "ntok")
     )
 
 
