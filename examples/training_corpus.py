@@ -4,13 +4,17 @@ The full LLM-data path composed from the engine's curation operators,
 all deterministic (hash-bucket selection, integer token math — the same
 corpus comes out on any cluster size or engine):
 
-1. near-duplicate removal (MinHash LSH, vectorized signatures);
-2. deterministic train/eval split (LCG id buckets);
-3. benchmark decontamination — drop train docs sharing n-grams with the
+1. source-reputation cut (drop every document from sources whose MEAN
+   quality is below the bar — the domain-level web filter);
+2. exact-substring trim (drop documents mostly covered by 5-token
+   spans shared with other documents — syndication/boilerplate);
+3. near-duplicate removal (MinHash LSH, vectorized signatures);
+4. deterministic train/eval split (LCG id buckets);
+5. benchmark decontamination — drop train docs sharing n-grams with the
    eval split;
-4. language rebalancing (stratified deterministic downsampling);
-5. quality-ranked token budgeting;
-6. training-sequence packing into fixed-token packs.
+6. language rebalancing (stratified deterministic downsampling);
+7. quality-ranked token budgeting;
+8. training-sequence packing into fixed-token packs.
 
 Writes the packed corpus as parquet and a JSON stage-by-stage funnel
 manifest.  No reference counterpart (SURVEY §2.5 new capability) —
@@ -44,13 +48,30 @@ class TrainingCorpusPipeline(Model):
     pack_budget = 2048           # tokens per training sequence
     corpus_budget = 15_000       # total token budget after quality ranking
     en_keep_permille = 500       # downsample dominant language to 50%
+    source_quality_bar = 600_000  # min MEAN source quality (ppm)
+    max_dup_span_ppm = 500_000   # drop docs >=50% covered by shared spans
 
     def build(self):
         funnel = {}
         docs = self.documents.df
         funnel["input"] = docs.count()
 
-        # 1. near-dup removal (transitive closure is a separate job at
+        # 1. source-reputation cut: a good page on a spam domain is
+        # still dropped — that is the point of the domain-level filter
+        docs = textops.source_quality_filter(
+            docs, "text", "source", min_mean_ppm=self.source_quality_bar
+        ).drop("quality_ppm", "source_mean_ppm")
+        funnel["after_source_filter"] = docs.count()
+
+        # 2. exact-substring trim: near-verbatim syndication and
+        # template passages that survive document-level near-dup
+        heavy_dup = dedup.repeated_span_profile(
+            docs, "doc_id", "text", n=5, min_docs=2
+        ).where(F.col("dup_ppm") >= self.max_dup_span_ppm).select("doc_id")
+        docs = docs.join(heavy_dup, on="doc_id", how="left_anti")
+        funnel["after_span_trim"] = docs.count()
+
+        # 3. near-dup removal (transitive closure is a separate job at
         # scale; single-link is the standard first pass)
         docs = dedup.minhash_dedup(docs, "doc_id", "text", n=3, k=16,
                                    bands=4, threshold=0.3)

@@ -169,7 +169,8 @@ def test_training_corpus_pipeline(spark, resolver, tmp_path):
 
     funnel = json.loads((tmp_path / "corpus_funnel.json").read_text())
     # monotone funnel: every stage only removes documents
-    assert (funnel["input"] >= funnel["after_dedup"]
+    assert (funnel["input"] >= funnel["after_source_filter"]
+            >= funnel["after_span_trim"] >= funnel["after_dedup"]
             >= funnel["after_decontamination"] >= funnel["after_rebalance"]
             >= funnel["after_token_budget"] > 0)
     assert funnel["total_tokens"] <= TrainingCorpusPipeline.corpus_budget

@@ -1431,3 +1431,53 @@ class TestRealSampleDecode:
         assert got["bmp"]["mean_intensity"] is not None   # real pixels
         assert got["png"]["mean_intensity"] is None        # header-only
         assert got["png"]["width"] == 3                    # metadata kept
+
+
+class TestRepeatedSpanRandomizedCrossCheck:
+    def test_random_corpus_matches_bruteforce(self, spark):
+        """Seeded random corpus from a small vocabulary (so shared
+        n-grams actually arise) — the distributed span profile must
+        match an independent brute-force Python computation doc-for-doc
+        (positions, interval union, span count, ppm)."""
+        import random
+
+        from ayeaye_spark.functions import portable_py as PY
+        from ayeaye_spark.operators.dedup import repeated_span_profile
+
+        rng = random.Random(4242)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+            for d in range(60)
+        ]
+        n = 3
+
+        cache: dict = {}
+        grams = {
+            d: PY.shingle_hashes_positional(
+                PY.token_hashes(PY.tokens(t), cache), n
+            ).tolist()
+            for d, t in docs
+        }
+        owner: dict = {}
+        for d, gs in grams.items():
+            for sh in set(gs):
+                owner.setdefault(sh, set()).add(d)
+        dup = {sh for sh, ds in owner.items() if len(ds) >= 2}
+        expected = {}
+        text_of = dict(docs)
+        for d, gs in grams.items():
+            pos = [i + 1 for i, sh in enumerate(gs) if sh in dup]
+            if not pos:
+                continue
+            dup_tokens = n + sum(min(p - q, n) for q, p in zip(pos, pos[1:]))
+            spans = 1 + sum(1 for q, p in zip(pos, pos[1:]) if p - q > n)
+            ntok = len(PY.tokens(text_of[d]))
+            expected[d] = (ntok, spans, dup_tokens, dup_tokens * 1_000_000 // ntok)
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["total_tokens"], r["n_spans"], r["dup_tokens"], r["dup_ppm"])
+            for r in repeated_span_profile(df, "doc_id", "text", n=n).collect()
+        }
+        assert got == expected and expected  # non-trivial corpus
