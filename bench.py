@@ -90,6 +90,18 @@ def main() -> None:
                 df = QUERIES[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.monotonic() - t0)
+            # adaptive de-noise: a min-of-2 still above 2.5s is either a
+            # genuinely heavy query or two unlucky samples (GC / JIT
+            # pressure mid-bench — orders_cube measured [4.8, 7.4] in
+            # one sweep vs 0.7s steady in isolation); one more run
+            # settles it cheaply, and for truly heavy queries it only
+            # confirms the number
+            if name not in STREAMING and min(runs) > 2.5:
+                t0 = time.monotonic()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.monotonic() - t0)
         except Exception as exc:  # noqa: BLE001 - survive any query failure
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
