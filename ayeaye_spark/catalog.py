@@ -2733,6 +2733,42 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH hs AS (
+      SELECT doc_id, list_distinct(sh) AS hs
+      FROM (SELECT doc_id, {P.token_hash_ngrams('th', 3, DUCK)} AS sh
+            FROM (SELECT doc_id, {P.hash_array(P.tokens('text', DUCK), DUCK)} AS th
+                  FROM documents))
+    ),
+    e AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM hs),
+    inter AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb,
+             a.sz AS sza, b.sz AS szb, COUNT(*) AS i
+      FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT ida AS doc_id_a, idb AS doc_id_b,
+           i * 1000000 // sza AS a_in_b_ppm,
+           i * 1000000 // szb AS b_in_a_ppm
+    FROM inter
+    WHERE GREATEST(i * 1000000 // sza, i * 1000000 // szb) >= 800000
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set-containment pairs at ≥0.8 (integer ppm over
+    distinct 3-gram shingle hashes) — the subset-duplication detector
+    symmetric Jaccard misses: a short document quoted verbatim inside a
+    much longer one has containment ≈ 1 but Jaccard ≈ small/large ≈ 0.
+    Inverted-index equi-join (candidates lossless at any positive
+    threshold), exact integer intersection counts."""
+    return dedup.containment_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, min_containment_ppm=800_000,
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

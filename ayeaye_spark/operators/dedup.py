@@ -908,3 +908,65 @@ def repeated_span_profile(
         F.expr("CASE WHEN _ntok = 0 THEN 0L ELSE dup_tokens * 1000000 div _ntok END")
         .alias("dup_ppm"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    min_containment_ppm: int = 800_000,
+    signature: str = "vectorized",
+) -> DataFrame:
+    """ASYMMETRIC set-containment join: ordered pairs where either
+    direction's containment ``|Sa ∩ Sb| / |Sa|`` (integer ppm over
+    distinct n-gram shingle hashes) clears the threshold — the
+    subset-duplication detector Jaccard misses: a short document quoted
+    verbatim inside a much longer one has containment ≈ 1 but Jaccard
+    ≈ \\|small\\|/\\|large\\| ≈ 0, so symmetric near-dup passes never pair
+    them.
+
+    Scale shape mirrors :func:`ngram_jaccard_pairs`' inverted index:
+    one Arrow shingle pass (checkpointed — both self-join aliases read
+    it), equi-join on the shingle hash, pair-keyed count = exact
+    intersection, integer-ppm division.  Any qualifying pair shares
+    ≥ ``min_containment_ppm`` of the SMALLER side's shingles, so it
+    certainly shares ≥1 shingle — candidate generation is lossless.
+    The hot-shingle skew caveat and AQE treatment are the same as the
+    Jaccard join's.
+    """
+    _tune_session(df)
+    if signature == "vectorized":
+        prepped = shingle_hashsets_vectorized(df, id_col, text_col, n=n)
+    else:
+        prepped = with_shingle_hashes(df, text_col, n).select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct("shingle_hashes").alias("_hashset"),
+        )
+    prepped = prepped.withColumn("_size", F.size("_hashset")).localCheckpoint(
+        eager=False
+    )
+    exploded = prepped.select("_id", "_size", F.explode("_hashset").alias("_h"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, on="_h")
+        .where(F.col("a._id") < F.col("b._id"))
+        .groupBy(
+            F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb"),
+            F.col("a._size").alias("_sza"), F.col("b._size").alias("_szb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    return (
+        inter.withColumn("a_in_b_ppm", F.expr("_i * 1000000 div _sza"))
+        .withColumn("b_in_a_ppm", F.expr("_i * 1000000 div _szb"))
+        .where(
+            F.greatest("a_in_b_ppm", "b_in_a_ppm") >= F.lit(min_containment_ppm)
+        )
+        .select(
+            F.col("_ida").alias(f"{id_col}_a"),
+            F.col("_idb").alias(f"{id_col}_b"),
+            "a_in_b_ppm", "b_in_a_ppm",
+        )
+    )

@@ -1481,3 +1481,37 @@ class TestRepeatedSpanRandomizedCrossCheck:
             for r in repeated_span_profile(df, "doc_id", "text", n=n).collect()
         }
         assert got == expected and expected  # non-trivial corpus
+
+
+class TestContainmentPairs:
+    def test_subset_doc_detected_where_jaccard_misses(self, spark):
+        """A short doc quoted verbatim inside a long one: containment of
+        the short side ~1.0 while Jaccard is far below any useful
+        threshold — the pair must surface with the correct direction."""
+        from ayeaye_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+        quote = "alpha beta gamma delta epsilon zeta"
+        filler = " ".join(f"filler{i} word{i} text{i}" for i in range(30))
+        rows = [(1, quote), (2, filler + " " + quote + " " + filler),
+                (3, "entirely unrelated content here throughout")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {(r["doc_id_a"], r["doc_id_b"]): (r["a_in_b_ppm"], r["b_in_a_ppm"])
+               for r in containment_pairs(df, "doc_id", "text",
+                                          min_containment_ppm=900_000).collect()}
+        assert set(got) == {(1, 2)}
+        a_in_b, b_in_a = got[(1, 2)]
+        assert a_in_b == 1_000_000        # every shingle of 1 appears in 2
+        assert b_in_a < 100_000           # the long side is mostly its own
+        # and symmetric Jaccard at the same bar finds nothing
+        jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+        assert jac == []
+
+    def test_identical_docs_full_both_ways(self, spark):
+        from ayeaye_spark.operators.dedup import containment_pairs
+
+        df = spark.createDataFrame(
+            [(1, "one two three four"), (2, "one two three four")],
+            ["doc_id", "text"],
+        )
+        [r] = containment_pairs(df, "doc_id", "text").collect()
+        assert (r["a_in_b_ppm"], r["b_in_a_ppm"]) == (1_000_000, 1_000_000)
