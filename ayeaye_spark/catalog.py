@@ -2769,6 +2769,81 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_pq_oracle(m: int = 4, dim: int = 64, ks: int = 16, k: int = 5) -> str:
+    sub = dim // m
+
+    def block_dot(a: str, b: str, blk: int) -> str:
+        sa = P.array_slice(P.cast_double_array(a, DUCK), blk * sub + 1, sub, DUCK)
+        sb = P.array_slice(P.cast_double_array(b, DUCK), blk * sub + 1, sub, DUCK)
+        return P.dot(sa, sb, DUCK)
+
+    def case_dot(a: str, b: str) -> str:
+        arms = " ".join(
+            f"WHEN {blk} THEN {block_dot(a, b, blk)}" for blk in range(m)
+        )
+        return f"CASE b.b {arms} END"
+
+    blocks_values = ", ".join(f"({blk})" for blk in range(m))
+    p_cols = ", ".join(
+        f"SUM(CASE WHEN qt.b = {blk} THEN qt.pdot END) AS p{blk}"
+        for blk in range(m)
+    )
+    fixed_sum = "p0"
+    for blk in range(1, m):
+        fixed_sum = f"({fixed_sum} + p{blk})"
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                   WHERE vec_id < {ks}),
+    blocks(b) AS (VALUES {blocks_values}),
+    enc AS (
+      SELECT e.vec_id, b.b, c.cid, {case_dot('e.embedding', 'c.cvec')} AS d
+      FROM embeddings e CROSS JOIN cents c CROSS JOIN blocks b
+    ),
+    codes AS (
+      SELECT vec_id, b, cid AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                                     ORDER BY d DESC, cid ASC) AS rn
+        FROM enc) t WHERE rn = 1
+    ),
+    qt AS (
+      SELECT q.vec_id AS query_id, b.b, c.cid,
+             {case_dot('q.embedding', 'c.cvec')} AS pdot
+      FROM embeddings q CROSS JOIN cents c CROSS JOIN blocks b
+      WHERE q.vec_id < 10
+    ),
+    adc AS (
+      SELECT qt.query_id, codes.vec_id AS neighbor_id, {p_cols}
+      FROM codes JOIN qt ON qt.b = codes.b AND qt.cid = codes.code
+      WHERE codes.vec_id <> qt.query_id
+      GROUP BY qt.query_id, codes.vec_id
+    )
+    SELECT query_id, neighbor_id, approx_ip, rank FROM (
+      SELECT query_id, neighbor_id, {fixed_sum} AS approx_ip,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY {fixed_sum} DESC, neighbor_id ASC) AS rank
+      FROM adc) r
+    WHERE rank <= {k}
+    """
+
+
+@query("ann_topk_pq", oracle=_duck_pq_oracle())
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k: corpus encoded to m=4 sub-block
+    codes against a 16-entry deterministic codebook (256 bytes/vector →
+    4 small ints — the memory lever for billion-vector search); queries
+    build one tiny lookup table of exact sub-block inner products and
+    each corpus vector scores as the fixed-order sum of the entries its
+    codes select.  Search never reads the original corpus vectors.
+    Codebook k-means is an offline job at scale; the fixed id-prefix
+    codebook keeps the whole pipeline engine-exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        emb.where(F.col("vec_id") < 16),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

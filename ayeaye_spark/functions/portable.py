@@ -335,6 +335,14 @@ def cast_double_array(arr: str, d: str) -> str:
     return f"{arr}::DOUBLE[]"
 
 
+def array_slice(arr: str, start1: int, length: int, d: str) -> str:
+    """1-based contiguous slice of ``length`` elements."""
+    if d == SPARK:
+        return f"slice({arr}, {start1}, {length})"
+    # duckdb list slicing is 1-based and inclusive on both ends
+    return f"({arr})[{start1}:{start1 + length - 1}]"
+
+
 def dot(a: str, b: str, d: str) -> str:
     """Sequential dot product — same accumulation order in both engines,
     so identical double inputs give BIT-IDENTICAL results (no rounding

@@ -580,3 +580,134 @@ def cosine_range_search(
         .where(F.col("cosine") >= threshold)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def _block_dot(a: str, b: str, block: int, sub: int) -> str:
+    """Sequential-fold dot product of one PQ sub-block (1-based slice),
+    double-cast first — bit-identical across engines like `_cos`."""
+    from ..functions import portable as P
+
+    start = block * sub + 1
+    sa = P.array_slice(P.cast_double_array(a, P.SPARK), start, sub, P.SPARK)
+    sb = P.array_slice(P.cast_double_array(b, P.SPARK), start, sub, P.SPARK)
+    return P.dot(sa, sb, P.SPARK)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization encoding: (id, block, code) — each vector's
+    ``m`` sub-blocks mapped to the per-block argmax-inner-product
+    codebook entry (ties → smaller centroid id, deterministic).
+
+    THE memory lever for billion-vector search: a 64-dim float32 vector
+    is 256 bytes; its ``m=4`` codes are 4 small ints — the search stage
+    below touches ONLY codes, never the original vectors.  Codebook
+    training (k-means) is a separate offline job at scale; any
+    deterministic centroid set works for the encode/search contract,
+    and the acceptance queries use a fixed id-prefix probe set so the
+    whole pipeline is engine-exact.
+
+    Scale shape: centroids (m × ks rows — tiny) broadcast; the corpus
+    streams through ONE scan emitting m code rows per vector; the
+    per-(vector, block) argmax is a window over ks rows.
+    """
+    sub = dim // m
+    cents = centroids.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    paired = corpus.select(id_col, vec_col).crossJoin(F.broadcast(cents))
+    for b in range(m):
+        paired = paired.withColumn(
+            f"_d{b}", F.expr(_block_dot(vec_col, "_cvec", b, sub))
+        )
+    stacked = paired.select(
+        id_col, "_cid",
+        F.expr(
+            "stack(%d, %s) as (_b, _d)"
+            % (m, ", ".join(f"{b}, _d{b}" for b in range(m)))
+        ),
+    )
+    w = Window.partitionBy(id_col, "_b").orderBy(F.desc("_d"), F.asc("_cid"))
+    return (
+        stacked.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("_b").alias("block"), F.col("_cid").alias("code"))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance PQ top-k (ADC): approximate inner-product
+    search over PQ codes — (query_id, neighbor_id, approx_ip, rank).
+
+    The query side computes one ks × m lookup table of exact sub-block
+    inner products against the codebook (queries × centroids — tiny,
+    broadcast); each corpus vector's approximate score is the sum of
+    the m table entries its codes select.  The corpus' original
+    vectors are NEVER read at search time — only the m-int code rows —
+    which is the entire point at billion-vector scale.
+
+    Exactness contract: sub-block dots use the sequential fold (bit-
+    identical cross-engine); the m partials are summed in EXPLICIT
+    fixed order (``((p0+p1)+p2)+p3``) because a float SUM() aggregate
+    is order-nondeterministic across engines; ties rank by neighbor id.
+    """
+    sub = dim // m
+    codes = pq_encode(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, m=m, dim=dim
+    )
+    cents = centroids.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    qpaired = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    ).crossJoin(F.broadcast(cents))
+    for b in range(m):
+        qpaired = qpaired.withColumn(
+            f"_p{b}", F.expr(_block_dot("_qvec", "_cvec", b, sub))
+        )
+    qtable = qpaired.select(
+        "query_id", "_cid",
+        F.expr(
+            "stack(%d, %s) as (_b, _pdot)"
+            % (m, ", ".join(f"{b}, _p{b}" for b in range(m)))
+        ),
+    )
+    joined = codes.join(
+        F.broadcast(qtable),
+        (codes["block"] == qtable["_b"]) & (codes["code"] == qtable["_cid"]),
+    ).where(F.col(id_col) != F.col("query_id"))
+    partials = joined.groupBy(F.col(id_col).alias("neighbor_id"), "query_id").agg(
+        *[
+            F.sum(F.when(F.col("block") == b, F.col("_pdot"))).alias(f"_p{b}")
+            for b in range(m)
+        ]
+    )
+    fixed_sum = "_p0"
+    for b in range(1, m):
+        fixed_sum = f"({fixed_sum} + _p{b})"
+    scored = partials.withColumn("approx_ip", F.expr(fixed_sum))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_ip"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_ip", "rank")
+    )

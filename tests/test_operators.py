@@ -1515,3 +1515,66 @@ class TestContainmentPairs:
         )
         [r] = containment_pairs(df, "doc_id", "text").collect()
         assert (r["a_in_b_ppm"], r["b_in_a_ppm"]) == (1_000_000, 1_000_000)
+
+
+class TestProductQuantization:
+    def _toy(self, spark):
+        # 2 well-separated 8-dim clusters, centroids FULL-RANK in every
+        # sub-block (an all-zero sub-block makes that block's codes
+        # meaningless — real codebooks come from k-means and never have
+        # dead blocks): centroid 0 = +1s, centroid 1 = -1s
+        import random
+
+        rng = random.Random(7)
+        rows = [(0, [1.0] * 8), (1, [-1.0] * 8)]
+        for vid in range(2, 22):  # corpus: noisy copies alternating cluster
+            sign = 1.0 if vid % 2 == 0 else -1.0
+            rows.append((vid, [sign + rng.uniform(-0.05, 0.05) for _ in range(8)]))
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_codes_deterministic_and_centroid_self_code(self, spark):
+        from ayeaye_spark.operators.similarity import pq_encode
+
+        df = self._toy(spark)
+        cents = df.where("vec_id < 2")
+        codes = pq_encode(df, cents, m=2, dim=8)
+        got = {(r["vec_id"], r["block"]): r["code"] for r in codes.collect()}
+        # each centroid self-codes in both blocks; corpus follows its sign
+        assert got[(0, 0)] == 0 and got[(0, 1)] == 0
+        assert got[(1, 0)] == 1 and got[(1, 1)] == 1
+        for vid in range(2, 22):
+            want = 0 if vid % 2 == 0 else 1
+            assert got[(vid, 0)] == want and got[(vid, 1)] == want
+        # every vector got exactly m codes
+        assert len(got) == 22 * 2
+
+    def test_adc_topk_respects_clusters(self, spark):
+        from pyspark.sql import functions as F
+
+        from ayeaye_spark.operators.similarity import pq_topk
+
+        df = self._toy(spark)
+        out = pq_topk(
+            df, df.where("vec_id IN (2, 3)"), df.where("vec_id < 2"),
+            m=2, dim=8, k=3,
+        ).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        # neighbors of an even-id query are even-id (same cluster); odd, odd
+        for q, ns in by_q.items():
+            assert len(ns) == 3
+            assert all(n % 2 == q % 2 for n in ns), (q, ns)
+            assert q not in ns  # self excluded
+
+    def test_search_plan_broadcasts_and_never_sorts(self, spark):
+        from pyspark.sql import functions as F
+
+        from ayeaye_spark.catalog import load
+        from ayeaye_spark.operators.similarity import pq_topk
+
+        emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+        q = pq_topk(emb, emb.where(F.col("vec_id") < 10),
+                    emb.where(F.col("vec_id") < 16))
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan  # tiny sides all broadcast
