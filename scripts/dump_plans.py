@@ -80,6 +80,19 @@ HEADLINE = {
         "language folds into the band key, so cross-language candidates never "
         "co-shuffle; bucket sizes stay uniform on multilingual corpora."
     ),
+    "ann_topk_pq": (
+        "PQ: broadcast codebook, one corpus scan to m code rows, per-(vec, "
+        "block) argmax window over ks rows; ADC joins codes to the broadcast "
+        "query table — original vectors never read at search time."
+    ),
+    "dedup_containment_pairs": (
+        "inverted-index equi-join on the shingle hash; pair-keyed count = "
+        "exact intersection; no cross join."
+    ),
+    "pipeline_curation_v2": (
+        "source cut (broadcast per-source agg) -> span trim over survivors "
+        "(hash-keyed shingle agg + semi-join) -> per-language rank windows."
+    ),
     "docs_repeated_spans": (
         "positional shingle pass (Arrow, checkpointed once), hash-keyed "
         "duplicate-shingle aggregate + semi-join back (candidate volume = "
