@@ -2844,6 +2844,111 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_ivfpq_oracle(
+    m: int = 4, dim: int = 64, ks: int = 16, nprobe: int = 2, k: int = 5
+) -> str:
+    sub = dim // m
+
+    def cast(c: str) -> str:
+        return P.cast_double_array(c, DUCK)
+
+    def block_dot(a: str, b: str, blk: int) -> str:
+        sa = P.array_slice(cast(a), blk * sub + 1, sub, DUCK)
+        sb = P.array_slice(cast(b), blk * sub + 1, sub, DUCK)
+        return P.dot(sa, sb, DUCK)
+
+    def case_dot(a: str, b: str) -> str:
+        arms = " ".join(f"WHEN {blk} THEN {block_dot(a, b, blk)}" for blk in range(m))
+        return f"CASE b.b {arms} END"
+
+    blocks_values = ", ".join(f"({blk})" for blk in range(m))
+    p_cols = ", ".join(
+        f"SUM(CASE WHEN qt.b = {blk} THEN qt.pdot END) AS p{blk}" for blk in range(m)
+    )
+    fixed = "b0"
+    for blk in range(m):
+        fixed = f"({fixed} + p{blk})"
+    return f"""
+    WITH cc AS (SELECT vec_id AS cell, embedding AS ccvec FROM embeddings
+                WHERE vec_id % 50 = 0),
+    cb AS (SELECT vec_id AS cid, embedding AS cbvec FROM embeddings
+           WHERE vec_id < {ks}),
+    blocks(b) AS (VALUES {blocks_values}),
+    asn AS (
+      SELECT vec_id, cell, rvec FROM (
+        SELECT e.vec_id, c.cell,
+               {P.array_sub(cast('e.embedding'), cast('c.ccvec'), DUCK)} AS rvec,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {P.dot(cast('e.embedding'), cast('c.ccvec'), DUCK)} DESC,
+                          c.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN cc c) t WHERE rn = 1
+    ),
+    enc AS (
+      SELECT a.vec_id, b.b, kk.cid, {case_dot('a.rvec', 'kk.cbvec')} AS d
+      FROM asn a CROSS JOIN cb kk CROSS JOIN blocks b
+    ),
+    codes AS (
+      SELECT vec_id, b, cid AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                                     ORDER BY d DESC, cid ASC) AS rn
+        FROM enc) t WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cell, base, qres FROM (
+        SELECT q.vec_id AS query_id, c.cell,
+               {P.dot(cast('q.embedding'), cast('c.ccvec'), DUCK)} AS base,
+               {P.array_sub(cast('q.embedding'), cast('c.ccvec'), DUCK)} AS qres,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {P.dot(cast('q.embedding'), cast('c.ccvec'), DUCK)} DESC,
+                          c.cell ASC) AS rn
+        FROM embeddings q CROSS JOIN cc c WHERE q.vec_id < 10) t
+      WHERE rn <= {nprobe}
+    ),
+    qt AS (
+      SELECT p.query_id, p.cell, p.base, kk.cid, b.b,
+             {case_dot('p.qres', 'kk.cbvec')} AS pdot
+      FROM probes p CROSS JOIN cb kk CROSS JOIN blocks b
+    ),
+    adc AS (
+      SELECT qt.query_id, codes.vec_id AS neighbor_id,
+             MIN(qt.base) AS b0, {p_cols}
+      FROM codes
+      JOIN asn cm ON cm.vec_id = codes.vec_id
+      JOIN qt ON qt.cell = cm.cell AND qt.b = codes.b AND qt.cid = codes.code
+      WHERE codes.vec_id <> qt.query_id
+      GROUP BY qt.query_id, codes.vec_id
+    )
+    SELECT query_id, neighbor_id, approx_ip, rank FROM (
+      SELECT query_id, neighbor_id, {fixed} AS approx_ip,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY {fixed} DESC, neighbor_id ASC) AS rank
+      FROM adc) r
+    WHERE rank <= {k}
+    """
+
+
+@query("ann_topk_ivfpq", oracle=_duck_ivfpq_oracle())
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the composed billion-vector architecture — coarse cells
+    route each query to its 2 best inverted lists, and within a list
+    vectors are PQ codes of their RESIDUAL scored by asymmetric
+    distance.  Search touches only the (id, cell, codes) rows of the
+    probed cells: the memory lever (codes, not vectors) and the compute
+    lever (nprobe/n_cells of the corpus) at once.  Deterministic
+    id-derived centroids/codebook keep the whole pipeline engine-exact
+    (k-means training is an offline job at scale)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        coarse=emb.where("vec_id % 50 = 0"),
+        codebook=emb.where(F.col("vec_id") < 16),
+        nprobe=2,
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

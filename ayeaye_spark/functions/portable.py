@@ -335,6 +335,15 @@ def cast_double_array(arr: str, d: str) -> str:
     return f"{arr}::DOUBLE[]"
 
 
+def array_sub(a: str, b: str, d: str) -> str:
+    """Element-wise ``a - b`` over equal-length double arrays (exact
+    IEEE subtraction — engine-independent)."""
+    if d == SPARK:
+        return f"zip_with({a}, {b}, (x, y) -> x - y)"
+    idx = f"range(1, {size(a, d)} + 1)"
+    return f"list_transform({idx}, i -> {element(a, 'i', d)} - {element(b, 'i', d)})"
+
+
 def array_slice(arr: str, start1: int, length: int, d: str) -> str:
     """1-based contiguous slice of ``length`` elements."""
     if d == SPARK:

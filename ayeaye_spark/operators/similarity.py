@@ -711,3 +711,115 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_ip", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    coarse: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ — the composed billion-vector search architecture (FAISS's
+    workhorse): a coarse inverted file routes each query to its
+    ``nprobe`` best cells, and within a cell vectors are represented by
+    PQ codes of their RESIDUAL (vector − cell centroid), scored by
+    asymmetric distance:
+
+        IP(q, x) ≈ IP(q, c_cell) + Σ_b table[cell][b][code_b(x)]
+
+    Scale shape: coarse centroids and PQ codebook broadcast (tiny);
+    ONE corpus scan assigns cells + encodes residuals; search touches
+    only the (id, cell, m codes) rows of the probed cells — both the
+    memory lever (codes, not vectors) and the compute lever (nprobe/
+    n_cells of the corpus) at once.  Partition/cluster the code table
+    by cell at scale and the probe filter prunes whole files.
+
+    Exactness contract as :func:`pq_topk`: sequential-fold dots,
+    residuals via exact IEEE ``zip_with`` subtraction, every
+    cross-engine float addition in explicit fixed order, ties on ids.
+    """
+    from ..functions import portable as P
+
+    sub = dim // m
+    cast = lambda c: P.cast_double_array(c, P.SPARK)  # noqa: E731
+    cc = coarse.select(F.col(id_col).alias("_cell"), F.col(vec_col).alias("_ccvec"))
+
+    # --- index build: cell assignment + residual PQ codes (one scan) ---
+    asn = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cc))
+        .withColumn("_ipc", F.expr(P.dot(cast(vec_col), cast("_ccvec"), P.SPARK)))
+    )
+    w_cell = Window.partitionBy(id_col).orderBy(F.desc("_ipc"), F.asc("_cell"))
+    assigned = (
+        asn.withColumn("_rn", F.row_number().over(w_cell))
+        .where(F.col("_rn") == 1)
+        .select(
+            id_col, "_cell",
+            F.expr(P.array_sub(cast(vec_col), cast("_ccvec"), P.SPARK)).alias("_rvec"),
+        )
+    )
+    assigned = assigned.localCheckpoint(eager=False)  # codes + cell map read it
+    codes = pq_encode(
+        assigned.select(id_col, F.col("_rvec").alias(vec_col)),
+        codebook, id_col=id_col, vec_col=vec_col, m=m, dim=dim,
+    ).join(assigned.select(id_col, "_cell"), on=id_col)
+
+    # --- search: probe nprobe cells, ADC over their codes ---
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    probes = (
+        q.crossJoin(F.broadcast(cc))
+        .withColumn("_base", F.expr(P.dot(cast("_qvec"), cast("_ccvec"), P.SPARK)))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("_base"), F.asc("_cell"))
+    probed = (
+        probes.withColumn("_rn", F.row_number().over(w_probe))
+        .where(F.col("_rn") <= nprobe)
+        .select(
+            "query_id", "_cell", "_base",
+            F.expr(P.array_sub(cast("_qvec"), cast("_ccvec"), P.SPARK)).alias("_qres"),
+        )
+    )
+    cb = codebook.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cbvec"))
+    qtab = probed.crossJoin(F.broadcast(cb))
+    for b in range(m):
+        qtab = qtab.withColumn(f"_p{b}", F.expr(_block_dot("_qres", "_cbvec", b, sub)))
+    qtable = qtab.select(
+        "query_id", "_cell", "_base", "_cid",
+        F.expr(
+            "stack(%d, %s) as (_b, _pdot)"
+            % (m, ", ".join(f"{b}, _p{b}" for b in range(m)))
+        ),
+    )
+    joined = codes.join(
+        F.broadcast(qtable),
+        (codes["_cell"] == qtable["_cell"])
+        & (codes["block"] == qtable["_b"])
+        & (codes["code"] == qtable["_cid"]),
+    ).where(F.col(id_col) != F.col("query_id"))
+    partials = joined.groupBy(F.col(id_col).alias("neighbor_id"), "query_id").agg(
+        F.min("_base").alias("_b0"),  # identical across the m rows
+        *[
+            F.sum(F.when(F.col("block") == b, F.col("_pdot"))).alias(f"_p{b}")
+            for b in range(m)
+        ],
+    )
+    fixed = "_b0"
+    for b in range(m):
+        fixed = f"({fixed} + _p{b})"
+    scored = partials.withColumn("approx_ip", F.expr(fixed))
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_ip"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_ip", "rank")
+    )

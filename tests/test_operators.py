@@ -1578,3 +1578,35 @@ class TestProductQuantization:
                     emb.where(F.col("vec_id") < 16))
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan  # tiny sides all broadcast
+
+
+class TestIvfPq:
+    def test_ivfpq_respects_clusters_and_prunes_cells(self, spark):
+        """Same two-cluster toy as PQ: coarse centroids = the cluster
+        exemplars, PQ codebook over residuals.  With nprobe=1 each query
+        sees ONLY its own cell's codes — neighbors must share the
+        query's cluster, and the opposite cluster must be absent even
+        from rank > k candidates (it was pruned, not outranked)."""
+        import random
+
+        from ayeaye_spark.operators.similarity import ivfpq_topk
+
+        rng = random.Random(11)
+        rows = [(0, [1.0] * 8), (1, [-1.0] * 8)]
+        for vid in range(2, 22):
+            sign = 1.0 if vid % 2 == 0 else -1.0
+            rows.append((vid, [sign + rng.uniform(-0.05, 0.05) for _ in range(8)]))
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = ivfpq_topk(
+            df, df.where("vec_id IN (2, 3)"),
+            coarse=df.where("vec_id < 2"),
+            codebook=df.where("vec_id < 2"),
+            m=2, dim=8, nprobe=1, k=100,  # k > cell size: see the whole cell
+        ).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for q, ns in by_q.items():
+            assert ns  # found something
+            assert all(n % 2 == q % 2 for n in ns), (q, ns)  # pruned cell absent
+            assert q not in ns
