@@ -2844,6 +2844,49 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+shared_sql(
+    "events_value_mad_outliers",
+    """
+    WITH ranked AS (
+      SELECT event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, value AS med FROM ranked
+      WHERE rk = CAST(FLOOR((n + 1) / 2) AS BIGINT)
+    ),
+    dev AS (
+      SELECT r.event_id, r.event_type, r.value, m.med,
+             ABS(r.value - m.med) AS adev
+      FROM ranked r JOIN med m USING (event_type)
+    ),
+    dev_ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY adev ASC, event_id ASC) AS drk,
+             COUNT(*) OVER (PARTITION BY event_type) AS dn
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type, adev AS mad FROM dev_ranked
+      WHERE drk = CAST(FLOOR((dn + 1) / 2) AS BIGINT)
+    )
+    SELECT d.event_id, d.event_type, d.value, d.med, q.mad
+    FROM dev d JOIN mad q USING (event_type)
+    WHERE d.adev > 3 * q.mad
+    """,
+    ("events",),
+)
+# MAD outlier notes: lower-median by rank (never the even-count average
+# — picking an ELEMENT is engine-exact where averaging two doubles
+# invites ulp drift), deterministic (value, id) tie order, and the
+# comparison multiplies exact doubles — the robust-statistics
+# complement of the z-score outliers query (means/stddevs are dragged
+# by the very outliers they're meant to find; medians aren't).
+
+
 def _duck_ivfpq_oracle(
     m: int = 4, dim: int = 64, ks: int = 16, nprobe: int = 2, k: int = 5
 ) -> str:
