@@ -2887,6 +2887,69 @@ shared_sql(
 # by the very outliers they're meant to find; medians aren't).
 
 
+@query(
+    "events_hourly_gapfill_lerp",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi
+              FROM hourly GROUP BY 1),
+    grid AS (
+      SELECT s.event_type,
+             unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS h
+      FROM spans s
+    ),
+    j AS (
+      SELECT g.event_type, g.h, hr.n
+      FROM grid g LEFT JOIN hourly hr USING (event_type, h)
+    ),
+    marked AS (
+      SELECT *,
+        last_value(CAST(n AS DOUBLE) IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN n IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(CAST(n AS DOUBLE) IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN n IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j
+    )
+    SELECT event_type, h,
+           CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN pv + (nv - pv) *
+                     (CAST(epoch(h) - epoch(pt) AS DOUBLE) /
+                      CAST(epoch(nt) - epoch(pt) AS DOUBLE))
+                WHEN pv IS NOT NULL THEN pv ELSE nv END AS filled,
+           n IS NULL AS is_interpolated
+    FROM marked
+    """,
+)
+def events_hourly_gapfill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: hourly event counts per type put on a
+    gapless hourly grid, missing hours LINEARLY INTERPOLATED between
+    the nearest observed hours (edges extend flat) — the resample step
+    a monitoring/feature pipeline needs before window math assumes
+    evenly-spaced points.  The interpolation expression is fixed-order
+    IEEE arithmetic over integer epoch seconds, so both engines produce
+    bit-identical doubles even where the division is inexact."""
+    events = load(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return relational.gapfill_interpolate(
+        hourly, ts_col="h", group_cols=["event_type"], value_col="n",
+        step_seconds=3600,
+    )
+
+
 def _duck_ivfpq_oracle(
     m: int = 4, dim: int = 64, ks: int = 16, nprobe: int = 2, k: int = 5
 ) -> str:

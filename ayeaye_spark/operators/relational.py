@@ -367,3 +367,86 @@ def exact_group_quantiles(
         for q in quantiles
     ]
     return picked.groupBy(group_col).agg(*aggs)
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    group_cols: list[str],
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Regularize a per-group time series onto a fixed grid and fill the
+    gaps by LINEAR INTERPOLATION between the nearest observed points
+    (edges extend flat) — the resample/upsample step a monitoring or
+    feature pipeline needs before window math assumes evenly-spaced
+    points.
+
+    Input: one row per (group, ts) with an observed ``value_col``
+    (pre-aggregated).  Output: one row per (group, grid ts) with
+    ``filled`` (double) and ``is_interpolated``.
+
+    Exactness: the interpolation fraction uses integer epoch seconds
+    cast to double; ``prev + (next - prev) * frac`` is a fixed IEEE
+    expression — deterministic and bit-identical cross-engine even when
+    the division is inexact.
+
+    Scale shape: the grid explodes per GROUP (span/step rows — bounded
+    per group, never a global spine); the carry-forward/backward passes
+    are two windows over the same (group, ts) shuffle; no driver
+    state.
+    """
+    spans = df.groupBy(*group_cols).agg(
+        F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
+    )
+    grid = spans.select(
+        *group_cols,
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"interval {step_seconds} seconds"))
+        ).alias(ts_col),
+    )
+    joined = grid.join(df, on=[*group_cols, ts_col], how="left")
+    w_prev = (
+        Window.partitionBy(*group_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*group_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col).cast("double")
+    marked = (
+        joined.withColumn("_pv", F.last(v, ignorenulls=True).over(w_prev))
+        .withColumn(
+            "_pt",
+            F.last(F.when(v.isNotNull(), F.col(ts_col)), ignorenulls=True).over(
+                w_prev
+            ),
+        )
+        .withColumn("_nv", F.first(v, ignorenulls=True).over(w_next))
+        .withColumn(
+            "_nt",
+            F.first(F.when(v.isNotNull(), F.col(ts_col)), ignorenulls=True).over(
+                w_next
+            ),
+        )
+    )
+    frac = (
+        "(cast(unix_timestamp({t}) - unix_timestamp(_pt) as double) / "
+        "cast(unix_timestamp(_nt) - unix_timestamp(_pt) as double))"
+    ).format(t=ts_col)
+    filled = F.expr(
+        f"CASE WHEN {value_col} IS NOT NULL THEN cast({value_col} as double) "
+        f"WHEN _pv IS NOT NULL AND _nv IS NOT NULL "
+        f"THEN _pv + (_nv - _pv) * {frac} "
+        f"WHEN _pv IS NOT NULL THEN _pv ELSE _nv END"
+    )
+    return marked.select(
+        *group_cols,
+        ts_col,
+        filled.alias("filled"),
+        F.col(value_col).isNull().alias("is_interpolated"),
+    )

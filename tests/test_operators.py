@@ -1610,3 +1610,32 @@ class TestIvfPq:
             assert ns  # found something
             assert all(n % 2 == q % 2 for n in ns), (q, ns)  # pruned cell absent
             assert q not in ns
+
+
+class TestGapfillInterpolate:
+    def test_linear_fill_and_flat_edges(self, spark):
+        import datetime as dt
+
+        from ayeaye_spark.operators.relational import gapfill_interpolate
+
+        t0 = dt.datetime(2024, 1, 1, 0)
+        H = dt.timedelta(hours=1)
+        # observed at hours 0, 3 (gap 1-2), 4; group b has one point
+        rows = [
+            ("a", t0, 10), ("a", t0 + 3 * H, 40), ("a", t0 + 4 * H, 7),
+            ("b", t0 + 2 * H, 5),
+        ]
+        df = spark.createDataFrame(rows, ["g", "h", "n"])
+        got = {
+            (r["g"], r["h"].hour): (r["filled"], r["is_interpolated"])
+            for r in gapfill_interpolate(
+                df, ts_col="h", group_cols=["g"], value_col="n"
+            ).collect()
+        }
+        assert got[("a", 0)] == (10.0, False)
+        assert got[("a", 1)] == (20.0, True)   # 10 + (40-10) * 1/3
+        assert got[("a", 2)] == (30.0, True)   # 10 + (40-10) * 2/3
+        assert got[("a", 3)] == (40.0, False)
+        assert got[("a", 4)] == (7.0, False)
+        assert got[("b", 2)] == (5.0, False)   # single point: no grid growth
+        assert len(got) == 6
