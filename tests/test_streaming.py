@@ -362,3 +362,37 @@ class TestRocksDBStateStore:
             else:
                 spark.conf.set(key, before)
         assert rocks == baseline
+
+
+def test_transform_with_state_gated_and_batch_twin(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas needs the protobuf package
+    (its state-server protocol), absent in this container: the
+    streaming path must raise a LOUD MissingDependencyError at call
+    time — never a mid-query crash — and the batch degradation must
+    equal the legacy applyInPandasWithState twin's batch aggregate."""
+    import pytest as _pytest
+
+    from ayeaye_spark.sources.base import MissingDependencyError
+
+    path = _events_parquet(spark, tmp_path)
+    batch = spark.read.parquet(path)
+    expected = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in streamops.stateful_running_totals(batch).collect()
+    }
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in streamops.stateful_running_totals_tws(batch).collect()
+    }
+    assert got == expected
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+    if has_protobuf:
+        _pytest.skip("protobuf present: gate not exercised here")
+    stream_df = streamops.stream_from_parquet(spark, path)
+    with _pytest.raises(MissingDependencyError, match="protobuf"):
+        streamops.stateful_running_totals_tws(stream_df)
