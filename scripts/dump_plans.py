@@ -80,6 +80,19 @@ HEADLINE = {
         "language folds into the band key, so cross-language candidates never "
         "co-shuffle; bucket sizes stay uniform on multilingual corpora."
     ),
+    "ann_topk_ivfpq": (
+        "IVF-PQ: one scan assigns cells + encodes residuals; search joins "
+        "the probed cells' code rows to the broadcast query table — "
+        "nprobe/n_cells of the corpus touched, codes only."
+    ),
+    "events_hourly_gapfill_lerp": (
+        "per-group spine explode (bounded per group), two ignore-nulls "
+        "windows over one (group, ts) shuffle, fixed-order IEEE lerp."
+    ),
+    "events_value_mad_outliers": (
+        "two rank windows on the same event_type shuffle; medians picked "
+        "as elements (engine-exact), no float aggregates."
+    ),
     "ann_topk_pq": (
         "PQ: broadcast codebook, one corpus scan to m code rows, per-(vec, "
         "block) argmax window over ks rows; ADC joins codes to the broadcast "
