@@ -376,6 +376,7 @@ def gapfill_interpolate(
     group_cols: list[str],
     value_col: str,
     step_seconds: int = 3600,
+    max_grid_points: int = 10_000_000,
 ) -> DataFrame:
     """Regularize a per-group time series onto a fixed grid and fill the
     gaps by LINEAR INTERPOLATION between the nearest observed points
@@ -395,16 +396,29 @@ def gapfill_interpolate(
     Scale shape: the grid explodes per GROUP (span/step rows — bounded
     per group, never a global spine); the carry-forward/backward passes
     are two windows over the same (group, ts) shuffle; no driver
-    state.
+    state.  GUARD: ``sequence()`` materializes each group's whole grid
+    as ONE in-row array before the explode, so a group spanning years
+    at second granularity would build a multi-GB row — any group whose
+    grid exceeds ``max_grid_points`` fails the job loudly instead
+    (chunk the spine, e.g. explode days then intra-day steps, when a
+    legitimate grid is that large).
     """
     spans = df.groupBy(*group_cols).agg(
         F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
     )
+    npoints = (
+        f"(unix_timestamp(_hi) - unix_timestamp(_lo)) div {step_seconds} + 1"
+    )
+    guarded_seq = (
+        f"CASE WHEN {npoints} > {max_grid_points} THEN "
+        f"cast(raise_error(concat('gapfill grid for one group needs ', "
+        f"cast({npoints} as string), ' points (max_grid_points="
+        f"{max_grid_points}); chunk the spine')) as array<timestamp>) "
+        f"ELSE sequence(_lo, _hi, interval {step_seconds} seconds) END"
+    )
     grid = spans.select(
         *group_cols,
-        F.explode(
-            F.sequence("_lo", "_hi", F.expr(f"interval {step_seconds} seconds"))
-        ).alias(ts_col),
+        F.explode(F.expr(guarded_seq)).alias(ts_col),
     )
     joined = grid.join(df, on=[*group_cols, ts_col], how="left")
     w_prev = (

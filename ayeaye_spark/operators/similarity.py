@@ -601,10 +601,14 @@ def pq_encode(
     vec_col: str = "embedding",
     m: int = 4,
     dim: int = 64,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Product-quantization encoding: (id, block, code) — each vector's
-    ``m`` sub-blocks mapped to the per-block argmax-inner-product
-    codebook entry (ties → smaller centroid id, deterministic).
+    """Product-quantization encoding: (id[, extra...], block, code) —
+    each vector's ``m`` sub-blocks mapped to the per-block
+    argmax-inner-product codebook entry (ties → smaller centroid id,
+    deterministic).  ``extra_cols`` ride through the same pass (IVF-PQ
+    threads the cell id this way — no second scan or join to re-attach
+    it).
 
     THE memory lever for billion-vector search: a 64-dim float32 vector
     is 256 bytes; its ``m=4`` codes are 4 small ints — the search stage
@@ -622,13 +626,15 @@ def pq_encode(
     cents = centroids.select(
         F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
     )
-    paired = corpus.select(id_col, vec_col).crossJoin(F.broadcast(cents))
+    paired = corpus.select(id_col, vec_col, *extra_cols).crossJoin(
+        F.broadcast(cents)
+    )
     for b in range(m):
         paired = paired.withColumn(
             f"_d{b}", F.expr(_block_dot(vec_col, "_cvec", b, sub))
         )
     stacked = paired.select(
-        id_col, "_cid",
+        id_col, *extra_cols, "_cid",
         F.expr(
             "stack(%d, %s) as (_b, _d)"
             % (m, ", ".join(f"{b}, _d{b}" for b in range(m)))
@@ -638,7 +644,10 @@ def pq_encode(
     return (
         stacked.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .select(F.col(id_col), F.col("_b").alias("block"), F.col("_cid").alias("code"))
+        .select(
+            F.col(id_col), *extra_cols,
+            F.col("_b").alias("block"), F.col("_cid").alias("code"),
+        )
     )
 
 
@@ -766,11 +775,14 @@ def ivfpq_topk(
             F.expr(P.array_sub(cast(vec_col), cast("_ccvec"), P.SPARK)).alias("_rvec"),
         )
     )
-    assigned = assigned.localCheckpoint(eager=False)  # codes + cell map read it
+    # the cell id RIDES THROUGH the encode pass (extra_cols) — no
+    # checkpoint of the residual corpus and no re-attach join; the index
+    # build stays one scan end-to-end
     codes = pq_encode(
-        assigned.select(id_col, F.col("_rvec").alias(vec_col)),
+        assigned.select(id_col, F.col("_rvec").alias(vec_col), "_cell"),
         codebook, id_col=id_col, vec_col=vec_col, m=m, dim=dim,
-    ).join(assigned.select(id_col, "_cell"), on=id_col)
+        extra_cols=("_cell",),
+    )
 
     # --- search: probe nprobe cells, ADC over their codes ---
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))

@@ -1639,3 +1639,22 @@ class TestGapfillInterpolate:
         assert got[("a", 4)] == (7.0, False)
         assert got[("b", 2)] == (5.0, False)   # single point: no grid growth
         assert len(got) == 6
+
+
+class TestGapfillGuard:
+    def test_oversized_grid_fails_loudly(self, spark):
+        import datetime as dt
+
+        import pytest as _pytest
+
+        from ayeaye_spark.operators.relational import gapfill_interpolate
+
+        rows = [("a", dt.datetime(2020, 1, 1), 1),
+                ("a", dt.datetime(2024, 1, 1), 2)]
+        df = spark.createDataFrame(rows, ["g", "h", "n"])
+        out = gapfill_interpolate(
+            df, ts_col="h", group_cols=["g"], value_col="n",
+            step_seconds=1, max_grid_points=1000,  # 4y @ 1s >> 1000
+        )
+        with _pytest.raises(Exception, match="max_grid_points"):
+            out.collect()
