@@ -918,6 +918,7 @@ def containment_pairs(
     n: int = 3,
     min_containment_ppm: int = 800_000,
     signature: str = "vectorized",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC set-containment join: ordered pairs where either
     direction's containment ``|Sa ∩ Sb| / |Sa|`` (integer ppm over
@@ -933,8 +934,13 @@ def containment_pairs(
     intersection, integer-ppm division.  Any qualifying pair shares
     ≥ ``min_containment_ppm`` of the SMALLER side's shingles, so it
     certainly shares ≥1 shingle — candidate generation is lossless.
-    The hot-shingle skew caveat and AQE treatment are the same as the
-    Jaccard join's.
+    The hot-shingle skew caveat is the same as the Jaccard join's, and
+    so is the knob: ``max_shingle_df`` drops corpus-frequent shingles
+    from CANDIDATE GENERATION only (a hot shingle mints candidate
+    pairs quadratically in its document frequency); containment is
+    then re-verified EXACTLY from the full hash sets, so returned
+    values never change — only recall over pairs whose every shared
+    shingle is ultra-common is traded, the standard production cut.
     """
     _tune_session(df)
     if signature == "vectorized":
@@ -948,16 +954,45 @@ def containment_pairs(
         eager=False
     )
     exploded = prepped.select("_id", "_size", F.explode("_hashset").alias("_h"))
-    a, b = exploded.alias("a"), exploded.alias("b")
-    inter = (
-        a.join(b, on="_h")
-        .where(F.col("a._id") < F.col("b._id"))
-        .groupBy(
-            F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb"),
-            F.col("a._size").alias("_sza"), F.col("b._size").alias("_szb"),
+    if max_shingle_df is not None:
+        # candidates from RARE shingles only; exact intersections
+        # recomputed from the FULL hash sets below (join counts would
+        # undercount once shingles are dropped)
+        freq = exploded.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+        keep = freq.where(F.col("_df") <= max_shingle_df).select("_h")
+        rare = exploded.join(keep, on="_h")
+        l, r = rare.alias("l"), rare.alias("r")
+        candidates = (
+            l.join(r, on="_h")
+            .where(F.col("l._id") < F.col("r._id"))
+            .select(F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"))
+            .dropDuplicates(["_ida", "_idb"])
         )
-        .agg(F.count(F.lit(1)).alias("_i"))
-    )
+        sets = prepped.select("_id", "_hashset", "_size")
+        paired = (
+            candidates.join(
+                sets.select(F.col("_id").alias("_ida"),
+                            F.col("_hashset").alias("_set_a"),
+                            F.col("_size").alias("_sza")), on="_ida")
+            .join(
+                sets.select(F.col("_id").alias("_idb"),
+                            F.col("_hashset").alias("_set_b"),
+                            F.col("_size").alias("_szb")), on="_idb")
+        )
+        inter = paired.withColumn(
+            "_i", F.size(F.array_intersect("_set_a", "_set_b"))
+        ).select("_ida", "_idb", "_sza", "_szb", "_i")
+    else:
+        a, b = exploded.alias("a"), exploded.alias("b")
+        inter = (
+            a.join(b, on="_h")
+            .where(F.col("a._id") < F.col("b._id"))
+            .groupBy(
+                F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb"),
+                F.col("a._size").alias("_sza"), F.col("b._size").alias("_szb"),
+            )
+            .agg(F.count(F.lit(1)).alias("_i"))
+        )
     return (
         inter.withColumn("a_in_b_ppm", F.expr("_i * 1000000 div _sza"))
         .withColumn("b_in_a_ppm", F.expr("_i * 1000000 div _szb"))

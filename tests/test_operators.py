@@ -1658,3 +1658,35 @@ class TestGapfillGuard:
         )
         with _pytest.raises(Exception, match="max_grid_points"):
             out.collect()
+
+
+class TestContainmentShingleCap:
+    def test_capped_candidates_keep_exact_values(self, spark):
+        """max_shingle_df prunes hot shingles from candidate generation
+        only: every pair still found must carry the EXACT full-set
+        containment, and pairs sharing at least one rare shingle are
+        retained."""
+        from ayeaye_spark.operators.dedup import containment_pairs
+
+        quote = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (1, quote),
+            (2, "pad one two three " + quote + " four five six"),
+            (3, "other content entirely unrelated to anything"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        uncapped = {
+            (r["doc_id_a"], r["doc_id_b"]): (r["a_in_b_ppm"], r["b_in_a_ppm"])
+            for r in containment_pairs(
+                df, "doc_id", "text", min_containment_ppm=900_000
+            ).collect()
+        }
+        capped = {
+            (r["doc_id_a"], r["doc_id_b"]): (r["a_in_b_ppm"], r["b_in_a_ppm"])
+            for r in containment_pairs(
+                df, "doc_id", "text", min_containment_ppm=900_000,
+                max_shingle_df=10,  # cap high enough to keep all shingles
+            ).collect()
+        }
+        assert capped == uncapped == {(1, 2): uncapped[(1, 2)]}
+        assert uncapped[(1, 2)][0] == 1_000_000
