@@ -601,3 +601,66 @@ class TestXmlConnector:
         p.write_text("<rows><row><a>1</a></row><row><a>2</a></row></rows>")
         got = XmlConnector(f"xml://{p}").read(spark).collect()
         assert sorted(r["a"] for r in got) == [1, 2]
+
+
+class TestKafkaBigQueryEsOptionContracts:
+    """Full option-dict contracts for the remaining gated connectors
+    (no brokers/credentials in this container) — same rationale as
+    TestJdbcOptionContracts: freeze the exact mapping the live read
+    would receive."""
+
+    def test_kafka_timestamp_window_full_dict(self):
+        k = KafkaConnector(
+            "kafka://broker1:9092/events;"
+            "start=@(2024-03-01 00:00:00);end=@(2024-03-02 00:00:00)"
+        )
+        assert k._bound_options() == {
+            "kafka.bootstrap.servers": "broker1:9092",
+            "subscribe": "events",
+            "startingTimestamp": "1709251200000",
+            "endingTimestamp": "1709337600000",
+        }
+
+    def test_kafka_keyword_bounds_full_dict(self):
+        k = KafkaConnector("kafka://b:9092/t;start=@(earliest);end=@(latest)")
+        assert k._bound_options() == {
+            "kafka.bootstrap.servers": "b:9092",
+            "subscribe": "t",
+            "startingOffsets": "earliest",
+            "endingOffsets": "latest",
+        }
+
+    def test_kafka_no_bounds_minimal_dict(self):
+        k = KafkaConnector("kafka://b:9092/t")
+        assert k._bound_options() == {
+            "kafka.bootstrap.servers": "b:9092",
+            "subscribe": "t",
+        }
+
+    def test_bigquery_table_and_query_full_dicts(self):
+        from ayeaye_spark.sources.external import BigQueryConnector
+
+        b = BigQueryConnector("bigquery://myproject/ds.table1")
+        assert b._options() == {
+            "parentProject": "myproject",
+            "table": "myproject.ds.table1",
+        }
+        assert b._options(query="SELECT 1") == {
+            "parentProject": "myproject",
+            "query": "SELECT 1",
+            "viewsEnabled": "true",
+        }
+
+    def test_elasticsearch_full_dict_with_and_without_port(self):
+        from ayeaye_spark.sources.external import ElasticsearchConnector
+
+        e = ElasticsearchConnector("elasticsearch://es-host:9201/myindex")
+        assert e._es_options(None) == {
+            "es.nodes": "es-host",
+            "es.port": "9201",
+            "es.resource": "myindex",
+            "es.nodes.wan.only": "true",
+        }
+        d = ElasticsearchConnector("elasticsearch://bare-host/idx")
+        opts = d._es_options("override")
+        assert opts["es.port"] == "9200" and opts["es.resource"] == "override"
