@@ -722,9 +722,8 @@ def pq_topk(
     )
 
 
-def ivfpq_topk(
+def ivfpq_encode(
     corpus: DataFrame,
-    queries: DataFrame,
     *,
     coarse: DataFrame,
     codebook: DataFrame,
@@ -732,35 +731,17 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     m: int = 4,
     dim: int = 64,
-    nprobe: int = 2,
-    k: int = 5,
 ) -> DataFrame:
-    """IVF-PQ — the composed billion-vector search architecture (FAISS's
-    workhorse): a coarse inverted file routes each query to its
-    ``nprobe`` best cells, and within a cell vectors are represented by
-    PQ codes of their RESIDUAL (vector − cell centroid), scored by
-    asymmetric distance:
-
-        IP(q, x) ≈ IP(q, c_cell) + Σ_b table[cell][b][code_b(x)]
-
-    Scale shape: coarse centroids and PQ codebook broadcast (tiny);
-    ONE corpus scan assigns cells + encodes residuals; search touches
-    only the (id, cell, m codes) rows of the probed cells — both the
-    memory lever (codes, not vectors) and the compute lever (nprobe/
-    n_cells of the corpus) at once.  Partition/cluster the code table
-    by cell at scale and the probe filter prunes whole files.
-
-    Exactness contract as :func:`pq_topk`: sequential-fold dots,
-    residuals via exact IEEE ``zip_with`` subtraction, every
-    cross-engine float addition in explicit fixed order, ties on ids.
-    """
+    """IVF-PQ index build: (id, _cell, block, code) — cell assignment by
+    max inner product, then PQ codes of the RESIDUAL (vector − cell
+    centroid), all in ONE corpus scan (the cell id rides through the
+    encode pass — no checkpoint of the residual corpus, no re-attach
+    join).  Persist this frame clustered by ``_cell`` and the search
+    half (:func:`ivfpq_search`) never touches the original vectors."""
     from ..functions import portable as P
 
-    sub = dim // m
     cast = lambda c: P.cast_double_array(c, P.SPARK)  # noqa: E731
     cc = coarse.select(F.col(id_col).alias("_cell"), F.col(vec_col).alias("_ccvec"))
-
-    # --- index build: cell assignment + residual PQ codes (one scan) ---
     asn = (
         corpus.select(id_col, vec_col)
         .crossJoin(F.broadcast(cc))
@@ -775,15 +756,34 @@ def ivfpq_topk(
             F.expr(P.array_sub(cast(vec_col), cast("_ccvec"), P.SPARK)).alias("_rvec"),
         )
     )
-    # the cell id RIDES THROUGH the encode pass (extra_cols) — no
-    # checkpoint of the residual corpus and no re-attach join; the index
-    # build stays one scan end-to-end
-    codes = pq_encode(
+    return pq_encode(
         assigned.select(id_col, F.col("_rvec").alias(vec_col), "_cell"),
         codebook, id_col=id_col, vec_col=vec_col, m=m, dim=dim,
         extra_cols=("_cell",),
     )
 
+
+def ivfpq_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    *,
+    coarse: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ search over a prebuilt/persisted code table (the output
+    of :func:`ivfpq_encode`) — probes ``nprobe`` cells, ADC over their
+    code rows only.  Same exactness contract as :func:`pq_topk`."""
+    from ..functions import portable as P
+
+    sub = dim // m
+    cast = lambda c: P.cast_double_array(c, P.SPARK)  # noqa: E731
+    cc = coarse.select(F.col(id_col).alias("_cell"), F.col(vec_col).alias("_ccvec"))
     # --- search: probe nprobe cells, ADC over their codes ---
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
     probes = (
@@ -834,4 +834,44 @@ def ivfpq_topk(
         scored.withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_ip", "rank")
+    )
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    coarse: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ — the composed billion-vector search architecture (FAISS's
+    workhorse): a coarse inverted file routes each query to its
+    ``nprobe`` best cells, and within a cell vectors are represented by
+    PQ codes of their RESIDUAL (vector − cell centroid), scored by
+    asymmetric distance:
+
+        IP(q, x) ≈ IP(q, c_cell) + Σ_b table[cell][b][code_b(x)]
+
+    One call = :func:`ivfpq_encode` (index build, one corpus scan) +
+    :func:`ivfpq_search` (ADC over the probed cells' code rows only) —
+    split so a pipeline can PERSIST the code table clustered by cell
+    and serve queries without ever re-reading the corpus vectors
+    (``examples/ann_index.py``).
+
+    Exactness contract as :func:`pq_topk`: sequential-fold dots,
+    residuals via exact IEEE ``zip_with`` subtraction, every
+    cross-engine float addition in explicit fixed order, ties on ids.
+    """
+    codes = ivfpq_encode(
+        corpus, coarse=coarse, codebook=codebook,
+        id_col=id_col, vec_col=vec_col, m=m, dim=dim,
+    )
+    return ivfpq_search(
+        codes, queries, coarse=coarse, codebook=codebook,
+        id_col=id_col, vec_col=vec_col, m=m, dim=dim, nprobe=nprobe, k=k,
     )

