@@ -384,3 +384,35 @@ class TestRoundFourOperatorPlans:
         # never shuffled for the join
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestIvfPqPersistedSearchPlan:
+    def test_search_reads_codes_not_corpus_vectors(self, spark, tmp_path):
+        """ivfpq_search over a PERSISTED code table: the corpus-side
+        parquet scan must read only (id, cell, block, code) — the
+        embedding column appears exclusively in the tiny query/centroid
+        scans.  This is the whole point of PQ at scale."""
+        from ayeaye_spark.operators import similarity
+
+        emb = load(spark, SF, "embeddings")
+        coarse = emb.where("vec_id % 50 = 0")
+        codebook = emb.where(F.col("vec_id") < 16)
+        codes_path = str(tmp_path / "codes")
+        similarity.ivfpq_encode(
+            emb, coarse=coarse, codebook=codebook
+        ).write.parquet(codes_path)
+
+        q = similarity.ivfpq_search(
+            spark.read.parquet(codes_path),
+            emb.where(F.col("vec_id") < 10),
+            coarse=coarse, codebook=codebook,
+        )
+        plan = physical_plan(q)
+        codes_scans = [
+            seg.split("ReadSchema: ")[1][:200]
+            for seg in plan.split("Scan parquet")[1:]
+            if "codes" in seg[:400]
+        ]
+        assert codes_scans, "expected a scan of the persisted codes table"
+        for schema in codes_scans:
+            assert "embedding" not in schema  # codes-only corpus side
