@@ -3055,6 +3055,54 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_nearest_neighbor",
+    oracle=f"""
+    WITH pairs AS ({_duck_minhash_pairs_oracle()}),
+    sym AS (
+      SELECT doc_id_a AS doc_id, doc_id_b AS neighbor_id, jaccard FROM pairs
+      UNION ALL
+      SELECT doc_id_b AS doc_id, doc_id_a AS neighbor_id, jaccard FROM pairs
+    )
+    SELECT doc_id, neighbor_id, jaccard FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY jaccard DESC, neighbor_id ASC) AS rn
+      FROM sym) t WHERE rn = 1
+    """,
+)
+def dedup_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document nearest near-duplicate: for every document with at
+    least one LSH-confirmed near-dup, its single most-similar partner —
+    the per-item report a dedup REVIEW surface wants (which doc is this
+    a copy of, and how close?), where the pairs query answers the
+    corpus-level question.  Symmetrize the pair list (each pair serves
+    both endpoints), then a per-doc top-1 window; candidate volume and
+    shuffles are those of the underlying banded LSH join."""
+    from pyspark.sql import Window as W
+
+    pairs = dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, k=16, bands=4, threshold=0.3,
+    )
+    sym = pairs.select(
+        F.col("doc_id_a").alias("doc_id"),
+        F.col("doc_id_b").alias("neighbor_id"),
+        "jaccard",
+    ).unionAll(
+        pairs.select(
+            F.col("doc_id_b").alias("doc_id"),
+            F.col("doc_id_a").alias("neighbor_id"),
+            "jaccard",
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("neighbor_id"))
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "neighbor_id", "jaccard")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
