@@ -3055,6 +3055,25 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+shared_sql(
+    "orders_priciest_line_lateral",
+    """
+    SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+    FROM orders o, LATERAL (
+      SELECT l_linenumber, l_extendedprice FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber ASC LIMIT 1
+    ) t
+    WHERE o.o_totalprice > 400000
+    """,
+    ("orders", "lineitem"),
+)
+# LATERAL notes: the correlated per-order top-1 subquery — Catalyst
+# decorrelates it into a join + per-key window rather than executing it
+# per row, so the lateral FORM costs what the window formulation costs;
+# deterministic via the (price DESC, linenumber ASC) total order.
+
+
 @query(
     "dedup_nearest_neighbor",
     oracle=f"""
