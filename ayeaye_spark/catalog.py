@@ -3122,6 +3122,180 @@ def dedup_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_semantic_assign(modulus: int = 50) -> str:
+    """Shared assignment CTE text: IVF cell per vector, centroids =
+    ``vec_id % modulus = 0`` (deterministic, engine-independent)."""
+    return f"""
+    centroids AS (SELECT vec_id AS centroid_id, embedding AS cvec
+                  FROM embeddings WHERE vec_id % {modulus} = 0),
+    assign AS (
+      SELECT vec_id, embedding, label, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_duck_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "dedup_semantic_pairs",
+    oracle=f"""
+    WITH {_duck_semantic_assign()}
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.centroid_id,
+           {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
+    FROM assign a JOIN assign b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= 0.4
+    """,
+)
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (arXiv:2303.09540):
+    cluster the embedding space (IVF assignment, centroids broadcast),
+    then near-dup search ONLY within a cluster — candidate volume drops
+    from |corpus|² to Σ|cell|², the shape that makes embedding-level
+    dedup feasible at billions of documents.  Cell-bucketed self-join,
+    no all-pairs; the oracle replays the identical assignment."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_pairs(
+        emb, emb.where(F.col("vec_id") % 50 == 0), threshold=0.4
+    )
+
+
+@query(
+    "dedup_semantic_survivors",
+    oracle=f"""
+    WITH {_duck_semantic_assign()},
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= 0.4
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-set: min-id survivor per within-cell near-dup
+    group (same deterministic rule as the MinHash survivor pass) — one
+    anti-join against the distinct dropped-id set."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_survivors(
+        emb, emb.where(F.col("vec_id") % 50 == 0), threshold=0.4
+    ).select("vec_id", "label")
+
+
+@query(
+    "customer_upsert_merge",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal,
+             'UPDATED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal,
+             'INSERTED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 100 = 7
+    )
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM upd
+    """,
+)
+def customer_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (SCD1 upsert) emulation: a deterministic update batch
+    derived from the customer table itself — every ``% 10 = 3`` key gets
+    a balance bump + segment overwrite (WHEN MATCHED), every ``% 100 =
+    7`` key re-enters under a fresh key (WHEN NOT MATCHED INSERT).  One
+    anti-join + union (``operators/scd.py:merge_upsert``); complements
+    the SCD2 history merge of ``customer_segment_scd2``."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    updates = cust.where(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    ).unionByName(
+        cust.where(F.col("c_custkey") % 100 == 7).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            "c_name",
+            "c_acctbal",
+            F.lit("INSERTED").alias("c_mktsegment"),
+        )
+    )
+    from .operators.scd import merge_upsert
+
+    return merge_upsert(cust, updates, key="c_custkey")
+
+
+@query(
+    "docs_seeded_shuffle",
+    oracle="""
+    SELECT doc_id,
+           md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           ROW_NUMBER() OVER (
+             ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS shuffle_pos
+    FROM documents
+    """,
+)
+def docs_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic corpus shuffle (epoch ordering for training
+    runs): md5(seed:id) shuffle key + exact global position.  The
+    position comes from the two-phase distributed prefix sum over 65536
+    contiguous key-prefix buckets — no single-partition window
+    (``operators/sampling.py:seeded_shuffle``); a new seed is a new
+    permutation, the same seed reproduces bit-identically anywhere."""
+    return sampling.seeded_shuffle(
+        load(spark, sf_dir, "documents"), "doc_id", seed="epoch0"
+    ).select("doc_id", "shuffle_key", "shuffle_pos")
+
+
+@query(
+    "docs_domain_mix",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST({P.size(P.tokens('text', DUCK), DUCK)} AS BIGINT) AS ws_tokens
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    ),
+    wts AS (SELECT * FROM (VALUES ('src0', 500), ('src1', 300), ('src2', 200))
+            AS t(source, w)),
+    tot AS (SELECT source, SUM(ws_tokens) AS t FROM tok GROUP BY source),
+    feas AS (SELECT MIN(t * 1000 // w) AS b FROM tot JOIN wts USING (source)),
+    bud AS (SELECT source, w * (SELECT b FROM feas) // 1000 AS bt FROM wts),
+    cum AS (SELECT doc_id, source, ws_tokens,
+                   SUM(ws_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS c
+            FROM tok)
+    SELECT doc_id, source, ws_tokens
+    FROM cum JOIN bud USING (source) WHERE c <= bt
+    """,
+)
+def docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: pick the LARGEST corpus matching
+    50/30/20 domain weights exactly with no upsampling — feasible total
+    ``B = min_s (supply_s * ΣW) // w_s``, each domain fills its share
+    ``w_s*B // ΣW`` greedily in id order (exact integer math, engine-
+    independent kept set).  Per-domain running sums use the GROUPED
+    two-phase prefix sum (``operators/sampling.py``): no domain ever
+    occupies a single partition, which a plain ``PARTITION BY source``
+    window would force at 100 TB."""
+    docs = textops.with_token_counts(load(spark, sf_dir, "documents"), "text")
+    return sampling.domain_mix_budget(
+        docs.select("doc_id", "source", "ws_tokens"),
+        group_col="source",
+        id_col="doc_id",
+        token_col="ws_tokens",
+        weights={"src0": 500, "src1": 300, "src2": 200},
+    ).select("doc_id", "source", "ws_tokens")
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -289,3 +289,133 @@ def stratified_sample(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    id_col: str,
+    *,
+    seed: str,
+    key_col: str = "shuffle_key",
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: every
+    row gets ``md5(seed || ':' || id)`` as its shuffle key and its exact
+    1-based position in the key order.
+
+    Changing the seed re-permutes the corpus (epoch reshuffles); the
+    same seed reproduces the identical order on any engine, partitioning
+    or cluster size — md5 of the decimal id string is bit-portable, and
+    ties (128-bit collisions) break on the id.
+
+    Position assignment is NOT a global ``row_number()`` window (that
+    moves every row to one partition): the first 4 hex digits of the key
+    are monotone along the key order, so they bucket the corpus into
+    65536 contiguous runs and the two-phase distributed prefix sum
+    (:func:`_bucketed_cumsum`, counting 1 per row) assigns exact global
+    positions with only hash-shuffled windows.  At scale the physical
+    write order comes free from a range-partitioned sort on the key.
+    """
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    keyed = df.withColumn(key_col, key).withColumn("_one", F.lit(1).cast("long"))
+    out = _bucketed_cumsum(
+        keyed,
+        token_col="_one",
+        order_cols=[F.asc(key_col), F.asc(id_col)],
+        bucket_expr_sql=f"cast(conv(substring({key_col}, 1, 4), 16, 10) as int)",
+        out_col=pos_col,
+    )
+    return out.drop("_one")
+
+
+def _grouped_bucketed_cumsum(
+    df: DataFrame,
+    *,
+    group_col: str,
+    token_col: str,
+    order_cols: list,
+    bucket_expr_sql: str,
+    out_col: str,
+) -> DataFrame:
+    """Per-group exact prefix sum — :func:`_bucketed_cumsum` with a
+    partition key: ``SUM(token_col) OVER (PARTITION BY group ORDER BY
+    order_cols)`` without putting a whole group in one partition.
+
+    Buckets split each group into contiguous runs (``bucket_expr_sql``
+    monotone along the order within a group); partials use a
+    ``(group, bucket)``-hashed window, offsets come from a window over
+    the tiny per-(group, bucket) totals frame partitioned by group —
+    #groups × #buckets rows, never the corpus.
+    """
+    base = df.withColumn("_cb", F.expr(bucket_expr_sql))
+    totals = base.groupBy(group_col, "_cb").agg(F.sum(token_col).alias("_bt"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_cb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        group_col,
+        "_cb",
+        F.coalesce(F.sum("_bt").over(w_off), F.lit(0).cast("long")).alias("_boff"),
+    )
+    joined = base.join(offsets, [group_col, "_cb"])
+    w_in = (
+        Window.partitionBy(group_col, "_cb")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn(out_col, F.col("_boff") + F.sum(token_col).over(w_in))
+        .drop("_cb", "_boff")
+    )
+
+
+def domain_mix_budget(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    token_col: str,
+    weights: dict[str, int],
+    id_bucket_width: int = 65536,
+) -> DataFrame:
+    """Select a maximal training mix matching target domain weights
+    exactly, with no upsampling.
+
+    ``weights`` maps group value → integer weight (any scale).  The
+    feasible mix total is ``B = min_s (T_s * W) // w_s`` (T_s = the
+    group's token supply, W = Σ weights) — the largest total where every
+    group can fill its share ``w_s * B // W`` from real data.  Each
+    group then keeps documents in id order while its running token sum
+    fits the share (greedy prefix, exact integer math → the kept set is
+    engine- and partitioning-independent).
+
+    One narrow aggregate (#groups rows, collected — groups are domains,
+    small by contract), then the grouped two-phase prefix sum; the text
+    itself never shuffles.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    scoped = df.where(F.col(group_col).isin(*weights.keys()))
+    totals = {
+        r[0]: r[1]
+        for r in scoped.groupBy(group_col).agg(F.sum(token_col)).collect()
+    }
+    w_sum = sum(weights.values())
+    feasible = min(
+        (totals.get(g, 0) * w_sum) // w for g, w in weights.items() if w > 0
+    )
+    budgets = {g: (w * feasible) // w_sum for g, w in weights.items()}
+    cum = _grouped_bucketed_cumsum(
+        scoped,
+        group_col=group_col,
+        token_col=token_col,
+        order_cols=[F.asc(id_col)],
+        bucket_expr_sql=f"{id_col} div {id_bucket_width}",
+        out_col="_cum",
+    )
+    budget_case = "CASE " + " ".join(
+        f"WHEN {group_col} = '{g}' THEN {b}" for g, b in sorted(budgets.items())
+    ) + " ELSE 0 END"
+    return cum.where(F.col("_cum") <= F.expr(budget_case)).drop("_cum")

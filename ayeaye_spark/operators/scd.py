@@ -65,3 +65,32 @@ def scd2_apply(
         .unionByName(untouched)
         .unionByName(closed_history)
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    *,
+    key: str,
+) -> DataFrame:
+    """SCD1 / MERGE INTO emulation (no version history): rows from
+    ``updates`` replace same-key rows in ``target``; unmatched update
+    rows insert.  ``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    THEN INSERT *`` without a transactional table format.
+
+    ``updates`` must be unique per key (dedupe upstream — a MERGE with
+    duplicate source keys is non-deterministic in every engine and
+    rejected by Delta/Iceberg too).
+
+    Plan shape: one anti-join shuffle on the key + a union — linear in
+    |target| + |updates|, the update side typically far smaller and
+    broadcast by AQE.  At 100 TB the target is read once and rewritten
+    partition-parallel; nothing collects.
+    """
+    cols = target.columns
+    if updates.columns != cols:
+        raise ValueError(
+            f"updates columns {updates.columns} must match target {cols}"
+        )
+    untouched = target.join(updates.select(key), on=key, how="left_anti")
+    return untouched.select(*cols).unionByName(updates.select(*cols))

@@ -875,3 +875,78 @@ def ivfpq_topk(
         codes, queries, coarse=coarse, codebook=codebook,
         id_col=id_col, vec_col=vec_col, m=m, dim=dim, nprobe=nprobe, k=k,
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic (cluster-bucketed) deduplication — SemDeDup-style
+# --------------------------------------------------------------------------
+# Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+# semantic deduplication" (arXiv:2303.09540): cluster the embedding
+# space, then search for near-duplicate pairs ONLY within a cluster —
+# the pair candidate set shrinks from |corpus|² to Σ|cell|², which is
+# what makes embedding-level dedup feasible on a billion-document
+# corpus.  Same bucket-join shape as MinHash-LSH dedup, with the IVF
+# cell as the bucket.
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs: (id_a, id_b, centroid_id,
+    cosine) for every same-cell pair with ``cosine >= threshold``,
+    ``id_a < id_b``.
+
+    Scale shape: ONE vectorized assignment scan (centroids broadcast),
+    then a hash-shuffled self-join keyed on the cell id — no all-pairs
+    anywhere.  Approximate by construction (cross-cell near-dups are
+    unseen — the SemDeDup trade); the oracle replays the identical
+    assignment, so results hash-match exactly.
+    """
+    cells = assign_cells_vectorized(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    )
+    l = cells.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "centroid_id"
+    )
+    r = cells.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "centroid_id"
+    )
+    return (
+        l.join(r, on="centroid_id")
+        .where(F.col("_ida") < F.col("_idb"))
+        .withColumn("cosine", F.expr(_cos("_va", "_vb", dim)))
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("_ida").alias(f"{id_col}_a"),
+            F.col("_idb").alias(f"{id_col}_b"),
+            "centroid_id",
+            "cosine",
+        )
+    )
+
+
+def semantic_dedup_survivors(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup keep-set: drop every vector that has a same-cell
+    neighbor with a SMALLER id at ``cosine >= threshold`` (min-id
+    survivor — the same deterministic rule as the MinHash survivor
+    pass).  One anti-join against the distinct dropped-id set."""
+    pairs = semantic_dedup_pairs(
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, dim=dim,
+    )
+    dropped = pairs.select(F.col(f"{id_col}_b").alias(id_col)).distinct()
+    return corpus.join(dropped, on=id_col, how="left_anti")

@@ -1690,3 +1690,137 @@ class TestContainmentShingleCap:
         }
         assert capped == uncapped == {(1, 2): uncapped[(1, 2)]}
         assert uncapped[(1, 2)][0] == 1_000_000
+
+
+class TestSemanticDedup:
+    """SemDeDup-style cluster-bucketed embedding dedup."""
+
+    def _df(self, spark):
+        # two well-separated clusters around e1 and e2; ids 0 and 2 are
+        # the deterministic centroids (vec_id % 2 == 0 picks 0, 2, 4)
+        rows = [
+            (0, [1.0, 0.0]),       # centroid A
+            (1, [0.999, 0.001]),   # near-dup of 0 (same cell)
+            (2, [0.0, 1.0]),       # centroid B
+            (3, [0.001, 0.999]),   # near-dup of 2 (same cell)
+            (4, [0.7, 0.714]),     # between clusters, no near-dup at 0.999
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_pairs_within_cell_only(self, spark):
+        df = self._df(spark)
+        cents = df.where(F.col("vec_id").isin(0, 2))
+        pairs = similarity.semantic_dedup_pairs(
+            df, cents, threshold=0.999, dim=2
+        ).collect()
+        got = sorted((p["vec_id_a"], p["vec_id_b"]) for p in pairs)
+        assert got == [(0, 1), (2, 3)]
+
+    def test_survivors_keep_min_id(self, spark):
+        df = self._df(spark)
+        cents = df.where(F.col("vec_id").isin(0, 2))
+        kept = sorted(
+            r["vec_id"]
+            for r in similarity.semantic_dedup_survivors(
+                df, cents, threshold=0.999, dim=2
+            ).collect()
+        )
+        assert kept == [0, 2, 4]
+
+    def test_cross_cell_near_dup_is_unseen(self, spark):
+        # the documented SemDeDup trade: a near-identical pair whose
+        # members land in DIFFERENT cells is not reported
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.7072, 0.707]),   # assigned to cell of 0
+            (3, [0.707, 0.7072]),   # assigned to cell of 1; ~identical to 2
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        cents = df.where(F.col("vec_id") < 2)
+        pairs = similarity.semantic_dedup_pairs(
+            df, cents, threshold=0.999, dim=2
+        ).collect()
+        assert [(p["vec_id_a"], p["vec_id_b"]) for p in pairs] == []
+
+
+class TestMergeUpsert:
+    def test_matched_updates_unmatched_inserts(self, spark):
+        from ayeaye_spark.operators.scd import merge_upsert
+
+        target = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "name", "v"]
+        )
+        updates = spark.createDataFrame(
+            [(2, "b2", 200), (9, "new", 900)], ["k", "name", "v"]
+        )
+        got = sorted(
+            map(tuple, merge_upsert(target, updates, key="k").collect())
+        )
+        assert got == [(1, "a", 10), (2, "b2", 200), (3, "c", 30), (9, "new", 900)]
+
+    def test_column_mismatch_rejected(self, spark):
+        import pytest as _pt
+
+        from ayeaye_spark.operators.scd import merge_upsert
+
+        target = spark.createDataFrame([(1, "a")], ["k", "name"])
+        updates = spark.createDataFrame([(1, 2)], ["k", "other"])
+        with _pt.raises(ValueError, match="must match target"):
+            merge_upsert(target, updates, key="k")
+
+
+class TestSeededShuffle:
+    def test_positions_are_exact_key_order(self, spark):
+        from ayeaye_spark.operators import sampling
+
+        df = spark.createDataFrame([(i,) for i in range(97)], ["id"])
+        rows = sampling.seeded_shuffle(df, "id", seed="s1").collect()
+        by_key = sorted(rows, key=lambda r: (r["shuffle_key"], r["id"]))
+        assert [r["shuffle_pos"] for r in by_key] == list(range(1, 98))
+
+    def test_seed_changes_permutation_reproducibly(self, spark):
+        from ayeaye_spark.operators import sampling
+
+        df = spark.createDataFrame([(i,) for i in range(50)], ["id"])
+        a1 = {r["id"]: r["shuffle_pos"]
+              for r in sampling.seeded_shuffle(df, "id", seed="a").collect()}
+        a2 = {r["id"]: r["shuffle_pos"]
+              for r in sampling.seeded_shuffle(df, "id", seed="a").collect()}
+        b = {r["id"]: r["shuffle_pos"]
+             for r in sampling.seeded_shuffle(df, "id", seed="b").collect()}
+        assert a1 == a2
+        assert a1 != b
+
+
+class TestDomainMix:
+    def test_weights_respected_no_upsampling(self, spark):
+        from ayeaye_spark.operators import sampling
+
+        # srcA supplies 100 tokens, srcB 1000: with 50/50 weights the
+        # feasible total is 200 → each side keeps exactly 100 tokens
+        rows = [(i, "A", 10) for i in range(10)] + [
+            (100 + i, "B", 10) for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "toks"])
+        kept = sampling.domain_mix_budget(
+            df, group_col="source", id_col="doc_id", token_col="toks",
+            weights={"A": 500, "B": 500},
+        ).collect()
+        per = {}
+        for r in kept:
+            per.setdefault(r["source"], []).append(r["doc_id"])
+        assert sorted(per["A"]) == list(range(10))
+        assert sorted(per["B"]) == list(range(100, 110))  # greedy id-order prefix
+
+    def test_unlisted_sources_dropped(self, spark):
+        from ayeaye_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(1, "A", 5), (2, "Z", 5)], ["doc_id", "source", "toks"]
+        )
+        kept = sampling.domain_mix_budget(
+            df, group_col="source", id_col="doc_id", token_col="toks",
+            weights={"A": 1000},
+        ).collect()
+        assert [r["doc_id"] for r in kept] == [1]
