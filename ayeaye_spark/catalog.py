@@ -3296,6 +3296,88 @@ def docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "ws_tokens")
 
 
+@query(
+    "docs_gopher_filter",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({P.size('toks', DUCK)} AS BIGINT) AS n_words,
+           {P.mean_token_len_ppm('toks', DUCK)} AS mean_word_len_ppm,
+           {P.symbol_token_ppm('text', 'toks', DUCK)} AS symbol_ppm,
+           {P.bullet_line_ppm('text', DUCK)} AS bullet_ppm,
+           {P.ellipsis_line_ppm('text', DUCK)} AS ellipsis_ppm,
+           {P.alpha_token_ppm('toks', DUCK)} AS alpha_word_ppm,
+           CAST({P.stopword_hits_from_tokens('toks', 'en', DUCK)} AS BIGINT)
+             AS stop_hits,
+           {P.gopher_pass('text', 'toks', DUCK)} AS gopher_pass
+    FROM (SELECT doc_id, text, {P.tokens('text', DUCK)} AS toks FROM documents)
+    """,
+)
+def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality profile (Rae et al., arXiv:2112.11446 App.
+    A1.1): word-count bounds, mean word length, symbol-to-word ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction, stopword
+    presence — each as exact integer ppm plus the composed pass/fail.
+    One tokenization, one scan, no shuffle
+    (``operators/text.py:with_gopher_flags``)."""
+    return textops.with_gopher_flags(
+        load(spark, sf_dir, "documents"), "text"
+    ).select(
+        "doc_id", "n_words", "mean_word_len_ppm", "symbol_ppm", "bullet_ppm",
+        "ellipsis_ppm", "alpha_word_ppm", "stop_hits", "gopher_pass",
+    )
+
+
+shared_sql(
+    "events_trailing_7d",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(27,2))) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS sum_7d,
+           COUNT(*) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+             AS n_7d
+    FROM events
+    """,
+    needs=("events",),
+)
+# trailing-window notes: RANGE (value-based) frames are deterministic
+# under ties where ROWS frames are not — same-timestamp events always
+# share a frame, so no order-dependence; the decimal cast keeps the
+# running double sum exact (see ``dsum``).  One hash shuffle on user_id.
+
+
+@query("events_heavy_users_approx")  # sketch: no oracle by design
+def events_heavy_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Spark 4's ``approx_top_k`` sketch (space-saving
+    style, mergeable partial state — ONE pass, map-side combined, no
+    full groupBy materialization at 100 TB).  Approximate by design →
+    rows-only check; the exact twin ``events_heavy_users_exact`` is the
+    oracle-verified counterpart."""
+    _ensure_session_defaults(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("_hh_events")
+    return spark.sql(
+        """
+        SELECT t.item AS user_id, t.count AS n_events
+        FROM (SELECT explode(approx_top_k(user_id, 10)) AS t
+              FROM _hh_events)
+        """
+    )
+
+
+shared_sql(
+    "events_heavy_users_exact",
+    """
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id ASC LIMIT 10
+    """,
+    needs=("events",),
+)
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -502,3 +502,100 @@ def quality_score_ppm_from_tokens(s: str, toks: str, d: str) -> str:
 def fingerprint(s: str, d: str) -> str:
     """Rolling-hash document fingerprint over normalized text."""
     return char_hash(normalize_text(s, d), d)
+
+
+# ------------------------------------------------- quality rules (Gopher)
+# The repetition/format heuristics of Rae et al., "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher"
+# (arXiv:2112.11446, App. A1.1), re-expressed as exact integer ppm so
+# both engines agree bit-for-bit.  Thresholds live in the composed
+# predicate; each signal is also exposed on its own for profiling.
+
+
+def lines(s: str, d: str) -> str:
+    """Newline-split line array (trailing empties kept by both engines)."""
+    if d == SPARK:
+        return f"split({s}, chr(10))"
+    return f"string_split({s}, chr(10))"
+
+
+def rmatch(expr: str, pattern: str, d: str) -> str:
+    """Boolean regex containment predicate."""
+    pat = regex_lit(pattern, d)
+    if d == SPARK:
+        return f"({expr} rlike {pat})"
+    return f"regexp_matches({expr}, {pat})"
+
+
+def sum_token_len(toks: str, d: str) -> str:
+    """Σ length(token) as BIGINT (sequential integer fold)."""
+    return reduce_bigint(transform(toks, "t", "length(t)", d), 0, "acc + c", d)
+
+
+def mean_token_len_ppm(toks: str, d: str) -> str:
+    n = size(toks, d)
+    total = sum_token_len(toks, d)
+    ppm = int_div(f"({total}) * 1000000", f"({n})", d)
+    return f"(case when ({n}) = 0 then 0 else {ppm} end)"
+
+
+def symbol_token_ppm(s: str, toks: str, d: str) -> str:
+    """(# count + '...' count) per word, in ppm — Gopher's
+    symbol-to-word ratio."""
+    hashes = f"(length({s}) - length(replace({s}, '#', '')))"
+    ell = int_div(f"(length({s}) - length(replace({s}, '...', '')))", "3", d)
+    n = size(toks, d)
+    big = "bigint" if d == SPARK else "BIGINT"
+    ppm = int_div(f"cast({hashes} + ({ell}) as {big}) * 1000000", f"({n})", d)
+    return f"(case when ({n}) = 0 then 0 else {ppm} end)"
+
+
+def bullet_line_ppm(s: str, d: str) -> str:
+    """ppm of lines starting with a bullet marker ('- ', '* ', '• ')."""
+    ls = lines(s, d)
+    pred = ("ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %' "
+            "OR ltrim(l) LIKE '• %'")
+    big = "bigint" if d == SPARK else "BIGINT"
+    hits = size(filter_(ls, "l", f"({pred})", d), d)
+    n = size(ls, d)
+    ppm = int_div(f"cast({hits} as {big}) * 1000000", f"({n})", d)
+    return f"(case when ({n}) = 0 then 0 else {ppm} end)"
+
+
+def ellipsis_line_ppm(s: str, d: str) -> str:
+    """ppm of lines ending in '...' (or the single-char ellipsis)."""
+    ls = lines(s, d)
+    pred = "rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'"
+    big = "bigint" if d == SPARK else "BIGINT"
+    hits = size(filter_(ls, "l", f"({pred})", d), d)
+    n = size(ls, d)
+    ppm = int_div(f"cast({hits} as {big}) * 1000000", f"({n})", d)
+    return f"(case when ({n}) = 0 then 0 else {ppm} end)"
+
+
+def alpha_token_ppm(toks: str, d: str) -> str:
+    """ppm of tokens containing at least one letter (tokens are
+    lowercased upstream, so [a-z] suffices)."""
+    big = "bigint" if d == SPARK else "BIGINT"
+    hits = size(filter_(toks, "t", rmatch("t", "[a-z]", d), d), d)
+    n = size(toks, d)
+    ppm = int_div(f"cast({hits} as {big}) * 1000000", f"({n})", d)
+    return f"(case when ({n}) = 0 then 0 else {ppm} end)"
+
+
+def gopher_pass(s: str, toks: str, d: str) -> str:
+    """The composed Gopher document filter as one boolean expression
+    over a MATERIALIZED token-array column (tokenize once upstream):
+    word count in [50, 100000], mean word length in [3, 10], symbol
+    ratio <= 0.1, bullet lines < 90%, ellipsis lines < 30%, alphabetic
+    words >= 80%, and >= 2 English stopword hits."""
+    n = size(toks, d)
+    return (
+        f"(({n}) >= 50 AND ({n}) <= 100000"
+        f" AND {mean_token_len_ppm(toks, d)} BETWEEN 3000000 AND 10000000"
+        f" AND {symbol_token_ppm(s, toks, d)} <= 100000"
+        f" AND {bullet_line_ppm(s, d)} < 900000"
+        f" AND {ellipsis_line_ppm(s, d)} < 300000"
+        f" AND {alpha_token_ppm(toks, d)} >= 800000"
+        f" AND {stopword_hits_from_tokens(toks, 'en', d)} >= 2)"
+    )

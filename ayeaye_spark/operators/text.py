@@ -259,3 +259,34 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "term_df", "score_ppm", "rank")
     )
+
+
+def with_gopher_flags(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher-rule document profile (arXiv:2112.11446 App. A1.1): the
+    repetition/format signals as exact integer ppm plus the composed
+    pass/fail predicate.  Tokenizes ONCE (materialized ``_tokens``
+    column); one scan, no shuffle, every expression JVM-side."""
+    had = "_tokens" in df.columns
+    out = (
+        _with_tokens(df, text_col)
+        .withColumn("n_words", F.expr(P.size("_tokens", SPARK)).cast("bigint"))
+        .withColumn(
+            "mean_word_len_ppm", F.expr(P.mean_token_len_ppm("_tokens", SPARK))
+        )
+        .withColumn(
+            "symbol_ppm", F.expr(P.symbol_token_ppm(text_col, "_tokens", SPARK))
+        )
+        .withColumn("bullet_ppm", F.expr(P.bullet_line_ppm(text_col, SPARK)))
+        .withColumn("ellipsis_ppm", F.expr(P.ellipsis_line_ppm(text_col, SPARK)))
+        .withColumn(
+            "alpha_word_ppm", F.expr(P.alpha_token_ppm("_tokens", SPARK))
+        )
+        .withColumn(
+            "stop_hits",
+            F.expr(P.stopword_hits_from_tokens("_tokens", "en", SPARK)).cast("bigint"),
+        )
+        .withColumn(
+            "gopher_pass", F.expr(P.gopher_pass(text_col, "_tokens", SPARK))
+        )
+    )
+    return out if had else out.drop("_tokens")

@@ -1824,3 +1824,37 @@ class TestDomainMix:
             weights={"A": 1000},
         ).collect()
         assert [r["doc_id"] for r in kept] == [1]
+
+
+class TestGopherFlags:
+    def test_rules_flag_bad_docs(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        good = "the quick brown fox jumps over a lazy dog and " * 6  # 60 words, stopwords
+        bullets = "\n".join("- item one two three four five six seven" for _ in range(10))
+        short = "too short"
+        symbols = "the of " + "# " * 60
+        df = spark.createDataFrame(
+            [(1, good), (2, bullets), (3, short), (4, symbols)],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in
+                textops.with_gopher_flags(df, "text").collect()}
+        assert rows[1]["gopher_pass"] is True
+        assert rows[2]["gopher_pass"] is False          # 100% bullet lines
+        assert rows[2]["bullet_ppm"] == 1_000_000
+        assert rows[3]["gopher_pass"] is False          # word count < 50
+        assert rows[4]["gopher_pass"] is False          # symbol ratio > 10%
+        assert rows[4]["symbol_ppm"] > 100_000
+
+    def test_ellipsis_rule(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        doc = "\n".join(
+            ["the cat sat on a mat and looked far away..."] * 4
+            + ["a plain line of text for balance"] * 6
+        )
+        row = textops.with_gopher_flags(
+            spark.createDataFrame([(1, doc)], ["doc_id", "text"]), "text"
+        ).collect()[0]
+        assert row["ellipsis_ppm"] == 400_000  # 4 of 10 lines
