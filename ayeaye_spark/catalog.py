@@ -3378,6 +3378,33 @@ shared_sql(
 )
 
 
+@query(
+    "docs_chunk_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {P.tokens('text', DUCK)} AS toks FROM documents),
+    c AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) <= 32 THEN 1
+                      ELSE 1 + (len(toks) - 32 + 23) // 24 END AS nc
+          FROM t)
+    SELECT doc_id, k AS chunk_idx,
+           array_to_string(list_slice(toks, 1 + k * 24, k * 24 + 32), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(toks, 1 + k * 24, k * 24 + 32)) AS BIGINT)
+             AS n_tokens
+    FROM (SELECT doc_id, toks, unnest(range(0, nc)) AS k FROM c)
+    """,
+)
+def docs_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document split into 32-token
+    windows advancing by 24 (8-token overlap) — the training-sequence /
+    retrieval-indexing preparation step.  Exact integer chunk counts,
+    one tokenization, explode fan-out with NO shuffle
+    (``operators/text.py:chunk_documents``)."""
+    return textops.chunk_documents(
+        load(spark, sf_dir, "documents"), "doc_id", "text", chunk=32, step=24
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
@@ -3426,8 +3453,12 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "events_range_join_purchases",
     # user-space relational patterns (SURVEY §2.4)
     "events_extreme_by_type",
-    "orders_date_span_months",
-    "nation_customer_names",
+    # quality rules + embedding-space dedup (round-4 session additions —
+    # families the window previously lacked; the displaced relational
+    # variants orders_date_span_months / nation_customer_names remain
+    # oracle-gate-verified)
+    "docs_gopher_filter",
+    "dedup_semantic_survivors",
     # time windows / semi-structured (VARIANT)
     "events_hourly_window",
     "events_props_variant",

@@ -397,7 +397,12 @@ def domain_mix_budget(
     """
     if not weights:
         raise ValueError("weights must be non-empty")
-    scoped = df.where(F.col(group_col).isin(*weights.keys()))
+    # checkpoint the narrow (group, id, tokens) projection: the totals
+    # collect below is an ACTION, and without the cut the later cumsum
+    # plan would re-scan (and re-tokenize) the full corpus a second time
+    scoped = df.where(F.col(group_col).isin(*weights.keys())).localCheckpoint(
+        eager=False
+    )
     totals = {
         r[0]: r[1]
         for r in scoped.groupBy(group_col).agg(F.sum(token_col)).collect()

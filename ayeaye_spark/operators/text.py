@@ -290,3 +290,45 @@ def with_gopher_flags(df: DataFrame, text_col: str) -> DataFrame:
         )
     )
     return out if had else out.drop("_tokens")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk: int = 32,
+    step: int = 24,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap
+    (``chunk`` tokens advancing by ``step`` — overlap = chunk - step):
+    the context-window preparation step of a training pipeline, and the
+    chunking behind retrieval indexing.
+
+    Output: (id, chunk_idx, chunk_text, n_tokens); the final chunk is
+    the short remainder.  Chunk count is exact integer arithmetic
+    (``1 + (n - chunk + step - 1) div step`` past one chunk), so both
+    engines emit identical rows.  Scale shape: scan → one tokenization
+    → explode of the chunk-index sequence (fan-out ≈ n/step, data
+    stays in place, no shuffle at all).
+    """
+    if not 0 < step <= chunk:
+        raise ValueError(f"need 0 < step <= chunk, got step={step} chunk={chunk}")
+    toks = _with_tokens(df.select(id_col, text_col), text_col)
+    rem = chunk - step  # n - chunk + step - 1 == n - rem - 1... keep explicit
+    nc = (
+        f"CASE WHEN size(_tokens) <= {chunk} THEN 1 "
+        f"ELSE 1 + (size(_tokens) - {chunk} + {step - 1}) div {step} END"
+    )
+    out = toks.select(
+        id_col,
+        F.expr(f"explode(sequence(0, ({nc}) - 1))").alias("chunk_idx"),
+        "_tokens",
+    )
+    sl = f"slice(_tokens, 1 + chunk_idx * {step}, {chunk})"
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.expr(f"concat_ws(' ', {sl})").alias("chunk_text"),
+        F.expr(f"size({sl})").cast("bigint").alias("n_tokens"),
+    )

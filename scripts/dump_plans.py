@@ -136,6 +136,34 @@ HEADLINE = {
         "stop bound rides in the recursion row so no per-iteration re-scan of "
         "orders; the count join/aggregate are ordinary distributed ops."
     ),
+    "dedup_semantic_pairs": (
+        "one vectorized cell-assignment scan (centroids broadcast), then a "
+        "hash-shuffled self-join keyed on the cell id — candidate volume is "
+        "sum(|cell|^2), never |corpus|^2."
+    ),
+    "customer_upsert_merge": (
+        "MERGE INTO shape: one anti-join shuffle on the key + union; the "
+        "update side is the small one and AQE broadcasts it."
+    ),
+    "docs_seeded_shuffle": (
+        "md5 shuffle key computed in the scan projection; exact positions via "
+        "the two-phase prefix sum over 65536 contiguous key-prefix buckets — "
+        "no single-partition window anywhere."
+    ),
+    "docs_domain_mix": (
+        "per-domain running sums keyed on (source, id-bucket) — a plain "
+        "PARTITION BY source window would funnel each domain through one "
+        "partition; the per-(source,bucket) totals frame is tiny."
+    ),
+    "docs_gopher_filter": (
+        "pure scan + project: every rule is an integer-ppm expression over "
+        "one materialized token array; no shuffle, no second tokenization."
+    ),
+    "events_trailing_7d": (
+        "RANGE interval frame (value-based, tie-deterministic) over "
+        "(user_id, ts) — one shuffle on user_id; decimal-cast running sum "
+        "stays exact."
+    ),
 }
 
 

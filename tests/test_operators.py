@@ -1858,3 +1858,50 @@ class TestGopherFlags:
             spark.createDataFrame([(1, doc)], ["doc_id", "text"]), "text"
         ).collect()[0]
         assert row["ellipsis_ppm"] == 400_000  # 4 of 10 lines
+
+
+class TestChunkDocuments:
+    def test_chunks_cover_with_overlap(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        words = " ".join(f"w{i}" for i in range(85))  # 85 tokens
+        df = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+        rows = sorted(
+            textops.chunk_documents(df, "doc_id", "text", chunk=32, step=24).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        # 85 tokens -> starts 0,24,48,72: sizes 32,32,32,13 (remainder)
+        assert [r["n_tokens"] for r in rows] == [32, 32, 32, 13]
+        assert rows[0]["chunk_text"].startswith("w0 ")
+        assert rows[1]["chunk_text"].startswith("w24 ")
+        assert rows[3]["chunk_text"] == " ".join(f"w{i}" for i in range(72, 85))
+
+    def test_exact_cover_has_no_redundant_tail(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        # 80 tokens: start 48 reaches exactly 80, so no 4th chunk
+        words = " ".join(f"w{i}" for i in range(80))
+        df = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+        rows = textops.chunk_documents(df, "doc_id", "text", chunk=32, step=24).collect()
+        assert sorted(r["n_tokens"] for r in rows) == [32, 32, 32]
+
+    def test_short_and_empty_docs_get_one_chunk(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        df = spark.createDataFrame([(1, "only three words"), (2, "")],
+                                   ["doc_id", "text"])
+        rows = {(r["doc_id"], r["chunk_idx"]): r for r in
+                textops.chunk_documents(df, "doc_id", "text").collect()}
+        assert rows[(1, 0)]["n_tokens"] == 3
+        assert rows[(2, 0)]["n_tokens"] == 0
+        assert rows[(2, 0)]["chunk_text"] == ""
+        assert len(rows) == 2
+
+    def test_invalid_step_rejected(self, spark):
+        import pytest as _pt
+
+        from ayeaye_spark.operators import text as textops
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with _pt.raises(ValueError, match="step"):
+            textops.chunk_documents(df, "doc_id", "text", chunk=8, step=9)

@@ -416,3 +416,97 @@ class TestIvfPqPersistedSearchPlan:
         assert codes_scans, "expected a scan of the persisted codes table"
         for schema in codes_scans:
             assert "embedding" not in schema  # codes-only corpus side
+
+
+class TestSessionFourOperatorPlans:
+    """Plan shapes of the newest curation operators: distributed prefix
+    sums stay multi-partition, bucket joins stay non-cartesian, scans
+    stay single-pass."""
+
+    def _no_full_row_single_partition(self, plan: str):
+        for seg in plan.split("Exchange SinglePartition")[1:]:
+            assert "HashAggregate" in seg[:400], seg[:400]
+
+    def test_seeded_shuffle_no_global_window(self, spark):
+        from ayeaye_spark.operators import sampling
+
+        docs = load(spark, SF, "documents").select("doc_id")
+        plan = physical_plan(sampling.seeded_shuffle(docs, "doc_id", seed="s"))
+        assert "hashpartitioning(_cb" in plan  # parallel per-bucket window
+        self._no_full_row_single_partition(plan)
+
+    def test_domain_mix_no_per_source_partition_funnel(self, spark):
+        from ayeaye_spark.operators import sampling
+
+        docs = load(spark, SF, "documents").select(
+            "doc_id", "source", F.col("n_chars").alias("toks")
+        )
+        plan = physical_plan(
+            sampling.domain_mix_budget(
+                docs, group_col="source", id_col="doc_id", token_col="toks",
+                weights={"src0": 500, "src1": 500},
+            )
+        )
+        # the big window is keyed on (source, bucket), never source alone
+        assert "hashpartitioning(source" in plan
+        assert "_cb" in plan
+        self._no_full_row_single_partition(plan)
+
+    def test_semantic_dedup_is_bucket_join_not_cartesian(self, spark):
+        from ayeaye_spark.operators import similarity
+
+        emb = load(spark, SF, "embeddings")
+        plan = physical_plan(
+            similarity.semantic_dedup_pairs(
+                emb, emb.where(F.col("vec_id") % 50 == 0), threshold=0.4
+            )
+        )
+        assert "CartesianProduct" not in plan
+        assert "centroid_id" in plan  # equi-join key is the cell
+
+    def test_merge_upsert_no_cartesian_one_anti_join(self, spark):
+        from ayeaye_spark.operators.scd import merge_upsert
+
+        cust = load(spark, SF, "customer").select("c_custkey", "c_name")
+        upd = cust.where(F.col("c_custkey") % 10 == 3)
+        plan = physical_plan(merge_upsert(cust, upd, key="c_custkey"))
+        assert "CartesianProduct" not in plan
+        assert "LeftAnti" in plan
+
+    def test_gopher_flags_single_scan_no_shuffle(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        docs = load(spark, SF, "documents").select("doc_id", "text")
+        plan = physical_plan(textops.with_gopher_flags(docs, "text"))
+        assert "Exchange" not in plan  # pure scan + project
+        assert plan.count("FileScan") == 1
+
+
+class TestRuntimeBloomFilter:
+    """Spark's native runtime row-level filtering: a selective dim-side
+    predicate grows a bloom filter that prunes the fact scan BEFORE the
+    join shuffle — the built-in version of the classic 100 TB
+    'semi-join reduction' pattern (no hand-rolled bloom needed)."""
+
+    def test_bloom_filter_injected_for_selective_join(self, spark):
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            li = load(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+            o = load(spark, SF, "orders").where("o_totalprice > 400000").select("o_orderkey")
+            j = li.join(o, li.l_orderkey == o.o_orderkey)
+            plan = physical_plan(j)
+            assert "bloom_filter_agg" in plan      # built on the selective side
+            assert "BloomFilterMightContain" in plan or "might_contain" in plan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
