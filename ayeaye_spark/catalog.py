@@ -3405,6 +3405,67 @@ def docs_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+shared_sql(
+    "events_funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_buy
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_buy
+    """,
+    needs=("events",),
+)
+# funnel notes: strictly-ordered view→click→purchase per user via three
+# map-side-combined MIN aggregates chained by joins — no per-user
+# sequence materialization, no window over the event stream; each stage
+# halves (or better) the carried row set.  Deterministic: MIN(ts) only.
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id, CAST(ts AS DATE))
+    SELECT path, COUNT(*) AS n_user_days
+    FROM paths GROUP BY path
+    ORDER BY n_user_days DESC, path ASC LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: each user-day's exact ordered
+    event-type sequence (``operators/relational.py:event_paths`` —
+    sorted-struct aggregation, partition-order-independent where a bare
+    ``collect_list`` is not), then the 20 most common paths.  Two hash
+    shuffles: (user, day) grouping, then path counting with map-side
+    combine."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    paths = relational.event_paths(
+        ev,
+        group_cols=["user_id", "day"],
+        order_cols=["ts", "event_id"],
+        value_col="event_type",
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy(F.desc("n_user_days"), F.asc("path"))
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

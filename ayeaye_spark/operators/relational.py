@@ -464,3 +464,34 @@ def gapfill_interpolate(
         filled.alias("filled"),
         F.col(value_col).isNull().alias("is_interpolated"),
     )
+
+
+def event_paths(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "path",
+    sep: str = ",",
+) -> DataFrame:
+    """Ordered-sequence extraction: per group, the ``value_col`` values
+    concatenated in exact ``order_cols`` order (clickstream paths,
+    per-session event sequences, per-document span chains).
+
+    Determinism: the order key tuple must be total per group (include a
+    unique id as the last key); the aggregation collects (order-keys,
+    value) structs and sorts the ARRAY after collection — engine- and
+    partition-order-independent, unlike a bare ``collect_list``.  One
+    hash shuffle on the group key; per-group memory bounds the path
+    length (callers cap their windows — a day, a session).
+    """
+    struct_cols = [F.col(c) for c in order_cols] + [F.col(value_col).alias("_pv")]
+    gathered = df.groupBy(*group_cols).agg(
+        F.collect_list(F.struct(*struct_cols)).alias("_seq")
+    )
+    return gathered.select(
+        *group_cols,
+        F.expr(f"concat_ws('{sep}', transform(array_sort(_seq), x -> x._pv))")
+        .alias(out_col),
+    )

@@ -6,6 +6,8 @@ corpus comes out on any cluster size or engine):
 
 1. source-reputation cut (drop every document from sources whose MEAN
    quality is below the bar — the domain-level web filter);
+1b. Gopher format/repetition rules (arXiv:2112.11446: word-count and
+   word-length bounds, symbol/bullet/ellipsis ratios, stopword floor);
 2. exact-substring trim (drop documents mostly covered by 5-token
    spans shared with other documents — syndication/boilerplate);
 3. near-duplicate removal (MinHash LSH, vectorized signatures);
@@ -14,7 +16,9 @@ corpus comes out on any cluster size or engine):
    eval split;
 6. language rebalancing (stratified deterministic downsampling);
 7. quality-ranked token budgeting;
-8. training-sequence packing into fixed-token packs.
+8. training-sequence packing into fixed-token packs;
+9. seeded epoch ordering (md5 permutation of packs — a new seed is a
+   new epoch, the same seed replays bit-identically).
 
 Writes the packed corpus as parquet and a JSON stage-by-stage funnel
 manifest.  No reference counterpart (SURVEY §2.5 new capability) —
@@ -48,6 +52,7 @@ class TrainingCorpusPipeline(Model):
     pack_budget = 2048           # tokens per training sequence
     corpus_budget = 15_000       # total token budget after quality ranking
     en_keep_permille = 500       # downsample dominant language to 50%
+    epoch_seed = "epoch0"        # pack read-order permutation seed
     source_quality_bar = 600_000  # min MEAN source quality (ppm)
     max_dup_span_ppm = 500_000   # drop docs >=50% covered by shared spans
 
@@ -62,6 +67,14 @@ class TrainingCorpusPipeline(Model):
             docs, "text", "source", min_mean_ppm=self.source_quality_bar
         ).drop("quality_ppm", "source_mean_ppm")
         funnel["after_source_filter"] = docs.count()
+
+        # 1b. Gopher format/repetition rules: the per-document floor
+        # the domain-level filter cannot see
+        cols = docs.columns
+        docs = textops.with_gopher_flags(docs, "text").where(
+            F.col("gopher_pass")
+        ).select(*cols)
+        funnel["after_gopher_rules"] = docs.count()
 
         # 2. exact-substring trim: near-verbatim syndication and
         # template passages that survive document-level near-dup
@@ -113,6 +126,13 @@ class TrainingCorpusPipeline(Model):
         packed = sampling.pack_sequences(
             train, id_col="doc_id", token_col="ntok", budget=self.pack_budget
         ).select("doc_id", "lang", "ntok", "quality_ppm", "pack_id")
+
+        # 7. seeded epoch order: a deterministic md5 permutation of the
+        # PACKS (the training read order), joined back to the rows
+        epoch = sampling.seeded_shuffle(
+            packed.select("pack_id").distinct(), "pack_id", seed=self.epoch_seed,
+        ).select("pack_id", F.col("shuffle_pos").alias("epoch_pos"))
+        packed = packed.join(epoch, on="pack_id")
         self.packed_corpus.write(packed)
 
         funnel["n_packs"] = packed.select("pack_id").distinct().count()

@@ -170,6 +170,7 @@ def test_training_corpus_pipeline(spark, resolver, tmp_path):
     funnel = json.loads((tmp_path / "corpus_funnel.json").read_text())
     # monotone funnel: every stage only removes documents
     assert (funnel["input"] >= funnel["after_source_filter"]
+            >= funnel["after_gopher_rules"]
             >= funnel["after_span_trim"] >= funnel["after_dedup"]
             >= funnel["after_decontamination"] >= funnel["after_rebalance"]
             >= funnel["after_token_budget"] > 0)
@@ -178,6 +179,10 @@ def test_training_corpus_pipeline(spark, resolver, tmp_path):
     packed = spark.read.parquet(str(tmp_path / "packed_corpus.parquet"))
     assert packed.count() == funnel["after_token_budget"]
     assert funnel["n_packs"] >= 1
+    # epoch order: every pack got exactly one position in 1..n_packs
+    pos = sorted(r["epoch_pos"] for r in
+                 packed.select("pack_id", "epoch_pos").distinct().collect())
+    assert pos == list(range(1, funnel["n_packs"] + 1))
     # deterministic: a second run produces the identical doc set
     with resolver.context(
         docs_path="/root/testdata/sf0.001/documents.parquet",

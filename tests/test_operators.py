@@ -1905,3 +1905,27 @@ class TestChunkDocuments:
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with _pt.raises(ValueError, match="step"):
             textops.chunk_documents(df, "doc_id", "text", chunk=8, step=9)
+
+
+class TestEventPaths:
+    def test_order_is_exact_and_partition_independent(self, spark):
+        import datetime as dt
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 9), 3, "c"),
+            (1, dt.datetime(2024, 1, 1, 8), 1, "a"),
+            (1, dt.datetime(2024, 1, 1, 8), 2, "b"),   # same ts: id breaks tie
+            (2, dt.datetime(2024, 1, 1, 8), 4, "x"),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "etype"])
+        for parts in (1, 7):
+            got = {
+                r["user_id"]: r["path"]
+                for r in relational.event_paths(
+                    df.repartition(parts),
+                    group_cols=["user_id"],
+                    order_cols=["ts", "event_id"],
+                    value_col="etype",
+                ).collect()
+            }
+            assert got == {1: "a,b,c", 2: "x"}
