@@ -3466,6 +3466,136 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_quality_sql_udf",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(q) AS BIGINT) AS total_quality_ppm
+    FROM (SELECT lang, {P.quality_score_ppm('text', DUCK)} AS q FROM documents)
+    GROUP BY lang
+    """,
+)
+def docs_quality_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDF surface: the quality score packaged as ``CREATE
+    TEMPORARY FUNCTION ... RETURNS BIGINT RETURN <expr>`` — a DECLARED
+    function Catalyst inlines into the plan (whole-stage codegen, no
+    Python worker), i.e. the reusable-function story without the UDF
+    serialization tax.  Same expression text as the operator library,
+    so results stay oracle-exact."""
+    _ensure_session_defaults(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ayeaye_quality_ppm(s STRING) "
+        f"RETURNS BIGINT RETURN {P.quality_score_ppm('s', SPARK)}"
+    )
+    load(spark, sf_dir, "documents").createOrReplaceTempView("_sqludf_docs")
+    return spark.sql(
+        """
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(ayeaye_quality_ppm(text)) AS total_quality_ppm
+        FROM _sqludf_docs GROUP BY lang
+        """
+    )
+
+
+def _duck_ann_recall_oracle() -> str:
+    # compose the two already-verified oracles as CTEs: ground truth =
+    # brute-force top-5, candidate = IVF 1-probe top-5
+    return f"""
+    WITH brute AS ({ORACLES['ann_topk_brute']}),
+    ivf AS ({ORACLES['ann_topk_ivf']})
+    SELECT b.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) * 1000000 // 5 AS recall_ppm
+    FROM brute b LEFT JOIN ivf i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+    """
+
+
+@query("ann_ivf_recall", oracle=_duck_ann_recall_oracle())
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@5 of the IVF 1-probe
+    index against the brute-force ground truth — the metric that decides
+    nprobe/cell-count tuning before a corpus-wide ANN rollout.  Both
+    sides reuse the library operators (one corpus scan each, queries
+    broadcast); the join is on 50 candidate rows.  Exact integer ppm."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") % 50 == 0)
+    cells = similarity.assign_cells_vectorized(emb, centroids)
+    ivf = similarity.ivf_topk_from_cells(
+        cells, cells.where(F.col("vec_id") < 10), k=5
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    brute = similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5
+    ).select("query_id", "neighbor_id")
+    return (
+        brute.join(ivf, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits")
+        )
+        .withColumn("recall_ppm", F.expr("n_hits * 1000000 div 5"))
+    )
+
+
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts)
+               - LAG(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           SUM(gap_us) AS total_gap_us,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap profile (bot/burst detection, session
+    tuning): lag over the (ts, event_id) total order, aggregated in
+    EXACT integer epoch MICROseconds (``unix_micros``/``epoch_us`` —
+    second-granularity epoch functions disagree on sub-second rounding
+    across engines; microsecond integers never do).  One shuffle on user_id."""
+    _ensure_session_defaults(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("_gap_events")
+    return spark.sql(
+        """
+        WITH g AS (
+          SELECT user_id,
+                 unix_micros(ts)
+                   - LAG(unix_micros(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM _gap_events)
+        SELECT user_id,
+               COUNT(gap_us) AS n_gaps,
+               SUM(gap_us) AS total_gap_us,
+               MIN(gap_us) AS min_gap_us,
+               MAX(gap_us) AS max_gap_us
+        FROM g GROUP BY user_id
+        """
+    )
+
+
+shared_sql(
+    "events_deciles_by_type",
+    """
+    SELECT event_type, event_id, value,
+           NTILE(10) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS decile
+    FROM events
+    """,
+    needs=("events",),
+)
+# decile notes: NTILE over a TOTAL order (value ties broken by id) is
+# deterministic; partitioned by type, so no global single-partition
+# sort — the equal-frequency discretization step of feature pipelines.
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
