@@ -222,3 +222,46 @@ class TestPositionalShingleParity:
                 py = PY.shingle_hashes_positional(th, n).tolist()
                 assert py == srows[rid], f"spark n={n} rid={rid}"
                 assert py == drows[rid], f"duckdb n={n} rid={rid}"
+
+
+GOPHER_EXPRS = {
+    "mean_len": lambda d: P.mean_token_len_ppm(P.tokens("text", d), d),
+    "symbol": lambda d: P.symbol_token_ppm("text", P.tokens("text", d), d),
+    "bullet": lambda d: P.bullet_line_ppm("text", d),
+    "ellipsis": lambda d: P.ellipsis_line_ppm("text", d),
+    "alpha": lambda d: P.alpha_token_ppm(P.tokens("text", d), d),
+    "gopher": lambda d: P.gopher_pass("text", P.tokens("text", d), d),
+}
+
+
+@pytest.mark.parametrize("seed", [42, 11])
+def test_gopher_rule_expressions_match_across_engines(spark, seed):
+    texts = make_corpus(seed=seed)
+    # adversarial line structure for the line-based rules
+    texts += [
+        "- bullet one\n* bullet two\n• bullet three\nplain",
+        "trailing dots...\nmore…\nno dots",
+        "\n\n\n", "- \n* \n",
+        "# symbols # everywhere # the of and...",
+    ]
+    pdf = pd.DataFrame({"rid": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("gfuzz")
+    con = duckdb.connect()
+    con.register("gfuzz", pdf)
+
+    cols_s = ", ".join(f"{fn(P.SPARK)} AS {name}" for name, fn in GOPHER_EXPRS.items())
+    cols_d = ", ".join(f"{fn(P.DUCKDB)} AS {name}" for name, fn in GOPHER_EXPRS.items())
+    srows = {r["rid"]: r.asDict() for r in spark.sql(
+        f"SELECT rid, {cols_s} FROM gfuzz").collect()}
+    dcols = ["rid", *GOPHER_EXPRS]
+    drows = {r[0]: dict(zip(dcols, r)) for r in con.sql(
+        f"SELECT rid, {cols_d} FROM gfuzz").fetchall()}
+
+    mismatches = []
+    for rid, srow in srows.items():
+        for name in GOPHER_EXPRS:
+            if srow[name] != drows[rid][name]:
+                mismatches.append((rid, name, srow[name], drows[rid][name],
+                                   texts[rid][:60]))
+    assert not mismatches, f"{len(mismatches)} diffs; first: {mismatches[:5]}"
