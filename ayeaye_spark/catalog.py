@@ -3596,6 +3596,56 @@ shared_sql(
 # sort — the equal-frequency discretization step of feature pipelines.
 
 
+shared_sql(
+    "orders_yoy_growth",
+    """
+    WITH yearly AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS revenue_cents,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate))
+    SELECT order_year, revenue_cents, n_orders,
+           revenue_cents - LAG(revenue_cents) OVER (ORDER BY order_year)
+             AS yoy_delta_cents,
+           CASE WHEN LAG(revenue_cents) OVER (ORDER BY order_year) IS NULL
+                THEN NULL
+                ELSE (revenue_cents - LAG(revenue_cents) OVER (ORDER BY order_year))
+                     * 1000000 / LAG(revenue_cents) OVER (ORDER BY order_year)
+           END AS yoy_growth_ppm
+    FROM yearly
+    """,
+    needs=("orders",),
+)
+# YoY notes: o_totalprice is a DOUBLE holding a 2-decimal value — the
+# DECIMAL(18,2) cast (the dsum rule) makes the cents conversion exact
+# and engine-identical (bare double*100→BIGINT truncates in Spark but
+# rounds in DuckDB); cents are then EXACT BIGINTs, so deltas
+# and integer-ppm growth are engine-independent; the lag window runs
+# over the tiny per-year aggregate (#years rows), not the orders table.
+
+
+shared_sql(
+    "orders_segment_revenue_share",
+    """
+    WITH seg AS (
+      SELECT c.c_mktsegment,
+             SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS revenue_cents,
+             COUNT(*) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment)
+    SELECT c_mktsegment, revenue_cents, n_orders,
+           revenue_cents * 1000000 / SUM(revenue_cents) OVER () AS share_ppm
+    FROM seg
+    """,
+    needs=("orders", "customer"),
+)
+# ratio-to-report notes: the window-over-aggregate runs on 5 segment
+# rows.  `/` on BIGINTs is double division in BOTH engines; the
+# numerator is computed as an exact int64 product first, and the same
+# two integers convert+divide to the same IEEE double everywhere — so
+# the shares compare bit-exactly without a decimal detour.
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
