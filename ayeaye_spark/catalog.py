@@ -3646,6 +3646,59 @@ shared_sql(
 # the shares compare bit-exactly without a decimal detour.
 
 
+def _zorder_sql(d: str) -> str:
+    """One template, both dialects: quantize each key to 8 bits against
+    its max (integer division — exact, locality-preserving), then the
+    Morton interleave."""
+    xq = P.int_div("l_orderkey * 256", "mo + 1", d)
+    yq = P.int_div("l_suppkey * 256", "ms + 1", d)
+    key = P.zorder_key2("xq", "yq", 8, d)
+    return f"""
+    WITH m AS (SELECT MAX(l_orderkey) AS mo, MAX(l_suppkey) AS ms FROM lineitem),
+    q AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+                 {xq} AS xq, {yq} AS yq
+          FROM lineitem CROSS JOIN m)
+    SELECT l_orderkey, l_linenumber, l_suppkey, {key} AS zkey FROM q
+    """
+
+
+@query("lineitem_zorder_keys", oracle=_zorder_sql(DUCK))
+def lineitem_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over (l_orderkey, l_suppkey): the
+    multi-dimensional clustering key behind OPTIMIZE ZORDER-style data
+    skipping — a range-partitioned write on ``zkey`` gives every file a
+    tight min/max envelope on BOTH columns, so point/range filters on
+    either dimension skip most files on footer stats alone
+    (``functions/portable.py:zorder_key2``; layout effect pinned by
+    ``test_scale_plans.py::TestZOrderLayout``).  The max-bounds frame is
+    one broadcast row; the key itself is pure projection arithmetic."""
+    _ensure_session_defaults(spark)
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_zorder_sql(SPARK))
+
+
+shared_sql(
+    "events_kanonymity_audit",
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS k
+      FROM events GROUP BY event_type, CAST(ts AS DATE))
+    SELECT event_type,
+           COUNT(*) AS n_cells,
+           MIN(k) AS min_k,
+           SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS cells_below_5
+    FROM cells GROUP BY event_type
+    """,
+    needs=("events",),
+)
+# k-anonymity notes: the privacy audit before releasing joined/derived
+# data — every (quasi-identifier) cell's distinct-subject count, rolled
+# up to the re-identification risk summary.  Two map-side-combined
+# aggregates; the distinct-count stage shuffles (cell, user) pairs,
+# never raw events.
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -599,3 +599,29 @@ def gopher_pass(s: str, toks: str, d: str) -> str:
         f" AND {alpha_token_ppm(toks, d)} >= 800000"
         f" AND {stopword_hits_from_tokens(toks, 'en', d)} >= 2)"
     )
+
+
+# ------------------------------------------------------------ data layout
+def zorder_key2(x: str, y: str, bits: int, d: str) -> str:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    nonnegative integer expressions (x in even positions, y in odd).
+
+    Rows sorted by this key cluster in BOTH dimensions at once — the
+    multi-column data-skipping layout (Delta OPTIMIZE ZORDER's core):
+    a range-partitioned write on the key gives every file a tight
+    min/max envelope on x AND y, where a single-column sort only
+    tightens one.  Inputs must already be range-bucketized to
+    ``[0, 2^bits)`` (quantization preserves locality; a modulo would
+    destroy it)."""
+    _check(d)
+    terms = []
+    for b in range(bits):
+        if d == SPARK:
+            xb = f"(shiftright({x}, {b}) & 1)"
+            yb = f"(shiftright({y}, {b}) & 1)"
+        else:
+            xb = f"(({x} >> {b}) & 1)"
+            yb = f"(({y} >> {b}) & 1)"
+        terms.append(f"({xb} * {1 << (2 * b)})")
+        terms.append(f"({yb} * {1 << (2 * b + 1)})")
+    return "(" + " + ".join(terms) + ")"

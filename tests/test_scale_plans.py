@@ -510,3 +510,54 @@ class TestRuntimeBloomFilter:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestZOrderLayout:
+    """Morton-key clustered writes tighten per-file min/max envelopes on
+    BOTH interleaved dimensions — the data-skipping property a
+    single-column sort only delivers for its one column."""
+
+    def _file_spreads(self, path, col):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        spreads = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            stats = [
+                md.row_group(rg).column(i).statistics
+                for rg in range(md.num_row_groups)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == col
+            ]
+            spreads.append(max(s.max for s in stats) - min(s.min for s in stats))
+        return spreads
+
+    def test_zorder_write_clusters_both_dims(self, spark, tmp_path):
+        from ayeaye_spark.catalog import QUERIES
+
+        keyed = QUERIES["lineitem_zorder_keys"](spark, SF)
+        (keyed.repartitionByRange(8, "zkey")
+              .sortWithinPartitions("zkey")
+              .write.parquet(f"{tmp_path}/z"))
+        # single-dim baseline: range-sorted by orderkey only
+        (keyed.repartitionByRange(8, "l_orderkey")
+              .sortWithinPartitions("l_orderkey")
+              .write.parquet(f"{tmp_path}/o"))
+
+        stats = keyed.agg(
+            F.max("l_orderkey"), F.min("l_orderkey"),
+            F.max("l_suppkey"), F.min("l_suppkey"),
+        ).first()
+        ospread = stats[0] - stats[1]
+        sspread = stats[2] - stats[3]
+
+        z_o = self._file_spreads(f"{tmp_path}/z", "l_orderkey")
+        z_s = self._file_spreads(f"{tmp_path}/z", "l_suppkey")
+        base_s = self._file_spreads(f"{tmp_path}/o", "l_suppkey")
+        # both dims cluster under the z-key...
+        assert sum(z_o) / len(z_o) <= 0.6 * ospread
+        assert sum(z_s) / len(z_s) <= 0.6 * sspread
+        # ...while the single-column sort leaves the second dim unclustered
+        assert sum(base_s) / len(base_s) > 0.9 * sspread
