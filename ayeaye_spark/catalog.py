@@ -3699,6 +3699,27 @@ shared_sql(
 # never raw events.
 
 
+@query(
+    "docs_lang_token_totals_arrow",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM({P.size(P.tokens('text', DUCK), DUCK)}) AS BIGINT)
+             AS total_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def docs_lang_token_totals_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``applyInArrow`` modality (Arrow-native grouped UDF, no
+    pandas conversion): per-language doc/token totals with token counts
+    computed JVM-side so only constant-width (lang, count) rows cross
+    the Python boundary (``operators/text.py:lang_token_totals_arrow``).
+    Exact integers; the built-in groupBy twin is the production path —
+    this pins the modality against it."""
+    return textops.lang_token_totals_arrow(
+        load(spark, sf_dir, "documents"), "text"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

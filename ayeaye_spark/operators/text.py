@@ -332,3 +332,36 @@ def chunk_documents(
         F.expr(f"concat_ws(' ', {sl})").alias("chunk_text"),
         F.expr(f"size({sl})").cast("bigint").alias("n_tokens"),
     )
+
+
+def lang_token_totals_arrow(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-language doc/token totals via ``applyInArrow`` — the
+    Arrow-NATIVE grouped modality Spark 4 adds beside the five Pandas
+    ones: the UDF receives each group as a ``pyarrow.Table`` (no
+    pandas conversion at all), computes with ``pyarrow.compute``, and
+    returns a Table.  Exact integer math → oracle-comparable; the
+    built-in-aggregate twin is the hot path, this pins the modality.
+
+    Scale shape: tokens counted in the scan projection (JVM), so the
+    Arrow worker only sees (lang, n_tokens) pairs — one shuffle on the
+    group key, constant-width rows through the Python boundary.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    narrow = _with_tokens(df, text_col).select(
+        "lang", F.expr(P.size("_tokens", SPARK)).cast("long").alias("_nt")
+    )
+
+    def agg(table: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n_docs": [table.num_rows],
+                "total_tokens": [pc.sum(table.column("_nt")).as_py() or 0],
+            }
+        )
+
+    return narrow.groupBy("lang").applyInArrow(
+        agg, schema="lang string, n_docs long, total_tokens long"
+    )

@@ -164,6 +164,32 @@ HEADLINE = {
         "(user_id, ts) — one shuffle on user_id; decimal-cast running sum "
         "stays exact."
     ),
+    "events_funnel_conversion": (
+        "ordered view→click→purchase funnel as three chained map-side-"
+        "combined MIN aggregates — no per-user sequence materialization, "
+        "each stage shrinks the carried row set."
+    ),
+    "events_top_paths": (
+        "sorted-struct path aggregation (partition-order-independent), then "
+        "a map-side-combined path count; two hash shuffles total."
+    ),
+    "ann_ivf_recall": (
+        "both sides reuse the library operators (one corpus scan each, "
+        "queries broadcast); the recall join touches 50 candidate rows."
+    ),
+    "lineitem_zorder_keys": (
+        "max-bounds frame is one broadcast row; the Morton key is pure "
+        "projection arithmetic — the expensive part (clustered write) is a "
+        "range partition on the key, tested in TestZOrderLayout."
+    ),
+    "docs_chunk_sequences": (
+        "scan → one tokenization → explode of the chunk-index sequence; "
+        "fan-out ≈ n/step with data in place, no shuffle at all."
+    ),
+    "events_kanonymity_audit": (
+        "two map-side-combined aggregates; the distinct stage shuffles "
+        "(cell, user) pairs, never raw events."
+    ),
 }
 
 
