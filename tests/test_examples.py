@@ -334,3 +334,31 @@ def test_pq_index_lifecycle(spark, resolver, tmp_path):
     got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
     expected = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in want.collect()}
     assert got == expected and len(got) == 50
+
+
+def test_daily_analytics_report(spark, resolver, tmp_path):
+    from examples.analytics_report import DailyAnalyticsReport
+
+    with resolver.context(
+        events_path="/root/testdata/sf0.001/events.parquet",
+        output_path=str(tmp_path),
+    ):
+        assert DailyAnalyticsReport().go()
+
+    import json
+
+    rep = json.loads((tmp_path / "analytics_report.json").read_text())
+    f = rep["funnel"]
+    assert f["view"] >= f["view_click"] >= f["view_click_buy"] >= 0
+    assert len(rep["top_paths"]) == 5
+    assert rep["kanonymity"]["n_cells"] > 0
+    daily = spark.read.parquet(str(tmp_path / "daily_metrics.parquet"))
+    assert daily.count() == rep["days"]
+    # reproducible bit-for-bit
+    with resolver.context(
+        events_path="/root/testdata/sf0.001/events.parquet",
+        output_path=str(tmp_path / "run2"),
+    ):
+        assert DailyAnalyticsReport().go()
+    rep2 = json.loads((tmp_path / "run2" / "analytics_report.json").read_text())
+    assert rep2 == rep

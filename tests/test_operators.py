@@ -1929,3 +1929,23 @@ class TestEventPaths:
                 ).collect()
             }
             assert got == {1: "a,b,c", 2: "x"}
+
+
+class TestMergeUpsertSeededCrossCheck:
+    def test_matches_python_reference_on_random_batches(self, spark):
+        import random
+
+        from ayeaye_spark.operators.scd import merge_upsert
+
+        rng = random.Random(1234)
+        for trial in range(3):
+            tgt = {k: (k, f"n{k}", rng.randint(0, 99))
+                   for k in rng.sample(range(50), rng.randint(5, 30))}
+            upd_keys = rng.sample(range(60), rng.randint(1, 20))
+            upd = {k: (k, f"u{k}", rng.randint(100, 199)) for k in upd_keys}
+            expect = sorted({**tgt, **upd}.values())
+
+            target = spark.createDataFrame(list(tgt.values()), ["k", "name", "v"])
+            updates = spark.createDataFrame(list(upd.values()), ["k", "name", "v"])
+            got = sorted(map(tuple, merge_upsert(target, updates, key="k").collect()))
+            assert got == expect, f"trial {trial}"
