@@ -3720,6 +3720,86 @@ def docs_lang_token_totals_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*),
+           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_orderdate),
+           CAST(MIN(o_orderdate) AS VARCHAR),
+           CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    """,
+)
+def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling summary (nulls / distincts / min / max
+    per column, long format) — the pre/post-load dataset health check
+    (``operators/relational.py:table_profile``).  A single aggregate row
+    computes every column's stats with map-side combine, then a tiny
+    ``stack``; the oracle's per-column UNION reads the table once per
+    column — at scale the single-pass shape is the point."""
+    return relational.table_profile(
+        load(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderstatus", "o_orderdate"],
+    )
+
+
+@query(
+    "orders_ship_lag_stats",
+    oracle="""
+    WITH lag AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate, MIN(l.l_shipdate)) AS lag_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate)
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           MIN(lag_days) AS min_lag,
+           MAX(lag_days) AS max_lag,
+           SUM(lag_days) AS total_lag_days
+    FROM lag GROUP BY o_orderpriority
+    """,
+)
+def orders_ship_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment lag per priority class: integer day
+    differences (exact on both engines — the dialects differ only in
+    argument order, ``datediff(end, start)`` vs ``date_diff('day',
+    start, end)``), aggregated with min/max/total so no float mean is
+    compared.  One join shuffle on orderkey + two map-side-combined
+    aggregates."""
+    _ensure_session_defaults(spark)
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        WITH lag AS (
+          SELECT o.o_orderpriority,
+                 datediff(MIN(l.l_shipdate), o.o_orderdate) AS lag_days
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate)
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               MIN(lag_days) AS min_lag,
+               MAX(lag_days) AS max_lag,
+               SUM(lag_days) AS total_lag_days
+        FROM lag GROUP BY o_orderpriority
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

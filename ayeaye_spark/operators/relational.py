@@ -495,3 +495,40 @@ def event_paths(
         F.expr(f"concat_ws('{sep}', transform(array_sort(_seq), x -> x._pv))")
         .alias(out_col),
     )
+
+
+def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-profiling summary in long format: one row per requested
+    column with ``(col_name, n_rows, n_nulls, n_distinct, min_value,
+    max_value)`` — the dataset health check a pipeline runs before and
+    after a load (the reference exposes per-run counters;
+    ``model.py:108`` ``add_stat`` — this is the columnar equivalent).
+
+    min/max are cast to string for a uniform schema: pass integer,
+    string, or date columns (float formatting is not cross-engine
+    portable; profile floats via explicit quantile queries instead).
+
+    Scale shape: ONE pass — a single aggregate row computing every
+    column's stats with map-side combine (distincts via
+    ``count_distinct``, a full shuffle of distinct values per column),
+    exploded driver-side into the long format via a tiny stack.  No
+    per-column scans.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )
