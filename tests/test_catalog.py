@@ -157,6 +157,8 @@ class TestCorrectnessWindow:
             "scd2": {"customer_segment_scd2"},
             "recursive_cte": {"orders_monthly_gapless"},
             "salted_agg": {"events_salted_type_counts"},
+            "quality_rules": {"docs_gopher_filter"},
+            "semantic_dedup": {"dedup_semantic_survivors"},
         }
         for family, members in families.items():
             assert members <= window, f"{family}: {members - window} outside window"
