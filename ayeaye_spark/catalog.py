@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from .functions import portable as P
 from .operators import dedup, relational, sampling, similarity
 from .operators import text as textops
+from .plans import checks
 
 SPARK, DUCK = P.SPARK, P.DUCKDB
 
@@ -3797,6 +3798,36 @@ def orders_ship_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(lag_days) AS total_lag_days
         FROM lag GROUP BY o_orderpriority
         """
+    )
+
+
+_EXPECTATION_RULES = {
+    "orderkey_not_null": "o_orderkey IS NOT NULL",
+    "totalprice_positive": "o_totalprice > 0",
+    "orderdate_in_range": "o_orderdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31'",
+    "status_in_domain": "o_orderstatus IN ('O', 'F', 'P')",
+}
+
+
+@query(
+    "orders_expectations",
+    oracle="\n    UNION ALL\n".join(
+        f"""SELECT '{name}' AS rule,
+           SUM(CASE WHEN {pred} THEN 0 ELSE 1 END) AS n_violations
+    FROM orders"""
+        for name, pred in _EXPECTATION_RULES.items()
+    ),
+)
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the assertion layer a
+    pipeline runs before trusting a load): row-level predicates →
+    violation counts, ALL computed in one aggregate pass over one scan
+    (``plans/checks.py:expectation_report``); the oracle's per-rule
+    UNION shows the multi-scan shape the operator avoids.  NULL
+    predicate results count as violations in both engines (CASE falls
+    through identically)."""
+    return checks.expectation_report(
+        load(spark, sf_dir, "orders"), _EXPECTATION_RULES
     )
 
 

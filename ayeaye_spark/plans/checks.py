@@ -77,3 +77,30 @@ def observed(df: DataFrame, name: str, **metrics: Any) -> tuple[DataFrame, Obser
     obs = Observation(name)
     exprs = [v.alias(k) for k, v in metrics.items()]
     return df.observe(obs, *exprs), obs
+
+
+def expectation_report(df: DataFrame, rules: dict[str, str]) -> DataFrame:
+    """Declarative data-quality expectations in ONE pass: ``rules`` maps
+    a rule name to a boolean SQL predicate that each ROW must satisfy;
+    the report has one row per rule with its violation count (0 = the
+    expectation holds).
+
+    The row-level counts compute as conditional sums inside a single
+    aggregate (map-side combined — one scan however many rules), then a
+    tiny ``stack`` to long format.  Uniqueness and other set-level
+    expectations are separate queries by nature (they aggregate before
+    judging); compose them with :func:`assert_no_rows`.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.sum(F.when(F.expr(pred), 0).otherwise(1)).alias(f"_r{i}")
+        for i, pred in enumerate(rules.values())
+    ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', _r{i}" for i, name in enumerate(rules)
+    )
+    return one.selectExpr(
+        f"stack({len(rules)}, {stack}) AS (rule, n_violations)"
+    )

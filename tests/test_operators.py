@@ -1949,3 +1949,28 @@ class TestMergeUpsertSeededCrossCheck:
             updates = spark.createDataFrame(list(upd.values()), ["k", "name", "v"])
             got = sorted(map(tuple, merge_upsert(target, updates, key="k").collect()))
             assert got == expect, f"trial {trial}"
+
+
+class TestExpectationReport:
+    def test_counts_violations_in_one_pass(self, spark):
+        from ayeaye_spark.plans.checks import expectation_report
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, -5), (None, 3), (4, None)], ["k", "v"]
+        )
+        got = {r["rule"]: r["n_violations"] for r in expectation_report(
+            df, {"k_not_null": "k IS NOT NULL", "v_positive": "v > 0"}
+        ).collect()}
+        # NULL predicate result counts as a violation (v > NULL)
+        assert got == {"k_not_null": 1, "v_positive": 2}
+
+    def test_single_scan_plan(self, spark):
+        from ayeaye_spark.catalog import load
+        from ayeaye_spark.plans.checks import expectation_report
+        from tests.conftest import SF_SMALL
+
+        plan = expectation_report(
+            load(spark, SF_SMALL, "orders"),
+            {"a": "o_orderkey IS NOT NULL", "b": "o_totalprice > 0"},
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan") == 1
