@@ -3831,6 +3831,50 @@ def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_merge_diff",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal,
+             'UPDATED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal,
+             'INSERTED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 100 = 7
+    ),
+    merged AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM upd
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM customer o FULL OUTER JOIN merged n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR NOT (o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+               AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
+    """,
+)
+def customer_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style diff between a dimension and its MERGE result
+    (``operators/relational.py:table_diff``): one null-safe full outer
+    join on the key emits only the churn — here exactly the updated
+    (``changed``) and inserted (``added``) keys the upsert batch
+    touched, which the test in ``tests/test_operators.py`` pins."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    merged = QUERIES["customer_upsert_merge"](spark, sf_dir)
+    return relational.table_diff(
+        cust, merged, key="c_custkey",
+        compare_cols=["c_acctbal", "c_mktsegment"],
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -532,3 +532,41 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {stack}) AS "
         "(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-data report between two versions of a keyed table:
+    one row per differing key with ``change_type`` ∈ {'added',
+    'removed', 'changed'} — the audit/CDC surface a pipeline emits when
+    rewriting a dimension without a transactional format's change feed.
+
+    Null-safe comparison (``<=>``) so NULL→value and value→NULL count
+    as changes, matching every CDC tool's semantics.  One full outer
+    join on the key (single shuffle each side); unchanged keys drop out
+    in the same stage, so the output is proportional to the churn, not
+    the table.
+    """
+    o = old.select(key, *compare_cols).alias("o")
+    n = new.select(key, *compare_cols).alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (
+        F.when(F.col(f"o.{key}").isNull(), F.lit("added"))
+        .when(F.col(f"n.{key}").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))  # else NULL = unchanged, dropped
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+            change.alias("change_type"),
+        )
+        .where(F.col("change_type").isNotNull())
+    )

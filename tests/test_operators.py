@@ -1974,3 +1974,25 @@ class TestExpectationReport:
             {"a": "o_orderkey IS NOT NULL", "b": "o_totalprice > 0"},
         )._jdf.queryExecution().executedPlan().toString()
         assert plan.count("FileScan") == 1
+
+
+class TestTableDiff:
+    def test_added_removed_changed_and_null_safety(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, "d", 40)],
+            ["k", "name", "v"],
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10),        # unchanged -> dropped
+             (2, "b", 20),        # NULL -> value = changed
+             (3, "c", None),      # value -> NULL = changed
+             (5, "e", 50)],       # added; 4 removed
+            ["k", "name", "v"],
+        )
+        got = sorted(
+            (r["k"], r["change_type"])
+            for r in relational.table_diff(
+                old, new, key="k", compare_cols=["name", "v"]
+            ).collect()
+        )
+        assert got == [(2, "changed"), (3, "changed"), (4, "removed"), (5, "added")]
