@@ -3875,6 +3875,32 @@ def customer_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_user_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+    top AS (SELECT c FROM counts ORDER BY c DESC, user_id ASC LIMIT 10),
+    tot AS (SELECT SUM(c) AS n_rows, COUNT(*) AS n_keys, MAX(c) AS max_key_rows
+            FROM counts),
+    tk AS (SELECT SUM(c) AS topk_rows FROM top)
+    SELECT n_rows, n_keys, max_key_rows,
+           max_key_rows * 1000000 // n_rows AS top1_ppm,
+           topk_rows * 1000000 // n_rows AS top10_ppm
+    FROM tot CROSS JOIN tk
+    """,
+)
+def events_user_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis for the user_id key — the one-row report that
+    decides salting / AQE-skew-split / broadcast strategy before a big
+    join or agg (``operators/relational.py:skew_report``).  The only
+    real shuffle carries one row per distinct key (map-side combine);
+    shares are exact integer ppm."""
+    return relational.skew_report(
+        load(spark, sf_dir, "events"), ["user_id"], top_k=10
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -570,3 +570,31 @@ def table_diff(
         )
         .where(F.col("change_type").isNotNull())
     )
+
+
+def skew_report(df: DataFrame, key_cols: list[str], *, top_k: int = 10) -> DataFrame:
+    """Key-skew diagnosis: the numbers that decide whether a join/agg
+    on these keys needs salting, AQE skew splits, or a broadcast —
+    total rows, distinct keys, the heaviest key's share and the top-k
+    keys' combined share (exact integer ppm).
+
+    One map-side-combined count aggregate (the only shuffle carries one
+    row per distinct key), then two tiny reductions over the count
+    frame.  Run it on a sample or the full table; the output is one
+    row."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_c"))
+    counts = counts.localCheckpoint(eager=False)  # reused 3× below
+    top = counts.orderBy(F.desc("_c"), *[F.asc(c) for c in key_cols]).limit(top_k)
+    total = counts.agg(
+        F.sum("_c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("_c").alias("max_key_rows"),
+    )
+    topk_sum = top.agg(F.sum("_c").alias("topk_rows"))
+    return total.crossJoin(topk_sum).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.expr("max_key_rows * 1000000 div n_rows").alias("top1_ppm"),
+        F.expr("topk_rows * 1000000 div n_rows").alias(f"top{top_k}_ppm"),
+    )
