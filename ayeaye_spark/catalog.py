@@ -3901,6 +3901,39 @@ def events_user_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_udtf_token_positions",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         w -> w <> '') AS ws
+      FROM documents WHERE doc_id < 10)
+    SELECT doc_id, unnest(ws) AS word,
+           CAST(unnest(range(0, len(ws))) AS INT) AS pos
+    FROM s
+    """,
+)
+def docs_udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface in the acceptance catalog: the registered
+    Arrow-optimized ``split_tokens`` table function applied via LATERAL
+    (``functions/udtf_registry.py:SplitTokens``) — one row per token
+    with its position.  The built-in posexplode twin is the hot path
+    (documented on the class); this pins the UDTF modality's results
+    against the oracle on a bounded probe set."""
+    from .functions.udtf_registry import register_udtfs
+
+    _ensure_session_defaults(spark)
+    register_udtfs(spark)
+    load(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 10
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.word, s.pos "
+        "FROM _udtf_docs d, LATERAL split_tokens(d.text) s"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
