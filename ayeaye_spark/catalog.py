@@ -3934,6 +3934,45 @@ def docs_udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_incremental_daily_value",
+    # the oracle is the FULL recompute — the merged incremental result
+    # must equal it exactly, which is the operator's contract
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def events_incremental_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance
+    (``operators/relational.py:incremental_agg_merge``): the daily
+    rollup is split at a cutoff into a 'persisted' aggregate and a
+    late-arriving batch, then the batch's partial aggregate folds in
+    WITHOUT rescanning history.  The oracle is the full recompute —
+    exact equality (decimal sums) IS the operator's contract."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(27,2)")).alias("_dec_value"),
+        )
+
+    cutoff = "2024-01-20"
+    prev = daily(ev.where(F.col("day") < F.lit(cutoff)))
+    late = daily(ev.where(F.col("day") >= F.lit(cutoff)))
+    merged = relational.incremental_agg_merge(
+        prev, late, keys=["day"], count_col="n_rows", sum_cols=["_dec_value"]
+    )
+    return merged.select(
+        "day", "n_rows", F.col("_dec_value").cast("double").alias("total_value")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -598,3 +598,31 @@ def skew_report(df: DataFrame, key_cols: list[str], *, top_k: int = 10) -> DataF
         F.expr("max_key_rows * 1000000 div n_rows").alias("top1_ppm"),
         F.expr("topk_rows * 1000000 div n_rows").alias(f"top{top_k}_ppm"),
     )
+
+
+def incremental_agg_merge(
+    prev: DataFrame,
+    increment: DataFrame,
+    *,
+    keys: list[str],
+    count_col: str = "n_rows",
+    sum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Materialized-aggregate maintenance: fold a new batch's partial
+    aggregate into a previously persisted one WITHOUT rescanning
+    history — ``merged = re-agg(prev ∪ partial(increment))`` is exact
+    for distributive aggregates (counts, sums; min/max likewise —
+    extend as needed).
+
+    Both inputs carry ``keys + count_col + sum_cols``.  The shuffle is
+    proportional to |distinct keys in prev| + |increment| — at 100 TB
+    the history table never gets re-read, which is the entire point;
+    the equality with a full recompute is pinned by the catalog oracle.
+    """
+    sum_cols = sum_cols or []
+    cols = [*keys, count_col, *sum_cols]
+    both = prev.select(*cols).unionByName(increment.select(*cols))
+    aggs = [F.sum(count_col).alias(count_col)] + [
+        F.sum(c).alias(c) for c in sum_cols
+    ]
+    return both.groupBy(*keys).agg(*aggs)
