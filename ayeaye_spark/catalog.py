@@ -3973,6 +3973,54 @@ def events_incremental_daily_value(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _duck_dedup_agreement_oracle() -> str:
+    return f"""
+    WITH mh AS ({ORACLES['dedup_minhash_lsh_pairs']}),
+    sh AS ({ORACLES['dedup_simhash_near_pairs']}),
+    m AS (SELECT doc_id_a, doc_id_b FROM mh),
+    s2 AS (SELECT doc_id_a, doc_id_b FROM sh)
+    SELECT CASE WHEN s2.doc_id_a IS NULL THEN 'minhash_only'
+                WHEN m.doc_id_a IS NULL THEN 'simhash_only'
+                ELSE 'both' END AS found_by,
+           COUNT(*) AS n_pairs
+    FROM m FULL OUTER JOIN s2
+      ON m.doc_id_a = s2.doc_id_a AND m.doc_id_b = s2.doc_id_b
+    GROUP BY 1
+    """
+
+
+@query("dedup_method_agreement", oracle=_duck_dedup_agreement_oracle())
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method evaluation: how the MinHash-LSH and SimHash pair
+    sets overlap (both / only-one counts) — the comparison a curation
+    team runs when choosing thresholds, analogous to ``ann_ivf_recall``
+    on the vector side.  Reuses the exact catalog entries (same
+    parameters as their oracles); one full outer join over the two
+    candidate-pair sets, grouped into a 3-row report."""
+    mh = QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
+        "doc_id_a", "doc_id_b"
+    ).alias("m")
+    sh = QUERIES["dedup_simhash_near_pairs"](spark, sf_dir).select(
+        "doc_id_a", "doc_id_b"
+    ).alias("s")
+    joined = mh.join(
+        sh,
+        (F.col("m.doc_id_a") == F.col("s.doc_id_a"))
+        & (F.col("m.doc_id_b") == F.col("s.doc_id_b")),
+        "full_outer",
+    )
+    return (
+        joined.select(
+            F.when(F.col("s.doc_id_a").isNull(), F.lit("minhash_only"))
+            .when(F.col("m.doc_id_a").isNull(), F.lit("simhash_only"))
+            .otherwise(F.lit("both"))
+            .alias("found_by")
+        )
+        .groupBy("found_by")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

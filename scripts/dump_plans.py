@@ -190,6 +190,28 @@ HEADLINE = {
         "two map-side-combined aggregates; the distinct stage shuffles "
         "(cell, user) pairs, never raw events."
     ),
+    "orders_table_profile": (
+        "single aggregate row computes every column's nulls/distincts/min/max "
+        "in ONE scan (the oracle's per-column UNION is the shape avoided); "
+        "stack() explodes the tiny row."
+    ),
+    "orders_expectations": (
+        "all rule predicates fold into one map-side-combined aggregate over "
+        "one scan; adding a rule adds a column, not a pass."
+    ),
+    "customer_merge_diff": (
+        "null-safe full outer join on the key — output proportional to the "
+        "churn; unchanged keys drop in the same stage."
+    ),
+    "events_user_skew_report": (
+        "the only real shuffle carries one row per distinct key; the report "
+        "reductions run over that count frame."
+    ),
+    "events_incremental_daily_value": (
+        "history is the persisted aggregate, never rescanned; the merge "
+        "re-aggregates prev ∪ increment-partial — shuffle proportional to "
+        "churn, decimal sums keep it exact."
+    ),
 }
 
 
