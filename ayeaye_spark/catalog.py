@@ -4021,6 +4021,21 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_gopher_vectorized",
+    oracle=ORACLES["docs_gopher_filter"],
+)
+def docs_gopher_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same results as ``docs_gopher_filter`` (same oracle, bit-equal
+    integers) via ONE Arrow pass per document
+    (``operators/text.py:gopher_vectorized``): the expression chain
+    re-traverses the token array per rule, the vectorized twin
+    tokenizes once — the scale path when the rule set grows."""
+    return textops.gopher_vectorized(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

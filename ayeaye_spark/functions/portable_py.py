@@ -163,3 +163,60 @@ def quality_score_ppm(text: str, toks: list[str]) -> int:
     m = min(tc, 64)
     num = 256 * la * tc + 192 * h * ls + 3 * m * ls * tc
     return (num * 1_000_000) // (640 * ls * tc)
+
+
+# ---------------------------------------------------- Gopher rule twins
+# Bit-parity contracts with functions.portable's SQL renderings (fuzz-
+# tested): `ltrim`/`rtrim` in both SQL dialects strip SPACES only, so
+# the twins use strip(' '), never Python's all-whitespace strip; the
+# alpha check is ASCII [a-z] over the already-lowercased tokens.
+
+_BULLETS = ("- ", "* ", "• ")
+
+
+def mean_token_len_ppm(toks: list[str]) -> int:
+    n = len(toks)
+    return (sum(len(t) for t in toks) * 1_000_000) // n if n else 0
+
+
+def symbol_token_ppm(text: str, toks: list[str]) -> int:
+    n = len(toks)
+    if not n:
+        return 0
+    return ((text.count("#") + text.count("...")) * 1_000_000) // n
+
+
+def bullet_line_ppm(text: str) -> int:
+    lines = text.split("\n")
+    hits = sum(1 for l in lines if l.lstrip(" ").startswith(_BULLETS))
+    return (hits * 1_000_000) // len(lines) if lines else 0
+
+
+def ellipsis_line_ppm(text: str) -> int:
+    lines = text.split("\n")
+    hits = sum(
+        1 for l in lines
+        if l.rstrip(" ").endswith(("...", "…"))
+    )
+    return (hits * 1_000_000) // len(lines) if lines else 0
+
+
+def alpha_token_ppm(toks: list[str]) -> int:
+    n = len(toks)
+    if not n:
+        return 0
+    hits = sum(1 for t in toks if any("a" <= ch <= "z" for ch in t))
+    return (hits * 1_000_000) // n
+
+
+def gopher_pass(text: str, toks: list[str]) -> bool:
+    n = len(toks)
+    return (
+        50 <= n <= 100_000
+        and 3_000_000 <= mean_token_len_ppm(toks) <= 10_000_000
+        and symbol_token_ppm(text, toks) <= 100_000
+        and bullet_line_ppm(text) < 900_000
+        and ellipsis_line_ppm(text) < 300_000
+        and alpha_token_ppm(toks) >= 800_000
+        and stopword_hits(toks, "en") >= 2
+    )

@@ -365,3 +365,51 @@ def lang_token_totals_arrow(df: DataFrame, text_col: str) -> DataFrame:
     return narrow.groupBy("lang").applyInArrow(
         agg, schema="lang string, n_docs long, total_tokens long"
     )
+
+
+def gopher_vectorized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-Arrow-pass twin of :func:`with_gopher_flags`
+    (``functions.portable_py`` rule twins, bit-parity pinned by tests):
+    each document is tokenized ONCE and every Gopher signal computed
+    from that tokenization, where the SQL chain re-traverses the token
+    array per rule.  Same output columns, same exact integers."""
+    from pyspark.sql.types import (
+        BooleanType, LongType, StructField, StructType,
+    )
+
+    from ..functions import portable_py as PY
+
+    src = df.select(id_col, text_col)
+    schema = StructType(
+        [src.schema[id_col]]
+        + [StructField(c, LongType()) for c in (
+            "n_words", "mean_word_len_ppm", "symbol_ppm", "bullet_ppm",
+            "ellipsis_ppm", "alpha_word_ppm", "stop_hits",
+        )]
+        + [StructField("gopher_pass", BooleanType())]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in (
+                "n_words", "mean_word_len_ppm", "symbol_ppm", "bullet_ppm",
+                "ellipsis_ppm", "alpha_word_ppm", "stop_hits", "gopher_pass",
+            )}
+            for t in pdf[text_col]:
+                t = t or ""
+                toks = PY.tokens(t)
+                rows["n_words"].append(len(toks))
+                rows["mean_word_len_ppm"].append(PY.mean_token_len_ppm(toks))
+                rows["symbol_ppm"].append(PY.symbol_token_ppm(t, toks))
+                rows["bullet_ppm"].append(PY.bullet_line_ppm(t))
+                rows["ellipsis_ppm"].append(PY.ellipsis_line_ppm(t))
+                rows["alpha_word_ppm"].append(PY.alpha_token_ppm(toks))
+                rows["stop_hits"].append(PY.stopword_hits(toks, "en"))
+                rows["gopher_pass"].append(PY.gopher_pass(t, toks))
+            yield pd.DataFrame({id_col: pdf[id_col].tolist(), **rows})
+
+    return src.mapInPandas(gen, schema)

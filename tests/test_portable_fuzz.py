@@ -265,3 +265,40 @@ def test_gopher_rule_expressions_match_across_engines(spark, seed):
                 mismatches.append((rid, name, srow[name], drows[rid][name],
                                    texts[rid][:60]))
     assert not mismatches, f"{len(mismatches)} diffs; first: {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("seed", [42])
+def test_gopher_python_twins_match_sql(spark, seed):
+    """functions.portable_py's rule twins must be bit-identical to the
+    SQL renderings on the same adversarial corpus (the vectorized
+    operator depends on this parity)."""
+    from ayeaye_spark.functions import portable_py as PY
+
+    texts = make_corpus(seed=seed) + [
+        "- bullet\n* two\n• three\nplain",
+        "dots...\nmore…\nnone",
+        "\tindented tab line\n - spaced bullet",
+        "#tag # # the of and...",
+    ]
+    pdf = pd.DataFrame({"rid": range(len(texts)), "text": texts})
+    con = duckdb.connect()
+    con.register("pfuzz", pdf)
+    cols_d = ", ".join(f"{fn(P.DUCKDB)} AS {name}" for name, fn in GOPHER_EXPRS.items())
+    drows = {r[0]: dict(zip(["rid", *GOPHER_EXPRS], r)) for r in con.sql(
+        f"SELECT rid, {cols_d} FROM pfuzz").fetchall()}
+
+    mismatches = []
+    for rid, t in enumerate(texts):
+        toks = PY.tokens(t)
+        got = {
+            "mean_len": PY.mean_token_len_ppm(toks),
+            "symbol": PY.symbol_token_ppm(t, toks),
+            "bullet": PY.bullet_line_ppm(t),
+            "ellipsis": PY.ellipsis_line_ppm(t),
+            "alpha": PY.alpha_token_ppm(toks),
+            "gopher": PY.gopher_pass(t, toks),
+        }
+        for name, v in got.items():
+            if v != drows[rid][name]:
+                mismatches.append((rid, name, v, drows[rid][name], t[:60]))
+    assert not mismatches, f"{len(mismatches)} diffs; first: {mismatches[:5]}"
