@@ -1996,3 +1996,50 @@ class TestTableDiff:
             ).collect()
         )
         assert got == [(2, "changed"), (3, "changed"), (4, "removed"), (5, "added")]
+
+
+class TestCompaction:
+    def test_fragmented_dir_compacts_preserving_rows(self, spark, tmp_path):
+        import glob
+
+        from ayeaye_spark.operators.maintenance import compact_parquet
+
+        path = str(tmp_path / "frag")
+        df = spark.range(10_000).withColumn("v", F.col("id") % 97)
+        df.repartition(40).write.parquet(path)   # 40 small files
+        before = len(glob.glob(f"{path}/*.parquet"))
+        assert before >= 40
+
+        out = compact_parquet(spark, path, target_file_mb=128)
+        after = len(glob.glob(f"{path}/*.parquet"))
+        assert after < before and after >= 1
+        assert out.count() == 10_000
+        assert spark.read.parquet(path).agg(F.sum("id")).first()[0] == \
+            sum(range(10_000))
+
+    def test_sorted_compaction_restores_clustering(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from ayeaye_spark.operators.maintenance import compact_parquet
+
+        path = str(tmp_path / "frag2")
+        spark.range(50_000).withColumn("k", (F.col("id") * 37) % 1000) \
+            .withColumn("pad", F.expr("repeat(uuid(), 4)")) \
+            .repartition(20).write.parquet(path)
+        compact_parquet(spark, path, target_file_mb=1, sort_cols=["k"])
+        ranges = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            stats = [md.row_group(rg).column(i).statistics
+                     for rg in range(md.num_row_groups)
+                     for i in range(md.row_group(rg).num_columns)
+                     if md.row_group(rg).column(i).path_in_schema == "k"]
+            if stats:
+                ranges.append((min(s.min for s in stats),
+                               max(s.max for s in stats)))
+        assert len(ranges) > 1
+        ranges.sort()
+        for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2   # non-overlapping envelopes restored
