@@ -4036,6 +4036,40 @@ def docs_gopher_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_hashed_classifier_score",
+    oracle=f"""
+    WITH w AS (
+      SELECT range AS wid,
+             CAST((range * 2654435761) % 1000003 - 500001 AS BIGINT) AS w
+      FROM range(1024)),
+    f AS (
+      SELECT doc_id,
+             unnest({P.transform(P.hash_array(P.tokens('text', DUCK), DUCK),
+                                 'h', 'h % 1024', DUCK)}) AS wid
+      FROM documents)
+    SELECT f.doc_id, COUNT(*) AS n_tokens,
+           SUM(w.w) AS score_total,
+           SUM(w.w) * 1000000 // COUNT(*) AS score_per_token_ppm,
+           SUM(w.w) > 0 AS keep
+    FROM f JOIN w USING (wid)
+    GROUP BY f.doc_id
+    """,
+)
+def docs_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, fastText/CCNet architecture: a
+    linear classifier over hashed token features
+    (``operators/text.py:hashed_linear_score``).  The weight table (a
+    trained model is ~dim rows) broadcast-joins the exploded feature
+    stream — one tokenization pass, one map-side-combined per-doc
+    aggregate; integer weights keep the scores oracle-exact.  Swap
+    ``default_hashed_weights`` for a parquet of trained weights and
+    nothing else changes."""
+    return textops.hashed_linear_score(
+        load(spark, sf_dir, "documents"), "doc_id", "text", dim=1024
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -413,3 +413,63 @@ def gopher_vectorized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             yield pd.DataFrame({id_col: pdf[id_col].tolist(), **rows})
 
     return src.mapInPandas(gen, schema)
+
+
+def default_hashed_weights(spark, dim: int = 1024):
+    """Deterministic pseudo-weight table (wid, w) for the hashed linear
+    scorer: an integer affine mix centered on zero.  In production the
+    table is trained offline (fastText-style) and loaded from parquet —
+    same shape, same join."""
+    return spark.range(dim).selectExpr(
+        "id AS wid",
+        "cast((id * 2654435761) % 1000003 - 500001 as bigint) AS w",
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    dim: int = 1024,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Model-based quality filtering, the CCNet/fastText architecture:
+    a LINEAR classifier over hashed token features — feature id =
+    ``token_hash mod dim``, document score = Σ weight[feature] (with
+    multiplicity) normalized per token.
+
+    This is the standard "quality classifier" stage of pretraining
+    pipelines, expressed Spark-first: one tokenization+hash pass in the
+    scan projection, explode to (doc, feature) pairs, BROADCAST-join
+    the weight table (a trained model is ~dim rows — always broadcast),
+    one map-side-combined per-doc aggregate.  Exact integer arithmetic
+    (weights are integers, score in ppm-per-token), so the DuckDB
+    oracle matches bit-for-bit.
+
+    Output: (id, n_tokens, score_total, score_per_token_ppm, keep).
+    """
+    from ..functions import portable as P
+
+    w = weights if weights is not None else default_hashed_weights(
+        df.sparkSession, dim
+    )
+    th = P.hash_array(P.tokens(text_col, SPARK), SPARK)
+    feats = df.select(
+        id_col, F.explode(F.expr(f"transform({th}, h -> pmod(h, {dim}))")).alias("wid")
+    )
+    scored = (
+        feats.join(F.broadcast(w), on="wid")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").alias("score_total"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "score_total",
+        F.expr("score_total * 1000000 div n_tokens").alias("score_per_token_ppm"),
+        (F.col("score_total") > 0).alias("keep"),
+    )

@@ -2043,3 +2043,39 @@ class TestCompaction:
         ranges.sort()
         for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
             assert hi1 <= lo2   # non-overlapping envelopes restored
+
+
+class TestHashedLinearScore:
+    def test_custom_weights_drive_keep_decision(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        df = spark.createDataFrame(
+            [(1, "good good good"), (2, "bad bad"), (3, "good bad")],
+            ["doc_id", "text"],
+        )
+        from ayeaye_spark.functions import portable_py as PY
+
+        good_wid = PY.char_hash("good") % 8
+        bad_wid = PY.char_hash("bad") % 8
+        assert good_wid != bad_wid  # fixture sanity
+        weights = spark.createDataFrame(
+            [(good_wid, 10), (bad_wid, -10)]
+            + [(i, 0) for i in range(8) if i not in (good_wid, bad_wid)],
+            ["wid", "w"],
+        )
+        rows = {r["doc_id"]: r for r in textops.hashed_linear_score(
+            df, "doc_id", "text", dim=8, weights=weights
+        ).collect()}
+        assert rows[1]["keep"] is True and rows[1]["score_total"] == 30
+        assert rows[2]["keep"] is False and rows[2]["score_total"] == -20
+        assert rows[3]["keep"] is False and rows[3]["score_total"] == 0
+
+    def test_broadcast_join_in_plan(self, spark):
+        from ayeaye_spark.catalog import load
+        from ayeaye_spark.operators import text as textops
+        from tests.conftest import SF_SMALL
+
+        plan = textops.hashed_linear_score(
+            load(spark, SF_SMALL, "documents"), "doc_id", "text"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
