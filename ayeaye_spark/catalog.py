@@ -4070,6 +4070,81 @@ def docs_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_curation_v3_oracle() -> str:
+    """Compose the session's verified stages: Gopher rules → hashed
+    linear classifier → semantic (embedding) dedup survivor → rollup."""
+    return f"""
+    WITH gop AS (
+      SELECT doc_id, lang, source, text
+      FROM (SELECT doc_id, lang, source, text,
+                   {P.tokens('text', DUCK)} AS toks FROM documents)
+      WHERE {P.gopher_pass('text', 'toks', DUCK)}
+    ),
+    w AS (
+      SELECT range AS wid,
+             CAST((range * 2654435761) % 1000003 - 500001 AS BIGINT) AS w
+      FROM range(1024)),
+    clf AS (
+      SELECT f.doc_id FROM (
+        SELECT doc_id,
+               unnest({P.transform(P.hash_array(P.tokens('text', DUCK), DUCK),
+                                   'h', 'h % 1024', DUCK)}) AS wid
+        FROM gop) f
+      JOIN w USING (wid)
+      GROUP BY f.doc_id HAVING SUM(w.w) > 0
+    ),
+    {_duck_semantic_assign()},
+    sem_dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= 0.4
+    ),
+    kept AS (
+      SELECT g.doc_id, g.lang, g.source,
+             {P.size(P.tokens('g.text', DUCK), DUCK)} AS n_tokens
+      FROM gop g
+      JOIN clf c ON c.doc_id = g.doc_id
+      WHERE g.doc_id NOT IN (SELECT vec_id FROM sem_dropped)
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept GROUP BY lang
+    """
+
+
+@query("pipeline_curation_v3", oracle=_duck_curation_v3_oracle())
+def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session's curation stack as ONE composed lazy plan: Gopher
+    format/repetition rules → hashed linear classifier (broadcast
+    weight table) → SemDeDup semantic survivor (embedding cell join on
+    vec_id = doc_id) → per-language corpus rollup.  Three filters and a
+    dedup, still a single Catalyst plan with no intermediate
+    materialization; every stage's oracle is already individually
+    verified, and the composition is verified here end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    gop = textops.with_gopher_flags(docs, "text").where(
+        F.col("gopher_pass")
+    ).select("doc_id", "lang", "source", "text")
+    clf = textops.hashed_linear_score(gop, "doc_id", "text", dim=1024).where(
+        F.col("keep")
+    ).select("doc_id")
+    sem = similarity.semantic_dedup_survivors(
+        emb, emb.where(F.col("vec_id") % 50 == 0), threshold=0.4
+    ).select(F.col("vec_id").alias("doc_id"))
+    kept = (
+        textops.with_token_counts(gop, "text")
+        .join(clf, on="doc_id")
+        .join(sem, on="doc_id")
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
