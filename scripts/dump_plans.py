@@ -212,6 +212,24 @@ HEADLINE = {
         "re-aggregates prev ∪ increment-partial — shuffle proportional to "
         "churn, decimal sums keep it exact."
     ),
+    "docs_hashed_classifier_score": (
+        "fastText-style hashed linear classifier: the weight table (~dim "
+        "rows, trained offline) broadcast-joins the exploded feature stream; "
+        "one tokenization, one map-side-combined per-doc aggregate."
+    ),
+    "pipeline_curation_v3": (
+        "Gopher rules + hashed classifier + semantic dedup survivor chained "
+        "as ONE lazy plan — three filters and a dedup with no intermediate "
+        "materialization."
+    ),
+    "dedup_method_agreement": (
+        "two banded candidate generators feed one full outer join; the "
+        "report is 3 rows."
+    ),
+    "docs_gopher_vectorized": (
+        "one Arrow pass per document computes every rule from a single "
+        "tokenization; bit-equal to the expression path (shared oracle)."
+    ),
 }
 
 
