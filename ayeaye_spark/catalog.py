@@ -4145,6 +4145,46 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+shared_sql(
+    "brand_market_basket",
+    """
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           COUNT(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY a.p_brand, b.p_brand
+    ORDER BY n_orders DESC, brand_a ASC, brand_b ASC LIMIT 25
+    """,
+    needs=("lineitem", "part"),
+)
+# market-basket notes: within-basket pair mining — the self-join is
+# keyed on the ORDER (baskets are small, so pair fan-out is bounded by
+# max-basket-size², never |table|²); distinct-first collapses repeat
+# brands before pairing.
+
+
+shared_sql(
+    "events_type_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    needs=("events",),
+)
+# transition notes: first-order Markov counts over the per-user total
+# order — one shuffle on user_id for the lag window, then a map-side-
+# combined count on the (prev, next) pair; the matrix is |types|² rows.
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
