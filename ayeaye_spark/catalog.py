@@ -4131,13 +4131,17 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     clf = textops.hashed_linear_score(gop, "doc_id", "text", dim=1024).where(
         F.col("keep")
     ).select("doc_id")
-    sem = similarity.semantic_dedup_survivors(
+    # anti-join the DROPPED set, not inner-join the survivors: a
+    # document with no embedding row cannot be a semantic duplicate and
+    # must pass through (the embeddings table covers only part of the
+    # corpus at some scale factors — sf0.1 has 2000 vectors / 5000 docs)
+    sem_dropped = similarity.semantic_dedup_pairs(
         emb, emb.where(F.col("vec_id") % 50 == 0), threshold=0.4
-    ).select(F.col("vec_id").alias("doc_id"))
+    ).select(F.col("vec_id_b").alias("doc_id")).distinct()
     kept = (
         textops.with_token_counts(gop, "text")
         .join(clf, on="doc_id")
-        .join(sem, on="doc_id")
+        .join(sem_dropped, on="doc_id", how="left_anti")
     )
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
