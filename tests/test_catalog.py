@@ -205,3 +205,39 @@ class TestStreamExactlyOnceDedup:
         )
         out = dedup_within_watermark(df, key_cols=["event_id"])
         assert out.count() == 2
+
+
+class TestCurationV3EmbeddingCoverage:
+    def test_docs_without_embeddings_survive_semantic_stage(self, spark):
+        """Regression (caught by the sf0.1 oracle sweep): the semantic
+        stage must anti-join the DROPPED set — a document with no
+        embedding row cannot be a semantic duplicate and must pass
+        through, not be discarded by an inner join with survivors."""
+        from unittest import mock
+
+        from ayeaye_spark import catalog as cat
+
+        # fixture text chosen to pass BOTH upstream filters (Gopher
+        # rules and the hashed classifier's keep decision) so the test
+        # isolates the semantic stage's join semantics
+        words = ("the quick brown fox jumps over lazy dog and runs through "
+                 "green fields with great speed while birds sing songs")
+        text = words + " the" * 40
+        docs = spark.createDataFrame(
+            [(i, text, "en", "s", len(text)) for i in range(4)],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        # embeddings cover only docs 0 and 1; 0/1 are near-identical
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 0.0001])], ["vec_id", "embedding"]
+        )
+
+        def fake_load(spark_, sf_dir, name):
+            return {"documents": docs, "embeddings": emb}[name]
+
+        with mock.patch.object(cat, "load", side_effect=fake_load):
+            out = cat.QUERIES["pipeline_curation_v3"](spark, "unused")
+            n_docs = sum(r["n_docs"] for r in out.collect())
+        # doc 1 drops (semantic dup of 0); docs 2 and 3 have no
+        # embedding and MUST survive alongside doc 0
+        assert n_docs == 3
