@@ -4189,6 +4189,86 @@ shared_sql(
 # combined count on the (prev, next) pair; the matrix is |types|² rows.
 
 
+def _burst_sql(epoch_us_fn: str, intdiv: str) -> str:
+    """One template, both dialects: the exact-microsecond epoch function
+    (unix_micros vs epoch_us) and the integer-division operator
+    (div vs //) differ."""
+    return f"""
+    WITH hourly AS (
+      SELECT event_type,
+             {epoch_us_fn}(ts) {intdiv} 3600000000 AS hour_idx,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    trail AS (
+      SELECT event_type, hour_idx, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY hour_idx
+                          RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_n,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY hour_idx
+                            RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_hours
+      FROM hourly)
+    SELECT event_type, hour_idx, n, trail_n, trail_hours,
+           n * trail_hours * 1000000 / trail_n AS rate_vs_trailing_ppm
+    FROM trail
+    WHERE trail_hours >= 6 AND n * trail_hours * 1000000 / trail_n >= 2000000
+    """
+
+
+@query("events_burst_detection", oracle=_burst_sql("epoch_us", "//"))
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst/anomaly surfacing: hours where a type's event rate is at
+    least 2x its trailing-24h average.  The RANGE frame runs over the
+    HOURLY aggregate (types x hours rows), never raw events; the
+    epoch-hour index is exact integer microseconds and the 2x test
+    multiplies BIGINTs before the double division, so both engines
+    produce identical quotients."""
+    _ensure_session_defaults(spark)
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_burst_sql("unix_micros", "div"))
+# burst notes: anomaly surfacing — hours where a type's event rate is
+# ≥2x its trailing-24h average.  The RANGE frame runs over the HOURLY
+# aggregate (tiny: types × hours), not raw events; the epoch-hour index
+# is exact integer math and the 2x test multiplies before dividing
+# (BIGINT product → identical double quotient on both engines).
+
+
+@query(
+    "docs_dedup_rate_by_source",
+    oracle=f"""
+    WITH pairs AS ({_duck_minhash_pairs_oracle()}),
+    dropped AS (SELECT DISTINCT doc_id_b AS doc_id FROM pairs)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END) AS n_dropped,
+           SUM(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END) * 1000000
+             // COUNT(*) AS dup_ppm
+    FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def docs_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: per-source duplicate rates from the
+    MinHash pass (which domains are syndication-heavy — the report that
+    drives source-level curation policy).  One banded-LSH candidate
+    pass, then a left join + rollup over the narrow (doc, source)
+    projection; exact integer ppm."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=16, bands=4, threshold=0.3
+    )
+    dropped = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct() \
+        .withColumn("_d", F.lit(1))
+    return (
+        docs.select("doc_id", "source")
+        .join(dropped, on="doc_id", how="left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("_d"), F.lit(0))).alias("n_dropped"),
+        )
+        .withColumn("dup_ppm", F.expr("n_dropped * 1000000 div n_docs"))
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
