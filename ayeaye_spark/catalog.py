@@ -4269,6 +4269,33 @@ def docs_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_stream_trending")  # no oracle: streaming drain, rows-only check
+def events_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection on a stream: SLIDING-window counts (1 hour
+    window, 30 minute slide — overlapping windows are the streaming-
+    stateful part) drained availableNow, then the top-2 event types per
+    window ranked on the drained frame.  The batch twin (same sliding
+    window + rank over the static table) is pinned equal in
+    ``tests/test_streaming.py``; deterministic ties on event_type."""
+    from pyspark.sql import Window as W
+
+    from .streaming import events as streamops
+
+    stream = _events_stream(spark, sf_dir)
+    agg = streamops.windowed_counts(
+        stream, window="1 hour", slide="30 minutes", group_cols=["event_type"]
+    )
+    drained = _drain_stream(spark, agg, "events_stream_trending_sink")
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        drained.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+        .select("window_start", "window_end", "event_type", "n_events", "rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -49,6 +49,7 @@ STREAMING = {
     "events_stream_hourly_counts",
     "events_stream_sessions",
     "events_stream_exactly_once_dedup",
+    "events_stream_trending",
 }
 
 SLOWEST_IN_STDOUT = 5

@@ -22,6 +22,7 @@ NO_ORACLE_KIND = {
     "events_stream_hourly_counts": "streaming drain (batch twin pinned in tests)",
     "events_stream_sessions": "streaming drain (batch twin pinned in tests)",
     "events_stream_exactly_once_dedup": "streaming drain (batch twin pinned in tests)",
+    "events_stream_trending": "streaming drain (batch twin pinned in tests)",
 }
 
 

@@ -396,3 +396,36 @@ def test_transform_with_state_gated_and_batch_twin(spark, tmp_path):
     stream_df = streamops.stream_from_parquet(spark, path)
     with _pytest.raises(MissingDependencyError, match="protobuf"):
         streamops.stateful_running_totals_tws(stream_df)
+
+
+class TestStreamTrending:
+    def test_trending_matches_batch_twin(self, spark):
+        """The sliding-window streaming top-k must equal the same
+        ranking computed over the static table."""
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        from ayeaye_spark.catalog import QUERIES, load
+
+        sf = "/root/testdata/sf0.001"
+        stream_rows = sorted(
+            map(tuple, QUERIES["events_stream_trending"](spark, sf).collect())
+        )
+        ev = load(spark, sf, "events")
+        win = F.window(F.col("ts"), "1 hour", "30 minutes")
+        batch_agg = (
+            ev.groupBy(win.alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "event_type", "n_events")
+        )
+        w = W.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("event_type"))
+        batch_rows = sorted(map(tuple, (
+            batch_agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 2)
+            .select("window_start", "window_end", "event_type",
+                    "n_events", "rank")
+        ).collect()))
+        assert stream_rows == batch_rows and len(stream_rows) > 0
