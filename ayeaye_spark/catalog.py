@@ -4296,6 +4296,56 @@ def events_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rfm_sql(datediff_days: str) -> str:
+    """One template, both dialects: only the day-difference call
+    differs (Spark ``datediff(end, start)`` vs DuckDB
+    ``date_diff('day', start, end)``)."""
+    return f"""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             MIN({datediff_days}) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS monetary_cents
+      FROM orders CROSS JOIN anchor
+      GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey,
+             CASE WHEN recency_days <= 180 THEN 3
+                  WHEN recency_days <= 720 THEN 2 ELSE 1 END AS r_score,
+             CASE WHEN frequency >= 20 THEN 3
+                  WHEN frequency >= 10 THEN 2 ELSE 1 END AS f_score,
+             CASE WHEN monetary_cents >= 200000000 THEN 3
+                  WHEN monetary_cents >= 100000000 THEN 2 ELSE 1 END AS m_score
+      FROM rfm)
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_customers
+    FROM scored GROUP BY r_score, f_score, m_score
+    """
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=_rfm_sql("date_diff('day', o_orderdate, maxd)"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation with
+    FIXED band boundaries — quantile bands would need a window over the
+    full per-customer aggregate (not tiny at 1e9 customers; the
+    histogram-locate plan exists for that case, see
+    lineitem_price_quartiles_exact).  Integer day differences, decimal-
+    cents money, one group-by shuffle on the customer key."""
+    _ensure_session_defaults(spark)
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_rfm_sql("datediff(maxd, o_orderdate)"))
+# RFM notes: recency/frequency/monetary segmentation with FIXED band
+# boundaries — quantile-based bands would need a window over the full
+# per-customer aggregate (not tiny at 1e9 customers; the exact-quantile
+# histogram-locate plan exists for that, see
+# lineitem_price_quartiles_exact).  Date subtraction yields integer
+# days in both engines; money goes through the decimal-cents rule.
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
