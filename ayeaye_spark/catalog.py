@@ -4346,6 +4346,42 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # days in both engines; money goes through the decimal-cents rule.
 
 
+@query(
+    "docs_weighted_sample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST({P.size(P.tokens('text', DUCK), DUCK)} AS BIGINT) AS w
+      FROM documents),
+    cum AS (SELECT doc_id, w, SUM(w) OVER (ORDER BY doc_id) AS c FROM tok),
+    par AS (SELECT GREATEST(1, MAX(c) // 50) AS stride FROM cum),
+    p2 AS (SELECT stride, stride // 2 AS off FROM par)
+    SELECT doc_id, w AS weight,
+           (CASE WHEN c >= off THEN (c - off) // stride ELSE -1 END
+            - CASE WHEN c - w >= off THEN (c - w - off) // stride ELSE -1 END)
+             AS n_hits
+    FROM cum CROSS JOIN p2
+    WHERE (CASE WHEN c >= off THEN (c - off) // stride ELSE -1 END
+           - CASE WHEN c - w >= off THEN (c - w - off) // stride ELSE -1 END) > 0
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without floats: systematic (survey)
+    sampling over cumulative integer token weights — ~50 documents
+    selected with probability proportional to length, the same rows on
+    any engine or partitioning (A-ES exponential keys need float powers
+    and are not cross-engine exact).  Built on the distributed prefix
+    sum (``operators/sampling.py:systematic_weighted_sample``); the
+    oracle replays the identical selection with a plain window."""
+    docs = textops.with_token_counts(load(spark, sf_dir, "documents"), "text")
+    return sampling.systematic_weighted_sample(
+        docs.select("doc_id", F.col("ws_tokens").cast("long").alias("weight")),
+        id_col="doc_id",
+        weight_col="weight",
+        n=50,
+    ).select("doc_id", "weight", "n_hits")
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -424,3 +424,53 @@ def domain_mix_budget(
         f"WHEN {group_col} = '{g}' THEN {b}" for g, b in sorted(budgets.items())
     ) + " ELSE 0 END"
     return cum.where(F.col("_cum") <= F.expr(budget_case)).drop("_cum")
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    id_bucket_width: int = 65536,
+) -> DataFrame:
+    """Weight-proportional sampling WITHOUT floats: classic systematic
+    (survey) sampling over cumulative integer weights.  With total
+    weight W and stride s = W div n, the selection targets are
+    t_k = s div 2 + k*s; a row whose cumulative-weight interval
+    (cum - w, cum] contains at least one target is selected — rows are
+    chosen with probability proportional to weight, exactly n (±1 from
+    integer stride truncation) come out, and the whole decision is
+    integer arithmetic: the same rows on any engine or partitioning
+    (the A-ES / exponential-keys method needs float powers — not
+    cross-engine-exact).
+
+    Built on the two-phase distributed prefix sum over the id order; a
+    selected row also reports ``n_hits`` (a row heavier than the stride
+    is hit multiple times — duplicate it downstream for true PPS
+    semantics or treat as one pick).
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    cum = _bucketed_cumsum(
+        df,
+        token_col=weight_col,
+        order_cols=[F.asc(id_col)],
+        bucket_expr_sql=f"{id_col} div {id_bucket_width}",
+        out_col="_cum",
+    )
+    cum = cum.localCheckpoint(eager=False)  # reused by total + selection
+    total = cum.agg(F.max("_cum").alias("_w")).collect()[0]["_w"]
+    stride = max(1, total // n)
+    offset = stride // 2
+    # hits in (cum-w, cum]: floor((cum-offset)/stride) - floor((cum-w-offset)/stride)
+    hits = (
+        f"(CASE WHEN _cum >= {offset} THEN (_cum - {offset}) div {stride} ELSE -1 END"
+        f" - CASE WHEN _cum - {weight_col} >= {offset}"
+        f"   THEN (_cum - {weight_col} - {offset}) div {stride} ELSE -1 END)"
+    )
+    return (
+        cum.withColumn("n_hits", F.expr(hits).cast("long"))
+        .where(F.col("n_hits") > 0)
+        .drop("_cum")
+    )

@@ -2079,3 +2079,35 @@ class TestHashedLinearScore:
             load(spark, SF_SMALL, "documents"), "doc_id", "text"
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestSystematicWeightedSample:
+    def test_proportional_and_deterministic(self, spark):
+        from ayeaye_spark.operators import sampling
+
+        # one heavy row among light ones: weight 1000 vs 100x weight 10
+        rows = [(0, 1000)] + [(i, 10) for i in range(1, 101)]
+        df = spark.createDataFrame(rows, ["id", "w"])
+        out = {r["id"]: r["n_hits"] for r in
+               sampling.systematic_weighted_sample(
+                   df, id_col="id", weight_col="w", n=10
+               ).collect()}
+        # total W = 2000, stride 200: the weight-1000 row spans 5 targets
+        assert out[0] == 5
+        assert sum(out.values()) == 10
+        # repartitioning must not change the selection
+        out2 = {r["id"]: r["n_hits"] for r in
+                sampling.systematic_weighted_sample(
+                    df.repartition(7), id_col="id", weight_col="w", n=10
+                ).collect()}
+        assert out2 == out
+
+    def test_rejects_nonpositive_n(self, spark):
+        import pytest as _pt
+
+        from ayeaye_spark.operators import sampling
+
+        df = spark.createDataFrame([(1, 1)], ["id", "w"])
+        with _pt.raises(ValueError):
+            sampling.systematic_weighted_sample(
+                df, id_col="id", weight_col="w", n=0)
