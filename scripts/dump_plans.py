@@ -230,6 +230,23 @@ HEADLINE = {
         "one Arrow pass per document computes every rule from a single "
         "tokenization; bit-equal to the expression path (shared oracle)."
     ),
+    "docs_weighted_sample": (
+        "systematic PPS over cumulative integer weights via the distributed "
+        "prefix sum — float-free, so the selection is engine- and "
+        "partitioning-exact."
+    ),
+    "events_burst_detection": (
+        "trailing RANGE frame over the hourly aggregate (types × hours "
+        "rows), never raw events; BIGINT product before the double divide."
+    ),
+    "customer_rfm_segments": (
+        "fixed-band RFM: one group-by shuffle on the customer key; the "
+        "anchor date is a one-row broadcast."
+    ),
+    "brand_market_basket": (
+        "basket self-join keyed on the ORDER — pair fan-out bounded by "
+        "basket size squared, never table size."
+    ),
 }
 
 
