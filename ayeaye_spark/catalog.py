@@ -4382,6 +4382,25 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "weight", "n_hits")
 
 
+@query(
+    "docs_token_counts_arrow",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({P.size(P.tokens('text', DUCK), DUCK)} AS BIGINT) AS ws_tokens
+    FROM documents
+    """,
+)
+def docs_token_counts_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` modality pin (non-grouped Arrow-native UDF —
+    RecordBatches in, zero pandas): whitespace token counts equal to
+    the expression path exactly via the parity-pinned Python tokenizer
+    (``operators/text.py:token_counts_map_arrow``).  Completes the
+    UDF-surface matrix in the value-verified catalog."""
+    return textops.token_counts_map_arrow(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -473,3 +473,35 @@ def hashed_linear_score(
         F.expr("score_total * 1000000 div n_tokens").alias("score_per_token_ppm"),
         (F.col("score_total") > 0).alias("keep"),
     )
+
+
+def token_counts_map_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token counts via ``mapInArrow`` — the non-grouped
+    Arrow-native modality (batches arrive as ``pyarrow.RecordBatch``,
+    zero pandas conversion), completing the UDF-surface matrix beside
+    scalar/iterator pandas UDFs, mapInPandas, applyInPandas(+WithState),
+    applyInArrow, UDTFs, and SQL UDFs.  Counting uses the parity-pinned
+    ``portable_py.tokens`` twin, so results equal the expression path
+    exactly."""
+    import pyarrow as pa
+
+    from ..functions import portable_py as PY
+
+    src = df.select(id_col, text_col)
+    id_field = src.schema[id_col]
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            counts = [
+                len(PY.tokens(t.as_py() or "")) for t in batch.column(1)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(counts, type=pa.int64())],
+                names=[id_col, "ws_tokens"],
+            )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([id_field, StructField("ws_tokens", LongType())])
+    return src.mapInArrow(gen, schema)
