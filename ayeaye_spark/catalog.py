@@ -4401,6 +4401,43 @@ def docs_token_counts_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rolling_active_sql(week_ago: str) -> str:
+    """One template, both dialects: only 'day minus 6 days' differs
+    (Spark ``date_sub(day, 6)`` vs DuckDB ``day - 6``).
+
+    COUNT(DISTINCT) over a sliding frame is unsupported in both
+    engines' window functions — the exact formulation is a day-spine
+    join: each day joins its trailing week of events and re-counts
+    distinct users.  The spine is #days rows (broadcast); the fan-out
+    is 7x the events table, shuffled as narrow (day, user) pairs with
+    the distinct collapsing map-side."""
+    return f"""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    dau AS (SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+            FROM events GROUP BY CAST(ts AS DATE)),
+    wau AS (
+      SELECT d.day, COUNT(DISTINCT e.user_id) AS wau
+      FROM days d JOIN events e
+        ON CAST(e.ts AS DATE) BETWEEN {week_ago} AND d.day
+      GROUP BY d.day)
+    SELECT day, dau, wau FROM dau JOIN wau USING (day)
+    """
+
+
+@query(
+    "events_rolling_active_users",
+    oracle=_rolling_active_sql("d.day - 6"),
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth analytics: daily and trailing-7-day distinct active users
+    per day.  Sliding COUNT(DISTINCT) has no window form in either
+    engine; the exact plan is the day-spine join (see template notes) —
+    the spine broadcasts, the re-counted pairs stay narrow."""
+    _ensure_session_defaults(spark)
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_rolling_active_sql("date_sub(d.day, 6)"))
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
