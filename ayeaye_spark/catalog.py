@@ -4438,6 +4438,61 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_rolling_active_sql("date_sub(d.day, 6)"))
 
 
+@query(
+    "customer_pareto_80",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    cum AS (
+      SELECT o_custkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey ASC) AS c
+      FROM per_cust),
+    tot AS (SELECT SUM(cents) AS t, COUNT(*) AS n FROM per_cust)
+    SELECT COUNT(*) AS n_top_customers,
+           MAX(n) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS top_cents,
+           MAX(t) AS total_cents
+    FROM cum CROSS JOIN tot
+    WHERE (c - cents) * 5 < t * 4
+    """,
+)
+def customer_pareto_80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: how many top customers carry 80% of
+    revenue (a customer is counted while the running total BEFORE it is
+    under the 80% line — exact integer cents, ``cum*5 < total*4``, no
+    float thresholds).  The running total uses the distributed prefix
+    sum bucketed on the revenue magnitude — the per-customer aggregate
+    is NOT tiny at 1e9 customers, so no single-partition window."""
+    per_cust = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.expr(
+            "SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))"
+        ).alias("cents")
+    )
+    cum = sampling._bucketed_cumsum(
+        per_cust,
+        token_col="cents",
+        order_cols=[F.desc("cents"), F.asc("o_custkey")],
+        bucket_expr_sql="(-cents) div 1000000",
+        out_col="c",
+    )
+    tot = per_cust.agg(
+        F.sum("cents").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .where((F.col("c") - F.col("cents")) * 5 < F.col("t") * 4)
+        .agg(
+            F.count(F.lit(1)).alias("n_top_customers"),
+            F.max("n").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("top_cents"),
+            F.max("t").alias("total_cents"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
