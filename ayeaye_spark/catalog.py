@@ -4493,6 +4493,53 @@ def customer_pareto_80(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_spend_quartiles_exact",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS cents
+      FROM orders GROUP BY o_custkey)
+    SELECT 'all' AS grp,
+           MAX(CASE WHEN rn = GREATEST(CAST(CEIL(n * 0.25) AS BIGINT), 1)
+                    THEN cents END) AS p25,
+           MAX(CASE WHEN rn = GREATEST(CAST(CEIL(n * 0.50) AS BIGINT), 1)
+                    THEN cents END) AS p50,
+           MAX(CASE WHEN rn = GREATEST(CAST(CEIL(n * 0.75) AS BIGINT), 1)
+                    THEN cents END) AS p75
+    FROM (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents ASC, o_custkey ASC) AS rn,
+             COUNT(*) OVER () AS n
+      FROM per_cust
+    ) t
+    """,
+)
+def customer_spend_quartiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles of a DERIVED aggregate (per-customer lifetime
+    spend in exact cents): the histogram locate-then-sort plan runs on
+    the per-customer frame — at 1e9 customers the oracle's global-sort
+    window is a wall; the histogram plan's only sort touches the single
+    located bucket per rank.  Distribution analysis of aggregates is
+    the everyday form of this pattern (order-size, session-length,
+    spend distributions)."""
+    per_cust = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.expr(
+            "SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))"
+        ).alias("cents")
+    ).withColumn("grp", F.lit("all"))
+    q = relational.exact_group_quantiles(
+        per_cust, "grp", "cents", bucket_width=1_000_000.0
+    )
+    return q.select(
+        "grp",
+        F.col("q_25").alias("p25"),
+        F.col("q_50").alias("p50"),
+        F.col("q_75").alias("p75"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
