@@ -4540,6 +4540,37 @@ def customer_spend_quartiles_exact(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+shared_sql(
+    "part_type_rollup",
+    """
+    SELECT COALESCE(split_part(p_type, ' ', 1), 'ALL') AS tier1,
+           COALESCE(split_part(p_type, ' ', 2), 'ALL') AS tier2,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_retail
+    FROM part
+    GROUP BY ROLLUP (split_part(p_type, ' ', 1), split_part(p_type, ' ', 2))
+    """,
+    needs=("part",),
+)
+# hierarchy notes: dimension levels DERIVED from a delimited string
+# (split_part is identical in both engines) feeding ROLLUP — the
+# category-tree report without a materialized dimension table.
+
+
+shared_sql(
+    "events_diurnal_profile",
+    """
+    SELECT EXTRACT(HOUR FROM ts) AS hour_of_day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY EXTRACT(HOUR FROM ts), event_type
+    """,
+    needs=("events",),
+)
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
