@@ -4571,6 +4571,52 @@ shared_sql(
 )
 
 
+@query(
+    "emb_label_cohesion",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT label, MIN(vec_id) AS anchor_id FROM embeddings GROUP BY label),
+    av AS (SELECT a.label, e.embedding AS avec
+           FROM anchors a JOIN embeddings e ON e.vec_id = a.anchor_id)
+    SELECT e.label,
+           COUNT(*) AS n_vecs,
+           SUM(CASE WHEN {_duck_cosine('e.embedding', 'av.avec')} >= 0.5
+                    THEN 1 ELSE 0 END) AS n_cohesive,
+           SUM(CASE WHEN {_duck_cosine('e.embedding', 'av.avec')} >= 0.5
+                    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS cohesive_ppm
+    FROM embeddings e JOIN av ON av.label = e.label
+    GROUP BY e.label
+    """,
+)
+def emb_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label quality: per label, the fraction of
+    vectors within cosine 0.5 of the label's ANCHOR (its min-id member
+    — a deterministic representative; a float-mean centroid would need
+    order-dependent float sums that no oracle can replay).  Integer
+    counts/ppm; the anchor frame broadcasts, one corpus scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.groupBy("label").agg(F.min("vec_id").alias("anchor_id"))
+    av = anchors.join(
+        emb.select(F.col("vec_id").alias("anchor_id"),
+                   F.col("embedding").alias("_avec")),
+        on="anchor_id",
+    ).select("label", "_avec")
+    from ayeaye_spark.operators.similarity import _cos
+
+    return (
+        emb.join(F.broadcast(av), on="label")
+        .withColumn("_cohesive",
+                    (F.expr(_cos("embedding", "_avec", None)) >= 0.5)
+                    .cast("long"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("_cohesive").alias("n_cohesive"),
+        )
+        .withColumn("cohesive_ppm", F.expr("n_cohesive * 1000000 div n_vecs"))
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
