@@ -4617,6 +4617,43 @@ def emb_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_lang_confusion",
+    oracle=f"""
+    SELECT lang AS declared, {P.lang_id_from_tokens('toks', DUCK)} AS predicted,
+           COUNT(*) AS n_docs
+    FROM (SELECT lang, {P.tokens('text', DUCK)} AS toks FROM documents)
+    GROUP BY lang, {P.lang_id_from_tokens('toks', DUCK)}
+    """,
+)
+def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: the confusion matrix of declared vs
+    predicted language — the accuracy report any heuristic classifier
+    ships with (complementing the classifier/recall/dedup-agreement
+    evaluation family).  One tokenization, one map-side-combined
+    count."""
+    docs = textops.with_lang_id(load(spark, sf_dir, "documents"), "text")
+    return (
+        docs.groupBy(
+            F.col("lang").alias("declared"),
+            F.col("lang_pred").alias("predicted"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+shared_sql(
+    "orders_basket_size_histogram",
+    """
+    SELECT n_items, COUNT(*) AS n_orders
+    FROM (SELECT l_orderkey, COUNT(*) AS n_items
+          FROM lineitem GROUP BY l_orderkey) b
+    GROUP BY n_items ORDER BY n_items
+    """,
+    needs=("lineitem",),
+)
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
