@@ -4654,6 +4654,39 @@ shared_sql(
 )
 
 
+@query(
+    "dedup_degree_histogram",
+    oracle=f"""
+    WITH pairs AS ({_duck_minhash_pairs_oracle()}),
+    deg AS (
+      SELECT doc_id, COUNT(*) AS degree FROM (
+        SELECT doc_id_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_id_b AS doc_id FROM pairs) e
+      GROUP BY doc_id)
+    SELECT degree, COUNT(*) AS n_docs
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def dedup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph shape observability: the degree distribution of
+    the MinHash similarity graph — a heavy tail here means template/
+    boilerplate hubs (and predicts big connected components) before
+    the transitive-closure pass is ever run.  Symmetrize the pair list,
+    two map-side-combined counts."""
+    pairs = dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, k=16, bands=4, threshold=0.3,
+    )
+    deg = (
+        pairs.select(F.col("doc_id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
