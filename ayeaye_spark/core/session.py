@@ -37,6 +37,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # JIT code cache: the JVM default (240 MB) fills after compiling
+        # a few hundred whole-stage-codegen classes — once full the JIT
+        # DISABLES and everything runs interpreted (observed: late-sweep
+        # queries at 4-15x their steady state, consistently across their
+        # consecutive runs, while a fresh session is fast).  A long-lived
+        # session executing many distinct plans needs the headroom.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
