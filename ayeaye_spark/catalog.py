@@ -4687,6 +4687,42 @@ def dedup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def _conversion_time_sql(epoch_us_fn: str) -> str:
+    """One template, both dialects (only the exact-microsecond epoch
+    function differs): view→purchase conversion latency per user,
+    aggregated in integer microseconds."""
+    return f"""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    p AS (SELECT e.user_id,
+                 MIN({epoch_us_fn}(e.ts)) - MIN({epoch_us_fn}(v.t_view))
+                   AS gap_us
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+          GROUP BY e.user_id)
+    SELECT COUNT(*) AS n_converters,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us,
+           SUM(gap_us) AS total_gap_us
+    FROM p
+    """
+
+
+@query(
+    "events_conversion_time_stats",
+    oracle=_conversion_time_sql("epoch_us"),
+)
+def events_conversion_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: time from a user's first view to their first
+    subsequent purchase, aggregated in EXACT integer microseconds (the
+    same microsecond-epoch rule as ``events_interarrival_stats``) —
+    the 'how fast do converters convert' companion of the funnel
+    counts.  Two map-side-combined aggregates chained by one join."""
+    _ensure_session_defaults(spark)
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_conversion_time_sql("unix_micros"))
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
