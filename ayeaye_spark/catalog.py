@@ -4723,6 +4723,56 @@ def events_conversion_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_conversion_time_sql("unix_micros"))
 
 
+@query(
+    "docs_vocab_growth",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({P.tokens('text', DUCK)})) AS t
+      FROM documents),
+    first_seen AS (SELECT t, MIN(doc_id) AS doc_id FROM tok GROUP BY t),
+    new_per_doc AS (
+      SELECT doc_id, COUNT(*) AS new_tokens FROM first_seen GROUP BY doc_id),
+    all_docs AS (
+      SELECT d.doc_id, COALESCE(n.new_tokens, 0) AS new_tokens
+      FROM documents d LEFT JOIN new_per_doc n ON n.doc_id = d.doc_id)
+    SELECT doc_id, new_tokens,
+           SUM(new_tokens) OVER (ORDER BY doc_id) AS vocab_size
+    FROM all_docs
+    """,
+)
+def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: cumulative distinct-token
+    count along the corpus order.  'Distinct so far' has no windowed
+    form; the exact plan assigns each token its FIRST document (one
+    hash-keyed min aggregate), counts first-appearances per document,
+    and prefix-sums those counts — the cumsum is the distributed
+    two-phase prefix sum, never a single-partition window over the
+    corpus."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr(P.distinct(P.tokens("text", SPARK), SPARK))).alias("t"),
+    )
+    first_seen = tok.groupBy("t").agg(F.min("doc_id").alias("doc_id"))
+    new_per_doc = first_seen.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    all_docs = (
+        docs.select("doc_id")
+        .join(new_per_doc, on="doc_id", how="left")
+        .withColumn("new_tokens",
+                    F.coalesce(F.col("new_tokens"), F.lit(0)).cast("long"))
+    )
+    out = sampling._bucketed_cumsum(
+        all_docs,
+        token_col="new_tokens",
+        order_cols=[F.asc("doc_id")],
+        bucket_expr_sql="doc_id div 65536",
+        out_col="vocab_size",
+    )
+    return out.select("doc_id", "new_tokens", "vocab_size")
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
