@@ -4773,6 +4773,26 @@ def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "new_tokens", "vocab_size")
 
 
+shared_sql(
+    "supplier_region_balance_rollup",
+    """
+    SELECT COALESCE(r.r_name, 'ALL') AS region,
+           COALESCE(n.n_name, 'ALL') AS nation,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_balance
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    needs=("supplier", "nation", "region"),
+)
+# geo-rollup notes: the dimension chain (nation, region — tiny)
+# broadcasts; ROLLUP over the joined frame gives nation, region, and
+# grand totals in one pass with coalesced subtotal labels.
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
