@@ -544,9 +544,9 @@ shared_sql(
     ("customer", "orders"),
 )
 
-shared_sql(
+@query(
     "top3_orders_per_segment",
-    """
+    oracle="""
     SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
       SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
@@ -554,8 +554,26 @@ shared_sql(
       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
     ) t WHERE rnk <= 3
     """,
-    ("customer", "orders"),
 )
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment via the partial+merge top-k
+    (``relational.top_k_per_group_scalable``): ~5 segments make the
+    naive per-segment window one giant sort per segment at 100x; the
+    partial stage keeps 3 rows per (segment, input partition) in
+    parallel, the merge ranks the <= 3*P survivors.  Total (price DESC,
+    orderkey ASC) order => identical to the oracle's window form."""
+    joined = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+    return relational.top_k_per_group_scalable(
+        joined, ["c_mktsegment"], "o_totalprice", 3,
+        tiebreak_cols=["o_orderkey"], rank_col="rnk",
+    ).select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
 
 shared_sql(
     "orders_rollup",
@@ -1130,7 +1148,7 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_weighted_quality_by_lang",
     oracle=f"""
     SELECT lang,
-           {P.int_div("SUM(q * n_chars)", "SUM(n_chars)", DUCK)} AS wq_ppm,
+           CAST({P.int_div("SUM(q * n_chars)", "SUM(n_chars)", DUCK)} AS BIGINT) AS wq_ppm,
            COUNT(*) AS n_docs
     FROM (SELECT lang, n_chars,
                  {P.quality_score_ppm_from_tokens('text', 'toks', DUCK)} AS q
@@ -1191,13 +1209,16 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_vocabulary_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed wordcount: corpus vocabulary, top 50 tokens by
     frequency (full tie-break on the token).  Explode → two-phase
-    count → global top-k; the canonical scan-shuffle-limit plan."""
+    count → global top-k via partial+merge
+    (``relational.top_k_per_group_scalable``): the vocabulary of a
+    100 TB corpus is itself huge, so the merge window must only ever
+    see the <= k*P partial survivors, never the whole count frame."""
     docs = load(spark, sf_dir, "documents")
     tokens = docs.select(
         F.explode(F.expr(P.tokens("text", SPARK))).alias("token")
     )
     counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    ranked = relational.top_k_per_group(
+    ranked = relational.top_k_per_group_scalable(
         counts, [], "n", 50, tiebreak_cols=["token"], rank_col="rnk"
     )
     return ranked.select("token", "n")
@@ -1250,7 +1271,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "docs_split_stats",
     oracle=f"""
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM (SELECT CASE WHEN {sampling.bucket_expr('doc_id')} < 900 THEN 'train'
                       WHEN {sampling.bucket_expr('doc_id')} < 950 THEN 'val'
                       ELSE 'test' END AS split, n_chars
@@ -1273,7 +1294,7 @@ def docs_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "docs_lang_rebalance",
     oracle=f"""
-    SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS total_chars
+    SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE {sampling.bucket_expr('doc_id')} <
           CASE WHEN lang = 'en' THEN 300 ELSE 800 END
@@ -1310,7 +1331,7 @@ def docs_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM scored
     )
-    SELECT COUNT(*) AS n_docs, SUM(ntok) AS total_tokens,
+    SELECT COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS total_tokens,
            MIN(quality_ppm) AS min_quality_ppm
     FROM ranked WHERE cum <= 15000
     """,
@@ -1349,12 +1370,12 @@ def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     packed AS (
       SELECT doc_id, ntok,
-             (SUM(ntok) OVER (ORDER BY doc_id ASC
+             CAST((SUM(ntok) OVER (ORDER BY doc_id ASC
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              - ntok) // 2048 AS pack_id
+              - ntok) // 2048 AS BIGINT) AS pack_id
       FROM toks
     )
-    SELECT pack_id, COUNT(*) AS n_docs, SUM(ntok) AS pack_tokens
+    SELECT pack_id, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS pack_tokens
     FROM packed GROUP BY pack_id ORDER BY pack_id
     """,
 )
@@ -1449,7 +1470,7 @@ shared_sql(
 @query(
     "doc_redact_numbers",
     oracle=f"""
-    SELECT COUNT(*) AS n_docs_changed, SUM(removed) AS total_chars_removed
+    SELECT COUNT(*) AS n_docs_changed, CAST(SUM(removed) AS BIGINT) AS total_chars_removed
     FROM (SELECT length(text) - length({P.regexp_replace_all('text', '[0-9]', '', DUCK)})
             AS removed FROM documents) t
     WHERE removed > 0
@@ -1604,7 +1625,7 @@ def dedup_transitive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH comps AS ({_components_oracle()})
     SELECT c.component, COUNT(*) AS cluster_size,
-           SUM(d.n_chars) AS total_chars,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
            MIN(d.lang) AS min_lang
     FROM comps c JOIN documents d ON d.doc_id = c.doc_id
     GROUP BY c.component
@@ -1722,7 +1743,7 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.label,
            COUNT(*) AS n_docs,
            CAST(SUM(q.quality_ppm) AS BIGINT) AS total_quality_ppm,
-           SUM(d.n_chars) AS total_chars
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
     FROM (SELECT doc_id, {P.quality_score_ppm_from_tokens('text', 'toks', DUCK)} AS quality_ppm
           FROM (SELECT doc_id, text, {P.tokens('text', DUCK)} AS toks FROM documents)) q
     JOIN documents d ON d.doc_id = q.doc_id
@@ -1910,7 +1931,7 @@ shared_sql(
     "docs_source_stats",
     """
     SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
-           SUM(n_chars) AS total_chars, MIN(doc_id) AS first_doc
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(doc_id) AS first_doc
     FROM documents GROUP BY source ORDER BY source
     """,
     needs=("documents",),
@@ -1964,7 +1985,7 @@ def docs_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT {P.int_div(f"CAST({P.token_count('text', DUCK)} AS BIGINT)", "20", DUCK)}
              AS bucket,
            COUNT(*) AS n_docs,
-           SUM(CAST({P.token_count('text', DUCK)} AS BIGINT)) AS total_tokens
+           CAST(SUM(CAST({P.token_count('text', DUCK)} AS BIGINT)) AS BIGINT) AS total_tokens
     FROM documents GROUP BY 1 ORDER BY bucket
     """,
 )
@@ -2230,7 +2251,7 @@ def customer_segment_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_salted_type_counts",
     oracle="""
-    SELECT event_type, SUM(user_id) AS sum_user_id, COUNT(*) AS n_rows
+    SELECT event_type, CAST(SUM(user_id) AS BIGINT) AS sum_user_id, COUNT(*) AS n_rows
     FROM events GROUP BY event_type
     """,
 )
@@ -2350,10 +2371,10 @@ def lineitem_price_quartiles_exact(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("q_75").alias("p75"),
     ).orderBy("l_returnflag")
 
-shared_sql(
+@query(
     "events_user_activity_deciles",
-    """
-    SELECT decile, COUNT(*) AS n_users, SUM(n_events) AS total_events,
+    oracle="""
+    SELECT decile, COUNT(*) AS n_users, CAST(SUM(n_events) AS BIGINT) AS total_events,
            MIN(n_events) AS min_events, MAX(n_events) AS max_events
     FROM (
       SELECT user_id, n_events,
@@ -2361,8 +2382,30 @@ shared_sql(
       FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) u
     ) t GROUP BY decile ORDER BY decile
     """,
-    needs=("events",),
 )
+def events_user_activity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-decile profile WITHOUT the global NTILE window: an
+    unpartitioned ``NTILE(10) OVER (ORDER BY ...)`` moves every per-user
+    row to ONE task (the "WindowExec: No Partition Defined" wall).  The
+    per-decile aggregates don't depend on which TIED user lands on which
+    side of a boundary, so ``relational.ntile_summary`` computes them
+    from the activity-count histogram alone — the only ordered window
+    runs over one row per DISTINCT count.  Bit-identical to the oracle's
+    NTILE form by the tie-interchangeability argument."""
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return relational.ntile_summary(
+        per_user, "n_events", n_tiles=10, descending=True, tile_col="decile"
+    ).select(
+        "decile",
+        F.col("n_rows").alias("n_users"),
+        F.col("total").alias("total_events"),
+        F.col("min_value").alias("min_events"),
+        F.col("max_value").alias("max_events"),
+    )
 
 
 @query(
@@ -2391,28 +2434,28 @@ def docs_quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFra
     normalization a curation pipeline uses to compare quality ACROSS
     languages (raw scores aren't comparable between languages; ranks
     are).  ``(rank-1) * 1e6 div (n-1)`` is pure integer math — exact on
-    both engines, unlike ``percent_rank``'s float division."""
-    from pyspark.sql import Window as W
+    both engines, unlike ``percent_rank``'s float division.
 
+    The rank comes from ``relational.grouped_rank_exact`` (value
+    histogram + in-bucket tie rank), NOT ``row_number() OVER (PARTITION
+    BY lang)`` — ~5 languages would mean 5 single-task sorts of the
+    whole corpus at 100x; the histogram plan's windows run over one row
+    per distinct ppm value and per (lang, ppm) bucket.  The oracle
+    keeps the naive window form."""
     docs = textops.with_quality_score(load(spark, sf_dir, "documents"), "text")
-    w = W.partitionBy("lang").orderBy(F.asc("quality_ppm"), F.asc("doc_id"))
-    wn = W.partitionBy("lang")
-    return (
-        docs.select("doc_id", "lang", "quality_ppm")
-        .withColumn("rk", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(wn))
-        .withColumn(
-            "pct_ppm",
-            # row_number is 32-bit in Spark: cast BEFORE the *1e6 or any
-            # language with ≥2149 docs overflows under ANSI (the DuckDB
-            # side is already BIGINT)
-            F.expr(
-                "CASE WHEN n = 1 THEN 0L "
-                "ELSE CAST(rk - 1 AS BIGINT) * 1000000 div (n - 1) END"
-            ),
-        )
-        .select("doc_id", "lang", "quality_ppm", "pct_ppm")
+    # score ONCE: the rank plan fans into histogram + main branches
+    scored = docs.select("doc_id", "lang", "quality_ppm").localCheckpoint(
+        eager=False
     )
+    ranked = relational.grouped_rank_exact(
+        scored, "lang", "quality_ppm", "doc_id", out_rank="rk", out_n="n"
+    )
+    return ranked.withColumn(
+        "pct_ppm",
+        F.expr(
+            "CASE WHEN n = 1 THEN 0L ELSE (rk - 1) * 1000000 div (n - 1) END"
+        ),
+    ).select("doc_id", "lang", "quality_ppm", "pct_ppm")
 
 
 @query("events_stream_exactly_once_dedup")  # no oracle: streaming drain
@@ -2462,12 +2505,12 @@ def _duck_repeated_spans_oracle(
                  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
           FROM hits)
     SELECT doc_id, ntok AS total_tokens,
-           SUM(CASE WHEN prev IS NULL OR pos - prev > {n} THEN 1 ELSE 0 END)
-             AS n_spans,
-           SUM(CASE WHEN prev IS NULL THEN {n} ELSE LEAST(pos - prev, {n}) END)
-             AS dup_tokens,
-           SUM(CASE WHEN prev IS NULL THEN {n} ELSE LEAST(pos - prev, {n}) END)
-             * 1000000 // ntok AS dup_ppm
+           CAST(SUM(CASE WHEN prev IS NULL OR pos - prev > {n} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN prev IS NULL THEN {n} ELSE LEAST(pos - prev, {n}) END)
+             AS BIGINT) AS dup_tokens,
+           CAST(SUM(CASE WHEN prev IS NULL THEN {n} ELSE LEAST(pos - prev, {n}) END)
+             * 1000000 // ntok AS BIGINT) AS dup_ppm
     FROM w GROUP BY doc_id, ntok
     """
 
@@ -2519,8 +2562,8 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents)
     ),
     stats AS (
-      SELECT source, {P.int_div('SUM(quality_ppm)', 'COUNT(*)', DUCK)}
-               AS source_mean_ppm
+      SELECT source, CAST({P.int_div('SUM(quality_ppm)', 'COUNT(*)', DUCK)}
+               AS BIGINT) AS source_mean_ppm
       FROM scored GROUP BY source
     )
     SELECT s.doc_id, s.source, s.quality_ppm, st.source_mean_ppm
@@ -2594,21 +2637,22 @@ def docs_length_midspread(spark: SparkSession, sf_dir: str) -> DataFrame:
     outlier-trim a curation pass applies per group (too-short and
     too-long tails dropped).  Rank inequalities ``rk*4 >= n`` /
     ``rk*4 <= 3n`` are pure integer comparisons — exact per-group
-    quantile cuts with no float percentile on either engine."""
-    from pyspark.sql import Window as W
+    quantile cuts with no float percentile on either engine.
 
+    Ranks via ``relational.grouped_rank_exact`` (histogram + in-bucket
+    tie rank keyed on (lang, ntok)) — never a per-language single-task
+    sort; the oracle keeps the naive window form."""
     docs = textops.with_token_counts(load(spark, sf_dir, "documents"), "text")
+    # tokenize ONCE: the rank plan fans into histogram + main branches
     sized = docs.select(
         "doc_id", "lang", F.col("ws_tokens").cast("long").alias("ntok")
+    ).localCheckpoint(eager=False)
+    ranked = relational.grouped_rank_exact(
+        sized, "lang", "ntok", "doc_id", out_rank="rk", out_n="n"
     )
-    w = W.partitionBy("lang").orderBy(F.asc("ntok"), F.asc("doc_id"))
-    wn = W.partitionBy("lang")
-    return (
-        sized.withColumn("rk", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(wn))
-        .where((F.col("rk") * 4 >= F.col("n")) & (F.col("rk") * 4 <= 3 * F.col("n")))
-        .select("doc_id", "lang", "ntok")
-    )
+    return ranked.where(
+        (F.col("rk") * 4 >= F.col("n")) & (F.col("rk") * 4 <= 3 * F.col("n"))
+    ).select("doc_id", "lang", "ntok")
 
 
 @query(
@@ -2653,8 +2697,8 @@ def _duck_curation_v2_oracle() -> str:
       FROM (SELECT doc_id, lang, source, text, {tokens} AS toks FROM documents)
     ),
     src_stats AS (
-      SELECT source, {P.int_div('SUM(quality_ppm)', 'COUNT(*)', DUCK)}
-               AS source_mean_ppm
+      SELECT source, CAST({P.int_div('SUM(quality_ppm)', 'COUNT(*)', DUCK)}
+               AS BIGINT) AS source_mean_ppm
       FROM scored GROUP BY source
     ),
     stage1 AS (
@@ -2709,9 +2753,10 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Stage order is part of the contract — the span profile and the
     quantile ranks are computed over each stage's survivor population,
-    exactly as the oracle's CTE chain does."""
-    from pyspark.sql import Window as W
-
+    exactly as the oracle's CTE chain does.  Stage 3's ranks come from
+    the histogram plan (``relational.grouped_rank_exact``) — same
+    departitioning as ``docs_length_midspread``; the oracle keeps the
+    window form."""
     docs = load(spark, sf_dir, "documents")
     stage1 = textops.source_quality_filter(
         docs, "text", "source", min_mean_ppm=645_000
@@ -2723,15 +2768,13 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sized = textops.with_token_counts(stage2, "text").select(
         "doc_id", "lang", "source", F.col("ws_tokens").cast("long").alias("ntok")
+    ).localCheckpoint(eager=False)  # rank plan fans into histogram + main
+    ranked = relational.grouped_rank_exact(
+        sized, "lang", "ntok", "doc_id", out_rank="rk", out_n="n"
     )
-    w = W.partitionBy("lang").orderBy(F.asc("ntok"), F.asc("doc_id"))
-    wn = W.partitionBy("lang")
-    return (
-        sized.withColumn("rk", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(wn))
-        .where((F.col("rk") * 4 >= F.col("n")) & (F.col("rk") * 4 <= 3 * F.col("n")))
-        .select("doc_id", "lang", "source", "ntok")
-    )
+    return ranked.where(
+        (F.col("rk") * 4 >= F.col("n")) & (F.col("rk") * 4 <= 3 * F.col("n"))
+    ).select("doc_id", "lang", "source", "ntok")
 
 
 @query(
@@ -3550,7 +3593,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT user_id,
            COUNT(gap_us) AS n_gaps,
-           SUM(gap_us) AS total_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
            MIN(gap_us) AS min_gap_us,
            MAX(gap_us) AS max_gap_us
     FROM g GROUP BY user_id
@@ -3582,19 +3625,30 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-shared_sql(
+@query(
     "events_deciles_by_type",
-    """
+    oracle="""
     SELECT event_type, event_id, value,
            NTILE(10) OVER (PARTITION BY event_type
                            ORDER BY value, event_id) AS decile
     FROM events
     """,
-    needs=("events",),
 )
-# decile notes: NTILE over a TOTAL order (value ties broken by id) is
-# deterministic; partitioned by type, so no global single-partition
-# sort — the equal-frequency discretization step of feature pipelines.
+def events_deciles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row equal-frequency decile per event type (the feature-
+    discretization step), WITHOUT the per-type window: ~5 types means 5
+    single-task sorts of every event at 100x.  ``relational.with_ntile``
+    computes the exact rank on the (type, floor(value)) histogram plan —
+    the coarse bucket keeps the histogram small for the continuous value
+    while in-bucket ranking restores the (value, id) total order — then
+    NTILE's closed form maps (rank, n) to the tile.  Bit-identical to
+    the oracle's window; deterministic via the event_id tie-break."""
+    ev = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return relational.with_ntile(
+        ev, "event_type", "value", "event_id",
+        n_tiles=10, out_col="decile",
+        bucket_expr=F.floor(F.col("value")).cast("long"),
+    ).select("event_type", "event_id", "value", "decile")
 
 
 shared_sql(
@@ -3602,7 +3656,7 @@ shared_sql(
     """
     WITH yearly AS (
       SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
-             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS revenue_cents,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents,
              COUNT(*) AS n_orders
       FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate))
     SELECT order_year, revenue_cents, n_orders,
@@ -3630,7 +3684,7 @@ shared_sql(
     """
     WITH seg AS (
       SELECT c.c_mktsegment,
-             SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS revenue_cents,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents,
              COUNT(*) AS n_orders
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY c.c_mktsegment)
@@ -3688,7 +3742,7 @@ shared_sql(
     SELECT event_type,
            COUNT(*) AS n_cells,
            MIN(k) AS min_k,
-           SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS cells_below_5
+           CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS cells_below_5
     FROM cells GROUP BY event_type
     """,
     needs=("events",),
@@ -3725,21 +3779,21 @@ def docs_lang_token_totals_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_table_profile",
     oracle="""
     SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            COUNT(DISTINCT o_custkey) AS n_distinct,
            CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
            CAST(MAX(o_custkey) AS VARCHAR) AS max_value
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus', COUNT(*),
-           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_orderstatus),
            CAST(MIN(o_orderstatus) AS VARCHAR),
            CAST(MAX(o_orderstatus) AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_orderdate', COUNT(*),
-           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_orderdate),
            CAST(MIN(o_orderdate) AS VARCHAR),
            CAST(MAX(o_orderdate) AS VARCHAR)
@@ -3771,7 +3825,7 @@ def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_orders,
            MIN(lag_days) AS min_lag,
            MAX(lag_days) AS max_lag,
-           SUM(lag_days) AS total_lag_days
+           CAST(SUM(lag_days) AS BIGINT) AS total_lag_days
     FROM lag GROUP BY o_orderpriority
     """,
 )
@@ -3813,7 +3867,7 @@ _EXPECTATION_RULES = {
     "orders_expectations",
     oracle="\n    UNION ALL\n".join(
         f"""SELECT '{name}' AS rule,
-           SUM(CASE WHEN {pred} THEN 0 ELSE 1 END) AS n_violations
+           CAST(SUM(CASE WHEN {pred} THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
     FROM orders"""
         for name, pred in _EXPECTATION_RULES.items()
     ),
@@ -3881,12 +3935,13 @@ def customer_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH counts AS (
       SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
     top AS (SELECT c FROM counts ORDER BY c DESC, user_id ASC LIMIT 10),
-    tot AS (SELECT SUM(c) AS n_rows, COUNT(*) AS n_keys, MAX(c) AS max_key_rows
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+                   MAX(c) AS max_key_rows
             FROM counts),
-    tk AS (SELECT SUM(c) AS topk_rows FROM top)
+    tk AS (SELECT CAST(SUM(c) AS BIGINT) AS topk_rows FROM top)
     SELECT n_rows, n_keys, max_key_rows,
-           max_key_rows * 1000000 // n_rows AS top1_ppm,
-           topk_rows * 1000000 // n_rows AS top10_ppm
+           CAST(max_key_rows * 1000000 // n_rows AS BIGINT) AS top1_ppm,
+           CAST(topk_rows * 1000000 // n_rows AS BIGINT) AS top10_ppm
     FROM tot CROSS JOIN tk
     """,
 )
@@ -4049,8 +4104,8 @@ def docs_gopher_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  'h', 'h % 1024', DUCK)}) AS wid
       FROM documents)
     SELECT f.doc_id, COUNT(*) AS n_tokens,
-           SUM(w.w) AS score_total,
-           SUM(w.w) * 1000000 // COUNT(*) AS score_per_token_ppm,
+           CAST(SUM(w.w) AS BIGINT) AS score_total,
+           CAST(SUM(w.w) * 1000000 // COUNT(*) AS BIGINT) AS score_per_token_ppm,
            SUM(w.w) > 0 AS keep
     FROM f JOIN w USING (wid)
     GROUP BY f.doc_id
@@ -4201,8 +4256,8 @@ def _burst_sql(epoch_us_fn: str, intdiv: str) -> str:
       FROM events GROUP BY 1, 2),
     trail AS (
       SELECT event_type, hour_idx, n,
-             SUM(n) OVER (PARTITION BY event_type ORDER BY hour_idx
-                          RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_n,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hour_idx
+                          RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail_n,
              COUNT(*) OVER (PARTITION BY event_type ORDER BY hour_idx
                             RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_hours
       FROM hourly)
@@ -4238,9 +4293,10 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped AS (SELECT DISTINCT doc_id_b AS doc_id FROM pairs)
     SELECT d.source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END) AS n_dropped,
-           SUM(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END) * 1000000
-             // COUNT(*) AS dup_ppm
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END) * 1000000
+             // COUNT(*) AS BIGINT) AS dup_ppm
     FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
     GROUP BY d.source
     """,
@@ -4357,9 +4413,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     par AS (SELECT GREATEST(1, MAX(c) // 50) AS stride FROM cum),
     p2 AS (SELECT stride, stride // 2 AS off FROM par)
     SELECT doc_id, w AS weight,
-           (CASE WHEN c >= off THEN (c - off) // stride ELSE -1 END
-            - CASE WHEN c - w >= off THEN (c - w - off) // stride ELSE -1 END)
-             AS n_hits
+           CAST(CASE WHEN c >= off THEN (c - off) // stride ELSE -1 END
+            - CASE WHEN c - w >= off THEN (c - w - off) // stride ELSE -1 END
+             AS BIGINT) AS n_hits
     FROM cum CROSS JOIN p2
     WHERE (CASE WHEN c >= off THEN (c - off) // stride ELSE -1 END
            - CASE WHEN c - w >= off THEN (c - w - off) // stride ELSE -1 END) > 0
@@ -4443,14 +4499,14 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_cust AS (
       SELECT o_custkey,
-             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-               AS cents
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS cents
       FROM orders GROUP BY o_custkey),
     cum AS (
       SELECT o_custkey, cents,
              SUM(cents) OVER (ORDER BY cents DESC, o_custkey ASC) AS c
       FROM per_cust),
-    tot AS (SELECT SUM(cents) AS t, COUNT(*) AS n FROM per_cust)
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t, COUNT(*) AS n FROM per_cust)
     SELECT COUNT(*) AS n_top_customers,
            MAX(n) AS n_customers,
            CAST(SUM(cents) AS BIGINT) AS top_cents,
@@ -4498,8 +4554,8 @@ def customer_pareto_80(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_cust AS (
       SELECT o_custkey,
-             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-               AS cents
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS cents
       FROM orders GROUP BY o_custkey)
     SELECT 'all' AS grp,
            MAX(CASE WHEN rn = GREATEST(CAST(CEIL(n * 0.25) AS BIGINT), 1)
@@ -4532,11 +4588,15 @@ def customer_spend_quartiles_exact(spark: SparkSession, sf_dir: str) -> DataFram
     q = relational.exact_group_quantiles(
         per_cust, "grp", "cents", bucket_width=1_000_000.0
     )
+    # exact_group_quantiles works in doubles; cents are exact integers
+    # < 2^53 so the cast back to BIGINT is lossless and matches the
+    # oracle's integer order-statistics dtype (driver hash is
+    # dtype-sensitive)
     return q.select(
         "grp",
-        F.col("q_25").alias("p25"),
-        F.col("q_50").alias("p50"),
-        F.col("q_75").alias("p75"),
+        F.col("q_25").cast("long").alias("p25"),
+        F.col("q_50").cast("long").alias("p50"),
+        F.col("q_75").cast("long").alias("p75"),
     )
 
 
@@ -4580,10 +4640,10 @@ shared_sql(
            FROM anchors a JOIN embeddings e ON e.vec_id = a.anchor_id)
     SELECT e.label,
            COUNT(*) AS n_vecs,
-           SUM(CASE WHEN {_duck_cosine('e.embedding', 'av.avec')} >= 0.5
-                    THEN 1 ELSE 0 END) AS n_cohesive,
-           SUM(CASE WHEN {_duck_cosine('e.embedding', 'av.avec')} >= 0.5
-                    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS cohesive_ppm
+           CAST(SUM(CASE WHEN {_duck_cosine('e.embedding', 'av.avec')} >= 0.5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_cohesive,
+           CAST(SUM(CASE WHEN {_duck_cosine('e.embedding', 'av.avec')} >= 0.5
+                    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS cohesive_ppm
     FROM embeddings e JOIN av ON av.label = e.label
     GROUP BY e.label
     """,
@@ -4703,7 +4763,7 @@ def _conversion_time_sql(epoch_us_fn: str) -> str:
     SELECT COUNT(*) AS n_converters,
            MIN(gap_us) AS min_gap_us,
            MAX(gap_us) AS max_gap_us,
-           SUM(gap_us) AS total_gap_us
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
     FROM p
     """
 
@@ -4736,7 +4796,7 @@ def events_conversion_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.doc_id, COALESCE(n.new_tokens, 0) AS new_tokens
       FROM documents d LEFT JOIN new_per_doc n ON n.doc_id = d.doc_id)
     SELECT doc_id, new_tokens,
-           SUM(new_tokens) OVER (ORDER BY doc_id) AS vocab_size
+           CAST(SUM(new_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS vocab_size
     FROM all_docs
     """,
 )

@@ -54,4 +54,20 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # WindowExec's "No Partition Defined" warning: every remaining
+    # partition-less window in this engine runs over a BOUNDED aggregate
+    # frame (bucket-totals of the two-phase prefix sum, value
+    # histograms, per-year rows) — that invariant is enforced by plan
+    # tests (tests/test_scale_plans.py: no full-row SinglePartition
+    # exchange, no per-row NTILE/rank windows), not by this log line.
+    # Spark constant-folds even partitionBy(lit(1)), so the warning
+    # cannot be avoided at the call site; demote it to ERROR.
+    try:
+        jvm = spark._jvm
+        logger = jvm.org.apache.log4j.LogManager.getLogger(
+            "org.apache.spark.sql.execution.window.WindowExec"
+        )
+        logger.setLevel(jvm.org.apache.log4j.Level.ERROR)
+    except Exception:
+        pass  # log4j bridge unavailable: warnings are cosmetic only
     return spark

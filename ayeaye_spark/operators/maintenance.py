@@ -3,6 +3,11 @@ needs around the query engine (small-file compaction here; clustered
 writes live on the Parquet connector's ``partition_by/sort_by``, layout
 keys in ``functions.portable.zorder_key2``).
 
+All filesystem operations go through the Hadoop ``FileSystem`` API, so
+the same code works on ``file://``, ``hdfs://``, ``s3a://`` and any
+other registered scheme — sizing, the staging swap, and cleanup are
+never local-``os``-module calls.
+
 Reference parity: maintenance is "new capability" (SURVEY §2.5) —
 the reference's single-file connectors never fragment.
 """
@@ -10,17 +15,31 @@ the reference's single-file connectors never fragment.
 from __future__ import annotations
 
 import math
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 
-def dir_bytes(path: str) -> int:
+def _fs_and_path(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path``'s scheme via the session's Hadoop
+    configuration — the scheme's registered implementation resolves
+    ``file://``, ``hdfs://``, ``s3a://`` etc. uniformly."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total data bytes under ``path`` (recursive), skipping metadata
+    files (``_SUCCESS``, ``.crc`` …) — works on any Hadoop scheme."""
+    fs, hpath = _fs_and_path(spark, path)
     total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            total += st.getLen()
     return total
 
 
@@ -37,29 +56,66 @@ def compact_parquet(
     multi-dimensional locality).
 
     Returns the compacted DataFrame reading the REWRITTEN location; the
-    rewrite goes through a sibling staging directory then an atomic-ish
-    rename (never read-overwrite the same path in one job — Spark
-    deletes the target before the read plan executes).
+    rewrite goes through a sibling staging directory then a rename swap
+    (never read-overwrite the same path in one job — Spark deletes the
+    target before the read plan executes).  The swap is guarded: the
+    staged rewrite is READ BACK and its row count compared against the
+    original's before anything is moved, and the original survives as
+    ``<path>._compact_old`` until the swap has fully succeeded.
 
-    Scale notes: file count from actual on-disk bytes, not row counts;
-    ``repartitionByRange`` on the sort key gives non-overlapping file
-    envelopes (data-skipping survives compaction); plain ``repartition``
-    (round-robin) otherwise.
+    Crash recovery: renames happen in the order (original → backup),
+    (staging → path).  If the process dies between the two, the data is
+    intact at ``<path>._compact_old`` and the rewrite at
+    ``<path>._compact_staging`` — restore by renaming either back.  On
+    object stores without atomic directory rename (S3), the rename is a
+    copy+delete under the hood; the same recovery contract holds, the
+    window is just longer.
+
+    Scale notes: file count from actual on-disk bytes (Hadoop FS
+    listing — scheme-agnostic), not row counts; ``repartitionByRange``
+    on the sort key gives non-overlapping file envelopes (data-skipping
+    survives compaction); plain ``repartition`` (round-robin) otherwise.
     """
-    n_files = max(1, math.ceil(dir_bytes(path) / (target_file_mb * 1024 * 1024)))
+    n_files = max(
+        1, math.ceil(dir_bytes(spark, path) / (target_file_mb * 1024 * 1024))
+    )
     df = spark.read.parquet(path)
+    pre_count = df.count()
     if sort_cols:
         out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
             *sort_cols
         )
     else:
         out = df.repartition(n_files)
-    staging = path.rstrip("/") + "._compact_staging"
-    out.write.mode("overwrite").parquet(staging)
-    backup = path.rstrip("/") + "._compact_old"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    import shutil
 
-    shutil.rmtree(backup)
+    fs, hpath = _fs_and_path(spark, path)
+    staging = path.rstrip("/") + "._compact_staging"
+    backup = path.rstrip("/") + "._compact_old"
+    _, hstaging = _fs_and_path(spark, staging)
+    _, hbackup = _fs_and_path(spark, backup)
+
+    out.write.mode("overwrite").parquet(staging)
+    # verify BEFORE touching the original: a silently short staging
+    # write must never replace good data
+    post_count = spark.read.parquet(staging).count()
+    if post_count != pre_count:
+        fs.delete(hstaging, True)
+        raise RuntimeError(
+            f"compact_parquet: staged rewrite of {path} has {post_count} "
+            f"rows, expected {pre_count}; original left untouched"
+        )
+
+    if fs.exists(hbackup):  # stale backup from an interrupted prior run
+        fs.delete(hbackup, True)
+    if not fs.rename(hpath, hbackup):
+        fs.delete(hstaging, True)
+        raise RuntimeError(f"compact_parquet: could not move {path} aside")
+    if not fs.rename(hstaging, hpath):
+        # put the original back; nothing is lost
+        fs.rename(hbackup, hpath)
+        raise RuntimeError(
+            f"compact_parquet: could not move staging into place for {path}; "
+            "original restored"
+        )
+    fs.delete(hbackup, True)
     return spark.read.parquet(path)

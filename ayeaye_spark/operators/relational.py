@@ -70,7 +70,12 @@ def top_k_per_group(
     rank_col: str = "rank",
 ) -> DataFrame:
     """Deterministic top-k: explicit tiebreak columns make the result
-    well-defined (and oracle-stable) even with duplicate order values."""
+    well-defined (and oracle-stable) even with duplicate order values.
+
+    SCALE CAVEAT: the window puts each group (or, with ``group_cols=[]``,
+    the WHOLE frame) into one task — fine when the input is an already-
+    bounded aggregate; for low-cardinality groups over big frames use
+    :func:`top_k_per_group_scalable` (partial+merge, same result)."""
     ordering = [F.desc(order_col) if descending else F.asc(order_col)]
     ordering += [F.asc(c) for c in (tiebreak_cols or [])]
     if group_cols:
@@ -78,6 +83,223 @@ def top_k_per_group(
     else:
         w = Window.partitionBy(F.lit(1)).orderBy(*ordering)
     return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def top_k_per_group_scalable(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    *,
+    descending: bool = True,
+    tiebreak_cols: list[str] | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact top-k per group for LOW-cardinality group keys (segments,
+    languages, statuses), without sorting any whole group in one task.
+
+    ``row_number() OVER (PARTITION BY group)`` ships every row of a
+    group to one task — with ~5 groups that is 5 giant sorts at 100x
+    scale.  For small k the partial+merge plan is exact and parallel:
+
+    1. partial: rank within (group, input-partition id) — P*G window
+       keys, each holding ~rows/P rows; keep k per key;
+    2. merge: rank the <= k*P survivors per group — the per-group
+       window now runs on a bounded, tiny frame.
+
+    The tiebreak columns must make the ordering total, which also makes
+    the result independent of the physical partitioning.  Same output
+    as :func:`top_k_per_group`.
+    """
+    ordering = [F.desc(order_col) if descending else F.asc(order_col)]
+    ordering += [F.asc(c) for c in (tiebreak_cols or [])]
+    w1 = Window.partitionBy(*group_cols, "_pid").orderBy(*ordering)
+    survivors = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_pid", "_r1")
+    )
+    # group_cols=[] = GLOBAL top-k: the merge window is single-partition
+    # by nature, but only ever sees the <= k*P partial survivors
+    w2 = Window.partitionBy(*(group_cols or [F.lit(1)])).orderBy(*ordering)
+    return survivors.withColumn(rank_col, F.row_number().over(w2)).where(
+        F.col(rank_col) <= k
+    )
+
+
+def grouped_rank_exact(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    out_rank: str = "rk",
+    out_n: str = "n",
+    bucket_expr=None,
+) -> DataFrame:
+    """Exact per-row rank (``value`` ASC, ``id`` ASC) and group size per
+    group, WITHOUT sorting any whole group in one task.
+
+    The naive ``row_number() OVER (PARTITION BY group ORDER BY value,
+    id)`` is a scale-killer for low-cardinality groups (per-language
+    rank = one task per language).  Decompose the rank instead:
+
+        rank = (# group rows in smaller buckets)      -- histogram
+             + (position by (value, id) in the bucket) -- in-bucket
+
+    1. count rows per (group, bucket) — map-side-combined aggregate;
+    2. exclusive prefix counts via a window over the HISTOGRAM (one row
+       per distinct bucket — tiny) partitioned by group;
+    3. join back on (group, bucket) and rank by (value, id) inside each
+       (group, bucket) — that window's key cardinality is the data's
+       bucket count, not the group count, so the work spreads over the
+       cluster.  The join and the in-bucket window share the (group,
+       bucket) shuffle.
+
+    ``bucket_expr`` defaults to the value itself — exact histogram,
+    right for integer/low-distinct values.  For CONTINUOUS values pass
+    a monotone coarsening (e.g. ``F.floor(F.col(v))``) so the histogram
+    stays small while in-bucket ranking handles the residual order.
+
+    Group sizes broadcast back (one row per group).  Output = input
+    columns + ``out_rank`` + ``out_n`` (both BIGINT).
+    """
+    bucket = bucket_expr if bucket_expr is not None else F.col(value_col)
+    b = df.withColumn("_bkt", bucket)
+    hist = b.groupBy(group_col, "_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    wh = Window.partitionBy(group_col).orderBy(F.asc("_bkt"))
+    hist = hist.withColumn(
+        "_before", (F.sum("_c").over(wh) - F.col("_c")).cast("long")
+    )
+    totals = hist.groupBy(group_col).agg(F.sum("_c").cast("long").alias(out_n))
+    wb = Window.partitionBy(group_col, "_bkt").orderBy(
+        F.asc(value_col), F.asc(id_col)
+    )
+    return (
+        b.join(hist.select(group_col, "_bkt", "_before"), [group_col, "_bkt"])
+        .join(F.broadcast(totals), [group_col])
+        .withColumn(
+            out_rank, (F.col("_before") + F.row_number().over(wb)).cast("long")
+        )
+        .drop("_before", "_bkt")
+    )
+
+
+def with_ntile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    n_tiles: int,
+    out_col: str = "tile",
+    bucket_expr=None,
+) -> DataFrame:
+    """Per-row ``NTILE(n) OVER (PARTITION BY group ORDER BY value, id)``
+    without a per-group single-task window.
+
+    NTILE is a pure function of (rank, group size): with n rows and t
+    tiles, q = n div t and r = n mod t, the first r tiles take q+1 rows
+    each —
+
+        tile(rk) = (rk-1) div (q+1) + 1              if rk <= (q+1)*r
+                   r + (rk - (q+1)*r - 1) div q + 1  otherwise
+
+    so the exact rank from :func:`grouped_rank_exact` (histogram plan,
+    no per-group sort) gives the exact tile.  Ascending order only;
+    order on a descending key by ranking its negation upstream.
+    """
+    ranked = grouped_rank_exact(
+        df, group_col, value_col, id_col,
+        out_rank="_rk", out_n="_n", bucket_expr=bucket_expr,
+    )
+    q = (F.col("_n") / n_tiles).cast("long")
+    r = F.col("_n") % n_tiles
+    head = F.col("_rk") <= (q + 1) * r
+    # greatest(q,1): when q=0 every row takes the head branch, but the
+    # divisor must still be non-zero for the unevaluated leg under ANSI
+    tile = F.when(
+        head, ((F.col("_rk") - 1) / (q + 1)).cast("long") + 1
+    ).otherwise(
+        r
+        + ((F.col("_rk") - (q + 1) * r - 1) / F.greatest(q, F.lit(1))).cast("long")
+        + 1
+    )
+    return ranked.withColumn(out_col, tile).drop("_rk", "_n")
+
+
+def ntile_summary(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_tiles: int = 10,
+    descending: bool = True,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Per-tile (count, sum, min, max of ``value``) for NTILE(n) over a
+    total order on (value, id) — with NO per-row window at all.
+
+    ``NTILE(n) OVER (ORDER BY ...)`` with no partition moves EVERY row
+    to one task (the ``WindowExec: No Partition Defined`` wall).  But
+    the per-tile aggregates don't depend on WHICH tied row lands on
+    which side of a tile boundary — equal values are interchangeable —
+    so they are computable from the value histogram alone:
+
+    1. count rows per distinct value (map-side-combined aggregate);
+    2. prefix counts over the histogram give each value's contiguous
+       rank span [before+1, before+c];
+    3. NTILE's tile d covers ranks [start(d), end(d)] where the first
+       (n_rows % n) tiles take ceil(n_rows/n) rows: explode the tiles
+       per histogram row, intersect spans, weight by overlap.
+
+    The only ordered window runs over the histogram (one row per
+    distinct value).  Output: (tile, n_rows, total, min_value,
+    max_value) — bit-identical to aggregating the NTILE window.
+    """
+    hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_c"))
+    order = F.desc(value_col) if descending else F.asc(value_col)
+    # partitionBy(lit(1)) = the same single histogram partition, minus
+    # Spark's "No Partition Defined" warning — the frame is one row per
+    # DISTINCT value, which is the point
+    wh = Window.partitionBy(F.lit(1)).orderBy(order)
+    hist = hist.withColumn(
+        "_before", (F.sum("_c").over(wh) - F.col("_c")).cast("long")
+    )
+    tot = hist.agg(F.sum("_c").cast("long").alias("_nr"))
+    t = F.col(tile_col)
+    q = (F.col("_nr") / n_tiles).cast("long")
+    r = F.col("_nr") % n_tiles
+    start = (t - 1) * q + F.least(t - 1, r) + 1
+    size = q + F.when(t <= r, 1).otherwise(0)
+    exploded = (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn(
+            tile_col, F.explode(F.sequence(F.lit(1), F.lit(n_tiles)))
+        )
+        .withColumn("_s", start)
+        .withColumn("_e", start + size - 1)
+        .withColumn(
+            "_overlap",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.col("_e"), F.col("_before") + F.col("_c"))
+                - F.greatest(F.col("_s"), F.col("_before") + 1)
+                + 1,
+            ),
+        )
+        .where(F.col("_overlap") > 0)
+    )
+    return (
+        exploded.groupBy(tile_col)
+        .agg(
+            F.sum("_overlap").cast("long").alias("n_rows"),
+            F.sum(F.col("_overlap") * F.col(value_col)).cast("long").alias("total"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .orderBy(tile_col)
+    )
 
 
 def asof_join(

@@ -408,9 +408,16 @@ def domain_mix_budget(
         for r in scoped.groupBy(group_col).agg(F.sum(token_col)).collect()
     }
     w_sum = sum(weights.values())
-    feasible = min(
-        (totals.get(g, 0) * w_sum) // w for g, w in weights.items() if w > 0
-    )
+    # a weighted group with ZERO supply cannot constrain the mix: it
+    # drops out of the min (matching the docs_domain_mix oracle, whose
+    # MIN over the supply join never sees absent sources) instead of
+    # zeroing the whole budget; its own share then selects nothing
+    constraints = [
+        (totals[g] * w_sum) // w
+        for g, w in weights.items()
+        if w > 0 and totals.get(g, 0)
+    ]
+    feasible = min(constraints) if constraints else 0
     budgets = {g: (w * feasible) // w_sum for g, w in weights.items()}
     cum = _grouped_bucketed_cumsum(
         scoped,

@@ -72,6 +72,7 @@ def merge_upsert(
     updates: DataFrame,
     *,
     key: str,
+    validate: bool = False,
 ) -> DataFrame:
     """SCD1 / MERGE INTO emulation (no version history): rows from
     ``updates`` replace same-key rows in ``target``; unmatched update
@@ -80,17 +81,36 @@ def merge_upsert(
 
     ``updates`` must be unique per key (dedupe upstream — a MERGE with
     duplicate source keys is non-deterministic in every engine and
-    rejected by Delta/Iceberg too).
+    rejected by Delta/Iceberg too).  With ``validate=True`` the contract
+    is ENFORCED: duplicate update keys raise instead of silently
+    emitting duplicate output rows.  The check is one extra aggregate
+    pass over the (small) update side — pay it wherever the source
+    isn't already guaranteed deduped.
 
     Plan shape: one anti-join shuffle on the key + a union — linear in
     |target| + |updates|, the update side typically far smaller and
     broadcast by AQE.  At 100 TB the target is read once and rewritten
-    partition-parallel; nothing collects.
+    partition-parallel; nothing collects (``validate`` collects a
+    bounded sample of offending keys, not the data).
     """
     cols = target.columns
     if updates.columns != cols:
         raise ValueError(
             f"updates columns {updates.columns} must match target {cols}"
         )
+    if validate:
+        dupes = (
+            updates.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+        )
+        sample = dupes.take(5)
+        if sample:
+            shown = ", ".join(str(r[key]) for r in sample)
+            raise ValueError(
+                f"merge_upsert: duplicate update keys (e.g. {shown}) — a "
+                "MERGE with duplicate source keys is non-deterministic; "
+                "dedupe the update side first"
+            )
     untouched = target.join(updates.select(key), on=key, how="left_anti")
     return untouched.select(*cols).unionByName(updates.select(*cols))

@@ -40,8 +40,9 @@ HEADLINE = {
         "anti+semi joins on the same key reuse one exchange; nation broadcast."
     ),
     "top3_orders_per_segment": (
-        "rank window partitioned by segment — shuffle once on the partition key, "
-        "no global sort."
+        "partial+merge top-k: rank within (segment, input partition), then "
+        "merge <= k*P survivors per segment; WindowGroupLimit caps rows "
+        "before every exchange — no whole-segment single-task sort."
     ),
     "events_trailing_hour_counts": (
         "RANGE interval frame over (user_id, ts) — one shuffle on user_id, "
@@ -246,6 +247,86 @@ HEADLINE = {
     "brand_market_basket": (
         "basket self-join keyed on the ORDER — pair fan-out bounded by "
         "basket size squared, never table size."
+    ),
+    "customer_pareto_80": (
+        "per-customer cents aggregate, running total via the bucketed "
+        "two-phase prefix sum (bucket = revenue magnitude) — never a "
+        "single-partition window over 1e9 customers; totals broadcast."
+    ),
+    "customer_spend_quartiles_exact": (
+        "histogram locate-then-sort quantiles over the DERIVED per-customer "
+        "aggregate; the only sort touches the located bucket, and the "
+        "integer cents cast back to BIGINT losslessly (< 2^53)."
+    ),
+    "dedup_degree_histogram": (
+        "pair degrees from the banded candidate pass, then two map-side-"
+        "combined aggregates — the report never rejoins the corpus."
+    ),
+    "docs_lang_confusion": (
+        "declared-vs-detected confusion matrix: one scoring scan, one "
+        "map-side-combined (declared, detected) count — #langs^2 rows out."
+    ),
+    "docs_token_counts_arrow": (
+        "mapInArrow token counting: constant-width columns cross the Python "
+        "boundary, scan pruned to (doc_id, text), no shuffle."
+    ),
+    "docs_vocab_growth": (
+        "token->first-doc via one hash-keyed MIN aggregate, first-appearance "
+        "counts per doc, then the distributed two-phase prefix sum — "
+        "'distinct so far' with no corpus-wide single-partition window."
+    ),
+    "emb_label_cohesion": (
+        "per-label anchor frame (#labels rows) broadcasts; one corpus scan "
+        "computes the fold-order-exact cosine; integer ppm out."
+    ),
+    "events_conversion_time_stats": (
+        "two map-side-combined MIN aggregates chained by one join on "
+        "user_id; integer-microsecond gaps, one row out."
+    ),
+    "events_diurnal_profile": (
+        "hour-of-day extraction in the scan projection feeding one "
+        "map-side-combined aggregate — 24 x #types rows out."
+    ),
+    "events_rolling_active_users": (
+        "day-level distinct pairs first (shuffle carries (day, user), not "
+        "events), then the 7-day window runs over the tiny day frame."
+    ),
+    "events_user_activity_deciles": (
+        "NTILE eliminated: per-decile aggregates computed from the "
+        "activity-count histogram (ties interchangeable) — the only ordered "
+        "window runs over one row per DISTINCT count, no per-user window."
+    ),
+    "events_deciles_by_type": (
+        "per-row NTILE without the per-type window: exact rank on the "
+        "(type, floor(value)) histogram plan, then NTILE's closed form on "
+        "(rank, n) — ~5 types never become 5 single-task sorts."
+    ),
+    "doc_vocabulary_top50": (
+        "global top-k via partial+merge: rank within each input partition "
+        "first, merge <= k*P survivors — the vocabulary count frame (huge "
+        "at 100 TB) never funnels through one task."
+    ),
+    "docs_length_midspread": (
+        "rank = histogram prefix (window over distinct (lang, ntok) rows) + "
+        "tie position keyed by (lang, ntok) — no per-language single-task "
+        "sort; band filter is integer rank arithmetic."
+    ),
+    "docs_quality_percentile_by_lang": (
+        "same histogram-rank plan keyed on (lang, quality_ppm); the "
+        "per-language totals broadcast back — percentile is exact integer "
+        "ppm with no per-language sort."
+    ),
+    "orders_basket_size_histogram": (
+        "per-order count then count-of-counts — both map-side-combined; "
+        "the second aggregate's input is one row per order."
+    ),
+    "part_type_rollup": (
+        "ROLLUP over derived split_part dimensions — partial aggregates "
+        "per grouping set, one exchange, no re-scan per level."
+    ),
+    "supplier_region_balance_rollup": (
+        "supplier->nation->region dimension chain broadcasts; ROLLUP "
+        "aggregates ride one exchange over the fact side."
     ),
 }
 

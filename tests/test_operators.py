@@ -2044,6 +2044,31 @@ class TestCompaction:
         for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
             assert hi1 <= lo2   # non-overlapping envelopes restored
 
+    def test_hadoop_fs_api_with_explicit_scheme(self, spark, tmp_path):
+        """compact_parquet sizes and swaps via the Hadoop FileSystem API
+        — an explicit ``file://`` URI must work end-to-end (the same
+        code path any other registered scheme takes), with the file
+        count pinned to ceil(bytes/target)."""
+        import glob
+        import math
+
+        from ayeaye_spark.operators.maintenance import compact_parquet, dir_bytes
+
+        local = tmp_path / "frag3"
+        path = f"file://{local}"
+        spark.range(20_000).withColumn("pad", F.expr("repeat(uuid(), 8)")) \
+            .repartition(25).write.parquet(path)
+        nbytes = dir_bytes(spark, path)
+        assert nbytes > 0
+        expected_files = max(1, math.ceil(nbytes / (1 * 1024 * 1024)))
+
+        out = compact_parquet(spark, path, target_file_mb=1)
+        assert out.count() == 20_000
+        got_files = len(glob.glob(f"{local}/*.parquet"))
+        assert got_files == expected_files
+        # staging and backup must both be gone after a clean swap
+        assert not glob.glob(f"{local}._compact_*")
+
 
 class TestHashedLinearScore:
     def test_custom_weights_drive_keep_decision(self, spark):
@@ -2111,3 +2136,171 @@ class TestSystematicWeightedSample:
         with _pt.raises(ValueError):
             sampling.systematic_weighted_sample(
                 df, id_col="id", weight_col="w", n=0)
+
+
+class TestGroupedRankExact:
+    def test_matches_naive_window(self, spark):
+        from pyspark.sql import Window
+
+        rows = [(i, f"g{i % 3}", (i * 7) % 20) for i in range(300)]
+        df = spark.createDataFrame(rows, ["id", "grp", "v"])
+        w = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("id"))
+        wn = Window.partitionBy("grp")
+        want = {
+            r["id"]: (r["rk"], r["n"])
+            for r in df.withColumn("rk", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .collect()
+        }
+        got = {
+            r["id"]: (r["rk"], r["n"])
+            for r in relational.grouped_rank_exact(df, "grp", "v", "id").collect()
+        }
+        assert got == want
+
+    def test_partitioning_invariant(self, spark):
+        rows = [(i, "g", (i * 13) % 11) for i in range(200)]
+        df = spark.createDataFrame(rows, ["id", "grp", "v"])
+        a = {r["id"]: r["rk"]
+             for r in relational.grouped_rank_exact(df, "grp", "v", "id").collect()}
+        b = {r["id"]: r["rk"]
+             for r in relational.grouped_rank_exact(
+                 df.repartition(7), "grp", "v", "id").collect()}
+        assert a == b
+
+
+class TestNtileSummary:
+    def test_matches_naive_ntile(self, spark):
+        from pyspark.sql import Window
+
+        for nrows, tiles in [(97, 10), (100, 10), (5, 10), (64, 7)]:
+            rows = [(i, (i * 11) % 13 + 1) for i in range(nrows)]
+            df = spark.createDataFrame(rows, ["uid", "v"])
+            w = Window.partitionBy(F.lit(1)).orderBy(F.desc("v"), F.asc("uid"))
+            want = {
+                r["tile"]: (r["n_rows"], r["total"], r["mn"], r["mx"])
+                for r in df.withColumn("tile", F.ntile(tiles).over(w))
+                .groupBy("tile")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("v").alias("total"),
+                    F.min("v").alias("mn"),
+                    F.max("v").alias("mx"),
+                )
+                .collect()
+            }
+            got = {
+                r["tile"]: (r["n_rows"], r["total"], r["min_value"], r["max_value"])
+                for r in relational.ntile_summary(
+                    df, "v", n_tiles=tiles, descending=True
+                ).collect()
+            }
+            assert got == want, f"nrows={nrows} tiles={tiles}"
+
+
+class TestTopKPerGroupScalable:
+    def test_matches_window_form(self, spark):
+        rows = [(i, f"s{i % 4}", float((i * 17) % 50)) for i in range(400)]
+        df = spark.createDataFrame(rows, ["id", "seg", "price"])
+        want = sorted(
+            (r["seg"], r["id"], r["rank"])
+            for r in relational.top_k_per_group(
+                df, ["seg"], "price", 5, tiebreak_cols=["id"]
+            ).collect()
+        )
+        got = sorted(
+            (r["seg"], r["id"], r["rank"])
+            for r in relational.top_k_per_group_scalable(
+                df.repartition(9), ["seg"], "price", 5, tiebreak_cols=["id"]
+            ).collect()
+        )
+        assert got == want
+
+
+class TestMergeUpsertValidate:
+    def test_duplicate_update_keys_raise(self, spark):
+        import pytest as _pt
+
+        from ayeaye_spark.operators.scd import merge_upsert
+
+        tgt = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+        upd = spark.createDataFrame([(2, "x"), (2, "y")], ["k", "v"])
+        # silent by default (contract documented) ...
+        assert merge_upsert(tgt, upd, key="k").count() == 3
+        # ... loud when enforced
+        with _pt.raises(ValueError, match="duplicate update keys"):
+            merge_upsert(tgt, upd, key="k", validate=True)
+
+    def test_validate_passes_unique_updates(self, spark):
+        from ayeaye_spark.operators.scd import merge_upsert
+
+        tgt = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+        upd = spark.createDataFrame([(2, "x"), (3, "c")], ["k", "v"])
+        got = {(r["k"], r["v"]) for r in
+               merge_upsert(tgt, upd, key="k", validate=True).collect()}
+        assert got == {(1, "a"), (2, "x"), (3, "c")}
+
+
+class TestDomainMixZeroSupply:
+    def test_zero_supply_group_drops_out(self, spark):
+        """A weighted group with NO rows must not zero the whole mix —
+        it drops out of the feasibility min exactly like the
+        docs_domain_mix oracle's supply join drops absent sources."""
+        from ayeaye_spark.operators import sampling
+
+        rows = [(i, "a", 10) for i in range(50)] + [
+            (1000 + i, "b", 10) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, ["id", "src", "toks"])
+        out = sampling.domain_mix_budget(
+            df, group_col="src", id_col="id", token_col="toks",
+            weights={"a": 500, "b": 300, "ghost": 200},
+        )
+        got = out.groupBy("src").count().collect()
+        counts = {r["src"]: r["count"] for r in got}
+        # supplies: a=500, b=500; W=1000; constraints: a: 500*1000//500=1000,
+        # b: 500*1000//300=1666 -> B=1000; budgets: a=500 (50 docs),
+        # b=300 (30 docs), ghost=200 (no rows)
+        assert counts == {"a": 50, "b": 30}
+
+    def test_all_groups_empty_yields_empty(self, spark):
+        from ayeaye_spark.operators import sampling
+
+        df = spark.createDataFrame([(1, "x", 5)], ["id", "src", "toks"])
+        out = sampling.domain_mix_budget(
+            df, group_col="src", id_col="id", token_col="toks",
+            weights={"ghost": 1000},
+        )
+        assert out.count() == 0
+
+
+class TestWithNtile:
+    def test_matches_naive_ntile_window(self, spark):
+        from pyspark.sql import Window
+
+        for nrows, tiles in [(97, 10), (30, 7), (6, 10)]:
+            rows = [(i, f"g{i % 3}", float((i * 7) % 23) + 0.5) for i in range(nrows)]
+            df = spark.createDataFrame(rows, ["id", "grp", "v"])
+            w = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("id"))
+            want = {
+                r["id"]: r["t"]
+                for r in df.withColumn("t", F.ntile(tiles).over(w)).collect()
+            }
+            got = {
+                r["id"]: r["tile"]
+                for r in relational.with_ntile(
+                    df, "grp", "v", "id", n_tiles=tiles,
+                    bucket_expr=F.floor(F.col("v")).cast("long"),
+                ).collect()
+            }
+            assert got == want, f"nrows={nrows} tiles={tiles}"
+
+    def test_bucketed_matches_exact_rank(self, spark):
+        rows = [(i, "g", float((i * 13) % 50) / 3.0) for i in range(500)]
+        df = spark.createDataFrame(rows, ["id", "grp", "v"])
+        exact = {r["id"]: r["rk"] for r in relational.grouped_rank_exact(
+            df, "grp", "v", "id").collect()}
+        coarse = {r["id"]: r["rk"] for r in relational.grouped_rank_exact(
+            df, "grp", "v", "id",
+            bucket_expr=F.floor(F.col("v")).cast("long")).collect()}
+        assert coarse == exact

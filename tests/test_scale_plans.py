@@ -482,6 +482,92 @@ class TestSessionFourOperatorPlans:
         assert plan.count("FileScan") == 1
 
 
+class TestDepartitionedWindows:
+    """Round-5 rewrites: the low-cardinality window family must not put
+    a whole language/segment/corpus into one task."""
+
+    def test_midspread_no_per_language_row_sort(self, spark):
+        import re
+
+        from ayeaye_spark.catalog import QUERIES
+
+        plan = physical_plan(QUERIES["docs_length_midspread"](spark, SF))
+        # no row_number partitioned by lang alone (the value would be
+        # the ORDER col, i.e. carry ASC/DESC) ...
+        assert not re.search(
+            r"row_number\(\) windowspecdefinition\(lang#\d+, ntok#\d+L? (ASC|DESC)",
+            plan,
+        )
+        # ... the tie-rank window is keyed by (lang, bucket) — bucket
+        # cardinality, not language cardinality
+        assert re.search(
+            r"row_number\(\) windowspecdefinition\(lang#\d+, _bkt#\d+L?,",
+            plan,
+        )
+
+    def test_percentile_no_per_language_row_sort(self, spark):
+        import re
+
+        from ayeaye_spark.catalog import QUERIES
+
+        plan = physical_plan(QUERIES["docs_quality_percentile_by_lang"](spark, SF))
+        assert not re.search(
+            r"row_number\(\) windowspecdefinition\(lang#\d+, quality_ppm#\d+L? (ASC|DESC)",
+            plan,
+        )
+        assert re.search(
+            r"row_number\(\) windowspecdefinition\(lang#\d+, _bkt#\d+L?,",
+            plan,
+        )
+
+    def test_activity_deciles_has_no_ntile_window(self, spark):
+        import re
+
+        from ayeaye_spark.catalog import QUERIES
+
+        plan = physical_plan(QUERIES["events_user_activity_deciles"](spark, SF))
+        assert "ntile" not in plan.lower()
+        # every window runs over the count HISTOGRAM (ordered by
+        # n_events) — never over per-user rows
+        assert not re.search(r"windowspecdefinition\(user_id", plan)
+
+    def test_deciles_by_type_has_no_per_type_ntile(self, spark):
+        import re
+
+        from ayeaye_spark.catalog import QUERIES
+
+        plan = physical_plan(QUERIES["events_deciles_by_type"](spark, SF))
+        assert "ntile" not in plan.lower()
+        # the per-row rank window is keyed by (event_type, floor-bucket),
+        # never event_type alone
+        assert not re.search(
+            r"row_number\(\) windowspecdefinition\(event_type#\d+, value#\d+ (ASC|DESC)",
+            plan,
+        )
+        assert re.search(
+            r"row_number\(\) windowspecdefinition\(event_type#\d+, _bkt#\d+L?,",
+            plan,
+        )
+
+    def test_vocab_top50_merges_partial_survivors(self, spark):
+        from ayeaye_spark.catalog import QUERIES
+
+        plan = physical_plan(QUERIES["doc_vocabulary_top50"](spark, SF))
+        # global top-k must go partial-per-partition first: the merge
+        # window only ever sees <= k*P survivors
+        assert "_pid" in plan
+
+    def test_top3_partial_limit_before_shuffle(self, spark):
+        from ayeaye_spark.catalog import QUERIES
+
+        plan = physical_plan(QUERIES["top3_orders_per_segment"](spark, SF))
+        # partial stage ranks within (segment, input partition) ...
+        assert "_pid" in plan
+        # ... and Spark 4's rank-limit pushdown caps rows BEFORE each
+        # exchange, so the merge never sorts a whole segment
+        assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
 class TestRuntimeBloomFilter:
     """Spark's native runtime row-level filtering: a selective dim-side
     predicate grows a bloom filter that prunes the fact scan BEFORE the
