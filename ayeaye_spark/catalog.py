@@ -690,11 +690,11 @@ shared_sql(
     ("orders",),
 )
 
-shared_sql(
+@query(
     # exact median by deterministic middle-element pick — interpolation-free,
     # so no engine-specific percentile float arithmetic can diverge
     "orders_median_price",
-    """
+    oracle="""
     SELECT o_orderpriority, o_totalprice AS median_price FROM (
       SELECT o_orderpriority, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_orderpriority
@@ -703,8 +703,22 @@ shared_sql(
       FROM orders
     ) t WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
     """,
-    ("orders",),
 )
+def orders_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-priority median as the middle ELEMENT (no float
+    interpolation), ranked on the (priority, price-bucket) histogram
+    plan — ~5 priorities must not become 5 single-task sorts of the
+    orders table; the oracle keeps the naive window form."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    ranked = relational.grouped_rank_exact(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey",
+        bucket_expr=F.floor(F.col("o_totalprice") / 1000).cast("long"),
+    )
+    return ranked.where(F.col("rk") == F.expr("(n + 1) div 2")).select(
+        "o_orderpriority", F.col("o_totalprice").alias("median_price")
+    )
 
 shared_sql(
     "events_lag_lead",
@@ -2888,9 +2902,9 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-shared_sql(
+@query(
     "events_value_mad_outliers",
-    """
+    oracle="""
     WITH ranked AS (
       SELECT event_id, event_type, value,
              ROW_NUMBER() OVER (PARTITION BY event_type
@@ -2921,8 +2935,40 @@ shared_sql(
     FROM dev d JOIN mad q USING (event_type)
     WHERE d.adev > 3 * q.mad
     """,
-    ("events",),
 )
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outliers per event type: both medians
+    picked as ELEMENTS (engine-exact, no float percentile), both ranks
+    from the (type, value-bucket) histogram plan — the former per-type
+    rank windows were 5 single-task sorts of every event at 100x.  The
+    tiny per-type median frames broadcast back; the oracle keeps the
+    window form."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).localCheckpoint(eager=False)  # rank plans fan out into hist + main
+    bkt = F.floor(F.col("value")).cast("long")
+    ranked = relational.grouped_rank_exact(
+        ev, "event_type", "value", "event_id", bucket_expr=bkt
+    )
+    med = ranked.where(F.col("rk") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("value").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    dev_ranked = relational.grouped_rank_exact(
+        dev, "event_type", "adev", "event_id",
+        out_rank="drk", out_n="dn",
+        bucket_expr=F.floor(F.col("adev")).cast("long"),
+    )
+    mad = dev_ranked.where(F.col("drk") == F.expr("(dn + 1) div 2")).select(
+        "event_type", F.col("adev").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("adev") > 3 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )
 # MAD outlier notes: lower-median by rank (never the even-count average
 # — picking an ELEMENT is engine-exact where averaging two doubles
 # invites ulp drift), deterministic (value, id) tie order, and the

@@ -280,13 +280,33 @@ def embedding_near_dup_pairs(
 def _seq_dot_matrix(a, b):
     """(n,d) x (m,d) -> (n,m) dot products in ``portable.dot``'s exact
     fold order: acc starts at +0.0 and adds one component product at a
-    time, left to right."""
+    time, left to right.  (A BLAS ``a @ b.T`` uses blocked/pairwise
+    summation — different rounding, so threshold-boundary pairs could
+    flip vs the oracle.)
+
+    Computed in column blocks sized so the accumulator stays
+    cache-resident, with preallocated temporaries: the d sequential
+    passes over a full (n, m) accumulator were pure memory traffic
+    (measured 1.4s for 2000x2000x64 vs ~0.2s blocked).  Per-element
+    rounding is identical — blocking changes WHICH outputs are computed
+    together, never the order of adds within one output."""
     import numpy as np
 
-    acc = np.zeros((a.shape[0], b.shape[0]))
-    for i in range(a.shape[1]):
-        acc += a[:, i : i + 1] * b[:, i][None, :]
-    return acc
+    n, d = a.shape
+    m = b.shape[0]
+    out = np.empty((n, m))
+    # block so n * bs doubles ~ 4 MB (L2/L3-resident accumulator)
+    bs = max(64, min(m, (4 << 20) // max(8 * n, 1)))
+    bt = np.ascontiguousarray(b.T)  # (d, m): rows are per-dim slices
+    for lo in range(0, m, bs):
+        hi = min(lo + bs, m)
+        acc = np.zeros((n, hi - lo))
+        tmp = np.empty_like(acc)
+        for i in range(d):
+            np.multiply(a[:, i : i + 1], bt[i, lo:hi][None, :], out=tmp)
+            acc += tmp
+        out[:, lo:hi] = acc
+    return out
 
 
 def _seq_sqnorm(a):
@@ -450,10 +470,18 @@ def embedding_near_dup_pairs_auto(
     driver's correctness gate runs at small sf where the exact path is
     always taken.
     """
+    import math
+
     n = df.select(id_col).count()
     if n <= max_exact_rows:
+        # size the Arrow fan-out to the data: the exact path is bounded
+        # at max_exact_rows, and a handful of numpy batches beats 32
+        # Python workers each paying startup + broadcast for a few
+        # thousand rows (measured 2.3s -> sub-second at 2k vectors)
+        parts = max(1, min(32, math.ceil(n / 8000)))
         return embedding_near_dup_pairs_vectorized(
-            df, id_col=id_col, vec_col=vec_col, threshold=threshold
+            df.coalesce(parts), id_col=id_col, vec_col=vec_col,
+            threshold=threshold,
         )
     return embedding_near_dup_pairs(
         df, id_col=id_col, vec_col=vec_col, threshold=threshold,
