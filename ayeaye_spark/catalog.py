@@ -4919,22 +4919,26 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "q5_region_nation_revenue",
     "q6_forecast_revenue",
     "q10_returned_items",
-    "q14_promo_share",
     "q4_priority_returned",
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
     "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
     "q18_large_orders",
-    "q19_disjunctive_revenue",
     "q21_waiting_supplier",
     "q22_idle_rich_customers",
     # window functions / top-k
     "top3_orders_per_segment",
     "events_running_sum",
     "events_sessionize",
+    # round-5 departitioned window family (histogram-rank / closed-form
+    # NTILE plans — the driver verifies the rewrites stay value-exact;
+    # the displaced TPC-H rows q14/q15/q17/q19 remain oracle-gate-
+    # verified)
+    "docs_length_midspread",
+    "docs_quality_percentile_by_lang",
+    "events_user_activity_deciles",
+    "events_deciles_by_type",
     # grouping sets family / pivot
     "orders_rollup",
     "orders_pivot_status",

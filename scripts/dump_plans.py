@@ -91,8 +91,14 @@ HEADLINE = {
         "windows over one (group, ts) shuffle, fixed-order IEEE lerp."
     ),
     "events_value_mad_outliers": (
-        "two rank windows on the same event_type shuffle; medians picked "
-        "as elements (engine-exact), no float aggregates."
+        "both medians picked as elements via the (type, value-bucket) "
+        "histogram rank — no per-type single-task sort; the tiny median "
+        "frames broadcast back onto one deviation scan."
+    ),
+    "orders_median_price": (
+        "exact middle-element median per priority on the histogram rank "
+        "plan — the per-priority window would sort the whole orders table "
+        "in ~5 tasks at 100x."
     ),
     "ann_topk_pq": (
         "PQ: broadcast codebook, one corpus scan to m code rows, per-(vec, "

@@ -159,6 +159,15 @@ class TestCorrectnessWindow:
             "salted_agg": {"events_salted_type_counts"},
             "quality_rules": {"docs_gopher_filter"},
             "semantic_dedup": {"dedup_semantic_survivors"},
+            # round-5: the histogram-rank / closed-form-NTILE rewrites
+            # must stay under the driver's hard signal
+            "departitioned_windows": {
+                "docs_length_midspread",
+                "docs_quality_percentile_by_lang",
+                "events_user_activity_deciles",
+                "events_deciles_by_type",
+                "top3_orders_per_segment",
+            },
         }
         for family, members in families.items():
             assert members <= window, f"{family}: {members - window} outside window"
