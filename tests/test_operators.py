@@ -2304,3 +2304,62 @@ class TestWithNtile:
             df, "grp", "v", "id",
             bucket_expr=F.floor(F.col("v")).cast("long")).collect()}
         assert coarse == exact
+
+
+class TestNtileClosedFormExhaustive:
+    def test_every_group_size_1_to_60(self, spark):
+        """One frame, one action: groups of every size 1..60 (tie-heavy
+        values), with_ntile must equal F.ntile for t in {3, 10} on all
+        of them — exhaustive over the q/r edge cases (n<t, n=t, n%t=0,
+        n%t!=0) rather than sampled."""
+        from pyspark.sql import Window
+
+        rows = []
+        for size in range(1, 61):
+            for i in range(size):
+                rows.append((f"g{size}", i, (i * 5) % 7))  # heavy ties
+        df = spark.createDataFrame(rows, ["grp", "id", "v"])
+        for tiles in (3, 10):
+            w = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("id"))
+            want = {
+                (r["grp"], r["id"]): r["t"]
+                for r in df.withColumn("t", F.ntile(tiles).over(w)).collect()
+            }
+            got = {
+                (r["grp"], r["id"]): r["tile"]
+                for r in relational.with_ntile(
+                    df, "grp", "v", "id", n_tiles=tiles
+                ).collect()
+            }
+            assert got == want, f"tiles={tiles}"
+
+
+class TestGroupedRankRandomizedCrossCheck:
+    def test_random_ties_and_buckets(self, spark):
+        """Randomized (seeded) corpora with heavy ties: histogram rank
+        with a coarse bucket must equal the naive window rank exactly,
+        independent of physical partitioning."""
+        import random
+
+        from pyspark.sql import Window
+
+        for seed in (11, 23):
+            rng = random.Random(seed)
+            rows = [
+                (i, f"g{rng.randrange(3)}", rng.randrange(40) / 3.0)
+                for i in range(600)
+            ]
+            df = spark.createDataFrame(rows, ["id", "grp", "v"]).repartition(7)
+            w = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("id"))
+            want = {
+                r["id"]: r["rk"]
+                for r in df.withColumn("rk", F.row_number().over(w)).collect()
+            }
+            got = {
+                r["id"]: r["rk"]
+                for r in relational.grouped_rank_exact(
+                    df, "grp", "v", "id",
+                    bucket_expr=F.floor(F.col("v")).cast("long"),
+                ).collect()
+            }
+            assert got == want, f"seed={seed}"
