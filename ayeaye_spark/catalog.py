@@ -2462,7 +2462,8 @@ def docs_quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFra
         eager=False
     )
     ranked = relational.grouped_rank_exact(
-        scored, "lang", "quality_ppm", "doc_id", out_rank="rk", out_n="n"
+        scored, "lang", "quality_ppm", "doc_id", out_rank="rk", out_n="n",
+        tie_bucket_expr=F.expr("doc_id div 1048576"),  # tie-mass split
     )
     return ranked.withColumn(
         "pct_ppm",
@@ -2662,7 +2663,8 @@ def docs_length_midspread(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.col("ws_tokens").cast("long").alias("ntok")
     ).localCheckpoint(eager=False)
     ranked = relational.grouped_rank_exact(
-        sized, "lang", "ntok", "doc_id", out_rank="rk", out_n="n"
+        sized, "lang", "ntok", "doc_id", out_rank="rk", out_n="n",
+        tie_bucket_expr=F.expr("doc_id div 1048576"),  # tie-mass split
     )
     return ranked.where(
         (F.col("rk") * 4 >= F.col("n")) & (F.col("rk") * 4 <= 3 * F.col("n"))
@@ -2784,7 +2786,8 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", F.col("ws_tokens").cast("long").alias("ntok")
     ).localCheckpoint(eager=False)  # rank plan fans into histogram + main
     ranked = relational.grouped_rank_exact(
-        sized, "lang", "ntok", "doc_id", out_rank="rk", out_n="n"
+        sized, "lang", "ntok", "doc_id", out_rank="rk", out_n="n",
+        tie_bucket_expr=F.expr("doc_id div 1048576"),  # tie-mass split
     )
     return ranked.where(
         (F.col("rk") * 4 >= F.col("n")) & (F.col("rk") * 4 <= 3 * F.col("n"))

@@ -137,6 +137,7 @@ def grouped_rank_exact(
     out_rank: str = "rk",
     out_n: str = "n",
     bucket_expr=None,
+    tie_bucket_expr=None,
 ) -> DataFrame:
     """Exact per-row rank (``value`` ASC, ``id`` ASC) and group size per
     group, WITHOUT sorting any whole group in one task.
@@ -162,9 +163,23 @@ def grouped_rank_exact(
     a monotone coarsening (e.g. ``F.floor(F.col(v))``) so the histogram
     stays small while in-bucket ranking handles the residual order.
 
+    ``tie_bucket_expr`` (exact-value histograms only, i.e. with the
+    default ``bucket_expr``): a monotone coarsening of the ID that
+    splits a pathological TIE MASS — if a large share of a group sits
+    on one exact value (every doc 200 tokens long), the in-bucket
+    window is one task again; with a tie split the ranks inside a value
+    come from a second prefix level over (group, value, id-bucket), so
+    no task ever sees more than one id-bucket of one value.
+
     Group sizes broadcast back (one row per group).  Output = input
     columns + ``out_rank`` + ``out_n`` (both BIGINT).
     """
+    if tie_bucket_expr is not None and bucket_expr is not None:
+        raise ValueError(
+            "tie_bucket_expr requires the exact-value histogram (bucket_expr "
+            "coarsens values, so in-bucket order depends on the value and "
+            "cannot be split by id)"
+        )
     bucket = bucket_expr if bucket_expr is not None else F.col(value_col)
     b = df.withColumn("_bkt", bucket)
     hist = b.groupBy(group_col, "_bkt").agg(F.count(F.lit(1)).alias("_c"))
@@ -173,16 +188,39 @@ def grouped_rank_exact(
         "_before", (F.sum("_c").over(wh) - F.col("_c")).cast("long")
     )
     totals = hist.groupBy(group_col).agg(F.sum("_c").cast("long").alias(out_n))
-    wb = Window.partitionBy(group_col, "_bkt").orderBy(
-        F.asc(value_col), F.asc(id_col)
-    )
-    return (
-        b.join(hist.select(group_col, "_bkt", "_before"), [group_col, "_bkt"])
-        .join(F.broadcast(totals), [group_col])
-        .withColumn(
-            out_rank, (F.col("_before") + F.row_number().over(wb)).cast("long")
+    joined = b.join(
+        hist.select(group_col, "_bkt", "_before"), [group_col, "_bkt"]
+    ).join(F.broadcast(totals), [group_col])
+    if tie_bucket_expr is None:
+        wb = Window.partitionBy(group_col, "_bkt").orderBy(
+            F.asc(value_col), F.asc(id_col)
         )
-        .drop("_before", "_bkt")
+        return joined.withColumn(
+            out_rank, (F.col("_before") + F.row_number().over(wb)).cast("long")
+        ).drop("_before", "_bkt")
+    # second prefix level over (group, value, id-bucket): ties rank by
+    # id only (bucket == value), so the id-bucket prefix is exact
+    t = joined.withColumn("_tb", tie_bucket_expr)
+    thist = t.groupBy(group_col, "_bkt", "_tb").agg(
+        F.count(F.lit(1)).alias("_tc")
+    )
+    wt = Window.partitionBy(group_col, "_bkt").orderBy(F.asc("_tb"))
+    thist = thist.withColumn(
+        "_tbefore", (F.sum("_tc").over(wt) - F.col("_tc")).cast("long")
+    )
+    wtb = Window.partitionBy(group_col, "_bkt", "_tb").orderBy(F.asc(id_col))
+    return (
+        t.join(
+            thist.select(group_col, "_bkt", "_tb", "_tbefore"),
+            [group_col, "_bkt", "_tb"],
+        )
+        .withColumn(
+            out_rank,
+            (
+                F.col("_before") + F.col("_tbefore") + F.row_number().over(wtb)
+            ).cast("long"),
+        )
+        .drop("_before", "_tbefore", "_bkt", "_tb")
     )
 
 

@@ -2363,3 +2363,49 @@ class TestGroupedRankRandomizedCrossCheck:
                 ).collect()
             }
             assert got == want, f"seed={seed}"
+
+
+class TestGroupedRankTieSplit:
+    def test_tie_mass_split_matches_naive(self, spark):
+        """A degenerate corpus where 80% of one group shares ONE value:
+        the tie-split plan must still equal the naive window exactly."""
+        from pyspark.sql import Window
+
+        rows = [(i, "g", 100) for i in range(400)] + [
+            (1000 + i, "g", (i % 7) * 10) for i in range(100)
+        ] + [(2000 + i, "h", 100) for i in range(50)]
+        df = spark.createDataFrame(rows, ["id", "grp", "v"]).repartition(9)
+        w = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("id"))
+        want = {r["id"]: r["rk"] for r in
+                df.withColumn("rk", F.row_number().over(w)).collect()}
+        got = {r["id"]: r["rk"] for r in relational.grouped_rank_exact(
+            df, "grp", "v", "id",
+            tie_bucket_expr=F.expr("id div 64"),
+        ).collect()}
+        assert got == want
+
+    def test_tie_split_rejects_coarse_buckets(self, spark):
+        import pytest as _pt
+
+        df = spark.createDataFrame([(1, "g", 1.5)], ["id", "grp", "v"])
+        with _pt.raises(ValueError, match="exact-value histogram"):
+            relational.grouped_rank_exact(
+                df, "grp", "v", "id",
+                bucket_expr=F.floor(F.col("v")),
+                tie_bucket_expr=F.expr("id div 64"),
+            )
+
+    def test_tie_split_plan_has_no_whole_value_window(self, spark):
+        """With the tie split, no row_number window is keyed by
+        (group, value) alone — the rank window carries the id-bucket."""
+        import re
+
+        rows = [(i, "g", 100) for i in range(500)]
+        df = spark.createDataFrame(rows, ["id", "grp", "v"])
+        q = relational.grouped_rank_exact(
+            df, "grp", "v", "id", tie_bucket_expr=F.expr("id div 64"))
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]+)\)", plan)
+        assert rn_specs
+        for spec in rn_specs:
+            assert "_tb" in spec, spec
