@@ -224,6 +224,99 @@ def hyperplane_lsh_topk(
     )
 
 
+def embedding_near_dup_pairs_banded(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bands: int = 6,
+    planes_per_band: int = 12,
+    max_bucket_size: int | None = 100_000,
+    seed: int = 9,
+) -> DataFrame:
+    """Banded random-hyperplane LSH near-dup pairs — the CORPUS-SCALE
+    approximate path (high recall by band amplification, bounded
+    candidate volume by bucket granularity).
+
+    The single-signature variant (:func:`embedding_near_dup_pairs`,
+    ``exact=False``) has 2^n_planes buckets TOTAL — 64 at its default —
+    so pair volume within a bucket is quadratic in n/64: unusable at a
+    billion vectors.  Banding fixes both axes at once:
+
+    * each of ``bands`` bands hashes the vector with its OWN
+      ``planes_per_band`` hyperplanes → 2^planes_per_band buckets per
+      band (4096 at the default) — occupancy n/4096, not n/64;
+    * a pair is a candidate if it collides in ANY band: at cosine 0.95
+      (plane-agreement ~0.9) recall is 1-(1-0.9^12)^6 ≈ 0.86 vs 0.53
+      for the old 6-plane single signature.  Raise ``planes_per_band``
+      (narrower buckets, lower per-band recall) and ``bands`` (recall
+      back up) together for larger corpora.
+
+    Planes come from a seeded numpy generator (deterministic across
+    runs and machines) applied in one Arrow pass; signs-of-dots need no
+    cross-engine fold exactness because the candidate set is
+    approximate by contract — every surviving pair is verified with the
+    exact portable cosine, so precision is 1.0 and only recall is
+    approximate.  ``max_bucket_size`` drops degenerate mega-buckets
+    (near-constant vectors) — the same cap contract as the MinHash
+    banding in ``operators/dedup.py``.
+    """
+    def sigs(batches):
+        import numpy as np
+        import pandas as pd
+
+        pl = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _matrix(pdf[vec_col])
+            if pl is None or pl.shape[1] != mat.shape[1]:
+                # same seed + same dim => the same plane matrix on every
+                # executor and every run (PCG64 is fully specified)
+                pl = np.random.default_rng(seed).standard_normal(
+                    (bands * planes_per_band, mat.shape[1])
+                )
+            bits = (mat @ pl.T) > 0  # (n, bands*ppb)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            out = {"_id": np.repeat(ids, bands), "_band": np.tile(
+                np.arange(bands, dtype=np.int64), len(ids))}
+            weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+            sig = bits.reshape(len(ids), bands, planes_per_band) @ weights
+            out["_sig"] = sig.reshape(-1)
+            yield pd.DataFrame(out)
+
+    keyed = df.select(id_col, vec_col).mapInPandas(
+        sigs, "_id long, _band long, _sig long"
+    )
+    if max_bucket_size is not None:
+        sizes = keyed.groupBy("_band", "_sig").agg(F.count(F.lit(1)).alias("_bs"))
+        keyed = keyed.join(
+            sizes.where(F.col("_bs") <= max_bucket_size).select("_band", "_sig"),
+            ["_band", "_sig"],
+        )
+    cand = (
+        keyed.alias("l")
+        .join(keyed.alias("r"), on=["_band", "_sig"])
+        .where(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias(f"{id_col}_a"),
+            F.col("r._id").alias(f"{id_col}_b"),
+        )
+        .distinct()  # a pair colliding in several bands emits once
+    )
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    return (
+        cand.join(vecs.withColumnRenamed("_vid", f"{id_col}_a")
+                  .withColumnRenamed("_v", "_va"), on=f"{id_col}_a")
+        .join(vecs.withColumnRenamed("_vid", f"{id_col}_b")
+              .withColumnRenamed("_v", "_vb"), on=f"{id_col}_b")
+        .withColumn("cosine", F.expr(_cos("_va", "_vb", None)))
+        .where(F.col("cosine") >= threshold)
+        .select(f"{id_col}_a", f"{id_col}_b", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,
@@ -461,14 +554,18 @@ def embedding_near_dup_pairs_auto(
 ) -> DataFrame:
     """Size-gated near-dup pairs: the exact all-pairs vectorized scan
     below ``max_exact_rows`` (it collects + broadcasts the corpus matrix
-    — only valid when that fits an executor), the LSH-bucketed
-    prefiltered variant above it (no driver collect, bucket-partitioned
-    join; a high-recall approximation by construction).
+    — only valid when that fits an executor), the BANDED LSH variant
+    above it (:func:`embedding_near_dup_pairs_banded` — no driver
+    collect, band-bucketed join with a mega-bucket cap; a high-recall
+    approximation by construction, every emitted pair exact-verified).
 
     The gate is one ``count()`` over the pruned (id) projection — cheap
     relative to either scan.  The exact path is the oracle twin; the
     driver's correctness gate runs at small sf where the exact path is
-    always taken.
+    always taken.  (``n_planes``/``dim`` are retained for callers of the
+    legacy single-signature variant; the scale path uses the banded
+    defaults — tune via :func:`embedding_near_dup_pairs_banded`
+    directly.)
     """
     import math
 
@@ -483,9 +580,8 @@ def embedding_near_dup_pairs_auto(
             df.coalesce(parts), id_col=id_col, vec_col=vec_col,
             threshold=threshold,
         )
-    return embedding_near_dup_pairs(
-        df, id_col=id_col, vec_col=vec_col, threshold=threshold,
-        n_planes=n_planes, dim=dim, exact=False,
+    return embedding_near_dup_pairs_banded(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold
     )
 
 

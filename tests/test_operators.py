@@ -2409,3 +2409,64 @@ class TestGroupedRankTieSplit:
         assert rn_specs
         for spec in rn_specs:
             assert "_tb" in spec, spec
+
+
+class TestBandedNearDup:
+    def test_recall_vs_exact_and_precision_one(self, spark):
+        """On the test embeddings: every banded pair must appear in the
+        exact pair set with the identical cosine (precision 1.0 — pairs
+        are exact-verified), and recall must clear the banding math's
+        floor for this threshold."""
+        from ayeaye_spark.catalog import load
+        from tests.conftest import SF_SMALL
+
+        emb = load(spark, SF_SMALL, "embeddings")
+        exact = {(r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+                 for r in similarity.embedding_near_dup_pairs_vectorized(
+                     emb, threshold=0.4).collect()}
+        # 0.4 is a LOW threshold (angles to 66 deg): configure the
+        # knobs for that regime — fewer planes per band (wider
+        # buckets), more bands (recall amplification); the defaults
+        # target the near-dup regime (>=0.9), tested below
+        banded = {(r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+                  for r in similarity.embedding_near_dup_pairs_banded(
+                      emb, threshold=0.4, bands=10, planes_per_band=4
+                  ).collect()}
+        assert banded, "banded path found no pairs"
+        for pair, cos in banded.items():
+            assert pair in exact and exact[pair] == cos  # precision 1.0
+        recall = len(banded) / len(exact)
+        assert recall >= 0.5, f"recall {recall:.2f}"
+
+    def test_high_threshold_recall_and_determinism(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((40, 16))
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((2 * i, [float(x) for x in v]))
+            rows.append((2 * i + 1, [float(x) for x in v + 0.02 * rng.standard_normal(16)]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        exact = {(r["vec_id_a"], r["vec_id_b"])
+                 for r in similarity.embedding_near_dup_pairs_vectorized(
+                     df, threshold=0.95).collect()}
+        banded = {(r["vec_id_a"], r["vec_id_b"])
+                  for r in similarity.embedding_near_dup_pairs_banded(
+                      df, threshold=0.95).collect()}
+        assert banded <= exact
+        assert len(banded) / len(exact) >= 0.8  # near-dup regime recall
+        again = {(r["vec_id_a"], r["vec_id_b"])
+                 for r in similarity.embedding_near_dup_pairs_banded(
+                     df.repartition(7), threshold=0.95).collect()}
+        assert again == banded  # partitioning-independent
+
+    def test_mega_bucket_cap_drops_degenerate_buckets(self, spark):
+        rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        capped = similarity.embedding_near_dup_pairs_banded(
+            df, threshold=0.99, max_bucket_size=10).collect()
+        assert capped == []  # every bucket over the cap -> dropped
+        uncapped = similarity.embedding_near_dup_pairs_banded(
+            df, threshold=0.99, max_bucket_size=None).collect()
+        assert len(uncapped) == 50 * 49 // 2
