@@ -188,9 +188,22 @@ def grouped_rank_exact(
         "_before", (F.sum("_c").over(wh) - F.col("_c")).cast("long")
     )
     totals = hist.groupBy(group_col).agg(F.sum("_c").cast("long").alias(out_n))
-    joined = b.join(
-        hist.select(group_col, "_bkt", "_before"), [group_col, "_bkt"]
-    ).join(F.broadcast(totals), [group_col])
+    # null-safe joins: a NULL value (or group) must rank like the naive
+    # window's ASC NULLS FIRST, not silently drop out of an equi-join
+    h = hist.select(
+        F.col(group_col).alias("_hg"), F.col("_bkt").alias("_hb"), "_before"
+    )
+    tot = totals.select(F.col(group_col).alias("_tg"), out_n)
+    joined = (
+        b.join(
+            h,
+            F.col(group_col).eqNullSafe(F.col("_hg"))
+            & F.col("_bkt").eqNullSafe(F.col("_hb")),
+        )
+        .drop("_hg", "_hb")
+        .join(F.broadcast(tot), F.col(group_col).eqNullSafe(F.col("_tg")))
+        .drop("_tg")
+    )
     if tie_bucket_expr is None:
         wb = Window.partitionBy(group_col, "_bkt").orderBy(
             F.asc(value_col), F.asc(id_col)
@@ -209,11 +222,20 @@ def grouped_rank_exact(
         "_tbefore", (F.sum("_tc").over(wt) - F.col("_tc")).cast("long")
     )
     wtb = Window.partitionBy(group_col, "_bkt", "_tb").orderBy(F.asc(id_col))
+    th = thist.select(
+        F.col(group_col).alias("_tg2"),
+        F.col("_bkt").alias("_tb2"),
+        F.col("_tb").alias("_tt2"),
+        "_tbefore",
+    )
     return (
         t.join(
-            thist.select(group_col, "_bkt", "_tb", "_tbefore"),
-            [group_col, "_bkt", "_tb"],
+            th,
+            F.col(group_col).eqNullSafe(F.col("_tg2"))
+            & F.col("_bkt").eqNullSafe(F.col("_tb2"))
+            & F.col("_tb").eqNullSafe(F.col("_tt2")),
         )
+        .drop("_tg2", "_tb2", "_tt2")
         .withColumn(
             out_rank,
             (

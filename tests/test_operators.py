@@ -2470,3 +2470,42 @@ class TestBandedNearDup:
         uncapped = similarity.embedding_near_dup_pairs_banded(
             df, threshold=0.99, max_bucket_size=None).collect()
         assert len(uncapped) == 50 * 49 // 2
+
+
+class TestGroupedRankNulls:
+    def test_null_values_rank_nulls_first(self, spark):
+        """NULL values (and a NULL group) must rank exactly like the
+        naive window's ASC NULLS FIRST — not drop out of the join."""
+        from pyspark.sql import Window
+
+        rows = [
+            (1, "g", 5), (2, "g", None), (3, "g", 1), (4, "g", None),
+            (5, None, 2), (6, None, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, grp string, v long")
+        w = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("id"))
+        wn = Window.partitionBy("grp")
+        want = {
+            r["id"]: (r["rk"], r["n"])
+            for r in df.withColumn("rk", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .collect()
+        }
+        got = {
+            r["id"]: (r["rk"], r["n"])
+            for r in relational.grouped_rank_exact(df, "grp", "v", "id").collect()
+        }
+        assert got == want
+
+    def test_null_values_with_tie_split(self, spark):
+        from pyspark.sql import Window
+
+        rows = [(i, "g", None if i % 3 == 0 else i % 2) for i in range(60)]
+        df = spark.createDataFrame(rows, "id long, grp string, v long")
+        w = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("id"))
+        want = {r["id"]: r["rk"] for r in
+                df.withColumn("rk", F.row_number().over(w)).collect()}
+        got = {r["id"]: r["rk"] for r in relational.grouped_rank_exact(
+            df, "grp", "v", "id", tie_bucket_expr=F.expr("id div 8")
+        ).collect()}
+        assert got == want
