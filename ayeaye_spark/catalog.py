@@ -1751,6 +1751,31 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("emb_banded_lsh_recall")  # no oracle: evaluates the approximate path
+def emb_banded_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@threshold evaluation of the banded-LSH scale path against
+    the exact pair set — the per-round empirical counterpart of the
+    banding math in ``embedding_near_dup_pairs_banded`` (precision is
+    1.0 by construction: every candidate is exact-verified).  Seeded
+    planes make the result deterministic, but no SQL oracle can replay
+    numpy's generator, so this is a rows-only entry like the other
+    approximate sketches.  Low threshold (0.4) uses the wide-bucket
+    knob setting; the near-dup regime's recall is pinned in pytest."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = similarity.embedding_near_dup_pairs_vectorized(emb, threshold=0.4)
+    banded = similarity.embedding_near_dup_pairs_banded(
+        emb, threshold=0.4, bands=10, planes_per_band=4
+    )
+    e = exact.select("vec_id_a", "vec_id_b")
+    b = banded.select("vec_id_a", "vec_id_b")
+    n_exact = e.count()
+    n_hit = e.join(b, ["vec_id_a", "vec_id_b"]).count()
+    return spark.createDataFrame(
+        [(n_exact, n_hit, (n_hit * 1_000_000) // max(n_exact, 1))],
+        "n_exact long, n_banded_hits long, recall_ppm long",
+    )
+
+
 @query(
     "label_text_quality",
     oracle=f"""
