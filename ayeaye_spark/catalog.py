@@ -1764,15 +1764,23 @@ def emb_banded_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     exact = similarity.embedding_near_dup_pairs_vectorized(emb, threshold=0.4)
     banded = similarity.embedding_near_dup_pairs_banded(
-        emb, threshold=0.4, bands=10, planes_per_band=4
+        emb, threshold=0.4, bands=10, planes_per_band=4, cosine_dim=64,
     )
     e = exact.select("vec_id_a", "vec_id_b")
-    b = banded.select("vec_id_a", "vec_id_b")
-    n_exact = e.count()
-    n_hit = e.join(b, ["vec_id_a", "vec_id_b"]).count()
-    return spark.createDataFrame(
-        [(n_exact, n_hit, (n_hit * 1_000_000) // max(n_exact, 1))],
-        "n_exact long, n_banded_hits long, recall_ppm long",
+    b = banded.select("vec_id_a", "vec_id_b").withColumn("_hit", F.lit(1))
+    # one lazy plan (no driver-side counts): left join + one aggregate
+    return (
+        e.join(b, ["vec_id_a", "vec_id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_banded_hits"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.expr("n_banded_hits * 1000000 div greatest(n_exact, 1)"),
+        )
     )
 
 

@@ -234,6 +234,7 @@ def embedding_near_dup_pairs_banded(
     planes_per_band: int = 12,
     max_bucket_size: int | None = 100_000,
     seed: int = 9,
+    cosine_dim: int | None = None,
 ) -> DataFrame:
     """Banded random-hyperplane LSH near-dup pairs — the CORPUS-SCALE
     approximate path (high recall by band amplification, bounded
@@ -311,7 +312,7 @@ def embedding_near_dup_pairs_banded(
                   .withColumnRenamed("_v", "_va"), on=f"{id_col}_a")
         .join(vecs.withColumnRenamed("_vid", f"{id_col}_b")
               .withColumnRenamed("_v", "_vb"), on=f"{id_col}_b")
-        .withColumn("cosine", F.expr(_cos("_va", "_vb", None)))
+        .withColumn("cosine", F.expr(_cos("_va", "_vb", cosine_dim)))
         .where(F.col("cosine") >= threshold)
         .select(f"{id_col}_a", f"{id_col}_b", "cosine")
     )

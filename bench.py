@@ -42,8 +42,11 @@ from ayeaye_spark.core.session import get_spark  # noqa: E402
 
 # Every catalog query except the deliberately-quadratic exact variant
 # (emb_near_dup_pairs exists as the small-scale oracle twin of the LSH
-# path; ann_topk_lsh / dedup_minhash_lsh_pairs are the scale paths).
-EXCLUDE = {"emb_near_dup_pairs"}
+# path; ann_topk_lsh / dedup_minhash_lsh_pairs are the scale paths) and
+# the banded-LSH recall EVALUATION (it runs the exact all-pairs set AND
+# the approximate path purely to diagnose recall — not a production
+# query shape; its recall floors are pinned in pytest instead).
+EXCLUDE = {"emb_near_dup_pairs", "emb_banded_lsh_recall"}
 
 STREAMING = {
     "events_stream_hourly_counts",
