@@ -1784,6 +1784,28 @@ def emb_banded_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("emb_kmeans_clusters")  # no oracle: iterative (Lloyd's) algorithm
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means over the embedding corpus
+    (``similarity.kmeans_embeddings``) — per-cluster size/anchor
+    summary.  Iterative driver-state loop (k x d centroids, corpus only
+    scanned), min-id init and exact-decimal means make the clustering
+    reproducible across runs and partitionings; no SQL oracle can
+    replay the loop, so this is a rows-only entry with determinism
+    pinned in pytest."""
+    assigned = similarity.kmeans_embeddings(
+        load(spark, sf_dir, "embeddings"), k=8, iters=3
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("anchor_vec_id"),
+        )
+        .orderBy("cluster")
+    )
+
+
 @query(
     "label_text_quality",
     oracle=f"""

@@ -633,6 +633,79 @@ def assign_cells_vectorized(
     return corpus.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
+def kmeans_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+) -> DataFrame:
+    """Deterministic distributed spherical k-means (Lloyd's iterations)
+    over an embedding column — the corpus-clustering step of curation
+    pipelines (topic balancing, per-cluster sampling, semantic shard
+    assignment).  Iterative state is tiny (k x d centroids on the
+    driver); the corpus is only ever SCANNED:
+
+    * **init**: the k smallest-id vectors (no RNG — repeatable runs);
+    * **assign**: vectorized cosine argmax against the shipped
+      centroids (:func:`assign_cells_vectorized`; smallest-centroid-id
+      tie break);
+    * **update**: per-cluster component means via ``posexplode`` →
+      one map-side-combined (cluster, position) aggregate of k*d output
+      rows — sums in EXACT DECIMAL so the new centroids are independent
+      of partitioning and row order (a float-sum mean would make whole
+      runs non-reproducible); an emptied cluster keeps its previous
+      centroid.
+
+    Per iteration: one corpus scan + one k*d-row aggregate — the
+    canonical Spark Lloyd's shape (state never grows with the corpus).
+    Returns the final (id, cluster) assignment.  Iterative and
+    float-mean-based, so it is a rows-only catalog entry (no SQL oracle
+    can replay the loop); determinism is pinned in pytest instead.
+    """
+    if k <= 0 or iters <= 0:
+        raise ValueError("k and iters must be positive")
+    spark = df.sparkSession
+    base = df.select(id_col, vec_col)
+    seed_rows = base.orderBy(F.asc(id_col)).limit(k).collect()
+    centroids = [(i, list(r[vec_col])) for i, r in enumerate(seed_rows)]
+
+    assigned = None
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            centroids, f"{id_col} long, {vec_col} array<double>"
+        )
+        assigned = assign_cells_vectorized(base, cent_df, id_col=id_col,
+                                           vec_col=vec_col)
+        means = (
+            assigned.select("centroid_id", F.posexplode(vec_col))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("col").cast("decimal(38,20)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("m")
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["centroid_id"], {})[r["pos"]] = r["m"]
+        centroids = [
+            (
+                c,
+                [by_cluster[c][p] for p in sorted(by_cluster[c])]
+                if c in by_cluster
+                else old,  # emptied cluster keeps its centroid
+            )
+            for c, old in centroids
+        ]
+    return assigned.select(id_col, F.col("centroid_id").alias("cluster"))
+
+
 def with_lsh_bucket_vectorized(
     df: DataFrame,
     *,

@@ -2509,3 +2509,46 @@ class TestGroupedRankNulls:
             df, "grp", "v", "id", tie_bucket_expr=F.expr("id div 8")
         ).collect()}
         assert got == want
+
+
+class TestKmeansEmbeddings:
+    def test_deterministic_and_partitioning_invariant(self, spark):
+        from ayeaye_spark.catalog import load
+        from tests.conftest import SF_SMALL
+
+        emb = load(spark, SF_SMALL, "embeddings")
+        a = {r["vec_id"]: r["cluster"] for r in
+             similarity.kmeans_embeddings(emb, k=5, iters=3).collect()}
+        b = {r["vec_id"]: r["cluster"] for r in
+             similarity.kmeans_embeddings(emb.repartition(7), k=5, iters=3).collect()}
+        assert a == b
+        assert len(set(a.values())) > 1  # actually clusters
+
+    def test_separated_clusters_recovered(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        centers = np.eye(4)  # 4 orthogonal directions
+        rows = []
+        for i in range(200):
+            c = i % 4
+            v = centers[c] + 0.05 * rng.standard_normal(4)
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: r["cluster"] for r in
+               similarity.kmeans_embeddings(df, k=4, iters=4).collect()}
+        # perfect recovery: cluster label is a pure function of i % 4
+        label_of = {}
+        for i, cl in got.items():
+            truth = i % 4
+            assert label_of.setdefault(truth, cl) == cl, f"split cluster {truth}"
+        assert len(set(label_of.values())) == 4  # and no two merged
+
+    def test_rejects_bad_params(self, spark):
+        import pytest as _pt
+
+        df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+        with _pt.raises(ValueError):
+            similarity.kmeans_embeddings(df, k=0)
+        with _pt.raises(ValueError):
+            similarity.kmeans_embeddings(df, k=2, iters=0)
