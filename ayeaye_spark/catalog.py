@@ -2211,6 +2211,41 @@ def events_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_stream(spark, agg, "events_stream_hourly_sink")
 
 
+@query("events_stream_cdc_upsert")  # no oracle: streaming drain + FS sink
+def events_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-apply to a serving table: the events stream MERGEs
+    into a parquet target per micro-batch
+    (``streaming.sinks.merge_upsert_sink`` — per-batch last-writer
+    dedupe, anti-join merge, staging + guarded rename swap), keyed on
+    user_id with last-writer-wins by (ts, event_id).  The returned
+    frame is the serving table itself: one latest-event row per user,
+    which must equal the batch ``max_by`` twin — pinned in
+    ``tests/test_streaming.py`` (rows-only driver check: the loop is a
+    streaming drain by nature)."""
+    import tempfile
+
+    from .streaming.sinks import merge_upsert_sink
+
+    tmp = tempfile.mkdtemp(prefix="ayeaye_cdc_")
+    target = f"{tmp}/serving"
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            merge_upsert_sink(
+                target, key="user_id", order_col="ts",
+                tiebreak_cols=["event_id"],
+            )
+        )
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target).localCheckpoint()
+
+
 @query(
     "orders_monthly_gapless",
     oracle="""

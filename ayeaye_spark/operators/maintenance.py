@@ -43,6 +43,34 @@ def dir_bytes(spark: SparkSession, path: str) -> int:
     return total
 
 
+def replace_dir(spark: SparkSession, path: str, staging: str) -> None:
+    """Swap ``staging`` into ``path`` with a backup window: (path →
+    ._swap_old), (staging → path), delete backup.  Crash between the
+    renames leaves the data at ``<path>._swap_old`` and the rewrite at
+    ``staging`` — restore by renaming either back.  First install (no
+    existing ``path``) is a single rename."""
+    fs, hpath = _fs_and_path(spark, path)
+    _, hstaging = _fs_and_path(spark, staging)
+    backup = path.rstrip("/") + "._swap_old"
+    _, hbackup = _fs_and_path(spark, backup)
+    if not fs.exists(hpath):
+        if not fs.rename(hstaging, hpath):
+            raise RuntimeError(f"replace_dir: could not install {path}")
+        return
+    if fs.exists(hbackup):  # stale backup from an interrupted prior run
+        fs.delete(hbackup, True)
+    if not fs.rename(hpath, hbackup):
+        fs.delete(hstaging, True)
+        raise RuntimeError(f"replace_dir: could not move {path} aside")
+    if not fs.rename(hstaging, hpath):
+        fs.rename(hbackup, hpath)  # put the original back; nothing lost
+        raise RuntimeError(
+            f"replace_dir: could not move staging into place for {path}; "
+            "original restored"
+        )
+    fs.delete(hbackup, True)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -56,20 +84,15 @@ def compact_parquet(
     multi-dimensional locality).
 
     Returns the compacted DataFrame reading the REWRITTEN location; the
-    rewrite goes through a sibling staging directory then a rename swap
-    (never read-overwrite the same path in one job — Spark deletes the
-    target before the read plan executes).  The swap is guarded: the
-    staged rewrite is READ BACK and its row count compared against the
-    original's before anything is moved, and the original survives as
-    ``<path>._compact_old`` until the swap has fully succeeded.
-
-    Crash recovery: renames happen in the order (original → backup),
-    (staging → path).  If the process dies between the two, the data is
-    intact at ``<path>._compact_old`` and the rewrite at
-    ``<path>._compact_staging`` — restore by renaming either back.  On
-    object stores without atomic directory rename (S3), the rename is a
-    copy+delete under the hood; the same recovery contract holds, the
-    window is just longer.
+    rewrite goes through a sibling staging directory then the
+    :func:`replace_dir` rename swap (never read-overwrite the same path
+    in one job — Spark deletes the target before the read plan
+    executes).  The swap is guarded: the staged rewrite is READ BACK
+    and its row count compared against the original's before anything
+    is moved, and the original survives as ``<path>._swap_old`` until
+    the swap has fully succeeded (crash-recovery contract documented on
+    :func:`replace_dir`; on object stores without atomic directory
+    rename the window is just longer).
 
     Scale notes: file count from actual on-disk bytes (Hadoop FS
     listing — scheme-agnostic), not row counts; ``repartitionByRange``
@@ -88,11 +111,9 @@ def compact_parquet(
     else:
         out = df.repartition(n_files)
 
-    fs, hpath = _fs_and_path(spark, path)
+    fs, _ = _fs_and_path(spark, path)
     staging = path.rstrip("/") + "._compact_staging"
-    backup = path.rstrip("/") + "._compact_old"
     _, hstaging = _fs_and_path(spark, staging)
-    _, hbackup = _fs_and_path(spark, backup)
 
     out.write.mode("overwrite").parquet(staging)
     # verify BEFORE touching the original: a silently short staging
@@ -104,18 +125,5 @@ def compact_parquet(
             f"compact_parquet: staged rewrite of {path} has {post_count} "
             f"rows, expected {pre_count}; original left untouched"
         )
-
-    if fs.exists(hbackup):  # stale backup from an interrupted prior run
-        fs.delete(hbackup, True)
-    if not fs.rename(hpath, hbackup):
-        fs.delete(hstaging, True)
-        raise RuntimeError(f"compact_parquet: could not move {path} aside")
-    if not fs.rename(hstaging, hpath):
-        # put the original back; nothing is lost
-        fs.rename(hbackup, hpath)
-        raise RuntimeError(
-            f"compact_parquet: could not move staging into place for {path}; "
-            "original restored"
-        )
-    fs.delete(hbackup, True)
+    replace_dir(spark, path, staging)
     return spark.read.parquet(path)

@@ -37,3 +37,77 @@ def read_all_batches(spark: SparkSession, out_dir: str) -> DataFrame:
     """Union of every committed batch directory (hive-partitioned on
     batch_id, so readers can also filter/prune by it)."""
     return spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch_id=*")
+
+
+def merge_upsert_sink(
+    target_path: str,
+    *,
+    key: str,
+    order_col: str | None = None,
+    tiebreak_cols: list[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` CDC-apply: MERGE each micro-batch of updates
+    into a parquet target (SCD1 semantics, ``scd.merge_upsert``) —
+    the streaming upsert a change-data-capture pipeline applies to its
+    serving table, without a transactional table format.
+
+    Semantics per key:
+
+    * **with ``order_col``** — the LARGEST ``order_col`` wins across
+      target ∪ batch (ties broken by ``tiebreak_cols`` ASC; pass them
+      whenever ``order_col`` can tie, or the survivor is
+      partition-dependent).  Out-of-order and late-arriving updates are
+      therefore safe: an older change can never clobber a newer row the
+      target already holds, regardless of which micro-batch carried it.
+    * **without ``order_col``** — plain replace semantics
+      (``scd.merge_upsert``): the batch's row (deduped) replaces the
+      target's.  Only correct when the source is strictly ordered.
+
+    The merged table writes to a staging sibling, then
+    ``maintenance.replace_dir``'s guarded rename swap.
+
+    Replay safety: Structured Streaming may re-deliver a batch_id after
+    a failure.  Re-merging the same updates is a no-op by construction
+    (max-order pick / same-key replace see identical rows), so the sink
+    is idempotent without tracking batch ids.  First batch installs
+    the target.
+    """
+    from ..operators.maintenance import replace_dir
+    from ..operators.scd import merge_upsert
+
+    def apply_batch(df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        staging = target_path.rstrip("/") + "._merge_staging"
+        fs_probe = spark._jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = fs_probe.getFileSystem(spark._jsc.hadoopConfiguration())
+        exists = fs.exists(fs_probe)
+        if order_col is not None:
+            base = df
+            if exists:
+                base = (
+                    spark.read.parquet(target_path)
+                    .select(*df.columns)
+                    .unionByName(df)
+                )
+            ordering = [F.desc(order_col)]
+            ordering += [F.asc(c) for c in (tiebreak_cols or [])]
+            w = Window.partitionBy(key).orderBy(*ordering)
+            merged = (
+                base.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            deduped = df.dropDuplicates([key])
+            if exists:
+                target = spark.read.parquet(target_path).select(*df.columns)
+                merged = merge_upsert(target, deduped, key=key)
+            else:
+                merged = deduped
+        merged.write.mode("overwrite").parquet(staging)
+        replace_dir(spark, target_path, staging)
+
+    return apply_batch

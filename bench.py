@@ -49,6 +49,7 @@ from ayeaye_spark.core.session import get_spark  # noqa: E402
 EXCLUDE = {"emb_near_dup_pairs", "emb_banded_lsh_recall"}
 
 STREAMING = {
+    "events_stream_cdc_upsert",
     "events_stream_hourly_counts",
     "events_stream_sessions",
     "events_stream_exactly_once_dedup",

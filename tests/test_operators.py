@@ -2068,6 +2068,7 @@ class TestCompaction:
         assert got_files == expected_files
         # staging and backup must both be gone after a clean swap
         assert not glob.glob(f"{local}._compact_*")
+        assert not glob.glob(f"{local}._swap_*")
 
 
 class TestHashedLinearScore:

@@ -429,3 +429,64 @@ class TestStreamTrending:
                     "n_events", "rank")
         ).collect()))
         assert stream_rows == batch_rows and len(stream_rows) > 0
+
+
+def test_merge_upsert_sink_cdc_apply(spark, tmp_path):
+    """Streaming CDC-apply: per-microbatch MERGE into a parquet target
+    equals the batch merge of the same updates; replaying a batch is a
+    no-op (idempotent by merge semantics, no batch-id tracking)."""
+    from pyspark.sql import functions as F
+
+    from ayeaye_spark.streaming import events as streamops
+    from ayeaye_spark.streaming.sinks import merge_upsert_sink
+
+    # an updates feed: two files = two micro-batches with maxFilesPerTrigger
+    upd_dir = tmp_path / "updates"
+    upd_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (2, "b2", 11)], ["k", "v", "ts"]
+    ).coalesce(1).write.parquet(str(upd_dir / "f1"))
+    spark.createDataFrame(
+        [(2, "c", 20), (3, "d", 20)], ["k", "v", "ts"]
+    ).coalesce(1).write.parquet(str(upd_dir / "f2"))
+
+    target = str(tmp_path / "serving")
+    schema = spark.read.parquet(str(upd_dir / "f1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(upd_dir / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            merge_upsert_sink(target, key="k", order_col="ts")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_merge"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    # k=1 from batch1; k=2 last-writer across both batches -> "c";
+    # k=3 inserted by batch2
+    assert got == {(1, "a"), (2, "c"), (3, "d")}
+
+    # replay the SECOND batch (failure redelivery): target unchanged
+    sink = merge_upsert_sink(target, key="k", order_col="ts")
+    sink(spark.read.parquet(str(upd_dir / "f2")), 1)
+    again = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert again == got
+
+    # an out-of-order LATE update (older ts) must not clobber the
+    # newer row the target already holds
+    late = spark.createDataFrame([(3, "stale", 5)], ["k", "v", "ts"])
+    sink(late, 2)
+    still = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert still == got
+
+    # batch-twin equality: the serving table equals max_by over ALL updates
+    allupd = spark.read.parquet(str(upd_dir / "f1"), str(upd_dir / "f2"))
+    twin = {(r["k"], r["v"]) for r in allupd.groupBy("k")
+            .agg(F.expr("max_by(v, struct(ts, -k))").alias("v")).collect()}
+    assert twin == got
