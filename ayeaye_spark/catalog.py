@@ -1806,6 +1806,39 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("emb_cluster_balanced_sample")  # no oracle: k-means upstream (iterative)
+def emb_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling (the topic-balancing step of
+    cluster-based pruning pipelines): spherical k-means over the
+    embeddings, then AT MOST ``cap`` vectors kept per cluster, chosen
+    deterministically — rank within the cluster by (md5 of the id, id)
+    via the histogram rank plan (``relational.grouped_rank_exact`` over
+    the hash prefix — no per-cluster single-task sort) and keep rank <=
+    cap.  The hash order makes the kept set a pseudo-random but
+    repeatable draw; per-cluster output summary so the driver's
+    rows-only check pins shape."""
+    cap = 40
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = similarity.kmeans_embeddings(emb, k=8, iters=3)
+    keyed = assigned.withColumn(
+        "hash_bucket",
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+    )
+    ranked = relational.grouped_rank_exact(
+        keyed, "cluster", "hash_bucket", "vec_id", out_rank="rk", out_n="n"
+    )
+    kept = ranked.where(F.col("rk") <= cap)
+    return (
+        kept.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("vec_id").alias("first_kept_id"),
+        )
+        .orderBy("cluster")
+    )
+
+
 @query(
     "label_text_quality",
     oracle=f"""
