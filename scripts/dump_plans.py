@@ -334,6 +334,21 @@ HEADLINE = {
         "supplier->nation->region dimension chain broadcasts; ROLLUP "
         "aggregates ride one exchange over the fact side."
     ),
+    "emb_kmeans_clusters": (
+        "Lloyd's with k*d driver state: per iteration one vectorized "
+        "assignment scan (centroids shipped) + one k*d-row exact-decimal "
+        "mean aggregate — the corpus is scanned, never shuffled wide."
+    ),
+    "emb_cluster_balanced_sample": (
+        "k-means assignment, then per-cluster cap via the histogram rank "
+        "over an md5 hash prefix — deterministic draw, no per-cluster "
+        "single-task sort."
+    ),
+    "events_stream_cdc_upsert": (
+        "foreachBatch CDC-apply: per-batch last-writer dedupe + "
+        "max-order merge against the serving table, staging write + "
+        "guarded rename swap; the returned frame is the served table."
+    ),
 }
 
 
