@@ -43,6 +43,83 @@ def dir_bytes(spark: SparkSession, path: str) -> int:
     return total
 
 
+def versioned_publish(
+    spark: SparkSession,
+    table_dir: str,
+    df,
+    *,
+    keep_versions: int = 2,
+) -> int:
+    """Atomically publish ``df`` as the next version of a table:
+    ``<table_dir>/v=<N>/`` plus a one-line ``_LATEST`` pointer file.
+
+    The rename-swap (:func:`replace_dir`) mutates the directory a
+    reader may be mid-scan of, and directory rename is copy+delete on
+    object stores.  Versioned publish never touches live data: the new
+    version writes beside the old, and the COMMIT is a single pointer
+    write — atomic on HDFS (rename) and on object stores (single-object
+    PUT).  Readers resolve ``_LATEST`` first (:func:`read_published`)
+    and keep a consistent snapshot for their whole scan even while new
+    versions land.  ``keep_versions`` old versions are retained for
+    in-flight readers, older ones pruned AFTER the pointer moves.
+
+    A crash before the pointer write leaves a dangling ``v=N`` dir that
+    the next publish overwrites — readers never see it.  Returns the
+    published version number.
+    """
+    fs, hdir = _fs_and_path(spark, table_dir)
+    pointer = table_dir.rstrip("/") + "/_LATEST"
+    _, hpointer = _fs_and_path(spark, pointer)
+    current = -1
+    if fs.exists(hpointer):
+        stream = fs.open(hpointer)
+        try:
+            current = int(bytes(stream.readAllBytes()).decode().strip())
+        finally:
+            stream.close()
+    version = current + 1
+    vdir = f"{table_dir.rstrip('/')}/v={version}"
+    df.write.mode("overwrite").parquet(vdir)
+
+    tmp_pointer = pointer + "._tmp"
+    _, htmp = _fs_and_path(spark, tmp_pointer)
+    out = fs.create(htmp, True)
+    try:
+        out.write(f"{version}\n".encode())
+    finally:
+        out.close()
+    if fs.exists(hpointer):
+        fs.delete(hpointer, False)
+    if not fs.rename(htmp, hpointer):  # the COMMIT
+        raise RuntimeError(f"versioned_publish: pointer commit failed for {table_dir}")
+
+    # prune AFTER the commit: in-flight readers of recent versions finish
+    floor_v = version - keep_versions
+    it = fs.listStatus(hdir)
+    for st in it:
+        name = st.getPath().getName()
+        if name.startswith("v=") and int(name[2:]) < floor_v:
+            fs.delete(st.getPath(), True)
+    return version
+
+
+def read_published(spark: SparkSession, table_dir: str):
+    """Read the current version of a :func:`versioned_publish` table —
+    resolve ``_LATEST`` once, then scan that immutable ``v=N``
+    directory (a consistent snapshot for the whole job)."""
+    fs, _ = _fs_and_path(spark, table_dir)
+    pointer = table_dir.rstrip("/") + "/_LATEST"
+    _, hpointer = _fs_and_path(spark, pointer)
+    if not fs.exists(hpointer):
+        raise FileNotFoundError(f"no published version at {table_dir}")
+    stream = fs.open(hpointer)
+    try:
+        version = int(bytes(stream.readAllBytes()).decode().strip())
+    finally:
+        stream.close()
+    return spark.read.parquet(f"{table_dir.rstrip('/')}/v={version}")
+
+
 def replace_dir(spark: SparkSession, path: str, staging: str) -> None:
     """Swap ``staging`` into ``path`` with a backup window: (path →
     ._swap_old), (staging → path), delete backup.  Crash between the

@@ -45,6 +45,7 @@ def merge_upsert_sink(
     key: str,
     order_col: str | None = None,
     tiebreak_cols: list[str] | None = None,
+    versioned: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` CDC-apply: MERGE each micro-batch of updates
     into a parquet target (SCD1 semantics, ``scd.merge_upsert``) —
@@ -64,7 +65,11 @@ def merge_upsert_sink(
       target's.  Only correct when the source is strictly ordered.
 
     The merged table writes to a staging sibling, then
-    ``maintenance.replace_dir``'s guarded rename swap.
+    ``maintenance.replace_dir``'s guarded rename swap — or, with
+    ``versioned=True``, each batch publishes a NEW ``v=N`` snapshot via
+    ``maintenance.versioned_publish`` (pointer-file commit: atomic on
+    object stores, and concurrent readers keep a stable snapshot while
+    batches land; read the table with ``maintenance.read_published``).
 
     Replay safety: Structured Streaming may re-deliver a batch_id after
     a failure.  Re-merging the same updates is a no-op by construction
@@ -72,26 +77,33 @@ def merge_upsert_sink(
     is idempotent without tracking batch ids.  First batch installs
     the target.
     """
-    from ..operators.maintenance import replace_dir
+    from ..operators.maintenance import (
+        read_published, replace_dir, versioned_publish,
+    )
     from ..operators.scd import merge_upsert
+
+    def _read_target(spark):
+        if versioned:
+            try:
+                return read_published(spark, target_path)
+            except FileNotFoundError:
+                return None
+        probe = spark._jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = probe.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(probe):
+            return None
+        return spark.read.parquet(target_path)
 
     def apply_batch(df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         spark = df.sparkSession
-        staging = target_path.rstrip("/") + "._merge_staging"
-        fs_probe = spark._jvm.org.apache.hadoop.fs.Path(target_path)
-        fs = fs_probe.getFileSystem(spark._jsc.hadoopConfiguration())
-        exists = fs.exists(fs_probe)
+        target = _read_target(spark)
         if order_col is not None:
             base = df
-            if exists:
-                base = (
-                    spark.read.parquet(target_path)
-                    .select(*df.columns)
-                    .unionByName(df)
-                )
+            if target is not None:
+                base = target.select(*df.columns).unionByName(df)
             ordering = [F.desc(order_col)]
             ordering += [F.asc(c) for c in (tiebreak_cols or [])]
             w = Window.partitionBy(key).orderBy(*ordering)
@@ -101,13 +113,16 @@ def merge_upsert_sink(
                 .drop("_rn")
             )
         else:
-            deduped = df.dropDuplicates([key])
-            if exists:
-                target = spark.read.parquet(target_path).select(*df.columns)
-                merged = merge_upsert(target, deduped, key=key)
-            else:
-                merged = deduped
-        merged.write.mode("overwrite").parquet(staging)
-        replace_dir(spark, target_path, staging)
+            merged = df.dropDuplicates([key])
+            if target is not None:
+                merged = merge_upsert(
+                    target.select(*df.columns), merged, key=key
+                )
+        if versioned:
+            versioned_publish(spark, target_path, merged)
+        else:
+            staging = target_path.rstrip("/") + "._merge_staging"
+            merged.write.mode("overwrite").parquet(staging)
+            replace_dir(spark, target_path, staging)
 
     return apply_batch

@@ -2553,3 +2553,54 @@ class TestKmeansEmbeddings:
             similarity.kmeans_embeddings(df, k=0)
         with _pt.raises(ValueError):
             similarity.kmeans_embeddings(df, k=2, iters=0)
+
+
+class TestVersionedPublish:
+    def test_publish_read_and_prune(self, spark, tmp_path):
+        from ayeaye_spark.operators.maintenance import (
+            read_published, versioned_publish,
+        )
+
+        table = f"file://{tmp_path}/tbl"
+        v0 = versioned_publish(spark, table, spark.range(10))
+        assert v0 == 0
+        assert read_published(spark, table).count() == 10
+
+        v1 = versioned_publish(spark, table, spark.range(25))
+        assert v1 == 1
+        assert read_published(spark, table).count() == 25
+        # keep_versions=2: v=0 retained for in-flight readers
+        assert spark.read.parquet(f"{table}/v=0").count() == 10
+
+        v2 = versioned_publish(spark, table, spark.range(7))
+        v3 = versioned_publish(spark, table, spark.range(3))
+        assert (v2, v3) == (2, 3)
+        assert read_published(spark, table).count() == 3
+        # keep_versions=2 OLD versions retained beside the current one;
+        # v=0 pruned AFTER the pointer moved past it
+        import glob
+
+        local = str(tmp_path / "tbl")
+        dirs = sorted(p.split("v=")[1] for p in glob.glob(f"{local}/v=*"))
+        assert dirs == ["1", "2", "3"]
+
+    def test_reader_snapshot_is_stable_across_publish(self, spark, tmp_path):
+        from ayeaye_spark.operators.maintenance import (
+            read_published, versioned_publish,
+        )
+
+        table = f"file://{tmp_path}/tbl2"
+        versioned_publish(spark, table, spark.range(100))
+        snapshot = read_published(spark, table)  # resolved to v=0
+        versioned_publish(spark, table, spark.range(1))
+        # the in-flight reader's frame still scans its own version
+        assert snapshot.count() == 100
+        assert read_published(spark, table).count() == 1
+
+    def test_read_unpublished_raises(self, spark, tmp_path):
+        import pytest as _pt
+
+        from ayeaye_spark.operators.maintenance import read_published
+
+        with _pt.raises(FileNotFoundError):
+            read_published(spark, f"file://{tmp_path}/nope")

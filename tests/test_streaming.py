@@ -490,3 +490,31 @@ def test_merge_upsert_sink_cdc_apply(spark, tmp_path):
     twin = {(r["k"], r["v"]) for r in allupd.groupBy("k")
             .agg(F.expr("max_by(v, struct(ts, -k))").alias("v")).collect()}
     assert twin == got
+
+
+def test_merge_upsert_sink_versioned_mode(spark, tmp_path):
+    """versioned=True: each micro-batch publishes a v=N snapshot with a
+    pointer-file commit; readers of the published table see the same
+    CDC-applied state, and prior snapshots stay stable."""
+    from ayeaye_spark.operators.maintenance import read_published
+    from ayeaye_spark.streaming.sinks import merge_upsert_sink
+
+    target = f"file://{tmp_path}/serving_v"
+    sink = merge_upsert_sink(target, key="k", order_col="ts",
+                             tiebreak_cols=["k"], versioned=True)
+    sink(spark.createDataFrame([(1, "a", 10), (2, "b", 10)], ["k", "v", "ts"]), 0)
+    snap0 = read_published(spark, target)
+    assert {(r["k"], r["v"]) for r in snap0.collect()} == {(1, "a"), (2, "b")}
+
+    sink(spark.createDataFrame([(2, "c", 20), (3, "d", 20)], ["k", "v", "ts"]), 1)
+    assert {(r["k"], r["v"]) for r in read_published(spark, target).collect()} == {
+        (1, "a"), (2, "c"), (3, "d")
+    }
+    # the in-flight reader's snapshot is untouched by the new publish
+    assert {(r["k"], r["v"]) for r in snap0.collect()} == {(1, "a"), (2, "b")}
+
+    # late out-of-order update still cannot clobber
+    sink(spark.createDataFrame([(3, "stale", 5)], ["k", "v", "ts"]), 2)
+    assert {(r["k"], r["v"]) for r in read_published(spark, target).collect()} == {
+        (1, "a"), (2, "c"), (3, "d")
+    }
