@@ -103,21 +103,31 @@ def versioned_publish(
     return version
 
 
-def read_published(spark: SparkSession, table_dir: str):
-    """Read the current version of a :func:`versioned_publish` table —
-    resolve ``_LATEST`` once, then scan that immutable ``v=N``
-    directory (a consistent snapshot for the whole job)."""
+def read_published(spark: SparkSession, table_dir: str, *, version: int | None = None):
+    """Read a :func:`versioned_publish` table — resolve ``_LATEST``
+    once, then scan that immutable ``v=N`` directory (a consistent
+    snapshot for the whole job).  Pass ``version`` for time travel to a
+    still-retained older snapshot (within ``keep_versions`` of the
+    current pointer)."""
     fs, _ = _fs_and_path(spark, table_dir)
-    pointer = table_dir.rstrip("/") + "/_LATEST"
-    _, hpointer = _fs_and_path(spark, pointer)
-    if not fs.exists(hpointer):
-        raise FileNotFoundError(f"no published version at {table_dir}")
-    stream = fs.open(hpointer)
-    try:
-        version = int(bytes(stream.readAllBytes()).decode().strip())
-    finally:
-        stream.close()
-    return spark.read.parquet(f"{table_dir.rstrip('/')}/v={version}")
+    if version is None:
+        pointer = table_dir.rstrip("/") + "/_LATEST"
+        _, hpointer = _fs_and_path(spark, pointer)
+        if not fs.exists(hpointer):
+            raise FileNotFoundError(f"no published version at {table_dir}")
+        stream = fs.open(hpointer)
+        try:
+            version = int(bytes(stream.readAllBytes()).decode().strip())
+        finally:
+            stream.close()
+    vdir = f"{table_dir.rstrip('/')}/v={version}"
+    _, hv = _fs_and_path(spark, vdir)
+    if not fs.exists(hv):
+        raise FileNotFoundError(
+            f"version {version} of {table_dir} does not exist (pruned or "
+            "never published)"
+        )
+    return spark.read.parquet(vdir)
 
 
 def replace_dir(spark: SparkSession, path: str, staging: str) -> None:

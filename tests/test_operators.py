@@ -2604,3 +2604,20 @@ class TestVersionedPublish:
 
         with _pt.raises(FileNotFoundError):
             read_published(spark, f"file://{tmp_path}/nope")
+
+
+class TestVersionedTimeTravel:
+    def test_read_older_retained_version(self, spark, tmp_path):
+        import pytest as _pt
+
+        from ayeaye_spark.operators.maintenance import (
+            read_published, versioned_publish,
+        )
+
+        table = f"file://{tmp_path}/tt"
+        versioned_publish(spark, table, spark.range(5))
+        versioned_publish(spark, table, spark.range(9))
+        assert read_published(spark, table).count() == 9
+        assert read_published(spark, table, version=0).count() == 5
+        with _pt.raises(FileNotFoundError, match="version 7"):
+            read_published(spark, table, version=7)
