@@ -962,6 +962,51 @@ def orders_date_span_months(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_session_summary",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM gaps
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (user, 30-min-gap session) with its final (start,
+    end, count) — the batch twin of the TIMER-based streaming session
+    closer (``streaming.events.sessionize_with_timeout``: event-time
+    timeouts emit each session exactly once on close; pinned against
+    this form in ``tests/test_streaming.py``).  In batch every session
+    is final, so the lag + running-sum ids aggregate to identical rows.
+    Tied timestamps are safe: a zero gap never starts a session, so the
+    grouping is order-independent."""
+    return streaming_sessionize_with_timeout_batch(spark, sf_dir)
+
+
+def streaming_sessionize_with_timeout_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .streaming.events import sessionize_with_timeout
+
+    return sessionize_with_timeout(
+        load(spark, sf_dir, "events"), gap_minutes=30
+    ).select("user_id", "session_start", "session_end", "n_events")
+
+
+@query(
     "events_sessionize",
     oracle="""
     WITH gaps AS (

@@ -255,6 +255,128 @@ def stateful_running_totals_tws(
     )
 
 
+def sessionize_with_timeout(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Emit CLOSED sessions only, via state TIMERS
+    (``applyInPandasWithState`` + ``EventTimeTimeout``): per key the
+    state holds (start, last, n); every batch extends it and re-arms an
+    event-time timeout at ``last + gap``; when the WATERMARK passes
+    that point the timer fires with no input rows, the finalized
+    session (start, end, n_events) is emitted exactly once and the
+    state is freed.  This is the append-mode session operator
+    ``F.session_window`` cannot express (it emits evolving aggregates,
+    not a single on-close record — the form downstream consumers like
+    the CDC sink or a billing pipeline need), and the state is bounded
+    by ACTIVE sessions only.
+
+    Batch fallback: every session is final, so the gap-sessionize
+    (lag + running-sum session ids) aggregated per session gives the
+    identical closed-session rows — the oracle-able twin used by the
+    tests.
+    """
+    if not events.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col).orderBy(F.asc(ts_col))
+        gap_s = gap_minutes * 60
+        with_ids = (
+            events.withColumn("_prev", F.lag(ts_col).over(w))
+            .withColumn(
+                "_new",
+                (
+                    F.col("_prev").isNull()
+                    | (
+                        F.unix_timestamp(ts_col)
+                        - F.unix_timestamp("_prev")
+                        > gap_s
+                    )
+                ).cast("long"),
+            )
+            .withColumn("_sid", F.sum("_new").over(w))
+        )
+        return with_ids.groupBy(key_col, "_sid").agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        ).drop("_sid")
+
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    output_schema = (
+        f"{key_col} {key_type}, session_start timestamp, "
+        "session_end timestamp, n_events long"
+    )
+    state_schema = "start long, last long, n long"
+    gap_ms = gap_minutes * 60_000
+
+    def _emit(key, sessions):
+        return pd.DataFrame(
+            {
+                key_col: [key[0]] * len(sessions),
+                "session_start": [
+                    pd.to_datetime(s, unit="ms") for s, _l, _n in sessions
+                ],
+                "session_end": [
+                    pd.to_datetime(l, unit="ms") for _s, l, _n in sessions
+                ],
+                "n_events": [n for _s, _l, n in sessions],
+            }
+        )
+
+    def close_sessions(key, pdf_iter, state):
+        if state.hasTimedOut:
+            closed = [tuple(state.get)]
+            state.remove()
+            yield _emit(key, closed)
+            return
+        start_ms, last_ms, n = (
+            state.get if state.exists else (None, None, 0)
+        )
+        # walk this batch's events in event-time order: a within-batch
+        # gap CLOSES the running session immediately (no need to wait
+        # for the watermark timer — the next event proves the gap)
+        all_ms: list[int] = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                all_ms.extend(
+                    int(v) for v in pdf[ts_col].astype("int64") // 1_000_000
+                )
+        all_ms.sort()
+        closed = []
+        for t in all_ms:
+            if last_ms is None:
+                start_ms, last_ms, n = t, t, 1
+            elif t - last_ms > gap_ms:
+                closed.append((start_ms, last_ms, n))
+                start_ms, last_ms, n = t, t, 1
+            else:
+                last_ms = max(last_ms, t)
+                n += 1
+        if last_ms is None:
+            return
+        state.update((start_ms, last_ms, n))
+        # re-arm the close timer: fires when the watermark passes it
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        if closed:
+            yield _emit(key, closed)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            close_sessions, output_schema, state_schema,
+            "append", "EventTimeTimeout",
+        )
+    )
+
+
 def interval_event_join(
     left: DataFrame,
     right: DataFrame,

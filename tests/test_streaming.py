@@ -518,3 +518,69 @@ def test_merge_upsert_sink_versioned_mode(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in read_published(spark, target).collect()} == {
         (1, "a"), (2, "c"), (3, "d")
     }
+
+
+def test_sessionize_with_timeout_emits_closed_sessions(spark, tmp_path):
+    """Timer-based session close: sessions whose gap has been passed by
+    the WATERMARK emit exactly once with their final (start, end, n);
+    still-active sessions emit nothing.  Verified against the batch
+    gap-sessionize twin on the closed population."""
+    import datetime as dt
+
+    from ayeaye_spark.streaming import events as streamops
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, 10, minute)
+
+    early = [  # two users, sessions ending by 10:20
+        (1, ts(0)), (1, ts(5)), (1, ts(10)),
+        (2, ts(2)), (2, ts(4)),
+    ]
+    late = [  # far beyond early sessions' gap+watermark -> closes them
+        (1, dt.datetime(2024, 1, 2, 10, 0)),
+        (3, dt.datetime(2024, 1, 2, 10, 1)),
+    ]
+    upd = tmp_path / "sessions_feed"
+    upd.mkdir()
+    spark.createDataFrame(early, "user_id long, ts timestamp") \
+        .coalesce(1).write.parquet(str(upd / "f1"))
+    spark.createDataFrame(late, "user_id long, ts timestamp") \
+        .coalesce(1).write.parquet(str(upd / "f2"))
+
+    schema = spark.read.parquet(str(upd / "f1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(upd / "*"))
+    )
+    closed = streamops.sessionize_with_timeout(
+        stream, gap_minutes=30, watermark="10 minutes"
+    )
+    q = (
+        closed.writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sessions"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("closed_sessions").collect()
+    }
+    # batch twin over the CLOSED population (the early file)
+    batch = streamops.sessionize_with_timeout(
+        spark.read.parquet(str(upd / "f1")), gap_minutes=30
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert got == {
+        (1, ts(0), ts(10), 3),
+        (2, ts(2), ts(4), 2),
+    }
+    # the last batch's sessions are still OPEN: not emitted
+    assert not any(u == 3 for (u, *_z) in got)
