@@ -2621,3 +2621,44 @@ class TestVersionedTimeTravel:
         assert read_published(spark, table, version=0).count() == 5
         with _pt.raises(FileNotFoundError, match="version 7"):
             read_published(spark, table, version=7)
+
+
+class TestFileIndexPruning:
+    def test_index_and_pruned_read_match_full_scan(self, spark, tmp_path):
+        from ayeaye_spark.operators.maintenance import build_file_index, pruned_read
+
+        path = str(tmp_path / "clustered")
+        df = spark.range(100_000).withColumn("k", F.col("id"))
+        df.repartitionByRange(8, "k").sortWithinPartitions("k") \
+            .write.parquet(path)
+
+        idx = build_file_index(spark, path, ["k"])
+        rows = idx.collect()
+        assert len(rows) == 8
+        assert sum(r["n_rows"] for r in rows) == 100_000
+        # clustered layout: non-overlapping envelopes
+        spans = sorted((r["k_min"], r["k_max"]) for r in rows)
+        for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+            assert hi1 <= lo2
+
+        lo, hi = 20_000, 21_000
+        got = pruned_read(spark, path, idx, "k", lo, hi)
+        want = spark.read.parquet(path).where(
+            (F.col("k") >= lo) & (F.col("k") <= hi))
+        assert got.count() == want.count() == hi - lo + 1
+        # ...and the pruned plan scans ONE file, not eight
+        n_scanned = len(
+            [r for r in idx.collect()
+             if r["k_max"] >= lo and r["k_min"] <= hi]
+        )
+        assert n_scanned == 1
+
+    def test_empty_prune_keeps_schema(self, spark, tmp_path):
+        from ayeaye_spark.operators.maintenance import build_file_index, pruned_read
+
+        path = str(tmp_path / "c2")
+        spark.range(100).withColumn("k", F.col("id")).write.parquet(path)
+        idx = build_file_index(spark, path, ["k"])
+        out = pruned_read(spark, path, idx, "k", 10_000, 20_000)
+        assert out.count() == 0
+        assert set(out.columns) == {"id", "k"}
