@@ -4907,11 +4907,16 @@ def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID evaluation: the confusion matrix of declared vs
     predicted language — the accuracy report any heuristic classifier
     ships with (complementing the classifier/recall/dedup-agreement
-    evaluation family).  One tokenization, one map-side-combined
-    count."""
-    docs = textops.with_lang_id(load(spark, sf_dir, "documents"), "text")
+    evaluation family).  One Arrow profiling pass (bit-identical
+    vectorized lang-ID; the EXPRESSION form's giant generated CASE was
+    the sweep's worst JIT-code-cache thrasher — 6-7s in-sweep vs 0.75s
+    steady) + one map-side-combined count."""
+    prof = textops.profile_vectorized(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        extra_cols=("lang",),
+    )
     return (
-        docs.groupBy(
+        prof.groupBy(
             F.col("lang").alias("declared"),
             F.col("lang_pred").alias("predicted"),
         )
