@@ -3109,32 +3109,30 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median-absolute-deviation outliers per event type: both medians
-    picked as ELEMENTS (engine-exact, no float percentile), both ranks
-    from the (type, value-bucket) histogram plan — the former per-type
-    rank windows were 5 single-task sorts of every event at 100x.  The
+    picked as ELEMENTS (engine-exact, no float percentile) via the
+    histogram LOCATE-then-sort plan (`relational.exact_group_quantiles`)
+    — type-1 rank ceil(n/2) equals the oracle's (n+1) div 2 element for
+    every n, and the located bucket is the only data ever sorted.  The
+    former formulation ranked EVERY row twice (two full
+    grouped_rank_exact passes) just to keep one row per group; locating
+    the median's bucket does a fraction of that work at any scale.  The
     tiny per-type median frames broadcast back; the oracle keeps the
     window form."""
     ev = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
-    ).localCheckpoint(eager=False)  # rank plans fan out into hist + main
-    bkt = F.floor(F.col("value")).cast("long")
-    ranked = relational.grouped_rank_exact(
-        ev, "event_type", "value", "event_id", bucket_expr=bkt
     )
-    med = ranked.where(F.col("rk") == F.expr("(n + 1) div 2")).select(
-        "event_type", F.col("value").alias("med")
-    )
+    med = relational.exact_group_quantiles(
+        ev, "event_type", "value", quantiles=(0.5,)
+    ).select("event_type", F.col("q_50").alias("med"))
+    med = med.localCheckpoint(eager=False)  # one row/type: pin so the
+    # locate subplan runs once, not once per downstream reuse of dev
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    dev_ranked = relational.grouped_rank_exact(
-        dev, "event_type", "adev", "event_id",
-        out_rank="drk", out_n="dn",
-        bucket_expr=F.floor(F.col("adev")).cast("long"),
-    )
-    mad = dev_ranked.where(F.col("drk") == F.expr("(dn + 1) div 2")).select(
-        "event_type", F.col("adev").alias("mad")
-    )
+    mad = relational.exact_group_quantiles(
+        dev, "event_type", "adev", quantiles=(0.5,)
+    ).select("event_type", F.col("q_50").alias("mad"))
+    mad = mad.localCheckpoint(eager=False)
     return (
         dev.join(F.broadcast(mad), "event_type")
         .where(F.col("adev") > 3 * F.col("mad"))
@@ -3142,8 +3140,8 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 # MAD outlier notes: lower-median by rank (never the even-count average
 # — picking an ELEMENT is engine-exact where averaging two doubles
-# invites ulp drift), deterministic (value, id) tie order, and the
-# comparison multiplies exact doubles — the robust-statistics
+# invites ulp drift; rank ceil(n/2) == (n+1) div 2 for odd AND even n),
+# and the comparison multiplies exact doubles — the robust-statistics
 # complement of the z-score outliers query (means/stddevs are dragged
 # by the very outliers they're meant to find; medians aren't).
 

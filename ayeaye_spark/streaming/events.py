@@ -284,18 +284,20 @@ def sessionize_with_timeout(
         from pyspark.sql import Window
 
         w = Window.partitionBy(key_col).orderBy(F.asc(ts_col))
-        gap_s = gap_minutes * 60
+        # gaps compare at MILLISECOND resolution — the same truncation
+        # the streaming state path and the DuckDB oracle (epoch_ms) use.
+        # unix_timestamp() would truncate to whole seconds and merge a
+        # pair whose ms diff exceeds the gap while the second diff
+        # equals it exactly — a data-dependent parity break.
+        gap_ms = gap_minutes * 60_000
+        ms = lambda c: F.expr(f"unix_micros({c}) div 1000")  # noqa: E731
         with_ids = (
             events.withColumn("_prev", F.lag(ts_col).over(w))
             .withColumn(
                 "_new",
                 (
                     F.col("_prev").isNull()
-                    | (
-                        F.unix_timestamp(ts_col)
-                        - F.unix_timestamp("_prev")
-                        > gap_s
-                    )
+                    | (ms(ts_col) - ms("_prev") > gap_ms)
                 ).cast("long"),
             )
             .withColumn("_sid", F.sum("_new").over(w))
@@ -313,6 +315,10 @@ def sessionize_with_timeout(
         f"{key_col} {key_type}, session_start timestamp, "
         "session_end timestamp, n_events long"
     )
+    # State holds MICROSECOND epochs so emitted session_start/end keep
+    # the source timestamp precision (batch twin emits MIN/MAX(ts) at
+    # full µs); gap comparisons truncate to MILLISECONDS — the same
+    # resolution the batch path and the epoch_ms oracle compare at.
     state_schema = "start long, last long, n long"
     gap_ms = gap_minutes * 60_000
 
@@ -321,10 +327,10 @@ def sessionize_with_timeout(
             {
                 key_col: [key[0]] * len(sessions),
                 "session_start": [
-                    pd.to_datetime(s, unit="ms") for s, _l, _n in sessions
+                    pd.to_datetime(s, unit="us") for s, _l, _n in sessions
                 ],
                 "session_end": [
-                    pd.to_datetime(l, unit="ms") for _s, l, _n in sessions
+                    pd.to_datetime(l, unit="us") for _s, l, _n in sessions
                 ],
                 "n_events": [n for _s, _l, n in sessions],
             }
@@ -336,34 +342,35 @@ def sessionize_with_timeout(
             state.remove()
             yield _emit(key, closed)
             return
-        start_ms, last_ms, n = (
+        start_us, last_us, n = (
             state.get if state.exists else (None, None, 0)
         )
         # walk this batch's events in event-time order: a within-batch
         # gap CLOSES the running session immediately (no need to wait
         # for the watermark timer — the next event proves the gap)
-        all_ms: list[int] = []
+        all_us: list[int] = []
         for pdf in pdf_iter:
             if len(pdf):
-                all_ms.extend(
-                    int(v) for v in pdf[ts_col].astype("int64") // 1_000_000
+                all_us.extend(
+                    int(v) for v in pdf[ts_col].astype("int64") // 1_000
                 )
-        all_ms.sort()
+        all_us.sort()
         closed = []
-        for t in all_ms:
-            if last_ms is None:
-                start_ms, last_ms, n = t, t, 1
-            elif t - last_ms > gap_ms:
-                closed.append((start_ms, last_ms, n))
-                start_ms, last_ms, n = t, t, 1
+        for t in all_us:
+            if last_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t // 1000 - last_us // 1000 > gap_ms:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
             else:
-                last_ms = max(last_ms, t)
+                last_us = max(last_us, t)
                 n += 1
-        if last_ms is None:
+        if last_us is None:
             return
-        state.update((start_ms, last_ms, n))
+        state.update((start_us, last_us, n))
         # re-arm the close timer: fires when the watermark passes it
-        state.setTimeoutTimestamp(last_ms + gap_ms)
+        # (the timer API takes milliseconds)
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
         if closed:
             yield _emit(key, closed)
 

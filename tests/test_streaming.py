@@ -584,3 +584,101 @@ def test_sessionize_with_timeout_emits_closed_sessions(spark, tmp_path):
     }
     # the last batch's sessions are still OPEN: not emitted
     assert not any(u == 3 for (u, *_z) in got)
+
+
+def test_sessionize_subsecond_boundary_parity(spark, tmp_path):
+    """Batch, streaming, and the epoch_ms oracle all compare gaps at
+    MILLISECOND resolution, and emitted timestamps keep microsecond
+    precision.  Two adversarial pairs at the 30-min boundary:
+
+    - user 1: gap = 1800.2s.  Whole-second truncation sees 1800 (not >
+      1800) and would MERGE; ms resolution sees 1800200 > 1800000 and
+      SPLITS.  Splitting is correct (matches epoch_ms oracle).
+    - user 2: gap = 1800.0002s with sub-ms fractions.  µs resolution
+      would split (1800000200 > 1800000000); ms truncation sees exactly
+      1800000 (not >) and MERGES.  Merging is correct.
+    """
+    import datetime as dt
+
+    import duckdb
+
+    from ayeaye_spark.streaming import events as streamops
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: second-truncated diff == 1800, ms diff == 1800200
+        (1, base + dt.timedelta(microseconds=400_000)),
+        (1, base + dt.timedelta(seconds=1800, microseconds=600_000)),
+        # user 2: ms-truncated diff == 1800000 exactly, µs diff larger
+        (2, base + dt.timedelta(microseconds=700)),
+        (2, base + dt.timedelta(seconds=1800, microseconds=900)),
+    ]
+    late = [(9, dt.datetime(2024, 1, 3, 10, 0))]  # closes everything
+    feed = tmp_path / "subsec_feed"
+    feed.mkdir()
+    spark.createDataFrame(rows, "user_id long, ts timestamp") \
+        .coalesce(1).write.parquet(str(feed / "f1"))
+    spark.createDataFrame(late, "user_id long, ts timestamp") \
+        .coalesce(1).write.parquet(str(feed / "f2"))
+
+    batch = streamops.sessionize_with_timeout(
+        spark.read.parquet(str(feed / "f1")), gap_minutes=30
+    )
+    got_batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    want = {
+        (1, rows[0][1], rows[0][1], 1),  # split at ms resolution
+        (1, rows[1][1], rows[1][1], 1),
+        (2, rows[2][1], rows[3][1], 2),  # merged: ms diff == gap, not >
+    }
+    assert got_batch == want
+
+    # the epoch_ms oracle agrees (same resolution contract)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev AS SELECT * FROM "
+        f"read_parquet('{feed / 'f1'}/*.parquet')"
+    )
+    n_oracle = con.execute(
+        """
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                      OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+        )
+        SELECT user_id, sid, COUNT(*) FROM (
+          SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM gaps) GROUP BY user_id, sid
+        """
+    ).fetchall()
+    assert len(n_oracle) == len(want)
+
+    # streaming twin: identical rows, microseconds preserved end-to-end
+    schema = spark.read.parquet(str(feed / "f1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "*"))
+    )
+    closed = streamops.sessionize_with_timeout(
+        stream, gap_minutes=30, watermark="10 minutes"
+    )
+    q = (
+        closed.writeStream.format("memory")
+        .queryName("subsec_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_subsec"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_stream = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("subsec_sessions").collect()
+    }
+    assert got_stream == want  # incl. exact µs in session_start/end
