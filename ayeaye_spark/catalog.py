@@ -2304,24 +2304,32 @@ def events_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.sinks import merge_upsert_sink
 
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="ayeaye_cdc_")
-    target = f"{tmp}/serving"
-    stream = _events_stream(spark, sf_dir).select(
-        "event_id", "user_id", "event_type", "ts"
-    )
-    q = (
-        stream.writeStream.foreachBatch(
-            merge_upsert_sink(
-                target, key="user_id", order_col="ts",
-                tiebreak_cols=["event_id"],
-            )
+    try:
+        target = f"{tmp}/serving"
+        stream = _events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "ts"
         )
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(target).localCheckpoint()
+        q = (
+            stream.writeStream.foreachBatch(
+                merge_upsert_sink(
+                    target, key="user_id", order_col="ts",
+                    tiebreak_cols=["event_id"],
+                )
+            )
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # EAGER checkpoint pins the result in the block manager, so the
+        # scratch serving table + checkpoint can be removed immediately
+        # (no per-invocation tempdir leak)
+        return spark.read.parquet(target).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(

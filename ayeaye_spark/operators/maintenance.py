@@ -85,9 +85,22 @@ def build_file_index(spark: SparkSession, path: str, cols: list[str]):
     def stats(paths):
         import pyarrow.parquet as pq
 
+        def _footer(p):
+            # scheme-dispatched open so footer reads work on s3a/hdfs
+            # etc., not just file: URIs (pyarrow maps s3a -> s3)
+            if p.startswith("file:"):
+                return pq.ParquetFile(p[len("file:"):]).metadata
+            if "://" in p:
+                from pyarrow import fs as pafs
+
+                uri = p.replace("s3a://", "s3://", 1)
+                fsys, rel = pafs.FileSystem.from_uri(uri)
+                with fsys.open_input_file(rel) as f:
+                    return pq.ParquetFile(f).metadata
+            return pq.ParquetFile(p).metadata
+
         for p in paths:
-            local = p[len("file:"):] if p.startswith("file:") else p
-            md = pq.ParquetFile(local).metadata
+            md = _footer(p)
             row = [p, md.num_rows]
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             for c in cols:
@@ -135,6 +148,52 @@ def pruned_read(
     )
 
 
+def _read_pointer(fs, hpointer) -> int | None:
+    """Best-effort read of a ``_LATEST`` pointer file; None if absent
+    or momentarily unreadable (a concurrent commit is in flight)."""
+    try:
+        if not fs.exists(hpointer):
+            return None
+        stream = fs.open(hpointer)
+        try:
+            return int(bytes(stream.readAllBytes()).decode().strip())
+        finally:
+            stream.close()
+    except Exception:
+        return None
+
+
+def _version_of(name: str) -> int | None:
+    """Parse ``v=N`` directory-entry names."""
+    if not name.startswith("v="):
+        return None
+    body = name[2:]
+    return int(body) if body.isdigit() else None
+
+
+def _rename_overwrite(spark: SparkSession, fs, hsrc, hdst) -> None:
+    """Atomic rename-onto: ``FileContext.rename(OVERWRITE)`` replaces
+    the destination in one metadata operation (HDFS, local), so a
+    reader resolving the destination never observes it missing.  Stores
+    without FileContext support fall back to delete+rename — a
+    non-atomic window that :func:`read_published`'s listing fallback
+    papers over."""
+    jvm = spark._jvm
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), spark._jsc.hadoopConfiguration()
+        )
+        Rename = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = spark.sparkContext._gateway.new_array(Rename, 1)
+        opts[0] = Rename.OVERWRITE
+        fc.rename(hsrc, hdst, opts)
+    except Exception:
+        if fs.exists(hdst):
+            fs.delete(hdst, False)
+        if not fs.rename(hsrc, hdst):
+            raise RuntimeError(f"pointer commit failed for {hdst}")
+
+
 def versioned_publish(
     spark: SparkSession,
     table_dir: str,
@@ -148,50 +207,88 @@ def versioned_publish(
     The rename-swap (:func:`replace_dir`) mutates the directory a
     reader may be mid-scan of, and directory rename is copy+delete on
     object stores.  Versioned publish never touches live data: the new
-    version writes beside the old, and the COMMIT is a single pointer
-    write — atomic on HDFS (rename) and on object stores (single-object
-    PUT).  Readers resolve ``_LATEST`` first (:func:`read_published`)
-    and keep a consistent snapshot for their whole scan even while new
-    versions land.  ``keep_versions`` old versions are retained for
-    in-flight readers, older ones pruned AFTER the pointer moves.
+    version writes beside the old, then the pointer moves.  Readers
+    resolve ``_LATEST`` first (:func:`read_published`) and keep a
+    consistent snapshot for their whole scan even while new versions
+    land.  ``keep_versions`` old versions are retained for in-flight
+    readers, older ones pruned AFTER the pointer moves.
 
-    A crash before the pointer write leaves a dangling ``v=N`` dir that
-    the next publish overwrites — readers never see it.  Returns the
-    published version number.
+    **Concurrent publishers are safe.**  Each publisher CLAIMS its
+    version number by create-no-overwrite of ``_claims/<N>`` — a real
+    compare-and-swap on HDFS/local (and on object stores with
+    conditional-create support); the loser advances to ``N+1``, so two
+    racing publishes land in DISTINCT directories and neither is
+    clobbered mid-write.  The pointer commit is an atomic overwrite
+    rename (:func:`_rename_overwrite`) guarded to be monotone: a
+    slower publisher whose version was already superseded leaves the
+    pointer alone (its snapshot is still published and time-travelable).
+    A crash after the claim but before the pointer move leaves a
+    dangling ``v=N`` dir that pruning eventually removes — readers
+    never resolve to it.  Returns the published version number.
     """
     fs, hdir = _fs_and_path(spark, table_dir)
-    pointer = table_dir.rstrip("/") + "/_LATEST"
+    base = table_dir.rstrip("/")
+    pointer = base + "/_LATEST"
     _, hpointer = _fs_and_path(spark, pointer)
-    current = -1
-    if fs.exists(hpointer):
-        stream = fs.open(hpointer)
+    claims = base + "/_claims"  # underscore dir: invisible to scans
+    _, hclaims = _fs_and_path(spark, claims)
+    fs.mkdirs(hclaims)
+    current = _read_pointer(fs, hpointer)
+    start = -1 if current is None else current
+    for st in fs.listStatus(hdir):  # skip versions claimed by racers
+        v = _version_of(st.getPath().getName())
+        if v is not None:
+            start = max(start, v)
+    for st in fs.listStatus(hclaims):
+        name = st.getPath().getName()
+        if name.isdigit():
+            start = max(start, int(name))
+
+    version = start + 1
+    for _ in range(1000):  # CAS claim loop: first create-if-absent wins
+        _, hclaim = _fs_and_path(spark, f"{claims}/{version}")
         try:
-            current = int(bytes(stream.readAllBytes()).decode().strip())
-        finally:
-            stream.close()
-    version = current + 1
-    vdir = f"{table_dir.rstrip('/')}/v={version}"
+            out = fs.create(hclaim, False)
+            try:
+                out.write(f"{version}\n".encode())
+            finally:
+                out.close()
+            break
+        except Exception:  # claimed by a concurrent publisher
+            version += 1
+    else:
+        raise RuntimeError(
+            f"versioned_publish: could not claim a version under {base}"
+        )
+    vdir = f"{base}/v={version}"
     df.write.mode("overwrite").parquet(vdir)
 
-    tmp_pointer = pointer + "._tmp"
+    # pointer commit: write beside, then atomically rename ONTO _LATEST
+    # — monotone: never move the pointer backward over a racer's newer
+    # commit (re-check is best-effort; the rename itself is atomic)
+    tmp_pointer = pointer + f"._tmp{version}"
     _, htmp = _fs_and_path(spark, tmp_pointer)
     out = fs.create(htmp, True)
     try:
         out.write(f"{version}\n".encode())
     finally:
         out.close()
-    if fs.exists(hpointer):
-        fs.delete(hpointer, False)
-    if not fs.rename(htmp, hpointer):  # the COMMIT
-        raise RuntimeError(f"versioned_publish: pointer commit failed for {table_dir}")
+    latest = _read_pointer(fs, hpointer)
+    if latest is not None and latest > version:
+        fs.delete(htmp, False)  # superseded while writing: keep newer
+    else:
+        _rename_overwrite(spark, fs, htmp, hpointer)
 
     # prune AFTER the commit: in-flight readers of recent versions finish
     floor_v = version - keep_versions
-    it = fs.listStatus(hdir)
-    for st in it:
-        name = st.getPath().getName()
-        if name.startswith("v=") and int(name[2:]) < floor_v:
+    for st in fs.listStatus(hdir):
+        v = _version_of(st.getPath().getName())
+        if v is not None and v < floor_v:
             fs.delete(st.getPath(), True)
+    for st in fs.listStatus(hclaims):
+        name = st.getPath().getName()
+        if name.isdigit() and int(name) < floor_v:
+            fs.delete(st.getPath(), False)
     return version
 
 
@@ -200,18 +297,37 @@ def read_published(spark: SparkSession, table_dir: str, *, version: int | None =
     once, then scan that immutable ``v=N`` directory (a consistent
     snapshot for the whole job).  Pass ``version`` for time travel to a
     still-retained older snapshot (within ``keep_versions`` of the
-    current pointer)."""
-    fs, _ = _fs_and_path(spark, table_dir)
+    current pointer).
+
+    If the pointer is momentarily absent/unreadable (a publisher on a
+    store without atomic rename is mid-commit), falls back to the
+    highest COMPLETE version directory (one containing ``_SUCCESS``) —
+    readers never fail on a pointer race."""
+    fs, hdir = _fs_and_path(spark, table_dir)
     if version is None:
         pointer = table_dir.rstrip("/") + "/_LATEST"
         _, hpointer = _fs_and_path(spark, pointer)
-        if not fs.exists(hpointer):
-            raise FileNotFoundError(f"no published version at {table_dir}")
-        stream = fs.open(hpointer)
-        try:
-            version = int(bytes(stream.readAllBytes()).decode().strip())
-        finally:
-            stream.close()
+        version = _read_pointer(fs, hpointer)
+        if version is None:  # pointer race / missing: highest complete
+            best = None
+            if fs.exists(hdir):
+                for st in fs.listStatus(hdir):
+                    if not st.isDirectory():
+                        continue
+                    v = _version_of(st.getPath().getName())
+                    if v is None:
+                        continue
+                    _, hs = _fs_and_path(
+                        spark,
+                        f"{table_dir.rstrip('/')}/v={v}/_SUCCESS",
+                    )
+                    if fs.exists(hs):
+                        best = v if best is None else max(best, v)
+            if best is None:
+                raise FileNotFoundError(
+                    f"no published version at {table_dir}"
+                )
+            version = best
     vdir = f"{table_dir.rstrip('/')}/v={version}"
     _, hv = _fs_and_path(spark, vdir)
     if not fs.exists(hv):

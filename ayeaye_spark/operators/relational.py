@@ -180,6 +180,20 @@ def grouped_rank_exact(
             "coarsens values, so in-bucket order depends on the value and "
             "cannot be split by id)"
         )
+    if bucket_expr is None:
+        # exact-value histogram: one histogram row per DISTINCT value.
+        # For floating-point columns that approaches one row per input
+        # row — the histogram itself re-becomes corpus-sized and its
+        # per-group window a single giant task, silently undoing the
+        # whole decomposition.  Require an explicit coarsening.
+        vt = df.schema[value_col].dataType.simpleString()
+        if vt in ("double", "float"):
+            raise ValueError(
+                f"grouped_rank_exact: {value_col!r} is {vt} — the default "
+                "exact-value histogram would hold ~one row per distinct "
+                "value. Pass a monotone coarsening, e.g. "
+                f"bucket_expr=F.floor(F.col({value_col!r}))."
+            )
     bucket = bucket_expr if bucket_expr is not None else F.col(value_col)
     b = df.withColumn("_bkt", bucket)
     hist = b.groupBy(group_col, "_bkt").agg(F.count(F.lit(1)).alias("_c"))

@@ -2297,14 +2297,32 @@ class TestWithNtile:
             assert got == want, f"nrows={nrows} tiles={tiles}"
 
     def test_bucketed_matches_exact_rank(self, spark):
+        import pytest as _pt
+        from pyspark.sql import Window
+
         rows = [(i, "g", float((i * 13) % 50) / 3.0) for i in range(500)]
         df = spark.createDataFrame(rows, ["id", "grp", "v"])
-        exact = {r["id"]: r["rk"] for r in relational.grouped_rank_exact(
-            df, "grp", "v", "id").collect()}
+        w = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("id"))
+        exact = {
+            r["id"]: r["rk"]
+            for r in df.withColumn("rk", F.row_number().over(w)).collect()
+        }
         coarse = {r["id"]: r["rk"] for r in relational.grouped_rank_exact(
             df, "grp", "v", "id",
             bucket_expr=F.floor(F.col("v")).cast("long")).collect()}
         assert coarse == exact
+
+    def test_float_value_without_bucket_expr_is_guarded(self, spark):
+        """The default exact-value histogram on a floating-point column
+        would hold ~one row per distinct value (corpus-sized histogram,
+        single-task per-group window) — must refuse loudly."""
+        import pytest as _pt
+
+        df = spark.createDataFrame(
+            [(1, "g", 1.5), (2, "g", 2.5)], ["id", "grp", "v"]
+        )
+        with _pt.raises(ValueError, match="coarsening"):
+            relational.grouped_rank_exact(df, "grp", "v", "id")
 
 
 class TestNtileClosedFormExhaustive:
@@ -2604,6 +2622,53 @@ class TestVersionedPublish:
 
         with _pt.raises(FileNotFoundError):
             read_published(spark, f"file://{tmp_path}/nope")
+
+    def test_concurrent_publishers_claim_distinct_versions(
+        self, spark, tmp_path
+    ):
+        """Two interleaved publishers: the version-claim CAS serializes
+        them onto DISTINCT v=N dirs (no clobber), and the pointer ends
+        on the later commit — the slower racer's snapshot stays
+        published and readable by explicit version."""
+        from ayeaye_spark.operators.maintenance import (
+            _fs_and_path, read_published, versioned_publish,
+        )
+
+        table = f"file://{tmp_path}/race"
+        versioned_publish(spark, table, spark.range(10))  # v=0
+
+        # publisher A is "in flight": it has claimed v=1 (the CAS step)
+        # but has not finished writing data / moving the pointer yet
+        fs, _ = _fs_and_path(spark, table)
+        _, hclaim = _fs_and_path(spark, f"{table}/_claims/1")
+        out = fs.create(hclaim, False)
+        out.write(b"1\n")
+        out.close()
+
+        # publisher B starts now: must NOT claim v=1 (A owns it)
+        vb = versioned_publish(spark, table, spark.range(20))
+        assert vb == 2
+        assert read_published(spark, table).count() == 20
+
+        # A finishes late into its own claimed dir: nothing clobbered
+        spark.range(5).write.mode("overwrite").parquet(f"{table}/v=1")
+        assert read_published(spark, table).count() == 20  # pointer: B
+        assert read_published(spark, table, version=1).count() == 5
+        assert read_published(spark, table, version=2).count() == 20
+
+    def test_reader_falls_back_when_pointer_missing(self, spark, tmp_path):
+        """A pointer mid-commit on a store without atomic rename must
+        not fail readers: read_published falls back to the highest
+        COMPLETE (_SUCCESS-bearing) version directory."""
+        from ayeaye_spark.operators.maintenance import (
+            read_published, versioned_publish,
+        )
+
+        table = f"file://{tmp_path}/fallback"
+        versioned_publish(spark, table, spark.range(4))
+        versioned_publish(spark, table, spark.range(9))
+        (tmp_path / "fallback" / "_LATEST").unlink()
+        assert read_published(spark, table).count() == 9
 
 
 class TestVersionedTimeTravel:
