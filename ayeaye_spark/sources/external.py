@@ -99,6 +99,13 @@ class JdbcConnector(DataConnector):
             v = self.url.option(k) or self.connector_kwargs.get(k)
             if v is not None:
                 opts[k] = str(v)
+        # remaining url options pass straight through to the JDBC source
+        # (driver override, dialect connection attributes like Derby's
+        # create=true) — the connect-args escape hatch every sqlalchemy
+        # engine string has
+        for k, v in self.url.options.items():
+            if k != "table" and k not in opts:
+                opts[k] = str(v)
         return opts
 
     def read(self, spark: SparkSession) -> DataFrame:

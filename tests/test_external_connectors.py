@@ -333,3 +333,73 @@ class TestRestWriterRequiresWriteUrl:
             (df.write.format("ayeaye_rest")
              .option("url", f"http://{http_server}/page/{{page}}")
              .mode("append").save())
+
+
+class TestJdbcLiveDerby:
+    """LIVE JDBC end-to-end against embedded Apache Derby — the one
+    database whose driver ships inside the Spark distribution itself
+    (``$SPARK_HOME/jars/derby*.jar``), so the real read / ``.sql()``
+    pushdown / write paths run with no extra jars.  Mirrors the
+    reference's sqlalchemy connector test flow (create + read + raw-SQL
+    + write) that the sqlite/mysql/postgres option-dict tests freeze
+    structurally in ``test_connectors.py``."""
+
+    def _url(self, tmp_path, **extra):
+        opts = ";".join(f"{k}={v}" for k, v in extra.items())
+        return (
+            f"jdbc://derby:{tmp_path}/db;create=true"
+            + (f";{opts}" if opts else "")
+        )
+
+    def test_write_read_roundtrip(self, spark, tmp_path):
+        from ayeaye_spark import AccessMode
+        from ayeaye_spark.sources.external import JdbcConnector
+
+        w = JdbcConnector(
+            self._url(tmp_path, table="animals"), access=AccessMode.READWRITE
+        )
+        df = spark.createDataFrame(
+            [(1, "aye-aye"), (2, "sloth"), (3, "loris")], ["id", "name"]
+        )
+        w.write(df, mode="append")
+        back = w.read(spark)
+        assert {(r["id"], r["name"]) for r in back.collect()} == {
+            (1, "aye-aye"), (2, "sloth"), (3, "loris")
+        }
+
+    def test_sql_pushdown_runs_in_database(self, spark, tmp_path):
+        from ayeaye_spark import AccessMode
+        from ayeaye_spark.sources.external import JdbcConnector
+
+        c = JdbcConnector(
+            self._url(tmp_path, table="t2"), access=AccessMode.READWRITE
+        )
+        c.write(spark.range(10).withColumnRenamed("id", "k"), mode="append")
+        # Derby folds unquoted identifiers to upper case; Spark's JDBC
+        # writer created the column case-sensitively as "k"
+        got = c.sql(
+            spark, 'SELECT COUNT(*) AS "n" FROM t2 WHERE "k" >= 5'
+        ).collect()
+        assert [r["n"] for r in got] == [5]
+
+    def test_partitioned_parallel_read(self, spark, tmp_path):
+        """numPartitions/partitionColumn/bounds drive a real parallel
+        JDBC scan (one query per stride), not just an option dict."""
+        from ayeaye_spark import AccessMode
+        from ayeaye_spark.sources.external import JdbcConnector
+
+        seed = JdbcConnector(
+            self._url(tmp_path, table="big"), access=AccessMode.READWRITE
+        )
+        seed.write(
+            spark.range(100).withColumnRenamed("id", "k"), mode="append"
+        )
+        par = JdbcConnector(
+            self._url(
+                tmp_path, table="big", numPartitions=4,
+                partitionColumn='"k"', lowerBound=0, upperBound=100,
+            )
+        )
+        df = par.read(spark)
+        assert df.rdd.getNumPartitions() == 4
+        assert df.count() == 100
