@@ -5081,6 +5081,173 @@ shared_sql(
 # grand totals in one pass with coalesced subtotal labels.
 
 
+@query(
+    "docs_repetition_flags",
+    oracle=f"""
+    WITH l AS (
+      SELECT doc_id, line, COUNT(*) AS c, LENGTH(line) AS len
+      FROM (SELECT doc_id, unnest({P.lines('text', DUCK)}) AS line
+            FROM documents)
+      WHERE LENGTH(line) > 0
+      GROUP BY doc_id, line
+    ),
+    ls AS (
+      SELECT doc_id, SUM(c) AS n_lines, SUM(c - 1) AS dup_lines,
+             SUM(c * len) AS tot_chars, SUM((c - 1) * len) AS dup_chars
+      FROM l GROUP BY doc_id
+    ),
+    tk AS (
+      SELECT doc_id,
+             {P.hash_array(P.tokens('text', DUCK), DUCK)} AS th
+      FROM documents
+    ),
+    tn AS (SELECT doc_id, {P.size('th', DUCK)} AS n_tokens, th FROM tk),
+    g2 AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest({P.token_hash_ngrams_all('th', 2, DUCK)}) AS g
+        FROM tn) GROUP BY doc_id, g
+    ),
+    t2 AS (SELECT doc_id, MAX(c) AS top2 FROM g2 GROUP BY doc_id),
+    g3 AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest({P.token_hash_ngrams_all('th', 3, DUCK)}) AS g
+        FROM tn) GROUP BY doc_id, g
+    ),
+    t3 AS (SELECT doc_id, MAX(c) AS top3 FROM g3 GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(ls.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(CASE WHEN COALESCE(ls.n_lines, 0) > 0
+                THEN LEAST(ls.dup_lines * 1000000 // ls.n_lines, 1000000)
+                ELSE 0 END AS BIGINT) AS dup_line_ppm,
+           CAST(CASE WHEN COALESCE(ls.tot_chars, 0) > 0
+                THEN LEAST(ls.dup_chars * 1000000 // ls.tot_chars, 1000000)
+                ELSE 0 END AS BIGINT) AS dup_line_char_ppm,
+           CAST(COALESCE(tn.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN COALESCE(tn.n_tokens, 0) > 0
+                THEN LEAST(COALESCE(t2.top2, 0) * 2 * 1000000 // tn.n_tokens,
+                           1000000)
+                ELSE 0 END AS BIGINT) AS top2_cover_ppm,
+           CAST(CASE WHEN COALESCE(tn.n_tokens, 0) > 0
+                THEN LEAST(COALESCE(t3.top3, 0) * 3 * 1000000 // tn.n_tokens,
+                           1000000)
+                ELSE 0 END AS BIGINT) AS top3_cover_ppm,
+           (CAST(CASE WHEN COALESCE(ls.n_lines, 0) > 0
+                 THEN LEAST(ls.dup_lines * 1000000 // ls.n_lines, 1000000)
+                 ELSE 0 END AS BIGINT) <= 300000
+            AND CAST(CASE WHEN COALESCE(tn.n_tokens, 0) > 0
+                 THEN LEAST(COALESCE(t2.top2, 0) * 2 * 1000000 // tn.n_tokens,
+                            1000000) ELSE 0 END AS BIGINT) <= 200000
+            AND CAST(CASE WHEN COALESCE(tn.n_tokens, 0) > 0
+                 THEN LEAST(COALESCE(t3.top3, 0) * 3 * 1000000 // tn.n_tokens,
+                            1000000) ELSE 0 END AS BIGINT) <= 180000)
+             AS rep_pass
+    FROM documents d
+    LEFT JOIN ls USING (doc_id)
+    LEFT JOIN tn USING (doc_id)
+    LEFT JOIN t2 USING (doc_id)
+    LEFT JOIN t3 USING (doc_id)
+    """,
+)
+def docs_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher REPETITION profile (arXiv:2112.11446 App. A1.1, the
+    within-document family ``docs_gopher_filter`` doesn't cover):
+    duplicate-line fraction by line and by character, token coverage of
+    the most frequent word 2-/3-gram (portable rolling-hash shingles),
+    and the composed pass/fail at the paper's 0.30/0.20/0.18
+    thresholds — all exact integer ppm
+    (``operators/text.py:with_repetition_flags``)."""
+    return textops.with_repetition_flags(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@query(
+    "docs_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             unnest({P.tokens('text', DUCK)}) AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, tgt,
+             ({P.char_hash('tok', DUCK)}) % 1024 AS bk
+      FROM toks
+    ),
+    raw AS (SELECT bk, COUNT(*) AS rc FROM b GROUP BY bk),
+    tgt AS (SELECT bk, COUNT(*) AS tc FROM b WHERE tgt GROUP BY bk),
+    nr AS (SELECT SUM(rc) AS nr FROM raw),
+    nt AS (SELECT SUM(tc) AS nt FROM tgt),
+    w AS (
+      SELECT raw.bk,
+             COALESCE(tc, 0) * 1000000 // nt - rc * 1000000 // nr AS w
+      FROM raw LEFT JOIN tgt USING (bk) CROSS JOIN nr CROSS JOIN nt
+    ),
+    sc AS (
+      SELECT b.doc_id, COUNT(*) AS n_tokens, SUM(w.w) AS dsir_score
+      FROM b JOIN w ON b.bk = w.bk GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(sc.dsir_score, 0) AS BIGINT) AS dsir_score
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+)
+def docs_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data-selection score (arXiv:2302.03169): hashed
+    unigram buckets (1024, portable rolling hash), bucket weight =
+    target-slice frequency ppm minus raw-corpus frequency ppm (the
+    integer-exact monotone sibling of the paper's log-likelihood
+    ratio), document importance = sum of its tokens' bucket weights.
+    Target slice here: ``lang = 'en'``.  The 1024-row weight table
+    broadcasts; nothing is corpus-sized on the driver
+    (``operators/text.py:dsir_importance_hashed``)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_is_tgt", F.col("lang") == "en"
+    )
+    return textops.dsir_importance_hashed(docs, "doc_id", "text", "_is_tgt")
+
+
+@query(
+    "docs_rare_token_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({P.tokens('text', DUCK)}) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    pd AS (
+      SELECT tf.doc_id,
+             SUM(tf.tf) AS n_tokens,
+             SUM(CASE WHEN dfreq.df <= 2 THEN tf.tf ELSE 0 END) AS rare,
+             COUNT(*) AS n_terms,
+             SUM(CASE WHEN dfreq.df <= 2 THEN 1 ELSE 0 END) AS n_rare_terms
+      FROM tf JOIN dfreq USING (term) GROUP BY tf.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(pd.n_terms, 0) AS BIGINT) AS n_terms,
+           CAST(COALESCE(pd.n_rare_terms, 0) AS BIGINT) AS n_rare_terms,
+           CAST(CASE WHEN COALESCE(pd.n_tokens, 0) > 0
+                THEN pd.rare * 1000000 // pd.n_tokens
+                ELSE 0 END AS BIGINT) AS rare_ppm
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+)
+def docs_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rare-token ratio — the LM-free rarity proxy a
+    perplexity bucket gives: tokens whose corpus document frequency is
+    <= 2 are rare; ``rare_ppm`` is the ppm of each document's token
+    occurrences that are rare (gibberish / OCR noise up, templated
+    boilerplate down).  Vocabulary join is a hash join, never broadcast
+    (``operators/text.py:rare_token_stats``)."""
+    return textops.rare_token_stats(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -505,3 +505,222 @@ def token_counts_map_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFra
 
     schema = StructType([id_field, StructField("ws_tokens", LongType())])
     return src.mapInArrow(gen, schema)
+
+
+def with_repetition_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    dup_line_max_ppm: int = 300_000,
+    top2_max_ppm: int = 200_000,
+    top3_max_ppm: int = 180_000,
+) -> DataFrame:
+    """Gopher REPETITION signals (arXiv:2112.11446 App. A1.1) — the
+    within-document repetition family ``with_gopher_flags`` doesn't
+    cover: duplicate-line fraction (by line and by character) and the
+    token coverage of the single most frequent word 2-/3-gram, all as
+    exact integer ppm plus the composed ``rep_pass`` predicate
+    (defaults are the paper's 0.30 / 0.20 / 0.18 thresholds).
+
+    Scale shape: lines and n-gram hashes explode per document and
+    aggregate back keyed by (doc, line) / (doc, gram) then doc — three
+    hash shuffles whose key cardinality GROWS with the corpus (never a
+    low-cardinality window), map-side combined; the per-doc frames
+    re-join on ``id_col``.  Coverage of overlapping n-gram occurrences
+    can exceed the token count, so coverage ppm is capped at 1e6 —
+    mirrored in the oracle.  Empty docs yield 0 ppm everywhere.
+
+    N-grams hash via the portable rolling hash (positional,
+    ``P.token_hash_ngrams_all``) so the DuckDB oracle agrees bitwise;
+    blank lines are EXCLUDED from the line stats (a markdown doc's
+    empty separators are not meaningful duplicates).
+    """
+    base = df.select(id_col, text_col)
+    # ---- duplicate-line stats: (doc, line) counts -> per-doc sums
+    lines = base.select(
+        F.col(id_col),
+        F.explode(F.expr(P.lines(text_col, SPARK))).alias("_line"),
+    ).where(F.length("_line") > 0)
+    per_line = lines.groupBy(id_col, "_line").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.length(F.first("_line")).alias("_len"),
+    )
+    line_stats = per_line.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_lines"),
+        F.sum(F.col("_c") - 1).cast("long").alias("_dup_lines"),
+        F.sum(F.col("_c") * F.col("_len")).cast("long").alias("_tot_chars"),
+        F.sum((F.col("_c") - 1) * F.col("_len")).cast("long").alias("_dup_chars"),
+    )
+    # ---- top n-gram coverage: positional shingle hashes per doc
+    toked = base.withColumn(
+        "_th", F.expr(P.hash_array(P.tokens(text_col, SPARK), SPARK))
+    ).withColumn("n_tokens", F.expr(P.size("_th", SPARK)).cast("long"))
+
+    def top_gram(n: int, out: str) -> DataFrame:
+        grams = toked.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(P.token_hash_ngrams_all("_th", n, SPARK))
+            ).alias("_g"),
+        )
+        per_gram = grams.groupBy(id_col, "_g").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        return per_gram.groupBy(id_col).agg(
+            F.max("_c").cast("long").alias(out)
+        )
+
+    cover = (
+        toked.select(id_col, "n_tokens")
+        .join(top_gram(2, "_top2"), id_col, "left")
+        .join(top_gram(3, "_top3"), id_col, "left")
+    )
+    ppm = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0,
+        F.least(F.expr(f"{num} * 1000000 div {den}"), F.lit(1_000_000)),
+    ).otherwise(F.lit(0)).cast("long")
+    out = (
+        base.select(id_col)
+        .join(line_stats, id_col, "left")
+        .join(cover, id_col, "left")
+        .na.fill(
+            {"n_lines": 0, "_dup_lines": 0, "_tot_chars": 0,
+             "_dup_chars": 0, "n_tokens": 0, "_top2": 0, "_top3": 0}
+        )
+        .withColumn("dup_line_ppm", ppm("_dup_lines", "n_lines"))
+        .withColumn("dup_line_char_ppm", ppm("_dup_chars", "_tot_chars"))
+        .withColumn("top2_cover_ppm", ppm("_top2 * 2", "n_tokens"))
+        .withColumn("top3_cover_ppm", ppm("_top3 * 3", "n_tokens"))
+    )
+    return out.withColumn(
+        "rep_pass",
+        (F.col("dup_line_ppm") <= dup_line_max_ppm)
+        & (F.col("top2_cover_ppm") <= top2_max_ppm)
+        & (F.col("top3_cover_ppm") <= top3_max_ppm),
+    ).select(
+        id_col, "n_lines", "dup_line_ppm", "dup_line_char_ppm",
+        "n_tokens", "top2_cover_ppm", "top3_cover_ppm", "rep_pass",
+    )
+
+
+def dsir_importance_hashed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    *,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-shaped importance scoring (arXiv:2302.03169): hashed
+    unigram features; each bucket's weight is its frequency (ppm) in
+    the TARGET slice minus its frequency in the RAW corpus, and a
+    document's importance is the sum of its tokens' bucket weights —
+    the integer-exact monotone sibling of the paper's log-likelihood
+    ratio (counts enter linearly instead of log-space, keeping both
+    engines bitwise-identical; ranking by either orders domain-typical
+    documents first).
+
+    ``target_col`` is a boolean column marking the target-domain rows
+    (e.g. a trusted-source or lang slice).  Scale shape: one token
+    explode (shuffle keyed by hash bucket — exactly ``n_buckets``
+    distinct keys, all map-side combined), the two corpus totals are
+    single-row frames joined by broadcast, the 1024-row weight table
+    broadcasts back onto the token stream, and per-doc sums shuffle by
+    ``id_col``.  Nothing is corpus-sized on the driver.
+
+    Output: (id_col, n_tokens, dsir_score) — score in ppm-weight units,
+    positive = target-like.  Empty docs score 0.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.col(target_col).alias("_tgt"),
+        F.explode(F.expr(P.tokens(text_col, SPARK))).alias("_tok"),
+    ).withColumn(
+        "_b", F.expr(f"({P.char_hash('_tok', SPARK)}) % {n_buckets}")
+    )
+    raw = toks.groupBy("_b").agg(F.count(F.lit(1)).alias("_rc"))
+    tgt = toks.where(F.col("_tgt")).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_tc")
+    )
+    n_raw = raw.agg(F.sum("_rc").alias("_nr"))
+    n_tgt = tgt.agg(F.sum("_tc").alias("_nt"))
+    weights = (
+        raw.join(tgt, "_b", "left")
+        .na.fill({"_tc": 0})
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .withColumn(
+            "_w",
+            F.expr("_tc * 1000000 div _nt - _rc * 1000000 div _nr").cast(
+                "long"
+            ),
+        )
+        .select("_b", "_w")
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("_w").cast("long").alias("dsir_score"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .na.fill({"n_tokens": 0, "dsir_score": 0})
+    )
+
+
+def rare_token_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_df: int = 2,
+) -> DataFrame:
+    """Per-document RARE-TOKEN ratio — the LM-free rarity proxy a
+    perplexity bucket would give: a token is rare when its document
+    frequency (number of documents containing it) is <= ``max_df``,
+    and a document's ``rare_ppm`` is the ppm of its token OCCURRENCES
+    that are rare.  High values flag gibberish / OCR noise / boilerplate
+    IDs; low values flag templated text.  Integer-exact.
+
+    Scale shape: (doc, term) counts then term document-frequencies are
+    two map-side-combined aggregates over the same exploded stream; the
+    vocabulary join is a hash join (Zipf-bounded but NOT broadcast — at
+    web scale the vocabulary can be 1e8 rows), and the final per-doc
+    sums shuffle by ``id_col``.  Same plan family as
+    :func:`tfidf_top_terms`.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.expr(P.tokens(text_col, SPARK))).alias("_term"),
+    )
+    tf = toks.groupBy(id_col, "_term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    joined = tf.join(dfreq, "_term")
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum("_tf").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_df") <= max_df, F.col("_tf")).otherwise(0))
+        .cast("long")
+        .alias("_rare"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.when(F.col("_df") <= max_df, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rare_terms"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .na.fill({"n_tokens": 0, "_rare": 0, "n_terms": 0, "n_rare_terms": 0})
+        .withColumn(
+            "rare_ppm",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("_rare * 1000000 div n_tokens"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .select(id_col, "n_tokens", "n_terms", "n_rare_terms", "rare_ppm")
+    )

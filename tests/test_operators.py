@@ -2727,3 +2727,120 @@ class TestFileIndexPruning:
         out = pruned_read(spark, path, idx, "k", 10_000, 20_000)
         assert out.count() == 0
         assert set(out.columns) == {"id", "k"}
+
+
+class TestRepetitionFlags:
+    def test_pinned_small_corpus(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        docs = spark.createDataFrame(
+            [
+                # 4 non-empty lines, 2 of them the same -> 1 duplicate;
+                # "spam spam spam spam" -> top bigram (spam,spam) 3x of
+                # 4 tokens in that line
+                (1, "spam spam spam spam\nother line\nother line\n\nx"),
+                # no repetition at all
+                (2, "one two three four"),
+                # empty doc: all ppm 0, passes
+                (3, ""),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in textops.with_repetition_flags(
+                docs, "doc_id", "text"
+            ).collect()
+        }
+        d1 = got[1]
+        # lines: 'spam...', 'other line' x2, 'x' -> 4 kept, 1 dup
+        assert d1["n_lines"] == 4
+        assert d1["dup_line_ppm"] == 1_000_000 // 4
+        # doc1 tokens: spam spam spam spam other line other line x = 9
+        # top bigram (spam,spam) occurs 3x -> 3*2*1e6 div 9
+        assert d1["n_tokens"] == 9
+        assert d1["top2_cover_ppm"] == 3 * 2 * 1_000_000 // 9
+        assert d1["rep_pass"] is False  # 666666 > 200000 top2 cap
+        d2 = got[2]
+        assert d2["dup_line_ppm"] == 0
+        assert d2["top2_cover_ppm"] == 1 * 2 * 1_000_000 // 4  # all 1x
+        d3 = got[3]
+        assert (
+            d3["n_lines"], d3["n_tokens"], d3["dup_line_ppm"],
+            d3["top2_cover_ppm"], d3["rep_pass"],
+        ) == (0, 0, 0, 0, True)
+
+    def test_coverage_caps_at_one_million(self, spark):
+        """Overlapping occurrences of a self-overlapping n-gram can
+        exceed the token count x coverage; the ppm must clamp."""
+        from ayeaye_spark.operators import text as textops
+
+        docs = spark.createDataFrame(
+            [(1, "a a a a a a a a")], ["doc_id", "text"]
+        )
+        row = textops.with_repetition_flags(docs, "doc_id", "text").first()
+        # bigram (a,a) occurs 7x over 8 tokens -> 14/8 uncapped
+        assert row["top2_cover_ppm"] == 1_000_000
+
+
+class TestDsirImportance:
+    def test_target_like_docs_score_higher(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        rows = [
+            (1, "alpha beta gamma", True),
+            (2, "alpha beta delta", True),
+            (3, "zeta eta theta", False),
+            (4, "alpha beta gamma", False),  # target-like but raw
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "is_tgt"])
+        got = {
+            r["doc_id"]: r["dsir_score"]
+            for r in textops.dsir_importance_hashed(
+                docs, "doc_id", "text", "is_tgt"
+            ).collect()
+        }
+        # docs made of target-frequent tokens outscore the off-target doc
+        assert got[1] > got[3] and got[4] > got[3]
+        # identical text => identical score regardless of slice label
+        assert got[1] == got[4]
+
+    def test_empty_doc_scores_zero(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        docs = spark.createDataFrame(
+            [(1, "alpha", True), (2, "", False)], ["doc_id", "text", "t"]
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["dsir_score"])
+            for r in textops.dsir_importance_hashed(
+                docs, "doc_id", "text", "t"
+            ).collect()
+        }
+        assert got[2] == (0, 0)
+
+
+class TestRareTokenStats:
+    def test_pinned(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        docs = spark.createDataFrame(
+            [
+                (1, "common common unique1"),
+                (2, "common unique2 unique2"),
+                (3, "common other"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in textops.rare_token_stats(
+                docs, "doc_id", "text", max_df=1
+            ).collect()
+        }
+        # 'common' df=3 (not rare at max_df=1); unique* df=1; other df=1
+        assert got[1]["n_tokens"] == 3
+        assert got[1]["n_rare_terms"] == 1
+        assert got[1]["rare_ppm"] == 1 * 1_000_000 // 3
+        assert got[2]["rare_ppm"] == 2 * 1_000_000 // 3  # 2 occurrences
+        assert got[3]["n_rare_terms"] == 1
