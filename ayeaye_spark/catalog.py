@@ -5248,6 +5248,89 @@ def docs_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_quality_retention_curve",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, {P.quality_score_ppm('text', DUCK)} AS q, n_chars
+      FROM documents
+    ),
+    t(threshold) AS (VALUES (0), (100000), (200000), (300000), (400000),
+                            (500000), (600000), (700000), (800000), (900000)),
+    tot AS (SELECT COUNT(*) AS tn, SUM(n_chars) AS tw FROM scored),
+    r AS (
+      SELECT t.threshold, COUNT(s.doc_id) AS n_rows,
+             COALESCE(SUM(s.n_chars), 0) AS total_weight
+      FROM t LEFT JOIN scored s ON s.q >= t.threshold
+      GROUP BY t.threshold
+    )
+    SELECT CAST(r.threshold AS BIGINT) AS threshold,
+           CAST(r.n_rows AS BIGINT) AS n_rows,
+           CAST(r.total_weight AS BIGINT) AS total_weight,
+           CAST(CASE WHEN tot.tn > 0
+                THEN r.n_rows * 1000000 // tot.tn ELSE 0 END AS BIGINT)
+             AS row_ppm,
+           CAST(CASE WHEN tot.tw > 0
+                THEN r.total_weight * 1000000 // tot.tw ELSE 0 END AS BIGINT)
+             AS weight_ppm
+    FROM r CROSS JOIN tot
+    """,
+)
+def docs_quality_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration sweep: documents and characters surviving each
+    candidate quality cutoff (0..900k ppm) — read BEFORE committing a
+    threshold at corpus scale (pick the cutoff that meets the token
+    budget).  One corpus pass aggregates per score bucket; the sweep is
+    a reversed cumulative over that tiny frame
+    (``operators/sampling.py:retention_curve``)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_q", F.expr(P.quality_score_ppm("text", SPARK))
+    )
+    return sampling.retention_curve(
+        docs, "_q", "n_chars",
+        thresholds=[i * 100_000 for i in range(10)],
+    )
+
+
+@query(
+    "docs_shared_ngram_ppm",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, unnest({P.token_hash_ngrams_all(
+          P.hash_array(P.tokens('text', DUCK), DUCK), 8, DUCK)}) AS g
+      FROM documents
+    ),
+    gd AS (
+      SELECT g, COUNT(*) AS docs FROM (
+        SELECT DISTINCT doc_id, g FROM grams) GROUP BY g
+    ),
+    pd AS (
+      SELECT grams.doc_id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN gd.docs >= 2 THEN 1 ELSE 0 END) AS shared_grams
+      FROM grams JOIN gd USING (g) GROUP BY grams.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(pd.shared_grams, 0) AS BIGINT) AS shared_grams,
+           CAST(CASE WHEN COALESCE(pd.n_grams, 0) > 0
+                THEN pd.shared_grams * 1000000 // pd.n_grams
+                ELSE 0 END AS BIGINT) AS shared_ppm
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+)
+def docs_shared_ngram_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span exposure (memorization-risk audit,
+    Lee et al. arXiv:2107.06499 at 8-gram resolution): per document,
+    the ppm of its word 8-gram occurrences that appear in >= 2
+    documents — boilerplate/template spans a dedup pass missed.
+    Gram->doc counts key on the rolling-hash shingle (cardinality grows
+    with the corpus); the vocabulary joins back by hash, never
+    broadcast (``operators/text.py:shared_ngram_profile``)."""
+    return textops.shared_ngram_profile(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

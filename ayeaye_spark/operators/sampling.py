@@ -481,3 +481,75 @@ def systematic_weighted_sample(
         .where(F.col("n_hits") > 0)
         .drop("_cum")
     )
+
+
+def retention_curve(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    *,
+    thresholds: list[int],
+) -> DataFrame:
+    """Threshold sweep for a quality filter: for each candidate cutoff
+    ``t``, how many rows (documents) and how much ``weight_col``
+    (tokens) survive ``score >= t`` — the calibration table a curation
+    pipeline reads before committing to a filter threshold at corpus
+    scale (choose t to hit a token budget, see the retained ppm).
+
+    Scale shape: one pass aggregates per distinct SCORE BUCKET (the
+    scores here are integer ppm, so the frame is <= 1e6 rows and in
+    practice far smaller); the sweep is a reversed cumulative sum over
+    that tiny frame joined to the threshold list — never a second scan
+    of the corpus, never a corpus-sized window.
+
+    Output: (threshold, n_rows, total_weight, row_ppm, weight_ppm),
+    ppm relative to the full corpus.  Integer-exact.
+    """
+    from pyspark.sql import Window as W
+
+    by_score = df.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col(weight_col)).cast("long").alias("_w"),
+    )
+    # reversed cumulative: rows/weight at score >= s (tiny frame; the
+    # single-partition window carries the aggregated buckets only)
+    w = W.orderBy(F.desc("_s")).rowsBetween(W.unboundedPreceding, 0)
+    cum = by_score.select(
+        "_s",
+        F.sum("_n").over(w).alias("_cn"),
+        F.sum("_w").over(w).alias("_cw"),
+    )
+    totals = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_tn"),
+        F.sum(F.col(weight_col)).cast("long").alias("_tw"),
+    )
+    th = df.sparkSession.createDataFrame(
+        [(int(t),) for t in thresholds], "threshold long"
+    )
+    # threshold t keeps score >= t: the smallest bucket _s >= t carries
+    # the cumulative; join picks it via min over qualifying buckets
+    joined = (
+        th.join(cum, F.col("_s") >= F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(
+            F.max_by("_cn", "_cn").alias("n_rows"),
+            F.max_by("_cw", "_cn").alias("total_weight"),
+        )
+        .na.fill({"n_rows": 0, "total_weight": 0})
+    )
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "row_ppm",
+            F.when(F.col("_tn") > 0,
+                   F.expr("n_rows * 1000000 div _tn")).otherwise(0)
+            .cast("long"),
+        )
+        .withColumn(
+            "weight_ppm",
+            F.when(F.col("_tw") > 0,
+                   F.expr("total_weight * 1000000 div _tw")).otherwise(0)
+            .cast("long"),
+        )
+        .select("threshold", "n_rows", "total_weight", "row_ppm", "weight_ppm")
+    )

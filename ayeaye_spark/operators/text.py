@@ -724,3 +724,74 @@ def rare_token_stats(
         )
         .select(id_col, "n_tokens", "n_terms", "n_rare_terms", "rare_ppm")
     )
+
+
+def shared_ngram_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span exposure (the memorization-risk
+    audit of Lee et al., arXiv:2107.06499, at n-gram resolution): for
+    each document, the ppm of its word ``n``-gram OCCURRENCES that also
+    appear in at least ``min_docs - 1`` OTHER documents.  High values
+    flag boilerplate/licenses/templates a dedup pass missed — spans a
+    model can memorize verbatim.
+
+    Scale shape: one positional shingle explode (portable rolling-hash
+    n-grams, no n-gram strings materialized); gram→distinct-doc counts
+    are a two-level aggregate keyed by the gram hash (cardinality grows
+    with the corpus — never a low-cardinality shuffle); the vocabulary
+    joins back by hash (NOT broadcast), and per-doc ratios shuffle by
+    ``id_col``.  Documents shorter than ``n`` tokens report 0 grams,
+    0 ppm.
+
+    Output: (id_col, n_grams, shared_grams, shared_ppm).
+    """
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    P.token_hash_ngrams_all(
+                        P.hash_array(P.tokens(text_col, SPARK), SPARK),
+                        n,
+                        SPARK,
+                    )
+                )
+            ).alias("_g"),
+        )
+    )
+    # distinct docs per gram: (gram, doc) dedupe then count — both
+    # stages map-side combined, keyed by the gram hash
+    gdocs = (
+        grams.select(id_col, "_g")
+        .distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+    )
+    per_doc = (
+        grams.join(gdocs, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_docs") >= min_docs, 1).otherwise(0)
+            ).cast("long").alias("shared_grams"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .na.fill({"n_grams": 0, "shared_grams": 0})
+        .withColumn(
+            "shared_ppm",
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr("shared_grams * 1000000 div n_grams"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )

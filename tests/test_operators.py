@@ -2844,3 +2844,50 @@ class TestRareTokenStats:
         assert got[1]["rare_ppm"] == 1 * 1_000_000 // 3
         assert got[2]["rare_ppm"] == 2 * 1_000_000 // 3  # 2 occurrences
         assert got[3]["n_rare_terms"] == 1
+
+
+class TestRetentionCurve:
+    def test_pinned_sweep(self, spark):
+        from ayeaye_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(1, 100, 10), (2, 300, 20), (3, 500, 30), (4, 500, 40)],
+            ["id", "score", "w"],
+        )
+        got = {
+            r["threshold"]: (r["n_rows"], r["total_weight"],
+                             r["row_ppm"], r["weight_ppm"])
+            for r in sampling.retention_curve(
+                df, "score", "w", thresholds=[0, 200, 500, 600]
+            ).collect()
+        }
+        assert got[0] == (4, 100, 1_000_000, 1_000_000)
+        assert got[200] == (3, 90, 750_000, 900_000)
+        assert got[500] == (2, 70, 500_000, 700_000)
+        assert got[600] == (0, 0, 0, 0)  # nothing survives
+
+
+class TestSharedNgramProfile:
+    def test_pinned(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        shared = "one two three four five six seven eight"
+        docs = spark.createDataFrame(
+            [
+                (1, shared + " alpha"),        # 2 grams, 1 shared
+                (2, shared),                   # 1 gram, shared
+                (3, "totally different words here nine ten eleven twelve"),
+                (4, "short doc"),              # < 8 tokens: no grams
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: (r["n_grams"], r["shared_grams"], r["shared_ppm"])
+            for r in textops.shared_ngram_profile(
+                docs, "doc_id", "text", n=8
+            ).collect()
+        }
+        assert got[1] == (2, 1, 500_000)
+        assert got[2] == (1, 1, 1_000_000)
+        assert got[3] == (1, 0, 0)
+        assert got[4] == (0, 0, 0)
