@@ -349,6 +349,31 @@ HEADLINE = {
         "max-order merge against the serving table, staging write + "
         "guarded rename swap; the returned frame is the served table."
     ),
+    "docs_repetition_flags": (
+        "duplicate-line / duplicate-5-gram ratios from one explode per "
+        "granularity, each re-aggregated by doc_id — shuffle keys are "
+        "(doc, line-hash) pairs, never a cross-document join."
+    ),
+    "docs_dsir_importance": (
+        "hashed-unigram DSIR: token stream keyed into 1024 buckets "
+        "(map-side combined), the 1024-row weight table broadcasts back "
+        "onto the stream; corpus totals are one-row broadcasts."
+    ),
+    "docs_rare_token_stats": (
+        "token->corpus-count frame shuffles once on the token hash, then "
+        "broadcast-tags the rare set; per-doc stats are one map-side-"
+        "combined aggregate."
+    ),
+    "docs_quality_retention_curve": (
+        "threshold sweep without rescans: one per-score-bucket aggregate "
+        "(<=1e6 integer ppm buckets), a reversed cumsum over that tiny "
+        "frame, thresholds joined against it — corpus scanned exactly once."
+    ),
+    "docs_shared_ngram_ppm": (
+        "eval-side 8-gram fingerprints broadcast (eval slice is small by "
+        "construction); the train side streams once through the hash join "
+        "— no train-x-train pair generation anywhere."
+    ),
 }
 
 
