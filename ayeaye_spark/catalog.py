@@ -5331,6 +5331,72 @@ def docs_shared_ngram_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_salted_segment_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(e.user_id) AS BIGINT) AS sum_user_id
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def events_salted_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-to-dim enrichment on the SALTED JOIN plan
+    (``operators/relational.py:salted_join``): hot fact keys — detected
+    distributedly by the two-pass Misra-Gries heavy-hitter operator,
+    never collected — are spread over 8 salt buckets, with the dim
+    side's hot rows replicated once per salt.  One scan per side, no
+    broadcast requirement, and no reducer ever owns a hot key's full
+    row set: the manual rewrite for single-KEY skew that AQE's
+    partition-level skew handling cannot split.  Result is exactly the
+    plain join (every key match pairs at one salt value)."""
+    events = load(spark, sf_dir, "events").select("user_id", "event_id")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = relational.salted_join(
+        events, cust, "user_id", buckets=8, hot_freq_ppm=8000
+    )
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("user_id").cast("long").alias("sum_user_id"),
+    )
+
+
+@query(
+    "docs_heavy_hitter_ngrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({P.word_ngrams('text', 5, DUCK)}) AS gram FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS t FROM toks)
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * 1000000 // (SELECT t FROM tot) AS BIGINT)
+             AS freq_ppm
+    FROM toks
+    GROUP BY gram
+    HAVING COUNT(*) * 1000000 >= 100 * (SELECT t FROM tot)
+    """,
+)
+def docs_heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span mining: the word 5-gram shingles occurring in at
+    least 100 ppm of all shingle occurrences, with exact counts.  Runs
+    on the two-pass Misra-Gries plan
+    (``operators/relational.py:heavy_hitters_exact``): bounded-state
+    candidate generation per partition (no shuffle), then exact
+    verification where ONLY candidate keys enter the count shuffle —
+    the full shingle vocabulary (corpus-sized at 100 TB) is never
+    materialized, unlike the oracle's global GROUP BY."""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(F.expr(P.word_ngrams("text", 5, SPARK))).alias("gram")
+    )
+    return relational.heavy_hitters_exact(grams, "gram", min_freq_ppm=100)
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -922,3 +922,183 @@ def incremental_agg_merge(
         F.sum(c).alias(c) for c in sum_cols
     ]
     return both.groupBy(*keys).agg(*aggs)
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    key_col: str,
+    *,
+    min_freq_ppm: int,
+    state_factor: int = 2,
+) -> DataFrame:
+    """EXACT heavy hitters — every key whose frequency is at least
+    ``min_freq_ppm`` of all (non-null) rows, with its exact count —
+    without ever shuffling the full per-key count frame.
+
+    The naive plan (``groupBy(key).count()`` then filter) shuffles one
+    row per DISTINCT key: for token/n-gram streams over a 100 TB corpus
+    that is the vocabulary itself, i.e. billions of rows moved to find
+    a few hundred survivors.  This plan never materializes it:
+
+    1. **Candidate generation** (no shuffle): each input partition folds
+       its rows into a Misra-Gries summary with
+       ``k = state_factor * ceil(1e6 / min_freq_ppm)`` counters via
+       ``mapInPandas`` (Arrow-vectorized ``value_counts`` per batch,
+       merged with the standard mergeable-summaries step: add, subtract
+       the (k+1)-th largest, drop <= 0).  MG guarantees any key with
+       partition count > n_p/(k+1) survives its partition's summary;
+       if a key's GLOBAL count is >= n * min_freq_ppm/1e6 > n/(k+1)
+       then (summing the contrapositive over disjoint partitions) it
+       must exceed the bound in at least one partition — so the distinct
+       candidate set (<= k per partition) is a SUPERSET of the true
+       heavy hitters whenever ``state_factor >= 2``.
+    2. **Exact verification**: the tiny candidate frame broadcasts back;
+       only candidate keys enter the count shuffle, and membership is
+       decided by the exact integer test
+       ``count * 1_000_000 >= min_freq_ppm * total`` (decimal-widened,
+       overflow-free).
+
+    The OUTPUT is exact and deterministic: MG's candidate set depends on
+    traversal order, but it is always a superset, and the final filter
+    uses exact counts only.  Returns ``(key_col, n, freq_ppm)`` with
+    ``freq_ppm = n * 1e6 div total`` (integer, engine-portable).
+    """
+    if min_freq_ppm < 1:
+        raise ValueError("min_freq_ppm must be >= 1")
+    k = state_factor * ((1_000_000 + min_freq_ppm - 1) // min_freq_ppm)
+
+    import pandas as pd  # noqa: PLC0415 — executor-side dependency
+
+    out_field = df.schema[key_col]
+
+    def _mg_partition(pdf_iter):
+        acc = None
+        for pdf in pdf_iter:
+            vc = pdf[key_col].dropna().value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > k:
+                # standard mergeable-MG step: subtract the (k+1)-th
+                # largest from every counter, drop the non-positive —
+                # total decrement mass <= n_p/(k+1), which the superset
+                # guarantee in the docstring relies on
+                cut = acc.nlargest(k + 1).iloc[-1]
+                acc = acc - cut
+                acc = acc[acc > 0]
+        keys = [] if acc is None else list(acc.index)
+        yield pd.DataFrame({key_col: pd.Series(keys, dtype="object")})
+
+    from pyspark.sql.types import StructType
+
+    cands = (
+        df.select(key_col)
+        .mapInPandas(_mg_partition, StructType([out_field]))
+        .distinct()
+    )
+    total = df.agg(
+        F.count(F.col(key_col)).cast("decimal(38,0)").alias("_hh_total")
+    )
+    counts = (
+        df.join(F.broadcast(cands), key_col)
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(
+            F.col("n").cast("decimal(38,0)") * F.lit(1_000_000)
+            >= F.lit(int(min_freq_ppm)) * F.col("_hh_total")
+        )
+        .select(
+            key_col,
+            "n",
+            (
+                F.col("n").cast("decimal(38,0)")
+                * F.lit(1_000_000)
+                / F.col("_hh_total")
+            )
+            .cast("long")
+            .alias("freq_ppm"),
+        )
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    buckets: int = 8,
+    hot_freq_ppm: int = 10_000,
+    hot_keys: DataFrame | None = None,
+    how: str = "inner",
+    salt_source_cols: list[str] | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join: hot fact keys are spread over ``buckets``
+    reducers by salting, with the dim side's hot rows replicated once
+    per salt — ONE scan of each input, no broadcast requirement on the
+    dim, and no single reducer ever owns a hot key's full row set.
+
+    AQE's skew-join handles oversized sort-merge PARTITIONS, but a
+    single pathological KEY (the null user, the default account, the
+    empty-string domain — at 100 TB routinely billions of rows) still
+    lands on one task.  This is the classic salting rewrite, packaged:
+
+    * hot keys come from :func:`heavy_hitters_exact` on the fact side
+      (bounded two-pass Misra-Gries; at most ``1e6/hot_freq_ppm`` keys
+      by construction) or from a caller-supplied one-column frame —
+      either way they stay DISTRIBUTED, joined on as a broadcast tag,
+      never collected to the driver;
+    * tagged-hot fact rows get ``pmod(hash(salt_source_cols), buckets)``
+      (deterministic — safe under task retry); everything else salt 0;
+    * dim rows for hot keys explode into one replica per salt, cold
+      rows keep the single salt-0 replica — replication factor is
+      ``buckets`` x (#hot keys), i.e. a few hundred extra dim rows;
+    * the join runs on ``(key, salt)`` and is EXACT: every (fact row,
+      dim row) key match pairs at exactly one salt value, so duplicate
+      semantics are preserved.
+
+    Only ``inner`` and ``left`` are supported: a right/full outer join
+    would emit one null-extended row PER UNMATCHED DIM REPLICA, which
+    is wrong by construction — rejected loudly.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r} "
+            "(outer-on-dim joins would duplicate unmatched replicas)"
+        )
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    if hot_keys is None:
+        hot_keys = heavy_hitters_exact(
+            fact, key, min_freq_ppm=hot_freq_ppm
+        ).select(key)
+    tag = F.broadcast(hot_keys.select(key).withColumn("_hot", F.lit(True)))
+
+    salt_cols = salt_source_cols or [
+        c for c in fact.columns if c != key
+    ]
+    fact_s = (
+        fact.join(tag, key, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot"),
+                F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(buckets)),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_hot")
+    )
+    dim_s = (
+        dim.join(tag, key, "left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_hot"),
+                    F.sequence(F.lit(0), F.lit(buckets - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("_hot")
+    )
+    return fact_s.join(dim_s, [key, "_salt"], how).drop("_salt")

@@ -2891,3 +2891,134 @@ class TestSharedNgramProfile:
         assert got[2] == (1, 1, 1_000_000)
         assert got[3] == (1, 0, 0)
         assert got[4] == (0, 0, 0)
+
+
+class TestHeavyHittersExact:
+    """Two-pass Misra-Gries exact heavy hitters
+    (``relational.heavy_hitters_exact``)."""
+
+    def _naive(self, df, key, ppm):
+        total = df.where(F.col(key).isNotNull()).count()
+        return {
+            (r["k"], r["n"])
+            for r in df.groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") * 1_000_000 >= ppm * total)
+            .collect()
+            if r["k"] is not None
+        }
+
+    def test_matches_naive_groupby(self, spark):
+        # skewed synthetic stream: a few hot keys + a long distinct tail
+        rows = (
+            [("hot_a",)] * 400
+            + [("hot_b",)] * 150
+            + [(f"tail_{i}",) for i in range(2000)]
+        )
+        df = spark.createDataFrame(rows, "k string").repartition(8)
+        out = relational.heavy_hitters_exact(df, "k", min_freq_ppm=50_000)
+        got = {(r["k"], r["n"]) for r in out.collect()}
+        assert got == self._naive(df, "k", 50_000)
+        assert ("hot_a", 400) in got and ("hot_b", 150) in got
+
+    def test_superset_survives_thin_spread(self, spark):
+        # the heavy key is spread evenly across partitions so no single
+        # partition makes it LOCALLY dominant — the MG superset guarantee
+        # (state_factor >= 2) must still surface it
+        rows = [(f"u_{i}_{j}",) for i in range(64) for j in range(60)] + [
+            ("heavy",) for _ in range(200)
+        ]
+        df = (
+            spark.createDataFrame(rows, "k string")
+            .repartition(16, F.col("k"))
+        )
+        ppm = 40_000  # heavy = 200/4040 = 49504 ppm >= 40000
+        out = relational.heavy_hitters_exact(df, "k", min_freq_ppm=ppm)
+        got = {(r["k"], r["n"]) for r in out.collect()}
+        assert got == self._naive(df, "k", ppm)
+        assert ("heavy", 200) in got
+
+    def test_nulls_ignored_and_ppm_column(self, spark):
+        rows = [("a",)] * 9 + [(None,)] * 10 + [("b",)] * 1
+        df = spark.createDataFrame(rows, "k string")
+        out = relational.heavy_hitters_exact(
+            df, "k", min_freq_ppm=500_000
+        ).collect()
+        # total non-null = 10; only "a" (9/10) clears 50%
+        assert [(r["k"], r["n"], r["freq_ppm"]) for r in out] == [
+            ("a", 9, 900_000)
+        ]
+
+    def test_rejects_bad_threshold(self, spark):
+        df = spark.createDataFrame([("a",)], "k string")
+        import pytest
+
+        with pytest.raises(ValueError):
+            relational.heavy_hitters_exact(df, "k", min_freq_ppm=0)
+
+
+class TestSaltedJoin:
+    """Skew-safe salted equi-join (``relational.salted_join``)."""
+
+    def _frames(self, spark):
+        # skewed fact (key 1 dominates) + dim with a duplicate key (7)
+        fact = spark.createDataFrame(
+            [(1, i) for i in range(300)]
+            + [(k, i) for k in (2, 3, 7) for i in range(5)]
+            + [(99, 0)],  # key missing from dim
+            "k int, payload int",
+        ).repartition(6)
+        dim = spark.createDataFrame(
+            [(1, "hot"), (2, "a"), (3, "b"), (7, "c"), (7, "c2"), (8, "x")],
+            "k int, label string",
+        )
+        return fact, dim
+
+    def _as_set(self, df):
+        return {tuple(r) for r in df.collect()}
+
+    def test_inner_matches_plain_join(self, spark):
+        fact, dim = self._frames(spark)
+        got = relational.salted_join(
+            fact, dim, "k", buckets=4, hot_freq_ppm=100_000
+        )
+        want = fact.join(dim, "k")
+        assert self._as_set(got.select("k", "payload", "label")) == \
+            self._as_set(want.select("k", "payload", "label"))
+
+    def test_left_preserves_unmatched(self, spark):
+        fact, dim = self._frames(spark)
+        got = relational.salted_join(
+            fact, dim, "k", buckets=4, hot_freq_ppm=100_000, how="left"
+        )
+        want = fact.join(dim, "k", "left")
+        assert self._as_set(got.select("k", "payload", "label")) == \
+            self._as_set(want.select("k", "payload", "label"))
+        assert got.where("k = 99 AND label IS NULL").count() == 1
+
+    def test_duplicate_dim_keys_preserved(self, spark):
+        fact, dim = self._frames(spark)
+        got = relational.salted_join(
+            fact, dim, "k", buckets=3, hot_freq_ppm=50_000
+        )
+        # key 7 has two dim rows: each of its 5 fact rows pairs twice
+        assert got.where("k = 7").count() == 10
+
+    def test_explicit_hot_keys_frame(self, spark):
+        fact, dim = self._frames(spark)
+        hot = spark.createDataFrame([(1,)], "k int")
+        got = relational.salted_join(
+            fact, dim, "k", buckets=4, hot_keys=hot
+        )
+        want = fact.join(dim, "k")
+        assert self._as_set(got.select("k", "payload", "label")) == \
+            self._as_set(want.select("k", "payload", "label"))
+
+    def test_rejects_outer_and_tiny_buckets(self, spark):
+        import pytest
+
+        fact, dim = self._frames(spark)
+        with pytest.raises(ValueError):
+            relational.salted_join(fact, dim, "k", how="full")
+        with pytest.raises(ValueError):
+            relational.salted_join(fact, dim, "k", buckets=1)
