@@ -864,6 +864,38 @@ def events_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_hll_rollup_reaggregate")  # no oracle: sketch by design
+def events_hll_rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count ROLLUP — the hypertable/OLAP-cube
+    pattern that makes distinct counts cheap at 100 TB: build one
+    Datasketches HLL sketch per fine-grained cell (day x event_type,
+    ``hll_sketch_agg``; at scale these persist as bytes in a rollup
+    table, written once), then answer ANY coarser slice by
+    ``hll_union_agg`` over the cell sketches — no rescan of the fact
+    table, ever.  Plain ``approx_count_distinct`` cannot do this: its
+    sketch is consumed inside one aggregation and cannot be stored or
+    merged later.
+
+    Output pairs the union-rolled estimate per event_type with the
+    exact distinct count from the raw table; ``tests/test_catalog.py``
+    pins the estimate within 2% of exact AND equal to the estimate of
+    a directly-built (un-rolled) sketch — the merge loses nothing.
+    Rows-only driver check: the estimate is engine-specific."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", True))
+        .cast("long")
+        .alias("approx_users")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return rolled.join(exact, "event_type")
+
+
 @query("lineitem_price_quantiles")  # no oracle: approximate by design
 def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate quantiles of extended price per

@@ -250,3 +250,39 @@ class TestCurationV3EmbeddingCoverage:
         # doc 1 drops (semantic dup of 0); docs 2 and 3 have no
         # embedding and MUST survive alongside doc 0
         assert n_docs == 3
+
+
+class TestHllRollupReaggregate:
+    """Re-aggregatable HLL rollup (``events_hll_rollup_reaggregate``):
+    daily sketches union to any coarser slice without a fact rescan."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_estimate_close_and_merge_lossless(self, spark):
+        from pyspark.sql import functions as F
+
+        from ayeaye_spark import catalog as cat
+
+        out = {
+            r["event_type"]: (r["approx_users"], r["exact_users"])
+            for r in cat.QUERIES["events_hll_rollup_reaggregate"](
+                spark, self.SF
+            ).collect()
+        }
+        assert out  # at least one event type
+        events = cat.load(spark, self.SF, "events")
+        direct = {
+            r["event_type"]: r["direct"]
+            for r in events.groupBy("event_type")
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("user_id", 12)
+                ).cast("long").alias("direct")
+            )
+            .collect()
+        }
+        for et, (approx, exact) in out.items():
+            # 2% relative tolerance (lgConfigK=12 => ~1.6% RSE)
+            assert abs(approx - exact) <= max(1, int(0.02 * exact)), et
+            # union of daily sketches == one sketch over everything
+            assert approx == direct[et], et
