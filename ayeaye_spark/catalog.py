@@ -5399,34 +5399,136 @@ def events_salted_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "docs_heavy_hitter_ngrams",
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    pairs AS (
+      SELECT DISTINCT f.cohort_day,
+             CAST(e.ts AS DATE) - f.cohort_day AS day_offset,
+             e.user_id
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM pairs GROUP BY cohort_day, day_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST event date,
+    counted distinct per day-offset — the product-analytics staple.
+    Scale shape: first-dates are one map-side-combined MIN aggregate
+    (shuffle carries one row per user); the join back is keyed on the
+    same user_id partitioning; the distinct stage shuffles (cohort,
+    offset, user) triples, never raw events; the final count is
+    cohortxoffset-sized."""
+    events = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = events.groupBy("user_id").agg(
+        F.min("d").alias("cohort_day")
+    )
+    pairs = (
+        events.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return pairs.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+@query(
+    "docs_source_curation_funnel",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             {P.gopher_pass('text', 'toks', DUCK)} AS gp,
+             {P.fingerprint('text', DUCK)} AS fp
+      FROM (SELECT doc_id, source, text, {P.tokens('text', DUCK)} AS toks
+            FROM documents)
+    ),
+    tot AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(CASE WHEN gp THEN 1 ELSE 0 END) AS n_gopher
+      FROM base GROUP BY source
+    ),
+    sv AS (
+      SELECT arg_min(source, doc_id) AS source
+      FROM base WHERE gp GROUP BY fp
+    ),
+    svc AS (SELECT source, COUNT(*) AS n_survivors FROM sv GROUP BY source)
+    SELECT t.source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_gopher AS BIGINT) AS n_gopher,
+           CAST(COALESCE(n_survivors, 0) AS BIGINT) AS n_survivors
+    FROM tot t LEFT JOIN svc ON t.source = svc.source
+    """,
+)
+def docs_source_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation funnel — the acquisition report a curation
+    pipeline publishes per ingest: documents per source, Gopher-rule
+    passes, and exact-dedup survivors among the passes (fingerprint
+    min-id keeper, attributed to the KEEPER's source).  All three
+    stages fold into two map-side-combined aggregates plus one
+    fingerprint-keyed survivor aggregate; nothing is per-pair or
+    corpus-collected."""
+    docs = load(spark, sf_dir, "documents")
+    flagged = textops.with_fingerprint(
+        textops.with_gopher_flags(docs, "text"), "text"
+    )
+    tot = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gopher"),
+    )
+    surv = (
+        flagged.where("gopher_pass")
+        .groupBy("fingerprint")
+        .agg(F.min_by("source", "doc_id").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_survivors"))
+    )
+    return tot.join(surv, "source", "left").na.fill({"n_survivors": 0})
+
+
+@query(
+    "docs_heavy_hitter_tokens",
     oracle=f"""
     WITH toks AS (
-      SELECT unnest({P.word_ngrams('text', 5, DUCK)}) AS gram FROM documents
+      SELECT unnest({P.tokens('text', DUCK)}) AS tok FROM documents
     ),
     tot AS (SELECT COUNT(*) AS t FROM toks)
-    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n,
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(COUNT(*) * 1000000 // (SELECT t FROM tot) AS BIGINT)
              AS freq_ppm
     FROM toks
-    GROUP BY gram
-    HAVING COUNT(*) * 1000000 >= 100 * (SELECT t FROM tot)
+    GROUP BY tok
+    HAVING COUNT(*) * 1000000 >= 10000 * (SELECT t FROM tot)
     """,
 )
-def docs_heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boilerplate-span mining: the word 5-gram shingles occurring in at
-    least 100 ppm of all shingle occurrences, with exact counts.  Runs
-    on the two-pass Misra-Gries plan
+def docs_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus census: every token at >= 1% of all token occurrences,
+    with exact counts — on the two-pass Misra-Gries plan
     (``operators/relational.py:heavy_hitters_exact``): bounded-state
-    candidate generation per partition (no shuffle), then exact
-    verification where ONLY candidate keys enter the count shuffle —
-    the full shingle vocabulary (corpus-sized at 100 TB) is never
-    materialized, unlike the oracle's global GROUP BY."""
+    candidate generation per partition (200 counters here, NO shuffle),
+    then exact verification where only candidate keys enter the count
+    shuffle.  The oracle's global GROUP BY materializes the full token
+    vocabulary (corpus-sized at 100 TB: n-gram keys, URLs, user ids);
+    this plan's shuffle is capped at 2e6/min_freq_ppm + 1 rows no
+    matter the input.  Adversarial skew/spread cases are pinned in
+    ``tests/test_operators.py:TestHeavyHittersExact``."""
     docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
-        F.explode(F.expr(P.word_ngrams("text", 5, SPARK))).alias("gram")
+    toks = docs.select(
+        F.explode(F.expr(P.tokens("text", SPARK))).alias("tok")
     )
-    return relational.heavy_hitters_exact(grams, "gram", min_freq_ppm=100)
+    return relational.heavy_hitters_exact(toks, "tok", min_freq_ppm=10_000)
 
 
 # --------------------------------------------------------------------------

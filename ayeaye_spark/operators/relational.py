@@ -952,20 +952,36 @@ def heavy_hitters_exact(
        must exceed the bound in at least one partition — so the distinct
        candidate set (<= k per partition) is a SUPERSET of the true
        heavy hitters whenever ``state_factor >= 2``.
-    2. **Exact verification**: the tiny candidate frame broadcasts back;
-       only candidate keys enter the count shuffle, and membership is
-       decided by the exact integer test
-       ``count * 1_000_000 >= min_freq_ppm * total`` (decimal-widened,
-       overflow-free).
+    2. **Exact verification, fused with the total** (one scan): the tiny
+       candidate frame broadcasts back as a tag, and every row groups by
+       ``candidate ? key : NULL`` — candidates get exact counts, all
+       non-candidates collapse into ONE "other" bucket (a count, so its
+       partials map-side-combine; no skew).  ``total`` is then the sum
+       over that candidate-sized frame (single-partition window over
+       <= 2e6/min_freq_ppm + 1 rows, the same bounded-histogram-frame
+       pattern as :func:`grouped_rank_exact`), and membership is the
+       exact integer test ``count * 1_000_000 >= min_freq_ppm * total``
+       (decimal-widened, overflow-free).
 
-    The OUTPUT is exact and deterministic: MG's candidate set depends on
+    Exactly TWO scans of the input — the floor for exact verification —
+    and the only shuffle carries candidate keys plus one bucket.  The
+    OUTPUT is exact and deterministic: MG's candidate set depends on
     traversal order, but it is always a superset, and the final filter
     uses exact counts only.  Returns ``(key_col, n, freq_ppm)`` with
     ``freq_ppm = n * 1e6 div total`` (integer, engine-portable).
+
+    The session excludes ``InferFiltersFromGenerate`` (same measured
+    O(n^2) blowup as the dedup shingle joins: the rule re-derives an
+    upstream explode's whole pipeline inside a pushed filter when the
+    exploded column is joined on).
     """
     if min_freq_ppm < 1:
         raise ValueError("min_freq_ppm must be >= 1")
     k = state_factor * ((1_000_000 + min_freq_ppm - 1) // min_freq_ppm)
+
+    from .dedup import _tune_session  # noqa: PLC0415 — avoid cycle at import
+
+    _tune_session(df)
 
     import pandas as pd  # noqa: PLC0415 — executor-side dependency
 
@@ -989,24 +1005,35 @@ def heavy_hitters_exact(
 
     from pyspark.sql.types import StructType
 
+    nn = df.select(key_col).where(F.col(key_col).isNotNull())
     cands = (
-        df.select(key_col)
-        .mapInPandas(_mg_partition, StructType([out_field]))
+        nn.mapInPandas(_mg_partition, StructType([out_field]))
         .distinct()
+        .withColumn("_hh_cand", F.lit(True))
     )
-    total = df.agg(
-        F.count(F.col(key_col)).cast("decimal(38,0)").alias("_hh_total")
-    )
-    counts = (
-        df.join(F.broadcast(cands), key_col)
-        .groupBy(key_col)
+    # one scan: candidates keep their key, everything else folds into
+    # the NULL "other" bucket — counts for candidates are exact, and the
+    # bucket frame (<= #candidates + 1 rows) carries the grand total
+    bucketed = (
+        nn.join(F.broadcast(cands), key_col, "left")
+        .groupBy(
+            F.when(F.col("_hh_cand"), F.col(key_col)).alias(key_col)
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
-        counts.crossJoin(F.broadcast(total))
+        bucketed.withColumn(
+            "_hh_total", F.sum("n").over(w_all).cast("decimal(38,0)")
+        )
         .where(
-            F.col("n").cast("decimal(38,0)") * F.lit(1_000_000)
-            >= F.lit(int(min_freq_ppm)) * F.col("_hh_total")
+            F.col(key_col).isNotNull()
+            & (
+                F.col("n").cast("decimal(38,0)") * F.lit(1_000_000)
+                >= F.lit(int(min_freq_ppm)) * F.col("_hh_total")
+            )
         )
         .select(
             key_col,
