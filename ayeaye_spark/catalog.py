@@ -5498,6 +5498,75 @@ def docs_source_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.join(surv, "source", "left").na.fill({"n_survivors": 0})
 
 
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled-CTE DuckDB replay of ``graph.pagerank_exact`` over the
+    source<->lang bipartite graph: one CTE per iteration, every value an
+    exact integer, so it matches Spark bit-for-bit (no recursive CTE
+    needed — the iteration count is fixed)."""
+    its = []
+    for i in range(iterations):
+        its.append(f"""
+    it{i + 1} AS (
+      SELECT n.node,
+             (150000000 // (SELECT n FROM nn))
+             + (850000 * COALESCE(c.s, 0)) // 1000000 AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT t.dst, SUM((p.pr * t.tw) // 1000000) AS s
+        FROM it{i} p JOIN trans t ON p.node = t.src GROUP BY t.dst
+      ) c ON n.node = c.dst
+    )""")
+    return f"""
+    WITH e0 AS (
+      SELECT 's:' || source AS src, 'l:' || lang AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM documents GROUP BY source, lang
+    ),
+    edges AS (
+      SELECT src, dst, w FROM e0
+      UNION ALL SELECT dst, src, w FROM e0
+    ),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+    trans AS (
+      SELECT e.src, e.dst, (e.w * 1000000) // o.ow AS tw
+      FROM edges e JOIN outw o USING (src)
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    it0 AS (
+      SELECT node, 1000000000 // (SELECT n FROM nn) AS pr FROM nodes
+    ),{",".join(its)}
+    SELECT node, CAST(pr AS BIGINT) AS pr_ppb FROM it{iterations}
+    """
+
+
+@query("docs_source_lang_pagerank", oracle=_pagerank_oracle_sql(5))
+def docs_source_lang_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (5 iterations, damping 0.85) over the bipartite
+    source<->lang co-occurrence graph — which sources/languages sit at
+    the center of the corpus mix.  Runs on
+    ``operators/graph.py:pagerank_exact``: INTEGER fixed-point
+    throughout (rank in ppb, transitions in ppm, floor division), so an
+    iterative algorithm that is normally float-order-dependent gets a
+    full value-exact oracle — the DuckDB side replays the same
+    arithmetic as unrolled CTEs.  Per iteration: one rank-edge join
+    (shuffle on src) + one map-side-combined SUM by dst, the canonical
+    distributed PageRank step; lineage truncated per round."""
+    from .operators import graph
+
+    docs = load(spark, sf_dir, "documents")
+    e0 = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    ).select(
+        F.concat(F.lit("s:"), F.col("source")).alias("src"),
+        F.concat(F.lit("l:"), F.col("lang")).alias("dst"),
+        "w",
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return graph.pagerank_exact(edges, "src", "dst", "w", iterations=5)
+
+
 @query(
     "docs_heavy_hitter_tokens",
     oracle=f"""

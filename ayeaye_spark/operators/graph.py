@@ -179,3 +179,102 @@ def duckdb_components_oracle(pairs_cte: str, id_col: str = "doc_id",
            d.{id_col} = COALESCE(c.component, d.{id_col}) AS is_survivor
     FROM {table} d LEFT JOIN comps c ON c.v = d.{id_col}
     """
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight: str | None = None,
+    *,
+    iterations: int = 5,
+    damping_ppm: int = 850_000,
+    pr_col: str = "pr_ppb",
+) -> DataFrame:
+    """Weighted PageRank with INTEGER fixed-point arithmetic — every
+    intermediate is an exact int64, so the result is bit-identical
+    across engines and partitionings (a plain-SQL oracle can replay it
+    iteration by iteration, unlike float PageRank whose sums are
+    order-dependent).
+
+    Fixed-point scheme (all ops floor-division on non-negatives, so
+    Spark's ``div`` and DuckDB's ``//`` agree):
+
+    * rank is parts-per-billion of total mass: ``init = 1e9 div N``;
+    * transition weights are precomputed ppm:
+      ``tw(u,v) = w(u,v) * 1e6 div outw(u)`` (int64-safe for edge
+      weights up to ~9e12);
+    * one step:
+      ``pr'(v) = (150e6 div N) + 850000 * SUM(pr(u)*tw(u,v) div 1e6)
+      div 1e6`` (for the default damping) — the per-edge product is
+      <= 1e9 * 1e6 = 1e15, comfortably int64.
+
+    Scale shape: per iteration one join of the rank frame (one row per
+    node) with the edge list on ``src`` and one map-side-combined SUM
+    by ``dst`` — the canonical distributed PageRank step; driver state
+    is nothing, lineage is truncated per round with ``localCheckpoint``
+    (same pattern as :func:`connected_components`).  Dangling-node mass
+    is dropped (the standard simplification), and floor-division loses
+    <1 ppb per edge per round — deterministic in both engines by
+    construction.
+
+    Output: ``(node, pr_col)`` over all distinct src/dst nodes.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
+    )
+    outw = e.groupBy("_src").agg(F.sum("_w").alias("_outw"))
+    trans = (
+        e.join(outw, "_src")
+        .select(
+            "_src",
+            "_dst",
+            (F.col("_w") * F.lit(1_000_000))
+            .cast("long")
+            .alias("_w6"),
+            "_outw",
+        )
+        .select(
+            "_src", "_dst", F.expr("_w6 div _outw").cast("long").alias("_tw")
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
+    base = (1_000_000_000 * (1_000_000 - damping_ppm) // 1_000_000) // n_nodes
+    init = 1_000_000_000 // n_nodes
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("_pr"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(trans, ranks["node"] == trans["_src"])
+            .select(
+                "_dst",
+                F.expr("_pr * _tw div 1000000").cast("long").alias("_c"),
+            )
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["_dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{damping_ppm} * coalesce(_s, 0) div 1000000"
+                    )
+                )
+                .cast("long")
+                .alias("_pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.col("_pr").alias(pr_col))

@@ -3022,3 +3022,89 @@ class TestSaltedJoin:
             relational.salted_join(fact, dim, "k", how="full")
         with pytest.raises(ValueError):
             relational.salted_join(fact, dim, "k", buckets=1)
+
+
+class TestPagerankExact:
+    """Integer fixed-point PageRank (``graph.pagerank_exact``)."""
+
+    def test_symmetric_pair_splits_evenly(self, spark):
+        from ayeaye_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [("a", "b", 1), ("b", "a", 1)], "src string, dst string, w int"
+        )
+        out = {
+            r["node"]: r["pr_ppb"]
+            for r in graph.pagerank_exact(
+                edges, "src", "dst", "w", iterations=3
+            ).collect()
+        }
+        # perfectly symmetric graph: both nodes keep the uniform rank
+        # (500M ppb each, minus deterministic floor-division dust)
+        assert out["a"] == out["b"]
+        assert abs(out["a"] - 500_000_000) < 1000
+
+    def test_hub_outranks_leaves(self, spark):
+        from ayeaye_spark.operators import graph
+
+        # star: leaves point at the hub, hub points back at one leaf
+        edges = spark.createDataFrame(
+            [("l1", "hub", 1), ("l2", "hub", 1), ("l3", "hub", 1),
+             ("hub", "l1", 1)],
+            "src string, dst string, w int",
+        )
+        out = {
+            r["node"]: r["pr_ppb"]
+            for r in graph.pagerank_exact(
+                edges, "src", "dst", "w", iterations=5
+            ).collect()
+        }
+        assert out["hub"] > out["l1"] > out["l2"]
+        assert out["l2"] == out["l3"]  # symmetric leaves tie exactly
+
+    def test_weights_shift_mass(self, spark):
+        from ayeaye_spark.operators import graph
+
+        # c splits its vote 9:1 between a and b
+        edges = spark.createDataFrame(
+            [("c", "a", 9), ("c", "b", 1), ("a", "c", 1), ("b", "c", 1)],
+            "src string, dst string, w int",
+        )
+        out = {
+            r["node"]: r["pr_ppb"]
+            for r in graph.pagerank_exact(
+                edges, "src", "dst", "w", iterations=5
+            ).collect()
+        }
+        assert out["a"] > out["b"]
+
+    def test_deterministic_across_partitionings(self, spark):
+        from ayeaye_spark.operators import graph
+
+        rows = [(f"n{i}", f"n{(i * 7 + 1) % 20}", 1 + i % 3)
+                for i in range(20)]
+        one = spark.createDataFrame(rows, "src string, dst string, w int")
+        out1 = {
+            (r["node"], r["pr_ppb"])
+            for r in graph.pagerank_exact(
+                one, "src", "dst", "w", iterations=4
+            ).collect()
+        }
+        out2 = {
+            (r["node"], r["pr_ppb"])
+            for r in graph.pagerank_exact(
+                one.repartition(13), "src", "dst", "w", iterations=4
+            ).collect()
+        }
+        assert out1 == out2
+
+    def test_rejects_zero_iterations(self, spark):
+        import pytest
+
+        from ayeaye_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [("a", "b", 1)], "src string, dst string, w int"
+        )
+        with pytest.raises(ValueError):
+            graph.pagerank_exact(edges, "src", "dst", "w", iterations=0)
