@@ -5632,14 +5632,17 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "top3_orders_per_segment",
     "events_running_sum",
     "events_sessionize",
-    # round-5 departitioned window family (histogram-rank / closed-form
-    # NTILE plans — the driver verifies the rewrites stay value-exact;
-    # the displaced TPC-H rows q14/q15/q17/q19 remain oracle-gate-
-    # verified)
+    # departitioned window family (histogram-rank / closed-form NTILE
+    # plans — two representatives in-window; the round-6 rotation moved
+    # docs_quality_percentile_by_lang and events_deciles_by_type to the
+    # oracle gate to make room for two NEW families below, all four
+    # remain value-exact there)
     "docs_length_midspread",
-    "docs_quality_percentile_by_lang",
     "events_user_activity_deciles",
-    "events_deciles_by_type",
+    # round-6 families: integer-exact iterative PageRank and the
+    # Misra-Gries two-pass exact heavy hitters
+    "docs_source_lang_pagerank",
+    "docs_heavy_hitter_tokens",
     # grouping sets family / pivot
     "orders_rollup",
     "orders_pivot_status",

@@ -374,6 +374,38 @@ HEADLINE = {
         "construction); the train side streams once through the hash join "
         "— no train-x-train pair generation anywhere."
     ),
+    "docs_heavy_hitter_tokens": (
+        "two-pass Misra-Gries: bounded-state candidate generation per "
+        "partition (no shuffle), then ONE verification scan where "
+        "non-candidates fold into a single count bucket — the full "
+        "vocabulary never shuffles, unlike the oracle's global GROUP BY."
+    ),
+    "events_salted_segment_join": (
+        "hot fact keys (distributed heavy-hitter tag, never collected) "
+        "spread over 8 salt buckets; dim hot rows replicated per salt — "
+        "one scan per side, no single reducer owns a hot key."
+    ),
+    "events_cohort_retention": (
+        "first-dates via one MIN aggregate keyed on user; the join back "
+        "reuses the user partitioning; the distinct stage shuffles "
+        "(cohort, offset, user) triples, never raw events."
+    ),
+    "docs_source_curation_funnel": (
+        "three funnel stages (counts, Gopher passes, dedup survivors) as "
+        "two map-side-combined aggregates plus one fingerprint-keyed "
+        "survivor aggregate — no per-pair work, nothing collected."
+    ),
+    "docs_source_lang_pagerank": (
+        "five unrolled iterations, each one rank-edge join (shuffle on "
+        "src) + one map-side-combined SUM by dst; integer fixed-point "
+        "makes the result partitioning-independent; lineage truncated "
+        "per round."
+    ),
+    "events_hll_rollup_reaggregate": (
+        "daily HLL sketches built once (constant size per cell), any "
+        "coarser slice answered by sketch union — the fact table is "
+        "never rescanned; exact twin joined for the audit."
+    ),
 }
 
 
