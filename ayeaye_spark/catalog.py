@@ -5498,6 +5498,47 @@ def docs_source_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.join(surv, "source", "left").na.fill({"n_survivors": 0})
 
 
+@query(
+    "ann_topk_random_projection",
+    oracle=f"""
+    WITH red AS (
+      SELECT vec_id,
+             {P.random_project('embedding', 64, 16, 'rp', DUCK)} AS rv
+      FROM embeddings
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {P.dot('q.rv', 'c.rv', DUCK)}
+               / ({P.norm('q.rv', DUCK)} * {P.norm('c.rv', DUCK)}) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {P.dot('q.rv', 'c.rv', DUCK)}
+                 / ({P.norm('q.rv', DUCK)} * {P.norm('c.rv', DUCK)}) DESC,
+                 c.vec_id ASC
+             ) AS rank
+      FROM red q JOIN red c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    ) t WHERE rank <= 3
+    """,
+)
+def ann_topk_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss search: embeddings projected 64 -> 16 dims
+    by a deterministic md5-derived ±1 sign matrix inlined as a literal
+    (``operators/similarity.py:random_projection`` — no RNG, nothing
+    shipped to executors), then exact cosine top-k in the REDUCED
+    space.  The projection is one per-row JVM-side expression pass (no
+    shuffle, no Python); downstream distance work drops 4x.  Fold-order
+    accumulation makes the projected values — and therefore the
+    ranking — bit-identical to the DuckDB replay."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    red = similarity.random_projection(
+        emb, "embedding", in_dim=64, out_dim=16
+    ).select("vec_id", F.col("rvec").alias("embedding"))
+    return similarity.cosine_topk(
+        red, red.where(F.col("vec_id") < 5), k=3
+    )
+
+
 def _pagerank_oracle_sql(iterations: int = 5) -> str:
     """Unrolled-CTE DuckDB replay of ``graph.pagerank_exact`` over the
     source<->lang bipartite graph: one CTE per iteration, every value an

@@ -625,3 +625,67 @@ def zorder_key2(x: str, y: str, bits: int, d: str) -> str:
         terms.append(f"({xb} * {1 << (2 * b)})")
         terms.append(f"({yb} * {1 << (2 * b + 1)})")
     return "(" + " + ".join(terms) + ")"
+
+
+def rp_sign_matrix(
+    in_dim: int, out_dim: int, seed: str
+) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for random projection: cell (j, i)
+    is the parity of ``md5(seed|i:j)``'s first byte — full avalanche
+    mixing (the polynomial char_hash's PARITY is near-linear in the
+    characters, which made a fold-based sign matrix effectively rank-1;
+    md5 has no such structure).  Computed once at PLAN BUILD time in
+    Python and inlined as a literal into both dialects — executors do
+    zero hashing."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}|{i}:{j}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_project(
+    a: str, in_dim: int, out_dim: int, seed: str, d: str
+) -> str:
+    """Signed random projection (Achlioptas ±1 scheme) of a double
+    array onto ``out_dim`` dimensions: ``y_j = sum_i x_i * s(j, i)``
+    with the :func:`rp_sign_matrix` literal signs and LEFT-TO-RIGHT
+    fold accumulation — identical inputs give bit-identical projections
+    in both engines (same guarantee as :func:`dot`).
+
+    The sign matrix inlines as one ``out_dim x in_dim`` array literal;
+    the projection is a per-row fold over it — JVM-side in Spark, no
+    shuffle, no Python on the executors.
+    """
+    mat = rp_sign_matrix(in_dim, out_dim, seed)
+    if d == SPARK:
+        rows = ", ".join(
+            "array(" + ", ".join(f"{v:.1f}d" for v in row) + ")"
+            for row in mat
+        )
+        lit = f"array({rows})"
+        inner = (
+            f"aggregate(zip_with({a}, s, (x, y) -> x * y), "
+            f"cast(0 as double), (acc, c) -> acc + c)"
+        )
+        return f"transform({lit}, s -> {inner})"
+    rows = ", ".join(
+        "[" + ", ".join(f"{v:.1f}" for v in row) + "]::DOUBLE[]"
+        for row in mat
+    )
+    lit = f"[{rows}]"
+    prods = (
+        f"list_transform(range(1, {in_dim} + 1), "
+        f"i -> ({a})[i] * (s)[i])"
+    )
+    inner = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, {prods}), "
+        f"(acc, c) -> acc + c)"
+    )
+    return f"list_transform({lit}, s -> {inner})"

@@ -1148,3 +1148,32 @@ def semantic_dedup_survivors(
     )
     dropped = pairs.select(F.col(f"{id_col}_b").alias(id_col)).distinct()
     return corpus.join(dropped, on=id_col, how="left_anti")
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    in_dim: int,
+    out_dim: int,
+    seed: str = "rp",
+    out_col: str = "rvec",
+) -> DataFrame:
+    """Signed random projection (Achlioptas ±1): project ``vec_col``
+    onto ``out_dim`` dimensions with a DETERMINISTIC md5-derived sign
+    matrix (``portable.rp_sign_matrix``) inlined as a literal — no RNG
+    state, nothing shipped to executors, and both engines replay the
+    same projection bit-for-bit (fold-order accumulation, same as
+    ``portable.dot``).
+
+    The Johnson-Lindenstrauss workhorse for 100 TB embedding pipelines:
+    distances survive within (1±eps) while downstream cosine/LSH work
+    drops by in_dim/out_dim; the projection is pure per-row JVM-side
+    expression work — no shuffle, no Python.
+    """
+    from ..functions import portable as P
+
+    return df.withColumn(
+        out_col,
+        F.expr(P.random_project(vec_col, in_dim, out_dim, seed, P.SPARK)),
+    )

@@ -3108,3 +3108,48 @@ class TestPagerankExact:
         )
         with pytest.raises(ValueError):
             graph.pagerank_exact(edges, "src", "dst", "w", iterations=0)
+
+
+class TestRandomProjection:
+    """Deterministic signed random projection
+    (``similarity.random_projection``)."""
+
+    def test_deterministic_and_partition_independent(self, spark):
+        import math
+
+        rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(32)])
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        a = {
+            r["vec_id"]: tuple(r["rvec"])
+            for r in similarity.random_projection(
+                df, "embedding", in_dim=32, out_dim=8
+            ).collect()
+        }
+        b = {
+            r["vec_id"]: tuple(r["rvec"])
+            for r in similarity.random_projection(
+                df.repartition(7), "embedding", in_dim=32, out_dim=8
+            ).collect()
+        }
+        assert a == b  # bit-identical regardless of partitioning
+        # JL sanity: projected norms stay within a loose factor of
+        # sqrt(out_dim/dim)-scaled originals (signs are ±1, not scaled)
+        for vid, rv in a.items():
+            orig = rows[vid][1]
+            n_orig = math.sqrt(sum(x * x for x in orig))
+            n_proj = math.sqrt(sum(y * y for y in rv))
+            if n_orig:
+                assert n_proj < 32 * n_orig  # no blowup
+
+    def test_seed_changes_projection(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0, 4.0])], "vec_id int, embedding array<double>"
+        )
+        a = similarity.random_projection(
+            df, "embedding", in_dim=4, out_dim=4, seed="rp"
+        ).collect()[0]["rvec"]
+        b = similarity.random_projection(
+            df, "embedding", in_dim=4, out_dim=4, seed="other"
+        ).collect()[0]["rvec"]
+        assert a != b
