@@ -5499,6 +5499,36 @@ def docs_source_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_name_typo_pairs",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE a.c_custkey < 200 AND b.c_custkey < 200
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def customer_name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity matching: customer-name pairs within edit
+    distance 1, via the SymSpell deletion-neighborhood join
+    (``operators/dedup.py:edit_distance_pairs``) — each name explodes
+    into its len+1 one-char-deletion variants, candidates come from the
+    variant equi-join (inverted index, fan-out bounded by bucket
+    occupancy, never |corpus|^2), and exact ``levenshtein`` verifies.
+    The oracle is the naive all-pairs form DuckDB can afford on the
+    fixed 200-customer slice; the Spark plan is the one that survives
+    a 100 TB entity table."""
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_custkey") < 200
+    )
+    return dedup.edit_distance_pairs(cust, "c_custkey", "c_name").select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "dist",
+    )
+
+
+@query(
     "ann_topk_random_projection",
     oracle=f"""
     WITH red AS (

@@ -1005,3 +1005,73 @@ def containment_pairs(
             "a_in_b_ppm", "b_in_a_ppm",
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs of rows whose ``text_col`` values are within edit
+    (Levenshtein) distance ``max_dist`` — currently distance 1, via the
+    SymSpell deletion-neighborhood join (Garbe's symmetric-delete
+    trick): two strings at distance <= 1 ALWAYS share a member of each
+    other's {self} ∪ {one-char-deletions} set, so
+
+    1. each row explodes into its ``len+1`` deletion variants (pure
+       JVM string expressions, no shuffle);
+    2. candidate pairs come from the variant equi-join — an inverted
+       index on variant keys, same shape as the n-gram Jaccard join:
+       pair fan-out is bounded by variant-bucket occupancy, never
+       |corpus|^2;
+    3. the exact ``levenshtein() <= max_dist`` check verifies (the
+       neighborhood is a SUPERSET: e.g. two equal-length strings
+       differing by two substitutions can share a variant).
+
+    Output: (id_a, id_b, dist) with ``id_a < id_b``, exact and
+    deterministic.  Distance > 1 would need deletion-depth-k
+    neighborhoods (variant count ~ len^k) — rejected loudly for now.
+    """
+    if max_dist != 1:
+        raise ValueError(
+            "edit_distance_pairs supports max_dist=1 (deletion-"
+            f"neighborhood depth 1); got {max_dist}"
+        )
+    _tune_session(df)
+    t = text_col
+    variants = (
+        f"array_distinct(concat(array({t}), "
+        f"case when length({t}) < 1 then cast(array() as array<string>) "
+        f"else transform(sequence(1, length({t})), "
+        f"i -> concat(substring({t}, 1, i - 1), "
+        f"substring({t}, i + 1, length({t})))) end))"
+    )
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        F.explode(F.expr(variants)).alias("_var"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._var") == F.col("b._var"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._txt").alias("_ta"),
+            F.col("b._txt").alias("_tb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "dist", F.levenshtein("_ta", "_tb").cast("long")
+        )
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -3153,3 +3153,71 @@ class TestRandomProjection:
             df, "embedding", in_dim=4, out_dim=4, seed="other"
         ).collect()[0]["rvec"]
         assert a != b
+
+
+class TestEditDistancePairs:
+    """SymSpell deletion-neighborhood distance-1 join
+    (``dedup.edit_distance_pairs``)."""
+
+    def test_matches_naive_levenshtein(self, spark):
+        names = ["kitten", "sitten", "kittens", "kitte", "mitten",
+                 "banana", "banan", "bananna", "apple", "kitchen"]
+        df = spark.createDataFrame(
+            list(enumerate(names)), "id int, name string"
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in dedup.edit_distance_pairs(df, "id", "name").collect()
+        }
+        import itertools
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return dp[len(b)]
+
+        want = {
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(
+                enumerate(names), 2
+            )
+            if lev(a, b) <= 1
+        }
+        assert got == want
+        assert (0, 1, 1) in got      # substitution
+        assert (0, 2, 1) in got      # insertion
+        assert (0, 3, 1) in got      # deletion
+        assert not any(p[:2] == (6, 7) for p in got)  # banan->bananna dist 2
+
+    def test_identical_strings_are_distance_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same"), (2, "same"), (3, "diff")], "id int, name string"
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in dedup.edit_distance_pairs(df, "id", "name").collect()
+        }
+        assert (1, 2, 0) in got
+
+    def test_empty_string_edge(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, "a"), (3, "ab")], "id int, name string"
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in dedup.edit_distance_pairs(df, "id", "name").collect()
+        }
+        assert (1, 2, 1) in got and (2, 3, 1) in got
+        assert not any(p[:2] == (1, 3) for p in got)
+
+    def test_rejects_unsupported_distance(self, spark):
+        import pytest
+
+        df = spark.createDataFrame([(1, "x")], "id int, name string")
+        with pytest.raises(ValueError):
+            dedup.edit_distance_pairs(df, "id", "name", max_dist=2)
