@@ -159,15 +159,18 @@ class TestCorrectnessWindow:
             "salted_agg": {"events_salted_type_counts"},
             "quality_rules": {"docs_gopher_filter"},
             "semantic_dedup": {"dedup_semantic_survivors"},
-            # round-5: the histogram-rank / closed-form-NTILE rewrites
-            # must stay under the driver's hard signal
+            # histogram-rank / closed-form-NTILE rewrites: two
+            # representatives under the driver's hard signal (the round-6
+            # rotation moved the other two to the oracle gate to make
+            # room for the new families below)
             "departitioned_windows": {
                 "docs_length_midspread",
-                "docs_quality_percentile_by_lang",
                 "events_user_activity_deciles",
-                "events_deciles_by_type",
                 "top3_orders_per_segment",
             },
+            # round-6 families
+            "iterative_graph": {"docs_source_lang_pagerank"},
+            "heavy_hitters_exact": {"docs_heavy_hitter_tokens"},
         }
         for family, members in families.items():
             assert members <= window, f"{family}: {members - window} outside window"
