@@ -406,6 +406,16 @@ HEADLINE = {
         "coarser slice answered by sketch union — the fact table is "
         "never rescanned; exact twin joined for the audit."
     ),
+    "ann_topk_random_projection": (
+        "64->16 JL reduction as one per-row JVM expression pass (literal "
+        "sign matrix, no Python, no shuffle); the reduced-space search "
+        "reuses the broadcast-queries single-corpus-scan plan."
+    ),
+    "customer_name_typo_pairs": (
+        "deletion-variant inverted index: len+1 variants per string, "
+        "candidates from the variant equi-join (bucket-occupancy-bounded "
+        "fan-out), exact levenshtein verify — never an all-pairs join."
+    ),
 }
 
 
