@@ -5499,6 +5499,138 @@ def docs_source_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lineitem_benford_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM lineitem WHERE l_extendedprice >= 1
+    ),
+    tot AS (SELECT COUNT(*) AS t FROM digits)
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * 1000000 // (SELECT t FROM tot) AS BIGINT)
+             AS observed_ppm
+    FROM digits GROUP BY digit
+    """,
+)
+def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of extended prices — the
+    fraud/synthetic-data smoke test a quality pipeline runs on money
+    columns (natural multiplicative data leads with '1' ~30.1% of the
+    time; uniform synthetic data shows up flat).  One map-side-combined
+    9-row aggregate over one pruned scan; comparison against the
+    Benford expectation happens on the 9-row output."""
+    li = load(spark, sf_dir, "lineitem").where("l_extendedprice >= 1")
+    digits = li.select(
+        F.substring(
+            F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # the over() frame runs on the 9-row digit aggregate only
+    return counts.withColumn(
+        "observed_ppm",
+        F.expr("n * 1000000 div sum(n) over ()").cast("long"),
+    ).select("digit", "n", "observed_ppm")
+
+
+@query(
+    "events_value_trend_by_type",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(epoch_ms(ts) // 1000 AS BIGINT) - 1704067200 AS x,
+             CAST(value AS DECIMAL(27,6)) AS y
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             -- true scale is 6 (x integral, y scale 6): the down-casts
+             -- are lossless and keep later products inside DECIMAL(38)
+             CAST(SUM(CAST(x AS DECIMAL(38,6)) * y) AS DECIMAL(38,6))
+               AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM pts GROUP BY event_type
+    ),
+    parts AS (
+      SELECT event_type, n,
+             CAST(CAST(n AS DECIMAL(38,6)) * sxy
+               - CAST(sx AS DECIMAL(38,6)) * sy AS DECIMAL(38,6)) AS num,
+             CAST(n AS HUGEINT) * sxx
+               - CAST(sx AS HUGEINT) * sx AS den
+      FROM sums
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(CASE WHEN den = 0 THEN 0 ELSE
+             (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+             * ((CAST(abs(num) * 1000000 AS HUGEINT) * 1000)
+                // CAST(den AS HUGEINT))
+           END AS BIGINT) AS slope_ppb
+    FROM parts
+    """,
+)
+def events_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares trend of event value over time (is this
+    metric drifting?), exactly: x is integer seconds since a fixed
+    epoch, y an exact decimal, so the normal-equation sums are exact
+    and the slope emerges as integer ppb via sign-split floor division
+    (both engines floor identically on non-negatives; the sign is
+    extracted first).  One map-side-combined aggregate per type — the
+    regression never materializes points."""
+    events = load(spark, sf_dir, "events")
+    # x in whole seconds past 2024-01-01T00:00Z (both engines FLOOR the
+    # sub-second part: unix_timestamp here, epoch_ms // 1000 there)
+    pts = events.select(
+        "event_type",
+        (F.unix_timestamp("ts").cast("long") - F.lit(1704067200)).alias(
+            "x"
+        ),
+        F.col("value").cast("decimal(27,6)").alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,6)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    parts = sums.select(
+        "event_type",
+        "n",
+        (
+            F.col("n").cast("decimal(38,6)") * F.col("sxy")
+            - F.col("sx").cast("decimal(38,6)") * F.col("sy")
+        ).alias("num"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("sxx")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+        ).alias("den"),
+    )
+    # exact integer quotient: num has scale 6, so abs(num)*1e6 is an
+    # integral decimal; *1000 gives num*1e9 and `div` (truncating, both
+    # operands non-negative) equals DuckDB's floor `//`
+    return parts.select(
+        "event_type",
+        "n",
+        F.when(F.col("den") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.when(F.col("num") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(
+                "CAST((CAST(abs(num) * 1000000 AS DECIMAL(38,0)) * 1000)"
+                " div CAST(den AS DECIMAL(38,0)) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("slope_ppb"),
+    )
+
+
+@query(
     "customer_name_typo_pairs",
     oracle="""
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
