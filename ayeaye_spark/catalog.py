@@ -5327,10 +5327,14 @@ def docs_quality_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "docs_shared_ngram_ppm",
     oracle=f"""
-    WITH grams AS (
-      SELECT doc_id, unnest({P.token_hash_ngrams_all(
-          P.hash_array(P.tokens('text', DUCK), DUCK), 8, DUCK)}) AS g
+    WITH toked AS (
+      SELECT doc_id,
+             {P.hash_array(P.tokens('text', DUCK), DUCK)} AS th
       FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest({P.token_hash_ngrams_all('th', 8, DUCK)}) AS g
+      FROM toked
     ),
     gd AS (
       SELECT g, COUNT(*) AS docs FROM (

@@ -536,6 +536,10 @@ def with_repetition_flags(
     blank lines are EXCLUDED from the line stats (a markdown doc's
     empty separators are not meaningful duplicates).
     """
+    from .dedup import _tune_session  # noqa: PLC0415 — no cycle
+
+    _tune_session(df)
+
     base = df.select(id_col, text_col)
     # ---- duplicate-line stats: (doc, line) counts -> per-doc sums
     lines = base.select(
@@ -632,6 +636,10 @@ def dsir_importance_hashed(
     Output: (id_col, n_tokens, dsir_score) — score in ppm-weight units,
     positive = target-like.  Empty docs score 0.
     """
+    from .dedup import _tune_session  # noqa: PLC0415 — no cycle
+
+    _tune_session(df)
+
     toks = df.select(
         F.col(id_col),
         F.col(target_col).alias("_tgt"),
@@ -694,6 +702,10 @@ def rare_token_stats(
     sums shuffle by ``id_col``.  Same plan family as
     :func:`tfidf_top_terms`.
     """
+    from .dedup import _tune_session  # noqa: PLC0415 — no cycle
+
+    _tune_session(df)
+
     toks = df.select(
         F.col(id_col),
         F.explode(F.expr(P.tokens(text_col, SPARK))).alias("_term"),
@@ -751,19 +763,25 @@ def shared_ngram_profile(
 
     Output: (id_col, n_grams, shared_grams, shared_ppm).
     """
-    grams = (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    P.token_hash_ngrams_all(
-                        P.hash_array(P.tokens(text_col, SPARK), SPARK),
-                        n,
-                        SPARK,
-                    )
-                )
-            ).alias("_g"),
-        )
+    from .dedup import _tune_session  # noqa: PLC0415 — no cycle
+
+    _tune_session(df)
+
+    # materialize the token-hash array FIRST: token_hash_ngrams_all
+    # inlines its input expression into every shingle window, so an
+    # unprojected hash_array(tokens(...)) is re-evaluated per window —
+    # measured 135s -> ~2s for the explode alone at sf0.1
+    toked = df.select(
+        F.col(id_col),
+        F.expr(P.hash_array(P.tokens(text_col, SPARK), SPARK)).alias(
+            "_th"
+        ),
+    )
+    grams = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(P.token_hash_ngrams_all("_th", n, SPARK))
+        ).alias("_g"),
     )
     # distinct docs per gram: (gram, doc) dedupe then count — both
     # stages map-side combined, keyed by the gram hash

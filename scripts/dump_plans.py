@@ -416,6 +416,15 @@ HEADLINE = {
         "candidates from the variant equi-join (bucket-occupancy-bounded "
         "fan-out), exact levenshtein verify — never an all-pairs join."
     ),
+    "lineitem_benford_audit": (
+        "one 9-row map-side-combined digit aggregate over one pruned "
+        "scan; the ppm window runs on the 9-row frame."
+    ),
+    "events_value_trend_by_type": (
+        "regression as one aggregate: the normal-equation sums are "
+        "map-side-combined per type; points never materialize, the "
+        "slope math runs on #types rows."
+    ),
 }
 
 
