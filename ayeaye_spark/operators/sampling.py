@@ -519,9 +519,12 @@ def retention_curve(
         F.sum("_n").over(w).alias("_cn"),
         F.sum("_w").over(w).alias("_cw"),
     )
-    totals = df.agg(
-        F.count(F.lit(1)).cast("long").alias("_tn"),
-        F.sum(F.col(weight_col)).cast("long").alias("_tw"),
+    # totals come from the already-aggregated bucket frame — computing
+    # them on ``df`` would be a SECOND corpus scan (and, when the score
+    # is a derived expression, a second evaluation of it)
+    totals = by_score.agg(
+        F.sum("_n").cast("long").alias("_tn"),
+        F.sum("_w").cast("long").alias("_tw"),
     )
     th = df.sparkSession.createDataFrame(
         [(int(t),) for t in thresholds], "threshold long"
