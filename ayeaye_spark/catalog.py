@@ -5807,6 +5807,76 @@ def docs_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.heavy_hitters_exact(toks, "tok", min_freq_ppm=10_000)
 
 
+@query(
+    "events_peak_concurrency_daily",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM gaps
+    ),
+    sess AS (
+      SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+      FROM s GROUP BY user_id, sid
+    ),
+    bounds AS (
+      SELECT st AS ts, 1 AS delta FROM sess
+      UNION ALL
+      SELECT en AS ts, -1 AS delta FROM sess
+    ),
+    sweep AS (
+      SELECT ts, delta,
+             SUM(delta) OVER (ORDER BY ts ASC, delta ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS conc
+      FROM bounds
+    )
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrent
+    FROM sweep WHERE delta = 1 GROUP BY 1
+    """,
+)
+def events_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous user sessions per calendar day — the capacity
+    question ("how many sessions were open at once?") answered by a
+    sweep-line over session intervals, NOT a range self-join (which is
+    O(sessions x active-set) and unrunnable at corpus scale).
+
+    Sessions are the 30-min-gap sessions of ``events_session_summary``
+    (ms-resolution gap, identical batch/stream/oracle semantics); the
+    sweep is ``relational.interval_concurrency`` — hierarchical
+    two-level prefix sum, so the only global window runs over one row
+    per HOUR of timeline, never one row per session.  The oracle's
+    global running sum is the naive single-task formulation of the same
+    multiset of boundary values; per-day MAX over session-open instants
+    is tie-run-invariant, so both plans agree exactly.  A session that
+    spans midnight carries into the next day's buckets via the hourly
+    carry-in, with no boundary row needed inside that day."""
+    from .streaming.events import sessionize_with_timeout
+
+    sess = sessionize_with_timeout(
+        load(spark, sf_dir, "events"), gap_minutes=30
+    ).select("session_start", "session_end")
+    conc = relational.interval_concurrency(
+        sess, "session_start", "session_end", bucket="hour"
+    )
+    return (
+        conc.where(F.col("delta") == 1)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.max("concurrency").alias("peak_concurrent"))
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -1129,3 +1129,62 @@ def salted_join(
         .drop("_hot")
     )
     return fact_s.join(dim_s, [key, "_salt"], how).drop("_salt")
+
+
+def interval_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    *,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Sweep-line concurrency: for every interval boundary, the number
+    of intervals open at that instant — ``(ts, delta, concurrency)``
+    with ``delta`` +1 at starts / -1 at ends.  At a ``delta = +1`` row
+    the value answers "how many intervals are active the moment this
+    one opens" (half-open ``[start, end)``: an interval whose end ties
+    another's start has already closed, so ends sort before starts at
+    equal timestamps, and a zero-length interval never counts itself).
+
+    The classic formulation is one GLOBAL running sum over all
+    boundaries — a single-task window that dies at scale.  This is the
+    repo's hierarchical two-level prefix sum instead (same shape as
+    ``grouped_rank_exact``):
+
+    1. bucket boundaries into fixed calendar buckets (``date_trunc``,
+       default hourly) and aggregate one ``SUM(delta)`` row per bucket
+       — the only global window runs over THIS frame, whose size is the
+       timeline in hours, never the row count;
+    2. the exclusive bucket prefix (broadcast back — a timeline-sized
+       frame) is each bucket's carry-in;
+    3. the row-level running sum is a window partitioned BY BUCKET,
+       ordered ``(ts, delta)`` — bounded by boundaries-per-hour, not by
+       the corpus.
+
+    Rows tied on ``(ts, delta)`` receive order-dependent concurrency
+    values individually, but any aggregate that is tie-run-invariant
+    (MAX, or values at run boundaries) is deterministic — the running
+    sum over a run of equal deltas visits the same multiset of values
+    regardless of intra-run order.
+    """
+    b = df.select(F.col(start_col).alias("ts"), F.lit(1).alias("delta")).unionAll(
+        df.select(F.col(end_col).alias("ts"), F.lit(-1).alias("delta"))
+    )
+    b = b.withColumn("_bkt", F.date_trunc(bucket, F.col("ts")))
+    hourly = b.groupBy("_bkt").agg(F.sum("delta").alias("_bsum"))
+    wb = Window.orderBy(F.asc("_bkt")).rowsBetween(Window.unboundedPreceding, 0)
+    carry = hourly.withColumn(
+        "_carry", (F.sum("_bsum").over(wb) - F.col("_bsum")).cast("long")
+    ).select("_bkt", "_carry")
+    wr = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.asc("ts"), F.asc("delta"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.join(F.broadcast(carry), "_bkt")
+        .withColumn(
+            "concurrency", (F.sum("delta").over(wr) + F.col("_carry")).cast("long")
+        )
+        .select("ts", "delta", "concurrency")
+    )

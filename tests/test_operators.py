@@ -3221,3 +3221,64 @@ class TestEditDistancePairs:
         df = spark.createDataFrame([(1, "x")], "id int, name string")
         with pytest.raises(ValueError):
             dedup.edit_distance_pairs(df, "id", "name", max_dist=2)
+
+
+class TestIntervalConcurrency:
+    """Hierarchical sweep-line (``relational.interval_concurrency``)."""
+
+    def _naive_peaks(self, intervals):
+        # global sweep in plain python: ends before starts at equal ts
+        bounds = [(s, 1) for s, e in intervals] + [(e, -1) for s, e in intervals]
+        bounds.sort(key=lambda b: (b[0], b[1]))
+        run, peaks = 0, {}
+        for t, d in bounds:
+            run += d
+            if d == 1:
+                day = t.date()
+                peaks[day] = max(peaks.get(day, 0), run)
+        return peaks
+
+    def _run(self, spark, intervals):
+        df = spark.createDataFrame(intervals, ["s", "e"])
+        conc = relational.interval_concurrency(df, "s", "e", bucket="hour")
+        got = {
+            r["day"]: r["peak"]
+            for r in conc.where(F.col("delta") == 1)
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(F.max("concurrency").alias("peak"))
+            .collect()
+        }
+        return got
+
+    def test_matches_naive_global_sweep(self, spark):
+        import random
+
+        rng = random.Random(7)
+        base = ts("2024-03-01T00:00:00")
+        intervals = []
+        for _ in range(300):
+            st = base + datetime.timedelta(seconds=rng.randrange(0, 5 * 86400))
+            ln = datetime.timedelta(seconds=rng.randrange(0, 8 * 3600))
+            intervals.append((st, st + ln))
+        assert self._run(spark, intervals) == self._naive_peaks(intervals)
+
+    def test_point_interval_not_self_concurrent(self, spark):
+        t = ts("2024-01-01T10:00:00")
+        got = self._run(spark, [(t, t)])
+        # its own -1 sorts first: the open instant sees zero active
+        assert got == {t.date(): 0}
+
+    def test_end_meets_start_not_concurrent(self, spark):
+        a = (ts("2024-01-01T09:00:00"), ts("2024-01-01T10:00:00"))
+        b = (ts("2024-01-01T10:00:00"), ts("2024-01-01T11:00:00"))
+        got = self._run(spark, [a, b])
+        assert got == {datetime.date(2024, 1, 1): 1}  # never 2 at once
+
+    def test_midnight_span_carries_into_next_day(self, spark):
+        # one interval open across midnight; the next day's first start
+        # must see it via the hourly carry-in, with no boundary row of
+        # its own inside that day
+        long_iv = (ts("2024-01-01T23:00:00"), ts("2024-01-02T03:00:00"))
+        nxt = (ts("2024-01-02T01:00:00"), ts("2024-01-02T02:00:00"))
+        got = self._run(spark, [long_iv, nxt])
+        assert got[datetime.date(2024, 1, 2)] == 2
