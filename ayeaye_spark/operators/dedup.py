@@ -1075,3 +1075,63 @@ def edit_distance_pairs(
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def hamming_near_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    *,
+    fp_bits: int = 64,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Generic pigeonhole-banded Hamming join over a PRECOMPUTED
+    fingerprint frame ``(id_col, hash_col)`` — the signature-agnostic
+    core of :func:`simhash_near_pairs`, reused by image perceptual
+    hashing (``multimodal.image_near_dup_pairs``) and any other fixed-
+    width binary fingerprint.  Output: ``(<id>_a, <id>_b, hamming)``
+    with ``hamming <= max_hamming``, each unordered pair once
+    (``a < b``), recall 1.0 by the pigeonhole guarantee.
+
+    ``fp_bits=64`` uses the FULL signed long: band extraction uses the
+    LOGICAL right shift (``shiftrightunsigned``) so negative hashes
+    don't sign-extend into high bands.  Same scale shape and hot-band
+    caveats as :func:`simhash_near_pairs` (band width = occupancy knob;
+    exact-dup-heavy inputs should dedup exactly first)."""
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole banding needs max_hamming < bands")
+    if fp_bits % bands:
+        raise ValueError("bands must divide fp_bits")
+    width = fp_bits // bands
+    mask = (1 << width) - 1
+    s = sig.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    ).localCheckpoint(eager=False)
+    chunks = s.select(
+        "_id", "_h",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("c"),
+                F.shiftrightunsigned("_h", c * width)
+                .bitwiseAND(F.lit(mask)).alias("v"),
+            )
+            for c in range(bands)
+        ])).alias("chunk"),
+    ).select("_id", "_h", "chunk.c", "chunk.v")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.v") == F.col("b.v"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias(f"{id_col}_a"),
+            F.col("b._id").alias(f"{id_col}_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .distinct()  # a close pair can collide in several bands
+    )
+    return pairs.select(
+        f"{id_col}_a", f"{id_col}_b",
+        F.bit_count(F.expr("_ha ^ _hb")).cast("int").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

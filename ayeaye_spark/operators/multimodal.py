@@ -207,12 +207,10 @@ def decode_wav_samples(b: bytes) -> dict | None:
     }
 
 
-def decode_bmp_pixels(b: bytes) -> dict | None:
-    """REAL pixel decode for uncompressed 24-bit BMP, no codec library:
-    header offsets + numpy over the padded pixel rows.  Returns the
-    header metadata plus a true ``mean_intensity`` (0..255 over all
-    channel bytes); ``None`` for non-BMP or compressed/other-depth
-    bitmaps."""
+def _bmp_pixel_rows(b: bytes):
+    """Shared uncompressed-24-bit-BMP pixel reader: ``(px, w, rows)``
+    with ``px`` a ``(rows, w*3)`` uint8 array (row padding stripped),
+    or ``None`` for non-BMP / compressed / other-depth bitmaps."""
     if len(b) < 54 or b[:2] != b"BM":
         return None
     import struct
@@ -230,11 +228,55 @@ def decode_bmp_pixels(b: bytes) -> dict | None:
     if len(b) < need:
         return None
     px = np.frombuffer(b[data_off:need], dtype=np.uint8).reshape(rows, stride)
-    px = px[:, : w * 3]  # drop row padding
+    return px[:, : w * 3], w, rows  # drop row padding
+
+
+def decode_bmp_pixels(b: bytes) -> dict | None:
+    """REAL pixel decode for uncompressed 24-bit BMP, no codec library:
+    header offsets + numpy over the padded pixel rows.  Returns the
+    header metadata plus a true ``mean_intensity`` (0..255 over all
+    channel bytes); ``None`` for non-BMP or compressed/other-depth
+    bitmaps."""
+    got = _bmp_pixel_rows(b)
+    if got is None:
+        return None
+    px, w, rows = got
     return {
         "format": "bmp", "width": w, "height": rows, "channels": 3,
         "mean_intensity": float(px.mean()),
     }
+
+
+def dhash64(content: bytes) -> int | None:
+    """64-bit difference hash (dHash) over real BMP pixels: grayscale →
+    block-mean downsample to a 8x9 grid → bit ``(r, c)`` set iff
+    ``grid[r][c] > grid[r][c+1]`` (row-major, MSB first), returned as a
+    SIGNED 64-bit int (Spark ``long``).  Robust to uniform brightness /
+    contrast shifts and to resampling — the standard cheap perceptual
+    fingerprint for image near-dup detection.
+
+    Pure numpy over :func:`_bmp_pixel_rows`; ``None`` for undecodable
+    bytes or images smaller than the 9x8 grid (no meaningful blocks).
+    Swap in a codec-backed grayscale reader in production via the
+    ``hasher=`` hook of :func:`perceptual_hash_images`."""
+    import numpy as np
+
+    got = _bmp_pixel_rows(content) if content else None
+    if got is None:
+        return None
+    px, w, rows = got
+    if w < 9 or rows < 8:
+        return None
+    gray = px.reshape(rows, w, 3).mean(axis=2)
+    re = np.linspace(0, rows, 9).astype(int)
+    ce = np.linspace(0, w, 10).astype(int)
+    v = 0
+    for i in range(8):
+        band = gray[re[i]:re[i + 1]]
+        means = [float(band[:, ce[j]:ce[j + 1]].mean()) for j in range(9)]
+        for j in range(8):
+            v = (v << 1) | int(means[j] > means[j + 1])
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def sample_decode(content: bytes) -> dict:
@@ -421,3 +463,54 @@ def resize_images(
         yield  # pragma: no cover
 
     return df.mapInPandas(run, schema=df.schema)
+
+
+def perceptual_hash_images(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    path_col: str = "path",
+    hasher: Callable[[bytes], int | None] = dhash64,
+) -> DataFrame:
+    """Perceptual fingerprint stage: ``(path, phash)`` with ``phash``
+    a signed 64-bit dHash (null where the kernel can't decode).  Arrow-
+    batched ``mapInPandas`` like every media kernel here — bytes never
+    leave the executor, one output row per input row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [hasher(b) if b is not None else None
+                      for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {"path": pdf[path_col], "phash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return df.mapInPandas(run, schema="path string, phash long")
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    path_col: str = "path",
+    max_hamming: int = 3,
+    bands: int = 4,
+    hasher: Callable[[bytes], int | None] = dhash64,
+) -> DataFrame:
+    """Image near-duplicate pairs: dHash fingerprints joined by the
+    same lossless pigeonhole banding as text SimHash
+    (``dedup.hamming_near_pairs``) — two 64-bit hashes within
+    ``max_hamming`` (< ``bands``) flips must share one whole band, so
+    candidates come from a band-key equi-join, never an all-pairs scan.
+    Undecodable images (null phash) drop out before the join.  Default
+    4 bands = 16-bit keys (65536/band): the bucket-occupancy scale knob
+    works exactly as documented on ``dedup.simhash_near_pairs``."""
+    from .dedup import hamming_near_pairs
+
+    sig = perceptual_hash_images(
+        df, content_col=content_col, path_col=path_col, hasher=hasher
+    ).where(F.col("phash").isNotNull())
+    return hamming_near_pairs(
+        sig, "path", "phash",
+        fp_bits=64, max_hamming=max_hamming, bands=bands,
+    )

@@ -3282,3 +3282,99 @@ class TestIntervalConcurrency:
         nxt = (ts("2024-01-02T01:00:00"), ts("2024-01-02T02:00:00"))
         got = self._run(spark, [long_iv, nxt])
         assert got[datetime.date(2024, 1, 2)] == 2
+
+
+class TestImageNearDup:
+    """dHash perceptual fingerprint + generic banded Hamming join."""
+
+    @staticmethod
+    def _bmp(px):
+        """Build a real uncompressed 24-bit BMP from a (h, w, 3) uint8
+        array (bottom-up row order is irrelevant to the tests)."""
+        import struct
+
+        import numpy as np
+
+        h, w, _ = px.shape
+        stride = ((w * 3 + 3) // 4) * 4
+        body = b"".join(
+            bytes(px[r].reshape(-1)) + b"\0" * (stride - w * 3) for r in range(h)
+        )
+        hdr = (
+            b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+        )
+        assert np.uint8 is px.dtype.type
+        return hdr + body
+
+    @staticmethod
+    def _gradient(w=36, h=24, seed=0):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        base = np.linspace(0, 200, w, dtype=np.uint8)
+        img = np.tile(base, (h, 1))[:, :, None].repeat(3, axis=2)
+        return (img + rng.randint(0, 8, img.shape)).astype(np.uint8)
+
+    def test_dhash_brightness_invariant(self):
+        import numpy as np
+
+        img = self._gradient()
+        h1 = multimodal.dhash64(self._bmp(img))
+        h2 = multimodal.dhash64(self._bmp(np.clip(img.astype(int) + 20, 0, 255).astype(np.uint8)))
+        assert h1 is not None and h1 == h2  # uniform shift: same differences
+
+    def test_dhash_rejects_tiny_and_garbage(self):
+        import numpy as np
+
+        assert multimodal.dhash64(b"not a bitmap") is None
+        tiny = np.zeros((4, 4, 3), dtype=np.uint8)
+        assert multimodal.dhash64(self._bmp(tiny)) is None  # < 9x8 grid
+
+    def test_near_pair_found_distinct_not(self, spark):
+        import numpy as np
+
+        base = self._gradient(seed=1)
+        near = base.copy()
+        near[0, 0] = [255, 255, 255]  # one-pixel change
+        far = self._gradient(seed=2)[:, ::-1]  # reversed gradient
+        rows = [("a", bytearray(self._bmp(base))),
+                ("b", bytearray(self._bmp(near))),
+                ("c", bytearray(self._bmp(far))),
+                ("junk", bytearray(b"JJ"))]
+        df = spark.createDataFrame(rows, "path string, content binary")
+        got = {(r["path_a"], r["path_b"]): r["hamming"]
+               for r in multimodal.image_near_dup_pairs(df, max_hamming=3).collect()}
+        assert ("a", "b") in got and got[("a", "b")] <= 3
+        assert not any("c" in p or "junk" in p for p in got)
+
+    def test_banded_join_matches_bruteforce(self, spark):
+        """Random 64-bit signatures (incl. negatives): the banded join
+        must return EXACTLY the brute-force Hamming-<=k pair set."""
+        import random
+
+        rng = random.Random(11)
+        sigs = []
+        for i in range(60):
+            v = rng.getrandbits(64)
+            sigs.append((f"id{i:02d}", v - (1 << 64) if v >= (1 << 63) else v))
+        # plant close pairs: flip 1-3 bits of existing sigs
+        for j, (src, flips) in enumerate([(3, 1), (17, 2), (42, 3), (5, 7)]):
+            v = sigs[src][1]
+            for b in rng.sample(range(64), flips):
+                v ^= 1 << b
+            v &= (1 << 64) - 1
+            sigs.append((f"nd{j}", v - (1 << 64) if v >= (1 << 63) else v))
+        expect = set()
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                a, b = sorted((sigs[i][0], sigs[j][0]))
+                d = bin((sigs[i][1] ^ sigs[j][1]) & ((1 << 64) - 1)).count("1")
+                if d <= 3:
+                    expect.add((a, b, d))
+        df = spark.createDataFrame(sigs, "pid string, sig long")
+        got = {(r["pid_a"], r["pid_b"], r["hamming"])
+               for r in dedup.hamming_near_pairs(
+                   df, "pid", "sig", fp_bits=64, max_hamming=3, bands=4
+               ).collect()}
+        assert got == expect and len(expect) >= 3
