@@ -167,6 +167,26 @@ def decode_wav_samples(b: bytes) -> dict | None:
     [0, 1]); ``None`` for non-WAV or compressed/esoteric encodings
     (those need a real codec — see the ``decoder=`` injection point).
     """
+    got = _wav_pcm(b)
+    if got is None:
+        return None
+    import numpy as np
+
+    x, nch, rate, byte_rate, data_len = got
+    n = len(x) // max(nch, 1)
+    return {
+        "format": "wav", "channels": nch, "sample_rate": rate,
+        "duration_ms": (data_len * 1000 // byte_rate) if byte_rate else None,
+        "n_samples": n,
+        "rms": float(np.sqrt((x * x).mean())) if len(x) else 0.0,
+        "peak": float(np.abs(x).max()) if len(x) else 0.0,
+    }
+
+
+def _wav_pcm(b: bytes):
+    """Shared PCM reader: ``(x, nch, rate, byte_rate, data_len)`` with
+    ``x`` the normalized [-1, 1] float64 sample stream (channels still
+    interleaved), or ``None`` for non-WAV / compressed encodings."""
     if len(b) < 36 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     import struct
@@ -197,14 +217,7 @@ def decode_wav_samples(b: bytes) -> dict | None:
         x /= 32768.0
     else:
         x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
-    n = len(x) // max(nch, 1)
-    return {
-        "format": "wav", "channels": nch, "sample_rate": rate,
-        "duration_ms": (len(data) * 1000 // byte_rate) if byte_rate else None,
-        "n_samples": n,
-        "rms": float(np.sqrt((x * x).mean())) if len(x) else 0.0,
-        "peak": float(np.abs(x).max()) if len(x) else 0.0,
-    }
+    return x, nch, rate, byte_rate, len(data)
 
 
 def _bmp_pixel_rows(b: bytes):
@@ -465,17 +478,17 @@ def resize_images(
     return df.mapInPandas(run, schema=df.schema)
 
 
-def perceptual_hash_images(
+def media_fingerprints(
     df: DataFrame,
+    hasher: Callable[[bytes], int | None],
     *,
     content_col: str = "content",
     path_col: str = "path",
-    hasher: Callable[[bytes], int | None] = dhash64,
 ) -> DataFrame:
-    """Perceptual fingerprint stage: ``(path, phash)`` with ``phash``
-    a signed 64-bit dHash (null where the kernel can't decode).  Arrow-
-    batched ``mapInPandas`` like every media kernel here — bytes never
-    leave the executor, one output row per input row."""
+    """Generic 64-bit media fingerprint stage: ``(path, phash)`` with
+    ``phash`` signed 64-bit (null where the kernel can't decode).
+    Arrow-batched ``mapInPandas`` like every media kernel here — bytes
+    never leave the executor, one output row per input row."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -486,6 +499,19 @@ def perceptual_hash_images(
             )
 
     return df.mapInPandas(run, schema="path string, phash long")
+
+
+def perceptual_hash_images(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    path_col: str = "path",
+    hasher: Callable[[bytes], int | None] = dhash64,
+) -> DataFrame:
+    """Image dHash fingerprints — see :func:`media_fingerprints`."""
+    return media_fingerprints(
+        df, hasher, content_col=content_col, path_col=path_col
+    )
 
 
 def image_near_dup_pairs(
@@ -509,6 +535,76 @@ def image_near_dup_pairs(
 
     sig = perceptual_hash_images(
         df, content_col=content_col, path_col=path_col, hasher=hasher
+    ).where(F.col("phash").isNotNull())
+    return hamming_near_pairs(
+        sig, "path", "phash",
+        fp_bits=64, max_hamming=max_hamming, bands=bands,
+    )
+
+
+def audio_fingerprint64(content: bytes) -> int | None:
+    """64-bit spectral fingerprint over real PCM WAV samples: mono mix →
+    8 equal time slices → FFT magnitude spectrum per slice → 8 linear
+    frequency-band energies → bit ``(t, j)`` set iff band ``j``'s energy
+    exceeds the slice's MEDIAN band energy.  Comparing each band to the
+    slice median (not its neighbour) keeps near-silent bands stable
+    under re-quantization noise — the dominant perturbation when the
+    "near duplicate" is the same clip re-encoded at a different bit
+    depth or gain (both test-pinned).  Gain-invariant by construction
+    (a scalar gain scales every band energy equally).
+
+    Pure numpy (``np.fft.rfft``) over :func:`_wav_pcm`; ``None`` for
+    undecodable bytes or clips under 128 mono samples (too short for a
+    meaningful 8x8 time-frequency grid).  Like :func:`dhash64`, swap a
+    codec-backed PCM reader in via the ``hasher=`` hook for non-WAV
+    containers."""
+    import numpy as np
+
+    got = _wav_pcm(content) if content else None
+    if got is None:
+        return None
+    x, nch, _rate, _br, _dl = got
+    nch = max(nch, 1)
+    n = len(x) // nch
+    if n < 128:
+        return None
+    mono = x[: n * nch].reshape(n, nch).mean(axis=1)
+    ns = n // 8
+    v = 0
+    for t in range(8):
+        spec = np.abs(np.fft.rfft(mono[t * ns:(t + 1) * ns]))
+        spec[0] = 0.0  # DC carries offset, not content
+        edges = np.linspace(0, len(spec), 9).astype(int)
+        e = np.array([
+            float((spec[edges[j]:edges[j + 1]] ** 2).sum()) for j in range(8)
+        ])
+        med = float(np.median(e))
+        for j in range(8):
+            v = (v << 1) | int(e[j] > med)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    path_col: str = "path",
+    max_hamming: int = 5,
+    bands: int = 8,
+    hasher: Callable[[bytes], int | None] = audio_fingerprint64,
+) -> DataFrame:
+    """Audio near-duplicate pairs — the audio twin of
+    :func:`image_near_dup_pairs`: spectral fingerprints from
+    :func:`audio_fingerprint64`, candidates from the same lossless
+    pigeonhole banding (``dedup.hamming_near_pairs``).  Default 8 bands
+    = 8-bit keys: a SMALL keyspace (256/band), fine for collection-
+    scale audio sets; drop ``max_hamming`` below 4 and use ``bands=4``
+    (16-bit keys) when corpus-scale occupancy bites, exactly per the
+    banding scale notes on ``dedup.simhash_near_pairs``."""
+    from .dedup import hamming_near_pairs
+
+    sig = media_fingerprints(
+        df, hasher, content_col=content_col, path_col=path_col
     ).where(F.col("phash").isNotNull())
     return hamming_near_pairs(
         sig, "path", "phash",

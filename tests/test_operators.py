@@ -3378,3 +3378,68 @@ class TestImageNearDup:
                    df, "pid", "sig", fp_bits=64, max_hamming=3, bands=4
                ).collect()}
         assert got == expect and len(expect) >= 3
+
+
+class TestAudioNearDup:
+    """Spectral fingerprint (``multimodal.audio_fingerprint64``) + the
+    shared banded Hamming join, over REAL constructed PCM WAVs."""
+
+    @staticmethod
+    def _wav(x, *, rate=8000, bps=16):
+        """16-bit (or 8-bit) mono PCM WAV from a float array in [-1, 1]."""
+        import struct
+
+        import numpy as np
+
+        if bps == 16:
+            pcm = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        else:
+            pcm = (np.clip(x, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+        blk = bps // 8
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * blk, blk, bps)
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+        )
+
+    @staticmethod
+    def _tone_mix(f1, f2, *, n=4096, rate=8000):
+        import numpy as np
+
+        t = np.arange(n) / rate
+        return 0.55 * np.sin(2 * np.pi * f1 * t) + 0.33 * np.sin(2 * np.pi * f2 * t)
+
+    def test_gain_invariant(self):
+        x = self._tone_mix(500, 1900)
+        h1 = multimodal.audio_fingerprint64(self._wav(x))
+        h2 = multimodal.audio_fingerprint64(self._wav(x * 0.5))
+        assert h1 is not None and h1 == h2
+
+    def test_requantization_is_near(self):
+        x = self._tone_mix(500, 1900)
+        h16 = multimodal.audio_fingerprint64(self._wav(x, bps=16))
+        h8 = multimodal.audio_fingerprint64(self._wav(x, bps=8))
+        d = bin((h16 ^ h8) & ((1 << 64) - 1)).count("1")
+        assert d <= 5  # re-encode at lower depth stays a near-dup
+
+    def test_rejects_short_and_garbage(self):
+        import numpy as np
+
+        assert multimodal.audio_fingerprint64(b"RIFFjunk") is None
+        assert multimodal.audio_fingerprint64(
+            self._wav(np.zeros(64))) is None  # < 128 mono samples
+
+    def test_pairs_end_to_end(self, spark):
+        a = self._tone_mix(500, 1900)
+        c = self._tone_mix(3100, 700)
+        rows = [
+            ("a16", bytearray(self._wav(a, bps=16))),
+            ("a8", bytearray(self._wav(a, bps=8))),
+            ("c16", bytearray(self._wav(c, bps=16))),
+            ("junk", bytearray(b"nope")),
+        ]
+        df = spark.createDataFrame(rows, "path string, content binary")
+        got = {(r["path_a"], r["path_b"]): r["hamming"]
+               for r in multimodal.audio_near_dup_pairs(df).collect()}
+        assert ("a16", "a8") in got
+        assert not any("c16" in p or "junk" in p for p in got)
