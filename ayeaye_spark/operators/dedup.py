@@ -590,29 +590,79 @@ def ngram_jaccard_pairs(
             F.array_distinct("shingle_hashes").alias("_hashset"),
             *([F.col(block_col).alias("_block")] if block_col else []),
         )
-    # one shingle pass serves both self-join aliases AND the exact-verify
-    # set lookups in the max_shingle_df path (pre-explode form: smallest
-    # stored footprint)
+    return _jaccard_join_prepped(
+        prepped, id_col, threshold=threshold,
+        has_block=bool(block_col), max_item_df=max_shingle_df,
+        n_rows=lambda: df.select(id_col).count(),
+    )
+
+
+def set_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    *,
+    threshold: float = 0.3,
+    block_col: str | None = None,
+    max_item_df: int | str | None = None,
+) -> DataFrame:
+    """Exact set-similarity self-join over a PRECOMPUTED set column
+    (any orderable element type) — the inverted-index core of
+    :func:`ngram_jaccard_pairs` exposed for non-text sets: video
+    frame-hash sequences, tag sets, feature-id baskets.  Same plan
+    shape, same ``max_item_df`` hot-element pruning knob (``"auto"`` =
+    1% of rows, floor 100), same exact-verify guarantee."""
+    if threshold <= 0:
+        raise ValueError("inverted-index jaccard join requires threshold > 0")
+    _tune_session(df)
+    prepped = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(F.col(set_col)).alias("_hashset"),
+        *([F.col(block_col).alias("_block")] if block_col else []),
+    )
+    return _jaccard_join_prepped(
+        prepped, id_col, threshold=threshold,
+        has_block=bool(block_col), max_item_df=max_item_df,
+        n_rows=lambda: df.count(),
+    )
+
+
+def _jaccard_join_prepped(
+    prepped: DataFrame,
+    id_col: str,
+    *,
+    threshold: float,
+    has_block: bool,
+    max_item_df: int | str | None,
+    n_rows,
+) -> DataFrame:
+    """Shared inverted-index Jaccard join over a ``(_id, _hashset
+    [, _block])`` frame (see :func:`ngram_jaccard_pairs` for the full
+    plan-shape and pruning discussion).  ``n_rows`` is a thunk so the
+    corpus count is only paid when ``max_item_df="auto"``."""
+    # one set-build pass serves both self-join aliases AND the
+    # exact-verify set lookups in the max_item_df path (pre-explode
+    # form: smallest stored footprint)
     prepped = prepped.withColumn("_size", F.size("_hashset")).localCheckpoint(eager=False)
     exploded = prepped.select(
-        "_id", "_size", *(["_block"] if block_col else []),
+        "_id", "_size", *(["_block"] if has_block else []),
         F.explode("_hashset").alias("_h"),
     )
-    join_keys = ["_h"] + (["_block"] if block_col else [])
+    join_keys = ["_h"] + (["_block"] if has_block else [])
 
+    max_shingle_df = max_item_df
     if isinstance(max_shingle_df, str):
         if max_shingle_df != "auto":
             # fail at call time — an unrecognized string would otherwise
             # reach the numeric DF comparison (ANSI: mid-job cast crash;
             # non-ANSI: NULL predicate → silently zero pairs)
             raise ValueError(
-                f"max_shingle_df must be an int, None, or 'auto'; got {max_shingle_df!r}"
+                f"max_item_df must be an int, None, or 'auto'; got {max_shingle_df!r}"
             )
-        # scale default: prune shingles present in >1% of docs (floor
-        # 100 so small corpora are never pruned).  One count() over the
-        # pruned id projection — the price of not asking the caller to
-        # know their corpus size.
-        max_shingle_df = max(100, df.select(id_col).count() // 100)
+        # scale default: prune elements present in >1% of rows (floor
+        # 100 so small corpora are never pruned).  One count() — the
+        # price of not asking the caller to know their corpus size.
+        max_shingle_df = max(100, n_rows() // 100)
     if max_shingle_df is not None:
         # candidates from RARE shingles only; exact jaccard re-computed
         # from the FULL hash sets afterwards (join-count intersections

@@ -610,3 +610,77 @@ def audio_near_dup_pairs(
         sig, "path", "phash",
         fp_bits=64, max_hamming=max_hamming, bands=bands,
     )
+
+
+def split_bmp_frames(b: bytes) -> list[bytes]:
+    """Frame splitter for the concatenated-BMP container (the
+    codec-free stand-in for real video: each frame is a complete BMP,
+    sizes from the declared header field).  Stops at the first
+    non-frame byte; ``[]`` for non-video bytes.  Swap a real demuxer in
+    via the ``splitter=`` hook of :func:`video_frame_signatures`."""
+    import struct
+
+    frames, pos = [], 0
+    while pos + 6 <= len(b) and b[pos:pos + 2] == b"BM":
+        size = struct.unpack("<I", b[pos + 2:pos + 6])[0]
+        if size < 54 or pos + size > len(b):
+            break
+        frames.append(b[pos:pos + size])
+        pos += size
+    return frames
+
+
+def video_frame_signatures(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    path_col: str = "path",
+    splitter: Callable[[bytes], list] = split_bmp_frames,
+    frame_hasher: Callable[[bytes], int | None] = dhash64,
+) -> DataFrame:
+    """Per-clip frame-hash signature: ``(path, frame_hashes
+    array<long>)`` — one perceptual hash per decodable frame, in frame
+    order.  Null row where no frame decodes.  Arrow-batched
+    ``mapInPandas``; both the demuxer and the frame hasher are
+    pluggable kernels, per the module contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for b in pdf[content_col]:
+                hashes = [frame_hasher(fr) for fr in splitter(b)] if b else []
+                hashes = [h for h in hashes if h is not None]
+                sigs.append(hashes or None)
+            yield pd.DataFrame({"path": pdf[path_col], "frame_hashes": sigs})
+
+    return df.mapInPandas(run, schema="path string, frame_hashes array<long>")
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    path_col: str = "path",
+    threshold: float = 0.5,
+    max_frame_df: int | str | None = None,
+    splitter: Callable[[bytes], list] = split_bmp_frames,
+    frame_hasher: Callable[[bytes], int | None] = dhash64,
+) -> DataFrame:
+    """Video near-duplicate pairs: clips whose DISTINCT frame-hash sets
+    overlap with Jaccard >= ``threshold`` (re-cut / re-ordered /
+    trimmed copies share most exact frame hashes).  Candidates come
+    from the shared inverted-index core (``dedup.set_jaccard_pairs``)
+    keyed on individual frame hashes — never an all-pairs scan; a
+    title-card frame shared corpus-wide is the hot-key analogue of a
+    boilerplate shingle, prunable with ``max_frame_df`` exactly like
+    ``max_shingle_df`` on text."""
+    from .dedup import set_jaccard_pairs
+
+    sig = video_frame_signatures(
+        df, content_col=content_col, path_col=path_col,
+        splitter=splitter, frame_hasher=frame_hasher,
+    ).where(F.col("frame_hashes").isNotNull())
+    return set_jaccard_pairs(
+        sig, "path", "frame_hashes",
+        threshold=threshold, max_item_df=max_frame_df,
+    )

@@ -3443,3 +3443,67 @@ class TestAudioNearDup:
                for r in multimodal.audio_near_dup_pairs(df).collect()}
         assert ("a16", "a8") in got
         assert not any("c16" in p or "junk" in p for p in got)
+
+
+class TestVideoNearDup:
+    """Concatenated-BMP 'video' → per-frame dHash sets → shared
+    inverted-index Jaccard join (``dedup.set_jaccard_pairs``)."""
+
+    @staticmethod
+    def _frame(seed):
+        """Structurally distinct frames: horizontal sine pattern whose
+        frequency/phase vary per seed (seed-noise alone leaves the
+        block-mean dHash identical across frames)."""
+        import numpy as np
+
+        w, h = 36, 24
+        x = np.arange(w)
+        wave = 128 + 100 * np.sin(
+            2 * np.pi * (x / w * (1 + seed % 5)) + seed * 0.7
+        )
+        img = np.tile(wave.astype(np.uint8), (h, 1))[:, :, None].repeat(3, axis=2)
+        return TestImageNearDup._bmp(img.astype(np.uint8))
+
+    def test_split_roundtrip(self):
+        frames = [self._frame(i) for i in range(3)]
+        got = multimodal.split_bmp_frames(b"".join(frames))
+        assert got == frames
+        assert multimodal.split_bmp_frames(b"not video") == []
+
+    def test_pairs_end_to_end(self, spark):
+        import numpy as np
+
+        a = [self._frame(i) for i in range(6)]          # f0..f5
+        b = [self._frame(99)] + a[1:]                    # one swapped frame
+        c = [self._frame(i) for i in range(10, 16)]      # unrelated clip
+        rows = [("a", bytearray(b"".join(a))),
+                ("b", bytearray(b"".join(b))),
+                ("c", bytearray(b"".join(c))),
+                ("junk", bytearray(b"JJ"))]
+        df = spark.createDataFrame(rows, "path string, content binary")
+        got = {(r["path_a"], r["path_b"]): r["jaccard"]
+               for r in multimodal.video_near_dup_pairs(df, threshold=0.5).collect()}
+        assert ("a", "b") in got and got[("a", "b")] >= 5 / 7
+        assert not any("c" in p or "junk" in p for p in got)
+
+    def test_set_jaccard_matches_bruteforce(self, spark):
+        """Generic core on integer sets: exact vs python brute force."""
+        import random
+
+        rng = random.Random(3)
+        rows = [(f"s{i}", sorted(rng.sample(range(40), rng.randint(3, 12))))
+                for i in range(30)]
+        from ayeaye_spark.operators.dedup import set_jaccard_pairs
+
+        df = spark.createDataFrame(rows, "sid string, items array<int>")
+        got = {(r["sid_a"], r["sid_b"]): round(r["jaccard"], 9)
+               for r in set_jaccard_pairs(df, "sid", "items", threshold=0.3).collect()}
+        expect = {}
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                sa, sb = set(rows[i][1]), set(rows[j][1])
+                jac = len(sa & sb) / len(sa | sb)
+                if jac >= 0.3:
+                    a, b = sorted((rows[i][0], rows[j][0]))
+                    expect[(a, b)] = round(jac, 9)
+        assert got == expect and len(expect) >= 2
