@@ -5897,7 +5897,10 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "q5_region_nation_revenue",
     "q6_forecast_revenue",
     "q10_returned_items",
-    "q4_priority_returned",
+    # q4's EXISTS-subquery family stays covered in-window by q21/q22;
+    # its slot carries the round-6 interval-analytics family (sweep-line
+    # peak concurrency).  q4 itself remains oracle-gate-verified.
+    "events_peak_concurrency_daily",
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
