@@ -496,45 +496,16 @@ def simhash_near_pairs(
     prefer the capped MinHash path; the chunk join here is the textbook
     formulation.
     """
-    if max_hamming >= bands:
-        raise ValueError("pigeonhole banding needs max_hamming < bands")
-    if fp_bits % bands:
-        raise ValueError("bands must divide fp_bits")
-    width = fp_bits // bands
-    mask = (1 << width) - 1
     if signature == "vectorized":
         sig = simhash_vectorized(df, id_col, text_col, fp_bits=fp_bits)
     else:
         sig = with_simhash(df, text_col, fp_bits=fp_bits).select(
             F.col(id_col), F.col("simhash")
         )
-    sig = sig.select(F.col(id_col).alias("_id"), "simhash").localCheckpoint(eager=False)
-    chunks = sig.select(
-        "_id", "simhash",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(c).alias("c"),
-                (F.shiftright("simhash", c * width).bitwiseAND(F.lit(mask))).alias("v"),
-            )
-            for c in range(bands)
-        ])).alias("chunk"),
-    ).select("_id", "simhash", "chunk.c", "chunk.v")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.v") == F.col("b.v"))
-               & (F.col("a._id") < F.col("b._id")))
-        .select(
-            F.col("a._id").alias(f"{id_col}_a"),
-            F.col("b._id").alias(f"{id_col}_b"),
-            F.col("a.simhash").alias("_sa"),
-            F.col("b.simhash").alias("_sb"),
-        )
-        .distinct()  # a close pair can collide in several chunks
+    return hamming_near_pairs(
+        sig, id_col, "simhash",
+        fp_bits=fp_bits, max_hamming=max_hamming, bands=bands,
     )
-    return pairs.select(
-        f"{id_col}_a", f"{id_col}_b",
-        F.bit_count(F.expr("_sa ^ _sb")).cast("int").alias("hamming"),
-    ).where(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(
