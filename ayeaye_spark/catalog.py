@@ -5877,6 +5877,97 @@ def events_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "events_value_quantile_sketch_rollup",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             {P.money_cents("value", DUCK)} AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT day, {P.log2_linear_bucket("cents", DUCK)} AS bucket FROM c
+    ),
+    cells AS (
+      SELECT day, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT CAST(date_trunc('month', day) AS DATE) AS month, bucket,
+             SUM(cnt) AS cnt
+      FROM cells GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT month, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY month ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY month) AS n,
+             {P.log2_linear_bucket_ub("bucket", DUCK)} AS ub
+      FROM m
+    )
+    SELECT month, CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN ub END) AS BIGINT)
+             AS p50_ub_cents,
+           CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN ub END) AS BIGINT)
+             AS p90_ub_cents,
+           CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN ub END) AS BIGINT)
+             AS p99_ub_cents
+    FROM w GROUP BY month
+    """,
+)
+def events_value_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable QUANTILE rollup — the quantile analogue of
+    ``events_hll_rollup_reaggregate``, but DETERMINISTIC, so unlike the
+    HLL entry it carries a full value-exact oracle.  Daily
+    ``(day, log2-linear bucket, count)`` cells are the stored rollup
+    (DDSketch-shaped: 8 sub-buckets per octave via pure integer
+    ``length(bin(cents))`` math — bit-portable across engines,
+    ``functions/portable.py:log2_linear_bucket``); any coarser slice
+    (here: monthly p50/p90/p99 upper bounds, < 12.5% above the true
+    quantile by construction) re-aggregates the cells by SUMMING
+    COUNTS — the fact table is never rescanned.
+
+    Scale shape: two map-side-combined aggregates (events → daily
+    cells → monthly cells); the only windows run over the monthly
+    BUCKET frame (≤ ~150 rows per month, aggregate-first — passes the
+    SinglePartition invariant).  Accuracy bound pinned against exact
+    percentiles in ``tests/test_catalog.py``."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # inline-once rule: cents is projected before the bucket expression
+    cents = ev.selectExpr(
+        "CAST(ts AS DATE) AS day", f"{P.money_cents('value', SPARK)} AS cents"
+    )
+    bucketed = cents.selectExpr(
+        "day", f"{P.log2_linear_bucket('cents', SPARK)} AS bucket"
+    )
+    cells = bucketed.groupBy("day", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    monthly = cells.groupBy(
+        F.trunc("day", "month").alias("month"), "bucket"
+    ).agg(F.sum("cnt").alias("cnt"))
+    wcum = (
+        Window.partitionBy("month").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("month")
+    w = monthly.select(
+        "month",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+        F.expr(P.log2_linear_bucket_ub("bucket", SPARK)).alias("ub"),
+    )
+    # ranks via INTEGER division (matching the oracle's // — float /
+    # would shift ceil((9n+9)/10) up whenever 10 doesn't divide evenly)
+    pick = lambda rank_expr: F.min(  # noqa: E731
+        F.when(F.col("cum") >= F.expr(rank_expr), F.col("ub"))
+    )
+    return w.groupBy("month").agg(
+        F.max("n").alias("n_events"),
+        pick("(n + 1) div 2").cast("long").alias("p50_ub_cents"),
+        pick("(9 * n + 9) div 10").cast("long").alias("p90_ub_cents"),
+        pick("(99 * n + 99) div 100").cast("long").alias("p99_ub_cents"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -689,3 +689,42 @@ def random_project(
         f"(acc, c) -> acc + c)"
     )
     return f"list_transform({lit}, s -> {inner})"
+
+
+# -------------------------------------------------- log2-linear sketching
+def money_cents(col: str, d: str) -> str:
+    """Portable exact integer cents: the DECIMAL(18,2) intermediate
+    pins half-up rounding in BOTH engines (a bare double*100 cast
+    truncates in Spark and rounds in DuckDB)."""
+    _check(d)
+    return f"CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def log2_linear_bucket(c: str, d: str) -> str:
+    """DDSketch-shaped bucket id for a POSITIVE BIGINT expression:
+    values < 16 get their own bucket; otherwise
+    ``msb * 16 + (c >> (msb - 4))`` — 8 sub-buckets per octave, so the
+    bucket's value range is < 12.5% of its lower edge.  All-integer
+    (``length(bin(c))`` is the msb position in both engines), hence
+    bit-portable, monotone in ``c``, and MERGEABLE: cells re-aggregate
+    by summing counts, exactly like an HLL rollup but for quantiles.
+    Inline-once rule applies — project ``c`` as its own column first."""
+    _check(d)
+    msb = f"length(bin({c}))"
+    if d == SPARK:
+        shifted = f"({c} div shiftleft(1L, {msb} - 4))"
+    else:
+        shifted = f"({c} // (1::BIGINT << ({msb} - 4)))"
+    return f"(CASE WHEN {msb} <= 4 THEN {c} ELSE {msb} * 16 + {shifted} END)"
+
+
+def log2_linear_bucket_ub(b: str, d: str) -> str:
+    """Inclusive upper bound (same unit as ``c``) of a
+    :func:`log2_linear_bucket` id — the deterministic value a quantile
+    estimate reports for the bucket where the rank lands."""
+    _check(d)
+    if d == SPARK:
+        hi = f"(shiftleft(1L, ({b} div 16) - 4) * (({b} % 16) + 1) - 1)"
+    else:
+        hi = f"((1::BIGINT << (({b} // 16) - 4)) * (({b} % 16) + 1) - 1)"
+    return f"(CASE WHEN {b} <= 15 THEN {b} ELSE {hi} END)"

@@ -289,3 +289,82 @@ class TestHllRollupReaggregate:
             assert abs(approx - exact) <= max(1, int(0.02 * exact)), et
             # union of daily sketches == one sketch over everything
             assert approx == direct[et], et
+
+
+class TestQuantileSketchRollup:
+    """Deterministic log2-linear quantile rollup
+    (``events_value_quantile_sketch_rollup``): the reported bucket
+    upper bound brackets the exact quantile from above within the
+    documented 12.5% relative slack, and the daily cells are mergeable
+    (monthly answer == cells built directly at month grain)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_bounds_bracket_exact_quantiles(self, spark):
+        from pyspark.sql import functions as F
+
+        from ayeaye_spark import catalog as cat
+
+        rows = cat.QUERIES["events_value_quantile_sketch_rollup"](
+            spark, self.SF
+        ).collect()
+        assert rows
+        events = cat.load(spark, self.SF, "events").where(
+            F.col("value").isNotNull()
+        )
+        cents = events.selectExpr(
+            "trunc(CAST(ts AS DATE), 'month') AS month",
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c",
+        )
+        for r in rows:
+            month_cents = sorted(
+                x["c"] for x in cents.where(F.col("month") == r["month"]).collect()
+            )
+            n = len(month_cents)
+            assert r["n_events"] == n
+            for q, col in ((0.5, "p50_ub_cents"), (0.9, "p90_ub_cents"),
+                           (0.99, "p99_ub_cents")):
+                # exact type-1 quantile: the ceil(q*n)-th smallest
+                import math
+
+                exact = month_cents[math.ceil(q * n) - 1]
+                ub = r[col]
+                assert ub >= exact, (col, ub, exact)
+                if exact >= 16:
+                    assert (ub - exact) / exact < 0.125, (col, ub, exact)
+
+    def test_cells_merge_losslessly(self, spark):
+        """Summing daily cells to month == bucketing directly at month
+        grain — the mergeability claim, pinned."""
+        from pyspark.sql import functions as F
+
+        from ayeaye_spark import catalog as cat
+        from ayeaye_spark.functions import portable as P
+
+        events = cat.load(spark, self.SF, "events").where(
+            F.col("value").isNotNull()
+        )
+        cents = events.selectExpr(
+            "CAST(ts AS DATE) AS day",
+            f"{P.money_cents('value', P.SPARK)} AS cents",
+        )
+        bucketed = cents.selectExpr(
+            "day", f"{P.log2_linear_bucket('cents', P.SPARK)} AS bucket"
+        )
+        via_daily = {
+            (str(r["month"]), r["bucket"]): r["cnt"]
+            for r in bucketed.groupBy("day", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy(F.trunc("day", "month").alias("month"), "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        direct = {
+            (str(r["month"]), r["bucket"]): r["cnt"]
+            for r in bucketed.groupBy(
+                F.trunc("day", "month").alias("month"), "bucket"
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert via_daily == direct and direct
