@@ -57,9 +57,50 @@ class MediaDedupPipeline(Model):
         self.log(f"kept {len(kept_paths)} of {self.stats['n_files']} media files")
 
 
+class PerceptualMediaDedup(Model):
+    """Perceptual variant: near-dups by IMAGE CONTENT, not identical
+    bytes — dHash fingerprints over real decoded pixels, candidates via
+    the lossless banded Hamming join (no all-pairs scan), min-path
+    survivor per duplicate pair.  A re-saved / slightly-edited copy of
+    an image dedupes here where byte- or feature-hash equality misses
+    it."""
+
+    keep_manifest = Connect(
+        engine_url="json://{output_path}/media_phash_manifest.json;indent=2",
+        access=AccessMode.WRITE,
+    )
+
+    media_dir: str = "{media_path}"
+    max_hamming = 3
+
+    def build(self):
+        from ayeaye_spark import connector_resolver
+        from ayeaye_spark.operators.multimodal import image_near_dup_pairs
+
+        media_path = connector_resolver.resolve(self.media_dir)
+        media = read_binary_dir(self.spark, media_path, "image")
+        self.add_stat("n_files", media.count())
+
+        pairs = image_near_dup_pairs(media, max_hamming=self.max_hamming)
+        # keep the lexicographically-smaller path of each near-dup pair
+        dropped = pairs.select(
+            F.greatest("path_a", "path_b").alias("path")
+        ).distinct()
+        keep = media.select("path").join(dropped, on="path", how="left_anti")
+
+        kept_paths = sorted(r["path"] for r in keep.collect())
+        self.keep_manifest.data = {
+            "kept": kept_paths,
+            "n_kept": len(kept_paths),
+            "n_dropped": self.stats["n_files"] - len(kept_paths),
+        }
+        self.log(f"kept {len(kept_paths)} of {self.stats['n_files']} media files")
+
+
 if __name__ == "__main__":
     from ayeaye_spark import connector_resolver
 
     here = os.path.dirname(os.path.abspath(__file__))
     with connector_resolver.context(media_path=os.path.join(here, "data"), output_path=here):
         MediaDedupPipeline().go()
+        PerceptualMediaDedup().go()

@@ -362,3 +362,36 @@ def test_daily_analytics_report(spark, resolver, tmp_path):
         assert DailyAnalyticsReport().go()
     rep2 = json.loads((tmp_path / "run2" / "analytics_report.json").read_text())
     assert rep2 == rep
+
+
+def test_perceptual_media_dedup(spark, resolver, tmp_path):
+    """Content-level dedup: a one-pixel-edited BMP pairs with its
+    original by dHash; a structurally different image survives."""
+    import numpy as np
+
+    from examples.media_pipeline import PerceptualMediaDedup
+    from tests.test_operators import TestImageNearDup
+
+    base = TestImageNearDup._gradient(seed=1)
+    edited = base.copy()
+    edited[0, 0] = [255, 255, 255]
+    other = TestImageNearDup._gradient(seed=2)[:, ::-1]
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "orig.bmp").write_bytes(TestImageNearDup._bmp(base))
+    (media / "resave.bmp").write_bytes(TestImageNearDup._bmp(edited))
+    (media / "other.bmp").write_bytes(TestImageNearDup._bmp(other))
+
+    with resolver.context(media_path=str(media), output_path=str(tmp_path)):
+        m = PerceptualMediaDedup()
+        m.log_to_stdout = False
+        assert m.go(spark)
+
+    import json
+
+    doc = json.load(open(tmp_path / "media_phash_manifest.json"))
+    kept = {p.rsplit("/", 1)[-1] for p in doc["kept"]}
+    assert doc["n_dropped"] == 1
+    assert "other.bmp" in kept
+    assert "orig.bmp" in kept and "resave.bmp" not in kept
