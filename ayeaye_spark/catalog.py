@@ -6029,6 +6029,57 @@ def customer_basket_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle_sql() -> str:
+    from .operators import layout
+
+    z = layout.zvalue_sql(["o_custkey", "day"], bits=10)
+    return f"""
+    WITH pts AS (
+      SELECT o_custkey,
+             datediff('day', DATE '1992-01-01', o_orderdate) AS day
+      FROM orders
+    )
+    SELECT ({z} >> 14) AS cell,
+           COUNT(*) AS n_orders,
+           MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck,
+           CAST(MIN(day) AS BIGINT) AS min_day,
+           CAST(MAX(day) AS BIGINT) AS max_day
+    FROM pts
+    GROUP BY cell
+    """
+
+
+@query("orders_zorder_cells", oracle=_zorder_oracle_sql())
+def orders_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value cells over (customer, order-day): the bit
+    -interleave that powers multi-dimensional file skipping
+    (``operators/layout.py``).  The z-value is pure shift/AND/OR on
+    longs (whole-stage codegen, integer-exact — the oracle runs the
+    IDENTICAL bit expression via ``layout.zvalue_sql``); grouping by
+    the top 6 bits yields the coarse curve cells whose per-cell
+    min/max spans show BOTH dimensions tight at once — exactly the
+    footer envelopes a z-ordered rewrite gives every file.  One
+    map-side-combined aggregate; no shuffle beyond it."""
+    from .operators import layout
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("day"),
+    )
+    z = layout.zvalue(["o_custkey", "day"], bits=10)
+    return (
+        o.withColumn("_z", z)
+        .groupBy(F.shiftright("_z", 14).alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_custkey").alias("min_ck"),
+            F.max("o_custkey").alias("max_ck"),
+            F.min("day").cast("long").alias("min_day"),
+            F.max("day").cast("long").alias("max_day"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

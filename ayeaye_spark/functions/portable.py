@@ -602,29 +602,47 @@ def gopher_pass(s: str, toks: str, d: str) -> str:
 
 
 # ------------------------------------------------------------ data layout
-def zorder_key2(x: str, y: str, bits: int, d: str) -> str:
-    """Morton (Z-order) key: interleave the low ``bits`` bits of two
-    nonnegative integer expressions (x in even positions, y in odd).
+def zorder_key(cols: list[str], bits: int) -> str:
+    """N-dimensional Morton (Z-order) key: interleave the low ``bits``
+    bits of each nonnegative integer expression (bit i of dimension d
+    lands at output bit ``i * n_dims + d``).
 
-    Rows sorted by this key cluster in BOTH dimensions at once — the
-    multi-column data-skipping layout (Delta OPTIMIZE ZORDER's core):
-    a range-partitioned write on the key gives every file a tight
-    min/max envelope on x AND y, where a single-column sort only
-    tightens one.  Inputs must already be range-bucketized to
+    Rows sorted by this key cluster in ALL listed dimensions at once —
+    the multi-column data-skipping layout (Delta OPTIMIZE ZORDER's
+    core): a range-partitioned write on the key gives every file a
+    tight min/max envelope on every dimension, where a single-column
+    sort only tightens one.  Inputs should be range-bucketized to
     ``[0, 2^bits)`` (quantization preserves locality; a modulo would
-    destroy it)."""
+    destroy it); out-of-range values are masked so the expression is
+    total.  The emitted text (``& | << >>``, fully parenthesized) is
+    probe-verified identical in Spark SQL and DuckDB, so ONE string
+    serves query and oracle — the single source of the bit math
+    (``operators/layout.py`` Column twin and :func:`zorder_key2` both
+    delegate here)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key needs >= 2 columns (1-D z-order is a sort)")
+    if bits < 1 or n * bits > 63:
+        raise ValueError(
+            f"bits={bits} x {n} dims must fit a signed 64-bit long "
+            "(n_cols * bits <= 63)"
+        )
+    mask = (1 << bits) - 1
+    terms = [
+        f"((((CAST({c} AS BIGINT) & {mask}) >> {i}) & 1) << {i * n + d})"
+        for d, c in enumerate(cols)
+        for i in range(bits)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_key2(x: str, y: str, bits: int, d: str) -> str:
+    """Two-dimensional Morton key (x in even bit positions, y in odd) —
+    the dialect-tagged wrapper kept for existing call sites; the bit
+    math lives once in :func:`zorder_key` (whose text is dialect-shared,
+    so ``d`` only validates)."""
     _check(d)
-    terms = []
-    for b in range(bits):
-        if d == SPARK:
-            xb = f"(shiftright({x}, {b}) & 1)"
-            yb = f"(shiftright({y}, {b}) & 1)"
-        else:
-            xb = f"(({x} >> {b}) & 1)"
-            yb = f"(({y} >> {b}) & 1)"
-        terms.append(f"({xb} * {1 << (2 * b)})")
-        terms.append(f"({yb} * {1 << (2 * b + 1)})")
-    return "(" + " + ".join(terms) + ")"
+    return zorder_key([x, y], bits)
 
 
 def rp_sign_matrix(

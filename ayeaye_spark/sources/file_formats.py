@@ -318,8 +318,26 @@ class _ColumnarLayoutWriter:
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         self._require_write()
         sort_by = self.connector_kwargs.get("sort_by")
+        zorder_by = self.connector_kwargs.get("zorder_by")
+        if sort_by and zorder_by:
+            raise ConnectorError(
+                "sort_by and zorder_by are mutually exclusive layouts"
+            )
         if sort_by:
             df = _apply_clustered_layout(df, sort_by)
+        if zorder_by:
+            # (n, cols) or cols: multi-dimensional Morton-curve layout —
+            # every output file gets a tight min/max envelope on EVERY
+            # listed column (operators/layout.py), same single shuffle
+            # as sort_by
+            from ..operators.layout import zorder_frame
+
+            if isinstance(zorder_by, tuple) and isinstance(zorder_by[0], int):
+                n_files, cols = zorder_by
+            else:
+                n_files, cols = 16, zorder_by
+            cols = [cols] if isinstance(cols, str) else list(cols)
+            df = zorder_frame(df, cols, target_files=n_files)
         writer = df.write.mode(mode)
         partition_by = self.connector_kwargs.get("partition_by")
         if partition_by:
