@@ -6158,12 +6158,15 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "docs_token_budget",
     "docs_pack_sequences",
     "decontaminate_splits",
-    # deduplication family
+    # deduplication family (4 in-window representatives; the round-6
+    # rotation moved dedup_incremental_survivors to the oracle gate to
+    # put the data-layout family under the driver's hard check)
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_transitive_components",
-    "dedup_incremental_survivors",
     "dedup_simhash_near_pairs",
+    # data layout: N-dim Morton z-value cells (operators/layout.py)
+    "orders_zorder_cells",
     # similarity search
     "ann_topk_ivf",
     "ann_topk_lsh",
