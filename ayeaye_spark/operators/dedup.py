@@ -180,7 +180,9 @@ def shingle_hashsets_vectorized(
 
     src = df.select(id_col, text_col, *extra_cols)
     schema = StructType(
-        [StructField("_id", LongType()), StructField("_hashset", ArrayType(LongType()))]
+        # _id inherits the source dtype — hardcoding long broke string ids
+        [StructField("_id", src.schema[id_col].dataType),
+         StructField("_hashset", ArrayType(LongType()))]
         + [src.schema[c] for c in extra_cols]
     )
 
@@ -518,6 +520,7 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     max_shingle_df: int | str | None = None,
     signature: str = "vectorized",
+    method: str = "index",
 ) -> DataFrame:
     """Set-similarity join via inverted index (no cross join).
 
@@ -545,6 +548,13 @@ def ngram_jaccard_pairs(
     It is an explicit recall tradeoff (pairs sharing *only* ultra-common
     shingles are missed); verification still uses the FULL hash sets, so
     every returned jaccard value is exact.
+
+    ``method="prefix"`` switches candidate generation to the LOSSLESS
+    prefix filter (AllPairs / PPJoin family): only each set's
+    ``|s| - ceil(t*|s|) + 1`` rarest elements are indexed, plus length
+    and positional filters — see :func:`_jaccard_join_prepped`.  Same
+    output, far fewer candidate pairs; the scale default for high
+    thresholds.
     """
     if threshold <= 0:
         raise ValueError("inverted-index jaccard join requires threshold > 0")
@@ -564,7 +574,7 @@ def ngram_jaccard_pairs(
     return _jaccard_join_prepped(
         prepped, id_col, threshold=threshold,
         has_block=bool(block_col), max_item_df=max_shingle_df,
-        n_rows=lambda: df.select(id_col).count(),
+        n_rows=lambda: df.select(id_col).count(), method=method,
     )
 
 
@@ -576,13 +586,16 @@ def set_jaccard_pairs(
     threshold: float = 0.3,
     block_col: str | None = None,
     max_item_df: int | str | None = None,
+    method: str = "index",
 ) -> DataFrame:
     """Exact set-similarity self-join over a PRECOMPUTED set column
     (any orderable element type) — the inverted-index core of
     :func:`ngram_jaccard_pairs` exposed for non-text sets: video
     frame-hash sequences, tag sets, feature-id baskets.  Same plan
     shape, same ``max_item_df`` hot-element pruning knob (``"auto"`` =
-    1% of rows, floor 100), same exact-verify guarantee."""
+    1% of rows, floor 100), same exact-verify guarantee.
+    ``method="prefix"`` = lossless prefix-filter candidates (see
+    :func:`ngram_jaccard_pairs`)."""
     if threshold <= 0:
         raise ValueError("inverted-index jaccard join requires threshold > 0")
     _tune_session(df)
@@ -594,8 +607,128 @@ def set_jaccard_pairs(
     return _jaccard_join_prepped(
         prepped, id_col, threshold=threshold,
         has_block=bool(block_col), max_item_df=max_item_df,
-        n_rows=lambda: df.count(),
+        n_rows=lambda: df.count(), method=method,
     )
+
+
+def _jaccard_verify_pairs(
+    candidates: DataFrame,
+    sets: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-verify a ``(_ida, _idb)`` candidate frame against the full
+    ``(_id, _hashset)`` sets: two hash joins back to the set store, one
+    portable-expression jaccard, threshold filter.  Shared by every
+    candidate-generation strategy so the returned jaccard is always
+    exact regardless of how lossy/lossless the candidate step was."""
+    paired = (
+        candidates.join(sets.withColumnRenamed("_id", "_ida")
+                        .withColumnRenamed("_hashset", "_set_a"), on="_ida")
+        .join(sets.withColumnRenamed("_id", "_idb")
+              .withColumnRenamed("_hashset", "_set_b"), on="_idb")
+    )
+    return (
+        paired.withColumn("jaccard", F.expr(P.jaccard("_set_a", "_set_b", SPARK)))
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("_ida").alias(f"{id_col}_a"),
+            F.col("_idb").alias(f"{id_col}_b"),
+            "jaccard",
+        )
+    )
+
+
+def _jaccard_prefix_candidates(
+    prepped: DataFrame,
+    exploded: DataFrame,
+    join_keys: list[str],
+    threshold: float,
+    has_block: bool,
+) -> DataFrame:
+    """LOSSLESS prefix-filter candidate generation (AllPairs / PPJoin
+    family — Bayardo et al. WWW'07, Xiao et al. WWW'08; public
+    algorithms).  Three stacked filters, none of which can drop a true
+    pair:
+
+    * **prefix filter** — ``J(A,B) >= t`` forces ``|A∩B| >= ceil(t*|A|)``
+      (since ``|A∪B| >= |A|``), so under ANY total order on elements the
+      first ``|A| - ceil(t*|A|) + 1`` elements of A must contain a shared
+      element; only that prefix is indexed.  We order by ascending
+      document frequency (ties by element value), which puts the RAREST
+      elements in prefixes — the smallest postings lists, so the equi-join
+      fan-out collapses and hot common elements never become join keys
+      for large sets.
+    * **length filter** — ``J >= t`` forces ``min(|A|,|B|) >=
+      t * max(|A|,|B|)``; applied as a join-time predicate.
+    * **positional filter** — for the pair's FIRST shared element (the
+      canonically smallest, which both prefixes must contain), no shared
+      element precedes it in either set, so ``|A∩B| <= 1 +
+      min(|A|-pa, |B|-pb)``; require that bound to reach
+      ``ceil(t/(1+t) * (|A|+|B|))`` (the equivalent-overlap form of the
+      threshold).  Taken per pair via a lexicographic ``min`` over the
+      matched (freq, element, positions) structs.
+
+    Candidates are then exact-verified against the full sets, so output
+    equals the plain inverted-index path row-for-row.  At scale this is
+    the high-threshold default: index size shrinks by ~t fraction and
+    candidate pairs by orders of magnitude, at the price of one extra
+    shuffle (the per-set sort/slice aggregation).
+    """
+    freq = exploded.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_df"))
+    ranked = exploded.join(freq, on=join_keys)
+    # per-set canonical sort + prefix slice; posexplode position is the
+    # element's 0-based rank in the FULL sorted set (prefix = its head)
+    group_cols = ["_id", "_size"] + (["_block"] if has_block else [])
+    prefix_len = F.col("_size") - F.ceil(F.lit(threshold) * F.col("_size")) + 1
+    prefixes = (
+        ranked.groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_h"))).alias("_sorted"))
+        .select(
+            *group_cols,
+            F.posexplode(F.slice("_sorted", 1, prefix_len.cast("int"))).alias(
+                "_pos", "_e"
+            ),
+        )
+        .select(
+            *group_cols, "_pos",
+            F.col("_e._df").alias("_df"), F.col("_e._h").alias("_h"),
+        )
+        # both self-join aliases read this — materialize the freq join +
+        # sort-aggregate once instead of once per side
+        .localCheckpoint(eager=False)
+    )
+    l, r = prefixes.alias("l"), prefixes.alias("r")
+    jk = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in join_keys]
+    matched = (
+        l.join(r, jk)
+        .where(
+            (F.col("l._id") < F.col("r._id"))
+            # length filter: min size >= t * max size
+            & (F.col("l._size") >= F.ceil(F.lit(threshold) * F.col("r._size")))
+            & (F.col("r._size") >= F.ceil(F.lit(threshold) * F.col("l._size")))
+        )
+        .select(
+            F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"),
+            F.col("l._size").alias("_sa"), F.col("r._size").alias("_sb"),
+            F.struct(
+                F.col("l._df").alias("_df"), F.col("l._h").alias("_h"),
+                F.col("l._pos").alias("_pa"), F.col("r._pos").alias("_pb"),
+            ).alias("_m"),
+        )
+    )
+    # first shared element per pair = lexicographic min over (df, h, ...)
+    first = matched.groupBy("_ida", "_idb").agg(
+        F.first("_sa").alias("_sa"), F.first("_sb").alias("_sb"),
+        F.min("_m").alias("_m"),
+    )
+    minoverlap = F.ceil(
+        F.lit(threshold) / F.lit(1.0 + threshold) * (F.col("_sa") + F.col("_sb"))
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("_sa") - (F.col("_m._pa") + 1), F.col("_sb") - (F.col("_m._pb") + 1)
+    )
+    return first.where(ubound >= minoverlap).select("_ida", "_idb")
 
 
 def _jaccard_join_prepped(
@@ -606,11 +739,14 @@ def _jaccard_join_prepped(
     has_block: bool,
     max_item_df: int | str | None,
     n_rows,
+    method: str = "index",
 ) -> DataFrame:
     """Shared inverted-index Jaccard join over a ``(_id, _hashset
     [, _block])`` frame (see :func:`ngram_jaccard_pairs` for the full
     plan-shape and pruning discussion).  ``n_rows`` is a thunk so the
     corpus count is only paid when ``max_item_df="auto"``."""
+    if method not in ("index", "prefix"):
+        raise ValueError(f"method must be 'index' or 'prefix'; got {method!r}")
     # one set-build pass serves both self-join aliases AND the
     # exact-verify set lookups in the max_item_df path (pre-explode
     # form: smallest stored footprint)
@@ -620,6 +756,19 @@ def _jaccard_join_prepped(
         F.explode("_hashset").alias("_h"),
     )
     join_keys = ["_h"] + (["_block"] if has_block else [])
+
+    if method == "prefix":
+        if max_item_df is not None:
+            raise ValueError(
+                "method='prefix' is lossless and incompatible with the lossy "
+                "max_item_df knob — pass one or the other"
+            )
+        candidates = _jaccard_prefix_candidates(
+            prepped, exploded, join_keys, threshold, has_block
+        )
+        return _jaccard_verify_pairs(
+            candidates, prepped.select("_id", "_hashset"), id_col, threshold
+        )
 
     max_shingle_df = max_item_df
     if isinstance(max_shingle_df, str):
@@ -648,21 +797,8 @@ def _jaccard_join_prepped(
             .select(F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"))
             .dropDuplicates(["_ida", "_idb"])
         )
-        sets = prepped.select("_id", "_hashset")
-        paired = (
-            candidates.join(sets.withColumnRenamed("_id", "_ida")
-                            .withColumnRenamed("_hashset", "_set_a"), on="_ida")
-            .join(sets.withColumnRenamed("_id", "_idb")
-                  .withColumnRenamed("_hashset", "_set_b"), on="_idb")
-        )
-        return (
-            paired.withColumn("jaccard", F.expr(P.jaccard("_set_a", "_set_b", SPARK)))
-            .where(F.col("jaccard") >= threshold)
-            .select(
-                F.col("_ida").alias(f"{id_col}_a"),
-                F.col("_idb").alias(f"{id_col}_b"),
-                "jaccard",
-            )
+        return _jaccard_verify_pairs(
+            candidates, prepped.select("_id", "_hashset"), id_col, threshold
         )
 
     l, r = exploded.alias("l"), exploded.alias("r")
@@ -940,6 +1076,7 @@ def containment_pairs(
     min_containment_ppm: int = 800_000,
     signature: str = "vectorized",
     max_shingle_df: int | None = None,
+    method: str = "index",
 ) -> DataFrame:
     """ASYMMETRIC set-containment join: ordered pairs where either
     direction's containment ``|Sa ∩ Sb| / |Sa|`` (integer ppm over
@@ -962,7 +1099,28 @@ def containment_pairs(
     then re-verified EXACTLY from the full hash sets, so returned
     values never change — only recall over pairs whose every shared
     shingle is ultra-common is traded, the standard production cut.
+
+    ``method="prefix"`` = LOSSLESS prefix-filter candidates, the
+    containment analogue of :func:`_jaccard_prefix_candidates`.  The
+    qualifying condition ``max(i/sa, i/sb) >= t`` forces
+    ``i >= ceil(t * min(sa, sb))``, so under the global
+    document-frequency order the SMALLER set's
+    ``m - ceil(t*m) + 1``-prefix must contain a shared element; each
+    pair is probed exactly once from its (size, id)-lexicographic
+    smaller side against the other side's FULL postings, with the
+    first-shared-element positional bound ``i <= 1 + (m - pa)`` pruning
+    candidates before the exact ``array_intersect`` verify.  Cuts the
+    probe-side index by the threshold fraction and keeps hot shingles
+    out of the smaller-side prefixes (rarest-first order), without the
+    ``max_shingle_df`` recall trade.
     """
+    if method not in ("index", "prefix"):
+        raise ValueError(f"method must be 'index' or 'prefix'; got {method!r}")
+    if method == "prefix" and max_shingle_df is not None:
+        raise ValueError(
+            "method='prefix' is lossless and incompatible with the lossy "
+            "max_shingle_df knob — pass one or the other"
+        )
     _tune_session(df)
     if signature == "vectorized":
         prepped = shingle_hashsets_vectorized(df, id_col, text_col, n=n)
@@ -975,7 +1133,73 @@ def containment_pairs(
         eager=False
     )
     exploded = prepped.select("_id", "_size", F.explode("_hashset").alias("_h"))
-    if max_shingle_df is not None:
+    if method == "prefix":
+        ppm = int(min_containment_ppm)
+        # i >= ceil(ppm * m / 1e6)  (integer-exact form of i*1e6 div m >= ppm)
+        prefix_len = F.expr(
+            f"CAST(_size - ((CAST({ppm} AS BIGINT) * _size + 999999) DIV 1000000)"
+            " + 1 AS INT)"
+        )
+        freq = exploded.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+        prefixes = (
+            exploded.join(freq, on="_h")
+            .groupBy("_id", "_size")
+            .agg(F.array_sort(F.collect_list(F.struct("_df", "_h"))).alias("_sorted"))
+            .select(
+                "_id", "_size",
+                F.posexplode(F.slice("_sorted", 1, prefix_len)).alias("_pos", "_e"),
+            )
+            .select(
+                "_id", "_size", "_pos",
+                F.col("_e._df").alias("_df"), F.col("_e._h").alias("_h"),
+            )
+        )
+        p, e = prefixes.alias("p"), exploded.alias("e")
+        matched = (
+            p.join(e, F.col("p._h") == F.col("e._h"))
+            .where(
+                (F.col("p._size") < F.col("e._size"))
+                | ((F.col("p._size") == F.col("e._size"))
+                   & (F.col("p._id") < F.col("e._id")))
+            )
+            .select(
+                F.col("p._id").alias("_pid"), F.col("e._id").alias("_eid"),
+                F.col("p._size").alias("_m"),
+                F.struct(
+                    F.col("p._df").alias("_df"), F.col("p._h").alias("_h"),
+                    F.col("p._pos").alias("_pa"),
+                ).alias("_mt"),
+            )
+        )
+        first = matched.groupBy("_pid", "_eid").agg(
+            F.first("_m").alias("_m"), F.min("_mt").alias("_mt")
+        )
+        need_m = F.expr(
+            f"(CAST({ppm} AS BIGINT) * _m + 999999) DIV 1000000"
+        )
+        candidates = (
+            first.where(F.lit(1) + F.col("_m") - (F.col("_mt._pa") + 1) >= need_m)
+            .select(
+                F.least("_pid", "_eid").alias("_ida"),
+                F.greatest("_pid", "_eid").alias("_idb"),
+            )
+            .dropDuplicates(["_ida", "_idb"])
+        )
+        sets = prepped.select("_id", "_hashset", "_size")
+        paired = (
+            candidates.join(
+                sets.select(F.col("_id").alias("_ida"),
+                            F.col("_hashset").alias("_set_a"),
+                            F.col("_size").alias("_sza")), on="_ida")
+            .join(
+                sets.select(F.col("_id").alias("_idb"),
+                            F.col("_hashset").alias("_set_b"),
+                            F.col("_size").alias("_szb")), on="_idb")
+        )
+        inter = paired.withColumn(
+            "_i", F.size(F.array_intersect("_set_a", "_set_b"))
+        ).select("_ida", "_idb", "_sza", "_szb", "_i")
+    elif max_shingle_df is not None:
         # candidates from RARE shingles only; exact intersections
         # recomputed from the FULL hash sets below (join counts would
         # undercount once shingles are dropped)

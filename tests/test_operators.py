@@ -3507,3 +3507,68 @@ class TestVideoNearDup:
                     a, b = sorted((rows[i][0], rows[j][0]))
                     expect[(a, b)] = round(jac, 9)
         assert got == expect and len(expect) >= 2
+
+    def test_prefix_filter_matches_index_path(self, spark):
+        """method='prefix' (AllPairs/PPJoin candidates: prefix + length
+        + positional filters) is LOSSLESS — identical output to the full
+        inverted-index path on adversarial sets: duplicates-in-input,
+        singletons, near-identical pairs, heavy common elements, blocks."""
+        import random
+
+        from ayeaye_spark.operators.dedup import set_jaccard_pairs
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(60):
+            base = sorted(rng.sample(range(25), rng.randint(1, 10)))
+            rows.append((f"s{i}", "even" if i % 2 == 0 else "odd",
+                         base + [99] * (i % 2)))  # 99 = hot element in odd rows
+        rows.append(("twin_a", "even", [1, 2, 3, 4, 5]))
+        rows.append(("twin_b", "even", [1, 2, 3, 4, 5]))
+        df = spark.createDataFrame(rows, "sid string, blk string, items array<int>")
+        for thr, blk in ((0.3, None), (0.6, None), (0.5, "blk")):
+            idx = set_jaccard_pairs(df, "sid", "items", threshold=thr,
+                                    block_col=blk)
+            pfx = set_jaccard_pairs(df, "sid", "items", threshold=thr,
+                                    block_col=blk, method="prefix")
+            ri = sorted(map(tuple, idx.collect()))
+            rp = sorted(map(tuple, pfx.collect()))
+            assert ri == rp and len(ri) >= 1, (thr, blk)
+
+    def test_prefix_filter_rejects_lossy_knob(self, spark):
+        import pytest
+
+        from ayeaye_spark.operators.dedup import set_jaccard_pairs
+
+        df = spark.createDataFrame([("a", [1, 2])], "sid string, items array<int>")
+        with pytest.raises(ValueError, match="lossless"):
+            set_jaccard_pairs(df, "sid", "items", method="prefix",
+                              max_item_df=5).collect()
+        with pytest.raises(ValueError, match="method"):
+            set_jaccard_pairs(df, "sid", "items", method="ppjoin").collect()
+
+    def test_containment_prefix_matches_index_path(self, spark):
+        """Containment's one-sided prefix filter (smaller-side prefix
+        probes the larger side's full postings) is lossless: identical
+        output to the full inverted-index path, including the
+        subset-inside-superset pairs Jaccard misses."""
+        from ayeaye_spark.operators.dedup import containment_pairs
+
+        quote = "the quick brown fox jumps over the lazy dog tonight"
+        rows = [
+            ("small", quote),
+            ("big", "prologue text here " + quote + " and a very long epilogue "
+             "with many extra words that dilute jaccard entirely ok"),
+            ("other", "completely unrelated content about spark shuffles"),
+            ("twin1", "alpha beta gamma delta epsilon"),
+            ("twin2", "alpha beta gamma delta epsilon"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        for ppm in (900_000, 600_000):
+            idx = containment_pairs(df, "doc_id", "text", n=3,
+                                    min_containment_ppm=ppm)
+            pfx = containment_pairs(df, "doc_id", "text", n=3,
+                                    min_containment_ppm=ppm, method="prefix")
+            ri = sorted(map(tuple, idx.collect()))
+            rp = sorted(map(tuple, pfx.collect()))
+            assert ri == rp and len(ri) >= 2, (ppm, ri, rp)
