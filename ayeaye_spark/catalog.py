@@ -2767,6 +2767,61 @@ def _duck_repeated_spans_oracle(
     """
 
 
+def _duck_remove_spans_oracle(n: int = 5, min_docs: int = 2) -> str:
+    """DuckDB twin of ``dedup.remove_repeated_spans``: same canonical-
+    first-occurrence rule (row_number over (doc, pos)), same token-
+    coverage removal, same single-space token-stream rejoin."""
+    toks = P.tokens("coalesce(text, '')", DUCK)
+    token_hashes = P.hash_array(toks, DUCK)
+    grams = P.token_hash_ngrams_all("th", n, DUCK)
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks, {token_hashes} AS th FROM documents),
+    g AS (SELECT doc_id, toks, {grams} AS garr FROM t),
+    pos AS (SELECT doc_id, unnest(garr) AS sh,
+                   unnest(range(1, len(garr) + 1)) AS pos
+            FROM g),
+    dup AS (SELECT sh FROM pos GROUP BY sh
+            HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
+    hits AS (SELECT p.doc_id, p.pos, p.sh FROM pos p JOIN dup USING (sh)),
+    rem AS (SELECT doc_id, pos FROM (
+              SELECT h.*, row_number() OVER (PARTITION BY sh
+                                             ORDER BY doc_id, pos) AS rn
+              FROM hits h)
+            WHERE rn > 1),
+    cov AS (SELECT DISTINCT doc_id, cp FROM (
+              SELECT doc_id, unnest(range(pos, pos + {n})) AS cp FROM rem)),
+    tok AS (SELECT doc_id, unnest(toks) AS tok,
+                   unnest(range(1, len(toks) + 1)) AS tp
+            FROM g),
+    kept AS (SELECT t2.doc_id, t2.tok, t2.tp
+             FROM tok t2 LEFT JOIN cov c
+               ON t2.doc_id = c.doc_id AND t2.tp = c.cp
+             WHERE c.cp IS NULL),
+    agg AS (SELECT doc_id, COUNT(*) AS kept_n,
+                   string_agg(tok, ' ' ORDER BY tp) AS clean
+            FROM kept GROUP BY doc_id)
+    SELECT g.doc_id,
+           CAST(len(g.toks) AS BIGINT) AS total_tokens,
+           CAST(len(g.toks) - COALESCE(a.kept_n, 0) AS BIGINT) AS removed_tokens,
+           CAST(CASE WHEN len(g.toks) = 0 THEN 0
+                ELSE (len(g.toks) - COALESCE(a.kept_n, 0)) * 1000000
+                     // len(g.toks) END AS BIGINT) AS removed_ppm,
+           COALESCE(a.clean, '') AS clean_text
+    FROM g LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@query("docs_remove_repeated_spans", oracle=_duck_remove_spans_oracle())
+def docs_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup surgery: cut every cross-document repeated
+    5-token window except its corpus-wide canonical first occurrence and
+    emit the rewritten token stream per document (suffix-array-style
+    substring dedup, distributed — see ``dedup.remove_repeated_spans``)."""
+    return dedup.remove_repeated_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=5, min_docs=2
+    )
+
+
 @query("docs_repeated_spans", oracle=_duck_repeated_spans_oracle())
 def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication profile: per document, coverage by

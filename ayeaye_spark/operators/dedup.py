@@ -1067,6 +1067,115 @@ def repeated_span_profile(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication SURGERY: rewrite every document by
+    removing n-token windows that also occur in ≥ ``min_docs`` documents,
+    keeping ONE canonical occurrence corpus-wide (the (doc, position)-
+    lexicographic first) — the distributed counterpart of suffix-array
+    exact substring dedup for training corpora (boilerplate passages,
+    syndicated paragraphs, license headers that survive document-level
+    near-dup passes).  :func:`repeated_span_profile` measures the
+    duplication; this operator CUTS it.
+
+    Returns one row per input document:
+    ``(id, total_tokens, removed_tokens, removed_ppm, clean_text)``.
+    ``clean_text`` is the kept-token stream re-joined with single spaces
+    (the portable whitespace tokenizer is lossy by design — production
+    callers slicing original bytes would carry char offsets through the
+    same plan).  A token is removed iff it is covered by at least one
+    non-canonical duplicated window; overlapping removable windows merge
+    into intervals before the per-token test.
+
+    Scale shape: one token/shingle projection (codegen SQL — no Python),
+    checkpointed once for the positional explode AND the final rewrite;
+    window-hash-keyed duplicate + canonical-occurrence aggregates (both
+    partial/merge-able; hot boilerplate hashes are per-key LINEAR —
+    occurrence lists, never pairs); per-doc interval merge via one
+    sorted-array fold; the rewrite itself is a per-row higher-order
+    filter — no corpus-wide window, no self-join, no quadratic stage.
+    """
+    _tune_session(df)
+    text = f"coalesce({text_col}, '')"
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.expr(P.tokens(text, SPARK)).alias("_toks"),
+        )
+        .withColumn("_th", F.expr(P.hash_array("_toks", SPARK)))
+        .withColumn("_grams", F.expr(P.token_hash_ngrams_all("_th", n, SPARK)))
+        .select("_id", "_toks", "_grams")
+        .localCheckpoint(eager=False)
+    )
+    pos = base.select("_id", F.posexplode("_grams").alias("_p0", "_sh")).select(
+        "_id", (F.col("_p0") + 1).alias("_pos"), "_sh"
+    )
+    dup = (
+        pos.groupBy("_sh")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_sh")
+    )
+    hits = pos.join(dup, on="_sh")
+    canon = hits.groupBy("_sh").agg(
+        F.min(F.struct(F.col("_id").alias("i"), F.col("_pos").alias("p"))).alias("_c")
+    )
+    removable = (
+        hits.join(canon, on="_sh")
+        .where(~((F.col("_id") == F.col("_c.i")) & (F.col("_pos") == F.col("_c.p"))))
+        .select("_id", "_pos")
+    )
+    # merge sorted window starts into disjoint [s, e] token intervals —
+    # the per-token coverage test below is then O(intervals), not
+    # O(removable windows)
+    ivs = (
+        removable.groupBy("_id")
+        .agg(F.array_sort(F.collect_list("_pos")).alias("_starts"))
+        .withColumn(
+            "_ivs",
+            F.expr(
+                f"""
+        aggregate(_starts,
+          cast(array() as array<struct<s:int,e:int>>),
+          (acc, s) -> case
+            when size(acc) = 0 or s > element_at(acc, -1).e + 1
+              then array_append(acc, named_struct('s', s, 'e', s + {n - 1}))
+            else concat(slice(acc, 1, size(acc) - 1),
+                        array(named_struct('s', element_at(acc, -1).s,
+                                           'e', greatest(element_at(acc, -1).e,
+                                                         s + {n - 1}))))
+          end)
+        """
+            ),
+        )
+        .select("_id", "_ivs")
+    )
+    joined = base.join(ivs, on="_id", how="left").withColumn(
+        "_kept",
+        F.expr(
+            "case when _ivs is null then _toks else "
+            "filter(_toks, (t, i) -> "
+            "not exists(_ivs, iv -> i + 1 >= iv.s and i + 1 <= iv.e)) end"
+        ),
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.size("_toks").cast("long").alias("total_tokens"),
+        (F.size("_toks") - F.size("_kept")).cast("long").alias("removed_tokens"),
+        F.expr(
+            "case when size(_toks) = 0 then 0L else "
+            "cast(size(_toks) - size(_kept) as bigint) * 1000000 div size(_toks) end"
+        ).alias("removed_ppm"),
+        F.array_join("_kept", " ").alias("clean_text"),
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,

@@ -109,6 +109,12 @@ HEADLINE = {
         "inverted-index equi-join on the shingle hash; pair-keyed count = "
         "exact intersection; no cross join."
     ),
+    "dedup_prefix_jaccard_pairs": (
+        "lossless prefix-filter join: df-ordered prefixes (checkpointed "
+        "once, both aliases) equi-join with a length predicate, positional "
+        "filter via one pair-keyed min aggregate, exact verify against the "
+        "full sets; no window, no cross join."
+    ),
     "pipeline_curation_v2": (
         "source cut (broadcast per-source agg) -> span trim over survivors "
         "(hash-keyed shingle agg + semi-join) -> per-language rank windows."

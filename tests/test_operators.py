@@ -1221,6 +1221,58 @@ class TestGroupedAggDegenerateGroup:
         assert got["xx"] is None and got["en"] is not None
 
 
+class TestRemoveRepeatedSpans:
+    def _clean(self, spark, rows, n=3, min_docs=2):
+        from ayeaye_spark.operators.dedup import remove_repeated_spans
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            r["doc_id"]: (r["total_tokens"], r["removed_tokens"], r["clean_text"])
+            for r in remove_repeated_spans(df, "doc_id", "text", n=n,
+                                           min_docs=min_docs).collect()
+        }
+
+    def test_canonical_occurrence_survives(self, spark):
+        """'a b c d e' shared by docs 1 and 2: doc 1 holds the canonical
+        (min doc, min pos) windows and keeps its text; doc 2 loses the
+        whole 5-token run (overlapping windows merged); doc 3 untouched."""
+        got = self._clean(spark, [
+            (1, "a b c d e f"),
+            (2, "x y a b c d e q"),
+            (3, "p q r s t u v"),
+        ])
+        assert got[1] == (6, 0, "a b c d e f")
+        assert got[2] == (8, 5, "x y q")
+        assert got[3] == (7, 0, "p q r s t u v")
+
+    def test_disjoint_repeats_cut_separately(self, spark):
+        """Two disjoint shared trigrams: doc 2 (later doc id) loses both
+        runs but keeps the non-shared middle tokens."""
+        got = self._clean(spark, [
+            (1, "a b c zz1 zz2 zz3 zz4 d e f"),
+            (2, "a b c mm nn d e f"),
+        ])
+        assert got[1] == (10, 0, "a b c zz1 zz2 zz3 zz4 d e f")
+        assert got[2] == (8, 6, "mm nn")
+
+    def test_within_doc_repeat_kept_when_cross_doc(self, spark):
+        """A trigram occurring twice in doc 1 and once in doc 2: doc 1's
+        FIRST occurrence is canonical, its second occurrence and doc 2's
+        occurrence are cut."""
+        got = self._clean(spark, [
+            (1, "a b c q1 q2 a b c"),
+            (2, "zz a b c yy"),
+        ])
+        assert got[1] == (8, 3, "a b c q1 q2")
+        assert got[2] == (5, 3, "zz yy")
+
+    def test_empty_and_null_text(self, spark):
+        got = self._clean(spark, [(1, ""), (2, None), (3, "solo text here")])
+        assert got[1] == (0, 0, "")
+        assert got[2] == (0, 0, "")
+        assert got[3] == (3, 0, "solo text here")
+
+
 class TestRepeatedSpanProfile:
     def _profile(self, spark, rows, n=3, min_docs=2):
         from ayeaye_spark.operators.dedup import repeated_span_profile
