@@ -2767,6 +2767,45 @@ def _duck_repeated_spans_oracle(
     """
 
 
+def _duck_weighted_jaccard_oracle(n: int = 3, threshold: float = 0.4) -> str:
+    """DuckDB twin of ``dedup.weighted_jaccard_pairs``: same tf weights
+    over positional n-gram hashes, same sum-min / (Wa+Wb-sum-min)."""
+    toks = P.tokens("coalesce(text, '')", DUCK)
+    token_hashes = P.hash_array(toks, DUCK)
+    grams = ("th" if n == 1
+             else P.token_hash_ngrams_all("th", n, DUCK))
+    return f"""
+    WITH t AS (SELECT doc_id, {token_hashes} AS th FROM documents),
+    g AS (SELECT doc_id, {grams} AS garr FROM t),
+    w AS (SELECT doc_id, h, COUNT(*) AS w
+          FROM (SELECT doc_id, unnest(garr) AS h FROM g) GROUP BY doc_id, h),
+    tot AS (SELECT doc_id, SUM(w) AS wt FROM w GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+                     SUM(LEAST(a.w, b.w)) AS m
+              FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT i.ida AS doc_id_a, i.idb AS doc_id_b,
+           CAST(i.m AS DOUBLE) / (ta.wt + tb.wt - i.m) AS weighted_jaccard
+    FROM inter i
+    JOIN tot ta ON ta.doc_id = i.ida
+    JOIN tot tb ON tb.doc_id = i.idb
+    WHERE CAST(i.m AS DOUBLE) / (ta.wt + tb.wt - i.m) >= {threshold}
+    """
+
+
+@query("docs_weighted_jaccard_pairs", oracle=_duck_weighted_jaccard_oracle())
+def docs_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tf-weighted (multiset) Jaccard near-dup pairs over
+    positional trigram multiplicities — separates same-vocabulary /
+    different-emphasis pairs that distinct-set Jaccard scores
+    identically (``dedup.weighted_jaccard_pairs``; one inverted-index
+    equi-join computes sum-min, totals join back)."""
+    return dedup.weighted_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.4,
+    )
+
+
 def _duck_remove_spans_oracle(n: int = 5, min_docs: int = 2) -> str:
     """DuckDB twin of ``dedup.remove_repeated_spans``: same canonical-
     first-occurrence rule (row_number over (doc, pos)), same token-
@@ -6240,10 +6279,13 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "doc_lang_id",
     "doc_quality",
     "docs_weighted_quality_by_lang",
-    # training-data curation
-    "docs_token_budget",
+    # training-data curation (docs_token_budget rotated to the oracle
+    # gate in round 6 — its 1-row output was the window's weakest hash
+    # check — in favor of the exact-substring dedup surgery below,
+    # whose 500-row rewritten-text output is the strongest)
     "docs_pack_sequences",
     "decontaminate_splits",
+    "docs_remove_repeated_spans",
     # deduplication family (4 in-window representatives; the round-6
     # rotation moved dedup_incremental_survivors to the oracle gate to
     # put the data-layout family under the driver's hard check)

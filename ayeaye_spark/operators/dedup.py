@@ -611,6 +611,115 @@ def set_jaccard_pairs(
     )
 
 
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 1,
+    threshold: float = 0.3,
+    block_col: str | None = None,
+    max_item_df: int | None = None,
+) -> DataFrame:
+    """EXACT weighted (multiset) Jaccard self-join:
+    ``sum_t min(tf_a, tf_b) / sum_t max(tf_a, tf_b)`` over term
+    frequencies — the similarity that separates "same vocabulary, very
+    different emphasis" pairs the set-Jaccard join scores identically.
+    ``n=1`` weights tokens; ``n>1`` weights positional n-gram windows
+    (multiplicity KEPT, unlike :func:`ngram_jaccard_pairs`' distinct
+    sets).
+
+    Identity that keeps it one join: ``sum max = W_a + W_b - sum min``
+    where ``W = total term count``, and ``sum min`` only needs SHARED
+    terms — so the inverted-index equi-join on the term hash computes
+    ``sum(least(w_a, w_b))`` per pair and the totals join back.  Any
+    pair above a positive threshold shares ≥1 term: candidate
+    generation is lossless.
+
+    Skew: unigram tf makes corpus-stopword hashes hot join keys (every
+    doc shares "the"); either use ``n>=2`` (window multiplicities are
+    sparse) or pass ``max_item_df`` — candidates then come from terms in
+    ≤ that many docs, and sum-min is re-verified EXACTLY over all terms
+    of the surviving pairs (two id-keyed joins, linear in candidate
+    volume), so returned values never change — recall over pairs sharing
+    only ultra-hot terms is the documented trade, as in
+    :func:`ngram_jaccard_pairs`.
+    """
+    if threshold <= 0:
+        raise ValueError("inverted-index weighted jaccard requires threshold > 0")
+    _tune_session(df)
+    text = f"coalesce({text_col}, '')"
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(P.hash_array(P.tokens(text, SPARK), SPARK)).alias("_th"),
+        *([F.col(block_col).alias("_block")] if block_col else []),
+    )
+    # _th materialized as a column first: the n-gram expression reads it
+    # n times per window and would otherwise inline (= recompute) the
+    # whole token-hash pipeline per read
+    base = base.withColumn(
+        "_arr",
+        F.col("_th") if n == 1
+        else F.expr(P.token_hash_ngrams_all("_th", n, SPARK)),
+    )
+    blk = ["_block"] if block_col else []
+    weights = (
+        base.select("_id", *blk, F.explode("_arr").alias("_h"))
+        .groupBy("_id", "_h", *blk)
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .localCheckpoint(eager=False)
+    )
+    totals = weights.groupBy("_id").agg(F.sum("_w").alias("_W"))
+    join_keys = ["_h"] + blk
+
+    if max_item_df is not None:
+        freq = weights.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_df"))
+        rare = weights.join(
+            freq.where(F.col("_df") <= max_item_df).select(*join_keys), on=join_keys
+        )
+        l, r = rare.alias("l"), rare.alias("r")
+        candidates = (
+            l.join(r, on=join_keys)
+            .where(F.col("l._id") < F.col("r._id"))
+            .select(F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"))
+            .dropDuplicates(["_ida", "_idb"])
+        )
+        # exact sum-min re-verify over ALL terms of surviving pairs
+        wa = weights.select(F.col("_id").alias("_ida"), "_h", F.col("_w").alias("_wa"))
+        wb = weights.select(F.col("_id").alias("_idb"), "_h", F.col("_w").alias("_wb"))
+        inter = (
+            candidates.join(wa, on="_ida")
+            .join(wb, on=["_idb", "_h"])
+            .groupBy("_ida", "_idb")
+            .agg(F.sum(F.least("_wa", "_wb")).alias("_min"))
+        )
+    else:
+        l, r = weights.alias("l"), weights.alias("r")
+        inter = (
+            l.join(r, on=join_keys)
+            .where(F.col("l._id") < F.col("r._id"))
+            .groupBy(F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"))
+            .agg(F.sum(F.least("l._w", "r._w")).alias("_min"))
+        )
+    return (
+        inter.join(totals.select(F.col("_id").alias("_ida"), F.col("_W").alias("_Wa")),
+                   on="_ida")
+        .join(totals.select(F.col("_id").alias("_idb"), F.col("_W").alias("_Wb")),
+              on="_idb")
+        .withColumn(
+            "weighted_jaccard",
+            F.col("_min").cast("double")
+            / (F.col("_Wa") + F.col("_Wb") - F.col("_min")),
+        )
+        .where(F.col("weighted_jaccard") >= threshold)
+        .select(
+            F.col("_ida").alias(f"{id_col}_a"),
+            F.col("_idb").alias(f"{id_col}_b"),
+            "weighted_jaccard",
+        )
+    )
+
+
 def _jaccard_verify_pairs(
     candidates: DataFrame,
     sets: DataFrame,

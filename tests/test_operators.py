@@ -3599,6 +3599,39 @@ class TestVideoNearDup:
         with pytest.raises(ValueError, match="method"):
             set_jaccard_pairs(df, "sid", "items", method="ppjoin").collect()
 
+    def test_weighted_jaccard_matches_bruteforce(self, spark):
+        """Unigram tf multiset-Jaccard vs a python Counter brute force,
+        including a same-vocabulary/different-emphasis pair that
+        distinct-set Jaccard scores as 1.0."""
+        from collections import Counter
+
+        from ayeaye_spark.operators.dedup import weighted_jaccard_pairs
+
+        rows = [
+            (1, "a a a a b"),          # heavy a
+            (2, "a b b b b"),          # heavy b — set-jaccard(1,2)=1.0
+            (3, "a a a a b"),          # exact dup of 1
+            (4, "c d e f g"),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        for kwargs in ({}, {"max_item_df": 4}):
+            got = {(r["doc_id_a"], r["doc_id_b"]): round(r["weighted_jaccard"], 9)
+                   for r in weighted_jaccard_pairs(
+                       df, "doc_id", "text", n=1, threshold=0.2, **kwargs
+                   ).collect()}
+            expect = {}
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    ca = Counter((rows[i][1] or "").split())
+                    cb = Counter((rows[j][1] or "").split())
+                    num = sum(min(ca[t], cb[t]) for t in ca.keys() & cb.keys())
+                    den = sum(ca.values()) + sum(cb.values()) - num
+                    if den and num / den >= 0.2:
+                        expect[(rows[i][0], rows[j][0])] = round(num / den, 9)
+            assert got == expect, kwargs
+            assert got[(1, 3)] == 1.0 and got[(1, 2)] == 0.25
+
     def test_containment_prefix_matches_index_path(self, spark):
         """Containment's one-sided prefix filter (smaller-side prefix
         probes the larger side's full postings) is lossless: identical
