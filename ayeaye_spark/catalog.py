@@ -2806,6 +2806,50 @@ def docs_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_tfidf_cosine_oracle(n: int = 3, threshold: float = 0.5) -> str:
+    """DuckDB twin of ``dedup.tfidf_cosine_pairs``: same integer-scaled
+    log-free idf weights, exact HUGEINT sums, and the identical final
+    correctly-rounded double divide/multiply/sqrt expression."""
+    toks = P.tokens("coalesce(text, '')", DUCK)
+    token_hashes = P.hash_array(toks, DUCK)
+    grams = "th" if n == 1 else P.token_hash_ngrams_all("th", n, DUCK)
+    return f"""
+    WITH t AS (SELECT doc_id, {token_hashes} AS th FROM documents),
+    g AS (SELECT doc_id, {grams} AS garr FROM t),
+    tfq AS (SELECT doc_id, h, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest(garr) AS h FROM g) GROUP BY doc_id, h),
+    dfq AS (SELECT h, COUNT(*) AS df FROM tfq GROUP BY h),
+    w AS (SELECT doc_id, tfq.h, (tf * 1000000) // df AS w
+          FROM tfq JOIN dfq USING (h)),
+    n2 AS (SELECT doc_id, SUM(CAST(w AS HUGEINT) * w) AS n2
+           FROM w GROUP BY doc_id),
+    dot AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+                   SUM(CAST(a.w AS HUGEINT) * b.w) AS dot
+            FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+    SELECT d.ida AS doc_id_a, d.idb AS doc_id_b,
+           CAST(d.dot AS DOUBLE)
+             / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+    FROM dot d
+    JOIN n2 na ON na.doc_id = d.ida
+    JOIN n2 nb ON nb.doc_id = d.idb
+    WHERE CAST(d.dot AS DOUBLE)
+            / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= {threshold}
+    """
+
+
+@query("docs_tfidf_cosine_pairs", oracle=_duck_tfidf_cosine_oracle())
+def docs_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tf-idf cosine near-dup pairs over trigram frequencies
+    (``dedup.tfidf_cosine_pairs``): inverted-index dot product over
+    shared terms + squared-norm joins; log-free integer idf so the
+    oracle is bit-deterministic (see operator docstring)."""
+    return dedup.tfidf_cosine_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.5,
+    )
+
+
 def _duck_remove_spans_oracle(n: int = 5, min_docs: int = 2) -> str:
     """DuckDB twin of ``dedup.remove_repeated_spans``: same canonical-
     first-occurrence rule (row_number over (doc, pos)), same token-

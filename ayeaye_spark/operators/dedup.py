@@ -720,6 +720,121 @@ def weighted_jaccard_pairs(
     )
 
 
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 1,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+    max_item_df: int | None = None,
+) -> DataFrame:
+    """EXACT tf-idf cosine self-join over token (``n=1``) or positional
+    n-gram term frequencies — the classic IR similarity, as an
+    inverted-index equi-join: only SHARED terms contribute to the dot
+    product, so ``sum(w_a * w_b)`` per pair comes from one join on the
+    term hash and the per-doc squared norms join back.
+
+    Weighting: ``w = (tf * 1e6) div df`` — raw-frequency idf (``tf·N/df``
+    up to the constant N, which cancels in cosine), scaled to integers.
+    Deliberately log-free: IEEE-754 guarantees correctly-rounded
+    ``sqrt``/``/``/``*`` but NOT ``ln`` — libm log differs in the last
+    ulp across engines, which would break the value-exact DuckDB oracle.
+    All sums run in exact decimal (order-independent, no float-sum
+    nondeterminism); the only floating ops are the final correctly-
+    rounded divide/multiply/sqrt, identical in both engines.
+
+    ``max_item_df``: candidates from rare terms only, then the dot
+    product is re-computed EXACTLY over all terms of surviving pairs
+    (two id-keyed joins) — values never change, only recall over pairs
+    sharing nothing but ultra-hot terms (the skew knob, as in
+    :func:`weighted_jaccard_pairs`).
+    """
+    if threshold <= 0:
+        raise ValueError("inverted-index cosine join requires threshold > 0")
+    _tune_session(df)
+    text = f"coalesce({text_col}, '')"
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(P.hash_array(P.tokens(text, SPARK), SPARK)).alias("_th"),
+        *([F.col(block_col).alias("_block")] if block_col else []),
+    ).withColumn(
+        "_arr",
+        F.col("_th") if n == 1
+        else F.expr(P.token_hash_ngrams_all("_th", n, SPARK)),
+    )
+    blk = ["_block"] if block_col else []
+    tf = (
+        base.select("_id", *blk, F.explode("_arr").alias("_h"))
+        .groupBy("_id", "_h", *blk)
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    join_keys = ["_h"] + blk
+    dfreq = tf.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_df"))
+    weights = (
+        tf.join(dfreq, on=join_keys)
+        .withColumn("_w", F.expr("_tf * 1000000L div _df"))
+        .select("_id", *blk, "_h", "_w", "_df")
+        .localCheckpoint(eager=False)
+    )
+    prod = "cast(l_w as decimal(19,0)) * cast(r_w as decimal(19,0))"
+    norms = weights.groupBy("_id").agg(
+        F.expr(
+            "sum(cast(_w as decimal(19,0)) * cast(_w as decimal(19,0)))"
+        ).alias("_n2")
+    )
+
+    if max_item_df is not None:
+        rare = weights.where(F.col("_df") <= max_item_df)
+        l, r = rare.alias("l"), rare.alias("r")
+        candidates = (
+            l.join(r, on=join_keys)
+            .where(F.col("l._id") < F.col("r._id"))
+            .select(F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"))
+            .dropDuplicates(["_ida", "_idb"])
+        )
+        wa = weights.select(F.col("_id").alias("_ida"), "_h", F.col("_w").alias("l_w"))
+        wb = weights.select(F.col("_id").alias("_idb"), "_h", F.col("_w").alias("r_w"))
+        dot = (
+            candidates.join(wa, on="_ida")
+            .join(wb, on=["_idb", "_h"])
+            .groupBy("_ida", "_idb")
+            .agg(F.expr(f"sum({prod})").alias("_dot"))
+        )
+    else:
+        l, r = weights.alias("l"), weights.alias("r")
+        dot = (
+            l.join(r, on=join_keys)
+            .where(F.col("l._id") < F.col("r._id"))
+            .select(
+                F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"),
+                F.col("l._w").alias("l_w"), F.col("r._w").alias("r_w"),
+            )
+            .groupBy("_ida", "_idb")
+            .agg(F.expr(f"sum({prod})").alias("_dot"))
+        )
+    return (
+        dot.join(norms.select(F.col("_id").alias("_ida"), F.col("_n2").alias("_na2")),
+                 on="_ida")
+        .join(norms.select(F.col("_id").alias("_idb"), F.col("_n2").alias("_nb2")),
+              on="_idb")
+        .withColumn(
+            "cosine",
+            F.expr(
+                "cast(_dot as double) / "
+                "sqrt(cast(_na2 as double) * cast(_nb2 as double))"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("_ida").alias(f"{id_col}_a"),
+            F.col("_idb").alias(f"{id_col}_b"),
+            "cosine",
+        )
+    )
+
+
 def _jaccard_verify_pairs(
     candidates: DataFrame,
     sets: DataFrame,

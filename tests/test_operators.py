@@ -3632,6 +3632,44 @@ class TestVideoNearDup:
             assert got == expect, kwargs
             assert got[(1, 3)] == 1.0 and got[(1, 2)] == 0.25
 
+    def test_tfidf_cosine_matches_bruteforce(self, spark):
+        """Unigram tf-idf cosine vs a python brute force using the same
+        integer-scaled log-free weights; the max_item_df knob must not
+        change any returned value."""
+        import math
+        from collections import Counter
+
+        from ayeaye_spark.operators.dedup import tfidf_cosine_pairs
+
+        rows = [
+            (1, "alpha beta gamma alpha"),
+            (2, "alpha beta gamma delta"),
+            (3, "alpha beta gamma alpha"),
+            (4, "epsilon zeta eta theta"),
+            (5, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        tfs = {i: Counter((t or "").split()) for i, t in rows}
+        dfreq = Counter(t for c in tfs.values() for t in c)
+        w = {i: {t: (tf * 1_000_000) // dfreq[t] for t, tf in c.items()}
+             for i, c in tfs.items()}
+        expect = {}
+        for i in range(1, 6):
+            for j in range(i + 1, 6):
+                dot = sum(w[i][t] * w[j][t] for t in w[i].keys() & w[j].keys())
+                na2 = sum(v * v for v in w[i].values())
+                nb2 = sum(v * v for v in w[j].values())
+                if na2 and nb2:
+                    cos = dot / math.sqrt(float(na2) * float(nb2))
+                    if cos >= 0.4:
+                        expect[(i, j)] = round(cos, 12)
+        for kwargs in ({}, {"max_item_df": 4}):
+            got = {(r["doc_id_a"], r["doc_id_b"]): round(r["cosine"], 12)
+                   for r in tfidf_cosine_pairs(
+                       df, "doc_id", "text", n=1, threshold=0.4, **kwargs
+                   ).collect()}
+            assert got == expect and got[(1, 3)] == 1.0, kwargs
+
     def test_containment_prefix_matches_index_path(self, spark):
         """Containment's one-sided prefix filter (smaller-side prefix
         probes the larger side's full postings) is lossless: identical
