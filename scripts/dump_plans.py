@@ -115,6 +115,17 @@ HEADLINE = {
         "filter via one pair-keyed min aggregate, exact verify against the "
         "full sets; no window, no cross join."
     ),
+    "docs_remove_repeated_spans": (
+        "codegen token/shingle projection checkpointed once; hash-keyed "
+        "duplicate + canonical-occurrence aggregates (per-key linear); "
+        "per-doc interval fold + higher-order filter rewrite — no corpus "
+        "window, no self-join."
+    ),
+    "docs_tfidf_cosine_pairs": (
+        "inverted-index dot product on shared term hashes (exact decimal "
+        "sums), squared-norm joins; final correctly-rounded double expr "
+        "only — no log, no float aggregation."
+    ),
     "pipeline_curation_v2": (
         "source cut (broadcast per-source agg) -> span trim over survivors "
         "(hash-keyed shingle agg + semi-join) -> per-language rank windows."

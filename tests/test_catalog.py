@@ -126,7 +126,10 @@ class TestCorrectnessWindow:
         window = set(_WINDOW_ORDER)
         families = {
             "tpch": {"q1_pricing_summary", "q9_product_profit"},
-            "window_fns": {"events_running_sum", "events_sessionize"},
+            # events_running_sum rotated to the oracle gate in round 6
+            # (running windows stay covered by events_sessionize + the
+            # departitioned family)
+            "window_fns": {"events_sessionize"},
             "grouping": {"orders_rollup", "orders_pivot_status"},
             "set_ops": {"customer_set_ops"},
             "join_shapes": {
@@ -141,18 +144,25 @@ class TestCorrectnessWindow:
             },
             "text": {"doc_lang_id", "doc_quality"},
             "pandas_udaf": {"docs_weighted_quality_by_lang"},
+            # docs_token_budget (1-row output) rotated to the oracle
+            # gate in round 6 for the substring-surgery flagship
             "curation": {
-                "docs_token_budget",
                 "docs_pack_sequences",
                 "decontaminate_splits",
             },
+            # dedup_incremental_survivors rotated to the oracle gate in
+            # round 6 (z-order layout took its slot); the prefix-filter
+            # join joined the family the same round
             "dedup": {
                 "dedup_exact",
                 "dedup_minhash_lsh_pairs",
                 "dedup_transitive_components",
-                "dedup_incremental_survivors",
                 "dedup_simhash_near_pairs",
+                "dedup_prefix_jaccard_pairs",
             },
+            "layout": {"orders_zorder_cells"},
+            "substring_surgery": {"docs_remove_repeated_spans"},
+            "interval_analytics": {"events_peak_concurrency_daily"},
             "ann": {"ann_topk_ivf", "ann_topk_lsh"},
             "scd2": {"customer_segment_scd2"},
             "recursive_cte": {"orders_monthly_gapless"},
