@@ -2806,6 +2806,38 @@ def docs_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_crosscorpus_jaccard_join",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, doc_id % 5 = 0 AS is_eval,
+             list_distinct({P.token_hash_ngrams('th', 3, DUCK)}) AS hashset
+      FROM (SELECT doc_id, {P.hash_array(P.tokens('text', DUCK), DUCK)} AS th
+            FROM documents)
+    )
+    SELECT a.doc_id AS eval_id_a, b.doc_id AS train_id_b,
+           {P.jaccard('a.hashset', 'b.hashset', DUCK)} AS jaccard
+    FROM s a JOIN s b ON a.is_eval AND NOT b.is_eval
+    WHERE {P.jaccard('a.hashset', 'b.hashset', DUCK)} >= 0.5
+    """,
+)
+def docs_crosscorpus_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus R-S similarity join at a Jaccard threshold
+    (``dedup.ngram_jaccard_join``, prefix-filter candidates): an eval
+    slice (every 5th doc) probed against the remaining training corpus
+    — contamination detection where the shared-count variant
+    (``contamination_pairs``) is too blunt.  Cross-table pairs only;
+    one shared inverted index over the union, side tag instead of the
+    self-join's id ordering."""
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 5 == 0).withColumnRenamed("doc_id", "eval_id")
+    tr = docs.where(F.col("doc_id") % 5 != 0).withColumnRenamed("doc_id", "train_id")
+    return dedup.ngram_jaccard_join(
+        ev, tr, "eval_id", "train_id", "text",
+        n=3, threshold=0.5, method="prefix",
+    )
+
+
 def _duck_tfidf_cosine_oracle(n: int = 3, threshold: float = 0.5) -> str:
     """DuckDB twin of ``dedup.tfidf_cosine_pairs``: same integer-scaled
     log-free idf weights, exact HUGEINT sums, and the identical final

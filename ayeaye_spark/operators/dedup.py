@@ -611,6 +611,79 @@ def set_jaccard_pairs(
     )
 
 
+def ngram_jaccard_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    method: str = "index",
+    max_item_df: int | str | None = None,
+) -> DataFrame:
+    """Two-table (R-S) n-gram Jaccard similarity join — cross-corpus
+    near-dup: benchmark-vs-train contamination at a JACCARD threshold
+    (:func:`contamination_pairs` is the shared-count variant), new-batch
+    vs published-corpus checks, cross-source syndication detection.
+    Returns ``({left_id}_a, {right_id}_b, jaccard)`` for cross-table
+    pairs only; same ``method="prefix"`` / ``max_item_df`` knobs and
+    scale shape as :func:`ngram_jaccard_pairs` (one shared inverted
+    index over the union; the side tag replaces the ``id < id``
+    self-join condition, so id collisions between tables are fine)."""
+    if threshold <= 0:
+        raise ValueError("inverted-index jaccard join requires threshold > 0")
+    _tune_session(left)
+    pl = shingle_hashsets_vectorized(left, left_id, text_col, n=n).withColumn(
+        "_side", F.lit(0)
+    )
+    pr = shingle_hashsets_vectorized(right, right_id, text_col, n=n).withColumn(
+        "_side", F.lit(1)
+    )
+    return _jaccard_join_prepped(
+        pl.unionByName(pr), left_id, threshold=threshold,
+        has_block=False, max_item_df=max_item_df,
+        n_rows=lambda: left.count() + right.count(), method=method,
+        cross_side=True, out_cols=(f"{left_id}_a", f"{right_id}_b"),
+    )
+
+
+def set_jaccard_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    set_col: str,
+    *,
+    threshold: float = 0.3,
+    method: str = "index",
+    max_item_df: int | str | None = None,
+) -> DataFrame:
+    """Two-table variant of :func:`set_jaccard_pairs` over precomputed
+    set columns (same name in both frames) — see
+    :func:`ngram_jaccard_join` for the R-S join semantics."""
+    if threshold <= 0:
+        raise ValueError("inverted-index jaccard join requires threshold > 0")
+    _tune_session(left)
+    pl = left.select(
+        F.col(left_id).alias("_id"),
+        F.array_distinct(F.col(set_col)).alias("_hashset"),
+        F.lit(0).alias("_side"),
+    )
+    pr = right.select(
+        F.col(right_id).alias("_id"),
+        F.array_distinct(F.col(set_col)).alias("_hashset"),
+        F.lit(1).alias("_side"),
+    )
+    return _jaccard_join_prepped(
+        pl.unionByName(pr), left_id, threshold=threshold,
+        has_block=False, max_item_df=max_item_df,
+        n_rows=lambda: left.count() + right.count(), method=method,
+        cross_side=True, out_cols=(f"{left_id}_a", f"{right_id}_b"),
+    )
+
+
 def weighted_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -840,24 +913,31 @@ def _jaccard_verify_pairs(
     sets: DataFrame,
     id_col: str,
     threshold: float,
+    *,
+    sets_b: DataFrame | None = None,
+    out_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Exact-verify a ``(_ida, _idb)`` candidate frame against the full
     ``(_id, _hashset)`` sets: two hash joins back to the set store, one
     portable-expression jaccard, threshold filter.  Shared by every
     candidate-generation strategy so the returned jaccard is always
-    exact regardless of how lossy/lossless the candidate step was."""
+    exact regardless of how lossy/lossless the candidate step was.
+    ``sets_b`` (two-table joins) looks the b-side up in a different set
+    store; ``out_cols`` overrides the ``{id_col}_a/_b`` output names."""
+    fa, fb = out_cols or (f"{id_col}_a", f"{id_col}_b")
     paired = (
         candidates.join(sets.withColumnRenamed("_id", "_ida")
                         .withColumnRenamed("_hashset", "_set_a"), on="_ida")
-        .join(sets.withColumnRenamed("_id", "_idb")
+        .join((sets_b if sets_b is not None else sets)
+              .withColumnRenamed("_id", "_idb")
               .withColumnRenamed("_hashset", "_set_b"), on="_idb")
     )
     return (
         paired.withColumn("jaccard", F.expr(P.jaccard("_set_a", "_set_b", SPARK)))
         .where(F.col("jaccard") >= threshold)
         .select(
-            F.col("_ida").alias(f"{id_col}_a"),
-            F.col("_idb").alias(f"{id_col}_b"),
+            F.col("_ida").alias(fa),
+            F.col("_idb").alias(fb),
             "jaccard",
         )
     )
@@ -869,6 +949,7 @@ def _jaccard_prefix_candidates(
     join_keys: list[str],
     threshold: float,
     has_block: bool,
+    cross_side: bool = False,
 ) -> DataFrame:
     """LOSSLESS prefix-filter candidate generation (AllPairs / PPJoin
     family — Bayardo et al. WWW'07, Xiao et al. WWW'08; public
@@ -903,7 +984,11 @@ def _jaccard_prefix_candidates(
     ranked = exploded.join(freq, on=join_keys)
     # per-set canonical sort + prefix slice; posexplode position is the
     # element's 0-based rank in the FULL sorted set (prefix = its head)
-    group_cols = ["_id", "_size"] + (["_block"] if has_block else [])
+    group_cols = (
+        ["_id", "_size"]
+        + (["_block"] if has_block else [])
+        + (["_side"] if cross_side else [])
+    )
     prefix_len = F.col("_size") - F.ceil(F.lit(threshold) * F.col("_size")) + 1
     prefixes = (
         ranked.groupBy(*group_cols)
@@ -924,10 +1009,14 @@ def _jaccard_prefix_candidates(
     )
     l, r = prefixes.alias("l"), prefixes.alias("r")
     jk = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in join_keys]
+    pair_cond = (
+        (F.col("l._side") < F.col("r._side")) if cross_side
+        else (F.col("l._id") < F.col("r._id"))
+    )
     matched = (
         l.join(r, jk)
         .where(
-            (F.col("l._id") < F.col("r._id"))
+            pair_cond
             # length filter: min size >= t * max size
             & (F.col("l._size") >= F.ceil(F.lit(threshold) * F.col("r._size")))
             & (F.col("r._size") >= F.ceil(F.lit(threshold) * F.col("l._size")))
@@ -964,22 +1053,41 @@ def _jaccard_join_prepped(
     max_item_df: int | str | None,
     n_rows,
     method: str = "index",
+    cross_side: bool = False,
+    out_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Shared inverted-index Jaccard join over a ``(_id, _hashset
     [, _block])`` frame (see :func:`ngram_jaccard_pairs` for the full
     plan-shape and pruning discussion).  ``n_rows`` is a thunk so the
-    corpus count is only paid when ``max_item_df="auto"``."""
+    corpus count is only paid when ``max_item_df="auto"``.
+
+    ``cross_side=True`` (two-table R-S join): ``prepped`` carries a
+    ``_side`` column (0 = left, 1 = right); pairs are generated ACROSS
+    sides only (``l._side < r._side`` replaces the self-join's
+    ``l._id < r._id``) and the exact verify looks each side up in its
+    own set store, so id collisions between the tables are harmless."""
     if method not in ("index", "prefix"):
         raise ValueError(f"method must be 'index' or 'prefix'; got {method!r}")
     # one set-build pass serves both self-join aliases AND the
     # exact-verify set lookups in the max_item_df path (pre-explode
     # form: smallest stored footprint)
     prepped = prepped.withColumn("_size", F.size("_hashset")).localCheckpoint(eager=False)
+    side = ["_side"] if cross_side else []
     exploded = prepped.select(
-        "_id", "_size", *(["_block"] if has_block else []),
+        "_id", "_size", *(["_block"] if has_block else []), *side,
         F.explode("_hashset").alias("_h"),
     )
     join_keys = ["_h"] + (["_block"] if has_block else [])
+    pair_cond = (
+        (F.col("l._side") < F.col("r._side")) if cross_side
+        else (F.col("l._id") < F.col("r._id"))
+    )
+    if cross_side:
+        sets_a = prepped.where(F.col("_side") == 0).select("_id", "_hashset")
+        sets_b = prepped.where(F.col("_side") == 1).select("_id", "_hashset")
+    else:
+        sets_a = prepped.select("_id", "_hashset")
+        sets_b = None
 
     if method == "prefix":
         if max_item_df is not None:
@@ -988,10 +1096,12 @@ def _jaccard_join_prepped(
                 "max_item_df knob — pass one or the other"
             )
         candidates = _jaccard_prefix_candidates(
-            prepped, exploded, join_keys, threshold, has_block
+            prepped, exploded, join_keys, threshold, has_block,
+            cross_side=cross_side,
         )
         return _jaccard_verify_pairs(
-            candidates, prepped.select("_id", "_hashset"), id_col, threshold
+            candidates, sets_a, id_col, threshold,
+            sets_b=sets_b, out_cols=out_cols,
         )
 
     max_shingle_df = max_item_df
@@ -1017,18 +1127,20 @@ def _jaccard_join_prepped(
         l, r = rare.alias("l"), rare.alias("r")
         candidates = (
             l.join(r, on=join_keys)
-            .where(F.col("l._id") < F.col("r._id"))
+            .where(pair_cond)
             .select(F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"))
             .dropDuplicates(["_ida", "_idb"])
         )
         return _jaccard_verify_pairs(
-            candidates, prepped.select("_id", "_hashset"), id_col, threshold
+            candidates, sets_a, id_col, threshold,
+            sets_b=sets_b, out_cols=out_cols,
         )
 
+    fa, fb = out_cols or (f"{id_col}_a", f"{id_col}_b")
     l, r = exploded.alias("l"), exploded.alias("r")
     inter = (
         l.join(r, on=join_keys)
-        .where(F.col("l._id") < F.col("r._id"))
+        .where(pair_cond)
         .groupBy(F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"))
         .agg(
             F.count(F.lit(1)).alias("_inter"),
@@ -1044,8 +1156,8 @@ def _jaccard_join_prepped(
         )
         .where(F.col("jaccard") >= threshold)
         .select(
-            F.col("_ida").alias(f"{id_col}_a"),
-            F.col("_idb").alias(f"{id_col}_b"),
+            F.col("_ida").alias(fa),
+            F.col("_idb").alias(fb),
             "jaccard",
         )
     )

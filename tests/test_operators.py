@@ -3670,6 +3670,48 @@ class TestVideoNearDup:
                    ).collect()}
             assert got == expect and got[(1, 3)] == 1.0, kwargs
 
+    def test_two_table_jaccard_join_matches_bruteforce(self, spark):
+        """R-S join: cross-table pairs only, id collisions between the
+        tables harmless, index and prefix methods identical."""
+        from ayeaye_spark.operators.dedup import ngram_jaccard_join
+
+        left = spark.createDataFrame([
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different left content here today"),
+            (3, "shared paragraph about spark shuffle behavior"),
+        ], "doc_id int, text string")
+        right = spark.createDataFrame([
+            (1, "the quick brown fox jumps over the lazy dog"),   # id collides
+            (9, "shared paragraph about spark shuffle behavior"),
+            (7, "unrelated right side row"),
+        ], "doc_id int, text string")
+
+        def brute(t):
+            import itertools
+
+            def sh(s):
+                toks = s.lower().split()
+                return {tuple(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+            out = {}
+            for (li, lt), (ri, rt) in itertools.product(
+                    [(r[0], r[1]) for r in left.collect()],
+                    [(r[0], r[1]) for r in right.collect()]):
+                a, b = sh(lt), sh(rt)
+                if a | b:
+                    j = len(a & b) / len(a | b)
+                    if j >= t:
+                        out[(li, ri)] = round(j, 9)
+            return out
+
+        for method in ("index", "prefix"):
+            got = {(r["doc_id_a"], r["doc_id_b"]): round(r["jaccard"], 9)
+                   for r in ngram_jaccard_join(
+                       left, right, "doc_id", "doc_id", "text",
+                       n=3, threshold=0.5, method=method).collect()}
+            assert got == brute(0.5), method
+            assert (1, 1) in got and (3, 9) in got
+
     def test_containment_prefix_matches_index_path(self, spark):
         """Containment's one-sided prefix filter (smaller-side prefix
         probes the larger side's full postings) is lossless: identical
