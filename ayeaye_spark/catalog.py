@@ -1712,6 +1712,58 @@ def dedup_transitive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_quality_survivors",
+    oracle=f"""
+    WITH comps AS ({{components}}),
+    q AS (SELECT doc_id,
+                 COALESCE({P.quality_score_ppm_from_tokens('text', 'toks', DUCK)}, -1) AS q
+          FROM (SELECT doc_id, text, {P.tokens('text', DUCK)} AS toks FROM documents)),
+    j AS (SELECT c.component, c.doc_id, q.q
+          FROM comps c JOIN q ON q.doc_id = c.doc_id)
+    SELECT component, cluster_size, doc_id AS survivor_id,
+           q AS survivor_quality_ppm
+    FROM (SELECT j.*,
+                 COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+                 row_number() OVER (PARTITION BY component
+                                    ORDER BY q DESC, doc_id) AS rn
+          FROM j)
+    WHERE rn = 1
+    """.replace("{components}", _components_oracle()),
+)
+def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup component keep
+    the HIGHEST-quality member (ties → min doc_id) instead of the min
+    id — what a real curation pipeline ships (the min-id survivor can
+    be the truncated/boilerplate copy).  One aggregate per component:
+    ``min(struct(-quality, id))`` is the arg-max, no per-component
+    window; quality comes from the same bit-identical vectorized
+    profile the doc_quality query pins."""
+    from .operators.graph import dedup_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=16, bands=4,
+                                    threshold=0.3)
+    comps = dedup_components(docs, pairs, "doc_id").select("doc_id", "component")
+    q = textops.profile_vectorized(docs, "doc_id", "text").select(
+        "doc_id", F.coalesce("quality_ppm", F.lit(-1)).alias("_q")
+    )
+    return (
+        comps.join(q, on="doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min(F.struct((-F.col("_q")).alias("nq"),
+                           F.col("doc_id").alias("i"))).alias("_m"),
+        )
+        .select(
+            "component", "cluster_size",
+            F.col("_m.i").alias("survivor_id"),
+            (-F.col("_m.nq")).alias("survivor_quality_ppm"),
+        )
+    )
+
+
+@query(
     "dedup_cluster_stats",
     oracle=f"""
     WITH comps AS ({_components_oracle()})
