@@ -4674,6 +4674,77 @@ def _duck_curation_v3_oracle() -> str:
     """
 
 
+def _duck_curation_v4_oracle() -> str:
+    """Composite oracle for the round-6 curation stack: substring
+    surgery → quality on the REWRITTEN text → exact fingerprint dedup
+    of the clean text → per-language rollup of survivors."""
+    clean_toks = P.tokens("clean_text", DUCK)
+    quality = P.quality_score_ppm_from_tokens("clean_text", clean_toks, DUCK)
+    fp = P.fingerprint("clean_text", DUCK)
+    return f"""
+    WITH surgery AS ({_duck_remove_spans_oracle()}),
+    scored AS (
+      SELECT s.doc_id, s.total_tokens, s.removed_tokens, s.clean_text,
+             {quality} AS q
+      FROM surgery s
+      WHERE s.total_tokens - s.removed_tokens > 0
+    ),
+    kept AS (SELECT * FROM scored WHERE q >= 550000),
+    fp AS (
+      SELECT {fp} AS fingerprint, MIN(doc_id) AS keep_id
+      FROM kept GROUP BY {fp}
+    ),
+    survivors AS (
+      SELECT k.* FROM kept k JOIN fp ON fp.keep_id = k.doc_id
+    )
+    SELECT d.lang, COUNT(*) AS n_docs,
+           CAST(SUM(s.total_tokens - s.removed_tokens) AS BIGINT)
+             AS kept_tokens,
+           CAST(SUM(s.removed_tokens) AS BIGINT) AS cut_tokens
+    FROM survivors s JOIN documents d ON d.doc_id = s.doc_id
+    GROUP BY d.lang
+    """
+
+
+@query("pipeline_curation_v4", oracle=_duck_curation_v4_oracle())
+def pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 curation stack as ONE composed lazy plan: exact-
+    substring surgery (cut cross-doc repeated 5-token spans, keep the
+    canonical occurrence) → quality scoring of the REWRITTEN text →
+    exact fingerprint dedup of the clean text (min-id survivor) →
+    per-language rollup.  Each stage's oracle is individually verified
+    elsewhere (docs_remove_repeated_spans / doc_quality / dedup_exact);
+    this verifies the composition end-to-end, including that quality is
+    computed AFTER the surgery (boilerplate removal changes scores)."""
+    docs = load(spark, sf_dir, "documents")
+    surgery = dedup.remove_repeated_spans(docs, "doc_id", "text", n=5, min_docs=2)
+    clean = surgery.where(F.col("total_tokens") - F.col("removed_tokens") > 0)
+    q = textops.profile_vectorized(clean, "doc_id", "clean_text").select(
+        "doc_id", "quality_ppm"
+    )
+    # kept feeds BOTH the fingerprint aggregate and the survivor join —
+    # materialize once instead of re-running surgery+quality per branch
+    kept = (
+        clean.join(q, on="doc_id")
+        .where(F.col("quality_ppm") >= 550_000)
+        .localCheckpoint(eager=False)
+    )
+    fp = dedup.fingerprint_dedup(kept, "clean_text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    survivors = kept.join(fp, on="doc_id")
+    return (
+        survivors.join(docs.select("doc_id", "lang"), on="doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("total_tokens") - F.col("removed_tokens"))
+            .cast("bigint").alias("kept_tokens"),
+            F.sum("removed_tokens").cast("bigint").alias("cut_tokens"),
+        )
+    )
+
+
 @query("pipeline_curation_v3", oracle=_duck_curation_v3_oracle())
 def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The session's curation stack as ONE composed lazy plan: Gopher
