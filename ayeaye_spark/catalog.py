@@ -2636,6 +2636,59 @@ def dedup_incremental_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars")
 
 
+def _duck_corr_oracle(cols: list[str], table: str, scale: int = 100) -> str:
+    """DuckDB twin of ``relational.correlation_matrix``: same integer
+    scaling, HUGEINT-exact moment sums, identical final double expr."""
+    pred = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    xs = ", ".join(
+        f"CAST(round({c} * {scale}) AS BIGINT) AS x_{c}" for c in cols
+    )
+    sums = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for c in cols:
+        sums.append(f"SUM(CAST(x_{c} AS HUGEINT)) AS s_{c}")
+        sums.append(f"SUM(CAST(x_{c} AS HUGEINT) * x_{c}) AS ss_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        sums.append(f"SUM(CAST(x_{a} AS HUGEINT) * x_{b}) AS sp_{a}_{b}")
+    branches = []
+    for a, b in pairs:
+        num = f"(n * sp_{a}_{b} - s_{a} * s_{b})"
+        da = f"(n * ss_{a} - s_{a} * s_{a})"
+        db = f"(n * ss_{b} - s_{b} * s_{b})"
+        branches.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+            f"CASE WHEN {da} = 0 OR {db} = 0 THEN NULL ELSE "
+            f"CAST({num} AS DOUBLE) / "
+            f"sqrt(CAST({da} AS DOUBLE) * CAST({db} AS DOUBLE)) END AS corr "
+            f"FROM m"
+        )
+    union = " UNION ALL ".join(branches)
+    return f"""
+    WITH x AS (SELECT {xs} FROM {table} WHERE {pred}),
+    m AS (SELECT {", ".join(sums)} FROM x)
+    {union}
+    """
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "lineitem_correlation_matrix",
+    oracle=_duck_corr_oracle(_CORR_COLS, "lineitem"),
+)
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation of every lineitem money/quantity column
+    pair in ONE scan (``relational.correlation_matrix``): integer-scaled
+    inputs, decimal/HUGEINT-exact moment sums (order-independent), and a
+    final correctly-rounded double expression — bit-identical in both
+    engines, unlike a float-sum ``corr()`` whose value depends on
+    partitioning."""
+    return relational.correlation_matrix(
+        load(spark, sf_dir, "lineitem"), _CORR_COLS, scale=100
+    )
+
+
 @query(
     "lineitem_price_quartiles_exact",
     oracle="""

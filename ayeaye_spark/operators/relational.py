@@ -1188,3 +1188,67 @@ def interval_concurrency(
         )
         .select("ts", "delta", "concurrency")
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """EXACT Pearson correlation for every unordered column pair, in one
+    aggregation pass — long format ``(col_x, col_y, corr)`` with
+    ``col_x`` before ``col_y`` in ``cols`` order.
+
+    Bit-deterministic across engines, the same recipe as the tf-idf
+    cosine join: each input is scaled to an INTEGER
+    (``round(x * scale)`` — ``scale`` must make the column values
+    integral, e.g. 100 for 2-decimal money columns; correlation is
+    scale-invariant so the factor cancels), every moment sum
+    (n, Σx, Σx², Σxy) accumulates exactly (decimal(38,0) in Spark,
+    HUGEINT in DuckDB — order-independent, no float-sum
+    nondeterminism), and only the final
+    ``(nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²))`` runs in
+    doubles, where IEEE-754 divide/multiply/sqrt are correctly rounded
+    and therefore identical in Spark and DuckDB.
+
+    Plan shape: ONE full-table scan feeding a single partial+final
+    aggregate of ``2k + k(k−1)/2 + 1`` exact sums (k = len(cols)); the
+    pair explosion happens on the 1-row aggregate result.  NULL
+    handling: rows with a NULL in ANY of ``cols`` are excluded
+    (listwise deletion) so every pair shares one n — pairwise deletion
+    would need per-pair counts.
+    """
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs at least two columns")
+    pred = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    clean = df.where(F.expr(pred)).select(
+        *[
+            F.expr(f"cast(round({c} * {scale}) as bigint)").alias(f"_x_{c}")
+            for c in cols
+        ]
+    )
+    big = {c: f"cast(_x_{c} as decimal(38,0))" for c in cols}
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("_n")]
+    for c in cols:
+        aggs.append(F.expr(f"sum({big[c]})").alias(f"_s_{c}"))
+        aggs.append(F.expr(f"sum({big[c]} * _x_{c})").alias(f"_ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.expr(f"sum({big[a]} * _x_{b})").alias(f"_sp_{a}_{b}"))
+    moments = clean.agg(*aggs)
+
+    def corr_expr(a: str, b: str) -> str:
+        num = f"(_n * _sp_{a}_{b} - _s_{a} * _s_{b})"
+        da = f"(_n * _ss_{a} - _s_{a} * _s_{a})"
+        db = f"(_n * _ss_{b} - _s_{b} * _s_{b})"
+        return (
+            f"case when {da} = 0 or {db} = 0 then null else "
+            f"cast({num} as double) / "
+            f"sqrt(cast({da} as double) * cast({db} as double)) end"
+        )
+
+    rows = ", ".join(f"'{a}', '{b}', {corr_expr(a, b)}" for a, b in pairs)
+    return moments.select(
+        F.expr(f"stack({len(pairs)}, {rows}) as (col_x, col_y, corr)")
+    )

@@ -3336,6 +3336,38 @@ class TestIntervalConcurrency:
         assert got[datetime.date(2024, 1, 2)] == 2
 
 
+class TestCorrelationMatrix:
+    def test_matches_numpy_and_handles_nulls(self, spark):
+        """Exact-decimal corr vs numpy (float reference, ~1e-12), NULL
+        rows dropped listwise, degenerate (constant) column -> NULL."""
+        import numpy as np
+        import pytest as pt
+
+        rows = [
+            (1.00, 2.50, 7.0),
+            (2.00, 4.90, 7.0),
+            (3.00, 7.60, 7.0),
+            (4.00, 9.90, 7.0),
+            (None, 1.00, 7.0),   # dropped listwise
+        ]
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        got = {(r["col_x"], r["col_y"]): r["corr"]
+               for r in relational.correlation_matrix(
+                   df, ["a", "b", "c"], scale=100).collect()}
+        x = np.array([r[0] for r in rows[:4]])
+        y = np.array([r[1] for r in rows[:4]])
+        assert got[("a", "b")] == pt.approx(np.corrcoef(x, y)[0, 1], rel=1e-12)
+        assert got[("a", "c")] is None and got[("b", "c")] is None
+        assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    def test_scale_invariance_and_perfect_corr(self, spark):
+        df = spark.createDataFrame(
+            [(i * 1.0, i * 3.0) for i in range(1, 9)], "a double, b double"
+        )
+        out = relational.correlation_matrix(df, ["a", "b"], scale=10).collect()
+        assert out[0]["corr"] == 1.0
+
+
 class TestImageNearDup:
     """dHash perceptual fingerprint + generic banded Hamming join."""
 
