@@ -944,7 +944,6 @@ def _jaccard_verify_pairs(
 
 
 def _jaccard_prefix_candidates(
-    prepped: DataFrame,
     exploded: DataFrame,
     join_keys: list[str],
     threshold: float,
@@ -1096,7 +1095,7 @@ def _jaccard_join_prepped(
                 "max_item_df knob — pass one or the other"
             )
         candidates = _jaccard_prefix_candidates(
-            prepped, exploded, join_keys, threshold, has_block,
+            exploded, join_keys, threshold, has_block,
             cross_side=cross_side,
         )
         return _jaccard_verify_pairs(

@@ -372,6 +372,46 @@ class TestRoundFourOperatorPlans:
         # not a global single-partition sort
         assert "Exchange SinglePartition" not in plan
 
+    def test_remove_repeated_spans_no_window_no_selfjoin(self, spark):
+        from ayeaye_spark.operators.dedup import remove_repeated_spans
+
+        docs = load(spark, SF, "documents")
+        q = remove_repeated_spans(docs, "doc_id", "text", n=5)
+        plan = physical_plan(q)
+        # canonical occurrence + interval merge are AGGREGATES and a
+        # per-row HOF fold — no window anywhere, no pair join, no
+        # single-partition stage
+        assert "WindowExec" not in plan and "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Exchange SinglePartition" not in plan
+
+    def test_prefix_jaccard_no_cross_join_and_bounded_scans(self, spark):
+        from ayeaye_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = load(spark, SF, "documents")
+        q = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5,
+                                method="prefix")
+        plan = physical_plan(q)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        # prefixes and the set store are checkpointed: the Arrow shingle
+        # stage must not be re-derived per self-join alias
+        assert plan.count("mapInPandas") <= 1
+
+    def test_correlation_matrix_single_aggregate_no_join(self, spark):
+        from ayeaye_spark.operators.relational import correlation_matrix
+
+        li = load(spark, SF, "lineitem")
+        q = correlation_matrix(
+            li, ["l_quantity", "l_extendedprice", "l_discount"], scale=100
+        )
+        plan = physical_plan(q)
+        # ONE scan, one partial+final aggregate pair, pair explosion on
+        # the 1-row result — no join, no window, no extra shuffle
+        assert "Join" not in plan and "Window" not in plan
+        assert plan.count("Scan parquet") == 1
+        assert "Exchange hashpartitioning" not in plan
+
     def test_source_quality_filter_broadcasts_stats(self, spark):
         from ayeaye_spark.operators import text as textops
 
