@@ -1942,6 +1942,19 @@ def emb_banded_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("emb_kcenter_coreset")  # no oracle: iterative greedy algorithm
+def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic greedy k-center coreset (Gonzalez farthest-point,
+    min-id seed and ties — ``similarity.kcenter_coreset``): 12 maximally
+    diverse REAL rows from the embedding corpus, the data-pruning pick
+    k-means centroids can't give.  Iterative (k-1 scans, argmin rides a
+    struct aggregate), so rows-only here; exactness pinned against a
+    numpy reference in pytest."""
+    return similarity.kcenter_coreset(
+        load(spark, sf_dir, "embeddings"), k=12
+    )
+
+
 @query("emb_kmeans_clusters")  # no oracle: iterative (Lloyd's) algorithm
 def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic spherical k-means over the embedding corpus

@@ -1177,3 +1177,86 @@ def random_projection(
         out_col,
         F.expr(P.random_project(vec_col, in_dim, out_dim, seed, P.SPARK)),
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Deterministic greedy k-center (farthest-point / Gonzalez 1985)
+    coreset selection over an embedding column — the max-coverage data-
+    pruning step: pick k rows such that every corpus row is close to
+    some pick (2-approximation of the optimal k-center cover).  Used to
+    seed diverse fine-tuning subsets and dedup-aware eval panels where
+    k-means centroids (synthetic points) won't do — picks are REAL rows.
+
+    Determinism (no RNG): seed = smallest id; each round picks the row
+    with the SMALLEST max-cosine to the chosen set (= farthest in
+    cosine distance), ties to the smallest id, via one
+    ``min(struct(maxcos, id, vec))`` aggregate — the argmin rides the
+    aggregate, no window, and the picked vector comes back in the same
+    struct so no second scan.  Zero-norm rows score cosine 1.0 (never
+    picked).
+
+    Scale shape: the corpus is checkpointed ONCE and then scanned k-1
+    times (one Arrow max-cos pass + one tiny aggregate per round);
+    driver state is the k picked vectors only — the canonical iterative
+    shape shared with :func:`kmeans_embeddings`.  Iterative, so it is a
+    rows-only catalog entry; exactness is pinned against a numpy
+    reference implementation in pytest.
+
+    Returns ``(id, center_rank)`` — rank 0 is the seed.
+    """
+    import numpy as np
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    base = df.select(id_col, vec_col).localCheckpoint(eager=False)
+    seed = base.orderBy(F.asc(id_col)).limit(1).collect()
+    if not seed:
+        raise ValueError("kcenter_coreset: empty input")
+    chosen = [(seed[0][id_col], [float(x) for x in seed[0][vec_col]])]
+
+    id_field = base.select(id_col).schema.fields[0]
+    vec_field = base.select(vec_col).schema.fields[0]
+    schema = StructType([id_field, vec_field,
+                         StructField("_maxcos", DoubleType())])
+
+    for _ in range(k - 1):
+        cmat = _matrix([v for _, v in chosen])
+        cnorm = np.sqrt(_seq_sqnorm(cmat))
+
+        def gen(batches, cmat=cmat, cnorm=cnorm):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = _matrix(pdf[vec_col])
+                vn = np.sqrt(_seq_sqnorm(v))
+                safe = np.where(vn == 0.0, 1.0, vn)
+                cos = _seq_dot_matrix(v, cmat) / (safe[:, None] * cnorm[None, :])
+                mc = cos.max(axis=1)
+                mc[vn == 0.0] = 1.0  # zero vectors: never picked
+                out = pdf.copy()
+                out["_maxcos"] = mc
+                yield out
+
+        scored = base.mapInPandas(gen, schema)
+        pick = scored.agg(
+            F.min(F.struct(
+                F.col("_maxcos").alias("c"),
+                F.col(id_col).alias("i"),
+                F.col(vec_col).alias("v"),
+            )).alias("m")
+        ).collect()[0]["m"]
+        chosen.append((pick["i"], [float(x) for x in pick["v"]]))
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, rank) for rank, (i, _v) in enumerate(chosen)],
+        f"{id_col} long, center_rank int",
+    )

@@ -2582,6 +2582,42 @@ class TestGroupedRankNulls:
         assert got == want
 
 
+class TestKcenterCoreset:
+    def test_matches_numpy_greedy_reference(self, spark):
+        """Exact pick-set AND pick-order parity with a straightforward
+        numpy greedy k-center using the same rules (min-id seed, argmin
+        max-cos, ties to min id)."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(40, 8)).round(3)
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = [(r["vec_id"], r["center_rank"])
+               for r in similarity.kcenter_coreset(df, k=6)
+               .orderBy("center_rank").collect()]
+
+        norms = np.sqrt((vecs ** 2).sum(axis=1))
+        unit = vecs / norms[:, None]
+        chosen = [0]
+        for _ in range(5):
+            maxcos = (unit @ unit[chosen].T).max(axis=1)
+            best = np.flatnonzero(maxcos == maxcos.min())[0]  # first = min id
+            chosen.append(int(best))
+        assert got == [(i, r) for r, i in enumerate(chosen)]
+
+    def test_zero_vector_never_picked_and_k1(self, spark):
+        """Zero-norm rows score maxcos 1.0 so greedy rounds skip them
+        (the min-id SEED is unconditional — use a non-zero min id)."""
+        rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0]),
+                (4, [-1.0, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {r["vec_id"] for r in similarity.kcenter_coreset(df, k=3).collect()}
+        assert 2 not in got and len(got) == 3
+        only = similarity.kcenter_coreset(df, k=1).collect()
+        assert [(r["vec_id"], r["center_rank"]) for r in only] == [(1, 0)]
+
+
 class TestKmeansEmbeddings:
     def test_deterministic_and_partitioning_invariant(self, spark):
         from ayeaye_spark.catalog import load
