@@ -2398,6 +2398,39 @@ def _drain_stream(spark: SparkSession, agg: DataFrame, sink: str,
     return out
 
 
+@query("docs_stream_decontam")  # no oracle: streaming drain, rows-only check
+def docs_stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest decontamination: documents arrive as a stream
+    and each micro-batch is anti-joined (STREAM-STATIC left_anti, a
+    supported incremental join — the static fingerprint side broadcasts)
+    against the eval slice's normalized-text fingerprints, then rolled
+    up per language in complete mode.  The batch twin (identical ops on
+    the batch frame) is asserted equal in ``tests/test_streaming.py``;
+    the drain itself is a rows-only driver check like every stream."""
+    _ensure_session_defaults(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_fp = (
+        dedup.with_fingerprint(docs.where(F.col("doc_id") % 5 == 0), "text")
+        .select("fingerprint").distinct()
+    )
+    incoming = dedup.with_fingerprint(
+        raw.where(F.col("doc_id") % 5 != 0), "text"
+    )
+    survivors = incoming.join(F.broadcast(eval_fp), on="fingerprint",
+                              how="left_anti")
+    agg = survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return _drain_stream(spark, agg, "docs_stream_decontam_sink")
+
+
 @query("events_stream_hourly_counts")  # no oracle: streaming drain, rows-only check
 def events_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming in the acceptance surface: the hourly

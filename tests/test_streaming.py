@@ -682,3 +682,31 @@ def test_sessionize_subsecond_boundary_parity(spark, tmp_path):
         for r in spark.table("subsec_sessions").collect()
     }
     assert got_stream == want  # incl. exact µs in session_start/end
+
+
+class TestStreamDecontam:
+    def test_stream_static_anti_join_equals_batch_twin(self, spark):
+        """docs_stream_decontam (stream-static left_anti on eval
+        fingerprints + complete-mode rollup) must equal the identical
+        batch pipeline."""
+        from ayeaye_spark.catalog import QUERIES
+        from ayeaye_spark.operators import dedup
+
+        sf = "/root/testdata/sf0.001"
+        stream_rows = sorted(
+            map(tuple, QUERIES["docs_stream_decontam"](spark, sf).collect())
+        )
+        docs = load(spark, sf, "documents")
+        eval_fp = (
+            dedup.with_fingerprint(docs.where(F.col("doc_id") % 5 == 0), "text")
+            .select("fingerprint").distinct()
+        )
+        batch = (
+            dedup.with_fingerprint(docs.where(F.col("doc_id") % 5 != 0), "text")
+            .join(eval_fp, on="fingerprint", how="left_anti")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"))
+        )
+        batch_rows = sorted(map(tuple, batch.collect()))
+        assert stream_rows == batch_rows and len(stream_rows) >= 1
