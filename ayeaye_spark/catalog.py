@@ -2716,6 +2716,57 @@ def _duck_corr_oracle(cols: list[str], table: str, scale: int = 100) -> str:
     """
 
 
+@query(
+    "lineitem_spearman_quantity_discount",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(round(l_quantity * 1) AS BIGINT) AS va,
+             CAST(round(l_discount * 100) AS BIGINT) AS vb
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+    ha AS (SELECT va, COUNT(*) AS cnt FROM e GROUP BY va),
+    ra AS (SELECT va,
+                  2 * COALESCE(SUM(cnt) OVER (ORDER BY va
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + cnt + 1 AS r
+           FROM ha),
+    hb AS (SELECT vb, COUNT(*) AS cnt FROM e GROUP BY vb),
+    rb AS (SELECT vb,
+                  2 * COALESCE(SUM(cnt) OVER (ORDER BY vb
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + cnt + 1 AS r
+           FROM hb),
+    j AS (SELECT ra.r AS x, rb.r AS y
+          FROM e JOIN ra USING (va) JOIN rb USING (vb)),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS sx,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy
+          FROM j)
+    SELECT 'l_quantity' AS col_x, 'l_discount' AS col_y,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                THEN NULL ELSE
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) END AS rho
+    FROM m
+    """,
+)
+def lineitem_spearman_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation WITHOUT a row-level rank window
+    (``relational.spearman_correlation``): tie-averaged ranks from
+    per-column value histograms (the only window runs over the tiny
+    distinct-value frame — the engine's standard histogram-rank
+    contract), then the exact-decimal Pearson machinery.  Value-exact
+    vs the identical SQL construction."""
+    return relational.spearman_correlation(
+        load(spark, sf_dir, "lineitem"), "l_quantity", "l_discount",
+        scale_a=1, scale_b=100,
+    )
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 

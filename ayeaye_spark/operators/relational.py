@@ -1252,3 +1252,64 @@ def correlation_matrix(
     return moments.select(
         F.expr(f"stack({len(pairs)}, {rows}) as (col_x, col_y, corr)")
     )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    scale_a: int = 1,
+    scale_b: int = 1,
+) -> DataFrame:
+    """EXACT Spearman rank correlation of two columns WITHOUT a
+    row-level rank window — one-row output ``(col_x, col_y, rho)``.
+
+    Ranks come from per-column value HISTOGRAMS: for value v with count
+    ``cnt`` and ``cum`` rows below it, the tie-averaged rank is
+    ``cum + (cnt+1)/2`` — kept integral as ``2*cum + cnt + 1`` (twice
+    the rank; Pearson is scale-invariant so the factor cancels).  The
+    only window runs over the DISTINCT-VALUE frame (post-aggregate, so
+    the single-partition exchange carries a reduced frame — the same
+    contract as the engine's other histogram-rank plans; intended for
+    discretized/low-cardinality columns, the same caveat as
+    :func:`grouped_rank_exact`).  Ranks join back via the value key
+    (broadcast-sized by the same assumption) and the Pearson step is
+    :func:`correlation_matrix`'s exact-decimal moment machinery —
+    bit-deterministic in both engines.
+
+    ``scale_a``/``scale_b`` integer-encode the inputs first
+    (``round(x*scale)``), as in :func:`correlation_matrix`.  Rows with
+    a NULL in either column are dropped listwise.
+    """
+    pred = f"{col_a} IS NOT NULL AND {col_b} IS NOT NULL"
+    enc = df.where(F.expr(pred)).select(
+        F.expr(f"cast(round({col_a} * {scale_a}) as bigint)").alias("_va"),
+        F.expr(f"cast(round({col_b} * {scale_b}) as bigint)").alias("_vb"),
+    ).localCheckpoint(eager=False)
+
+    def rank_map(col: str) -> DataFrame:
+        hist = enc.groupBy(col).agg(F.count(F.lit(1)).alias("_cnt"))
+        w = Window.orderBy(F.asc(col)).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return hist.withColumn(
+            "_cum", F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+        ).select(
+            col,
+            (F.lit(2) * F.col("_cum") + F.col("_cnt") + 1).alias(f"_r{col}"),
+        )
+
+    ranked = (
+        enc.join(F.broadcast(rank_map("_va")), on="_va")
+        .join(F.broadcast(rank_map("_vb")), on="_vb")
+        .select(
+            F.col("_r_va").cast("double").alias("_ra"),
+            F.col("_r_vb").cast("double").alias("_rb"),
+        )
+    )
+    out = correlation_matrix(ranked, ["_ra", "_rb"], scale=1)
+    return out.select(
+        F.lit(col_a).alias("col_x"), F.lit(col_b).alias("col_y"),
+        F.col("corr").alias("rho"),
+    )

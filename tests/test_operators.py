@@ -3403,6 +3403,45 @@ class TestCorrelationMatrix:
         out = relational.correlation_matrix(df, ["a", "b"], scale=10).collect()
         assert out[0]["corr"] == 1.0
 
+    def test_spearman_with_ties_matches_reference(self, spark):
+        """Tie-averaged Spearman vs a hand-rolled numpy reference
+        (average ranks, Pearson on ranks) — exercises tied values in
+        both columns; monotone nonlinear relation gives rho=1."""
+        import numpy as np
+        import pytest as pt
+
+        a = [1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 5.0, 6.0]
+        b = [1.0, 4.0, 4.0, 9.0, 16.0, 16.0, 25.0, 36.0]  # a**2: rho=1
+        df = spark.createDataFrame(list(zip(a, b)), "a double, b double")
+        out = relational.spearman_correlation(df, "a", "b",
+                                              scale_a=10, scale_b=10).collect()
+        assert out[0]["rho"] == 1.0 and out[0]["col_x"] == "a"
+
+        rng = np.random.default_rng(5)
+        x = rng.integers(0, 6, size=50).astype(float)
+        y = (x + rng.integers(0, 4, size=50)).astype(float)
+        df2 = spark.createDataFrame(
+            [(float(i), float(j)) for i, j in zip(x, y)], "a double, b double"
+        )
+        got = relational.spearman_correlation(df2, "a", "b",
+                                              scale_a=1, scale_b=1).collect()
+
+        def avg_ranks(v):
+            order = np.argsort(v, kind="stable")
+            r = np.empty(len(v))
+            i = 0
+            sv = v[order]
+            while i < len(v):
+                j = i
+                while j < len(v) and sv[j] == sv[i]:
+                    j += 1
+                r[order[i:j]] = (i + j + 1) / 2  # average of 1-based ranks
+                i = j
+            return r
+
+        ref = np.corrcoef(avg_ranks(x), avg_ranks(y))[0, 1]
+        assert got[0]["rho"] == pt.approx(ref, rel=1e-12)
+
 
 class TestImageNearDup:
     """dHash perceptual fingerprint + generic banded Hamming join."""
