@@ -6504,19 +6504,32 @@ def customer_basket_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zorder_oracle_sql() -> str:
     from .operators import layout
 
-    z = layout.zvalue_sql(["o_custkey", "day"], bits=10)
+    z = layout.zvalue_sql(["ck_b", "day_b"], bits=10)
     return f"""
     WITH pts AS (
       SELECT o_custkey,
              datediff('day', DATE '1992-01-01', o_orderdate) AS day
       FROM orders
+    ),
+    b AS (
+      SELECT MIN(o_custkey) AS ck0, MAX(o_custkey) AS ck1,
+             MIN(day) AS d0, MAX(day) AS d1
+      FROM pts
+    ),
+    norm AS (
+      SELECT p.o_custkey, p.day,
+             ((CAST(p.o_custkey AS BIGINT) - b.ck0) * 1024)
+               // (b.ck1 - b.ck0 + 1) AS ck_b,
+             ((CAST(p.day AS BIGINT) - b.d0) * 1024)
+               // (b.d1 - b.d0 + 1) AS day_b
+      FROM pts p CROSS JOIN b
     )
     SELECT ({z} >> 14) AS cell,
            COUNT(*) AS n_orders,
            MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck,
            CAST(MIN(day) AS BIGINT) AS min_day,
            CAST(MAX(day) AS BIGINT) AS max_day
-    FROM pts
+    FROM norm
     GROUP BY cell
     """
 
@@ -6525,22 +6538,40 @@ def _zorder_oracle_sql() -> str:
 def orders_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton z-value cells over (customer, order-day): the bit
     -interleave that powers multi-dimensional file skipping
-    (``operators/layout.py``).  The z-value is pure shift/AND/OR on
-    longs (whole-stage codegen, integer-exact — the oracle runs the
-    IDENTICAL bit expression via ``layout.zvalue_sql``); grouping by
-    the top 6 bits yields the coarse curve cells whose per-cell
-    min/max spans show BOTH dimensions tight at once — exactly the
-    footer envelopes a z-ordered rewrite gives every file.  One
-    map-side-combined aggregate; no shuffle beyond it."""
+    (``operators/layout.py``).  Both dimensions are first normalized to
+    ``[0, 2**bits)`` by an integer-exact affine bucket map from their
+    observed min/max — the ``zvalue`` contract's precondition (round-6
+    advice: feeding raw keys wraps under the ``& 1023`` mask beyond
+    sf0.001 / ~year 1994, aliasing distant key regions) — so the plan
+    is scale-factor-independent.  The bounds come from one tiny 2-row
+    aggregate broadcast back (driver state: 4 longs); the bucket map
+    and the Morton interleave are pure integer shift/AND/OR (whole
+    -stage codegen, and the oracle runs the IDENTICAL arithmetic via
+    ``layout.zvalue_sql``).  Grouping by the top 6 bits yields the
+    coarse curve cells whose per-cell min/max spans stay tight on BOTH
+    dimensions at once — exactly the footer envelopes a z-ordered
+    rewrite gives every file.  One broadcast + one map-side-combined
+    aggregate; no other shuffle."""
     from .operators import layout
 
     o = load(spark, sf_dir, "orders").select(
         "o_custkey",
         F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("day"),
     )
-    z = layout.zvalue(["o_custkey", "day"], bits=10)
+    bounds = o.agg(
+        F.min("o_custkey").alias("ck0"), F.max("o_custkey").alias("ck1"),
+        F.min("day").alias("d0"), F.max("day").alias("d1"),
+    )
+    norm = o.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey", "day",
+        F.expr("((CAST(o_custkey AS BIGINT) - ck0) * 1024)"
+               " div (ck1 - ck0 + 1)").alias("ck_b"),
+        F.expr("((CAST(day AS BIGINT) - d0) * 1024)"
+               " div (d1 - d0 + 1)").alias("day_b"),
+    )
+    z = layout.zvalue(["ck_b", "day_b"], bits=10)
     return (
-        o.withColumn("_z", z)
+        norm.withColumn("_z", z)
         .groupBy(F.shiftright("_z", 14).alias("cell"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

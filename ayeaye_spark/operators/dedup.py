@@ -978,7 +978,18 @@ def _jaccard_prefix_candidates(
     the high-threshold default: index size shrinks by ~t fraction and
     candidate pairs by orders of magnitude, at the price of one extra
     shuffle (the per-set sort/slice aggregation).
+
+    All three bounds are computed in EXACT INTEGER arithmetic over
+    ``ppm = round(threshold * 1e6)`` (same convention as
+    :func:`containment_pairs`): the naive double form
+    ``ceil(t/(1+t)*(sa+sb))`` rounds ABOVE the true integer for
+    thresholds like 0.4 (``ceil(0.4/1.4*7) = 3`` vs true 2), which
+    over-requires overlap and silently drops boundary-exact true
+    pairs — losslessness would then depend on the threshold's binary
+    representation.  Integer cross-multiplication has no such edge.
     """
+    ppm = int(round(threshold * 1_000_000))
+    M = 1_000_000
     freq = exploded.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_df"))
     ranked = exploded.join(freq, on=join_keys)
     # per-set canonical sort + prefix slice; posexplode position is the
@@ -988,7 +999,10 @@ def _jaccard_prefix_candidates(
         + (["_block"] if has_block else [])
         + (["_side"] if cross_side else [])
     )
-    prefix_len = F.col("_size") - F.ceil(F.lit(threshold) * F.col("_size")) + 1
+    # prefix keeps |A| - ceil(t*|A|) + 1 elements; integer-exact ceil
+    prefix_len = F.expr(
+        f"_size - ((CAST({ppm} AS BIGINT) * _size + {M - 1}) DIV {M}) + 1"
+    )
     prefixes = (
         ranked.groupBy(*group_cols)
         .agg(F.array_sort(F.collect_list(F.struct("_df", "_h"))).alias("_sorted"))
@@ -1016,9 +1030,11 @@ def _jaccard_prefix_candidates(
         l.join(r, jk)
         .where(
             pair_cond
-            # length filter: min size >= t * max size
-            & (F.col("l._size") >= F.ceil(F.lit(threshold) * F.col("r._size")))
-            & (F.col("r._size") >= F.ceil(F.lit(threshold) * F.col("l._size")))
+            # length filter: min size >= t * max size, as an integer
+            # cross-multiplication (sizes are ints, so >= ceil(t*max)
+            # iff size*1e6 >= ppm*max — no double rounding)
+            & (F.col("l._size").cast("long") * M >= F.lit(ppm).cast("long") * F.col("r._size"))
+            & (F.col("r._size").cast("long") * M >= F.lit(ppm).cast("long") * F.col("l._size"))
         )
         .select(
             F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"),
@@ -1034,13 +1050,16 @@ def _jaccard_prefix_candidates(
         F.first("_sa").alias("_sa"), F.first("_sb").alias("_sb"),
         F.min("_m").alias("_m"),
     )
-    minoverlap = F.ceil(
-        F.lit(threshold) / F.lit(1.0 + threshold) * (F.col("_sa") + F.col("_sb"))
-    )
+    # positional filter: ubound >= ceil(ppm*(sa+sb) / (1e6+ppm)),
+    # cross-multiplied so the bound is integer-exact (ubound is an int:
+    # u >= ceil(x) iff u*(1e6+ppm) >= ppm*(sa+sb))
     ubound = F.lit(1) + F.least(
         F.col("_sa") - (F.col("_m._pa") + 1), F.col("_sb") - (F.col("_m._pb") + 1)
     )
-    return first.where(ubound >= minoverlap).select("_ida", "_idb")
+    return first.where(
+        ubound.cast("long") * (M + ppm)
+        >= F.lit(ppm).cast("long") * (F.col("_sa") + F.col("_sb"))
+    ).select("_ida", "_idb")
 
 
 def _jaccard_join_prepped(

@@ -1199,7 +1199,10 @@ def kcenter_coreset(
     ``min(struct(maxcos, id, vec))`` aggregate — the argmin rides the
     aggregate, no window, and the picked vector comes back in the same
     struct so no second scan.  Zero-norm rows score cosine 1.0 (never
-    picked).
+    picked while any non-degenerate row remains).  Already-chosen ids
+    are excluded from each round's scan, so picks are always distinct;
+    if the corpus runs out before k picks (k > corpus size) the result
+    simply has fewer than k rows.
 
     Scale shape: the corpus is checkpointed ONCE and then scanned k-1
     times (one Arrow max-cos pass + one tiny aggregate per round);
@@ -1214,7 +1217,7 @@ def kcenter_coreset(
 
     if k <= 0:
         raise ValueError("k must be positive")
-    from pyspark.sql.types import DoubleType, StructField, StructType
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
     base = df.select(id_col, vec_col).localCheckpoint(eager=False)
     seed = base.orderBy(F.asc(id_col)).limit(1).collect()
@@ -1228,6 +1231,12 @@ def kcenter_coreset(
                          StructField("_maxcos", DoubleType())])
 
     for _ in range(k - 1):
+        # already-chosen rows never re-enter the argmin — duplicate
+        # picks (possible once every remaining max-cos hits 1.0) can't
+        # happen, and a k larger than the corpus just stops early
+        remaining = base.where(
+            ~F.col(id_col).isin([i for i, _v in chosen])
+        )
         cmat = _matrix([v for _, v in chosen])
         cnorm = np.sqrt(_seq_sqnorm(cmat))
 
@@ -1245,7 +1254,7 @@ def kcenter_coreset(
                 out["_maxcos"] = mc
                 yield out
 
-        scored = base.mapInPandas(gen, schema)
+        scored = remaining.mapInPandas(gen, schema)
         pick = scored.agg(
             F.min(F.struct(
                 F.col("_maxcos").alias("c"),
@@ -1253,10 +1262,15 @@ def kcenter_coreset(
                 F.col(vec_col).alias("v"),
             )).alias("m")
         ).collect()[0]["m"]
+        if pick is None:  # corpus exhausted: k > number of rows
+            break
         chosen.append((pick["i"], [float(x) for x in pick["v"]]))
 
     spark = df.sparkSession
+    # output schema derives from the CAPTURED id field — string/int/...
+    # ids all round-trip (round-6 advice: the hardcoded `long` crashed
+    # createDataFrame for non-long ids)
     return spark.createDataFrame(
         [(i, rank) for rank, (i, _v) in enumerate(chosen)],
-        f"{id_col} long, center_rank int",
+        StructType([id_field, StructField("center_rank", IntegerType(), False)]),
     )

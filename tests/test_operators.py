@@ -2617,6 +2617,34 @@ class TestKcenterCoreset:
         only = similarity.kcenter_coreset(df, k=1).collect()
         assert [(r["vec_id"], r["center_rank"]) for r in only] == [(1, 0)]
 
+    def test_string_ids_roundtrip(self, spark):
+        """Round-6 advice: the output schema was hardcoded `long` and
+        crashed createDataFrame for string ids — it now derives from
+        the captured id field."""
+        rows = [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("c", [-1.0, 0.0])]
+        df = spark.createDataFrame(rows, "doc string, embedding array<double>")
+        got = similarity.kcenter_coreset(df, id_col="doc", k=2)
+        assert dict(got.dtypes) == {"doc": "string", "center_rank": "int"}
+        picks = [(r["doc"], r["center_rank"])
+                 for r in got.orderBy("center_rank").collect()]
+        assert picks[0] == ("a", 0) and len(picks) == 2
+
+    def test_no_duplicate_picks_when_k_exceeds_distinct(self, spark):
+        """Round-6 advice: once every remaining max-cos is 1.0
+        (duplicate vectors), the argmin could re-pick an already-chosen
+        id.  Chosen ids are now excluded per round and an exhausted
+        corpus stops early."""
+        rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0]),
+                (4, [0.0, 1.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = [r["vec_id"] for r in
+               similarity.kcenter_coreset(df, k=4).orderBy("center_rank").collect()]
+        assert len(got) == len(set(got)) == 4
+        # k beyond the corpus: fewer rows, still all distinct
+        over = [r["vec_id"] for r in
+                similarity.kcenter_coreset(df, k=9).orderBy("center_rank").collect()]
+        assert len(over) == len(set(over)) == 4
+
 
 class TestKmeansEmbeddings:
     def test_deterministic_and_partitioning_invariant(self, spark):
@@ -3693,6 +3721,34 @@ class TestVideoNearDup:
             ri = sorted(map(tuple, idx.collect()))
             rp = sorted(map(tuple, pfx.collect()))
             assert ri == rp and len(ri) >= 1, (thr, blk)
+
+    def test_prefix_filter_boundary_exact_thresholds(self, spark):
+        """Regression (round-6 advice): the positional bound used to be
+        ceil(t/(1+t)*(sa+sb)) in doubles, which rounds ABOVE the true
+        integer for t=0.4 (ceil(0.4/1.4*7)=3 vs true 2) and silently
+        dropped pairs whose Jaccard equals the threshold exactly.  All
+        bounds are now integer-exact over ppm=round(t*1e6); pairs that
+        sit EXACTLY on the threshold must survive every filter."""
+        from ayeaye_spark.operators.dedup import set_jaccard_pairs
+
+        cases = {
+            # threshold -> (set_a, set_b) with jaccard == threshold
+            0.2: ([1, 2], [1, 3, 4, 5]),              # 1/5
+            0.4: ([1, 2, 3], [1, 2, 4, 5]),           # 2/5
+            0.8: ([1, 2, 3, 4, 5], [1, 2, 3, 4]),     # 4/5
+            0.9: (list(range(10)), list(range(9))),   # 9/10
+        }
+        for thr, (sa, sb) in cases.items():
+            df = spark.createDataFrame(
+                [("a", sa), ("b", sb), ("far", [777, 888, 999])],
+                "sid string, items array<int>")
+            pfx = sorted(map(tuple, set_jaccard_pairs(
+                df, "sid", "items", threshold=thr, method="prefix").collect()))
+            idx = sorted(map(tuple, set_jaccard_pairs(
+                df, "sid", "items", threshold=thr).collect()))
+            assert pfx == idx, thr
+            assert [(p[0], p[1]) for p in pfx] == [("a", "b")], thr
+            assert abs(pfx[0][2] - thr) < 1e-12, thr
 
     def test_prefix_filter_rejects_lossy_knob(self, spark):
         import pytest
