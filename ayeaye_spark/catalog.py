@@ -3237,6 +3237,62 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("dup", "spark", "vector")
+
+
+@query(
+    "docs_bm25_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {P.tokens('text', DUCK)} AS toks FROM documents
+    ),
+    tl AS (
+      SELECT doc_id, CAST({P.size('toks', DUCK)} AS BIGINT) AS dl,
+             unnest(toks) AS term
+      FROM base
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM({P.size('toks', DUCK)}) AS BIGINT) AS total_toks
+      FROM base
+    ),
+    tf AS (
+      SELECT doc_id, term, dl, COUNT(*) AS tf
+      FROM tl WHERE term IN ('dup', 'spark', 'vector')
+      GROUP BY 1, 2, 3
+    ),
+    dfq AS (SELECT term, COUNT(*) AS term_df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             (((2 * (s.n_docs - d.term_df) + 1) * 1000000)
+                // (2 * d.term_df + 1))
+             * ((44 * s.total_toks * tf.tf * 1000000)
+                // (20 * s.total_toks * tf.tf + 6 * s.total_toks
+                    + 18 * tf.dl * s.n_docs)) AS contrib
+      FROM tf JOIN dfq d USING (term) CROSS JOIN stats s
+    )
+    SELECT doc_id, COUNT(*) AS n_terms_matched,
+           CAST(SUM(contrib) AS BIGINT) AS bm25_score
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (``operators/text.py:bm25_topk``): top-20
+    documents for a 3-term query mixing one rare term (idf dominates)
+    with two common ones (saturation dominates) — the targeted-curation
+    primitive.  Exact rational BM25 (k1=6/5, b=3/4 multiplied through
+    by 20*T) with a log-free rational idf, all in 64-bit integer
+    arithmetic, so both engines agree bit-for-bit; the top-k is a
+    per-partition heap (``TakeOrderedAndProject``), never a global
+    sort."""
+    return textops.bm25_topk(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        list(_BM25_TERMS), topk=20,
+    )
+
+
 @query(
     "docs_length_midspread",
     oracle=f"""

@@ -261,6 +261,113 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    topk: int = 20,
+) -> DataFrame:
+    """BM25-family keyword retrieval: the top-``topk`` documents for a
+    bag of query terms — the targeted-curation primitive (pull the
+    best docs about X into a fine-tuning mix; score eval-contaminated
+    topics before decontamination).
+
+    The saturation term is textbook BM25 with ``k1 = 6/5`` and
+    ``b = 3/4`` evaluated in EXACT RATIONAL arithmetic (multiply
+    through by ``20*T``):
+
+        sat_ppm = (44*T*tf*1e6) div (20*T*tf + 6*T + 18*dl*N)
+
+    where ``dl`` is the document token count, ``N`` the corpus doc
+    count and ``T`` the corpus token count (so ``avgdl = T/N`` never
+    materializes as a float).  The idf is the LOG-FREE rational form
+    ``((2*(N-df)+1) * 1e6) div (2*df+1)`` — the same rare-before-
+    common ordering as the textbook ``ln``-idf, without the float
+    logarithm whose last ulp differs between JVM ``Math.log`` and
+    libm (the house rule: catalog scores must be bit-identical to the
+    DuckDB oracle, see ``tfidf_top_terms``).  A term's contribution is
+    ``idf_ppm * sat_ppm`` (integer, 1e-12 units) and the document
+    score is the SUM — integer addition is associative, so no
+    fixed-order-of-addition tricks are needed.
+
+    Scale shape — there is NO corpus-wide shuffle anywhere: ONE scan
+    tokenizes each document once (the per-term tf's are
+    ``size(filter(tokens, ...))`` in the same projection; Spark's
+    subexpression elimination computes the token array once per row)
+    into a narrow ``(id, dl, tf_0..tf_{k-1})`` frame, lazily
+    checkpointed so the three consumers below don't re-tokenize.  The
+    per-term document frequencies and the corpus (N, T) totals are two
+    SINGLE-ROW aggregates broadcast back; every document's score is
+    then a pure per-row expression (integer addition is associative,
+    so the fixed written order costs nothing), and the top-k is
+    Spark's ``TakeOrderedAndProject`` (per-partition heap + driver
+    merge of ``topk * n_partitions`` rows — never a global sort).
+    Valid while ``44 * T * max_tf * 1e6`` fits a signed 64-bit long
+    (T up to ~2e11 tokens at tf 1000); beyond that, run per-shard or
+    widen the arithmetic to DECIMAL(38,0) on both engines.
+
+    Query terms must be simple lowercase tokens (they are spliced
+    into filter lambdas; single quotes are escaped).
+
+    Returns ``(id_col, n_terms_matched, bm25_score)``, ordered by
+    score desc then id.
+    """
+    terms = list(query_terms)
+    toks_sql = P.tokens(text_col, SPARK)
+
+    def tf_expr(term: str) -> str:
+        lit = term.replace("'", "''")
+        return P.size(P.filter_(toks_sql, "t", f"t = '{lit}'", SPARK), SPARK)
+
+    per_doc = df.select(
+        F.col(id_col),
+        F.expr(P.size(toks_sql, SPARK)).cast("long").alias("_dl"),
+        *[
+            F.expr(tf_expr(t)).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).localCheckpoint(eager=False)
+
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_dl").alias("_total_toks"),
+    )
+    dfreq = per_doc.agg(
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ]
+    )
+
+    def contrib(i: int) -> str:
+        return (
+            f"CASE WHEN _tf{i} > 0 THEN "
+            f"(((2 * (_n_docs - _df{i}) + 1) * 1000000) div (2 * _df{i} + 1))"
+            f" * ((44 * _total_toks * _tf{i} * 1000000)"
+            f"    div (20 * _total_toks * _tf{i} + 6 * _total_toks"
+            f"         + 18 * _dl * _n_docs)) ELSE 0 END"
+        )
+
+    matched_expr = " + ".join(
+        f"CAST(_tf{i} > 0 AS BIGINT)" for i in range(len(terms))
+    )
+    score_expr = " + ".join(contrib(i) for i in range(len(terms)))
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfreq))
+        .select(
+            F.col(id_col),
+            F.expr(matched_expr).alias("n_terms_matched"),
+            F.expr(score_expr).cast("long").alias("bm25_score"),
+        )
+        .where(F.col("n_terms_matched") > 0)
+        .orderBy(F.desc("bm25_score"), F.asc(id_col))
+        .limit(topk)
+    )
+
+
 def with_gopher_flags(df: DataFrame, text_col: str) -> DataFrame:
     """Gopher-rule document profile (arXiv:2112.11446 App. A1.1): the
     repetition/format signals as exact integer ppm plus the composed

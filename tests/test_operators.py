@@ -3795,6 +3795,50 @@ class TestVideoNearDup:
             assert got == expect, kwargs
             assert got[(1, 3)] == 1.0 and got[(1, 2)] == 0.25
 
+    def test_bm25_topk_matches_bruteforce(self, spark):
+        """Exact rational BM25 (k1=6/5, b=3/4, log-free rational idf)
+        vs a python integer reference — same arithmetic, same ranking,
+        same tie-break."""
+        from ayeaye_spark.operators.text import bm25_topk
+
+        rows = [
+            (1, "rare spark spark join"),
+            (2, "spark join join join window"),
+            (3, "rare rare rare"),
+            (4, "window window window window window window"),
+            (5, "other words only here"),
+            (6, ""),
+            (7, None),
+        ]
+        terms = ["rare", "spark", "window"]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = [(r["doc_id"], r["n_terms_matched"], r["bm25_score"])
+               for r in bm25_topk(df, "doc_id", "text", terms, topk=4).collect()]
+
+        docs = {i: (t or "").lower().split() for i, t in rows}
+        N = len(rows)
+        T = sum(len(v) for v in docs.values())
+        dfreq = {t: sum(1 for v in docs.values() if t in v) for t in terms}
+        scores = {}
+        for i, v in docs.items():
+            contribs = []
+            for t in terms:
+                tf = v.count(t)
+                if tf == 0:
+                    continue
+                idf = ((2 * (N - dfreq[t]) + 1) * 1_000_000) // (2 * dfreq[t] + 1)
+                sat = (44 * T * tf * 1_000_000) // (
+                    20 * T * tf + 6 * T + 18 * len(v) * N)
+                contribs.append(idf * sat)
+            if contribs:
+                scores[i] = (len(contribs), sum(contribs))
+        expect = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:4]
+        assert got == [(i, n, s) for i, (n, s) in expect]
+        # multi-term match with the rare term out-ranks everything;
+        # repeating a term saturates (doc 4's six 'window's don't win)
+        assert got[0][0] == 1 and got[0][1] == 2
+        assert {i for i, _n, _s in got} >= {1, 2, 3}
+
     def test_tfidf_cosine_matches_bruteforce(self, spark):
         """Unigram tf-idf cosine vs a python brute force using the same
         integer-scaled log-free weights; the max_item_df knob must not
