@@ -278,3 +278,106 @@ def pagerank_exact(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("_pr").alias(pr_col))
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+) -> DataFrame:
+    """Exact global triangle census of an undirected graph — the
+    structural summary behind community/cohesion analysis (e.g. does a
+    co-purchase or co-occurrence graph have real cluster structure, or
+    is it a hairball?).
+
+    Counting uses DEGREE-ORDERED ORIENTATION (the classic distributed
+    -triangle trick, cf. Suri & Vassilvitskii WWW'11 / Cohen 2009):
+    direct every edge from its lower-(degree, id) endpoint to the
+    higher one, enumerate wedges only from each vertex's OUT-edges,
+    and close them against the oriented edge list.  Every triangle is
+    generated exactly once (at its minimum-order vertex), and the
+    wedge fan-out per vertex is bounded by its OUT-degree, which the
+    orientation caps at O(sqrt(E)) regardless of how skewed the raw
+    degree distribution is — a celebrity node with degree 1e7
+    generates ZERO wedges from its in-edges.  That bound is what makes
+    the plan survive scale-free graphs at 100 TB; a naive wedge join
+    on the raw adjacency explodes quadratically on the hottest key.
+
+    Plan: canonicalize (one distinct), degree aggregate, two hash
+    joins to attach order keys, one self-join on the wedge apex, one
+    semi-join to close — every join keyed on a vertex id (uniform
+    after orientation).  All arithmetic is int64 (wedge count
+    ``sum(d*(d-1) div 2)``, clustering coefficient in ppm), so the
+    result is bit-identical to a SQL oracle.
+
+    Returns ONE row: ``(n_vertices, n_edges, n_wedges, n_triangles,
+    clustering_ppm)`` where ``clustering_ppm = 3 * triangles * 1e6
+    div wedges`` (global clustering coefficient; 0 when wedge-free).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_u"),
+            F.greatest(F.col(src), F.col(dst)).alias("_v"),
+        )
+        .where(F.col("_u") != F.col("_v"))
+        .dropna()
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("_u").alias("_x"))
+        .unionByName(e.select(F.col("_v").alias("_x")))
+        .groupBy("_x")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .localCheckpoint(eager=False)
+    )
+    # orient each edge low->high in the (degree, id) total order; keep
+    # the head's order key for the wedge ordering below
+    du = deg.select(F.col("_x").alias("_u"), F.col("_d").alias("_du"))
+    dv = deg.select(F.col("_x").alias("_v"), F.col("_d").alias("_dv"))
+    keyed = e.join(du, "_u").join(dv, "_v")
+    fwd = F.struct(F.col("_du").alias("d"), F.col("_u").alias("i")) < F.struct(
+        F.col("_dv").alias("d"), F.col("_v").alias("i")
+    )
+    oriented = keyed.select(
+        F.when(fwd, F.col("_u")).otherwise(F.col("_v")).alias("_s"),
+        F.when(fwd, F.col("_v")).otherwise(F.col("_u")).alias("_t"),
+        F.when(
+            fwd, F.struct(F.col("_dv").alias("d"), F.col("_v").alias("i"))
+        )
+        .otherwise(F.struct(F.col("_du").alias("d"), F.col("_u").alias("i")))
+        .alias("_tkey"),
+    ).localCheckpoint(eager=False)
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1._s") == F.col("w2._s"))
+        & (F.col("w1._tkey") < F.col("w2._tkey")),
+    ).select(F.col("w1._t").alias("_b"), F.col("w2._t").alias("_c"))
+    tri = (
+        wedges.join(
+            oriented.select(F.col("_s").alias("_b"), F.col("_t").alias("_c")),
+            ["_b", "_c"],
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    totals = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    vstats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum(F.expr("_d * (_d - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    return (
+        vstats.crossJoin(totals)
+        .crossJoin(tri)
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN n_wedges = 0 THEN 0L"
+                " ELSE 3 * n_triangles * 1000000 div n_wedges END"
+            ).alias("clustering_ppm"),
+        )
+    )

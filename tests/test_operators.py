@@ -3214,6 +3214,55 @@ class TestPagerankExact:
         }
         assert out1 == out2
 
+
+class TestTriangleStats:
+    def test_matches_bruteforce_random_graph(self, spark):
+        """Degree-ordered-orientation census vs a python brute force on
+        an Erdos-Renyi-ish graph with duplicate/reversed/self-loop
+        noise in the input edge list."""
+        import itertools
+        import random
+
+        from ayeaye_spark.operators import graph
+
+        rng = random.Random(5)
+        n = 30
+        base = [(i, j) for i in range(n) for j in range(i + 1, n)
+                if rng.random() < 0.25]
+        noisy = base + [(b, a) for a, b in base[::3]] + [(4, 4), (7, 7)]
+        rng.shuffle(noisy)
+        df = spark.createDataFrame(noisy, "a long, b long")
+        row = graph.triangle_stats(df, "a", "b").collect()[0]
+
+        es = set(base)
+        verts = {v for e in es for v in e}
+        deg = {v: sum(1 for e in es if v in e) for v in verts}
+        wedges = sum(d * (d - 1) // 2 for d in deg.values())
+        tris = sum(
+            1 for x, y, z in itertools.combinations(sorted(verts), 3)
+            if (x, y) in es and (x, z) in es and (y, z) in es
+        )
+        assert (row["n_vertices"], row["n_edges"], row["n_wedges"],
+                row["n_triangles"]) == (len(verts), len(es), wedges, tris)
+        assert row["clustering_ppm"] == 3 * tris * 1_000_000 // wedges
+        assert tris > 10  # the graph actually has structure to count
+
+    def test_triangle_free_and_complete(self, spark):
+        from ayeaye_spark.operators import graph
+
+        # star K_1,4: wedge-rich, triangle-free
+        star = spark.createDataFrame(
+            [(0, i) for i in range(1, 5)], "a long, b long")
+        r = graph.triangle_stats(star, "a", "b").collect()[0]
+        assert r["n_triangles"] == 0 and r["n_wedges"] == 6
+        assert r["clustering_ppm"] == 0
+        # K_4: every wedge closes
+        k4 = spark.createDataFrame(
+            [(i, j) for i in range(4) for j in range(i + 1, 4)],
+            "a long, b long")
+        r = graph.triangle_stats(k4, "a", "b").collect()[0]
+        assert r["n_triangles"] == 4 and r["clustering_ppm"] == 1_000_000
+
     def test_rejects_zero_iterations(self, spark):
         import pytest
 
