@@ -575,6 +575,38 @@ def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_cols=["o_orderkey"], rank_col="rnk",
     ).select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
 
+@query(
+    "orders_pareto_frontier",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders d
+      WHERE d.o_orderdate <= o.o_orderdate
+        AND d.o_totalprice >= o.o_totalprice
+        AND (d.o_orderdate < o.o_orderdate
+             OR d.o_totalprice > o.o_totalprice)
+    )
+    """,
+)
+def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier / skyline over orders (minimize order date,
+    maximize total price): the orders no later-AND-cheaper order can
+    dominate — "the biggest order seen so far" frontier
+    (``operators/relational.py:pareto_frontier_2d``).  The Spark plan
+    is the histogram-prefix decomposition (per-date max collapses the
+    corpus to the distinct-date frame; one exclusive running max over
+    that bounded frame; hash join back) — no corpus-sized window, no
+    quadratic anything.  The oracle is the independent ``NOT EXISTS``
+    dominance definition, quadratic and feasible only at gate scale."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return relational.pareto_frontier_2d(
+        orders, "o_orderdate", "o_totalprice"
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
 shared_sql(
     "orders_rollup",
     f"""

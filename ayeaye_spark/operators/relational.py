@@ -1313,3 +1313,65 @@ def spearman_correlation(
         F.lit(col_a).alias("col_x"), F.lit(col_b).alias("col_y"),
         F.col("corr").alias("rho"),
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    x_bucket_expr=None,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows not strictly dominated under
+    MINIMIZE ``x_col`` / MAXIMIZE ``y_col`` — "earliest at this price or
+    better", "cheapest at this quality or better".  Duplicates of a
+    frontier point are all kept (neither strictly dominates the other),
+    matching the ``NOT EXISTS`` SQL definition row-for-row.
+
+    Decomposition (no corpus-sized window anywhere): row *i* is on the
+    frontier iff
+
+    * ``y_i  = max y among rows with x = x_i``  (nothing above it at
+      its own x), and
+    * ``y_i  > max y among rows with x < x_i``  (nothing above-or-equal
+      strictly to its left).
+
+    Both maxima come from ONE per-``x`` aggregate (corpus collapses to
+    the distinct-``x`` frame) followed by an EXCLUSIVE running max over
+    that frame — the histogram-prefix pattern shared with
+    ``grouped_rank_exact``: the single-partition window sees one row
+    per distinct ``x``, bounded by the attribute's cardinality (dates,
+    buckets), never by the corpus.  The frontier-x frame then
+    hash-joins back (it is at most distinct-``x`` sized; Spark/AQE
+    broadcasts it when small).
+
+    For continuous ``x`` pass ``x_bucket_expr`` (a monotone coarsening,
+    e.g. ``F.floor(F.col(x) * 100)``): the frontier is then computed on
+    the bucketized x — a coarser but scale-safe skyline; float ``x``
+    without it raises (same guard as ``grouped_rank_exact``).  NULLs in
+    either column never join the frontier (dominance is undefined).
+    """
+    if x_bucket_expr is None:
+        xt = df.schema[x_col].dataType.simpleString()
+        if xt in ("double", "float"):
+            raise ValueError(
+                f"pareto_frontier_2d: {x_col!r} is {xt} — the per-x frame "
+                "would approach corpus size. Pass x_bucket_expr, e.g. "
+                f"x_bucket_expr=F.floor(F.col({x_col!r}))."
+            )
+    base = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    xb = x_bucket_expr if x_bucket_expr is not None else F.col(x_col)
+    b = base.withColumn("_xb", xb)
+    perx = b.groupBy("_xb").agg(F.max(y_col).alias("_ymax"))
+    w = Window.orderBy(F.asc("_xb")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pref = perx.withColumn("_yleft", F.max("_ymax").over(w))
+    frontier_x = pref.where(
+        F.col("_yleft").isNull() | (F.col("_ymax") > F.col("_yleft"))
+    ).select("_xb", "_ymax")
+    return (
+        b.join(frontier_x, on="_xb")
+        .where(F.col(y_col) == F.col("_ymax"))
+        .drop("_xb", "_ymax")
+    )

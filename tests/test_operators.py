@@ -3215,6 +3215,51 @@ class TestPagerankExact:
         assert out1 == out2
 
 
+class TestParetoFrontier:
+    def test_matches_bruteforce_with_duplicates(self, spark):
+        """Skyline (min x, max y) vs the quadratic NOT-EXISTS
+        definition; duplicated frontier points must BOTH survive."""
+        import random
+
+        rng = random.Random(9)
+        pts = [(i, rng.randint(0, 50), rng.randint(0, 50))
+               for i in range(120)]
+        pts += [(200, 5, 49), (201, 5, 49)]  # duplicate frontier point
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        got = sorted(r["id"] for r in
+                     relational.pareto_frontier_2d(df, "x", "y").collect())
+        expect = sorted(
+            i for i, x, y in pts
+            if not any(
+                dx <= x and dy >= y and (dx < x or dy > y)
+                for _j, dx, dy in pts
+            )
+        )
+        assert got == expect and len(expect) >= 3
+
+    def test_float_x_guard_and_bucket_path(self, spark):
+        import pytest
+
+        df = spark.createDataFrame(
+            [(1, 0.1, 10), (2, 0.2, 20), (3, 0.3, 5)],
+            "id long, x double, y long")
+        with pytest.raises(ValueError, match="x_bucket_expr"):
+            relational.pareto_frontier_2d(df, "x", "y")
+        got = {r["id"] for r in relational.pareto_frontier_2d(
+            df, "x", "y", x_bucket_expr=F.floor(F.col("x") * 10)
+        ).collect()}
+        # bucketized: x-buckets 1,2,3 -> frontier = (1,10),(2,20)
+        assert got == {1, 2}
+
+    def test_nulls_never_on_frontier(self, spark):
+        df = spark.createDataFrame(
+            [(1, None, 99), (2, 5, None), (3, 5, 7)],
+            "id long, x long, y long")
+        got = {r["id"] for r in
+               relational.pareto_frontier_2d(df, "x", "y").collect()}
+        assert got == {3}
+
+
 class TestTriangleStats:
     def test_matches_bruteforce_random_graph(self, spark):
         """Degree-ordered-orientation census vs a python brute force on
