@@ -544,6 +544,180 @@ shared_sql(
     ("customer", "orders"),
 )
 
+# --- the remaining TPC-H family, adapted to the available columns -------
+# The driver testdata has no partsupp table and lineitem carries no
+# shipmode/commitdate/receiptdate, so Q2/Q11/Q12/Q16/Q20 run on faithful
+# ADAPTATIONS: supplier-part offers derive from lineitem (distinct
+# (l_partkey, l_suppkey), unit price = extendedprice/quantity), Q12's
+# lateness is shipdate - orderdate > 90 days.  The query SHAPES — the
+# point of each — are unchanged: Q2 correlated per-group argmin, Q11
+# HAVING over a share of a global aggregate, Q12 conditional two-way
+# counts, Q16 anti-join + count-distinct, Q20 nested semi-join chain.
+# With these, all 22 TPC-H query shapes are on the acceptance surface.
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offer AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT partkey, MIN(unit_price) AS best_price
+      FROM offer GROUP BY 1
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+           o.unit_price
+    FROM part p
+    JOIN best b ON b.partkey = p.p_partkey
+    JOIN offer o ON o.partkey = p.p_partkey AND o.unit_price = b.best_price
+    JOIN supplier s ON s.s_suppkey = o.suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_type = 'SMALL' AND p.p_size <= 5 AND r.r_name = 'EUROPE'
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted — no partsupp: offers derive from lineitem,
+    cost = min unit price per supplier-part): for each qualifying
+    part, every supplier matching the region-wide minimum price,
+    decorated with supplier/nation.  Spark shape: the per-part minimum
+    rides the offer aggregate (two map-side-combined aggregates on the
+    same key — no window, no correlated re-scan), dims broadcast, and
+    the final is a TakeOrderedAndProject.  IEEE division is correctly
+    rounded in both engines, and it only feeds MIN/equality — never a
+    sum — so the oracle matches bitwise."""
+    li = load(spark, sf_dir, "lineitem")
+    offer = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    best = offer.groupBy("partkey").agg(F.min("unit_price").alias("best_price"))
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 5)
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    return (
+        offer.join(best, on="partkey")
+        .where(F.col("unit_price") == F.col("best_price"))
+        .join(F.broadcast(part), F.col("partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                "unit_price")
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+                 F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+shared_sql(
+    # TPC-H Q11 (adapted): per-part inventory value -> per-part shipped
+    # value for one nation's suppliers; HAVING keeps parts above 1/10000
+    # of the nation total.  The share compare is integer-exact: both
+    # sides are the same DECIMAL(27,4) sum, scaled by 10000 on the left.
+    "q11_important_part_value",
+    """
+    WITH nsup AS (
+      SELECT s_suppkey FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+    ),
+    val AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(27,4))) AS v
+      FROM lineitem l JOIN nsup ON nsup.s_suppkey = l.l_suppkey
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+    FROM val
+    WHERE v * 10000 > (SELECT SUM(v) FROM val)
+    ORDER BY part_value DESC, l_partkey ASC
+    """,
+    ("lineitem", "supplier", "nation"),
+)
+
+shared_sql(
+    # TPC-H Q12 (adapted — no shipmode/receiptdate: late = shipped more
+    # than 90 days after the order date; the two-way conditional counts
+    # split by order priority keep Q12's CASE-pivot shape).
+    "q12_late_shipment_priority",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    ("orders", "lineitem"),
+)
+
+shared_sql(
+    # TPC-H Q16 (adapted — partsupp := distinct (l_partkey, l_suppkey)
+    # from lineitem): supplier counts per (brand, type, size) with the
+    # classic brand/type exclusion and a NOT-IN supplier blacklist
+    # (here: negative account balance).
+    "q16_supplier_part_counts",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'ECONOMY'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    ("lineitem", "part", "supplier"),
+)
+
+shared_sql(
+    # TPC-H Q20 (adapted — availability := a supplier's all-time shipped
+    # quantity of a part; the Q20 shape is the nested semi-join chain:
+    # suppliers having a >= 60-unit part whose 1996 shipments exceed
+    # half their all-time shipments of it, part names filtered by
+    # prefix).  The half-compare is integer-exact on decimal sums
+    # (2*q96 > qall).
+    "q20_excess_shipment_suppliers",
+    """
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(27,2))) >= 60
+         AND 2 * SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1996-01-01'
+                           AND l.l_shipdate < TIMESTAMP '1997-01-01'
+                          THEN CAST(l.l_quantity AS DECIMAL(27,2))
+                          ELSE CAST(0 AS DECIMAL(27,2)) END)
+             > SUM(CAST(l.l_quantity AS DECIMAL(27,2)))
+    )
+    ORDER BY s.s_name
+    """,
+    ("supplier", "nation", "lineitem", "part"),
+)
+
+
 @query(
     "top3_orders_per_segment",
     oracle="""
@@ -605,6 +779,96 @@ def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.pareto_frontier_2d(
         orders, "o_orderdate", "o_totalprice"
     ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@query(
+    "docs_quality_length_frontier",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang,
+             CAST({P.token_count('text', DUCK)} AS BIGINT) AS ntok,
+             CAST({P.quality_score_ppm('text', DUCK)} AS BIGINT) AS quality_ppm
+      FROM documents
+    )
+    SELECT s.doc_id, s.lang, s.ntok, s.quality_ppm
+    FROM sized s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sized d
+      WHERE d.lang = s.lang AND d.ntok <= s.ntok
+        AND d.quality_ppm >= s.quality_ppm
+        AND (d.ntok < s.ntok OR d.quality_ppm > s.quality_ppm)
+    )
+    """,
+)
+def docs_quality_length_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-vs-length Pareto frontier: the shortest
+    documents at each quality level no shorter-and-better document can
+    dominate — the curation shortlist "maximum quality per token spent"
+    (``relational.pareto_frontier_2d`` with ``group_cols``).  The
+    grouped form has NO single-partition exchange at all: the per-x
+    aggregate keys on (lang, ntok) and the running max partitions by
+    lang.  Integer ppm quality and token counts, so the independent
+    NOT-EXISTS oracle matches bitwise."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.expr(P.token_count("text", SPARK)).cast("long").alias("ntok"),
+        F.expr(P.quality_score_ppm("text", SPARK)).cast("long").alias("quality_ppm"),
+    )
+    return relational.pareto_frontier_2d(
+        docs, "ntok", "quality_ppm", group_cols=["lang"]
+    ).select("doc_id", "lang", "ntok", "quality_ppm")
+
+
+@query(
+    "events_value_winsorized",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    qs AS (
+      SELECT event_type,
+             MAX(CASE WHEN rk = GREATEST(CAST(CEIL(n * 0.05) AS BIGINT), 1)
+                      THEN value END) AS lo,
+             MAX(CASE WHEN rk = GREATEST(CAST(CEIL(n * 0.95) AS BIGINT), 1)
+                      THEN value END) AS hi
+      FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN e.value < q.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           {dsum('LEAST(GREATEST(e.value, q.lo), q.hi)')} AS winsorized_total
+    FROM events e JOIN qs q USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorized value totals (clip to the exact type-1
+    [p5, p95] per event type, then aggregate) — the robust-stats
+    outlier treatment (``relational.winsorize`` on the
+    ``exact_group_quantiles`` histogram locate-then-sort plan: no
+    per-type full sort, no corpus window; the oracle's ROW_NUMBER rank
+    formulation is the quadratic-ish naive twin, feasible at gate
+    scale).  Clipped values are real data values (order statistics),
+    so the decimal total stays exact."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    w = relational.winsorize(
+        ev, "event_type", "value", lower=0.05, upper=0.95, bucket_width=1.0
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("value") < F.col("_wlo"), 1).otherwise(0))
+        .cast("long").alias("n_clipped_low"),
+        F.sum(F.when(F.col("value") > F.col("_whi"), 1).otherwise(0))
+        .cast("long").alias("n_clipped_high"),
+        F.sum(F.col("value_winsorized").cast("decimal(27,2)"))
+        .cast("double").alias("winsorized_total"),
+    )
 
 
 shared_sql(
@@ -6801,16 +7065,25 @@ _WINDOW_ORDER: tuple[str, ...] = (
     # oracle-gate-verified)
     "docs_gopher_filter",
     "dedup_semantic_survivors",
-    # time windows / semi-structured (VARIANT)
-    "events_hourly_window",
+    # semi-structured (VARIANT); events_hourly_window rotated to the
+    # oracle gate in round 7 (plain time-bucket groupBy — the shape is
+    # also covered in-window by q1/peak-concurrency) for the Pareto
+    # frontier below
     "events_props_variant",
     # exact twins of the approximate sketches
     "events_distinct_users_exact",
     "lineitem_price_quartiles_exact",
-    # text analysis + Pandas grouped-agg UDF
+    # text analysis + Pandas grouped-agg UDF (doc_quality rotated to
+    # the oracle gate in round 7 — quality scoring stays in-window via
+    # docs_gopher_filter and the weighted grouped-agg — for the BM25
+    # retrieval family below)
     "doc_lang_id",
-    "doc_quality",
     "docs_weighted_quality_by_lang",
+    # round-7 families: exact rational BM25 retrieval, degree-ordered
+    # triangle census, histogram-prefix Pareto frontier
+    "docs_bm25_topk",
+    "parts_copurchase_triangles",
+    "orders_pareto_frontier",
     # training-data curation (docs_token_budget rotated to the oracle
     # gate in round 6 — its 1-row output was the window's weakest hash
     # check — in favor of the exact-substring dedup surgery below,
@@ -6829,9 +7102,10 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "dedup_prefix_jaccard_pairs",
     # data layout: N-dim Morton z-value cells (operators/layout.py)
     "orders_zorder_cells",
-    # similarity search
+    # similarity search (ann_topk_lsh rotated to the oracle gate in
+    # round 7 — ANN stays in-window via ann_topk_ivf — to keep the
+    # window at 50 with the three round-7 families above)
     "ann_topk_ivf",
-    "ann_topk_lsh",
     # SCD2 merge, recursive CTE, skew-salted aggregate
     "customer_segment_scd2",
     "orders_monthly_gapless",

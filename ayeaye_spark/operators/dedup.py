@@ -1805,19 +1805,38 @@ def hamming_near_pairs(
     ``fp_bits=64`` uses the FULL signed long: band extraction uses the
     LOGICAL right shift (``shiftrightunsigned``) so negative hashes
     don't sign-extend into high bands.  Same scale shape and hot-band
-    caveats as :func:`simhash_near_pairs` (band width = occupancy knob;
-    exact-dup-heavy inputs should dedup exactly first)."""
+    caveats as :func:`simhash_near_pairs` (band width = occupancy knob).
+
+    FINGERPRINT-MULTIPLICITY COLLAPSE (round-7): the banded self-join
+    runs over the DISTINCT fingerprints, not the rows — on self-similar
+    corpora many documents share a fingerprint, and every band
+    collision between two hot fingerprints used to fan out
+    ``mult_a * mult_b`` id-pair candidates through the shuffle+distinct
+    (measured sf0.1 documents: 14M id-pair candidates vs 5.3M hash-pair
+    candidates — and the verify now runs once per hash PAIR, not once
+    per id pair).  Identical-fingerprint pairs (hamming 0) come from a
+    per-fingerprint equi-join that is exactly output-sized; qualifying
+    cross-fingerprint hash pairs expand back through two output-sized
+    id joins.  Semantics are unchanged — recall 1.0, each unordered id
+    pair exactly once."""
     if max_hamming >= bands:
         raise ValueError("pigeonhole banding needs max_hamming < bands")
     if fp_bits % bands:
         raise ValueError("bands must divide fp_bits")
     width = fp_bits // bands
     mask = (1 << width) - 1
+    # EAGER: three independent downstream stages (hash-pair banding,
+    # same-fingerprint pairs, cross expansion) read this frame — with a
+    # lazy checkpoint Spark's scheduler can run them concurrently and
+    # each races to compute the (often Python-signature) pipeline
+    # before the block lands in the cache, tripling the expensive
+    # stage.  One eager job pins it exactly once.
     s = sig.select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
-    ).localCheckpoint(eager=False)
-    chunks = s.select(
-        "_id", "_h",
+    ).localCheckpoint()
+    hashes = s.select("_h").distinct().localCheckpoint(eager=False)
+    chunks = hashes.select(
+        "_h",
         F.explode(F.array(*[
             F.struct(
                 F.lit(c).alias("c"),
@@ -1826,20 +1845,33 @@ def hamming_near_pairs(
             )
             for c in range(bands)
         ])).alias("chunk"),
-    ).select("_id", "_h", "chunk.c", "chunk.v")
+    ).select("_h", "chunk.c", "chunk.v")
     a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
+    hpairs = (
         a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.v") == F.col("b.v"))
-               & (F.col("a._id") < F.col("b._id")))
-        .select(
-            F.col("a._id").alias(f"{id_col}_a"),
-            F.col("b._id").alias(f"{id_col}_b"),
-            F.col("a._h").alias("_ha"),
-            F.col("b._h").alias("_hb"),
-        )
-        .distinct()  # a close pair can collide in several bands
+               & (F.col("a._h") < F.col("b._h")))
+        .select(F.col("a._h").alias("_ha"), F.col("b._h").alias("_hb"))
+        .distinct()  # a close hash pair can collide in several bands
+        .withColumn("hamming", F.bit_count(F.expr("_ha ^ _hb")).cast("int"))
+        .where(F.col("hamming") <= max_hamming)
     )
-    return pairs.select(
-        f"{id_col}_a", f"{id_col}_b",
-        F.bit_count(F.expr("_ha ^ _hb")).cast("int").alias("hamming"),
-    ).where(F.col("hamming") <= max_hamming)
+    sa, sb = s.alias("sa"), s.alias("sb")
+    same = (
+        sa.join(sb, (F.col("sa._h") == F.col("sb._h"))
+                & (F.col("sa._id") < F.col("sb._id")))
+        .select(
+            F.col("sa._id").alias(f"{id_col}_a"),
+            F.col("sb._id").alias(f"{id_col}_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    cross = (
+        hpairs.join(sa, F.col("sa._h") == F.col("_ha"))
+        .join(sb, F.col("sb._h") == F.col("_hb"))
+        .select(
+            F.least(F.col("sa._id"), F.col("sb._id")).alias(f"{id_col}_a"),
+            F.greatest(F.col("sa._id"), F.col("sb._id")).alias(f"{id_col}_b"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross)

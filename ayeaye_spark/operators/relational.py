@@ -1321,6 +1321,7 @@ def pareto_frontier_2d(
     y_col: str,
     *,
     x_bucket_expr=None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """2-D Pareto frontier (skyline): rows not strictly dominated under
     MINIMIZE ``x_col`` / MAXIMIZE ``y_col`` — "earliest at this price or
@@ -1350,7 +1351,14 @@ def pareto_frontier_2d(
     the bucketized x — a coarser but scale-safe skyline; float ``x``
     without it raises (same guard as ``grouped_rank_exact``).  NULLs in
     either column never join the frontier (dominance is undefined).
+
+    ``group_cols`` computes an INDEPENDENT frontier per group (per
+    language, per source): the per-x aggregate keys on (group, x) and
+    the running max partitions by group — the window stays bounded by
+    the per-group distinct-``x`` cardinality and parallelizes across
+    groups (no single-partition exchange at all in the grouped form).
     """
+    gcols = list(group_cols or ())
     if x_bucket_expr is None:
         xt = df.schema[x_col].dataType.simpleString()
         if xt in ("double", "float"):
@@ -1360,18 +1368,62 @@ def pareto_frontier_2d(
                 f"x_bucket_expr=F.floor(F.col({x_col!r}))."
             )
     base = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    for g in gcols:
+        base = base.where(F.col(g).isNotNull())
     xb = x_bucket_expr if x_bucket_expr is not None else F.col(x_col)
     b = base.withColumn("_xb", xb)
-    perx = b.groupBy("_xb").agg(F.max(y_col).alias("_ymax"))
-    w = Window.orderBy(F.asc("_xb")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    perx = b.groupBy(*gcols, "_xb").agg(F.max(y_col).alias("_ymax"))
+    w = (
+        Window.partitionBy(*gcols) if gcols else Window
+    ).orderBy(F.asc("_xb")).rowsBetween(Window.unboundedPreceding, -1)
     pref = perx.withColumn("_yleft", F.max("_ymax").over(w))
     frontier_x = pref.where(
         F.col("_yleft").isNull() | (F.col("_ymax") > F.col("_yleft"))
-    ).select("_xb", "_ymax")
+    ).select(*gcols, "_xb", "_ymax")
     return (
-        b.join(frontier_x, on="_xb")
+        b.join(frontier_x, on=gcols + ["_xb"])
         .where(F.col(y_col) == F.col("_ymax"))
         .drop("_xb", "_ymax")
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    bucket_width: float = 1.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to that group's
+    exact type-1 [``lower``, ``upper``] quantiles — the robust-stats
+    outlier treatment (heavy-tail damping before means/regressions;
+    the curation analogue caps per-user/per-source influence).
+
+    The quantiles come from :func:`exact_group_quantiles` (histogram
+    locate-then-sort — no per-group full sort, no corpus window); the
+    per-group bounds frame is one row per group and joins back by hash
+    (broadcast under AQE when small).  Clipping itself is a pure
+    projection.  Clipped values are always REAL data values (order
+    statistics), so downstream exact-decimal aggregates stay exact.
+
+    Output: input columns + ``out_col`` (default
+    ``<value>_winsorized``) + ``_wlo``/``_whi`` bound columns (kept —
+    callers reporting clip rates need them; drop if not).
+    """
+    out_col = out_col or f"{value_col}_winsorized"
+    lo_name, hi_name = f"q_{int(lower * 100)}", f"q_{int(upper * 100)}"
+    bounds = exact_group_quantiles(
+        df, group_col, value_col,
+        quantiles=(lower, upper), bucket_width=bucket_width,
+    ).select(
+        group_col,
+        F.col(lo_name).alias("_wlo"),
+        F.col(hi_name).alias("_whi"),
+    )
+    return df.join(bounds, on=group_col).withColumn(
+        out_col,
+        F.least(F.greatest(F.col(value_col), F.col("_wlo")), F.col("_whi")),
     )

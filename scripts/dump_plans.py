@@ -206,6 +206,22 @@ HEADLINE = {
         "projection arithmetic — the expensive part (clustered write) is a "
         "range partition on the key, tested in TestZOrderLayout."
     ),
+    "docs_bm25_topk": (
+        "one tokenization scan into a narrow (id, dl, tf*) frame; dfs and "
+        "corpus totals are single-row broadcasts, scoring is per-row integer "
+        "math, and the top-k is TakeOrderedAndProject — no wide shuffle "
+        "anywhere."
+    ),
+    "parts_copurchase_triangles": (
+        "degree-ordered orientation bounds wedge fan-out at O(sqrt(E)) per "
+        "vertex on any degree skew; every join keys on a vertex id, the "
+        "closing check is a semi-join."
+    ),
+    "orders_pareto_frontier": (
+        "per-date max collapses the corpus before the only ordered window, "
+        "which therefore sees one row per distinct date (attribute-bounded, "
+        "never corpus-bounded); frontier joins back by hash."
+    ),
     "docs_chunk_sequences": (
         "scan → one tokenization → explode of the chunk-index sequence; "
         "fan-out ≈ n/step with data in place, no shuffle at all."

@@ -142,7 +142,10 @@ class TestCorrectnessWindow:
                 "events_distinct_users_exact",
                 "lineitem_price_quartiles_exact",
             },
-            "text": {"doc_lang_id", "doc_quality"},
+            # doc_quality rotated to the oracle gate in round 7 (quality
+            # scoring stays in-window via docs_gopher_filter + the
+            # grouped-agg UDAF) for the BM25 retrieval family
+            "text": {"doc_lang_id"},
             "pandas_udaf": {"docs_weighted_quality_by_lang"},
             # docs_token_budget (1-row output) rotated to the oracle
             # gate in round 6 for the substring-surgery flagship
@@ -163,7 +166,9 @@ class TestCorrectnessWindow:
             "layout": {"orders_zorder_cells"},
             "substring_surgery": {"docs_remove_repeated_spans"},
             "interval_analytics": {"events_peak_concurrency_daily"},
-            "ann": {"ann_topk_ivf", "ann_topk_lsh"},
+            # ann_topk_lsh rotated to the oracle gate in round 7 (ANN
+            # stays in-window via ann_topk_ivf) for the round-7 families
+            "ann": {"ann_topk_ivf"},
             "scd2": {"customer_segment_scd2"},
             "recursive_cte": {"orders_monthly_gapless"},
             "salted_agg": {"events_salted_type_counts"},
@@ -181,6 +186,10 @@ class TestCorrectnessWindow:
             # round-6 families
             "iterative_graph": {"docs_source_lang_pagerank"},
             "heavy_hitters_exact": {"docs_heavy_hitter_tokens"},
+            # round-7 families
+            "bm25_retrieval": {"docs_bm25_topk"},
+            "triangle_census": {"parts_copurchase_triangles"},
+            "pareto_frontier": {"orders_pareto_frontier"},
         }
         for family, members in families.items():
             assert members <= window, f"{family}: {members - window} outside window"

@@ -3259,6 +3259,57 @@ class TestParetoFrontier:
                relational.pareto_frontier_2d(df, "x", "y").collect()}
         assert got == {3}
 
+    def test_grouped_frontier_independent_per_group(self, spark):
+        """group_cols: each group's skyline computed independently; a
+        point dominated only by another group's point stays."""
+        import random
+
+        rng = random.Random(21)
+        pts = [(i, "g" + str(i % 3), rng.randint(0, 30), rng.randint(0, 30))
+               for i in range(90)]
+        df = spark.createDataFrame(pts, "id long, g string, x long, y long")
+        got = sorted(r["id"] for r in relational.pareto_frontier_2d(
+            df, "x", "y", group_cols=["g"]).collect())
+        expect = sorted(
+            i for i, g, x, y in pts
+            if not any(
+                dg == g and dx <= x and dy >= y and (dx < x or dy > y)
+                for _j, dg, dx, dy in pts
+            )
+        )
+        assert got == expect and len(expect) >= 6
+
+
+class TestWinsorize:
+    def test_matches_numpy_type1_clip(self, spark):
+        """Clip bounds = exact type-1 order statistics at ceil(n*q);
+        parity with a python reference, per group."""
+        import math
+        import random
+
+        rng = random.Random(13)
+        rows = [(i, "g" + str(i % 2), round(rng.uniform(0, 100), 2))
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        got = {r["id"]: (r["_wlo"], r["_whi"], r["v_winsorized"])
+               for r in relational.winsorize(
+                   df, "g", "v", lower=0.1, upper=0.9, out_col="v_winsorized"
+               ).collect()}
+        by_g = {}
+        for _i, g, v in rows:
+            by_g.setdefault(g, []).append(v)
+        for g in by_g:
+            vs = sorted(by_g[g])
+            n = len(vs)
+            lo = vs[max(math.ceil(n * 0.1), 1) - 1]
+            hi = vs[max(math.ceil(n * 0.9), 1) - 1]
+            for i, gg, v in rows:
+                if gg == g:
+                    assert got[i] == (lo, hi, min(max(v, lo), hi)), (i, g)
+        # the fixture actually exercises clipping on a real fraction
+        n_clip = sum(1 for i, _g, v in rows if got[i][2] != v)
+        assert n_clip >= 20
+
 
 class TestTriangleStats:
     def test_matches_bruteforce_random_graph(self, spark):
