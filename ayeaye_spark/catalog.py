@@ -1393,6 +1393,37 @@ def events_asof_view_before_click(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "events_asof_view_with_ttl",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           (SELECT MAX(v.ts) FROM events v
+            WHERE v.user_id = c.user_id AND v.event_type = 'view'
+              AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR)
+             AS last_view_ts
+    FROM events c WHERE c.event_type = 'click'
+    """,
+)
+def events_asof_view_with_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE (pandas ``merge_asof`` semantics):
+    each click's most recent view, nulled when it is staler than one
+    hour — the feature-freshness TTL every online-feature backfill
+    needs.  The tolerance is a per-row predicate AFTER the carry-
+    forward (exact integer microseconds), so the plan stays the one
+    union+window shuffle; the oracle is the independent correlated
+    bounded-MAX formulation (equivalent because any view older than
+    the latest one is older still)."""
+    events = load(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.where(F.col("event_type") == "view").select("user_id", "ts")
+    return relational.asof_join(
+        clicks, views, on="ts", by=["user_id"], right_value_cols=[],
+        tolerance=3600, matched_on_col="last_view_ts",
+    )
+
+
+@query(
     "events_range_join_purchases",
     oracle="""
     SELECT a.user_id,

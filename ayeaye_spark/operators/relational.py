@@ -386,6 +386,8 @@ def asof_join(
     suffix: str = "_right",
     strict: bool = False,
     direction: str = "backward",
+    tolerance: int | float | None = None,
+    matched_on_col: str | None = None,
 ) -> DataFrame:
     """As-of join: each left row gets the nearest right row at or before
     (``direction="backward"``: ``right.on <= left.on``) or at or after
@@ -398,6 +400,19 @@ def asof_join(
     rows.  Equivalent to DuckDB's native ``ASOF JOIN``; avoids the range-
     join blowup entirely.  Ties on ``on``: right rows sort before left
     rows (non-strict) so an equal timestamp matches.
+
+    ``tolerance`` (pandas ``merge_asof`` semantics): a maximum match
+    gap — matches farther than this from the left row null out exactly
+    as if no right row existed.  For timestamp ``on`` columns it is in
+    SECONDS (compared in exact integer microseconds); for numeric
+    ``on`` columns it is in the column's own units.  Applied as a
+    per-row predicate AFTER the carry-forward — the plan shape (one
+    shuffle, one window) is unchanged.
+
+    ``matched_on_col`` names an extra output column carrying the
+    matched right row's ``on`` value (nulled beyond tolerance) —
+    enrichment pipelines want the match timestamp for staleness
+    accounting without duplicating ``on`` into the payload columns.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -406,7 +421,9 @@ def asof_join(
         c for c in right.columns if c != on and c not in by
     ]
     l_tag, r_tag = (0, 1) if strict else (1, 0)  # sort order of ties
-    payload = F.struct(*[F.col(c) for c in right_value_cols])
+    payload = F.struct(
+        F.col(on).alias("_asof_on"), *[F.col(c) for c in right_value_cols]
+    )
     left_cols = left.columns
     l = left.withColumn("_side", F.lit(l_tag)).withColumn(
         "_payload", F.lit(None).cast(
@@ -432,10 +449,29 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
-    out = carried.where(F.col("_side") == l_tag).select(
+    rows = carried.where(F.col("_side") == l_tag)
+    ok = F.col("_match").isNotNull()
+    if tolerance is not None:
+        on_type = left.schema[on].dataType.simpleString()
+        if on_type.startswith("timestamp"):
+            gap = F.unix_micros(F.col(on)) - F.unix_micros(F.col("_match._asof_on"))
+            tol = F.lit(int(tolerance * 1_000_000))
+        else:
+            gap = F.col(on) - F.col("_match._asof_on")
+            tol = F.lit(tolerance)
+        if direction == "forward":
+            gap = -gap
+        ok = ok & (gap <= tol)
+    extra = (
+        [F.when(ok, F.col("_match._asof_on")).alias(matched_on_col)]
+        if matched_on_col else []
+    )
+    out = rows.select(
         *[F.col(c) for c in left_cols],
+        *extra,
         *[
-            F.col(f"_match.{c}").alias(c + (suffix if c in left_cols else ""))
+            F.when(ok, F.col(f"_match.{c}"))
+            .alias(c + (suffix if c in left_cols else ""))
             for c in right_value_cols
         ],
     )

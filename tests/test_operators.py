@@ -34,6 +34,38 @@ class TestAsofJoin:
         strict = relational.asof_join(left, right, on="t", by=["user"], strict=True)
         assert strict.collect()[0]["v"] is None
 
+    def test_tolerance_and_matched_on(self, spark):
+        """merge_asof tolerance semantics: a match staler than the
+        tolerance nulls out (payload AND matched_on); boundary-exact
+        gap still matches.  Timestamp tolerance is in seconds."""
+        left = spark.createDataFrame(
+            [(1, "u", ts("2024-01-01T10:00:00")),   # view 1h ago exactly
+             (2, "u", ts("2024-01-01T13:00:01")),   # staler than 1h
+             (3, "u", ts("2024-01-01T12:30:00"))],  # 30 min fresh
+            ["event_id", "user", "t"],
+        )
+        right = spark.createDataFrame(
+            [("u", ts("2024-01-01T09:00:00"), 1.0),
+             ("u", ts("2024-01-01T12:00:00"), 2.0)],
+            ["user", "t", "v"],
+        )
+        out = relational.asof_join(
+            left, right, on="t", by=["user"], right_value_cols=["v"],
+            tolerance=3600, matched_on_col="m_t",
+        )
+        got = {r["event_id"]: (r["v"], r["m_t"] is not None) for r in out.collect()}
+        assert got == {1: (1.0, True), 2: (None, False), 3: (2.0, True)}
+
+    def test_tolerance_numeric_forward(self, spark):
+        left = spark.createDataFrame([(1, 100), (2, 300)], ["id", "t"])
+        right = spark.createDataFrame([(150, "a"), (900, "b")], ["t", "tag"])
+        out = relational.asof_join(
+            left, right, on="t", right_value_cols=["tag"],
+            direction="forward", tolerance=100,
+        )
+        got = {r["id"]: r["tag"] for r in out.collect()}
+        assert got == {1: "a", 2: None}  # 900 is 600 away: beyond 100
+
 
 class TestRelationalHelpers:
     def test_group_collect_sorted(self, spark):
