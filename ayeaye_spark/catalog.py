@@ -782,6 +782,29 @@ def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_name_fuzzy_pairs",
+    oracle="""
+    WITH p AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS p_name_a, b.p_name AS p_name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance
+    FROM p a JOIN p b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary matching: distinct part-name pairs within
+    Levenshtein distance 2 (``dedup.edit_distance_pairs`` — the
+    q-gram count-filter join: length filter + multiset shared-gram
+    bound from an inverted index, short strings length-banded, exact
+    integer DP verify).  The oracle is the quadratic distinct-names
+    self-join — identical because the filters are lossless.  The
+    entity-resolution primitive for catalog/name normalization."""
+    return dedup.qgram_edit_distance_pairs(
+        load(spark, sf_dir, "part"), "p_name", max_distance=2, q=2
+    )
+
+
+@query(
     "docs_quality_length_frontier",
     oracle=f"""
     WITH sized AS (

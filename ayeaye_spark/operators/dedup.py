@@ -1875,3 +1875,115 @@ def hamming_near_pairs(
         )
     )
     return same.unionByName(cross)
+
+
+def qgram_edit_distance_pairs(
+    df: DataFrame,
+    str_col: str,
+    *,
+    max_distance: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """All DISTINCT-string pairs within Levenshtein distance
+    ``max_distance`` — fuzzy vocabulary matching (catalog/entity-name
+    normalization, near-miss label reconciliation), LOSSLESS.
+    Complements :func:`edit_distance_pairs` (SymSpell deletion
+    neighborhoods, id-level pairs, depth 1 only): for ``k = 1`` prefer
+    SymSpell's smaller index; this is the general-``k`` path.
+
+    Plan (the q-gram count-filter family, Gravano et al. VLDB'01):
+
+    * distinct strings only — multiplicity never changes the pair set,
+      and real vocabularies are tiny next to their corpora;
+    * **length filter**: ``|len(a) - len(b)| <= k`` always;
+    * **count filter** (strings long enough for it): one edit destroys
+      at most ``q`` positional q-grams, so distance <= k forces
+      ``shared q-grams (with multiplicity) >= maxlen - q + 1 - k*q``.
+      Shared counts come from an inverted q-gram index: per-string
+      gram tf's, equi-join on the gram, ``SUM(LEAST(tf_a, tf_b))``
+      per pair — the same multiset-intersection shape as
+      :func:`weighted_jaccard_pairs`, shuffle keyed by gram;
+    * **short stratum**: strings with ``len < (k+1)*q`` can sit within
+      distance k while sharing ZERO q-grams ("ab" vs "cd"), so the
+      count filter is inapplicable — they pair through a length-banded
+      join instead (band = exact length, each band joined to bands
+      within k).  Lossless because of the length filter; scale
+      contract: the short stratum is a closed, small set in any real
+      vocabulary (single characters to ~2*q-gram words).
+    * exact ``levenshtein() <= k`` verify on every candidate — the
+      DP distance is identically defined in Spark and DuckDB, and it
+      is an INTEGER, so the oracle matches exactly.
+
+    Returns ``(<col>_a, <col>_b, distance)``, each unordered pair once
+    (``a < b`` lexicographically).
+    """
+    k, fa, fb = int(max_distance), f"{str_col}_a", f"{str_col}_b"
+    if k < 0 or q < 1:
+        raise ValueError("max_distance must be >= 0 and q >= 1")
+    names = (
+        df.select(F.col(str_col).alias("_s"))
+        .where(F.col("_s").isNotNull())
+        .distinct()
+        .withColumn("_len", F.length("_s"))
+        .localCheckpoint(eager=False)
+    )
+    short_floor = (k + 1) * q  # below this, the count bound is <= 0
+
+    # --- long stratum: inverted q-gram index + count filter ----------
+    longs = names.where(F.col("_len") >= short_floor)
+    grams = longs.select(
+        "_s", "_len",
+        F.explode(
+            F.expr(f"transform(sequence(1, _len - {q} + 1),"
+                   f" i -> substring(_s, i, {q}))")
+        ).alias("_g"),
+    ).groupBy("_s", "_len", "_g").agg(F.count(F.lit(1)).alias("_tf"))
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    shared = (
+        ga.join(gb, (F.col("ga._g") == F.col("gb._g"))
+                & (F.col("ga._s") < F.col("gb._s"))
+                # length filter INSIDE the gram join: prunes before the
+                # pair aggregate
+                & (F.abs(F.col("ga._len") - F.col("gb._len")) <= k))
+        .groupBy(
+            F.col("ga._s").alias("_a"), F.col("gb._s").alias("_b"),
+            F.col("ga._len").alias("_la"), F.col("gb._len").alias("_lb"),
+        )
+        .agg(F.sum(F.least(F.col("ga._tf"), F.col("gb._tf"))).alias("_shared"))
+        .where(
+            F.col("_shared")
+            >= F.greatest(F.col("_la"), F.col("_lb")) - q + 1 - k * q
+        )
+        .select("_a", "_b")
+    )
+
+    # --- short stratum: a short string can sit within distance k of
+    # ANY string at most k longer while sharing zero q-grams, so every
+    # (short, anything-within-k-length) pair is a candidate.  The
+    # short side broadcasts (closed small set — see docstring); the
+    # scan side is pre-pruned by the length filter.  least/greatest
+    # canonicalizes so short-vs-long pairs survive regardless of
+    # lexicographic order; distinct dedupes the short-short doubles.
+    shorts = names.where(F.col("_len") < short_floor)
+    sa = shorts.select(F.col("_s").alias("_x"), F.col("_len").alias("_lx"))
+    nb = names.select(F.col("_s").alias("_y"), F.col("_len").alias("_ly"))
+    short_pairs = (
+        nb.join(
+            F.broadcast(sa),
+            (F.col("_x") != F.col("_y"))
+            & (F.abs(F.col("_lx") - F.col("_ly")) <= k),
+        )
+        .select(
+            F.least("_x", "_y").alias("_a"),
+            F.greatest("_x", "_y").alias("_b"),
+        )
+    )
+
+    candidates = shared.unionByName(short_pairs).distinct()
+    return (
+        candidates.withColumn("distance", F.levenshtein("_a", "_b"))
+        .where(F.col("distance") <= k)
+        .select(
+            F.col("_a").alias(fa), F.col("_b").alias(fb), "distance"
+        )
+    )

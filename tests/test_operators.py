@@ -3247,6 +3247,56 @@ class TestPagerankExact:
         assert out1 == out2
 
 
+class TestEditDistancePairs:
+    @staticmethod
+    def _lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def test_matches_bruteforce_mixed_lengths(self, spark):
+        """q-gram count filter + short stratum vs a quadratic DP brute
+        force, with strings straddling the short floor (len < (k+1)*q),
+        duplicates-in-input, and zero-shared-gram close pairs."""
+        import random
+
+        rng = random.Random(17)
+        vocab = ["ab", "cd", "abc", "abcd", "ax", ""]
+        words = ["widget", "widgets", "wadget", "gadget", "bridge",
+                 "fridge", "red rod", "old rod", "red ring", "old ring"]
+        vals = vocab + words + ["".join(rng.choices("abcdef", k=rng.randint(1, 9)))
+                                for _ in range(40)]
+        rows = [(v,) for v in vals] + [(v,) for v in vals[::3]]  # dups
+        df = spark.createDataFrame(rows, "name string")
+        for k in (1, 2):
+            got = sorted(
+                (r["name_a"], r["name_b"], r["distance"])
+                for r in dedup.qgram_edit_distance_pairs(
+                    df, "name", max_distance=k, q=2).collect()
+            )
+            uniq = sorted(set(vals))
+            expect = sorted(
+                (a, b, self._lev(a, b))
+                for i, a in enumerate(uniq) for b in uniq[i + 1:]
+                if self._lev(a, b) <= k
+            )
+            assert got == expect, k
+            assert len(expect) >= 5, k
+        # zero-shared-gram close pair must be found (short stratum)
+        two = {(a, b) for a, b, _d in sorted(
+            (r["name_a"], r["name_b"], r["distance"])
+            for r in dedup.qgram_edit_distance_pairs(
+                df, "name", max_distance=2, q=2).collect())}
+        assert ("ab", "cd") in two
+
+
 class TestParetoFrontier:
     def test_matches_bruteforce_with_duplicates(self, spark):
         """Skyline (min x, max y) vs the quadratic NOT-EXISTS
