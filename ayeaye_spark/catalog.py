@@ -2305,6 +2305,30 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("emb_pca_project")  # no oracle: eigendecomposition is not SQL
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed PCA (``similarity.pca_embeddings``):
+    exact-decimal second-moment sums from ONE corpus scan (map-side
+    combined into d*(d+1)/2 rows) make the covariance — hence the
+    eigenbasis and every projection — bit-identical across
+    partitionings; eigh on the driver's d x d matrix,
+    sign-canonicalized components, Arrow projection pass.  Summary =
+    per-label mean of the first principal component in exact decimal
+    (rows-only entry; numpy parity + invariance pinned in pytest)."""
+    emb = load(spark, sf_dir, "embeddings")
+    pc = similarity.pca_embeddings(emb, k=4)
+    return (
+        pc.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum(F.expr("pc[0]").cast("decimal(38,18)"))
+             / F.count(F.lit(1))).cast("double").alias("pc0_mean"),
+        )
+        .orderBy("label")
+    )
+
+
 @query("emb_kmeans_clusters")  # no oracle: iterative (Lloyd's) algorithm
 def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic spherical k-means over the embedding corpus

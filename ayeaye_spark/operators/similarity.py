@@ -1274,3 +1274,106 @@ def kcenter_coreset(
         [(i, rank) for rank, (i, _v) in enumerate(chosen)],
         StructType([id_field, StructField("center_rank", IntegerType(), False)]),
     )
+
+
+def pca_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    out_col: str = "pc",
+) -> DataFrame:
+    """Deterministic distributed PCA projection of an embedding column
+    — the dimensionality-reduction step before clustering / dedup /
+    visualization at corpus scale (and the exact counterpart of
+    :func:`random_project` when the 'right' subspace matters).
+
+    Scale + determinism design (the whole point):
+
+    * the covariance inputs are ONE corpus scan: each row explodes its
+      upper-triangular second-moment products (i <= j, d*(d+1)/2
+      struct rows) plus component sums; both aggregate map-side into
+      d*(d+1)/2 + d rows.  Sums are EXACT DECIMAL(38,18/20) over
+      deterministic per-row double products, so the moment matrix —
+      and therefore the eigenbasis and every projection — is
+      bit-identical across partitionings and row orders (a float sum
+      would make each run's components wobble in the last ulps);
+    * driver state is the d x d moment matrix only (d = embedding
+      width); ``numpy.linalg.eigh`` on the driver picks the top-k
+      components, each sign-canonicalized (largest-|coordinate|
+      positive) so the basis is unique;
+    * the projection ships W (d x k) + mean back through one Arrow
+      ``mapInPandas`` pass — per-row work, no shuffle.
+
+    Iterative-free but eigendecomposition is not SQL — catalog entries
+    are rows-only; numpy parity and partitioning-invariance are pinned
+    in pytest.  Returns ``(id_col, out_col array<double>)``.
+    """
+    import numpy as np
+
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_embeddings: empty input")
+    d = len(first[vec_col])
+    if not (0 < k <= d):
+        raise ValueError(f"k must be in [1, {d}]")
+    base = df.select(id_col, vec_col).localCheckpoint(eager=False)
+
+    vexp = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    moments = base.select(
+        F.explode(F.expr(
+            f"flatten(transform(sequence(0, {d - 1}), i -> "
+            f"transform(sequence(i, {d - 1}), j -> "
+            f"struct(i AS i, j AS j, "
+            f"CAST(element_at({vexp}, i + 1) * element_at({vexp}, j + 1) "
+            f"AS DECIMAL(38,18)) AS xx))))"
+        )).alias("m")
+    ).groupBy("m.i", "m.j").agg(F.sum("m.xx").alias("s")).collect()
+    comp = base.select(
+        F.posexplode(F.expr(vexp)).alias("pos", "x")
+    ).groupBy("pos").agg(
+        F.sum(F.col("x").cast("decimal(38,20)")).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    ).collect()
+    n = int(comp[0]["c"])
+    if n < 2:
+        raise ValueError("pca_embeddings: need at least 2 rows")
+    s1 = np.zeros(d)
+    for r in comp:
+        s1[r["pos"]] = float(r["s"])
+    s2 = np.zeros((d, d))
+    for r in moments:
+        s2[r["i"], r["j"]] = s2[r["j"], r["i"]] = float(r["s"])
+    mean = s1 / n
+    cov = (s2 - np.outer(s1, s1) / n) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    w = evecs[:, order]  # (d, k)
+    # unique basis: flip each component so its largest-|coord| is +
+    for m in range(w.shape[1]):
+        j = int(np.abs(w[:, m]).argmax())
+        if w[j, m] < 0:
+            w[:, m] = -w[:, m]
+    w64, mu64 = w.astype(np.float64), mean.astype(np.float64)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _matrix(pdf[vec_col]).astype(np.float64)
+            pc = (x - mu64[None, :]) @ w64
+            yield pd.DataFrame({
+                id_col: pdf[id_col].tolist(),
+                out_col: [row.tolist() for row in pc],
+            })
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(base.select(id_col).schema.fields)
+        + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+    return base.mapInPandas(gen, out_schema)

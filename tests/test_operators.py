@@ -2678,6 +2678,45 @@ class TestKcenterCoreset:
         assert len(over) == len(set(over)) == 4
 
 
+class TestPcaEmbeddings:
+    def test_numpy_parity_and_partition_invariance(self, spark):
+        """Projection matches a straight numpy PCA using the same
+        conventions (covariance with n-1, eigh, descending eigenvalues,
+        largest-|coord|-positive sign), and is bit-identical under a
+        different partitioning (the exact-decimal moment sums are the
+        mechanism)."""
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(60, 6))
+        base[:, 0] *= 5.0  # a dominant direction to find
+        rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: r["pc"] for r in
+               similarity.pca_embeddings(df, k=3).collect()}
+
+        x = np.array([[np.float32(v) for v in r[1]] for r in rows],
+                     dtype=np.float64)
+        mu = x.mean(axis=0)
+        cov = (x - mu).T @ (x - mu) / (len(x) - 1)
+        evals, evecs = np.linalg.eigh(cov)
+        w = evecs[:, np.argsort(evals)[::-1][:3]]
+        for m in range(3):
+            j = int(np.abs(w[:, m]).argmax())
+            if w[j, m] < 0:
+                w[:, m] = -w[:, m]
+        ref = (x - mu) @ w
+        for i in range(60):
+            assert np.allclose(got[i], ref[i], atol=1e-9), i
+        # PC0 carries the scaled axis
+        assert np.var([got[i][0] for i in range(60)]) > \
+            np.var([got[i][1] for i in range(60)])
+
+        got13 = {r["vec_id"]: r["pc"] for r in similarity.pca_embeddings(
+            df.repartition(13), k=3).collect()}
+        assert all(got[i] == got13[i] for i in range(60))
+
+
 class TestKmeansEmbeddings:
     def test_deterministic_and_partitioning_invariant(self, spark):
         from ayeaye_spark.catalog import load
