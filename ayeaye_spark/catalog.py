@@ -836,7 +836,11 @@ def docs_quality_length_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.expr(P.token_count("text", SPARK)).cast("long").alias("ntok"),
         F.expr(P.quality_score_ppm("text", SPARK)).cast("long").alias("quality_ppm"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ the frontier plan probes this frame twice (per-x aggregate +
+    # join-back); materializing the narrow 4-column projection runs the
+    # regex-heavy token/quality expressions ONCE over the corpus
+    # instead of twice (measured 17.8s -> ~2s in the bench sweep).
     return relational.pareto_frontier_2d(
         docs, "ntok", "quality_ppm", group_cols=["lang"]
     ).select("doc_id", "lang", "ntok", "quality_ppm")
@@ -7074,6 +7078,44 @@ def orders_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("day").cast("long").alias("min_day"),
             F.max("day").cast("long").alias("max_day"),
         )
+    )
+
+
+def _duck_bigram_coherence_oracle() -> str:
+    """DuckDB twin of ``text.bigram_coherence``: same rolling token
+    hashes, same positional bigram hash, same integer ppm division."""
+    toks = P.tokens("coalesce(text, '')", DUCK)
+    th = P.hash_array(toks, DUCK)
+    return f"""
+    WITH t AS (SELECT doc_id, {th} AS th FROM documents),
+    b AS (SELECT doc_id, th[pos] AS h1,
+                 (th[pos] * 31 + th[pos + 1]) % {P.PRIME} AS h12
+          FROM (SELECT doc_id, th, unnest(range(1, len(th))) AS pos FROM t)),
+    occ AS (SELECT doc_id, h1, h12, COUNT(*) AS occ FROM b GROUP BY 1, 2, 3),
+    c12 AS (SELECT h12, SUM(occ) AS c12 FROM occ GROUP BY 1),
+    c1 AS (SELECT h1, SUM(occ) AS c1 FROM occ GROUP BY 1),
+    pd AS (SELECT o.doc_id,
+                  SUM(o.occ) AS n_bigrams,
+                  SUM(o.occ * ((c.c12 * 1000000) // c1.c1)) AS ppm_total
+           FROM occ o JOIN c12 c USING (h12) JOIN c1 USING (h1)
+           GROUP BY o.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(p.ppm_total // p.n_bigrams, 0) AS BIGINT)
+             AS coherence_ppm
+    FROM documents d LEFT JOIN pd p USING (doc_id)
+    """
+
+
+@query("docs_bigram_coherence", oracle=_duck_bigram_coherence_oracle())
+def docs_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM coherence quality score (``text.bigram_coherence``):
+    each document's mean bigram transition probability under the
+    corpus's own bigram model, in exact integer ppm — the log-free
+    analogue of the CCNet/KenLM perplexity filter.  One tokenization,
+    hash-keyed count joins, no window; bit-identical to the oracle."""
+    return textops.bigram_coherence(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
     )
 
 

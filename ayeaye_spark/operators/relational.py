@@ -420,6 +420,16 @@ def asof_join(
     right_value_cols = right_value_cols or [
         c for c in right.columns if c != on and c not in by
     ]
+    if matched_on_col is not None and matched_on_col in left.columns:
+        raise ValueError(
+            f"asof_join: matched_on_col {matched_on_col!r} collides with a "
+            "left column — pick an unused name"
+        )
+    if "_asof_on" in right_value_cols:
+        raise ValueError(
+            "asof_join: a right payload column named '_asof_on' would make "
+            "the internal match-timestamp struct field ambiguous — rename it"
+        )
     l_tag, r_tag = (0, 1) if strict else (1, 0)  # sort order of ties
     payload = F.struct(
         F.col(on).alias("_asof_on"), *[F.col(c) for c in right_value_cols]

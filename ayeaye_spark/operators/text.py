@@ -304,9 +304,14 @@ def bm25_topk(
     so the fixed written order costs nothing), and the top-k is
     Spark's ``TakeOrderedAndProject`` (per-partition heap + driver
     merge of ``topk * n_partitions`` rows — never a global sort).
-    Valid while ``44 * T * max_tf * 1e6`` fits a signed 64-bit long
-    (T up to ~2e11 tokens at tf 1000); beyond that, run per-shard or
-    widen the arithmetic to DECIMAL(38,0) on both engines.
+    Valid while ``44 * T * max_tf * 1e6`` fits a signed 64-bit long,
+    i.e. ``T * max_tf <= ~2.1e11`` — T up to ~2e8 tokens at tf 1000,
+    or ~2e11 tokens at tf 1.  Beyond that, run per-shard or widen the
+    arithmetic to DECIMAL(38,0) on both engines.  The envelope is
+    ENFORCED, not assumed: each term's saturation expression raises
+    (``raise_error``) when ``T * tf`` exceeds the bound instead of
+    letting non-ANSI long multiplication wrap into silent wrong
+    rankings.
 
     Query terms must be simple lowercase tokens (they are spliced
     into filter lambdas; single quotes are escaped).
@@ -315,6 +320,11 @@ def bm25_topk(
     score desc then id.
     """
     terms = list(query_terms)
+    if not terms:
+        raise ValueError(
+            "bm25_topk: query_terms must be non-empty (an empty list "
+            "would build empty score/match expressions)"
+        )
     toks_sql = P.tokens(text_col, SPARK)
 
     def tf_expr(term: str) -> str:
@@ -342,12 +352,18 @@ def bm25_topk(
     )
 
     def contrib(i: int) -> str:
+        # 44 * T * tf * 1e6 <= Long.MAX requires T * tf <= ~2.096e11;
+        # fail loudly at the boundary instead of wrapping silently
         return (
             f"CASE WHEN _tf{i} > 0 THEN "
+            f"CASE WHEN _tf{i} > 209600000000 div greatest(_total_toks, 1) THEN "
+            f"raise_error('bm25_topk: T * tf exceeds the int64 scoring "
+            f"envelope (~2.1e11) — shard the corpus or widen to decimal') "
+            f"ELSE "
             f"(((2 * (_n_docs - _df{i}) + 1) * 1000000) div (2 * _df{i} + 1))"
             f" * ((44 * _total_toks * _tf{i} * 1000000)"
             f"    div (20 * _total_toks * _tf{i} + 6 * _total_toks"
-            f"         + 18 * _dl * _n_docs)) ELSE 0 END"
+            f"         + 18 * _dl * _n_docs)) END ELSE 0 END"
         )
 
     matched_expr = " + ".join(
@@ -918,5 +934,78 @@ def shared_ngram_profile(
                 F.col("n_grams") > 0,
                 F.expr("shared_grams * 1000000 div n_grams"),
             ).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+
+
+def bigram_coherence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Corpus-LM coherence score: how *predictable* each document's
+    token stream is under the corpus's own bigram language model — the
+    log-free analogue of the CCNet/KenLM perplexity quality filter
+    (low coherence = word salad / boilerplate soup / lorem noise;
+    high = text whose transitions the corpus has seen).
+
+    Per bigram occurrence ``(w1, w2)`` the transition probability in
+    exact integer ppm is ``c(w1 w2) * 1e6 div c(w1 ·)`` where both
+    counts come from the corpus's own bigram table (``c(w1 ·)`` counts
+    bigram STARTS, so the ratio is a true conditional probability and
+    the row's ppm is <= 1e6).  A document's ``coherence_ppm`` is the
+    integer mean over its bigram occurrences — pure integer division,
+    bit-identical in any engine (the float/ln-free house rule).
+
+    Scale shape: ONE tokenization materializes the per-token rolling
+    hashes (``P.hash_array``); positional bigram hashes are 2 integer
+    ops per token on top (``P.token_hash_ngrams_all`` machinery, no
+    n-gram strings).  The occurrence frame aggregates per (doc, h1,
+    h12) FIRST (map-side combinable), then equi-joins the two count
+    frames on their hash keys — inverted-index joins, no window, no
+    single-partition stage, no Python.  Documents with < 2 tokens get
+    ``n_bigrams = 0, coherence_ppm = 0`` (no transitions to judge).
+
+    Returns ``(id_col, n_bigrams, coherence_ppm)``.
+    """
+    th_expr = P.hash_array(P.tokens(text_col, SPARK), SPARK)
+    base = df.select(F.col(id_col), F.expr(th_expr).alias("_th"))
+    pairs = base.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            "case when size(_th) < 2 then "
+            "cast(array() as array<struct<h1:bigint,h12:bigint>>) else "
+            "transform(sequence(1, size(_th) - 1), i -> struct("
+            "element_at(_th, i) as h1, "
+            f"(element_at(_th, i) * 31 + element_at(_th, i + 1)) % {P.PRIME} "
+            "as h12)) end"
+        )).alias("_b"),
+    ).select(id_col, "_b.h1", "_b.h12")
+    # collapse repeats within a document before any join
+    occ = pairs.groupBy(id_col, "h1", "h12").agg(
+        F.count(F.lit(1)).alias("_occ")
+    )
+    c12 = occ.groupBy("h12").agg(F.sum("_occ").alias("_c12"))
+    c1 = occ.groupBy("h1").agg(F.sum("_occ").alias("_c1"))
+    per_doc = (
+        occ.join(c12, "h12")
+        .join(c1, "h1")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_occ").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.expr("_occ * (_c12 * 1000000 div _c1)")
+            ).alias("_ppm_total"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(
+                F.expr("_ppm_total div n_bigrams"), F.lit(0)
+            ).cast("long").alias("coherence_ppm"),
         )
     )

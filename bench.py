@@ -29,6 +29,7 @@ the steady-state min, consistent with every other query.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -59,22 +60,38 @@ STREAMING = {
 SLOWEST_IN_STDOUT = 5
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+def _fresh_spark(sf_dir: str):
+    """New session + the warmup rites, so the first timed query after
+    (re)start measures the engine, not session startup: a plain agg, a
+    wide-decimal agg (q1's codegen profile — without this the first
+    timed query absorbed ~2s of one-off JIT), the parquet footer
+    read, and one Arrow round-trip to spin up the Python worker pool."""
     spark = get_spark("ayeaye_spark_bench")
-
-    # warm the JVM/codegen/file-index paths so the first timed query
-    # measures the engine, not session startup: a plain agg, a
-    # wide-decimal agg (q1's codegen profile — without this the first
-    # timed query absorbed ~2s of one-off JIT), the parquet footer
-    # read, and one Arrow round-trip to spin up the Python worker pool
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.range(1_000_000).selectExpr(
         "sum(cast(id as decimal(27,2))) as a", "sum(cast(id as decimal(27,6))) as b"
     ).collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
     spark.range(1_000).toPandas()
+    return spark
+
+
+# A single long-lived session degrades as the sweep grows: the round-7
+# sweep (209 distinct plans x 2-3 runs each) had clean early-position
+# steady states but 5-20x blowups late, with WITHIN-query degradation
+# (lineitem_correlation_matrix sampled [8.9s, 113s, 180s] in-sweep vs
+# 1.5s steady in a fresh session) — accumulated session state (codegen
+# class churn, checkpoint blocks pinned until a driver GC notices them,
+# broadcast-cleanup backlog), not query cost.  Recycling the session
+# every RECYCLE_EVERY queries bounds that state; restart + warmup time
+# is NOT part of any query's timing, exactly like the initial startup.
+RECYCLE_EVERY = 40
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = _fresh_spark(sf_dir)
 
     # A failing query must cost its own timing only, never the whole
     # bench (round 2 lost every number to one loader bug): per-query
@@ -83,7 +100,11 @@ def main() -> None:
     samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     names = [n for n in QUERIES if n not in EXCLUDE]
-    for name in names:
+    for qi, name in enumerate(names):
+        if qi and qi % RECYCLE_EVERY == 0:
+            spark.stop()
+            gc.collect()  # drop py4j handles before the new gateway
+            spark = _fresh_spark(sf_dir)
         runs: list[float] = []
         # streaming drains get a third run: their first run pays
         # state-store/checkpoint setup AND single runs are noisier, so
@@ -112,6 +133,10 @@ def main() -> None:
             continue
         samples[name] = [round(r, 3) for r in runs]
         timings[name] = round(min(runs), 3)
+        # release this query's DataFrame/py4j handles promptly so the
+        # ContextCleaner can reap its checkpoint/broadcast blocks
+        del df
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     streaming = {

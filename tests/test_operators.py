@@ -455,6 +455,22 @@ class TestAsofForward:
                                       strict=True)
         assert strict.collect()[0]["v"] is None
 
+    def test_name_collision_guards(self, spark):
+        """matched_on_col colliding with a left column, or a right
+        payload column named _asof_on, must raise up front (round-7
+        advice: ambiguous struct field / silent shadowing)."""
+        import pytest as _pytest
+
+        left = spark.createDataFrame([(1, "u", 100)], ["id", "user", "t"])
+        right = spark.createDataFrame([("u", 50, 1.0)], ["user", "t", "v"])
+        with _pytest.raises(ValueError, match="collides with a left column"):
+            relational.asof_join(left, right, on="t", by=["user"],
+                                 right_value_cols=["v"], matched_on_col="id")
+        bad_right = right.withColumnRenamed("v", "_asof_on")
+        with _pytest.raises(ValueError, match="_asof_on"):
+            relational.asof_join(left, bad_right, on="t", by=["user"],
+                                 right_value_cols=["_asof_on"])
+
 
 class TestSampling:
     def test_split_covers_all_rows_deterministically(self, spark):
@@ -2716,6 +2732,19 @@ class TestPcaEmbeddings:
             df.repartition(13), k=3).collect()}
         assert all(got[i] == got13[i] for i in range(60))
 
+    def test_ragged_vector_raises(self, spark):
+        """A row shorter than the probed width d must raise, not
+        silently drop NULL products from the moment sums (round-7
+        advice: the skewed-covariance failure mode)."""
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0]), (1, [4.0, 5.0, 6.0]), (2, [7.0, 8.0])],
+            "vec_id long, embedding array<double>",
+        )
+        with _pytest.raises(Exception, match="coordinates, expected 3"):
+            similarity.pca_embeddings(df, k=2).collect()
+
 
 class TestKmeansEmbeddings:
     def test_deterministic_and_partitioning_invariant(self, spark):
@@ -4104,6 +4133,62 @@ class TestVideoNearDup:
         # repeating a term saturates (doc 4's six 'window's don't win)
         assert got[0][0] == 1 and got[0][1] == 2
         assert {i for i, _n, _s in got} >= {1, 2, 3}
+
+    def test_bigram_coherence_matches_bruteforce(self, spark):
+        """Mean bigram transition probability in integer ppm vs a pure
+        python reference over the same rolling hashes."""
+        from collections import Counter
+
+        from ayeaye_spark.functions.portable import PRIME
+        from ayeaye_spark.functions.portable_py import char_hash
+        from ayeaye_spark.operators.text import bigram_coherence
+
+        rows = [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat"),
+            (3, "on the mat the cat"),
+            (4, "zebra"),          # 1 token: no bigrams
+            (5, ""),               # empty
+            (6, None),             # null text
+            (7, "the the the the"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: (r["n_bigrams"], r["coherence_ppm"])
+               for r in bigram_coherence(df, "doc_id", "text").collect()}
+
+        docs = {i: (t or "").lower().split() for i, t in rows}
+        bg, c1, c12 = {}, Counter(), Counter()
+        for i, toks in docs.items():
+            hs = [char_hash(t) for t in toks]
+            pairs = [(hs[k], (hs[k] * 31 + hs[k + 1]) % PRIME)
+                     for k in range(len(hs) - 1)]
+            bg[i] = pairs
+            for h1, h12 in pairs:
+                c1[h1] += 1
+                c12[h12] += 1
+        expect = {}
+        for i, pairs in bg.items():
+            if not pairs:
+                expect[i] = (0, 0)
+                continue
+            total = sum(c12[h12] * 1_000_000 // c1[h1] for h1, h12 in pairs)
+            expect[i] = (len(pairs), total // len(pairs))
+        assert got == expect
+        # doc 7 is maximally self-predictable ('the'->'the' every time
+        # it appears in doc 7, but corpus 'the' goes many ways)
+        assert got[4] == (0, 0) and got[5] == (0, 0) and got[6] == (0, 0)
+
+    def test_bm25_empty_terms_raises(self, spark):
+        """An empty query_terms list must raise a clear ValueError, not
+        an opaque F.expr parse error from empty join strings (round-7
+        advice)."""
+        import pytest as _pytest
+
+        from ayeaye_spark.operators.text import bm25_topk
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+        with _pytest.raises(ValueError, match="query_terms must be non-empty"):
+            bm25_topk(df, "doc_id", "text", [], topk=3)
 
     def test_tfidf_cosine_matches_bruteforce(self, spark):
         """Unigram tf-idf cosine vs a python brute force using the same
