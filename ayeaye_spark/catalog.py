@@ -7081,6 +7081,57 @@ def orders_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_sq8_oracle(k: int = 5, rerank: int = 4) -> str:
+    """DuckDB twin of ``similarity.sq8_topk``: same min/max bounds, same
+    per-value quantization, same integer candidate rank, same exact
+    double-fold cosine rerank."""
+    v = P.cast_double_array("embedding", DUCK)
+    codes = P.sq8_codes("v", "b.mn", "b.mx", DUCK)
+    return f"""
+    WITH v AS (SELECT vec_id, {v} AS v FROM embeddings),
+    dims AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx
+             FROM (SELECT unnest(v) AS x,
+                          unnest(range(1, len(v) + 1)) AS pos FROM v)
+             GROUP BY pos),
+    b AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+          FROM dims),
+    q8 AS (SELECT vec_id, v, {codes} AS code FROM v CROSS JOIN b),
+    cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    q.v AS qv, c.v AS cv,
+                    {P.int_dot('q.code', 'c.code', DUCK)} AS approx_dot
+             FROM q8 q JOIN q8 c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id < 10),
+    short AS (SELECT * FROM (
+                SELECT cand.*, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY approx_dot DESC, neighbor_id ASC) AS arank
+                FROM cand) t WHERE arank <= {k * rerank})
+    SELECT query_id, neighbor_id, approx_dot, cosine, rank FROM (
+      SELECT query_id, neighbor_id, approx_dot,
+             {P.cosine('qv', 'cv', DUCK)} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY {P.cosine('qv', 'cv', DUCK)} DESC,
+                        neighbor_id ASC) AS rank
+      FROM short) t WHERE rank <= {k}
+    """
+
+
+@query("ann_topk_sq8", oracle=_duck_sq8_oracle())
+def ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN with exact rerank
+    (``similarity.sq8_topk``): 8-bit per-dimension codes from corpus
+    min/max bounds, integer code-dot candidate ranking (top 20 per
+    query), exact double-cosine rerank to top 5 — the int8
+    memory/bandwidth play of production vector search, relationally.
+    Candidate selection and rerank are both deterministic, so the
+    oracle matches value-exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.sq8_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, rerank=4
+    )
+
+
 def _duck_bigram_coherence_oracle() -> str:
     """DuckDB twin of ``text.bigram_coherence``: same rolling token
     hashes, same positional bigram hash, same integer ppm division."""

@@ -335,6 +335,45 @@ def cast_double_array(arr: str, d: str) -> str:
     return f"{arr}::DOUBLE[]"
 
 
+def int_dot(a: str, b: str, d: str) -> str:
+    """Integer dot product over equal-length bigint arrays — exact and
+    order-independent (integer addition is associative), so identical
+    in both engines with no fold-order caveats."""
+    if d == SPARK:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"cast(0 as bigint), (acc, c) -> acc + c)"
+        )
+    idx = f"range(1, {size(a, d)} + 1)"
+    prods = f"list_transform({idx}, i -> {element(a, 'i', d)} * {element(b, 'i', d)})"
+    return f"list_reduce(list_prepend(0::BIGINT, {prods}), (acc, c) -> acc + c)"
+
+
+def sq8_codes(v: str, mn: str, mx: str, d: str) -> str:
+    """Scalar-quantize a double array to 8-bit codes (as bigint array):
+    ``code_i = clamp(floor((v_i - mn_i) * 255 / (mx_i - mn_i)), 0, 255)``
+    against per-dimension corpus bounds; a degenerate dimension
+    (``mx_i == mn_i``) codes to 0.  Every step is single-value IEEE
+    double arithmetic followed by floor — bit-identical across engines
+    (no accumulation, so no fold-order concerns)."""
+    if d == SPARK:
+        body = (
+            f"case when element_at({mx}, i) > element_at({mn}, i) then "
+            f"least(cast(255 as bigint), greatest(cast(0 as bigint), "
+            f"cast(floor((element_at({v}, i) - element_at({mn}, i)) * 255.0D "
+            f"/ (element_at({mx}, i) - element_at({mn}, i))) as bigint))) "
+            f"else cast(0 as bigint) end"
+        )
+        return f"transform(sequence(1, {size(v, d)}), i -> {body})"
+    body = (
+        f"CASE WHEN {mx}[i] > {mn}[i] THEN "
+        f"least(255::BIGINT, greatest(0::BIGINT, "
+        f"floor(({v}[i] - {mn}[i]) * 255.0 / ({mx}[i] - {mn}[i]))::BIGINT)) "
+        f"ELSE 0::BIGINT END"
+    )
+    return f"list_transform(range(1, {size(v, d)} + 1), i -> {body})"
+
+
 def array_sub(a: str, b: str, d: str) -> str:
     """Element-wise ``a - b`` over equal-length double arrays (exact
     IEEE subtraction — engine-independent)."""

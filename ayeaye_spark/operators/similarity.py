@@ -1414,3 +1414,93 @@ def pca_embeddings(
         + [StructField(out_col, ArrayType(DoubleType()))]
     )
     return base.mapInPandas(gen, out_schema)
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int = 4,
+) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN with exact rerank: per-dimension
+    corpus min/max bounds quantize every vector to 8-bit codes, an
+    integer code dot-product ranks candidates cheaply, and only the
+    top ``k * rerank`` candidates per query pay the exact double
+    cosine — the memory/bandwidth play of a production vector index
+    (int8 codes are 8x smaller than float64 and the integer dot is
+    SIMD-friendly), re-expressed relationally.
+
+    Determinism/oracle story: bounds are MIN/MAX (exact,
+    order-independent); quantization is per-value IEEE arithmetic +
+    floor (``P.sq8_codes`` — no accumulation); the candidate rank is
+    an exact integer dot with id tie-break, so both engines select the
+    IDENTICAL candidate set; the final cosine is the sequential-fold
+    double expression shared with :func:`cosine_topk`.
+
+    Scale shape: pass 1 = one corpus scan into a 1-row bounds frame
+    (d min + d max aggregates, map-side combined) broadcast everywhere;
+    pass 2 = per-row quantization (no shuffle); candidate scoring =
+    broadcast of the (small, quantized) query set against the corpus
+    scan; per-query top-(k*rerank) via window over candidate rows only.
+    No corpus-sized shuffle anywhere.
+
+    Returns ``(query_id, neighbor_id, approx_dot, cosine, rank)``.
+    """
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("sq8_topk: empty corpus")
+    d = len(first[vec_col])
+
+    def _prep(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.expr(_as_double(vec_col)).alias("_v"),
+        )
+
+    c = _prep(corpus, "neighbor_id")
+    bounds = c.agg(
+        *[F.min(F.expr(f"element_at(_v, {i + 1})")).alias(f"_mn{i}")
+          for i in range(d)],
+        *[F.max(F.expr(f"element_at(_v, {i + 1})")).alias(f"_mx{i}")
+          for i in range(d)],
+    ).select(
+        F.array(*[F.col(f"_mn{i}") for i in range(d)]).alias("_mn"),
+        F.array(*[F.col(f"_mx{i}") for i in range(d)]).alias("_mx"),
+    )
+    code = P.sq8_codes("_v", "_mn", "_mx", SPARK)
+    cq = (
+        c.crossJoin(F.broadcast(bounds))
+        .withColumn("_code", F.expr(code))
+        .drop("_mn", "_mx")
+    )
+    qq = (
+        _prep(queries, "query_id")
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("_qcode", F.expr(code))
+        .select("query_id", F.col("_v").alias("_qv"), "_qcode")
+    )
+    cand = (
+        cq.crossJoin(F.broadcast(qq))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "approx_dot", F.expr(P.int_dot("_qcode", "_code", SPARK))
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+    shortlist = cand.withColumn("_arank", F.row_number().over(wa)).where(
+        F.col("_arank") <= k * rerank
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.withColumn("cosine", F.expr(P.cosine("_qv", "_v", SPARK)))
+        .withColumn("rank", F.row_number().over(we))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dot", "cosine", "rank")
+    )

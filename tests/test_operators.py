@@ -184,6 +184,64 @@ class TestSimilarity:
         out = similarity.cosine_topk(df, df.where(F.col("vec_id") == 0), k=2).collect()
         assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [3, 1]
 
+    def test_sq8_topk_matches_python_reference(self, spark):
+        """SQ8 quantize → integer candidate rank → exact rerank, vs a
+        pure-python replay of the identical arithmetic (same bounds,
+        same floor quantization, same fold-order cosine)."""
+        import math
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        vecs = {i: [float(x) for x in rng.normal(size=5)] for i in range(40)}
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+        )
+        got = [
+            (r["query_id"], r["neighbor_id"], r["approx_dot"],
+             r["cosine"], r["rank"])
+            for r in similarity.sq8_topk(
+                df, df.where(F.col("vec_id") < 3), k=3, rerank=3
+            ).orderBy("query_id", "rank").collect()
+        ]
+
+        d = 5
+        mn = [min(v[i] for v in vecs.values()) for i in range(d)]
+        mx = [max(v[i] for v in vecs.values()) for i in range(d)]
+
+        def code(v):
+            return [
+                0 if mx[i] <= mn[i] else
+                max(0, min(255, math.floor((v[i] - mn[i]) * 255.0
+                                           / (mx[i] - mn[i]))))
+                for i in range(d)
+            ]
+
+        def fold_cos(a, b):
+            dot = n1 = n2 = 0.0
+            for x, y in zip(a, b):
+                dot += x * y
+            for x in a:
+                n1 += x * x
+            for y in b:
+                n2 += y * y
+            return dot / (math.sqrt(n1) * math.sqrt(n2))
+
+        codes = {i: code(v) for i, v in vecs.items()}
+        expect = []
+        for q in range(3):
+            cand = sorted(
+                ((sum(a * b for a, b in zip(codes[q], codes[c])), c)
+                 for c in vecs if c != q),
+                key=lambda t: (-t[0], t[1]),
+            )[:9]
+            rer = sorted(
+                ((fold_cos(vecs[q], vecs[c]), adot, c) for adot, c in cand),
+                key=lambda t: (-t[0], t[2]),
+            )[:3]
+            for rk, (cos, adot, c) in enumerate(rer, 1):
+                expect.append((q, c, adot, cos, rk))
+        assert got == expect
+
     def test_near_dup_pairs_exact(self, spark):
         rows = [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, [0.0, 1.0])]
         df = spark.createDataFrame(rows, ["vec_id", "embedding"])
