@@ -7244,11 +7244,12 @@ _WINDOW_ORDER: tuple[str, ...] = (
     # exact twins of the approximate sketches
     "events_distinct_users_exact",
     "lineitem_price_quartiles_exact",
-    # text analysis + Pandas grouped-agg UDF (doc_quality rotated to
-    # the oracle gate in round 7 — quality scoring stays in-window via
-    # docs_gopher_filter and the weighted grouped-agg — for the BM25
-    # retrieval family below)
-    "doc_lang_id",
+    # text analysis + Pandas grouped-agg UDF (doc_lang_id rotated to
+    # the oracle gate in round 8 — lang/quality scoring stays in-window
+    # via docs_gopher_filter and the weighted grouped-agg — for the
+    # corpus-bigram-LM coherence family: the CCNet/KenLM-style
+    # perplexity quality filter, new in round 8)
+    "docs_bigram_coherence",
     "docs_weighted_quality_by_lang",
     # round-7 families: exact rational BM25 retrieval, degree-ordered
     # triangle census, histogram-prefix Pareto frontier
@@ -7262,21 +7263,21 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "docs_pack_sequences",
     "decontaminate_splits",
     "docs_remove_repeated_spans",
-    # deduplication family (4 in-window representatives; the round-6
-    # rotation moved dedup_incremental_survivors to the oracle gate to
-    # put the data-layout family under the driver's hard check)
+    # deduplication family (4 in-window representatives; round 6 moved
+    # dedup_incremental_survivors and round 8 moved
+    # dedup_prefix_jaccard_pairs to the oracle gate — both stay
+    # value-exact verified there — for data layout / SQ8 ANN slots)
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_transitive_components",
     "dedup_simhash_near_pairs",
-    # lossless prefix-filter (AllPairs/PPJoin) exact-jaccard join
-    "dedup_prefix_jaccard_pairs",
     # data layout: N-dim Morton z-value cells (operators/layout.py)
     "orders_zorder_cells",
-    # similarity search (ann_topk_lsh rotated to the oracle gate in
-    # round 7 — ANN stays in-window via ann_topk_ivf — to keep the
-    # window at 50 with the three round-7 families above)
+    # similarity search: IVF + the round-8 scalar-quantized (SQ8)
+    # candidate-shortlist/exact-rerank path (ann_topk_lsh rotated to
+    # the oracle gate in round 7)
     "ann_topk_ivf",
+    "ann_topk_sq8",
     # SCD2 merge, recursive CTE, skew-salted aggregate
     "customer_segment_scd2",
     "orders_monthly_gapless",

@@ -142,10 +142,11 @@ class TestCorrectnessWindow:
                 "events_distinct_users_exact",
                 "lineitem_price_quartiles_exact",
             },
-            # doc_quality rotated to the oracle gate in round 7 (quality
-            # scoring stays in-window via docs_gopher_filter + the
-            # grouped-agg UDAF) for the BM25 retrieval family
-            "text": {"doc_lang_id"},
+            # doc_quality (r7) and doc_lang_id (r8) rotated to the
+            # oracle gate — lang/quality scoring stays in-window via
+            # docs_gopher_filter + the grouped-agg UDAF — for BM25 and
+            # the corpus-bigram-LM coherence families
+            "lm_coherence": {"docs_bigram_coherence"},
             "pandas_udaf": {"docs_weighted_quality_by_lang"},
             # docs_token_budget (1-row output) rotated to the oracle
             # gate in round 6 for the substring-surgery flagship
@@ -153,22 +154,21 @@ class TestCorrectnessWindow:
                 "docs_pack_sequences",
                 "decontaminate_splits",
             },
-            # dedup_incremental_survivors rotated to the oracle gate in
-            # round 6 (z-order layout took its slot); the prefix-filter
-            # join joined the family the same round
+            # dedup_incremental_survivors (r6) and
+            # dedup_prefix_jaccard_pairs (r8) rotated to the oracle
+            # gate; 4 representatives stay under the hard signal
             "dedup": {
                 "dedup_exact",
                 "dedup_minhash_lsh_pairs",
                 "dedup_transitive_components",
                 "dedup_simhash_near_pairs",
-                "dedup_prefix_jaccard_pairs",
             },
             "layout": {"orders_zorder_cells"},
             "substring_surgery": {"docs_remove_repeated_spans"},
             "interval_analytics": {"events_peak_concurrency_daily"},
-            # ann_topk_lsh rotated to the oracle gate in round 7 (ANN
-            # stays in-window via ann_topk_ivf) for the round-7 families
-            "ann": {"ann_topk_ivf"},
+            # ann_topk_lsh rotated to the oracle gate in round 7; the
+            # round-8 SQ8 quantize/rerank path joins IVF in-window
+            "ann": {"ann_topk_ivf", "ann_topk_sq8"},
             "scd2": {"customer_segment_scd2"},
             "recursive_cte": {"orders_monthly_gapless"},
             "salted_agg": {"events_salted_type_counts"},
