@@ -7081,6 +7081,55 @@ def orders_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("docs_bpe_merges")  # no oracle: iterative (greedy merge loop)
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: the first 8 BPE merge rules learned from
+    the documents corpus (``text.bpe_top_merges``) — corpus collapses
+    to the word-frequency frame once, every greedy iteration runs on
+    that vocab-sized frame.  Iterative, so rows-only here; exactness
+    vs a pure python BPE reference is pinned in pytest."""
+    return textops.bpe_top_merges(
+        load(spark, sf_dir, "documents"), "text", n_merges=8
+    )
+
+
+def _duck_vocab_coverage_oracle() -> str:
+    """DuckDB twin of ``text.vocab_coverage``: the NAIVE per-token
+    ranking (every token ranked individually, count DESC / token ASC),
+    which the class-closed-form Spark plan must match exactly."""
+    toks = P.tokens("coalesce(text, '')", DUCK)
+    return f"""
+    WITH tok AS (SELECT unnest({toks}) AS t FROM documents),
+    tc AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    ranked AS (SELECT c,
+                      SUM(c) OVER (ORDER BY c DESC, t ASC
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+                      ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS rn
+               FROM tc),
+    tot AS (SELECT SUM(c) AS total FROM tc)
+    SELECT CAST(p.pct AS BIGINT) AS pct,
+           CAST(MIN(r.rn) AS BIGINT) AS vocab_size,
+           CAST(MIN(r.cum) AS BIGINT) AS covered_occurrences,
+           CAST(MIN(t.total) AS BIGINT) AS total_occurrences
+    FROM (VALUES (50), (90), (99)) AS p(pct), ranked r, tot t
+    WHERE r.cum >= (t.total * p.pct + 99) // 100
+    GROUP BY p.pct
+    """
+
+
+@query("docs_vocab_coverage", oracle=_duck_vocab_coverage_oracle())
+def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget planning: smallest most-frequent-first vocab
+    covering 50/90/99% of the corpus token stream
+    (``text.vocab_coverage``).  The Spark plan never ranks individual
+    tokens — the only ordered window runs over the count-class
+    histogram and the crossing point is closed-form; the oracle ranks
+    every token naively and must agree row-for-row."""
+    return textops.vocab_coverage(
+        load(spark, sf_dir, "documents"), "text"
+    )
+
+
 def _duck_sq8_oracle(k: int = 5, rerank: int = 4) -> str:
     """DuckDB twin of ``similarity.sq8_topk``: same min/max bounds, same
     per-value quantization, same integer candidate rank, same exact

@@ -981,10 +981,12 @@ def bigram_coherence(
             "as h12)) end"
         )).alias("_b"),
     ).select(id_col, "_b.h1", "_b.h12")
-    # collapse repeats within a document before any join
+    # collapse repeats within a document before any join; materialize —
+    # three consumers (both count frames + the probe side) would each
+    # re-tokenize the corpus otherwise
     occ = pairs.groupBy(id_col, "h1", "h12").agg(
         F.count(F.lit(1)).alias("_occ")
-    )
+    ).localCheckpoint(eager=False)
     c12 = occ.groupBy("h12").agg(F.sum("_occ").alias("_c12"))
     c1 = occ.groupBy("h1").agg(F.sum("_occ").alias("_c1"))
     per_doc = (
@@ -1008,4 +1010,162 @@ def bigram_coherence(
                 F.expr("_ppm_total div n_bigrams"), F.lit(0)
             ).cast("long").alias("coherence_ppm"),
         )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    *,
+    pcts: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Vocabulary coverage curve: the smallest number of distinct
+    tokens (taken most-frequent-first) whose occurrences cover at
+    least ``p``% of the corpus token stream — the tokenizer-budget /
+    OOV-rate planning table ("how big a vocab covers 99% of tokens?").
+
+    Scale shape — the frequency-histogram trick: the corpus collapses
+    to token counts (vocab-sized, hash aggregate), the vocab collapses
+    to COUNT CLASSES (one row per distinct frequency value — thousands,
+    not millions), and the only ordered window runs over that class
+    frame.  Tokens inside a class are interchangeable for coverage, so
+    the crossing point is closed-form: with ``prev`` mass/tokens from
+    the classes above, ``vocab_size = prev_toks +
+    ceil((target - prev_mass) / c)`` — identical to ranking every
+    token individually with (count DESC, token ASC) ties, which is
+    what the per-token SQL oracle does.  Integer arithmetic only:
+    ``target = ceil(T * p / 100)``.
+
+    Returns one row per pct: ``(pct, vocab_size, covered_occurrences,
+    total_occurrences)``.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.explode(F.expr(P.tokens(text_col, SPARK))).alias("_t")
+    )
+    tc = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    classes = tc.groupBy("_c").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.orderBy(F.desc("_c")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = classes.select(
+        "_c", "_n",
+        F.sum(F.expr("_c * _n")).over(w).alias("_cum_mass"),
+        F.sum("_n").over(w).alias("_cum_toks"),
+    ).withColumn("_prev_mass", F.expr("_cum_mass - _c * _n")).withColumn(
+        "_prev_toks", F.expr("_cum_toks - _n")
+    )
+    total = cum.agg(F.max("_cum_mass").alias("_T"))
+    pdf = df.sparkSession.createDataFrame(
+        [(int(p),) for p in pcts], "pct long"
+    )
+    # each pct lands in exactly ONE class: prev_mass < target <= cum_mass
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(pdf))
+        .withColumn("_target", F.expr("(_T * pct + 99) div 100"))
+        .where(
+            (F.col("_prev_mass") < F.col("_target"))
+            & (F.col("_target") <= F.col("_cum_mass"))
+        )
+        .select(
+            "pct",
+            F.expr(
+                "_prev_toks + ((_target - _prev_mass + _c - 1) div _c)"
+            ).cast("long").alias("vocab_size"),
+            F.expr(
+                "_prev_mass + ((_target - _prev_mass + _c - 1) div _c) * _c"
+            ).cast("long").alias("covered_occurrences"),
+            F.col("_T").cast("long").alias("total_occurrences"),
+        )
+    )
+
+
+def bpe_top_merges(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 8,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016,
+    arXiv:1508.07909) — learn the first ``n_merges`` merge rules from
+    the corpus, the tokenizer-training step of an LLM data pipeline.
+
+    Scale design — the corpus collapses to the WORD-FREQUENCY frame
+    first (one scan + hash aggregate; BPE statistics only depend on
+    the vocab + counts, never the corpus again), and every iteration
+    runs on that vocab-sized frame: adjacent-pair counts are a
+    transform + explode + map-side-combined aggregate weighted by word
+    frequency, the winning pair is a TakeOrdered(1) (count DESC, pair
+    ASC — deterministic), and the merge applies per-row as a sequential
+    ``aggregate`` fold (greedy left-to-right, non-overlapping — exactly
+    the reference algorithm's behavior on runs like "aaaa" -> [aa,aa]).
+    Driver state is the merge table only; the vocab frame is lazily
+    checkpointed per iteration so plans don't nest ``n_merges`` deep.
+
+    Iterative, so no SQL oracle — exactness is pinned against a pure
+    python reference in pytest.  Returns ``(merge_rank, left, right,
+    pair_count)``, one row per learned merge, in learning order.
+    """
+    from pyspark.sql.types import (
+        LongType, IntegerType, StringType, StructField, StructType,
+    )
+
+    wf = (
+        df.select(F.explode(F.expr(P.tokens(text_col, SPARK))).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .withColumn("_syms", F.expr("split(_w, '')"))
+        .select("_f", "_syms")
+        .localCheckpoint(eager=False)
+    )
+
+    def esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "''")
+
+    merges: list[tuple[int, str, str, int]] = []
+    vocab = wf
+    for rank in range(n_merges):
+        top = (
+            vocab.select(
+                "_f",
+                F.explode(F.expr(
+                    "case when size(_syms) < 2 then "
+                    "cast(array() as array<struct<l:string,r:string>>) else "
+                    "transform(sequence(1, size(_syms) - 1), i -> struct("
+                    "element_at(_syms, i) as l, element_at(_syms, i + 1) as r"
+                    ")) end"
+                )).alias("_p"),
+            )
+            .groupBy("_p.l", "_p.r")
+            .agg(F.sum("_f").alias("_cnt"))
+            .orderBy(F.desc("_cnt"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        if top is None or top["_cnt"] < min_pair_count:
+            break
+        left, right, cnt = top["l"], top["r"], int(top["_cnt"])
+        merges.append((rank, left, right, cnt))
+        le, re_, me = esc(left), esc(right), esc(left + right)
+        vocab = vocab.withColumn(
+            "_syms",
+            F.expr(
+                "aggregate(_syms, cast(array() as array<string>), "
+                "(acc, s) -> case when size(acc) > 0 "
+                f"and element_at(acc, -1) = '{le}' and s = '{re_}' "
+                f"then concat(slice(acc, 1, size(acc) - 1), array('{me}')) "
+                "else concat(acc, array(s)) end)"
+            ),
+        ).localCheckpoint(eager=False)
+
+    return df.sparkSession.createDataFrame(
+        merges,
+        StructType([
+            StructField("merge_rank", IntegerType(), False),
+            StructField("left", StringType(), False),
+            StructField("right", StringType(), False),
+            StructField("pair_count", LongType(), False),
+        ]),
     )

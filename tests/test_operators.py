@@ -4192,6 +4192,80 @@ class TestVideoNearDup:
         assert got[0][0] == 1 and got[0][1] == 2
         assert {i for i, _n, _s in got} >= {1, 2, 3}
 
+    def test_bpe_top_merges_matches_reference(self, spark):
+        """Learned merges match a pure python Sennrich-style BPE
+        (pair stats weighted by word frequency, greedy left-to-right
+        merge application, count-desc/pair-asc tie-break)."""
+        from collections import Counter
+
+        from ayeaye_spark.operators.text import bpe_top_merges
+
+        rows = [
+            (1, "low lower lowest low low"),
+            (2, "newer newest new low"),
+            (3, "wider wide widest newer"),
+            (4, ""),
+            (5, None),
+            (6, "aaaa aa baaab"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = [(r["merge_rank"], r["left"], r["right"], r["pair_count"])
+               for r in bpe_top_merges(df, "text", n_merges=6)
+               .orderBy("merge_rank").collect()]
+
+        wf = Counter(w for _, t in rows for w in (t or "").lower().split())
+        vocab = {w: list(w) for w in wf}
+        expect = []
+        for rank in range(6):
+            stats: Counter = Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    stats[(a, b)] += wf[w]
+            if not stats:
+                break
+            (l, r), cnt = min(
+                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if cnt < 2:
+                break
+            expect.append((rank, l, r, cnt))
+            for w, syms in vocab.items():
+                out: list[str] = []
+                for s in syms:
+                    if out and out[-1] == l and s == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(s)
+                vocab[w] = out
+        assert got == expect
+        assert len(got) >= 3  # the corpus has learnable structure
+
+    def test_vocab_coverage_matches_bruteforce(self, spark):
+        """Class-closed-form coverage equals naive per-token ranking."""
+        from collections import Counter
+
+        from ayeaye_spark.operators.text import vocab_coverage
+
+        rows = [(1, "a a a a b b b c c d e f"), (2, "a b c g g"), (3, None)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["pct"]: (r["vocab_size"], r["covered_occurrences"],
+                          r["total_occurrences"])
+               for r in vocab_coverage(df, "text", pcts=(50, 90, 99)).collect()}
+
+        cnt = Counter(t for _, s in rows for t in (s or "").lower().split())
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        T = sum(cnt.values())
+        expect = {}
+        for p in (50, 90, 99):
+            target = (T * p + 99) // 100
+            cum = 0
+            for rn, (_t, c) in enumerate(ranked, 1):
+                cum += c
+                if cum >= target:
+                    expect[p] = (rn, cum, T)
+                    break
+        assert got == expect
+
     def test_bigram_coherence_matches_bruteforce(self, spark):
         """Mean bigram transition probability in integer ppm vs a pure
         python reference over the same rolling hashes."""
