@@ -395,3 +395,27 @@ def test_perceptual_media_dedup(spark, resolver, tmp_path):
     assert doc["n_dropped"] == 1
     assert "other.bmp" in kept
     assert "orig.bmp" in kept and "resave.bmp" not in kept
+
+
+def test_tokenizer_report(spark, resolver, tmp_path):
+    from examples.tokenizer_report import TokenizerReport
+
+    with resolver.context(
+        docs_path="/root/testdata/sf0.001/documents.parquet",
+        output_path=str(tmp_path),
+    ):
+        assert TokenizerReport().go(), "model run must succeed"
+
+    import json
+
+    report = json.loads((tmp_path / "tokenizer_report.json").read_text())
+    cov = {c["pct"]: c for c in report["coverage"]}
+    assert set(cov) == {50, 90, 99}
+    # monotone curve: higher coverage needs a no-smaller vocab
+    assert cov[50]["vocab_size"] <= cov[90]["vocab_size"] <= cov[99]["vocab_size"]
+    assert all(c["covered"] <= c["total"] for c in cov.values())
+    # merges are learned in non-increasing count order
+    counts = [m["count"] for m in report["merges"]]
+    assert counts == sorted(counts, reverse=True) and len(counts) >= 1
+    coh = spark.read.parquet(str(tmp_path / "doc_coherence.parquet"))
+    assert coh.count() == report["n_docs"] > 0

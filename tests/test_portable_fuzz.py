@@ -302,3 +302,54 @@ def test_gopher_python_twins_match_sql(spark, seed):
             if v != drows[rid][name]:
                 mismatches.append((rid, name, v, drows[rid][name], t[:60]))
     assert not mismatches, f"{len(mismatches)} diffs; first: {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("seed", [3, 19])
+def test_sq8_and_int_dot_match_across_engines(spark, seed):
+    """Round-8 array helpers: sq8 quantization (per-value IEEE + floor)
+    and the integer dot must be bit-identical across engines on random
+    vectors, including degenerate (constant) dimensions and extreme
+    magnitudes."""
+    rng = random.Random(seed)
+    d = 6
+    vecs = []
+    for i in range(120):
+        v = [rng.uniform(-1e4, 1e4) for _ in range(d)]
+        v[3] = 7.25          # degenerate dimension: mx == mn
+        if i % 17 == 0:
+            v[0] = 0.0
+        vecs.append(v)
+    mn = [min(v[i] for v in vecs) for i in range(d)]
+    mx = [max(v[i] for v in vecs) for i in range(d)]
+    pdf = pd.DataFrame({
+        "rid": range(len(vecs)),
+        "v": vecs,
+        "mn": [mn] * len(vecs),
+        "mx": [mx] * len(vecs),
+    })
+
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("sq8fuzz")
+    scode = P.sq8_codes("v", "mn", "mx", P.SPARK)
+    got_s = {
+        r["rid"]: (list(r["code"]), r["dd"])
+        for r in spark.sql(
+            f"SELECT rid, {scode} AS code, "
+            f"{P.int_dot(scode, scode, P.SPARK)} AS dd FROM sq8fuzz"
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("sq8fuzz", pdf)
+    dcode = P.sq8_codes("v", "mn", "mx", P.DUCKDB)
+    got_d = {
+        rid: (list(code), dd)
+        for rid, code, dd in con.execute(
+            f"SELECT rid, {dcode} AS code, "
+            f"{P.int_dot(dcode, dcode, P.DUCKDB)} AS dd FROM sq8fuzz"
+        ).fetchall()
+    }
+    assert got_s == got_d
+    # degenerate dimension codes to 0 everywhere; codes are in [0,255]
+    assert all(c[3] == 0 for c, _ in got_s.values())
+    assert all(0 <= x <= 255 for c, _ in got_s.values() for x in c)

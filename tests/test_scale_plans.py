@@ -607,6 +607,20 @@ class TestDepartitionedWindows:
         # exchange, so the merge never sorts a whole segment
         assert "WindowGroupLimit" in plan and "Partial" in plan
 
+    def test_sq8_candidate_shuffle_is_rank_limited(self, spark):
+        """SQ8 ANN: the candidate frame is corpus x queries — only a
+        WindowGroupLimit(Partial) BEFORE the query_id exchange keeps
+        the shuffle bounded at n_queries * partitions * (k*rerank)
+        instead of corpus-sized.  Bounds + query set must broadcast."""
+        from ayeaye_spark.catalog import QUERIES
+
+        plan = physical_plan(QUERIES["ann_topk_sq8"](spark, SF))
+        assert "WindowGroupLimit" in plan and "Partial" in plan
+        assert "BroadcastExchange" in plan
+        # exactly one data shuffle: the rank-limited candidate rows
+        # (the 1-row bounds aggregate's SinglePartition is metadata)
+        assert plan.count("Exchange hashpartitioning") == 1
+
 
 class TestRuntimeBloomFilter:
     """Spark's native runtime row-level filtering: a selective dim-side
