@@ -966,6 +966,11 @@ def bigram_coherence(
     single-partition stage, no Python.  Documents with < 2 tokens get
     ``n_bigrams = 0, coherence_ppm = 0`` (no transitions to judge).
 
+    Envelope: the ``c(w1 w2) * 1e6`` intermediate requires every single
+    bigram's corpus count to stay under ~9.2e12 (int64 / 1e6) — beyond
+    that (a pathologically repeated bigram at extreme corpus scale),
+    shard the corpus or widen to decimal.
+
     Returns ``(id_col, n_bigrams, coherence_ppm)``.
     """
     th_expr = P.hash_array(P.tokens(text_col, SPARK), SPARK)
@@ -1045,7 +1050,11 @@ def vocab_coverage(
         F.explode(F.expr(P.tokens(text_col, SPARK))).alias("_t")
     )
     tc = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
-    classes = tc.groupBy("_c").agg(F.count(F.lit(1)).alias("_n"))
+    # materialize the (tiny) class frame: the total and the per-pct
+    # probe both consume it — without this the corpus tokenizes twice
+    classes = tc.groupBy("_c").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).localCheckpoint(eager=False)
     w = Window.orderBy(F.desc("_c")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
