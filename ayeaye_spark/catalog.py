@@ -7081,6 +7081,40 @@ def orders_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_collocations_oracle(k: int = 20, min_count: int = 5) -> str:
+    """DuckDB twin of ``text.top_collocations``: identical bigram
+    counts and the identical 3-op IEEE double PMI ratio."""
+    toks = P.tokens("coalesce(text, '')", DUCK)
+    return f"""
+    WITH t AS (SELECT {toks} AS tk FROM documents),
+    p AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+          FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t)),
+    bg AS (SELECT w1, w2, COUNT(*) AS pair_count FROM p GROUP BY 1, 2),
+    tot AS (SELECT SUM(pair_count) AS total FROM bg),
+    m1 AS (SELECT w1, SUM(pair_count) AS c1 FROM bg GROUP BY 1),
+    m2 AS (SELECT w2, SUM(pair_count) AS c2 FROM bg GROUP BY 1)
+    SELECT b.w1, b.w2, CAST(b.pair_count AS BIGINT) AS pair_count,
+           (CAST(b.pair_count AS DOUBLE) * CAST(t.total AS DOUBLE))
+             / (CAST(m1.c1 AS DOUBLE) * CAST(m2.c2 AS DOUBLE)) AS pmi_ratio
+    FROM bg b JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot t
+    WHERE b.pair_count >= {min_count}
+    ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC LIMIT {k}
+    """
+
+
+@query("docs_top_collocations", oracle=_duck_collocations_oracle())
+def docs_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase mining: top-20 PMI-ranked adjacent word pairs with a
+    count floor (``text.top_collocations``) — pairs that co-occur far
+    beyond their margins' prediction, the multi-word-vocab /
+    tokenizer-merge candidate list.  The PMI ratio is 3 IEEE double
+    ops over exact integer counts (log-free, monotone-equivalent to
+    PMI), bit-identical in both engines."""
+    return textops.top_collocations(
+        load(spark, sf_dir, "documents"), "text", k=20, min_count=5
+    )
+
+
 @query("docs_bpe_merges")  # no oracle: iterative (greedy merge loop)
 def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training: the first 8 BPE merge rules learned from

@@ -1178,3 +1178,66 @@ def bpe_top_merges(
             StructField("pair_count", LongType(), False),
         ]),
     )
+
+
+def top_collocations(
+    df: DataFrame,
+    text_col: str,
+    *,
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k collocations (PMI-ranked adjacent word pairs) — the
+    phrase-mining step before multi-word vocab entries / tokenizer
+    merges: pairs that co-occur far more than their parts predict
+    ("new york", "et al"), not merely frequent pairs ("of the").
+
+    Score = the pointwise-mutual-information RATIO ``c(w1 w2) * T /
+    (c(w1 ·) * c(· w2))`` where T is total bigram occurrences and the
+    margins count bigram starts/ends — computed as exactly 3 IEEE
+    double ops over exactly-representable integer counts, so both
+    engines produce the bit-identical score (the log is monotone, so
+    ranking by the ratio IS ranking by PMI — no cross-engine ``ln``).
+    ``min_count`` floors the pair count (PMI's classic rare-pair
+    pathology).  Ties: (score DESC, w1 ASC, w2 ASC).
+
+    Scale shape: one tokenization -> positional word pairs -> ONE
+    hash-aggregated bigram-count frame (materialized: the total, both
+    margins, and the probe all consume it), two margin aggregates
+    joined back on their keys, a broadcast 1-row total, and the top-k
+    is TakeOrderedAndProject — no global sort, no window.
+
+    Returns ``(w1, w2, pair_count, pmi_ratio)``.
+    """
+    toks = P.tokens(text_col, SPARK)
+    base = df.select(F.expr(toks).alias("_tk"))
+    pairs = base.select(
+        F.explode(F.expr(
+            "case when size(_tk) < 2 then "
+            "cast(array() as array<struct<w1:string,w2:string>>) else "
+            "transform(sequence(1, size(_tk) - 1), i -> struct("
+            "element_at(_tk, i) as w1, element_at(_tk, i + 1) as w2)) end"
+        )).alias("_p")
+    ).select("_p.w1", "_p.w2")
+    bg = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    ).localCheckpoint(eager=False)
+    total = bg.agg(F.sum("pair_count").alias("_T"))
+    c1 = bg.groupBy("w1").agg(F.sum("pair_count").alias("_c1"))
+    c2 = bg.groupBy("w2").agg(F.sum("pair_count").alias("_c2"))
+    return (
+        bg.where(F.col("pair_count") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "pmi_ratio",
+            F.expr(
+                "(cast(pair_count as double) * cast(_T as double))"
+                " / (cast(_c1 as double) * cast(_c2 as double))"
+            ),
+        )
+        .orderBy(F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+        .select("w1", "w2", "pair_count", "pmi_ratio")
+    )

@@ -4192,6 +4192,40 @@ class TestVideoNearDup:
         assert got[0][0] == 1 and got[0][1] == 2
         assert {i for i, _n, _s in got} >= {1, 2, 3}
 
+    def test_top_collocations_matches_bruteforce(self, spark):
+        """PMI ratio and ranking vs a python reference with the same
+        3-op double arithmetic and tie-break."""
+        from collections import Counter
+
+        from ayeaye_spark.operators.text import top_collocations
+
+        rows = [
+            (1, "new york is big new york is old"),
+            (2, "the cat and the dog and the bird"),
+            (3, "new york new york the cat"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = [(r["w1"], r["w2"], r["pair_count"], r["pmi_ratio"])
+               for r in top_collocations(df, "text", k=5, min_count=2).collect()]
+
+        bg: Counter = Counter()
+        for _, t in rows:
+            tk = (t or "").lower().split()
+            bg.update(zip(tk, tk[1:]))
+        T = sum(bg.values())
+        c1, c2 = Counter(), Counter()
+        for (a, b), n in bg.items():
+            c1[a] += n
+            c2[b] += n
+        scored = [
+            (a, b, n, (float(n) * float(T)) / (float(c1[a]) * float(c2[b])))
+            for (a, b), n in bg.items() if n >= 2
+        ]
+        expect = sorted(scored, key=lambda t: (-t[3], t[0], t[1]))[:5]
+        assert got == expect
+        assert ("new", "york") in {(a, b) for a, b, _n, _s in got}
+
     def test_bpe_top_merges_matches_reference(self, spark):
         """Learned merges match a pure python Sennrich-style BPE
         (pair stats weighted by word frequency, greedy left-to-right
