@@ -7115,6 +7115,43 @@ def docs_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed tokenizer merge rules for the APPLY-side query (trained
+#: offline in practice; text.bpe_top_merges is the in-engine trainer)
+_BPE_FIXED_MERGES = [
+    ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"), ("i", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"),
+]
+
+
+_COALESCED_TEXT = "coalesce(text, '')"
+
+
+@query(
+    "docs_bpe_apply_fixed",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({P.token_count(_COALESCED_TEXT, DUCK)} AS BIGINT)
+             AS n_tokens,
+           CAST({P.bpe_piece_count(_COALESCED_TEXT, _BPE_FIXED_MERGES, DUCK)}
+             AS BIGINT) AS n_pieces
+    FROM documents
+    """,
+)
+def docs_bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY at corpus scale: per-document BPE piece counts
+    under a fixed 8-rule merge list (``P.bpe_piece_count`` — the
+    separator-string replace encoding, greedy left-to-right merge
+    semantics identical in both engines).  One scan, zero shuffle,
+    pure string expressions; value-exact oracle on all 500 rows."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(P.token_count("coalesce(text, '')", SPARK))
+        .cast("long").alias("n_tokens"),
+        F.expr(P.bpe_piece_count("coalesce(text, '')", _BPE_FIXED_MERGES, SPARK))
+        .cast("long").alias("n_pieces"),
+    )
+
+
 @query("docs_bpe_merges")  # no oracle: iterative (greedy merge loop)
 def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training: the first 8 BPE merge rules learned from

@@ -374,6 +374,50 @@ def sq8_codes(v: str, mn: str, mx: str, d: str) -> str:
     return f"list_transform(range(1, {size(v, d)} + 1), i -> {body})"
 
 
+#: BPE segmentation separator (inside-word piece boundary).  A control
+#: char no whitespace-split token should contain; words that DO contain
+#: it would mis-segment (documented limitation of the replace encoding).
+BPE_SEP = "\x01"
+
+
+def bpe_piece_count(text: str, merges: list, d: str) -> str:
+    """Total BPE piece count of ``text`` under a FIXED merge list —
+    tokenizer APPLY at scale (train offline / with
+    :func:`operators.text.bpe_top_merges`, apply to the corpus).
+
+    Encoding trick that makes this portable with no list-building
+    fold (DuckDB's ``list_reduce`` cannot accumulate lists): a word's
+    segmentation is a ``BPE_SEP``-joined string of its pieces, and
+    applying merge ``(l, r)`` is ``replace(seg, 'l SEP r', 'lr')`` —
+    both engines' ``replace`` is greedy left-to-right non-overlapping,
+    which is exactly the reference BPE merge order ("aaaa" with (a,a)
+    -> [aa, aa]).  Merges apply in list order; pieces per word =
+    ``split(seg, SEP)`` length; the document total is an integer fold.
+    """
+    sep = BPE_SEP
+
+    def _esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    def seg(w: str) -> str:
+        if d == SPARK:
+            joined = f"array_join(split({w}, ''), '{sep}')"
+        else:
+            joined = f"array_to_string(string_split({w}, ''), '{sep}')"
+        for left, right in merges:
+            frm = _esc(left + sep + right)
+            to = _esc(left + right)
+            joined = f"replace({joined}, '{frm}', '{to}')"
+        return joined
+
+    toks = tokens(text, d)
+    if d == SPARK:
+        pieces = f"transform({toks}, w -> size(split({seg('w')}, '{sep}')))"
+        return f"aggregate({pieces}, cast(0 as bigint), (acc, c) -> acc + c)"
+    pieces = f"list_transform({toks}, w -> len(string_split({seg('w')}, '{sep}')))"
+    return f"list_reduce(list_prepend(0::BIGINT, {pieces}), (acc, c) -> acc + c)"
+
+
 def array_sub(a: str, b: str, d: str) -> str:
     """Element-wise ``a - b`` over equal-length double arrays (exact
     IEEE subtraction — engine-independent)."""

@@ -4274,6 +4274,44 @@ class TestVideoNearDup:
         assert got == expect
         assert len(got) >= 3  # the corpus has learnable structure
 
+    def test_bpe_apply_matches_reference(self, spark):
+        """P.bpe_piece_count under trained merges == the python greedy
+        merge application, including the 'aaaa' -> [aa, aa] run case."""
+        from ayeaye_spark.functions import portable as P
+        from ayeaye_spark.operators.text import bpe_top_merges
+
+        rows = [
+            (1, "low lower lowest low low"),
+            (2, "newer newest new low aaaa"),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        merges = [(r["left"], r["right"]) for r in
+                  bpe_top_merges(df, "text", n_merges=4)
+                  .orderBy("merge_rank").collect()]
+        assert merges  # corpus has learnable structure
+        got = {r["doc_id"]: r["np"] for r in df.select(
+            "doc_id",
+            F.expr(P.bpe_piece_count("coalesce(text, '')", merges, P.SPARK))
+            .cast("long").alias("np"),
+        ).collect()}
+
+        def apply_word(w):
+            syms = list(w)
+            for l, rt in merges:
+                out = []
+                for s in syms:
+                    if out and out[-1] == l and s == rt:
+                        out[-1] = l + rt
+                    else:
+                        out.append(s)
+                syms = out
+            return len(syms)
+
+        expect = {i: sum(apply_word(w) for w in (t or "").lower().split())
+                  for i, t in rows}
+        assert got == expect and got[3] == 0
+
     def test_vocab_coverage_matches_bruteforce(self, spark):
         """Class-closed-form coverage equals naive per-token ranking."""
         from collections import Counter
