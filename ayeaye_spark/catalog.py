@@ -7201,6 +7201,38 @@ def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "emb_hard_negatives",
+    oracle=f"""
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rank
+    FROM (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             {_duck_cosine('q.embedding', 'c.embedding')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_duck_cosine('q.embedding', 'c.embedding')} DESC,
+                        c.vec_id ASC
+             ) AS rank
+      FROM embeddings q JOIN embeddings c
+        ON c.vec_id <> q.vec_id AND c.label <> q.label
+      WHERE q.vec_id < 10
+    ) t WHERE rank <= 5
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (``similarity.hard_negatives``): per query, the 5 most-similar
+    corpus vectors with a DIFFERENT label — boundary negatives, the
+    pairs that actually move an embedding model.  Broadcast query set,
+    one corpus scan, rank-limit-pushed top-k; exact fold cosine so the
+    oracle matches bitwise."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(
+        emb, emb.where(F.col("vec_id") < 10), k=5
+    )
+
+
 def _duck_sq8_oracle(k: int = 5, rerank: int = 4) -> str:
     """DuckDB twin of ``similarity.sq8_topk``: same min/max bounds, same
     per-value quantization, same integer candidate rank, same exact

@@ -1504,3 +1504,54 @@ def sq8_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dot", "cosine", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each query vector, the top-k most-similar corpus vectors with a
+    DIFFERENT label — the negatives that actually teach the model
+    (easy negatives are far away; these sit right at the boundary).
+
+    Same scale shape as :func:`cosine_topk`: broadcast the (small)
+    query set against one corpus scan, filter cross-label pairs, and
+    the per-query top-k is rank-limit pushed (WindowGroupLimit) so the
+    shuffle carries only candidate survivors, never the corpus.
+
+    Returns ``(query_id, query_label, neighbor_id, neighbor_label,
+    cosine, rank)``.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("_cvec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("_qvec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("query_label"))
+        )
+        .withColumn("cosine", F.expr(_cos("_qvec", "_cvec", None)))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "query_label", "neighbor_id",
+                "neighbor_label", "cosine", "rank")
+    )

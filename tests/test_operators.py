@@ -242,6 +242,20 @@ class TestSimilarity:
                 expect.append((q, c, adot, cos, rk))
         assert got == expect
 
+    def test_hard_negatives_excludes_same_label(self, spark):
+        rows = [
+            (0, "a", [1.0, 0.0]), (1, "a", [0.99, 0.1]),
+            (2, "b", [0.98, 0.2]), (3, "b", [0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+        out = similarity.hard_negatives(
+            df, df.where(F.col("vec_id") == 0), k=2
+        ).orderBy("rank").collect()
+        # nearest same-label (1) is excluded; the boundary negative (2)
+        # ranks first, the far one (3) second
+        assert [(r["neighbor_id"], r["rank"]) for r in out] == [(2, 1), (3, 2)]
+        assert all(r["neighbor_label"] != r["query_label"] for r in out)
+
     def test_near_dup_pairs_exact(self, spark):
         rows = [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, [0.0, 1.0])]
         df = spark.createDataFrame(rows, ["vec_id", "embedding"])
