@@ -7081,6 +7081,48 @@ def orders_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_dup_sentences_oracle(min_docs: int = 2) -> str:
+    """DuckDB twin of ``text.duplicate_sentence_profile``: same split,
+    same normalization, same rolling hashes, same ppm arithmetic."""
+    norm = P.regexp_replace_all("x", r"\s+", " ", DUCK)
+    sent = (
+        f"list_filter(list_transform("
+        f"regexp_split_to_array(lower(coalesce(text, '')), '[.!?]+'), "
+        f"x -> trim({norm})), s -> s <> '')"
+    )
+    hashes = P.hash_array(sent, DUCK)
+    return f"""
+    WITH occ AS (SELECT doc_id, unnest({hashes}) AS sh FROM documents),
+    shared AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM occ) t
+               GROUP BY sh HAVING COUNT(*) >= {min_docs}),
+    pd AS (SELECT o.doc_id,
+                  COUNT(*) AS n_sentences,
+                  SUM(CASE WHEN s.sh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS shared_sentences
+           FROM occ o LEFT JOIN shared s USING (sh)
+           GROUP BY o.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_sentences, 0) AS BIGINT) AS n_sentences,
+           CAST(COALESCE(p.shared_sentences, 0) AS BIGINT)
+             AS shared_sentences,
+           CAST(COALESCE(p.shared_sentences * 1000000 // p.n_sentences, 0)
+             AS BIGINT) AS shared_ppm
+    FROM documents d LEFT JOIN pd p USING (doc_id)
+    """
+
+
+@query("docs_duplicate_sentences", oracle=_duck_dup_sentences_oracle())
+def docs_duplicate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sentence-level duplication profile
+    (``text.duplicate_sentence_profile``): per document, occurrences of
+    normalized sentences shared with >= 2 distinct documents, as exact
+    integer ppm — the boilerplate signal document-level near-dup
+    misses.  Sentences shuffle as rolling hashes only."""
+    return textops.duplicate_sentence_profile(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def _duck_collocations_oracle(k: int = 20, min_count: int = 5) -> str:
     """DuckDB twin of ``text.top_collocations``: identical bigram
     counts and the identical 3-op IEEE double PMI ratio."""

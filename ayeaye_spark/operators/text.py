@@ -1241,3 +1241,72 @@ def top_collocations(
         .limit(k)
         .select("w1", "w2", "pair_count", "pmi_ratio")
     )
+
+
+def duplicate_sentence_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style sentence-level duplication profile: per document, how
+    many of its sentences also occur (normalized) in at least
+    ``min_docs`` distinct documents — the signal behind sentence-level
+    dedup (C4 deduplicated exact repeated spans of sentences; the
+    boilerplate that survives document-level near-dup).
+
+    A "sentence" is a maximal ``[.!?]``-free run, lowercased with
+    whitespace collapsed (a lookbehind sentence splitter is not
+    portable to RE2 engines; the normalized run is the dedup KEY, not
+    a linguistic claim).  Sentences travel as rolling hashes —
+    shuffles carry bigints, never sentence text.
+
+    Scale shape: one scan explodes (doc, sentence-hash) occurrences;
+    the shared set is (hash, doc)-distinct -> count >= min_docs (both
+    stages map-side combinable, keyed by the hash); one equi-join back
+    and a per-doc aggregate.  Same inverted-index shape as the shared
+    n-gram profile, at sentence granularity.
+
+    Returns ``(id_col, n_sentences, shared_sentences, shared_ppm)``.
+    """
+    norm = P.regexp_replace_all("x", r"\s+", " ", SPARK)
+    sent_arr = (
+        f"filter(transform(split(lower(coalesce({text_col}, '')), '[.!?]+'), "
+        f"x -> trim({norm})), s -> s <> '')"
+    )
+    occ = df.select(
+        F.col(id_col),
+        F.explode(F.expr(P.hash_array(sent_arr, SPARK))).alias("_sh"),
+    ).localCheckpoint(eager=False)  # two consumers: shared set + probe
+    shared = (
+        occ.select(id_col, "_sh").distinct()
+        .groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .where(F.col("_docs") >= min_docs)
+        .select("_sh")
+    )
+    per_doc = (
+        occ.join(shared.withColumn("_is_shared", F.lit(1)), "_sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum(F.coalesce("_is_shared", F.lit(0)))
+            .cast("long").alias("shared_sentences"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_sentences", F.lit(0)).cast("long")
+            .alias("n_sentences"),
+            F.coalesce("shared_sentences", F.lit(0)).cast("long")
+            .alias("shared_sentences"),
+            F.coalesce(
+                F.expr("shared_sentences * 1000000 div n_sentences"),
+                F.lit(0),
+            ).cast("long").alias("shared_ppm"),
+        )
+    )

@@ -4288,6 +4288,27 @@ class TestVideoNearDup:
         assert got == expect
         assert len(got) >= 3  # the corpus has learnable structure
 
+    def test_duplicate_sentence_profile(self, spark):
+        from ayeaye_spark.operators.text import duplicate_sentence_profile
+
+        rows = [
+            (1, "The cat sat. The DOG ran!  the cat   sat?"),
+            (2, "the cat sat. Something unique here."),
+            (3, "Completely different text"),
+            (4, ""),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: (r["n_sentences"], r["shared_sentences"],
+                             r["shared_ppm"])
+               for r in duplicate_sentence_profile(df, "doc_id", "text").collect()}
+        # doc 1: 3 sentences, 'the cat sat' occurs twice and is shared
+        # with doc 2 (normalization collapses case/whitespace)
+        assert got[1] == (3, 2, 666666)
+        assert got[2] == (2, 1, 500000)
+        assert got[3] == (1, 0, 0)
+        assert got[4] == (0, 0, 0) and got[5] == (0, 0, 0)
+
     def test_bpe_apply_matches_reference(self, spark):
         """P.bpe_piece_count under trained merges == the python greedy
         merge application, including the 'aaaa' -> [aa, aa] run case."""
