@@ -7194,6 +7194,50 @@ def docs_bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_colloc_components_oracle(
+    min_count: int = 2, min_pmi: float = 1.5
+) -> str:
+    """DuckDB twin of ``text.collocation_components``: the same scored
+    bigram edges, closed transitively with a recursive CTE."""
+    toks = P.tokens("coalesce(text, '')", DUCK)
+    return f"""
+    WITH RECURSIVE t AS (SELECT {toks} AS tk FROM documents),
+    p AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+          FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t)),
+    bg AS (SELECT w1, w2, COUNT(*) AS pair_count FROM p GROUP BY 1, 2),
+    tot AS (SELECT SUM(pair_count) AS total FROM bg),
+    m1 AS (SELECT w1, SUM(pair_count) AS c1 FROM bg GROUP BY 1),
+    m2 AS (SELECT w2, SUM(pair_count) AS c2 FROM bg GROUP BY 1),
+    edges AS (
+      SELECT b.w1, b.w2
+      FROM bg b JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot t
+      WHERE b.pair_count >= {min_count}
+        AND (CAST(b.pair_count AS DOUBLE) * CAST(t.total AS DOUBLE))
+              / (CAST(m1.c1 AS DOUBLE) * CAST(m2.c2 AS DOUBLE))
+            >= {min_pmi}),
+    undirected AS (SELECT w1 AS a, w2 AS b FROM edges
+                   UNION SELECT w2, w1 FROM edges),
+    reach(v, r) AS (
+      SELECT a, a FROM undirected
+      UNION
+      SELECT u.a, reach.r FROM undirected u JOIN reach ON reach.v = u.b
+    )
+    SELECT v AS word, MIN(r) AS component FROM reach GROUP BY v
+    """
+
+
+@query("docs_collocation_components", oracle=_duck_colloc_components_oracle())
+def docs_collocation_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase/concept clusters (``text.collocation_components``):
+    connected components over the PMI collocation graph — the
+    composition of the inverted-index bigram statistics and the
+    size-gated union-find / min-label closure.  The recursive-CTE
+    oracle closes the identical edge set."""
+    return textops.collocation_components(
+        load(spark, sf_dir, "documents"), "text", min_count=2, min_pmi=1.5
+    )
+
+
 @query("docs_bpe_merges")  # no oracle: iterative (greedy merge loop)
 def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training: the first 8 BPE merge rules learned from

@@ -1209,6 +1209,18 @@ def top_collocations(
 
     Returns ``(w1, w2, pair_count, pmi_ratio)``.
     """
+    return (
+        _scored_bigrams(df, text_col, min_count)
+        .orderBy(F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+        .select("w1", "w2", "pair_count", "pmi_ratio")
+    )
+
+
+def _scored_bigrams(df: DataFrame, text_col: str, min_count: int) -> DataFrame:
+    """(w1, w2, pair_count, pmi_ratio) for every adjacent word pair at
+    or above ``min_count`` — the shared core of :func:`top_collocations`
+    and :func:`collocation_components`."""
     toks = P.tokens(text_col, SPARK)
     base = df.select(F.expr(toks).alias("_tk"))
     pairs = base.select(
@@ -1237,9 +1249,33 @@ def top_collocations(
                 " / (cast(_c1 as double) * cast(_c2 as double))"
             ),
         )
-        .orderBy(F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2"))
-        .limit(k)
-        .select("w1", "w2", "pair_count", "pmi_ratio")
+    )
+
+
+def collocation_components(
+    df: DataFrame,
+    text_col: str,
+    *,
+    min_count: int = 5,
+    min_pmi: float = 2.0,
+) -> DataFrame:
+    """Phrase/concept clusters: connected components over the PMI
+    collocation graph — words joined by an edge when their adjacent
+    pair clears both the count floor and the PMI threshold.  The
+    composition demo of the operator library: :func:`_scored_bigrams`
+    (inverted-index bigram statistics) feeding
+    ``graph.connected_components`` (size-gated union-find / distributed
+    min-label propagation).  Returns ``(word, component)`` for every
+    word in the graph, component = lexicographic min reachable word.
+    """
+    from . import graph
+
+    edges = _scored_bigrams(df, text_col, min_count).where(
+        F.col("pmi_ratio") >= min_pmi
+    ).select("w1", "w2")
+    return (
+        graph.connected_components(edges, "w1", "w2")
+        .select(F.col("vertex").alias("word"), "component")
     )
 
 
