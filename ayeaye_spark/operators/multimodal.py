@@ -244,6 +244,113 @@ def _bmp_pixel_rows(b: bytes):
     return px[:, : w * 3], w, rows  # drop row padding
 
 
+def _png_pixel_array(b: bytes):
+    """Shared REAL PNG pixel reader, stdlib-only (zlib is built in —
+    PNG's DEFLATE needs no external codec; only the per-scanline
+    filters have to be undone by hand): ``(px, w, h, channels)`` with
+    ``px`` a ``(h, w*channels)`` uint8 array, or ``None`` for non-PNG
+    or unsupported variants (supported: 8-bit depth, grayscale / RGB /
+    RGBA, non-interlaced — the overwhelmingly common cases; paletted
+    and 16-bit stay header-only)."""
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos:pos + 4])
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or comp or filt or interlace:
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for r in range(h):
+        line = np.frombuffer(
+            raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int32)
+        ft = raw[r * (stride + 1)]
+        prev = out[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth carry a left dependency
+            cur = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + up) >> 1
+                elif ft == 4:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    pa, pb, pc = abs(up - c), abs(a - c), abs(a + up - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                else:
+                    return None  # invalid filter byte
+                cur[i] = (line[i] + pred) & 0xFF
+        out[r] = cur.astype(np.uint8)
+    return out, w, h, channels
+
+
+def decode_png_pixels(b: bytes) -> dict | None:
+    """REAL pixel decode for 8-bit gray/RGB/RGBA non-interlaced PNG, no
+    codec library (:func:`_png_pixel_array`): header metadata plus a
+    true ``mean_intensity`` over all channel bytes."""
+    got = _png_pixel_array(b)
+    if got is None:
+        return None
+    px, w, h, channels = got
+    return {
+        "format": "png", "width": w, "height": h, "channels": channels,
+        "mean_intensity": float(px.mean()),
+    }
+
+
+def _pixel_gray(b: bytes):
+    """Format-agnostic grayscale pixel matrix for the perceptual
+    hashers: tries uncompressed 24-bit BMP, then 8-bit PNG.  Returns
+    ``(gray (rows, w) float array, w, rows)`` or ``None``."""
+    import numpy as np
+
+    got = _bmp_pixel_rows(b)
+    if got is not None:
+        px, w, rows = got
+        return px.reshape(rows, w, 3).mean(axis=2), w, rows
+    png = _png_pixel_array(b)
+    if png is not None:
+        px, w, h, ch = png
+        return px.reshape(h, w, ch)[:, :, : min(ch, 3)].mean(axis=2), w, h
+    return None
+
+
 def decode_bmp_pixels(b: bytes) -> dict | None:
     """REAL pixel decode for uncompressed 24-bit BMP, no codec library:
     header offsets + numpy over the padded pixel rows.  Returns the
@@ -268,19 +375,20 @@ def dhash64(content: bytes) -> int | None:
     contrast shifts and to resampling — the standard cheap perceptual
     fingerprint for image near-dup detection.
 
-    Pure numpy over :func:`_bmp_pixel_rows`; ``None`` for undecodable
-    bytes or images smaller than the 9x8 grid (no meaningful blocks).
-    Swap in a codec-backed grayscale reader in production via the
-    ``hasher=`` hook of :func:`perceptual_hash_images`."""
+    Pure numpy over :func:`_pixel_gray` (real BMP *and* 8-bit PNG
+    pixels — cross-format: the same image saved both ways hashes
+    identically); ``None`` for undecodable bytes or images smaller
+    than the 9x8 grid (no meaningful blocks).  Swap in a codec-backed
+    grayscale reader in production via the ``hasher=`` hook of
+    :func:`perceptual_hash_images`."""
     import numpy as np
 
-    got = _bmp_pixel_rows(content) if content else None
+    got = _pixel_gray(content) if content else None
     if got is None:
         return None
-    px, w, rows = got
+    gray, w, rows = got
     if w < 9 or rows < 8:
         return None
-    gray = px.reshape(rows, w, 3).mean(axis=2)
     re = np.linspace(0, rows, 9).astype(int)
     ce = np.linspace(0, w, 10).astype(int)
     v = 0
@@ -294,11 +402,14 @@ def dhash64(content: bytes) -> int | None:
 
 def sample_decode(content: bytes) -> dict:
     """Best real decode available without external codecs: full pixel /
-    PCM stats for uncompressed BMP and PCM WAV, header-only metadata
-    for png/jpeg/gif (entropy-coded — a real codec must be injected via
-    ``decoder=``), ``fake_decode`` for everything else.  Drop-in for
+    PCM stats for uncompressed BMP, 8-bit non-interlaced PNG (stdlib
+    zlib inflate + hand-undone scanline filters) and PCM WAV,
+    header-only metadata for jpeg/gif (entropy-coded — a real codec
+    must be injected via ``decoder=``), ``fake_decode`` for everything else.  Drop-in for
     :func:`decode_images`' ``decoder=``."""
     got = decode_bmp_pixels(content) if content else None
+    if got is None and content:
+        got = decode_png_pixels(content)
     if got is None and content:
         wav = decode_wav_samples(content)
         if wav is not None:

@@ -1601,7 +1601,9 @@ class TestRealSampleDecode:
         got = {r["format"]: r for r in multimodal.decode_images(
             df, decoder=multimodal.sample_decode).collect()}
         assert got["bmp"]["mean_intensity"] is not None   # real pixels
-        assert got["png"]["mean_intensity"] is None        # header-only
+        # round 8: PNG decodes for real too (stdlib zlib inflate +
+        # hand-undone scanline filters) — true intensity, not None
+        assert got["png"]["mean_intensity"] is not None
         assert got["png"]["width"] == 3                    # metadata kept
 
 
@@ -4534,3 +4536,113 @@ class TestVideoNearDup:
             ri = sorted(map(tuple, idx.collect()))
             rp = sorted(map(tuple, pfx.collect()))
             assert ri == rp and len(ri) >= 2, (ppm, ri, rp)
+
+
+class TestPngDecode:
+    """Real 8-bit PNG pixel decode via stdlib zlib + hand-undone
+    scanline filters — and cross-format dHash parity with BMP."""
+
+    @staticmethod
+    def _png(px, filters=None):
+        """Encode a (h, w, ch) uint8 array as a real PNG, one filter
+        byte per scanline (default all-0/None; pass a list to exercise
+        Sub/Up/Average/Paeth encoding paths)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        h, w, ch = px.shape
+        ctype = {1: 0, 3: 2, 4: 6}[ch]
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data)))
+
+        filters = filters or [0] * h
+        raw = bytearray()
+        for r in range(h):
+            ft = filters[r]
+            line = px[r].reshape(-1).astype(np.int32)
+            prev = (px[r - 1].reshape(-1).astype(np.int32)
+                    if r else np.zeros(w * ch, np.int32))
+            enc = np.zeros(w * ch, np.int32)
+            for i in range(w * ch):
+                a = int(px[r].reshape(-1)[i - ch]) if i >= ch else 0
+                up = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = up
+                elif ft == 3:
+                    pred = (a + up) >> 1
+                else:
+                    pa, pb, pc = abs(up - c), abs(a - c), abs(a + up - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                enc[i] = (int(line[i]) - pred) & 0xFF
+            raw.append(ft)
+            raw.extend(enc.astype(np.uint8).tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    def test_round_trip_all_filters(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _png_pixel_array
+
+        rng = np.random.RandomState(7)
+        px = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        for filters in ([0] * 6, [1] * 6, [2] * 6, [3] * 6, [4] * 6,
+                        [0, 1, 2, 3, 4, 2]):
+            got = _png_pixel_array(self._png(px, filters))
+            assert got is not None, filters
+            out, w, h, ch = got
+            assert (w, h, ch) == (5, 6, 3)
+            assert (out.reshape(6, 5, 3) == px).all(), filters
+
+    def test_gray_and_rgba(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import decode_png_pixels
+
+        g = np.arange(24, dtype=np.uint8).reshape(4, 6, 1)
+        d = decode_png_pixels(self._png(g))
+        assert d["channels"] == 1 and d["mean_intensity"] == float(g.mean())
+        rgba = np.arange(96, dtype=np.uint8).reshape(4, 6, 4)
+        d4 = decode_png_pixels(self._png(rgba))
+        assert d4["channels"] == 4 and d4["width"] == 6
+
+    def test_dhash_cross_format_bmp_png(self):
+        """The SAME image saved as BMP and as PNG must hash
+        identically — the cross-format near-dup promise."""
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import dhash64
+
+        rng = np.random.RandomState(3)
+        base = np.linspace(0, 200, 36, dtype=np.uint8)
+        px = np.tile(base, (24, 1))[:, :, None].repeat(3, axis=2)
+        px = (px.astype(np.int32)
+              + rng.randint(0, 12, px.shape)).clip(0, 255).astype(np.uint8)
+        h_bmp = dhash64(TestImageNearDup._bmp(px))
+        h_png = dhash64(self._png(px, filters=[4] * 24))
+        assert h_bmp is not None and h_bmp == h_png
+
+    def test_unsupported_variants_fall_back(self):
+        from ayeaye_spark.operators.multimodal import (
+            _png_pixel_array, sample_decode,
+        )
+
+        assert _png_pixel_array(b"\x89PNG\r\n\x1a\nnot-really") is None
+        assert _png_pixel_array(b"BM123") is None
+        # sample_decode on a real PNG now fills true mean_intensity
+        import numpy as np
+
+        px = np.full((5, 5, 3), 100, dtype=np.uint8)
+        d = sample_decode(self._png(px))
+        assert d["format"] == "png" and d["mean_intensity"] == 100.0
