@@ -334,6 +334,123 @@ def decode_png_pixels(b: bytes) -> dict | None:
     }
 
 
+def _gif_pixel_array(b: bytes):
+    """Shared REAL GIF pixel reader, stdlib-only (GIF's LZW is ~40
+    lines of table-driven decode — no codec needed): first frame of a
+    GIF87a/89a with a global color table, as ``(px, w, h)`` with
+    ``px`` a ``(h, w, 3)`` uint8 RGB array, or ``None`` for non-GIF /
+    local-color-table / malformed streams.  Interlaced frames are
+    de-interlaced (the four standard passes)."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    import struct
+
+    import numpy as np
+
+    w, h = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    if not packed & 0x80 or w <= 0 or h <= 0:
+        return None  # no global color table
+    gct_size = 2 ** ((packed & 0x07) + 1)
+    pos = 13
+    gct = np.frombuffer(
+        b[pos:pos + gct_size * 3], dtype=np.uint8
+    ).reshape(-1, 3)
+    if len(gct) < gct_size:
+        return None
+    pos += gct_size * 3
+    # skip extension blocks until the first image descriptor
+    while pos < len(b):
+        marker = b[pos]
+        if marker == 0x2C:  # image descriptor
+            break
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        elif marker == 0x3B:  # trailer before any image
+            return None
+        else:
+            return None
+    if pos + 10 > len(b):
+        return None
+    ix, iy, iw, ih = struct.unpack("<HHHH", b[pos + 1:pos + 9])
+    ipacked = b[pos + 9]
+    if ipacked & 0x80:  # local color table: rare, unsupported
+        return None
+    interlaced = bool(ipacked & 0x40)
+    pos += 10
+    if pos >= len(b) or iw <= 0 or ih <= 0:
+        return None
+    min_code_size = b[pos]
+    pos += 1
+    data = bytearray()
+    while pos < len(b) and b[pos]:
+        ln = b[pos]
+        data.extend(b[pos + 1:pos + 1 + ln])
+        pos += 1 + ln
+    # LZW decode (GIF variant: clear/eoi codes, growing code width)
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    out, bitpos, prev = bytearray(), 0, None
+    nbits = len(data) * 8
+    while bitpos + width <= nbits:
+        byte = bitpos >> 3
+        code = int.from_bytes(data[byte:byte + 3], "little")
+        code = (code >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = table[: clear + 2]
+            width, prev = min_code_size + 1, None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None  # corrupt stream
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < iw * ih:
+        return None
+    idx = np.frombuffer(bytes(out[: iw * ih]), dtype=np.uint8)
+    if int(idx.max()) >= gct_size:
+        return None
+    frame = gct[idx].reshape(ih, iw, 3)
+    if interlaced:
+        de = np.zeros_like(frame)
+        rows = (list(range(0, ih, 8)) + list(range(4, ih, 8))
+                + list(range(2, ih, 4)) + list(range(1, ih, 2)))
+        for src_r, dst_r in enumerate(rows):
+            de[dst_r] = frame[src_r]
+        frame = de
+    return frame, iw, ih
+
+
+def decode_gif_pixels(b: bytes) -> dict | None:
+    """REAL pixel decode for global-color-table GIF (first frame,
+    stdlib LZW — :func:`_gif_pixel_array`): header metadata plus a
+    true ``mean_intensity`` over the RGB bytes."""
+    got = _gif_pixel_array(b)
+    if got is None:
+        return None
+    px, w, h = got
+    return {
+        "format": "gif", "width": w, "height": h, "channels": 3,
+        "mean_intensity": float(px.mean()),
+    }
+
+
 def _pixel_gray(b: bytes):
     """Format-agnostic grayscale pixel matrix for the perceptual
     hashers: tries uncompressed 24-bit BMP, then 8-bit PNG.  Returns
@@ -348,6 +465,10 @@ def _pixel_gray(b: bytes):
     if png is not None:
         px, w, h, ch = png
         return px.reshape(h, w, ch)[:, :, : min(ch, 3)].mean(axis=2), w, h
+    gif = _gif_pixel_array(b)
+    if gif is not None:
+        px, w, h = gif
+        return px.mean(axis=2), w, h
     return None
 
 
@@ -403,13 +524,16 @@ def dhash64(content: bytes) -> int | None:
 def sample_decode(content: bytes) -> dict:
     """Best real decode available without external codecs: full pixel /
     PCM stats for uncompressed BMP, 8-bit non-interlaced PNG (stdlib
-    zlib inflate + hand-undone scanline filters) and PCM WAV,
-    header-only metadata for jpeg/gif (entropy-coded — a real codec
-    must be injected via ``decoder=``), ``fake_decode`` for everything else.  Drop-in for
+    zlib inflate + hand-undone scanline filters), global-color-table
+    GIF (stdlib LZW, first frame) and PCM WAV; header-only metadata
+    for jpeg (entropy-coded — a real codec must be injected via
+    ``decoder=``), ``fake_decode`` for everything else.  Drop-in for
     :func:`decode_images`' ``decoder=``."""
     got = decode_bmp_pixels(content) if content else None
     if got is None and content:
         got = decode_png_pixels(content)
+    if got is None and content:
+        got = decode_gif_pixels(content)
     if got is None and content:
         wav = decode_wav_samples(content)
         if wav is not None:

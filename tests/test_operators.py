@@ -4646,3 +4646,111 @@ class TestPngDecode:
         px = np.full((5, 5, 3), 100, dtype=np.uint8)
         d = sample_decode(self._png(px))
         assert d["format"] == "png" and d["mean_intensity"] == 100.0
+
+
+class TestGifDecode:
+    """Real GIF first-frame decode: stdlib LZW + global color table,
+    including the 4-pass interlace restore."""
+
+    @staticmethod
+    def _gif(idx, palette, interlaced=False):
+        """Encode a (h, w) uint8 index array + (n, 3) palette as a real
+        GIF using the classic uncompressed-LZW trick (literal codes +
+        periodic CLEAR so the code width never grows)."""
+        import struct
+
+        import numpy as np
+
+        h, w = idx.shape
+        n = len(palette)
+        gct_bits = max(1, (int(n) - 1).bit_length())
+        gct_size = 2 ** gct_bits
+        pal = np.zeros((gct_size, 3), dtype=np.uint8)
+        pal[:n] = palette
+        hdr = (b"GIF89a" + struct.pack("<HH", w, h)
+               + bytes([0x80 | (gct_bits - 1), 0, 0]) + pal.tobytes())
+        ipacked = 0x40 if interlaced else 0
+        desc = b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + bytes([ipacked])
+
+        mcs = 7  # literal codes 0..127 cover any small palette
+        clear, width = 1 << mcs, mcs + 1
+        if interlaced:
+            rows = (list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2)))
+            stream = np.concatenate([idx[r] for r in rows])
+        else:
+            stream = idx.reshape(-1)
+        bits, acc, nacc = bytearray(), 0, 0
+
+        def emit(code):
+            nonlocal acc, nacc
+            acc |= code << nacc
+            nacc += width
+            while nacc >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+
+        emit(clear)
+        for i, v in enumerate(stream):
+            if i and i % 100 == 0:
+                emit(clear)  # keep the decoder's table small
+            emit(int(v))
+        emit(clear + 1)  # EOI
+        if nacc:
+            bits.append(acc & 0xFF)
+        data = bytes(bits)
+        blocks = b"".join(
+            bytes([min(255, len(data) - o)]) + data[o:o + 255]
+            for o in range(0, len(data), 255)
+        )
+        return hdr + desc + bytes([mcs]) + blocks + b"\x00\x3B"
+
+    def test_round_trip(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _gif_pixel_array
+
+        rng = np.random.RandomState(5)
+        palette = rng.randint(0, 256, size=(64, 3), dtype=np.uint8)
+        idx = rng.randint(0, 64, size=(9, 7), dtype=np.uint8)
+        got = _gif_pixel_array(self._gif(idx, palette))
+        assert got is not None
+        px, w, h = got
+        assert (w, h) == (7, 9)
+        assert (px == palette[idx]).all()
+
+    def test_interlaced_round_trip(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _gif_pixel_array
+
+        rng = np.random.RandomState(6)
+        palette = rng.randint(0, 256, size=(32, 3), dtype=np.uint8)
+        idx = rng.randint(0, 32, size=(16, 5), dtype=np.uint8)
+        got = _gif_pixel_array(self._gif(idx, palette, interlaced=True))
+        assert got is not None
+        px, _w, _h = got
+        assert (px == palette[idx]).all()
+
+    def test_sample_decode_and_dhash(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import dhash64, sample_decode
+
+        # grayscale gradient palette -> dHash matches the same image
+        # as BMP (cross-format, now across three container formats)
+        palette = np.stack([np.arange(64) * 4] * 3, axis=1).astype(np.uint8)
+        base = np.tile(np.linspace(0, 63, 36, dtype=np.uint8), (24, 1))
+        g = self._gif(base, palette)
+        d = sample_decode(g)
+        assert d["format"] == "gif" and d["mean_intensity"] is not None
+        px = palette[base]
+        h_bmp = dhash64(TestImageNearDup._bmp(px))
+        assert h_bmp is not None and dhash64(g) == h_bmp
+
+    def test_malformed_falls_back(self):
+        from ayeaye_spark.operators.multimodal import _gif_pixel_array
+
+        assert _gif_pixel_array(b"GIF89a\x03") is None
+        assert _gif_pixel_array(b"notagif") is None
