@@ -419,3 +419,25 @@ def test_tokenizer_report(spark, resolver, tmp_path):
     assert counts == sorted(counts, reverse=True) and len(counts) >= 1
     coh = spark.read.parquet(str(tmp_path / "doc_coherence.parquet"))
     assert coh.count() == report["n_docs"] > 0
+
+
+def test_embedding_curation(spark, resolver, tmp_path):
+    from examples.embedding_curation import EmbeddingCuration
+
+    with resolver.context(
+        emb_path="/root/testdata/sf0.001/embeddings.parquet",
+        output_path=str(tmp_path),
+    ):
+        assert EmbeddingCuration().go(), "model run must succeed"
+
+    import json
+
+    report = json.loads((tmp_path / "embedding_curation.json").read_text())
+    assert 0 < report["survivors"] <= report["input_vectors"]
+    assert report["semantic_duplicates_removed"] >= 0
+    negs = spark.read.parquet(str(tmp_path / "hard_negatives.parquet"))
+    rows = negs.collect()
+    assert len(rows) == report["hard_negatives"] > 0
+    assert all(r["neighbor_label"] != r["query_label"] for r in rows)
+    surv = spark.read.parquet(str(tmp_path / "embedding_survivors.parquet"))
+    assert surv.count() == report["survivors"]
