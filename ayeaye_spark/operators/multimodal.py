@@ -334,6 +334,273 @@ def decode_png_pixels(b: bytes) -> dict | None:
     }
 
 
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _idct_matrix():
+    """8x8 DCT-III basis (the inverse of JPEG's DCT-II), as a numpy
+    matrix so a block inverts with two matmuls."""
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for k in range(8):
+        for n in range(8):
+            m[k, n] = np.cos(np.pi * (2 * n + 1) * k / 16.0)
+    m *= np.sqrt(2.0 / 8.0)
+    m[0] *= np.sqrt(0.5)
+    return m
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing and restart-marker awareness."""
+
+    def __init__(self, b: bytes, pos: int):
+        self.b, self.pos, self.acc, self.n = b, pos, 0, 0
+
+    def _fill(self):
+        while self.n <= 24 and self.pos < len(self.b):
+            byte = self.b[self.pos]
+            if byte == 0xFF:
+                nxt = self.b[self.pos + 1] if self.pos + 1 < len(self.b) else 0
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by caller
+                    break
+                else:  # a real marker: stop feeding bits
+                    break
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill()
+        if self.n < k:  # ran off the segment: pad with zeros
+            self.acc <<= (k - self.n)
+            self.n = k
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def restart(self):
+        """Align to a byte boundary and consume an RSTn marker."""
+        self.acc, self.n = 0, 0
+        while self.pos + 1 < len(self.b):
+            if self.b[self.pos] == 0xFF and 0xD0 <= self.b[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+def _huff_decode(reader, lut):
+    """Decode one Huffman symbol via the (length -> {code: symbol})
+    lookup built in :func:`_jpeg_huff_lut`."""
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | reader.bits(1)
+        sym = lut[ln].get(code)
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman stream")
+
+
+def _jpeg_huff_lut(counts, symbols):
+    """JPEG DHT table -> per-length {code: symbol} dicts (canonical
+    code assignment, ITU T.81 annex C)."""
+    lut = {ln: {} for ln in range(1, 17)}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            lut[ln][code] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+def _receive_extend(reader, s):
+    """EXTEND(RECEIVE(s)): the signed magnitude decode of T.81 F.2.2.1."""
+    if s == 0:
+        return 0
+    v = reader.bits(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_pixel_array(b: bytes):
+    """REAL baseline JPEG decoder, stdlib+numpy only: SOF0 (sequential
+    DCT, 8-bit), 1 or 3 components, 4:4:4 / 4:2:2 / 4:2:0 sampling,
+    restart intervals; progressive (SOF2), arithmetic coding and 12-bit
+    stay unsupported (``None``).  Returns ``(px, w, h, channels)``
+    with ``px`` a ``(h, w*channels)`` uint8 array (RGB or grayscale).
+    """
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    import struct
+
+    import numpy as np
+
+    qt, huff_dc, huff_ac = {}, {}, {}
+    sof = None
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            return None  # no scan seen
+        (seg_len,) = struct.unpack(">H", b[pos + 2:pos + 4])
+        seg = b[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
+                if pq != 0:
+                    return None  # 16-bit tables: unsupported
+                qt[tq] = np.array(list(seg[sp + 1:sp + 65]), dtype=np.int32)
+                sp += 65
+        elif marker == 0xC4:  # DHT
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0x0F
+                counts = list(seg[sp + 1:sp + 17])
+                n = sum(counts)
+                syms = list(seg[sp + 17:sp + 17 + n])
+                lut = _jpeg_huff_lut(counts, syms)
+                (huff_dc if tc == 0 else huff_ac)[th] = lut
+                sp += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8 or nc not in (1, 3):
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + c * 3:9 + c * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            sof = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                return None
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cs, tt = seg[1 + c * 2], seg[2 + c * 2]
+                scan[cs] = (tt >> 4, tt & 0x0F)
+            data_pos = pos + 2 + seg_len
+            return _jpeg_decode_scan(
+                b, data_pos, sof, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += 2 + seg_len
+    return None
+
+
+def _jpeg_decode_scan(b, pos, sof, scan, qt, huff_dc, huff_ac,
+                      restart_interval):
+    import numpy as np
+
+    w, h, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    idct = _idct_matrix()
+    zz = _JPEG_ZIGZAG
+    planes = []
+    for c in comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+    reader = _JpegBitReader(b, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                reader.restart()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                td, ta = scan[c["id"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.int32)
+                        s = _huff_decode(reader, huff_dc[td])
+                        pred[ci] += _receive_extend(reader, s)
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, huff_ac[ta])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                break
+                            coef[k] = _receive_extend(reader, s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[zz] = coef * q
+                        px8 = idct.T @ block.reshape(8, 8) @ idct + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px8
+            mcu_count += 1
+    # upsample each plane to full MCU-padded resolution, crop, convert
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        gray = np.clip(full[0], 0, 255).astype(np.uint8)
+        return gray.reshape(h, w), w, h, 1
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    rgb = np.stack([r, g, bl], axis=2)
+    px = np.clip(rgb, 0, 255).astype(np.uint8)
+    return px.reshape(h, w * 3), w, h, 3
+
+
+def decode_jpeg_pixels(b: bytes) -> dict | None:
+    """REAL pixel decode for baseline (SOF0) JPEG, stdlib+numpy only
+    (:func:`_jpeg_pixel_array`): header metadata plus a true
+    ``mean_intensity`` over the decoded RGB/gray bytes."""
+    try:
+        got = _jpeg_pixel_array(b)
+    except (ValueError, IndexError, KeyError):
+        return None
+    if got is None:
+        return None
+    px, w, h, channels = got
+    return {
+        "format": "jpeg", "width": w, "height": h, "channels": channels,
+        "mean_intensity": float(px.mean()),
+    }
+
+
 def _gif_pixel_array(b: bytes):
     """Shared REAL GIF pixel reader, stdlib-only (GIF's LZW is ~40
     lines of table-driven decode — no codec needed): first frame of a
@@ -469,6 +736,15 @@ def _pixel_gray(b: bytes):
     if gif is not None:
         px, w, h = gif
         return px.mean(axis=2), w, h
+    try:
+        jpg = _jpeg_pixel_array(b)
+    except (ValueError, IndexError, KeyError):
+        jpg = None
+    if jpg is not None:
+        px, w, h, ch = jpg
+        if ch == 1:
+            return px.astype(float), w, h
+        return px.reshape(h, w, ch).mean(axis=2), w, h
     return None
 
 
@@ -525,15 +801,18 @@ def sample_decode(content: bytes) -> dict:
     """Best real decode available without external codecs: full pixel /
     PCM stats for uncompressed BMP, 8-bit non-interlaced PNG (stdlib
     zlib inflate + hand-undone scanline filters), global-color-table
-    GIF (stdlib LZW, first frame) and PCM WAV; header-only metadata
-    for jpeg (entropy-coded — a real codec must be injected via
-    ``decoder=``), ``fake_decode`` for everything else.  Drop-in for
+    GIF (stdlib LZW, first frame), baseline SOF0 JPEG (numpy Huffman +
+    IDCT) and PCM WAV — every fixture format now decodes for real;
+    progressive JPEG and exotic variants still fall back to header
+    metadata (or a codec injected via ``decoder=``), ``fake_decode`` for everything else.  Drop-in for
     :func:`decode_images`' ``decoder=``."""
     got = decode_bmp_pixels(content) if content else None
     if got is None and content:
         got = decode_png_pixels(content)
     if got is None and content:
         got = decode_gif_pixels(content)
+    if got is None and content:
+        got = decode_jpeg_pixels(content)
     if got is None and content:
         wav = decode_wav_samples(content)
         if wav is not None:

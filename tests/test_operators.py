@@ -4754,3 +4754,257 @@ class TestGifDecode:
 
         assert _gif_pixel_array(b"GIF89a\x03") is None
         assert _gif_pixel_array(b"notagif") is None
+
+
+class TestJpegDecode:
+    """Real baseline JPEG decode: numpy Huffman + IDCT, 4:4:4 and
+    4:2:0, restart markers, grayscale — round-tripped against a
+    minimal in-test encoder using the T.81 Annex K luminance tables
+    and an all-ones quant table (error bounded by DCT rounding)."""
+
+    DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    DC_VALS = list(range(12))
+    AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    AC_VALS = [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]
+
+    @classmethod
+    def _codes(cls, bits, vals):
+        codes, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                codes[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    @classmethod
+    def _jpeg(cls, px, subsample=False, restart_interval=0):
+        """Encode a (h, w, 3) or (h, w) uint8 array as baseline JPEG
+        (all-ones quant, Annex-K luminance tables for everything)."""
+        import struct
+
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import (
+            _JPEG_ZIGZAG, _idct_matrix,
+        )
+
+        gray = px.ndim == 2
+        h, w = px.shape[:2]
+        if gray:
+            y = px.astype(np.float64)
+            planes = [y]
+            hv = [(1, 1)]
+        else:
+            rgb = px.astype(np.float64)
+            r, g, b_ = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+            y = 0.299 * r + 0.587 * g + 0.114 * b_
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b_ + 128.0
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b_ + 128.0
+            if subsample:
+                def ds(p):
+                    ph = (p.shape[0] + 1) // 2 * 2
+                    pw = (p.shape[1] + 1) // 2 * 2
+                    q = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                               mode="edge")
+                    return (q[0::2, 0::2] + q[1::2, 0::2]
+                            + q[0::2, 1::2] + q[1::2, 1::2]) / 4.0
+                planes = [y, ds(cb), ds(cr)]
+                hv = [(2, 2), (1, 1), (1, 1)]
+            else:
+                planes = [y, cb, cr]
+                hv = [(1, 1), (1, 1), (1, 1)]
+        hmax = max(a for a, _ in hv)
+        vmax = max(v for _, v in hv)
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        m = _idct_matrix()
+        zz = _JPEG_ZIGZAG
+        dc_codes = cls._codes(cls.DC_BITS, cls.DC_VALS)
+        ac_codes = cls._codes(cls.AC_BITS, cls.AC_VALS)
+
+        out = bytearray()
+        acc = [0, 0]  # bitbuf, nbits
+
+        def putbits(code, ln):
+            acc[0] = (acc[0] << ln) | code
+            acc[1] += ln
+            while acc[1] >= 8:
+                byte = (acc[0] >> (acc[1] - 8)) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+                acc[1] -= 8
+                acc[0] &= (1 << acc[1]) - 1
+
+        def put_val(v):
+            s = int(abs(v)).bit_length()
+            return s, (v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1)
+
+        def pad_plane(p, bw, bh):
+            return np.pad(p, ((0, bh - p.shape[0]), (0, bw - p.shape[1])),
+                          mode="edge")
+
+        padded = []
+        for pi, p in enumerate(planes):
+            a, v = hv[pi]
+            padded.append(pad_plane(p, mcux * 8 * a, mcuy * 8 * v))
+        pred = [0] * len(planes)
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and \
+                        mcu_count % restart_interval == 0:
+                    if acc[1]:  # pad to byte with 1s
+                        putbits((1 << (8 - acc[1])) - 1, 8 - acc[1])
+                    out.extend(b"\xff" + bytes([0xD0 + ((mcu_count //
+                                restart_interval - 1) % 8)]))
+                    pred = [0] * len(planes)
+                for pi, p in enumerate(padded):
+                    a, vv = hv[pi]
+                    for by in range(vv):
+                        for bx in range(a):
+                            y0 = (my * vv + by) * 8
+                            x0 = (mx * a + bx) * 8
+                            blk = p[y0:y0 + 8, x0:x0 + 8] - 128.0
+                            coef = m @ blk @ m.T
+                            q = np.rint(coef).astype(int).reshape(-1)
+                            zzc = [int(q.reshape(8, 8).reshape(-1)[zz[i]])
+                                   for i in range(64)]
+                            diff = zzc[0] - pred[pi]
+                            pred[pi] = zzc[0]
+                            s, bitsv = put_val(diff)
+                            c, ln = dc_codes[s]
+                            putbits(c, ln)
+                            if s:
+                                putbits(bitsv, s)
+                            run = 0
+                            for k in range(1, 64):
+                                if zzc[k] == 0:
+                                    run += 1
+                                    continue
+                                while run > 15:
+                                    c, ln = ac_codes[0xF0]
+                                    putbits(c, ln)
+                                    run -= 16
+                                s, bitsv = put_val(zzc[k])
+                                c, ln = ac_codes[(run << 4) | s]
+                                putbits(c, ln)
+                                putbits(bitsv, s)
+                                run = 0
+                            if run:
+                                c, ln = ac_codes[0x00]
+                                putbits(c, ln)
+                mcu_count += 1
+        if acc[1]:
+            putbits((1 << (8 - acc[1])) - 1, 8 - acc[1])
+
+        def seg(marker, data):
+            return b"\xff" + bytes([marker]) + struct.pack(
+                ">H", len(data) + 2) + data
+
+        nq = bytes([0]) + bytes([1] * 64)
+        dht = (bytes([0x00]) + bytes(cls.DC_BITS) + bytes(cls.DC_VALS)
+               + bytes([0x10]) + bytes(cls.AC_BITS) + bytes(cls.AC_VALS))
+        ncomp = 1 if gray else 3
+        sof = struct.pack(">BHHB", 8, h, w, ncomp)
+        for ci in range(ncomp):
+            a, v = hv[ci]
+            sof += bytes([ci + 1, (a << 4) | v, 0])
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([0, 63, 0])
+        head = b"\xff\xd8" + seg(0xDB, nq) + seg(0xC4, dht)
+        if restart_interval:
+            head += seg(0xDD, struct.pack(">H", restart_interval))
+        return head + seg(0xC0, sof) + seg(0xDA, sos) + bytes(out) + b"\xff\xd9"
+
+    def test_gray_round_trip(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _jpeg_pixel_array
+
+        rng = np.random.RandomState(2)
+        px = rng.randint(0, 256, size=(16, 24), dtype=np.uint8)
+        got = _jpeg_pixel_array(self._jpeg(px))
+        assert got is not None
+        out, w, h, ch = got
+        assert (w, h, ch) == (24, 16, 1)
+        err = np.abs(out.astype(int) - px.astype(int))
+        assert err.mean() < 2.0 and err.max() <= 12
+
+    def test_rgb_444_round_trip(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _jpeg_pixel_array
+
+        rng = np.random.RandomState(4)
+        base = np.linspace(20, 220, 20, dtype=np.uint8)
+        px = np.tile(base, (12, 1))[:, :, None].repeat(3, axis=2)
+        px = (px.astype(int) + rng.randint(-8, 8, px.shape)).clip(
+            0, 255).astype(np.uint8)
+        got = _jpeg_pixel_array(self._jpeg(px))
+        assert got is not None
+        out, w, h, ch = got
+        assert (w, h, ch) == (20, 12, 3)
+        err = np.abs(out.reshape(12, 20, 3).astype(int) - px.astype(int))
+        assert err.mean() < 4.0
+
+    def test_rgb_420_and_restart(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _jpeg_pixel_array
+
+        base = np.linspace(0, 255, 32, dtype=np.uint8)
+        px = np.tile(base, (24, 1))[:, :, None].repeat(3, axis=2)
+        got = _jpeg_pixel_array(
+            self._jpeg(px, subsample=True, restart_interval=1))
+        assert got is not None
+        out, w, h, ch = got
+        assert (w, h, ch) == (32, 24, 3)
+        err = np.abs(out.reshape(24, 32, 3).astype(int) - px.astype(int))
+        assert err.mean() < 6.0
+
+    def test_dhash_cross_format_with_bmp(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import dhash64
+
+        base = np.linspace(0, 200, 36, dtype=np.uint8)
+        px = np.tile(base, (24, 1))[:, :, None].repeat(3, axis=2)
+        h_bmp = dhash64(TestImageNearDup._bmp(px))
+        h_jpg = dhash64(self._jpeg(px))
+        assert h_bmp is not None and h_jpg is not None
+        # lossy codec: allow a tiny hamming distance
+        assert bin((h_bmp ^ h_jpg) & ((1 << 64) - 1)).count("1") <= 4
+
+    def test_sample_decode_and_fallbacks(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import (
+            decode_jpeg_pixels, sample_decode,
+        )
+
+        px = np.full((10, 10, 3), 128, dtype=np.uint8)
+        d = sample_decode(self._jpeg(px))
+        assert d["format"] == "jpeg"
+        assert abs(d["mean_intensity"] - 128.0) < 3.0
+        assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+        assert decode_jpeg_pixels(b"nope") is None
