@@ -1050,29 +1050,31 @@ def vocab_coverage(
         F.explode(F.expr(P.tokens(text_col, SPARK))).alias("_t")
     )
     tc = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
-    # materialize the (tiny) class frame: the total and the per-pct
-    # probe both consume it — without this the corpus tokenizes twice
-    classes = tc.groupBy("_c").agg(
-        F.count(F.lit(1)).alias("_n")
-    ).localCheckpoint(eager=False)
+    classes = tc.groupBy("_c").agg(F.count(F.lit(1)).alias("_n"))
     w = Window.orderBy(F.desc("_c")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
+    )
+    # the grand total rides the SAME class-frame window pass as the
+    # running sums (unbounded frame) — one consumer of the class frame,
+    # so the corpus tokenizes exactly once with no checkpoint (a lineage
+    # truncation here would also blind the SinglePartition plan guard)
+    w_all = Window.orderBy(F.desc("_c")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     cum = classes.select(
         "_c", "_n",
         F.sum(F.expr("_c * _n")).over(w).alias("_cum_mass"),
         F.sum("_n").over(w).alias("_cum_toks"),
+        F.sum(F.expr("_c * _n")).over(w_all).alias("_T"),
     ).withColumn("_prev_mass", F.expr("_cum_mass - _c * _n")).withColumn(
         "_prev_toks", F.expr("_cum_toks - _n")
     )
-    total = cum.agg(F.max("_cum_mass").alias("_T"))
     pdf = df.sparkSession.createDataFrame(
         [(int(p),) for p in pcts], "pct long"
     )
     # each pct lands in exactly ONE class: prev_mass < target <= cum_mass
     return (
-        cum.crossJoin(F.broadcast(total))
-        .crossJoin(F.broadcast(pdf))
+        cum.crossJoin(F.broadcast(pdf))
         .withColumn("_target", F.expr("(_T * pct + 99) div 100"))
         .where(
             (F.col("_prev_mass") < F.col("_target"))
