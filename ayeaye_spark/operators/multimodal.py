@@ -210,14 +210,52 @@ def _wav_pcm(b: bytes):
     if fmt is None or data is None:
         return None
     afmt, nch, rate, byte_rate, bps = fmt
-    if afmt != 1 or bps not in (8, 16):  # PCM only; 8/16-bit
-        return None
-    if bps == 16:
+    if afmt == 1 and bps == 16:
         x = np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.float64)
         x /= 32768.0
-    else:
+    elif afmt == 1 and bps == 8:
         x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif afmt == 6 and bps == 8:  # G.711 A-law (telephony speech)
+        x = _alaw_expand(np.frombuffer(data, dtype=np.uint8)) / 32768.0
+    elif afmt == 7 and bps == 8:  # G.711 mu-law
+        x = _mulaw_expand(np.frombuffer(data, dtype=np.uint8)) / 32768.0
+    else:  # other compressed encodings
+        return None
     return x, nch, rate, byte_rate, len(data)
+
+
+def _mulaw_expand(u):
+    """G.711 mu-law byte -> linear int16 range, vectorized (the
+    standard expansion: invert, split sign/exponent/mantissa, bias 33
+    — bit-exact vs the reference tables)."""
+    import numpy as np
+
+    u = (~u.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 1) + 33) << exp) - 33
+    out = np.where(sign, -mag, mag).astype(np.float64)
+    return out * 4.0  # 14-bit -> 16-bit range
+
+
+def _alaw_expand(a):
+    """G.711 A-law byte -> linear int16 range, vectorized (even-bit
+    inversion 0x55, segment expansion — bit-exact vs the reference
+    tables)."""
+    import numpy as np
+
+    a = a.astype(np.int64) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(
+        exp == 0, (mant << 1) + 1, ((mant << 1) + 33) << (exp - 1)
+    )
+    # canonical G.711 polarity: the (inverted) high bit set means
+    # POSITIVE for A-law — opposite of mu-law
+    out = np.where(sign, mag, -mag).astype(np.float64)
+    return out * 8.0  # 13-bit -> 16-bit range
 
 
 def _bmp_pixel_rows(b: bytes):

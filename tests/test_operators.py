@@ -5008,3 +5008,69 @@ class TestJpegDecode:
         assert abs(d["mean_intensity"] - 128.0) < 3.0
         assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
         assert decode_jpeg_pixels(b"nope") is None
+
+
+class TestG711Wav:
+    """G.711 mu-law / A-law WAV decode — vectorized expansion pinned
+    bit-exact against the ITU reference formulas."""
+
+    @staticmethod
+    def _wav(data, afmt, nch=1, rate=8000, bps=8):
+        import struct
+
+        fmt = struct.pack("<HHIIHH", afmt, nch, rate,
+                          rate * nch * bps // 8, nch * bps // 8, bps)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    @staticmethod
+    def _mulaw_ref(u):
+        u = ~u & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    @staticmethod
+    def _alaw_ref(a):
+        a ^= 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t += 0x108
+            t <<= seg - 1
+        return t if (a & 0x80) else -t
+
+    def test_expansions_match_reference_tables(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import (
+            _alaw_expand, _mulaw_expand,
+        )
+
+        codes = np.arange(256, dtype=np.uint8)
+        got_mu = _mulaw_expand(codes)
+        got_a = _alaw_expand(codes)
+        for c in range(256):
+            assert got_mu[c] == float(self._mulaw_ref(c)), ("mu", c)
+            assert got_a[c] == float(self._alaw_ref(c)), ("a", c)
+        assert got_mu.max() == 32124.0 and got_a.max() == 32256.0
+
+    def test_wav_stats_for_g711(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import decode_wav_samples
+
+        rng = np.random.RandomState(1)
+        codes = rng.randint(0, 256, size=800, dtype=np.uint8).tobytes()
+        for afmt in (6, 7):
+            d = decode_wav_samples(self._wav(codes, afmt))
+            assert d is not None and d["format"] == "wav"
+            assert d["n_samples"] == 800 and d["sample_rate"] == 8000
+            assert 0.0 < d["rms"] <= 1.0 and d["peak"] <= 1.0
+        # unknown compressed format still falls back to None
+        assert decode_wav_samples(self._wav(codes, 2)) is None
