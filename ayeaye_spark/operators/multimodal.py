@@ -639,6 +639,149 @@ def decode_jpeg_pixels(b: bytes) -> dict | None:
     }
 
 
+def _gif_lzw(data: bytes, min_code_size: int):
+    """GIF-variant LZW decode (clear/EOI codes, growing code width,
+    LSB-first bit packing) — shared by the first-frame reader and the
+    animated-frame splitter.  ``None`` on a corrupt stream."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    out, bitpos, prev = bytearray(), 0, None
+    nbits = len(data) * 8
+    while bitpos + width <= nbits:
+        byte = bitpos >> 3
+        code = int.from_bytes(data[byte:byte + 3], "little")
+        code = (code >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = table[: clear + 2]
+            width, prev = min_code_size + 1, None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None  # corrupt stream
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _to_bmp(px) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP — the byte-blob frame format the perceptual hashers already
+    read, so composited GIF frames ride the existing video pipeline."""
+    import struct
+
+    h, w, _ = px.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    body = b"".join(
+        bytes(px[r].reshape(-1)) + b"\0" * (stride - w * 3)
+        for r in range(h)
+    )
+    return (
+        b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      0, 0, 0, 0)
+        + body
+    )
+
+
+def split_gif_frames(b: bytes, max_frames: int = 64) -> list:
+    """Frame splitter for ANIMATED GIF: every frame composited onto
+    the running canvas (paint-over disposal, GCE transparency index
+    keeps the underlying pixels) and re-encoded as a BMP byte blob —
+    drop-in for the ``splitter=`` hook of
+    :func:`video_frame_signatures`, making animated-GIF near-dup (the
+    meme-dedup case) work on the existing frame-hash pipeline.
+    Global-color-table GIFs only (same envelope as the still reader);
+    ``[]`` for non-GIF bytes."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return []
+    import struct
+
+    import numpy as np
+
+    w, h = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    if not packed & 0x80 or w <= 0 or h <= 0:
+        return []
+    gct_size = 2 ** ((packed & 0x07) + 1)
+    pos = 13
+    gct = np.frombuffer(
+        b[pos:pos + gct_size * 3], dtype=np.uint8
+    ).reshape(-1, 3)
+    if len(gct) < gct_size:
+        return []
+    pos += gct_size * 3
+    bg = b[11]
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if bg < gct_size:
+        canvas[:, :] = gct[bg]
+    frames, transparent = [], None
+    while pos < len(b) and len(frames) < max_frames:
+        marker = b[pos]
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension
+            label = b[pos + 1] if pos + 1 < len(b) else 0
+            sp = pos + 2
+            if label == 0xF9 and sp < len(b) and b[sp] >= 4:
+                flags = b[sp + 1]
+                transparent = b[sp + 4] if flags & 1 else None
+            while sp < len(b) and b[sp]:
+                sp += 1 + b[sp]
+            pos = sp + 1
+            continue
+        if marker != 0x2C or pos + 10 > len(b):
+            break
+        ix, iy, iw, ih = struct.unpack("<HHHH", b[pos + 1:pos + 9])
+        ipacked = b[pos + 9]
+        pos += 10
+        if ipacked & 0x80 or pos >= len(b):
+            break  # local color table: out of envelope
+        interlaced = bool(ipacked & 0x40)
+        mcs = b[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(b) and b[pos]:
+            ln = b[pos]
+            data.extend(b[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1  # block terminator
+        out = _gif_lzw(bytes(data), mcs)
+        if out is None or len(out) < iw * ih:
+            break
+        idx = np.frombuffer(out[: iw * ih], dtype=np.uint8).reshape(ih, iw)
+        if interlaced:
+            de = np.zeros_like(idx)
+            rows = (list(range(0, ih, 8)) + list(range(4, ih, 8))
+                    + list(range(2, ih, 4)) + list(range(1, ih, 2)))
+            for src_r, dst_r in enumerate(rows):
+                de[dst_r] = idx[src_r]
+            idx = de
+        if int(idx.max()) >= gct_size or ix + iw > w or iy + ih > h:
+            break
+        region = canvas[iy:iy + ih, ix:ix + iw]
+        rgb = gct[idx]
+        if transparent is not None:
+            mask = (idx == transparent)[:, :, None]
+            rgb = np.where(mask, region, rgb)
+        canvas[iy:iy + ih, ix:ix + iw] = rgb
+        frames.append(_to_bmp(canvas.copy()))
+        transparent = None
+    return frames
+
+
 def _gif_pixel_array(b: bytes):
     """Shared REAL GIF pixel reader, stdlib-only (GIF's LZW is ~40
     lines of table-driven decode — no codec needed): first frame of a
@@ -695,38 +838,8 @@ def _gif_pixel_array(b: bytes):
         ln = b[pos]
         data.extend(b[pos + 1:pos + 1 + ln])
         pos += 1 + ln
-    # LZW decode (GIF variant: clear/eoi codes, growing code width)
-    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
-    table = [bytes([i]) for i in range(clear)] + [b"", b""]
-    width = min_code_size + 1
-    out, bitpos, prev = bytearray(), 0, None
-    nbits = len(data) * 8
-    while bitpos + width <= nbits:
-        byte = bitpos >> 3
-        code = int.from_bytes(data[byte:byte + 3], "little")
-        code = (code >> (bitpos & 7)) & ((1 << width) - 1)
-        bitpos += width
-        if code == clear:
-            table = table[: clear + 2]
-            width, prev = min_code_size + 1, None
-            continue
-        if code == eoi:
-            break
-        if prev is None:
-            entry = table[code]
-        elif code < len(table):
-            entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):
-            entry = prev + prev[:1]
-            table.append(entry)
-        else:
-            return None  # corrupt stream
-        out.extend(entry)
-        prev = entry
-        if len(table) == (1 << width) and width < 12:
-            width += 1
-    if len(out) < iw * ih:
+    out = _gif_lzw(bytes(data), min_code_size)
+    if out is None or len(out) < iw * ih:
         return None
     idx = np.frombuffer(bytes(out[: iw * ih]), dtype=np.uint8)
     if int(idx.max()) >= gct_size:

@@ -5074,3 +5074,120 @@ class TestG711Wav:
             assert 0.0 < d["rms"] <= 1.0 and d["peak"] <= 1.0
         # unknown compressed format still falls back to None
         assert decode_wav_samples(self._wav(codes, 2)) is None
+
+
+class TestAnimatedGif:
+    """Animated-GIF frame splitting -> composited BMP frames riding the
+    existing video frame-hash pipeline."""
+
+    @staticmethod
+    def _animated(frames_idx, palette, transparent=None):
+        """Encode multiple full-canvas frames (list of (h, w) index
+        arrays) as an animated GIF, optionally with a GCE transparency
+        index on every frame after the first."""
+        import struct
+
+        import numpy as np
+
+        h, w = frames_idx[0].shape
+        n = len(palette)
+        gct_bits = max(1, (int(n) - 1).bit_length())
+        gct_size = 2 ** gct_bits
+        pal = np.zeros((gct_size, 3), dtype=np.uint8)
+        pal[:n] = palette
+        out = bytearray(b"GIF89a" + struct.pack("<HH", w, h)
+                        + bytes([0x80 | (gct_bits - 1), 0, 0])
+                        + pal.tobytes())
+
+        mcs, clear = 7, 1 << 7
+        for fi, idx in enumerate(frames_idx):
+            if transparent is not None and fi > 0:
+                out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+            out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            bits, acc, nacc = bytearray(), [0, 0], None
+
+            def emit(code, acc=acc, bits=bits):
+                acc[0] |= code << acc[1]
+                acc[1] += mcs + 1
+                while acc[1] >= 8:
+                    bits.append(acc[0] & 0xFF)
+                    acc[0] >>= 8
+                    acc[1] -= 8
+
+            emit(clear)
+            for i, v in enumerate(idx.reshape(-1)):
+                if i and i % 100 == 0:
+                    emit(clear)
+                emit(int(v))
+            emit(clear + 1)
+            if acc[1]:
+                bits.append(acc[0] & 0xFF)
+            data = bytes(bits)
+            out += bytes([mcs])
+            for o in range(0, len(data), 255):
+                out += bytes([min(255, len(data) - o)]) + data[o:o + 255]
+            out += b"\x00"
+        out += b"\x3B"
+        return bytes(out)
+
+    def test_frames_composite_and_hash(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import (
+            dhash64, split_gif_frames,
+        )
+
+        palette = np.stack([np.arange(64) * 4] * 3, axis=1).astype(np.uint8)
+        f1 = np.tile(np.linspace(0, 63, 36, dtype=np.uint8), (24, 1))
+        f2 = np.tile(np.linspace(63, 0, 36, dtype=np.uint8), (24, 1))
+        gif = self._animated([f1, f2], palette)
+        frames = split_gif_frames(gif)
+        assert len(frames) == 2
+        # each composited frame hashes like its standalone-BMP twin
+        h1 = dhash64(TestImageNearDup._bmp(palette[f1]))
+        h2 = dhash64(TestImageNearDup._bmp(palette[f2]))
+        assert [dhash64(fr) for fr in frames] == [h1, h2]
+
+    def test_transparency_keeps_underlying_pixels(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import (
+            _bmp_pixel_rows, split_gif_frames,
+        )
+
+        palette = np.array([[10, 10, 10], [200, 200, 200],
+                            [0, 255, 0]], dtype=np.uint8)
+        f1 = np.zeros((8, 8), dtype=np.uint8)
+        f1[:4] = 1
+        f2 = np.full((8, 8), 2, dtype=np.uint8)   # index 2 transparent
+        gif = self._animated([f1, f2], palette, transparent=2)
+        frames = split_gif_frames(gif)
+        assert len(frames) == 2
+        px2, w, rows = _bmp_pixel_rows(frames[1])
+        # second frame is all-transparent -> canvas unchanged from f1
+        px1, _, _ = _bmp_pixel_rows(frames[0])
+        assert (px2 == px1).all()
+
+    def test_video_near_dup_on_animated_gifs(self, spark):
+        import numpy as np
+
+        from ayeaye_spark.operators import multimodal
+
+        palette = np.stack([np.arange(64) * 4] * 3, axis=1).astype(np.uint8)
+        rng = np.random.RandomState(9)
+        fr = [rng.randint(0, 64, size=(24, 36), dtype=np.uint8)
+              for _ in range(4)]
+        clip_a = self._animated(fr, palette)
+        clip_b = self._animated(fr[1:], palette)     # trimmed copy
+        clip_c = self._animated(
+            [rng.randint(0, 64, size=(24, 36), dtype=np.uint8)
+             for _ in range(3)], palette)
+        df = spark.createDataFrame(
+            [("a", bytearray(clip_a)), ("b", bytearray(clip_b)),
+             ("c", bytearray(clip_c))],
+            "path string, content binary",
+        )
+        pairs = multimodal.video_near_dup_pairs(
+            df, threshold=0.5, splitter=multimodal.split_gif_frames,
+        ).collect()
+        assert {(p["path_a"], p["path_b"]) for p in pairs} == {("a", "b")}
