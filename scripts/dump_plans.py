@@ -458,6 +458,32 @@ HEADLINE = {
         "map-side-combined per type; points never materialize, the "
         "slope math runs on #types rows."
     ),
+    "ann_topk_sq8": (
+        "one bounds scan collapses to a broadcast 1-row frame; the "
+        "corpus-x-queries candidate frame is WindowGroupLimit(Partial)-"
+        "capped BEFORE its only hashpartitioning exchange, so the "
+        "shuffle carries k*rerank survivors per query, never the corpus."
+    ),
+    "docs_bigram_coherence": (
+        "one tokenization into rolling hashes; per-(doc,bigram) counts "
+        "collapse map-side, the two count frames join back on their "
+        "hash keys — inverted-index equi-joins, no window anywhere."
+    ),
+    "docs_vocab_coverage": (
+        "corpus -> token counts -> COUNT CLASSES; the only ordered "
+        "window runs over the class histogram (bounded by distinct "
+        "frequencies, never vocab or corpus) and the per-pct crossing "
+        "is closed-form arithmetic on that frame."
+    ),
+    "docs_top_collocations": (
+        "bigram counts collapse map-side; margins join back on their "
+        "word keys; top-k is TakeOrderedAndProject (per-partition heap "
+        "+ driver merge) — no global sort."
+    ),
+    "docs_bpe_apply_fixed": (
+        "pure per-row string expressions (separator-join + one replace "
+        "per merge rule): one scan, zero shuffle, whole-stage codegen."
+    ),
 }
 
 
