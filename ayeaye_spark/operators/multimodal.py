@@ -7,11 +7,14 @@ North-star component (BASELINE.json).  Design for 100 TB of media:
 * decode / feature-extract / resize / frame-sample run as Arrow-batched
   ``mapInPandas`` stages — per-partition batch processing, the only sane
   shape for Python media libs on executors;
-* the actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-  the decode kernel is pluggable: pass ``decoder=`` a real callable in
-  production; the default is a clearly-marked deterministic fake
-  (header-byte arithmetic) so the Spark-side plumbing — schema,
-  partitioning, UDF signature, batch shape — is real and tested.
+* the decode kernel is pluggable (pass ``decoder=`` a PIL/ffmpeg-backed
+  callable in production), but the built-in kernels are REAL for every
+  fixture format with zero external dependencies: uncompressed BMP,
+  8-bit PNG (stdlib zlib + hand-undone scanline filters), GIF (stdlib
+  LZW, stills + animated frame compositing), baseline JPEG (numpy
+  Huffman + IDCT), and WAV (PCM + G.711 mu-law/A-law).  Only exotic
+  variants (progressive JPEG, paletted PNG, compressed BMP) fall back
+  to header metadata or the clearly-marked deterministic fake.
 """
 
 from __future__ import annotations
@@ -58,9 +61,11 @@ def read_binary_dir(spark: SparkSession, path: str, media_type: str) -> DataFram
 
 def fake_decode(content: bytes) -> dict:
     """Deterministic FAKE decode: derives pseudo-dimensions from header
-    bytes.  STUB for PIL/ffmpeg — replace via the ``decoder=`` parameter;
-    real PIXEL decoding is NotImplemented in this container (real HEADER
-    parsing for png/jpeg/gif/bmp/wav lives in :func:`header_decode`)."""
+    bytes.  The last-resort fallback for formats outside the real
+    decoders' envelope (``sample_decode`` does REAL pixel/PCM decode
+    for bmp/png/gif/jpeg/wav; :func:`header_decode` does real metadata
+    parsing) — replace via the ``decoder=`` parameter for anything
+    else."""
     if content is None or len(content) == 0:
         return {"width": 0, "height": 0, "channels": 0, "mean_intensity": 0.0}
     head = content[:16].ljust(16, b"\0")
