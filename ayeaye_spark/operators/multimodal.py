@@ -302,13 +302,15 @@ def _png_pixel_array(b: bytes):
 
     import numpy as np
 
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(b):
         (ln,) = struct.unpack(">I", b[pos:pos + 4])
         typ = b[pos + 4:pos + 8]
         data = b[pos + 8:pos + 8 + ln]
         if typ == b"IHDR":
             ihdr = data
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -319,8 +321,12 @@ def _png_pixel_array(b: bytes):
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr[:13]
     )
-    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    # color type 3 (paletted) decodes as 1 index byte/px then expands
+    # through PLTE to RGB after unfiltering
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype)
     if depth != 8 or channels is None or comp or filt or interlace:
+        return None
+    if ctype == 3 and (plte is None or len(plte) % 3):
         return None
     if w <= 0 or h <= 0:
         return None
@@ -360,6 +366,12 @@ def _png_pixel_array(b: bytes):
                     return None  # invalid filter byte
                 cur[i] = (line[i] + pred) & 0xFF
         out[r] = cur.astype(np.uint8)
+    if ctype == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(out.max()) >= len(pal):
+            return None
+        rgb = pal[out.reshape(-1)].reshape(h, w * 3)
+        return rgb, w, h, 3
     return out, w, h, channels
 
 

@@ -5191,3 +5191,45 @@ class TestAnimatedGif:
             df, threshold=0.5, splitter=multimodal.split_gif_frames,
         ).collect()
         assert {(p["path_a"], p["path_b"]) for p in pairs} == {("a", "b")}
+
+
+class TestPalettedPng:
+    def test_paletted_round_trip(self):
+        """Color-type-3 PNG: indices unfilter like any byte stream,
+        then expand through PLTE — must match direct RGB pixels."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import (
+            _png_pixel_array, dhash64, sample_decode,
+        )
+
+        rng = np.random.RandomState(8)
+        pal = rng.randint(0, 256, size=(64, 3), dtype=np.uint8)
+        idx = rng.randint(0, 64, size=(24, 36), dtype=np.uint8)
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data)))
+
+        ihdr = struct.pack(">IIBBBBB", 36, 24, 8, 3, 0, 0, 0)
+        raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(24))
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"PLTE", pal.tobytes())
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+        got = _png_pixel_array(png)
+        assert got is not None
+        px, w, h, ch = got
+        assert (w, h, ch) == (36, 24, 3)
+        assert (px.reshape(24, 36, 3) == pal[idx]).all()
+        # cross-format: hashes like the BMP of the same pixels
+        assert dhash64(png) == dhash64(TestImageNearDup._bmp(pal[idx]))
+        d = sample_decode(png)
+        assert d["format"] == "png" and d["channels"] == 3
+        # missing palette -> falls back to header-only (no crash)
+        bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        assert _png_pixel_array(bad) is None
