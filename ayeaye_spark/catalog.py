@@ -7370,6 +7370,45 @@ def ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_sq8_recall_oracle() -> str:
+    # ground truth = brute-force top-5, candidate = SQ8 shortlist+rerank
+    return f"""
+    WITH brute AS ({ORACLES['ann_topk_brute']}),
+    sq8 AS ({ORACLES['ann_topk_sq8']})
+    SELECT b.query_id,
+           CAST(COUNT(s.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(s.neighbor_id) AS BIGINT) * 1000000 // 5 AS recall_ppm
+    FROM brute b LEFT JOIN sq8 s
+      ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+    GROUP BY b.query_id
+    """
+
+
+@query("ann_sq8_recall", oracle=_duck_sq8_recall_oracle())
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation for the SQ8 path: per-query recall@5 of
+    the quantized shortlist+rerank against the brute-force ground
+    truth — the 8-bit-codes counterpart of ``ann_ivf_recall``, the
+    number that sizes ``rerank`` before a corpus-wide rollout.  Both
+    sides reuse the verified operators; exact integer ppm."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    sq8 = similarity.sq8_topk(emb, queries_df, k=5, rerank=4).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    brute = similarity.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        brute.join(sq8, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits")
+        )
+        .withColumn("recall_ppm", F.expr("n_hits * 1000000 div 5"))
+    )
+
+
 def _duck_bigram_coherence_oracle() -> str:
     """DuckDB twin of ``text.bigram_coherence``: same rolling token
     hashes, same positional bigram hash, same integer ppm division."""
