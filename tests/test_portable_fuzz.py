@@ -353,3 +353,45 @@ def test_sq8_and_int_dot_match_across_engines(spark, seed):
     # degenerate dimension codes to 0 everywhere; codes are in [0,255]
     assert all(c[3] == 0 for c, _ in got_s.values())
     assert all(0 <= x <= 255 for c, _ in got_s.values() for x in c)
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_bpe_piece_count_matches_across_engines(spark, seed):
+    """The separator-replace BPE apply must agree bit-for-bit across
+    engines on adversarial text — unicode, quotes, punctuation runs —
+    and with a python reference applying the same greedy merges."""
+    texts = make_corpus(n=120, seed=seed)
+    merges = [("t", "h"), ("th", "e"), ("'", "'"), ("м", "ю"),
+              ("a", "n"), ("an", "d")]
+    pdf = pd.DataFrame({"rid": range(len(texts)), "text": texts})
+
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("bpefuzz")
+    sexpr = P.bpe_piece_count("coalesce(text, '')", merges, P.SPARK)
+    got_s = dict(spark.sql(
+        f"SELECT rid, {sexpr} AS np FROM bpefuzz"
+    ).collect())
+
+    con = duckdb.connect()
+    con.register("bpefuzz", pdf)
+    dexpr = P.bpe_piece_count("coalesce(text, '')", merges, P.DUCKDB)
+    got_d = dict(con.execute(
+        f"SELECT rid, {dexpr} AS np FROM bpefuzz"
+    ).fetchall())
+    assert got_s == got_d
+
+    def apply_word(w):
+        syms = list(w)
+        for l, r in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    for rid, t in enumerate(texts):
+        expect = sum(apply_word(w) for w in (t or "").lower().split())
+        assert got_s[rid] == expect, (rid, t[:40])
