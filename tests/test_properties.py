@@ -74,3 +74,91 @@ def test_pinnate_roundtrip(payload):
         wrapped = getattr(p, k)
         if isinstance(wrapped, Pinnate):
             assert wrapped.as_native() == payload[k]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=50),
+                    min_size=1, max_size=60),
+    pct=st.integers(min_value=1, max_value=100),
+)
+def test_vocab_coverage_closed_form_equals_naive_ranking(counts, pct):
+    """The count-CLASS closed form used by ``text.vocab_coverage``
+    (vocab_size = prev_toks + ceil((target - prev_mass) / c) inside the
+    crossing class) must equal ranking every token individually by
+    (count DESC, token ASC) for ANY frequency multiset and ANY pct —
+    the tie-interchangeability argument, property-tested."""
+    from collections import Counter
+
+    # token names don't matter for coverage: synthesize distinct ids
+    ranked = sorted(counts, reverse=True)
+    T = sum(ranked)
+    target = (T * pct + 99) // 100
+
+    # naive: rank every token, find min rank with cum >= target
+    cum, naive = 0, None
+    for rn, c in enumerate(ranked, 1):
+        cum += c
+        if cum >= target:
+            naive = (rn, cum)
+            break
+    assert naive is not None  # pct <= 100 always crosses
+
+    # closed form over count classes (count value -> n tokens)
+    classes = sorted(Counter(counts).items(), reverse=True)
+    prev_mass = prev_toks = 0
+    closed = None
+    for c, n in classes:
+        cum_mass = prev_mass + c * n
+        if prev_mass < target <= cum_mass:
+            j = (target - prev_mass + c - 1) // c
+            closed = (prev_toks + j, prev_mass + j * c)
+            break
+        prev_mass, prev_toks = cum_mass, prev_toks + n
+    assert closed == naive
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdef'", min_size=1, max_size=8),
+        min_size=1, max_size=30,
+    ),
+    n_merges=st.integers(min_value=1, max_value=5),
+)
+def test_bpe_replace_encoding_equals_greedy_fold(words, n_merges):
+    """The separator-string replace encoding of a BPE merge (what
+    ``P.bpe_piece_count`` compiles to SQL) must equal the greedy
+    left-to-right fold for ANY word and ANY merge sequence learned
+    from the words themselves — including overlapping runs."""
+    from collections import Counter
+
+    # learn merges the same way bpe_top_merges does
+    wf = Counter(words)
+    vocab = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        stats = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += wf[w]
+        if not stats:
+            break
+        (l, r), cnt = min(stats.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((l, r))
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            vocab[w] = out
+
+    SEP = "\x01"
+    for w in wf:
+        seg = SEP.join(list(w))
+        for l, r in merges:
+            seg = seg.replace(l + SEP + r, l + r)
+        assert len(seg.split(SEP)) == len(vocab[w]), (w, merges)
