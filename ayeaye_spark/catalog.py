@@ -7081,6 +7081,42 @@ def orders_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_weighted_median_quality",
+    oracle=f"""
+    WITH q AS (
+      SELECT lang,
+             CAST({P.quality_score_ppm('text', DUCK)} AS BIGINT) AS quality_ppm,
+             CAST({P.token_count('text', DUCK)} AS BIGINT) AS ntok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (SELECT lang, quality_ppm,
+                 SUM(ntok) OVER (PARTITION BY lang ORDER BY quality_ppm
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(ntok) OVER (PARTITION BY lang) AS W
+          FROM (SELECT lang, quality_ppm, SUM(ntok) AS ntok
+                FROM q WHERE ntok > 0 GROUP BY lang, quality_ppm) h)
+    SELECT lang, MIN(quality_ppm) AS weighted_median,
+           CAST(MIN(W) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cum >= W GROUP BY lang
+    """,
+)
+def docs_weighted_median_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted median quality per language
+    (``relational.weighted_median``): the quality level at which half
+    the language's TOKENS sit at-or-below — the curation center that a
+    document-count median misstates when long documents skew quality.
+    Histogram-prefix plan (windows bounded by distinct quality values
+    per language); exact integer arithmetic, value-exact oracle."""
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(P.quality_score_ppm("text", SPARK)).cast("long")
+        .alias("quality_ppm"),
+        F.expr(P.token_count("text", SPARK)).cast("long").alias("ntok"),
+    )
+    return relational.weighted_median(docs, "lang", "quality_ppm", "ntok")
+
+
 def _duck_dup_sentences_oracle(min_docs: int = 2) -> str:
     """DuckDB twin of ``text.duplicate_sentence_profile``: same split,
     same normalization, same rolling hashes, same ppm arithmetic."""

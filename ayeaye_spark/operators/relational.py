@@ -1473,3 +1473,55 @@ def winsorize(
         out_col,
         F.least(F.greatest(F.col(value_col), F.col("_wlo")), F.col("_whi")),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value ``v``
+    whose cumulative weight reaches half the group total
+    (``2 * cum(v) >= W``) — the robust center for weighted data
+    (token-weighted document quality, duration-weighted latencies)
+    where the unweighted median misleads.
+
+    Scale shape — the same histogram-prefix pattern as
+    ``exact_group_quantiles``: the corpus collapses to one row per
+    (group, DISTINCT value) with summed weights (hash aggregate,
+    map-side combined); the running weight sum is a window over that
+    frame, partitioned by group and bounded by the per-group distinct-
+    value cardinality — never a corpus-sized sort.  Integer weights ->
+    exact integer arithmetic end to end (the ``2 * cum >= W`` form
+    avoids halving).  NULL values/weights are excluded (SQL aggregate
+    semantics); groups whose weights are all NULL/zero yield no row.
+
+    Returns ``(group_col, weighted_median, total_weight)``.
+    """
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    )
+    hist = base.groupBy(group_col, value_col).agg(
+        F.sum(weight_col).alias("_w")
+    )
+    w_run = Window.partitionBy(group_col).orderBy(F.asc(value_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        group_col, value_col,
+        F.sum("_w").over(w_run).alias("_cum"),
+        F.sum("_w").over(w_all).alias("_W"),
+    )
+    return (
+        cum.where(F.expr("2 * _cum >= _W"))
+        .groupBy(group_col)
+        .agg(
+            F.min(value_col).alias("weighted_median"),
+            F.min("_W").alias("total_weight"),
+        )
+    )

@@ -4290,6 +4290,21 @@ class TestVideoNearDup:
         assert got == expect
         assert len(got) >= 3  # the corpus has learnable structure
 
+    def test_weighted_median_matches_bruteforce(self, spark):
+        rows = [
+            ("a", 10, 1), ("a", 20, 1), ("a", 30, 100),   # weight-skewed
+            ("b", 5, 3), ("b", 7, 3),                     # tie at half
+            ("c", 1, 0), ("c", 2, None), ("c", None, 5),  # degenerate
+            ("d", 9, 2),
+        ]
+        df = spark.createDataFrame(rows, "g string, v int, w int")
+        got = {r["g"]: (r["weighted_median"], r["total_weight"])
+               for r in relational.weighted_median(df, "g", "v", "w").collect()}
+        # a: W=102, half=51 -> 30 is the first value reaching it
+        # b: W=6, 2*cum(5)=6 >= 6 -> lower median 5
+        # c: no positive-weight non-null values -> no row
+        assert got == {"a": (30, 102), "b": (5, 6), "d": (9, 2)}
+
     def test_duplicate_sentence_profile(self, spark):
         from ayeaye_spark.operators.text import duplicate_sentence_profile
 
