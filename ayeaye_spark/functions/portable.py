@@ -385,29 +385,61 @@ def bpe_piece_count(text: str, merges: list, d: str) -> str:
     tokenizer APPLY at scale (train offline / with
     :func:`operators.text.bpe_top_merges`, apply to the corpus).
 
-    Encoding trick that makes this portable with no list-building
-    fold (DuckDB's ``list_reduce`` cannot accumulate lists): a word's
-    segmentation is a ``BPE_SEP``-joined string of its pieces, and
-    applying merge ``(l, r)`` is ``replace(seg, 'l SEP r', 'lr')`` —
-    both engines' ``replace`` is greedy left-to-right non-overlapping,
-    which is exactly the reference BPE merge order ("aaaa" with (a,a)
-    -> [aa, aa]).  Merges apply in list order; pieces per word =
+    Encoding that makes this portable with no list-building fold
+    (DuckDB's ``list_reduce`` cannot accumulate lists): a word's
+    segmentation is a ``BPE_SEP``-joined STRING of its pieces, and
+    each merge ``(l, r)`` is one fold over the current pieces with the
+    string itself as the accumulator — append ``SEP + s`` normally,
+    or rewrite the trailing piece to ``l || r`` when the incoming
+    piece EQUALS ``r`` and the accumulator's last piece EQUALS ``l``.
+    The last-piece check is ``acc == l OR endswith(acc, SEP + l)`` —
+    exact whole-piece matching, because pieces never contain the
+    separator (a naive ``replace('l SEP r', 'lr')`` encoding is NOT
+    sound: it also fires when the right piece merely STARTS with
+    ``r``, e.g. pieces ``[r, er]`` under merge ``(r, e)`` — found by
+    the hypothesis property test).  Greedy left-to-right
+    non-overlapping, exactly the reference fold ("aaaa" with (a,a) ->
+    [aa, aa]).  Merges apply in list order; pieces per word =
     ``split(seg, SEP)`` length; the document total is an integer fold.
     """
     sep = BPE_SEP
 
     def _esc(s: str) -> str:
+        # Spark string literals treat backslash as an escape; DuckDB's
+        # standard-SQL literals do not
+        if d == SPARK:
+            s = s.replace("\\", "\\\\")
         return s.replace("'", "''")
+
+    ends = "endswith" if d == SPARK else "ends_with"
 
     def seg(w: str) -> str:
         if d == SPARK:
             joined = f"array_join(split({w}, ''), '{sep}')"
         else:
             joined = f"array_to_string(string_split({w}, ''), '{sep}')"
-        for left, right in merges:
-            frm = _esc(left + sep + right)
-            to = _esc(left + right)
-            joined = f"replace({joined}, '{frm}', '{to}')"
+        for left_p, right_p in merges:
+            l_lit, r_lit = _esc(left_p), _esc(right_p)
+            lr_lit = _esc(left_p + right_p)
+            nl = len(left_p)
+            step = (
+                f"case when acc = '' then s "
+                f"when s = '{r_lit}' and (acc = '{l_lit}' or "
+                f"{ends}(acc, '{sep}{l_lit}')) "
+                f"then left(acc, length(acc) - {nl}) || '{lr_lit}' "
+                f"else acc || '{sep}' || s end"
+            )
+            if d == SPARK:
+                joined = (
+                    f"aggregate(split({joined}, '{sep}'), "
+                    f"cast('' as string), (acc, s) -> {step})"
+                )
+            else:
+                joined = (
+                    f"list_reduce(list_prepend('', "
+                    f"string_split({joined}, '{sep}')), "
+                    f"(acc, s) -> {step})"
+                )
         return joined
 
     toks = tokens(text, d)

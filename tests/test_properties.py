@@ -156,9 +156,23 @@ def test_bpe_replace_encoding_equals_greedy_fold(words, n_merges):
                     out.append(s)
             vocab[w] = out
 
+    # replicate the string-accumulator step P.bpe_piece_count compiles
+    # to SQL: append SEP+s, or rewrite the trailing piece to l+r when
+    # the incoming piece EQUALS r and the last piece EQUALS l (exact
+    # whole-piece suffix check — the earlier replace('l SEP r','lr')
+    # encoding failed here: it also fired when the right piece merely
+    # STARTED with r, e.g. pieces [r, er] under merge (r, e))
     SEP = "\x01"
     for w in wf:
         seg = SEP.join(list(w))
         for l, r in merges:
-            seg = seg.replace(l + SEP + r, l + r)
+            acc = ""
+            for s in seg.split(SEP):
+                if acc == "":
+                    acc = s
+                elif s == r and (acc == l or acc.endswith(SEP + l)):
+                    acc = acc[: len(acc) - len(l)] + l + r
+                else:
+                    acc = acc + SEP + s
+            seg = acc
         assert len(seg.split(SEP)) == len(vocab[w]), (w, merges)
