@@ -7217,16 +7217,15 @@ _COALESCED_TEXT = "coalesce(text, '')"
 )
 def docs_bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLY at corpus scale: per-document BPE piece counts
-    under a fixed 8-rule merge list (``P.bpe_piece_count`` — the
-    separator-string replace encoding, greedy left-to-right merge
-    semantics identical in both engines).  One scan, zero shuffle,
-    pure string expressions; value-exact oracle on all 500 rows."""
-    return load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(P.token_count("coalesce(text, '')", SPARK))
-        .cast("long").alias("n_tokens"),
-        F.expr(P.bpe_piece_count("coalesce(text, '')", _BPE_FIXED_MERGES, SPARK))
-        .cast("long").alias("n_pieces"),
+    under a fixed 8-rule merge list.  Spark side runs the memoized
+    Arrow kernel (``text.bpe_apply_piece_counts`` — each distinct word
+    segments once per batch); the oracle runs ``P.bpe_piece_count``'s
+    SQL fold — the two folds are property-tested identical, and the
+    whole-piece suffix check keeps both exactly greedy-left-to-right
+    (reference BPE semantics).  One scan, zero shuffle."""
+    return textops.bpe_apply_piece_counts(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        _BPE_FIXED_MERGES,
     )
 
 
