@@ -6989,7 +6989,10 @@ def customer_basket_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(cust), "cust")
+        # no broadcast hint on the customer dimension: it is the FULL
+        # customer table (15M+ rows at 100×), and an explicit hint
+        # overrides AQE — let AQE pick broadcast when the stats allow
+        .join(cust, "cust")
         .select("cust", "nation", "l_partkey")
         .groupBy("cust", "nation")
         .agg(F.collect_set("l_partkey").alias("parts"))

@@ -193,12 +193,57 @@ def ngrams_of_tokens(toks: str, n: int, d: str) -> str:
 
 
 # ---------------------------------------------------------------- hashing
-def char_hash(s: str, d: str) -> str:
-    """Polynomial rolling hash over characters: bit-identical across engines.
+#
+# TWO hash modes, selected by the ``mode`` parameter on every builder:
+#
+# ``PORTABLE`` (default) — the polynomial rolling hash mod PRIME=1e9+7.
+#   Bit-identical across Spark and DuckDB, so value-oracle-checkable.
+#   Keyspace is ~2^30: expected colliding key PAIRS ≈ K^2 / (2·10^9) for
+#   K distinct keys.  Fine to K ≈ 10^6 (~0.5 expected collisions); at
+#   K = 10^8 distinct sentences/shingles that is ~5·10^6 false merges and
+#   at K ≥ 10^9 the space saturates.  ORACLE/TEST scale only.
+#
+# ``FAST`` — the engine-native 64-bit hash (Spark ``xxhash64`` /
+#   DuckDB ``hash``).  Expected colliding pairs ≈ K^2 / 2^65: at
+#   K = 10^9 that is ~0.03 — collision-free for any realistic corpus.
+#   The PRODUCTION path at 100 TB.  NOT cross-engine portable (the two
+#   engines compute different values), so fast-mode queries can only be
+#   oracled on hash-value-independent outputs (counts, survivor sets).
+#
+# Exact-key operators (fingerprint dedup, shingle jaccard/containment,
+# sentence-duplication profiles, bigram counts) expose a
+# ``hash_mode="portable"|"fast"`` knob that threads down to here.
+PORTABLE = "portable"
+FAST = "fast"
 
-    h = fold(7, acc*31 + codepoint(c)) mod PRIME — the deterministic,
-    dialect-portable analogue of a string hash.
+#: sign-flip constant: DuckDB ``hash()`` returns UBIGINT; subtracting 2^63
+#: in HUGEINT space is a bijection onto the full signed int64 range (a
+#: plain ``::BIGINT`` cast raises on values ≥ 2^63).
+_U64_SIGN = 9223372036854775808
+
+
+def _check_mode(mode: str) -> None:
+    if mode not in (PORTABLE, FAST):
+        raise ValueError(f"unknown hash mode {mode!r} (portable|fast)")
+
+
+def _fast_hash_n(args: list[str], d: str) -> str:
+    """Engine-native 64-bit hash of one or more expressions (order-aware)."""
+    inner = ", ".join(args)
+    if d == SPARK:
+        return f"xxhash64({inner})"
+    return f"(hash({inner})::HUGEINT - {_U64_SIGN})::BIGINT"
+
+
+def char_hash(s: str, d: str, mode: str = PORTABLE) -> str:
+    """String hash in the selected mode (see the hashing section note).
+
+    PORTABLE: h = fold(7, acc*31 + codepoint(c)) mod PRIME — bit-identical
+    across engines.  FAST: engine-native 64-bit (xxhash64 / hash).
     """
+    _check_mode(mode)
+    if mode == FAST:
+        return _fast_hash_n([s], d)
     chars = f"split({s}, '')" if d == SPARK else f"string_split({s}, '')"
     if d == SPARK:
         return f"aggregate({chars}, 7L, (acc, c) -> (acc * 31 + ascii(c)) % {PRIME})"
@@ -209,28 +254,37 @@ def char_hash(s: str, d: str) -> str:
     )
 
 
-def hash_array(arr: str, d: str) -> str:
+def hash_array(arr: str, d: str, mode: str = PORTABLE) -> str:
     """Element-wise char_hash over a string array."""
-    return transform(arr, "s", char_hash("s", d), d)
+    return transform(arr, "s", char_hash("s", d, mode), d)
 
 
-def token_hash_ngrams_all(th: str, n: int, d: str) -> str:
+def token_hash_ngrams_all(th: str, n: int, d: str, mode: str = PORTABLE) -> str:
     """POSITIONAL n-gram shingle hashes: element ``i`` (1-based) is the
     hash of the n-token window starting at token ``i`` — order kept,
     duplicates kept (the repeated-span operators need positions; the
     set-semantics callers go through :func:`token_hash_ngrams`).
 
-    shingle_hash(i) = fold over the window's n token hashes of
+    PORTABLE window combine: fold over the window's n token hashes of
     ``g = (g * 31 + h_k) % PRIME``.  Equivalent information to hashing the
     shingle string, but ~4× cheaper: each token is char-hashed once and
     windows combine with 2 integer ops — no n-gram string materialization.
-    ``th`` should be a materialized token-hash column.
+    FAST combine: one n-ary engine hash over the window's token hashes
+    (``xxhash64(h_i, …, h_{i+n-1})``) — order-aware, full 64-bit keyspace,
+    overflow-free under ANSI mode.  ``th`` should be a materialized
+    token-hash column produced with the SAME mode.
     """
+    _check_mode(mode)
     if n == 1:
         return th
-    g = element(th, "i", d)
-    for k in range(1, n):
-        g = f"(({g}) * 31 + {element(th, f'i + {k}', d)}) % {PRIME}"
+    if mode == FAST:
+        g = _fast_hash_n(
+            [element(th, "i" if k == 0 else f"i + {k}", d) for k in range(n)], d
+        )
+    else:
+        g = element(th, "i", d)
+        for k in range(1, n):
+            g = f"(({g}) * 31 + {element(th, f'i + {k}', d)}) % {PRIME}"
     seq = int_sequence(1, f"{size(th, d)} - {n - 1}", d)
     grams = transform(seq, "i", g, d)
     if d == SPARK:
@@ -241,19 +295,25 @@ def token_hash_ngrams_all(th: str, n: int, d: str) -> str:
     return f"(case when {size(th, d)} < {n} then [] else {grams} end)"
 
 
-def token_hash_ngrams(th: str, n: int, d: str) -> str:
+def token_hash_ngrams(th: str, n: int, d: str, mode: str = PORTABLE) -> str:
     """Distinct n-gram shingle hashes (set semantics) — see
     :func:`token_hash_ngrams_all` for the hash construction."""
-    return distinct(token_hash_ngrams_all(th, n, d), d)
+    return distinct(token_hash_ngrams_all(th, n, d, mode), d)
 
 
 def fast_hash(s: str, d: str) -> str:
     """Engine-native 64-bit hash — FAST but not cross-engine-portable.
 
     Spark's ``xxhash64`` is the production path at 100 TB; DuckDB's
-    ``hash`` differs, so queries using this can't be value-oracled.
+    ``hash`` differs, so queries using this can't be value-oracled on the
+    hash VALUES (hash-independent outputs — counts, survivor sets —
+    still can).  Equivalent to ``char_hash(s, d, mode=FAST)``.
+
+    DuckDB's ``hash`` returns UBIGINT; the HUGEINT subtract-2^63 maps it
+    bijectively onto signed int64 (a direct ``::BIGINT`` cast raises on
+    the upper half of the range).
     """
-    return f"xxhash64({s})" if d == SPARK else f"hash({s})::BIGINT"
+    return _fast_hash_n([s], d)
 
 
 def minhash_params(k: int) -> list[tuple[int, int]]:
@@ -284,7 +344,9 @@ def simhash32_from_hashes(tok_hashes: str, d: str) -> str:
     bit_b of the fingerprint is 1 iff sum over tokens of
     ((hash >> b) & 1 ? +1 : -1) is positive.  Like
     :func:`minhash_from_hashes`, pass a materialized column name — the 32
-    bit-sums each traverse the array.
+    bit-sums each traverse the array.  Works unchanged on FAST (64-bit)
+    token hashes — arithmetic shift + ``& 1`` reads two's-complement bits
+    consistently in both engines.
     """
     bits = []
     for b in range(32):
@@ -297,23 +359,28 @@ def simhash32_from_hashes(tok_hashes: str, d: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-def simhash60_from_hashes(tok_hashes: str, d: str) -> str:
+def simhash60_from_hashes(tok_hashes: str, d: str, mode: str = PORTABLE) -> str:
     """60-bit SimHash from a precomputed token-hash array column — the
     WIDE fingerprint for banded near-dup search at corpus scale.
 
-    Token hashes are mod ``PRIME`` (≈2^30), so only 30 independent bits
-    exist per hash; bits 30..59 come from the deterministic affine remix
-    ``(h * 31 + 17) % PRIME`` (bit b+30 of the fingerprint is bit b of
-    the remix).  Why wide matters: pigeonhole banding keys buckets by
-    chunk value, and bucket occupancy is ``n / 2^width`` — 15-bit chunks
-    of a 60-bit fingerprint give 32768 keys per band where 8-bit chunks
-    of the 32-bit one give 256, the difference between a workable
-    candidate volume and a quadratic blowup on a billion-document
-    corpus.
+    PORTABLE token hashes are mod ``PRIME`` (≈2^30), so only 30
+    independent bits exist per hash; bits 30..59 come from the
+    deterministic affine remix ``(h * 31 + 17) % PRIME`` (bit b+30 of the
+    fingerprint is bit b of the remix).  FAST (64-bit) token hashes have
+    ≥60 independent bits, so all 60 fingerprint bits sample the hash
+    directly — no remix, and no token-collision aliasing at 10^8+ vocab
+    (pass ``mode=FAST`` together with fast ``hash_array`` input).
+
+    Why wide matters: pigeonhole banding keys buckets by chunk value, and
+    bucket occupancy is ``n / 2^width`` — 15-bit chunks of a 60-bit
+    fingerprint give 32768 keys per band where 8-bit chunks of the 32-bit
+    one give 256, the difference between a workable candidate volume and
+    a quadratic blowup on a billion-document corpus.
     """
+    _check_mode(mode)
     bits = []
     for b in range(60):
-        if b < 30:
+        if mode == FAST or b < 30:
             src = "c"
             shift = b
         else:
@@ -614,9 +681,13 @@ def quality_score_ppm_from_tokens(s: str, toks: str, d: str) -> str:
     return f"(case when ({ls}) = 0 or ({tc}) = 0 then 0 else {ppm} end)"
 
 
-def fingerprint(s: str, d: str) -> str:
-    """Rolling-hash document fingerprint over normalized text."""
-    return char_hash(normalize_text(s, d), d)
+def fingerprint(s: str, d: str, mode: str = PORTABLE) -> str:
+    """Document fingerprint over normalized text (hash of the canonical
+    lower+collapse-ws+trim form).  ``mode=FAST`` swaps the ~30-bit
+    portable rolling hash for the engine-native 64-bit hash — the
+    production setting once distinct documents approach 10^6 (see the
+    hashing section collision envelope)."""
+    return char_hash(normalize_text(s, d), d, mode)
 
 
 # ------------------------------------------------- quality rules (Gopher)

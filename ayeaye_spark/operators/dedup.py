@@ -76,22 +76,36 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     )
 
 
-def with_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
-    """Rolling-hash fingerprint of normalized text (portable.fingerprint)."""
-    return df.withColumn(out_col, F.expr(P.fingerprint(text_col, SPARK)))
+def with_fingerprint(
+    df: DataFrame, text_col: str, out_col: str = "fingerprint",
+    *, hash_mode: str = P.PORTABLE,
+) -> DataFrame:
+    """Fingerprint of normalized text (portable.fingerprint).
+
+    ``hash_mode="fast"`` swaps the oracle-portable ~30-bit rolling hash
+    for xxhash64 — the PRODUCTION setting: expected false-merge pairs are
+    K²/2⁶⁵ instead of K²/2·10⁹ for K distinct normalized texts (the
+    portable space saturates near K ≈ 10⁶)."""
+    return df.withColumn(out_col, F.expr(P.fingerprint(text_col, SPARK, hash_mode)))
 
 
-def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Dedup groups keyed by normalized-text fingerprint."""
+def fingerprint_dedup(
+    df: DataFrame, text_col: str, id_col: str, *, hash_mode: str = P.PORTABLE
+) -> DataFrame:
+    """Dedup groups keyed by normalized-text fingerprint.
+
+    ``hash_mode="fast"`` (xxhash64) is the corpus-scale setting — see
+    :func:`with_fingerprint` for the collision envelope."""
     return (
-        with_fingerprint(df, text_col)
+        with_fingerprint(df, text_col, hash_mode=hash_mode)
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
     )
 
 
 def with_shingle_hashes(
-    df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingle_hashes"
+    df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingle_hashes",
+    *, hash_mode: str = P.PORTABLE,
 ) -> DataFrame:
     """Distinct word-n-gram shingle hashes: tokens → per-token char hash →
     arithmetic n-window combination (``portable.token_hash_ngrams``).
@@ -99,11 +113,16 @@ def with_shingle_hashes(
     Each token is hashed exactly once and no shingle strings are ever
     materialized; stages are real columns so downstream signature/verify
     passes re-traverse arrays, not text.
+
+    ``hash_mode="fast"`` keys shingles by xxhash64 (64-bit window mix)
+    instead of the oracle-portable rolling hash mod 1e9+7 — required
+    once distinct shingles approach 10⁶ (collision envelope: K²/2⁶⁵ vs
+    K²/2·10⁹ expected false-equal shingle pairs).
     """
     return (
         df.withColumn("_tokens", F.expr(P.tokens(text_col, SPARK)))
-        .withColumn("_th", F.expr(P.hash_array("_tokens", SPARK)))
-        .withColumn(out_col, F.expr(P.token_hash_ngrams("_th", n, SPARK)))
+        .withColumn("_th", F.expr(P.hash_array("_tokens", SPARK, hash_mode)))
+        .withColumn(out_col, F.expr(P.token_hash_ngrams("_th", n, SPARK, hash_mode)))
     )
 
 
@@ -437,16 +456,25 @@ def minhash_dedup(
 
 
 def with_simhash(
-    df: DataFrame, text_col: str, out_col: str = "simhash", *, fp_bits: int = 32
+    df: DataFrame, text_col: str, out_col: str = "simhash", *,
+    fp_bits: int = 32, hash_mode: str = P.PORTABLE,
 ) -> DataFrame:
-    """SimHash column (portable hashing; tokens hashed once).
+    """SimHash column (tokens hashed once).
     ``fp_bits``: 32 (compact) or 60 (wide — the corpus-scale banding
-    fingerprint, see ``portable.simhash60_from_hashes``)."""
-    expr = {32: P.simhash32_from_hashes, 60: P.simhash60_from_hashes}[fp_bits]
+    fingerprint, see ``portable.simhash60_from_hashes``).
+    ``hash_mode="fast"`` samples fingerprint bits from 64-bit xxhash64
+    token hashes — at 10⁸+ token vocab the portable ~30-bit token space
+    aliases distinct tokens onto identical bit contributions (and the
+    60-bit portable fingerprint needs an affine remix for its top 30
+    bits); fast mode gives 60 independent bits directly."""
+    if fp_bits == 60:
+        sim = P.simhash60_from_hashes("_tok_hashes", SPARK, hash_mode)
+    else:
+        sim = P.simhash32_from_hashes("_tok_hashes", SPARK)
     return (
         df.withColumn("_tokens", F.expr(P.tokens(text_col, SPARK)))
-        .withColumn("_tok_hashes", F.expr(P.hash_array("_tokens", SPARK)))
-        .withColumn(out_col, F.expr(expr("_tok_hashes", SPARK)))
+        .withColumn("_tok_hashes", F.expr(P.hash_array("_tokens", SPARK, hash_mode)))
+        .withColumn(out_col, F.expr(sim))
         .drop("_tokens", "_tok_hashes")
     )
 
@@ -474,6 +502,7 @@ def simhash_near_pairs(
     bands: int = 4,
     signature: str = "vectorized",
     fp_bits: int = 32,
+    hash_mode: str = P.PORTABLE,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``
     via the PIGEONHOLE banding trick (the Google near-dup search): split
@@ -498,12 +527,12 @@ def simhash_near_pairs(
     prefer the capped MinHash path; the chunk join here is the textbook
     formulation.
     """
-    if signature == "vectorized":
+    if signature == "vectorized" and hash_mode == P.PORTABLE:
         sig = simhash_vectorized(df, id_col, text_col, fp_bits=fp_bits)
     else:
-        sig = with_simhash(df, text_col, fp_bits=fp_bits).select(
-            F.col(id_col), F.col("simhash")
-        )
+        sig = with_simhash(
+            df, text_col, fp_bits=fp_bits, hash_mode=hash_mode
+        ).select(F.col(id_col), F.col("simhash"))
     return hamming_near_pairs(
         sig, id_col, "simhash",
         fp_bits=fp_bits, max_hamming=max_hamming, bands=bands,
@@ -521,8 +550,14 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | str | None = None,
     signature: str = "vectorized",
     method: str = "index",
+    hash_mode: str = P.PORTABLE,
 ) -> DataFrame:
     """Set-similarity join via inverted index (no cross join).
+
+    ``hash_mode="fast"`` keys the inverted index by xxhash64 shingles
+    (production corpus-scale setting — see :func:`with_shingle_hashes`);
+    it implies the SQL signature path (the Arrow twin mirrors the
+    portable hash only).
 
     The exploded (id, size, hash) frame is materialized ONCE
     (``localCheckpoint``) before the self-join: both join aliases read
@@ -559,14 +594,14 @@ def ngram_jaccard_pairs(
     if threshold <= 0:
         raise ValueError("inverted-index jaccard join requires threshold > 0")
     _tune_session(df)
-    if signature == "vectorized":
+    if signature == "vectorized" and hash_mode == P.PORTABLE:
         prepped = shingle_hashsets_vectorized(
             df, id_col, text_col, n=n, extra_cols=(block_col,) if block_col else ()
         )
         if block_col:
             prepped = prepped.withColumnRenamed(block_col, "_block")
     else:
-        prepped = with_shingle_hashes(df, text_col, n).select(
+        prepped = with_shingle_hashes(df, text_col, n, hash_mode=hash_mode).select(
             F.col(id_col).alias("_id"),
             F.array_distinct("shingle_hashes").alias("_hashset"),
             *([F.col(block_col).alias("_block")] if block_col else []),
@@ -693,6 +728,7 @@ def weighted_jaccard_pairs(
     threshold: float = 0.3,
     block_col: str | None = None,
     max_item_df: int | None = None,
+    hash_mode: str = P.PORTABLE,
 ) -> DataFrame:
     """EXACT weighted (multiset) Jaccard self-join:
     ``sum_t min(tf_a, tf_b) / sum_t max(tf_a, tf_b)`` over term
@@ -724,7 +760,7 @@ def weighted_jaccard_pairs(
     text = f"coalesce({text_col}, '')"
     base = df.select(
         F.col(id_col).alias("_id"),
-        F.expr(P.hash_array(P.tokens(text, SPARK), SPARK)).alias("_th"),
+        F.expr(P.hash_array(P.tokens(text, SPARK), SPARK, hash_mode)).alias("_th"),
         *([F.col(block_col).alias("_block")] if block_col else []),
     )
     # _th materialized as a column first: the n-gram expression reads it
@@ -733,7 +769,7 @@ def weighted_jaccard_pairs(
     base = base.withColumn(
         "_arr",
         F.col("_th") if n == 1
-        else F.expr(P.token_hash_ngrams_all("_th", n, SPARK)),
+        else F.expr(P.token_hash_ngrams_all("_th", n, SPARK, hash_mode)),
     )
     blk = ["_block"] if block_col else []
     weights = (
@@ -802,6 +838,7 @@ def tfidf_cosine_pairs(
     threshold: float = 0.5,
     block_col: str | None = None,
     max_item_df: int | None = None,
+    hash_mode: str = P.PORTABLE,
 ) -> DataFrame:
     """EXACT tf-idf cosine self-join over token (``n=1``) or positional
     n-gram term frequencies — the classic IR similarity, as an
@@ -830,12 +867,12 @@ def tfidf_cosine_pairs(
     text = f"coalesce({text_col}, '')"
     base = df.select(
         F.col(id_col).alias("_id"),
-        F.expr(P.hash_array(P.tokens(text, SPARK), SPARK)).alias("_th"),
+        F.expr(P.hash_array(P.tokens(text, SPARK), SPARK, hash_mode)).alias("_th"),
         *([F.col(block_col).alias("_block")] if block_col else []),
     ).withColumn(
         "_arr",
         F.col("_th") if n == 1
-        else F.expr(P.token_hash_ngrams_all("_th", n, SPARK)),
+        else F.expr(P.token_hash_ngrams_all("_th", n, SPARK, hash_mode)),
     )
     blk = ["_block"] if block_col else []
     tf = (
@@ -1359,6 +1396,7 @@ def repeated_span_profile(
     *,
     n: int = 5,
     min_docs: int = 2,
+    hash_mode: str = P.PORTABLE,
 ) -> DataFrame:
     """Exact-substring duplication profile: per document, how much of it
     is covered by n-token spans that ALSO appear in ≥ ``min_docs``
@@ -1386,7 +1424,25 @@ def repeated_span_profile(
     from pyspark.sql import Window as W
 
     _tune_session(df)
-    grams = positional_shingles_vectorized(df, id_col, text_col, n=n)
+    if hash_mode == P.PORTABLE:
+        grams = positional_shingles_vectorized(df, id_col, text_col, n=n)
+    else:
+        # fast (xxhash64) shingle keys: pure-codegen SQL twin of the
+        # Arrow pass — the production keyspace at corpus scale (see
+        # :func:`with_shingle_hashes` for the collision envelope)
+        text = f"coalesce({text_col}, '')"
+        grams = (
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.expr(P.hash_array(P.tokens(text, SPARK), SPARK, hash_mode))
+                .alias("_th"),
+            )
+            .withColumn("_ntok", F.expr(P.size("_th", SPARK)).cast("long"))
+            .withColumn(
+                "_grams", F.expr(P.token_hash_ngrams_all("_th", n, SPARK, hash_mode))
+            )
+            .select("_id", "_ntok", "_grams")
+        )
     grams = grams.localCheckpoint(eager=False)
     pos = grams.select(
         "_id", "_ntok", F.posexplode("_grams").alias("_pos0", "_sh")
@@ -1428,6 +1484,7 @@ def remove_repeated_spans(
     *,
     n: int = 5,
     min_docs: int = 2,
+    hash_mode: str = P.PORTABLE,
 ) -> DataFrame:
     """Exact-substring deduplication SURGERY: rewrite every document by
     removing n-token windows that also occur in ≥ ``min_docs`` documents,
@@ -1462,8 +1519,10 @@ def remove_repeated_spans(
             F.col(id_col).alias("_id"),
             F.expr(P.tokens(text, SPARK)).alias("_toks"),
         )
-        .withColumn("_th", F.expr(P.hash_array("_toks", SPARK)))
-        .withColumn("_grams", F.expr(P.token_hash_ngrams_all("_th", n, SPARK)))
+        .withColumn("_th", F.expr(P.hash_array("_toks", SPARK, hash_mode)))
+        .withColumn(
+            "_grams", F.expr(P.token_hash_ngrams_all("_th", n, SPARK, hash_mode))
+        )
         .select("_id", "_toks", "_grams")
         .localCheckpoint(eager=False)
     )
@@ -1540,6 +1599,7 @@ def containment_pairs(
     signature: str = "vectorized",
     max_shingle_df: int | None = None,
     method: str = "index",
+    hash_mode: str = P.PORTABLE,
 ) -> DataFrame:
     """ASYMMETRIC set-containment join: ordered pairs where either
     direction's containment ``|Sa ∩ Sb| / |Sa|`` (integer ppm over
@@ -1585,10 +1645,13 @@ def containment_pairs(
             "max_shingle_df knob — pass one or the other"
         )
     _tune_session(df)
-    if signature == "vectorized":
+    if signature == "vectorized" and hash_mode == P.PORTABLE:
         prepped = shingle_hashsets_vectorized(df, id_col, text_col, n=n)
     else:
-        prepped = with_shingle_hashes(df, text_col, n).select(
+        # fast (xxhash64) mode goes through the SQL chain — the Arrow
+        # twin mirrors the portable hash only (collision envelope in
+        # :func:`with_shingle_hashes`)
+        prepped = with_shingle_hashes(df, text_col, n, hash_mode=hash_mode).select(
             F.col(id_col).alias("_id"),
             F.array_distinct("shingle_hashes").alias("_hashset"),
         )

@@ -1480,6 +1480,8 @@ def weighted_median(
     group_col: str,
     value_col: str,
     weight_col: str,
+    *,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """Exact lower weighted median per group: the smallest value ``v``
     whose cumulative weight reaches half the group total
@@ -1494,34 +1496,114 @@ def weighted_median(
     frame, partitioned by group and bounded by the per-group distinct-
     value cardinality — never a corpus-sized sort.  Integer weights ->
     exact integer arithmetic end to end (the ``2 * cum >= W`` form
-    avoids halving).  NULL values/weights are excluded (SQL aggregate
-    semantics); groups whose weights are all NULL/zero yield no row.
+    avoids halving).
+
+    Weight semantics: NULL values/weights and ZERO weights are excluded
+    (a zero-weight observation cannot move a weighted median); a
+    NEGATIVE weight is rejected at runtime with ``raise_error`` — it is
+    almost always corrupt input and silently dropping it would shift
+    the median with no signal.  Groups whose weights are all NULL/zero
+    yield no row.
+
+    Float hazard + escape: a double/float ``value_col`` makes the
+    exact-value histogram ~one row per input row — the per-group window
+    re-becomes a single corpus-sized task (the hazard its sibling
+    ``grouped_rank_exact`` guards).  Such columns must pass
+    ``bucket_width``: values histogram at ``floor(v/width)`` resolution
+    first, the crossing BUCKET is located on the small frame, and only
+    that bucket's rows are re-scanned for the exact in-bucket crossing —
+    still the EXACT weighted median, with the window bounded by bucket
+    occupancy instead of distinct-value cardinality.
 
     Returns ``(group_col, weighted_median, total_weight)``.
     """
+    vt = df.schema[value_col].dataType.simpleString()
+    if vt in ("double", "float") and bucket_width is None:
+        raise ValueError(
+            f"weighted_median: {value_col!r} is {vt} — the exact-value "
+            "histogram would hold ~one row per distinct value (a corpus-"
+            "sized single-task window per group). Pass bucket_width to "
+            "locate the crossing bucket first (result is still exact)."
+        )
+    # zero weights drop; negative weights fail LOUDLY (corrupt input)
+    weight_ok = F.when(
+        F.col(weight_col) < 0,
+        F.expr(
+            "raise_error(concat('weighted_median: negative weight in "
+            f"{weight_col}: ', cast({weight_col} as string)))"
+        ).cast("boolean"),
+    ).otherwise(F.col(weight_col) > 0)
     base = df.where(
-        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
-        & (F.col(weight_col) > 0)
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull() & weight_ok
     )
-    hist = base.groupBy(group_col, value_col).agg(
-        F.sum(weight_col).alias("_w")
+    if bucket_width is None:
+        hist = base.groupBy(group_col, value_col).agg(
+            F.sum(weight_col).alias("_w")
+        )
+        w_run = Window.partitionBy(group_col).orderBy(
+            F.asc(value_col)
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        w_all = Window.partitionBy(group_col).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = hist.select(
+            group_col, value_col,
+            F.sum("_w").over(w_run).alias("_cum"),
+            F.sum("_w").over(w_all).alias("_W"),
+        )
+        return (
+            cum.where(F.expr("2 * _cum >= _W"))
+            .groupBy(group_col)
+            .agg(
+                F.min(value_col).alias("weighted_median"),
+                F.min("_W").alias("total_weight"),
+            )
+        )
+    # ---- bucketed locate-then-rescan (exact; float-safe) ----
+    b = base.select(
+        group_col,
+        F.col(value_col).alias("_v"),
+        F.col(weight_col).alias("_wt"),
+        F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long").alias("_bkt"),
     )
-    w_run = Window.partitionBy(group_col).orderBy(F.asc(value_col)).rowsBetween(
+    hist = b.groupBy(group_col, "_bkt").agg(F.sum("_wt").alias("_w"))
+    w_run = Window.partitionBy(group_col).orderBy(F.asc("_bkt")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     w_all = Window.partitionBy(group_col).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     cum = hist.select(
-        group_col, value_col,
+        group_col, "_bkt",
+        (F.sum("_w").over(w_run) - F.col("_w")).alias("_before"),
         F.sum("_w").over(w_run).alias("_cum"),
         F.sum("_w").over(w_all).alias("_W"),
     )
-    return (
-        cum.where(F.expr("2 * _cum >= _W"))
-        .groupBy(group_col)
-        .agg(
-            F.min(value_col).alias("weighted_median"),
-            F.min("_W").alias("total_weight"),
-        )
+    # the crossing bucket: first bucket whose cumulative weight reaches
+    # half the total — exactly one per nonempty group.  Fresh aliases
+    # (_pre/_tot) break the shared-lineage attribute names that the
+    # self-join would otherwise resolve ambiguously.
+    located = cum.where(
+        (F.expr("2 * _cum >= _W")) & (F.expr("2 * _before < _W"))
+    ).select(
+        group_col, "_bkt",
+        F.col("_before").alias("_pre"), F.col("_W").alias("_tot"),
+    )
+    # re-scan ONLY that bucket's rows: in-bucket running sum picks the
+    # exact crossing value (ties collapse first so equal values share
+    # one cumulative position, matching the exact-value path)
+    cand = b.join(F.broadcast(located), on=[group_col, "_bkt"])
+    in_hist = cand.groupBy(group_col, "_v", "_pre", "_tot").agg(
+        F.sum("_wt").alias("_w")
+    )
+    wv = Window.partitionBy(group_col).orderBy(F.asc("_v")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    picked = in_hist.select(
+        group_col, "_v", "_tot",
+        (F.col("_pre") + F.sum("_w").over(wv)).alias("_cum"),
+    ).where(F.expr("2 * _cum >= _tot"))
+    return picked.groupBy(group_col).agg(
+        F.min("_v").alias("weighted_median"),
+        F.min("_tot").alias("total_weight"),
     )

@@ -59,9 +59,13 @@ def with_token_counts(df: DataFrame, text_col: str) -> DataFrame:
     return out if had else out.drop("_tokens")
 
 
-def with_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
-    """Rolling-hash fingerprint over normalized text."""
-    return df.withColumn(out_col, F.expr(P.fingerprint(text_col, SPARK)))
+def with_fingerprint(
+    df: DataFrame, text_col: str, out_col: str = "fingerprint",
+    *, hash_mode: str = P.PORTABLE,
+) -> DataFrame:
+    """Fingerprint over normalized text.  ``hash_mode="fast"`` = xxhash64,
+    the corpus-scale keyspace (see ``portable`` hashing section)."""
+    return df.withColumn(out_col, F.expr(P.fingerprint(text_col, SPARK, hash_mode)))
 
 
 def weighted_quality_by_group(
@@ -638,6 +642,7 @@ def with_repetition_flags(
     dup_line_max_ppm: int = 300_000,
     top2_max_ppm: int = 200_000,
     top3_max_ppm: int = 180_000,
+    hash_mode: str = P.PORTABLE,
 ) -> DataFrame:
     """Gopher REPETITION signals (arXiv:2112.11446 App. A1.1) — the
     within-document repetition family ``with_gopher_flags`` doesn't
@@ -657,7 +662,12 @@ def with_repetition_flags(
     N-grams hash via the portable rolling hash (positional,
     ``P.token_hash_ngrams_all``) so the DuckDB oracle agrees bitwise;
     blank lines are EXCLUDED from the line stats (a markdown doc's
-    empty separators are not meaningful duplicates).
+    empty separators are not meaningful duplicates).  Gram keys here are
+    per-DOCUMENT (keyspace pressure is doc length, not corpus size), so
+    the portable default holds far longer than the cross-corpus
+    operators' — still, ``hash_mode="fast"`` (xxhash64) removes even
+    the long-document tail (a 10⁵-gram doc expects ~2.5 colliding gram
+    pairs in the ~30-bit space).
     """
     from .dedup import _tune_session  # noqa: PLC0415 — no cycle
 
@@ -681,14 +691,14 @@ def with_repetition_flags(
     )
     # ---- top n-gram coverage: positional shingle hashes per doc
     toked = base.withColumn(
-        "_th", F.expr(P.hash_array(P.tokens(text_col, SPARK), SPARK))
+        "_th", F.expr(P.hash_array(P.tokens(text_col, SPARK), SPARK, hash_mode))
     ).withColumn("n_tokens", F.expr(P.size("_th", SPARK)).cast("long"))
 
     def top_gram(n: int, out: str) -> DataFrame:
         grams = toked.select(
             F.col(id_col),
             F.explode(
-                F.expr(P.token_hash_ngrams_all("_th", n, SPARK))
+                F.expr(P.token_hash_ngrams_all("_th", n, SPARK, hash_mode))
             ).alias("_g"),
         )
         per_gram = grams.groupBy(id_col, "_g").agg(
@@ -868,6 +878,7 @@ def shared_ngram_profile(
     *,
     n: int = 8,
     min_docs: int = 2,
+    hash_mode: str = P.PORTABLE,
 ) -> DataFrame:
     """Cross-document repeated-span exposure (the memorization-risk
     audit of Lee et al., arXiv:2107.06499, at n-gram resolution): for
@@ -896,14 +907,14 @@ def shared_ngram_profile(
     # measured 135s -> ~2s for the explode alone at sf0.1
     toked = df.select(
         F.col(id_col),
-        F.expr(P.hash_array(P.tokens(text_col, SPARK), SPARK)).alias(
+        F.expr(P.hash_array(P.tokens(text_col, SPARK), SPARK, hash_mode)).alias(
             "_th"
         ),
     )
     grams = toked.select(
         F.col(id_col),
         F.explode(
-            F.expr(P.token_hash_ngrams_all("_th", n, SPARK))
+            F.expr(P.token_hash_ngrams_all("_th", n, SPARK, hash_mode))
         ).alias("_g"),
     )
     # distinct docs per gram: (gram, doc) dedupe then count — both
@@ -942,6 +953,8 @@ def bigram_coherence(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    *,
+    hash_mode: str = P.PORTABLE,
 ) -> DataFrame:
     """Corpus-LM coherence score: how *predictable* each document's
     token stream is under the corpus's own bigram language model — the
@@ -971,9 +984,21 @@ def bigram_coherence(
     that (a pathologically repeated bigram at extreme corpus scale),
     shard the corpus or widen to decimal.
 
+    ``hash_mode="fast"`` keys tokens and bigrams by xxhash64 — the
+    corpus-scale setting: the portable ~30-bit token/bigram keyspace
+    conflates distinct words once the vocabulary approaches 10⁶,
+    corrupting both count tables identically in Spark and the oracle
+    (the collision is invisible to the value compare).
+
     Returns ``(id_col, n_bigrams, coherence_ppm)``.
     """
-    th_expr = P.hash_array(P.tokens(text_col, SPARK), SPARK)
+    th_expr = P.hash_array(P.tokens(text_col, SPARK), SPARK, hash_mode)
+    if hash_mode == P.FAST:
+        h12 = "xxhash64(element_at(_th, i), element_at(_th, i + 1))"
+    else:
+        h12 = (
+            f"(element_at(_th, i) * 31 + element_at(_th, i + 1)) % {P.PRIME}"
+        )
     base = df.select(F.col(id_col), F.expr(th_expr).alias("_th"))
     pairs = base.select(
         F.col(id_col),
@@ -981,9 +1006,7 @@ def bigram_coherence(
             "case when size(_th) < 2 then "
             "cast(array() as array<struct<h1:bigint,h12:bigint>>) else "
             "transform(sequence(1, size(_th) - 1), i -> struct("
-            "element_at(_th, i) as h1, "
-            f"(element_at(_th, i) * 31 + element_at(_th, i + 1)) % {P.PRIME} "
-            "as h12)) end"
+            f"element_at(_th, i) as h1, {h12} as h12)) end"
         )).alias("_b"),
     ).select(id_col, "_b.h1", "_b.h12")
     # collapse repeats within a document before any join; materialize —
@@ -1287,6 +1310,7 @@ def duplicate_sentence_profile(
     text_col: str,
     *,
     min_docs: int = 2,
+    hash_mode: str = P.PORTABLE,
 ) -> DataFrame:
     """C4-style sentence-level duplication profile: per document, how
     many of its sentences also occur (normalized) in at least
@@ -1297,8 +1321,12 @@ def duplicate_sentence_profile(
     A "sentence" is a maximal ``[.!?]``-free run, lowercased with
     whitespace collapsed (a lookbehind sentence splitter is not
     portable to RE2 engines; the normalized run is the dedup KEY, not
-    a linguistic claim).  Sentences travel as rolling hashes —
-    shuffles carry bigints, never sentence text.
+    a linguistic claim).  Sentences travel as hashes — shuffles carry
+    bigints, never sentence text.  ``hash_mode="fast"`` keys sentences
+    by xxhash64: MANDATORY at corpus scale — the portable ~30-bit space
+    expects K²/2·10⁹ false-equal sentence pairs (≈5·10⁶ at K=10⁸
+    distinct sentences; saturated at K≥10⁹), silently over-merging;
+    xxhash64's envelope is K²/2⁶⁵ (≈0.03 at K=10⁹).
 
     Scale shape: one scan explodes (doc, sentence-hash) occurrences;
     the shared set is (hash, doc)-distinct -> count >= min_docs (both
@@ -1315,7 +1343,7 @@ def duplicate_sentence_profile(
     )
     occ = df.select(
         F.col(id_col),
-        F.explode(F.expr(P.hash_array(sent_arr, SPARK))).alias("_sh"),
+        F.explode(F.expr(P.hash_array(sent_arr, SPARK, hash_mode))).alias("_sh"),
     ).localCheckpoint(eager=False)  # two consumers: shared set + probe
     shared = (
         occ.select(id_col, "_sh").distinct()
@@ -1355,6 +1383,8 @@ def bpe_apply_piece_counts(
     id_col: str,
     text_col: str,
     merges: list,
+    *,
+    memo_cap: int = 1_000_000,
 ) -> DataFrame:
     """Corpus-scale BPE APPLY: ``(id, n_tokens, n_pieces)`` under a
     FIXED merge list — one Arrow ``mapInPandas`` pass with a
@@ -1369,6 +1399,12 @@ def bpe_apply_piece_counts(
     pathologically slow/GC-unstable at corpus scale (a 280s outlier at
     sf0.1), while this kernel is a memoized linear pass.  Scan-parallel,
     zero shuffle.
+
+    ``memo_cap`` bounds the per-task memo (a Zipf corpus hits steady
+    state long before the default 1M entries; an adversarial all-
+    distinct-words corpus would otherwise grow the dict for the
+    lifetime of the Python worker).  On a full memo new words segment
+    without being stored — output unchanged, only the hit rate drops.
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -1399,8 +1435,10 @@ def bpe_apply_piece_counts(
                     else:
                         out.append(s)
                 syms = out
-            memo[w] = len(syms)
-            return memo[w]
+            n = len(syms)
+            if len(memo) < memo_cap:  # drop-on-full: bounded memory
+                memo[w] = n
+            return n
 
         for pdf in batches:
             if len(pdf) == 0:

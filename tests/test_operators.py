@@ -4305,6 +4305,40 @@ class TestVideoNearDup:
         # c: no positive-weight non-null values -> no row
         assert got == {"a": (30, 102), "b": (5, 6), "d": (9, 2)}
 
+    def test_weighted_median_float_guard_and_bucketed_path(self, spark):
+        import pytest as _pytest
+
+        rows = [("a", float(v), w) for v, w in
+                [(10, 1), (20, 1), (30, 100), (10.5, 7), (29.5, 4)]]
+        rows += [("b", 5.0, 3), ("b", 7.0, 3)]
+        dbl = spark.createDataFrame(rows, "g string, v double, w int")
+        # double value column without bucket_width -> loud refusal
+        # (the histogram would re-become corpus-sized)
+        with _pytest.raises(ValueError, match="bucket_width"):
+            relational.weighted_median(dbl, "g", "v", "w")
+        # bucketed locate-then-rescan is still EXACT: equals brute force
+        got = {r["g"]: (r["weighted_median"], r["total_weight"])
+               for r in relational.weighted_median(
+                   dbl, "g", "v", "w", bucket_width=8.0).collect()}
+        # a: W=113, half=56.5; cum: 10->1, 10.5->8, 20->9, 29.5->13,
+        # 30->113 -> crossing value 30
+        assert got == {"a": (30.0, 113), "b": (5.0, 6)}
+        # crossing INSIDE a bucket (not at its first value): tight widths
+        for bw in (0.7, 2.0, 1000.0):
+            g2 = {r["g"]: r["weighted_median"]
+                  for r in relational.weighted_median(
+                      dbl, "g", "v", "w", bucket_width=bw).collect()}
+            assert g2 == {"a": 30.0, "b": 5.0}, bw
+
+    def test_weighted_median_negative_weight_raises(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [("a", 1, 2), ("a", 2, -3)], "g string, v int, w int"
+        )
+        with _pytest.raises(Exception, match="negative weight"):
+            relational.weighted_median(df, "g", "v", "w").collect()
+
     def test_duplicate_sentence_profile(self, spark):
         from ayeaye_spark.operators.text import duplicate_sentence_profile
 
@@ -4363,6 +4397,34 @@ class TestVideoNearDup:
         expect = {i: sum(apply_word(w) for w in (t or "").lower().split())
                   for i, t in rows}
         assert got == expect and got[3] == 0
+
+    def test_bpe_apply_memo_cap_bounded_and_identical(self, spark):
+        """Adversarial all-distinct-words corpus: a tiny memo_cap keeps
+        the per-task dict bounded while the output stays EQUAL to the
+        uncapped kernel (the memo is a cache, never semantics)."""
+        from ayeaye_spark.operators.text import (
+            bpe_apply_piece_counts, bpe_top_merges,
+        )
+
+        # every word distinct -> zero memo reuse, worst case for growth
+        rows = [(i, " ".join(f"w{i}x{j}" for j in range(12)))
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        merges = [(r["left"], r["right"]) for r in
+                  bpe_top_merges(df, "text", n_merges=3)
+                  .orderBy("merge_rank").collect()]
+        uncapped = sorted(map(tuple, bpe_apply_piece_counts(
+            df, "doc_id", "text", merges).collect()))
+        capped = sorted(map(tuple, bpe_apply_piece_counts(
+            df, "doc_id", "text", merges, memo_cap=16).collect()))
+        assert capped == uncapped
+        # and the cap actually binds in-process: replay the kernel shape
+        memo, cap = {}, 16
+        for _, t in rows:
+            for w in t.split():
+                if w not in memo and len(memo) < cap:
+                    memo[w] = 1
+        assert len(memo) == cap  # flat at the cap, not corpus-sized
 
     def test_vocab_coverage_matches_bruteforce(self, spark):
         """Class-closed-form coverage equals naive per-token ranking."""
@@ -5248,3 +5310,150 @@ class TestPalettedPng:
         bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
         assert _png_pixel_array(bad) is None
+
+
+class TestHashModeEquivalence:
+    """fast (xxhash64) vs portable (rolling mod 1e9+7) hash paths.
+
+    Both keyspaces are collision-free on the fixture corpus, so every
+    hash-VALUE-independent output — survivor sets, pair sets, counts,
+    ppm ratios — must be IDENTICAL between modes; only the hash columns
+    themselves differ.  This is the contract that lets production runs
+    flip ``hash_mode="fast"`` (the 100 TB keyspace, K²/2⁶⁵ collision
+    envelope) while the DuckDB oracle pins ``portable``.
+    """
+
+    @staticmethod
+    def _docs(spark, n=120):
+        from tests.conftest import SF_SMALL
+        from ayeaye_spark.catalog import load
+
+        return load(spark, SF_SMALL, "documents").where(
+            F.col("doc_id") < n
+        ).select("doc_id", "text")
+
+    def test_fingerprint_dedup_same_groups(self, spark):
+        df = self._docs(spark)
+        def groups(mode):
+            return sorted(
+                (r["keep_id"], r["dup_count"])
+                for r in dedup.fingerprint_dedup(
+                    df, "text", "doc_id", hash_mode=mode
+                ).collect()
+            )
+        assert groups("portable") == groups("fast")
+
+    def test_ngram_jaccard_pairs_identical(self, spark):
+        df = self._docs(spark)
+        def pairs(mode):
+            return sorted(
+                (r["doc_id_a"], r["doc_id_b"], round(r["jaccard"], 9))
+                for r in dedup.ngram_jaccard_pairs(
+                    df, "doc_id", "text", n=3, threshold=0.2,
+                    signature="sql", hash_mode=mode,
+                ).collect()
+            )
+        got = pairs("fast")
+        assert got == pairs("portable")
+
+    def test_containment_pairs_identical(self, spark):
+        df = self._docs(spark)
+        def pairs(mode):
+            return sorted(
+                map(tuple, dedup.containment_pairs(
+                    df, "doc_id", "text", n=3, min_containment_ppm=500_000,
+                    signature="sql", hash_mode=mode,
+                ).collect())
+            )
+        assert pairs("fast") == pairs("portable")
+
+    def test_duplicate_sentence_profile_identical(self, spark):
+        from ayeaye_spark.operators import text as T
+
+        df = self._docs(spark)
+        def prof(mode):
+            return sorted(map(tuple, T.duplicate_sentence_profile(
+                df, "doc_id", "text", hash_mode=mode
+            ).collect()))
+        assert prof("fast") == prof("portable")
+
+    def test_bigram_coherence_identical(self, spark):
+        from ayeaye_spark.operators import text as T
+
+        df = self._docs(spark)
+        def coh(mode):
+            return sorted(map(tuple, T.bigram_coherence(
+                df, "doc_id", "text", hash_mode=mode
+            ).collect()))
+        assert coh("fast") == coh("portable")
+
+    def test_repeated_spans_identical(self, spark):
+        df = self._docs(spark, n=60)
+        def prof(mode):
+            return sorted(map(tuple, dedup.repeated_span_profile(
+                df, "doc_id", "text", n=5, hash_mode=mode
+            ).collect()))
+        assert prof("fast") == prof("portable")
+        def cut(mode):
+            return sorted(
+                (r["doc_id"], r["total_tokens"], r["removed_tokens"],
+                 r["clean_text"])
+                for r in dedup.remove_repeated_spans(
+                    df, "doc_id", "text", n=5, hash_mode=mode
+                ).collect()
+            )
+        assert cut("fast") == cut("portable")
+
+    def test_simhash60_fast_finds_planted_near_dup(self, spark):
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "naps beside the quiet river bank every single afternoon")
+        # same token multiset (case/ws variants) -> Hamming 0 under any
+        # hash; a disjoint doc lands >3 away w.p. 1 - 2^-40ish on 60
+        # independent fast bits
+        df = spark.createDataFrame(
+            [(1, base), (2, base.upper().replace(" ", "   ")),
+             (3, "completely different words about quantum "
+                 "chromodynamics lattice gauge computations nothing shared")],
+            ["doc_id", "text"],
+        )
+        pairs = dedup.simhash_near_pairs(
+            df, "doc_id", "text", fp_bits=60, bands=4, max_hamming=3,
+            hash_mode="fast",
+        ).collect()
+        assert [(p["doc_id_a"], p["doc_id_b"]) for p in pairs] == [(1, 2)]
+        # fast 60-bit fingerprints use 60 INDEPENDENT hash bits: the
+        # fingerprint must differ from the portable (remixed) one
+        fp_fast = dedup.with_simhash(
+            df, "text", fp_bits=60, hash_mode="fast"
+        ).collect()[0]["simhash"]
+        fp_port = dedup.with_simhash(df, "text", fp_bits=60).collect()[0]["simhash"]
+        assert fp_fast != fp_port
+
+    def test_weighted_jaccard_and_tfidf_identical(self, spark):
+        df = self._docs(spark, n=80)
+        def wj(mode):
+            return sorted(
+                (r["doc_id_a"], r["doc_id_b"], round(r["weighted_jaccard"], 9))
+                for r in dedup.weighted_jaccard_pairs(
+                    df, "doc_id", "text", n=2, threshold=0.2, hash_mode=mode
+                ).collect()
+            )
+        assert wj("fast") == wj("portable")
+        def cos(mode):
+            return sorted(
+                (r["doc_id_a"], r["doc_id_b"], round(r["cosine"], 9))
+                for r in dedup.tfidf_cosine_pairs(
+                    df, "doc_id", "text", threshold=0.5, hash_mode=mode
+                ).collect()
+            )
+        assert cos("fast") == cos("portable")
+
+    def test_bogus_mode_raises(self, spark):
+        df = self._docs(spark, n=5)
+        import pytest as _pytest
+        from ayeaye_spark.functions import portable as P
+
+        with _pytest.raises(ValueError, match="hash mode"):
+            P.char_hash("x", P.SPARK, "bogus")
+        with _pytest.raises(ValueError, match="hash mode"):
+            dedup.fingerprint_dedup(df, "text", "doc_id", hash_mode="xx")
