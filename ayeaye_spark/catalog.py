@@ -1641,6 +1641,59 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_hash_collision_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT unnest({P.tokens('text', DUCK)}) AS tok FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+           CAST(COUNT(DISTINCT {P.char_hash('tok', DUCK)}) AS BIGINT)
+             AS distinct_portable_hashes,
+           CAST(COUNT(DISTINCT {P.fast_hash('tok', DUCK)}) AS BIGINT)
+             AS distinct_fast_hashes,
+           CAST(COUNT(*) - COUNT(DISTINCT {P.char_hash('tok', DUCK)}) AS BIGINT)
+             AS portable_collisions,
+           CAST(COUNT(*) - COUNT(DISTINCT {P.fast_hash('tok', DUCK)}) AS BIGINT)
+             AS fast_collisions
+    FROM toks
+    """,
+)
+def docs_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the hash-keyspace collision envelope
+    (``functions/portable.py`` hashing section): distinct corpus tokens
+    vs distinct hash values under BOTH hash paths.  ``*_collisions`` is
+    the number of token pairs silently merged by each keyspace — the
+    quantity that makes the ~30-bit portable hash unusable at 10⁸+
+    distinct keys (expected K²/2·10⁹) while xxhash64 stays ~0
+    (K²/2⁶⁵).  Value-oracle-able even though the two engines' FAST
+    hashes differ: the OUTPUT is counts, and both 64-bit spaces are
+    collision-free at any testable K, so the counts agree.
+
+    Scale shape: explode → distinct (one token-keyed shuffle, map-side
+    combined) → per-distinct-token hashes → one global multi-distinct
+    aggregate (Expand×3, partial/final).  The audit you run BEFORE
+    choosing ``hash_mode`` on a new corpus."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr(P.tokens("text", SPARK))).alias("tok")
+    ).distinct()
+    hashed = toks.select(
+        "tok",
+        F.expr(P.char_hash("tok", SPARK)).alias("_hp"),
+        F.expr(P.fast_hash("tok", SPARK)).alias("_hf"),
+    )
+    return hashed.agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+        F.countDistinct("_hp").cast("long").alias("distinct_portable_hashes"),
+        F.countDistinct("_hf").cast("long").alias("distinct_fast_hashes"),
+        (F.count(F.lit(1)) - F.countDistinct("_hp")).cast("long")
+        .alias("portable_collisions"),
+        (F.count(F.lit(1)) - F.countDistinct("_hf")).cast("long")
+        .alias("fast_collisions"),
+    )
+
+
+@query(
     "doc_vocabulary_top50",
     oracle=f"""
     SELECT token, n FROM (

@@ -10,10 +10,11 @@ North-star component (BASELINE.json).  Design for 100 TB of media:
 * the decode kernel is pluggable (pass ``decoder=`` a PIL/ffmpeg-backed
   callable in production), but the built-in kernels are REAL for every
   fixture format with zero external dependencies: uncompressed BMP,
-  8-bit PNG (stdlib zlib + hand-undone scanline filters), GIF (stdlib
-  LZW, stills + animated frame compositing), baseline JPEG (numpy
-  Huffman + IDCT), and WAV (PCM + G.711 mu-law/A-law).  Only exotic
-  variants (progressive JPEG, paletted PNG, compressed BMP) fall back
+  8-bit PNG (stdlib zlib + hand-undone scanline filters; grayscale /
+  RGB / RGBA / paletted via PLTE expansion), GIF (stdlib LZW, stills +
+  animated frame compositing), baseline JPEG (numpy Huffman + IDCT),
+  and WAV (PCM + G.711 mu-law/A-law).  Only exotic variants
+  (progressive JPEG, 16-bit/interlaced PNG, compressed BMP) fall back
   to header metadata or the clearly-marked deterministic fake.
 """
 
@@ -293,8 +294,9 @@ def _png_pixel_array(b: bytes):
     filters have to be undone by hand): ``(px, w, h, channels)`` with
     ``px`` a ``(h, w*channels)`` uint8 array, or ``None`` for non-PNG
     or unsupported variants (supported: 8-bit depth, grayscale / RGB /
-    RGBA, non-interlaced — the overwhelmingly common cases; paletted
-    and 16-bit stay header-only)."""
+    RGBA / paletted color-type-3 via PLTE expansion, non-interlaced —
+    the overwhelmingly common cases; 16-bit and interlaced stay
+    header-only)."""
     if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     import struct

@@ -265,6 +265,38 @@ def tfidf_top_terms(
     )
 
 
+def _bm25_contrib_expr(i: int) -> str:
+    """Per-term BM25 contribution over the ``(_dl, _tf{i}, _df{i},
+    _n_docs, _total_toks)`` frame — module-level so the overflow guards
+    are testable with fabricated corpus stats.
+
+    Two int64 overflow points, both guarded loudly:
+     (a) the saturation numerator: ``44 * T * tf * 1e6 <= Long.MAX``
+         requires ``T * tf <= ~2.096e11``
+     (b) the idf * sat product: ``idf_ppm <= Long.MAX div sat_ppm``
+         (sat computed per row — the guard uses the row's actual
+         saturation, not the 2.2e6 worst case; Catalyst CSEs the
+         repeated subexpression)
+    """
+    idf = f"(((2 * (_n_docs - _df{i}) + 1) * 1000000) div (2 * _df{i} + 1))"
+    sat = (
+        f"((44 * _total_toks * _tf{i} * 1000000)"
+        f" div (20 * _total_toks * _tf{i} + 6 * _total_toks"
+        f"      + 18 * _dl * _n_docs))"
+    )
+    return (
+        f"CASE WHEN _tf{i} > 0 THEN "
+        f"CASE WHEN _tf{i} > 209600000000 div greatest(_total_toks, 1) THEN "
+        f"raise_error('bm25_topk: T * tf exceeds the int64 scoring "
+        f"envelope (~2.1e11) — shard the corpus or widen to decimal') "
+        f"WHEN {idf} > 9223372036854775807 div greatest({sat}, 1) THEN "
+        f"raise_error('bm25_topk: idf * saturation exceeds int64 "
+        f"(rare term in a huge corpus) — shard the corpus or widen "
+        f"to decimal') "
+        f"ELSE {idf} * {sat} END ELSE 0 END"
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     id_col: str,
@@ -308,14 +340,19 @@ def bm25_topk(
     so the fixed written order costs nothing), and the top-k is
     Spark's ``TakeOrderedAndProject`` (per-partition heap + driver
     merge of ``topk * n_partitions`` rows — never a global sort).
-    Valid while ``44 * T * max_tf * 1e6`` fits a signed 64-bit long,
-    i.e. ``T * max_tf <= ~2.1e11`` — T up to ~2e8 tokens at tf 1000,
-    or ~2e11 tokens at tf 1.  Beyond that, run per-shard or widen the
-    arithmetic to DECIMAL(38,0) on both engines.  The envelope is
-    ENFORCED, not assumed: each term's saturation expression raises
-    (``raise_error``) when ``T * tf`` exceeds the bound instead of
-    letting non-ANSI long multiplication wrap into silent wrong
-    rankings.
+
+    Integer envelope — ENFORCED, not assumed, at BOTH overflow points:
+    (a) the saturation numerator needs ``44 * T * tf * 1e6`` to fit a
+    signed long, i.e. ``T * tf <= ~2.1e11``; (b) the final
+    ``idf_ppm * sat_ppm`` product needs ``idf_ppm <= Long.MAX /
+    sat_ppm`` — with a df=1 term the idf factor is ~0.67e6·N, so at
+    N ≈ 6e6+ documents a maximally-saturated rare term can push the
+    product past 2^63.  Each term's expression ``raise_error``s at
+    whichever bound it hits (per-row, using the row's ACTUAL
+    saturation value — no false alarms from the worst-case bound)
+    instead of letting non-ANSI long multiplication wrap into silent
+    wrong rankings.  Beyond the envelope, run per-shard or widen the
+    arithmetic to DECIMAL(38,0) on both engines.
 
     Query terms must be simple lowercase tokens (they are spliced
     into filter lambdas; single quotes are escaped).
@@ -355,25 +392,12 @@ def bm25_topk(
         ]
     )
 
-    def contrib(i: int) -> str:
-        # 44 * T * tf * 1e6 <= Long.MAX requires T * tf <= ~2.096e11;
-        # fail loudly at the boundary instead of wrapping silently
-        return (
-            f"CASE WHEN _tf{i} > 0 THEN "
-            f"CASE WHEN _tf{i} > 209600000000 div greatest(_total_toks, 1) THEN "
-            f"raise_error('bm25_topk: T * tf exceeds the int64 scoring "
-            f"envelope (~2.1e11) — shard the corpus or widen to decimal') "
-            f"ELSE "
-            f"(((2 * (_n_docs - _df{i}) + 1) * 1000000) div (2 * _df{i} + 1))"
-            f" * ((44 * _total_toks * _tf{i} * 1000000)"
-            f"    div (20 * _total_toks * _tf{i} + 6 * _total_toks"
-            f"         + 18 * _dl * _n_docs)) END ELSE 0 END"
-        )
+    score_parts = [_bm25_contrib_expr(i) for i in range(len(terms))]
 
     matched_expr = " + ".join(
         f"CAST(_tf{i} > 0 AS BIGINT)" for i in range(len(terms))
     )
-    score_expr = " + ".join(contrib(i) for i in range(len(terms)))
+    score_expr = " + ".join(score_parts)
     return (
         per_doc.crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(dfreq))
