@@ -7539,6 +7539,228 @@ def docs_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# round 9: corpus curation analytics — dup-cluster shape, cross-corpus
+# novelty, lexical diversity, tokenizer fertility, embedding hygiene, MMR
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH groups AS (
+      SELECT {P.fingerprint('text', DUCK)} AS fp, COUNT(*) AS sz
+      FROM documents GROUP BY 1
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM groups GROUP BY sz ORDER BY sz
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SHAPE report: how many exact-duplicate families
+    of each size the corpus holds and how many documents they cover —
+    the distribution that tells you whether duplication is a long tail
+    of pairs (cheap to drop) or a few monster families (boilerplate /
+    syndication, worth a source-level fix).  Two map-side-combined
+    aggregates over the fingerprint (``dedup.fingerprint_dedup``'s
+    grouping), output rows = #distinct cluster sizes (tiny)."""
+    docs = load(spark, sf_dir, "documents")
+    groups = dedup.fingerprint_dedup(docs, "text", "doc_id")
+    return (
+        groups.groupBy(F.col("dup_count").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("dup_count").cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+_NOVELTY_N = 3
+
+
+@query(
+    "docs_crosscorpus_novelty",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id,
+             {P.hash_array(P.tokens('text', DUCK), DUCK)} AS th
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest({P.token_hash_ngrams('th', _NOVELTY_N, DUCK)}) AS h
+      FROM th
+    ),
+    vocab AS (SELECT DISTINCT h FROM sh WHERE doc_id % 2 = 0),
+    probe AS (SELECT doc_id, h FROM sh WHERE doc_id % 2 = 1),
+    per_doc AS (
+      SELECT p.doc_id, COUNT(*) AS n_shingles,
+             SUM(CASE WHEN v.h IS NULL THEN 1 ELSE 0 END) AS novel_shingles
+      FROM probe p LEFT JOIN vocab v ON v.h = p.h
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(novel_shingles, 0) AS BIGINT) AS novel_shingles,
+           CAST(CASE WHEN COALESCE(n_shingles, 0) > 0
+                THEN novel_shingles * 1000000 // n_shingles
+                ELSE 0 END AS BIGINT) AS novelty_ppm
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    WHERE d.doc_id % 2 = 1
+    """,
+)
+def docs_crosscorpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-time novelty audit (``dedup.crosscorpus_novelty``):
+    treating odd doc_ids as the NEW batch and even as the existing
+    corpus, the ppm of each new document's distinct 3-gram shingles
+    unseen in the reference — "how much of this crawl is actually new
+    text".  Reference side collapses to its distinct shingle
+    VOCABULARY; probe is one hash-keyed left join; no document pairs
+    ever materialize."""
+    docs = load(spark, sf_dir, "documents")
+    new = docs.where(F.expr("doc_id % 2 = 1"))
+    ref = docs.where(F.expr("doc_id % 2 = 0"))
+    return dedup.crosscorpus_novelty(new, ref, "doc_id", "text", n=_NOVELTY_N)
+
+
+@query(
+    "docs_token_diversity",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({P.tokens('text', DUCK)}) AS t FROM documents
+    ),
+    per_tok AS (
+      SELECT doc_id, t, COUNT(*) AS c FROM occ GROUP BY doc_id, t
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+             CAST(SUM(c * c) AS BIGINT) AS sq
+      FROM per_tok GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_tokens, 0) AS n_tokens,
+           COALESCE(distinct_tokens, 0) AS distinct_tokens,
+           CAST(CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0
+                ELSE (n_tokens * n_tokens - sq) * 1000000
+                     // (n_tokens * n_tokens) END AS BIGINT)
+             AS diversity_ppm
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def docs_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gini–Simpson lexical diversity in exact integer ppm
+    (``text.token_diversity``) — the log-free entropy stand-in: low =
+    repetitive boilerplate, high = lexically rich.  One explode + two
+    map-side-combined aggregates; int64 envelope (≤3e6 tokens/doc)
+    enforced with raise_error."""
+    return textops.token_diversity(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@query(
+    "docs_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST({P.size(P.tokens('text', DUCK), DUCK)} AS BIGINT) AS ws,
+             CAST({P.size(P.regexp_tokens('text', DUCK), DUCK)} AS BIGINT) AS lex,
+             CAST(length(text) AS BIGINT) AS chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(lex) AS BIGINT) AS lex_tokens,
+           CAST(SUM(lex) * 1000000 // GREATEST(SUM(ws), 1) AS BIGINT)
+             AS fertility_ppm,
+           CAST(SUM(chars) * 1000000 // GREATEST(SUM(lex), 1) AS BIGINT)
+             AS chars_per_lex_ppm
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: lexical (BPE-ish) tokens per
+    whitespace word and characters per lexical token, in exact integer
+    ppm — the compression-rate report that decides tokenizer/vocab fit
+    per language (high fertility = the tokenizer fragments that
+    language, inflating training cost per word).  One scan (both token
+    counts in the same projection), one per-lang partial/final
+    aggregate."""
+    docs = textops.with_token_counts(load(spark, sf_dir, "documents"), "text")
+    return (
+        docs.select(
+            "lang",
+            F.col("ws_tokens").cast("long").alias("ws"),
+            F.col("lex_tokens").cast("long").alias("lex"),
+            F.length("text").cast("long").alias("chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("lex").alias("lex_tokens"),
+            F.expr("sum(lex) * 1000000 div greatest(sum(ws), 1)")
+            .alias("fertility_ppm"),
+            F.expr("sum(chars) * 1000000 div greatest(sum(lex), 1)")
+            .alias("chars_per_lex_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "emb_norm_profile",
+    oracle=f"""
+    WITH norms AS (
+      SELECT CAST(floor(sqrt({P.dot('embedding', 'embedding', DUCK)}) * 1000000)
+                  AS BIGINT) AS np
+      FROM embeddings
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MIN(np) AS min_norm_ppm,
+           MAX(np) AS max_norm_ppm,
+           CAST(SUM(np) // COUNT(*) AS BIGINT) AS mean_norm_ppm,
+           CAST(SUM(CASE WHEN np < 500000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_degenerate,
+           CAST(SUM(CASE WHEN ABS(np - 1000000) <= 10000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unit
+    FROM norms
+    """,
+)
+def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene scan (``similarity.norm_profile``): L2-norm
+    distribution + degenerate/unit-normalized counts — the pre-flight
+    check before ANN/k-means/semantic dedup.  Norms via the portable
+    sequential-fold dot (bit-identical doubles both engines), floored
+    to integer ppm so the mean is exact integer arithmetic; one scan,
+    one summary row."""
+    return similarity.norm_profile(load(spark, sf_dir, "embeddings"))
+
+
+@query("emb_mmr_diverse_topk")  # greedy-sequential: rows-only check
+def emb_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (``similarity.mmr_topk``): top-10
+    diverse-but-relevant neighbors of vector 0, pool=100, λ=0.7.  The
+    greedy objective is inherently sequential (each pick reshapes the
+    next step), hence no SQL oracle — correctness is pinned by the
+    pytest property suite (dup-heavy corpus: plain top-k returns
+    copies, MMR must not) and the bounded two-phase plan is the
+    documented scale shape (one TakeOrdered corpus scan + driver-side
+    selection over the 100-row pool)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()
+    if not qvec:
+        return similarity.mmr_topk(emb, [0.0], k=10, pool=100, lam=0.7)
+    return similarity.mmr_topk(
+        emb.where(F.col("vec_id") != 0), list(qvec[0]["embedding"]),
+        k=10, pool=100, lam=0.7,
+    )
+
+
+# --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
 # The acceptance driver hard-checks exactly the FIRST 50 insertion-order

@@ -2050,3 +2050,65 @@ def qgram_edit_distance_pairs(
             F.col("_a").alias(fa), F.col("_b").alias(fb), "distance"
         )
     )
+
+
+def crosscorpus_novelty(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    hash_mode: str = P.PORTABLE,
+) -> DataFrame:
+    """Per-document NOVELTY of a new batch against a reference corpus:
+    the ppm of each new document's distinct word ``n``-gram shingles
+    that appear NOWHERE in the reference — the acquisition-time
+    question ("how much of this crawl is actually new text?") that
+    pair-level cross-corpus joins (:func:`ngram_jaccard_join`) answer
+    only indirectly.  Novelty 0 = fully covered by the existing corpus
+    (skip it); 1e6 = entirely unseen.
+
+    Scale shape: both corpora shingle once (distinct hashes — set
+    semantics); the reference side collapses to its DISTINCT shingle
+    vocabulary (map-side combined — the vocabulary, not the corpus);
+    the probe is one hash-keyed LEFT join (inverted index; hot
+    boilerplate shingles are per-key linear), then a per-doc rollup.
+    No pairs are ever materialized — candidate volume is shingle
+    OCCURRENCES, not document pairs.  ``hash_mode="fast"`` for corpus
+    scale, as everywhere (see :func:`with_shingle_hashes`).
+
+    Returns ``(id_col, n_shingles, novel_shingles, novelty_ppm)``;
+    documents shorter than ``n`` tokens report 0 shingles, 0 ppm.
+    """
+    _tune_session(new_df)
+    probe = with_shingle_hashes(
+        new_df, text_col, n, hash_mode=hash_mode
+    ).select(F.col(id_col), F.explode("shingle_hashes").alias("_h"))
+    vocab = (
+        with_shingle_hashes(ref_df, text_col, n, hash_mode=hash_mode)
+        .select(F.explode("shingle_hashes").alias("_h"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    per_doc = (
+        probe.join(vocab, "_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            .cast("long").alias("novel_shingles"),
+        )
+    )
+    return (
+        new_df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .na.fill({"n_shingles": 0, "novel_shingles": 0})
+        .withColumn(
+            "novelty_ppm",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.expr("novel_shingles * 1000000 div n_shingles"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )

@@ -1555,3 +1555,140 @@ def hard_negatives(
         .select("query_id", "query_label", "neighbor_id",
                 "neighbor_label", "cosine", "rank")
     )
+
+
+def norm_profile(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    degenerate_below_ppm: int = 500_000,
+    unit_tol_ppm: int = 10_000,
+) -> DataFrame:
+    """Embedding data-quality profile: the sanity scan you run BEFORE
+    pointing ANN / k-means / semantic dedup at a new embedding column —
+    degenerate (near-zero) vectors poison cosine math (0/0), and a
+    mixed-norm corpus means someone forgot to L2-normalize upstream.
+
+    Norms use the portable sequential-fold dot (``portable.dot`` — same
+    accumulation order both engines, bit-identical doubles) and are
+    scaled to integer ppm via one correctly-rounded multiply + floor, so
+    the SUM (for the mean) is exact integer arithmetic — no float-sum
+    order dependence anywhere.
+
+    Output (one row): ``n_vecs, min_norm_ppm, max_norm_ppm,
+    mean_norm_ppm, n_degenerate`` (norm below ``degenerate_below_ppm``),
+    ``n_unit`` (within ``unit_tol_ppm`` of 1.0).
+
+    Scale shape: one scan, per-row fold (whole-stage codegen), one
+    global partial/final aggregate — no shuffle wider than a single
+    summary row.  NULL / empty vectors count as degenerate (norm 0).
+    """
+    norm_ppm = (
+        f"CAST(floor(sqrt({P.dot(vec_col, vec_col, P.SPARK)}) * 1000000)"
+        f" AS BIGINT)"
+    )
+    base = corpus.select(
+        F.coalesce(F.expr(norm_ppm), F.lit(0)).alias("_np")
+    )
+    return base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("_np").alias("min_norm_ppm"),
+        F.max("_np").alias("max_norm_ppm"),
+        F.expr("sum(_np) div count(1)").alias("mean_norm_ppm"),
+        F.sum((F.col("_np") < degenerate_below_ppm).cast("long"))
+        .alias("n_degenerate"),
+        F.sum(
+            (F.abs(F.col("_np") - 1_000_000) <= unit_tol_ppm).cast("long")
+        ).alias("n_unit"),
+    )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    query_vec: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    pool: int = 100,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick ``k`` results maximizing
+    ``lam * sim(q, d) - (1 - lam) * max_{s in selected} sim(d, s)`` —
+    the retrieval-for-curation primitive that plain cosine top-k lacks
+    (a near-dup-heavy corpus returns k copies of the same passage;
+    MMR returns k DIFFERENT relevant passages — what you want when
+    pulling exemplars into a fine-tuning mix or a RAG context).
+
+    Scale shape — the standard two-phase plan: (1) ONE corpus scan
+    scores every vector against the broadcast query and keeps the
+    top-``pool`` by relevance via ``TakeOrderedAndProject`` (per-
+    partition heap + driver merge, never a global sort); (2) the greedy
+    MMR selection is inherently sequential (each pick changes the next
+    step's objective), so it runs driver-side over the BOUNDED pool —
+    k·pool dot products on ``pool`` rows, microseconds.  ``pool`` is
+    the documented driver-size contract (default 100 rows × dim
+    doubles), the same bounded-collect pattern as the k-means centroid
+    state.  Ties break by ascending id (deterministic).
+
+    The redundancy penalty is clamped at 0 (``max(0, max_sim)``):
+    cosine can go negative, and an unclamped penalty would turn
+    anti-correlation into a BONUS that outranks genuinely relevant
+    results — an anti-relevant vector must compete on ``lam * rel``
+    alone, not win by being maximally unlike everything selected.
+
+    Returns ``(rank, vec_id, relevance, mmr_score)`` — ``relevance``
+    is cosine-to-query; ``mmr_score`` the objective value at selection
+    time (rank 1's equals ``lam * relevance``).
+    """
+    import numpy as np
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"mmr_topk: lam must be in [0, 1]; got {lam}")
+    spark = corpus.sparkSession
+    qlit = "array(" + ", ".join(f"cast({float(x)} as double)" for x in query_vec) + ")"
+    pool_rows = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_vec"),
+            F.expr(P.cosine(qlit, vec_col, P.SPARK)).alias("_rel"),
+        )
+        .where(F.col("_rel").isNotNull())
+        .orderBy(F.desc("_rel"), F.asc(id_col))
+        .limit(int(pool))
+        .collect()
+    )
+    ids = [r[id_col] for r in pool_rows]
+    rel = np.array([r["_rel"] for r in pool_rows], dtype=np.float64)
+    if len(ids) == 0:
+        return spark.createDataFrame(
+            [], f"rank int, {id_col} long, relevance double, mmr_score double"
+        )
+    mat = np.array([r["_vec"] for r in pool_rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    selected: list[int] = []
+    picked_rows = []
+    max_sim = np.full(len(ids), -np.inf)
+    for rank in range(1, min(int(k), len(ids)) + 1):
+        if selected:
+            score = lam * rel - (1.0 - lam) * np.maximum(max_sim, 0.0)
+        else:
+            score = lam * rel
+        score[selected] = -np.inf
+        # deterministic: best score, then smallest id
+        best = min(
+            range(len(ids)),
+            key=lambda i: (-score[i], ids[i]),
+        )
+        picked_rows.append(
+            (rank, ids[best], float(rel[best]), float(score[best]))
+        )
+        selected.append(best)
+        sim_to_new = unit @ unit[best]
+        max_sim = np.maximum(max_sim, sim_to_new)
+    return spark.createDataFrame(
+        picked_rows, f"rank int, {id_col} long, relevance double, mmr_score double"
+    )

@@ -1482,3 +1482,65 @@ def bpe_apply_piece_counts(
             })
 
     return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def token_diversity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    hash_mode: str = P.PORTABLE,
+) -> DataFrame:
+    """Per-document lexical diversity as the Gini–Simpson index in
+    exact integer ppm: ``D = 1 - Σ_t (tf_t / T)²`` — the probability
+    two randomly drawn token occurrences are DIFFERENT types.  The
+    log-free stand-in for entropy (the house rule: no ``ln``, whose
+    last ulp differs across engines): low D = repetitive/boilerplate
+    text, high D = lexically rich — a quality signal orthogonal to the
+    Gopher length/punct rules.
+
+    Exact form: ``diversity_ppm = (T² - Σ tf²) * 1e6 div T²`` — pure
+    int64.  Envelope: ``T² * 1e6`` must fit a signed long, so documents
+    must have ≤ 3,000,000 tokens; enforced with ``raise_error`` (shard
+    monster documents upstream, or chunk first).
+
+    Scale shape: one tokenize+explode, a (doc, token-hash)-keyed count
+    aggregate (map-side combined; key cardinality grows with the
+    corpus — never a low-cardinality shuffle), then a per-doc rollup.
+    Tokens travel as hashes (``hash_mode`` as elsewhere — per-doc keys,
+    so portable holds to ~10⁵-token docs; see ``with_repetition_flags``).
+
+    Returns ``(id_col, n_tokens, distinct_tokens, diversity_ppm)``;
+    empty/NULL docs report 0 tokens and 0 ppm.
+    """
+    text = f"coalesce({text_col}, '')"
+    occ = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(P.hash_array(P.tokens(text, SPARK), SPARK, hash_mode))
+        ).alias("_h"),
+    )
+    per_tok = occ.groupBy(id_col, "_h").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = per_tok.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+        F.sum(F.expr("_c * _c")).cast("long").alias("_sq"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .na.fill({"n_tokens": 0, "distinct_tokens": 0, "_sq": 0})
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "distinct_tokens",
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+                "WHEN n_tokens > 3000000 THEN "
+                "raise_error('token_diversity: document exceeds the "
+                "3e6-token int64 envelope (T^2 * 1e6) — chunk it first') "
+                "ELSE (n_tokens * n_tokens - _sq) * 1000000 "
+                "div (n_tokens * n_tokens) END"
+            ).alias("diversity_ppm"),
+        )
+    )

@@ -5486,3 +5486,121 @@ class TestHashModeEquivalence:
             P.char_hash("x", P.SPARK, "bogus")
         with _pytest.raises(ValueError, match="hash mode"):
             dedup.fingerprint_dedup(df, "text", "doc_id", hash_mode="xx")
+
+
+class TestCurationAnalytics:
+    def test_token_diversity_matches_bruteforce(self, spark):
+        from collections import Counter
+
+        from ayeaye_spark.operators.text import token_diversity
+
+        rows = [(1, "a a a a"), (2, "a b c d"), (3, "a a b b"),
+                (4, ""), (5, None)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: (r["n_tokens"], r["distinct_tokens"],
+                             r["diversity_ppm"])
+               for r in token_diversity(df, "doc_id", "text").collect()}
+
+        def brute(t):
+            toks = (t or "").lower().split()
+            n = len(toks)
+            if n == 0:
+                return (0, 0, 0)
+            sq = sum(c * c for c in Counter(toks).values())
+            return (n, len(set(toks)), (n * n - sq) * 1_000_000 // (n * n))
+
+        assert got == {i: brute(t) for i, t in rows}
+        # single-type doc -> 0 diversity; all-distinct -> (1 - 1/n) ppm
+        assert got[1][2] == 0 and got[2][2] == 750_000
+
+    def test_crosscorpus_novelty(self, spark):
+        from ayeaye_spark.operators.dedup import crosscorpus_novelty
+
+        ref = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id int, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),  # seen
+             (2, "completely novel words nowhere in reference corpus"),
+             (3, "xy")],  # < n tokens -> 0 shingles
+            "doc_id int, text string",
+        )
+        got = {r["doc_id"]: (r["n_shingles"], r["novel_shingles"],
+                             r["novelty_ppm"])
+               for r in crosscorpus_novelty(
+                   new, ref, "doc_id", "text", n=3).collect()}
+        assert got[1] == (7, 0, 0)          # fully covered
+        assert got[2][0] == 5 and got[2][2] == 1_000_000  # fully novel
+        assert got[3] == (0, 0, 0)
+        # fast mode: identical profile (collision-free both spaces)
+        fast = {r["doc_id"]: (r["n_shingles"], r["novel_shingles"],
+                              r["novelty_ppm"])
+                for r in crosscorpus_novelty(
+                    new, ref, "doc_id", "text", n=3,
+                    hash_mode="fast").collect()}
+        assert fast == got
+
+    def test_norm_profile(self, spark):
+        from ayeaye_spark.operators.similarity import norm_profile
+
+        rows = [(1, [3.0, 4.0]),        # norm 5
+                (2, [1.0, 0.0]),        # unit
+                (3, [0.0, 0.0]),        # degenerate
+                (4, [0.6, 0.8])]        # unit
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        r = norm_profile(df).collect()[0]
+        assert (r["n_vecs"], r["n_degenerate"], r["n_unit"]) == (4, 1, 2)
+        assert r["min_norm_ppm"] == 0 and r["max_norm_ppm"] == 5_000_000
+        assert r["mean_norm_ppm"] == (5_000_000 + 1_000_000 + 0 + 1_000_000) // 4
+
+    def test_mmr_topk_diversifies(self, spark):
+        """A dup-heavy corpus: plain cosine top-3 returns three copies of
+        the same vector; MMR must pick distinct directions."""
+        from ayeaye_spark.operators.similarity import mmr_topk
+
+        q = [1.0, 0.0, 0.0]
+        rows = [
+            (1, [0.99, 0.1, 0.0]),   # near-q cluster (3 copies)
+            (2, [0.99, 0.1, 0.0]),
+            (3, [0.99, 0.1, 0.0]),
+            (4, [0.7, 0.7, 0.0]),    # relevant, different direction
+            (5, [0.7, 0.0, 0.7]),    # relevant, third direction
+            (6, [-1.0, 0.0, 0.0]),   # anti-relevant
+        ]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        # lam=0.4 weights diversity enough that an exact duplicate's
+        # relevance edge (0.995 vs 0.707) loses to its sim=1.0 penalty,
+        # while the clamped penalty (max(0, sim)) keeps the
+        # anti-relevant vec 6 from winning on a negative-sim "bonus"
+        out = mmr_topk(df, q, k=3, pool=6, lam=0.4).collect()
+        picked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        assert picked[0] == 1               # most relevant, smallest id
+        assert set(picked[1:]) == {4, 5}    # NOT the dups 2/3, NOT 6
+        # rank-1 objective is lam * relevance
+        r1 = [r for r in out if r["rank"] == 1][0]
+        assert abs(r1["mmr_score"] - 0.4 * r1["relevance"]) < 1e-12
+        # lam out of range raises
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="lam"):
+            mmr_topk(df, q, k=2, lam=1.5)
+
+    def test_mmr_lam1_equals_plain_topk(self, spark):
+        """lam=1 degenerates to plain relevance ranking — the boundary
+        that pins the objective's relevance term."""
+        from ayeaye_spark.operators.similarity import cosine_topk, mmr_topk
+
+        from ayeaye_spark.catalog import load
+        from tests.conftest import SF_SMALL
+
+        emb = load(spark, SF_SMALL, "embeddings").where(F.col("vec_id") < 60)
+        qrow = emb.where(F.col("vec_id") == 0).collect()[0]
+        rest = emb.where(F.col("vec_id") != 0)
+        got = [r["vec_id"] for r in mmr_topk(
+            rest, list(qrow["embedding"]), k=5, pool=59, lam=1.0,
+        ).orderBy("rank").collect()]
+        q = emb.where(F.col("vec_id") == 0)
+        expect = [r["neighbor_id"] for r in cosine_topk(
+            rest.unionByName(q), q, k=5,
+        ).orderBy("rank").collect()]
+        assert got == expect
