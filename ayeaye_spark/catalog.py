@@ -7760,6 +7760,259 @@ def emb_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mh_match_count(a: str, b: str, k: int, d: str) -> str:
+    """Unrolled count of equal minhash components (k is small/fixed —
+    16 integer comparisons, codegen-friendly, dialect-portable)."""
+    terms = [
+        f"(CASE WHEN {P.element(a, str(i), d)} = {P.element(b, str(i), d)} "
+        f"THEN 1 ELSE 0 END)"
+        for i in range(1, k + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "dedup_minhash_estimate_quality",
+    oracle=f"""
+    WITH s AS ({_duck_minhash_sig_cte(3, 16)}),
+    pairs AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb,
+             {_mh_match_count('a.mh', 'b.mh', 16, DUCK)} AS matches,
+             len(list_intersect(a.hashset, b.hashset)) AS inter,
+             len(a.hashset) + len(b.hashset)
+               - len(list_intersect(a.hashset, b.hashset)) AS un
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE ({_duck_band_match(16, 4)})
+        AND {P.jaccard('a.hashset', 'b.hashset', DUCK)} >= 0.3
+    ),
+    scored AS (
+      SELECT CAST(matches AS BIGINT) * 1000000 // 16 AS est_ppm,
+             CAST(inter AS BIGINT) * 1000000 // un AS exact_ppm
+      FROM pairs
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(ABS(est_ppm - exact_ppm)) // GREATEST(COUNT(*), 1)
+                AS BIGINT) AS mean_abs_err_ppm,
+           CAST(MAX(ABS(est_ppm - exact_ppm)) AS BIGINT) AS max_abs_err_ppm,
+           CAST(SUM(CASE WHEN ABS(est_ppm - exact_ppm) <= 100000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_100k
+    FROM scored
+    """,
+)
+def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation for the MinHash family (the dedup
+    analogue of ``ann_sq8_recall``): on every reported LSH pair, the
+    band-signature Jaccard ESTIMATE (matching components / k) vs the
+    EXACT hashset Jaccard, both integer ppm — measures whether k=16
+    permutations suffice at the operating threshold ("measure, don't
+    guess": a high mean error says raise k before trusting
+    signature-only dedup at scale).  One signature pass feeds both
+    numbers; aggregate output is a single row."""
+    docs = load(spark, sf_dir, "documents")
+    # checkpointed: BOTH pair-side joins read this one Arrow pass
+    sig = dedup.minhash_signatures_vectorized(
+        docs, "doc_id", "text", n=3, k=16
+    ).localCheckpoint(eager=False)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=16, bands=4, threshold=0.3
+    ).select(F.col("doc_id_a").alias("ida"), F.col("doc_id_b").alias("idb"))
+    a = sig.select(F.col("_id").alias("ida"), F.col("minhash").alias("mha"),
+                   F.col("_hashset").alias("hsa"))
+    b = sig.select(F.col("_id").alias("idb"), F.col("minhash").alias("mhb"),
+                   F.col("_hashset").alias("hsb"))
+    scored = (
+        pairs.join(a, "ida").join(b, "idb")
+        .select(
+            F.expr(
+                f"CAST({_mh_match_count('mha', 'mhb', 16, SPARK)} AS BIGINT)"
+                " * 1000000 div 16"
+            ).alias("est_ppm"),
+            F.expr(
+                "CAST(size(array_intersect(hsa, hsb)) AS BIGINT) * 1000000 "
+                "div (size(hsa) + size(hsb) - size(array_intersect(hsa, hsb)))"
+            ).alias("exact_ppm"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("sum(abs(est_ppm - exact_ppm)) div greatest(count(1), 1)")
+        .cast("long").alias("mean_abs_err_ppm"),
+        F.max(F.abs(F.col("est_ppm") - F.col("exact_ppm")))
+        .cast("long").alias("max_abs_err_ppm"),
+        F.sum((F.abs(F.col("est_ppm") - F.col("exact_ppm")) <= 100_000)
+              .cast("long")).alias("n_within_100k"),
+    )
+
+
+@query(
+    "docs_corpus_drift",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id % 2 AS half, unnest({P.tokens('text', DUCK)}) AS t
+      FROM documents
+    ),
+    c AS (
+      SELECT t,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c2
+      FROM occ GROUP BY t
+    ),
+    tot AS (
+      SELECT SUM(c1) AS t1, SUM(c2) AS t2 FROM c
+    )
+    SELECT CAST(t1 AS BIGINT) AS tokens_a,
+           CAST(t2 AS BIGINT) AS tokens_b,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(ABS(c1::HUGEINT * t2 - c2::HUGEINT * t1)) * 1000000
+                // (t1::HUGEINT * t2) AS BIGINT) AS l1_drift_ppm
+    FROM c CROSS JOIN tot
+    GROUP BY t1, t2
+    """,
+)
+def docs_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between two corpus halves (even vs odd
+    doc_id — in production: last week's crawl vs this week's): the L1
+    distance between unigram distributions, EXACT integer ppm via the
+    cross-multiplied form ``Σ_t |c1·T2 − c2·T1| · 1e6 / (T1·T2)`` — no
+    floats, no per-token division loss.  The products run in
+    DECIMAL(38,0)/HUGEINT (c·T can reach ~1e24 at 100 TB — past int64,
+    inside 38 digits).  L1 of 0 = identical distributions; 2e6 =
+    disjoint vocabularies.
+
+    Scale shape: one explode, one token-keyed count aggregate (map-side
+    combined; both halves counted in the same pass via conditional
+    sums), one single-row total broadcast back, one global sum."""
+    docs = load(spark, sf_dir, "documents")
+    occ = docs.select(
+        F.expr("doc_id % 2").alias("half"),
+        F.explode(F.expr(P.tokens("text", SPARK))).alias("t"),
+    )
+    c = occ.groupBy("t").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    tot = c.agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("t1").cast("long").alias("tokens_a"),
+            F.first("t2").cast("long").alias("tokens_b"),
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.expr(
+                "CAST(sum(abs(cast(c1 as decimal(38,0)) * t2 "
+                "- cast(c2 as decimal(38,0)) * t1)) * 1000000 "
+                "div (cast(first(t1) as decimal(38,0)) * first(t2)) AS BIGINT)"
+            ).alias("l1_drift_ppm"),
+        )
+    )
+
+
+#: PII pattern classes — simple alternation-free regexes that parse
+#: identically under Java regex (Spark) and RE2 (DuckDB)
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?[0-9][0-9() -]{7,}[0-9]"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+)
+
+
+@query(
+    "docs_pii_audit",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN {P.rmatch('text', pat, DUCK)} "
+               f"THEN 1 ELSE 0 END) AS BIGINT) AS {name}_docs"
+               for name, pat in _PII_PATTERNS)}
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def docs_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure audit: how many documents from each
+    source contain email- / phone- / IP-shaped spans — the report that
+    decides where ``with_redaction`` must run before training.  One
+    scan, all pattern predicates in the same projection (regex
+    containment, whole-stage codegen), one small per-source rollup;
+    the patterns parse identically under Java regex and RE2, so the
+    counts are value-exact cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            *[
+                F.sum(
+                    F.expr(P.rmatch("text", pat, SPARK)).cast("long")
+                ).alias(f"{name}_docs")
+                for name, pat in _PII_PATTERNS
+            ],
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "docs_dedup_quality_shift",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             {P.quality_score_ppm_from_tokens('text', 'toks', DUCK)} AS qp
+      FROM (SELECT doc_id, lang, text, {P.tokens('text', DUCK)} AS toks
+            FROM documents)
+    ),
+    keep AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id, {P.fingerprint('text', DUCK)} AS fp FROM documents)
+      GROUP BY fp
+    )
+    SELECT q.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_survivors,
+           CAST(SUM(qp) // COUNT(*) AS BIGINT) AS mean_quality_ppm,
+           CAST(SUM(CASE WHEN k.doc_id IS NULL THEN 0 ELSE qp END)
+                // GREATEST(SUM(CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END), 1)
+                AS BIGINT) AS survivor_quality_ppm
+    FROM q LEFT JOIN keep k ON k.doc_id = q.doc_id
+    GROUP BY q.lang ORDER BY q.lang
+    """,
+)
+def docs_dedup_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup bias audit: per language, mean quality ppm over ALL
+    documents vs over exact-dedup SURVIVORS — answers "did dedup
+    systematically remove the good (or bad) docs?", the check every
+    curation pipeline should run after a dedup pass (duplicates skew
+    toward boilerplate, so survivor quality usually RISES; a drop
+    flags a pathological keep rule).  One quality scan + the
+    fingerprint keep-set (min doc per group) joined back; exact
+    integer means."""
+    docs = load(spark, sf_dir, "documents")
+    q = textops.with_quality_score(docs, "text", out_col="qp").select(
+        "doc_id", "lang", "qp"
+    )
+    keep = (
+        dedup.fingerprint_dedup(docs, "text", "doc_id")
+        .select(F.col("keep_id").alias("doc_id"))
+        .withColumn("_k", F.lit(1))
+    )
+    return (
+        q.join(keep, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("_k", F.lit(0))).cast("long").alias("n_survivors"),
+            F.expr("sum(qp) div count(1)").cast("long")
+            .alias("mean_quality_ppm"),
+            F.expr(
+                "sum(CASE WHEN _k IS NULL THEN 0 ELSE qp END) "
+                "div greatest(sum(coalesce(_k, 0)), 1)"
+            ).cast("long").alias("survivor_quality_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
