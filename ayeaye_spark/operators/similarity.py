@@ -1666,13 +1666,27 @@ def mmr_topk(
             [], f"rank int, {id_col} long, relevance double, mmr_score double"
         )
     mat = np.array([r["_vec"] for r in pool_rows], dtype=np.float64)
+    picked_rows = _mmr_greedy(ids, rel, mat, k=int(k), lam=float(lam))
+    return spark.createDataFrame(
+        picked_rows, f"rank int, {id_col} long, relevance double, mmr_score double"
+    )
+
+
+def _mmr_greedy(ids, rel, mat, *, k: int, lam: float):
+    """The pure greedy MMR core over a bounded pool (driver-side math of
+    :func:`mmr_topk`, module-level so its invariants are property-
+    testable without a SparkSession).  ``ids`` parallel to ``rel``
+    (cosine to query) and ``mat`` (row vectors).  Returns
+    ``[(rank, id, relevance, mmr_score), ...]``."""
+    import numpy as np
+
     norms = np.sqrt((mat * mat).sum(axis=1))
     norms[norms == 0] = 1.0
     unit = mat / norms[:, None]
     selected: list[int] = []
     picked_rows = []
     max_sim = np.full(len(ids), -np.inf)
-    for rank in range(1, min(int(k), len(ids)) + 1):
+    for rank in range(1, min(k, len(ids)) + 1):
         if selected:
             score = lam * rel - (1.0 - lam) * np.maximum(max_sim, 0.0)
         else:
@@ -1689,6 +1703,4 @@ def mmr_topk(
         selected.append(best)
         sim_to_new = unit @ unit[best]
         max_sim = np.maximum(max_sim, sim_to_new)
-    return spark.createDataFrame(
-        picked_rows, f"rank int, {id_col} long, relevance double, mmr_score double"
-    )
+    return picked_rows

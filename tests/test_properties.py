@@ -176,3 +176,99 @@ def test_bpe_replace_encoding_equals_greedy_fold(words, n_merges):
                     acc = acc + SEP + s
             seg = acc
         assert len(seg.split(SEP)) == len(vocab[w]), (w, merges)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.floats(min_value=-1, max_value=1, allow_nan=False),
+            st.floats(min_value=-1, max_value=1, allow_nan=False),
+            st.floats(min_value=-1, max_value=1, allow_nan=False),
+        ),
+        min_size=1, max_size=12,
+    ),
+    qv=st.tuples(
+        st.floats(min_value=-1, max_value=1, allow_nan=False),
+        st.floats(min_value=-1, max_value=1, allow_nan=False),
+        st.floats(min_value=-1, max_value=1, allow_nan=False),
+    ),
+    k=st.integers(min_value=1, max_value=12),
+    lam=st.floats(min_value=0, max_value=1, allow_nan=False),
+)
+def test_mmr_greedy_invariants(data, qv, k, lam):
+    """Property-pins for the MMR core (``similarity._mmr_greedy``):
+    (a) picked ids are distinct and ranks dense 1..m;
+    (b) lam=1 degenerates to plain (relevance desc, id asc) ranking;
+    (c) every pick maximizes the MMR objective given the prior picks
+        (re-verified post-hoc from scratch — catches accumulator bugs
+        in the incremental max_sim update);
+    (d) the clamped penalty keeps every score >= lam*rel - (1-lam)."""
+    import numpy as np
+
+    from ayeaye_spark.operators.similarity import _mmr_greedy
+
+    mat = np.array(data, dtype=np.float64)
+    q = np.array(qv, dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    safe = np.where(norms == 0, 1.0, norms)
+    rel = (mat @ q) / (safe * qn)
+    ids = list(range(len(data)))
+    out = _mmr_greedy(ids, rel.copy(), mat.copy(), k=k, lam=lam)
+
+    m = min(k, len(ids))
+    assert [r[0] for r in out] == list(range(1, m + 1))          # (a)
+    picked = [r[1] for r in out]
+    assert len(set(picked)) == len(picked)                       # (a)
+
+    if lam == 1.0:                                               # (b)
+        expect = [i for i in sorted(ids, key=lambda i: (-rel[i], i))][:m]
+        assert picked == expect
+
+    unit = mat / safe[:, None]
+    sims = unit @ unit.T
+    chosen: list[int] = []
+    for rank, pid, r_rel, r_score in out:                        # (c)
+        def objective(i):
+            if not chosen:
+                return lam * rel[i]
+            pen = max(0.0, max(sims[i][j] for j in chosen))
+            return lam * rel[i] - (1.0 - lam) * pen
+        cand = [i for i in ids if i not in chosen]
+        best = min(cand, key=lambda i: (-objective(i), i))
+        assert pid == best
+        assert abs(objective(best) - r_score) < 1e-9
+        assert r_score >= lam * rel[best] - (1.0 - lam) - 1e-9   # (d)
+        chosen.append(best)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    c1=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+    c2=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+)
+def test_corpus_drift_cross_multiplied_form(c1, c2):
+    """The exact integer ppm L1 form used by ``docs_corpus_drift``
+    (Σ|c1·T2 − c2·T1|·1e6 // (T1·T2)) must (a) agree with the float
+    definition Σ|p1 − p2| to within integer-floor error, (b) be 0 for
+    identical distributions, (c) be floor(2e6·…) = 2e6 for disjoint
+    supports."""
+    n = max(len(c1), len(c2))
+    a = c1 + [0] * (n - len(c1))
+    b = c2 + [0] * (n - len(c2))
+    t1, t2 = sum(a), sum(b)
+    if t1 == 0 or t2 == 0:
+        return
+    exact = sum(abs(x * t2 - y * t1) for x, y in zip(a, b)) * 1_000_000 // (t1 * t2)
+    flt = sum(abs(x / t1 - y / t2) for x, y in zip(a, b)) * 1_000_000
+    assert abs(exact - flt) <= 1.0 + 1e-6 * flt                  # (a)
+    same = sum(abs(x * t1 - x * t1) for x in a)
+    assert same == 0                                             # (b)
+    # (c) construct disjointness: a-support then b-support
+    da = a + [0] * len(b)
+    db = [0] * len(a) + b
+    exact_dis = sum(
+        abs(x * t2 - y * t1) for x, y in zip(da, db)
+    ) * 1_000_000 // (t1 * t2)
+    assert exact_dis == 2_000_000
