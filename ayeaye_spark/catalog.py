@@ -8032,14 +8032,19 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "q3_top_unshipped_orders",
     "q5_region_nation_revenue",
     "q6_forecast_revenue",
-    "q10_returned_items",
     # q4's EXISTS-subquery family stays covered in-window by q21/q22;
     # its slot carries the round-6 interval-analytics family (sweep-line
     # peak concurrency).  q4 itself remains oracle-gate-verified.
     "events_peak_concurrency_daily",
     "q7_nation_volume",
-    "q8_market_share",
+    # q8/q10 rotated to the oracle gate in round 9 (the multi-join +
+    # conditional-agg family stays in-window via q5/q7/q9) to put the
+    # round-9 scale-correctness representatives under the hard check:
+    # the hash-keyspace collision audit and the minhash sketch-quality
+    # evaluation
+    "docs_hash_collision_audit",
     "q9_product_profit",
+    "dedup_minhash_estimate_quality",
     "q13_customer_distribution",
     "q18_large_orders",
     "q21_waiting_supplier",
