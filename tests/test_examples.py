@@ -441,3 +441,33 @@ def test_embedding_curation(spark, resolver, tmp_path):
     assert all(r["neighbor_label"] != r["query_label"] for r in rows)
     surv = spark.read.parquet(str(tmp_path / "embedding_survivors.parquet"))
     assert surv.count() == report["survivors"]
+
+
+def test_corpus_audit(spark, resolver, tmp_path):
+    from examples.corpus_audit import CorpusAudit
+
+    with resolver.context(
+        docs_path="/root/testdata/sf0.001/documents.parquet",
+        output_path=str(tmp_path),
+    ):
+        assert CorpusAudit().go(), "model run must succeed"
+
+    import json
+
+    report = json.loads((tmp_path / "corpus_audit.json").read_text())
+    assert report["n_docs"] == 500
+    ha = report["hash_audit"]
+    assert ha["distinct_tokens"] > 0
+    # both keyspaces are collision-free at 500 docs
+    assert ha["portable_collisions"] == 0 and ha["fast_collisions"] == 0
+    assert ha["recommended_hash_mode"] == "portable"
+    # cluster histogram covers the whole corpus
+    assert sum(h["size"] * h["clusters"] for h in report["cluster_histogram"]) == 500
+    assert 0 <= report["exact_dup_rate_ppm"] < 1_000_000
+    assert {r["lang"] for r in report["quality_shift_by_lang"]}
+    assert all(p["docs"] > 0 for p in report["pii_by_source"])
+    dv = report["diversity"]
+    assert 0 < dv["min_ppm"] <= dv["mean_ppm"] <= 1_000_000
+    assert len(dv["most_repetitive"]) == 5
+    div = spark.read.parquet(str(tmp_path / "doc_diversity.parquet"))
+    assert div.count() == 500
