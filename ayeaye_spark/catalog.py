@@ -7760,6 +7760,87 @@ def emb_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+shared_sql(
+    "events_ldiversity_audit",
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(DISTINCT CAST(FLOOR(value) AS BIGINT)) AS l
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE))
+    SELECT event_type,
+           COUNT(*) AS n_cells,
+           MIN(l) AS min_l,
+           CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cells_below_3
+    FROM cells GROUP BY event_type
+    """,
+    needs=("events",),
+)
+# l-diversity notes: k-anonymity's complement — a cell can contain many
+# subjects (high k) yet leak the SENSITIVE attribute if they all share
+# one value; this audits distinct sensitive values (bucketed event
+# value) per quasi-identifier cell.  Same two map-side-combined
+# aggregate shape as events_kanonymity_audit; the distinct stage
+# shuffles (cell, bucket) pairs, never raw events.
+
+
+def _cusum_sql(d: str) -> str:
+    """One SQL text per dialect — identical except the wide-integer
+    floor division: Spark DECIMAL(38,0) ``div``; DuckDB HUGEINT ``//``
+    (DuckDB's ``//`` only floors INTEGER types — on decimals it is
+    plain division — and a decimal ``/`` + CAST would tie-break
+    differently between engines)."""
+    wide = "DECIMAL(38, 0)" if d == SPARK else "HUGEINT"
+    ppm = P.int_div(
+        f"CAST(ABS(s) AS {wide}) * 1000000",
+        f"CAST(total AS {wide}) * n_days", d,
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type),
+    cusum AS (
+      SELECT d.event_type, d.day,
+             SUM(d.n * t.n_days - t.total) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+             t.total, t.n_days
+      FROM daily d JOIN tot t ON t.event_type = d.event_type),
+    ranked AS (
+      SELECT event_type, day, s, total, n_days,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY ABS(s) DESC, day ASC) AS rnk
+      FROM cusum)
+    SELECT event_type, day AS changepoint_day,
+           CAST(ABS(s) AS BIGINT) AS abs_cusum,
+           CAST({ppm} AS BIGINT) AS shift_ppm
+    FROM ranked WHERE rnk = 1
+    """
+
+
+@query("events_cusum_changepoints", oracle=_cusum_sql(DUCK))
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_cusum_sql(SPARK))
+# CUSUM changepoint notes: the classic single-changepoint locator —
+# the day where the cumulative deviation from the per-type mean peaks.
+# Division-free integer form: cusum_t = Σ_{i<=t} (n_i·D − N) (deviation
+# scaled by the day count D), exact in int64 while N·D < 2^63 (N=1e12
+# events over 1e4 days = 1e16 — three orders inside).  The final ppm
+# normalization |s|·1e6/(N·D) runs in DECIMAL(38,0)/HUGEINT.  Scale
+# shape: daily rollup (map-side combined), a per-type running window
+# over DAYS (calendar-bounded partitions, never event-sized), top-1 by
+# WindowGroupLimit.
+
+
 def _mh_match_count(a: str, b: str, k: int, d: str) -> str:
     """Unrolled count of equal minhash components (k is small/fixed —
     16 integer comparisons, codegen-friendly, dialect-portable)."""
