@@ -16,9 +16,11 @@ whitespace split (both keep leading/trailing empties — we filter), and
 32-bit overflow).
 
 Scale note: these run as whole-stage-codegen'd array expressions, O(len)
-per row with no shuffle; at 100 TB they scan-parallelize perfectly.  For
-non-oracle production paths, ``xxhash64``/``hash`` built-ins are cheaper —
-see ``fast_hash``.
+per row with no shuffle; at 100 TB they scan-parallelize perfectly.
+Hashing is dual-mode (see the hashing section below): ``PORTABLE`` is
+the ~30-bit oracle-checkable rolling hash, ``FAST`` the engine-native
+64-bit hash (xxhash64) — the production keyspace once distinct keys
+approach 10⁶, selected per operator via ``hash_mode="fast"``.
 """
 
 from __future__ import annotations
