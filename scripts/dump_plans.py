@@ -484,6 +484,39 @@ HEADLINE = {
         "pure per-row string expressions (separator-join + one replace "
         "per merge rule): one scan, zero shuffle, whole-stage codegen."
     ),
+    "docs_hash_collision_audit": (
+        "explode -> token-keyed distinct (map-side combined) -> per-"
+        "token hashes -> ONE global multi-distinct aggregate (Expand "
+        "x3, partial/final); output is a single summary row."
+    ),
+    "dedup_minhash_estimate_quality": (
+        "one checkpointed Arrow signature pass feeds the LSH pair "
+        "generation AND both pair-side joins; the estimate/exact "
+        "comparison is per-pair expressions + one global aggregate."
+    ),
+    "docs_crosscorpus_novelty": (
+        "reference corpus collapses to its DISTINCT shingle vocabulary "
+        "(vocabulary-sized, map-side combined); probe side equi-joins "
+        "on the shingle hash; per-doc rollup — no document pairs."
+    ),
+    "docs_corpus_drift": (
+        "both halves counted in ONE token-keyed aggregate (conditional "
+        "sums); single-row totals broadcast back; DECIMAL(38,0) "
+        "cross-multiplied L1 in one global sum."
+    ),
+    "docs_token_diversity": (
+        "explode -> (doc, token-hash)-keyed count -> per-doc rollup; "
+        "key cardinality grows with the corpus, never a window."
+    ),
+    "events_cusum_changepoints": (
+        "daily rollup (map-side combined); running window over "
+        "calendar-bounded per-type DAY partitions; top-1 via "
+        "WindowGroupLimit before the exchange."
+    ),
+    "emb_norm_profile": (
+        "per-row fold dot in whole-stage codegen; one partial/final "
+        "summary aggregate — no shuffle wider than one row."
+    ),
 }
 
 
