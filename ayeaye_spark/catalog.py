@@ -2862,6 +2862,36 @@ def docs_stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_stream(spark, agg, "docs_stream_decontam_sink")
 
 
+@query("docs_stream_quality_monitor")  # no oracle: streaming drain, rows-only check
+def docs_stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-ingest quality monitor: documents arrive as a
+    stream; every micro-batch scores quality (exact integer ppm) and
+    the Gopher gate in the scan projection, and a complete-mode
+    per-language rollup tracks docs seen, gate pass count, and the
+    EXACT mean quality (integer sum + div — associative, so streaming
+    partial aggregation is safe).  The live dashboard you run beside a
+    crawl ingest: a souring source shows up as a dropping pass rate
+    within one micro-batch.  The batch twin (identical ops on the batch
+    frame) is asserted equal in ``tests/test_streaming.py``; stream
+    drains are rows-only driver checks by nature."""
+    _ensure_session_defaults(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    scored = textops.with_gopher_flags(
+        textops.with_quality_score(raw, "text", out_col="qp"), "text"
+    )
+    agg = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("gopher_pass").cast("long")).alias("n_pass"),
+        F.expr("sum(qp) div count(1)").alias("mean_quality_ppm"),
+    )
+    return _drain_stream(spark, agg, "docs_stream_quality_monitor_sink")
+
+
 @query("events_stream_hourly_counts")  # no oracle: streaming drain, rows-only check
 def events_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming in the acceptance surface: the hourly

@@ -710,3 +710,33 @@ class TestStreamDecontam:
         )
         batch_rows = sorted(map(tuple, batch.collect()))
         assert stream_rows == batch_rows and len(stream_rows) >= 1
+
+
+class TestStreamQualityMonitor:
+    def test_stream_quality_rollup_equals_batch_twin(self, spark):
+        """docs_stream_quality_monitor (per-micro-batch quality + Gopher
+        gate, complete-mode per-lang rollup) must equal the identical
+        batch pipeline — integer-exact mean included."""
+        from ayeaye_spark.catalog import QUERIES
+        from ayeaye_spark.operators import text as textops
+
+        sf = "/root/testdata/sf0.001"
+        stream_rows = sorted(
+            map(tuple, QUERIES["docs_stream_quality_monitor"](spark, sf).collect())
+        )
+        scored = textops.with_gopher_flags(
+            textops.with_quality_score(load(spark, sf, "documents"), "text",
+                                       out_col="qp"),
+            "text",
+        )
+        batch = scored.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("gopher_pass").cast("long")).alias("n_pass"),
+            F.expr("sum(qp) div count(1)").alias("mean_quality_ppm"),
+        )
+        batch_rows = sorted(map(tuple, batch.collect()))
+        assert stream_rows == batch_rows and len(stream_rows) >= 1
+        # the gate actually separates: somewhere between 0% and 100%
+        total = sum(r[1] for r in stream_rows)
+        passed = sum(r[2] for r in stream_rows)
+        assert 0 < passed < total
