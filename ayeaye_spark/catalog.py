@@ -8124,6 +8124,51 @@ def docs_dedup_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARD_VOCAB, _SHARD_BUDGET = 4096, 512
+
+
+@query(
+    "docs_tokenize_pack_shards",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             list_append(
+               list_transform({P.tokens('text', DUCK)},
+                              t -> {P.char_hash('t', DUCK)} % {_SHARD_VOCAB}),
+               {_SHARD_VOCAB}::BIGINT) AS ids
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n FROM per_doc
+    ),
+    cum AS (
+      SELECT doc_id, ids, n,
+             SUM(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c
+      FROM sized
+    )
+    SELECT CAST((c - n) // {_SHARD_BUDGET} AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           flatten(list(ids ORDER BY doc_id)) AS token_ids
+    FROM cum GROUP BY 1 ORDER BY pack_id
+    """,
+)
+def docs_tokenize_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The docs → training-shards terminal step
+    (``sampling.tokenize_pack_shards``): hash-trick token ids + EOS,
+    contiguous-fill packing into 512-token sequences via the
+    distributed two-phase prefix sum, per-pack id streams assembled in
+    document order.  Value-exact oracle down to the concatenated
+    ``token_ids`` arrays (the portable hash is non-negative, so plain
+    ``%`` agrees with ``pmod`` cross-engine)."""
+    return sampling.tokenize_pack_shards(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        vocab_size=_SHARD_VOCAB, budget=_SHARD_BUDGET,
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -556,3 +556,67 @@ def retention_curve(
         )
         .select("threshold", "n_rows", "total_weight", "row_ppm", "weight_ppm")
     )
+
+
+def tokenize_pack_shards(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    vocab_size: int = 32768,
+    budget: int = 512,
+    id_bucket_width: int = 65536,
+    hash_mode: str | None = None,
+) -> DataFrame:
+    """The TERMINAL curation step: documents → packed training
+    sequences of integer token ids — what actually feeds a trainer.
+    Tokens map to ids via the hashing trick (``token_hash mod
+    vocab_size`` — the fastText/CCNet vocabulary-free scheme; swap in
+    a learned BPE vocab by joining a merge table upstream), every
+    document ends with the reserved EOS id (``vocab_size``), and docs
+    pack contiguously into ``budget``-token sequences via the
+    deterministic distributed prefix sum of :func:`pack_sequences`.
+
+    Output: ``(pack_id, n_docs, n_tokens, token_ids)`` — one row per
+    training sequence, ``token_ids`` the concatenated id stream in
+    document order.
+
+    Scale shape: tokenization + id mapping run in the scan projection
+    (whole-stage codegen, no Python); pack assignment is the two-phase
+    bucketed cumsum (no global window); assembly is ONE groupBy on
+    ``pack_id`` whose per-group payload is bounded by ``budget``
+    tokens + at most one overflowing document — collect_list never
+    sees more than ~one sequence of data.  ``hash_mode="fast"``
+    upgrades the id hash to xxhash64 (`pmod` keeps ids non-negative);
+    the portable default is value-oracle-checkable.
+    """
+    from ..functions import portable as P
+
+    mode = hash_mode or P.PORTABLE
+    text = f"coalesce({text_col}, '')"
+    ids = P.transform(
+        P.tokens(text, P.SPARK), "t",
+        f"pmod({P.char_hash('t', P.SPARK, mode)}, {vocab_size})", P.SPARK,
+    )
+    per_doc = df.select(
+        F.col(id_col),
+        F.expr(
+            f"concat({ids}, array(cast({vocab_size} as bigint)))"
+        ).alias("_ids"),
+    ).withColumn("_n", F.expr(P.size("_ids", P.SPARK)).cast("long"))
+    packed = pack_sequences(
+        per_doc, id_col=id_col, token_col="_n", budget=budget,
+        id_bucket_width=id_bucket_width,
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("n_tokens"),
+            F.expr(
+                f"flatten(transform(array_sort(collect_list("
+                f"struct({id_col}, _ids))), s -> s._ids))"
+            ).alias("token_ids"),
+        )
+        .orderBy("pack_id")
+    )

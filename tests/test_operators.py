@@ -5604,3 +5604,46 @@ class TestCurationAnalytics:
             rest.unionByName(q), q, k=5,
         ).orderBy("rank").collect()]
         assert got == expect
+
+
+class TestTokenizePackShards:
+    def test_pack_invariants_and_reconstruction(self, spark):
+        from ayeaye_spark.operators.sampling import tokenize_pack_shards
+
+        rows = [(i, f"alpha beta doc{i} gamma " * (i % 4 + 1))
+                for i in range(40)] + [(40, ""), (41, None)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        V, B = 256, 16
+        out = tokenize_pack_shards(
+            df, "doc_id", "text", vocab_size=V, budget=B
+        ).collect()
+        # every id in [0, V]; V is the reserved EOS
+        for r in out:
+            assert all(0 <= t <= V for t in r["token_ids"])
+            assert r["n_tokens"] == len(r["token_ids"])
+            assert r["token_ids"][-1] == V  # packs end on a doc boundary
+        # EOS count across all packs == number of documents
+        assert sum(r["token_ids"].count(V) for r in out) == 42
+        # greedy fill: every pack except possibly the last STARTS under
+        # budget (overflow by at most one doc is allowed)
+        total = sum(r["n_tokens"] for r in out)
+        assert total == sum(
+            len((t or "").lower().split()) + 1 for _, t in rows
+        )
+        # pack ids unique, start at 0 (gaps allowed: a doc longer than
+        # the budget spans multiple budget windows and claims one pack)
+        pids = sorted(r["pack_id"] for r in out)
+        assert pids[0] == 0 and len(set(pids)) == len(pids)
+        # documents are contiguous: reconstruct the global stream and
+        # compare against per-doc tokenization order
+        stream = []
+        for r in sorted(out, key=lambda r: r["pack_id"]):
+            stream.extend(r["token_ids"])
+        docs_in_order = []
+        from ayeaye_spark.functions import portable_py as PY
+        cache = {}
+        for i, t in rows:
+            ids = [h % 256 for h in PY.token_hashes(PY.tokens(t or ""), cache)]
+            docs_in_order.append((i, ids + [256]))
+        expect = [t for _, ids in sorted(docs_in_order) for t in ids]
+        assert stream == expect
