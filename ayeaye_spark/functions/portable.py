@@ -323,17 +323,35 @@ def minhash_params(k: int) -> list[tuple[int, int]]:
     return [(2 * j + 1, (j * j + j + 1) % PRIME) for j in range(k)]
 
 
-def minhash_from_hashes(hashes: str, k: int, d: str) -> str:
+def minhash_from_hashes(hashes: str, k: int, d: str, mode: str = PORTABLE) -> str:
     """Array of k minhash values over a precomputed shingle-hash array.
 
-    minhash_j = min over shingles of (a_j * h + b_j) % PRIME.  Empty
-    shingle sets (short docs) yield PRIME as the sentinel minimum.
+    PORTABLE: minhash_j = min over shingles of (a_j * h + b_j) % PRIME;
+    empty shingle sets (short docs) yield PRIME as the sentinel
+    minimum.  REQUIRES portable (< 2^31) input hashes — the affine
+    permutation would overflow int64 on 64-bit inputs (ANSI raises).
+
+    FAST: permutation_j(h) = engine-hash(h, j) — a fresh 64-bit mix per
+    permutation index (the standard "k independent hash functions"
+    construction), sentinel Long.MAX for empty sets.  Pair with FAST
+    ``hash_array`` input: the production signature path whose shingle
+    keyspace doesn't alias at 10⁹ distinct shingles.
 
     ``hashes`` should be a COLUMN NAME (materialized via a prior select /
     subquery), not an inline expression — the k permutations each traverse
     it, and neither engine CSEs a repeated inline computation.
     """
+    _check_mode(mode)
     parts = []
+    if mode == FAST:
+        for j in range(k):
+            permuted = transform(
+                hashes, "h", _fast_hash_n(["h", str(j)], d), d
+            )
+            parts.append(
+                f"coalesce({array_min(permuted, d)}, 9223372036854775807)"
+            )
+        return array_lit(parts, d)
     for a, b in minhash_params(k):
         permuted = transform(hashes, "h", f"(({a} * h + {b}) % {PRIME})", d)
         parts.append(f"coalesce({array_min(permuted, d)}, {PRIME})")

@@ -127,10 +127,16 @@ def with_shingle_hashes(
 
 
 def with_minhash_signature(
-    df: DataFrame, text_col: str, n: int = 3, k: int = 16, out_col: str = "minhash"
+    df: DataFrame, text_col: str, n: int = 3, k: int = 16,
+    out_col: str = "minhash", *, hash_mode: str = P.PORTABLE,
 ) -> DataFrame:
-    return with_shingle_hashes(df, text_col, n).withColumn(
-        out_col, F.expr(P.minhash_from_hashes("shingle_hashes", k, SPARK))
+    """``hash_mode="fast"`` = 64-bit shingle keys + per-permutation
+    xxhash64 mixes (see ``portable.minhash_from_hashes``) — the
+    production signature whose shingle space doesn't alias at 10⁹
+    distinct shingles."""
+    return with_shingle_hashes(df, text_col, n, hash_mode=hash_mode).withColumn(
+        out_col,
+        F.expr(P.minhash_from_hashes("shingle_hashes", k, SPARK, hash_mode)),
     )
 
 
@@ -265,8 +271,15 @@ def minhash_lsh_pairs(
     signature: str = "vectorized",
     max_bucket_size: int = 64,
     block_col: str | None = None,
+    hash_mode: str = P.PORTABLE,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact verification.
+
+    ``hash_mode="fast"`` runs the whole chain on 64-bit keys (xxhash64
+    shingles + per-permutation xxhash64 mixes; implies the SQL
+    signature path) — the corpus-scale setting where the portable
+    ~30-bit shingle space would alias distinct shingles and silently
+    inflate both candidate recall and verified Jaccard.
 
     Plan shape (scale-reviewed):
       1. one scan computing shingle hashes + k-hash signature (no shuffle);
@@ -299,7 +312,7 @@ def minhash_lsh_pairs(
     candidates = lsh_candidate_pairs(
         df, id_col, text_col, n=n, k=k, bands=bands,
         strategy=strategy, signature=signature, max_bucket_size=max_bucket_size,
-        block_col=block_col,
+        block_col=block_col, hash_mode=hash_mode,
     )
     verified = candidates.withColumn(
         "jaccard", F.expr(P.jaccard("set_a", "set_b", SPARK))
@@ -321,6 +334,7 @@ def lsh_candidate_pairs(
     signature: str = "vectorized",
     max_bucket_size: int = 64,
     block_col: str | None = None,
+    hash_mode: str = P.PORTABLE,
 ) -> DataFrame:
     """Stage 1-3 of :func:`minhash_lsh_pairs`: banded candidate pairs
     (id_a, id_b, set_a, set_b) WITHOUT the Jaccard verification — so
@@ -339,7 +353,7 @@ def lsh_candidate_pairs(
     """
     _tune_session(df)
     r = k // bands
-    if signature == "vectorized":
+    if signature == "vectorized" and hash_mode == P.PORTABLE:
         sig = minhash_signatures_vectorized(
             df, id_col, text_col, n=n, k=k,
             extra_cols=(block_col,) if block_col else (),
@@ -347,7 +361,9 @@ def lsh_candidate_pairs(
         if block_col:
             sig = sig.withColumnRenamed(block_col, "_blk")
     else:
-        sig = with_minhash_signature(df, text_col, n, k).select(
+        sig = with_minhash_signature(
+            df, text_col, n, k, hash_mode=hash_mode
+        ).select(
             F.col(id_col).alias("_id"),
             F.col("minhash"),
             F.array_distinct("shingle_hashes").alias("_hashset"),

@@ -5647,3 +5647,46 @@ class TestTokenizePackShards:
             docs_in_order.append((i, ids + [256]))
         expect = [t for _, ids in sorted(docs_in_order) for t in ids]
         assert stream == expect
+
+
+class TestMinhashFastMode:
+    def test_fast_lsh_finds_planted_dups_and_values_exact(self, spark):
+        base = ("the quick brown fox jumps over the lazy dog again and "
+                "again every single day without fail")
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " extra"), (3, base.upper()),
+             (4, "totally different content about lattice gauge theory "
+                 "computations on gpu clusters nothing shared here")],
+            ["doc_id", "text"],
+        )
+        pairs = {
+            (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+            for r in dedup.minhash_lsh_pairs(
+                df, "doc_id", "text", n=3, k=16, bands=4, threshold=0.3,
+                hash_mode="fast",
+            ).collect()
+        }
+        # case/ws variant = exact shingle-set match = jaccard 1.0; the
+        # " extra" variant shares most shingles
+        assert pairs[(1, 3)] == 1.0
+        assert (1, 2) in pairs and pairs[(1, 2)] > 0.7
+        assert all(4 not in p for p in pairs)
+        # survivors drop the higher-id members
+        surv = dedup.minhash_dedup(
+            df, "doc_id", "text", n=3, k=16, bands=4, threshold=0.3,
+            hash_mode="fast",
+        )
+        assert sorted(r["doc_id"] for r in surv.collect()) == [1, 4]
+
+    def test_fast_minhash_rejects_nothing_on_empty(self, spark):
+        # short/empty docs: the Long.MAX sentinel keeps the signature
+        # total and identical for all empty shingle sets
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "one two")], ["doc_id", "text"]
+        )
+        sig = dedup.with_minhash_signature(
+            df, "text", n=3, k=8, hash_mode="fast"
+        ).select("doc_id", "minhash").collect()
+        by_id = {r["doc_id"]: r["minhash"] for r in sig}
+        assert by_id[1] == by_id[2] == [9223372036854775807] * 8
+        assert len(by_id[3]) == 8  # doc 3 is also < n tokens -> sentinel
