@@ -673,6 +673,7 @@ def ngram_jaccard_join(
     threshold: float = 0.5,
     method: str = "index",
     max_item_df: int | str | None = None,
+    hash_mode: str = P.PORTABLE,
 ) -> DataFrame:
     """Two-table (R-S) n-gram Jaccard similarity join — cross-corpus
     near-dup: benchmark-vs-train contamination at a JACCARD threshold
@@ -686,12 +687,19 @@ def ngram_jaccard_join(
     if threshold <= 0:
         raise ValueError("inverted-index jaccard join requires threshold > 0")
     _tune_session(left)
-    pl = shingle_hashsets_vectorized(left, left_id, text_col, n=n).withColumn(
-        "_side", F.lit(0)
-    )
-    pr = shingle_hashsets_vectorized(right, right_id, text_col, n=n).withColumn(
-        "_side", F.lit(1)
-    )
+
+    def prep(frame: DataFrame, idc: str) -> DataFrame:
+        if hash_mode == P.PORTABLE:
+            return shingle_hashsets_vectorized(frame, idc, text_col, n=n)
+        return with_shingle_hashes(  # fast: 64-bit SQL chain
+            frame, text_col, n, hash_mode=hash_mode
+        ).select(
+            F.col(idc).alias("_id"),
+            F.array_distinct("shingle_hashes").alias("_hashset"),
+        )
+
+    pl = prep(left, left_id).withColumn("_side", F.lit(0))
+    pr = prep(right, right_id).withColumn("_side", F.lit(1))
     return _jaccard_join_prepped(
         pl.unionByName(pr), left_id, threshold=threshold,
         has_block=False, max_item_df=max_item_df,
@@ -1242,6 +1250,7 @@ def contamination_pairs(
     *,
     n: int = 3,
     min_shared: int = 2,
+    hash_mode: str = P.PORTABLE,
 ) -> DataFrame:
     """Benchmark decontamination: (eval_id, train_id, shared_ngrams) for
     every eval document sharing ≥ ``min_shared`` distinct word-n-gram
@@ -1254,12 +1263,22 @@ def contamination_pairs(
     (benchmarks), so its exploded form broadcasts and the train corpus
     streams through one scan.
     """
-    ev = shingle_hashsets_vectorized(eval_df, id_col, text_col, n=n).select(
-        F.col("_id").alias("eval_id"), F.explode("_hashset").alias("_h")
-    )
-    tr = shingle_hashsets_vectorized(train_df, id_col, text_col, n=n).select(
-        F.col("_id").alias("train_id"), F.explode("_hashset").alias("_h")
-    )
+    def prep(frame: DataFrame, out: str) -> DataFrame:
+        if hash_mode == P.PORTABLE:
+            prepped = shingle_hashsets_vectorized(frame, id_col, text_col, n=n)
+        else:  # fast: 64-bit keys via the SQL chain (production keyspace)
+            prepped = with_shingle_hashes(
+                frame, text_col, n, hash_mode=hash_mode
+            ).select(
+                F.col(id_col).alias("_id"),
+                F.array_distinct("shingle_hashes").alias("_hashset"),
+            )
+        return prepped.select(
+            F.col("_id").alias(out), F.explode("_hashset").alias("_h")
+        )
+
+    ev = prep(eval_df, "eval_id")
+    tr = prep(train_df, "train_id")
     return (
         tr.join(F.broadcast(ev), on="_h")
         .groupBy("eval_id", "train_id")

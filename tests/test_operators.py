@@ -5690,3 +5690,30 @@ class TestMinhashFastMode:
         by_id = {r["doc_id"]: r["minhash"] for r in sig}
         assert by_id[1] == by_id[2] == [9223372036854775807] * 8
         assert len(by_id[3]) == 8  # doc 3 is also < n tokens -> sentinel
+
+
+class TestCrossCorpusFastMode:
+    def test_contamination_and_join_fast_equals_portable(self, spark):
+        from tests.conftest import SF_SMALL
+        from ayeaye_spark.catalog import load
+
+        docs = load(spark, SF_SMALL, "documents").where(
+            F.col("doc_id") < 100
+        ).select("doc_id", "text")
+        ev = docs.where(F.expr("doc_id % 5 = 0"))
+        tr = docs.where(F.expr("doc_id % 5 <> 0"))
+
+        def contam(mode):
+            return sorted(map(tuple, dedup.contamination_pairs(
+                ev, tr, "doc_id", "text", n=3, min_shared=2,
+                hash_mode=mode).collect()))
+        assert contam("fast") == contam("portable")
+
+        def join(mode):
+            return sorted(
+                (r[0], r[1], round(r[2], 9))
+                for r in dedup.ngram_jaccard_join(
+                    ev, tr, "doc_id", "doc_id", "text", n=3,
+                    threshold=0.2, hash_mode=mode).collect()
+            )
+        assert join("fast") == join("portable")
