@@ -8169,6 +8169,30 @@ def docs_tokenize_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("docs_train_quality_classifier")  # iterative float GD: rows-only check
+def docs_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-ENGINE training of the hashed linear quality classifier
+    (``text.train_hashed_classifier``): distill the Gopher rule set
+    into a fastText-style model — logistic regression by full-batch
+    gradient descent, one corpus scan per iteration, gradients
+    aggregated BY FEATURE ID (a dim-bounded shuffle) and dim floats of
+    driver state (the k-means/PCA bounded-state contract).  Returns the
+    per-iteration training curve ``(iter, train_accuracy_ppm)`` —
+    accuracy an exact integer ratio; the float weights make this
+    rows-only (pytest pins learnability: a separable corpus reaches
+    100% accuracy and signal tokens get right-signed weights)."""
+    docs = textops.with_gopher_flags(
+        load(spark, sf_dir, "documents"), "text"
+    ).select("doc_id", "text", F.col("gopher_pass").cast("int").alias("label"))
+    _, history = textops.train_hashed_classifier(
+        docs, "label", "text", dim=256, iters=6, lr=200.0
+    )
+    return spark.createDataFrame(
+        [(it, acc) for it, acc, _ in history],
+        "iter int, train_accuracy_ppm long",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -1544,3 +1544,120 @@ def token_diversity(
             ).alias("diversity_ppm"),
         )
     )
+
+
+def train_hashed_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str,
+    *,
+    dim: int = 1024,
+    iters: int = 10,
+    lr: float = 1.0,
+    l2: float = 1e-4,
+    hash_mode: str = P.PORTABLE,
+):
+    """TRAIN the CCNet/fastText-style hashed linear quality classifier
+    IN-ENGINE (the missing half of :func:`hashed_linear_score`, which
+    consumes a trained weight table): logistic regression by full-batch
+    gradient descent over hashed bag-of-tokens features
+    (``feature id = token_hash mod dim``, tf normalized per document).
+
+    Distributed shape — the canonical iterative pattern (same contract
+    as k-means / PCA): per iteration ONE corpus scan computes each
+    document's margin against the broadcast weight vector and emits
+    per-feature gradient contributions, which aggregate BY FEATURE ID
+    (a ``dim``-bounded shuffle — map-side combined, never doc-count
+    rows) and collect to the driver (``dim`` floats of state, the same
+    bounded-driver contract as centroids).  No Python in the scan: the
+    margin is a SQL fold over the feature array against the broadcast
+    weights.
+
+    Labels: ``label_col`` must be 0/1 (or boolean).  Returns
+    ``(weights_df, history)``: a ``(wid, w)`` DataFrame directly
+    consumable by :func:`hashed_linear_score`-style broadcast joins
+    (weights are floats here — the integer table of
+    :func:`default_hashed_weights` is the ORACLE-exact variant), and a
+    per-iteration ``[(iter, train_accuracy_ppm, loss_scaled), ...]``
+    history (accuracy is an exact integer count ratio; loss is the
+    float logistic loss for monitoring).
+
+    Float caveat: gradients are float sums, so training is
+    deterministic within one Spark build but NOT cross-engine
+    value-oracle-able — correctness is pinned by pytest properties
+    (separable corpus reaches 100% train accuracy; signal tokens get
+    the right-signed weights).
+    """
+    import math
+
+    spark = df.sparkSession
+    text = f"coalesce({text_col}, '')"
+    feats = df.select(
+        F.when(F.col(label_col).cast("int") > 0, 1.0).otherwise(0.0)
+        .alias("_y"),
+        F.expr(
+            P.transform(
+                P.hash_array(P.tokens(text, SPARK), SPARK, hash_mode),
+                "h", f"pmod(h, {dim})", SPARK,
+            )
+        ).alias("_f"),
+    ).where(F.expr("size(_f) > 0")).localCheckpoint(eager=False)
+    n_docs = feats.count()
+    if n_docs == 0:
+        raise ValueError("train_hashed_classifier: no non-empty documents")
+
+    w = [0.0] * dim
+    history = []
+    for it in range(1, iters + 1):
+        w_lit = "array(" + ", ".join(f"{x!r}D" for x in w) + ")"
+        # margin = sum_f w[f] / n_tokens  (mean-normalized bag of words)
+        margin = (
+            "aggregate(_f, 0.0D, (acc, f) -> "
+            "acc + element_at(_w, cast(f + 1 as int))) / size(_f)"
+        )
+        # inject the weights as a literal array column: the fold reads
+        # a per-row reference, Catalyst folds the constant
+        scored = feats.withColumn("_w", F.expr(w_lit)).select(
+            "_y", "_f",
+            F.expr(f"1.0D / (1.0D + exp(-({margin})))").alias("_p"),
+        )
+        # gradient by feature id: residual spread over the doc's tokens
+        grad = (
+            scored.select(
+                (F.col("_p") - F.col("_y")).alias("_r"),
+                F.expr("size(_f)").alias("_n"),
+                F.explode("_f").alias("_fid"),
+            )
+            .groupBy("_fid")
+            .agg(F.sum(F.expr("_r / _n")).alias("_g"))
+            .collect()
+        )
+        g = [0.0] * dim
+        for row in grad:
+            g[row["_fid"]] = row["_g"]
+        w = [
+            wi - lr * (gi / n_docs + l2 * wi)
+            for wi, gi in zip(w, g)
+        ]
+        # monitoring: exact integer accuracy + float loss
+        stats = scored.select(
+            F.sum(
+                ((F.col("_p") >= 0.5) == (F.col("_y") >= 0.5)).cast("long")
+            ).alias("_ok"),
+            F.sum(
+                F.expr(
+                    "-(_y * log(greatest(_p, 1e-12)) "
+                    "+ (1.0D - _y) * log(greatest(1.0D - _p, 1e-12)))"
+                )
+            ).alias("_loss"),
+        ).collect()[0]
+        history.append(
+            (it, int(stats["_ok"]) * 1_000_000 // n_docs,
+             float(stats["_loss"]) / n_docs)
+        )
+        if math.isnan(history[-1][2]):
+            raise ArithmeticError("train_hashed_classifier: loss diverged")
+    weights_df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(w)], "wid int, w double"
+    )
+    return weights_df, history

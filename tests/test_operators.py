@@ -5717,3 +5717,40 @@ class TestCrossCorpusFastMode:
                     threshold=0.2, hash_mode=mode).collect()
             )
         assert join("fast") == join("portable")
+
+
+class TestTrainHashedClassifier:
+    def test_learns_separable_corpus(self, spark):
+        from ayeaye_spark.operators.text import (
+            hashed_linear_score, train_hashed_classifier,
+        )
+
+        good = [(i, 1, f"excellent wonderful prose sample {i % 7} here")
+                for i in range(30)]
+        bad = [(100 + i, 0, f"zzz spam garbage noise blob {i % 7} here")
+               for i in range(30)]
+        df = spark.createDataFrame(
+            good + bad, "doc_id int, label int, text string"
+        )
+        w, hist = train_hashed_classifier(
+            df, "label", "text", dim=64, iters=12, lr=8.0, l2=0.0
+        )
+        # accuracy is monotone-ish and ends at 100% on a separable corpus
+        assert hist[-1][1] == 1_000_000, hist
+        assert hist[0][1] <= hist[-1][1]
+        # signal tokens carry the right-signed weights
+        from ayeaye_spark.functions import portable_py as PY
+        weights = {r["wid"]: r["w"] for r in w.collect()}
+        def fid(tok):
+            return PY.token_hashes([tok], {})[0] % 64
+        assert weights[fid("excellent")] > 0 > weights[fid("zzz")]
+        # the trained table slots straight into scoring-style joins
+        assert w.columns == ["wid", "w"] and w.count() == 64
+
+    def test_empty_corpus_raises(self, spark):
+        import pytest as _pytest
+        from ayeaye_spark.operators.text import train_hashed_classifier
+
+        df = spark.createDataFrame([(1, 1, "")], "doc_id int, label int, text string")
+        with _pytest.raises(ValueError, match="no non-empty"):
+            train_hashed_classifier(df, "label", "text", dim=8, iters=1)
