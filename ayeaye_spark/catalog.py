@@ -8169,6 +8169,80 @@ def docs_tokenize_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_fast_minhash_survivors")  # engine-native hashes: rows-only check
+def dedup_fast_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup chain end-to-end under ``hash_mode="fast"``
+    (xxhash64 shingles + per-permutation xxhash64 mixes): MinHash LSH
+    survivors at the same parameters as ``dedup_minhash_lsh_pairs``.
+    Engine-native hashes can't be value-oracled (band collisions are
+    hash-specific), so this is a rows-only entry — value equivalence
+    of the fast and portable keyspaces is pinned by the
+    ``TestHashModeEquivalence``/``TestMinhashFastMode`` pytest suites;
+    this entry proves the 64-bit path RUNS at every round's scale."""
+    return dedup.minhash_dedup(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, k=16, bands=4, threshold=0.3, hash_mode="fast",
+    ).select("doc_id", "lang", "source")
+
+
+def _active_time_sql(d: str) -> str:
+    """Dual-rendered: only the epoch-seconds extraction differs (Spark
+    ``unix_timestamp`` / DuckDB ``epoch_ms(x)//1000`` — DuckDB's
+    ``epoch()`` returns DOUBLE; the ms integer division keeps the
+    arithmetic exact in both engines)."""
+    def es(x: str) -> str:
+        if d == SPARK:
+            return f"unix_timestamp({x})"
+        return f"(epoch_ms({x}) // 1000)"
+
+    return f"""
+    WITH sess AS (
+      SELECT user_id,
+             CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts + INTERVAL 30 MINUTE AS TIMESTAMP) AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_run
+      FROM sess
+    ),
+    runs AS (
+      SELECT user_id, s, e,
+             SUM(new_run) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM marked
+    ),
+    merged AS (
+      SELECT user_id, run_id, MIN(s) AS run_start, MAX(e) AS run_end
+      FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM({es('run_end')} - {es('run_start')})
+                AS BIGINT) AS active_seconds
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """
+
+
+@query("events_user_active_time", oracle=_active_time_sql(DUCK))
+def events_user_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total ACTIVE time per user with overlapping 30-minute activity
+    windows merged exactly — the interval-union counterpart of the
+    sweep-line peak-concurrency query.  The classic run-id
+    construction: an interval starts a new run iff it begins after the
+    running max end of everything before it; runs then aggregate.
+    Windows partition BY USER (bounded, parallel — never corpus-wide);
+    both window passes share one (user, s, e) sort order so Spark
+    reuses a single exchange+sort."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_active_time_sql(SPARK))
+
+
 @query("docs_train_quality_classifier")  # iterative float GD: rows-only check
 def docs_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-ENGINE training of the hashed linear quality classifier
