@@ -272,3 +272,38 @@ def test_corpus_drift_cross_multiplied_form(c1, c2):
         abs(x * t2 - y * t1) for x, y in zip(da, db)
     ) * 1_000_000 // (t1 * t2)
     assert exact_dis == 2_000_000
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ns=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=50),
+    budget=st.integers(min_value=4, max_value=64),
+)
+def test_pack_assignment_contiguous_fill_invariants(ns, budget):
+    """The pack_id formula used by ``sampling.pack_sequences`` /
+    ``tokenize_pack_shards`` (pack = (cum − n) // budget, i.e. a doc
+    joins the pack its STARTING offset falls in) must satisfy the
+    contiguous-fill contract for any token-count sequence:
+    (a) pack ids are non-decreasing along the doc order;
+    (b) every doc's starting offset lies inside its pack's window;
+    (c) a pack's total never exceeds budget + (its last doc − 1) —
+        the at-most-one-doc overflow bound;
+    (d) packs are gapless EXCEPT where one doc spans whole windows."""
+    cum = 0
+    packs = {}
+    last_pid = 0
+    prev_end_pid = 0
+    for n in ns:
+        start = cum
+        cum += n
+        pid = start // budget
+        assert pid >= last_pid                                    # (a)
+        assert pid * budget <= start < (pid + 1) * budget         # (b)
+        # (d): any gap from the previous doc's pack must be covered by
+        # that doc's span crossing whole windows
+        assert pid <= prev_end_pid + 1
+        packs.setdefault(pid, []).append(n)
+        last_pid = pid
+        prev_end_pid = (cum - 1) // budget
+    for pid, members in packs.items():                            # (c)
+        assert sum(members) <= budget + members[-1] - 1
