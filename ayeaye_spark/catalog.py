@@ -8169,6 +8169,66 @@ def docs_tokenize_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_pack_efficiency",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             CAST(len({P.tokens('text', DUCK)}) + 1 AS BIGINT) AS n
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c
+      FROM per_doc
+    ),
+    packs AS (
+      SELECT CAST((c - n) // {_SHARD_BUDGET} AS BIGINT) AS pack_id,
+             SUM(n) AS toks
+      FROM cum GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_packs,
+           CAST(SUM(CASE WHEN toks >= {_SHARD_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS full_packs,
+           CAST(SUM(LEAST(toks, {_SHARD_BUDGET})) * 1000000
+                // (COUNT(*) * {_SHARD_BUDGET}) AS BIGINT) AS mean_fill_ppm,
+           CAST(SUM(CASE WHEN toks < {_SHARD_BUDGET}
+                    THEN {_SHARD_BUDGET} - toks ELSE 0 END) AS BIGINT)
+             AS wasted_tokens
+    FROM packs
+    """,
+)
+def docs_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-telemetry for the packing step: how full the
+    ``tokenize_pack_shards`` sequences are — fill rate, full-pack
+    count, and the wasted capacity a smarter (e.g. best-fit) packer
+    would recover.  Same distributed prefix-sum pack assignment, one
+    pack-keyed rollup, single summary row; exact integer ppm."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        (F.expr(P.size(P.tokens("coalesce(text, '')", SPARK), SPARK)) + 1)
+        .cast("long").alias("_n"),
+    )
+    packed = sampling.pack_sequences(
+        per_doc, id_col="doc_id", token_col="_n", budget=_SHARD_BUDGET
+    )
+    packs = packed.groupBy("pack_id").agg(F.sum("_n").alias("toks"))
+    b = _SHARD_BUDGET
+    return packs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum((F.col("toks") >= b).cast("long")).alias("full_packs"),
+        F.expr(
+            f"sum(least(toks, {b})) * 1000000 div (count(1) * {b})"
+        ).alias("mean_fill_ppm"),
+        F.sum(
+            F.when(F.col("toks") < b, b - F.col("toks")).otherwise(0)
+        ).cast("long").alias("wasted_tokens"),
+    )
+
+
 @query("dedup_fast_minhash_survivors")  # engine-native hashes: rows-only check
 def dedup_fast_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION dedup chain end-to-end under ``hash_mode="fast"``
