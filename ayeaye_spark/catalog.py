@@ -8148,11 +8148,17 @@ _SHARD_VOCAB, _SHARD_BUDGET = 4096, 512
                AS c
       FROM sized
     )
-    SELECT CAST((c - n) // {_SHARD_BUDGET} AS BIGINT) AS pack_id,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n) AS BIGINT) AS n_tokens,
-           flatten(list(ids ORDER BY doc_id)) AS token_ids
-    FROM cum GROUP BY 1 ORDER BY pack_id
+    SELECT pack_id, n_docs, n_tokens, token_ids,
+           list_transform(starts, s -> s - first_start) AS doc_starts
+    FROM (
+      SELECT CAST((c - n) // {_SHARD_BUDGET} AS BIGINT) AS pack_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             flatten(list(ids ORDER BY doc_id)) AS token_ids,
+             MIN(c - n) AS first_start,
+             list(c - n ORDER BY doc_id) AS starts
+      FROM cum GROUP BY 1
+    ) ORDER BY pack_id
     """,
 )
 def docs_tokenize_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:

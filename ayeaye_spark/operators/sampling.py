@@ -241,10 +241,13 @@ def pack_sequences(
     token_col: str,
     budget: int,
     id_bucket_width: int = 65536,
+    keep_cum: bool = False,
 ) -> DataFrame:
     """Contiguous-fill sequence packing: rows ordered by id, each row
     joins the pack its running token count starts in — ``pack_id =
-    (cumsum - tokens) div budget``.
+    (cumsum - tokens) div budget``.  ``keep_cum=True`` retains the
+    running total column ``_cum`` (consumers deriving in-pack offsets
+    read ``_cum - tokens``).
 
     The deterministic streaming formulation of training-sequence packing
     (docs → fixed-token training rows): exact integer math, distributed
@@ -262,9 +265,10 @@ def pack_sequences(
         out_col="_cum",
     )
     # integer `div`, not `/`: float division of big longs loses exactness
-    return out.withColumn(
+    out = out.withColumn(
         "pack_id", F.expr(f"(_cum - {token_col}) div {budget}")
-    ).drop("_cum")
+    )
+    return out.drop("_cum") if not keep_cum else out
 
 
 def stratified_sample(
@@ -577,9 +581,10 @@ def tokenize_pack_shards(
     pack contiguously into ``budget``-token sequences via the
     deterministic distributed prefix sum of :func:`pack_sequences`.
 
-    Output: ``(pack_id, n_docs, n_tokens, token_ids)`` — one row per
-    training sequence, ``token_ids`` the concatenated id stream in
-    document order.
+    Output: ``(pack_id, n_docs, n_tokens, token_ids, doc_starts)`` —
+    one row per training sequence, ``token_ids`` the concatenated id
+    stream in document order and ``doc_starts`` each document's start
+    offset within it (what a block-diagonal attention mask consumes).
 
     Scale shape: tokenization + id mapping run in the scan projection
     (whole-stage codegen, no Python); pack assignment is the two-phase
@@ -606,8 +611,8 @@ def tokenize_pack_shards(
     ).withColumn("_n", F.expr(P.size("_ids", P.SPARK)).cast("long"))
     packed = pack_sequences(
         per_doc, id_col=id_col, token_col="_n", budget=budget,
-        id_bucket_width=id_bucket_width,
-    )
+        id_bucket_width=id_bucket_width, keep_cum=True,
+    ).withColumn("_start", F.expr("_cum - _n"))
     return (
         packed.groupBy("pack_id")
         .agg(
@@ -617,6 +622,19 @@ def tokenize_pack_shards(
                 f"flatten(transform(array_sort(collect_list("
                 f"struct({id_col}, _ids))), s -> s._ids))"
             ).alias("token_ids"),
+            F.min("_start").alias("_first"),
+            F.expr(
+                f"transform(array_sort(collect_list("
+                f"struct({id_col}, _start))), s -> s._start)"
+            ).alias("_starts"),
+        )
+        # per-doc start offsets inside the pack's concatenated stream
+        # (block-diagonal attention masks need them): global start
+        # minus the pack's first — _start is monotone in id, so the
+        # id-sorted collect is already offset-sorted
+        .select(
+            "pack_id", "n_docs", "n_tokens", "token_ids",
+            F.expr("transform(_starts, s -> s - _first)").alias("doc_starts"),
         )
         .orderBy("pack_id")
     )

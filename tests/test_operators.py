@@ -5622,6 +5622,12 @@ class TestTokenizePackShards:
             assert all(0 <= t <= V for t in r["token_ids"])
             assert r["n_tokens"] == len(r["token_ids"])
             assert r["token_ids"][-1] == V  # packs end on a doc boundary
+            # doc_starts: one per doc, first 0, each start lands right
+            # after the previous doc's EOS
+            starts = r["doc_starts"]
+            assert len(starts) == r["n_docs"] and starts[0] == 0
+            for s in starts[1:]:
+                assert r["token_ids"][s - 1] == V
         # EOS count across all packs == number of documents
         assert sum(r["token_ids"].count(V) for r in out) == 42
         # greedy fill: every pack except possibly the last STARTS under
