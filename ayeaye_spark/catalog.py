@@ -8202,16 +8202,24 @@ def docs_tokenize_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // (COUNT(*) * {_SHARD_BUDGET}) AS BIGINT) AS mean_fill_ppm,
            CAST(SUM(CASE WHEN toks < {_SHARD_BUDGET}
                     THEN {_SHARD_BUDGET} - toks ELSE 0 END) AS BIGINT)
-             AS wasted_tokens
+             AS wasted_tokens,
+           CAST(SUM(CASE WHEN toks > {_SHARD_BUDGET}
+                    THEN toks - {_SHARD_BUDGET} ELSE 0 END) AS BIGINT)
+             AS overflow_tokens,
+           CAST(SUM(CASE WHEN toks > {_SHARD_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overflowing
     FROM packs
     """,
 )
 def docs_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-telemetry for the packing step: how full the
-    ``tokenize_pack_shards`` sequences are — fill rate, full-pack
-    count, and the wasted capacity a smarter (e.g. best-fit) packer
-    would recover.  Same distributed prefix-sum pack assignment, one
-    pack-keyed rollup, single summary row; exact integer ppm."""
+    """Training-telemetry for the packing step: fill rate plus the
+    TRUNCATION exposure — contiguous fill never under-fills interior
+    packs (a straddling document OVERFLOWS its pack instead), so the
+    actionable numbers are ``overflow_tokens`` / ``n_overflowing``
+    (tokens a fixed-length trainer would truncate; the upstream fix is
+    ``chunk_documents`` before packing) and ``wasted_tokens`` (trailing
+    partial pack only).  Same distributed prefix-sum pack assignment,
+    one pack-keyed rollup, single summary row; exact integer ppm."""
     docs = load(spark, sf_dir, "documents")
     per_doc = docs.select(
         "doc_id",
@@ -8232,6 +8240,10 @@ def docs_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("toks") < b, b - F.col("toks")).otherwise(0)
         ).cast("long").alias("wasted_tokens"),
+        F.sum(
+            F.when(F.col("toks") > b, F.col("toks") - b).otherwise(0)
+        ).cast("long").alias("overflow_tokens"),
+        F.sum((F.col("toks") > b).cast("long")).alias("n_overflowing"),
     )
 
 
