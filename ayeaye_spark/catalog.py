@@ -8247,6 +8247,80 @@ def docs_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_chunk_pack_efficiency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {P.tokens('text', DUCK)} AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             CAST(len(t[1 + i * {_SHARD_BUDGET - 1}:
+                       (i + 1) * {_SHARD_BUDGET - 1}]) + 1 AS BIGINT) AS n
+      FROM toks, UNNEST(range(0,
+        CASE WHEN len(t) <= {_SHARD_BUDGET - 1} THEN 1
+             ELSE 1 + (len(t) - 1) // {_SHARD_BUDGET - 1} END)) AS u(i)
+    ),
+    cum AS (
+      SELECT SUM(n) OVER (ORDER BY doc_id, chunk_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c, n
+      FROM chunks
+    ),
+    packs AS (
+      SELECT CAST((c - n) // {_SHARD_BUDGET} AS BIGINT) AS pack_id,
+             SUM(n) AS toks
+      FROM cum GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_packs,
+           CAST(SUM(CASE WHEN toks > {_SHARD_BUDGET}
+                    THEN toks - {_SHARD_BUDGET} ELSE 0 END) AS BIGINT)
+             AS overflow_tokens,
+           CAST(SUM(LEAST(toks, {_SHARD_BUDGET})) * 1000000
+                // (COUNT(*) * {_SHARD_BUDGET}) AS BIGINT) AS mean_fill_ppm
+    FROM packs
+    """,
+)
+def docs_chunk_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fix ``docs_pack_efficiency`` recommends, measured: CHUNK
+    documents to ≤ budget−1 tokens (non-overlapping ``chunk_documents``
+    windows; +1 for EOS) BEFORE packing — a chunk can never exceed the
+    budget, so the worst per-sequence overflow drops from the longest
+    DOCUMENT's tail to at most budget−1 straddle tokens.  On the test
+    corpus every document is already under the budget, so the two
+    queries' numbers coincide (chunking is a no-op there by design —
+    asserted equal at sf0.01); the divergence this telemetry exists to
+    catch appears when book/repo-sized documents enter the mix.  Same
+    prefix-sum pack assignment over (doc, chunk) order; output compares
+    directly against the unchunked query's ``overflow_tokens``."""
+    b = _SHARD_BUDGET
+    chunks = textops.chunk_documents(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk=b - 1, step=b - 1,
+    ).select(
+        "doc_id", "chunk_idx", (F.col("n_tokens") + 1).alias("_n")
+    )
+    # order key (doc, chunk) flattened to one monotone id for the
+    # bucketed cumsum: chunk counts are < 2^20 per doc by the token
+    # envelope, so doc_id * 2^20 + chunk_idx preserves the order
+    per_chunk = chunks.select(
+        F.expr("doc_id * 1048576 + chunk_idx").alias("_oid"), "_n"
+    )
+    packed = sampling.pack_sequences(
+        per_chunk, id_col="_oid", token_col="_n", budget=b
+    )
+    packs = packed.groupBy("pack_id").agg(F.sum("_n").alias("toks"))
+    return packs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum(
+            F.when(F.col("toks") > b, F.col("toks") - b).otherwise(0)
+        ).cast("long").alias("overflow_tokens"),
+        F.expr(
+            f"sum(least(toks, {b})) * 1000000 div (count(1) * {b})"
+        ).alias("mean_fill_ppm"),
+    )
+
+
 @query("dedup_fast_minhash_survivors")  # engine-native hashes: rows-only check
 def dedup_fast_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION dedup chain end-to-end under ``hash_mode="fast"``

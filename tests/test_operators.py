@@ -5760,3 +5760,36 @@ class TestTrainHashedClassifier:
         df = spark.createDataFrame([(1, 1, "")], "doc_id int, label int, text string")
         with _pytest.raises(ValueError, match="no non-empty"):
             train_hashed_classifier(df, "label", "text", dim=8, iters=1)
+
+
+class TestChunkPackDivergence:
+    def test_chunking_bounds_overflow_on_long_docs(self, spark):
+        """The case the chunk-then-pack telemetry exists for: with a
+        budget-dwarfing document in the mix, direct packing overflows
+        by ~the whole document tail; chunk-first bounds every
+        sequence's overflow below the budget."""
+        from ayeaye_spark.operators.sampling import pack_sequences
+        from ayeaye_spark.operators.text import chunk_documents
+
+        B = 32
+        rows = [(1, "w " * 10), (2, "x " * 300), (3, "y " * 10)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+
+        def overflow(frame, idc):
+            packs = pack_sequences(
+                frame, id_col=idc, token_col="_n", budget=B
+            ).groupBy("pack_id").agg(F.sum("_n").alias("t"))
+            return packs.select(
+                F.sum(F.when(F.col("t") > B, F.col("t") - B).otherwise(0))
+                .alias("o")
+            ).collect()[0]["o"]
+
+        direct = df.selectExpr(
+            "doc_id", "size(split(trim(text), ' ')) + 1 AS _n"
+        )
+        assert overflow(direct, "doc_id") >= 300 - B  # whole-doc tail
+        chunked = chunk_documents(
+            df, "doc_id", "text", chunk=B - 1, step=B - 1
+        ).selectExpr("doc_id * 1048576 + chunk_idx AS _oid",
+                     "n_tokens + 1 AS _n")
+        assert overflow(chunked, "_oid") < B  # bounded per straddle
