@@ -8321,6 +8321,83 @@ def docs_chunk_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_ivf_recall",
+    oracle=f"""
+    WITH centroids AS (SELECT vec_id AS centroid_id, embedding AS cvec
+                       FROM embeddings WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_duck_cosine('e.embedding', 'c.cvec')} DESC,
+                          c.centroid_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_duck_cosine('q.embedding', 'c.embedding')} DESC,
+                          c.vec_id ASC
+               ) AS rnk
+        FROM assign q JOIN assign c
+          ON q.centroid_id = c.centroid_id AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rnk <= 5
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_duck_cosine('q.embedding', 'e.embedding')} DESC,
+                          e.vec_id ASC
+               ) AS rnk
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rnk <= 5
+    )
+    SELECT b.query_id,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                * 1000000 // 5 AS BIGINT) AS recall_ppm
+    FROM brute b
+    LEFT JOIN ivf i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation for the 1-probe IVF path: per-query
+    recall@5 against the brute-force ground truth — the number that
+    decides nprobe before a corpus-wide rollout (low recall = queries
+    near cell boundaries lose neighbors to adjacent cells).  Both
+    sides reuse the verified operators; exact integer ppm, value-exact
+    oracle (the oracle replays the identical cell assignment)."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") % 50 == 0)
+    cells = similarity.assign_cells_vectorized(emb, centroids)
+    ivf = similarity.ivf_topk_from_cells(
+        cells, cells.where(F.col("vec_id") < 10), k=5
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    brute = similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5
+    ).select("query_id", "neighbor_id")
+    return (
+        brute.join(ivf, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint")
+             .alias("n_hits"))
+        .withColumn("recall_ppm", F.expr("n_hits * 1000000 div 5"))
+    )
+
+
 @query("dedup_fast_minhash_survivors")  # engine-native hashes: rows-only check
 def dedup_fast_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION dedup chain end-to-end under ``hash_mode="fast"``
