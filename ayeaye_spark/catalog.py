@@ -8398,6 +8398,69 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_cluster_aware_split",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, {P.fingerprint('text', DUCK)} AS f FROM documents
+    ),
+    keep AS (SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY f),
+    assigned AS (
+      SELECT fp.doc_id, fp.f,
+             CASE WHEN ((keep_id * 1103515245 + 12345) % 1000 + 1000) % 1000
+                       < 900 THEN 'train'
+                  WHEN ((keep_id * 1103515245 + 12345) % 1000 + 1000) % 1000
+                       < 950 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM fp JOIN keep USING (f)
+    ),
+    leaks AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leaky_clusters FROM (
+        SELECT f FROM assigned GROUP BY f HAVING COUNT(DISTINCT split) > 1)
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT f) AS BIGINT) AS n_clusters,
+           leaky_clusters
+    FROM assigned CROSS JOIN leaks
+    GROUP BY split, leaky_clusters ORDER BY split
+    """,
+)
+def docs_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split by the DUPLICATE
+    CLUSTER's survivor id instead of the document id, so an exact-dup
+    family can never straddle splits (the classic eval contamination:
+    a test doc whose twin sits in train).  The ``leaky_clusters``
+    column PROVES the property in-band (always 0 — computed, not
+    assumed).  Fingerprint groups + the deterministic LCG bucket split
+    (same constants as ``sampling.deterministic_split``), one
+    broadcast-joined keep-set, exact counts."""
+    docs = load(spark, sf_dir, "documents")
+    fp = dedup.with_fingerprint(docs, "text").select(
+        "doc_id", F.col("fingerprint").alias("f")
+    )
+    keep = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    assigned = sampling.deterministic_split(
+        fp.join(keep, "f"), "keep_id"
+    )
+    leaks = (
+        assigned.groupBy("f")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .where(F.col("_ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("leaky_clusters"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("f").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select("split", "n_docs", "n_clusters", "leaky_clusters")
+        .orderBy("split")
+    )
+
+
 @query("dedup_fast_minhash_survivors")  # engine-native hashes: rows-only check
 def dedup_fast_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION dedup chain end-to-end under ``hash_mode="fast"``
