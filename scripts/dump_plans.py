@@ -517,6 +517,27 @@ HEADLINE = {
         "per-row fold dot in whole-stage codegen; one partial/final "
         "summary aggregate — no shuffle wider than one row."
     ),
+    "docs_tokenize_pack_shards": (
+        "token ids + EOS in the scan projection; pack assignment via "
+        "the two-phase bucketed prefix sum (no global window); one "
+        "pack-keyed groupBy whose payload is budget-bounded."
+    ),
+    "docs_cluster_aware_split": (
+        "fingerprint groups -> min-id keep set joined back; the LCG "
+        "bucket split is a pure projection; leak check is a tiny "
+        "broadcast cross join."
+    ),
+    "events_user_active_time": (
+        "per-user interval union: both window passes (running max end, "
+        "run-id prefix sum) share ONE exchange+sort on (user, s, e); "
+        "partitions are per-user, never corpus-wide."
+    ),
+    "ann_ivf_recall": (
+        "both sides reuse verified operators: one Arrow cell "
+        "assignment feeds the IVF cell join; brute force is the "
+        "broadcast-query corpus scan; recall is one pair-keyed left "
+        "join + per-query rollup."
+    ),
 }
 
 
