@@ -8461,6 +8461,43 @@ def docs_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_readability",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(list_transform(
+                  string_split_regex(lower(coalesce(text, '')), '[.!?]+'),
+                  x -> trim(x)), s -> s <> '')) AS BIGINT) AS n_sentences,
+           CAST({P.size(P.tokens('text', DUCK), DUCK)} AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                '[aeiouy]+')) AS BIGINT) AS n_syllables,
+           CAST(CASE WHEN {P.size(P.tokens('text', DUCK), DUCK)} = 0
+                  OR len(list_filter(list_transform(
+                       string_split_regex(lower(coalesce(text, '')), '[.!?]+'),
+                       x -> trim(x)), s -> s <> '')) = 0 THEN 0
+                ELSE 206835
+                  - (1015 * {P.size(P.tokens('text', DUCK), DUCK)})
+                    // len(list_filter(list_transform(
+                         string_split_regex(lower(coalesce(text, '')), '[.!?]+'),
+                         x -> trim(x)), s -> s <> ''))
+                  - (84600 * len(regexp_extract_all(lower(coalesce(text, '')),
+                       '[aeiouy]+')))
+                    // {P.size(P.tokens('text', DUCK), DUCK)}
+                END AS BIGINT) AS fre_milli
+    FROM documents
+    """,
+)
+def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease per document (``text.readability_profile``)
+    in exact integer milli-points — vowel-run syllables, the same
+    sentence splitter as the C4 profile, one scan with zero shuffles;
+    value-exact cross-engine (constants are exactly ×1000, divisions
+    are integer floor)."""
+    return textops.readability_profile(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 @query("dedup_fast_minhash_survivors")  # engine-native hashes: rows-only check
 def dedup_fast_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION dedup chain end-to-end under ``hash_mode="fast"``

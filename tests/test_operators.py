@@ -5793,3 +5793,37 @@ class TestChunkPackDivergence:
         ).selectExpr("doc_id * 1048576 + chunk_idx AS _oid",
                      "n_tokens + 1 AS _n")
         assert overflow(chunked, "_oid") < B  # bounded per straddle
+
+
+class TestReadability:
+    def test_matches_bruteforce(self, spark):
+        import re
+
+        from ayeaye_spark.operators.text import readability_profile
+
+        rows = [
+            (1, "The cat sat. The dog ran fast!"),
+            (2, "Unquestionably extraordinary considerations necessitate "
+                "comprehensive deliberation."),
+            (3, "no terminator here at all"),
+            (4, ""), (5, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: (r["n_sentences"], r["n_words"],
+                             r["n_syllables"], r["fre_milli"])
+               for r in readability_profile(df, "doc_id", "text").collect()}
+
+        def brute(t):
+            t = (t or "").lower()
+            sents = [s for s in re.split(r"[.!?]+", t) if s.strip()]
+            words = len(t.split())
+            syls = len(re.findall(r"[aeiouy]+", t))
+            if not words or not sents:
+                return (len(sents), words, syls, 0)
+            fre = 206835 - (1015 * words) // len(sents) - (84600 * syls) // words
+            return (len(sents), words, syls, fre)
+
+        assert got == {i: brute(t) for i, t in rows}
+        # directional sanity: simple short sentences score far above
+        # polysyllabic legalese
+        assert got[1][3] > got[2][3] + 50_000
