@@ -44,6 +44,10 @@ class TrainingCorpusPipeline(Model):
         engine_url="parquet://{output_path}/packed_corpus.parquet",
         access=AccessMode.READWRITE,  # post_build_check reads it back
     )
+    token_shards = Connect(
+        engine_url="parquet://{output_path}/token_shards.parquet",
+        access=AccessMode.READWRITE,  # post_build_check reads it back
+    )
     funnel_manifest = Connect(
         engine_url="json://{output_path}/corpus_funnel.json;indent=2",
         access=AccessMode.READWRITE,  # post_build_check reads it back
@@ -135,8 +139,21 @@ class TrainingCorpusPipeline(Model):
         packed = packed.join(epoch, on="pack_id")
         self.packed_corpus.write(packed)
 
+        # 8. terminal step: the curated train set as ACTUAL trainer
+        # input — token-id sequences with EOS boundaries and in-pack
+        # doc offsets (block-diagonal attention masks)
+        shards = sampling.tokenize_pack_shards(
+            train.select("doc_id", "text"), "doc_id", "text",
+            vocab_size=4096, budget=self.pack_budget,
+        )
+        self.token_shards.write(shards)
+
         funnel["n_packs"] = packed.select("pack_id").distinct().count()
         funnel["total_tokens"] = packed.agg(F.sum("ntok")).collect()[0][0]
+        funnel["n_shards"] = shards.count()
+        funnel["shard_tokens"] = shards.agg(
+            F.sum("n_tokens")
+        ).collect()[0][0]
         self.funnel_manifest.data = funnel
         for k, v in funnel.items():
             self.add_stat(k, v)

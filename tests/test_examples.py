@@ -179,6 +179,16 @@ def test_training_corpus_pipeline(spark, resolver, tmp_path):
     packed = spark.read.parquet(str(tmp_path / "packed_corpus.parquet"))
     assert packed.count() == funnel["after_token_budget"]
     assert funnel["n_packs"] >= 1
+    # terminal shards: id streams + EOS boundaries over the same docs
+    shards = spark.read.parquet(str(tmp_path / "token_shards.parquet"))
+    srows = shards.collect()
+    assert len(srows) == funnel["n_shards"] >= 1
+    assert sum(r["n_tokens"] for r in srows) == funnel["shard_tokens"]
+    eos_total = sum(r["token_ids"].count(4096) for r in srows)
+    assert eos_total == funnel["after_token_budget"]  # one EOS per doc
+    for r in srows:
+        assert len(r["doc_starts"]) == r["n_docs"]
+        assert r["doc_starts"][0] == 0 and r["token_ids"][-1] == 4096
     # epoch order: every pack got exactly one position in 1..n_packs
     pos = sorted(r["epoch_pos"] for r in
                  packed.select("pack_id", "epoch_pos").distinct().collect())
