@@ -5827,3 +5827,24 @@ class TestReadability:
         # directional sanity: simple short sentences score far above
         # polysyllabic legalese
         assert got[1][3] > got[2][3] + 50_000
+
+
+class TestIncrementalFastMode:
+    def test_incremental_dedup_fast_equals_portable(self, spark):
+        """hash_mode flows through minhash_dedup_incremental's
+        **lsh_kwargs into the candidate chain."""
+        base = ("the quick brown fox jumps over the lazy dog again "
+                "and again every day")
+        old = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+        new = spark.createDataFrame(
+            [(2, base),
+             (3, "entirely different text about lattice gauge theory "
+                 "on gpu clusters")],
+            ["doc_id", "text"],
+        )
+        for mode in ("portable", "fast"):
+            surv = dedup.minhash_dedup_incremental(
+                old, new, "doc_id", "text",
+                n=3, k=16, bands=4, threshold=0.3, hash_mode=mode,
+            )
+            assert sorted(r["doc_id"] for r in surv.collect()) == [3], mode
