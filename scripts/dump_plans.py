@@ -538,6 +538,11 @@ HEADLINE = {
         "broadcast-query corpus scan; recall is one pair-keyed left "
         "join + per-query rollup."
     ),
+    "docs_readability": (
+        "three counting expressions (sentences, words, vowel-run "
+        "syllables) in ONE scan projection; per-row integer math, "
+        "zero shuffles."
+    ),
 }
 
 
