@@ -2118,6 +2118,25 @@ def dedup_transitive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(docs, pairs, "doc_id")
 
 
+@query("dedup_components_star", oracle=_components_oracle())
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same transitive closure as ``dedup_transitive_components`` but
+    through the **large-star / small-star** edge-rewrite algorithm
+    (Kiveris et al., SoCC'14; ``graph.connected_components_star``) —
+    the label-free CC formulation for edge lists at 10⁹+ vertices,
+    where min-label propagation's per-round vertex-label table becomes
+    a second corpus-sized join.  Each half-round is one groupBy + one
+    same-key re-join over the edge list only; rounds are O(log² n).
+    Value-oracled against the identical recursive-CTE closure, proving
+    the two algorithms agree end-to-end on real near-dup pairs."""
+    from .operators.graph import dedup_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=16, bands=4,
+                                    threshold=0.3)
+    return dedup_components(docs, pairs, "doc_id", algorithm="star")
+
+
 @query(
     "dedup_quality_survivors",
     oracle=f"""

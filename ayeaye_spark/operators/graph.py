@@ -132,6 +132,116 @@ def _connected_components_distributed(
     return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """(vertex, component) via alternating **large-star / small-star**
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*,
+    SoCC'14) — the shuffle-bounded alternative to min-label propagation
+    for edge lists too big to label row-by-row.
+
+    Same output contract as :func:`connected_components` (component =
+    min reachable vertex id; vertices taken from the edge list), so the
+    two are interchangeable and property-tested equal.
+
+    Why a second algorithm: min-label propagation carries a *label per
+    vertex* through every round — at 10⁹+ vertices that is a second
+    vertex-sized table joined against the edges twice per round.  The
+    star algorithm rewrites the *edge list itself* toward star graphs
+    (every node directly attached to its component minimum) and needs
+    no vertex-label state at all:
+
+    * **large-star(u)**: connect every neighbor *larger* than u to the
+      minimum of u's closed neighborhood — ``(v, m)`` for v ∈ N(u),
+      v > u, with m = min(N(u) ∪ {u});
+    * **small-star(u)**: connect u and its *smaller* neighbors to their
+      collective minimum.
+
+    Each half-round is one groupBy + one re-join on the same key (the
+    exchange is reused) + a distinct; the edge set only ever shrinks
+    toward the star form, and the expected round count is
+    O(log² n) with O(log n) observed in practice.  Every intermediate
+    is ``localCheckpoint``-ed so round N never replays rounds 1..N-1.
+    Convergence is detected by an order-independent edge-set
+    fingerprint (count + bit_xor of xxhash64(u, v) — XOR commutes and
+    cannot overflow under ANSI mode) — one tiny aggregate per round
+    instead of a two-sided anti-join.  The fingerprint is a
+    *stopping* heuristic only (a collision could at worst stop one
+    round early); correctness of the fixpoint is property-tested
+    against union-find and the label-propagation path.
+    """
+    # canonical strict edges: u > v, self-loops dropped, deduped once
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["c"], row["h"])
+
+    prev_fp = _fingerprint(e)
+    for _ in range(max_rounds):
+        # ---- large-star: group over BOTH directions of each edge ----
+        nbrs = e.select(F.col("u").alias("x"), F.col("v").alias("y")).union(
+            e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        mins = nbrs.groupBy("x").agg(F.min("y").alias("ymin"))
+        large = (
+            nbrs.join(mins, "x")
+            .where(F.col("y") > F.col("x"))
+            # m = min(N(x) ∪ {x}) <= x < y, so (y, m) is canonical u>v
+            .select(
+                F.col("y").alias("u"),
+                F.least(F.col("x"), F.col("ymin")).alias("v"),
+            )
+            .distinct()
+        )
+        # ---- small-star: canonical edges all group at their LARGE
+        # endpoint, so N(u)∩{<=u} is exactly the v side of (u, v) ----
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            large.join(smins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        fp = _fingerprint(e)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # fixpoint edges form stars (child, root); roots label themselves.
+    # groupBy-min is a safety net for the capped-rounds case, where a
+    # vertex may still carry edges to more than one candidate root.
+    labels = (
+        e.select(F.col("u").alias("vertex"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("vertex"), F.col("v").alias("component")))
+        .groupBy("vertex")
+        .agg(F.min("component").alias("component"))
+    )
+    verts = (
+        edges.select(F.col(src).alias("vertex"))
+        .union(edges.select(F.col(dst).alias("vertex")))
+        .distinct()
+    )
+    return verts.join(labels, "vertex", "left").select(
+        "vertex", F.coalesce("component", F.col("vertex")).alias("component")
+    )
+
+
 def dedup_components(
     df: DataFrame,
     pairs: DataFrame,
@@ -139,14 +249,26 @@ def dedup_components(
     *,
     pair_a: str | None = None,
     pair_b: str | None = None,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """(id, component, is_survivor) for every row of ``df`` given a
     near-duplicate pair list: transitive closure via connected
     components; the minimum id in each component survives.  Isolated
-    docs are their own (surviving) component."""
+    docs are their own (surviving) component.
+
+    ``algorithm``: ``"auto"`` (adaptive union-find / label
+    propagation, :func:`connected_components`) or ``"star"`` (the
+    label-free large-star/small-star rewrite,
+    :func:`connected_components_star`) — identical output, different
+    scale trade-off (see the star docstring)."""
     pair_a = pair_a or f"{id_col}_a"
     pair_b = pair_b or f"{id_col}_b"
-    comps = connected_components(pairs, pair_a, pair_b)
+    if algorithm == "star":
+        comps = connected_components_star(pairs, pair_a, pair_b)
+    elif algorithm == "auto":
+        comps = connected_components(pairs, pair_a, pair_b)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     out = (
         df.select(id_col)
         .join(comps, F.col(id_col) == F.col("vertex"), "left")

@@ -448,6 +448,81 @@ class TestConnectedComponents:
                 ).collect()}
         assert dist == driver
 
+    def test_star_algorithm_matches_union_find(self, spark):
+        from ayeaye_spark.operators.graph import (
+            connected_components,
+            connected_components_star,
+        )
+
+        # chains (diameter stress), a clique, a vee, a self-loop-only
+        # vertex, and duplicate/reversed edges — shuffled
+        import random
+
+        rng = random.Random(11)
+        raw = []
+        for c in range(4):
+            raw += [(c * 1000 + i, c * 1000 + i + 1) for i in range(30)]
+        raw += [(50_000 + i, 50_000 + j) for i in range(5) for j in range(i + 1, 5)]
+        raw += [(70_000, 80_000), (80_000, 75_000), (99, 99), (2, 1)]
+        rng.shuffle(raw)
+        edges = spark.createDataFrame(raw, ["a", "b"])
+
+        ref = {r["vertex"]: r["component"]
+               for r in connected_components(edges, "a", "b").collect()}
+        star = {r["vertex"]: r["component"]
+                for r in connected_components_star(edges, "a", "b").collect()}
+        assert star == ref
+        assert star[99] == 99  # self-loop-only vertex labels itself
+
+    def test_star_random_graphs_match_driver_union_find(self, spark):
+        from ayeaye_spark.operators.graph import (
+            connected_components,
+            connected_components_star,
+        )
+        import random
+
+        for seed in (3, 17):
+            rng = random.Random(seed)
+            n, m = 400, 500
+            raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+            edges = spark.createDataFrame(raw, ["a", "b"])
+            ref = {r["vertex"]: r["component"]
+                   for r in connected_components(edges, "a", "b").collect()}
+            star = {r["vertex"]: r["component"]
+                    for r in connected_components_star(edges, "a", "b").collect()}
+            assert star == ref, f"seed {seed}"
+
+    def test_star_long_chain_converges(self, spark):
+        from ayeaye_spark.operators.graph import connected_components_star
+
+        # diameter 250: label propagation without jumping would need 250
+        # rounds; the star alternation closes it within the default cap
+        edges = spark.createDataFrame([(i, i + 1) for i in range(250)], ["a", "b"])
+        comps = {r["vertex"]: r["component"]
+                 for r in connected_components_star(edges, "a", "b").collect()}
+        assert set(comps.values()) == {0}
+        assert len(comps) == 251
+
+    def test_dedup_components_star_algorithm(self, spark):
+        from ayeaye_spark.operators.graph import dedup_components
+
+        docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)], ["doc_id"])
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (9, 7)], ["doc_id_a", "doc_id_b"]
+        )
+        out = {r["doc_id"]: (r["component"], r["is_survivor"])
+               for r in dedup_components(
+                   docs, pairs, "doc_id", algorithm="star"
+               ).collect()}
+        assert out == {
+            1: (1, True), 2: (1, False), 3: (1, False),
+            5: (5, True), 7: (7, True), 9: (7, False),
+        }
+        import pytest
+
+        with pytest.raises(ValueError, match="unknown algorithm"):
+            dedup_components(docs, pairs, "doc_id", algorithm="bogus")
+
 
 class TestScd2:
     def test_merge_closes_and_chains_versions(self, spark):
