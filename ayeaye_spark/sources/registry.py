@@ -37,6 +37,7 @@ from .file_formats import (
     XmlConnector,
 )
 from .multi import FakeDataConnector, MultiConnector, PlaceholderDataConnector
+from .webdataset import WebDatasetConnector
 
 _REGISTRY: dict[str, Type[DataConnector]] = {}
 
@@ -55,6 +56,7 @@ _BUILTIN_CONNECTORS: tuple[Type[DataConnector], ...] = (
     OrcConnector, AvroConnector, XmlConnector,
     UncookedConnector, JdbcConnector, KafkaConnector, BigQueryConnector,
     ElasticsearchConnector, RestfulConnector, FakeDataConnector,
+    WebDatasetConnector,
 )
 
 for cls in _BUILTIN_CONNECTORS:

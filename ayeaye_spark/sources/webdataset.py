@@ -1,0 +1,272 @@
+"""WebDataset-style tar shard sink/source (``wds://``).
+
+The interchange format LLM training stacks stream from: a corpus is a
+directory of ``shard-NNNNNN.tar`` files, each sample a group of members
+named ``{key}.{suffix}`` (``000123.txt``, ``000123.json``,
+``000123.jpg`` …), samples contiguous within a shard.  Readers stream
+shards sequentially — no random access, no footer — which is what makes
+the format work from object storage at training time.
+
+This module maps the format onto Spark with stdlib ``tarfile`` only:
+
+* :func:`write_tar_shards` — distributed sharded export.  Shard
+  assignment is ``pmod(xxhash64(key), n_shards)`` — a pure function of
+  the key, so shard *membership* is independent of upstream
+  partitioning; members are sorted by key within a shard and all tar
+  metadata is pinned (mtime/uid/gid/mode), so each shard's bytes are
+  fully deterministic (two runs of the same input produce identical
+  files — diffable, cache-friendly, content-addressable).
+* :func:`read_tar_shards` — ``binaryFile`` scan → ``mapInPandas``
+  member extraction, one row per tar member.
+* :func:`members_to_samples` — long→wide pivot back to one row per
+  sample key.
+
+Scale contract: ONE SHARD = ONE TASK = ONE IN-MEMORY GROUP on write
+(``applyInPandas``), one whole file on read (``binaryFile`` materializes
+each shard as a single binary value).  Size shards accordingly — the
+WebDataset convention of 100 MB–1 GB per shard is exactly the executor-
+friendly range; pick ``n_shards ≈ corpus_bytes / 500 MB``.  Paths go
+through the Hadoop-visible filesystem string, but the tar writer itself
+uses the POSIX file API — on a multi-node cluster point ``out_dir`` at a
+shared/fuse-mounted path (object-store streaming would swap in an
+fsspec/smart_open file object here; not vendorable in this sandbox).
+
+Reference parity: the reference has no tar/WebDataset connector — this
+is a beyond-reference addition in the spirit of its file connectors
+(``lib/ayeaye/connectors/uncooked_connector.py`` treats files as opaque
+bytes; here the bytes are structured samples).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+import os
+import tarfile
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import AccessMode, ConnectorError, DataConnector, spark_path
+
+MANIFEST_SCHEMA = (
+    "shard_id BIGINT, path STRING, n_keys BIGINT, n_members BIGINT, n_bytes BIGINT"
+)
+
+MEMBER_SCHEMA = "shard_path STRING, key STRING, suffix STRING, content BINARY"
+
+
+def _to_bytes(value: Any) -> bytes:
+    """Member payload encoding: str→utf-8, bytes pass through, anything
+    else canonical JSON (sorted keys → deterministic bytes)."""
+    if value is None:
+        return b""
+    if isinstance(value, bytes):
+        return value
+    if isinstance(value, bytearray):
+        return bytes(value)
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    return json.dumps(value, sort_keys=True, default=str).encode("utf-8")
+
+
+def write_tar_shards(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    key_col: str,
+    member_cols: dict[str, str],
+    n_shards: int = 16,
+    compress: bool = False,
+    fixed_mtime: int = 0,
+) -> DataFrame:
+    """Export ``df`` as WebDataset tar shards; returns the manifest
+    (``shard_id, path, n_keys, n_members, n_bytes``), one row per shard
+    written.  The manifest is the ACTION — nothing is written until it
+    is collected/saved.
+
+    ``member_cols`` maps member suffix → source column, e.g.
+    ``{"txt": "text", "json": "meta"}`` writes ``{key}.txt`` and
+    ``{key}.json`` per row.  Keys must be unique (duplicate keys would
+    silently interleave samples; the writer raises).  ``compress=True``
+    writes ``.tar.gz`` with a zeroed gzip mtime so compressed shards
+    stay byte-deterministic too.
+    """
+    if not member_cols:
+        raise ValueError("member_cols must be non-empty")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    suffixes = dict(member_cols)  # capture for the closure
+    ext = ".tar.gz" if compress else ".tar"
+
+    narrow = df.select(
+        F.col(key_col).cast("string").alias("_key"),
+        *[F.col(c).alias(f"_m_{s}") for s, c in suffixes.items()],
+    ).withColumn("_shard", F.pmod(F.xxhash64(F.col("_key")), F.lit(n_shards)))
+
+    def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard_id = int(pdf["_shard"].iloc[0])
+        if pdf["_key"].duplicated().any():
+            dup = pdf["_key"][pdf["_key"].duplicated()].iloc[0]
+            raise ValueError(
+                f"write_tar_shards: duplicate key {dup!r} in shard {shard_id}"
+            )
+        pdf = pdf.sort_values("_key", kind="mergesort")
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"shard-{shard_id:06d}{ext}")
+        n_members = 0
+        n_bytes = 0
+        with open(path, "wb") as raw:
+            if compress:
+                # gzip.GzipFile(mtime=0): tarfile's own "w:gz" stamps
+                # wall-clock time into the gzip header, breaking
+                # byte-determinism
+                stream = gzip.GzipFile(
+                    filename="", mode="wb", fileobj=raw, mtime=fixed_mtime
+                )
+            else:
+                stream = raw
+            member_series = [pdf[f"_m_{s}"].tolist() for s in suffixes]
+            with tarfile.open(fileobj=stream, mode="w", format=tarfile.USTAR_FORMAT) as tar:
+                # itertuples mangles leading-underscore names; zip instead
+                for i, key in enumerate(pdf["_key"].tolist()):
+                    for s, series in zip(suffixes, member_series):
+                        payload = _to_bytes(series[i])
+                        info = tarfile.TarInfo(name=f"{key}.{s}")
+                        info.size = len(payload)
+                        info.mtime = fixed_mtime
+                        info.uid = info.gid = 0
+                        info.uname = info.gname = ""
+                        info.mode = 0o644
+                        tar.addfile(info, io.BytesIO(payload))
+                        n_members += 1
+                        n_bytes += len(payload)
+            if compress:
+                stream.close()
+        return pd.DataFrame(
+            [
+                {
+                    "shard_id": shard_id,
+                    "path": path,
+                    "n_keys": len(pdf),
+                    "n_members": n_members,
+                    "n_bytes": n_bytes,
+                }
+            ]
+        )
+
+    return narrow.groupBy("_shard").applyInPandas(_write_group, MANIFEST_SCHEMA)
+
+
+def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Tar shards → one row per member:
+    ``(shard_path, key, suffix, content)``.  ``path`` may be a glob
+    (``.../shard-*.tar``); ``.tar.gz`` is auto-detected (``r:*``).
+
+    ``binaryFile`` gives (path, whole-file bytes) per shard — each
+    shard is one scan row, decoded executor-side in an Arrow batch
+    pass; no driver involvement.  Member order inside a tar is
+    preserved (WebDataset samples are contiguous)."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict[str, Any]] = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(content), mode="r:*") as tar:
+                    for info in tar:
+                        if not info.isfile():
+                            continue
+                        name = info.name
+                        key, dot, suffix = name.rpartition(".")
+                        if not dot:
+                            key, suffix = name, ""
+                        member = tar.extractfile(info)
+                        out.append(
+                            {
+                                "shard_path": fpath,
+                                "key": key,
+                                "suffix": suffix,
+                                "content": member.read() if member else b"",
+                            }
+                        )
+            yield pd.DataFrame(
+                out, columns=["shard_path", "key", "suffix", "content"]
+            )
+
+    return files.select("path", "content").mapInPandas(_extract, MEMBER_SCHEMA)
+
+
+def members_to_samples(members: DataFrame, suffixes: list[str]) -> DataFrame:
+    """Long member rows → one row per sample key with a binary column
+    per suffix (missing members null).  One grouped aggregate — the
+    key's members are a handful of rows, so ``max(when(...))`` per
+    suffix is the shuffle-minimal pivot."""
+    return members.groupBy("key").agg(
+        *[
+            F.max(F.when(F.col("suffix") == s, F.col("content"))).alias(s)
+            for s in suffixes
+        ]
+    )
+
+
+class WebDatasetConnector(DataConnector):
+    """``wds://`` — WebDataset tar shard directory.
+
+    Read: ``wds:///data/corpus/shard-*.tar`` → the member frame
+    (``shard_path, key, suffix, content``).
+
+    Write: ``wds:///data/corpus;shards=64;key=doc_id;gz`` with
+    ``member_cols={"txt": "text", ...}`` passed as a connector kwarg
+    (defaults to ``{"txt": <first string column that is not the
+    key>}``).  The shard manifest from the write is kept on
+    ``self.last_manifest`` (list of Rows).
+    """
+
+    engine_types = ["wds"]
+
+    def __init__(self, engine_url: str, access: AccessMode = AccessMode.READ, **kwargs: Any):
+        super().__init__(engine_url, access, **kwargs)
+        self.member_cols: dict[str, str] | None = kwargs.get("member_cols")
+        self.last_manifest: list | None = None
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        self._require_read()
+        path = spark_path(self.url)
+        if not any(ch in path for ch in "*?[") and not path.endswith((".tar", ".tar.gz")):
+            path = os.path.join(path, "shard-*.tar*")
+        return read_tar_shards(spark, path)
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        self._require_write()
+        key = self.url.option("key", "key")
+        if key not in df.columns:
+            raise ConnectorError(
+                f"wds write needs key column {key!r} (set ;key=<col>); "
+                f"have {df.columns}"
+            )
+        member_cols = self.member_cols
+        if member_cols is None:
+            text_cols = [
+                f.name
+                for f in df.schema.fields
+                if f.name != key and f.dataType.simpleString() in ("string", "binary")
+            ]
+            if not text_cols:
+                raise ConnectorError(
+                    "wds write: pass member_cols= (no string/binary column "
+                    "besides the key to default to)"
+                )
+            member_cols = {"txt": text_cols[0]}
+        manifest = write_tar_shards(
+            df,
+            spark_path(self.url),
+            key_col=key,
+            member_cols=member_cols,
+            n_shards=self.url.int_option("shards", 16),
+            compress=self.url.bool_option("gz", False),
+        )
+        self.last_manifest = manifest.collect()

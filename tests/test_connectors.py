@@ -664,3 +664,106 @@ class TestKafkaBigQueryEsOptionContracts:
         d = ElasticsearchConnector("elasticsearch://bare-host/idx")
         opts = d._es_options("override")
         assert opts["es.port"] == "9200" and opts["es.resource"] == "override"
+
+
+class TestWebDataset:
+    def _docs(self, spark, n=40):
+        return spark.createDataFrame(
+            [(i, f"document body {i} " * 3, json.dumps({"i": i})) for i in range(n)],
+            "doc_id long, text string, meta string",
+        )
+
+    def test_roundtrip(self, spark, tmp_path):
+        from ayeaye_spark.sources.webdataset import (
+            members_to_samples,
+            read_tar_shards,
+            write_tar_shards,
+        )
+
+        docs = self._docs(spark)
+        out = str(tmp_path / "shards")
+        manifest = write_tar_shards(
+            docs, out, key_col="doc_id",
+            member_cols={"txt": "text", "json": "meta"}, n_shards=4,
+        ).collect()
+        assert sum(m["n_keys"] for m in manifest) == 40
+        assert sum(m["n_members"] for m in manifest) == 80
+        assert all(os.path.exists(m["path"]) for m in manifest)
+
+        members = read_tar_shards(spark, f"{out}/shard-*.tar")
+        assert members.count() == 80
+        wide = members_to_samples(members, ["txt", "json"])
+        got = {r["key"]: (r["txt"], r["json"]) for r in wide.collect()}
+        assert len(got) == 40
+        assert got["7"][0].decode() == "document body 7 " * 3
+        assert json.loads(got["7"][1].decode()) == {"i": 7}
+
+    def test_byte_deterministic_and_partitioning_independent(self, spark, tmp_path):
+        from ayeaye_spark.sources.webdataset import write_tar_shards
+
+        docs = self._docs(spark, 25)
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        ma = write_tar_shards(
+            docs.repartition(7), a, key_col="doc_id",
+            member_cols={"txt": "text"}, n_shards=3,
+        ).collect()
+        mb = write_tar_shards(
+            docs.coalesce(1).sortWithinPartitions("text"), b, key_col="doc_id",
+            member_cols={"txt": "text"}, n_shards=3,
+        ).collect()
+        assert {m["shard_id"] for m in ma} == {m["shard_id"] for m in mb}
+        for m in ma:
+            other = os.path.join(b, os.path.basename(m["path"]))
+            with open(m["path"], "rb") as f1, open(other, "rb") as f2:
+                assert f1.read() == f2.read(), m["path"]
+
+    def test_gz_shards_deterministic_and_readable(self, spark, tmp_path):
+        from ayeaye_spark.sources.webdataset import read_tar_shards, write_tar_shards
+
+        docs = self._docs(spark, 10)
+        a, b = str(tmp_path / "ga"), str(tmp_path / "gb")
+        for out in (a, b):
+            write_tar_shards(
+                docs, out, key_col="doc_id",
+                member_cols={"txt": "text"}, n_shards=2, compress=True,
+            ).collect()
+        for name in os.listdir(a):
+            assert name.endswith(".tar.gz")
+            with open(os.path.join(a, name), "rb") as f1, \
+                 open(os.path.join(b, name), "rb") as f2:
+                assert f1.read() == f2.read()
+        members = read_tar_shards(spark, f"{a}/shard-*.tar.gz")
+        assert members.count() == 10
+
+    def test_duplicate_keys_raise(self, spark, tmp_path):
+        from ayeaye_spark.sources.webdataset import write_tar_shards
+
+        dup = spark.createDataFrame(
+            [(1, "x"), (1, "y")], "doc_id long, text string"
+        )
+        with pytest.raises(Exception, match="duplicate key"):
+            write_tar_shards(
+                dup, str(tmp_path / "d"), key_col="doc_id",
+                member_cols={"txt": "text"}, n_shards=1,
+            ).collect()
+
+    def test_connector_url_read_write(self, spark, tmp_path):
+        out = str(tmp_path / "wdsdir")
+        c = connector_for(
+            f"wds://{out};shards=2;key=doc_id", access=AccessMode.READWRITE,
+            member_cols={"txt": "text"},
+        )
+        c.write(self._docs(spark, 12))
+        assert c.last_manifest is not None
+        assert sum(m["n_keys"] for m in c.last_manifest) == 12
+        df = c.read(spark)
+        assert df.count() == 12
+        assert set(df.columns) == {"shard_path", "key", "suffix", "content"}
+
+    def test_connector_registry_and_access_guard(self, tmp_path):
+        from ayeaye_spark.sources.webdataset import WebDatasetConnector
+
+        assert connector_class_for("wds:///tmp/x") is WebDatasetConnector
+        c = connector_for(f"wds://{tmp_path}/x", access=AccessMode.READ)
+        with pytest.raises(AccessModeError):
+            c.write(None)
