@@ -3419,6 +3419,43 @@ def events_stream_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     return _drain_stream(spark, agg, "events_stream_dedup_sink")
 
 
+@query("events_stream_hll_state")  # no oracle: sketch state, rows-only check
+def events_stream_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count maintenance over the event stream with
+    MERGEABLE HLL sketches (``streaming.sinks.hll_state_sink``): each
+    micro-batch folds ``hll_sketch_agg(user_id)`` per event_type into a
+    versioned parquet sketch-state table via ``hll_union_agg`` — history
+    is NEVER rescanned, state is one ~2^12-byte sketch per group, and a
+    replayed batch_id skips its already-committed fold (exactly-once).
+    This is the 100 TB shape for "distinct users per key, forever":
+    exact streaming distinct needs unbounded per-key value state, the
+    sketch is constant-size and composes across any later slicing.
+    Returns the final per-type estimates; the incremental-fold ==
+    one-shot-sketch == exact-count equalities are pinned in
+    ``tests/test_streaming.py::TestHllStateSink`` (estimates are
+    approximate-by-design at this cardinality → rows-only check)."""
+    import tempfile
+
+    from .streaming.sinks import hll_state_sink, read_hll_state
+
+    _ensure_session_defaults(spark)
+    with tempfile.TemporaryDirectory(prefix="hll_state_") as tmp:
+        state = f"{tmp}/state"
+        sink = hll_state_sink(
+            state, group_cols=["event_type"], value_col="user_id"
+        )
+        q = (
+            _events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # detach from the TemporaryDirectory before it is removed
+        return read_hll_state(spark, state).localCheckpoint()
+
+
 def _duck_repeated_spans_oracle(
     n: int = 5, min_docs: int = 2, src: str = "documents"
 ) -> str:

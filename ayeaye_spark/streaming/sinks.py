@@ -126,3 +126,88 @@ def merge_upsert_sink(
             replace_dir(spark, target_path, staging)
 
     return apply_batch
+
+
+def hll_state_sink(
+    state_dir: str,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` incremental distinct-count maintenance with
+    MERGEABLE HLL sketches (Spark's Datasketches ``hll_sketch_agg`` /
+    ``hll_union_agg``): each micro-batch folds into a per-group sketch
+    state table WITHOUT ever rescanning history — the 100 TB shape for
+    "distinct users per key, forever" over a stream (exact distinct
+    needs unbounded per-key value state; the sketch is ~2^lg_k bytes
+    per group, period).
+
+    State layout: ``state_dir/v={batch_id}`` parquet snapshots of
+    ``(group_cols…, sketch binary)`` with a ``_SUCCESS`` marker.
+    Exactly-once by construction: a REPLAYED batch_id finds its own
+    committed snapshot and skips (union-ing the same batch twice would
+    NOT be idempotent — HLL union is, but only against the same
+    elements, and a replay after new batches would double-fold);
+    readers take the max committed version.
+
+    Read back with :func:`read_hll_state` (estimates) or union further
+    with ``hll_union_agg`` across states/ranges — sketches compose
+    across any slicing, which is the whole point."""
+
+    def apply_batch(df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        target = os.path.join(state_dir, f"v={batch_id}")
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            return  # replayed batch: its fold is already committed
+        batch_sketches = df.groupBy(*group_cols).agg(
+            F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
+        )
+        prev = _latest_hll_state(spark, state_dir, before=batch_id)
+        if prev is not None:
+            merged = (
+                prev.select(*group_cols, "sketch")
+                .unionByName(batch_sketches)
+                .groupBy(*group_cols)
+                .agg(F.hll_union_agg("sketch", F.lit(True)).alias("sketch"))
+            )
+        else:
+            merged = batch_sketches
+        merged.write.mode("overwrite").parquet(target)
+
+    return apply_batch
+
+
+def _latest_hll_state(
+    spark: SparkSession, state_dir: str, *, before: int | None = None
+):
+    """Most recent committed ``v=N`` snapshot (N < before if given)."""
+    if not os.path.isdir(state_dir):
+        return None
+    versions = []
+    for name in os.listdir(state_dir):
+        if name.startswith("v=") and os.path.exists(
+            os.path.join(state_dir, name, "_SUCCESS")
+        ):
+            n = int(name[2:])
+            if before is None or n < before:
+                versions.append(n)
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"v={max(versions)}"))
+
+
+def read_hll_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest committed sketch state → ``(group_cols…, distinct_est)``
+    (long estimates; the sketches stay queryable/composable in the
+    state table itself)."""
+    from pyspark.sql import functions as F
+
+    state = _latest_hll_state(spark, state_dir)
+    if state is None:
+        raise FileNotFoundError(f"no committed HLL state under {state_dir}")
+    return state.withColumn(
+        "distinct_est", F.hll_sketch_estimate("sketch").cast("long")
+    ).drop("sketch")

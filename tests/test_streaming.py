@@ -740,3 +740,73 @@ class TestStreamQualityMonitor:
         total = sum(r[1] for r in stream_rows)
         passed = sum(r[2] for r in stream_rows)
         assert 0 < passed < total
+
+
+class TestHllStateSink:
+    def test_incremental_sketch_state_matches_direct_and_exact(self, spark, tmp_path):
+        """Multi-batch sketch folding must equal a one-shot sketch over
+        all data (mergeability) — and, at this cardinality, the exact
+        distinct count (HLL is exact in its small-set regime)."""
+        from ayeaye_spark.streaming.sinks import hll_state_sink, read_hll_state
+
+        path = str(tmp_path / "ev")
+        ev = load(spark, SF, "events")
+        # 4 files => 4 micro-batches under maxFilesPerTrigger=1
+        ev.repartition(4).write.mode("overwrite").parquet(path)
+        state = str(tmp_path / "hll_state")
+        sink = hll_state_sink(state, group_cols=["event_type"], value_col="user_id")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(path).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        got = {r["event_type"]: r["distinct_est"]
+               for r in read_hll_state(spark, state).collect()}
+
+        batch = spark.read.parquet(path)
+        direct = {
+            r["event_type"]: r["est"]
+            for r in batch.groupBy("event_type")
+            .agg(F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))).cast("long").alias("est"))
+            .collect()
+        }
+        exact = {
+            r["event_type"]: r["n"]
+            for r in batch.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n")).collect()
+        }
+        assert got == direct          # incremental fold == one-shot sketch
+        assert got == exact           # small-set regime: sketch is exact
+
+    def test_replayed_batch_id_is_skipped(self, spark, tmp_path):
+        from ayeaye_spark.streaming.sinks import hll_state_sink, read_hll_state
+
+        df = spark.createDataFrame(
+            [("a", i) for i in range(50)], "event_type string, user_id long"
+        )
+        state = str(tmp_path / "st")
+        sink = hll_state_sink(state, group_cols=["event_type"], value_col="user_id")
+        sink(df, 0)
+        before = {r["event_type"]: r["distinct_est"]
+                  for r in read_hll_state(spark, state).collect()}
+        sink(df, 0)  # replay: must be a no-op, not a double fold
+        after = {r["event_type"]: r["distinct_est"]
+                 for r in read_hll_state(spark, state).collect()}
+        assert after == before == {"a": 50}
+
+    def test_missing_state_raises(self, spark, tmp_path):
+        import pytest
+
+        from ayeaye_spark.streaming.sinks import read_hll_state
+
+        with pytest.raises(FileNotFoundError):
+            read_hll_state(spark, str(tmp_path / "nope"))
