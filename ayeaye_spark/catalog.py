@@ -7586,6 +7586,126 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_trunc_cosine(a: str, b: str, d: int) -> str:
+    return P.cosine(
+        P.array_slice(P.cast_double_array(a, DUCK), 1, d, DUCK),
+        P.array_slice(P.cast_double_array(b, DUCK), 1, d, DUCK),
+        DUCK,
+    )
+
+
+def _duck_matryoshka_oracle(use_dims: int, k: int, rerank: int) -> str:
+    trunc = _duck_trunc_cosine("q.embedding", "c.embedding", use_dims)
+    full = _duck_cosine("qe", "ce")
+    return f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qe, c.embedding AS ce,
+             {trunc} AS trunc_cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {trunc} DESC, c.vec_id ASC
+             ) AS tr
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    rer AS (
+      SELECT query_id, neighbor_id, trunc_cosine,
+             {full} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY {full} DESC, neighbor_id ASC
+             ) AS rank
+      FROM scored WHERE tr <= {k * rerank}
+    )
+    SELECT query_id, neighbor_id, trunc_cosine, cosine, rank
+    FROM rer WHERE rank <= {k}
+    """
+
+
+@query("ann_topk_matryoshka", oracle=_duck_matryoshka_oracle(16, 5, 4))
+def ann_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension (Matryoshka) ANN with exact rerank
+    (``similarity.truncated_topk``): candidates ranked by cosine over
+    the first 16 of 64 dims (4x cheaper scan bandwidth, no index
+    build), top-20 shortlist reranked at full dimension.  Same
+    broadcast-queries × one-corpus-scan shape as the SQ8/IVF paths;
+    value-exact vs the replayed truncation in DuckDB."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.truncated_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, use_dims=16, rerank=4
+    )
+
+
+def _duck_matryoshka_recall_oracle(dims: tuple[int, ...], k: int) -> str:
+    def trunc_topk_cte(d: int) -> str:
+        trunc = _duck_trunc_cosine("q.embedding", "c.embedding", d)
+        return f"""(
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {trunc} DESC, c.vec_id ASC
+               ) AS r
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+      ) s WHERE r <= {k}
+    )"""
+
+    ctes = ",\n    ".join(
+        [f"brute AS ({ORACLES['ann_topk_brute']})"]
+        + [f"t{d} AS {trunc_topk_cte(d)}" for d in dims]
+    )
+    arms = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({d} AS BIGINT) AS use_dims, b.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) * 1000000 // {k} AS recall_ppm
+    FROM brute b LEFT JOIN t{d} t
+      ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+    GROUP BY b.query_id"""
+        for d in dims
+    )
+    return f"WITH {ctes}\n    {arms}"
+
+
+@query("ann_matryoshka_recall", oracle=_duck_matryoshka_recall_oracle((8, 16, 32), 5))
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of pure prefix-dimension ranking (no rerank) at 8, 16
+    and 32 of 64 dims vs the brute-force ground truth — the curve that
+    picks ``use_dims`` (and the rerank budget) for
+    ``similarity.truncated_topk`` before a corpus-wide rollout.
+    Exact integer ppm, one arm per dimension budget."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    brute = similarity.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    arms = []
+    for d in (8, 16, 32):
+        t = similarity.truncated_topk(
+            emb, queries_df, k=5, use_dims=d, rerank=0
+        ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+        arms.append(
+            brute.join(t, on=["query_id", "neighbor_id"], how="left")
+            .groupBy("query_id")
+            .agg(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits")
+            )
+            .select(
+                F.lit(d).cast("bigint").alias("use_dims"),
+                "query_id",
+                "n_hits",
+                F.expr("n_hits * 1000000 div 5").alias("recall_ppm"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
 def _duck_bigram_coherence_oracle() -> str:
     """DuckDB twin of ``text.bigram_coherence``: same rolling token
     hashes, same positional bigram hash, same integer ppm division."""

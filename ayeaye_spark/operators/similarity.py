@@ -1506,6 +1506,81 @@ def sq8_topk(
     )
 
 
+def truncated_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    use_dims: int = 16,
+    rerank: int = 0,
+) -> DataFrame:
+    """Matryoshka-style prefix-dimension ANN: rank by cosine over only
+    the FIRST ``use_dims`` coordinates (MRL-trained embeddings carry
+    most of their signal in the prefix), optionally reranking the top
+    ``k * rerank`` shortlist with the exact full-dimension cosine —
+    the dimensionality analogue of :func:`sq8_topk`'s precision play.
+
+    Why it matters at 100 TB: scoring cost and (more importantly)
+    scan bandwidth scale linearly with dimensions — a 16-of-64 prefix
+    is a 4x cheaper candidate pass with zero index build, and the
+    shortlist rerank restores exactness for the survivors.  The recall
+    telemetry that sizes ``use_dims`` is ``ann_matryoshka_recall``.
+
+    Determinism/oracle story: the truncated cosine is the shared
+    sequential-fold expression over a 1-based prefix slice of the
+    double-cast arrays (``P.array_slice`` + ``P.cosine`` — identical
+    IEEE ops in identical order in both engines); shortlist and final
+    ranks carry full id tie-breaks.
+
+    Scale shape: queries broadcast; the corpus scan is the only
+    large-data pass; top-k windows run over candidate rows only.
+
+    Returns ``(query_id, neighbor_id, trunc_cosine[, cosine], rank)``
+    (``cosine`` present only when reranking).
+    """
+    if use_dims <= 0:
+        raise ValueError("use_dims must be positive")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.expr(_as_double(vec_col)).alias("_cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.expr(_as_double(vec_col)).alias("_qvec")
+    )
+    tc = P.cosine(
+        P.array_slice("_qvec", 1, use_dims, SPARK),
+        P.array_slice("_cvec", 1, use_dims, SPARK),
+        SPARK,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("trunc_cosine", F.expr(tc))
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("trunc_cosine"), F.asc("neighbor_id")
+    )
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(wt))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "trunc_cosine", "rank")
+        )
+    shortlist = scored.withColumn("_tr", F.row_number().over(wt)).where(
+        F.col("_tr") <= k * rerank
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.withColumn("cosine", F.expr(P.cosine("_qvec", "_cvec", SPARK)))
+        .withColumn("rank", F.row_number().over(we))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "trunc_cosine", "cosine", "rank")
+    )
+
+
 def hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,

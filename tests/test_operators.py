@@ -184,6 +184,61 @@ class TestSimilarity:
         out = similarity.cosine_topk(df, df.where(F.col("vec_id") == 0), k=2).collect()
         assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [3, 1]
 
+    def test_truncated_topk_prefix_ranking_and_rerank(self, spark):
+        """Prefix ranking uses ONLY the first use_dims coordinates; a
+        full-dim rerank over an all-covering shortlist must equal exact
+        brute force."""
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        vecs = {i: [float(x) for x in rng.normal(size=8)] for i in range(30)}
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+        )
+        q = df.where(F.col("vec_id") < 2)
+
+        # use_dims covering the whole vector == exact brute force
+        full = similarity.truncated_topk(df, q, k=4, use_dims=8, rerank=0)
+        brute = similarity.cosine_topk(df, q, k=4)
+        assert (
+            [(r["query_id"], r["neighbor_id"], r["rank"])
+             for r in full.orderBy("query_id", "rank").collect()]
+            == [(r["query_id"], r["neighbor_id"], r["rank"])
+                for r in brute.orderBy("query_id", "rank").collect()]
+        )
+
+        # prefix ranking ignores the tail coordinates entirely
+        import math
+
+        def prefix_cos(a, b, d):
+            dot = sum(x * y for x, y in zip(a[:d], b[:d]))
+            na = math.sqrt(sum(x * x for x in a[:d]))
+            nb = math.sqrt(sum(y * y for y in b[:d]))
+            return dot / (na * nb)
+
+        got = similarity.truncated_topk(df, q, k=3, use_dims=3, rerank=0)
+        for r in got.collect():
+            expect_rank = sorted(
+                ((prefix_cos(vecs[r["query_id"]], vecs[j], 3), -j), j)
+                for j in vecs if j != r["query_id"]
+            )[::-1]
+            top = [j for _, j in expect_rank[:3]]
+            assert r["neighbor_id"] in top
+
+        # rerank with a shortlist covering the corpus == brute force
+        rer = similarity.truncated_topk(df, q, k=4, use_dims=2, rerank=10)
+        assert (
+            [(r["query_id"], r["neighbor_id"]) for r in
+             rer.orderBy("query_id", "rank").collect()]
+            == [(r["query_id"], r["neighbor_id"]) for r in
+                brute.orderBy("query_id", "rank").collect()]
+        )
+
+        import pytest
+
+        with pytest.raises(ValueError, match="use_dims"):
+            similarity.truncated_topk(df, q, use_dims=0)
+
     def test_sq8_topk_matches_python_reference(self, spark):
         """SQ8 quantize → integer candidate rank → exact rerank, vs a
         pure-python replay of the identical arithmetic (same bounds,
