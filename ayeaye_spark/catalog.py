@@ -5354,6 +5354,50 @@ def docs_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_calibration_oracle() -> str:
+    """Compose the verified hashed-scorer oracle with the Gopher label
+    and an NTILE over the total order (score, doc_id)."""
+    return f"""
+    WITH scored AS ({ORACLES['docs_hashed_classifier_score']}),
+    lbl AS (
+      SELECT doc_id,
+             CASE WHEN {P.gopher_pass('text', 'toks', DUCK)} THEN 1 ELSE 0 END AS l
+      FROM (SELECT doc_id, text, {P.tokens('text', DUCK)} AS toks FROM documents)
+    ),
+    t AS (
+      SELECT s.doc_id, s.score_per_token_ppm AS sc, lbl.l,
+             NTILE(10) OVER (ORDER BY s.score_per_token_ppm ASC, s.doc_id ASC)
+               AS bin
+      FROM scored s JOIN lbl USING (doc_id)
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(l) AS BIGINT) AS n_positive,
+           CAST(SUM(l) * 1000000 // COUNT(*) AS BIGINT) AS positive_ppm,
+           CAST(SUM(sc) // COUNT(*) AS BIGINT) AS mean_score_ppm
+    FROM t GROUP BY bin
+    """
+
+
+@query("docs_classifier_calibration", oracle=_duck_calibration_oracle())
+def docs_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) curve of the hashed linear quality
+    classifier against the Gopher rule labels
+    (``text.classifier_calibration``): score-decile bins × observed
+    positive rate, all exact integer ppm.  The oracle replays the
+    identical scorer, label and NTILE-over-(score, id) — NTILE is safe
+    to oracle here because the ORDER BY carries a full id tie-break,
+    while the Spark side computes the same tile via the histogram-
+    decomposed exact rank (no global single-task window)."""
+    docs = load(spark, sf_dir, "documents")
+    labeled = textops.with_gopher_flags(docs, "text").select(
+        "doc_id", "text", F.col("gopher_pass").cast("long").alias("label")
+    )
+    return textops.classifier_calibration(
+        labeled, "doc_id", "text", "label", dim=1024, n_bins=10
+    )
+
+
 def _duck_curation_v3_oracle() -> str:
     """Compose the session's verified stages: Gopher rules → hashed
     linear classifier → semantic (embedding) dedup survivor → rollup."""

@@ -626,6 +626,60 @@ def hashed_linear_score(
     )
 
 
+def classifier_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    *,
+    dim: int = 1024,
+    weights: DataFrame | None = None,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability curve for the hashed linear quality classifier: bin
+    documents into ``n_bins`` score quantiles and report the observed
+    positive-label rate per bin — the calibration check you run before
+    trusting a classifier threshold to curate a corpus (a well-
+    calibrated scorer's positive rate rises monotonically with the
+    bin; a flat curve means the score carries no signal at that
+    operating range).
+
+    Exactness: scores are :func:`hashed_linear_score`'s integer ppm;
+    bins are exact NTILE over the total order (score, id) computed by
+    the histogram-decomposed rank (``relational.with_ntile`` — no
+    global single-task window; the only ordered pass runs over one row
+    per DISTINCT score value); per-bin rates are integer ppm.  Fully
+    value-oracle-able.
+
+    Returns ``(bin, n_docs, n_positive, positive_ppm,
+    mean_score_ppm)``, bins ascending by score.
+    """
+    from .relational import with_ntile
+
+    scored = hashed_linear_score(df, id_col, text_col, dim=dim, weights=weights)
+    labeled = scored.join(
+        df.select(id_col, F.col(label_col).cast("long").alias("_lbl")), on=id_col
+    ).withColumn("_g", F.lit(1))
+    tiled = with_ntile(
+        labeled, "_g", "score_per_token_ppm", id_col,
+        n_tiles=n_bins, out_col="bin",
+    )
+    return (
+        tiled.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_lbl").cast("long").alias("n_positive"),
+            F.expr("sum(_lbl) * 1000000 div count(1)")
+            .cast("long")
+            .alias("positive_ppm"),
+            F.expr("sum(score_per_token_ppm) div count(1)")
+            .cast("long")
+            .alias("mean_score_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
 def token_counts_map_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace token counts via ``mapInArrow`` — the non-grouped
     Arrow-native modality (batches arrive as ``pyarrow.RecordBatch``,

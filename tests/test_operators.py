@@ -5978,3 +5978,43 @@ class TestIncrementalFastMode:
                 n=3, k=16, bands=4, threshold=0.3, hash_mode=mode,
             )
             assert sorted(r["doc_id"] for r in surv.collect()) == [3], mode
+
+
+class TestClassifierCalibration:
+    def test_bins_partition_corpus_and_rates_are_exact(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        docs = spark.createDataFrame(
+            [(i, ("good clean prose " * (i + 1))[:400], i % 2) for i in range(40)],
+            "doc_id long, text string, label long",
+        )
+        out = textops.classifier_calibration(
+            docs, "doc_id", "text", "label", dim=64, n_bins=4
+        ).collect()
+        assert [r["bin"] for r in out] == [1, 2, 3, 4]
+        assert sum(r["n_docs"] for r in out) == 40
+        for r in out:
+            assert r["positive_ppm"] == r["n_positive"] * 1_000_000 // r["n_docs"]
+
+    def test_perfect_signal_is_monotone(self, spark):
+        """Labels aligned with the score must produce a step reliability
+        curve: bottom bins all-negative, top bins all-positive."""
+        from ayeaye_spark.operators import text as textops
+        from ayeaye_spark.operators.text import hashed_linear_score
+
+        docs = spark.createDataFrame(
+            [(i, f"token{i} filler words here and more padding text") for i in range(30)],
+            "doc_id long, text string",
+        )
+        scored = hashed_linear_score(docs, "doc_id", "text", dim=64)
+        labeled = docs.join(
+            scored.selectExpr(
+                "doc_id", "cast(score_per_token_ppm > 0 as long) AS label"
+            ),
+            "doc_id",
+        )
+        out = textops.classifier_calibration(
+            labeled, "doc_id", "text", "label", dim=64, n_bins=5
+        ).collect()
+        rates = [r["positive_ppm"] for r in sorted(out, key=lambda r: r["bin"])]
+        assert rates == sorted(rates)
