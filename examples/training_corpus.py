@@ -18,7 +18,10 @@ corpus comes out on any cluster size or engine):
 7. quality-ranked token budgeting;
 8. training-sequence packing into fixed-token packs;
 9. seeded epoch ordering (md5 permutation of packs — a new seed is a
-   new epoch, the same seed replays bit-identically).
+   new epoch, the same seed replays bit-identically);
+10. WebDataset export — the curated train docs as byte-deterministic
+   tar shards (``wds://`` connector), the format training loaders
+   stream straight from object storage.
 
 Writes the packed corpus as parquet and a JSON stage-by-stage funnel
 manifest.  No reference counterpart (SURVEY §2.5 new capability) —
@@ -51,6 +54,11 @@ class TrainingCorpusPipeline(Model):
     funnel_manifest = Connect(
         engine_url="json://{output_path}/corpus_funnel.json;indent=2",
         access=AccessMode.READWRITE,  # post_build_check reads it back
+    )
+    wds_export = Connect(
+        engine_url="wds://{output_path}/wds_shards;shards=4;key=doc_id",
+        access=AccessMode.READWRITE,  # post_build_check reads it back
+        member_cols={"txt": "text"},
     )
 
     pack_budget = 2048           # tokens per training sequence
@@ -148,6 +156,14 @@ class TrainingCorpusPipeline(Model):
         )
         self.token_shards.write(shards)
 
+        # 9. interchange export: the curated train docs as WebDataset
+        # tar shards ({doc_id}.txt members, byte-deterministic) — the
+        # format training loaders stream straight from object storage
+        self.wds_export.write(train.select("doc_id", "text"))
+        manifest = self.wds_export.connector.last_manifest or []
+        funnel["n_wds_shards"] = len(manifest)
+        funnel["n_wds_docs"] = sum(m["n_keys"] for m in manifest)
+
         funnel["n_packs"] = packed.select("pack_id").distinct().count()
         funnel["total_tokens"] = packed.agg(F.sum("ntok")).collect()[0][0]
         funnel["n_shards"] = shards.count()
@@ -170,6 +186,15 @@ class TrainingCorpusPipeline(Model):
             return False
         if self.funnel_manifest.data["total_tokens"] > self.corpus_budget:
             self.log("token budget exceeded", "ERROR")
+            return False
+        # the WebDataset export must round-trip: distinct sample keys in
+        # the tar shards == documents exported
+        wds_docs = self.wds_export.df.select("key").distinct().count()
+        if wds_docs != self.funnel_manifest.data["n_wds_docs"]:
+            self.log(
+                f"wds export mismatch: {wds_docs} keys vs "
+                f"{self.funnel_manifest.data['n_wds_docs']} exported", "ERROR"
+            )
             return False
         return True
 

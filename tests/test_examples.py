@@ -178,6 +178,12 @@ def test_training_corpus_pipeline(spark, resolver, tmp_path):
 
     packed = spark.read.parquet(str(tmp_path / "packed_corpus.parquet"))
     assert packed.count() == funnel["after_token_budget"]
+
+    # the WebDataset export covers every budgeted train doc
+    assert funnel["n_wds_docs"] == funnel["after_token_budget"]
+    assert funnel["n_wds_shards"] > 0
+    wds_files = list((tmp_path / "wds_shards").glob("shard-*.tar"))
+    assert len(wds_files) == funnel["n_wds_shards"]
     assert funnel["n_packs"] >= 1
     # terminal shards: id streams + EOS boundaries over the same docs
     shards = spark.read.parquet(str(tmp_path / "token_shards.parquet"))
