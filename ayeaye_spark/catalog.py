@@ -1219,6 +1219,90 @@ def events_hll_rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame
     return rolled.join(exact, "event_type")
 
 
+@query("events_theta_audience_overlap")  # no oracle: sketch by design
+def events_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience SET ALGEBRA on sketches — the capability HLL cannot
+    provide: Datasketches THETA sketches of the view and purchase
+    audiences support ``theta_intersection`` / ``theta_difference``
+    directly on the stored sketch bytes, answering "how many users
+    both viewed AND purchased" (or viewed but never purchased) WITHOUT
+    a distinct-user join anywhere.  At 100 TB this is the audience-
+    overlap query pattern: per-segment sketches are built once in the
+    rollup pass (mergeable, constant size) and every pairwise overlap/
+    exclusion after that is sketch-local math.
+
+    Output pairs each segment estimate with the exact count from the
+    raw table; ``tests/test_catalog.py`` pins estimate == exact at
+    this cardinality (theta sketches are exact below their nominal
+    entries) — rows-only driver check (estimates are engine-
+    specific)."""
+    _ensure_session_defaults(spark)
+    events = load(spark, sf_dir, "events")
+    wide = (
+        events.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("s"))
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", F.col("s"))).alias("sv"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("s"))).alias("sp"),
+        )
+    )
+    est = wide.selectExpr(
+        "CAST(theta_sketch_estimate(sv) AS BIGINT) AS view_users",
+        "CAST(theta_sketch_estimate(sp) AS BIGINT) AS purchase_users",
+        "CAST(theta_sketch_estimate(theta_intersection(sv, sp)) AS BIGINT)"
+        "  AS both_users",
+        "CAST(theta_sketch_estimate(theta_difference(sv, sp)) AS BIGINT)"
+        "  AS view_only_users",
+    )
+    by_user = events.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    )
+    exact = by_user.agg(
+        F.sum("v").cast("long").alias("exact_view"),
+        F.sum("p").cast("long").alias("exact_purchase"),
+        F.sum(F.expr("v * p")).cast("long").alias("exact_both"),
+        F.sum(F.expr("v * (1 - p)")).cast("long").alias("exact_view_only"),
+    )
+    return est.crossJoin(exact)
+
+
+@query("events_topk_sketch_rollup")  # no oracle: sketch by design
+def events_topk_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable HEAVY-HITTERS rollup: daily
+    ``approx_top_k_accumulate`` sketch states (storable bytes, one per
+    day) combine into any coarser slice via ``approx_top_k_combine`` +
+    ``_estimate`` — the top-k analogue of the HLL/KLL rollups: the
+    fact table is scanned once when the daily states are built, and
+    every later "top users this month/quarter" re-aggregates sketch
+    states only.  ``tests/test_catalog.py`` pins the rolled monthly
+    top-5 equal to the exact per-month top-5 at this scale (the
+    space-saving sketch is exact while distinct items fit its
+    capacity — and Spark's implementation returns an EMPTY estimate,
+    not a degraded one, once items exceed maxItemsTracked, so size the
+    capacity above the expected distinct keys, 4096 here).  Rows-only
+    driver check (sketch internals are engine-specific)."""
+    _ensure_session_defaults(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("_topk_events")
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT date_trunc('month', ts) AS month, CAST(ts AS DATE) AS day,
+                 approx_top_k_accumulate(user_id, 4096) AS state
+          FROM _topk_events GROUP BY 1, 2
+        ),
+        monthly AS (
+          SELECT month, approx_top_k_combine(state, 4096) AS state
+          FROM daily GROUP BY month
+        )
+        SELECT month, t.item AS user_id, t.count AS n_events
+        FROM (SELECT month, explode(approx_top_k_estimate(state, 5)) AS t
+              FROM monthly)
+        """
+    )
+
+
 @query("lineitem_price_quantiles")  # no oracle: approximate by design
 def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate quantiles of extended price per

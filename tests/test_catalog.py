@@ -310,6 +310,73 @@ class TestHllRollupReaggregate:
             assert approx == direct[et], et
 
 
+class TestThetaAudienceOverlap:
+    """Theta-sketch set algebra (``events_theta_audience_overlap``):
+    intersection/difference estimates equal the exact audience overlap
+    counts at this cardinality (theta is exact below nominal entries)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_sketch_set_ops_exact_in_small_regime(self, spark):
+        from ayeaye_spark import catalog as cat
+
+        r = cat.QUERIES["events_theta_audience_overlap"](
+            spark, self.SF
+        ).collect()[0]
+        assert r["view_users"] == r["exact_view"]
+        assert r["purchase_users"] == r["exact_purchase"]
+        assert r["both_users"] == r["exact_both"]
+        assert r["view_only_users"] == r["exact_view_only"]
+        # set algebra consistency: |A| == |A∩B| + |A\\B|
+        assert r["view_users"] == r["both_users"] + r["view_only_users"]
+
+
+class TestTopkSketchRollup:
+    """Mergeable heavy-hitters rollup (``events_topk_sketch_rollup``):
+    daily accumulate states combined at month grain equal the exact
+    per-month top-5 while distinct users fit the sketch capacity."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_rolled_topk_equals_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from ayeaye_spark import catalog as cat
+
+        got = [
+            (r["month"], r["user_id"], r["n_events"])
+            for r in cat.QUERIES["events_topk_sketch_rollup"](spark, self.SF)
+            .orderBy("month", F.desc("n_events"), "user_id")
+            .collect()
+        ]
+        assert got, "rollup must produce rows"
+        events = cat.load(spark, self.SF, "events")
+        exact_counts = (
+            events.groupBy(
+                F.date_trunc("month", "ts").alias("month"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_month: dict = {}
+        for r in exact_counts:
+            by_month.setdefault(r["month"], []).append((r["user_id"], r["n"]))
+        for month, items in by_month.items():
+            top5 = sorted(items, key=lambda t: (-t[1], t[0]))[:5]
+            got_month = [(u, n) for m, u, n in got if m == month]
+            # counts must match exactly; user order can differ only on
+            # count ties, so compare as count-sorted multisets of counts
+            # plus set-equality of users at each count level
+            assert sorted(n for _, n in got_month) == sorted(
+                n for _, n in top5
+            ), month
+            exact_at = {}
+            for u, n in items:
+                exact_at.setdefault(n, set()).add(u)
+            for u, n in got_month:
+                assert u in exact_at[n], (month, u, n)
+
+
 class TestQuantileSketchRollup:
     """Deterministic log2-linear quantile rollup
     (``events_value_quantile_sketch_rollup``): the reported bucket
