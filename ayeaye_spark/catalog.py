@@ -7011,6 +7011,53 @@ def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_stats(pairs, "pa", "pb")
 
 
+@query("parts_copurchase_kcore")  # no oracle: iterative peel (pytest-pinned)
+def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-cluster detection on the urgent-order part co-purchase
+    graph: the **k-core** (``graph.k_core``, iterative peel — per round
+    one vertex-keyed degree aggregate + two anti-joins, edge list only
+    shrinks) keeps exactly the parts embedded in >= k-way co-purchase
+    neighborhoods — the link-farm / spam-ring shape detector of corpus
+    graphs.  Peeling is a whole-graph fixpoint no single SQL statement
+    expresses (aggregates aren't allowed in a recursive CTE's
+    recursive term), so the driver check is rows-only and exactness is
+    pinned by ``tests/test_operators.py::TestKCore`` against a pure-
+    python reference peel on random graphs.  Summarized as one row per
+    surviving core degree (count + min/max part key) to keep the
+    output stable and small.  Scoped to one quarter of urgent orders —
+    the per-round cost is a fixed number of vertex-keyed jobs, so the
+    quarter scope bounds wall-time without changing the shape."""
+    from .operators import graph
+
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01"))
+    ).select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+    )
+    core = graph.k_core(pairs, "pa", "pb", k=3)
+    return (
+        core.groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.min("vertex").cast("long").alias("min_part"),
+            F.max("vertex").cast("long").alias("max_part"),
+        )
+        .orderBy("degree")
+    )
+
+
 @query(
     "docs_heavy_hitter_tokens",
     oracle=f"""

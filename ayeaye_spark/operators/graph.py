@@ -242,6 +242,72 @@ def connected_components_star(
     )
 
 
+def k_core(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    k: int,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Vertices of the **k-core** — the maximal subgraph where every
+    vertex keeps degree >= k — by iterative peeling: drop all vertices
+    with degree < k, recompute degrees on the surviving subgraph,
+    repeat to fixpoint.  The density detector for near-dup/co-purchase
+    graphs: spam rings, template farms and link clusters survive high
+    k; organic neighborhoods don't.
+
+    Input is an undirected edge list (self-loops ignored, duplicates
+    and reversed copies collapsed).  Returns ``(vertex, degree)`` for
+    surviving vertices, degree measured INSIDE the core.
+
+    Scale shape: per round ONE degree aggregate (map-side combined
+    over the doubled edge list) and two anti-joins removing edges
+    incident to peeled vertices — all shuffles keyed by vertex; no
+    labels, no windows, no driver state beyond the peel count.  The
+    edge list only shrinks.  Rounds are bounded by the peeling depth
+    (typically a handful; worst case a path peels one layer per round,
+    capped by ``max_rounds`` — survivors at the cap are a SUPERSET of
+    the true core, and the returned degrees are >= k either way).
+    Every round's frontier is ``localCheckpoint``-ed so round N never
+    replays rounds 1..N-1.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _degrees(g: DataFrame) -> DataFrame:
+        both = g.select(F.col("u").alias("vertex")).union(
+            g.select(F.col("v").alias("vertex"))
+        )
+        return both.groupBy("vertex").agg(F.count(F.lit(1)).alias("degree"))
+
+    for _ in range(max_rounds):
+        # the (small) peel frontier is materialized once per round and
+        # feeds the emptiness check + both anti-joins without replaying
+        # the degree aggregate
+        low = (
+            _degrees(e)
+            .where(F.col("degree") < k)
+            .select("vertex")
+            .localCheckpoint(eager=True)
+        )
+        if low.isEmpty():
+            break
+        e = (
+            e.join(low, e.u == low.vertex, "left_anti")
+            .join(low, F.col("v") == low.vertex, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    return _degrees(e).where(F.col("degree") >= k)
+
+
 def dedup_components(
     df: DataFrame,
     pairs: DataFrame,

@@ -6018,3 +6018,59 @@ class TestClassifierCalibration:
         ).collect()
         rates = [r["positive_ppm"] for r in sorted(out, key=lambda r: r["bin"])]
         assert rates == sorted(rates)
+
+
+class TestKCore:
+    @staticmethod
+    def _py_kcore(raw, k):
+        """Reference peeling on a python dict graph."""
+        adj = {}
+        for a, b in raw:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for v in [v for v, ns in adj.items() if len(ns) < k]:
+                for n in adj.pop(v):
+                    adj[n].discard(v)
+                changed = True
+        return {v: len(ns) for v, ns in adj.items()}
+
+    def test_clique_survives_pendants_peel(self, spark):
+        from ayeaye_spark.operators.graph import k_core
+
+        # a 5-clique with a pendant chain hanging off vertex 0
+        raw = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        raw += [(0, 100), (100, 101), (101, 102)]
+        edges = spark.createDataFrame(raw, ["a", "b"])
+        got = {r["vertex"]: r["degree"] for r in k_core(edges, "a", "b", k=3).collect()}
+        assert got == {i: 4 for i in range(5)}
+        # the whole graph is a 1-core; chain peels at k=2 leaving the clique
+        got2 = {r["vertex"]: r["degree"]
+                for r in k_core(edges, "a", "b", k=2).collect()}
+        assert set(got2) == {0, 1, 2, 3, 4}
+
+    def test_random_graphs_match_python_peeling(self, spark):
+        import random
+
+        from ayeaye_spark.operators.graph import k_core
+
+        for seed, k in ((3, 2), (9, 3)):
+            rng = random.Random(seed)
+            raw = [(rng.randrange(60), rng.randrange(60)) for _ in range(150)]
+            edges = spark.createDataFrame(raw, ["a", "b"])
+            got = {r["vertex"]: r["degree"]
+                   for r in k_core(edges, "a", "b", k=k).collect()}
+            assert got == self._py_kcore(raw, k), (seed, k)
+
+    def test_k_validation(self, spark):
+        import pytest
+
+        from ayeaye_spark.operators.graph import k_core
+
+        edges = spark.createDataFrame([(1, 2)], ["a", "b"])
+        with pytest.raises(ValueError, match="k must be"):
+            k_core(edges, "a", "b", k=0)
