@@ -279,8 +279,74 @@ class RestStreamReader(SimpleDataSourceStreamReader, _HttpOptions):
         return iter(rows)
 
 
+class WdsDataSource(DataSource):
+    """``spark.read.format("ayeaye_wds")`` — WebDataset tar shards with
+    ONE INPUT PARTITION PER SHARD and true member streaming.
+
+    The ``binaryFile``-based reader (``sources/webdataset.py:
+    read_tar_shards``) materializes each shard as a single binary cell
+    — simple, but bounded by Spark's 2 GB single-value limit and by
+    executor memory per shard.  This source streams members straight
+    off the tarfile instead: the open tar yields one member at a time,
+    so peak memory per task is ONE member, not one shard — the shape
+    that reads 1 GB+ training shards safely.  Shard files are listed
+    on the driver (names only); all byte I/O happens on executors.
+
+    Options: ``path`` — shard glob (``/data/corpus/shard-*.tar``;
+    ``.tar.gz`` auto-detected).  Schema is fixed:
+    ``shard_path string, key string, suffix string, content binary``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "ayeaye_wds"
+
+    def schema(self) -> str:
+        return "shard_path string, key string, suffix string, content binary"
+
+    def reader(self, schema) -> "WdsReader":
+        return WdsReader(self.options)
+
+
+class WdsReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "ayeaye_wds requires .option('path', '/dir/shard-*.tar')"
+            )
+
+    def partitions(self):
+        from glob import glob
+
+        files = sorted(glob(self.path))
+        if not files:
+            raise FileNotFoundError(f"ayeaye_wds: no shards match {self.path}")
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        # runs on an EXECUTOR: members stream one at a time off the tar
+        import tarfile
+
+        fpath = partition.value
+        with tarfile.open(fpath, mode="r:*") as tar:
+            for info in tar:
+                if not info.isfile():
+                    continue
+                key, dot, suffix = info.name.rpartition(".")
+                if not dot:
+                    key, suffix = info.name, ""
+                member = tar.extractfile(info)
+                yield (fpath, key, suffix, member.read() if member else b"")
+
+
 def register_python_datasources(spark) -> list[str]:
     """Register this module's Python data sources; returns their names."""
     spark.dataSource.register(RestDataSource)
     spark.dataSource.register(RestStreamDataSource)
-    return [RestDataSource.name(), RestStreamDataSource.name()]
+    spark.dataSource.register(WdsDataSource)
+    return [
+        RestDataSource.name(),
+        RestStreamDataSource.name(),
+        WdsDataSource.name(),
+    ]

@@ -169,7 +169,12 @@ def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
     ``binaryFile`` gives (path, whole-file bytes) per shard — each
     shard is one scan row, decoded executor-side in an Arrow batch
     pass; no driver involvement.  Member order inside a tar is
-    preserved (WebDataset samples are contiguous)."""
+    preserved (WebDataset samples are contiguous).
+
+    Memory contract: one whole shard materializes per row (Spark's
+    2 GB single-value ceiling).  For 1 GB+ shards use the streaming
+    Python DataSource instead — ``spark.read.format("ayeaye_wds")``
+    (``sources/pyds.py:WdsDataSource``) holds one MEMBER at a time."""
     files = spark.read.format("binaryFile").load(path)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

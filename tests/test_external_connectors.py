@@ -403,3 +403,44 @@ class TestJdbcLiveDerby:
         df = par.read(spark)
         assert df.rdd.getNumPartitions() == 4
         assert df.count() == 100
+
+
+class TestWdsPythonDataSource:
+    def test_streaming_member_read_matches_binaryfile_reader(self, spark, tmp_path):
+        from ayeaye_spark.sources.pyds import register_python_datasources
+        from ayeaye_spark.sources.webdataset import read_tar_shards, write_tar_shards
+
+        docs = spark.createDataFrame(
+            [(i, f"body {i}", f'{{"i": {i}}}') for i in range(30)],
+            "doc_id long, text string, meta string",
+        )
+        out = str(tmp_path / "shards")
+        write_tar_shards(
+            docs, out, key_col="doc_id",
+            member_cols={"txt": "text", "json": "meta"}, n_shards=3,
+        ).collect()
+
+        register_python_datasources(spark)
+        via_ds = (
+            spark.read.format("ayeaye_wds")
+            .option("path", f"{out}/shard-*.tar")
+            .load()
+        )
+        # one input partition per shard file
+        assert via_ds.rdd.getNumPartitions() == 3
+        a = {(r["key"], r["suffix"], bytes(r["content"]))
+             for r in via_ds.collect()}
+        b = {(r["key"], r["suffix"], bytes(r["content"]))
+             for r in read_tar_shards(spark, f"{out}/shard-*.tar").collect()}
+        assert a == b
+        assert len(a) == 60
+
+    def test_missing_path_and_no_match(self, spark, tmp_path):
+        import pytest
+
+        from ayeaye_spark.sources.pyds import register_python_datasources
+
+        register_python_datasources(spark)
+        with pytest.raises(Exception, match="no shards match"):
+            (spark.read.format("ayeaye_wds")
+             .option("path", f"{tmp_path}/nope-*.tar").load().collect())
