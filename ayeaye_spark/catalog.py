@@ -3540,6 +3540,49 @@ def events_stream_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         return read_hll_state(spark, state).localCheckpoint()
 
 
+@query("docs_stream_incremental_dedup")  # no oracle: streaming drain
+def docs_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingest with NEAR-DUP dedup-on-arrival
+    (``streaming.sinks.minhash_dedup_sink``): each micro-batch's
+    documents are MinHash-LSH checked against the versioned survivor
+    state (existing-vs-existing candidates pruned pre-verify, so
+    steady-state cost scales with the batch, not the corpus) and the
+    accepted set folds forward; a replayed batch_id skips its
+    committed fold (exactly-once).  The 100 TB crawl-pipeline shape —
+    re-deduplicating the whole corpus per arriving batch is the thing
+    this avoids.  Returns the final survivor count + id checksum (one
+    row); arrival-order acceptance semantics and replay idempotency
+    are pinned in ``tests/test_streaming.py::TestMinhashDedupSink``."""
+    import tempfile
+
+    from .streaming.sinks import minhash_dedup_sink, read_dedup_state
+
+    _ensure_session_defaults(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    with tempfile.TemporaryDirectory(prefix="dedup_state_") as tmp:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        sink = minhash_dedup_sink(
+            f"{tmp}/state", id_col="doc_id", text_col="text",
+            n=3, k=16, bands=4, threshold=0.5,
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = read_dedup_state(spark, f"{tmp}/state").agg(
+            F.count(F.lit(1)).cast("long").alias("n_survivors"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        return out.localCheckpoint()  # detach before the tempdir goes
+
+
 def _duck_repeated_spans_oracle(
     n: int = 5, min_docs: int = 2, src: str = "documents"
 ) -> str:

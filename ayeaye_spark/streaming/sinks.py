@@ -165,7 +165,7 @@ def hll_state_sink(
         batch_sketches = df.groupBy(*group_cols).agg(
             F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
         )
-        prev = _latest_hll_state(spark, state_dir, before=batch_id)
+        prev = _latest_versioned_state(spark, state_dir, before=batch_id)
         if prev is not None:
             merged = (
                 prev.select(*group_cols, "sketch")
@@ -180,7 +180,7 @@ def hll_state_sink(
     return apply_batch
 
 
-def _latest_hll_state(
+def _latest_versioned_state(
     spark: SparkSession, state_dir: str, *, before: int | None = None
 ):
     """Most recent committed ``v=N`` snapshot (N < before if given)."""
@@ -205,9 +205,65 @@ def read_hll_state(spark: SparkSession, state_dir: str) -> DataFrame:
     state table itself)."""
     from pyspark.sql import functions as F
 
-    state = _latest_hll_state(spark, state_dir)
+    state = _latest_versioned_state(spark, state_dir)
     if state is None:
         raise FileNotFoundError(f"no committed HLL state under {state_dir}")
     return state.withColumn(
         "distinct_est", F.hll_sketch_estimate("sketch").cast("long")
     ).drop("sketch")
+
+
+def minhash_dedup_sink(
+    state_dir: str,
+    *,
+    id_col: str,
+    text_col: str,
+    **lsh_kwargs,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` incremental NEAR-DUP dedup of a document stream
+    against all history: each micro-batch's survivors — documents that
+    near-duplicate neither an already-accepted document nor a
+    smaller-id document in the same batch — fold into a versioned
+    survivor-state table (``operators.dedup.minhash_dedup_incremental``
+    does the banding; existing-vs-existing candidate pairs are pruned
+    before the exact-Jaccard verification, so steady-state cost scales
+    with the BATCH, not the corpus).
+
+    This is streaming corpus ingest with dedup-on-arrival: the 100 TB
+    crawl pipeline shape where re-deduplicating the whole corpus per
+    batch is impossible.  State stores the narrow ``(id, text)``
+    survivor projection — the signature-only state table is the
+    production-size optimization and drops in here without changing
+    the protocol.  Incremental semantics (documented, inherent):
+    acceptance depends on arrival order — a document that near-dups
+    only a REJECTED earlier document is accepted, where a global batch
+    dedup over the union might drop it.
+
+    Exactly-once like :func:`hll_state_sink`: state snapshots are
+    ``state_dir/v={batch_id}``; a replayed batch_id finds its
+    committed snapshot and skips.  Read survivors back with
+    :func:`read_dedup_state`."""
+    from ..operators.dedup import minhash_dedup_incremental
+
+    def apply_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        target = os.path.join(state_dir, f"v={batch_id}")
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            return  # replayed batch: already folded
+        batch = df.select(id_col, text_col).dropDuplicates([id_col])
+        prev = _latest_versioned_state(spark, state_dir, before=batch_id)
+        existing = prev if prev is not None else batch.limit(0)
+        survivors = minhash_dedup_incremental(
+            existing, batch, id_col, text_col, **dict(lsh_kwargs)
+        ).select(id_col, text_col)
+        existing.unionByName(survivors).write.mode("overwrite").parquet(target)
+
+    return apply_batch
+
+
+def read_dedup_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest committed survivor state of :func:`minhash_dedup_sink`."""
+    state = _latest_versioned_state(spark, state_dir)
+    if state is None:
+        raise FileNotFoundError(f"no committed dedup state under {state_dir}")
+    return state

@@ -543,6 +543,39 @@ HEADLINE = {
         "syllables) in ONE scan projection; per-row integer math, "
         "zero shuffles."
     ),
+    "dedup_components_star": (
+        "label-free CC: each half-round is one groupBy + one re-join "
+        "on the SAME key over the edge list only (exchange reuse), no "
+        "vertex-label table; convergence is a one-row fingerprint "
+        "aggregate per round."
+    ),
+    "parts_copurchase_kcore": (
+        "per peel round ONE vertex-keyed degree aggregate (map-side "
+        "combined over the doubled edge list) + two anti-joins on a "
+        "shrinking edge list; only the small frontier materializes."
+    ),
+    "ann_topk_matryoshka": (
+        "broadcast queries x one corpus scan; candidate cosine reads "
+        "only the first 16 coordinates (prefix slice — 4x less "
+        "bandwidth); top-k windows run over candidate rows only, then "
+        "the k*rerank shortlist pays the full-dim cosine."
+    ),
+    "docs_classifier_calibration": (
+        "scorer = explode + broadcast weight join + per-doc rollup; "
+        "NTILE bins come from the histogram-decomposed rank (ordered "
+        "pass over one row per DISTINCT integer score); final frame is "
+        "n_bins rows."
+    ),
+    "events_theta_audience_overlap": (
+        "two-group sketch aggregate -> one-row wide frame; "
+        "intersection/difference/estimates are scalar sketch ops on "
+        "that single row; exact twin is one user-keyed rollup."
+    ),
+    "events_topk_sketch_rollup": (
+        "daily accumulate states (map-side combined) -> month-keyed "
+        "combine -> explode of 5-row estimates; the fact table is "
+        "scanned once."
+    ),
 }
 
 

@@ -810,3 +810,65 @@ class TestHllStateSink:
 
         with pytest.raises(FileNotFoundError):
             read_hll_state(spark, str(tmp_path / "nope"))
+
+
+class TestMinhashDedupSink:
+    BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+    def test_dedup_on_arrival_across_batches(self, spark, tmp_path):
+        from ayeaye_spark.streaming.sinks import minhash_dedup_sink, read_dedup_state
+
+        state = str(tmp_path / "dedup_state")
+        sink = minhash_dedup_sink(
+            state, id_col="doc_id", text_col="text",
+            n=3, k=16, bands=4, threshold=0.5,
+        )
+        kw = "doc_id long, text string"
+        # batch 0: two near-dups of each other + one distinct
+        sink(spark.createDataFrame(
+            [(1, self.BASE), (2, self.BASE + " extra"),
+             (3, "completely unrelated words none match at all here")], kw), 0)
+        s0 = {r["doc_id"] for r in read_dedup_state(spark, state).collect()}
+        assert s0 == {1, 3}  # 2 near-dups smaller-id 1 within the batch
+
+        # batch 1: a near-dup of history (dropped) + a fresh doc (kept)
+        sink(spark.createDataFrame(
+            [(10, self.BASE + " tail"), (11, "genuinely new content phrase "
+              "with several different tokens")], kw), 1)
+        s1 = {r["doc_id"] for r in read_dedup_state(spark, state).collect()}
+        assert s1 == {1, 3, 11}
+
+        # replay batch 1: no-op (exactly-once)
+        sink(spark.createDataFrame(
+            [(10, self.BASE + " tail"), (11, "genuinely new content phrase "
+              "with several different tokens")], kw), 1)
+        assert {r["doc_id"] for r in read_dedup_state(spark, state).collect()} == s1
+
+    def test_streamed_drain_matches_manual_folds(self, spark, tmp_path):
+        from ayeaye_spark.streaming.sinks import minhash_dedup_sink, read_dedup_state
+
+        rows = [(i, self.BASE) for i in range(4)]  # one cluster
+        rows += [(100 + i, f"unique document number {i} with its own "
+                  f"distinct words alpha{i} beta{i}") for i in range(6)]
+        path = str(tmp_path / "docs")
+        spark.createDataFrame(rows, "doc_id long, text string").repartition(
+            3
+        ).write.mode("overwrite").parquet(path)
+        state = str(tmp_path / "st2")
+        sink = minhash_dedup_sink(
+            state, id_col="doc_id", text_col="text",
+            n=3, k=16, bands=4, threshold=0.5,
+        )
+        q = (
+            spark.readStream.schema(spark.read.parquet(path).schema)
+            .option("maxFilesPerTrigger", 1).parquet(path)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = {r["doc_id"] for r in read_dedup_state(spark, state).collect()}
+        # exactly one survivor of the clone cluster; all unique docs kept
+        assert got & {0, 1, 2, 3}
+        assert len(got & {0, 1, 2, 3}) == 1
+        assert {100 + i for i in range(6)} <= got
