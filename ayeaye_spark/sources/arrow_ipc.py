@@ -1,0 +1,154 @@
+"""Arrow IPC (Feather v2) shard sink/source (``arrow://``).
+
+The zero-copy columnar interchange format: an Arrow IPC file round-trips
+schemas exactly (nested lists, unsigned ints, dictionary encoding) and
+memory-maps for free, which makes it the standard hand-off between a
+Spark curation pipeline and single-node Python/Rust tooling (pandas,
+polars, duckdb, torch dataloaders all read it natively).
+
+Spark has no built-in IPC source, but this engine already speaks Arrow
+everywhere (Pandas UDFs are Arrow under the hood), so the mapping is
+thin and stays columnar end to end:
+
+* :func:`write_arrow_shards` — the same deterministic sharding contract
+  as the WebDataset sink (``pmod(xxhash64(key), n_shards)`` membership,
+  key-sorted rows, one shard = one task) with the payload written as an
+  Arrow IPC file per shard.
+* :class:`ArrowIpcDataSource` (``spark.read.format("ayeaye_arrow")``) —
+  one input partition per shard file; the reader yields the file's own
+  ``RecordBatch``es straight into Spark's Arrow pipeline (no per-row
+  Python, no pandas detour).  Schema is inferred ON THE DRIVER from the
+  first file's IPC footer (names only — no data read).
+
+Scale contract mirrors ``webdataset.py``: shard writes use the POSIX
+file API (shared/fuse path on a real cluster; an fsspec file object is
+the object-store drop-in), one shard's columns materialize per task.
+
+Reference parity: beyond-reference addition in the spirit of the file
+connectors (`lib/ayeaye/connectors/parquet_connector.py` is the
+columnar-file precedent).
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+from typing import Any
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.ipc as ipc
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import AccessMode, ConnectorError, DataConnector, spark_path
+
+MANIFEST_SCHEMA = (
+    "shard_id BIGINT, path STRING, n_rows BIGINT, n_bytes BIGINT"
+)
+
+
+def write_arrow_shards(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    key_col: str,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Export ``df`` as ``shard-NNNNNN.arrow`` IPC files; returns the
+    manifest (one row per shard).  Shard membership is a pure function
+    of the key and rows are key-sorted, so the same input produces the
+    same shards under any upstream partitioning.  The manifest is the
+    ACTION — nothing is written until it is collected/saved."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    cols = df.columns
+    if key_col not in cols:
+        raise ValueError(f"key column {key_col!r} not in {cols}")
+    narrow = df.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
+    )
+
+    def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard_id = int(pdf["_shard"].iloc[0])
+        pdf = pdf.sort_values(key_col, kind="mergesort").drop(columns=["_shard"])
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"shard-{shard_id:06d}.arrow")
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        with pa.OSFile(path, "wb") as f:
+            with ipc.new_file(f, table.schema) as writer:
+                writer.write_table(table)
+        return pd.DataFrame(
+            [
+                {
+                    "shard_id": shard_id,
+                    "path": path,
+                    "n_rows": len(pdf),
+                    "n_bytes": os.path.getsize(path),
+                }
+            ]
+        )
+
+    return narrow.groupBy("_shard").applyInPandas(_write_group, MANIFEST_SCHEMA)
+
+
+def infer_ipc_schema(path_glob: str):
+    """Spark StructType from the FIRST matching shard's IPC footer
+    (driver-side, metadata only)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    files = sorted(glob(path_glob))
+    if not files:
+        raise FileNotFoundError(f"no Arrow IPC files match {path_glob}")
+    with pa.memory_map(files[0], "r") as source:
+        schema = ipc.open_file(source).schema
+    return from_arrow_schema(schema)
+
+
+def read_arrow_shards(spark: SparkSession, path_glob: str) -> DataFrame:
+    """All matching IPC shards as one DataFrame via the ``ayeaye_arrow``
+    Python DataSource (one input partition per file, RecordBatches fed
+    straight to Spark's Arrow pipeline)."""
+    from .pyds import register_python_datasources
+
+    register_python_datasources(spark)
+    return (
+        spark.read.format("ayeaye_arrow").option("path", path_glob).load()
+    )
+
+
+class ArrowIpcConnector(DataConnector):
+    """``arrow://`` — directory (or glob) of Arrow IPC shard files.
+
+    Read: ``arrow:///data/x`` or ``arrow:///data/x/shard-*.arrow``.
+    Write: ``arrow:///data/x;shards=32;key=doc_id``.  The shard
+    manifest from the last write is kept on ``self.last_manifest``."""
+
+    engine_types = ["arrow"]
+
+    def __init__(self, engine_url: str, access: AccessMode = AccessMode.READ, **kwargs: Any):
+        super().__init__(engine_url, access, **kwargs)
+        self.last_manifest: list | None = None
+
+    def _glob(self) -> str:
+        path = spark_path(self.url)
+        if not any(ch in path for ch in "*?[") and not path.endswith(".arrow"):
+            path = os.path.join(path, "shard-*.arrow")
+        return path
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        self._require_read()
+        return read_arrow_shards(spark, self._glob())
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        self._require_write()
+        key = self.url.option("key")
+        if not key:
+            raise ConnectorError("arrow write requires ;key=<col> in the url")
+        manifest = write_arrow_shards(
+            df,
+            spark_path(self.url),
+            key_col=key,
+            n_shards=self.url.int_option("shards", 16),
+        )
+        self.last_manifest = manifest.collect()

@@ -340,13 +340,72 @@ class WdsReader(DataSourceReader):
                 yield (fpath, key, suffix, member.read() if member else b"")
 
 
+class ArrowIpcDataSource(DataSource):
+    """``spark.read.format("ayeaye_arrow")`` — Arrow IPC (Feather v2)
+    shard files, one input partition per file.
+
+    The reader yields each file's own ``pyarrow.RecordBatch``es — no
+    per-row Python, no pandas detour; batches flow straight into
+    Spark's Arrow pipeline.  Schema is inferred on the DRIVER from the
+    first matching file's IPC footer (metadata only, no data read);
+    pass ``.option("ddl", ...)`` to override.
+
+    Options: ``path`` (glob), optional ``ddl``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "ayeaye_arrow"
+
+    def schema(self):
+        ddl = self.options.get("ddl")
+        if ddl:
+            return ddl
+        from .arrow_ipc import infer_ipc_schema
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("ayeaye_arrow requires .option('path', ...)")
+        return infer_ipc_schema(path)
+
+    def reader(self, schema) -> "ArrowIpcReader":
+        return ArrowIpcReader(self.options)
+
+
+class ArrowIpcReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ayeaye_arrow requires .option('path', ...)")
+
+    def partitions(self):
+        from glob import glob
+
+        files = sorted(glob(self.path))
+        if not files:
+            raise FileNotFoundError(f"ayeaye_arrow: no files match {self.path}")
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        # executor-side: memory-map the shard, yield its RecordBatches
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        with pa.memory_map(partition.value, "r") as source:
+            reader = ipc.open_file(source)
+            for i in range(reader.num_record_batches):
+                yield reader.get_batch(i)
+
+
 def register_python_datasources(spark) -> list[str]:
     """Register this module's Python data sources; returns their names."""
     spark.dataSource.register(RestDataSource)
     spark.dataSource.register(RestStreamDataSource)
     spark.dataSource.register(WdsDataSource)
+    spark.dataSource.register(ArrowIpcDataSource)
     return [
         RestDataSource.name(),
         RestStreamDataSource.name(),
         WdsDataSource.name(),
+        ArrowIpcDataSource.name(),
     ]

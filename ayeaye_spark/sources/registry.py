@@ -36,6 +36,7 @@ from .file_formats import (
     UncookedConnector,
     XmlConnector,
 )
+from .arrow_ipc import ArrowIpcConnector
 from .multi import FakeDataConnector, MultiConnector, PlaceholderDataConnector
 from .webdataset import WebDatasetConnector
 
@@ -56,7 +57,7 @@ _BUILTIN_CONNECTORS: tuple[Type[DataConnector], ...] = (
     OrcConnector, AvroConnector, XmlConnector,
     UncookedConnector, JdbcConnector, KafkaConnector, BigQueryConnector,
     ElasticsearchConnector, RestfulConnector, FakeDataConnector,
-    WebDatasetConnector,
+    WebDatasetConnector, ArrowIpcConnector,
 )
 
 for cls in _BUILTIN_CONNECTORS:

@@ -767,3 +767,68 @@ class TestWebDataset:
         c = connector_for(f"wds://{tmp_path}/x", access=AccessMode.READ)
         with pytest.raises(AccessModeError):
             c.write(None)
+
+
+class TestArrowIpc:
+    def _docs(self, spark, n=35):
+        return spark.createDataFrame(
+            [(i, f"text {i}", float(i) / 2, [float(i), float(i + 1)])
+             for i in range(n)],
+            "doc_id long, text string, score double, vec array<double>",
+        )
+
+    def test_roundtrip_with_schema_inference(self, spark, tmp_path):
+        from ayeaye_spark.sources.arrow_ipc import (
+            read_arrow_shards,
+            write_arrow_shards,
+        )
+
+        docs = self._docs(spark)
+        out = str(tmp_path / "ipc")
+        manifest = write_arrow_shards(
+            docs, out, key_col="doc_id", n_shards=4
+        ).collect()
+        assert sum(m["n_rows"] for m in manifest) == 35
+        back = read_arrow_shards(spark, f"{out}/shard-*.arrow")
+        # schema inferred from the IPC footer, nested list included
+        assert back.schema == docs.schema
+        assert back.rdd.getNumPartitions() == len(manifest)
+        a = {(r["doc_id"], r["text"], r["score"], tuple(r["vec"]))
+             for r in back.collect()}
+        b = {(r["doc_id"], r["text"], r["score"], tuple(r["vec"]))
+             for r in docs.collect()}
+        assert a == b
+
+    def test_deterministic_across_partitionings(self, spark, tmp_path):
+        from ayeaye_spark.sources.arrow_ipc import write_arrow_shards
+
+        docs = self._docs(spark, 20)
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        ma = write_arrow_shards(docs.repartition(6), a, key_col="doc_id",
+                                n_shards=3).collect()
+        write_arrow_shards(docs.coalesce(1), b, key_col="doc_id",
+                           n_shards=3).collect()
+        for m in ma:
+            other = os.path.join(b, os.path.basename(m["path"]))
+            with open(m["path"], "rb") as f1, open(other, "rb") as f2:
+                assert f1.read() == f2.read(), m["path"]
+
+    def test_connector_url_read_write(self, spark, tmp_path):
+        out = str(tmp_path / "arrowdir")
+        c = connector_for(
+            f"arrow://{out};shards=2;key=doc_id", access=AccessMode.READWRITE
+        )
+        c.write(self._docs(spark, 12))
+        assert sum(m["n_rows"] for m in c.last_manifest) == 12
+        df = c.read(spark)
+        assert df.count() == 12
+        assert "vec" in df.columns
+
+    def test_write_requires_key_and_registry(self, spark, tmp_path):
+        from ayeaye_spark.sources.arrow_ipc import ArrowIpcConnector
+        from ayeaye_spark.sources.base import ConnectorError
+
+        assert connector_class_for("arrow:///tmp/x") is ArrowIpcConnector
+        c = connector_for(f"arrow://{tmp_path}/x", access=AccessMode.READWRITE)
+        with pytest.raises(ConnectorError, match="key"):
+            c.write(self._docs(spark, 3))
