@@ -9066,8 +9066,11 @@ _WINDOW_ORDER: tuple[str, ...] = (
     # also covered in-window by q1/peak-concurrency) for the Pareto
     # frontier below
     "events_props_variant",
-    # exact twins of the approximate sketches
-    "events_distinct_users_exact",
+    # exact sketch twin + the round-9 classifier calibration curve
+    # (events_distinct_users_exact rotated to the oracle gate in round 9
+    # session 2 — the exact-distinct family stays in-window via the
+    # quartiles entry; calibration adds the scorer+exact-NTILE compose)
+    "docs_classifier_calibration",
     "lineitem_price_quartiles_exact",
     # text analysis + Pandas grouped-agg UDF (doc_lang_id rotated to
     # the oracle gate in round 8 — lang/quality scoring stays in-window
@@ -9094,14 +9097,18 @@ _WINDOW_ORDER: tuple[str, ...] = (
     # value-exact verified there — for data layout / SQ8 ANN slots)
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
-    "dedup_transitive_components",
+    # round-9 session-2 rotation: the label-free large-star/small-star
+    # closure replaces the label-propagation entry in-window (identical
+    # oracle; dedup_transitive_components stays value-exact in the gate)
+    "dedup_components_star",
     "dedup_simhash_near_pairs",
     # data layout: N-dim Morton z-value cells (operators/layout.py)
     "orders_zorder_cells",
-    # similarity search: IVF + the round-8 scalar-quantized (SQ8)
-    # candidate-shortlist/exact-rerank path (ann_topk_lsh rotated to
-    # the oracle gate in round 7)
-    "ann_topk_ivf",
+    # similarity search: the round-8 scalar-quantized (SQ8) path + the
+    # round-9 Matryoshka prefix-dimension candidates/full-dim rerank
+    # (ann_topk_lsh rotated to the oracle gate in round 7, ann_topk_ivf
+    # in round 9 session 2 — both stay value-exact there)
+    "ann_topk_matryoshka",
     "ann_topk_sq8",
     # SCD2 merge, recursive CTE, skew-salted aggregate
     "customer_segment_scd2",
