@@ -4657,6 +4657,56 @@ def docs_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "shuffle_key", "shuffle_pos")
 
 
+def _duck_temperature_mixture_oracle(budget: int) -> str:
+    isq = "CAST(floor(sqrt(supply_tokens)) AS BIGINT)"
+    corr = (
+        f"(({isq}) - CAST(({isq}) * ({isq}) > supply_tokens AS BIGINT)"
+        f" + CAST((({isq}) + 1) * (({isq}) + 1) <= supply_tokens AS BIGINT))"
+    )
+    return f"""
+    WITH sup AS (
+      SELECT source,
+             CAST(SUM({P.size(P.tokens('text', DUCK), DUCK)}) AS BIGINT)
+               AS supply_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (SELECT source, supply_tokens, {corr} AS weight FROM sup),
+    tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM w)
+    SELECT source, supply_tokens, CAST(weight AS BIGINT) AS weight,
+           CAST(weight * 1000000 // tw AS BIGINT) AS weight_ppm,
+           CAST(weight * {budget} // tw AS BIGINT) AS allocated_tokens,
+           CAST(CASE WHEN supply_tokens = 0 THEN 0 ELSE
+             weight * {budget} // tw * 1000000 // supply_tokens END AS BIGINT)
+             AS epochs_ppm
+    FROM w, tot
+    """
+
+
+@query(
+    "docs_temperature_mixture",
+    oracle=_duck_temperature_mixture_oracle(1_000_000),
+)
+def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-τ=0.5 per-source mixture plan
+    (``sampling.temperature_mixture``): the standard multilingual /
+    multi-domain pretraining reweighting — sampling weight ∝
+    isqrt(token supply), which up-weights low-resource sources vs
+    proportional sampling.  τ=1/2 has an exact integer form (float-
+    sqrt + two-sided perfect-square correction, identical in both
+    engines), so mixture shares, per-source token allocations against
+    the budget, and the up-sampling factor (``epochs_ppm`` > 1e6 means
+    the source repeats) are all value-exact.  One map-side-combined
+    aggregate to #sources rows; arithmetic after that."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.expr(P.size(P.tokens("text", SPARK), SPARK)).cast("long").alias("_tok"),
+    )
+    return sampling.temperature_mixture(
+        tok, group_col="source", token_col="_tok", budget_tokens=1_000_000
+    )
+
+
 @query(
     "docs_domain_mix",
     oracle=f"""

@@ -437,6 +437,68 @@ def domain_mix_budget(
     return cum.where(F.col("_cum") <= F.expr(budget_case)).drop("_cum")
 
 
+def temperature_mixture(
+    df: DataFrame,
+    *,
+    group_col: str,
+    token_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Temperature-τ=0.5 domain/language mixture plan — the standard
+    multilingual-pretraining reweighting (mBERT/XLM-R style): sampling
+    weight ∝ supply^τ, which UP-weights low-resource domains relative
+    to proportional sampling while still favoring larger ones.  τ=1/2
+    is the canonical setting AND the one with an exact integer form —
+    weight = isqrt(tokens) — so the whole plan is engine-exact where a
+    float ``pow(x, 0.7)`` never could be.
+
+    isqrt is float ``sqrt`` + a two-sided correction (float sqrt of a
+    large int64 can land one off a perfect-square boundary after
+    floor; the correction re-anchors on exact integer multiplication,
+    identically in both engines).
+
+    Returns one row per group: token supply, exact integer weight,
+    ``weight_ppm`` (mixture share), the group's share of
+    ``budget_tokens``, and ``epochs_ppm`` = allocated/supply — the
+    up-sampling factor a trainer must apply (>1e6 means the group
+    repeats).
+
+    Scale shape: ONE map-side-combined aggregate to #groups rows;
+    everything after is arithmetic on that tiny frame (single-row
+    total broadcast back).
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    sup = df.groupBy(group_col).agg(
+        F.sum(token_col).cast("long").alias("supply_tokens")
+    )
+    isqrt = (
+        "CAST(floor(sqrt(supply_tokens)) AS BIGINT)"
+    )
+    corrected = (
+        f"(({isqrt}) - CAST(({isqrt}) * ({isqrt}) > supply_tokens AS BIGINT)"
+        f" + CAST((({isqrt}) + 1) * (({isqrt}) + 1) <= supply_tokens AS BIGINT))"
+    )
+    w = sup.withColumn("weight", F.expr(corrected))
+    tot = w.agg(F.sum("weight").cast("long").alias("_tw"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "supply_tokens",
+            "weight",
+            F.expr("weight * 1000000 div _tw").alias("weight_ppm"),
+            F.expr(f"weight * CAST({budget_tokens} AS BIGINT) div _tw")
+            .alias("allocated_tokens"),
+            F.expr(
+                f"CASE WHEN supply_tokens = 0 THEN 0 ELSE "
+                f"weight * CAST({budget_tokens} AS BIGINT) div _tw "
+                f"* 1000000 div supply_tokens END"
+            ).alias("epochs_ppm"),
+        )
+    )
+
+
 def systematic_weighted_sample(
     df: DataFrame,
     *,

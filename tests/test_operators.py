@@ -6074,3 +6074,41 @@ class TestKCore:
         edges = spark.createDataFrame([(1, 2)], ["a", "b"])
         with pytest.raises(ValueError, match="k must be"):
             k_core(edges, "a", "b", k=0)
+
+
+class TestTemperatureMixture:
+    def test_isqrt_exact_and_upweights_low_resource(self, spark):
+        import math
+
+        from ayeaye_spark.operators import sampling
+
+        # perfect squares and off-by-one boundaries stress the float
+        # sqrt correction; one giant supply stresses the int64 range
+        supplies = {"a": 1_000_000, "b": 10_000, "c": 999_999,
+                    "d": 1_000_002_000_001, "e": 1}
+        rows = [(g, n) for g, n in supplies.items()]
+        df = spark.createDataFrame(rows, "src string, tok long")
+        out = {r["src"]: r for r in sampling.temperature_mixture(
+            df, group_col="src", token_col="tok", budget_tokens=10_000_000
+        ).collect()}
+        for g, n in supplies.items():
+            assert out[g]["weight"] == math.isqrt(n), g
+            assert out[g]["supply_tokens"] == n
+        # τ=0.5 upweights low-resource vs proportional: b is 1% of a by
+        # supply but 10% by weight
+        assert out["b"]["weight"] * 10 == out["a"]["weight"]
+        # allocations never exceed the budget in total (floor division)
+        assert sum(r["allocated_tokens"] for r in out.values()) <= 10_000_000
+        # up-sampling factor: group e must repeat massively
+        assert out["e"]["epochs_ppm"] > 1_000_000
+
+    def test_budget_validation(self, spark):
+        import pytest
+
+        from ayeaye_spark.operators import sampling
+
+        df = spark.createDataFrame([("a", 5)], "src string, tok long")
+        with pytest.raises(ValueError, match="budget_tokens"):
+            sampling.temperature_mixture(
+                df, group_col="src", token_col="tok", budget_tokens=0
+            )
