@@ -832,3 +832,49 @@ class TestArrowIpc:
         c = connector_for(f"arrow://{tmp_path}/x", access=AccessMode.READWRITE)
         with pytest.raises(ConnectorError, match="key"):
             c.write(self._docs(spark, 3))
+
+
+class TestInterchangeEdgeCases:
+    def test_wds_unicode_dotted_keys_empty_and_large(self, spark, tmp_path):
+        from ayeaye_spark.sources.webdataset import read_tar_shards, write_tar_shards
+
+        rows = [
+            ("plain", "hello"),
+            ("key.with.dots", "dotted key survives rpartition"),
+            ("uni", "héllø wörld — 中文 テキスト 🚀"),
+            ("empty", ""),
+            ("none", None),
+            ("big", "x" * 300_000),
+        ]
+        df = spark.createDataFrame(rows, "k string, text string")
+        out = str(tmp_path / "edge")
+        write_tar_shards(
+            df, out, key_col="k", member_cols={"txt": "text"}, n_shards=2
+        ).collect()
+        got = {r["key"]: bytes(r["content"])
+               for r in read_tar_shards(spark, f"{out}/shard-*.tar").collect()}
+        assert got["plain"] == b"hello"
+        assert got["key.with.dots"] == "dotted key survives rpartition".encode()
+        assert got["uni"].decode("utf-8") == "héllø wörld — 中文 テキスト 🚀"
+        assert got["empty"] == b""
+        assert got["none"] == b""  # null member -> empty payload, documented
+        assert got["big"] == b"x" * 300_000
+
+    def test_arrow_unicode_nulls_and_100k_rows(self, spark, tmp_path):
+        from ayeaye_spark.sources.arrow_ipc import read_arrow_shards, write_arrow_shards
+
+        # nulls in every column type + unicode + volume
+        big = spark.range(100_000).selectExpr(
+            "id AS doc_id",
+            "CASE WHEN id % 7 = 0 THEN NULL ELSE concat('t—', id) END AS text",
+            "CASE WHEN id % 11 = 0 THEN NULL ELSE cast(id as double) / 3 END AS score",
+        )
+        out = str(tmp_path / "ipc_big")
+        manifest = write_arrow_shards(big, out, key_col="doc_id", n_shards=8).collect()
+        assert sum(m["n_rows"] for m in manifest) == 100_000
+        back = read_arrow_shards(spark, f"{out}/shard-*.arrow")
+        assert back.count() == 100_000
+        assert back.where("text IS NULL").count() == big.where("text IS NULL").count()
+        assert back.where("score IS NULL").count() == big.where("score IS NULL").count()
+        sample = {r["doc_id"]: r["text"] for r in back.where("doc_id < 15").collect()}
+        assert sample[1] == "t—1" and sample[0] is None and sample[7] is None
