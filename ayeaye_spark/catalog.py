@@ -2511,6 +2511,23 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("emb_kmeans_quality")  # no oracle: iterative float loop (pytest-pinned)
+def emb_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality telemetry (``similarity.kmeans_quality``):
+    per-cluster cohesion (mean member-to-own-centroid cosine), the
+    most-confusable rival centroid + its similarity, and the
+    silhouette-style cohesion-minus-separation margin — the numbers
+    that say whether cluster-balanced sampling / semantic sharding can
+    trust this clustering.  One extra corpus scan after the k-means
+    run + a k×k centroid cross join; geometry pinned in
+    ``tests/test_operators.py::TestKmeansQuality`` on separated
+    synthetic clusters (rows-only: float cosines over an iterative
+    loop)."""
+    return similarity.kmeans_quality(
+        load(spark, sf_dir, "embeddings"), k=8, iters=3
+    )
+
+
 @query("emb_cluster_balanced_sample")  # no oracle: k-means upstream (iterative)
 def emb_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced corpus sampling (the topic-balancing step of

@@ -640,7 +640,8 @@ def kmeans_embeddings(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 5,
-) -> DataFrame:
+    return_state: bool = False,
+):
     """Deterministic distributed spherical k-means (Lloyd's iterations)
     over an embedding column — the corpus-clustering step of curation
     pipelines (topic balancing, per-cluster sampling, semantic shard
@@ -660,7 +661,10 @@ def kmeans_embeddings(
 
     Per iteration: one corpus scan + one k*d-row aggregate — the
     canonical Spark Lloyd's shape (state never grows with the corpus).
-    Returns the final (id, cluster) assignment.  Iterative and
+    Returns the final (id, cluster) assignment — or, with
+    ``return_state=True``, the ``(assignment, centroids)`` pair
+    (centroids as the ``[(cluster, [floats]), ...]`` driver list) for
+    consumers like :func:`kmeans_quality`.  Iterative and
     float-mean-based, so it is a rows-only catalog entry (no SQL oracle
     can replay the loop); determinism is pinned in pytest instead.
     """
@@ -703,7 +707,71 @@ def kmeans_embeddings(
             )
             for c, old in centroids
         ]
-    return assigned.select(id_col, F.col("centroid_id").alias("cluster"))
+    out = assigned.select(id_col, F.col("centroid_id").alias("cluster"))
+    return (out, centroids) if return_state else out
+
+
+def kmeans_quality(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+) -> DataFrame:
+    """Clustering-quality telemetry for :func:`kmeans_embeddings` —
+    the report you read before trusting cluster-balanced sampling or
+    semantic shard assignment: per cluster, cohesion (mean cosine of
+    members to their own centroid), the most-confusable other centroid
+    and its similarity (separation), and the cohesion-minus-separation
+    margin (a silhouette-style signal: positive = members sit closer
+    to their own centroid than the nearest rival centroid sits).
+
+    Scale shape: the k-means run itself (one scan + k×d aggregate per
+    iteration), then ONE more corpus scan for the member-to-own-
+    centroid cosines (broadcast centroid join, per-cluster rollup) and
+    a k×k centroid cross join (driver-sized).  Float cosines →
+    rows-only; geometry is pinned in pytest on separated synthetic
+    clusters.
+
+    Returns ``(cluster, n_members, mean_cos_own, nearest_other,
+    nearest_other_cos, margin)`` ordered by cluster.
+    """
+    assigned, centroids = kmeans_embeddings(
+        df, id_col=id_col, vec_col=vec_col, k=k, iters=iters,
+        return_state=True,
+    )
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        centroids, "cluster long, _cvec array<double>"
+    )
+    members = (
+        df.select(id_col, F.expr(_as_double(vec_col)).alias("_v"))
+        .join(assigned, id_col)
+        .join(F.broadcast(cent), "cluster")
+        .withColumn("_cos", F.expr(P.cosine("_v", "_cvec", SPARK)))
+    )
+    per = members.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.avg("_cos").alias("mean_cos_own"),
+    )
+    a = cent.select(F.col("cluster").alias("cluster"), F.col("_cvec").alias("_ca"))
+    b = cent.select(F.col("cluster").alias("_other"), F.col("_cvec").alias("_cb"))
+    sep = (
+        a.crossJoin(b)
+        .where(F.col("cluster") != F.col("_other"))
+        .withColumn("_cc", F.expr(P.cosine("_ca", "_cb", SPARK)))
+        .groupBy("cluster")
+        .agg(
+            F.expr("max_by(_other, struct(_cc, -_other))").alias("nearest_other"),
+            F.max("_cc").alias("nearest_other_cos"),
+        )
+    )
+    return (
+        per.join(sep, "cluster")
+        .withColumn("margin", F.col("mean_cos_own") - F.col("nearest_other_cos"))
+        .orderBy("cluster")
+    )
 
 
 def with_lsh_bucket_vectorized(

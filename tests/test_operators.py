@@ -6112,3 +6112,41 @@ class TestTemperatureMixture:
             sampling.temperature_mixture(
                 df, group_col="src", token_col="tok", budget_tokens=0
             )
+
+
+class TestKmeansQuality:
+    def test_separated_clusters_report_positive_margin(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        rows = []
+        # three tight, well-separated direction clusters in 6-d
+        for c, axis in enumerate([0, 2, 4]):
+            base = np.zeros(6)
+            base[axis] = 1.0
+            for i in range(20):
+                v = base + rng.normal(scale=0.02, size=6)
+                rows.append((c * 100 + i, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = similarity.kmeans_quality(df, k=3, iters=4).collect()
+        assert len(out) == 3
+        assert sum(r["n_members"] for r in out) == 60
+        for r in out:
+            assert r["n_members"] == 20
+            assert r["mean_cos_own"] > 0.99
+            assert r["nearest_other_cos"] < 0.2
+            assert r["margin"] > 0.75
+            assert abs(r["margin"] - (r["mean_cos_own"] - r["nearest_other_cos"])) < 1e-12
+            assert r["nearest_other"] != r["cluster"]
+
+    def test_return_state_pairs_with_plain_call(self, spark):
+        rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+                for i in range(12)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        plain = {r["vec_id"]: r["cluster"]
+                 for r in similarity.kmeans_embeddings(df, k=3, iters=3).collect()}
+        paired, cents = similarity.kmeans_embeddings(
+            df, k=3, iters=3, return_state=True
+        )
+        assert {r["vec_id"]: r["cluster"] for r in paired.collect()} == plain
+        assert len(cents) == 3 and all(len(v) == 3 for _, v in cents)
