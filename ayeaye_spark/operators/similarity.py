@@ -728,47 +728,71 @@ def kmeans_quality(
     to their own centroid than the nearest rival centroid sits).
 
     Scale shape: the k-means run itself (one scan + k×d aggregate per
-    iteration), then ONE more corpus scan for the member-to-own-
-    centroid cosines (broadcast centroid join, per-cluster rollup) and
-    a k×k centroid cross join (driver-sized).  Float cosines →
-    rows-only; geometry is pinned in pytest on separated synthetic
-    clusters.
+    iteration), then ONE Arrow corpus pass that emits (cluster,
+    own-cosine) per row — the assignment argmax already computes every
+    member-centroid cosine, so no join and no second scoring pass —
+    into a per-cluster rollup; the k×k centroid separation matrix is
+    pure driver-side numpy on the k vectors already in hand (same
+    sequential-fold helpers as the assignment, so the numbers agree).
+    Float cosines over an iterative loop → rows-only; geometry is
+    pinned in pytest on separated synthetic clusters.
 
     Returns ``(cluster, n_members, mean_cos_own, nearest_other,
     nearest_other_cos, margin)`` ordered by cluster.
     """
-    assigned, centroids = kmeans_embeddings(
+    import numpy as np
+
+    _, centroids = kmeans_embeddings(
         df, id_col=id_col, vec_col=vec_col, k=k, iters=iters,
         return_state=True,
     )
     spark = df.sparkSession
-    cent = spark.createDataFrame(
-        centroids, "cluster long, _cvec array<double>"
-    )
-    members = (
-        df.select(id_col, F.expr(_as_double(vec_col)).alias("_v"))
-        .join(assigned, id_col)
-        .join(F.broadcast(cent), "cluster")
-        .withColumn("_cos", F.expr(P.cosine("_v", "_cvec", SPARK)))
-    )
-    per = members.groupBy("cluster").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.avg("_cos").alias("mean_cos_own"),
-    )
-    a = cent.select(F.col("cluster").alias("cluster"), F.col("_cvec").alias("_ca"))
-    b = cent.select(F.col("cluster").alias("_other"), F.col("_cvec").alias("_cb"))
-    sep = (
-        a.crossJoin(b)
-        .where(F.col("cluster") != F.col("_other"))
-        .withColumn("_cc", F.expr(P.cosine("_ca", "_cb", SPARK)))
+    cent_ids = np.array([c for c, _ in centroids], dtype=np.int64)
+    cent_mat = _matrix([v for _, v in centroids])
+    cent_norm = np.sqrt(_seq_sqnorm(cent_mat))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v_mat = _matrix(pdf[vec_col])
+            cos = _seq_dot_matrix(v_mat, cent_mat) / (
+                np.sqrt(_seq_sqnorm(v_mat))[:, None] * cent_norm[None, :]
+            )
+            best = np.argmax(cos, axis=1)  # first max == smallest id
+            yield pd.DataFrame(
+                {
+                    "cluster": cent_ids[best],
+                    "_cos": cos[np.arange(len(best)), best],
+                }
+            )
+
+    per = (
+        df.select(vec_col)
+        .mapInPandas(gen, "cluster long, _cos double")
         .groupBy("cluster")
         .agg(
-            F.expr("max_by(_other, struct(_cc, -_other))").alias("nearest_other"),
-            F.max("_cc").alias("nearest_other_cos"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.avg("_cos").alias("mean_cos_own"),
         )
     )
+    # k×k separation on the driver: same fold helpers as the scan
+    cc = _seq_dot_matrix(cent_mat, cent_mat) / (
+        cent_norm[:, None] * cent_norm[None, :]
+    )
+    np.fill_diagonal(cc, -np.inf)
+    nearest = np.argmax(cc, axis=1)
+    sep = spark.createDataFrame(
+        [
+            (int(cent_ids[i]), int(cent_ids[nearest[i]]), float(cc[i, nearest[i]]))
+            for i in range(len(cent_ids))
+        ],
+        "cluster long, nearest_other long, nearest_other_cos double",
+    ).coalesce(1)
     return (
-        per.join(sep, "cluster")
+        per.join(F.broadcast(sep), "cluster")
         .withColumn("margin", F.col("mean_cos_own") - F.col("nearest_other_cos"))
         .orderBy("cluster")
     )
