@@ -7739,6 +7739,94 @@ def _duck_vocab_coverage_oracle() -> str:
     """
 
 
+def _duck_heaps_oracle(n_buckets: int = 10) -> str:
+    toks = P.tokens("text", DUCK)
+    return f"""
+    WITH nb AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n FROM documents),
+    occ AS (
+      SELECT doc_id, unnest({toks}) AS tok FROM documents
+    ),
+    firsts AS (SELECT tok, MIN(doc_id) AS m FROM occ GROUP BY tok),
+    fbuck AS (
+      SELECT CAST(m * {n_buckets} // n AS BIGINT) AS bucket,
+             COUNT(*) AS new_types
+      FROM firsts, nb GROUP BY 1
+    ),
+    tbuck AS (
+      SELECT CAST(doc_id * {n_buckets} // n AS BIGINT) AS bucket,
+             COUNT(*) AS toks
+      FROM occ, nb GROUP BY 1
+    ),
+    grid AS (SELECT unnest(range({n_buckets})) AS bucket)
+    SELECT CAST(g.bucket AS BIGINT) AS bucket,
+           CAST(COALESCE(f.new_types, 0) AS BIGINT) AS new_types,
+           CAST(SUM(COALESCE(f.new_types, 0)) OVER w AS BIGINT) AS vocab_cum,
+           CAST(SUM(COALESCE(t.toks, 0)) OVER w AS BIGINT) AS tokens_cum
+    FROM grid g
+    LEFT JOIN fbuck f ON f.bucket = g.bucket
+    LEFT JOIN tbuck t ON t.bucket = g.bucket
+    WINDOW w AS (ORDER BY g.bucket ROWS UNBOUNDED PRECEDING)
+    """
+
+
+@query("docs_heaps_curve", oracle=_duck_heaps_oracle())
+def docs_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: cumulative distinct token
+    types vs cumulative token stream over 10 ordered corpus prefixes —
+    the diagnostic that says whether vocabulary is still growing
+    sub-linearly (healthy natural text) or linearly (id/noise
+    pollution), and sizes tokenizer budgets before training.
+
+    Scale shape: a type's first occurrence is ONE token-keyed
+    ``min(doc_id)`` aggregate (map-side combined — never a sort);
+    per-prefix token totals are a second map-side aggregate keyed by
+    the 10 buckets; the only window runs over the 10-row bucket grid.
+    All counts exact integers — value-exact oracle."""
+    docs = load(spark, sf_dir, "documents")
+    n_buckets = 10
+    nb = docs.agg((F.max("doc_id") + 1).cast("long").alias("n"))
+    occ = docs.select(
+        "doc_id", F.explode(F.expr(P.tokens("text", SPARK))).alias("tok")
+    )
+    firsts = occ.groupBy("tok").agg(F.min("doc_id").alias("m"))
+    fbuck = (
+        firsts.crossJoin(F.broadcast(nb))
+        .select(F.expr(f"m * {n_buckets} div n").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    tbuck = (
+        occ.crossJoin(F.broadcast(nb))
+        .select(F.expr(f"doc_id * {n_buckets} div n").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("toks"))
+    )
+    grid = spark.range(n_buckets).select(F.col("id").alias("bucket")).coalesce(1)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(F.broadcast(fbuck), "bucket", "left")
+        .join(F.broadcast(tbuck), "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+            F.sum(F.coalesce("new_types", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("vocab_cum"),
+            F.sum(F.coalesce("toks", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("tokens_cum"),
+        )
+    )
+
+
 @query("docs_vocab_coverage", oracle=_duck_vocab_coverage_oracle())
 def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-budget planning: smallest most-frequent-first vocab
