@@ -576,6 +576,22 @@ HEADLINE = {
         "combine -> explode of 5-row estimates; the fact table is "
         "scanned once."
     ),
+    "docs_temperature_mixture": (
+        "one map-side-combined supply aggregate to #sources rows; "
+        "isqrt weights + shares/allocations are arithmetic on that "
+        "tiny frame with a single-row total broadcast back."
+    ),
+    "docs_heaps_curve": (
+        "a type's first occurrence = one token-keyed min aggregate "
+        "(map-side combined, no sort); per-prefix token totals a "
+        "second map-side aggregate; the only window is the 10-row "
+        "bucket grid."
+    ),
+    "emb_kmeans_quality": (
+        "Lloyd loop (one scan + kxd aggregate per iteration) then ONE "
+        "Arrow pass emitting (cluster, own-cos) per row — no corpus "
+        "join; the kxk separation matrix is driver-side numpy."
+    ),
 }
 
 
