@@ -138,10 +138,10 @@ class TestCorrectnessWindow:
                 "customers_with_open_orders",
             },
             "variant": {"events_props_variant"},
-            "exact_twins": {
-                "events_distinct_users_exact",
-                "lineitem_price_quartiles_exact",
-            },
+            # events_distinct_users_exact rotated to the oracle gate in
+            # round 9 session 2 for the classifier calibration family
+            "exact_twins": {"lineitem_price_quartiles_exact"},
+            "classifier_calibration": {"docs_classifier_calibration"},
             # doc_quality (r7) and doc_lang_id (r8) rotated to the
             # oracle gate — lang/quality scoring stays in-window via
             # docs_gopher_filter + the grouped-agg UDAF — for BM25 and
@@ -154,21 +154,24 @@ class TestCorrectnessWindow:
                 "docs_pack_sequences",
                 "decontaminate_splits",
             },
-            # dedup_incremental_survivors (r6) and
-            # dedup_prefix_jaccard_pairs (r8) rotated to the oracle
-            # gate; 4 representatives stay under the hard signal
+            # dedup_incremental_survivors (r6),
+            # dedup_prefix_jaccard_pairs (r8) and
+            # dedup_transitive_components (r9 s2 — the star closure
+            # replaces it on the identical oracle) rotated to the
+            # oracle gate; 4 representatives stay under the hard signal
             "dedup": {
                 "dedup_exact",
                 "dedup_minhash_lsh_pairs",
-                "dedup_transitive_components",
+                "dedup_components_star",
                 "dedup_simhash_near_pairs",
             },
             "layout": {"orders_zorder_cells"},
             "substring_surgery": {"docs_remove_repeated_spans"},
             "interval_analytics": {"events_peak_concurrency_daily"},
-            # ann_topk_lsh rotated to the oracle gate in round 7; the
-            # round-8 SQ8 quantize/rerank path joins IVF in-window
-            "ann": {"ann_topk_ivf", "ann_topk_sq8"},
+            # ann_topk_lsh rotated to the oracle gate in round 7,
+            # ann_topk_ivf in round 9 session 2; SQ8 + the Matryoshka
+            # prefix-dimension path carry the family in-window
+            "ann": {"ann_topk_matryoshka", "ann_topk_sq8"},
             "scd2": {"customer_segment_scd2"},
             "recursive_cte": {"orders_monthly_gapless"},
             "salted_agg": {"events_salted_type_counts"},
