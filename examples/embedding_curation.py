@@ -41,6 +41,10 @@ class EmbeddingCuration(Model):
         engine_url="json://{output_path}/embedding_curation.json;indent=2",
         access=AccessMode.READWRITE,
     )
+    arrow_export = Connect(
+        engine_url="arrow://{output_path}/survivor_shards;shards=4;key=vec_id",
+        access=AccessMode.READWRITE,  # post_build_check reads it back
+    )
 
     dedup_threshold = 0.995  # cosine >= threshold => semantic duplicate
     n_query_vectors = 8      # retrieval sanity probe size
@@ -59,6 +63,12 @@ class EmbeddingCuration(Model):
         self.survivors.write(surviving)
         n_kept = surviving.count()
 
+        # interchange export: the curated vectors as Arrow IPC shards —
+        # the zero-copy hand-off to single-node tooling (pandas/polars/
+        # torch dataloaders memory-map these directly)
+        self.arrow_export.write(surviving)
+        n_shards = len(self.arrow_export.connector.last_manifest or [])
+
         probes = surviving.orderBy("vec_id").limit(self.n_query_vectors)
         topk = similarity.sq8_topk(surviving, probes, k=3, rerank=4)
         n_hits = topk.count()
@@ -75,6 +85,7 @@ class EmbeddingCuration(Model):
             "semantic_duplicates_removed": n_in - n_kept,
             "sq8_probe_hits": n_hits,
             "hard_negatives": n_negs,
+            "arrow_shards": n_shards,
         }
         self.log(
             f"{n_in} vectors -> {n_kept} survivors; "
@@ -87,6 +98,8 @@ class EmbeddingCuration(Model):
             0 < data["survivors"] <= data["input_vectors"]
             and data["hard_negatives"]
             == self.hard_negatives.df.count()
+            # the Arrow export must round-trip the survivor set exactly
+            and data["survivors"] == self.arrow_export.df.count()
         )
         if not ok:
             self.log("embedding curation failed validation", "ERROR")
