@@ -1303,6 +1303,92 @@ def events_topk_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang, {P.lang_id('text', DUCK)} AS lang_pred FROM documents
+    ),
+    cell AS (SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+    act AS (SELECT lang, SUM(n) AS a FROM cell GROUP BY lang),
+    prd AS (SELECT lang_pred, SUM(n) AS p FROM cell GROUP BY lang_pred)
+    SELECT c.lang, c.lang_pred, CAST(c.n AS BIGINT) AS n_docs,
+           CAST(c.n * 1000000 // a.a AS BIGINT) AS recall_ppm,
+           CAST(c.n * 1000000 // p.p AS BIGINT) AS precision_ppm
+    FROM cell c JOIN act a USING (lang) JOIN prd p USING (lang_pred)
+    """,
+)
+def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the built-in
+    stopword-argmax language identifier vs the corpus's lang metadata:
+    per (actual, predicted) cell counts with exact integer recall
+    (cell / actual-row margin) and precision (cell / predicted-column
+    margin) in ppm — the eval you run before trusting lang-ID-driven
+    routing or filtering on a new corpus.  Scale shape: ONE scan into
+    a (lang, lang_pred) cell aggregate (map-side combined, cells ≤
+    langs²); margins are joins on the tiny cell frame.  Value-exact:
+    the oracle replays the identical portable lang-ID expression."""
+    docs = load(spark, sf_dir, "documents")
+    pred = docs.select(
+        "lang", F.expr(P.lang_id("text", SPARK)).alias("lang_pred")
+    )
+    cell = pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    act = cell.groupBy("lang").agg(F.sum("n").alias("a"))
+    prd = cell.groupBy("lang_pred").agg(F.sum("n").alias("p"))
+    return (
+        cell.join(act, "lang")
+        .join(prd, "lang_pred")
+        .select(
+            "lang",
+            "lang_pred",
+            F.col("n").cast("long").alias("n_docs"),
+            F.expr("n * 1000000 div a").alias("recall_ppm"),
+            F.expr("n * 1000000 div p").alias("precision_ppm"),
+        )
+    )
+
+
+@query("events_kll_quantile_rollup")  # no oracle: sketch by design
+def events_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable quantiles via Datasketches **KLL** — the
+    sketch-native sibling of the deterministic log2-bucket rollup
+    (``events_value_quantile_sketch_rollup``): daily
+    ``kll_sketch_agg_double`` states (storable bytes) merge to any
+    coarser slice with ``kll_merge_agg_double`` and answer arbitrary
+    quantiles — no bucket design needed, provable rank-error bounds
+    (~1.7% at k=200), fact table scanned once.  Trade-off vs the
+    log2 rollup: KLL answers ANY quantile from the same state but its
+    values are engine-specific (rows-only check); the bucket rollup is
+    value-exact but quantizes to its bucket grid.
+    ``tests/test_catalog.py`` pins the merged monthly estimates inside
+    the exact-rank error envelope and merge-losslessness (merged ==
+    direct sketch over the month)."""
+    _ensure_session_defaults(spark)
+    load(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    ).createOrReplaceTempView("_kll_events")
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT date_trunc('month', ts) AS month, CAST(ts AS DATE) AS day,
+                 kll_sketch_agg_double(value, 200) AS sk,
+                 COUNT(*) AS n
+          FROM _kll_events GROUP BY 1, 2
+        ),
+        monthly AS (
+          SELECT month,
+                 kll_sketch_get_quantile_double(
+                   kll_merge_agg_double(sk), array(0.5D, 0.9D, 0.99D)) AS q,
+                 CAST(SUM(n) AS BIGINT) AS n_events
+          FROM daily GROUP BY month
+        )
+        SELECT month, n_events,
+               q[0] AS p50_est, q[1] AS p90_est, q[2] AS p99_est
+        FROM monthly
+        """
+    )
+
+
 @query("lineitem_price_quantiles")  # no oracle: approximate by design
 def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate quantiles of extended price per

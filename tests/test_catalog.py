@@ -457,3 +457,63 @@ class TestQuantileSketchRollup:
             .collect()
         }
         assert via_daily == direct and direct
+
+
+class TestKllQuantileRollup:
+    """KLL mergeable quantile rollup (``events_kll_quantile_rollup``):
+    merged monthly estimates stay inside the exact-rank error envelope,
+    and merging daily sketches loses nothing vs a direct monthly
+    sketch."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_estimates_within_rank_error_and_merge_lossless(self, spark):
+        from pyspark.sql import functions as F
+
+        from ayeaye_spark import catalog as cat
+
+        rows = cat.QUERIES["events_kll_quantile_rollup"](spark, self.SF).collect()
+        assert rows
+        events = cat.load(spark, self.SF, "events").where(
+            F.col("value").isNotNull()
+        )
+        vals = {}
+        for r in events.select(
+            F.date_trunc("month", "ts").alias("month"), "value"
+        ).collect():
+            vals.setdefault(r["month"], []).append(r["value"])
+        for r in rows:
+            month_vals = sorted(vals[r["month"]])
+            n = len(month_vals)
+            assert r["n_events"] == n
+            # k=200 => normalized rank error ~1.65%; allow 3% two-sided
+            eps = 0.03
+            for q, col in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
+                lo = month_vals[max(0, int((q - eps) * n) - 1)]
+                hi = month_vals[min(n - 1, int((q + eps) * n))]
+                assert lo <= r[col] <= hi, (r["month"], col, r[col], lo, hi)
+
+        # merge-losslessness: merged daily sketches == direct monthly sketch
+        events.createOrReplaceTempView("_kll_t")
+        merged = spark.sql("""
+          WITH daily AS (
+            SELECT date_trunc('month', ts) AS month, CAST(ts AS DATE) AS day,
+                   kll_sketch_agg_double(value, 200) AS sk
+            FROM _kll_t GROUP BY 1, 2)
+          SELECT month, kll_sketch_get_quantile_double(
+                   kll_merge_agg_double(sk), array(0.5D, 0.9D)) AS q
+          FROM daily GROUP BY month
+        """).collect()
+        direct = spark.sql("""
+          SELECT date_trunc('month', ts) AS month,
+                 kll_sketch_get_quantile_double(
+                   kll_sketch_agg_double(value, 200), array(0.5D, 0.9D)) AS q
+          FROM _kll_t GROUP BY 1
+        """).collect()
+        dm = {r["month"]: list(r["q"]) for r in merged}
+        dd = {r["month"]: list(r["q"]) for r in direct}
+        for m in dd:
+            # same sketch parameter, same data: estimates agree to
+            # within the rank-error envelope of one another
+            for a, b in zip(dm[m], dd[m]):
+                assert abs(a - b) <= max(abs(b) * 0.05, 1e-9), (m, a, b)
