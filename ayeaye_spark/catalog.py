@@ -4043,6 +4043,65 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_hybrid_rrf_oracle() -> str:
+    dense_cos = _duck_cosine("q.embedding", "c.embedding")
+    return f"""
+    WITH bm AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25_score DESC, doc_id) AS r
+      FROM ({ORACLES['docs_bm25_topk']})
+    ),
+    dn AS (
+      SELECT doc_id, r FROM (
+        SELECT c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY {dense_cos} DESC, c.vec_id) AS r
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id = 0
+      ) t WHERE r <= 20
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST((bm.r IS NOT NULL)::INT + (dn.r IS NOT NULL)::INT AS BIGINT)
+               AS n_lists,
+             CAST(CASE WHEN bm.r IS NULL THEN 0
+                       ELSE 1000000 // (60 + bm.r) END
+                + CASE WHEN dn.r IS NULL THEN 0
+                       ELSE 1000000 // (60 + dn.r) END AS BIGINT) AS rrf_ppm
+      FROM bm FULL JOIN dn USING (doc_id)
+    )
+    SELECT doc_id, n_lists, rrf_ppm,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT 10
+    """
+
+
+@query("docs_hybrid_rrf", oracle=_duck_hybrid_rrf_oracle())
+def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion
+    (``relational.rrf_fuse``): the BM25 keyword top-20 (same 3-term
+    query as ``docs_bm25_topk``) fused with the dense cosine top-20
+    for the doc-0 embedding — score = Σ 1/(60 + rank), the standard
+    combiner for incomparable score scales.  Contributions are exact
+    integer ppm, so the fusion is value-exact end to end (both input
+    rankings carry full tie-breaks).  The fused frame is ≤40 rows; the
+    final top-10 is a TakeOrdered over it."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    bm = textops.bm25_topk(
+        docs, "doc_id", "text", list(_BM25_TERMS), topk=20
+    ).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("bm25_score"), F.asc("doc_id"))),
+    ).select("doc_id", "rank")
+    dn = similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return relational.rrf_fuse([bm, dn], "doc_id", k0=60, topk=10)
+
+
 @query(
     "docs_length_midspread",
     oracle=f"""

@@ -260,6 +260,55 @@ def grouped_rank_exact(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    *,
+    rank_col: str = "rank",
+    k0: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankers (Cormack et al.): fused
+    score = Σᵢ 1/(k0 + rankᵢ), the standard hybrid-retrieval combiner
+    (BM25 ⊕ dense ANN) — robust to incomparable score scales because
+    only RANKS enter.  Contributions are exact integer ppm
+    (``1000000 div (k0 + rank)``), so the fusion is value-exact
+    cross-engine wherever the input rankings are.
+
+    Each input needs (id_col, rank_col) with ranks already
+    tie-broken.  Ids absent from a list contribute 0 from it (full
+    outer join semantics).  Returns ``(id, n_lists, rrf_ppm, rank)``
+    — top ``topk`` by (score desc, id asc).
+
+    Scale shape: the inputs are top-k lists (tiny by construction);
+    the fusion is an outer join + arithmetic on k·N rows and the final
+    top-k is a global ``TakeOrderedAndProject`` over those rows.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    out = None
+    for i, r in enumerate(rankings):
+        contrib = r.select(
+            F.col(id_col),
+            F.expr(f"1000000 div ({k0} + {rank_col})").cast("long").alias(f"_c{i}"),
+        )
+        out = contrib if out is None else out.join(contrib, id_col, "full")
+    cs = [f"_c{i}" for i in range(len(rankings))]
+    score = " + ".join(f"coalesce({c}, 0L)" for c in cs)
+    n_lists = " + ".join(f"cast({c} IS NOT NULL as int)" for c in cs)
+    fused = out.select(
+        id_col,
+        F.expr(n_lists).cast("long").alias("n_lists"),
+        F.expr(score).cast("long").alias("rrf_ppm"),
+    )
+    w = Window.orderBy(F.desc("rrf_ppm"), F.asc(id_col))
+    return (
+        fused.orderBy(F.desc("rrf_ppm"), F.asc(id_col))
+        .limit(topk)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def with_ntile(
     df: DataFrame,
     group_col: str,

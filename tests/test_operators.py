@@ -6150,3 +6150,43 @@ class TestKmeansQuality:
         )
         assert {r["vec_id"]: r["cluster"] for r in paired.collect()} == plain
         assert len(cents) == 3 and all(len(v) == 3 for _, v in cents)
+
+
+class TestRrfFuse:
+    def test_fusion_math_and_outer_semantics(self, spark):
+        from ayeaye_spark.operators import relational
+
+        a = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3)], "id long, rank long"
+        )
+        b = spark.createDataFrame(
+            [(3, 1), (4, 2)], "id long, rank long"
+        )
+        out = {r["id"]: r for r in relational.rrf_fuse(
+            [a, b], "id", k0=60, topk=10
+        ).collect()}
+        # id 3 appears in both lists: 1e6//63 + 1e6//61
+        assert out[3]["rrf_ppm"] == 1_000_000 // 63 + 1_000_000 // 61
+        assert out[3]["n_lists"] == 2 and out[3]["rank"] == 1
+        # ids in one list only contribute from that list
+        assert out[1]["rrf_ppm"] == 1_000_000 // 61 and out[1]["n_lists"] == 1
+        assert out[4]["rrf_ppm"] == 1_000_000 // 62
+        # deterministic tie-break: ids 1 (rank1 in a) vs 4 (rank2 in b)
+        ranks = {r: i for i, r in sorted(
+            ((v["rank"], k) for k, v in out.items()))}
+        assert len(out) == 4
+
+        import pytest
+
+        with pytest.raises(ValueError, match="at least one"):
+            relational.rrf_fuse([], "id")
+
+    def test_topk_truncation(self, spark):
+        from ayeaye_spark.operators import relational
+
+        a = spark.createDataFrame(
+            [(i, i) for i in range(1, 30)], "id long, rank long"
+        )
+        out = relational.rrf_fuse([a], "id", topk=5).collect()
+        assert len(out) == 5
+        assert [r["id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
