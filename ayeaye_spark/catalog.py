@@ -1348,6 +1348,44 @@ def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _seasonal_naive_sql(d: str) -> str:
+    term = P.int_div("ABS(actual - forecast) * 1000000",
+                     "(actual + forecast)", d)
+    mean = P.int_div(f"SUM({term})", "COUNT(*)", d)
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.event_type, a.day, a.n AS actual, b.n AS forecast
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day = a.day - 7
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ABS(actual - forecast)) AS BIGINT) AS total_abs_err,
+           CAST(SUM({term}) AS BIGINT) AS smape_sum_ppm,
+           CAST({mean} AS BIGINT) AS smape_mean_ppm
+    FROM paired
+    GROUP BY event_type
+    """
+
+
+@query("events_seasonal_naive_error", oracle=_seasonal_naive_sql(DUCK))
+def events_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (same weekday last week) forecast error per event
+    type — the monitoring baseline every anomaly detector must beat.
+    sMAPE stays an exact integer (per-day ppm via integer division, the
+    one dialect divergence — ``div`` vs ``//`` — rendered per engine);
+    the pairing is a self-join of the DAILY rollup (≤ days×types rows),
+    so the fact table is scanned once."""
+    _ensure_session_defaults(spark)
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_seasonal_naive_sql(SPARK))
+
+
 @query("events_kll_quantile_rollup")  # no oracle: sketch by design
 def events_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable quantiles via Datasketches **KLL** — the

@@ -872,3 +872,57 @@ class TestMinhashDedupSink:
         assert got & {0, 1, 2, 3}
         assert len(got & {0, 1, 2, 3}) == 1
         assert {100 + i for i in range(6)} <= got
+
+
+def test_minhash_dedup_sink_resumes_across_restarts(spark, tmp_path):
+    """Stop/restart semantics: a second availableNow run with the SAME
+    checkpoint picks up only the new files, batch ids continue, and the
+    survivor state folds forward (no refold of already-committed
+    batches)."""
+    import os
+
+    from ayeaye_spark.streaming.sinks import minhash_dedup_sink, read_dedup_state
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, base), (2, "unique first-phase document with its own words")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/f1")
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    sink = minhash_dedup_sink(
+        state, id_col="doc_id", text_col="text",
+        n=3, k=16, bands=4, threshold=0.5,
+    )
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src + "/f*")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    s1 = {r["doc_id"] for r in read_dedup_state(spark, state).collect()}
+    assert s1 == {1, 2}
+    versions_after_first = sorted(os.listdir(state))
+
+    # "restart": new arrivals land, the SAME checkpoint resumes
+    spark.createDataFrame(
+        [(10, base + " tail"),  # near-dup of committed history: dropped
+         (11, "second-phase genuinely novel content entirely")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/f2")
+    drain()
+    s2 = {r["doc_id"] for r in read_dedup_state(spark, state).collect()}
+    assert s2 == {1, 2, 11}
+    versions_after_second = sorted(os.listdir(state))
+    # batch ids continued: strictly more committed versions, none redone
+    assert set(versions_after_first) < set(versions_after_second)
