@@ -2269,6 +2269,61 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SWEEP_THRESHOLDS = (300_000, 500_000, 700_000, 900_000)
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH pairs AS ({_duck_minhash_pairs_oracle(threshold=0.1)}),
+    t(thr_ppm) AS (VALUES {', '.join(f'({t})' for t in _SWEEP_THRESHOLDS)})
+    SELECT t.thr_ppm,
+           CAST(COUNT(p.doc_id_a) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT p.doc_id_b) AS BIGINT) AS n_docs_dropped
+    FROM t LEFT JOIN pairs p
+      ON p.jaccard * 1000000 >= t.thr_ppm
+    GROUP BY t.thr_ppm
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity sweep for near-dup dedup: candidate pairs
+    from ONE banded-LSH pass are verified once, then counted at each
+    candidate threshold (0.3/0.5/0.7/0.9) along with the docs a
+    drop-larger-id policy would remove — the curve a curation team
+    reads to pick the dedup operating point BEFORE committing to a
+    corpus-wide run (re-running the whole LSH per candidate threshold
+    is the thing this avoids).  Exact Jaccard per verified pair →
+    value-exact; the sweep itself is ONE conditional aggregation over
+    the pair frame (per-threshold count + conditional distinct — an
+    Expand, no replication join), unpivoted to one row per
+    threshold."""
+    pairs = dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, k=16, bands=4, threshold=0.1,
+    )
+    aggs = []
+    for t in _SWEEP_THRESHOLDS:
+        cond = F.expr(f"jaccard * 1000000 >= {t}")
+        aggs.append(  # coalesce: SUM over an empty pair set is NULL
+            F.coalesce(F.sum(cond.cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"_p{t}")
+        )
+        aggs.append(
+            F.countDistinct(F.when(cond, F.col("doc_id_b")))
+            .cast("long")
+            .alias(f"_d{t}")
+        )
+    wide = pairs.agg(*aggs)
+    stack = ", ".join(
+        f"{t}L, _p{t}, _d{t}" for t in _SWEEP_THRESHOLDS
+    )
+    return wide.selectExpr(
+        f"stack({len(_SWEEP_THRESHOLDS)}, {stack}) "
+        "AS (thr_ppm, n_pairs, n_docs_dropped)"
+    )
+
+
 @query(
     "dedup_minhash_blocked_pairs",
     oracle=f"""
