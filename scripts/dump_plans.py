@@ -592,6 +592,30 @@ HEADLINE = {
         "Arrow pass emitting (cluster, own-cos) per row — no corpus "
         "join; the kxk separation matrix is driver-side numpy."
     ),
+    "docs_hybrid_rrf": (
+        "two verified top-20 rankings (BM25 + dense cosine) full-outer "
+        "joined on <=40 rows; integer-ppm RRF arithmetic; final top-10 "
+        "is a TakeOrdered over the fused frame."
+    ),
+    "docs_langid_confusion": (
+        "one scan into a (lang, lang_pred) cell aggregate (map-side "
+        "combined, <= langs^2 cells); margins are joins on that tiny "
+        "frame."
+    ),
+    "events_kll_quantile_rollup": (
+        "daily KLL states (map-side combined) merge at month grain; "
+        "any quantile answered from the stored state — fact table "
+        "scanned once."
+    ),
+    "events_seasonal_naive_error": (
+        "daily rollup (map-side combined) self-joined on (type, "
+        "day-7) — <= days*types rows; integer sMAPE arithmetic."
+    ),
+    "dedup_threshold_sweep": (
+        "one banded-LSH candidate pass verified once; the sweep is a "
+        "single conditional aggregation (Expand) over the pair frame, "
+        "unpivoted with stack."
+    ),
 }
 
 
