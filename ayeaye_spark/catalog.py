@@ -3782,6 +3782,52 @@ def docs_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         return out.localCheckpoint()  # detach before the tempdir goes
 
 
+@query("events_stream_theta_overlap")  # no oracle: sketch state, rows-only
+def events_stream_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_theta_audience_overlap``: per-type
+    THETA sketches of the user audience are maintained incrementally by
+    ``streaming.sinks.theta_state_sink`` (versioned folds, replay-skip
+    exactly-once, stream never rescanned) and the view∩purchase /
+    view∖purchase estimates are computed FROM THE STORED STATE after
+    the drain — set algebra on state bytes, the thing plain HLL state
+    cannot do.  Exactness in the sub-nominal regime and the
+    incremental-fold algebra are pinned in
+    ``tests/test_streaming.py::TestThetaStateSink``."""
+    import tempfile
+
+    from .streaming.sinks import read_theta_state, theta_state_sink
+
+    _ensure_session_defaults(spark)
+    with tempfile.TemporaryDirectory(prefix="theta_state_") as tmp:
+        sink = theta_state_sink(
+            f"{tmp}/state", group_cols=["event_type"], value_col="user_id"
+        )
+        q = (
+            _events_stream(spark, sf_dir)
+            .where(F.col("event_type").isin("view", "purchase"))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wide = read_theta_state(spark, f"{tmp}/state").groupBy().agg(
+            F.max(F.when(F.col("event_type") == "view", F.col("sketch")))
+            .alias("sv"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("sketch")))
+            .alias("sp"),
+        )
+        out = wide.selectExpr(
+            "CAST(theta_sketch_estimate(sv) AS BIGINT) AS view_users",
+            "CAST(theta_sketch_estimate(sp) AS BIGINT) AS purchase_users",
+            "CAST(theta_sketch_estimate(theta_intersection(sv, sp)) AS BIGINT)"
+            "  AS both_users",
+            "CAST(theta_sketch_estimate(theta_difference(sv, sp)) AS BIGINT)"
+            "  AS view_only_users",
+        )
+        return out.localCheckpoint()  # detach before the tempdir goes
+
+
 def _duck_repeated_spans_oracle(
     n: int = 5, min_docs: int = 2, src: str = "documents"
 ) -> str:

@@ -267,3 +267,61 @@ def read_dedup_state(spark: SparkSession, state_dir: str) -> DataFrame:
     if state is None:
         raise FileNotFoundError(f"no committed dedup state under {state_dir}")
     return state
+
+
+def theta_state_sink(
+    state_dir: str,
+    *,
+    group_cols: list[str],
+    value_col: str,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` incremental THETA sketch-state maintenance —
+    :func:`hll_state_sink`'s sibling for when the stored states must
+    support SET ALGEBRA, not just cardinality: theta sketches of
+    per-group member sets union incrementally like HLL, but any two
+    stored states can later be INTERSECTED or DIFFERENCED
+    (``theta_intersection``/``theta_difference``) — month-over-month
+    retention, audience overlap across keys, "active in A but never
+    B" — without ever rescanning the stream.
+
+    Same exactly-once protocol as the HLL sink (versioned ``v=N``
+    snapshots; replayed batch ids skip their committed fold).  Use
+    :func:`read_theta_state` for estimates, or operate on the stored
+    ``sketch`` bytes directly for the set algebra."""
+
+    def apply_batch(df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        target = os.path.join(state_dir, f"v={batch_id}")
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            return
+        batch_sketches = df.groupBy(*group_cols).agg(
+            F.expr(f"theta_sketch_agg({value_col})").alias("sketch")
+        )
+        prev = _latest_versioned_state(spark, state_dir, before=batch_id)
+        if prev is not None:
+            merged = (
+                prev.select(*group_cols, "sketch")
+                .unionByName(batch_sketches)
+                .groupBy(*group_cols)
+                .agg(F.expr("theta_union_agg(sketch)").alias("sketch"))
+            )
+        else:
+            merged = batch_sketches
+        merged.write.mode("overwrite").parquet(target)
+
+    return apply_batch
+
+
+def read_theta_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest committed theta state → ``(group_cols…, distinct_est)``;
+    the ``sketch`` column stays available for set algebra."""
+    from pyspark.sql import functions as F
+
+    state = _latest_versioned_state(spark, state_dir)
+    if state is None:
+        raise FileNotFoundError(f"no committed theta state under {state_dir}")
+    return state.withColumn(
+        "distinct_est", F.expr("theta_sketch_estimate(sketch)").cast("long")
+    )

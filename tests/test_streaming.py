@@ -926,3 +926,52 @@ def test_minhash_dedup_sink_resumes_across_restarts(spark, tmp_path):
     versions_after_second = sorted(os.listdir(state))
     # batch ids continued: strictly more committed versions, none redone
     assert set(versions_after_first) < set(versions_after_second)
+
+
+class TestThetaStateSink:
+    def test_incremental_fold_supports_set_algebra(self, spark, tmp_path):
+        """The stored states must union incrementally AND support
+        intersection/difference afterwards — month-over-month retention
+        from sketches, exact in the sub-nominal regime."""
+        from pyspark.sql import functions as F
+
+        from ayeaye_spark.streaming.sinks import read_theta_state, theta_state_sink
+
+        state = str(tmp_path / "theta")
+        sink = theta_state_sink(state, group_cols=["period"], value_col="user_id")
+        kw = "period string, user_id long"
+        # period A users 0..79; fold in two batches (exercises the union)
+        sink(spark.createDataFrame([("A", i) for i in range(40)], kw), 0)
+        sink(spark.createDataFrame(
+            [("A", i) for i in range(40, 80)]
+            + [("B", i) for i in range(50, 130)], kw), 1)
+
+        est = {r["period"]: r["distinct_est"]
+               for r in read_theta_state(spark, state).collect()}
+        assert est == {"A": 80, "B": 80}
+
+        # set algebra on the STORED sketches: A∩B = 50..79 (30 users),
+        # A\B = 0..49 (50 users)
+        wide = read_theta_state(spark, state).groupBy().agg(
+            F.max(F.when(F.col("period") == "A", F.col("sketch"))).alias("sa"),
+            F.max(F.when(F.col("period") == "B", F.col("sketch"))).alias("sb"),
+        )
+        r = wide.selectExpr(
+            "CAST(theta_sketch_estimate(theta_intersection(sa, sb)) AS BIGINT) AS both",
+            "CAST(theta_sketch_estimate(theta_difference(sa, sb)) AS BIGINT) AS only_a",
+        ).collect()[0]
+        assert r["both"] == 30 and r["only_a"] == 50
+
+        # replay skip
+        sink(spark.createDataFrame([("A", 999)], kw), 1)
+        est2 = {r["period"]: r["distinct_est"]
+                for r in read_theta_state(spark, state).collect()}
+        assert est2 == est
+
+    def test_missing_state_raises(self, spark, tmp_path):
+        import pytest
+
+        from ayeaye_spark.streaming.sinks import read_theta_state
+
+        with pytest.raises(FileNotFoundError):
+            read_theta_state(spark, str(tmp_path / "none"))
