@@ -487,3 +487,34 @@ def test_corpus_audit(spark, resolver, tmp_path):
     assert len(dv["most_repetitive"]) == 5
     div = spark.read.parquet(str(tmp_path / "doc_diversity.parquet"))
     assert div.count() == 500
+
+
+def test_hybrid_search(spark, resolver, tmp_path):
+    from examples.hybrid_search import HybridSearch
+
+    with resolver.context(
+        docs_path="/root/testdata/sf0.001/documents.parquet",
+        emb_path="/root/testdata/sf0.001/embeddings.parquet",
+        output_path=str(tmp_path),
+    ):
+        assert HybridSearch().go(), "model run must succeed"
+
+    import json
+
+    report = json.loads((tmp_path / "hybrid_search.json").read_text())
+    out = spark.read.parquet(str(tmp_path / "hybrid_results.parquet"))
+    rows = out.collect()
+    assert len(rows) == report["results"] > 0
+    assert report["in_both_rankers"] >= 0
+    # fused ordering is deterministic and dense
+    got = sorted((r["rank"], r["doc_id"]) for r in rows)
+    assert [rk for rk, _ in got] == list(range(1, len(rows) + 1))
+    # every result carries its enrichment columns
+    assert all(r["snippet"] is not None and r["lang"] is not None for r in rows)
+    # and matches the catalog's fused top-10 on (doc_id, rank)
+    from ayeaye_spark.catalog import QUERIES
+
+    cat = {(r["doc_id"], r["rank"])
+           for r in QUERIES["docs_hybrid_rrf"](
+               spark, "/root/testdata/sf0.001").collect()}
+    assert {(r["doc_id"], r["rank"]) for r in rows} == cat
