@@ -65,6 +65,12 @@ def write_arrow_shards(
     cols = df.columns
     if key_col not in cols:
         raise ValueError(f"key column {key_col!r} not in {cols}")
+    # pin the Arrow schema from the Spark schema: per-shard inference
+    # would type a whole-shard-null column as pa.null() and make that
+    # shard's footer disagree with every other shard's
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(df.schema)
     narrow = df.withColumn(
         "_shard", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
     )
@@ -74,7 +80,9 @@ def write_arrow_shards(
         pdf = pdf.sort_values(key_col, kind="mergesort").drop(columns=["_shard"])
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"shard-{shard_id:06d}.arrow")
-        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        table = pa.Table.from_pandas(
+            pdf, schema=arrow_schema, preserve_index=False
+        )
         with pa.OSFile(path, "wb") as f:
             with ipc.new_file(f, table.schema) as writer:
                 writer.write_table(table)

@@ -878,3 +878,35 @@ class TestInterchangeEdgeCases:
         assert back.where("score IS NULL").count() == big.where("score IS NULL").count()
         sample = {r["doc_id"]: r["text"] for r in back.where("doc_id < 15").collect()}
         assert sample[1] == "t—1" and sample[0] is None and sample[7] is None
+
+
+class TestArrowIpcSchemaPinning:
+    def test_whole_shard_null_column_keeps_schema(self, spark, tmp_path):
+        """A shard whose every row has NULL in some column must carry
+        the SAME footer schema as the others (per-shard inference would
+        type it pa.null() and break the multi-shard read)."""
+        from ayeaye_spark.sources.arrow_ipc import (
+            read_arrow_shards,
+            write_arrow_shards,
+        )
+
+        # craft ids so one shard gets only null-text rows: brute-force
+        # ids by shard assignment
+        from pyspark.sql import functions as F
+
+        probe = spark.range(200).withColumn(
+            "s", F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(2))
+        )
+        by_shard = {r["id"]: r["s"] for r in probe.collect()}
+        shard0 = [i for i, s in by_shard.items() if s == 0][:5]
+        shard1 = [i for i, s in by_shard.items() if s == 1][:5]
+        rows = [(int(i), None) for i in shard0] + [
+            (int(i), f"t{i}") for i in shard1
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = str(tmp_path / "nulls")
+        write_arrow_shards(df, out, key_col="doc_id", n_shards=2).collect()
+        back = read_arrow_shards(spark, f"{out}/shard-*.arrow")
+        assert back.schema == df.schema
+        assert back.count() == 10
+        assert back.where("text IS NULL").count() == 5
