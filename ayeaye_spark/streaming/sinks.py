@@ -134,6 +134,7 @@ def hll_state_sink(
     group_cols: list[str],
     value_col: str,
     lg_k: int = 12,
+    keep_versions: int = 2,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` incremental distinct-count maintenance with
     MERGEABLE HLL sketches (Spark's Datasketches ``hll_sketch_agg`` /
@@ -176,8 +177,30 @@ def hll_state_sink(
         else:
             merged = batch_sketches
         merged.write.mode("overwrite").parquet(target)
+        _prune_state_versions(state_dir, keep=keep_versions)
 
     return apply_batch
+
+
+def _prune_state_versions(state_dir: str, *, keep: int) -> None:
+    """Drop all but the newest ``keep`` committed ``v=N`` snapshots.
+
+    Retention keeps the state directory bounded (one snapshot lands per
+    micro-batch).  ``keep >= 2`` is the safe floor: Structured
+    Streaming only ever replays the most recent planned-but-uncommitted
+    batch, whose skip-check needs ITS OWN snapshot, and the fold reads
+    the one before it.  Uncommitted (no ``_SUCCESS``) dirs are left
+    alone — they belong to an in-flight writer."""
+    import shutil
+
+    committed = sorted(
+        int(name[2:])
+        for name in os.listdir(state_dir)
+        if name.startswith("v=")
+        and os.path.exists(os.path.join(state_dir, name, "_SUCCESS"))
+    )
+    for n in committed[:-keep] if keep > 0 else []:
+        shutil.rmtree(os.path.join(state_dir, f"v={n}"), ignore_errors=True)
 
 
 def _latest_versioned_state(
@@ -218,6 +241,7 @@ def minhash_dedup_sink(
     *,
     id_col: str,
     text_col: str,
+    keep_versions: int = 2,
     **lsh_kwargs,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` incremental NEAR-DUP dedup of a document stream
@@ -257,6 +281,7 @@ def minhash_dedup_sink(
             existing, batch, id_col, text_col, **dict(lsh_kwargs)
         ).select(id_col, text_col)
         existing.unionByName(survivors).write.mode("overwrite").parquet(target)
+        _prune_state_versions(state_dir, keep=keep_versions)
 
     return apply_batch
 
@@ -274,6 +299,7 @@ def theta_state_sink(
     *,
     group_cols: list[str],
     value_col: str,
+    keep_versions: int = 2,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` incremental THETA sketch-state maintenance —
     :func:`hll_state_sink`'s sibling for when the stored states must
@@ -310,6 +336,7 @@ def theta_state_sink(
         else:
             merged = batch_sketches
         merged.write.mode("overwrite").parquet(target)
+        _prune_state_versions(state_dir, keep=keep_versions)
 
     return apply_batch
 

@@ -975,3 +975,30 @@ class TestThetaStateSink:
 
         with pytest.raises(FileNotFoundError):
             read_theta_state(spark, str(tmp_path / "none"))
+
+
+def test_state_sink_version_retention(spark, tmp_path):
+    """Versioned sketch-state dirs stay bounded: only the newest
+    keep_versions committed snapshots survive, the reader still sees
+    the full fold, and a replay of the LATEST batch still skips."""
+    import os
+
+    from ayeaye_spark.streaming.sinks import hll_state_sink, read_hll_state
+
+    state = str(tmp_path / "st")
+    sink = hll_state_sink(
+        state, group_cols=["g"], value_col="v", keep_versions=2
+    )
+    kw = "g string, v long"
+    for b in range(4):
+        sink(spark.createDataFrame(
+            [("a", i) for i in range(b * 10, b * 10 + 10)], kw), b)
+    dirs = sorted(d for d in os.listdir(state) if d.startswith("v="))
+    assert dirs == ["v=2", "v=3"]  # pruned to the newest two
+    got = {r["g"]: r["distinct_est"]
+           for r in read_hll_state(spark, state).collect()}
+    assert got == {"a": 40}  # the fold itself lost nothing
+    sink(spark.createDataFrame([("a", 999)], kw), 3)  # replay latest: skip
+    got2 = {r["g"]: r["distinct_est"]
+            for r in read_hll_state(spark, state).collect()}
+    assert got2 == got
