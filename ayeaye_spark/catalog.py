@@ -6050,6 +6050,58 @@ shared_sql(
 # brands before pairing.
 
 
+def _association_rules_sql(d: str) -> str:
+    conf = P.int_div("p.n_ab * 1000000", "ca.n", d)
+    # lift = (n_ab * N) / (n_a * n_b), compounded as two floor
+    # divisions so every intermediate stays far inside int64
+    # (n_ab*1e6 <= ~6e11; conf_ppm*N <= ~1.5e11) — identical floor
+    # compounding in both engines
+    lift = P.int_div(f"({conf}) * t.n_orders", "cb.n", d)
+    return f"""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    t AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    c AS (SELECT p_brand, COUNT(*) AS n FROM items GROUP BY p_brand),
+    p AS (
+      SELECT a.p_brand AS antecedent, b.p_brand AS consequent,
+             COUNT(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT p.antecedent, p.consequent,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST({P.int_div('p.n_ab * 1000000', 't.n_orders', d)} AS BIGINT)
+             AS support_ppm,
+           CAST({conf} AS BIGINT) AS confidence_ppm,
+           CAST({lift} AS BIGINT) AS lift_ppm
+    FROM p
+    JOIN c ca ON ca.p_brand = p.antecedent
+    JOIN c cb ON cb.p_brand = p.consequent
+    CROSS JOIN t
+    WHERE p.n_ab >= 20
+    ORDER BY lift_ppm DESC, antecedent ASC, consequent ASC
+    LIMIT 25
+    """
+
+
+@query("brand_association_rules", oracle=_association_rules_sql(DUCK))
+def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: directional antecedent →
+    consequent with exact integer support / confidence / lift in ppm
+    (lift compounded as two floor divisions so every intermediate
+    stays inside int64 — the same floor order in both engines), top 25
+    by lift with a min-support floor.  The basket self-join is keyed
+    on the ORDER (pair fan-out bounded by basket size², never
+    |table|²); margins and the order total are tiny joins after the
+    pair count.  The classic recommendation/affinity primitive,
+    value-exact."""
+    _ensure_session_defaults(spark)
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_association_rules_sql(SPARK))
+
+
 shared_sql(
     "events_type_transition_matrix",
     """
