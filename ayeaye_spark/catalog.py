@@ -7883,6 +7883,50 @@ def docs_weighted_median_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.weighted_median(docs, "lang", "quality_ppm", "ntok")
 
 
+def _duck_code_switch_oracle() -> str:
+    norm = P.regexp_replace_all("x", r"\s+", " ", DUCK)
+    sent = (
+        f"list_filter(list_transform("
+        f"regexp_split_to_array(lower(coalesce(text, '')), '[.!?]+'), "
+        f"x -> trim({norm})), s -> s <> '')"
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, {P.lang_id('sv', DUCK)} AS lang
+      FROM (SELECT doc_id, unnest({sent}) AS sv FROM documents)
+    ),
+    pl AS (SELECT doc_id, lang, COUNT(*) AS n FROM s GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_sentences,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs
+            FROM pl GROUP BY doc_id),
+    dom AS (
+      SELECT doc_id, lang AS dominant_lang, n AS dn FROM (
+        SELECT doc_id, lang, n,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, lang ASC) AS rk
+        FROM pl) t WHERE rk = 1
+    )
+    SELECT t.doc_id, t.n_sentences, t.n_langs, d.dominant_lang,
+           CAST(d.dn * 1000000 // t.n_sentences AS BIGINT) AS dominant_ppm,
+           t.n_langs >= 2 AS code_switched
+    FROM tot t JOIN dom d USING (doc_id)
+    """
+
+
+@query("docs_code_switch", oracle=_duck_code_switch_oracle())
+def docs_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language (code-switch) detection
+    (``text.code_switch_profile``): per-sentence lang-ID rolled up per
+    document — dominant language (count-then-alphabetical tie-break),
+    dominant share in exact ppm, and a multilingual flag that a
+    document-level lang-ID alone cannot produce.  One explode scan, one
+    (doc, lang) aggregate, a per-doc window over ≤ #langs rows;
+    value-exact against the replayed portable expressions."""
+    return textops.code_switch_profile(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def _duck_dup_sentences_oracle(min_docs: int = 2) -> str:
     """DuckDB twin of ``text.duplicate_sentence_profile``: same split,
     same normalization, same rolling hashes, same ppm arithmetic."""

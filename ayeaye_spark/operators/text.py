@@ -1456,6 +1456,66 @@ def duplicate_sentence_profile(
     )
 
 
+def code_switch_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Code-switch / mixed-language detection: language-ID per SENTENCE
+    (same split + normalization as the sentence-duplication profile,
+    same stopword-argmax lang-ID as the document-level classifier),
+    rolled up per document — multilingual curation routes or drops
+    documents whose sentences disagree on language, which a document-
+    level lang-ID alone cannot see.
+
+    Deterministic dominant language: highest sentence count, ties
+    broken alphabetically.  All counts exact integers → value-exact.
+
+    Scale shape: one scan explodes sentences with their per-sentence
+    lang (pure codegen expressions); ONE (doc, lang) count aggregate;
+    the dominant pick is a window over the per-doc language frame
+    (≤ #langs rows per doc — bounded, never corpus-wide).
+
+    Returns ``(id, n_sentences, n_langs, dominant_lang, dominant_ppm,
+    code_switched)``.
+    """
+    norm = P.regexp_replace_all("x", r"\s+", " ", SPARK)
+    sent_arr = (
+        f"filter(transform(split(lower(coalesce({text_col}, '')), '[.!?]+'), "
+        f"x -> trim({norm})), s -> s <> '')"
+    )
+    from pyspark.sql import Window
+
+    sent = df.select(
+        F.col(id_col), F.explode(F.expr(sent_arr)).alias("_s")
+    ).select(id_col, F.expr(P.lang_id("_s", SPARK)).alias("_lang"))
+    per_lang = sent.groupBy(id_col, "_lang").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_n"), F.asc("_lang"))
+    ranked = per_lang.withColumn("_rk", F.row_number().over(w))
+    totals = per_lang.groupBy(id_col).agg(
+        F.sum("_n").cast("long").alias("n_sentences"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    dom = ranked.where(F.col("_rk") == 1).select(
+        id_col,
+        F.col("_lang").alias("dominant_lang"),
+        F.col("_n").alias("_dn"),
+    )
+    return (
+        totals.join(dom, id_col)
+        .select(
+            id_col,
+            "n_sentences",
+            "n_langs",
+            "dominant_lang",
+            F.expr("_dn * 1000000 div n_sentences").alias("dominant_ppm"),
+            (F.col("n_langs") >= 2).alias("code_switched"),
+        )
+    )
+
+
 def bpe_apply_piece_counts(
     df: DataFrame,
     id_col: str,

@@ -6190,3 +6190,34 @@ class TestRrfFuse:
         out = relational.rrf_fuse([a], "id", topk=5).collect()
         assert len(out) == 5
         assert [r["id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+
+
+class TestCodeSwitch:
+    def test_mixed_language_doc_flags(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        en = "the quick brown fox and the lazy dog are in the house"
+        fr = "le chat est dans la maison et les chiens sont dehors"
+        docs = spark.createDataFrame(
+            [
+                (1, f"{en}. {en}. {en}."),          # monolingual
+                (2, f"{en}. {fr}. {en}. {fr}."),    # code-switched 50/50
+                (3, f"{fr}. {fr}. {en}."),          # fr-dominant mix
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in textops.code_switch_profile(
+            docs, "doc_id", "text"
+        ).collect()}
+        assert out[1]["n_langs"] == 1 and not out[1]["code_switched"]
+        assert out[1]["dominant_ppm"] == 1_000_000
+        assert out[2]["code_switched"] and out[2]["n_langs"] == 2
+        assert out[2]["dominant_ppm"] == 500_000
+        # 50/50 tie breaks alphabetically
+        assert out[2]["dominant_lang"] == min(
+            out[2]["dominant_lang"],
+            ({"en", "fr"} - {out[2]["dominant_lang"]}).pop(),
+        )
+        assert out[3]["dominant_lang"] == "fr"
+        assert out[3]["dominant_ppm"] == 2_000_000 // 3
+        assert out[3]["n_sentences"] == 3
