@@ -616,6 +616,16 @@ HEADLINE = {
         "single conditional aggregation (Expand) over the pair frame, "
         "unpivoted with stack."
     ),
+    "brand_association_rules": (
+        "basket self-join keyed on the ORDER (fan-out bounded by "
+        "basket size^2); margins + order total are tiny joins after "
+        "the pair count; lift is floor-compounded integer ppm."
+    ),
+    "docs_code_switch": (
+        "one explode scan with per-sentence lang expressions in "
+        "codegen; ONE (doc, lang) aggregate; dominant pick is a "
+        "window over <= #langs rows per doc."
+    ),
 }
 
 
