@@ -7883,6 +7883,31 @@ def docs_weighted_median_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.weighted_median(docs, "lang", "quality_ppm", "ntok")
 
 
+shared_sql(
+    "docs_embedding_coverage",
+    """
+    WITH d AS (SELECT doc_id FROM documents),
+    e AS (SELECT vec_id FROM embeddings)
+    SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_embeddings,
+           CAST((SELECT COUNT(*) FROM d JOIN e ON e.vec_id = d.doc_id)
+             AS BIGINT) AS n_docs_with_embedding,
+           CAST((SELECT COUNT(*) FROM e
+                 WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.doc_id = e.vec_id))
+             AS BIGINT) AS n_orphan_embeddings,
+           CAST((SELECT COUNT(*) FROM d JOIN e ON e.vec_id = d.doc_id)
+                * 1000000 / (SELECT COUNT(*) FROM d) AS BIGINT)
+             AS coverage_ppm
+    """,
+    ("documents", "embeddings"),
+)
+# coverage notes: the cross-table reconciliation every multimodal /
+# embedding pipeline runs before trusting joins between the text and
+# vector stores — missing embeddings silently shrink semantic dedup and
+# ANN coverage, orphans signal id drift.  Two key-only scans; the
+# joins/anti are key-keyed and the output is one row.
+
+
 def _duck_code_switch_oracle() -> str:
     norm = P.regexp_replace_all("x", r"\s+", " ", DUCK)
     sent = (
