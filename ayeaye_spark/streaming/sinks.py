@@ -9,24 +9,89 @@ JDBC upserts keyed by batch, …).
 
 from __future__ import annotations
 
-import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
+# ---------------------------------------------------------------------------
+# Filesystem helper.  ALL sink-state filesystem operations (replay-skip
+# probes, version listing, retention deletes) go through the Hadoop FS
+# API so the state directory can live on any scheme a cluster uses —
+# ``file://``, ``hdfs://``, ``s3a://`` — not just the driver-local
+# filesystem ``os.path`` sees.  Same pattern as
+# ``operators.maintenance._fs_and_path`` / ``merge_upsert_sink``.
+# ---------------------------------------------------------------------------
+
+
+def _join(base: str, name: str) -> str:
+    """URI-style child path (Hadoop paths are ``/``-separated on every
+    scheme; never ``os.path.join``, which is OS-dependent)."""
+    return base.rstrip("/") + "/" + name
+
+
+def _state_exists(spark: SparkSession, path: str) -> bool:
+    """Does ``path`` exist on its scheme's filesystem?"""
+    from ..operators.maintenance import _fs_and_path
+
+    fs, hpath = _fs_and_path(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def _is_committed(spark: SparkSession, dir_path: str) -> bool:
+    """Committed = the writer finished (``_SUCCESS`` marker present)."""
+    return _state_exists(spark, _join(dir_path, "_SUCCESS"))
+
+
+def _list_committed_versions(spark: SparkSession, state_dir: str) -> list[int]:
+    """Sorted committed ``v=N`` snapshot numbers under ``state_dir``
+    (empty if the directory doesn't exist yet).  Uncommitted dirs —
+    no ``_SUCCESS`` — are excluded: they belong to an in-flight
+    writer."""
+    from ..operators.maintenance import _fs_and_path
+
+    fs, hpath = _fs_and_path(spark, state_dir)
+    if not fs.exists(hpath):
+        return []
+    versions = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            try:
+                n = int(name[2:])
+            except ValueError:
+                continue
+            if fs.exists(
+                spark._jvm.org.apache.hadoop.fs.Path(
+                    st.getPath(), "_SUCCESS"
+                )
+            ):
+                versions.append(n)
+    return sorted(versions)
+
+
+def _delete_recursive(spark: SparkSession, path: str) -> None:
+    """Best-effort recursive delete on ``path``'s scheme."""
+    from ..operators.maintenance import _fs_and_path
+
+    fs, hpath = _fs_and_path(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
 def idempotent_parquet_sink(out_dir: str) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function writing each micro-batch to
     ``out_dir/batch_id=N`` exactly once: a replayed batch_id is detected
-    via the directory's ``_SUCCESS`` marker and skipped.
+    via the directory's ``_SUCCESS`` marker (probed through the Hadoop
+    FS API, so ``out_dir`` may be ``s3a://``/``hdfs://``) and skipped.
 
     >>> q = (stream.writeStream.foreachBatch(idempotent_parquet_sink(path))
     ...      .option("checkpointLocation", ckpt).start())
     """
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
-        target = os.path.join(out_dir, f"batch_id={batch_id}")
-        if os.path.exists(os.path.join(target, "_SUCCESS")):
+        target = _join(out_dir, f"batch_id={batch_id}")
+        if _is_committed(df.sparkSession, target):
             return  # replay of a committed batch — exactly-once by skip
         df.write.mode("overwrite").parquet(target)
 
@@ -160,8 +225,8 @@ def hll_state_sink(
         from pyspark.sql import functions as F
 
         spark = df.sparkSession
-        target = os.path.join(state_dir, f"v={batch_id}")
-        if os.path.exists(os.path.join(target, "_SUCCESS")):
+        target = _join(state_dir, f"v={batch_id}")
+        if _is_committed(spark, target):
             return  # replayed batch: its fold is already committed
         batch_sketches = df.groupBy(*group_cols).agg(
             F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
@@ -177,12 +242,14 @@ def hll_state_sink(
         else:
             merged = batch_sketches
         merged.write.mode("overwrite").parquet(target)
-        _prune_state_versions(state_dir, keep=keep_versions)
+        _prune_state_versions(spark, state_dir, keep=keep_versions)
 
     return apply_batch
 
 
-def _prune_state_versions(state_dir: str, *, keep: int) -> None:
+def _prune_state_versions(
+    spark: SparkSession, state_dir: str, *, keep: int
+) -> None:
     """Drop all but the newest ``keep`` committed ``v=N`` snapshots.
 
     Retention keeps the state directory bounded (one snapshot lands per
@@ -191,35 +258,23 @@ def _prune_state_versions(state_dir: str, *, keep: int) -> None:
     batch, whose skip-check needs ITS OWN snapshot, and the fold reads
     the one before it.  Uncommitted (no ``_SUCCESS``) dirs are left
     alone — they belong to an in-flight writer."""
-    import shutil
-
-    committed = sorted(
-        int(name[2:])
-        for name in os.listdir(state_dir)
-        if name.startswith("v=")
-        and os.path.exists(os.path.join(state_dir, name, "_SUCCESS"))
-    )
+    committed = _list_committed_versions(spark, state_dir)
     for n in committed[:-keep] if keep > 0 else []:
-        shutil.rmtree(os.path.join(state_dir, f"v={n}"), ignore_errors=True)
+        _delete_recursive(spark, _join(state_dir, f"v={n}"))
 
 
 def _latest_versioned_state(
     spark: SparkSession, state_dir: str, *, before: int | None = None
 ):
     """Most recent committed ``v=N`` snapshot (N < before if given)."""
-    if not os.path.isdir(state_dir):
-        return None
-    versions = []
-    for name in os.listdir(state_dir):
-        if name.startswith("v=") and os.path.exists(
-            os.path.join(state_dir, name, "_SUCCESS")
-        ):
-            n = int(name[2:])
-            if before is None or n < before:
-                versions.append(n)
+    versions = [
+        n
+        for n in _list_committed_versions(spark, state_dir)
+        if before is None or n < before
+    ]
     if not versions:
         return None
-    return spark.read.parquet(os.path.join(state_dir, f"v={max(versions)}"))
+    return spark.read.parquet(_join(state_dir, f"v={max(versions)}"))
 
 
 def read_hll_state(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -271,8 +326,8 @@ def minhash_dedup_sink(
 
     def apply_batch(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
-        target = os.path.join(state_dir, f"v={batch_id}")
-        if os.path.exists(os.path.join(target, "_SUCCESS")):
+        target = _join(state_dir, f"v={batch_id}")
+        if _is_committed(spark, target):
             return  # replayed batch: already folded
         batch = df.select(id_col, text_col).dropDuplicates([id_col])
         prev = _latest_versioned_state(spark, state_dir, before=batch_id)
@@ -281,7 +336,7 @@ def minhash_dedup_sink(
             existing, batch, id_col, text_col, **dict(lsh_kwargs)
         ).select(id_col, text_col)
         existing.unionByName(survivors).write.mode("overwrite").parquet(target)
-        _prune_state_versions(state_dir, keep=keep_versions)
+        _prune_state_versions(spark, state_dir, keep=keep_versions)
 
     return apply_batch
 
@@ -319,8 +374,8 @@ def theta_state_sink(
         from pyspark.sql import functions as F
 
         spark = df.sparkSession
-        target = os.path.join(state_dir, f"v={batch_id}")
-        if os.path.exists(os.path.join(target, "_SUCCESS")):
+        target = _join(state_dir, f"v={batch_id}")
+        if _is_committed(spark, target):
             return
         batch_sketches = df.groupBy(*group_cols).agg(
             F.expr(f"theta_sketch_agg({value_col})").alias("sketch")
@@ -336,7 +391,7 @@ def theta_state_sink(
         else:
             merged = batch_sketches
         merged.write.mode("overwrite").parquet(target)
-        _prune_state_versions(state_dir, keep=keep_versions)
+        _prune_state_versions(spark, state_dir, keep=keep_versions)
 
     return apply_batch
 
