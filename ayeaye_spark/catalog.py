@@ -7883,29 +7883,38 @@ def docs_weighted_median_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.weighted_median(docs, "lang", "quality_ppm", "ntok")
 
 
-shared_sql(
-    "docs_embedding_coverage",
-    """
+def _embedding_coverage_sql(d: str) -> str:
+    # coverage_ppm via integer floor division (Spark `div` / DuckDB `//`)
+    # like every other ppm metric: float `/` + CAST AS BIGINT truncates
+    # in Spark but rounds-to-nearest in DuckDB, so the two engines
+    # disagree whenever covered*1e6 is not an exact multiple of total.
+    covered = "(SELECT COUNT(*) FROM d JOIN e ON e.vec_id = d.doc_id)"
+    total = "(SELECT COUNT(*) FROM d)"
+    ppm = P.int_div(f"{covered} * 1000000", total, d)
+    return f"""
     WITH d AS (SELECT doc_id FROM documents),
     e AS (SELECT vec_id FROM embeddings)
     SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_docs,
            CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_embeddings,
-           CAST((SELECT COUNT(*) FROM d JOIN e ON e.vec_id = d.doc_id)
-             AS BIGINT) AS n_docs_with_embedding,
+           CAST({covered} AS BIGINT) AS n_docs_with_embedding,
            CAST((SELECT COUNT(*) FROM e
                  WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.doc_id = e.vec_id))
              AS BIGINT) AS n_orphan_embeddings,
-           CAST((SELECT COUNT(*) FROM d JOIN e ON e.vec_id = d.doc_id)
-                * 1000000 / (SELECT COUNT(*) FROM d) AS BIGINT)
-             AS coverage_ppm
-    """,
-    ("documents", "embeddings"),
-)
-# coverage notes: the cross-table reconciliation every multimodal /
-# embedding pipeline runs before trusting joins between the text and
-# vector stores — missing embeddings silently shrink semantic dedup and
-# ANN coverage, orphans signal id drift.  Two key-only scans; the
-# joins/anti are key-keyed and the output is one row.
+           CAST({ppm} AS BIGINT) AS coverage_ppm
+    """
+
+
+@query("docs_embedding_coverage", oracle=_embedding_coverage_sql(DUCK))
+def docs_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-table reconciliation every multimodal / embedding
+    pipeline runs before trusting joins between the text and vector
+    stores — missing embeddings silently shrink semantic dedup and ANN
+    coverage, orphans signal id drift.  Two key-only scans; the
+    joins/anti are key-keyed and the output is one row.  Same SQL both
+    engines except coverage_ppm's integer floor division, rendered per
+    dialect (value-exact for ANY coverage ratio, not just clean ones)."""
+    register_views(spark, sf_dir, "documents", "embeddings")
+    return spark.sql(_embedding_coverage_sql(SPARK))
 
 
 def _duck_code_switch_oracle() -> str:

@@ -481,17 +481,24 @@ def temperature_mixture(
     )
     w = sup.withColumn("weight", F.expr(corrected))
     tot = w.agg(F.sum("weight").cast("long").alias("_tw"))
+    # _tw = 0 (every group has zero tokens) must yield a degenerate
+    # all-zero plan, not an ANSI divide-by-zero from `div`
     return (
         w.crossJoin(F.broadcast(tot))
         .select(
             group_col,
             "supply_tokens",
             "weight",
-            F.expr("weight * 1000000 div _tw").alias("weight_ppm"),
-            F.expr(f"weight * CAST({budget_tokens} AS BIGINT) div _tw")
-            .alias("allocated_tokens"),
             F.expr(
-                f"CASE WHEN supply_tokens = 0 THEN 0 ELSE "
+                "CASE WHEN _tw = 0 THEN 0 "
+                "ELSE weight * 1000000 div _tw END"
+            ).alias("weight_ppm"),
+            F.expr(
+                f"CASE WHEN _tw = 0 THEN 0 ELSE "
+                f"weight * CAST({budget_tokens} AS BIGINT) div _tw END"
+            ).alias("allocated_tokens"),
+            F.expr(
+                f"CASE WHEN supply_tokens = 0 OR _tw = 0 THEN 0 ELSE "
                 f"weight * CAST({budget_tokens} AS BIGINT) div _tw "
                 f"* 1000000 div supply_tokens END"
             ).alias("epochs_ppm"),

@@ -707,6 +707,17 @@ def kmeans_embeddings(
             )
             for c, old in centroids
         ]
+    # Re-assign once from the FINAL centroids: the in-loop assignment
+    # precedes the centroid update, so returning it would pair a
+    # penultimate-centroid assignment with final centroids (and
+    # kmeans_quality, which derives membership from the final
+    # centroids, would disagree with it).  Lazy plan swap — the loop's
+    # actions already ran; this adds no extra job.
+    cent_df = spark.createDataFrame(
+        centroids, f"{id_col} long, {vec_col} array<double>"
+    )
+    assigned = assign_cells_vectorized(base, cent_df, id_col=id_col,
+                                       vec_col=vec_col)
     out = assigned.select(id_col, F.col("centroid_id").alias("cluster"))
     return (out, centroids) if return_state else out
 

@@ -153,9 +153,17 @@ class ArrowIpcConnector(DataConnector):
         key = self.url.option("key")
         if not key:
             raise ConnectorError("arrow write requires ;key=<col> in the url")
+        out_dir = spark_path(self.url)
+        # clear stale shard files first (same contract as the wds sink):
+        # a rewrite with fewer shards otherwise leaves old shard-NNNNNN
+        # files the read glob mixes in
+        from .webdataset import prepare_shard_dir
+
+        if not prepare_shard_dir(out_dir, "shard-*.arrow", mode):
+            return  # mode=ignore with existing shards
         manifest = write_arrow_shards(
             df,
-            spark_path(self.url),
+            out_dir,
             key_col=key,
             n_shards=self.url.int_option("shards", 16),
         )

@@ -58,6 +58,48 @@ MANIFEST_SCHEMA = (
 
 MEMBER_SCHEMA = "shard_path STRING, key STRING, suffix STRING, content BINARY"
 
+# USTAR caps member names at 100 bytes; names are "{key}.{suffix}".
+_USTAR_NAME_MAX = 100
+
+
+def prepare_shard_dir(out_dir: str, pattern: str, mode: str) -> bool:
+    """Save-mode contract for shard-directory sinks, returning whether
+    the write should proceed.  Shard ids are a pure function of the key
+    hash, so a rewrite emits files only for shard ids present in the
+    NEW data — without cleanup, stale ``shard-NNNNNN`` files from a
+    previous larger write survive and the glob-based readers silently
+    mix them back in.
+
+    * ``overwrite`` — delete existing files matching ``pattern`` first.
+    * ``error``/``errorifexists`` — raise if any match exists.
+    * ``ignore`` — skip the write (return False) if any match exists.
+    * ``append`` — rejected: same-id shard files would be clobbered,
+      not appended (reshard the union instead).
+    """
+    from glob import glob as _glob
+
+    existing = sorted(_glob(os.path.join(out_dir, pattern)))
+    if mode == "overwrite":
+        for p in existing:
+            os.remove(p)
+        return True
+    if mode in ("error", "errorifexists"):
+        if existing:
+            raise ConnectorError(
+                f"shard dir {out_dir} already has {len(existing)} files "
+                f"matching {pattern} (mode={mode})"
+            )
+        return True
+    if mode == "ignore":
+        return not existing
+    if mode == "append":
+        raise ConnectorError(
+            "append is not supported for shard sinks: shard ids are "
+            "key-hash-determined, so a second write would overwrite "
+            "same-id shard files, not append — reshard the union instead"
+        )
+    raise ConnectorError(f"unknown save mode {mode!r}")
+
 
 def _to_bytes(value: Any) -> bytes:
     """Member payload encoding: str→utf-8, bytes pass through, anything
@@ -101,6 +143,12 @@ def write_tar_shards(
         raise ValueError("n_shards must be positive")
     suffixes = dict(member_cols)  # capture for the closure
     ext = ".tar.gz" if compress else ".tar"
+    # USTAR caps member names ("{key}.{suffix}") at 100 bytes; tarfile
+    # would otherwise raise mid-shard and fail the whole write task with
+    # an opaque error
+    key_budget = _USTAR_NAME_MAX - 1 - max(
+        len(s.encode("utf-8")) for s in suffixes
+    )
 
     narrow = df.select(
         F.col(key_col).cast("string").alias("_key"),
@@ -113,6 +161,15 @@ def write_tar_shards(
             dup = pdf["_key"][pdf["_key"].duplicated()].iloc[0]
             raise ValueError(
                 f"write_tar_shards: duplicate key {dup!r} in shard {shard_id}"
+            )
+        key_bytes = pdf["_key"].str.encode("utf-8").str.len()
+        if (key_bytes > key_budget).any():
+            bad = pdf["_key"][key_bytes > key_budget].iloc[0]
+            raise ValueError(
+                f"write_tar_shards: key {bad!r} is {len(bad.encode('utf-8'))} "
+                f"bytes; USTAR member names cap at {_USTAR_NAME_MAX} bytes, "
+                f"leaving {key_budget} for the key with these suffixes — "
+                f"shorten the key (e.g. hash it)"
             )
         pdf = pdf.sort_values("_key", kind="mergesort")
         os.makedirs(out_dir, exist_ok=True)
@@ -266,9 +323,14 @@ class WebDatasetConnector(DataConnector):
                     "besides the key to default to)"
                 )
             member_cols = {"txt": text_cols[0]}
+        out_dir = spark_path(self.url)
+        # clear stale shard files first: a rewrite with fewer shards
+        # otherwise leaves old shard-NNNNNN files the read glob mixes in
+        if not prepare_shard_dir(out_dir, "shard-*.tar*", mode):
+            return  # mode=ignore with existing shards
         manifest = write_tar_shards(
             df,
-            spark_path(self.url),
+            out_dir,
             key_col=key,
             member_cols=member_cols,
             n_shards=self.url.int_option("shards", 16),

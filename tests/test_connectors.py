@@ -760,6 +760,68 @@ class TestWebDataset:
         assert df.count() == 12
         assert set(df.columns) == {"shard_path", "key", "suffix", "content"}
 
+    def test_overwrite_clears_stale_shards(self, spark, tmp_path):
+        """Rewriting with fewer keys/shards must not leave old
+        shard-NNNNNN files behind for the read glob to mix in."""
+        out = str(tmp_path / "wdsdir")
+        c = connector_for(
+            f"wds://{out};shards=8;key=doc_id", access=AccessMode.READWRITE,
+            member_cols={"txt": "text"},
+        )
+        c.write(self._docs(spark, 40))
+        n_first = len(os.listdir(out))
+        assert n_first > 1
+        # second write: 1 doc → at most 1 shard file emitted
+        c.write(self._docs(spark, 1))
+        assert {f for f in os.listdir(out)} == {
+            os.path.basename(m["path"]) for m in c.last_manifest
+        }
+        keys = {r["key"] for r in c.read(spark).collect()}
+        assert keys == {"0"}  # no stale members resurface
+
+    def test_save_modes_honored(self, spark, tmp_path):
+        from ayeaye_spark.sources.base import ConnectorError
+
+        out = str(tmp_path / "wdsmodes")
+        c = connector_for(
+            f"wds://{out};shards=2;key=doc_id", access=AccessMode.READWRITE,
+            member_cols={"txt": "text"},
+        )
+        c.write(self._docs(spark, 4))
+        with pytest.raises(ConnectorError, match="already has"):
+            c.write(self._docs(spark, 4), mode="error")
+        with pytest.raises(ConnectorError, match="append is not supported"):
+            c.write(self._docs(spark, 4), mode="append")
+        with pytest.raises(ConnectorError, match="unknown save mode"):
+            c.write(self._docs(spark, 4), mode="upsert")
+        before = c.last_manifest
+        c.write(self._docs(spark, 9), mode="ignore")  # skipped: exists
+        assert c.last_manifest is before
+        assert c.read(spark).select("key").distinct().count() == 4
+
+    def test_ustar_key_length_guard(self, spark, tmp_path):
+        """Keys longer than the USTAR name budget must fail up front
+        with an actionable message, not an opaque tarfile error
+        mid-shard."""
+        from ayeaye_spark.sources.webdataset import write_tar_shards
+
+        long_key = "k" * 120
+        df = spark.createDataFrame(
+            [(long_key, "body")], "doc_id string, text string"
+        )
+        with pytest.raises(Exception, match="USTAR member names cap"):
+            write_tar_shards(
+                df, str(tmp_path / "lk"), key_col="doc_id",
+                member_cols={"txt": "text"}, n_shards=1,
+            ).collect()
+        # a key at exactly the budget still writes fine
+        ok_key = "k" * (100 - 1 - len("txt"))
+        write_tar_shards(
+            spark.createDataFrame([(ok_key, "body")], "doc_id string, text string"),
+            str(tmp_path / "ok"), key_col="doc_id",
+            member_cols={"txt": "text"}, n_shards=1,
+        ).collect()
+
     def test_connector_registry_and_access_guard(self, tmp_path):
         from ayeaye_spark.sources.webdataset import WebDatasetConnector
 
@@ -832,6 +894,19 @@ class TestArrowIpc:
         c = connector_for(f"arrow://{tmp_path}/x", access=AccessMode.READWRITE)
         with pytest.raises(ConnectorError, match="key"):
             c.write(self._docs(spark, 3))
+
+    def test_overwrite_clears_stale_shards(self, spark, tmp_path):
+        out = str(tmp_path / "arrowdir")
+        c = connector_for(
+            f"arrow://{out};shards=8;key=doc_id", access=AccessMode.READWRITE
+        )
+        c.write(self._docs(spark, 35))
+        assert len(os.listdir(out)) > 1
+        c.write(self._docs(spark, 1))  # rewrite emits at most one shard
+        assert {f for f in os.listdir(out)} == {
+            os.path.basename(m["path"]) for m in c.last_manifest
+        }
+        assert {r["doc_id"] for r in c.read(spark).collect()} == {0}
 
 
 class TestInterchangeEdgeCases:

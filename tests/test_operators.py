@@ -6113,6 +6113,22 @@ class TestTemperatureMixture:
                 df, group_col="src", token_col="tok", budget_tokens=0
             )
 
+    def test_zero_total_weight_yields_degenerate_plan(self, spark):
+        """Every group with zero tokens → _tw = 0; must return an
+        all-zero plan, not an ANSI divide-by-zero from `div`."""
+        from ayeaye_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [("a", 0), ("b", 0)], "src string, tok long"
+        )
+        out = {r["src"]: r for r in sampling.temperature_mixture(
+            df, group_col="src", token_col="tok", budget_tokens=1000
+        ).collect()}
+        assert set(out) == {"a", "b"}
+        for r in out.values():
+            assert (r["weight"], r["weight_ppm"], r["allocated_tokens"],
+                    r["epochs_ppm"]) == (0, 0, 0, 0)
+
 
 class TestKmeansQuality:
     def test_separated_clusters_report_positive_margin(self, spark):
@@ -6150,6 +6166,28 @@ class TestKmeansQuality:
         )
         assert {r["vec_id"]: r["cluster"] for r in paired.collect()} == plain
         assert len(cents) == 3 and all(len(v) == 3 for _, v in cents)
+
+    def test_assignment_consistent_with_final_centroids(self, spark):
+        """The returned assignment must be the cosine argmax against the
+        RETURNED centroids — with iters=1 the in-loop assignment used the
+        seed centroids, so the pre-fix half-step pairing shows up here as
+        a mismatch."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        rows = [(i, [float(x) for x in rng.normal(size=5)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        assigned, cents = similarity.kmeans_embeddings(
+            df, k=4, iters=1, return_state=True
+        )
+        got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+        C = np.array([v for _, v in sorted(cents)])
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        for vid, vec in rows:
+            v = np.array(vec)
+            cos = Cn @ (v / np.linalg.norm(v))
+            # smallest-centroid-id tie break matches np.argmax
+            assert got[vid] == int(np.argmax(cos)), vid
 
 
 class TestRrfFuse:

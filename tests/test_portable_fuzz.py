@@ -395,3 +395,31 @@ def test_bpe_piece_count_matches_across_engines(spark, seed):
     for rid, t in enumerate(texts):
         expect = sum(apply_word(w) for w in (t or "").lower().split())
         assert got_s[rid] == expect, (rid, t[:40])
+
+
+def test_embedding_coverage_ppm_matches_on_non_clean_ratio(spark):
+    """coverage_ppm uses per-dialect integer floor division; the prior
+    float `/` + CAST AS BIGINT passed only on clean ratios (Spark
+    truncates toward zero, DuckDB rounds to nearest — 2*1e6/3 was
+    666666 vs 666667).  Pin both engines to the same floor on a 2/3
+    coverage corpus."""
+    import duckdb
+    import pandas as pd
+
+    from ayeaye_spark.catalog import _embedding_coverage_sql
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3]})
+    embs = pd.DataFrame({"vec_id": [1, 2]})
+
+    spark.createDataFrame(docs).createOrReplaceTempView("documents")
+    spark.createDataFrame(embs).createOrReplaceTempView("embeddings")
+    srow = spark.sql(_embedding_coverage_sql(P.SPARK)).collect()[0]
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    con.register("embeddings", embs)
+    cur = con.execute(_embedding_coverage_sql(P.DUCKDB))
+    drow = dict(zip([c[0] for c in cur.description], cur.fetchone()))
+
+    assert srow["coverage_ppm"] == drow["coverage_ppm"] == 666666
+    assert srow["n_docs_with_embedding"] == 2 and srow["n_docs"] == 3
