@@ -349,18 +349,39 @@ class ElasticsearchConnector(DataConnector):
                 raise MissingDependencyError("elasticsearch-spark jar not on classpath") from e
             raise
 
-    # -- point ops (driver-side HTTP; mocked in tests) ----------------
-    def _endpoint(self, index: str | None, doc_id: Any) -> str:
+    # -- point ops (driver-side JSON-over-HTTP, the reference's whole
+    # -- surface: elasticsearch_connector.py:81-124; exercised live
+    # -- against a loopback HTTP stub in tests) -----------------------
+    def _resolve_index(self, index: str | None) -> str:
         idx = index or self.default_index
-        return f"http://{self.host}/{idx}/_doc/{doc_id}"
+        if not idx:
+            # reference contract: elasticsearch_connector.py:99-101
+            raise ConnectorError(
+                "Unknown index: must be set in engine_url or as argument"
+            )
+        return idx
 
-    def add(self, document: dict, doc_id: Any, index: str | None = None) -> dict:
+    def _endpoint(self, index: str | None, doc_id: Any) -> str:
+        return f"http://{self.host}/{self._resolve_index(index)}/_doc/{doc_id}"
+
+    def add(
+        self, document: dict, doc_id: Any = None, index: str | None = None
+    ) -> dict:
+        """Index one document; ``doc_id=None`` lets the server assign
+        the id (POST to ``/_doc`` vs PUT to ``/_doc/{id}`` — the same
+        dual the reference's client.index(id=None) hits)."""
         self._require_write()
+        if doc_id is None:
+            url = f"http://{self.host}/{self._resolve_index(index)}/_doc"
+            method = "POST"
+        else:
+            url = self._endpoint(index, doc_id)
+            method = "PUT"
         req = urllib.request.Request(
-            self._endpoint(index, doc_id),
+            url,
             data=json.dumps(document).encode(),
             headers={"Content-Type": "application/json"},
-            method="PUT",
+            method=method,
         )
         with urllib.request.urlopen(req) as resp:
             return json.loads(resp.read())

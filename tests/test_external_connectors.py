@@ -54,12 +54,20 @@ class _Handler(BaseHTTPRequestHandler):
         self._respond(200, {"result": "created"})
 
     ingested: list = []  # bodies POSTed to /ingest (for the REST sink test)
+    next_auto_id: int = 1000  # ES auto-id counter for POST /{index}/_doc
 
     def do_POST(self):
         length = int(self.headers.get("Content-Length", 0))
-        body = json.loads(self.rfile.read(length) or b"{}")
+        raw = self.rfile.read(length) or b"{}"
+        body = json.loads(raw)
         if self.path == "/ingest":
             _Handler.ingested.append(body)
+        elif self.path.endswith("/_doc"):
+            # mini-ES: auto-assign an id like POST /{index}/_doc does
+            doc_id = str(_Handler.next_auto_id)
+            _Handler.next_auto_id += 1
+            _Handler.store[f"{self.path}/{doc_id}"] = raw
+            return self._respond(201, {"result": "created", "_id": doc_id})
         self._respond(200, {"posted": body})
 
     def do_DELETE(self):
@@ -106,6 +114,10 @@ class TestRestful:
 
 
 class TestElasticsearchPointOps:
+    """The reference's ES connector is ONLY these driver-side point ops
+    (elasticsearch_connector.py:81-124); here they run LIVE against the
+    loopback HTTP stub — real sockets, real JSON, real status codes."""
+
     def test_add_and_fetch(self, http_server):
         e = ElasticsearchConnector(
             f"elasticsearch://{http_server}/myindex", access=AccessMode.READWRITE
@@ -113,6 +125,51 @@ class TestElasticsearchPointOps:
         e.add({"name": "test doc"}, doc_id=42)
         assert e.fetch(42) == {"name": "test doc"}
         assert e.fetch(99999) is None
+
+    def test_auto_id_add(self, http_server):
+        e = ElasticsearchConnector(
+            f"elasticsearch://{http_server}/autoidx", access=AccessMode.READWRITE
+        )
+        r = e.add({"v": 1})  # no doc_id: server assigns
+        assert r["result"] == "created" and r["_id"]
+        assert e.fetch(r["_id"]) == {"v": 1}
+
+    def test_per_call_index_override(self, http_server):
+        e = ElasticsearchConnector(
+            f"elasticsearch://{http_server}/defaultidx",
+            access=AccessMode.READWRITE,
+        )
+        e.add({"k": "a"}, doc_id=1, index="otheridx")
+        assert e.fetch(1, index="otheridx") == {"k": "a"}
+        assert e.fetch(1) is None  # default index does NOT see it
+
+    def test_missing_index_raises(self, http_server):
+        from ayeaye_spark.sources.base import ConnectorError
+
+        e = ElasticsearchConnector(
+            f"elasticsearch://{http_server}", access=AccessMode.READWRITE
+        )
+        with pytest.raises(ConnectorError, match="Unknown index"):
+            e.add({"x": 1}, doc_id=1)
+        with pytest.raises(ConnectorError, match="Unknown index"):
+            e.fetch(1)
+        # resolvable per-call index still works without a default
+        e.add({"x": 1}, doc_id=7, index="adhoc")
+        assert e.fetch(7, index="adhoc") == {"x": 1}
+
+    def test_access_mode_guards(self, http_server):
+        from ayeaye_spark.sources.base import AccessModeError
+
+        ro = ElasticsearchConnector(
+            f"elasticsearch://{http_server}/idx", access=AccessMode.READ
+        )
+        with pytest.raises(AccessModeError):
+            ro.add({"x": 1}, doc_id=1)
+        wo = ElasticsearchConnector(
+            f"elasticsearch://{http_server}/idx", access=AccessMode.WRITE
+        )
+        with pytest.raises(AccessModeError):
+            wo.fetch(1)
 
 
 class TestManifestIndirection:
