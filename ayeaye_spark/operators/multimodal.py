@@ -12,9 +12,10 @@ North-star component (BASELINE.json).  Design for 100 TB of media:
   fixture format with zero external dependencies: uncompressed BMP,
   8-bit PNG (stdlib zlib + hand-undone scanline filters; grayscale /
   RGB / RGBA / paletted via PLTE expansion), GIF (stdlib LZW, stills +
-  animated frame compositing), baseline JPEG (numpy Huffman + IDCT),
-  and WAV (PCM + G.711 mu-law/A-law).  Only exotic variants
-  (progressive JPEG, 16-bit/interlaced PNG, compressed BMP) fall back
+  animated frame compositing), baseline AND progressive JPEG (numpy
+  Huffman + IDCT; spectral selection + successive approximation), and
+  WAV (PCM + G.711 mu-law/A-law).  Only exotic variants (16-bit /
+  interlaced PNG, compressed BMP, arithmetic-coded JPEG) fall back
   to header metadata or the clearly-marked deterministic fake.
 """
 
@@ -493,11 +494,13 @@ def _receive_extend(reader, s):
 
 
 def _jpeg_pixel_array(b: bytes):
-    """REAL baseline JPEG decoder, stdlib+numpy only: SOF0 (sequential
-    DCT, 8-bit), 1 or 3 components, 4:4:4 / 4:2:2 / 4:2:0 sampling,
-    restart intervals; progressive (SOF2), arithmetic coding and 12-bit
-    stay unsupported (``None``).  Returns ``(px, w, h, channels)``
-    with ``px`` a ``(h, w*channels)`` uint8 array (RGB or grayscale).
+    """REAL JPEG decoder, stdlib+numpy only: baseline SOF0 (sequential
+    DCT, 8-bit) AND progressive SOF2 (spectral selection + successive
+    approximation, T.81 G.2), 1 or 3 components, 4:4:4 / 4:2:2 / 4:2:0
+    sampling, restart intervals; arithmetic coding, hierarchical and
+    12-bit stay unsupported (``None``).  Returns ``(px, w, h,
+    channels)`` with ``px`` a ``(h, w*channels)`` uint8 array (RGB or
+    grayscale).
     """
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
@@ -507,6 +510,7 @@ def _jpeg_pixel_array(b: bytes):
 
     qt, huff_dc, huff_ac = {}, {}, {}
     sof = None
+    progressive = False
     restart_interval = 0
     pos = 2
     while pos + 4 <= len(b):
@@ -535,7 +539,7 @@ def _jpeg_pixel_array(b: bytes):
                 lut = _jpeg_huff_lut(counts, syms)
                 (huff_dc if tc == 0 else huff_ac)[th] = lut
                 sp += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8 or nc not in (1, 3):
                 return None
@@ -545,14 +549,21 @@ def _jpeg_pixel_array(b: bytes):
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             sof = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame types
+            return None  # other frame types (arithmetic, lossless, …)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if sof is None:
                 return None
+            if progressive:
+                # multi-scan engine: parses this SOS and every later
+                # marker itself (tables may be redefined between scans)
+                return _jpeg_decode_progressive(
+                    b, pos, sof, qt, huff_dc, huff_ac, restart_interval
+                )
             ns = seg[0]
             scan = {}
             for c in range(ns):
@@ -621,7 +632,15 @@ def _jpeg_decode_scan(b, pos, sof, scan, qt, huff_dc, huff_ac,
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px8
             mcu_count += 1
-    # upsample each plane to full MCU-padded resolution, crop, convert
+    return _jpeg_planes_to_pixels(planes, comps, w, h, hmax, vmax)
+
+
+def _jpeg_planes_to_pixels(planes, comps, w, h, hmax, vmax):
+    """Upsample each component plane to full MCU-padded resolution,
+    crop to (w, h), YCbCr→RGB if 3 components — shared by the baseline
+    and progressive decode paths."""
+    import numpy as np
+
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -641,10 +660,242 @@ def _jpeg_decode_scan(b, pos, sof, scan, qt, huff_dc, huff_ac,
     return px.reshape(h, w * 3), w, h, 3
 
 
+def _jpeg_decode_progressive(b, pos, sof, qt, huff_dc, huff_ac,
+                             restart_interval):
+    """Progressive (SOF2) multi-scan decode, T.81 G.2: coefficients
+    accumulate across scans — DC first/refinement, AC spectral bands
+    with EOB runs, AC successive-approximation refinement — then one
+    dequantize + IDCT pass reconstructs the image.  ``pos`` points at
+    the first SOS marker; tables may be redefined between scans."""
+    import struct
+
+    import numpy as np
+
+    w, h, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"], c["bh"] = mcux * c["h"], mcuy * c["v"]  # MCU-padded
+        # non-interleaved scans iterate the component's OWN block grid
+        c["sw"] = -(-(-(-w * c["h"] // hmax)) // 8)
+        c["sh"] = -(-(-(-h * c["v"] // vmax)) // 8)
+    coef = [np.zeros((c["bh"], c["bw"], 64), dtype=np.int32)
+            for c in comps]
+    saw_scan = False
+
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:  # stray RST between scans
+            pos += 2
+            continue
+        if pos + 4 > len(b):
+            return None
+        (seg_len,) = struct.unpack(">H", b[pos + 2:pos + 4])
+        seg = b[pos + 4:pos + 2 + seg_len]
+        if marker == 0xC4:  # DHT between scans
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0x0F
+                counts = list(seg[sp + 1:sp + 17])
+                n = sum(counts)
+                syms = list(seg[sp + 17:sp + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huff_lut(
+                    counts, syms)
+                sp += 17 + n
+        elif marker == 0xDB:
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
+                if pq != 0:
+                    return None
+                qt[tq] = np.array(list(seg[sp + 1:sp + 65]), dtype=np.int32)
+                sp += 65
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            ns = seg[0]
+            scomps = []
+            for k in range(ns):
+                cs, tt = seg[1 + k * 2], seg[2 + k * 2]
+                ci = next((i for i, c in enumerate(comps)
+                           if c["id"] == cs), None)
+                if ci is None:
+                    return None
+                scomps.append((ci, tt >> 4, tt & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if not (0 <= ss <= se <= 63) or (ss == 0 and se != 0):
+                return None
+            if ss > 0 and len(scomps) != 1:
+                return None  # AC scans are single-component by spec
+            reader = _JpegBitReader(b, pos + 2 + seg_len)
+            _jpeg_prog_scan(reader, comps, scomps, coef, ss, se, ah, al,
+                            huff_dc, huff_ac, restart_interval,
+                            mcux, mcuy)
+            saw_scan = True
+            # resume marker parsing after the entropy-coded data
+            p = reader.pos
+            while p + 1 < len(b) and not (
+                b[p] == 0xFF and b[p + 1] != 0x00
+                and not (0xD0 <= b[p + 1] <= 0xD7)
+            ):
+                p += 1
+            pos = p
+            continue
+        pos += 2 + seg_len
+    if not saw_scan:
+        return None
+
+    # reconstruct: dequantize (zigzag → natural order), IDCT, assemble
+    idct = _idct_matrix()
+    zz = _JPEG_ZIGZAG
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            return None
+        deq = coef[ci].astype(np.float64) * qt[c["tq"]][None, None, :]
+        nat = np.zeros_like(deq)
+        nat[:, :, zz] = deq
+        blocks = nat.reshape(c["bh"], c["bw"], 8, 8)
+        px8 = np.einsum("ji,xyjk,kl->xyil", idct, blocks, idct) + 128.0
+        planes.append(
+            px8.transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+    return _jpeg_planes_to_pixels(planes, comps, w, h, hmax, vmax)
+
+
+def _jpeg_prog_scan(reader, comps, scomps, coef, ss, se, ah, al,
+                    huff_dc, huff_ac, restart_interval, mcux, mcuy):
+    """One progressive scan folded into the coefficient arrays
+    (zigzag-indexed).  DC scans may interleave components in MCU
+    order; AC scans walk the single component's own block grid."""
+    state = {"eobrun": 0, "pred": [0] * len(comps)}
+
+    def dc_block(blk, ci, td):
+        if ah == 0:  # first DC scan: diff-coded high bits
+            s = _huff_decode(reader, huff_dc[td])
+            state["pred"][ci] += _receive_extend(reader, s)
+            blk[0] = state["pred"][ci] << al
+        else:  # refinement: one bit per block
+            if reader.bits(1):
+                blk[0] = int(blk[0]) | (1 << al)
+
+    def ac_first(blk, ta):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(reader, huff_ac[ta])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.bits(r)
+                break
+            k += r
+            if k > se:
+                break
+            blk[k] = _receive_extend(reader, s) << al
+            k += 1
+
+    def ac_refine(blk, ta):
+        # T.81 G.2 / libjpeg decode_mcu_AC_refine: correction bits for
+        # already-nonzero coefficients, run-coded newly-nonzero ones
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _huff_decode(reader, huff_ac[ta])
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        # unlike the first-scan case, the run is NOT
+                        # pre-decremented: the current block still owes
+                        # correction bits for k..Se, consumed below,
+                        # and the post-walk decrement counts it
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += reader.bits(r)
+                        break
+                    # r == 15: pass over 16 zero-history coefficients
+                else:  # s must be 1: a coefficient becomes nonzero
+                    val = p1 if reader.bits(1) else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        if reader.bits(1) and (blk[k] & p1) == 0:
+                            blk[k] = int(blk[k]) + (p1 if blk[k] >= 0
+                                                    else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.bits(1) and (blk[k] & p1) == 0:
+                        blk[k] = int(blk[k]) + (p1 if blk[k] >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+
+    def at_restart():
+        reader.restart()
+        state["eobrun"] = 0
+        state["pred"] = [0] * len(comps)
+
+    unit = 0
+    if ss == 0 and len(scomps) > 1:  # interleaved DC scan (MCU order)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    at_restart()
+                for ci, td, _ in scomps:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            dc_block(
+                                coef[ci][my * c["v"] + by,
+                                         mx * c["h"] + bx], ci, td)
+                unit += 1
+        return
+    ci, td, ta = scomps[0]
+    c = comps[ci]
+    # single-component scan: the component's own block grid, no MCU
+    # padding (T.81 non-interleaved dimensions)
+    for by in range(c["sh"]):
+        for bx in range(c["sw"]):
+            if restart_interval and unit and unit % restart_interval == 0:
+                at_restart()
+            blk = coef[ci][by, bx]
+            if ss == 0:
+                dc_block(blk, ci, td)
+            elif ah == 0:
+                ac_first(blk, ta)
+            else:
+                ac_refine(blk, ta)
+            unit += 1
+
+
 def decode_jpeg_pixels(b: bytes) -> dict | None:
-    """REAL pixel decode for baseline (SOF0) JPEG, stdlib+numpy only
-    (:func:`_jpeg_pixel_array`): header metadata plus a true
-    ``mean_intensity`` over the decoded RGB/gray bytes."""
+    """REAL pixel decode for baseline (SOF0) and progressive (SOF2)
+    JPEG, stdlib+numpy only (:func:`_jpeg_pixel_array`): header
+    metadata plus a true ``mean_intensity`` over the decoded RGB/gray
+    bytes."""
     try:
         got = _jpeg_pixel_array(b)
     except (ValueError, IndexError, KeyError):
@@ -971,11 +1222,12 @@ def sample_decode(content: bytes) -> dict:
     """Best real decode available without external codecs: full pixel /
     PCM stats for uncompressed BMP, 8-bit non-interlaced PNG (stdlib
     zlib inflate + hand-undone scanline filters), global-color-table
-    GIF (stdlib LZW, first frame), baseline SOF0 JPEG (numpy Huffman +
-    IDCT) and PCM WAV — every fixture format now decodes for real;
-    progressive JPEG and exotic variants still fall back to header
-    metadata (or a codec injected via ``decoder=``), ``fake_decode`` for everything else.  Drop-in for
-    :func:`decode_images`' ``decoder=``."""
+    GIF (stdlib LZW, first frame), baseline SOF0 + progressive SOF2
+    JPEG (numpy Huffman + IDCT) and PCM WAV — every fixture format now
+    decodes for real; exotic variants (arithmetic-coded JPEG, 16-bit
+    PNG, …) still fall back to header metadata (or a codec injected
+    via ``decoder=``), ``fake_decode`` for everything else.  Drop-in
+    for :func:`decode_images`' ``decoder=``."""
     got = decode_bmp_pixels(content) if content else None
     if got is None and content:
         got = decode_png_pixels(content)

@@ -5246,6 +5246,366 @@ class TestJpegDecode:
         assert decode_jpeg_pixels(b"nope") is None
 
 
+class TestProgressiveJpeg:
+    """Progressive (SOF2) decode against a synthetic in-test encoder
+    that mirrors libjpeg's jcphuff.c scan scripts: spectral selection
+    (banded AC scans with EOB runs) and successive approximation (DC
+    first/refine + AC first/refine with buffered correction bits).
+    Ground truth: a progressive encoding carries the SAME quantized
+    coefficients as the baseline encoding of the same image, so the
+    decoded pixels must be BIT-IDENTICAL to the baseline decode."""
+
+    # custom AC table usable by progressive scans: EOBn (r<<4), ZRL,
+    # and every (run, size) pair — all codes 8 bits (canonical, 170
+    # symbols < 255 so the all-ones code stays unassigned)
+    AC_PROG_VALS = ([r << 4 for r in range(9)] + [0xF0]
+                    + [(r << 4) | s for r in range(16)
+                       for s in range(1, 11)])
+    AC_PROG_BITS = [0] * 7 + [len(AC_PROG_VALS)] + [0] * 8
+
+    @classmethod
+    def _coef_blocks(cls, px, subsample):
+        """Per-component zigzag-ordered quantized coefficient blocks on
+        the MCU-padded grid (quant table all-ones, like the baseline
+        test encoder) + the geometry the scans need."""
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import (
+            _JPEG_ZIGZAG, _idct_matrix,
+        )
+
+        gray = px.ndim == 2
+        h, w = px.shape[:2]
+        if gray:
+            planes, hv = [px.astype(np.float64)], [(1, 1)]
+        else:
+            rgb = px.astype(np.float64)
+            r, g, b_ = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+            y = 0.299 * r + 0.587 * g + 0.114 * b_
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b_ + 128.0
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b_ + 128.0
+            if subsample:
+                def ds(p):
+                    ph = (p.shape[0] + 1) // 2 * 2
+                    pw = (p.shape[1] + 1) // 2 * 2
+                    q = np.pad(p, ((0, ph - p.shape[0]),
+                                   (0, pw - p.shape[1])), mode="edge")
+                    return (q[0::2, 0::2] + q[1::2, 0::2]
+                            + q[0::2, 1::2] + q[1::2, 1::2]) / 4.0
+                planes, hv = [y, ds(cb), ds(cr)], [(2, 2), (1, 1), (1, 1)]
+            else:
+                planes, hv = [y, cb, cr], [(1, 1)] * 3
+        hmax = max(a for a, _ in hv)
+        vmax = max(v for _, v in hv)
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        m = _idct_matrix()
+        zz = _JPEG_ZIGZAG
+        comps = []
+        for pi, p in enumerate(planes):
+            a, v = hv[pi]
+            bw, bh = mcux * a, mcuy * v
+            pad = np.pad(p, ((0, bh * 8 - p.shape[0]),
+                             (0, bw * 8 - p.shape[1])), mode="edge")
+            blocks = np.zeros((bh, bw, 64), dtype=int)
+            for by in range(bh):
+                for bx in range(bw):
+                    blk = pad[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                    coef = np.rint(m @ blk @ m.T).astype(int).reshape(-1)
+                    blocks[by, bx] = coef[zz]  # zigzag order
+            # non-interleaved scan grid (T.81 component-own dimensions)
+            sw = -(-(-(-w * a // hmax)) // 8)
+            sh = -(-(-(-h * v // vmax)) // 8)
+            comps.append({"h": a, "v": v, "blocks": blocks,
+                          "sw": sw, "sh": sh})
+        return comps, w, h, mcux, mcuy
+
+    @classmethod
+    def _jpeg_progressive(cls, px, *, subsample=False, successive=False,
+                          bands=((1, 20), (21, 63))):
+        import struct
+
+        comps, w, h, mcux, mcuy = cls._coef_blocks(px, subsample)
+        dc_codes = TestJpegDecode._codes(
+            TestJpegDecode.DC_BITS, TestJpegDecode.DC_VALS)
+        ac_codes = TestJpegDecode._codes(cls.AC_PROG_BITS, cls.AC_PROG_VALS)
+
+        chunks = []  # (scan header bytes, entropy bytes)
+
+        class _W:
+            def __init__(self):
+                self.out, self.acc, self.n = bytearray(), 0, 0
+
+            def put(self, code, ln):
+                self.acc = (self.acc << ln) | code
+                self.n += ln
+                while self.n >= 8:
+                    byte = (self.acc >> (self.n - 8)) & 0xFF
+                    self.out.append(byte)
+                    if byte == 0xFF:
+                        self.out.append(0x00)
+                    self.n -= 8
+                    self.acc &= (1 << self.n) - 1
+
+            def sym(self, codes, s):
+                c, ln = codes[s]
+                self.put(c, ln)
+
+            def done(self):
+                if self.n:
+                    self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+                return bytes(self.out)
+
+        def sos_header(comp_specs, ss, se, ah, al):
+            body = bytes([len(comp_specs)])
+            for cid, td, ta in comp_specs:
+                body += bytes([cid, (td << 4) | ta])
+            body += bytes([ss, se, (ah << 4) | al])
+            return (b"\xff\xda" + struct.pack(">H", len(body) + 2) + body)
+
+        def pt_ac(v, al):  # AC point transform: truncate toward zero
+            return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+        # ---- DC scan (interleaved, all components) --------------------
+        def dc_scan(al):
+            wtr = _W()
+            pred = [0] * len(comps)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, c in enumerate(comps):
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                v = int(c["blocks"][my * c["v"] + by,
+                                                    mx * c["h"] + bx][0])
+                                v >>= al  # DC point transform
+                                diff = v - pred[ci]
+                                pred[ci] = v
+                                s = int(abs(diff)).bit_length()
+                                wtr.sym(dc_codes, s)
+                                if s:
+                                    wtr.put((diff if diff >= 0 else
+                                             diff + (1 << s) - 1)
+                                            & ((1 << s) - 1), s)
+            specs = [(ci + 1, 0, 0) for ci in range(len(comps))]
+            chunks.append((sos_header(specs, 0, 0, 0, al), wtr.done()))
+
+        def dc_refine(al):
+            wtr = _W()
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for c in comps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                v = int(c["blocks"][my * c["v"] + by,
+                                                    mx * c["h"] + bx][0])
+                                wtr.put((v >> al) & 1, 1)
+            specs = [(ci + 1, 0, 0) for ci in range(len(comps))]
+            chunks.append((sos_header(specs, 0, 0, 1, al), wtr.done()))
+
+        # ---- AC scans (single component) ------------------------------
+        def flush_eobrun(wtr, st):
+            if st["eobrun"] > 0:
+                nbits = st["eobrun"].bit_length() - 1
+                wtr.sym(ac_codes, nbits << 4)
+                if nbits:
+                    wtr.put(st["eobrun"] - (1 << nbits), nbits)
+                for bit in st["be"]:
+                    wtr.put(bit, 1)
+                st["eobrun"], st["be"] = 0, []
+
+        def ac_first(ci, ks, ke, al):
+            wtr = _W()
+            st = {"eobrun": 0, "be": []}
+            c = comps[ci]
+            for by in range(c["sh"]):
+                for bx in range(c["sw"]):
+                    vals = [pt_ac(int(v), al)
+                            for v in c["blocks"][by, bx][ks:ke + 1]]
+                    nz = [i for i, v in enumerate(vals) if v]
+                    if not nz:
+                        st["eobrun"] += 1
+                        continue
+                    flush_eobrun(wtr, st)
+                    run = 0
+                    for i in range(nz[-1] + 1):
+                        v = vals[i]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            wtr.sym(ac_codes, 0xF0)
+                            run -= 16
+                        s = int(abs(v)).bit_length()
+                        wtr.sym(ac_codes, (run << 4) | s)
+                        wtr.put((v if v >= 0 else v + (1 << s) - 1)
+                                & ((1 << s) - 1), s)
+                        run = 0
+                    if nz[-1] + 1 <= ke - ks:  # trailing zeros → EOB
+                        st["eobrun"] = 1
+            flush_eobrun(wtr, st)
+            chunks.append((sos_header([(ci + 1, 0, 0)], ks, ke, 0, al),
+                           wtr.done()))
+
+        def ac_refine(ci, ks, ke, al):
+            # libjpeg encode_mcu_AC_refine: correction bits buffer (BE)
+            # carried across EOB-run blocks
+            wtr = _W()
+            st = {"eobrun": 0, "be": []}
+            c = comps[ci]
+            for by in range(c["sh"]):
+                for bx in range(c["sw"]):
+                    raw = [int(v) for v in c["blocks"][by, bx][ks:ke + 1]]
+                    absv = [abs(v) >> al for v in raw]
+                    eob = 0
+                    for i, t in enumerate(absv):
+                        if t == 1:
+                            eob = i + 1
+                    r, br = 0, []
+                    for i, t in enumerate(absv):
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and i < eob:
+                            flush_eobrun(wtr, st)
+                            wtr.sym(ac_codes, 0xF0)
+                            r -= 16
+                            for bit in br:
+                                wtr.put(bit, 1)
+                            br = []
+                        if t > 1:  # history-nonzero: correction bit
+                            br.append(t & 1)
+                            continue
+                        flush_eobrun(wtr, st)
+                        wtr.sym(ac_codes, (r << 4) | 1)
+                        wtr.put(1 if raw[i] >= 0 else 0, 1)
+                        for bit in br:
+                            wtr.put(bit, 1)
+                        br = []
+                        r = 0
+                    if r > 0 or br:
+                        st["eobrun"] += 1
+                        st["be"].extend(br)
+            flush_eobrun(wtr, st)
+            chunks.append((sos_header([(ci + 1, 0, 0)], ks, ke, 1, al),
+                           wtr.done()))
+
+        # ---- scan script ----------------------------------------------
+        if successive:
+            dc_scan(1)
+            for ci in range(len(comps)):
+                for ks, ke in bands:
+                    ac_first(ci, ks, ke, 1)
+            dc_refine(0)
+            for ci in range(len(comps)):
+                for ks, ke in bands:
+                    ac_refine(ci, ks, ke, 0)
+        else:
+            dc_scan(0)
+            for ci in range(len(comps)):
+                for ks, ke in bands:
+                    ac_first(ci, ks, ke, 0)
+
+        # ---- container -------------------------------------------------
+        def seg(marker, data):
+            return (b"\xff" + bytes([marker])
+                    + struct.pack(">H", len(data) + 2) + data)
+
+        nq = bytes([0]) + bytes([1] * 64)
+        dht = (bytes([0x00]) + bytes(TestJpegDecode.DC_BITS)
+               + bytes(TestJpegDecode.DC_VALS)
+               + bytes([0x10]) + bytes(cls.AC_PROG_BITS)
+               + bytes(cls.AC_PROG_VALS))
+        ncomp = len(comps)
+        sof = struct.pack(">BHHB", 8, h, w, ncomp)
+        for ci, c in enumerate(comps):
+            sof += bytes([ci + 1, (c["h"] << 4) | c["v"], 0])
+        out = (b"\xff\xd8" + seg(0xDB, nq) + seg(0xC4, dht)
+               + seg(0xC2, sof))
+        for header, entropy in chunks:
+            out += header + entropy
+        return out + b"\xff\xd9"
+
+    @staticmethod
+    def _baseline_pixels(px, subsample=False):
+        from ayeaye_spark.operators.multimodal import _jpeg_pixel_array
+
+        got = _jpeg_pixel_array(
+            TestJpegDecode._jpeg(px, subsample=subsample))
+        assert got is not None
+        return got
+
+    def _roundtrip(self, px, **kw):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _jpeg_pixel_array
+
+        subsample = kw.pop("subsample", False)
+        got = _jpeg_pixel_array(
+            self._jpeg_progressive(px, subsample=subsample, **kw))
+        assert got is not None, "progressive decode returned None"
+        base = self._baseline_pixels(px, subsample=subsample)
+        assert got[1:] == base[1:]  # same (w, h, channels)
+        assert np.array_equal(got[0], base[0]), (
+            "progressive decode != baseline decode of the same image"
+        )
+        return got
+
+    def test_gray_spectral_selection(self):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        px = rng.randint(0, 256, size=(16, 24), dtype=np.uint8)
+        self._roundtrip(px)
+
+    def test_gray_successive_approximation(self):
+        import numpy as np
+
+        rng = np.random.RandomState(9)
+        px = rng.randint(0, 256, size=(24, 16), dtype=np.uint8)
+        self._roundtrip(px, successive=True)
+
+    def test_rgb_444_three_band_script(self):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        base = np.linspace(10, 240, 20, dtype=np.uint8)
+        px = np.tile(base, (12, 1))[:, :, None].repeat(3, axis=2)
+        px = (px.astype(int) + rng.randint(-9, 9, px.shape)).clip(
+            0, 255).astype(np.uint8)
+        self._roundtrip(px, bands=((1, 5), (6, 20), (21, 63)))
+        self._roundtrip(px, successive=True,
+                        bands=((1, 5), (6, 20), (21, 63)))
+
+    def test_rgb_420_noninterleaved_ac_grid(self):
+        """4:2:0: the AC scans walk each component's OWN block grid
+        (not the MCU-padded one) — the dimension rule progressive adds
+        over baseline."""
+        import numpy as np
+
+        base = np.linspace(0, 255, 36, dtype=np.uint8)
+        px = np.tile(base, (20, 1))[:, :, None].repeat(3, axis=2)
+        self._roundtrip(px, subsample=True)
+        self._roundtrip(px, subsample=True, successive=True)
+
+    def test_eob_runs_across_blocks(self):
+        """A flat image quantizes to all-zero AC everywhere → the whole
+        AC scan is one EOB run spanning every block."""
+        import numpy as np
+
+        px = np.full((32, 32), 77, dtype=np.uint8)
+        self._roundtrip(px)
+        self._roundtrip(px, successive=True)
+
+    def test_sample_decode_reports_progressive(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import decode_jpeg_pixels
+
+        px = np.full((10, 10), 200, dtype=np.uint8)
+        d = decode_jpeg_pixels(self._jpeg_progressive(px))
+        assert d is not None and d["format"] == "jpeg"
+        assert abs(d["mean_intensity"] - 200.0) < 2.0
+
+
 class TestG711Wav:
     """G.711 mu-law / A-law WAV decode — vectorized expansion pinned
     bit-exact against the ITU reference formulas."""
