@@ -91,6 +91,11 @@ RECYCLE_EVERY = 40
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # provenance: record whether the box was otherwise busy when the
+    # sweep started/ended — the r9 driver sweep showed 2.4x phantom
+    # regressions vs an idle re-measure, so a committed BENCH number is
+    # only comparable to another ONE of the same provenance
+    load_start = os.getloadavg()
     spark = _fresh_spark(sf_dir)
 
     # A failing query must cost its own timing only, never the whole
@@ -144,6 +149,12 @@ def main() -> None:
         for n in STREAMING
         if n in samples and len(samples[n]) > 1
     }
+    load_end = os.getloadavg()
+    ncpu = os.cpu_count() or 1
+    # load beyond what this bench itself generates (the sweep saturates
+    # well under half the box between queries) marks contention; the
+    # 1-min average at START is the cleanest signal of a busy box
+    provenance = "idle" if load_start[0] < ncpu / 4 else "contended"
     full = {
         "metric": "catalog_queries_total",
         "value": total,
@@ -156,6 +167,9 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "sf": sf,
+        "provenance": provenance,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
     }
     if errors:
         full["errors"] = errors
@@ -175,6 +189,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "sf": sf,
+        "provenance": provenance,
         "full_results": "BENCH_LOCAL.json",
     }
     print(json.dumps(compact))
