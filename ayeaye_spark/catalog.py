@@ -9563,6 +9563,170 @@ def docs_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# web-corpus curation: URL canonicalization / dedup / domain share,
+# encoding-artifact hygiene (operators/web.py, text.py)
+# --------------------------------------------------------------------------
+# The test tables carry no URL column, so the catalog entries DERIVE a
+# deterministic URL per document from (doc_id, source) — the same
+# expression in both engines — cycling through the messy shapes a real
+# crawl produces (uppercase scheme/host, default + explicit ports,
+# tracking params, fragments, userinfo, trailing dots/slashes, missing
+# scheme).  The OPERATOR is generic over any URL column; the derivation
+# only feeds the demo.
+
+
+def _url_fixture_sql(d: str) -> str:
+    """One messy URL per doc — doc_id % 6 picks the shape; doc_id div 3
+    keys the page identity so ids {3k, 3k+1, 3k+2} canonicalize to
+    DIFFERENT urls but page_id collisions arise inside each shape
+    class via doc_id div 18 (six shapes x three variants)."""
+    big = "string" if d == SPARK else "VARCHAR"
+    pid = P.int_div("doc_id", "18", d)
+    sid = f"cast({pid} as {big})"
+    return (
+        f"(CASE cast(doc_id % 6 as int) "
+        f"WHEN 0 THEN concat('HTTP://', upper(source), "
+        f"'.Example.COM:80/docs/', {sid}, '/?utm_source=feed&b=2&a=1#s') "
+        f"WHEN 1 THEN concat('http://', source, '.example.com/docs/', "
+        f"{sid}, '?a=1&b=2&gclid=', {sid}) "
+        f"WHEN 2 THEN concat('https://', source, "
+        f"'.example.co.uk/a/b/?id=', {sid}) "
+        f"WHEN 3 THEN concat('https://example.com:443//files//', {sid}) "
+        f"WHEN 4 THEN concat('https://user@example.com./q?z=9&a=1&id=', "
+        f"{sid}) "
+        f"ELSE concat('cdn.example.net:8080/x/', {sid}, '#frag') END)"
+    )
+
+
+def _duck_url_canonicalize_oracle() -> str:
+    u = _url_fixture_sql(DUCK)
+    return (
+        f"SELECT doc_id, {u} AS url, "
+        f"{P.canonical_url(u, DUCK)} AS canonical_url "
+        f"FROM documents"
+    )
+
+
+@query("docs_url_canonicalize", oracle=_duck_url_canonicalize_oracle())
+def docs_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (``web.with_canonical_url`` /
+    ``portable.canonical_url``): lowercased scheme+host, userinfo /
+    fragment / default-port / tracking-param removal, bytewise query
+    sort, trailing-slash normalization — the normalization every crawl
+    dedup keys on.  Pure scan projection (whole-stage codegen, no UDF,
+    no shuffle); value-exact against the DuckDB rendering of the same
+    portable expression."""
+    from .operators import web
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_url_fixture_sql(SPARK)).alias("url")
+    )
+    return web.with_canonical_url(docs, "url")
+
+
+def _duck_url_dedup_oracle() -> str:
+    u = _url_fixture_sql(DUCK)
+    canon = P.canonical_url("url", DUCK)
+    return (
+        f"WITH raw AS (SELECT doc_id, {u} AS url FROM documents) "
+        f"SELECT {canon} AS canonical_url, MIN(doc_id) AS keep_id, "
+        f"CAST(COUNT(*) AS BIGINT) AS dup_count "
+        f"FROM raw GROUP BY 1"
+    )
+
+
+@query("docs_url_dedup", oracle=_duck_url_dedup_oracle())
+def docs_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL-keyed exact dedup (``web.url_dedup``): smallest-id
+    survivor + duplicate count per canonical URL — the first, cheapest
+    dedup stage of a crawl pipeline, upstream of content fingerprints.
+    One hash aggregate keyed on the canonical URL (uniform keys)."""
+    from .operators import web
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_url_fixture_sql(SPARK)).alias("url")
+    )
+    return web.url_dedup(docs, "doc_id", "url")
+
+
+def _duck_domain_share_oracle() -> str:
+    u = _url_fixture_sql(DUCK)
+    dom = P.registrable_domain(P.url_host("url", DUCK), DUCK)
+    share = P.int_div("n_pages * 1000000", "_total", DUCK)
+    return (
+        f"WITH raw AS (SELECT {u} AS url FROM documents), "
+        f"c AS (SELECT {dom} AS domain, CAST(COUNT(*) AS BIGINT) "
+        f"AS n_pages FROM raw GROUP BY 1), "
+        f"t AS (SELECT CAST(SUM(n_pages) AS BIGINT) AS _total FROM c) "
+        f"SELECT domain, n_pages, CAST({share} AS BIGINT) AS share_ppm "
+        f"FROM c, t"
+    )
+
+
+@query("docs_domain_share", oracle=_duck_domain_share_oracle())
+def docs_domain_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1 heuristic, public-suffix second-level
+    aware) page counts + exact integer-ppm corpus share
+    (``web.domain_stats``) — the source-reputation rollup mixture
+    planning consumes.  One domain-keyed aggregate; the 1-row total
+    broadcasts back."""
+    from .operators import web
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.expr(_url_fixture_sql(SPARK)).alias("url")
+    )
+    return web.domain_stats(docs, "url")
+
+
+def _artifact_fixture_sql(d: str) -> str:
+    """Deterministically inject encoding damage into some documents:
+    doc_id % 5 picks clean / mojibake / replacement-char / control-byte
+    / mixed — same expression both engines (chr() agrees)."""
+    return (
+        "(CASE cast(doc_id % 5 as int) "
+        "WHEN 1 THEN concat(coalesce(text, ''), ' cafÃ© naÃ¯ve') "
+        "WHEN 2 THEN concat(coalesce(text, ''), ' lost � char �') "
+        "WHEN 3 THEN concat(coalesce(text, ''), chr(7), 'bell', chr(1)) "
+        "WHEN 4 THEN concat('â€™', coalesce(text, ''), chr(8), '�') "
+        "ELSE coalesce(text, '') END)"
+    )
+
+
+def _duck_encoding_artifacts_oracle() -> str:
+    t = _artifact_fixture_sql(DUCK)
+    moj, rep, ctl = P.encoding_artifact_counts("t2", DUCK)
+    ppm = P.int_div("(n_mojibake + n_replacement + n_control) * 1000000",
+                    "n_chars", DUCK)
+    return (
+        f"WITH raw AS (SELECT doc_id, {t} AS t2 FROM documents), "
+        f"c AS (SELECT doc_id, CAST({moj} AS BIGINT) AS n_mojibake, "
+        f"CAST({rep} AS BIGINT) AS n_replacement, "
+        f"CAST({ctl} AS BIGINT) AS n_control, "
+        f"CAST(length(t2) AS BIGINT) AS n_chars FROM raw) "
+        f"SELECT doc_id, n_mojibake, n_replacement, n_control, n_chars, "
+        f"CAST(CASE WHEN n_chars = 0 THEN 0 ELSE {ppm} END AS BIGINT) "
+        f"AS artifact_ppm, "
+        f"(n_mojibake + n_replacement + n_control) = 0 AS clean "
+        f"FROM c"
+    )
+
+
+@query("docs_encoding_artifacts", oracle=_duck_encoding_artifacts_oracle())
+def docs_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage hygiene scan (``text.encoding_artifact_profile``):
+    per-document mojibake (UTF-8 re-decoded as Latin-1/cp1252),
+    replacement-character, and control-byte counts, exact integer-ppm
+    artifact density, and a clean flag — run before tokenization so
+    double-decoded or truncated documents never reach training.  Three
+    regexp counts in one scan projection; no shuffle; value-exact (the
+    oracle replays the same portable regexes under RE2)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_artifact_fixture_sql(SPARK)).alias("text")
+    )
+    return textops.encoding_artifact_profile(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------
 # The acceptance driver hard-checks exactly the FIRST 50 insertion-order
@@ -9603,8 +9767,12 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "q12_late_shipment_priority",
     "q16_supplier_part_counts",
     "q20_excess_shipment_suppliers",
-    "docs_hash_collision_audit",
-    "q9_product_profit",
+    # r10-in: web-corpus curation shipped this round — canonical-URL
+    # dedup and the encoding-artifact hygiene scan (their incumbents
+    # q9_product_profit / docs_hash_collision_audit are driver-green in
+    # CORRECTNESS_r09 and stay value-exact in the local gate)
+    "docs_url_dedup",
+    "docs_encoding_artifacts",
     "dedup_minhash_estimate_quality",
     # windows / sessions
     "events_sessionize",

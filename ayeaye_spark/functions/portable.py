@@ -952,3 +952,174 @@ def log2_linear_bucket_ub(b: str, d: str) -> str:
     else:
         hi = f"((1::BIGINT << (({b} // 16) - 4)) * (({b} % 16) + 1) - 1)"
     return f"(CASE WHEN {b} <= 15 THEN {b} ELSE {hi} END)"
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization / web-corpus helpers
+# --------------------------------------------------------------------------
+
+
+def array_sort_(arr: str, d: str) -> str:
+    """Ascending sort (bytewise for the string arrays we feed it)."""
+    return f"array_sort({arr})" if d == SPARK else f"list_sort({arr})"
+
+
+def regexp_count(s: str, pattern: str, d: str) -> str:
+    """Number of non-overlapping matches of ``pattern`` in ``s``."""
+    pat = regex_lit(pattern, d)
+    if d == SPARK:
+        return f"size(regexp_extract_all({s}, {pat}, 0))"
+    return f"len(regexp_extract_all({s}, {pat}))"
+
+
+def regexp_extract_g(s: str, pattern: str, group: int, d: str) -> str:
+    """Capture group ``group`` of the first match ('' when no match —
+    both engines agree on that convention)."""
+    pat = regex_lit(pattern, d)
+    return f"regexp_extract({s}, {pat}, {group})"
+
+
+def split_char(s: str, sep: str, d: str) -> str:
+    """Split on one literal (regex-safe inside a class) character."""
+    if d == SPARK:
+        return f"split({s}, '[{sep}]')"  # split() is regex; class-escape
+    return f"string_split({s}, '{sep}')"
+
+
+# the ad/analytics click-id and campaign params every crawl
+# canonicalizer strips (anchored at the param NAME, value-insensitive)
+TRACKING_PARAM_RE = (
+    r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|yclid|"
+    r"_ga|ref_src|spm)(=.*)?$"
+)
+
+
+def canonical_url(url: str, d: str, *,
+                  tracking_re: str = TRACKING_PARAM_RE) -> str:
+    """Canonical form of a URL column — the normalization step before
+    URL-keyed dedup of a crawled corpus, where the same page arrives as
+    ``HTTP://Example.COM:80/a/?utm_source=x#frag`` and
+    ``http://example.com/a``:
+
+    * scheme + host lowercased, userinfo dropped, trailing host dot
+      dropped, default ports (http:80, https:443) dropped;
+    * fragment dropped;
+    * path '' -> '/', trailing slashes dropped except on the root;
+    * query params: empties + tracking params (``tracking_re``, a
+      whole-param regex) dropped, the rest SORTED bytewise, '?' dropped
+      when nothing survives.
+
+    Pure single-row string expression (renders for both engines): runs
+    in the scan projection under whole-stage codegen — no UDF, no
+    shuffle.  NULL in -> NULL out."""
+    _check(d)
+    u = f"trim({url})"
+    scheme = (
+        f"lower({regexp_extract_g(u, r'^([A-Za-z][A-Za-z0-9+.-]*)://', 1, d)})"
+    )
+    rest = regexp_replace_all(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "", d)
+    nofrag = regexp_replace_all(rest, r"#.*$", "", d)
+    authority = regexp_extract_g(nofrag, r"^([^/?]*)", 1, d)
+    pathq = f"substring({nofrag}, length({authority}) + 1)"
+    rawpath = regexp_extract_g(pathq, r"^([^?]*)", 1, d)
+    query = regexp_extract_g(pathq, r"\?(.*)$", 1, d)
+    hostport = regexp_replace_all(f"lower({authority})", r"^[^@]*@", "", d)
+    host = regexp_replace_all(
+        regexp_extract_g(hostport, r"^([^:]*)", 1, d), r"\.$", "", d
+    )
+    port = regexp_extract_g(hostport, r":([0-9]+)$", 1, d)
+    keep_port = (
+        f"(CASE WHEN {port} = '' THEN '' "
+        f"WHEN {scheme} = 'http' AND {port} = '80' THEN '' "
+        f"WHEN {scheme} = 'https' AND {port} = '443' THEN '' "
+        f"ELSE concat(':', {port}) END)"
+    )
+    path = (
+        f"(CASE WHEN {rawpath} = '' THEN '/' "
+        f"WHEN {rawpath} <> '/' THEN "
+        f"{regexp_replace_all(rawpath, '/+$', '', d)} "
+        f"ELSE '/' END)"
+    )
+    params = filter_(
+        split_char(query, "&", d), "p",
+        f"p <> '' AND NOT {rmatch('p', tracking_re, d)}", d,
+    )
+    # DuckDB's array_to_string returns NULL (not '') on an empty list
+    q2 = f"coalesce({concat_ws_arr('&', array_sort_(params, d), d)}, '')"
+    prefix = (
+        f"(CASE WHEN {scheme} = '' THEN '' "
+        f"ELSE concat({scheme}, '://') END)"
+    )
+    canon = (
+        f"concat({prefix}, {host}, {keep_port}, {path}, "
+        f"CASE WHEN {q2} = '' THEN '' ELSE concat('?', {q2}) END)"
+    )
+    return f"(CASE WHEN {url} IS NULL THEN NULL ELSE {canon} END)"
+
+
+# second-level labels under which the registrable domain needs THREE
+# labels (the public-suffix-list idea, condensed to the common cases —
+# swap in a full PSL table join for exactness at production scale)
+_PSL_SECOND = ("co", "com", "net", "org", "gov", "ac", "edu")
+
+
+def url_host(url: str, d: str) -> str:
+    """Lowercased host of a URL (userinfo/port/trailing dot dropped)."""
+    rest = regexp_replace_all(
+        f"trim({url})", r"^[A-Za-z][A-Za-z0-9+.-]*://", "", d
+    )
+    authority = regexp_extract_g(rest, r"^([^/?#]*)", 1, d)
+    hostport = regexp_replace_all(f"lower({authority})", r"^[^@]*@", "", d)
+    return regexp_replace_all(
+        regexp_extract_g(hostport, r"^([^:]*)", 1, d), r"\.$", "", d
+    )
+
+
+def registrable_domain(host: str, d: str) -> str:
+    """eTLD+1 heuristic: last two labels, or last three when the
+    second-to-last label is a common public-suffix second level
+    (``example.co.uk`` -> ``example.co.uk``, not ``co.uk``)."""
+    two = regexp_extract_g(host, r"([^.]+\.[^.]+)$", 1, d)
+    three = regexp_extract_g(host, r"([^.]+\.[^.]+\.[^.]+)$", 1, d)
+    second = regexp_extract_g(host, r"([^.]+)\.[^.]+$", 1, d)
+    sec_list = str_array_lit(list(_PSL_SECOND), d)
+    return (
+        f"(CASE WHEN {three} <> '' AND {contains(sec_list, second, d)} "
+        f"THEN {three} WHEN {two} <> '' THEN {two} ELSE {host} END)"
+    )
+
+
+# --------------------------------------------------------------------------
+# encoding-artifact (mojibake) detection
+# --------------------------------------------------------------------------
+
+# UTF-8 bytes re-decoded as Latin-1 / Windows-1252: 'A-tilde' or
+# 'a-circumflex' or 'A-circumflex' followed by a continuation-range
+# char — as Latin-1 that range is U+0080-U+00BF, as cp1252 the same
+# bytes surface as the smart-punctuation block (Euro, dagger, curly
+# quotes, ...), so both alternatives are matched
+MOJIBAKE_RE = (
+    "[ÃâÂ]"
+    "[\\x{0080}-\\x{00BF}€‚ƒ„…†‡"
+    "ˆ‰Š‹ŒŽ‘’“”"
+    "•–—˜™š›œžŸ]"
+)
+REPLACEMENT_CHAR_RE = "�"
+CONTROL_CHAR_RE = (
+    "[\\x{0001}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}]"
+)
+
+
+def encoding_artifact_counts(s: str, d: str) -> tuple[str, str, str]:
+    """(mojibake, replacement-char, control-char) match counts for a
+    text expression — the cheap corpus-hygiene scan that catches
+    double-decoded UTF-8 and truncation damage before training.
+
+    The patterns use ``\\x{hhhh}`` escapes, valid in BOTH Java regex
+    (Spark) and RE2 (DuckDB); ``regex_lit`` handles the per-engine
+    backslash quoting."""
+    return (
+        regexp_count(s, MOJIBAKE_RE, d),
+        regexp_count(s, REPLACEMENT_CHAR_RE, d),
+        regexp_count(s, CONTROL_CHAR_RE, d),
+    )

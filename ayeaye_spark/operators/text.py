@@ -1827,3 +1827,39 @@ def readability_profile(
             "- (84600 * n_syllables) div n_words END"
         ),
     )
+
+
+def encoding_artifact_profile(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Corpus-hygiene scan for encoding damage — the filter that
+    catches double-decoded UTF-8 (mojibake), lossy-transcode
+    replacement characters, and binary/truncation control bytes before
+    they reach a tokenizer: per document, the three artifact counts
+    (``portable.encoding_artifact_counts``), their total as exact
+    integer ppm of the character count, and a ``clean`` flag (zero
+    artifacts).
+
+    Single-pass scan projection (three regexp counts, all whole-stage
+    codegen); no shuffle.  Value-exact in both engines — the catalog
+    oracle replays the same portable expressions."""
+    text = f"coalesce({text_col}, '')"
+    moj, rep, ctl = P.encoding_artifact_counts(text, SPARK)
+    return df.select(
+        F.col(id_col),
+        F.expr(moj).cast("long").alias("n_mojibake"),
+        F.expr(rep).cast("long").alias("n_replacement"),
+        F.expr(ctl).cast("long").alias("n_control"),
+        F.length(F.expr(text)).cast("long").alias("n_chars"),
+    ).withColumn(
+        "artifact_ppm",
+        F.expr(
+            "CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "(n_mojibake + n_replacement + n_control) * 1000000 "
+            "div n_chars END"
+        ),
+    ).withColumn(
+        "clean",
+        (F.col("n_mojibake") + F.col("n_replacement")
+         + F.col("n_control") == 0),
+    )

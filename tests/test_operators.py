@@ -6619,3 +6619,80 @@ class TestCodeSwitch:
         assert out[3]["dominant_lang"] == "fr"
         assert out[3]["dominant_ppm"] == 2_000_000 // 3
         assert out[3]["n_sentences"] == 3
+
+
+class TestWebOperators:
+    def test_url_dedup_groups_variants(self, spark):
+        from ayeaye_spark.operators import web
+
+        rows = [
+            (1, "HTTP://Example.COM:80/a/?utm_source=x&b=2&a=1#frag"),
+            (2, "http://example.com/a?a=1&b=2"),
+            (3, "http://example.com/a?b=2&a=1&gclid=zz"),
+            (4, "https://example.com/a?a=1&b=2"),   # scheme differs: kept
+            (5, "http://example.com/b"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {r["canonical_url"]: (r["keep_id"], r["dup_count"])
+               for r in web.url_dedup(df, "doc_id", "url").collect()}
+        assert got["http://example.com/a?a=1&b=2"] == (1, 3)
+        assert got["https://example.com/a?a=1&b=2"] == (4, 1)
+        assert got["http://example.com/b"] == (5, 1)
+
+    def test_domain_stats_psl_and_share(self, spark):
+        from ayeaye_spark.operators import web
+
+        rows = [("https://a.Example.co.uk/x",), ("http://b.example.co.uk/y",),
+                ("https://example.com/z",), ("cdn.example.net/q",),
+                (None,)]
+        df = spark.createDataFrame(rows, "url string")
+        got = {r["domain"]: (r["n_pages"], r["share_ppm"])
+               for r in web.domain_stats(df, "url").collect()}
+        assert got["example.co.uk"] == (2, 500_000)
+        assert got["example.com"] == (1, 250_000)
+        assert got["example.net"] == (1, 250_000)
+        assert len(got) == 3  # NULL url dropped
+
+    def test_canonicalization_is_idempotent(self, spark):
+        """canonical(canonical(u)) == canonical(u) — the property that
+        makes re-running the dedup stage safe."""
+        from pyspark.sql import functions as F
+
+        from ayeaye_spark.operators import web
+
+        rows = [(u,) for u in [
+            "HTTP://Example.COM:80/a/?utm_source=x&b=2&a=1#frag",
+            "https://user@Sub.Example.co.uk.:443//x//?z=9&a=",
+            "example.com/path/?fbclid=1",
+            "ftp://Files.Example.ORG:21/pub/",
+        ]]
+        df = spark.createDataFrame(rows, "url string")
+        once = web.with_canonical_url(df, "url", "c1")
+        twice = web.with_canonical_url(once, "c1", "c2")
+        assert twice.where(F.col("c1") != F.col("c2")).count() == 0
+
+
+class TestEncodingArtifacts:
+    def test_profile_flags_damage(self, spark):
+        from ayeaye_spark.operators import text as T
+
+        rows = [
+            (1, "perfectly clean text"),
+            (2, "double decoded cafÃ© naÃ¯ve"),
+            (3, "lossy � transcode"),
+            (4, "binary \x07 noise \x01"),
+            (5, ""),
+            (6, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r
+               for r in T.encoding_artifact_profile(df, "doc_id", "text")
+               .collect()}
+        assert got[1]["clean"] and got[1]["artifact_ppm"] == 0
+        assert got[2]["n_mojibake"] == 2 and not got[2]["clean"]
+        assert got[3]["n_replacement"] == 1 and not got[3]["clean"]
+        assert got[4]["n_control"] == 2 and not got[4]["clean"]
+        assert got[5]["clean"] and got[5]["artifact_ppm"] == 0
+        assert got[6]["clean"] and got[6]["n_chars"] == 0
+        # ppm is floor((artifacts * 1e6) / chars), exact integers
+        assert got[2]["artifact_ppm"] == (2 * 1_000_000) // got[2]["n_chars"]

@@ -423,3 +423,99 @@ def test_embedding_coverage_ppm_matches_on_non_clean_ratio(spark):
 
     assert srow["coverage_ppm"] == drow["coverage_ppm"] == 666666
     assert srow["n_docs_with_embedding"] == 2 and srow["n_docs"] == 3
+
+
+URL_CASES = [
+    "HTTP://Example.COM:80/a/?utm_source=x&b=2&a=1#frag",
+    "http://example.com/a",
+    "https://user:pw@Sub.Example.co.uk.:443//x//y///?gclid=99&z=9&a=",
+    "example.com/path/?fbclid=1",
+    "https://example.com",
+    "https://example.com/?",
+    "https://example.com/#",
+    "http://example.com:8080/a/b/",
+    "ftp://Files.Example.ORG:21/pub/",
+    "https://example.com/a?A=1&a=1",          # case-distinct params kept
+    "https://example.com/a?utm_campaign=x",   # only-tracking query
+    "https://example.com/a?&&",               # empty params
+    "https://EXAMPLE.com./",
+    "http://a.b.c.d.example.gov.au/x?p=q#y",
+    "no scheme no slash",
+    "",
+    " https://spaced.example.com/x ",
+    None,
+]
+
+
+def test_canonical_url_and_domain_match_across_engines(spark):
+    """portable.canonical_url / url_host / registrable_domain must be
+    bit-identical in Spark and DuckDB on adversarial URLs."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame({"rid": range(len(URL_CASES)), "url": URL_CASES})
+    spark.createDataFrame(pdf).createOrReplaceTempView("urlfuzz")
+    con = duckdb.connect()
+    con.register("urlfuzz", pdf)
+
+    def q(d):
+        return (f"SELECT rid, {P.canonical_url('url', d)} AS c, "
+                f"{P.registrable_domain(P.url_host('url', d), d)} AS g "
+                f"FROM urlfuzz")
+
+    got_s = {r["rid"]: (r["c"], r["g"])
+             for r in spark.sql(q(P.SPARK)).collect()}
+    got_d = {r[0]: (r[1], r[2])
+             for r in con.execute(q(P.DUCKDB)).fetchall()}
+    assert got_s == got_d
+    # spot-pin the semantics (not just cross-engine agreement)
+    assert got_s[0][0] == "http://example.com/a?a=1&b=2"
+    # a tracking/port/fragment-only variant collapses onto case 0
+    import duckdb as _dd
+
+    variant = "http://EXAMPLE.com/a?b=2&utm_x=1&a=1"
+    got_v = _dd.connect().execute(
+        f"SELECT {P.canonical_url(repr(variant), P.DUCKDB)}"
+    ).fetchone()[0]
+    assert got_v == got_s[0][0]
+    assert got_s[2][1] == "example.co.uk"      # PSL second-level
+    assert got_s[10][0] == "https://example.com/a"  # tracking-only query
+    assert got_s[13][1] == "example.gov.au"
+    assert got_s[17] == (None, None)           # NULL url propagates
+
+
+def test_encoding_artifact_counts_match_across_engines(spark):
+    import duckdb
+    import pandas as pd
+
+    texts = [
+        "clean ascii",
+        "cafÃ© and naÃ¯ve",                  # 2 mojibake
+        "smart â€™ quote â€œ open",          # 2 mojibake
+        "lost � char �",                     # 2 replacement
+        "ctrl \x07 bell \x01 one \x1f unit", # 3 control
+        "tab\tand\nnewline are fine",        # whitelisted controls
+        "Â nbsp artifact",                   # 1 mojibake (Â + space? no: Â+space not in class)
+        "",
+        None,
+    ]
+    pdf = pd.DataFrame({"rid": range(len(texts)), "text": texts})
+    spark.createDataFrame(pdf).createOrReplaceTempView("encfuzz")
+    con = duckdb.connect()
+    con.register("encfuzz", pdf)
+
+    def q(d):
+        m, r, c = P.encoding_artifact_counts("coalesce(text, '')", d)
+        return f"SELECT rid, {m} AS m, {r} AS r, {c} AS c FROM encfuzz"
+
+    got_s = {r["rid"]: (r["m"], r["r"], r["c"])
+             for r in spark.sql(q(P.SPARK)).collect()}
+    got_d = {r[0]: (r[1], r[2], r[3])
+             for r in con.execute(q(P.DUCKDB)).fetchall()}
+    assert got_s == got_d
+    assert got_s[0] == (0, 0, 0)
+    assert got_s[1] == (2, 0, 0)
+    assert got_s[2] == (2, 0, 0)
+    assert got_s[3] == (0, 2, 0)
+    assert got_s[4] == (0, 0, 3)
+    assert got_s[5] == (0, 0, 0)   # \t and \n are legitimate
