@@ -9726,6 +9726,211 @@ def docs_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.encoding_artifact_profile(docs, "doc_id", "text")
 
 
+def _html_fixture_sql(d: str) -> str:
+    """Deterministic raw-HTML wrapper around each document's text —
+    doc_id % 4 picks the page shape (full page with script/style/
+    comment/entities, text-heavy article, link-farm navigation page,
+    sloppy markup with CAPS tags and an unclosed pair); identical
+    string expression in both engines."""
+    big = "string" if d == SPARK else "VARCHAR"
+    sid = f"cast(doc_id as {big})"
+    body = "coalesce(text, '')"
+    return (
+        f"(CASE cast(doc_id % 4 as int) "
+        f"WHEN 0 THEN concat('<html><head><title>Doc ', {sid}, "
+        f"'</title><style>p {{color: red}}</style>"
+        f"<script type=\"text/javascript\">var x = 1 < 2; //</script>"
+        f"</head><body><!-- crawler\nnote --><h1>Doc &amp; ', {sid}, "
+        f"'</h1><p>', {body}, '</p>"
+        f"<p>More &lt;text&gt;&nbsp;with&#39;entities.</p>"
+        f"<a href=\"/next\">next page</a></body></html>') "
+        f"WHEN 1 THEN concat('<article><p>', {body}, "
+        f"'</p><a href=\"/ref\">a reference link</a></article>') "
+        f"WHEN 2 THEN concat('<body><ul>"
+        f"<li><a href=\"/a\">home</a></li>"
+        f"<li><a href=\"/b\">products and services</a></li>"
+        f"<li><a href=\"/c\">about the company</a></li>"
+        f"<li><a href=\"/d\">contact&nbsp;us</a></li></ul>"
+        f"<p>nav ', {sid}, '</p></body>') "
+        f"ELSE concat('<BODY><P>', {body}, "
+        f"'<A HREF=\"x\">CAPS LINK</A><p>tail ', {sid}, '') END)"
+    )
+
+
+def _duck_html_extract_oracle() -> str:
+    h = _html_fixture_sql(DUCK)
+    text = P.html_to_text("html", DUCK)
+    nlinks = P.size(P.html_anchor_texts("html", DUCK), DUCK)
+    ld = P.link_density_ppm("html", DUCK)
+    ratio = P.int_div("n_chars_text * 1000000", "n_chars_html", DUCK)
+    return (
+        f"WITH raw AS (SELECT doc_id, {h} AS html FROM documents), "
+        f"e AS (SELECT doc_id, {text} AS text, "
+        f"CAST(length(html) AS BIGINT) AS n_chars_html, "
+        f"CAST({nlinks} AS BIGINT) AS n_links, "
+        f"CAST({ld} AS BIGINT) AS link_density_ppm FROM raw) "
+        f"SELECT doc_id, text, n_chars_html, n_links, link_density_ppm, "
+        f"CAST(length(text) AS BIGINT) AS n_chars_text, "
+        f"CAST(CASE WHEN n_chars_html = 0 THEN 0 ELSE {ratio} END "
+        f"AS BIGINT) AS text_ratio_ppm FROM e"
+    )
+
+
+@query("docs_html_extract", oracle=_duck_html_extract_oracle())
+def docs_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction (``web.html_extract`` /
+    ``portable.html_to_text``): visible text with comments, <script>/
+    <style> elements, and tags removed plus entities decoded, and the
+    two classic boilerplate signals — text-to-HTML ratio and jusText-
+    style link density — in exact integer ppm.  One chained regex scan
+    projection (whole-stage codegen, no UDF, no shuffle); the oracle
+    replays the identical portable expressions under RE2."""
+    from .operators import web
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_html_fixture_sql(SPARK)).alias("html")
+    )
+    return web.html_extract(docs, "doc_id", "html")
+
+
+def _license_fixture_sql(d: str) -> str:
+    """Inject reuse signals into some documents (doc_id % 6 picks the
+    signal; 0/5 stay clean) — identical in both engines."""
+    body = "coalesce(text, '')"
+    return (
+        f"(CASE cast(doc_id % 6 as int) "
+        f"WHEN 1 THEN concat({body}, ' Licensed under a Creative "
+        f"Commons Attribution 4.0 International License.') "
+        f"WHEN 2 THEN concat({body}, ' Copyright 2026. All rights "
+        f"reserved.') "
+        f"WHEN 3 THEN concat('<meta name=\"robots\" "
+        f"content=\"noai, noimageai\">', {body}) "
+        f"WHEN 4 THEN concat({body}, ' Dedicated to the public domain "
+        f"under CC0: creativecommons.org/publicdomain/zero/1.0/') "
+        f"ELSE {body} END)"
+    )
+
+
+def _duck_license_audit_oracle() -> str:
+    t = _license_fixture_sql(DUCK)
+    flags = P.license_signal_flags("t2", DUCK)
+    flag_cols = ", ".join(
+        f"CAST({expr} AS INTEGER) AS _{name}" for name, expr in flags.items()
+    )
+    sums = ", ".join(
+        f"CAST(SUM(_{n}) AS BIGINT) AS n_{n}" for n in flags
+    )
+    ppms = ", ".join(
+        f"CAST({P.int_div(f'n_{n} * 1000000', 'n_docs', DUCK)} AS BIGINT) "
+        f"AS {n}_ppm" for n in flags
+    )
+    return (
+        f"WITH raw AS (SELECT source, {t} AS t2 FROM documents), "
+        f"f AS (SELECT source, {flag_cols} FROM raw), "
+        f"g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"{sums} FROM f GROUP BY source) "
+        f"SELECT *, {ppms} FROM g"
+    )
+
+
+@query("docs_license_audit", oracle=_duck_license_audit_oracle())
+def docs_license_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-compliance audit (``web.license_rollup``): per-source
+    document counts and exact integer-ppm shares of Creative-Commons
+    marks, public-domain/CC0 dedications, "all rights reserved"
+    notices, and AI-training opt-out signals (noai/noimageai/noml) —
+    the review table consulted before a source enters the training
+    mix.  Regex flag projection + one source-keyed aggregate."""
+    from .operators import web
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.expr(_license_fixture_sql(SPARK)).alias("text")
+    )
+    return web.license_rollup(docs, "source", "text")
+
+
+@query(
+    "docs_lang_fertility",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang,
+             CAST({P.size(P.tokens("coalesce(text, '')", DUCK), DUCK)} AS BIGINT) AS w,
+             CAST({P.size(P.regexp_tokens("coalesce(text, '')", DUCK), DUCK)} AS BIGINT) AS t,
+             CAST(strlen(coalesce(text, '')) AS BIGINT) AS b
+      FROM documents
+    ), g AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(w) AS BIGINT) AS n_words,
+             CAST(SUM(t) AS BIGINT) AS n_tokens,
+             CAST(SUM(b) AS BIGINT) AS n_bytes
+      FROM per GROUP BY lang
+    )
+    SELECT *,
+      CAST(CASE WHEN n_words = 0 THEN 0
+           ELSE {P.int_div('n_tokens * 1000000', 'n_words', DUCK)} END
+           AS BIGINT) AS fertility_ppm,
+      CAST(CASE WHEN n_tokens = 0 THEN 0
+           ELSE {P.int_div('n_bytes * 1000000', 'n_tokens', DUCK)} END
+           AS BIGINT) AS bytes_per_token_ppm
+    FROM g
+    """,
+)
+def docs_lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (``text.lang_fertility_stats``):
+    lexical tokens per whitespace word and UTF-8 bytes per lexical
+    token in exact integer ppm — the conversion rates multilingual
+    mixture planning and token-budget accounting run on.  One scan +
+    one tiny language-keyed aggregate (map-side combined)."""
+    return textops.lang_fertility_stats(
+        load(spark, sf_dir, "documents"), "text", lang_col="lang"
+    )
+
+
+@query(
+    "docs_source_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, {P.hash_array(P.tokens("text", DUCK), DUCK)} AS th
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT source, unnest({P.token_hash_ngrams_all('th', 5, DUCK)}) AS gram
+      FROM toks
+    ), v AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab FROM g GROUP BY source
+    ), keep AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 50
+    ), c AS (
+      SELECT g.source, g.gram FROM g JOIN keep USING (gram)
+    ), p AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_grams
+      FROM c a JOIN c b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, shared_grams,
+           va.vocab AS grams_a, vb.vocab AS grams_b,
+           CAST({P.int_div('shared_grams * 1000000',
+                           'va.vocab + vb.vocab - shared_grams', DUCK)}
+                AS BIGINT) AS jaccard_ppm
+    FROM p JOIN v va ON va.source = p.source_a
+           JOIN v vb ON vb.source = p.source_b
+    """,
+)
+def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (``text
+    .source_overlap_matrix``): distinct word-5-gram shingles shared by
+    each source pair with exact integer-ppm Jaccard — the audit that
+    catches the same site scraped into two "independent" sources or
+    benchmark text leaking across splits.  Inverted-index shape: gram-
+    keyed distinct + self-join on the gram hash (never doc-all-pairs);
+    grams in more than 50 sources are dropped before the pair join
+    (quadratic boilerplate fan-out guard, deterministic lower bound)."""
+    return textops.source_overlap_matrix(
+        load(spark, sf_dir, "documents"), "source", "text",
+        n=5, max_sources_per_gram=50,
+    )
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

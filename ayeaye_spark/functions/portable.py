@@ -670,6 +670,13 @@ def int_div(a: str, b: str, d: str) -> str:
     return f"({a}) div ({b})" if d == SPARK else f"({a}) // ({b})"
 
 
+def byte_length(s: str, d: str) -> str:
+    """UTF-8 byte length of a string expression (Spark octet_length;
+    DuckDB's octet_length only takes BLOB/BIT — strlen is its
+    byte-length function for VARCHAR)."""
+    return f"octet_length({s})" if d == SPARK else f"strlen({s})"
+
+
 def quality_score_ppm(s: str, d: str) -> str:
     """Quality ppm over an inline text expression — prefer
     :func:`quality_score_ppm_from_tokens` with a materialized column."""
@@ -1123,3 +1130,105 @@ def encoding_artifact_counts(s: str, d: str) -> tuple[str, str, str]:
         regexp_count(s, REPLACEMENT_CHAR_RE, d),
         regexp_count(s, CONTROL_CHAR_RE, d),
     )
+
+
+# --------------------------------------------------------------------------
+# HTML text extraction (main-content signals a crawl pipeline needs
+# BEFORE any quality scoring: tag/script/comment removal, entity
+# decode, and the jusText/trafilatura-style link-density boilerplate
+# signal).  All pure regex/replace chains — the flags used ((?i)/(?s),
+# non-greedy .*?) are valid in BOTH Java regex (Spark) and RE2
+# (DuckDB); no backreferences anywhere (RE2 has none).
+# --------------------------------------------------------------------------
+
+
+def _strip_noise_html(s: str, d: str) -> str:
+    """Remove comments and whole <script>/<style> elements."""
+    out = regexp_replace_all(s, r"(?s)<!--.*?-->", "", d)
+    out = regexp_replace_all(out, r"(?is)<script\b[^>]*>.*?</script\s*>", "", d)
+    out = regexp_replace_all(out, r"(?is)<style\b[^>]*>.*?</style\s*>", "", d)
+    return out
+
+
+def decode_html_entities(s: str, d: str) -> str:
+    """Decode the common named entities (the set that dominates real
+    pages).  ``&amp;`` decodes LAST so ``&amp;lt;`` correctly yields the
+    literal ``&lt;``; quote entities go through ``chr()`` so no SQL
+    string literal ever contains a quote character."""
+    out = f"replace({s}, '&nbsp;', ' ')"
+    out = f"replace({out}, '&lt;', '<')"
+    out = f"replace({out}, '&gt;', '>')"
+    out = f"replace({out}, '&quot;', chr(34))"
+    out = f"replace({out}, '&#39;', chr(39))"
+    out = f"replace({out}, '&apos;', chr(39))"
+    return f"replace({out}, '&amp;', '&')"
+
+
+def _tags_to_space(s: str, d: str) -> str:
+    """Replace tags with a space.  Mirrors the HTML5 tokenizer's rule
+    that only ``<`` followed by a letter, ``/``, or ``!`` opens markup
+    — bare comparisons like ``a < b`` stay literal text."""
+    return regexp_replace_all(s, r"<(/?[A-Za-z]|!)[^>]*>", " ", d)
+
+
+def html_to_text(html: str, d: str) -> str:
+    """Visible text of an HTML document: comments + <script>/<style>
+    elements removed, every remaining tag replaced by a space, common
+    entities decoded, whitespace collapsed, trimmed.  NULL in -> NULL
+    out.  One chained scan-projection expression (whole-stage codegen;
+    no UDF, no shuffle)."""
+    _check(d)
+    out = _tags_to_space(_strip_noise_html(html, d), d)
+    out = decode_html_entities(out, d)
+    collapsed = regexp_replace_all(out, r"\s+", " ", d)
+    return f"trim({collapsed})"
+
+
+def html_anchor_texts(html: str, d: str) -> str:
+    """Array of the visible texts of every ``<a>`` element (inner HTML
+    tag-stripped + entity-decoded + collapsed).  Non-greedy per-anchor
+    match; nested anchors are illegal HTML and not handled."""
+    pat = regex_lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>", d)
+    inners = f"regexp_extract_all({_strip_noise_html(html, d)}, {pat}, 1)"
+    clean = decode_html_entities(_tags_to_space("a", d), d)
+    collapsed = regexp_replace_all(clean, r"\s+", " ", d)
+    return transform(inners, "a", f"trim({collapsed})", d)
+
+
+def link_density_ppm(html: str, d: str) -> str:
+    """Anchor-text characters as exact integer ppm of all visible text
+    characters — THE classic boilerplate/navigation-page signal
+    (jusText, Pomikalek 2011; trafilatura).  0 when the page has no
+    visible text."""
+    anchor_chars = reduce_bigint(
+        transform(html_anchor_texts(html, d), "t", "length(t)", d),
+        0, "acc + c", d,
+    )
+    total = f"cast(length({html_to_text(html, d)}) as bigint)"
+    ppm = int_div(f"({anchor_chars}) * 1000000", f"({total})", d)
+    return f"(case when ({total}) = 0 then cast(0 as bigint) else {ppm} end)"
+
+
+# --------------------------------------------------------------------------
+# license / reuse-signal detection (corpus-compliance scan)
+# --------------------------------------------------------------------------
+
+#: whole-text regexes for reuse signals; keys are the output column
+#: names.  Case-insensitive; plain-language AND license-URL forms.
+LICENSE_SIGNAL_RES: dict[str, str] = {
+    "cc_license": (
+        r"(?i)creative\s+commons|creativecommons\.org/licenses/"
+        r"|\bCC[- ]BY(-(SA|NC|ND|NC-SA|NC-ND))?\b"
+    ),
+    "public_domain": r"(?i)public\s+domain|\bCC0\b|publicdomain/zero",
+    "rights_reserved": r"(?i)all\s+rights\s+reserved",
+    "ai_opt_out": r"(?i)\bnoai\b|\bnoimageai\b|\bnoml\b",
+}
+
+
+def license_signal_flags(s: str, d: str) -> dict[str, str]:
+    """(name -> boolean expression) for each reuse signal over ``s``."""
+    return {
+        name: rmatch(f"coalesce({s}, '')", pat, d)
+        for name, pat in LICENSE_SIGNAL_RES.items()
+    }

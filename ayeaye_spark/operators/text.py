@@ -1863,3 +1863,134 @@ def encoding_artifact_profile(
         (F.col("n_mojibake") + F.col("n_replacement")
          + F.col("n_control") == 0),
     )
+
+
+def lang_fertility_stats(
+    df: DataFrame, text_col: str, lang_col: str | None = None
+) -> DataFrame:
+    """Per-language tokenizer-planning statistics: document count,
+    whitespace words, BPE-ish lexical tokens (``portable
+    .regexp_tokens``: alnum runs + single punctuation — the pre-merge
+    unit a byte-level tokenizer starts from), UTF-8 bytes, and the two
+    exact integer-ppm ratios mixture planning consumes —
+    ``fertility_ppm`` (lexical tokens per word; high = whitespace words
+    fragment, e.g. CJK or agglutinative text) and
+    ``bytes_per_token_ppm`` (UTF-8 cost per lexical token; the
+    token-budget <-> storage conversion rate per language).
+
+    Uses ``lang_col`` when the corpus already carries a label, else the
+    portable n-gram ``lang_id``.  One scan + one language-keyed
+    aggregate (map-side combined; #languages is tiny)."""
+    text = f"coalesce({text_col}, '')"
+    lang = F.col(lang_col) if lang_col else F.expr(P.lang_id(text, SPARK))
+    per_doc = df.select(
+        lang.alias("lang"),
+        F.expr(P.size(P.tokens(text, SPARK), SPARK)).cast("long").alias("_w"),
+        F.expr(P.size(P.regexp_tokens(text, SPARK), SPARK))
+        .cast("long").alias("_t"),
+        F.expr(P.byte_length(text, SPARK)).cast("long").alias("_b"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_w").cast("long").alias("n_words"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+            F.sum("_b").cast("long").alias("n_bytes"),
+        )
+        .withColumn(
+            "fertility_ppm",
+            F.expr(
+                "CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE n_tokens * 1000000 div n_words END"
+            ),
+        )
+        .withColumn(
+            "bytes_per_token_ppm",
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE n_bytes * 1000000 div n_tokens END"
+            ),
+        )
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    max_sources_per_gram: int = 50,
+    hash_mode: str = P.PORTABLE,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many DISTINCT word ``n``-gram shingles the two sources share, plus
+    each side's distinct-shingle vocabulary and the exact integer-ppm
+    Jaccard — the audit that catches the same site scraped into two
+    "independent" sources, mirrored content between crawl snapshots, or
+    benchmark text leaking into a training source.
+
+    Scale shape (inverted-index, never doc-all-pairs): one positional
+    shingle explode per document (portable or 64-bit ``hash_mode``
+    keys, no n-gram strings materialized) -> DISTINCT (source, gram) —
+    a gram-keyed aggregate -> gram-keyed self-join emitting only
+    ``source_a < source_b`` pairs.  Grams present in more than
+    ``max_sources_per_gram`` sources are dropped BEFORE the self-join
+    (ubiquitous boilerplate carries no pairing information but would
+    fan out quadratically), so ``shared_grams`` — and with it
+    ``jaccard_ppm``, whose denominator keeps the FULL vocabularies —
+    is a deterministic lower bound once any gram hits the cap.
+
+    Output: (source_a, source_b, shared_grams, grams_a, grams_b,
+    jaccard_ppm) for pairs with >= 1 shared gram.
+    """
+    from .dedup import _tune_session  # noqa: PLC0415 — no cycle
+
+    _tune_session(df)
+    toked = df.select(
+        F.col(source_col).alias("_src"),
+        F.expr(P.hash_array(P.tokens(text_col, SPARK), SPARK, hash_mode))
+        .alias("_th"),
+    )
+    grams = toked.select(
+        "_src",
+        F.explode(
+            F.expr(P.token_hash_ngrams_all("_th", n, SPARK, hash_mode))
+        ).alias("_g"),
+    ).distinct()
+    vocab = grams.groupBy("_src").agg(
+        F.count(F.lit(1)).cast("long").alias("_vocab")
+    )
+    # ubiquity cap BEFORE the pair join: keep grams in <= cap sources
+    keep = (
+        grams.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_ns"))
+        .where(F.col("_ns").between(2, max_sources_per_gram))
+        .select("_g")
+    )
+    capped = grams.join(keep, "_g")
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "_g")
+        .where(F.col("a._src") < F.col("b._src"))
+        .groupBy(
+            F.col("a._src").alias("source_a"),
+            F.col("b._src").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    )
+    va = vocab.select(F.col("_src").alias("source_a"),
+                      F.col("_vocab").alias("grams_a"))
+    vb = vocab.select(F.col("_src").alias("source_b"),
+                      F.col("_vocab").alias("grams_b"))
+    return (
+        pairs.join(va, "source_a").join(vb, "source_b")
+        .select(
+            "source_a", "source_b", "shared_grams", "grams_a", "grams_b",
+            F.expr(
+                "shared_grams * 1000000 div "
+                "(grams_a + grams_b - shared_grams)"
+            ).alias("jaccard_ppm"),
+        )
+    )

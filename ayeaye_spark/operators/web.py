@@ -83,3 +83,74 @@ def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
             F.expr("n_pages * 1000000 div _total").alias("share_ppm"),
         )
     )
+
+
+def html_extract(
+    df: DataFrame, id_col: str, html_col: str
+) -> DataFrame:
+    """Main-content extraction profile for raw HTML pages — the step
+    between the crawl and every text-quality operator: visible ``text``
+    (comments/script/style removed, tags stripped, entities decoded,
+    whitespace collapsed), size accounting, and the two classic
+    boilerplate signals — text-to-HTML ratio and link density (anchor
+    chars per visible char, jusText/trafilatura's navigation-page
+    discriminator), both as exact integer ppm.
+
+    One chained regex/replace scan projection per row (whole-stage
+    codegen, no UDF, no shuffle); value-exact in both engines.  Pages
+    where nothing survives extraction report ``text_ratio_ppm`` /
+    ``link_density_ppm`` of 0 — filter on those plus ``n_links`` to
+    drop pure-chrome pages before quality scoring."""
+    h = f"coalesce({html_col}, '')"
+    return df.select(
+        F.col(id_col),
+        F.expr(P.html_to_text(h, P.SPARK)).alias("text"),
+        F.length(F.expr(h)).cast("long").alias("n_chars_html"),
+        F.expr(P.size(P.html_anchor_texts(h, P.SPARK), P.SPARK))
+        .cast("long").alias("n_links"),
+        F.expr(P.link_density_ppm(h, P.SPARK)).alias("link_density_ppm"),
+    ).withColumn(
+        "n_chars_text", F.length("text").cast("long")
+    ).withColumn(
+        "text_ratio_ppm",
+        F.expr(
+            "CASE WHEN n_chars_html = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE n_chars_text * 1000000 div n_chars_html END"
+        ),
+    )
+
+
+def license_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document reuse/compliance flags (``portable
+    .LICENSE_SIGNAL_RES``): Creative-Commons license marks, public
+    domain / CC0, "all rights reserved", and AI-training opt-out
+    signals (noai/noimageai/noml) — the corpus-compliance scan a
+    responsible training pipeline runs before mixing sources.  Pure
+    regex scan projection; no shuffle."""
+    flags = P.license_signal_flags(text_col, P.SPARK)
+    return df.select(
+        F.col(id_col),
+        *[F.expr(expr).alias(name) for name, expr in flags.items()],
+    )
+
+
+def license_rollup(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Per-``group_col`` (source/domain) rollup of the reuse signals:
+    document counts plus each signal's exact integer-ppm share — the
+    table that decides which sources need license review before
+    inclusion.  One group-keyed aggregate over the flag projection."""
+    flags = P.license_signal_flags(text_col, P.SPARK)
+    flagged = df.select(
+        F.col(group_col),
+        *[F.expr(expr).cast("int").alias(f"_{n}") for n, expr in flags.items()],
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    aggs += [F.sum(f"_{n}").cast("long").alias(f"n_{n}") for n in flags]
+    out = flagged.groupBy(group_col).agg(*aggs)
+    for n in flags:
+        out = out.withColumn(
+            f"{n}_ppm", F.expr(f"n_{n} * 1000000 div n_docs")
+        )
+    return out

@@ -6696,3 +6696,129 @@ class TestEncodingArtifacts:
         assert got[6]["clean"] and got[6]["n_chars"] == 0
         # ppm is floor((artifacts * 1e6) / chars), exact integers
         assert got[2]["artifact_ppm"] == (2 * 1_000_000) // got[2]["n_chars"]
+
+
+class TestHtmlExtract:
+    def test_extracts_text_and_signals(self, spark):
+        from ayeaye_spark.operators import web
+
+        rows = [
+            (1, '<html><head><style>p{c}</style><script>var x=1<2;'
+                '</script></head><body><!-- c --><h1>T&amp;t</h1>'
+                '<p>body text here</p><a href="/x">a link</a>'
+                '</body></html>'),
+            (2, 'no markup at all'),
+            (3, '<ul><li><a href="a">home</a></li><li><a href="b">about'
+                '</a></li></ul>'),                     # pure navigation
+            (4, '<script>only script</script>'),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, html string")
+        got = {r["doc_id"]: r
+               for r in web.html_extract(df, "doc_id", "html").collect()}
+        assert got[1]["text"] == "T&t body text here a link"
+        assert got[1]["n_links"] == 1
+        assert 0 < got[1]["link_density_ppm"] < 1_000_000
+        assert got[2]["text"] == "no markup at all"
+        assert got[2]["n_links"] == 0 and got[2]["link_density_ppm"] == 0
+        # navigation page: all visible text is anchor text except the
+        # joining space — 9 anchor chars over "home about" (10 chars)
+        assert got[3]["text"] == "home about"
+        assert got[3]["link_density_ppm"] == 900_000
+        assert got[4]["text"] == "" and got[4]["text_ratio_ppm"] == 0
+        assert got[5]["text"] == "" and got[5]["n_chars_html"] == 0
+
+    def test_entity_decode_order(self, spark):
+        from ayeaye_spark.operators import web
+
+        # &amp;lt; must decode to the LITERAL string "&lt;", not "<"
+        df = spark.createDataFrame(
+            [(1, "<p>&amp;lt; &quot;q&quot; &#39;s&nbsp;x</p>")],
+            "doc_id long, html string",
+        )
+        r = web.html_extract(df, "doc_id", "html").collect()[0]
+        assert r["text"] == '&lt; "q" \'s x'
+
+
+class TestLicenseSignals:
+    def test_flags_and_rollup(self, spark):
+        from ayeaye_spark.operators import web
+
+        rows = [
+            ("s1", "Licensed under Creative Commons Attribution 4.0"),
+            ("s1", "plain document"),
+            ("s1", "see creativecommons.org/licenses/by-nc/2.0 terms"),
+            ("s1", "Copyright. ALL RIGHTS RESERVED."),
+            ("s2", "released as CC0 public domain"),
+            ("s2", 'meta content="noai, noimageai"'),
+            ("s2", "the word noaim must NOT match the opt-out"),
+            ("s2", None),
+        ]
+        df = spark.createDataFrame(rows, "source string, text string")
+        per_doc = web.license_signals(
+            df.selectExpr("monotonically_increasing_id() id", "text"),
+            "id", "text",
+        ).collect()
+        assert sum(r["cc_license"] for r in per_doc) == 2
+        assert sum(r["ai_opt_out"] for r in per_doc) == 1  # noaim excluded
+        got = {r["source"]: r
+               for r in web.license_rollup(df, "source", "text").collect()}
+        assert got["s1"]["n_docs"] == 4
+        assert got["s1"]["n_cc_license"] == 2
+        assert got["s1"]["cc_license_ppm"] == 500_000
+        assert got["s1"]["n_rights_reserved"] == 1
+        assert got["s2"]["n_public_domain"] == 1
+        assert got["s2"]["n_ai_opt_out"] == 1
+        assert got["s2"]["ai_opt_out_ppm"] == 250_000
+
+
+class TestLangFertility:
+    def test_ratios_exact(self, spark):
+        from ayeaye_spark.operators import text as T
+
+        rows = [
+            ("en", "the cat sat"),          # 3 words, 3 lexical tokens
+            ("en", "re-do it, now!"),       # 3 words, 7 lexical tokens
+            ("zz", ""),                     # zero-guard
+            ("zz", None),
+        ]
+        df = spark.createDataFrame(rows, "lang string, text string")
+        got = {r["lang"]: r
+               for r in T.lang_fertility_stats(df, "text", "lang").collect()}
+        en = got["en"]
+        assert (en["n_docs"], en["n_words"], en["n_tokens"]) == (2, 6, 10)
+        assert en["fertility_ppm"] == 10 * 1_000_000 // 6
+        assert en["n_bytes"] == len("the cat sat") + len("re-do it, now!")
+        assert en["bytes_per_token_ppm"] == en["n_bytes"] * 1_000_000 // 10
+        assert got["zz"]["fertility_ppm"] == 0
+        assert got["zz"]["bytes_per_token_ppm"] == 0
+
+
+class TestSourceOverlap:
+    def test_shared_shingles_and_cap(self, spark):
+        from ayeaye_spark.operators import text as T
+
+        shared = "alpha beta gamma delta epsilon"          # one 5-gram
+        rows = [
+            ("a", f"{shared} unique to a one two"),
+            ("b", f"{shared} other words here now"),
+            ("c", "completely different text with no overlap at all"),
+        ]
+        df = spark.createDataFrame(rows, "source string, text string")
+        out = T.source_overlap_matrix(df, "source", "text", n=5).collect()
+        got = {(r["source_a"], r["source_b"]): r for r in out}
+        assert set(got) == {("a", "b")}
+        r = got[("a", "b")]
+        assert r["shared_grams"] == 1
+        # a: 10 tokens -> 6 distinct 5-grams; b: 9 tokens -> 5
+        assert r["grams_a"] == 6 and r["grams_b"] == 5
+        assert r["jaccard_ppm"] == 1_000_000 // (6 + 5 - 1)
+        # ubiquity cap: a gram in all 3 sources with cap=2 is dropped
+        rows3 = [(s, shared) for s in ("a", "b", "c")]
+        df3 = spark.createDataFrame(rows3, "source string, text string")
+        assert T.source_overlap_matrix(
+            df3, "source", "text", n=5, max_sources_per_gram=2
+        ).count() == 0
+        assert T.source_overlap_matrix(
+            df3, "source", "text", n=5, max_sources_per_gram=3
+        ).count() == 3

@@ -519,3 +519,94 @@ def test_encoding_artifact_counts_match_across_engines(spark):
     assert got_s[3] == (0, 2, 0)
     assert got_s[4] == (0, 0, 3)
     assert got_s[5] == (0, 0, 0)   # \t and \n are legitimate
+
+
+HTML_CASES = [
+    '<html><head><title>T</title><style>p {color: red}</style>'
+    '<script type="text/javascript">var x = 1 < 2;</script></head>'
+    '<body><!-- hidden\n comment --><h1>Doc &amp; Title</h1>'
+    '<p>Some &lt;b&gt;text&#39;s&nbsp;here &amp;lt; raw.</p>'
+    '<ul><li><a href="/x">Nav one</a></li><li><a class="k">Nav\ntwo'
+    '</a></li></ul><a>pair</a><A HREF="y">CAPS</A></body></html>',
+    "plain no tags &quot;q&quot;",
+    "<a>only a link</a>",
+    "<script>all script</script>",
+    "<style>.x{}</style>leftover",
+    "<p>t</p><a href='u'>L1</a><a>L2</a>",
+    "<br><br>spaced<hr/>out",
+    "un<closed",                       # dangling '<' is literal text
+    "<!-- only comment -->",
+    "a < b and c > d",                 # bare comparisons survive
+    "<SCRIPT>CAPS()</SCRIPT>ok",
+    "",
+    None,
+]
+
+
+def test_html_extraction_matches_across_engines(spark):
+    """portable.html_to_text / html_anchor_texts / link_density_ppm
+    must be bit-identical in Spark (Java regex) and DuckDB (RE2) on
+    adversarial markup."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame({"rid": range(len(HTML_CASES)), "h": HTML_CASES})
+    spark.createDataFrame(pdf).createOrReplaceTempView("htmlfuzz")
+    con = duckdb.connect()
+    con.register("htmlfuzz", pdf)
+
+    def q(d):
+        return (f"SELECT rid, {P.html_to_text('h', d)} AS t, "
+                f"{P.html_anchor_texts('h', d)} AS a, "
+                f"{P.link_density_ppm('h', d)} AS l FROM htmlfuzz")
+
+    got_s = {r["rid"]: (r["t"], list(r["a"]) if r["a"] is not None else None,
+                        r["l"])
+             for r in spark.sql(q(P.SPARK)).collect()}
+    got_d = {r[0]: (r[1], r[2], r[3]) for r in con.execute(q(P.DUCKDB)).fetchall()}
+    assert got_s == got_d
+    # semantic pins, not just agreement
+    assert got_s[0][0] == ("T Doc & Title Some <b>text's here &lt; raw. "
+                           "Nav one Nav two pair CAPS")
+    assert got_s[0][1] == ["Nav one", "Nav two", "pair", "CAPS"]
+    assert got_s[3] == ("", [], 0)            # script-only page
+    assert got_s[9][0] == "a < b and c > d"   # "< b and c >" is no tag... 
+    assert got_s[12] == (None, None, None)    # NULL propagates
+
+
+def test_license_flags_match_across_engines(spark):
+    import duckdb
+    import pandas as pd
+
+    texts = [
+        "Licensed under Creative Commons Attribution 4.0",
+        "see https://creativecommons.org/licenses/by-nc-sa/3.0/",
+        "This is CC BY-SA licensed",
+        "ALL RIGHTS RESERVED",
+        "public domain dedication",
+        "CC0 waiver applies",
+        "noai noimageai",
+        "the word noaim does not opt out",
+        "nothing special",
+        "",
+        None,
+    ]
+    pdf = pd.DataFrame({"rid": range(len(texts)), "text": texts})
+    spark.createDataFrame(pdf).createOrReplaceTempView("licfuzz")
+    con = duckdb.connect()
+    con.register("licfuzz", pdf)
+
+    def q(d):
+        flags = P.license_signal_flags("text", d)
+        cols = ", ".join(f"{e} AS {n}" for n, e in flags.items())
+        return f"SELECT rid, {cols} FROM licfuzz"
+
+    got_s = {r["rid"]: (r["cc_license"], r["public_domain"],
+                        r["rights_reserved"], r["ai_opt_out"])
+             for r in spark.sql(q(P.SPARK)).collect()}
+    got_d = {r[0]: tuple(r[1:]) for r in con.execute(q(P.DUCKDB)).fetchall()}
+    assert got_s == got_d
+    assert got_s[0][0] and got_s[1][0] and got_s[2][0]
+    assert got_s[3][2] and got_s[4][1] and got_s[5][1]
+    assert got_s[6][3] and not got_s[7][3]
+    assert got_s[10] == (False, False, False, False)  # NULL -> coalesced
