@@ -7327,11 +7327,25 @@ def ann_topk_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle_sql(iterations: int = 5) -> str:
-    """Unrolled-CTE DuckDB replay of ``graph.pagerank_exact`` over the
-    source<->lang bipartite graph: one CTE per iteration, every value an
-    exact integer, so it matches Spark bit-for-bit (no recursive CTE
-    needed — the iteration count is fixed)."""
+_BIPARTITE_EDGES_CTE = """e0 AS (
+      SELECT 's:' || source AS src, 'l:' || lang AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM documents GROUP BY source, lang
+    ),
+    edges AS (
+      SELECT src, dst, w FROM e0
+      UNION ALL SELECT dst, src, w FROM e0
+    )"""
+
+
+def _pagerank_oracle_sql(
+    iterations: int = 5, edges_cte: str = _BIPARTITE_EDGES_CTE
+) -> str:
+    """Unrolled-CTE DuckDB replay of ``graph.pagerank_exact`` over any
+    ``edges(src, dst, w)`` CTE (default: the source<->lang bipartite
+    graph): one CTE per iteration, every value an exact integer, so it
+    matches Spark bit-for-bit (no recursive CTE needed — the iteration
+    count is fixed)."""
     its = []
     for i in range(iterations):
         its.append(f"""
@@ -7345,21 +7359,13 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
       ) c ON n.node = c.dst
     )""")
     return f"""
-    WITH e0 AS (
-      SELECT 's:' || source AS src, 'l:' || lang AS dst,
-             CAST(COUNT(*) AS BIGINT) AS w
-      FROM documents GROUP BY source, lang
-    ),
-    edges AS (
-      SELECT src, dst, w FROM e0
-      UNION ALL SELECT dst, src, w FROM e0
-    ),
+    WITH {edges_cte},
     outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
     trans AS (
       SELECT e.src, e.dst, (e.w * 1000000) // o.ow AS tw
       FROM edges e JOIN outw o USING (src)
     ),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
     nn AS (SELECT COUNT(*) AS n FROM nodes),
     it0 AS (
       SELECT node, 1000000000 // (SELECT n FROM nn) AS pr FROM nodes
@@ -9929,6 +9935,118 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), "source", "text",
         n=5, max_sources_per_gram=50,
     )
+
+
+def _page_url_fixture_sql(d: str) -> str:
+    """Page URL per document: one distinct registrable domain per
+    source (``srcN-site.com``) so the derived link graph has real
+    domain-level structure."""
+    big = "string" if d == SPARK else "VARCHAR"
+    sid = f"cast(doc_id as {big})"
+    return (
+        f"concat('https://www.', source, '-site.com/page/', {sid})"
+    )
+
+
+def _link_html_fixture_sql(d: str) -> str:
+    """Anchor-bearing HTML per document: one cross-domain absolute
+    link always (target domain from doc_id arithmetic), plus a
+    doc_id%4-selected variant — protocol-relative CDN link, self-domain
+    root-relative link (a self edge, dropped by the operator), a hub
+    link (every fifth shape concentrates authority), or non-
+    navigational noise.  Identical string expression in both
+    engines."""
+    big = "string" if d == SPARK else "VARCHAR"
+    k1 = f"cast((doc_id * 7 + 3) % 20 as {big})"
+    k2 = f"cast(doc_id % 3 as {big})"
+    return (
+        f"concat('<html><body><p>page</p>"
+        f"<a href=\"https://src', {k1}, '-site.com/a\">x</a>', "
+        f"CASE cast(doc_id % 4 as int) "
+        f"WHEN 0 THEN concat('<a href=//cdn', {k2}, "
+        f"'-host.net/lib>cdn</a>') "
+        f"WHEN 1 THEN '<a href=\"/about\">self</a>' "
+        f"WHEN 2 THEN '<A HREF=\"https://hub-central.org/t\">hub</A>' "
+        f"ELSE '<a href=\"mailto:team@example.com\">m</a>"
+        f"<a href=\"#top\">f</a>' END, '</body></html>')"
+    )
+
+
+def _duck_domain_link_edges_cte() -> str:
+    """DuckDB CTE text producing ``edges(src, dst, w)`` by replaying
+    the portable href-extraction / host-resolution / eTLD+1 pipeline
+    over the same fixture."""
+    url = _page_url_fixture_sql(DUCK)
+    html = _link_html_fixture_sql(DUCK)
+    base_host = P.url_host("url", DUCK)
+    src_dom = P.registrable_domain("bh", DUCK)
+    dst_dom = P.registrable_domain("lh", DUCK)
+    return (
+        f"raw AS (SELECT {url} AS url, {html} AS html FROM documents), "
+        f"hx AS (SELECT {base_host} AS bh, "
+        f"unnest({P.html_hrefs('html', DUCK)}) AS href FROM raw), "
+        f"rx AS (SELECT bh, {P.link_host('href', 'bh', DUCK)} AS lh "
+        f"FROM hx), "
+        f"ed AS (SELECT {src_dom} AS src, {dst_dom} AS dst FROM rx "
+        f"WHERE lh IS NOT NULL AND lh <> ''), "
+        f"edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w "
+        f"FROM ed WHERE src <> dst GROUP BY src, dst)"
+    )
+
+
+@query(
+    "docs_domain_link_edges",
+    oracle=(
+        f"WITH {_duck_domain_link_edges_cte()} "
+        f"SELECT src AS src_domain, dst AS dst_domain, w AS n_links "
+        f"FROM edges"
+    ),
+)
+def docs_domain_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain link graph from raw crawl HTML
+    (``web.domain_link_edges``): every <a href> resolved against the
+    page host (absolute / protocol-relative / root-relative; mailto,
+    javascript:, and fragment links dropped), aggregated to
+    (src_domain, dst_domain, n_links) at eTLD+1 granularity with
+    self-edges removed.  Href harvest + resolution are one regex scan
+    projection; the only shuffle is the (src, dst)-keyed count.
+    Value-exact — the oracle replays the identical portable pipeline
+    under RE2."""
+    from .operators import web
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.expr(_page_url_fixture_sql(SPARK)).alias("url"),
+        F.expr(_link_html_fixture_sql(SPARK)).alias("html"),
+    )
+    return web.domain_link_edges(docs, "url", "html")
+
+
+@query(
+    "docs_domain_pagerank",
+    oracle=_pagerank_oracle_sql(5, _duck_domain_link_edges_cte()),
+)
+def docs_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain authority over the crawl link graph: the HTML-derived
+    eTLD+1 edge list feeds ``graph.pagerank_exact`` (5 iterations,
+    damping 0.85, INTEGER fixed-point — rank in ppb, transitions in
+    ppm), so the whole crawl -> link graph -> authority pipeline is
+    value-exact end to end (the oracle replays href extraction AND the
+    unrolled PageRank CTEs).  The authority score is the classic
+    source-reputation prior for crawl frontier ordering and corpus
+    mixture weighting.  Per iteration one rank-edge join + one
+    map-side-combined SUM — the canonical distributed PageRank step."""
+    from .operators import graph, web
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.expr(_page_url_fixture_sql(SPARK)).alias("url"),
+        F.expr(_link_html_fixture_sql(SPARK)).alias("html"),
+    )
+    edges = web.domain_link_edges(docs, "url", "html").select(
+        F.col("src_domain").alias("src"),
+        F.col("dst_domain").alias("dst"),
+        F.col("n_links").alias("w"),
+    )
+    return graph.pagerank_exact(edges, "src", "dst", "w", iterations=5)
 
 
 # --------------------------------------------------------------------------

@@ -1232,3 +1232,46 @@ def license_signal_flags(s: str, d: str) -> dict[str, str]:
         name: rmatch(f"coalesce({s}, '')", pat, d)
         for name, pat in LICENSE_SIGNAL_RES.items()
     }
+
+
+def html_hrefs(html: str, d: str) -> str:
+    """Array of ``href`` attribute values of every ``<a>`` tag, in
+    document order.  Single quotes are normalized to double quotes
+    FIRST (RE2 has no backreferences, so the usual (['\"]).*?\\1 trick
+    is unavailable; quote style never matters for link harvesting),
+    then quoted and unquoted attribute forms are matched separately —
+    the two patterns are disjoint by construction.  Case-insensitive
+    tag/attribute names."""
+    h = f"replace({_strip_noise_html(html, d)}, chr(39), chr(34))"
+    quoted_pat = regex_lit(r'(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"', d)
+    bare_pat = regex_lit(r'(?is)<a\b[^>]*?href\s*=\s*([^\s">]+)', d)
+    if d == SPARK:
+        quoted = f"regexp_extract_all({h}, {quoted_pat}, 1)"
+        bare = f"regexp_extract_all({h}, {bare_pat}, 1)"
+        return f"concat({quoted}, {bare})"
+    quoted = f"regexp_extract_all({h}, {quoted_pat}, 1)"
+    bare = f"regexp_extract_all({h}, {bare_pat}, 1)"
+    return f"list_concat({quoted}, {bare})"
+
+
+def link_host(href: str, base_host: str, d: str) -> str:
+    """Destination HOST of a link, resolved against ``base_host``:
+    absolute URLs keep their own host; protocol-relative ``//h/p``
+    takes ``h``; root-relative and path-relative links stay on
+    ``base_host``; fragment-only and non-navigational schemes
+    (mailto:, javascript:, tel:, data:) resolve to NULL.  Domain-level
+    resolution only — the path part is irrelevant for a site-to-site
+    link graph, so no directory-relative path algebra is needed."""
+    h = f"trim({href})"
+    is_abs = rmatch(h, r"^[A-Za-z][A-Za-z0-9+.-]*://", d)
+    is_proto_rel = rmatch(h, r"^//", d)
+    is_nonnav = rmatch(
+        h, r"^(#|$)|^(mailto|javascript|tel|data):", d
+    )
+    proto_host = url_host(f"concat('http:', {h})", d)
+    return (
+        f"(CASE WHEN {h} IS NULL OR {is_nonnav} THEN NULL "
+        f"WHEN {is_abs} THEN {url_host(h, d)} "
+        f"WHEN {is_proto_rel} THEN {proto_host} "
+        f"ELSE {base_host} END)"
+    )

@@ -87,7 +87,8 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    docs = load(spark, sf, "documents").select("doc_id", "text").cache()
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "text", "source").cache()
     n_docs = docs.count()
     half = docs.where(F.col("doc_id") % 2 == 0)
     other = docs.where(F.col("doc_id") % 2 == 1)
@@ -177,6 +178,8 @@ def main() -> int:
             docs, "doc_id", "text", n=5, hash_mode=m)),
         "shared_ngram_profile": (8, lambda m: text.shared_ngram_profile(
             docs, "doc_id", "text", n=8, min_docs=2, hash_mode=m)),
+        "source_overlap_matrix": (5, lambda m: text.source_overlap_matrix(
+            docs, "source", "text", n=5, hash_mode=m)),
     }
     spaces = {n: keyspace_collisions(n) for n in {n for n, _ in QUANT.values()}}
     results["keyspaces"] = {"mode": "measurement", "ok": True,

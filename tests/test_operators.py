@@ -6822,3 +6822,46 @@ class TestSourceOverlap:
         assert T.source_overlap_matrix(
             df3, "source", "text", n=5, max_sources_per_gram=3
         ).count() == 3
+
+
+class TestDomainLinkEdges:
+    def test_resolution_and_aggregation(self, spark):
+        from ayeaye_spark.operators import web
+
+        rows = [
+            ("https://www.a-site.com/p1",
+             '<a href="https://b-site.com/x">abs</a>'
+             '<a href="/about">self</a>'
+             '<a href=//cdn-host.net/lib>proto</a>'
+             '<a href="mailto:x@y">m</a><a href="#f">f</a>'
+             '<a href=relative.html>rel-self</a>'),
+            ("https://sub.a-site.com/p2",
+             '<a href="https://b-site.com/y">abs again</a>'),
+            ("https://b-site.com/p3",
+             "<a href='https://a-site.com/z'>single quoted</a>"),
+            (None, '<a href="https://x.com/q">dropped: null url</a>'),
+            ("https://c-site.com/p4", None),
+        ]
+        df = spark.createDataFrame(rows, "url string, html string")
+        got = {(r["src_domain"], r["dst_domain"]): r["n_links"]
+               for r in web.domain_link_edges(df, "url", "html").collect()}
+        # self-domain edges (root-relative, path-relative) dropped;
+        # both a-site pages (www + sub) collapse to one eTLD+1 source
+        assert got == {
+            ("a-site.com", "b-site.com"): 2,
+            ("a-site.com", "cdn-host.net"): 1,
+            ("b-site.com", "a-site.com"): 1,
+        }
+
+    def test_self_edges_kept_when_asked(self, spark):
+        from ayeaye_spark.operators import web
+
+        df = spark.createDataFrame(
+            [("https://a-site.com/", '<a href="/x">s</a>')],
+            "url string, html string",
+        )
+        out = web.domain_link_edges(
+            df, "url", "html", drop_self=False
+        ).collect()
+        assert [(r["src_domain"], r["dst_domain"], r["n_links"])
+                for r in out] == [("a-site.com", "a-site.com", 1)]

@@ -610,3 +610,52 @@ def test_license_flags_match_across_engines(spark):
     assert got_s[3][2] and got_s[4][1] and got_s[5][1]
     assert got_s[6][3] and not got_s[7][3]
     assert got_s[10] == (False, False, False, False)  # NULL -> coalesced
+
+
+HREF_CASES = [
+    '<a href="https://Other.COM/x">t</a><a class=k href=\'/rel\'>r</a>'
+    '<A HREF=//cdn.net/y>p</A><a href="#top">f</a><a href="mailto:a@b">m</a>'
+    '<a href=relative.html>q</a><a href="">e</a>',
+    '<script>var a = \'<a href="https://fake.com/x">\';</script>'
+    '<a href="https://real.com/y">ok</a>',       # script links ignored
+    '<a title="no href here">none</a>',
+    "plain text",
+    "",
+    None,
+]
+
+
+def test_html_hrefs_and_link_host_match_across_engines(spark):
+    """portable.html_hrefs / link_host bit-identical across engines."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "rid": range(len(HREF_CASES)), "h": HREF_CASES,
+        "bh": ["base.example.com"] * len(HREF_CASES),
+    })
+    spark.createDataFrame(pdf).createOrReplaceTempView("hreffuzz")
+    con = duckdb.connect()
+    con.register("hreffuzz", pdf)
+
+    def q(d):
+        hosts = P.transform(
+            P.html_hrefs("h", d), "x", P.link_host("x", "bh", d), d
+        )
+        return (f"SELECT rid, {P.html_hrefs('h', d)} AS r, "
+                f"{hosts} AS t FROM hreffuzz")
+
+    def norm(v):
+        return list(v) if v is not None else None
+
+    got_s = {r["rid"]: (norm(r["r"]), norm(r["t"]))
+             for r in spark.sql(q(P.SPARK)).collect()}
+    got_d = {r[0]: (norm(r[1]), norm(r[2]))
+             for r in con.execute(q(P.DUCKDB)).fetchall()}
+    assert got_s == got_d
+    # semantic pins
+    assert got_s[0][1] == ["other.com", "base.example.com", None, None,
+                           None, "cdn.net", "base.example.com"]
+    assert got_s[1][0] == ["https://real.com/y"]  # script-quoted ignored
+    assert got_s[2] == ([], [])
+    assert got_s[5] == (None, None)
