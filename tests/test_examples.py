@@ -518,3 +518,38 @@ def test_hybrid_search(spark, resolver, tmp_path):
            for r in QUERIES["docs_hybrid_rrf"](
                spark, "/root/testdata/sf0.001").collect()}
     assert {(r["doc_id"], r["rank"]) for r in rows} == cat
+
+
+def test_web_corpus(spark, resolver, tmp_path):
+    from pyspark.sql import functions as F
+
+    from examples.web_corpus import WebCorpus
+
+    with resolver.context(
+        docs_path="/root/testdata/sf0.001/documents.parquet",
+        output_path=str(tmp_path),
+    ):
+        assert WebCorpus().go(), "model run must succeed"
+
+    import json
+
+    report = json.loads((tmp_path / "web_corpus.json").read_text())
+    f = report["funnel"]
+    # every stage removed something on this fixture: URL variants
+    # (doc_id%7==3), nav pages (%17==2), mojibake (%11==5), noai (%13==7)
+    assert f["pages"] == 500
+    assert f["pages"] > f["after_url_dedup"] > f["after_boilerplate_gates"]
+    assert f["after_boilerplate_gates"] > f["after_encoding_hygiene"]
+    assert f["after_encoding_hygiene"] > f["curated"] > 0
+    out = spark.read.parquet(str(tmp_path / "web_curated.parquet"))
+    assert out.count() == f["curated"]
+    # curated text passed extraction: no markup survives
+    assert out.where(F.col("text").rlike("<[A-Za-z!/]")).count() == 0
+    # opt-out docs are gone from the curated text
+    assert out.where(F.col("text").contains("noai")).count() == 0
+    # authority report covers the link graph
+    assert report["link_graph_domains"] > 0
+    assert len(report["top_domains_by_authority"]) == 5
+    prs = [d["pr_ppb"] for d in report["top_domains_by_authority"]]
+    assert prs == sorted(prs, reverse=True) and prs[0] > 0
+    assert report["opt_out_sources"], "fixture injects noai marks"
