@@ -10064,9 +10064,10 @@ def docs_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # OUTSIDE the window; their exact/batch twins are inside it.
 # ROUND-10 ROTATION (per r9 verdict item 5): after nine rounds the
 # driver's 50-query samples had cumulatively covered only 89 of the 265
-# catalog entries.  This round rotates TWENTY never-driver-sampled
-# oracle-backed entries into the window (marked "r10-in" below) so the
-# driver record converges toward full coverage; the twenty displaced
+# catalog entries.  This round rotates TWENTY-FOUR never-driver-sampled
+# oracle-backed entries into the window (marked "r10-in" below) — the
+# twenty planned at round open plus four of the round-10 web-corpus
+# queries — so the driver record converges toward full coverage; the displaced
 # incumbents (q7, q13, q18, q21, q22, top3_orders_per_segment,
 # docs_length_midspread, events_user_activity_deciles,
 # docs_heavy_hitter_tokens, orders_pivot_status, customer_set_ops,
@@ -10083,6 +10084,13 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "q5_region_nation_revenue",
     "q6_forecast_revenue",
     "events_peak_concurrency_daily",
+    # r10-in (session 2): HTML main-content extraction and the crawl ->
+    # link graph -> exact-int64 PageRank composition (both never
+    # driver-sampled; docs_source_lang_pagerank, which docs_domain_
+    # pagerank displaces as the pagerank representative, is
+    # driver-green in CORRECTNESS_r09)
+    "docs_html_extract",
+    "docs_domain_pagerank",
     # r10-in: TPC-H subquery shapes never driver-sampled — correlated
     # MIN subquery, conditional-agg shipmode, distinct-count anti-join,
     # doubly-nested IN/scalar subqueries
@@ -10103,12 +10111,10 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "events_funnel",
     "events_cohort_retention",
     # iterative graph
-    "docs_source_lang_pagerank",
     # grouping sets
     "orders_rollup",
     # join shapes: as-of, range
     "events_asof_view_before_click",
-    "events_range_join_purchases",
     # quality rules + embedding-space dedup
     "docs_gopher_filter",
     "dedup_semantic_survivors",

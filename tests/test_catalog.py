@@ -124,30 +124,38 @@ class TestCorrectnessWindow:
         from ayeaye_spark.catalog import _WINDOW_ORDER
 
         window = set(_WINDOW_ORDER)
+        # ROUND-10 REBASELINE: the r10 rotation (per the r9 verdict's
+        # driver-coverage-convergence ask) retired a number of
+        # single-representative families from the window — set ops,
+        # variant access, exact quantile twins, pandas UDAF,
+        # departitioned windows, heavy hitters, triangles, Pareto,
+        # recursive CTE, pivot.  Every retired representative has 1+
+        # green driver samples on record (CORRECTNESS_r1..r9) and stays
+        # value-exact in scripts/run_oracle_gate.py each round; the
+        # pins below are the families with CURRENT in-window
+        # representatives.
         families = {
-            "tpch": {"q1_pricing_summary", "q9_product_profit"},
+            # q9_product_profit rotated to the oracle gate in round
+            # 10 (driver-green in CORRECTNESS_r09) for the web-corpus
+            # URL-dedup flagship
+            "tpch": {"q1_pricing_summary"},
             # events_running_sum rotated to the oracle gate in round 6
             # (running windows stay covered by events_sessionize + the
             # departitioned family)
             "window_fns": {"events_sessionize"},
-            "grouping": {"orders_rollup", "orders_pivot_status"},
-            "set_ops": {"customer_set_ops"},
+            "grouping": {"orders_rollup"},
+            # events_range_join_purchases rotated to the oracle gate
+            # in round 10 session 2 (driver-green in CORRECTNESS_r09);
+            # the as-of join carries the family in-window
             "join_shapes": {
                 "events_asof_view_before_click",
-                "events_range_join_purchases",
-                "customers_with_open_orders",
             },
-            "variant": {"events_props_variant"},
-            # events_distinct_users_exact rotated to the oracle gate in
-            # round 9 session 2 for the classifier calibration family
-            "exact_twins": {"lineitem_price_quartiles_exact"},
             "classifier_calibration": {"docs_classifier_calibration"},
             # doc_quality (r7) and doc_lang_id (r8) rotated to the
             # oracle gate — lang/quality scoring stays in-window via
             # docs_gopher_filter + the grouped-agg UDAF — for BM25 and
             # the corpus-bigram-LM coherence families
             "lm_coherence": {"docs_bigram_coherence"},
-            "pandas_udaf": {"docs_weighted_quality_by_lang"},
             # docs_token_budget (1-row output) rotated to the oracle
             # gate in round 6 for the substring-surgery flagship
             "curation": {
@@ -173,26 +181,22 @@ class TestCorrectnessWindow:
             # prefix-dimension path carry the family in-window
             "ann": {"ann_topk_matryoshka", "ann_topk_sq8"},
             "scd2": {"customer_segment_scd2"},
-            "recursive_cte": {"orders_monthly_gapless"},
             "salted_agg": {"events_salted_type_counts"},
             "quality_rules": {"docs_gopher_filter"},
             "semantic_dedup": {"dedup_semantic_survivors"},
-            # histogram-rank / closed-form-NTILE rewrites: two
-            # representatives under the driver's hard signal (the round-6
-            # rotation moved the other two to the oracle gate to make
-            # room for the new families below)
-            "departitioned_windows": {
-                "docs_length_midspread",
-                "events_user_activity_deciles",
-                "top3_orders_per_segment",
-            },
-            # round-6 families
-            "iterative_graph": {"docs_source_lang_pagerank"},
-            "heavy_hitters_exact": {"docs_heavy_hitter_tokens"},
+            # round-6 families; docs_source_lang_pagerank rotated to
+            # the oracle gate in round 10 session 2 — the crawl-derived
+            # docs_domain_pagerank runs the same pagerank_exact on a
+            # directed link graph and replaces it as the representative
+            "iterative_graph": {"docs_domain_pagerank"},
             # round-7 families
             "bm25_retrieval": {"docs_bm25_topk"},
-            "triangle_census": {"parts_copurchase_triangles"},
-            "pareto_frontier": {"orders_pareto_frontier"},
+            # round-10 family: web-corpus curation
+            "web_corpus": {
+                "docs_url_dedup",
+                "docs_encoding_artifacts",
+                "docs_html_extract",
+            },
         }
         for family, members in families.items():
             assert members <= window, f"{family}: {members - window} outside window"
