@@ -10049,6 +10049,126 @@ def docs_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank_exact(edges, "src", "dst", "w", iterations=5)
 
 
+def _crawl_delta_fixture(d: str) -> tuple[str, str, str]:
+    """(old_where, new_url, new_text): the old snapshot misses
+    doc_id%10==7 (-> added), the new one misses doc_id%10==4
+    (-> removed), every third new URL arrives as a messy variant of
+    the same canonical page (tracking params / port / case — the diff
+    must still line the two sides up), and doc_id%6==2 pages changed
+    content."""
+    base = _page_url_fixture_sql(d)
+    big = "string" if d == SPARK else "VARCHAR"
+    sid = f"cast(doc_id as {big})"
+    messy = (
+        f"concat('HTTPS://www.', source, '-site.com:443/page/', {sid}, "
+        f"'/?utm_source=recrawl#frag')"
+    )
+    new_url = f"(CASE WHEN doc_id % 3 = 0 THEN {messy} ELSE {base} END)"
+    new_text = (
+        "(CASE WHEN doc_id % 6 = 2 THEN concat(coalesce(text, ''), "
+        "' updated content') ELSE text END)"
+    )
+    return "doc_id % 10 <> 7", new_url, new_text
+
+
+def _duck_crawl_delta_oracle() -> str:
+    old_where, new_url, new_text = _crawl_delta_fixture(DUCK)
+    base = _page_url_fixture_sql(DUCK)
+    canon_old = P.canonical_url("url", DUCK)
+    canon_new = P.canonical_url("url", DUCK)
+    fp_old = P.fingerprint("coalesce(text, '')", DUCK)
+    fp_new = P.fingerprint("coalesce(t2, '')", DUCK)
+    return (
+        f"WITH old_raw AS (SELECT {base} AS url, text FROM documents "
+        f"WHERE {old_where}), "
+        f"new_raw AS (SELECT {new_url} AS url, {new_text} AS t2 "
+        f"FROM documents WHERE doc_id % 10 <> 4), "
+        f"o AS (SELECT {canon_old} AS canonical_url, "
+        f"MIN({fp_old}) AS old_fingerprint FROM old_raw GROUP BY 1), "
+        f"n AS (SELECT {canon_new} AS canonical_url, "
+        f"MIN({fp_new}) AS new_fingerprint FROM new_raw GROUP BY 1) "
+        f"SELECT coalesce(o.canonical_url, n.canonical_url) "
+        f"AS canonical_url, "
+        f"CASE WHEN old_fingerprint IS NULL THEN 'added' "
+        f"WHEN new_fingerprint IS NULL THEN 'removed' "
+        f"WHEN old_fingerprint = new_fingerprint THEN 'unchanged' "
+        f"ELSE 'changed' END AS status, "
+        f"old_fingerprint, new_fingerprint "
+        f"FROM o FULL OUTER JOIN n USING (canonical_url)"
+    )
+
+
+@query("docs_crawl_delta", oracle=_duck_crawl_delta_oracle())
+def docs_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot crawl diff (``web.crawl_delta``): per
+    canonical URL, added / removed / changed / unchanged between two
+    crawls — the table an incremental ingest reads to process only the
+    changed slice.  Canonicalization lines the sides up even though a
+    third of the re-crawled URLs arrive as tracking-param/port/case
+    variants.  One URL-keyed aggregate per side + ONE full outer join
+    on the canonical URL (uniform keys); value-exact in both
+    engines."""
+    from .operators import web
+
+    old_where, new_url, new_text = _crawl_delta_fixture(SPARK)
+    docs = load(spark, sf_dir, "documents")
+    old = docs.where(old_where).select(
+        F.expr(_page_url_fixture_sql(SPARK)).alias("url"), "text"
+    )
+    new = docs.where("doc_id % 10 <> 4").select(
+        F.expr(new_url).alias("url"), F.expr(new_text).alias("text")
+    )
+    return web.crawl_delta(old, new, "url", "text")
+
+
+@query("docs_stream_url_dedup")  # no oracle: streaming drain
+def docs_stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl ingest with CANONICAL-URL dedup-on-arrival
+    (``streaming.sinks.url_dedup_sink``): each micro-batch's pages are
+    canonicalized and anti-joined against the versioned
+    ``(canonical_url, id)`` survivor state — the cheapest
+    dedup-on-arrival stage, upstream of the content-level MinHash
+    sink; replayed batch ids skip their committed fold (exactly-once).
+    Derives the same messy-URL fixture as ``docs_url_dedup``, whose
+    BATCH twin is value-exact — the stream's survivor-set size must
+    match the batch canonical-URL count.  Returns one row of (final
+    survivor count, id checksum); arrival/replay semantics pinned in
+    ``tests/test_streaming.py::TestUrlDedupSink``."""
+    import tempfile
+
+    from .streaming.sinks import read_url_dedup_state, url_dedup_sink
+
+    _ensure_session_defaults(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    with tempfile.TemporaryDirectory(prefix="url_state_") as tmp:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+
+        def sink_with_fixture(df: DataFrame, batch_id: int) -> None:
+            pages = df.select(
+                "doc_id", F.expr(_url_fixture_sql(SPARK)).alias("url")
+            )
+            url_dedup_sink(
+                f"{tmp}/state", id_col="doc_id", url_col="url"
+            )(pages, batch_id)
+
+        q = (
+            stream.writeStream.foreachBatch(sink_with_fixture)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = read_url_dedup_state(spark, f"{tmp}/state").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.sum("id").cast("long").alias("id_checksum"),
+        )
+        return out.localCheckpoint()  # detach before the tempdir goes
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -201,3 +201,59 @@ def domain_link_edges(
     return links.groupBy("src_domain", "dst_domain").agg(
         F.count(F.lit(1)).cast("long").alias("n_links")
     )
+
+
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str,
+    text_col: str,
+    *,
+    hash_mode: str = P.PORTABLE,
+) -> DataFrame:
+    """Snapshot-over-snapshot crawl diff: per canonical URL, whether
+    the page was ``added``, ``removed``, ``changed`` (same URL,
+    different content fingerprint), or ``unchanged`` between two
+    crawls — the table an incremental ingest reads to process ONLY the
+    changed slice instead of re-running the pipeline over the full new
+    snapshot.
+
+    Content identity is the normalized-text fingerprint
+    (``portable.fingerprint``; pass ``hash_mode="fast"`` for the
+    64-bit production keyspace).  Each side collapses to one row per
+    canonical URL first (smallest fingerprint wins on intra-snapshot
+    URL duplicates, deterministically), then ONE full outer join on
+    the canonical URL — uniform keys, no skew at any corpus size.
+
+    Output: (canonical_url, status, old_fingerprint, new_fingerprint)
+    with fingerprints NULL on the missing side."""
+    def side(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.where(F.col(url_col).isNotNull())
+            .select(
+                F.expr(P.canonical_url(url_col, P.SPARK)).alias(
+                    "canonical_url"
+                ),
+                F.expr(
+                    P.fingerprint(f"coalesce({text_col}, '')", P.SPARK,
+                                  hash_mode)
+                ).alias(out),
+            )
+            .groupBy("canonical_url")
+            .agg(F.min(out).alias(out))
+        )
+
+    joined = side(old, "old_fingerprint").join(
+        side(new, "new_fingerprint"), "canonical_url", "full_outer"
+    )
+    return joined.select(
+        "canonical_url",
+        F.expr(
+            "CASE WHEN old_fingerprint IS NULL THEN 'added' "
+            "WHEN new_fingerprint IS NULL THEN 'removed' "
+            "WHEN old_fingerprint = new_fingerprint THEN 'unchanged' "
+            "ELSE 'changed' END"
+        ).alias("status"),
+        "old_fingerprint",
+        "new_fingerprint",
+    )

@@ -407,3 +407,71 @@ def read_theta_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return state.withColumn(
         "distinct_est", F.expr("theta_sketch_estimate(sketch)").cast("long")
     )
+
+
+def url_dedup_sink(
+    state_dir: str,
+    *,
+    id_col: str,
+    url_col: str,
+    keep_versions: int = 2,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` incremental CANONICAL-URL dedup of a crawl
+    stream: each micro-batch's survivors — pages whose canonical URL
+    (``portable.canonical_url``: tracking params, default ports,
+    fragments, case variants collapsed) matches neither an
+    already-accepted page nor a smaller-id page in the same batch —
+    fold into a versioned ``(canonical_url, id)`` state table.  The
+    cheapest dedup-on-arrival stage of a streaming crawl ingest,
+    upstream of the content-level :func:`minhash_dedup_sink`; per
+    batch one anti-join against the state (URL-keyed, uniform) + one
+    min-id aggregate over the batch, so steady-state cost scales with
+    the BATCH while state is one narrow row per accepted page.
+
+    Exactly-once like the other versioned sinks: snapshots at
+    ``state_dir/v={batch_id}``, replayed batch ids find their
+    committed snapshot and skip, retention prunes to
+    ``keep_versions``.  Read back with :func:`read_url_dedup_state`."""
+    from ..functions import portable as P
+
+    def apply_batch(df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        target = _join(state_dir, f"v={batch_id}")
+        if _is_committed(spark, target):
+            return  # replayed batch: already folded
+        batch = (
+            df.where(F.col(url_col).isNotNull())
+            .select(
+                F.expr(P.canonical_url(url_col, P.SPARK)).alias(
+                    "canonical_url"
+                ),
+                F.col(id_col).alias("id"),
+            )
+            .groupBy("canonical_url")
+            .agg(F.min("id").alias("id"))
+        )
+        prev = _latest_versioned_state(spark, state_dir, before=batch_id)
+        if prev is not None:
+            fresh = batch.join(
+                prev.select("canonical_url"), "canonical_url", "left_anti"
+            )
+            merged = prev.unionByName(fresh)
+        else:
+            merged = batch
+        merged.write.mode("overwrite").parquet(target)
+        _prune_state_versions(spark, state_dir, keep=keep_versions)
+
+    return apply_batch
+
+
+def read_url_dedup_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest committed ``(canonical_url, id)`` survivor state of
+    :func:`url_dedup_sink`."""
+    state = _latest_versioned_state(spark, state_dir)
+    if state is None:
+        raise FileNotFoundError(
+            f"no committed url-dedup state under {state_dir}"
+        )
+    return state

@@ -6865,3 +6865,55 @@ class TestDomainLinkEdges:
         ).collect()
         assert [(r["src_domain"], r["dst_domain"], r["n_links"])
                 for r in out] == [("a-site.com", "a-site.com", 1)]
+
+
+class TestCrawlDelta:
+    def test_statuses_and_variant_alignment(self, spark):
+        from ayeaye_spark.operators import web
+
+        old = spark.createDataFrame([
+            ("https://a.com/x", "alpha content"),
+            ("https://a.com/y", "beta content"),
+            ("https://a.com/gone", "removed content"),
+            ("https://a.com/dup?b=2&a=1", "dup content"),
+            ("HTTPS://A.com/dup/?a=1&b=2#f", "dup content"),  # intra-dup
+            (None, "null url dropped"),
+        ], "url string, text string")
+        new = spark.createDataFrame([
+            # same page via a tracking variant, same content
+            ("https://a.com/x?utm_source=recrawl", "alpha content"),
+            ("https://a.com/y", "beta content CHANGED"),
+            ("https://a.com/new", "added content"),
+            ("https://a.com/dup?a=1&b=2", "dup content"),
+        ], "url string, text string")
+        got = {r["canonical_url"]: r["status"]
+               for r in web.crawl_delta(old, new, "url", "text").collect()}
+        assert got == {
+            "https://a.com/x": "unchanged",
+            "https://a.com/y": "changed",
+            "https://a.com/gone": "removed",
+            "https://a.com/new": "added",
+            "https://a.com/dup?a=1&b=2": "unchanged",
+        }
+
+    def test_fast_mode_same_statuses(self, spark):
+        from ayeaye_spark.operators import web
+
+        old = spark.createDataFrame(
+            [(f"https://s.com/{i}", f"content {i}") for i in range(20)],
+            "url string, text string",
+        )
+        new = spark.createDataFrame(
+            [(f"https://s.com/{i}",
+              f"content {i}" + (" v2" if i % 3 == 0 else ""))
+             for i in range(2, 22)],
+            "url string, text string",
+        )
+        for mode in ("portable", "fast"):
+            got = {r["canonical_url"]: r["status"]
+                   for r in web.crawl_delta(
+                       old, new, "url", "text", hash_mode=mode).collect()}
+            assert sum(s == "removed" for s in got.values()) == 2
+            assert sum(s == "added" for s in got.values()) == 2
+            assert sum(s == "changed" for s in got.values()) == 6
+            assert sum(s == "unchanged" for s in got.values()) == 12

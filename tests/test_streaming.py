@@ -1048,3 +1048,97 @@ def test_state_sink_version_retention(spark, tmp_path):
     got2 = {r["g"]: r["distinct_est"]
             for r in read_hll_state(spark, state).collect()}
     assert got2 == got
+
+
+class TestUrlDedupSink:
+    def test_dedup_on_arrival_and_replay(self, spark, tmp_path):
+        from ayeaye_spark.streaming.sinks import (
+            read_url_dedup_state, url_dedup_sink,
+        )
+
+        state = str(tmp_path / "url_state")
+        sink = url_dedup_sink(state, id_col="doc_id", url_col="url")
+        kw = "doc_id long, url string"
+        # batch 0: two variants of one page + one distinct + a NULL
+        sink(spark.createDataFrame(
+            [(2, "HTTP://Example.COM:80/a/?utm_source=x&b=2&a=1#f"),
+             (1, "http://example.com/a?a=1&b=2"),
+             (3, "https://other.com/b"),
+             (4, None)], kw), 0)
+        s0 = {(r["canonical_url"], r["id"])
+              for r in read_url_dedup_state(spark, state).collect()}
+        assert s0 == {("http://example.com/a?a=1&b=2", 1),
+                      ("https://other.com/b", 3)}
+
+        # batch 1: a re-crawl variant of history (dropped; history's id
+        # stays) + a fresh page (kept)
+        sink(spark.createDataFrame(
+            [(10, "http://EXAMPLE.com/a?b=2&a=1&gclid=z"),
+             (11, "https://fresh.net/new")], kw), 1)
+        s1 = {(r["canonical_url"], r["id"])
+              for r in read_url_dedup_state(spark, state).collect()}
+        assert s1 == s0 | {("https://fresh.net/new", 11)}
+
+        # replay batch 1: no-op (exactly-once)
+        sink(spark.createDataFrame(
+            [(10, "http://EXAMPLE.com/a?b=2&a=1&gclid=z"),
+             (11, "https://fresh.net/new")], kw), 1)
+        assert {(r["canonical_url"], r["id"])
+                for r in read_url_dedup_state(spark, state).collect()} == s1
+
+    def test_streamed_drain_on_file_uri_state(self, spark, tmp_path):
+        """Drain through a real availableNow stream with the state dir
+        given as an explicit file:/// URI (Hadoop FS path handling)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from ayeaye_spark.streaming.sinks import (
+            read_url_dedup_state, url_dedup_sink,
+        )
+
+        rows = [(i, f"https://site-{i % 4}.com/page?utm_c={i}")
+                for i in range(12)]
+        path = str(tmp_path / "in")
+        spark.createDataFrame(rows, "doc_id long, url string").repartition(
+            3
+        ).write.mode("overwrite").parquet(path)
+        state = "file://" + str(tmp_path / "st")
+        sink = url_dedup_sink(state, id_col="doc_id", url_col="url")
+        q = (
+            spark.readStream.schema(spark.read.parquet(path).schema)
+            .option("maxFilesPerTrigger", 1).parquet(path)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = read_url_dedup_state(spark, state)
+        # tracking params stripped -> 4 distinct canonical pages, and
+        # each survivor is the smallest id seen for its page ACROSS the
+        # drain order (ids 0..3 arrive in batch order by file split —
+        # the invariant that holds regardless of split is min-per-page
+        # within first-arrival batch; check canonical count + no dups)
+        assert got.count() == 4
+        assert got.select("canonical_url").distinct().count() == 4
+        assert {r["canonical_url"] for r in got.collect()} == {
+            f"https://site-{k}.com/page" for k in range(4)
+        }
+
+
+def test_stream_url_dedup_matches_batch_twin(spark):
+    """The streaming drain's survivor-set size must equal the BATCH
+    canonical-URL dedup count on the same fixture (the value-exact
+    docs_url_dedup twin)."""
+    from ayeaye_spark.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    stream_row = QUERIES["docs_stream_url_dedup"](spark, sf).collect()[0]
+    batch = QUERIES["docs_url_dedup"](spark, sf)
+    assert stream_row["n_pages"] == batch.count()
+    # single-batch availableNow drain: survivors are min-id per page,
+    # so the id checksum matches the batch twin's too
+    from pyspark.sql import functions as F
+
+    batch_sum = batch.agg(F.sum("keep_id")).collect()[0][0]
+    assert stream_row["id_checksum"] == batch_sum
