@@ -183,6 +183,30 @@ HEADLINE = {
         "pure scan + project: every rule is an integer-ppm expression over "
         "one materialized token array; no shuffle, no second tokenization."
     ),
+    "docs_url_dedup": (
+        "canonicalization is one chained regex projection in the scan; the "
+        "only shuffle is the hash aggregate keyed on the canonical URL — "
+        "uniform, high-cardinality keys at any corpus size."
+    ),
+    "docs_html_extract": (
+        "whole extraction (comment/script strip, tag rule, entity decode, "
+        "link density) is ONE codegen'd scan projection; zero exchanges."
+    ),
+    "docs_source_overlap": (
+        "inverted-index shape: distinct (source, gram-hash) then a gram-keyed "
+        "self-join — never doc-all-pairs; the ubiquity cap filters grams "
+        "BEFORE the pair join so boilerplate can't fan out quadratically."
+    ),
+    "docs_domain_link_edges": (
+        "href harvest + host resolution in the scan projection; explode is "
+        "output-sized (one row per link) and self-edges drop before the "
+        "only shuffle, the (src,dst)-keyed count."
+    ),
+    "docs_crawl_delta": (
+        "each snapshot collapses to one row per canonical URL (map-side "
+        "combined min-fingerprint), then ONE full outer join on the URL "
+        "key; both inputs are scan+project before their aggregates."
+    ),
     "events_trailing_7d": (
         "RANGE interval frame (value-based, tie-deterministic) over "
         "(user_id, ts) — one shuffle on user_id; decimal-cast running sum "
