@@ -9582,10 +9582,11 @@ def docs_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _url_fixture_sql(d: str) -> str:
-    """One messy URL per doc — doc_id % 6 picks the shape; doc_id div 3
-    keys the page identity so ids {3k, 3k+1, 3k+2} canonicalize to
-    DIFFERENT urls but page_id collisions arise inside each shape
-    class via doc_id div 18 (six shapes x three variants)."""
+    """One messy URL per doc — doc_id % 6 picks the shape and
+    doc_id div 18 keys the page identity, so the three docs
+    {18k+s, 18k+s+6, 18k+s+12} of shape s in each 18-block
+    canonicalize to the SAME page (six shapes x three variants per
+    block); different shapes never collide."""
     big = "string" if d == SPARK else "VARCHAR"
     pid = P.int_div("doc_id", "18", d)
     sid = f"cast({pid} as {big})"
@@ -9637,7 +9638,7 @@ def _duck_url_dedup_oracle() -> str:
         f"WITH raw AS (SELECT doc_id, {u} AS url FROM documents) "
         f"SELECT {canon} AS canonical_url, MIN(doc_id) AS keep_id, "
         f"CAST(COUNT(*) AS BIGINT) AS dup_count "
-        f"FROM raw GROUP BY 1"
+        f"FROM raw WHERE url IS NOT NULL GROUP BY 1"
     )
 
 

@@ -1041,12 +1041,10 @@ def canonical_url(url: str, d: str, *,
         f"WHEN {scheme} = 'https' AND {port} = '443' THEN '' "
         f"ELSE concat(':', {port}) END)"
     )
-    path = (
-        f"(CASE WHEN {rawpath} = '' THEN '/' "
-        f"WHEN {rawpath} <> '/' THEN "
-        f"{regexp_replace_all(rawpath, '/+$', '', d)} "
-        f"ELSE '/' END)"
-    )
+    # strip trailing slashes, then map the empty result ('' input, '/'
+    # or any slashes-only path) back to '/': '//' must equal '/'
+    stripped = regexp_replace_all(rawpath, "/+$", "", d)
+    path = f"(CASE WHEN {stripped} = '' THEN '/' ELSE {stripped} END)"
     params = filter_(
         split_char(query, "&", d), "p",
         f"p <> '' AND NOT {rmatch('p', tracking_re, d)}", d,
@@ -1234,24 +1232,37 @@ def license_signal_flags(s: str, d: str) -> dict[str, str]:
     }
 
 
+def regex_lit_q(pattern: str, d: str) -> str:
+    """Like :func:`regex_lit`, but the pattern may contain single
+    quotes: the literal is emitted as a ``concat(..., chr(39), ...)``
+    of quote-free pieces (constant-folded by both engines, so the
+    regexp functions still see a foldable pattern).  RE2 has no
+    backreferences, so patterns needing a quote character cannot fall
+    back to the (['\"]).*?\\1 trick — this is the supported way."""
+    pieces = pattern.split("'")
+    if len(pieces) == 1:
+        return regex_lit(pattern, d)
+    lits = [regex_lit(p, d) for p in pieces]
+    return "concat(" + ", chr(39), ".join(lits) + ")"
+
+
 def html_hrefs(html: str, d: str) -> str:
-    """Array of ``href`` attribute values of every ``<a>`` tag, in
-    document order.  Single quotes are normalized to double quotes
-    FIRST (RE2 has no backreferences, so the usual (['\"]).*?\\1 trick
-    is unavailable; quote style never matters for link harvesting),
-    then quoted and unquoted attribute forms are matched separately —
-    the two patterns are disjoint by construction.  Case-insensitive
-    tag/attribute names."""
-    h = f"replace({_strip_noise_html(html, d)}, chr(39), chr(34))"
-    quoted_pat = regex_lit(r'(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"', d)
-    bare_pat = regex_lit(r'(?is)<a\b[^>]*?href\s*=\s*([^\s">]+)', d)
+    """Array of ``href`` attribute values of every ``<a>`` tag:
+    double-quoted, then single-quoted, then unquoted attribute forms —
+    document order WITHIN each class, classes concatenated in that
+    order (the three patterns are disjoint by the first character
+    after ``=``, so no href is reported twice and values containing
+    the other quote character come through verbatim).
+    Case-insensitive tag/attribute names; script/style/comment blocks
+    are stripped first so commented-out markup contributes nothing."""
+    h = _strip_noise_html(html, d)
+    dq = regex_lit(r'(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"', d)
+    sq = regex_lit_q("(?is)<a\\b[^>]*?href\\s*=\\s*'([^']*)'", d)
+    bare = regex_lit_q('(?is)<a\\b[^>]*?href\\s*=\\s*([^\\s"\'>]+)', d)
+    arrs = [f"regexp_extract_all({h}, {p}, 1)" for p in (dq, sq, bare)]
     if d == SPARK:
-        quoted = f"regexp_extract_all({h}, {quoted_pat}, 1)"
-        bare = f"regexp_extract_all({h}, {bare_pat}, 1)"
-        return f"concat({quoted}, {bare})"
-    quoted = f"regexp_extract_all({h}, {quoted_pat}, 1)"
-    bare = f"regexp_extract_all({h}, {bare_pat}, 1)"
-    return f"list_concat({quoted}, {bare})"
+        return f"concat({arrs[0]}, {arrs[1]}, {arrs[2]})"
+    return f"list_concat(list_concat({arrs[0]}, {arrs[1]}), {arrs[2]})"
 
 
 def link_host(href: str, base_host: str, d: str) -> str:
@@ -1266,7 +1277,7 @@ def link_host(href: str, base_host: str, d: str) -> str:
     is_abs = rmatch(h, r"^[A-Za-z][A-Za-z0-9+.-]*://", d)
     is_proto_rel = rmatch(h, r"^//", d)
     is_nonnav = rmatch(
-        h, r"^(#|$)|^(mailto|javascript|tel|data):", d
+        h, r"^(#|$)|^(?i:mailto|javascript|tel|data):", d
     )
     proto_host = url_host(f"concat('http:', {h})", d)
     return (

@@ -51,9 +51,15 @@ def url_dedup(
     the smallest-id survivor and the duplicate count — the crawl
     pipeline's first (and cheapest) dedup stage, upstream of content
     fingerprints and MinHash.  One hash aggregate keyed on the
-    canonical URL."""
+    canonical URL.  NULL urls are dropped (they are unkeyable, and a
+    NULL group would otherwise swallow every NULL-url row as
+    "duplicates" of one survivor) — same contract as the streaming
+    twin ``sinks.url_dedup_sink`` and ``domain_stats``."""
     return (
-        with_canonical_url(df, url_col, "_canon", tracking_re=tracking_re)
+        with_canonical_url(
+            df.where(F.col(url_col).isNotNull()), url_col, "_canon",
+            tracking_re=tracking_re,
+        )
         .groupBy(F.col("_canon").alias("canonical_url"))
         .agg(
             F.min(id_col).alias("keep_id"),

@@ -6665,6 +6665,8 @@ class TestWebOperators:
             "https://user@Sub.Example.co.uk.:443//x//?z=9&a=",
             "example.com/path/?fbclid=1",
             "ftp://Files.Example.ORG:21/pub/",
+            "http://example.com//",        # slashes-only path -> '/'
+            "http://example.com///?a=1",
         ]]
         df = spark.createDataFrame(rows, "url string")
         once = web.with_canonical_url(df, "url", "c1")
@@ -6917,3 +6919,49 @@ class TestCrawlDelta:
             assert sum(s == "added" for s in got.values()) == 2
             assert sum(s == "changed" for s in got.values()) == 6
             assert sum(s == "unchanged" for s in got.values()) == 12
+
+
+class TestWebReviewRegressions:
+    """Pins for the round-10 review findings."""
+
+    def test_slashes_only_path_collapses(self, spark):
+        from ayeaye_spark.operators import web
+
+        rows = [(1, "http://example.com//"), (2, "http://example.com/"),
+                (3, "http://example.com")]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = web.url_dedup(df, "doc_id", "url").collect()
+        assert len(out) == 1
+        assert out[0]["canonical_url"] == "http://example.com/"
+        assert (out[0]["keep_id"], out[0]["dup_count"]) == (1, 3)
+
+    def test_null_urls_dropped_not_grouped(self, spark):
+        from ayeaye_spark.operators import web
+
+        rows = [(1, None), (2, None), (3, "https://a.com/x")]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = web.url_dedup(df, "doc_id", "url").collect()
+        assert len(out) == 1 and out[0]["keep_id"] == 3
+
+    def test_uppercase_nonnav_schemes_dropped(self, spark):
+        from pyspark.sql import functions as F
+
+        from ayeaye_spark.functions import portable as P
+
+        df = spark.createDataFrame(
+            [("MAILTO:a@b",), ("Javascript:void(0)",), ("TEL:+1",),
+             ("DATA:text/plain,x",), ("/real",)], "href string")
+        got = [r[0] for r in df.select(
+            F.expr(P.link_host("href", "'base.co'", P.SPARK))).collect()]
+        assert got == [None, None, None, None, "base.co"]
+
+    def test_href_values_with_quotes_survive(self, spark):
+        from pyspark.sql import functions as F
+
+        from ayeaye_spark.functions import portable as P
+
+        html = ('<a href="o\'brien/z">1</a>'
+                "<a href='he said \"hi\"'>2</a>")
+        df = spark.createDataFrame([(html,)], "h string")
+        got = df.select(F.expr(P.html_hrefs("h", P.SPARK))).collect()[0][0]
+        assert list(got) == ["o'brien/z", 'he said "hi"']

@@ -654,8 +654,10 @@ def test_html_hrefs_and_link_host_match_across_engines(spark):
              for r in con.execute(q(P.DUCKDB)).fetchall()}
     assert got_s == got_d
     # semantic pins
-    assert got_s[0][1] == ["other.com", "base.example.com", None, None,
-                           None, "cdn.net", "base.example.com"]
+    # class order: double-quoted, then single-quoted, then bare
+    assert got_s[0][1] == ["other.com", None, None, None,
+                           "base.example.com", "cdn.net",
+                           "base.example.com"]
     assert got_s[1][0] == ["https://real.com/y"]  # script-quoted ignored
     assert got_s[2] == ([], [])
     assert got_s[5] == (None, None)
