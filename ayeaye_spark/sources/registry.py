@@ -38,6 +38,7 @@ from .file_formats import (
 )
 from .arrow_ipc import ArrowIpcConnector
 from .multi import FakeDataConnector, MultiConnector, PlaceholderDataConnector
+from .warc import WarcConnector
 from .webdataset import WebDatasetConnector
 
 _REGISTRY: dict[str, Type[DataConnector]] = {}
@@ -57,7 +58,7 @@ _BUILTIN_CONNECTORS: tuple[Type[DataConnector], ...] = (
     OrcConnector, AvroConnector, XmlConnector,
     UncookedConnector, JdbcConnector, KafkaConnector, BigQueryConnector,
     ElasticsearchConnector, RestfulConnector, FakeDataConnector,
-    WebDatasetConnector, ArrowIpcConnector,
+    WebDatasetConnector, ArrowIpcConnector, WarcConnector,
 )
 
 for cls in _BUILTIN_CONNECTORS:

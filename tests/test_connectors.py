@@ -985,3 +985,112 @@ class TestArrowIpcSchemaPinning:
         assert back.schema == df.schema
         assert back.count() == 10
         assert back.where("text IS NULL").count() == 5
+
+
+class TestWarc:
+    def _fixture_records(self):
+        from ayeaye_spark.sources.warc import http_response_payload
+
+        return [
+            {"warc_type": "warcinfo", "content_type": "application/warc-fields",
+             "payload": b"software: test-crawler/1.0\r\n"},
+            {"warc_type": "request", "target_uri": "https://a.com/x",
+             "warc_date": "2026-08-16T00:00:00Z",
+             "payload": b"GET /x HTTP/1.1\r\nHost: a.com\r\n\r\n"},
+            {"warc_type": "response", "target_uri": "https://a.com/x",
+             "warc_date": "2026-08-16T00:00:00Z",
+             "content_type": "application/http; msgtype=response",
+             "payload": http_response_payload(
+                 "<html><body><p>hello &amp; welcome</p>"
+                 '<a href="/y">next</a></body></html>')},
+            {"warc_type": "response", "target_uri": "https://a.com/img",
+             "content_type": "application/http; msgtype=response",
+             "payload": (b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n"
+                         b"\r\n\x89PNG\r\n\x1a\nbinary \xff body")},
+            {"warc_type": "response", "target_uri": "https://a.com/404",
+             "content_type": "application/http; msgtype=response",
+             "payload": b"HTTP/1.1 404 Not Found\r\n\r\ngone"},
+        ]
+
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_roundtrip(self, spark, tmp_path, gz):
+        from ayeaye_spark.sources.warc import read_warc, write_warc
+
+        path = str(tmp_path / ("a.warc.gz" if gz else "a.warc"))
+        write_warc(path, self._fixture_records())
+        rows = {(r["warc_type"], r["target_uri"]): r
+                for r in read_warc(spark, path).collect()}
+        assert len(rows) == 5
+        assert bytes(rows[("warcinfo", "")]["payload"]).startswith(b"software:")
+        img = bytes(rows[("response", "https://a.com/img")]["payload"])
+        assert img.endswith(b"binary \xff body")
+        assert rows[("request", "https://a.com/x")]["record_id"]
+
+    def test_write_is_byte_deterministic(self, tmp_path):
+        from ayeaye_spark.sources.warc import write_warc
+
+        p1, p2 = str(tmp_path / "x1.warc.gz"), str(tmp_path / "x2.warc.gz")
+        write_warc(p1, self._fixture_records())
+        write_warc(p2, self._fixture_records())
+        assert open(p1, "rb").read() == open(p2, "rb").read()
+
+    def test_http_responses_projection(self, spark, tmp_path):
+        from ayeaye_spark.sources.warc import (
+            http_responses, read_warc, write_warc,
+        )
+
+        path = str(tmp_path / "b.warc")
+        write_warc(path, self._fixture_records())
+        got = {r["target_uri"]: r
+               for r in http_responses(read_warc(spark, path)).collect()}
+        assert set(got) == {"https://a.com/x", "https://a.com/img",
+                            "https://a.com/404"}
+        ok = got["https://a.com/x"]
+        assert ok["http_status"] == 200
+        assert ok["http_content_type"].startswith("text/html")
+        assert "<p>hello &amp; welcome</p>" in ok["html"]
+        img = got["https://a.com/img"]
+        assert img["http_status"] == 200 and img["html"] is None
+        assert bytes(img["body"]).startswith(b"\x89PNG")
+        assert got["https://a.com/404"]["http_status"] == 404
+
+    def test_extraction_composes(self, spark, tmp_path):
+        from ayeaye_spark.operators import web
+        from ayeaye_spark.sources.warc import (
+            http_responses, read_warc, write_warc,
+        )
+
+        path = str(tmp_path / "c.warc.gz")
+        write_warc(path, self._fixture_records())
+        pages = http_responses(read_warc(spark, path)).where(
+            "html IS NOT NULL"
+        )
+        out = web.html_extract(pages, "target_uri", "html").collect()
+        got = {r["target_uri"]: r for r in out}
+        assert got["https://a.com/x"]["text"] == "hello & welcome next"
+        assert got["https://a.com/x"]["n_links"] == 1
+
+    def test_connector_and_glob(self, spark, tmp_path):
+        from ayeaye_spark import AccessMode
+        from ayeaye_spark.sources.base import ConnectorError
+        from ayeaye_spark.sources.warc import WarcConnector, write_warc
+
+        write_warc(str(tmp_path / "s1.warc"), self._fixture_records()[:2])
+        write_warc(str(tmp_path / "s2.warc.gz"), self._fixture_records()[2:])
+        c = WarcConnector(f"warc://{tmp_path}")
+        assert c.read(spark).count() == 5
+        r = WarcConnector(f"warc://{tmp_path}/*.warc*;responses")
+        resp = r.read(spark)
+        assert resp.count() == 3 and "http_status" in resp.columns
+        w = WarcConnector(f"warc://{tmp_path}", access=AccessMode.WRITE)
+        with pytest.raises(ConnectorError, match="read-only"):
+            w.write(resp)
+
+    def test_malformed_raises(self, spark, tmp_path):
+        from ayeaye_spark.sources.base import ConnectorError
+        from ayeaye_spark.sources.warc import parse_warc_bytes
+
+        with pytest.raises(ConnectorError, match="version line"):
+            list(parse_warc_bytes(b"HTTP/1.1 200 OK\r\n\r\nnope"))
+        with pytest.raises(ConnectorError, match="Content-Length"):
+            list(parse_warc_bytes(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n"))
