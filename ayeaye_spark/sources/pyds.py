@@ -340,6 +340,71 @@ class WdsReader(DataSourceReader):
                 yield (fpath, key, suffix, member.read() if member else b"")
 
 
+class WarcDataSource(DataSource):
+    """``spark.read.format("ayeaye_warc")`` — WARC crawl archives with
+    ONE INPUT PARTITION PER ARCHIVE and true record streaming.
+
+    The ``binaryFile``-based reader (``sources/warc.py:read_warc``)
+    materializes each archive as one binary cell — fine at the ~1 GB
+    sizes crawls ship in, but bounded by Spark's 2 GB single-value
+    limit.  This source iterates records straight off the (gzip)
+    stream instead: peak memory per task is ONE record, so oversized
+    archives read safely.  Archive files are listed on the driver
+    (names only); all byte I/O happens on executors.
+
+    Options: ``path`` — archive glob (``/data/crawl/*.warc.gz``).
+    Schema is ``sources/warc.py:RECORD_SCHEMA``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "ayeaye_warc"
+
+    def schema(self) -> str:
+        from .warc import RECORD_SCHEMA
+
+        return RECORD_SCHEMA
+
+    def reader(self, schema) -> "WarcReader":
+        return WarcReader(self.options)
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "ayeaye_warc requires .option('path', '/dir/*.warc.gz')"
+            )
+
+    def partitions(self):
+        from glob import glob
+
+        files = sorted(glob(self.path))
+        if not files:
+            raise FileNotFoundError(
+                f"ayeaye_warc: no archives match {self.path}"
+            )
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        # runs on an EXECUTOR: records stream one at a time
+        from .warc import open_warc, parse_warc_stream
+
+        fpath = partition.value
+        with open_warc(fpath) as f:
+            for rec in parse_warc_stream(f):
+                yield (
+                    fpath,
+                    rec.get("warc-type", ""),
+                    rec.get("warc-record-id", ""),
+                    rec.get("warc-target-uri", ""),
+                    rec.get("warc-date", ""),
+                    rec.get("content-type", ""),
+                    rec["payload"],
+                )
+
+
 class ArrowIpcDataSource(DataSource):
     """``spark.read.format("ayeaye_arrow")`` — Arrow IPC (Feather v2)
     shard files, one input partition per file.
@@ -403,9 +468,11 @@ def register_python_datasources(spark) -> list[str]:
     spark.dataSource.register(RestStreamDataSource)
     spark.dataSource.register(WdsDataSource)
     spark.dataSource.register(ArrowIpcDataSource)
+    spark.dataSource.register(WarcDataSource)
     return [
         RestDataSource.name(),
         RestStreamDataSource.name(),
         WdsDataSource.name(),
         ArrowIpcDataSource.name(),
+        WarcDataSource.name(),
     ]

@@ -36,7 +36,6 @@ from __future__ import annotations
 
 import gzip
 import io
-import zlib
 from typing import Any, Iterator
 
 import pandas as pd
@@ -54,60 +53,70 @@ RECORD_SCHEMA = (
 _CRLF = b"\r\n"
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a stream of concatenated gzip members (the
-    record-per-member ``.warc.gz`` layout) into one plain byte run."""
-    out = []
-    while data:
-        d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
-        out.append(d.decompress(data))
-        out.append(d.flush())
-        data = d.unused_data
-    return b"".join(out)
-
-
-def parse_warc_bytes(data: bytes) -> Iterator[dict[str, Any]]:
-    """Yield one dict per WARC record: the named headers (lowercased
-    keys, version line under ``_version``) plus ``payload`` bytes.
-    Handles plain and gzip archives; skips stray blank lines between
-    records (real crawlers vary between one and two trailing CRLFs)."""
-    if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record blank lines
-        while data.startswith(_CRLF, pos):
-            pos += 2
-        if pos >= n:
+def parse_warc_stream(f) -> Iterator[dict[str, Any]]:
+    """Yield one dict per WARC record off a binary file object: the
+    named headers (lowercased keys, version line under ``_version``)
+    plus ``payload`` bytes.  Incremental — holds ONE record in memory
+    at a time (the streaming DataSource's contract); skips stray blank
+    lines between records (real crawlers vary between one and two
+    trailing CRLFs)."""
+    while True:
+        line = f.readline()
+        if not line:
             return
-        head_end = data.find(_CRLF + _CRLF, pos)
-        if head_end < 0:
+        if line in (b"\r\n", b"\n"):
+            continue
+        version = line.decode("utf-8", "replace").rstrip("\r\n")
+        if not version.startswith("WARC/"):
             raise ConnectorError(
-                f"malformed WARC: unterminated header block at byte {pos}"
+                f"malformed WARC: expected version line, got {version[:40]!r}"
             )
-        header_block = data[pos:head_end].decode("utf-8", "replace")
-        lines = header_block.split("\r\n")
-        if not lines[0].startswith("WARC/"):
-            raise ConnectorError(
-                f"malformed WARC: expected version line at byte {pos}, "
-                f"got {lines[0][:40]!r}"
-            )
-        rec: dict[str, Any] = {"_version": lines[0]}
-        for line in lines[1:]:
-            name, _, value = line.partition(":")
+        rec: dict[str, Any] = {"_version": version}
+        while True:
+            h = f.readline()
+            if not h:
+                raise ConnectorError(
+                    "malformed WARC: unterminated header block"
+                )
+            if h in (b"\r\n", b"\n"):
+                break
+            name, _, value = h.decode("utf-8", "replace").partition(":")
             rec[name.strip().lower()] = value.strip()
         try:
             length = int(rec["content-length"])
         except (KeyError, ValueError):
             raise ConnectorError(
-                "malformed WARC: record without a numeric Content-Length "
-                f"at byte {pos}"
+                "malformed WARC: record without a numeric Content-Length"
             ) from None
-        body_start = head_end + 4
-        rec["payload"] = data[body_start:body_start + length]
-        pos = body_start + length
+        payload = f.read(length)
+        if len(payload) < length:
+            raise ConnectorError(
+                f"malformed WARC: payload truncated ({len(payload)} of "
+                f"{length} bytes)"
+            )
+        rec["payload"] = payload
         yield rec
+
+
+def open_warc(path: str):
+    """Binary stream over a WARC archive path — gzip-wrapped when the
+    magic bytes say so (Python's gzip reads the record-per-member
+    layout natively)."""
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=f)
+    return f
+
+
+def parse_warc_bytes(data: bytes) -> Iterator[dict[str, Any]]:
+    """:func:`parse_warc_stream` over in-memory archive bytes (plain
+    or gzip) — the ``binaryFile`` reader's entry point."""
+    buf = io.BytesIO(data)
+    if data[:2] == b"\x1f\x8b":
+        return parse_warc_stream(gzip.GzipFile(fileobj=buf))
+    return parse_warc_stream(buf)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

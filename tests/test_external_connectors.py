@@ -501,3 +501,52 @@ class TestWdsPythonDataSource:
         with pytest.raises(Exception, match="no shards match"):
             (spark.read.format("ayeaye_wds")
              .option("path", f"{tmp_path}/nope-*.tar").load().collect())
+
+
+class TestWarcPythonDataSource:
+    def test_streaming_record_read_matches_binaryfile_reader(
+        self, spark, tmp_path
+    ):
+        from ayeaye_spark.sources.pyds import register_python_datasources
+        from ayeaye_spark.sources.warc import (
+            http_response_payload, read_warc, write_warc,
+        )
+
+        for shard in range(3):
+            write_warc(
+                str(tmp_path / f"crawl-{shard}.warc.gz"),
+                [{"warc_type": "response",
+                  "target_uri": f"https://s{shard}.com/p{i}",
+                  "warc_date": "2026-08-16T00:00:00Z",
+                  "content_type": "application/http; msgtype=response",
+                  "payload": http_response_payload(
+                      f"<p>doc {shard}/{i}</p>")}
+                 for i in range(10)],
+            )
+
+        register_python_datasources(spark)
+        via_ds = (
+            spark.read.format("ayeaye_warc")
+            .option("path", f"{tmp_path}/crawl-*.warc.gz")
+            .load()
+        )
+        # one input partition per archive
+        assert via_ds.rdd.getNumPartitions() == 3
+        a = {(r["target_uri"], bytes(r["payload"]))
+             for r in via_ds.collect()}
+        b = {(r["target_uri"], bytes(r["payload"]))
+             for r in read_warc(
+                 spark, f"{tmp_path}/crawl-*.warc.gz").collect()}
+        assert a == b and len(a) == 30
+
+    def test_missing_and_unmatched_path(self, spark, tmp_path):
+        import pytest
+
+        from ayeaye_spark.sources.pyds import register_python_datasources
+
+        register_python_datasources(spark)
+        with pytest.raises(Exception, match="requires .option"):
+            spark.read.format("ayeaye_warc").load().collect()
+        with pytest.raises(Exception, match="no archives match"):
+            (spark.read.format("ayeaye_warc")
+             .option("path", f"{tmp_path}/nope-*.warc").load().collect())
