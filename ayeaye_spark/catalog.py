@@ -10170,6 +10170,135 @@ def docs_stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()  # detach before the tempdir goes
 
 
+def _robots_fixture_sql(d: str) -> str:
+    """robots.txt text per host (source % 3 picks the policy): a
+    Disallow-with-Allow-carveout group, a wildcard+anchor rule, and a
+    group for a DIFFERENT agent only (no ``*`` rules -> everything
+    allowed)."""
+    nl = "chr(10)"
+    return (
+        f"(CASE cast("
+        f"cast(substring(source, 4) as int) % 3 as int) "
+        f"WHEN 0 THEN concat('# crawl policy', {nl}, "
+        f"'User-agent: *', {nl}, 'Disallow: /page/', {nl}, "
+        f"'Allow: /page/1*', {nl}) "
+        f"WHEN 1 THEN concat('User-agent: *', {nl}, "
+        f"'Disallow: /*9$', {nl}, 'Disallow:', {nl}) "
+        f"ELSE concat('User-agent: googlebot', {nl}, "
+        f"'Disallow: /', {nl}) END)"
+    )
+
+
+def _duck_robots_oracle() -> str:
+    url = _page_url_fixture_sql(DUCK)
+    txt = _robots_fixture_sql(DUCK)
+    host = P.url_host("url", DUCK)
+    pathq = P.url_pathq("url", DUCK)
+    regex = P.robots_rule_regex("path_rule", DUCK)
+    return f"""
+    WITH pages AS (SELECT doc_id, {url} AS url FROM documents),
+    robots AS (
+      SELECT DISTINCT 'www.' || source || '-site.com' AS host,
+             {txt} AS txt
+      FROM documents
+    ),
+    splits AS (SELECT host, string_split(txt, chr(10)) AS sl FROM robots),
+    lns AS (
+      SELECT host, i AS pos,
+             trim(regexp_replace(sl[i], '#.*$', '')) AS line
+      FROM splits, unnest(range(1, len(sl) + 1)) AS t(i)
+    ),
+    kinds AS (
+      SELECT host, pos,
+        lower(regexp_extract(line,
+              '(?i)^(user-agent|allow|disallow)\\s*:', 1)) AS kind,
+        trim(regexp_extract(line, '(?i)^[a-z-]+\\s*:\\s*(.*)$', 1)) AS val
+      FROM lns
+      WHERE regexp_extract(line,
+            '(?i)^(user-agent|allow|disallow)\\s*:', 1) <> ''
+    ),
+    flagged AS (
+      SELECT host, pos, kind, val,
+        CASE WHEN kind = 'user-agent' AND
+             coalesce(LAG(kind) OVER (PARTITION BY host ORDER BY pos),
+                      '') <> 'user-agent'
+        THEN 1 ELSE 0 END AS new_group
+      FROM kinds
+    ),
+    grouped AS (
+      SELECT host, kind, val,
+        SUM(new_group) OVER (PARTITION BY host ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      FROM flagged
+    ),
+    agents AS (
+      SELECT DISTINCT host, gid FROM grouped
+      WHERE kind = 'user-agent' AND lower(val) = '*'
+    ),
+    rules AS (
+      SELECT DISTINCT g.host, g.kind AS rule_type, g.val AS path_rule,
+             {regex} AS rule_regex,
+             CAST(length(g.val) AS BIGINT) AS rule_len
+      FROM grouped g JOIN agents a ON g.host = a.host AND g.gid = a.gid
+      WHERE g.kind IN ('allow', 'disallow') AND g.val <> ''
+    ),
+    keyed AS (
+      SELECT doc_id, {host} AS host, {pathq} AS pathq FROM pages
+    ),
+    cand AS (
+      SELECT k.doc_id, r.rule_type, r.path_rule, r.rule_len,
+             r.rule_regex IS NOT NULL
+             AND regexp_matches(k.pathq, r.rule_regex) AS m
+      FROM keyed k LEFT JOIN rules r ON k.host = r.host
+    ),
+    ranked AS (
+      SELECT doc_id,
+             MAX(CASE WHEN m THEN rule_len * 2 +
+                 CASE WHEN rule_type = 'allow' THEN 1 ELSE 0 END END)
+             AS rnk
+      FROM cand GROUP BY doc_id
+    ),
+    winner AS (
+      SELECT c.doc_id, MIN(c.path_rule) AS matched_rule
+      FROM cand c JOIN ranked r ON c.doc_id = r.doc_id
+      WHERE c.m AND c.rule_len * 2 +
+            CASE WHEN c.rule_type = 'allow' THEN 1 ELSE 0 END = r.rnk
+      GROUP BY c.doc_id
+    )
+    SELECT r.doc_id, r.rnk IS NULL OR r.rnk % 2 = 1 AS allowed,
+           w.matched_rule,
+           CASE WHEN r.rnk IS NULL THEN NULL
+                WHEN r.rnk % 2 = 1 THEN 'allow'
+                ELSE 'disallow' END AS matched_type
+    FROM ranked r LEFT JOIN winner w ON r.doc_id = w.doc_id
+    """
+
+
+@query("docs_robots_compliance", oracle=_duck_robots_oracle())
+def docs_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-compliance gate (``web.robots_filter``): RFC 9309
+    robots.txt evaluation per page — grouped User-agent parsing with
+    comment stripping, ``*``/trailing-``$`` wildcard rules translated
+    to anchored regexes, longest-match-wins with ties to allow, absent
+    rules meaning allowed.  The integer rank (rule_len*2 + is_allow)
+    encodes the precedence with no struct comparisons, so the whole
+    pipeline — including the per-row regex match — replays value-exact
+    in DuckDB.  Robots files are per-host and small: the parse window
+    is bounded by file size, pages join rules on the host key."""
+    from .operators import web
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", F.expr(_page_url_fixture_sql(SPARK)).alias("url")
+    )
+    robots = docs.select(
+        F.concat(F.lit("www."), F.col("source"), F.lit("-site.com"))
+        .alias("host"),
+        F.expr(_robots_fixture_sql(SPARK)).alias("robots_txt"),
+    ).distinct()
+    return web.robots_filter(pages, robots, "doc_id", "url")
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

@@ -1286,3 +1286,60 @@ def link_host(href: str, base_host: str, d: str) -> str:
         f"WHEN {is_proto_rel} THEN {proto_host} "
         f"ELSE {base_host} END)"
     )
+
+
+# --------------------------------------------------------------------------
+# robots.txt (RFC 9309) rule matching
+# --------------------------------------------------------------------------
+
+
+def regex_escape_col(expr: str, d: str) -> str:
+    """Escape regex metacharacters in a string COLUMN (for building a
+    per-row pattern).  Replacement backreference syntax differs: Spark
+    ``$1``, DuckDB ``\\1``."""
+    if d == SPARK:
+        return (
+            f"regexp_replace({expr}, "
+            r"'([.+?(){}\\[\\]|^$*\\\\])', '\\\\$1')"
+        )
+    return (
+        f"regexp_replace({expr}, "
+        r"'([.+?(){}\[\]|^$*\\])', '\\\1', 'g')"
+    )
+
+
+def robots_rule_regex(rule: str, d: str) -> str:
+    """Anchored regex for an RFC 9309 path rule: metachars escaped,
+    ``*`` becomes ``.*``, a trailing ``$`` becomes an end anchor, and
+    the whole pattern is start-anchored (robots rules are
+    path-prefix matches)."""
+    esc = regex_escape_col(rule, d)
+    star = f"replace({esc}, concat(chr(92), '*'), '.*')"
+    tail = "concat(chr(92), '$')"
+    unanchored = (
+        f"(CASE WHEN right({star}, 2) = {tail} "
+        f"THEN concat(left({star}, length({star}) - 2), '$') "
+        f"ELSE {star} END)"
+    )
+    return f"concat('^', {unanchored})"
+
+
+def regexp_like_col(s: str, pattern_expr: str, d: str) -> str:
+    """Regex containment where the PATTERN is a per-row expression
+    (verified supported by both engines)."""
+    if d == SPARK:
+        return f"regexp_like({s}, {pattern_expr})"
+    return f"regexp_matches({s}, {pattern_expr})"
+
+
+def url_pathq(url: str, d: str) -> str:
+    """Path-plus-query of a URL ('' scheme/authority stripped; empty
+    path -> '/'; fragment dropped) — the string robots rules match
+    against."""
+    rest = regexp_replace_all(
+        f"trim({url})", r"^[A-Za-z][A-Za-z0-9+.-]*://", "", d
+    )
+    nofrag = regexp_replace_all(rest, r"#.*$", "", d)
+    authority = regexp_extract_g(nofrag, r"^([^/?]*)", 1, d)
+    pq = f"substring({nofrag}, length({authority}) + 1)"
+    return f"(CASE WHEN {pq} = '' THEN '/' ELSE {pq} END)"

@@ -263,3 +263,155 @@ def crawl_delta(
         "old_fingerprint",
         "new_fingerprint",
     )
+
+
+def parse_robots_rules(
+    robots: DataFrame,
+    host_col: str,
+    text_col: str,
+    *,
+    agent: str = "*",
+) -> DataFrame:
+    """RFC 9309 robots.txt parser: per host, the Allow/Disallow path
+    rules governing ``agent`` — comments stripped, rules attached to
+    the nearest preceding run of ``User-agent`` lines (a group), empty
+    rule values (the "Disallow:" allow-everything idiom) dropped.
+
+    Output: (host, rule_type allow|disallow, path_rule, rule_regex,
+    rule_len) — ``rule_regex`` is the anchored translation of the rule
+    (``*`` -> ``.*``, trailing ``$`` -> end anchor) that
+    :func:`robots_filter` matches against.
+
+    Scale shape: robots files are small (a few hundred lines), so the
+    per-host line window is bounded by file size, never corpus size;
+    everything else is scan projection."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .alias("_pos", "_raw"),
+    ).select(
+        "host", "_pos",
+        F.expr(
+            "trim(regexp_replace(_raw, '#.*$', ''))"
+        ).alias("_line"),
+    ).select(
+        "host", "_pos",
+        F.expr(
+            r"lower(regexp_extract(_line, "
+            r"'(?i)^(user-agent|allow|disallow)\\s*:', 1))"
+        ).alias("_kind"),
+        F.expr(
+            r"trim(regexp_extract(_line, '(?i)^[a-z-]+\\s*:\\s*(.*)$', 1))"
+        ).alias("_value"),
+    ).where(F.col("_kind") != "")
+    w = Window.partitionBy("host").orderBy("_pos")
+    grouped = lines.withColumn(
+        "_new_group",
+        (
+            (F.col("_kind") == "user-agent")
+            & (F.coalesce(F.lag("_kind").over(w), F.lit(""))
+               != "user-agent")
+        ).cast("int"),
+    ).withColumn(
+        "_gid",
+        F.sum("_new_group").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    agents = grouped.where(
+        (F.col("_kind") == "user-agent")
+        & (F.lower("_value") == agent.lower())
+    ).select("host", "_gid").distinct()
+    rules = grouped.where(
+        F.col("_kind").isin("allow", "disallow") & (F.col("_value") != "")
+    ).select(
+        "host", "_gid",
+        F.col("_kind").alias("rule_type"),
+        F.col("_value").alias("path_rule"),
+    )
+    return (
+        rules.join(agents, ["host", "_gid"])
+        .select(
+            "host", "rule_type", "path_rule",
+            F.expr(P.robots_rule_regex("path_rule", P.SPARK)).alias(
+                "rule_regex"
+            ),
+            F.length("path_rule").cast("long").alias("rule_len"),
+        )
+        .distinct()
+    )
+
+
+def robots_filter(
+    pages: DataFrame,
+    robots: DataFrame,
+    id_col: str,
+    url_col: str,
+    *,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Crawl-compliance gate: for every page, whether ``agent`` may
+    fetch it under its host's robots.txt (RFC 9309 longest-match: the
+    most specific matching rule wins, ties go to allow; no matching
+    rule and no robots file both mean allowed).
+
+    Join shape: pages join their host's parsed rules (robots frames
+    are host-keyed and small per host), the per-row anchored regex
+    match runs in the join projection, and one integer aggregate picks
+    the winner — ``rank = rule_len * 2 + is_allow`` maximized over
+    matching rules encodes longest-wins-ties-allow with NO struct
+    comparisons (portable to the oracle).
+
+    Output: (id_col, allowed, matched_rule, matched_type)."""
+    rules = parse_robots_rules(robots, host_col, text_col, agent=agent)
+    keyed = pages.select(
+        F.col(id_col),
+        F.expr(P.url_host(url_col, P.SPARK)).alias("host"),
+        F.expr(P.url_pathq(url_col, P.SPARK)).alias("_pathq"),
+    )
+    cand = keyed.join(rules, "host", "left").withColumn(
+        "_m",
+        F.col("rule_regex").isNotNull()
+        & F.expr(P.regexp_like_col("_pathq", "rule_regex", P.SPARK)),
+    )
+    ranked = cand.groupBy(id_col).agg(
+        F.max(
+            F.when(
+                F.col("_m"),
+                F.col("rule_len") * 2
+                + (F.col("rule_type") == "allow").cast("long"),
+            )
+        ).alias("_rank")
+    )
+    winner = (
+        cand.join(ranked, id_col)
+        .where(
+            F.col("_m")
+            & (
+                F.col("rule_len") * 2
+                + (F.col("rule_type") == "allow").cast("long")
+                == F.col("_rank")
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.min("path_rule").alias("matched_rule"))
+    )
+    out = (
+        ranked.join(winner, id_col, "left")
+        .withColumn(
+            "allowed",
+            F.col("_rank").isNull() | (F.col("_rank") % 2 == 1),
+        )
+        .withColumn(
+            "matched_type",
+            F.when(F.col("_rank").isNull(), F.lit(None).cast("string"))
+            .when(F.col("_rank") % 2 == 1, F.lit("allow"))
+            .otherwise(F.lit("disallow")),
+        )
+        .select(id_col, "allowed", "matched_rule", "matched_type")
+    )
+    return out

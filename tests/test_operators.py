@@ -6965,3 +6965,78 @@ class TestWebReviewRegressions:
         df = spark.createDataFrame([(html,)], "h string")
         got = df.select(F.expr(P.html_hrefs("h", P.SPARK))).collect()[0][0]
         assert list(got) == ["o'brien/z", 'he said "hi"']
+
+
+class TestRobotsCompliance:
+    ROBOTS = """# comment line
+User-agent: *
+Disallow: /private/
+Allow: /private/open
+Disallow: /*.gif$
+Disallow:
+
+User-agent: badbot
+Disallow: /
+"""
+
+    def test_rfc9309_semantics(self, spark):
+        from ayeaye_spark.operators import web
+
+        robots = spark.createDataFrame(
+            [("a.com", self.ROBOTS),
+             ("b.com", "User-agent: googlebot\nDisallow: /\n")],
+            "host string, robots_txt string",
+        )
+        pages = spark.createDataFrame([
+            (1, "https://a.com/public/page.html"),
+            (2, "https://a.com/private/secret"),
+            (3, "https://a.com/private/open/doc"),    # allow carveout wins
+            (4, "https://a.com/img/pic.gif"),          # wildcard + $ anchor
+            (5, "https://a.com/img/pic.gift"),         # $ anchor: no match
+            (6, "https://b.com/x"),                    # no * group
+            (7, "https://c.com/no-robots"),            # host absent
+            (8, "https://A.com:443/private/x?y=1"),    # host canonicalized
+            (9, "https://a.com"),                      # empty path -> '/'
+        ], "doc_id long, url string")
+        got = {r["doc_id"]: (r["allowed"], r["matched_rule"],
+                             r["matched_type"])
+               for r in web.robots_filter(
+                   pages, robots, "doc_id", "url").collect()}
+        assert got[1] == (True, None, None)
+        assert got[2] == (False, "/private/", "disallow")
+        assert got[3] == (True, "/private/open", "allow")
+        assert got[4] == (False, "/*.gif$", "disallow")
+        assert got[5] == (True, None, None)
+        assert got[6] == (True, None, None)
+        assert got[7] == (True, None, None)
+        assert got[8] == (False, "/private/", "disallow")
+        assert got[9] == (True, None, None)
+
+    def test_specific_agent_group(self, spark):
+        from ayeaye_spark.operators import web
+
+        robots = spark.createDataFrame(
+            [("a.com", self.ROBOTS)], "host string, robots_txt string")
+        pages = spark.createDataFrame(
+            [(1, "https://a.com/anything")], "doc_id long, url string")
+        got = web.robots_filter(
+            pages, robots, "doc_id", "url", agent="badbot"
+        ).collect()[0]
+        assert got["allowed"] is False and got["matched_rule"] == "/"
+
+    def test_shared_agent_run(self, spark):
+        """Two consecutive User-agent lines share one rule group."""
+        from ayeaye_spark.operators import web
+
+        robots = spark.createDataFrame([(
+            "a.com",
+            "User-agent: botA\nUser-agent: *\nDisallow: /x\n",
+        )], "host string, robots_txt string")
+        pages = spark.createDataFrame(
+            [(1, "https://a.com/x/1"), (2, "https://a.com/y")],
+            "doc_id long, url string",
+        )
+        got = {r["doc_id"]: r["allowed"]
+               for r in web.robots_filter(
+                   pages, robots, "doc_id", "url").collect()}
+        assert got == {1: False, 2: True}
