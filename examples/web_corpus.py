@@ -98,9 +98,35 @@ class WebCorpus(Model):
             F.expr(url).alias("url"), F.expr(html).alias("html"),
         )
 
+    def _robots_frame(self):
+        """Per-host robots.txt: every fifth source disallows its
+        /page/ tree to all agents (a real crawl fetches these; the
+        test corpus derives them)."""
+        return self.documents.df.select(
+            F.concat(F.lit("www."), F.col("source"), F.lit("-site.com"))
+            .alias("host"),
+            F.expr(
+                "CASE WHEN cast(substring(source, 4) as int) % 5 = 0 "
+                "THEN concat('User-agent: *', chr(10), "
+                "'Disallow: /page/', chr(10)) "
+                "ELSE concat('User-agent: *', chr(10), "
+                "'Disallow: /admin/', chr(10)) END"
+            ).alias("robots_txt"),
+        ).distinct()
+
     def build(self):
-        pages = self._crawl_frame()
-        n_pages = pages.count()
+        crawled = self._crawl_frame()
+        n_pages = crawled.count()
+
+        # 0. robots compliance: drop pages the site's robots.txt
+        # disallows for '*' — the gate a lawful crawl applies FIRST
+        verdicts = web.robots_filter(
+            crawled, self._robots_frame(), "doc_id", "url"
+        )
+        pages = crawled.join(
+            verdicts.where(F.col("allowed")).select("doc_id"), "doc_id"
+        )
+        n_robots_allowed = pages.count()
 
         # 1. canonical-URL dedup: smallest doc_id survives per page
         survivors = web.url_dedup(pages, "doc_id", "url").select(
@@ -137,7 +163,8 @@ class WebCorpus(Model):
         )
 
         # 5. domain authority over the FULL crawl's link graph
-        edges = web.domain_link_edges(pages, "url", "html")
+        # (links exist whether or not robots lets us fetch the target)
+        edges = web.domain_link_edges(crawled, "url", "html")
         pr = graph.pagerank_exact(
             edges.select(
                 F.col("src_domain").alias("src"),
@@ -163,6 +190,7 @@ class WebCorpus(Model):
         self.report.data = {
             "funnel": {
                 "pages": n_pages,
+                "after_robots_gate": n_robots_allowed,
                 "after_url_dedup": n_url_deduped,
                 "after_boilerplate_gates": n_content,
                 "after_encoding_hygiene": n_clean,
@@ -180,7 +208,7 @@ class WebCorpus(Model):
     def post_build_check(self) -> bool:
         f = self.report.data["funnel"]
         monotone = (
-            f["pages"] >= f["after_url_dedup"]
+            f["pages"] >= f["after_robots_gate"] >= f["after_url_dedup"]
             >= f["after_boilerplate_gates"] >= f["after_encoding_hygiene"]
             >= f["curated"] > 0
         )

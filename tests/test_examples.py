@@ -538,7 +538,10 @@ def test_web_corpus(spark, resolver, tmp_path):
     # every stage removed something on this fixture: URL variants
     # (doc_id%7==3), nav pages (%17==2), mojibake (%11==5), noai (%13==7)
     assert f["pages"] == 500
-    assert f["pages"] > f["after_url_dedup"] > f["after_boilerplate_gates"]
+    # robots gate: sources src0/src5/src10/src15 disallow /page/
+    assert f["pages"] > f["after_robots_gate"]
+    assert f["after_robots_gate"] > f["after_url_dedup"]
+    assert f["after_url_dedup"] > f["after_boilerplate_gates"]
     assert f["after_boilerplate_gates"] > f["after_encoding_hygiene"]
     assert f["after_encoding_hygiene"] > f["curated"] > 0
     out = spark.read.parquet(str(tmp_path / "web_curated.parquet"))
