@@ -207,6 +207,12 @@ HEADLINE = {
         "combined min-fingerprint), then ONE full outer join on the URL "
         "key; both inputs are scan+project before their aggregates."
     ),
+    "docs_robots_compliance": (
+        "robots parse windows are per-host and bounded by FILE size, never "
+        "corpus size; pages join the small per-host rule set on the host "
+        "key and the per-row anchored regex match runs in the join "
+        "projection; the winner pick is one integer max aggregate."
+    ),
     "events_trailing_7d": (
         "RANGE interval frame (value-based, tie-deterministic) over "
         "(user_id, ts) — one shuffle on user_id; decimal-cast running sum "
