@@ -312,3 +312,89 @@ def test_pack_assignment_contiguous_fill_invariants(ns, budget):
         prev_end_pid = (cum - 1) // budget
     for pid, members in packs.items():                            # (c)
         assert sum(members) <= budget + members[-1] - 1
+
+
+# --------------------------------------------------------------------------
+# canonical_url properties (evaluated in DuckDB — single-row, ms per
+# example; Spark/DuckDB bit-parity is separately pinned by the
+# cross-engine fuzz suite in test_portable_fuzz.py)
+# --------------------------------------------------------------------------
+
+import duckdb as _duckdb
+
+from ayeaye_spark.functions import portable as _P
+
+_CON = _duckdb.connect()
+
+
+def _canon(u):
+    return _CON.execute(
+        f"SELECT {_P.canonical_url('u', _P.DUCKDB)} FROM (SELECT ? AS u)",
+        [u],
+    ).fetchone()[0]
+
+
+_label = st.text(alphabet=string.ascii_letters + string.digits, min_size=1,
+                 max_size=6)
+_seg = st.text(alphabet=string.ascii_letters + string.digits + "._-",
+               min_size=1, max_size=8)
+_pkey = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=5)
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "HTTP", "https", "HTTPS"]))
+    user = draw(st.sampled_from(["", "user@", "u:p@"]))
+    host = ".".join(draw(st.lists(_label, min_size=1, max_size=3)))
+    dot = draw(st.sampled_from(["", "."]))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    segs = draw(st.lists(_seg, max_size=3))
+    trail = draw(st.sampled_from(["", "/", "//"]))
+    path = ("/" + "/".join(segs) if segs else "") + trail
+    params = draw(st.dictionaries(_pkey, _seg, max_size=3))
+    query = "&".join(f"{k}={v}" for k, v in params.items())
+    frag = draw(st.sampled_from(["", "#x", "#frag/section"]))
+    url = f"{scheme}://{user}{host}{dot}{port}{path}"
+    if query:
+        url += f"?{query}"
+    return url + frag
+
+
+@settings(max_examples=150, deadline=None)
+@given(url=_urls())
+def test_canonical_url_idempotent(url):
+    once = _canon(url)
+    assert _canon(once) == once
+
+
+@settings(max_examples=150, deadline=None)
+@given(url=_urls(), tracking=st.sampled_from(
+    ["utm_source=x", "gclid=abc123", "fbclid=1", "utm_campaign=q&yclid=9"]))
+def test_canonical_url_invariant_under_noise(url, tracking):
+    """Tracking params, fragments, and host case never change the
+    canonical form."""
+    base = _canon(url)
+    sep = "&" if "?" in url.split("#")[0] else "?"
+    head, _, frag = url.partition("#")
+    noisy = head + sep + tracking + "#other"
+    assert _canon(noisy) == base
+
+
+@settings(max_examples=100, deadline=None)
+@given(url=_urls())
+def test_canonical_url_shape(url):
+    """Canonical output is lowercase-scheme/host, unfragmented, has no
+    tracking params, no default port, no userinfo."""
+    c = _canon(url)
+    assert "#" not in c
+    assert "@" not in c.split("/", 3)[2] if c.count("/") >= 3 else True
+    scheme, _, rest = c.partition("://")
+    assert scheme == scheme.lower()
+    hostport = rest.split("/", 1)[0]
+    assert hostport == hostport.lower()
+    # only the scheme's OWN default port is dropped
+    if scheme == "http":
+        assert not hostport.endswith(":80")
+    if scheme == "https":
+        assert not hostport.endswith(":443")
+    assert "utm_" not in c and "gclid" not in c
