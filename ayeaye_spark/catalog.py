@@ -10299,6 +10299,109 @@ def docs_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return web.robots_filter(pages, robots, "doc_id", "url")
 
 
+def _robots_delay_fixture_sql(d: str) -> str:
+    """robots.txt with Crawl-delay directives (source % 3): integer
+    delay, fractional delay, and none (default applies); one group
+    also carries a delay for a DIFFERENT agent that must not win."""
+    nl = "chr(10)"
+    return (
+        f"(CASE cast("
+        f"cast(substring(source, 4) as int) % 3 as int) "
+        f"WHEN 0 THEN concat('User-agent: *', {nl}, "
+        f"'Crawl-delay: 2', {nl}, 'Disallow: /admin/', {nl}, "
+        f"'User-agent: slowbot', {nl}, 'Crawl-delay: 30', {nl}) "
+        f"WHEN 1 THEN concat('User-agent: *', {nl}, "
+        f"'Crawl-delay: 0.5', {nl}) "
+        f"ELSE concat('User-agent: *', {nl}, "
+        f"'Disallow: /tmp/', {nl}) END)"
+    )
+
+
+def _duck_crawl_plan_oracle() -> str:
+    url = _page_url_fixture_sql(DUCK)
+    txt = _robots_delay_fixture_sql(DUCK)
+    host = P.url_host("url", DUCK)
+    return f"""
+    WITH pages AS (SELECT {url} AS url FROM documents),
+    robots AS (
+      SELECT DISTINCT 'www.' || source || '-site.com' AS host,
+             {txt} AS txt
+      FROM documents
+    ),
+    splits AS (SELECT host, string_split(txt, chr(10)) AS sl FROM robots),
+    lns AS (
+      SELECT host, i AS pos,
+             trim(regexp_replace(sl[i], '#.*$', '')) AS line
+      FROM splits, unnest(range(1, len(sl) + 1)) AS t(i)
+    ),
+    kinds AS (
+      SELECT host, pos,
+        lower(regexp_extract(line,
+              '(?i)^(user-agent|crawl-delay)\\s*:', 1)) AS kind,
+        trim(regexp_extract(line, '(?i)^[a-z-]+\\s*:\\s*(.*)$', 1)) AS val
+      FROM lns
+      WHERE regexp_extract(line,
+            '(?i)^(user-agent|crawl-delay)\\s*:', 1) <> ''
+    ),
+    flagged AS (
+      SELECT host, pos, kind, val,
+        CASE WHEN kind = 'user-agent' AND
+             coalesce(LAG(kind) OVER (PARTITION BY host ORDER BY pos),
+                      '') <> 'user-agent'
+        THEN 1 ELSE 0 END AS new_group
+      FROM kinds
+    ),
+    grouped AS (
+      SELECT host, kind, val,
+        SUM(new_group) OVER (PARTITION BY host ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      FROM flagged
+    ),
+    agents AS (
+      SELECT DISTINCT host, gid FROM grouped
+      WHERE kind = 'user-agent' AND lower(val) = '*'
+    ),
+    delays AS (
+      SELECT g.host,
+             MAX(CAST(CAST(g.val AS DECIMAL(12,3)) * 1000 AS BIGINT))
+             AS crawl_delay_ms
+      FROM grouped g JOIN agents a ON g.host = a.host AND g.gid = a.gid
+      WHERE g.kind = 'crawl-delay'
+            AND regexp_matches(g.val, '^[0-9]+(\\.[0-9]+)?$')
+      GROUP BY g.host
+    ),
+    counts AS (
+      SELECT {host} AS host, CAST(COUNT(*) AS BIGINT) AS n_pages
+      FROM pages GROUP BY 1
+    )
+    SELECT c.host, c.n_pages,
+           coalesce(d.crawl_delay_ms, 1000) AS crawl_delay_ms,
+           c.n_pages * coalesce(d.crawl_delay_ms, 1000) AS serial_ms
+    FROM counts c LEFT JOIN delays d ON c.host = d.host
+    """
+
+
+@query("docs_crawl_plan", oracle=_duck_crawl_plan_oracle())
+def docs_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl politeness plan (``web.crawl_plan``): page count,
+    effective ``Crawl-delay`` for ``*`` (max across the agent's
+    groups, exact integer ms — fractional seconds honored; a
+    different agent's delay must not leak in), and the serial fetch
+    time the delay implies — the frontier scheduler's critical-path
+    table.  One host-keyed count + one small per-host join;
+    value-exact in both engines."""
+    from .operators import web
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(F.expr(_page_url_fixture_sql(SPARK)).alias("url"))
+    robots = docs.select(
+        F.concat(F.lit("www."), F.col("source"), F.lit("-site.com"))
+        .alias("host"),
+        F.expr(_robots_delay_fixture_sql(SPARK)).alias("robots_txt"),
+    ).distinct()
+    return web.crawl_plan(pages, robots, "url")
+
+
 # --------------------------------------------------------------------------
 # driver correctness-window ordering
 # --------------------------------------------------------------------------

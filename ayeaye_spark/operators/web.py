@@ -415,3 +415,113 @@ def robots_filter(
         .select(id_col, "allowed", "matched_rule", "matched_type")
     )
     return out
+
+
+def robots_crawl_delays(
+    robots: DataFrame,
+    host_col: str,
+    text_col: str,
+    *,
+    agent: str = "*",
+    default_delay_ms: int = 1000,
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` (the de-facto politeness extension to
+    RFC 9309) for ``agent``: the MAX delay named in any of the agent's
+    groups, in integer milliseconds (fractional-second values like
+    ``0.5`` are honored exactly); hosts without a directive get
+    ``default_delay_ms``.  Same bounded per-host line window as
+    :func:`parse_robots_rules`.
+
+    Output: (host, crawl_delay_ms)."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .alias("_pos", "_raw"),
+    ).select(
+        "host", "_pos",
+        F.expr("trim(regexp_replace(_raw, '#.*$', ''))").alias("_line"),
+    ).select(
+        "host", "_pos",
+        F.expr(
+            r"lower(regexp_extract(_line, "
+            r"'(?i)^(user-agent|crawl-delay)\\s*:', 1))"
+        ).alias("_kind"),
+        F.expr(
+            r"trim(regexp_extract(_line, '(?i)^[a-z-]+\\s*:\\s*(.*)$', 1))"
+        ).alias("_value"),
+    ).where(F.col("_kind") != "")
+    w = Window.partitionBy("host").orderBy("_pos")
+    grouped = lines.withColumn(
+        "_new_group",
+        (
+            (F.col("_kind") == "user-agent")
+            & (F.coalesce(F.lag("_kind").over(w), F.lit(""))
+               != "user-agent")
+        ).cast("int"),
+    ).withColumn(
+        "_gid",
+        F.sum("_new_group").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    agents = grouped.where(
+        (F.col("_kind") == "user-agent")
+        & (F.lower("_value") == agent.lower())
+    ).select("host", "_gid").distinct()
+    delays = (
+        grouped.where(
+            (F.col("_kind") == "crawl-delay")
+            & F.col("_value").rlike(r"^[0-9]+(\.[0-9]+)?$")
+        )
+        .join(agents, ["host", "_gid"])
+        .groupBy("host")
+        .agg(
+            F.max(
+                F.expr(
+                    "cast(cast(_value as decimal(12,3)) * 1000 as bigint)"
+                )
+            ).alias("crawl_delay_ms")
+        )
+    )
+    hosts = robots.select(F.col(host_col).alias("host")).distinct()
+    return hosts.join(delays, "host", "left").na.fill(
+        {"crawl_delay_ms": default_delay_ms}
+    )
+
+
+def crawl_plan(
+    pages: DataFrame,
+    robots: DataFrame,
+    url_col: str,
+    *,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+    default_delay_ms: int = 1000,
+) -> DataFrame:
+    """Per-host politeness plan for a (re-)crawl of ``pages``: page
+    count, the host's effective ``Crawl-delay`` (ms), and the serial
+    fetch time the delay implies (``n_pages * delay``, exact integer
+    ms) — the table a frontier scheduler partitions work by (hosts are
+    crawled serially for politeness, so per-host serial time IS the
+    critical path).  One host-keyed count + one small join."""
+    counts = (
+        pages.where(F.col(url_col).isNotNull())
+        .select(F.expr(P.url_host(url_col, P.SPARK)).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+    )
+    delays = robots_crawl_delays(
+        robots, host_col, text_col, agent=agent,
+        default_delay_ms=default_delay_ms,
+    )
+    return (
+        counts.join(delays, "host", "left")
+        .na.fill({"crawl_delay_ms": default_delay_ms})
+        .select(
+            "host", "n_pages", "crawl_delay_ms",
+            F.expr("n_pages * crawl_delay_ms").alias("serial_ms"),
+        )
+    )

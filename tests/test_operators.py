@@ -7040,3 +7040,41 @@ Disallow: /
                for r in web.robots_filter(
                    pages, robots, "doc_id", "url").collect()}
         assert got == {1: False, 2: True}
+
+
+class TestCrawlPlan:
+    def test_delays_and_serial_time(self, spark):
+        from ayeaye_spark.operators import web
+
+        robots = spark.createDataFrame([
+            ("a.com", "User-agent: *\nCrawl-delay: 2\n"
+                      "User-agent: slowbot\nCrawl-delay: 30\n"),
+            ("b.com", "User-agent: *\nCrawl-delay: 0.5\n"),
+            ("c.com", "User-agent: *\nDisallow: /x\n"),   # no delay
+            ("d.com", "User-agent: *\nCrawl-delay: bogus\n"),
+        ], "host string, robots_txt string")
+        pages = spark.createDataFrame(
+            [(f"https://{h}/p{i}",) for h in ("a.com", "b.com", "c.com")
+             for i in range(3)] + [("https://d.com/x",), (None,)],
+            "url string",
+        )
+        got = {r["host"]: (r["n_pages"], r["crawl_delay_ms"], r["serial_ms"])
+               for r in web.crawl_plan(pages, robots, "url").collect()}
+        assert got["a.com"] == (3, 2000, 6000)      # slowbot's 30 ignored
+        assert got["b.com"] == (3, 500, 1500)       # fractional exact
+        assert got["c.com"] == (3, 1000, 3000)      # default
+        assert got["d.com"] == (1, 1000, 1000)      # unparseable -> default
+        assert len(got) == 4                        # NULL url dropped
+
+    def test_agent_specific_delay(self, spark):
+        from ayeaye_spark.operators import web
+
+        robots = spark.createDataFrame(
+            [("a.com", "User-agent: *\nCrawl-delay: 1\n"
+                       "User-agent: mybot\nCrawl-delay: 7\n")],
+            "host string, robots_txt string",
+        )
+        got = web.robots_crawl_delays(
+            robots, "host", "robots_txt", agent="mybot"
+        ).collect()[0]
+        assert got["crawl_delay_ms"] == 7000
