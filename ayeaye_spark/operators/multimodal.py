@@ -1620,3 +1620,221 @@ def video_near_dup_pairs(
         sig, "path", "frame_hashes",
         threshold=threshold, max_item_df=max_frame_df,
     )
+
+
+# --------------------------------------------------------------------------
+# EXIF metadata (JPEG APP1 / TIFF IFD) — stdlib struct parsing
+# --------------------------------------------------------------------------
+
+_EXIF_ASCII, _EXIF_SHORT, _EXIF_LONG, _EXIF_RATIONAL = 2, 3, 4, 5
+
+
+def _ifd_entries(b: bytes, tiff: int, ifd_off: int, bo: str):
+    """(tag -> (type, count, raw value bytes)) for one IFD; values
+    longer than 4 bytes are chased through their offset."""
+    import struct
+
+    out = {}
+    pos = tiff + ifd_off
+    if pos + 2 > len(b):
+        return out
+    (n,) = struct.unpack(bo + "H", b[pos:pos + 2])
+    pos += 2
+    sizes = {1: 1, _EXIF_ASCII: 1, _EXIF_SHORT: 2, _EXIF_LONG: 4,
+             _EXIF_RATIONAL: 8, 7: 1, 9: 4, 10: 8}
+    for _ in range(n):
+        if pos + 12 > len(b):
+            break
+        tag, typ, cnt = struct.unpack(bo + "HHI", b[pos:pos + 8])
+        nbytes = sizes.get(typ, 1) * cnt
+        if nbytes <= 4:
+            raw = b[pos + 8:pos + 8 + nbytes]
+        else:
+            (off,) = struct.unpack(bo + "I", b[pos + 8:pos + 12])
+            raw = b[tiff + off:tiff + off + nbytes]
+        out[tag] = (typ, cnt, raw)
+        pos += 12
+    return out
+
+
+def _exif_ascii(entry) -> str | None:
+    if entry is None or entry[0] != _EXIF_ASCII:
+        return None
+    return entry[2].split(b"\x00")[0].decode("ascii", "replace").strip()
+
+
+def _exif_int(entry, bo: str) -> int | None:
+    import struct
+
+    if entry is None:
+        return None
+    typ, _, raw = entry
+    if typ == _EXIF_SHORT and len(raw) >= 2:
+        return struct.unpack(bo + "H", raw[:2])[0]
+    if typ == _EXIF_LONG and len(raw) >= 4:
+        return struct.unpack(bo + "I", raw[:4])[0]
+    return None
+
+
+def _exif_rationals(entry, bo: str):
+    import struct
+
+    if entry is None or entry[0] != _EXIF_RATIONAL:
+        return None
+    typ, cnt, raw = entry
+    if len(raw) < 8 * cnt:
+        return None
+    return [struct.unpack(bo + "II", raw[i * 8:i * 8 + 8])
+            for i in range(cnt)]
+
+
+def _gps_udeg(rats, ref: str | None, neg_refs=("S", "W")) -> int | None:
+    """Degrees/minutes/seconds rationals -> signed integer
+    microdegrees (exact integer arithmetic; floor toward zero on the
+    final division only)."""
+    if not rats or len(rats) < 3:
+        return None
+    (dn, dd), (mn, md), (sn, sd) = rats[:3]
+    if 0 in (dd, md, sd):
+        return None
+    num = dn * md * sd * 3600 + mn * dd * sd * 60 + sn * dd * md
+    den = dd * md * sd * 3600
+    udeg = (num * 1_000_000) // den
+    if ref and ref.upper() in neg_refs:
+        udeg = -udeg
+    return udeg
+
+
+def parse_exif(b: bytes) -> dict | None:
+    """EXIF metadata of a JPEG: camera make/model, orientation,
+    DateTimeOriginal (falling back to DateTime), Exif pixel
+    dimensions, and GPS position as exact signed integer
+    MICRODEGREES — the fields image dedup keys on (camera+timestamp)
+    and a privacy scrub must find (GPS).  stdlib ``struct`` walk of
+    the APP1 TIFF structure, both byte orders; returns None when
+    there is no parseable Exif segment."""
+    import struct
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    tiff = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            pos += 2
+            continue
+        seglen = struct.unpack(">H", b[pos + 2:pos + 4])[0]
+        if seglen < 2:
+            return None
+        if marker == 0xE1 and b[pos + 4:pos + 10] == b"Exif\x00\x00":
+            tiff = pos + 10
+            break
+        if marker == 0xDA:  # start of scan: no APP1 before image data
+            return None
+        pos += 2 + seglen
+    if tiff is None or tiff + 8 > len(b):
+        return None
+    order = b[tiff:tiff + 2]
+    bo = {"II": "<", "MM": ">"}.get(order.decode("ascii", "replace"))
+    if bo is None or struct.unpack(bo + "H", b[tiff + 2:tiff + 4])[0] != 42:
+        return None
+    (ifd0_off,) = struct.unpack(bo + "I", b[tiff + 4:tiff + 8])
+    ifd0 = _ifd_entries(b, tiff, ifd0_off, bo)
+    out = {
+        "make": _exif_ascii(ifd0.get(0x010F)),
+        "model": _exif_ascii(ifd0.get(0x0110)),
+        "orientation": _exif_int(ifd0.get(0x0112), bo),
+        "datetime_original": _exif_ascii(ifd0.get(0x0132)),
+        "width": None, "height": None,
+        "gps_lat_udeg": None, "gps_lon_udeg": None,
+    }
+    exif_off = _exif_int(ifd0.get(0x8769), bo)
+    if exif_off is not None:
+        sub = _ifd_entries(b, tiff, exif_off, bo)
+        dto = _exif_ascii(sub.get(0x9003))
+        if dto:
+            out["datetime_original"] = dto
+        out["width"] = _exif_int(sub.get(0xA002), bo)
+        out["height"] = _exif_int(sub.get(0xA003), bo)
+    gps_off = _exif_int(ifd0.get(0x8825), bo)
+    if gps_off is not None:
+        gps = _ifd_entries(b, tiff, gps_off, bo)
+        out["gps_lat_udeg"] = _gps_udeg(
+            _exif_rationals(gps.get(0x0002), bo),
+            _exif_ascii(gps.get(0x0001)), ("S",),
+        )
+        out["gps_lon_udeg"] = _gps_udeg(
+            _exif_rationals(gps.get(0x0004), bo),
+            _exif_ascii(gps.get(0x0003)), ("W",),
+        )
+    return out
+
+
+EXIF_SCHEMA = (
+    "path string, make string, model string, orientation int, "
+    "datetime_original string, width int, height int, "
+    "gps_lat_udeg long, gps_lon_udeg long, has_gps boolean"
+)
+
+
+def extract_exif(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Arrow-batched EXIF extraction stage (``mapInPandas``, one output
+    row per image; all-null fields where no Exif parses).  ``has_gps``
+    is the privacy-scrub flag: images carrying a GPS position that a
+    curation pipeline must strip or drop before training."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["path", "make", "model", "orientation",
+                "datetime_original", "width", "height",
+                "gps_lat_udeg", "gps_lon_udeg", "has_gps"]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                meta = parse_exif(bytes(content)) if content is not None else None
+                meta = meta or {}
+                rows.append({
+                    "path": path,
+                    "make": meta.get("make"),
+                    "model": meta.get("model"),
+                    "orientation": meta.get("orientation"),
+                    "datetime_original": meta.get("datetime_original"),
+                    "width": meta.get("width"),
+                    "height": meta.get("height"),
+                    "gps_lat_udeg": meta.get("gps_lat_udeg"),
+                    "gps_lon_udeg": meta.get("gps_lon_udeg"),
+                    "has_gps": meta.get("gps_lat_udeg") is not None
+                               or meta.get("gps_lon_udeg") is not None,
+                })
+            out = pd.DataFrame(rows, columns=cols)
+            for c in ("orientation", "width", "height"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            for c in ("gps_lat_udeg", "gps_lon_udeg"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return df.mapInPandas(run, schema=EXIF_SCHEMA)
+
+
+def exif_privacy_audit(df: DataFrame, **kwargs) -> DataFrame:
+    """One-row corpus privacy audit over :func:`extract_exif`: images
+    total, with parseable Exif, with GPS positions (the rows a scrub
+    must handle), and with camera identity (make or model)."""
+    exif = extract_exif(df, **kwargs)
+    return exif.agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.sum((F.col("make").isNotNull() | F.col("model").isNotNull()
+               | F.col("datetime_original").isNotNull()
+               | F.col("orientation").isNotNull()).cast("int"))
+        .cast("long").alias("n_with_exif"),
+        F.sum(F.col("has_gps").cast("int")).cast("long").alias("n_with_gps"),
+        F.sum((F.col("make").isNotNull() | F.col("model").isNotNull())
+              .cast("int")).cast("long").alias("n_with_camera_id"),
+    )

@@ -7078,3 +7078,123 @@ class TestCrawlPlan:
             robots, "host", "robots_txt", agent="mybot"
         ).collect()[0]
         assert got["crawl_delay_ms"] == 7000
+
+
+def _build_exif_jpeg(bo="<", *, make=b"TestCam", model=b"X100",
+                     orientation=6, dto=b"2026:08:16 10:00:00",
+                     width=4000, height=3000,
+                     gps=((51, 1), (30, 1), (30, 1), b"N",
+                          (0, 1), (7, 1), (30, 1), b"W")):
+    """Minimal JPEG (SOI + APP1 + EOI) with a hand-built TIFF/Exif
+    structure in byte order `bo` ('<' II little / '>' MM big)."""
+    import struct
+
+    order = b"II" if bo == "<" else b"MM"
+
+    def ent(tag, typ, cnt, val4):
+        return struct.pack(bo + "HHI", tag, typ, cnt) + val4
+
+    blobs = []           # (placeholder_index, bytes) appended after IFDs
+    def defer(data):
+        blobs.append(data)
+        return len(blobs) - 1
+
+    # layout: tiff hdr (8) + ifd0 + exif ifd + gps ifd + blobs
+    # ifd0: make(off) model(off) orientation dto(off) exifptr gpsptr
+    n0, ne, ng = 6, 3, 4
+    ifd0_off = 8
+    exif_off = ifd0_off + 2 + n0 * 12 + 4
+    gps_off = exif_off + 2 + ne * 12 + 4
+    blob_off = gps_off + 2 + ng * 12 + 4
+
+    deferred = []
+    def ascii_entry(tag, data):
+        data = data + b"\x00"
+        if len(data) <= 4:
+            return ent(tag, 2, len(data), data.ljust(4, b"\x00"))
+        deferred.append(data)
+        off = blob_off + sum(len(d) for d in deferred[:-1])
+        return ent(tag, 2, len(data), struct.pack(bo + "I", off))
+
+    def rat3_entry(tag, rats):
+        data = b"".join(struct.pack(bo + "II", n, d) for n, d in rats)
+        deferred.append(data)
+        off = blob_off + sum(len(d) for d in deferred[:-1])
+        return ent(tag, 5, 3, struct.pack(bo + "I", off))
+
+    ifd0 = struct.pack(bo + "H", n0)
+    ifd0 += ascii_entry(0x010F, make)
+    ifd0 += ascii_entry(0x0110, model)
+    ifd0 += ent(0x0112, 3, 1, struct.pack(bo + "H", orientation) + b"\x00\x00")
+    ifd0 += ascii_entry(0x0132, b"1999:01:01 00:00:00")   # overridden by DTO
+    ifd0 += ent(0x8769, 4, 1, struct.pack(bo + "I", exif_off))
+    ifd0 += ent(0x8825, 4, 1, struct.pack(bo + "I", gps_off))
+    ifd0 += struct.pack(bo + "I", 0)
+
+    exif = struct.pack(bo + "H", ne)
+    exif += ascii_entry(0x9003, dto)
+    exif += ent(0xA002, 4, 1, struct.pack(bo + "I", width))
+    exif += ent(0xA003, 3, 1, struct.pack(bo + "H", height) + b"\x00\x00")
+    exif += struct.pack(bo + "I", 0)
+
+    glat, glat_ref = gps[0:3], gps[3]
+    glon, glon_ref = gps[4:7], gps[7]
+    g = struct.pack(bo + "H", ng)
+    g += ent(0x0001, 2, 2, glat_ref + b"\x00\x00\x00"[:4 - len(glat_ref) - 1] + b"\x00")
+    g += rat3_entry(0x0002, glat)
+    g += ent(0x0003, 2, 2, glon_ref + b"\x00\x00\x00"[:4 - len(glon_ref) - 1] + b"\x00")
+    g += rat3_entry(0x0004, glon)
+    g += struct.pack(bo + "I", 0)
+
+    tiff = order + struct.pack(bo + "H", 42) + struct.pack(bo + "I", ifd0_off)
+    tiff += ifd0 + exif + g + b"".join(deferred)
+    app1 = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + (len(app1) + 2).to_bytes(2, "big") + app1
+    return b"\xff\xd8" + seg + b"\xff\xd9"
+
+
+class TestExif:
+    def test_parse_both_byte_orders(self):
+        from ayeaye_spark.operators.multimodal import parse_exif
+
+        for bo in ("<", ">"):
+            meta = parse_exif(_build_exif_jpeg(bo))
+            assert meta["make"] == "TestCam" and meta["model"] == "X100"
+            assert meta["orientation"] == 6
+            assert meta["datetime_original"] == "2026:08:16 10:00:00"
+            assert (meta["width"], meta["height"]) == (4000, 3000)
+            # 51 deg 30 min 30 sec N = 51.508333... -> floor microdeg
+            assert meta["gps_lat_udeg"] == 51_508_333
+            # 0 deg 7 min 30 sec W = -0.125 exactly
+            assert meta["gps_lon_udeg"] == -125_000
+
+    def test_non_exif_and_garbage(self):
+        from ayeaye_spark.operators.multimodal import parse_exif
+
+        assert parse_exif(b"\xff\xd8\xff\xd9") is None        # no APP1
+        assert parse_exif(b"\x89PNG\r\n") is None             # not jpeg
+        assert parse_exif(b"") is None
+
+    def test_stage_and_privacy_audit(self, spark):
+        from ayeaye_spark.operators.multimodal import (
+            exif_privacy_audit, extract_exif,
+        )
+
+        rows = [
+            ("a.jpg", _build_exif_jpeg("<")),
+            ("b.jpg", _build_exif_jpeg(">")),
+            ("c.jpg", b"\xff\xd8\xff\xd9"),      # jpeg, no exif
+            ("d.png", b"\x89PNG\r\n\x1a\n"),     # not a jpeg
+        ]
+        df = spark.createDataFrame(rows, "path string, content binary")
+        got = {r["path"]: r for r in extract_exif(df).collect()}
+        assert got["a.jpg"]["make"] == "TestCam"
+        assert got["a.jpg"]["gps_lon_udeg"] == -125_000
+        assert got["b.jpg"]["has_gps"] is True
+        assert got["c.jpg"]["make"] is None and got["c.jpg"]["has_gps"] is False
+        assert got["d.png"]["has_gps"] is False
+        audit = exif_privacy_audit(df).collect()[0]
+        assert audit["n_images"] == 4
+        assert audit["n_with_exif"] == 2
+        assert audit["n_with_gps"] == 2
+        assert audit["n_with_camera_id"] == 2
