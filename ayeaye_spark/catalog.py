@@ -10189,18 +10189,18 @@ def _robots_fixture_sql(d: str) -> str:
     )
 
 
-def _duck_robots_oracle() -> str:
-    url = _page_url_fixture_sql(DUCK)
-    txt = _robots_fixture_sql(DUCK)
-    host = P.url_host("url", DUCK)
-    pathq = P.url_pathq("url", DUCK)
-    regex = P.robots_rule_regex("path_rule", DUCK)
-    return f"""
-    WITH pages AS (SELECT doc_id, {url} AS url FROM documents),
-    robots AS (
-      SELECT DISTINCT 'www.' || source || '-site.com' AS host,
-             {txt} AS txt
-      FROM documents
+def _duck_robots_groups_cte(txt_expr: str) -> str:
+    """Shared DuckDB CTE block replaying ``web._robots_groups`` for
+    agent='*': robots -> classified lines (unrecognized directives
+    kept as 'other' so they split groups exactly like the Spark path)
+    -> group ids -> the '*' groups.  Produces CTEs ``robots, splits,
+    lns, kinds, flagged, grouped, agents``."""
+    return f"""robots AS (
+      SELECT host, MAX(txt) AS txt FROM (
+        SELECT 'www.' || source || '-site.com' AS host,
+               {txt_expr} AS txt
+        FROM documents
+      ) GROUP BY host
     ),
     splits AS (SELECT host, string_split(txt, chr(10)) AS sl FROM robots),
     lns AS (
@@ -10210,12 +10210,14 @@ def _duck_robots_oracle() -> str:
     ),
     kinds AS (
       SELECT host, pos,
-        lower(regexp_extract(line,
-              '(?i)^(user-agent|allow|disallow)\\s*:', 1)) AS kind,
+        CASE WHEN regexp_extract(line,
+             '(?i)^(user-agent|allow|disallow|crawl-delay)\\s*:', 1) = ''
+             THEN 'other'
+        ELSE lower(regexp_extract(line,
+             '(?i)^(user-agent|allow|disallow|crawl-delay)\\s*:', 1))
+        END AS kind,
         trim(regexp_extract(line, '(?i)^[a-z-]+\\s*:\\s*(.*)$', 1)) AS val
-      FROM lns
-      WHERE regexp_extract(line,
-            '(?i)^(user-agent|allow|disallow)\\s*:', 1) <> ''
+      FROM lns WHERE line <> ''
     ),
     flagged AS (
       SELECT host, pos, kind, val,
@@ -10234,13 +10236,26 @@ def _duck_robots_oracle() -> str:
     agents AS (
       SELECT DISTINCT host, gid FROM grouped
       WHERE kind = 'user-agent' AND lower(val) = '*'
-    ),
+    )"""
+
+
+def _duck_robots_oracle() -> str:
+    url = _page_url_fixture_sql(DUCK)
+    host = P.url_host("url", DUCK)
+    pathq = P.url_pathq("url", DUCK)
+    regex = P.robots_rule_regex("path_rule", DUCK)
+    return f"""
+    WITH pages AS (SELECT doc_id, {url} AS url FROM documents),
+    {_duck_robots_groups_cte(_robots_fixture_sql(DUCK))},
     rules AS (
-      SELECT DISTINCT g.host, g.kind AS rule_type, g.val AS path_rule,
-             {regex} AS rule_regex,
-             CAST(length(g.val) AS BIGINT) AS rule_len
+      SELECT DISTINCT g.host, g.kind AS rule_type, g.val AS path_rule
       FROM grouped g JOIN agents a ON g.host = a.host AND g.gid = a.gid
       WHERE g.kind IN ('allow', 'disallow') AND g.val <> ''
+    ),
+    rulesx AS (
+      SELECT host, rule_type, path_rule, {regex} AS rule_regex,
+             CAST(length(path_rule) AS BIGINT) AS rule_len
+      FROM rules
     ),
     keyed AS (
       SELECT doc_id, {host} AS host, {pathq} AS pathq FROM pages
@@ -10249,7 +10264,7 @@ def _duck_robots_oracle() -> str:
       SELECT k.doc_id, r.rule_type, r.path_rule, r.rule_len,
              r.rule_regex IS NOT NULL
              AND regexp_matches(k.pathq, r.rule_regex) AS m
-      FROM keyed k LEFT JOIN rules r ON k.host = r.host
+      FROM keyed k LEFT JOIN rulesx r ON k.host = r.host
     ),
     ranked AS (
       SELECT doc_id,
@@ -10319,55 +10334,18 @@ def _robots_delay_fixture_sql(d: str) -> str:
 
 def _duck_crawl_plan_oracle() -> str:
     url = _page_url_fixture_sql(DUCK)
-    txt = _robots_delay_fixture_sql(DUCK)
     host = P.url_host("url", DUCK)
     return f"""
     WITH pages AS (SELECT {url} AS url FROM documents),
-    robots AS (
-      SELECT DISTINCT 'www.' || source || '-site.com' AS host,
-             {txt} AS txt
-      FROM documents
-    ),
-    splits AS (SELECT host, string_split(txt, chr(10)) AS sl FROM robots),
-    lns AS (
-      SELECT host, i AS pos,
-             trim(regexp_replace(sl[i], '#.*$', '')) AS line
-      FROM splits, unnest(range(1, len(sl) + 1)) AS t(i)
-    ),
-    kinds AS (
-      SELECT host, pos,
-        lower(regexp_extract(line,
-              '(?i)^(user-agent|crawl-delay)\\s*:', 1)) AS kind,
-        trim(regexp_extract(line, '(?i)^[a-z-]+\\s*:\\s*(.*)$', 1)) AS val
-      FROM lns
-      WHERE regexp_extract(line,
-            '(?i)^(user-agent|crawl-delay)\\s*:', 1) <> ''
-    ),
-    flagged AS (
-      SELECT host, pos, kind, val,
-        CASE WHEN kind = 'user-agent' AND
-             coalesce(LAG(kind) OVER (PARTITION BY host ORDER BY pos),
-                      '') <> 'user-agent'
-        THEN 1 ELSE 0 END AS new_group
-      FROM kinds
-    ),
-    grouped AS (
-      SELECT host, kind, val,
-        SUM(new_group) OVER (PARTITION BY host ORDER BY pos
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
-      FROM flagged
-    ),
-    agents AS (
-      SELECT DISTINCT host, gid FROM grouped
-      WHERE kind = 'user-agent' AND lower(val) = '*'
-    ),
+    {_duck_robots_groups_cte(_robots_delay_fixture_sql(DUCK))},
     delays AS (
       SELECT g.host,
-             MAX(CAST(CAST(g.val AS DECIMAL(12,3)) * 1000 AS BIGINT))
+             MAX(CAST(CAST(g.val AS DECIMAL(13,6)) * 1000 AS BIGINT))
              AS crawl_delay_ms
       FROM grouped g JOIN agents a ON g.host = a.host AND g.gid = a.gid
       WHERE g.kind = 'crawl-delay'
-            AND regexp_matches(g.val, '^[0-9]+(\\.[0-9]+)?$')
+            AND regexp_matches(g.val,
+                '^[0-9]{{1,6}}(\\.[0-9]{{1,6}})?$')
       GROUP BY g.host
     ),
     counts AS (

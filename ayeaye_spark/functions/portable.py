@@ -1342,4 +1342,11 @@ def url_pathq(url: str, d: str) -> str:
     nofrag = regexp_replace_all(rest, r"#.*$", "", d)
     authority = regexp_extract_g(nofrag, r"^([^/?]*)", 1, d)
     pq = f"substring({nofrag}, length({authority}) + 1)"
-    return f"(CASE WHEN {pq} = '' THEN '/' ELSE {pq} END)"
+    # an empty path still queries against '/' — both for bare hosts
+    # ('https://a.com') and query-only URLs ('https://a.com?id=1'),
+    # where robots '/'-prefixed rules must still match
+    return (
+        f"(CASE WHEN {pq} = '' THEN '/' "
+        f"WHEN left({pq}, 1) = '?' THEN concat('/', {pq}) "
+        f"ELSE {pq} END)"
+    )

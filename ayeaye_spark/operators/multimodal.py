@@ -1722,6 +1722,9 @@ def parse_exif(b: bytes) -> dict | None:
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             return None
+        # spec-legal 0xFF fill bytes may pad the space before a marker
+        while pos + 4 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         if marker == 0x01 or 0xD0 <= marker <= 0xD9:
             pos += 2

@@ -265,47 +265,56 @@ def crawl_delta(
     )
 
 
-def parse_robots_rules(
+def _robots_groups(
     robots: DataFrame,
     host_col: str,
     text_col: str,
-    *,
-    agent: str = "*",
+    agent: str,
 ) -> DataFrame:
-    """RFC 9309 robots.txt parser: per host, the Allow/Disallow path
-    rules governing ``agent`` — comments stripped, rules attached to
-    the nearest preceding run of ``User-agent`` lines (a group), empty
-    rule values (the "Disallow:" allow-everything idiom) dropped.
+    """Shared robots.txt group machinery: per host, every directive
+    line of the groups governing ``agent`` — (host, _kind, _value)
+    with ``_kind`` in allow | disallow | crawl-delay.
 
-    Output: (host, rule_type allow|disallow, path_rule, rule_regex,
-    rule_len) — ``rule_regex`` is the anchored translation of the rule
-    (``*`` -> ``.*``, trailing ``$`` -> end anchor) that
-    :func:`robots_filter` matches against.
+    Semantics (RFC 9309):
 
-    Scale shape: robots files are small (a few hundred lines), so the
-    per-host line window is bounded by file size, never corpus size;
-    everything else is scan projection."""
+    * a group = a run of consecutive ``User-agent`` lines plus the
+      directives after it; ANY other non-blank line ends the run, so
+      unrecognized directives still split groups (they classify as
+      ``other`` and participate in the lag window — dropping them
+      first would merge adjacent groups);
+    * comments (#) stripped, blank lines ignored;
+    * agent selection: the groups naming ``agent`` (case-insensitive
+      product token) when any exist on that host, else the host's
+      ``*`` groups — the MUST-fallback of RFC 9309 §2.2.1.
+
+    One robots.txt per host is expected; duplicate host rows are
+    collapsed deterministically (max text) before parsing.  The line
+    window is per-host and bounded by FILE size, never corpus size."""
     from pyspark.sql import Window
 
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
-        .alias("_pos", "_raw"),
+    one = robots.groupBy(F.col(host_col).alias("host")).agg(
+        F.max(F.coalesce(F.col(text_col), F.lit(""))).alias("_txt")
+    )
+    lines = one.select(
+        "host",
+        F.posexplode(F.split(F.col("_txt"), "\n")).alias("_pos", "_raw"),
     ).select(
         "host", "_pos",
-        F.expr(
-            "trim(regexp_replace(_raw, '#.*$', ''))"
-        ).alias("_line"),
-    ).select(
+        F.expr("trim(regexp_replace(_raw, '#.*$', ''))").alias("_line"),
+    ).where(F.col("_line") != "").select(
         "host", "_pos",
         F.expr(
-            r"lower(regexp_extract(_line, "
-            r"'(?i)^(user-agent|allow|disallow)\\s*:', 1))"
+            r"""CASE WHEN regexp_extract(_line,
+                '(?i)^(user-agent|allow|disallow|crawl-delay)\s*:', 1)
+                = '' THEN 'other'
+            ELSE lower(regexp_extract(_line,
+                '(?i)^(user-agent|allow|disallow|crawl-delay)\s*:', 1))
+            END"""
         ).alias("_kind"),
         F.expr(
-            r"trim(regexp_extract(_line, '(?i)^[a-z-]+\\s*:\\s*(.*)$', 1))"
+            r"trim(regexp_extract(_line, '(?i)^[a-z-]+\s*:\s*(.*)$', 1))"
         ).alias("_value"),
-    ).where(F.col("_kind") != "")
+    )
     w = Window.partitionBy("host").orderBy("_pos")
     grouped = lines.withColumn(
         "_new_group",
@@ -320,27 +329,57 @@ def parse_robots_rules(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    agents = grouped.where(
-        (F.col("_kind") == "user-agent")
-        & (F.lower("_value") == agent.lower())
-    ).select("host", "_gid").distinct()
-    rules = grouped.where(
+    ua = grouped.where(F.col("_kind") == "user-agent")
+    star = ua.where(F.lower("_value") == "*").select("host", "_gid").distinct()
+    if agent == "*":
+        chosen = star
+    else:
+        spec = ua.where(F.lower("_value") == agent.lower()).select(
+            "host", "_gid"
+        ).distinct()
+        hosts_with_spec = spec.select("host").distinct()
+        chosen = spec.unionByName(
+            star.join(hosts_with_spec, "host", "left_anti")
+        )
+    return (
+        grouped.where(
+            F.col("_kind").isin("allow", "disallow", "crawl-delay")
+        )
+        .join(chosen, ["host", "_gid"])
+        .select("host", "_kind", "_value")
+    )
+
+
+def parse_robots_rules(
+    robots: DataFrame,
+    host_col: str,
+    text_col: str,
+    *,
+    agent: str = "*",
+) -> DataFrame:
+    """RFC 9309 robots.txt parser: per host, the Allow/Disallow path
+    rules governing ``agent`` (with the ``*``-group fallback when no
+    group names the agent) — see :func:`_robots_groups` for the group
+    semantics; empty rule values (the "Disallow:" allow-everything
+    idiom) are dropped.
+
+    Output: (host, rule_type allow|disallow, path_rule, rule_regex,
+    rule_len) — ``rule_regex`` is the anchored translation of the rule
+    (``*`` -> ``.*``, trailing ``$`` -> end anchor) that
+    :func:`robots_filter` matches against."""
+    rules = _robots_groups(robots, host_col, text_col, agent).where(
         F.col("_kind").isin("allow", "disallow") & (F.col("_value") != "")
-    ).select(
-        "host", "_gid",
+    )
+    return rules.select(
+        "host",
         F.col("_kind").alias("rule_type"),
         F.col("_value").alias("path_rule"),
-    )
-    return (
-        rules.join(agents, ["host", "_gid"])
-        .select(
-            "host", "rule_type", "path_rule",
-            F.expr(P.robots_rule_regex("path_rule", P.SPARK)).alias(
-                "rule_regex"
-            ),
-            F.length("path_rule").cast("long").alias("rule_len"),
-        )
-        .distinct()
+    ).distinct().select(
+        "host", "rule_type", "path_rule",
+        F.expr(P.robots_rule_regex("path_rule", P.SPARK)).alias(
+            "rule_regex"
+        ),
+        F.length("path_rule").cast("long").alias("rule_len"),
     )
 
 
@@ -426,61 +465,27 @@ def robots_crawl_delays(
     default_delay_ms: int = 1000,
 ) -> DataFrame:
     """Per-host ``Crawl-delay`` (the de-facto politeness extension to
-    RFC 9309) for ``agent``: the MAX delay named in any of the agent's
-    groups, in integer milliseconds (fractional-second values like
-    ``0.5`` are honored exactly); hosts without a directive get
-    ``default_delay_ms``.  Same bounded per-host line window as
-    :func:`parse_robots_rules`.
+    RFC 9309) for ``agent`` (with the ``*``-group fallback): the MAX
+    delay named in any governing group, in integer milliseconds —
+    fractional seconds honored exactly to microsecond resolution;
+    values outside ``0..999999.999999`` seconds or non-numeric are
+    ignored (hostile robots.txt must not crash the plan); hosts
+    without a usable directive get ``default_delay_ms``.  Group
+    semantics shared with :func:`parse_robots_rules` via
+    :func:`_robots_groups`.
 
     Output: (host, crawl_delay_ms)."""
-    from pyspark.sql import Window
-
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
-        .alias("_pos", "_raw"),
-    ).select(
-        "host", "_pos",
-        F.expr("trim(regexp_replace(_raw, '#.*$', ''))").alias("_line"),
-    ).select(
-        "host", "_pos",
-        F.expr(
-            r"lower(regexp_extract(_line, "
-            r"'(?i)^(user-agent|crawl-delay)\\s*:', 1))"
-        ).alias("_kind"),
-        F.expr(
-            r"trim(regexp_extract(_line, '(?i)^[a-z-]+\\s*:\\s*(.*)$', 1))"
-        ).alias("_value"),
-    ).where(F.col("_kind") != "")
-    w = Window.partitionBy("host").orderBy("_pos")
-    grouped = lines.withColumn(
-        "_new_group",
-        (
-            (F.col("_kind") == "user-agent")
-            & (F.coalesce(F.lag("_kind").over(w), F.lit(""))
-               != "user-agent")
-        ).cast("int"),
-    ).withColumn(
-        "_gid",
-        F.sum("_new_group").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    agents = grouped.where(
-        (F.col("_kind") == "user-agent")
-        & (F.lower("_value") == agent.lower())
-    ).select("host", "_gid").distinct()
     delays = (
-        grouped.where(
+        _robots_groups(robots, host_col, text_col, agent)
+        .where(
             (F.col("_kind") == "crawl-delay")
-            & F.col("_value").rlike(r"^[0-9]+(\.[0-9]+)?$")
+            & F.col("_value").rlike(r"^[0-9]{1,6}(\.[0-9]{1,6})?$")
         )
-        .join(agents, ["host", "_gid"])
         .groupBy("host")
         .agg(
             F.max(
                 F.expr(
-                    "cast(cast(_value as decimal(12,3)) * 1000 as bigint)"
+                    "cast(cast(_value as decimal(13,6)) * 1000 as bigint)"
                 )
             ).alias("crawl_delay_ms")
         )

@@ -101,13 +101,14 @@ def parse_warc_stream(f) -> Iterator[dict[str, Any]]:
 def open_warc(path: str):
     """Binary stream over a WARC archive path — gzip-wrapped when the
     magic bytes say so (Python's gzip reads the record-per-member
-    layout natively)."""
-    f = open(path, "rb")
-    magic = f.read(2)
-    f.seek(0)
+    layout natively).  The sniffing handle is closed and the archive
+    reopened through ``gzip.open`` (which OWNS its file), so closing
+    the returned object always releases the underlying descriptor."""
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
     if magic == b"\x1f\x8b":
-        return gzip.GzipFile(fileobj=f)
-    return f
+        return gzip.open(path, "rb")
+    return open(path, "rb")
 
 
 def parse_warc_bytes(data: bytes) -> Iterator[dict[str, Any]]:

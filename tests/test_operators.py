@@ -7198,3 +7198,105 @@ class TestExif:
         assert audit["n_with_exif"] == 2
         assert audit["n_with_gps"] == 2
         assert audit["n_with_camera_id"] == 2
+
+
+class TestRobotsReviewRegressions:
+    """Pins for the round-10 session-2 review findings."""
+
+    def test_unrecognized_directives_split_groups(self, spark):
+        """A directive the parser doesn't model still ends a User-agent
+        run — groups must not merge across it."""
+        from ayeaye_spark.operators import web
+
+        robots = spark.createDataFrame([(
+            "a.com",
+            "User-agent: *\nCrawl-delay: 5\n"
+            "User-agent: googlebot-image\nDisallow: /photos/\n",
+        )], "host string, robots_txt string")
+        pages = spark.createDataFrame(
+            [(1, "https://a.com/photos/x.jpg")], "doc_id long, url string")
+        got = web.robots_filter(pages, robots, "doc_id", "url").collect()[0]
+        assert got["allowed"] is True  # /photos/ governs ONLY googlebot-image
+        # symmetric: the rules line must not merge the delay groups
+        robots2 = spark.createDataFrame([(
+            "a.com",
+            "User-agent: *\nDisallow: /private/\n"
+            "User-agent: slowbot\nCrawl-delay: 600\n",
+        )], "host string, robots_txt string")
+        d = web.robots_crawl_delays(
+            robots2, "host", "robots_txt").collect()[0]
+        assert d["crawl_delay_ms"] == 1000  # default, NOT slowbot's 600s
+
+    def test_star_fallback_for_named_agent(self, spark):
+        """RFC 9309 2.2.1: a named crawler obeys the '*' group when no
+        group names it."""
+        from ayeaye_spark.operators import web
+
+        robots = spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /\nCrawl-delay: 3\n"),
+             ("b.com", "User-agent: mybot\nDisallow: /only-mine/\n"
+                       "User-agent: *\nDisallow: /\n")],
+            "host string, robots_txt string",
+        )
+        pages = spark.createDataFrame(
+            [(1, "https://a.com/x"), (2, "https://b.com/anything"),
+             (3, "https://b.com/only-mine/doc")],
+            "doc_id long, url string",
+        )
+        got = {r["doc_id"]: r["allowed"]
+               for r in web.robots_filter(
+                   pages, robots, "doc_id", "url", agent="mybot").collect()}
+        # a.com: no mybot group -> '*' applies -> disallowed
+        # b.com: mybot group EXISTS -> '*' ignored -> only /only-mine/ blocked
+        assert got == {1: False, 2: True, 3: False}
+        d = {r["host"]: r["crawl_delay_ms"]
+             for r in web.robots_crawl_delays(
+                 robots, "host", "robots_txt", agent="mybot").collect()}
+        assert d["a.com"] == 3000  # fallback picks up '*' delay
+
+    def test_query_only_url_matches_root_rules(self, spark):
+        from ayeaye_spark.operators import web
+
+        robots = spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /\n")],
+            "host string, robots_txt string")
+        pages = spark.createDataFrame(
+            [(1, "https://a.com?id=1"), (2, "https://a.com")],
+            "doc_id long, url string")
+        got = {r["doc_id"]: r["allowed"]
+               for r in web.robots_filter(
+                   pages, robots, "doc_id", "url").collect()}
+        assert got == {1: False, 2: False}
+
+    def test_hostile_delay_values_ignored(self, spark):
+        from ayeaye_spark.operators import web
+
+        robots = spark.createDataFrame(
+            [("a.com", "User-agent: *\nCrawl-delay: 9999999999\n"),
+             ("b.com", "User-agent: *\nCrawl-delay: 1.25\n")],
+            "host string, robots_txt string")
+        got = {r["host"]: r["crawl_delay_ms"]
+               for r in web.robots_crawl_delays(
+                   robots, "host", "robots_txt").collect()}
+        assert got["a.com"] == 1000   # overflow-sized value -> default
+        assert got["b.com"] == 1250
+
+    def test_duplicate_host_rows_collapse_deterministically(self, spark):
+        from ayeaye_spark.operators import web
+
+        robots = spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /a/\n"),
+             ("a.com", "User-agent: *\nDisallow: /b/\n")],
+            "host string, robots_txt string")
+        rules = web.parse_robots_rules(robots, "host", "robots_txt")
+        got = sorted(r["path_rule"] for r in rules.collect())
+        assert got == ["/b/"]  # max(text) wins; no interleaving
+
+    def test_exif_ff_padding_before_marker(self):
+        from ayeaye_spark.operators.multimodal import parse_exif
+
+        jpeg = _build_exif_jpeg("<")
+        padded = jpeg[:2] + b"\xff" + jpeg[2:]  # fill byte before APP1
+        meta = parse_exif(padded)
+        assert meta is not None and meta["make"] == "TestCam"
+        assert meta["gps_lon_udeg"] == -125_000
