@@ -207,6 +207,11 @@ HEADLINE = {
         "combined min-fingerprint), then ONE full outer join on the URL "
         "key; both inputs are scan+project before their aggregates."
     ),
+    "docs_crawl_plan": (
+        "host-keyed page count + one small per-host delay join; the robots "
+        "parse window is bounded by file size (a robots.txt is ~100 lines), "
+        "never corpus cardinality."
+    ),
     "docs_robots_compliance": (
         "robots parse windows are per-host and bounded by FILE size, never "
         "corpus size; pages join the small per-host rule set on the host "
