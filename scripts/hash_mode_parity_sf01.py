@@ -52,7 +52,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ayeaye_spark.catalog import load
-from ayeaye_spark.operators import dedup, sampling, text
+from ayeaye_spark.operators import dedup, sampling, text, web
 from ayeaye_spark.functions import portable as P
 
 MODES = (P.PORTABLE, "fast")
@@ -121,6 +121,21 @@ def main() -> int:
             docs, "doc_id", "text", hash_mode=m),
         "with_repetition_flags": lambda m: text.with_repetition_flags(
             docs, "doc_id", "text", hash_mode=m),
+        # crawl diff: content identity is the normalized-text
+        # fingerprint — changed/unchanged verdicts depend on
+        # fingerprint EQUALITY, so they must be mode-independent; the
+        # "new" snapshot mutates every third page's text and drops the
+        # %10 slice so all four statuses occur
+        "crawl_delta": lambda m: web.crawl_delta(
+            docs.selectExpr(
+                "concat('https://s', cast(doc_id % 97 as string), "
+                "'.com/p', cast(doc_id as string)) as url", "text"),
+            docs.where("doc_id % 10 <> 4").selectExpr(
+                "concat('https://s', cast(doc_id % 97 as string), "
+                "'.com/p', cast(doc_id as string)) as url",
+                "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' v2') "
+                "ELSE text END as text"),
+            "url", "text", hash_mode=m).select("canonical_url", "status"),
     }
 
     results = {}
