@@ -9583,10 +9583,13 @@ def docs_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def _url_fixture_sql(d: str) -> str:
     """One messy URL per doc — doc_id % 6 picks the shape and
-    doc_id div 18 keys the page identity, so the three docs
-    {18k+s, 18k+s+6, 18k+s+12} of shape s in each 18-block
-    canonicalize to the SAME page (six shapes x three variants per
-    block); different shapes never collide."""
+    doc_id div 18 keys the page identity.  The three SOURCE-FREE
+    shapes (3: example.com:443, 4: user@example.com., 5:
+    cdn.example.net) collide in triples {18k+s, 18k+s+6, 18k+s+12}
+    per 18-block; shapes 0-2 embed the per-doc source in the host, so
+    they never collide (measured at sf0.01: 81 triples + 3 pairs at
+    the corpus edge + 251 singletons = 335 canonical pages from 500
+    docs)."""
     big = "string" if d == SPARK else "VARCHAR"
     pid = P.int_div("doc_id", "18", d)
     sid = f"cast({pid} as {big})"
