@@ -369,6 +369,36 @@ def duckdb_components_oracle(pairs_cte: str, id_col: str = "doc_id",
     """
 
 
+def _pagerank_exact_local(
+    edge_rows: list,
+    iterations: int,
+    damping_ppm: int,
+) -> list[tuple]:
+    """Driver-side twin of the distributed loop — the SAME integer
+    floor-division arithmetic step for step (trans ppm, init/base
+    ranks, per-edge contribution, damped sum), so the output is
+    bit-identical to the cluster path; used below when the graph fits
+    the small-graph gate."""
+    outw: dict = {}
+    for s, d, w in edge_rows:
+        outw[s] = outw.get(s, 0) + w
+    trans = [(s, d, (w * 1_000_000) // outw[s]) for s, d, w in edge_rows]
+    nodes = sorted({s for s, _, _ in edge_rows}
+                   | {d for _, d, _ in edge_rows})
+    n = len(nodes)
+    base = (1_000_000_000 * (1_000_000 - damping_ppm) // 1_000_000) // n
+    pr = {v: 1_000_000_000 // n for v in nodes}
+    for _ in range(iterations):
+        contrib: dict = {}
+        for s, d, tw in trans:
+            contrib[d] = contrib.get(d, 0) + (pr[s] * tw) // 1_000_000
+        pr = {
+            v: base + (damping_ppm * contrib.get(v, 0)) // 1_000_000
+            for v in nodes
+        }
+    return [(v, pr[v]) for v in nodes]
+
+
 def pagerank_exact(
     edges: DataFrame,
     src: str,
@@ -378,6 +408,7 @@ def pagerank_exact(
     iterations: int = 5,
     damping_ppm: int = 850_000,
     pr_col: str = "pr_ppb",
+    small_graph_edges: int = 100_000,
 ) -> DataFrame:
     """Weighted PageRank with INTEGER fixed-point arithmetic — every
     intermediate is an exact int64, so the result is bit-identical
@@ -414,6 +445,26 @@ def pagerank_exact(
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
     )
+    # small-graph gate: an iterative loop of tiny joins is pure
+    # scheduling overhead when the EDGE LIST fits on the driver
+    # (domain graphs after eTLD+1 rollup often do).  The local twin
+    # runs the identical integer arithmetic, so the output is
+    # bit-identical to the distributed path (equality property-tested);
+    # set small_graph_edges=0 to force the distributed loop.
+    if small_graph_edges > 0:
+        head = e.limit(small_graph_edges + 1).collect()
+        if len(head) <= small_graph_edges:
+            rows = _pagerank_exact_local(
+                [(r["_src"], r["_dst"], r["_w"]) for r in head],
+                iterations, damping_ppm,
+            )
+            from pyspark.sql import types as T
+
+            schema = T.StructType([
+                T.StructField("node", e.schema["_src"].dataType),
+                T.StructField(pr_col, T.LongType()),
+            ])
+            return edges.sparkSession.createDataFrame(rows, schema)
     outw = e.groupBy("_src").agg(F.sum("_w").alias("_outw"))
     trans = (
         e.join(outw, "_src")

@@ -7300,3 +7300,41 @@ class TestRobotsReviewRegressions:
         meta = parse_exif(padded)
         assert meta is not None and meta["make"] == "TestCam"
         assert meta["gps_lon_udeg"] == -125_000
+
+
+class TestPagerankSmallGraphGate:
+    def test_local_path_bit_identical_to_distributed(self, spark):
+        """The small-graph driver twin must equal the distributed loop
+        exactly — same integer floor-division arithmetic."""
+        import random
+
+        from ayeaye_spark.operators import graph
+
+        rng = random.Random(7)
+        nodes = [f"n{i}" for i in range(40)]
+        rows = [(rng.choice(nodes), rng.choice(nodes), rng.randint(1, 9))
+                for _ in range(200)]
+        # include a pure sink and a pure source
+        rows += [("srconly", "n0", 3), ("n1", "sinkonly", 2)]
+        edges = spark.createDataFrame(rows, "src string, dst string, w long")
+        local = {(r["node"], r["pr_ppb"])
+                 for r in graph.pagerank_exact(
+                     edges, "src", "dst", "w", iterations=4).collect()}
+        dist = {(r["node"], r["pr_ppb"])
+                for r in graph.pagerank_exact(
+                    edges, "src", "dst", "w", iterations=4,
+                    small_graph_edges=0).collect()}
+        assert local == dist and len(local) == 42
+
+    def test_gate_threshold_respected(self, spark):
+        from ayeaye_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)],
+            "src string, dst string, w long",
+        )
+        # threshold below the edge count -> distributed path still runs
+        out = graph.pagerank_exact(
+            edges, "src", "dst", "w", iterations=2, small_graph_edges=2
+        ).collect()
+        assert len(out) == 3
