@@ -661,3 +661,70 @@ def test_html_hrefs_and_link_host_match_across_engines(spark):
     assert got_s[1][0] == ["https://real.com/y"]  # script-quoted ignored
     assert got_s[2] == ([], [])
     assert got_s[5] == (None, None)
+
+
+ROBOTS_RULE_CASES = [
+    "/private/",
+    "/*.gif$",
+    "/a+b?.html",
+    "/exact$",
+    "/",
+    "/*",
+    "/path/*/deep$",
+    "/(paren){brace}[brack]|pipe^caret",
+    "/dollar$in$middle$",
+    "/back\\slash",
+    "/star**double",
+    "*leading",
+    "$",
+]
+
+PATHQ_CASES = [
+    "https://a.com/x/y?b=2",
+    "https://a.com",
+    "https://a.com?id=1",          # query-only: must become /?id=1
+    "https://a.com/#frag",
+    "https://a.com/a/b.gif",
+    "a.com/no-scheme?q=1",
+    "https://user@a.com:8080/p?x=1#f",
+    "",
+    None,
+]
+
+
+def test_robots_primitives_match_across_engines(spark):
+    """portable.url_pathq / robots_rule_regex and the per-row regex
+    match must be bit-identical in Spark and DuckDB on adversarial
+    rules (regex metachars, wildcards, anchors) x paths."""
+    import duckdb
+    import pandas as pd
+
+    rows = [(i * 100 + j, r, u)
+            for i, r in enumerate(ROBOTS_RULE_CASES)
+            for j, u in enumerate(PATHQ_CASES)]
+    pdf = pd.DataFrame(rows, columns=["rid", "rule", "url"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("robofuzz")
+    con = duckdb.connect()
+    con.register("robofuzz", pdf)
+
+    def q(d):
+        pathq = P.url_pathq("url", d)
+        rx = P.robots_rule_regex("rule", d)
+        m = P.regexp_like_col(pathq, rx, d)
+        return (f"SELECT rid, {pathq} AS pq, {rx} AS rx, "
+                f"CASE WHEN url IS NULL THEN NULL ELSE {m} END AS m "
+                f"FROM robofuzz")
+
+    got_s = {r["rid"]: (r["pq"], r["rx"], r["m"])
+             for r in spark.sql(q(P.SPARK)).collect()}
+    got_d = {r[0]: (r[1], r[2], r[3])
+             for r in con.execute(q(P.DUCKDB)).fetchall()}
+    assert got_s == got_d
+    # semantic pins: rule 0 = '/private/' never matches these paths;
+    # rule 4 = '/' matches EVERY non-null path incl. the query-only URL
+    root_matches = [got_s[400 + j][2] for j in range(len(PATHQ_CASES))]
+    assert all(m is True for m in root_matches[:7])
+    # '/*.gif$' matches only the .gif path
+    gif = {j: got_s[100 + j][2] for j in range(7)}
+    assert gif == {0: False, 1: False, 2: False, 3: False,
+                   4: True, 5: False, 6: False}
