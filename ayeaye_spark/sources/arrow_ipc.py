@@ -20,9 +20,16 @@ thin and stays columnar end to end:
   Python, no pandas detour).  Schema is inferred ON THE DRIVER from the
   first file's IPC footer (names only — no data read).
 
-Scale contract mirrors ``webdataset.py``: shard writes use the POSIX
-file API (shared/fuse path on a real cluster; an fsspec file object is
-the object-store drop-in), one shard's columns materialize per task.
+Scale contract mirrors ``webdataset.py``: one shard's columns
+materialize per task; each shard is written to executor-local scratch
+then published via :func:`executor_fs.publish_file` (``shutil.move``
+for scheme-less shared-mount paths, JVM-side
+``FileSystem.copyFromLocalFile`` for ``file://``/``hdfs://``/``s3a://``
+destinations), with scheme-aware ``fs.globStatus`` overwrite cleanup.
+The pyds reader and ``infer_ipc_schema`` glob/mmap locally — they
+accept scheme-less shared-mount paths and ``file://`` URIs; reading
+shards straight off an object store goes through ``binaryFile`` +
+``read_tar_shards``-style plumbing or a fuse mount.
 
 Reference parity: beyond-reference addition in the spirit of the file
 connectors (`lib/ayeaye/connectors/parquet_connector.py` is the
@@ -42,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .base import AccessMode, ConnectorError, DataConnector, spark_path
+from .executor_fs import publish_file, strip_file_scheme, uri_join
 
 MANIFEST_SCHEMA = (
     "shard_id BIGINT, path STRING, n_rows BIGINT, n_bytes BIGINT"
@@ -78,21 +86,28 @@ def write_arrow_shards(
     def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(pdf["_shard"].iloc[0])
         pdf = pdf.sort_values(key_col, kind="mergesort").drop(columns=["_shard"])
-        os.makedirs(out_dir, exist_ok=True)
-        path = os.path.join(out_dir, f"shard-{shard_id:06d}.arrow")
+        # emit to executor-local scratch, publish() moves/uploads after
+        import tempfile
+
+        name = f"shard-{shard_id:06d}.arrow"
+        path = uri_join(out_dir, name)
+        fd, scratch = tempfile.mkstemp(suffix=name, prefix="ayeaye-arrow-")
+        os.close(fd)
         table = pa.Table.from_pandas(
             pdf, schema=arrow_schema, preserve_index=False
         )
-        with pa.OSFile(path, "wb") as f:
+        with pa.OSFile(scratch, "wb") as f:
             with ipc.new_file(f, table.schema) as writer:
                 writer.write_table(table)
+        n_bytes = os.path.getsize(scratch)
+        publish_file(scratch, path)
         return pd.DataFrame(
             [
                 {
                     "shard_id": shard_id,
                     "path": path,
                     "n_rows": len(pdf),
-                    "n_bytes": os.path.getsize(path),
+                    "n_bytes": n_bytes,
                 }
             ]
         )
@@ -102,10 +117,11 @@ def write_arrow_shards(
 
 def infer_ipc_schema(path_glob: str):
     """Spark StructType from the FIRST matching shard's IPC footer
-    (driver-side, metadata only)."""
+    (driver-side, metadata only).  Accepts scheme-less local/shared
+    paths and ``file://`` URIs (stripped to local access)."""
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    files = sorted(glob(path_glob))
+    files = sorted(glob(strip_file_scheme(path_glob)))
     if not files:
         raise FileNotFoundError(f"no Arrow IPC files match {path_glob}")
     with pa.memory_map(files[0], "r") as source:
@@ -141,7 +157,7 @@ class ArrowIpcConnector(DataConnector):
     def _glob(self) -> str:
         path = spark_path(self.url)
         if not any(ch in path for ch in "*?[") and not path.endswith(".arrow"):
-            path = os.path.join(path, "shard-*.arrow")
+            path = uri_join(path, "shard-*.arrow")
         return path
 
     def read(self, spark: SparkSession) -> DataFrame:

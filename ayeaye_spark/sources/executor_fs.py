@@ -1,0 +1,143 @@
+"""Executor-side Hadoop-FS publish for shard sinks.
+
+The WebDataset / Arrow-IPC shard writers emit each shard's bytes inside
+an ``applyInPandas`` task — i.e. in a PYTHON WORKER on an executor,
+where Spark's own Py4J gateway does not exist (it lives in the driver
+process only).  Until round 11 that forced the writers through the
+POSIX file API, which restricted shard output to filesystems mounted on
+every executor.  This module removes that restriction without any new
+dependency:
+
+* each shard is first written to EXECUTOR-LOCAL SCRATCH (a tempfile —
+  fast sequential POSIX write, always available), then
+* :func:`publish_file` moves it to the destination:
+
+  - destination WITHOUT a URI scheme (``/data/corpus``) →
+    ``shutil.move`` — the classic shared/fuse-mount contract, zero JVM
+    involvement;
+  - destination WITH a scheme (``file://``, ``hdfs://``, ``s3a://``…) →
+    a small, per-worker-process-cached JVM is launched via py4j (py4j
+    ships with pyspark; the Hadoop client jars ship in
+    ``$SPARK_HOME/jars``) and the bytes are moved entirely JVM-side
+    with ``FileSystem.copyFromLocalFile(delSrc=True, overwrite=True)``
+    — no shard byte ever crosses the py4j socket.
+
+The gateway JVM costs ~1 s to launch and is cached per Python worker
+process (``spark.python.worker.reuse`` amortizes it across tasks); its
+classpath is just ``hadoop-client-api`` + ``hadoop-client-runtime`` +
+``slf4j-api`` plus ``$HADOOP_CONF_DIR`` (so a real cluster's
+``core-site.xml`` — credentials, defaultFS, s3a endpoint — is honoured
+on executors exactly as it is on the driver).
+
+Reference parity: this is the executor-side analog of the reference's
+``smart_open_modifier.py:75-199``, which made remote writes transparent
+for every reference connector; here the remote write goes through the
+same Hadoop FS implementations Spark itself uses for its scans.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from glob import glob as _local_glob
+
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://")
+
+# one gateway per Python worker process, reused across tasks
+_GATEWAY = None
+
+
+def has_scheme(path: str) -> bool:
+    """True when ``path`` carries a URI scheme (``s3a://…``) — i.e. it
+    names a Hadoop filesystem rather than a worker-local POSIX path."""
+    return bool(_SCHEME_RE.match(path))
+
+
+def uri_join(base: str, name: str) -> str:
+    """URI-style child path — Hadoop paths are ``/``-separated on every
+    scheme, so never ``os.path.join`` (OS-dependent)."""
+    return base.rstrip("/") + "/" + name
+
+
+def _hadoop_classpath() -> str:
+    """Classpath for the worker-side gateway JVM: the Hadoop client
+    jars from the pyspark distribution plus ``$HADOOP_CONF_DIR`` (a
+    directory on the classpath is how Hadoop finds ``core-site.xml``)."""
+    import pyspark
+
+    candidates = []
+    spark_home = os.environ.get("SPARK_HOME")
+    if spark_home:
+        candidates.append(os.path.join(spark_home, "jars"))
+    candidates.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
+    jars_dir = next((d for d in candidates if os.path.isdir(d)), None)
+    if jars_dir is None:
+        raise RuntimeError(
+            "executor_fs: no Spark jars directory found (looked in "
+            f"{candidates}) — cannot launch the Hadoop FS gateway"
+        )
+    jars = []
+    for pattern in ("hadoop-client-api-*.jar", "hadoop-client-runtime-*.jar",
+                    "slf4j-api-*.jar", "hadoop-*aws*.jar", "aws-*sdk*.jar"):
+        jars.extend(sorted(_local_glob(os.path.join(jars_dir, pattern))))
+    if not jars:
+        # non-pip layouts bundle hadoop differently; fall back to the
+        # whole jars dir (slower JVM start, same behavior)
+        jars = [os.path.join(jars_dir, "*")]
+    conf_dir = os.environ.get("HADOOP_CONF_DIR")
+    if conf_dir:
+        jars.append(conf_dir)
+    return os.pathsep.join(jars)
+
+
+def _jvm():
+    """The per-worker gateway JVM (launched on first use, cached)."""
+    global _GATEWAY
+    if _GATEWAY is None:
+        from py4j.java_gateway import (
+            GatewayParameters,
+            JavaGateway,
+            launch_gateway,
+        )
+
+        port = launch_gateway(classpath=_hadoop_classpath(), die_on_exit=True)
+        _GATEWAY = JavaGateway(
+            gateway_parameters=GatewayParameters(port=port, auto_convert=True)
+        )
+    return _GATEWAY.jvm
+
+
+def _fs_and_path(path: str):
+    """(FileSystem, Path) for ``path``'s scheme via the gateway JVM."""
+    jvm = _jvm()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jvm.org.apache.hadoop.conf.Configuration())
+    return fs, hpath
+
+
+def publish_file(local_path: str, dest: str) -> None:
+    """Move an executor-local file to ``dest``.
+
+    Scheme-less ``dest`` → ``shutil.move`` (shared/fuse-mount contract);
+    any URI scheme (including ``file://``) → JVM-side
+    ``copyFromLocalFile(delSrc=True, overwrite=True)`` through the
+    Hadoop FS API — the source file is consumed either way.
+    """
+    if not has_scheme(dest):
+        os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+        shutil.move(local_path, dest)
+        return
+    jvm = _jvm()
+    fs, hdest = _fs_and_path(dest)
+    fs.copyFromLocalFile(
+        True, True, jvm.org.apache.hadoop.fs.Path(local_path), hdest
+    )
+
+
+def strip_file_scheme(path: str) -> str:
+    """``file://`` URIs double as local paths for driver-side readers
+    that glob/mmap locally (``infer_ipc_schema``, the pyds readers)."""
+    if path.startswith("file://"):
+        return path[len("file://"):] or "/"
+    return path

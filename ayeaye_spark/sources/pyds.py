@@ -444,9 +444,14 @@ class ArrowIpcReader(DataSourceReader):
             raise ValueError("ayeaye_arrow requires .option('path', ...)")
 
     def partitions(self):
+        # local glob: accepts scheme-less shared-mount paths and
+        # file:// URIs; like WarcReader, driver and executors must see
+        # the same filesystem (executors re-open these paths locally)
         from glob import glob
 
-        files = sorted(glob(self.path))
+        from .executor_fs import strip_file_scheme
+
+        files = sorted(glob(strip_file_scheme(self.path)))
         if not files:
             raise FileNotFoundError(f"ayeaye_arrow: no files match {self.path}")
         return [InputPartition(f) for f in files]

@@ -25,11 +25,15 @@ Scale contract: ONE SHARD = ONE TASK = ONE IN-MEMORY GROUP on write
 (``applyInPandas``), one whole file on read (``binaryFile`` materializes
 each shard as a single binary value).  Size shards accordingly — the
 WebDataset convention of 100 MB–1 GB per shard is exactly the executor-
-friendly range; pick ``n_shards ≈ corpus_bytes / 500 MB``.  Paths go
-through the Hadoop-visible filesystem string, but the tar writer itself
-uses the POSIX file API — on a multi-node cluster point ``out_dir`` at a
-shared/fuse-mounted path (object-store streaming would swap in an
-fsspec/smart_open file object here; not vendorable in this sandbox).
+friendly range; pick ``n_shards ≈ corpus_bytes / 500 MB``.
+
+Output placement (round 11): each shard is written to EXECUTOR-LOCAL
+scratch, then published by :func:`executor_fs.publish_file` — a
+``shutil.move`` for scheme-less (shared/fuse-mounted) ``out_dir``, or a
+JVM-side ``FileSystem.copyFromLocalFile`` for any URI scheme
+(``file://``, ``hdfs://``, ``s3a://``…), so the LLM-corpus export path
+works on pure object-store clusters.  Stale-shard overwrite cleanup is
+scheme-aware too (``fs.globStatus`` via the driver's Hadoop FS).
 
 Reference parity: the reference has no tar/WebDataset connector — this
 is a beyond-reference addition in the spirit of its file connectors
@@ -51,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .base import AccessMode, ConnectorError, DataConnector, spark_path
+from .executor_fs import has_scheme, publish_file, uri_join
 
 MANIFEST_SCHEMA = (
     "shard_id BIGINT, path STRING, n_keys BIGINT, n_members BIGINT, n_bytes BIGINT"
@@ -75,13 +80,58 @@ def prepare_shard_dir(out_dir: str, pattern: str, mode: str) -> bool:
     * ``ignore`` — skip the write (return False) if any match exists.
     * ``append`` — rejected: same-id shard files would be clobbered,
       not appended (reshard the union instead).
+
+    Scheme-aware: a scheme-less ``out_dir`` is listed/cleaned with the
+    local glob; any URI scheme routes through the driver session's
+    Hadoop FS (``fs.globStatus`` / ``fs.delete``), so overwrite works
+    on ``s3a://``/``hdfs://`` shard directories too.
     """
+    if has_scheme(out_dir):
+        return _prepare_shard_dir_hadoop(out_dir, pattern, mode)
     from glob import glob as _glob
 
     existing = sorted(_glob(os.path.join(out_dir, pattern)))
     if mode == "overwrite":
         for p in existing:
             os.remove(p)
+        return True
+    if mode in ("error", "errorifexists"):
+        if existing:
+            raise ConnectorError(
+                f"shard dir {out_dir} already has {len(existing)} files "
+                f"matching {pattern} (mode={mode})"
+            )
+        return True
+    if mode == "ignore":
+        return not existing
+    if mode == "append":
+        raise ConnectorError(
+            "append is not supported for shard sinks: shard ids are "
+            "key-hash-determined, so a second write would overwrite "
+            "same-id shard files, not append — reshard the union instead"
+        )
+    raise ConnectorError(f"unknown save mode {mode!r}")
+
+
+def _prepare_shard_dir_hadoop(out_dir: str, pattern: str, mode: str) -> bool:
+    """Driver-side scheme'd variant of :func:`prepare_shard_dir` —
+    ``fs.globStatus`` listing + ``fs.delete`` cleanup via the active
+    session's Hadoop FS."""
+    from ..operators.maintenance import _fs_and_path
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ConnectorError(
+            f"shard dir {out_dir} has a URI scheme but no active "
+            "SparkSession exists to reach its filesystem"
+        )
+    fs, _ = _fs_and_path(spark, out_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    statuses = fs.globStatus(jvm_path(uri_join(out_dir, pattern)))
+    existing = [st.getPath() for st in statuses] if statuses is not None else []
+    if mode == "overwrite":
+        for p in existing:
+            fs.delete(p, False)
         return True
     if mode in ("error", "errorifexists"):
         if existing:
@@ -172,11 +222,16 @@ def write_tar_shards(
                 f"shorten the key (e.g. hash it)"
             )
         pdf = pdf.sort_values("_key", kind="mergesort")
-        os.makedirs(out_dir, exist_ok=True)
-        path = os.path.join(out_dir, f"shard-{shard_id:06d}{ext}")
+        # emit to executor-local scratch, publish() moves/uploads after
+        import tempfile
+
+        name = f"shard-{shard_id:06d}{ext}"
+        path = uri_join(out_dir, name)
+        fd, scratch = tempfile.mkstemp(suffix=name, prefix="ayeaye-wds-")
+        os.close(fd)
         n_members = 0
         n_bytes = 0
-        with open(path, "wb") as raw:
+        with open(scratch, "wb") as raw:
             if compress:
                 # gzip.GzipFile(mtime=0): tarfile's own "w:gz" stamps
                 # wall-clock time into the gzip header, breaking
@@ -203,6 +258,7 @@ def write_tar_shards(
                         n_bytes += len(payload)
             if compress:
                 stream.close()
+        publish_file(scratch, path)
         return pd.DataFrame(
             [
                 {
@@ -299,7 +355,7 @@ class WebDatasetConnector(DataConnector):
         self._require_read()
         path = spark_path(self.url)
         if not any(ch in path for ch in "*?[") and not path.endswith((".tar", ".tar.gz")):
-            path = os.path.join(path, "shard-*.tar*")
+            path = uri_join(path, "shard-*.tar*")
         return read_tar_shards(spark, path)
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:

@@ -909,6 +909,88 @@ class TestArrowIpc:
         assert {r["doc_id"] for r in c.read(spark).collect()} == {0}
 
 
+class TestShardHadoopFsPublish:
+    """Shard sinks through an explicit ``file:///`` URI — the writes
+    route through the executor-side Hadoop FS gateway
+    (``executor_fs.publish_file`` → ``fs.copyFromLocalFile``) and the
+    overwrite cleanup through the driver's ``fs.globStatus``, i.e. the
+    exact code path an ``s3a://``/``hdfs://`` destination uses."""
+
+    def _docs(self, spark, n=20):
+        return spark.createDataFrame(
+            [(i, f"document body {i}") for i in range(n)],
+            "doc_id long, text string",
+        )
+
+    def test_wds_file_uri_write_matches_local_bytes(self, spark, tmp_path):
+        from ayeaye_spark.sources.webdataset import (
+            read_tar_shards,
+            write_tar_shards,
+        )
+
+        docs = self._docs(spark)
+        local = str(tmp_path / "local")
+        remote_dir = tmp_path / "remote"
+        remote = f"file://{remote_dir}"
+        write_tar_shards(
+            docs, local, key_col="doc_id",
+            member_cols={"txt": "text"}, n_shards=3,
+        ).collect()
+        manifest = write_tar_shards(
+            docs, remote, key_col="doc_id",
+            member_cols={"txt": "text"}, n_shards=3,
+        ).collect()
+        assert all(m["path"].startswith("file://") for m in manifest)
+        # byte-identical through the Hadoop copyFromLocalFile path
+        names = sorted(os.listdir(local))
+        assert sorted(os.listdir(remote_dir)) == names
+        for name in names:
+            with open(os.path.join(local, name), "rb") as f1, \
+                 open(remote_dir / name, "rb") as f2:
+                assert f1.read() == f2.read(), name
+        # readable straight from the file:// glob (binaryFile scheme-native)
+        members = read_tar_shards(spark, f"{remote}/shard-*.tar")
+        assert members.count() == 20
+
+    def test_wds_connector_overwrite_via_hadoop_glob(self, spark, tmp_path):
+        """Overwrite cleanup on a scheme'd shard dir goes through
+        fs.globStatus/fs.delete — stale shard files must not survive."""
+        remote_dir = tmp_path / "wds_remote"
+        c = connector_for(
+            f"wds://file://{remote_dir};shards=8;key=doc_id",
+            access=AccessMode.READWRITE, member_cols={"txt": "text"},
+        )
+        c.write(self._docs(spark, 40))
+        assert len(os.listdir(remote_dir)) > 1
+        c.write(self._docs(spark, 1))
+        assert {f for f in os.listdir(remote_dir)} == {
+            os.path.basename(m["path"]) for m in c.last_manifest
+        }
+        assert {r["key"] for r in c.read(spark).collect()} == {"0"}
+        # error mode probes existence through the same Hadoop listing
+        from ayeaye_spark.sources.base import ConnectorError
+
+        with pytest.raises(ConnectorError, match="already has"):
+            c.write(self._docs(spark, 2), mode="error")
+
+    def test_arrow_file_uri_roundtrip(self, spark, tmp_path):
+        from ayeaye_spark.sources.arrow_ipc import (
+            read_arrow_shards,
+            write_arrow_shards,
+        )
+
+        docs = self._docs(spark, 15)
+        remote_dir = tmp_path / "ipc_remote"
+        manifest = write_arrow_shards(
+            docs, f"file://{remote_dir}", key_col="doc_id", n_shards=2
+        ).collect()
+        assert sum(m["n_rows"] for m in manifest) == 15
+        assert all(m["path"].startswith("file://") for m in manifest)
+        back = read_arrow_shards(spark, f"file://{remote_dir}/shard-*.arrow")
+        assert back.schema == docs.schema
+        assert {r["doc_id"] for r in back.collect()} == set(range(15))
+
+
 class TestInterchangeEdgeCases:
     def test_wds_unicode_dotted_keys_empty_and_large(self, spark, tmp_path):
         from ayeaye_spark.sources.webdataset import read_tar_shards, write_tar_shards
