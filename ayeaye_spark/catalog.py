@@ -10038,7 +10038,14 @@ def docs_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled PageRank CTEs).  The authority score is the classic
     source-reputation prior for crawl frontier ordering and corpus
     mixture weighting.  Per iteration one rank-edge join + one
-    map-side-combined SUM — the canonical distributed PageRank step."""
+    map-side-combined SUM — the canonical distributed PageRank step.
+
+    ``small_graph_edges=0`` pins the DISTRIBUTED loop here even though
+    the sf-scale domain graph is tiny: the oracle record should certify
+    the plan that runs at 100 TB, not the driver-local small-graph twin
+    (the two are bit-identical by integer construction and
+    equality-property-tested; ``docs_source_lang_pagerank`` keeps the
+    default gate, so both paths stay driver-sampled)."""
     from .operators import graph, web
 
     docs = load(spark, sf_dir, "documents").select(
@@ -10050,7 +10057,9 @@ def docs_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dst_domain").alias("dst"),
         F.col("n_links").alias("w"),
     )
-    return graph.pagerank_exact(edges, "src", "dst", "w", iterations=5)
+    return graph.pagerank_exact(
+        edges, "src", "dst", "w", iterations=5, small_graph_edges=0
+    )
 
 
 def _crawl_delta_fixture(d: str) -> tuple[str, str, str]:

@@ -386,6 +386,8 @@ def _pagerank_exact_local(
     nodes = sorted({s for s, _, _ in edge_rows}
                    | {d for _, d, _ in edge_rows})
     n = len(nodes)
+    if n == 0:
+        return []
     base = (1_000_000_000 * (1_000_000 - damping_ppm) // 1_000_000) // n
     pr = {v: 1_000_000_000 // n for v in nodes}
     for _ in range(iterations):
@@ -442,8 +444,16 @@ def pagerank_exact(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    # NULL-src/dst/weight edges are DROPPED up front (documented
+    # semantics): without the filter the distributed SUM silently
+    # skipped a null weight while the local twin raised on it, so the
+    # two paths disagreed on degenerate inputs
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
+    ).where(
+        F.col("_src").isNotNull()
+        & F.col("_dst").isNotNull()
+        & F.col("_w").isNotNull()
     )
     # small-graph gate: an iterative loop of tiny joins is pure
     # scheduling overhead when the EDGE LIST fits on the driver
@@ -488,6 +498,16 @@ def pagerank_exact(
         .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:  # empty edge list -> empty ranking (both paths)
+        from pyspark.sql import types as T
+
+        return edges.sparkSession.createDataFrame(
+            [],
+            T.StructType([
+                T.StructField("node", e.schema["_src"].dataType),
+                T.StructField(pr_col, T.LongType()),
+            ]),
+        )
     base = (1_000_000_000 * (1_000_000 - damping_ppm) // 1_000_000) // n_nodes
     init = 1_000_000_000 // n_nodes
     ranks = nodes.select("node", F.lit(init).cast("long").alias("_pr"))

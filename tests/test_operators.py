@@ -7338,3 +7338,60 @@ class TestPagerankSmallGraphGate:
             edges, "src", "dst", "w", iterations=2, small_graph_edges=2
         ).collect()
         assert len(out) == 3
+
+    def test_null_weight_edges_dropped_both_paths_agree(self, spark):
+        """NULL-weight (or NULL-endpoint) edges are dropped up front —
+        previously the distributed SUM skipped them silently while the
+        local twin raised TypeError, breaking the bit-identity
+        contract on degenerate inputs."""
+        from ayeaye_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [("a", "b", 2), ("b", "c", None), ("c", "a", 1),
+             (None, "a", 5), ("b", None, 5)],
+            "src string, dst string, w long",
+        )
+        clean = spark.createDataFrame(
+            [("a", "b", 2), ("c", "a", 1)], "src string, dst string, w long"
+        )
+        local = {(r["node"], r["pr_ppb"]) for r in graph.pagerank_exact(
+            edges, "src", "dst", "w", iterations=3).collect()}
+        dist = {(r["node"], r["pr_ppb"]) for r in graph.pagerank_exact(
+            edges, "src", "dst", "w", iterations=3,
+            small_graph_edges=0).collect()}
+        want = {(r["node"], r["pr_ppb"]) for r in graph.pagerank_exact(
+            clean, "src", "dst", "w", iterations=3).collect()}
+        assert local == dist == want
+        assert {n for n, _ in want} == {"a", "b", "c"}
+
+    def test_empty_edge_list_yields_empty_ranking(self, spark):
+        from ayeaye_spark.operators import graph
+
+        empty = spark.createDataFrame([], "src string, dst string, w long")
+        for gate in (100_000, 0):
+            out = graph.pagerank_exact(
+                empty, "src", "dst", "w", iterations=2,
+                small_graph_edges=gate,
+            )
+            assert out.columns == ["node", "pr_ppb"]
+            assert out.count() == 0
+
+    def test_domain_pagerank_catalog_runs_distributed_loop(
+        self, spark, monkeypatch
+    ):
+        """Verdict r10 item 2: the driver-record entry must execute the
+        per-iteration join+SUM loop (the one that runs at 100 TB), not
+        the driver-local small-graph twin.  The twin is patched to blow
+        up if entered; the final plan is a checkpointed LogicalRDD (the
+        loop truncates lineage each round), so plan text can't show the
+        joins — entry-point interception is the reliable pin."""
+        import ayeaye_spark.operators.graph as graph_mod
+        from ayeaye_spark.catalog import QUERIES
+
+        def _boom(*a, **k):
+            raise AssertionError("docs_domain_pagerank used the local twin")
+
+        monkeypatch.setattr(graph_mod, "_pagerank_exact_local", _boom)
+        df = QUERIES["docs_domain_pagerank"](spark, "/root/testdata/sf0.001")
+        assert df.columns == ["node", "pr_ppb"]
+        assert df.count() > 0
