@@ -416,7 +416,11 @@ def robots_filter(
         "_m",
         F.col("rule_regex").isNotNull()
         & F.expr(P.regexp_like_col("_pathq", "rule_regex", P.SPARK)),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ cand feeds BOTH the rank aggregate and the winner lookup below;
+    # without persisting it, the robots parse + per-row regex pipeline
+    # would execute twice (Catalyst doesn't dedupe common subplans
+    # across a self-join, and the two consumers' exchanges differ)
     ranked = cand.groupBy(id_col).agg(
         F.max(
             F.when(

@@ -292,6 +292,11 @@ class WdsDataSource(DataSource):
     that reads 1 GB+ training shards safely.  Shard files are listed
     on the driver (names only); all byte I/O happens on executors.
 
+    Filesystem contract: same as ``ayeaye_warc`` — driver-local glob +
+    executor-local open, so driver and executors must share a
+    POSIX-visible filesystem; ``file://`` URIs are stripped, object
+    stores need ``read_tar_shards`` (``binaryFile``) or a fuse mount.
+
     Options: ``path`` — shard glob (``/data/corpus/shard-*.tar``;
     ``.tar.gz`` auto-detected).  Schema is fixed:
     ``shard_path string, key string, suffix string, content binary``.
@@ -317,9 +322,12 @@ class WdsReader(DataSourceReader):
             )
 
     def partitions(self):
+        # shared-POSIX-filesystem contract (see WdsDataSource docstring)
         from glob import glob
 
-        files = sorted(glob(self.path))
+        from .executor_fs import strip_file_scheme
+
+        files = sorted(glob(strip_file_scheme(self.path)))
         if not files:
             raise FileNotFoundError(f"ayeaye_wds: no shards match {self.path}")
         return [InputPartition(f) for f in files]
@@ -352,6 +360,14 @@ class WarcDataSource(DataSource):
     archives read safely.  Archive files are listed on the driver
     (names only); all byte I/O happens on executors.
 
+    Filesystem contract: listing uses a driver-local ``glob`` and
+    executors re-open the same paths with local ``open()`` — driver and
+    executors must share a POSIX-visible filesystem (local mode, NFS,
+    or a fuse mount).  ``file://`` URIs are accepted and stripped; an
+    ``s3a://``/``hdfs://`` glob will NOT resolve here — for object-
+    store archives use ``sources/warc.py:read_warc`` (``binaryFile`` is
+    scheme-native) when archives fit the 2 GB cell limit.
+
     Options: ``path`` — archive glob (``/data/crawl/*.warc.gz``).
     Schema is ``sources/warc.py:RECORD_SCHEMA``.
     """
@@ -378,9 +394,12 @@ class WarcReader(DataSourceReader):
             )
 
     def partitions(self):
+        # shared-POSIX-filesystem contract (see WarcDataSource docstring)
         from glob import glob
 
-        files = sorted(glob(self.path))
+        from .executor_fs import strip_file_scheme
+
+        files = sorted(glob(strip_file_scheme(self.path)))
         if not files:
             raise FileNotFoundError(
                 f"ayeaye_warc: no archives match {self.path}"

@@ -153,12 +153,66 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(_extract, RECORD_SCHEMA)
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 ``Transfer-Encoding: chunked`` body (hex size
+    line, chunk bytes, repeat until the 0 chunk).  Malformed framing
+    returns the body UNCHANGED — a hostile crawl record must not crash
+    the plan, and raw bytes beat dropped bytes for debugging."""
+    out = []
+    pos = 0
+    while True:
+        nl = body.find(b"\n", pos)
+        if nl < 0:
+            return body
+        size_token = body[pos:nl].strip().split(b";")[0]
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            return body
+        pos = nl + 1
+        if size == 0:
+            return b"".join(out)
+        if pos + size > len(body):
+            return body
+        out.append(body[pos:pos + size])
+        pos += size
+        if body[pos:pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos:pos + 1] == b"\n":
+            pos += 1
+
+
+def _decompress_body(body: bytes, content_encoding: str) -> bytes:
+    """Undo ``Content-Encoding: gzip/x-gzip/deflate``; anything else —
+    or corrupt compressed bytes — passes through unchanged."""
+    enc = content_encoding.split(",")[0].strip().lower()
+    try:
+        if enc in ("gzip", "x-gzip"):
+            return gzip.decompress(body)
+        if enc == "deflate":
+            import zlib
+
+            try:
+                return zlib.decompress(body)
+            except zlib.error:  # raw-deflate servers omit the zlib header
+                return zlib.decompress(body, -zlib.MAX_WBITS)
+    except Exception:
+        return body
+    return body
+
+
 def http_responses(records: DataFrame) -> DataFrame:
     """``response`` records → HTTP fields: status code, HTTP
     content-type, body bytes, and ``html`` (the body decoded utf-8-
     with-replacement when the HTTP content-type is ``text/*`` — the
     column ``operators.web.html_extract`` consumes).  Pure projection
-    over the payload bytes (one Arrow pass, no shuffle)."""
+    over the payload bytes (one Arrow pass, no shuffle).
+
+    Real-crawl robustness: headers terminated by bare ``\\n\\n`` parse
+    via fallback (some origin servers emit LF-only), chunked transfer
+    framing is decoded (:func:`_dechunk`), and gzip/deflate content
+    encodings are decompressed — all failure modes degrade to the raw
+    bytes, never an exception."""
     def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["target_uri", "warc_date", "http_status",
                 "http_content_type", "body", "html"]
@@ -169,20 +223,34 @@ def http_responses(records: DataFrame) -> DataFrame:
             ):
                 raw = bytes(payload)
                 sep = raw.find(_CRLF + _CRLF)
+                seplen = 4
+                if sep < 0:  # LF-only origin servers
+                    sep = raw.find(b"\n\n")
+                    seplen = 2
                 head = raw[:sep].decode("utf-8", "replace") if sep >= 0 else ""
-                body = raw[sep + 4:] if sep >= 0 else raw
+                body = raw[sep + seplen:] if sep >= 0 else raw
                 status = 0
                 ctype = ""
-                lines = head.split("\r\n")
+                transfer_enc = ""
+                content_enc = ""
+                lines = head.splitlines()
                 if lines and lines[0].startswith("HTTP/"):
                     parts = lines[0].split()
                     if len(parts) >= 2 and parts[1].isdigit():
                         status = int(parts[1])
                 for line in lines[1:]:
                     name, _, value = line.partition(":")
-                    if name.strip().lower() == "content-type":
+                    name = name.strip().lower()
+                    if name == "content-type" and not ctype:
                         ctype = value.strip()
-                        break
+                    elif name == "transfer-encoding" and not transfer_enc:
+                        transfer_enc = value.strip()
+                    elif name == "content-encoding" and not content_enc:
+                        content_enc = value.strip()
+                if "chunked" in transfer_enc.lower():
+                    body = _dechunk(body)
+                if content_enc:
+                    body = _decompress_body(body, content_enc)
                 html = (
                     body.decode("utf-8", "replace")
                     if ctype.split(";")[0].strip().startswith("text/")

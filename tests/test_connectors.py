@@ -1136,6 +1136,52 @@ class TestWarc:
         assert bytes(img["body"]).startswith(b"\x89PNG")
         assert got["https://a.com/404"]["http_status"] == 404
 
+    def test_http_responses_real_crawl_robustness(self, spark, tmp_path):
+        """LF-only header framing, chunked transfer encoding, gzip
+        content encoding, and malformed chunk framing — degradations a
+        real crawl archive contains that must not corrupt html/body."""
+        import gzip as _gzip
+
+        from ayeaye_spark.sources.warc import (
+            http_responses, read_warc, write_warc,
+        )
+
+        gz_body = _gzip.compress(b"<html><p>zipped page</p></html>")
+        records = [
+            # LF-only headers (no CRLF anywhere)
+            {"warc_type": "response", "target_uri": "https://lf.example/",
+             "content_type": "application/http; msgtype=response",
+             "payload": (b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n"
+                         b"<html>lf-only page</html>")},
+            # chunked transfer framing
+            {"warc_type": "response", "target_uri": "https://chunk.example/",
+             "content_type": "application/http; msgtype=response",
+             "payload": (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                         b"Transfer-Encoding: chunked\r\n\r\n"
+                         b"b\r\n<html>chunk\r\n9\r\ned</html>\r\n0\r\n\r\n")},
+            # gzip content encoding
+            {"warc_type": "response", "target_uri": "https://gz.example/",
+             "content_type": "application/http; msgtype=response",
+             "payload": (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                         b"Content-Encoding: gzip\r\n\r\n" + gz_body)},
+            # chunked header but garbage framing -> raw bytes, no crash
+            {"warc_type": "response", "target_uri": "https://bad.example/",
+             "content_type": "application/http; msgtype=response",
+             "payload": (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                         b"Transfer-Encoding: chunked\r\n\r\n"
+                         b"not-hex\r\nwhatever")},
+        ]
+        path = str(tmp_path / "robust.warc")
+        write_warc(path, records)
+        got = {r["target_uri"]: r
+               for r in http_responses(read_warc(spark, path)).collect()}
+        lf = got["https://lf.example/"]
+        assert lf["http_status"] == 200
+        assert lf["html"] == "<html>lf-only page</html>"
+        assert got["https://chunk.example/"]["html"] == "<html>chunked</html>"
+        assert got["https://gz.example/"]["html"] == "<html><p>zipped page</p></html>"
+        assert got["https://bad.example/"]["html"] == "not-hex\r\nwhatever"
+
     def test_extraction_composes(self, spark, tmp_path):
         from ayeaye_spark.operators import web
         from ayeaye_spark.sources.warc import (
