@@ -10062,6 +10062,12 @@ def docs_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_str(s: str) -> str:
+    """ANSI string literal (single quotes doubled; embedded newlines
+    are legal literal content in both engines)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def _crawl_delta_fixture(d: str) -> tuple[str, str, str]:
     """(old_where, new_url, new_text): the old snapshot misses
     doc_id%10==7 (-> added), the new one misses doc_id%10==4
@@ -10201,18 +10207,23 @@ def _robots_fixture_sql(d: str) -> str:
     )
 
 
-def _duck_robots_groups_cte(txt_expr: str) -> str:
+def _duck_robots_groups_cte(
+    txt_expr: str, robots_select: str | None = None
+) -> str:
     """Shared DuckDB CTE block replaying ``web._robots_groups`` for
     agent='*': robots -> classified lines (unrecognized directives
     kept as 'other' so they split groups exactly like the Spark path)
     -> group ids -> the '*' groups.  Produces CTEs ``robots, splits,
-    lns, kinds, flagged, grouped, agents``."""
-    return f"""robots AS (
-      SELECT host, MAX(txt) AS txt FROM (
+    lns, kinds, flagged, grouped, agents``.  ``robots_select``
+    overrides the robots source (a full ``SELECT host, txt ...``);
+    the default derives per-host robots from the documents fixture."""
+    robots_src = robots_select or f"""SELECT host, MAX(txt) AS txt FROM (
         SELECT 'www.' || source || '-site.com' AS host,
                {txt_expr} AS txt
         FROM documents
-      ) GROUP BY host
+      ) GROUP BY host"""
+    return f"""robots AS (
+      {robots_src}
     ),
     splits AS (SELECT host, string_split(txt, chr(10)) AS sl FROM robots),
     lns AS (
@@ -10324,6 +10335,132 @@ def docs_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_robots_fixture_sql(SPARK)).alias("robots_txt"),
     ).distinct()
     return web.robots_filter(pages, robots, "doc_id", "url")
+
+
+def _warc_curation_oracle() -> str:
+    """DuckDB replay of the crawl-acceptance pipeline.  DuckDB cannot
+    parse WARC, so the oracle starts from VALUES literals of the SAME
+    (url, html) pages and (host, robots.txt) files the committed
+    archive contains — a byte-equality pytest pins the archive to these
+    constants — then independently recomputes the robots gate, link
+    extraction, canonicalization, and dedup with the portable SQL
+    builders."""
+    from .fixtures import CRAWL_PAGES, CRAWL_ROBOTS
+
+    pages_values = ",\n      ".join(
+        f"({_sql_str(u)}, {_sql_str(h)})" for u, h in CRAWL_PAGES
+    )
+    robots_values = ",\n      ".join(
+        f"({_sql_str(h)}, {_sql_str(t)})" for h, t in CRAWL_ROBOTS
+    )
+    regex = P.robots_rule_regex("path_rule", DUCK)
+    host = P.url_host("url", DUCK)
+    pathq = P.url_pathq("url", DUCK)
+    canon = P.canonical_url("url", DUCK)
+    nlinks = P.size(P.html_anchor_texts("html", DUCK), DUCK)
+    return f"""
+    WITH pages AS (
+      SELECT * FROM (VALUES {pages_values}) AS t(url, html)
+    ),
+    {_duck_robots_groups_cte(
+        "", robots_select=f"SELECT * FROM (VALUES {robots_values}) "
+        "AS t(host, txt)")},
+    rulesx AS (
+      SELECT host, rule_type, path_rule, {regex} AS rule_regex,
+             CAST(length(path_rule) AS BIGINT) AS rule_len
+      FROM (
+        SELECT DISTINCT g.host, g.kind AS rule_type, g.val AS path_rule
+        FROM grouped g JOIN agents a ON g.host = a.host AND g.gid = a.gid
+        WHERE g.kind IN ('allow', 'disallow') AND g.val <> ''
+      )
+    ),
+    keyed AS (
+      SELECT url, {host} AS host, {pathq} AS pathq FROM pages
+    ),
+    cand AS (
+      SELECT k.url, r.rule_type, r.rule_len,
+             r.rule_regex IS NOT NULL
+             AND regexp_matches(k.pathq, r.rule_regex) AS m
+      FROM keyed k LEFT JOIN rulesx r ON k.host = r.host
+    ),
+    ranked AS (
+      SELECT url,
+             MAX(CASE WHEN m THEN rule_len * 2 +
+                 CASE WHEN rule_type = 'allow' THEN 1 ELSE 0 END END)
+             AS rnk
+      FROM cand GROUP BY url
+    ),
+    allowed AS (
+      SELECT p.url, p.html FROM pages p JOIN ranked r ON p.url = r.url
+      WHERE r.rnk IS NULL OR r.rnk % 2 = 1
+    ),
+    ext AS (
+      SELECT {canon} AS canonical_url, url,
+             CAST({nlinks} AS BIGINT) AS n_links
+      FROM allowed
+    )
+    SELECT canonical_url, MIN(url) AS keep_url,
+           CAST(COUNT(*) AS BIGINT) AS dup_count,
+           CAST(SUM(n_links) AS BIGINT) AS sum_links
+    FROM ext GROUP BY canonical_url
+    """
+
+
+@query("warc_crawl_curation", oracle=_warc_curation_oracle())
+def warc_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl-ingest acceptance: an ACTUAL committed
+    ``.warc.gz`` archive (``fixtures/crawl_acceptance.warc.gz``) runs
+    the full curation path — ``read_warc`` (ISO 28500 parse) →
+    ``http_responses`` (HTTP projection, text decode) → robots split →
+    ``web.robots_filter`` (RFC 9309 gate) → ``web.html_extract`` (link
+    counts) → ``web.url_dedup`` (canonical-URL survivors).  Output: one
+    row per canonical URL that surviving ALLOWED pages collapse to,
+    with the smallest-URL survivor, duplicate count, and total
+    extracted links.  Independent of ``sf_dir`` by design — the archive
+    is the input, as in production crawl ingest.
+
+    Scale shape: archives parse one-per-task (``binaryFile``), robots
+    files are per-host and small (host-keyed equi-join), the dedup is
+    one hash aggregate on the canonical key.  The oracle replays
+    everything downstream of the WARC parse from VALUES literals that a
+    byte-equality pytest pins to the committed archive."""
+    from .fixtures import ensure_crawl_fixture
+    from .operators import web
+    from .sources.warc import http_responses, read_warc
+
+    resp = http_responses(read_warc(spark, ensure_crawl_fixture()))
+    robots = resp.where(
+        F.col("target_uri").endswith("/robots.txt")
+    ).select(
+        F.expr(P.url_host("target_uri", P.SPARK)).alias("host"),
+        F.col("html").alias("robots_txt"),
+    )
+    pages = resp.where(
+        (F.col("http_status") == 200)
+        & F.col("html").isNotNull()
+        & ~F.col("target_uri").endswith("/robots.txt")
+    ).select(F.col("target_uri").alias("url"), "html")
+    gate = web.robots_filter(pages, robots, "url", "url")
+    allowed = pages.join(
+        gate.where("allowed").select("url"), "url"
+    )
+    survivors = web.url_dedup(allowed, "url", "url").withColumnRenamed(
+        "keep_id", "keep_url"
+    )
+    links = (
+        web.with_canonical_url(
+            web.html_extract(allowed, "url", "html").select(
+                "url", "n_links"
+            ),
+            "url",
+            "canonical_url",
+        )
+        .groupBy("canonical_url")
+        .agg(F.sum("n_links").alias("sum_links"))
+    )
+    return survivors.join(links, "canonical_url").select(
+        "canonical_url", "keep_url", "dup_count", "sum_links"
+    )
 
 
 def _robots_delay_fixture_sql(d: str) -> str:

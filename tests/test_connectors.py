@@ -1198,6 +1198,66 @@ class TestWarc:
         assert got["https://a.com/x"]["text"] == "hello & welcome next"
         assert got["https://a.com/x"]["n_links"] == 1
 
+    def test_committed_crawl_fixture_pins_oracle_values(self, spark, tmp_path):
+        """The warc_crawl_curation oracle replays from VALUES literals
+        of CRAWL_PAGES/CRAWL_ROBOTS; this pins the COMMITTED archive to
+        those constants: (a) byte equality with a fresh deterministic
+        write, (b) the archive's extracted (url, html) pages and robots
+        files equal the constants exactly."""
+        from ayeaye_spark.fixtures import (
+            CRAWL_PAGES,
+            CRAWL_ROBOTS,
+            crawl_fixture_path,
+            crawl_fixture_records,
+        )
+        from ayeaye_spark.sources.warc import (
+            http_responses, read_warc, write_warc,
+        )
+
+        committed = crawl_fixture_path()
+        fresh = str(tmp_path / "fresh.warc.gz")
+        write_warc(fresh, crawl_fixture_records())
+        with open(committed, "rb") as f1, open(fresh, "rb") as f2:
+            assert f1.read() == f2.read(), (
+                "committed crawl_acceptance.warc.gz drifted from the "
+                "fixture constants — regenerate via ensure_crawl_fixture()"
+            )
+        resp = http_responses(read_warc(spark, committed)).collect()
+        pages = sorted(
+            (r["target_uri"], r["html"]) for r in resp
+            if r["http_status"] == 200 and r["html"] is not None
+            and not r["target_uri"].endswith("/robots.txt")
+        )
+        assert pages == sorted(CRAWL_PAGES)
+        robots = sorted(
+            (r["target_uri"].split("//")[1].split("/")[0], r["html"])
+            for r in resp if r["target_uri"].endswith("/robots.txt")
+        )
+        assert robots == sorted(CRAWL_ROBOTS)
+
+    def test_warc_crawl_curation_golden(self, spark):
+        """Golden pin of the end-to-end curation entry: robots gate
+        drops the two disallowed pages, canonicalization collapses the
+        tracking-param / default-port / fragment / query-order variants,
+        link counts survive extraction."""
+        from ayeaye_spark.catalog import QUERIES
+
+        out = {r["canonical_url"]: (r["keep_url"], r["dup_count"], r["sum_links"])
+               for r in QUERIES["warc_crawl_curation"](
+                   spark, "/root/testdata/sf0.001").collect()}
+        assert len(out) == 7
+        # blocked pages never appear under any canonical form
+        assert not any("secret" in c or "/b/9" in c for c in out)
+        assert out["https://www.alpha-site.com/home"] == (
+            "https://www.alpha-site.com/home", 2, 2)
+        assert out["https://www.beta-site.com/b/1"] == (
+            "https://www.beta-site.com/b/1", 2, 2)
+        assert out["https://www.beta-site.com/b/2"] == (
+            "https://www.beta-site.com/b/2#frag", 1, 1)
+        assert out["https://www.gamma-site.com/g?a=1&b=2"][1] == 2
+        assert out["http://www.gamma-site.com/plain9"] == (
+            "http://www.gamma-site.com/plain9", 1, 0)
+
     def test_connector_and_glob(self, spark, tmp_path):
         from ayeaye_spark import AccessMode
         from ayeaye_spark.sources.base import ConnectorError
