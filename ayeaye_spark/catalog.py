@@ -10563,34 +10563,37 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "q3_top_unshipped_orders",
     "q5_region_nation_revenue",
     "q6_forecast_revenue",
+    # r11-in: value-flagging correlated-subquery TPC-H shape, never
+    # driver-sampled (q2/q12/q16/q20 graduated driver-green in r10)
+    "q11_important_part_value",
     "events_peak_concurrency_daily",
-    # r10-in (session 2): HTML main-content extraction and the crawl ->
-    # link graph -> exact-int64 PageRank composition (both never
-    # driver-sampled; docs_source_lang_pagerank, which docs_domain_
-    # pagerank displaces as the pagerank representative, is
-    # driver-green in CORRECTNESS_r09)
-    "docs_html_extract",
+    # iterative graph: KEPT in-window after the r11 change to
+    # small_graph_edges=0 — the record must re-certify the
+    # DISTRIBUTED per-iteration join+SUM loop (r10 verdict item 2)
     "docs_domain_pagerank",
-    # r10-in: TPC-H subquery shapes never driver-sampled — correlated
-    # MIN subquery, conditional-agg shipmode, distinct-count anti-join,
-    # doubly-nested IN/scalar subqueries
-    "q2_min_cost_supplier",
-    "q12_late_shipment_priority",
-    "q16_supplier_part_counts",
-    "q20_excess_shipment_suppliers",
-    # r10-in: web-corpus curation shipped this round — canonical-URL
-    # dedup and the encoding-artifact hygiene scan (their incumbents
-    # q9_product_profit / docs_hash_collision_audit are driver-green in
-    # CORRECTNESS_r09 and stay value-exact in the local gate)
-    "docs_url_dedup",
-    "docs_encoding_artifacts",
-    "dedup_minhash_estimate_quality",
+    # r11-in: the round-10 web-corpus family rotates fully under the
+    # hard check (docs_html_extract / docs_url_dedup /
+    # docs_encoding_artifacts graduated driver-green in r10)
+    "docs_url_canonicalize",
+    "docs_domain_share",
+    "docs_license_audit",
+    "docs_lang_fertility",
+    "docs_source_overlap",
+    "docs_domain_link_edges",
+    "docs_crawl_delta",
+    "docs_robots_compliance",
+    "docs_crawl_plan",
+    # r11-in (new this round): end-to-end crawl-ingest acceptance over
+    # the committed .warc.gz fixture — WARC parse -> HTTP projection ->
+    # robots gate -> HTML extraction -> canonical-URL dedup
+    "warc_crawl_curation",
     # windows / sessions
     "events_sessionize",
-    # r10-in: funnel + cohort analytics (sessionization family twins)
-    "events_funnel",
-    "events_cohort_retention",
-    # iterative graph
+    # r11-in: event analytics never driver-sampled (funnel/cohort
+    # graduated driver-green in r10)
+    "events_burst_detection",
+    "orders_yoy_growth",
+    "customer_rfm_segments",
     # grouping sets
     "orders_rollup",
     # join shapes: as-of, range
@@ -10601,46 +10604,39 @@ _WINDOW_ORDER: tuple[str, ...] = (
     "docs_classifier_calibration",
     "docs_bigram_coherence",
     "docs_bm25_topk",
-    # r10-in: hybrid retrieval fuse (BM25 ⊕ dense, integer-ppm RRF)
-    "docs_hybrid_rrf",
     # training-data curation
     "docs_pack_sequences",
     "decontaminate_splits",
-    "docs_remove_repeated_spans",
-    # r10-in: curation planning — temperature-τ mixture (exact isqrt)
-    # and the token-weighted exact median
+    # r11-in: repeated-span PROFILE (the removal twin
+    # docs_remove_repeated_spans graduated driver-green in r10; the
+    # profile keeps the substring-surgery family under the hard check)
+    "docs_repeated_spans",
+    # r11-in: curation sampling/weighting never driver-sampled
+    "docs_dsir_importance",
+    "docs_stratified_sample",
     "docs_temperature_mixture",
-    "docs_weighted_median_quality",
-    # r10-in: the cross-store reconciliation fixed this round (per-
-    # dialect integer ppm division) — keep it under the hard check
+    # r10-in keepers: cross-store ppm reconciliation + code-switch
     "docs_embedding_coverage",
-    # r10-in: per-sentence code-switch profile (lang-ID family)
     "docs_code_switch",
     # deduplication family
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_components_star",
     "dedup_simhash_near_pairs",
-    # r10-in: exact-verified similarity joins never driver-sampled —
-    # n-gram Jaccard, containment, tf-weighted Jaccard, tf-idf cosine
-    "dedup_ngram_jaccard_pairs",
-    "dedup_containment_pairs",
-    "docs_weighted_jaccard_pairs",
-    "docs_tfidf_cosine_pairs",
-    # r10-in: one-pass LSH threshold sweep (round-9 family)
-    "dedup_threshold_sweep",
+    # r11-in: dedup pipeline stages never driver-sampled — full-text
+    # fingerprint survivors, banded-LSH survivor/cluster rollups
+    "dedup_fingerprint",
+    "dedup_minhash_survivors",
+    "dedup_cluster_stats",
     # data layout: N-dim Morton z-value cells (operators/layout.py)
     "orders_zorder_cells",
     # similarity search
     "ann_topk_matryoshka",
     "ann_topk_sq8",
-    # r10-in: the exact brute-force ANN baseline and range search
-    "ann_topk_brute",
-    "ann_range_search",
-    # r10-in: mergeable-sketch rollup with the KLL quantile state
-    "events_value_quantile_sketch_rollup",
-    # r10-in: market-basket association rules (support/confidence/lift)
-    "brand_association_rules",
+    # r11-in: the product-quantization ANN variants never
+    # driver-sampled (brute/range graduated driver-green in r10)
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
     # SCD2 merge, skew-salted aggregate
     "customer_segment_scd2",
     "events_salted_type_counts",

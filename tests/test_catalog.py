@@ -174,7 +174,10 @@ class TestCorrectnessWindow:
                 "dedup_simhash_near_pairs",
             },
             "layout": {"orders_zorder_cells"},
-            "substring_surgery": {"docs_remove_repeated_spans"},
+            # docs_remove_repeated_spans rotated to the oracle gate in
+            # round 11 (driver-green in CORRECTNESS_r10); the repeated-
+            # span PROFILE keeps the family in-window
+            "substring_surgery": {"docs_repeated_spans"},
             "interval_analytics": {"events_peak_concurrency_daily"},
             # ann_topk_lsh rotated to the oracle gate in round 7,
             # ann_topk_ivf in round 9 session 2; SQ8 + the Matryoshka
@@ -191,11 +194,16 @@ class TestCorrectnessWindow:
             "iterative_graph": {"docs_domain_pagerank"},
             # round-7 families
             "bm25_retrieval": {"docs_bm25_topk"},
-            # round-10 family: web-corpus curation
+            # round-10 family: web-corpus curation.  The r10 trio
+            # (docs_url_dedup / docs_encoding_artifacts /
+            # docs_html_extract) graduated driver-green; the r11
+            # rotation puts the REST of the family plus the committed-
+            # archive end-to-end acceptance entry under the hard check
             "web_corpus": {
-                "docs_url_dedup",
-                "docs_encoding_artifacts",
-                "docs_html_extract",
+                "docs_url_canonicalize",
+                "docs_robots_compliance",
+                "docs_crawl_delta",
+                "warc_crawl_curation",
             },
         }
         for family, members in families.items():
