@@ -588,21 +588,27 @@ def embedding_near_dup_pairs_auto(
 
 def assign_cells_vectorized(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Vectorized IVF assignment — bit-identical to :func:`assign_cells`
     (same sequential fold → same cosine doubles → same argmax) at numpy
-    speed.  Centroids are collected (small by contract) and shipped in
-    the closure; ties pick the smallest centroid id, matching the
-    window's ``ORDER BY cosine DESC, centroid_id ASC``."""
+    speed.  ``centroids`` is a DataFrame (collected — small by
+    contract) or an already-driver-side ``[(id, [floats]), ...]`` list
+    (the k-means loop holds one; passing it straight through skips a
+    createDataFrame+collect round-trip per iteration).  Ties pick the
+    smallest centroid id, matching the window's ``ORDER BY cosine DESC,
+    centroid_id ASC``."""
     import numpy as np
 
-    cent_rows = sorted(
-        centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
-    )
+    if isinstance(centroids, list):
+        cent_rows = sorted(centroids, key=lambda r: r[0])
+    else:
+        cent_rows = sorted(
+            centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
+        )
     cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
     cent_mat = _matrix([r[1] for r in cent_rows])
     cent_norm = np.sqrt(_seq_sqnorm(cent_mat))
@@ -670,17 +676,15 @@ def kmeans_embeddings(
     """
     if k <= 0 or iters <= 0:
         raise ValueError("k and iters must be positive")
-    spark = df.sparkSession
     base = df.select(id_col, vec_col)
     seed_rows = base.orderBy(F.asc(id_col)).limit(k).collect()
     centroids = [(i, list(r[vec_col])) for i, r in enumerate(seed_rows)]
 
     assigned = None
     for _ in range(iters):
-        cent_df = spark.createDataFrame(
-            centroids, f"{id_col} long, {vec_col} array<double>"
-        )
-        assigned = assign_cells_vectorized(base, cent_df, id_col=id_col,
+        # driver-side centroid list straight into the assignment
+        # closure — no createDataFrame+collect round-trip per iteration
+        assigned = assign_cells_vectorized(base, centroids, id_col=id_col,
                                            vec_col=vec_col)
         means = (
             assigned.select("centroid_id", F.posexplode(vec_col))
@@ -713,10 +717,7 @@ def kmeans_embeddings(
     # kmeans_quality, which derives membership from the final
     # centroids, would disagree with it).  Lazy plan swap — the loop's
     # actions already ran; this adds no extra job.
-    cent_df = spark.createDataFrame(
-        centroids, f"{id_col} long, {vec_col} array<double>"
-    )
-    assigned = assign_cells_vectorized(base, cent_df, id_col=id_col,
+    assigned = assign_cells_vectorized(base, centroids, id_col=id_col,
                                        vec_col=vec_col)
     out = assigned.select(id_col, F.col("centroid_id").alias("cluster"))
     return (out, centroids) if return_state else out
@@ -780,7 +781,7 @@ def kmeans_quality(
                 }
             )
 
-    per = (
+    per_rows = (
         df.select(vec_col)
         .mapInPandas(gen, "cluster long, _cos double")
         .groupBy("cluster")
@@ -788,24 +789,37 @@ def kmeans_quality(
             F.count(F.lit(1)).cast("long").alias("n_members"),
             F.avg("_cos").alias("mean_cos_own"),
         )
+        .collect()  # k rows by contract — the per-cluster rollup
     )
-    # k×k separation on the driver: same fold helpers as the scan
+    # k×k separation on the driver: same fold helpers as the scan.
+    # The final report is composed HERE rather than with a broadcast
+    # join: joining a k-row frame to a k-row frame costs a full
+    # plan/codegen/broadcast cycle (~4 s measured) to do what one
+    # dict lookup does — the rollup is already driver-sized.
     cc = _seq_dot_matrix(cent_mat, cent_mat) / (
         cent_norm[:, None] * cent_norm[None, :]
     )
     np.fill_diagonal(cc, -np.inf)
     nearest = np.argmax(cc, axis=1)
-    sep = spark.createDataFrame(
-        [
-            (int(cent_ids[i]), int(cent_ids[nearest[i]]), float(cc[i, nearest[i]]))
-            for i in range(len(cent_ids))
-        ],
-        "cluster long, nearest_other long, nearest_other_cos double",
-    ).coalesce(1)
-    return (
-        per.join(F.broadcast(sep), "cluster")
-        .withColumn("margin", F.col("mean_cos_own") - F.col("nearest_other_cos"))
-        .orderBy("cluster")
+    sep = {
+        int(cent_ids[i]): (int(cent_ids[nearest[i]]), float(cc[i, nearest[i]]))
+        for i in range(len(cent_ids))
+    }
+    report = [
+        (
+            r["cluster"],
+            r["n_members"],
+            r["mean_cos_own"],
+            sep[r["cluster"]][0],
+            sep[r["cluster"]][1],
+            r["mean_cos_own"] - sep[r["cluster"]][1],
+        )
+        for r in sorted(per_rows, key=lambda r: r["cluster"])
+    ]
+    return spark.createDataFrame(
+        report,
+        "cluster long, n_members long, mean_cos_own double, "
+        "nearest_other long, nearest_other_cos double, margin double",
     )
 
 
