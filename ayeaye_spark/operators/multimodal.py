@@ -11,12 +11,14 @@ North-star component (BASELINE.json).  Design for 100 TB of media:
   callable in production), but the built-in kernels are REAL for every
   fixture format with zero external dependencies: uncompressed BMP,
   8-bit PNG (stdlib zlib + hand-undone scanline filters; grayscale /
-  RGB / RGBA / paletted via PLTE expansion), GIF (stdlib LZW, stills +
-  animated frame compositing), baseline AND progressive JPEG (numpy
-  Huffman + IDCT; spectral selection + successive approximation), and
-  WAV (PCM + G.711 mu-law/A-law).  Only exotic variants (16-bit /
-  interlaced PNG, compressed BMP, arithmetic-coded JPEG) fall back
-  to header metadata or the clearly-marked deterministic fake.
+  RGB / RGBA / paletted via PLTE expansion; 8-bit AND 16-bit depths,
+  non-interlaced AND Adam7 interlaced since round 11), GIF (stdlib
+  LZW, stills + animated frame compositing), baseline AND progressive
+  JPEG (numpy Huffman + IDCT; spectral selection + successive
+  approximation), and WAV (PCM + G.711 mu-law/A-law).  Only exotic
+  variants (sub-8-bit PNG, compressed BMP, arithmetic-coded JPEG)
+  fall back to header metadata or the clearly-marked deterministic
+  fake.
 """
 
 from __future__ import annotations
@@ -289,15 +291,67 @@ def _bmp_pixel_rows(b: bytes):
     return px[:, : w * 3], w, rows  # drop row padding
 
 
+# Adam7 interlace passes: (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Undo PNG's per-scanline byte filters over ``h`` scanlines of
+    ``stride`` image bytes each (filter byte excluded); ``bpp`` is
+    BYTES per pixel (the filters' left-neighbor distance — e.g. 6 for
+    16-bit RGB).  Returns an ``(h, stride)`` uint8 array or ``None``
+    on truncated input / invalid filter byte."""
+    import numpy as np
+
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        line = np.frombuffer(
+            raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int32)
+        ft = raw[r * (stride + 1)]
+        prev = out[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth carry a left dependency
+            cur = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + up) >> 1
+                elif ft == 4:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    pa, pb, pc = abs(up - c), abs(a - c), abs(a + up - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                else:
+                    return None  # invalid filter byte
+                cur[i] = (line[i] + pred) & 0xFF
+        out[r] = cur.astype(np.uint8)
+    return out
+
+
 def _png_pixel_array(b: bytes):
     """Shared REAL PNG pixel reader, stdlib-only (zlib is built in —
     PNG's DEFLATE needs no external codec; only the per-scanline
     filters have to be undone by hand): ``(px, w, h, channels)`` with
     ``px`` a ``(h, w*channels)`` uint8 array, or ``None`` for non-PNG
-    or unsupported variants (supported: 8-bit depth, grayscale / RGB /
-    RGBA / paletted color-type-3 via PLTE expansion, non-interlaced —
-    the overwhelmingly common cases; 16-bit and interlaced stay
-    header-only)."""
+    or unsupported variants.  Supported since round 11: 8-bit AND
+    16-bit depths (16-bit samples downconvert to their high byte, the
+    standard 8-bit rendering), grayscale / RGB / RGBA / paletted
+    color-type-3 via PLTE expansion, and BOTH non-interlaced and Adam7
+    interlaced layouts (each of the seven passes is an independently
+    filtered sub-image, unfiltered then scattered to its lattice).
+    Sub-8-bit depths (1/2/4, vanishingly rare in crawls) stay
+    header-only."""
     if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     import struct
@@ -327,48 +381,45 @@ def _png_pixel_array(b: bytes):
     # color type 3 (paletted) decodes as 1 index byte/px then expands
     # through PLTE to RGB after unfiltering
     channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype)
-    if depth != 8 or channels is None or comp or filt or interlace:
+    if depth not in (8, 16) or channels is None or comp or filt:
         return None
-    if ctype == 3 and (plte is None or len(plte) % 3):
+    if interlace not in (0, 1):
         return None
+    if ctype == 3 and (depth != 8 or plte is None or len(plte) % 3):
+        return None  # 16-bit palette does not exist in the PNG spec
     if w <= 0 or h <= 0:
         return None
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        return None
-    out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
-    for r in range(h):
-        line = np.frombuffer(
-            raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)], dtype=np.uint8
-        ).astype(np.int32)
-        ft = raw[r * (stride + 1)]
-        prev = out[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
-        if ft == 0:
-            cur = line
-        elif ft == 2:  # Up
-            cur = (line + prev) & 0xFF
-        else:  # Sub / Average / Paeth carry a left dependency
-            cur = np.zeros(stride, np.int32)
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                up = prev[i]
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + up) >> 1
-                elif ft == 4:
-                    c = prev[i - bpp] if i >= bpp else 0
-                    pa, pb, pc = abs(up - c), abs(a - c), abs(a + up - 2 * c)
-                    pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
-                else:
-                    return None  # invalid filter byte
-                cur[i] = (line[i] + pred) & 0xFF
-        out[r] = cur.astype(np.uint8)
+    bpp = channels * (depth // 8)  # filter distance in BYTES
+    if interlace == 0:
+        out = _png_unfilter(raw, h, w * bpp, bpp)
+        if out is None:
+            return None
+    else:  # Adam7: seven independently-filtered sub-images
+        out = np.zeros((h, w * bpp), dtype=np.uint8)
+        out3 = out.reshape(h, w, bpp)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass on small images
+            need = ph * (pw * bpp + 1)
+            sub = _png_unfilter(raw[pos:pos + need], ph, pw * bpp, bpp)
+            if sub is None:
+                return None
+            pos += need
+            rows = y0 + dy * np.arange(ph)
+            cols = x0 + dx * np.arange(pw)
+            out3[rows[:, None], cols[None, :], :] = sub.reshape(ph, pw, bpp)
+    if depth == 16:
+        # big-endian sample pairs -> high byte (8-bit downconversion)
+        out = np.ascontiguousarray(
+            out.reshape(h, w * channels, 2)[:, :, 0]
+        )
     if ctype == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         if int(out.max()) >= len(pal):
@@ -1224,10 +1275,11 @@ def sample_decode(content: bytes) -> dict:
     zlib inflate + hand-undone scanline filters), global-color-table
     GIF (stdlib LZW, first frame), baseline SOF0 + progressive SOF2
     JPEG (numpy Huffman + IDCT) and PCM WAV — every fixture format now
-    decodes for real; exotic variants (arithmetic-coded JPEG, 16-bit
-    PNG, …) still fall back to header metadata (or a codec injected
-    via ``decoder=``), ``fake_decode`` for everything else.  Drop-in
-    for :func:`decode_images`' ``decoder=``."""
+    decodes for real; exotic variants (arithmetic-coded JPEG,
+    sub-8-bit PNG, compressed BMP, …) still fall back to header
+    metadata (or a codec injected via ``decoder=``), ``fake_decode``
+    for everything else.  Drop-in for :func:`decode_images`'
+    ``decoder=``."""
     got = decode_bmp_pixels(content) if content else None
     if got is None and content:
         got = decode_png_pixels(content)

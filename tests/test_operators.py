@@ -4884,6 +4884,152 @@ class TestPngDecode:
         assert d["format"] == "png" and d["mean_intensity"] == 100.0
 
 
+class TestPngDeepAndInterlaced:
+    """Round-11 variants: 16-bit sample depth (decoded to the high
+    byte) and Adam7 interlacing (seven independently filtered passes
+    scattered to their lattices)."""
+
+    @staticmethod
+    def _chunk(typ, data):
+        import struct
+        import zlib
+
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    @classmethod
+    def _png16(cls, px16):
+        """(h, w, ch) uint16 -> real 16-bit PNG (filter 0 scanlines)."""
+        import struct
+        import zlib
+
+        h, w, ch = px16.shape
+        ctype = {1: 0, 3: 2, 4: 6}[ch]
+        raw = bytearray()
+        for r in range(h):
+            raw.append(0)
+            raw.extend(px16[r].astype(">u2").tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + cls._chunk(b"IHDR", ihdr)
+                + cls._chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + cls._chunk(b"IEND", b""))
+
+    @classmethod
+    def _png_adam7(cls, px, depth=8, pass_filter=0):
+        """(h, w, ch) uint8/uint16 -> Adam7-interlaced PNG; every pass
+        scanline carries ``pass_filter`` (0=None or 2=Up)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _ADAM7
+
+        h, w, ch = px.shape
+        ctype = {1: 0, 3: 2, 4: 6}[ch]
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx, :]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            flat = (sub.astype(">u2") if depth == 16
+                    else sub.astype(np.uint8)).reshape(ph, -1)
+            lines = flat.view(np.uint8).reshape(ph, -1)
+            prev = np.zeros(lines.shape[1], np.int32)
+            for r in range(ph):
+                raw.append(pass_filter)
+                if pass_filter == 0:
+                    raw.extend(lines[r].tobytes())
+                else:  # Up
+                    enc = (lines[r].astype(np.int32) - prev) & 0xFF
+                    raw.extend(enc.astype(np.uint8).tobytes())
+                    prev = lines[r].astype(np.int32)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1)
+        return (b"\x89PNG\r\n\x1a\n" + cls._chunk(b"IHDR", ihdr)
+                + cls._chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + cls._chunk(b"IEND", b""))
+
+    def test_16bit_decodes_to_high_byte(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import (
+            _png_pixel_array, decode_png_pixels,
+        )
+
+        rng = np.random.RandomState(11)
+        px16 = rng.randint(0, 65536, size=(5, 7, 3)).astype(np.uint16)
+        got = _png_pixel_array(self._png16(px16))
+        assert got is not None
+        out, w, h, ch = got
+        assert (w, h, ch) == (7, 5, 3)
+        assert (out.reshape(5, 7, 3) == (px16 >> 8).astype(np.uint8)).all()
+        # 16-bit grayscale through the public decode
+        g16 = (np.arange(12, dtype=np.uint16) * 5000).reshape(3, 4, 1)
+        d = decode_png_pixels(self._png16(g16))
+        assert d["channels"] == 1
+        assert d["mean_intensity"] == float((g16 >> 8).mean())
+
+    def test_adam7_roundtrip_odd_dims_and_filters(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _png_pixel_array
+
+        rng = np.random.RandomState(13)
+        # odd dims exercise unequal pass sizes; 9x11 has every pass
+        px = rng.randint(0, 256, size=(9, 11, 3), dtype=np.uint8)
+        for pf in (0, 2):
+            got = _png_pixel_array(self._png_adam7(px, pass_filter=pf))
+            assert got is not None, pf
+            out, w, h, ch = got
+            assert (w, h, ch) == (11, 9, 3)
+            assert (out.reshape(9, 11, 3) == px).all(), pf
+
+    def test_adam7_tiny_images_skip_empty_passes(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _png_pixel_array
+
+        for shape in ((1, 1, 1), (2, 3, 3), (3, 2, 4)):
+            px = np.arange(np.prod(shape), dtype=np.uint8).reshape(shape)
+            got = _png_pixel_array(self._png_adam7(px))
+            assert got is not None, shape
+            out, w, h, ch = got
+            assert (h, w, ch) == shape
+            assert (out.reshape(shape) == px).all(), shape
+
+    def test_adam7_16bit_combined(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _png_pixel_array
+
+        rng = np.random.RandomState(17)
+        px16 = rng.randint(0, 65536, size=(6, 5, 1)).astype(np.uint16)
+        got = _png_pixel_array(self._png_adam7(px16, depth=16))
+        assert got is not None
+        out, w, h, ch = got
+        assert (w, h, ch) == (5, 6, 1)
+        assert (out.reshape(6, 5) == (px16[:, :, 0] >> 8)).all()
+
+    def test_truncated_interlaced_returns_none(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _png_pixel_array
+
+        px = np.zeros((8, 8, 3), dtype=np.uint8)
+        good = self._png_adam7(px)
+        # rebuild with the IDAT payload cut short
+        ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 1)
+        short = zlib.compress(zlib.decompress(
+            good[good.index(b"IDAT") + 4:good.index(b"IEND") - 8])[:-20])
+        bad = (b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr)
+               + self._chunk(b"IDAT", short) + self._chunk(b"IEND", b""))
+        assert _png_pixel_array(bad) is None
+
+
 class TestGifDecode:
     """Real GIF first-frame decode: stdlib LZW + global color table,
     including the 4-pass interlace restore."""
