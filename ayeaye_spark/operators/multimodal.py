@@ -267,10 +267,56 @@ def _alaw_expand(a):
     return out * 8.0  # 13-bit -> 16-bit range
 
 
+def _bmp_rle8(data: bytes, w: int, rows: int):
+    """Decode a BI_RLE8 pixel stream into a ``(rows, w)`` uint8 index
+    array in STORED (bottom-up) row order.  Handles encoded runs, the
+    end-of-line / end-of-bitmap / delta escapes, and word-padded
+    absolute runs; hostile framing (out-of-bounds writes, truncation)
+    returns ``None`` rather than raising."""
+    import numpy as np
+
+    out = np.zeros((rows, w), dtype=np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            if y >= rows or x + cnt > w:
+                return None
+            out[y, x:x + cnt] = val
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta: skipped cells stay 0 per spec
+            if i + 1 >= n:
+                return None
+            x, y = x + data[i], y + data[i + 1]
+            i += 2
+            if x > w or y > rows:
+                return None
+        else:  # absolute run of `val` literal bytes, word-padded
+            pad = val & 1
+            if i + val + pad > n or y >= rows or x + val > w:
+                return None
+            out[y, x:x + val] = np.frombuffer(
+                data[i:i + val], dtype=np.uint8
+            )
+            x += val
+            i += val + pad
+    return out  # missing end-of-bitmap: accept what framed correctly
+
+
 def _bmp_pixel_rows(b: bytes):
-    """Shared uncompressed-24-bit-BMP pixel reader: ``(px, w, rows)``
-    with ``px`` a ``(rows, w*3)`` uint8 array (row padding stripped),
-    or ``None`` for non-BMP / compressed / other-depth bitmaps."""
+    """Shared BMP pixel reader: ``(px, w, rows)`` with ``px`` a
+    ``(rows, w*3)`` uint8 array (BGR byte order as stored, row padding
+    stripped, rows returned TOP-DOWN — positive-height bitmaps are
+    stored bottom-up and get flipped, so hashes/stats agree with the
+    same image in any other format).  Supports uncompressed 24-bit,
+    uncompressed 8-bit paletted, and BI_RLE8-compressed 8-bit paletted
+    bitmaps (round 11); ``None`` for anything else."""
     if len(b) < 54 or b[:2] != b"BM":
         return None
     import struct
@@ -278,17 +324,50 @@ def _bmp_pixel_rows(b: bytes):
     import numpy as np
 
     data_off = struct.unpack("<I", b[10:14])[0]
+    hdr_size = struct.unpack("<I", b[14:18])[0]
     w, h = struct.unpack("<ii", b[18:26])
     bpp, compression = struct.unpack("<HI", b[28:34])
-    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
-        return None
     rows = abs(h)
-    stride = ((w * 3 + 3) // 4) * 4
-    need = data_off + stride * rows
-    if len(b) < need:
+    if w <= 0 or h == 0:
         return None
-    px = np.frombuffer(b[data_off:need], dtype=np.uint8).reshape(rows, stride)
-    return px[:, : w * 3], w, rows  # drop row padding
+    if bpp == 24 and compression == 0:
+        stride = ((w * 3 + 3) // 4) * 4
+        need = data_off + stride * rows
+        if len(b) < need:
+            return None
+        px = np.frombuffer(
+            b[data_off:need], dtype=np.uint8
+        ).reshape(rows, stride)[:, : w * 3]
+    elif bpp == 8 and compression in (0, 1):
+        clr_used = struct.unpack("<I", b[46:50])[0] if len(b) >= 50 else 0
+        n_pal = clr_used or 256
+        pal_off = 14 + hdr_size
+        pal_raw = b[pal_off:pal_off + 4 * n_pal]
+        if len(pal_raw) < 4 * n_pal:
+            return None
+        pal = np.frombuffer(pal_raw, dtype=np.uint8).reshape(-1, 4)[:, :3]
+        if compression == 0:
+            stride = ((w + 3) // 4) * 4
+            need = data_off + stride * rows
+            if len(b) < need:
+                return None
+            idx = np.frombuffer(
+                b[data_off:need], dtype=np.uint8
+            ).reshape(rows, stride)[:, :w]
+        else:
+            if h < 0:
+                return None  # RLE bitmaps are bottom-up only (spec)
+            idx = _bmp_rle8(b[data_off:], w, rows)
+            if idx is None:
+                return None
+        if int(idx.max()) >= n_pal:
+            return None
+        px = pal[idx.reshape(-1)].reshape(rows, w * 3)
+    else:
+        return None
+    if h > 0:
+        px = px[::-1]  # bottom-up storage -> top-down rows
+    return np.ascontiguousarray(px), w, rows
 
 
 # Adam7 interlace passes: (x0, y0, dx, dy) per pass
@@ -1221,11 +1300,11 @@ def _pixel_gray(b: bytes):
 
 
 def decode_bmp_pixels(b: bytes) -> dict | None:
-    """REAL pixel decode for uncompressed 24-bit BMP, no codec library:
-    header offsets + numpy over the padded pixel rows.  Returns the
-    header metadata plus a true ``mean_intensity`` (0..255 over all
-    channel bytes); ``None`` for non-BMP or compressed/other-depth
-    bitmaps."""
+    """REAL pixel decode for BMP, no codec library: uncompressed
+    24-bit, uncompressed 8-bit paletted, and RLE8-compressed 8-bit
+    paletted bitmaps (``_bmp_pixel_rows``), rows orientation-corrected.
+    Returns the header metadata plus a true ``mean_intensity`` (0..255
+    over all channel bytes); ``None`` for other depths/compressions."""
     got = _bmp_pixel_rows(b)
     if got is None:
         return None

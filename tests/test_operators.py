@@ -3976,7 +3976,9 @@ class TestImageNearDup:
     @staticmethod
     def _bmp(px):
         """Build a real uncompressed 24-bit BMP from a (h, w, 3) uint8
-        array (bottom-up row order is irrelevant to the tests)."""
+        array — rows written BOTTOM-UP as the format stores them
+        (positive height), so the reader's orientation flip is
+        exercised and decode returns px top-down."""
         import struct
 
         import numpy as np
@@ -3984,7 +3986,8 @@ class TestImageNearDup:
         h, w, _ = px.shape
         stride = ((w * 3 + 3) // 4) * 4
         body = b"".join(
-            bytes(px[r].reshape(-1)) + b"\0" * (stride - w * 3) for r in range(h)
+            bytes(px[r].reshape(-1)) + b"\0" * (stride - w * 3)
+            for r in reversed(range(h))
         )
         hdr = (
             b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
@@ -4882,6 +4885,165 @@ class TestPngDecode:
         px = np.full((5, 5, 3), 100, dtype=np.uint8)
         d = sample_decode(self._png(px))
         assert d["format"] == "png" and d["mean_intensity"] == 100.0
+
+
+class TestBmpPalettedAndRle8:
+    """Round-11 BMP variants: 8-bit paletted (uncompressed + BI_RLE8)
+    and the bottom-up orientation flip (real BMPs store positive-height
+    bitmaps bottom-up; without the flip, dHash of the same image saved
+    as BMP vs PNG/JPEG disagreed)."""
+
+    @staticmethod
+    def _bmp8(idx, palette, rle=False):
+        """(h, w) uint8 index array + (n, 3) BGR palette -> real 8-bit
+        BMP, bottom-up rows; ``rle=True`` emits BI_RLE8 with a mix of
+        encoded runs and absolute runs."""
+        import struct
+
+        h, w = idx.shape
+        pal = b"".join(bytes([b_, g, r, 0]) for b_, g, r in palette)
+        if not rle:
+            stride = ((w + 3) // 4) * 4
+            body = b"".join(
+                bytes(idx[r]) + b"\0" * (stride - w)
+                for r in reversed(range(h))
+            )
+            comp = 0
+        else:
+            out = bytearray()
+            for r in reversed(range(h)):  # bottom-up scan order
+                row = idx[r]
+                x = 0
+                while x < w:
+                    run = 1
+                    while x + run < w and row[x + run] == row[x] and run < 255:
+                        run += 1
+                    if run >= 3:
+                        out += bytes([run, row[x]])
+                        x += run
+                    else:  # literal span until the next >=3 run
+                        start = x
+                        while x < w and x - start < 252:
+                            r2 = 1
+                            while (x + r2 < w and row[x + r2] == row[x]
+                                   and r2 < 255):
+                                r2 += 1
+                            if r2 >= 3:
+                                break
+                            x += r2
+                        span = x - start
+                        if span >= 3:  # absolute mode needs count >= 3
+                            out += bytes([0, span]) + bytes(row[start:x])
+                            if span & 1:
+                                out += b"\0"  # word padding
+                        else:  # short spans: encoded 1-runs (always legal)
+                            for i in range(start, x):
+                                out += bytes([1, row[i]])
+                out += bytes([0, 0])  # end of line
+            out += bytes([0, 1])  # end of bitmap
+            body = bytes(out)
+            comp = 1
+        data_off = 54 + len(pal)
+        hdr = (
+            b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, comp,
+                          len(body), 0, 0, len(palette), 0)
+        )
+        return hdr + pal + body
+
+    def test_paletted_uncompressed_roundtrip(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _bmp_pixel_rows
+
+        rng = np.random.RandomState(5)
+        idx = rng.randint(0, 16, size=(6, 7), dtype=np.uint8)
+        palette = [(i * 16, 255 - i * 16, i * 8) for i in range(16)]
+        got = _bmp_pixel_rows(self._bmp8(idx, palette))
+        assert got is not None
+        px, w, rows = got
+        assert (w, rows) == (7, 6)
+        want = np.array(palette, dtype=np.uint8)[idx.reshape(-1)]
+        assert (px.reshape(6, 7, 3) == want.reshape(6, 7, 3)).all()
+
+    def test_rle8_matches_uncompressed(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _bmp_pixel_rows
+
+        rng = np.random.RandomState(9)
+        # long runs + noisy spans exercise encoded AND absolute modes
+        idx = np.concatenate([
+            np.full((4, 20), 7, dtype=np.uint8),
+            rng.randint(0, 12, size=(4, 20), dtype=np.uint8),
+        ])
+        palette = [(i * 20 % 256, i * 7 % 256, i * 13 % 256) for i in range(12)]
+        plain = _bmp_pixel_rows(self._bmp8(idx, palette))
+        rle = _bmp_pixel_rows(self._bmp8(idx, palette, rle=True))
+        assert plain is not None and rle is not None
+        assert (plain[0] == rle[0]).all()
+        assert plain[1:] == rle[1:]
+
+    def test_rle8_delta_escape_leaves_zero_cells(self):
+        import struct
+
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _bmp_pixel_rows
+
+        # hand-built stream: run of 2x color 1, delta +2/+1, run 3x2
+        body = bytes([2, 1, 0, 2, 2, 1, 3, 2, 0, 0, 0, 1])
+        pal = bytes([0, 0, 0, 0, 10, 20, 30, 0, 40, 50, 60, 0])
+        data_off = 54 + len(pal)
+        hdr = (b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+               + struct.pack("<IiiHHIIiiII", 40, 8, 3, 1, 8, 1,
+                             len(body), 0, 0, 3, 0))
+        got = _bmp_pixel_rows(hdr + pal + body)
+        assert got is not None
+        px, w, rows = got
+        arr = px.reshape(3, 8, 3)
+        # stored bottom-up: the written row is the BOTTOM row -> arr[2]
+        assert (arr[2][0] == (10, 20, 30)).all()
+        assert (arr[2][1] == (10, 20, 30)).all()
+        assert (arr[2][2] == (0, 0, 0)).all()  # delta-skipped -> index 0
+        assert (arr[1][4] == (40, 50, 60)).all()  # after +2,+1 delta
+
+    def test_hostile_rle_returns_none(self):
+        import struct
+
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _bmp_pixel_rows
+
+        pal = bytes(4 * 3)
+        data_off = 54 + len(pal)
+
+        def bmp_with(body):
+            hdr = (b"BM"
+                   + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+                   + struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 1,
+                                 len(body), 0, 0, 3, 0))
+            return hdr + pal + body
+
+        # run overflowing the row
+        assert _bmp_pixel_rows(bmp_with(bytes([200, 1, 0, 1]))) is None
+        # absolute run past end of data
+        assert _bmp_pixel_rows(bmp_with(bytes([0, 50, 1, 2]))) is None
+        # palette index out of range
+        assert _bmp_pixel_rows(bmp_with(bytes([2, 3, 0, 1]))) is None
+
+    def test_bottom_up_orientation_corrected(self):
+        """Top row of the array must come back as the top row — i.e.
+        the reader undoes bottom-up storage (dHash orientation)."""
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _bmp_pixel_rows
+
+        idx = np.array([[1, 1], [0, 0]], dtype=np.uint8)  # top row = color 1
+        palette = [(0, 0, 0), (200, 200, 200)]
+        px, w, rows = _bmp_pixel_rows(self._bmp8(idx, palette))
+        arr = px.reshape(2, 2, 3)
+        assert (arr[0] == 200).all() and (arr[1] == 0).all()
 
 
 class TestPngDeepAndInterlaced:
