@@ -101,7 +101,14 @@ def _jvm():
             launch_gateway,
         )
 
-        port = launch_gateway(classpath=_hadoop_classpath(), die_on_exit=True)
+        # small fixed heap: the JVM only shuttles filesystem calls
+        # (copyFromLocalFile streams bytes JVM-side in 4 KB buffers),
+        # and every Python worker on the executor may hold one
+        port = launch_gateway(
+            classpath=_hadoop_classpath(),
+            javaopts=["-Xmx256m"],
+            die_on_exit=True,
+        )
         _GATEWAY = JavaGateway(
             gateway_parameters=GatewayParameters(port=port, auto_convert=True)
         )
