@@ -909,6 +909,43 @@ class TestArrowIpc:
         assert {r["doc_id"] for r in c.read(spark).collect()} == {0}
 
 
+class TestExecutorFsUnit:
+    """publish_file / uri_join / has_scheme directly (no Spark): the
+    primitives the shard writers run inside executors."""
+
+    def test_scheme_detection_and_join(self):
+        from ayeaye_spark.sources.executor_fs import has_scheme, uri_join
+
+        assert has_scheme("s3a://bucket/x") and has_scheme("file:///x")
+        assert has_scheme("hdfs://nn:8020/x")
+        assert not has_scheme("/data/corpus") and not has_scheme("rel/path")
+        assert uri_join("s3a://b/dir/", "f.tar") == "s3a://b/dir/f.tar"
+        assert uri_join("/data/x", "f.tar") == "/data/x/f.tar"
+
+    def test_publish_local_move(self, tmp_path):
+        from ayeaye_spark.sources.executor_fs import publish_file
+
+        src = tmp_path / "src.bin"
+        src.write_bytes(b"payload")
+        dest = tmp_path / "sub" / "dir" / "out.bin"
+        publish_file(str(src), str(dest))  # creates parents, consumes src
+        assert dest.read_bytes() == b"payload"
+        assert not src.exists()
+
+    def test_publish_file_uri_via_gateway(self, tmp_path):
+        """file:// destination exercises the launched-JVM
+        copyFromLocalFile path end to end in THIS process (the same
+        code an executor's Python worker runs)."""
+        from ayeaye_spark.sources.executor_fs import publish_file
+
+        src = tmp_path / "src.bin"
+        src.write_bytes(b"gateway payload" * 100)
+        dest = tmp_path / "remote" / "out.bin"
+        publish_file(str(src), f"file://{dest}")
+        assert dest.read_bytes() == b"gateway payload" * 100
+        assert not src.exists()  # delSrc=True consumed the scratch file
+
+
 class TestShardHadoopFsPublish:
     """Shard sinks through an explicit ``file:///`` URI — the writes
     route through the executor-side Hadoop FS gateway
