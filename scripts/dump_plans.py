@@ -212,6 +212,13 @@ HEADLINE = {
         "parse window is bounded by file size (a robots.txt is ~100 lines), "
         "never corpus cardinality."
     ),
+    "warc_crawl_curation": (
+        "archives parse one-per-task (binaryFile), the robots gate joins "
+        "pages to per-host rules on the host key (rules bounded by file "
+        "size), the dedup is one hash aggregate on the canonical URL — at "
+        "100 TB the scan parallelism is the archive count and nothing "
+        "funnels to a single task."
+    ),
     "docs_robots_compliance": (
         "robots parse windows are per-host and bounded by FILE size, never "
         "corpus size; pages join the small per-host rule set on the host "
