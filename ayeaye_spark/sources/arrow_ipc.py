@@ -26,10 +26,11 @@ then published via :func:`executor_fs.publish_file` (``shutil.move``
 for scheme-less shared-mount paths, JVM-side
 ``FileSystem.copyFromLocalFile`` for ``file://``/``hdfs://``/``s3a://``
 destinations), with scheme-aware ``fs.globStatus`` overwrite cleanup.
-The pyds reader and ``infer_ipc_schema`` glob/mmap locally — they
-accept scheme-less shared-mount paths and ``file://`` URIs; reading
-shards straight off an object store goes through ``binaryFile`` +
-``read_tar_shards``-style plumbing or a fuse mount.
+The pyds reader and ``infer_ipc_schema`` are scheme-aware too:
+scheme-less paths glob/mmap locally, URI-scheme'd paths list via
+``fs.globStatus`` and fetch each shard whole to executor-local scratch
+JVM-side (``executor_fs.fetch_to_local``) before the memory-map — the
+object-store read route, with disk absorbing one shard per task.
 
 Reference parity: beyond-reference addition in the spirit of the file
 connectors (`lib/ayeaye/connectors/parquet_connector.py` is the
@@ -39,7 +40,6 @@ columnar-file precedent).
 from __future__ import annotations
 
 import os
-from glob import glob
 from typing import Any
 
 import pandas as pd
@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .base import AccessMode, ConnectorError, DataConnector, spark_path
-from .executor_fs import publish_file, strip_file_scheme, uri_join
+from .executor_fs import publish_file, uri_join
 
 MANIFEST_SCHEMA = (
     "shard_id BIGINT, path STRING, n_rows BIGINT, n_bytes BIGINT"
@@ -117,15 +117,23 @@ def write_arrow_shards(
 
 def infer_ipc_schema(path_glob: str):
     """Spark StructType from the FIRST matching shard's IPC footer
-    (driver-side, metadata only).  Accepts scheme-less local/shared
-    paths and ``file://`` URIs (stripped to local access)."""
+    (driver-side, metadata only).  Scheme-aware: scheme-less paths
+    glob locally; any URI scheme lists via ``fs.globStatus`` and
+    fetches the first shard to scratch for its footer."""
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    files = sorted(glob(strip_file_scheme(path_glob)))
+    from .executor_fs import fetch_to_local, glob_paths
+
+    files = glob_paths(path_glob)
     if not files:
         raise FileNotFoundError(f"no Arrow IPC files match {path_glob}")
-    with pa.memory_map(files[0], "r") as source:
-        schema = ipc.open_file(source).schema
+    local, is_temp = fetch_to_local(files[0])
+    try:
+        with pa.memory_map(local, "r") as source:
+            schema = ipc.open_file(source).schema
+    finally:
+        if is_temp:
+            os.remove(local)
     return from_arrow_schema(schema)
 
 

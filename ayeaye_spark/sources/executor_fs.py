@@ -42,15 +42,17 @@ import re
 import shutil
 from glob import glob as _local_glob
 
-_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://")
+# one slash suffices: Hadoop Path.toString renders "file:/tmp/x"
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/")
 
 # one gateway per Python worker process, reused across tasks
 _GATEWAY = None
 
 
 def has_scheme(path: str) -> bool:
-    """True when ``path`` carries a URI scheme (``s3a://…``) — i.e. it
-    names a Hadoop filesystem rather than a worker-local POSIX path."""
+    """True when ``path`` carries a URI scheme (``s3a://…``,
+    ``file:/…``) — i.e. it names a Hadoop filesystem rather than a
+    worker-local POSIX path."""
     return bool(_SCHEME_RE.match(path))
 
 
@@ -143,8 +145,44 @@ def publish_file(local_path: str, dest: str) -> None:
 
 
 def strip_file_scheme(path: str) -> str:
-    """``file://`` URIs double as local paths for driver-side readers
-    that glob/mmap locally (``infer_ipc_schema``, the pyds readers)."""
-    if path.startswith("file://"):
-        return path[len("file://"):] or "/"
+    """``file:`` URIs double as local paths for driver-side readers
+    that glob/mmap locally (``infer_ipc_schema``); handles both the
+    ``file:///x`` user spelling and Hadoop's ``file:/x`` rendering."""
+    if path.startswith("file:"):
+        return re.sub(r"^file:/+", "/", path)
     return path
+
+
+def glob_paths(pattern: str) -> list[str]:
+    """Sorted paths matching ``pattern`` on its filesystem: local
+    ``glob`` for scheme-less patterns, ``fs.globStatus`` through the
+    gateway JVM for any URI scheme — usable from ANY Python process
+    (driver, DataSource worker, executor), none of which need Spark's
+    own gateway."""
+    if not has_scheme(pattern):
+        return sorted(_local_glob(pattern))
+    fs, hpattern = _fs_and_path(pattern)
+    statuses = fs.globStatus(hpattern)
+    if statuses is None:
+        return []
+    return sorted(str(st.getPath()) for st in statuses)
+
+
+def fetch_to_local(path: str, suffix: str = "") -> tuple[str, bool]:
+    """``(local_path, is_temp)`` for ``path``: scheme-less paths pass
+    through (not temp); scheme'd paths are copied WHOLE to executor-
+    local scratch via JVM-side ``fs.copyToLocalFile`` (bytes never
+    cross the py4j socket) — the object-store route for the streaming
+    shard/archive readers, which then stream the local copy with their
+    one-record memory contract intact.  Caller removes temp files."""
+    import tempfile
+
+    if not has_scheme(path):
+        return path, False
+    jvm = _jvm()
+    fd, local = tempfile.mkstemp(suffix=suffix or os.path.basename(path),
+                                 prefix="ayeaye-fetch-")
+    os.close(fd)
+    fs, hpath = _fs_and_path(path)
+    fs.copyToLocalFile(False, hpath, jvm.org.apache.hadoop.fs.Path(local), True)
+    return local, True

@@ -292,10 +292,13 @@ class WdsDataSource(DataSource):
     that reads 1 GB+ training shards safely.  Shard files are listed
     on the driver (names only); all byte I/O happens on executors.
 
-    Filesystem contract: same as ``ayeaye_warc`` — driver-local glob +
-    executor-local open, so driver and executors must share a
-    POSIX-visible filesystem; ``file://`` URIs are stripped, object
-    stores need ``read_tar_shards`` (``binaryFile``) or a fuse mount.
+    Filesystem contract (scheme-aware since round 11): scheme-less
+    paths use driver-local glob + executor-local open (shared/fuse
+    mount); URI-scheme'd paths (``file://``, ``hdfs://``, ``s3a://``)
+    list via ``fs.globStatus`` and fetch each shard WHOLE to
+    executor-local scratch JVM-side (``executor_fs.fetch_to_local``)
+    before streaming — disk absorbs one shard per task, memory still
+    holds one member.
 
     Options: ``path`` — shard glob (``/data/corpus/shard-*.tar``;
     ``.tar.gz`` auto-detected).  Schema is fixed:
@@ -322,30 +325,39 @@ class WdsReader(DataSourceReader):
             )
 
     def partitions(self):
-        # shared-POSIX-filesystem contract (see WdsDataSource docstring)
-        from glob import glob
+        # scheme-aware listing (see WdsDataSource docstring)
+        from .executor_fs import glob_paths
 
-        from .executor_fs import strip_file_scheme
-
-        files = sorted(glob(strip_file_scheme(self.path)))
+        files = glob_paths(self.path)
         if not files:
             raise FileNotFoundError(f"ayeaye_wds: no shards match {self.path}")
         return [InputPartition(f) for f in files]
 
     def read(self, partition):
-        # runs on an EXECUTOR: members stream one at a time off the tar
+        # runs on an EXECUTOR: members stream one at a time off the tar;
+        # scheme'd shards are first fetched whole to executor-local
+        # scratch JVM-side (fetch_to_local), keeping the one-member
+        # memory contract while the DISK absorbs one shard per task
+        import os
         import tarfile
 
+        from .executor_fs import fetch_to_local
+
         fpath = partition.value
-        with tarfile.open(fpath, mode="r:*") as tar:
-            for info in tar:
-                if not info.isfile():
-                    continue
-                key, dot, suffix = info.name.rpartition(".")
-                if not dot:
-                    key, suffix = info.name, ""
-                member = tar.extractfile(info)
-                yield (fpath, key, suffix, member.read() if member else b"")
+        local, is_temp = fetch_to_local(fpath)
+        try:
+            with tarfile.open(local, mode="r:*") as tar:
+                for info in tar:
+                    if not info.isfile():
+                        continue
+                    key, dot, suffix = info.name.rpartition(".")
+                    if not dot:
+                        key, suffix = info.name, ""
+                    member = tar.extractfile(info)
+                    yield (fpath, key, suffix, member.read() if member else b"")
+        finally:
+            if is_temp:
+                os.remove(local)
 
 
 class WarcDataSource(DataSource):
@@ -360,13 +372,14 @@ class WarcDataSource(DataSource):
     archives read safely.  Archive files are listed on the driver
     (names only); all byte I/O happens on executors.
 
-    Filesystem contract: listing uses a driver-local ``glob`` and
-    executors re-open the same paths with local ``open()`` — driver and
-    executors must share a POSIX-visible filesystem (local mode, NFS,
-    or a fuse mount).  ``file://`` URIs are accepted and stripped; an
-    ``s3a://``/``hdfs://`` glob will NOT resolve here — for object-
-    store archives use ``sources/warc.py:read_warc`` (``binaryFile`` is
-    scheme-native) when archives fit the 2 GB cell limit.
+    Filesystem contract (scheme-aware since round 11): scheme-less
+    paths use driver-local glob + executor-local open (shared/fuse
+    mount); URI-scheme'd paths (``file://``, ``hdfs://``, ``s3a://``)
+    list via ``fs.globStatus`` and fetch each archive WHOLE to
+    executor-local scratch JVM-side before streaming — disk absorbs
+    one archive per task, memory still holds one record.
+    ``sources/warc.py:read_warc`` (``binaryFile``) remains the
+    zero-copy route when archives fit the 2 GB cell limit.
 
     Options: ``path`` — archive glob (``/data/crawl/*.warc.gz``).
     Schema is ``sources/warc.py:RECORD_SCHEMA``.
@@ -394,12 +407,10 @@ class WarcReader(DataSourceReader):
             )
 
     def partitions(self):
-        # shared-POSIX-filesystem contract (see WarcDataSource docstring)
-        from glob import glob
+        # scheme-aware listing (see WarcDataSource docstring)
+        from .executor_fs import glob_paths
 
-        from .executor_fs import strip_file_scheme
-
-        files = sorted(glob(strip_file_scheme(self.path)))
+        files = glob_paths(self.path)
         if not files:
             raise FileNotFoundError(
                 f"ayeaye_warc: no archives match {self.path}"
@@ -407,21 +418,31 @@ class WarcReader(DataSourceReader):
         return [InputPartition(f) for f in files]
 
     def read(self, partition):
-        # runs on an EXECUTOR: records stream one at a time
+        # runs on an EXECUTOR: records stream one at a time; scheme'd
+        # archives are fetched whole to executor-local scratch JVM-side
+        # first — one archive on DISK per task, one record in MEMORY
+        import os
+
+        from .executor_fs import fetch_to_local
         from .warc import open_warc, parse_warc_stream
 
         fpath = partition.value
-        with open_warc(fpath) as f:
-            for rec in parse_warc_stream(f):
-                yield (
-                    fpath,
-                    rec.get("warc-type", ""),
-                    rec.get("warc-record-id", ""),
-                    rec.get("warc-target-uri", ""),
-                    rec.get("warc-date", ""),
-                    rec.get("content-type", ""),
-                    rec["payload"],
-                )
+        local, is_temp = fetch_to_local(fpath)
+        try:
+            with open_warc(local) as f:
+                for rec in parse_warc_stream(f):
+                    yield (
+                        fpath,
+                        rec.get("warc-type", ""),
+                        rec.get("warc-record-id", ""),
+                        rec.get("warc-target-uri", ""),
+                        rec.get("warc-date", ""),
+                        rec.get("content-type", ""),
+                        rec["payload"],
+                    )
+        finally:
+            if is_temp:
+                os.remove(local)
 
 
 class ArrowIpcDataSource(DataSource):
@@ -463,27 +484,34 @@ class ArrowIpcReader(DataSourceReader):
             raise ValueError("ayeaye_arrow requires .option('path', ...)")
 
     def partitions(self):
-        # local glob: accepts scheme-less shared-mount paths and
-        # file:// URIs; like WarcReader, driver and executors must see
-        # the same filesystem (executors re-open these paths locally)
-        from glob import glob
+        # scheme-aware listing (local glob or fs.globStatus)
+        from .executor_fs import glob_paths
 
-        from .executor_fs import strip_file_scheme
-
-        files = sorted(glob(strip_file_scheme(self.path)))
+        files = glob_paths(self.path)
         if not files:
             raise FileNotFoundError(f"ayeaye_arrow: no files match {self.path}")
         return [InputPartition(f) for f in files]
 
     def read(self, partition):
-        # executor-side: memory-map the shard, yield its RecordBatches
+        # executor-side: memory-map the shard, yield its RecordBatches;
+        # scheme'd shards are fetched to executor-local scratch first
+        # (JVM-side byte movement), then mapped
+        import os
+
         import pyarrow as pa
         import pyarrow.ipc as ipc
 
-        with pa.memory_map(partition.value, "r") as source:
-            reader = ipc.open_file(source)
-            for i in range(reader.num_record_batches):
-                yield reader.get_batch(i)
+        from .executor_fs import fetch_to_local
+
+        local, is_temp = fetch_to_local(partition.value)
+        try:
+            with pa.memory_map(local, "r") as source:
+                reader = ipc.open_file(source)
+                for i in range(reader.num_record_batches):
+                    yield reader.get_batch(i)
+        finally:
+            if is_temp:
+                os.remove(local)
 
 
 def register_python_datasources(spark) -> list[str]:

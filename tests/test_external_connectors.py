@@ -550,3 +550,75 @@ class TestWarcPythonDataSource:
         with pytest.raises(Exception, match="no archives match"):
             (spark.read.format("ayeaye_warc")
              .option("path", f"{tmp_path}/nope-*.warc").load().collect())
+
+
+class TestPydsSchemeAwareReads:
+    """Streaming pyds readers over explicit ``file:///`` URI globs —
+    the listing runs through ``fs.globStatus`` and each shard/archive
+    is fetched to executor-local scratch via JVM-side
+    ``copyToLocalFile`` before streaming: the exact code path an
+    ``s3a://``/``hdfs://`` glob uses."""
+
+    def test_wds_file_uri_glob_matches_local(self, spark, tmp_path):
+        from ayeaye_spark.sources.pyds import register_python_datasources
+        from ayeaye_spark.sources.webdataset import write_tar_shards
+
+        docs = spark.createDataFrame(
+            [(i, f"body {i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        out = str(tmp_path / "shards")
+        write_tar_shards(
+            docs, out, key_col="doc_id",
+            member_cols={"txt": "text"}, n_shards=2,
+        ).collect()
+        register_python_datasources(spark)
+        local = (spark.read.format("ayeaye_wds")
+                 .option("path", f"{out}/shard-*.tar").load())
+        remote = (spark.read.format("ayeaye_wds")
+                  .option("path", f"file://{out}/shard-*.tar").load())
+        assert remote.rdd.getNumPartitions() == 2
+        a = {(r["key"], bytes(r["content"])) for r in local.collect()}
+        b = {(r["key"], bytes(r["content"])) for r in remote.collect()}
+        assert a == b and len(a) == 20
+
+    def test_warc_file_uri_glob_matches_local(self, spark, tmp_path):
+        from ayeaye_spark.sources.pyds import register_python_datasources
+        from ayeaye_spark.sources.warc import (
+            http_response_payload, write_warc,
+        )
+
+        for shard in range(2):
+            write_warc(
+                str(tmp_path / f"c-{shard}.warc.gz"),
+                [{"warc_type": "response",
+                  "target_uri": f"https://s{shard}.com/p{i}",
+                  "content_type": "application/http; msgtype=response",
+                  "payload": http_response_payload(f"<p>{shard}/{i}</p>")}
+                 for i in range(5)],
+            )
+        register_python_datasources(spark)
+        local = (spark.read.format("ayeaye_warc")
+                 .option("path", f"{tmp_path}/c-*.warc.gz").load())
+        remote = (spark.read.format("ayeaye_warc")
+                  .option("path", f"file://{tmp_path}/c-*.warc.gz").load())
+        a = {(r["target_uri"], bytes(r["payload"])) for r in local.collect()}
+        b = {(r["target_uri"], bytes(r["payload"])) for r in remote.collect()}
+        assert a == b and len(a) == 10
+
+    def test_arrow_file_uri_schema_and_batches(self, spark, tmp_path):
+        from ayeaye_spark.sources.arrow_ipc import (
+            infer_ipc_schema, read_arrow_shards, write_arrow_shards,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, float(i) / 3) for i in range(12)],
+            "doc_id long, score double",
+        )
+        out = str(tmp_path / "ipc")
+        write_arrow_shards(docs, out, key_col="doc_id", n_shards=2).collect()
+        # schema inference through the gateway fetch
+        schema = infer_ipc_schema(f"file://{out}/shard-*.arrow")
+        assert schema == docs.schema
+        back = read_arrow_shards(spark, f"file://{out}/shard-*.arrow")
+        assert {r["doc_id"] for r in back.collect()} == set(range(12))
