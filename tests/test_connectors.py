@@ -1295,6 +1295,36 @@ class TestWarc:
         assert out["http://www.gamma-site.com/plain9"] == (
             "http://www.gamma-site.com/plain9", 1, 0)
 
+    def test_dechunk_property_roundtrip(self):
+        """Any chunk split of any byte payload de-chunks back exactly;
+        arbitrary garbage never raises (returns bytes)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ayeaye_spark.sources.warc import _dechunk
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            chunks=st.lists(st.binary(min_size=1, max_size=64), max_size=8),
+            crlf=st.booleans(),
+        )
+        def roundtrip(chunks, crlf):
+            nl = b"\r\n" if crlf else b"\n"
+            enc = b"".join(
+                format(len(c), "x").encode() + nl + c + nl for c in chunks
+            ) + b"0" + nl + nl
+            assert _dechunk(enc) == b"".join(chunks)
+
+        roundtrip()
+
+        @settings(max_examples=150, deadline=None)
+        @given(junk=st.binary(max_size=128))
+        def never_raises(junk):
+            out = _dechunk(junk)
+            assert isinstance(out, bytes)
+
+        never_raises()
+
     def test_connector_and_glob(self, spark, tmp_path):
         from ayeaye_spark import AccessMode
         from ayeaye_spark.sources.base import ConnectorError

@@ -5045,6 +5045,39 @@ class TestBmpPalettedAndRle8:
         arr = px.reshape(2, 2, 3)
         assert (arr[0] == 200).all() and (arr[1] == 0).all()
 
+    def test_rle8_property_roundtrip(self):
+        """Random index images with run-heavy structure roundtrip
+        through the RLE8 encode/decode pair, and RLE always equals the
+        uncompressed decode of the same image."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ayeaye_spark.operators.multimodal import _bmp_pixel_rows
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            h=st.integers(1, 12), w=st.integers(1, 40),
+            seed=st.integers(0, 2**31 - 1),
+            runs=st.booleans(),
+        )
+        def roundtrip(h, w, seed, runs):
+            rng = np.random.RandomState(seed)
+            if runs:  # long-run-heavy image (encoded-run mode dominant)
+                idx = np.repeat(
+                    rng.randint(0, 6, size=(h, max(1, w // 5))), 5, axis=1
+                )[:, :w].astype(np.uint8)
+            else:  # noisy image (absolute / literal modes dominant)
+                idx = rng.randint(0, 6, size=(h, w), dtype=np.uint8)
+            palette = [(i * 30, 255 - i * 30, i * 11) for i in range(6)]
+            plain = _bmp_pixel_rows(self._bmp8(idx, palette))
+            rle = _bmp_pixel_rows(self._bmp8(idx, palette, rle=True))
+            assert plain is not None and rle is not None
+            assert (plain[0] == rle[0]).all()
+            assert plain[1:] == rle[1:]
+
+        roundtrip()
+
 
 class TestPngDeepAndInterlaced:
     """Round-11 variants: 16-bit sample depth (decoded to the high
@@ -5172,6 +5205,40 @@ class TestPngDeepAndInterlaced:
         out, w, h, ch = got
         assert (w, h, ch) == (5, 6, 1)
         assert (out.reshape(6, 5) == (px16[:, :, 0] >> 8)).all()
+
+    def test_adam7_property_roundtrip(self):
+        """Random dims × depths × per-pass filters roundtrip exactly
+        through the Adam7 encode/decode pair."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ayeaye_spark.operators.multimodal import _png_pixel_array
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            h=st.integers(1, 20), w=st.integers(1, 20),
+            ch=st.sampled_from([1, 3, 4]),
+            depth=st.sampled_from([8, 16]),
+            pf=st.sampled_from([0, 2]),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def roundtrip(h, w, ch, depth, pf, seed):
+            rng = np.random.RandomState(seed)
+            if depth == 8:
+                px = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+                want = px
+            else:
+                px = rng.randint(0, 65536, size=(h, w, ch)).astype(np.uint16)
+                want = (px >> 8).astype(np.uint8)
+            got = _png_pixel_array(self._png_adam7(px, depth=depth,
+                                                   pass_filter=pf))
+            assert got is not None
+            out, gw, gh, gch = got
+            assert (gw, gh, gch) == (w, h, ch)
+            assert (out.reshape(h, w, ch) == want).all()
+
+        roundtrip()
 
     def test_truncated_interlaced_returns_none(self):
         import struct
