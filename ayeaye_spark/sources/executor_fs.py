@@ -144,15 +144,6 @@ def publish_file(local_path: str, dest: str) -> None:
     )
 
 
-def strip_file_scheme(path: str) -> str:
-    """``file:`` URIs double as local paths for driver-side readers
-    that glob/mmap locally (``infer_ipc_schema``); handles both the
-    ``file:///x`` user spelling and Hadoop's ``file:/x`` rendering."""
-    if path.startswith("file:"):
-        return re.sub(r"^file:/+", "/", path)
-    return path
-
-
 def glob_paths(pattern: str) -> list[str]:
     """Sorted paths matching ``pattern`` on its filesystem: local
     ``glob`` for scheme-less patterns, ``fs.globStatus`` through the
