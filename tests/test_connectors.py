@@ -932,6 +932,25 @@ class TestExecutorFsUnit:
         assert dest.read_bytes() == b"payload"
         assert not src.exists()
 
+    def test_s3_modifier_composes_with_scheme_routing(self):
+        """`s3+wds://bucket/corpus` resolves to an s3a:// out_dir, which
+        has_scheme routes to the Hadoop publish path — the connector-URL
+        spelling of an object-store shard export (no live S3 here; the
+        file:/// integration tests exercise the same branch)."""
+        from ayeaye_spark.sources.base import spark_path
+        from ayeaye_spark.sources.executor_fs import has_scheme
+        from ayeaye_spark.sources.registry import connector_for
+
+        from ayeaye_spark import AccessMode
+
+        c = connector_for(
+            "s3+wds://bucket/corpus;shards=4;key=doc_id",
+            access=AccessMode.READWRITE, member_cols={"txt": "text"},
+        )
+        out = spark_path(c.url)
+        assert out == "s3a://bucket/corpus"
+        assert has_scheme(out)
+
     def test_publish_file_uri_via_gateway(self, tmp_path):
         """file:// destination exercises the launched-JVM
         copyFromLocalFile path end to end in THIS process (the same
