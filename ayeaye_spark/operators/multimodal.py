@@ -11,14 +11,15 @@ North-star component (BASELINE.json).  Design for 100 TB of media:
   callable in production), but the built-in kernels are REAL for every
   fixture format with zero external dependencies: uncompressed BMP,
   8-bit PNG (stdlib zlib + hand-undone scanline filters; grayscale /
-  RGB / RGBA / paletted via PLTE expansion; 8-bit AND 16-bit depths,
-  non-interlaced AND Adam7 interlaced since round 11), GIF (stdlib
-  LZW, stills + animated frame compositing), baseline AND progressive
-  JPEG (numpy Huffman + IDCT; spectral selection + successive
-  approximation), and WAV (PCM + G.711 mu-law/A-law).  Only exotic
-  variants (sub-8-bit PNG, compressed BMP, arithmetic-coded JPEG)
-  fall back to header metadata or the clearly-marked deterministic
-  fake.
+  RGB / RGBA / paletted via PLTE expansion; EVERY spec depth —
+  1/2/4/8/16-bit — and both non-interlaced and Adam7 interlaced
+  layouts since round 11), GIF (stdlib LZW, stills + animated frame
+  compositing), baseline AND progressive JPEG (numpy Huffman + IDCT;
+  spectral selection + successive approximation), and WAV (PCM +
+  G.711 mu-law/A-law).  Only genuinely exotic variants
+  (arithmetic-coded JPEG, BI_RLE4/BITFIELDS BMP, real video
+  containers) fall back to header metadata or the clearly-marked
+  deterministic fake.
 """
 
 from __future__ import annotations
@@ -460,11 +461,13 @@ def _png_pixel_array(b: bytes):
     # color type 3 (paletted) decodes as 1 index byte/px then expands
     # through PLTE to RGB after unfiltering
     channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype)
-    if depth not in (8, 16) or channels is None or comp or filt:
+    if depth not in (1, 2, 4, 8, 16) or channels is None or comp or filt:
         return None
     if interlace not in (0, 1):
         return None
-    if ctype == 3 and (depth != 8 or plte is None or len(plte) % 3):
+    if depth < 8 and ctype not in (0, 3):
+        return None  # sub-byte depths exist only for gray and palette
+    if ctype == 3 and (depth > 8 or plte is None or len(plte) % 3):
         return None  # 16-bit palette does not exist in the PNG spec
     if w <= 0 or h <= 0:
         return None
@@ -472,28 +475,54 @@ def _png_pixel_array(b: bytes):
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    bpp = channels * (depth // 8)  # filter distance in BYTES
+
+    def _unpack_bits(packed, n_px):
+        """Sub-byte samples, MSB-first within each byte -> one uint8
+        sample per pixel (row-padded bits already trimmed by n_px)."""
+        bits = np.unpackbits(packed.reshape(-1, packed.shape[-1]), axis=-1)
+        per = bits.reshape(packed.shape[0], -1, depth)
+        vals = np.zeros(per.shape[:2], dtype=np.uint8)
+        for k in range(depth):
+            vals = (vals << 1) | per[:, :, k]
+        return vals[:, :n_px]
+
+    if depth < 8:
+        # PNG filters act on BYTES with bpp=1 for sub-byte depths
+        def decode_rows(body, ph, pw):
+            prow = (pw * depth + 7) // 8
+            sub = _png_unfilter(body, ph, prow, 1)
+            if sub is None:
+                return None
+            return _unpack_bits(sub, pw)
+    else:
+        bpp = channels * (depth // 8)  # filter distance in BYTES
+
+        def decode_rows(body, ph, pw):
+            return _png_unfilter(body, ph, pw * bpp, bpp)
+
     if interlace == 0:
-        out = _png_unfilter(raw, h, w * bpp, bpp)
+        out = decode_rows(raw, h, w)
         if out is None:
             return None
     else:  # Adam7: seven independently-filtered sub-images
-        out = np.zeros((h, w * bpp), dtype=np.uint8)
-        out3 = out.reshape(h, w, bpp)
+        unit = 1 if depth < 8 else channels * (depth // 8)
+        out = np.zeros((h, w * unit), dtype=np.uint8)
+        out3 = out.reshape(h, w, unit)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass on small images
-            need = ph * (pw * bpp + 1)
-            sub = _png_unfilter(raw[pos:pos + need], ph, pw * bpp, bpp)
+            prow = (pw * depth + 7) // 8 if depth < 8 else pw * unit
+            need = ph * (prow + 1)
+            sub = decode_rows(raw[pos:pos + need], ph, pw)
             if sub is None:
                 return None
             pos += need
             rows = y0 + dy * np.arange(ph)
             cols = x0 + dx * np.arange(pw)
-            out3[rows[:, None], cols[None, :], :] = sub.reshape(ph, pw, bpp)
+            out3[rows[:, None], cols[None, :], :] = sub.reshape(ph, pw, unit)
     if depth == 16:
         # big-endian sample pairs -> high byte (8-bit downconversion)
         out = np.ascontiguousarray(
@@ -505,13 +534,18 @@ def _png_pixel_array(b: bytes):
             return None
         rgb = pal[out.reshape(-1)].reshape(h, w * 3)
         return rgb, w, h, 3
-    return out, w, h, channels
+    if depth < 8:  # gray: scale 1/2/4-bit samples to the 0..255 range
+        out = (out.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        ).reshape(h, w)
+    return out.reshape(h, -1), w, h, channels
 
 
 def decode_png_pixels(b: bytes) -> dict | None:
-    """REAL pixel decode for 8-bit gray/RGB/RGBA non-interlaced PNG, no
-    codec library (:func:`_png_pixel_array`): header metadata plus a
-    true ``mean_intensity`` over all channel bytes."""
+    """REAL pixel decode for PNG at every spec depth (1/2/4/8/16-bit,
+    gray/RGB/RGBA/paletted, plain or Adam7-interlaced), no codec
+    library (:func:`_png_pixel_array`): header metadata plus a true
+    ``mean_intensity`` over all channel bytes."""
     got = _png_pixel_array(b)
     if got is None:
         return None
@@ -1350,14 +1384,14 @@ def dhash64(content: bytes) -> int | None:
 
 def sample_decode(content: bytes) -> dict:
     """Best real decode available without external codecs: full pixel /
-    PCM stats for uncompressed BMP, 8-bit non-interlaced PNG (stdlib
+    PCM stats for 24-bit/paletted/RLE8 BMP, any-depth PNG (stdlib
     zlib inflate + hand-undone scanline filters), global-color-table
     GIF (stdlib LZW, first frame), baseline SOF0 + progressive SOF2
     JPEG (numpy Huffman + IDCT) and PCM WAV — every fixture format now
     decodes for real; exotic variants (arithmetic-coded JPEG,
-    sub-8-bit PNG, compressed BMP, …) still fall back to header
-    metadata (or a codec injected via ``decoder=``), ``fake_decode``
-    for everything else.  Drop-in for :func:`decode_images`'
+    BI_RLE4/BITFIELDS BMP, …) still fall back to header metadata (or
+    a codec injected via ``decoder=``), ``fake_decode`` for
+    everything else.  Drop-in for :func:`decode_images`'
     ``decoder=``."""
     got = decode_bmp_pixels(content) if content else None
     if got is None and content:

@@ -5206,6 +5206,105 @@ class TestPngDeepAndInterlaced:
         assert (w, h, ch) == (5, 6, 1)
         assert (out.reshape(6, 5) == (px16[:, :, 0] >> 8)).all()
 
+    @classmethod
+    def _png_subbyte(cls, samples, depth, ctype, palette=None,
+                     interlace=False, pass_filter=0):
+        """(h, w) uint8 sample array (gray levels or palette indices,
+        values < 2**depth) -> real 1/2/4-bit PNG; rows bit-packed
+        MSB-first with per-row byte padding."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _ADAM7
+
+        def pack_rows(arr):
+            ph, pw = arr.shape
+            bits = np.zeros((ph, pw, depth), dtype=np.uint8)
+            for k in range(depth):
+                bits[:, :, k] = (arr >> (depth - 1 - k)) & 1
+            flat = bits.reshape(ph, pw * depth)
+            pad = (-flat.shape[1]) % 8
+            if pad:
+                flat = np.concatenate(
+                    [flat, np.zeros((ph, pad), np.uint8)], axis=1
+                )
+            return np.packbits(flat, axis=1)
+
+        raw = bytearray()
+        passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+        for x0, y0, dx, dy in passes:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            packed = pack_rows(sub)
+            prev = np.zeros(packed.shape[1], np.int32)
+            for r in range(packed.shape[0]):
+                raw.append(pass_filter)
+                if pass_filter == 0:
+                    raw.extend(packed[r].tobytes())
+                else:  # Up
+                    raw.extend(
+                        ((packed[r].astype(np.int32) - prev) & 0xFF)
+                        .astype(np.uint8).tobytes())
+                    prev = packed[r].astype(np.int32)
+        h, w = samples.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                           1 if interlace else 0)
+        chunks = (b"\x89PNG\r\n\x1a\n" + cls._chunk(b"IHDR", ihdr))
+        if palette is not None:
+            chunks += cls._chunk(
+                b"PLTE", b"".join(bytes(p) for p in palette))
+        return (chunks + cls._chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + cls._chunk(b"IEND", b""))
+
+    def test_subbyte_gray_scales_to_255(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _png_pixel_array
+
+        for depth in (1, 2, 4):
+            lv = (1 << depth) - 1
+            rng = np.random.RandomState(depth)
+            # odd width exercises row-padding bits
+            samples = rng.randint(0, lv + 1, size=(5, 11), dtype=np.uint8)
+            got = _png_pixel_array(self._png_subbyte(samples, depth, 0))
+            assert got is not None, depth
+            out, w, h, ch = got
+            assert (w, h, ch) == (11, 5, 1)
+            want = (samples.astype(np.uint16) * 255 // lv).astype(np.uint8)
+            assert (out.reshape(5, 11) == want).all(), depth
+
+    def test_subbyte_palette_expands(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _png_pixel_array
+
+        palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+        idx = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 2]], dtype=np.uint8)
+        got = _png_pixel_array(self._png_subbyte(idx, 2, 3, palette=palette))
+        assert got is not None
+        out, w, h, ch = got
+        assert (w, h, ch) == (5, 2, 3)
+        want = np.array(palette, np.uint8)[idx.reshape(-1)].reshape(2, 15)
+        assert (out == want).all()
+
+    def test_subbyte_interlaced_and_filtered(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _png_pixel_array
+
+        rng = np.random.RandomState(21)
+        samples = rng.randint(0, 16, size=(9, 7), dtype=np.uint8)
+        for pf in (0, 2):
+            got = _png_pixel_array(self._png_subbyte(
+                samples, 4, 0, interlace=True, pass_filter=pf))
+            assert got is not None, pf
+            out, w, h, ch = got
+            want = (samples.astype(np.uint16) * 255 // 15).astype(np.uint8)
+            assert (out.reshape(9, 7) == want).all(), pf
+
     def test_adam7_property_roundtrip(self):
         """Random dims × depths × per-pass filters roundtrip exactly
         through the Adam7 encode/decode pair."""
