@@ -17,7 +17,7 @@ North-star component (BASELINE.json).  Design for 100 TB of media:
   compositing), baseline AND progressive JPEG (numpy Huffman + IDCT;
   spectral selection + successive approximation), and WAV (PCM +
   G.711 mu-law/A-law).  Only genuinely exotic variants
-  (arithmetic-coded JPEG, BI_RLE4/BITFIELDS BMP, real video
+  (arithmetic-coded JPEG, BI_RLE4/exotic-mask BMP, real video
   containers) fall back to header metadata or the clearly-marked
   deterministic fake.
 """
@@ -339,6 +339,20 @@ def _bmp_pixel_rows(b: bytes):
         px = np.frombuffer(
             b[data_off:need], dtype=np.uint8
         ).reshape(rows, stride)[:, : w * 3]
+    elif bpp == 32 and compression in (0, 3):
+        # 32-bit BGRA (BI_RGB, or BI_BITFIELDS with the standard
+        # B/G/R/A byte masks — the screenshot format); alpha dropped
+        if compression == 3:
+            masks = struct.unpack("<III", b[54:66]) if len(b) >= 66 else ()
+            if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+                return None  # non-standard channel packing
+        need = data_off + w * 4 * rows
+        if len(b) < need:
+            return None
+        quad = np.frombuffer(
+            b[data_off:need], dtype=np.uint8
+        ).reshape(rows, w, 4)
+        px = quad[:, :, :3].reshape(rows, w * 3)
     elif bpp == 8 and compression in (0, 1):
         clr_used = struct.unpack("<I", b[46:50])[0] if len(b) >= 50 else 0
         n_pal = clr_used or 256
@@ -1335,8 +1349,9 @@ def _pixel_gray(b: bytes):
 
 def decode_bmp_pixels(b: bytes) -> dict | None:
     """REAL pixel decode for BMP, no codec library: uncompressed
-    24-bit, uncompressed 8-bit paletted, and RLE8-compressed 8-bit
-    paletted bitmaps (``_bmp_pixel_rows``), rows orientation-corrected.
+    24-bit, 32-bit BGRA, uncompressed 8-bit paletted, and
+    RLE8-compressed 8-bit paletted bitmaps (``_bmp_pixel_rows``),
+    rows orientation-corrected.
     Returns the header metadata plus a true ``mean_intensity`` (0..255
     over all channel bytes); ``None`` for other depths/compressions."""
     got = _bmp_pixel_rows(b)
@@ -1389,7 +1404,7 @@ def sample_decode(content: bytes) -> dict:
     GIF (stdlib LZW, first frame), baseline SOF0 + progressive SOF2
     JPEG (numpy Huffman + IDCT) and PCM WAV — every fixture format now
     decodes for real; exotic variants (arithmetic-coded JPEG,
-    BI_RLE4/BITFIELDS BMP, …) still fall back to header metadata (or
+    BI_RLE4/exotic-mask BMP, …) still fall back to header metadata (or
     a codec injected via ``decoder=``), ``fake_decode`` for
     everything else.  Drop-in for :func:`decode_images`'
     ``decoder=``."""

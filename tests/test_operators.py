@@ -5045,6 +5045,41 @@ class TestBmpPalettedAndRle8:
         arr = px.reshape(2, 2, 3)
         assert (arr[0] == 200).all() and (arr[1] == 0).all()
 
+    def test_32bpp_bgra_decodes_alpha_dropped(self):
+        import struct
+
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _bmp_pixel_rows
+
+        rng = np.random.RandomState(3)
+        px = rng.randint(0, 256, size=(4, 5, 3), dtype=np.uint8)
+        for comp in (0, 3):
+            extra = (struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+                     if comp == 3 else b"")
+            data_off = 54 + len(extra)
+            body = b"".join(
+                bytes(np.concatenate(
+                    [px[r], np.full((5, 1), 200, np.uint8)], axis=1
+                ).reshape(-1)) for r in reversed(range(4))
+            )
+            hdr = (b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0,
+                                       data_off)
+                   + struct.pack("<IiiHHIIiiII", 40, 5, 4, 1, 32, comp,
+                                 len(body), 0, 0, 0, 0) + extra)
+            got = _bmp_pixel_rows(hdr + body)
+            assert got is not None, comp
+            out, w, rows = got
+            assert (w, rows) == (5, 4)
+            assert (out.reshape(4, 5, 3) == px).all(), comp
+        # non-standard bitfield masks stay header-only
+        weird = (b"BM" + struct.pack("<IHHI", 66 + 80, 0, 0, 66)
+                 + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 32, 3,
+                               16, 0, 0, 0, 0)
+                 + struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+                 + b"\0" * 16)
+        assert _bmp_pixel_rows(weird) is None
+
     def test_rle8_property_roundtrip(self):
         """Random index images with run-heavy structure roundtrip
         through the RLE8 encode/decode pair, and RLE always equals the
