@@ -520,6 +520,43 @@ def test_hybrid_search(spark, resolver, tmp_path):
     assert {(r["doc_id"], r["rank"]) for r in rows} == cat
 
 
+def test_crawl_ingest(spark, resolver, tmp_path):
+    """Golden run over the COMMITTED crawl fixture: the funnel numbers
+    are pinned by the fixture's construction (14 HTTP 200 text pages
+    incl. 2 robots files -> 12 pages, 2 disallowed -> 10 allowed, 3
+    URL-variant collapses -> 7 canonical survivors)."""
+    import json
+
+    from examples.crawl_ingest import CrawlIngest
+    from ayeaye_spark.fixtures import ensure_crawl_fixture
+    from ayeaye_spark.sources.webdataset import read_tar_shards
+
+    with resolver.context(
+        archive_path=ensure_crawl_fixture(),
+        output_path=str(tmp_path),
+    ):
+        assert CrawlIngest().go(), "model run must succeed"
+
+    report = json.loads((tmp_path / "crawl_ingest.json").read_text())
+    assert report["n_http_pages"] == 12
+    assert report["n_robots_allowed"] == 10
+    assert report["n_canonical_survivors"] == 7
+    assert report["shard_keys"] == 7
+    out = spark.read.parquet(str(tmp_path / "crawl_corpus.parquet"))
+    rows = {r["canonical_url"]: r for r in out.collect()}
+    assert len(rows) == 7
+    assert rows["https://www.alpha-site.com/home"]["dup_count"] == 2
+    assert "Alpha & Home" in rows["https://www.alpha-site.com/home"]["text"]
+    assert not any("secret" in c or "/b/9" in c for c in rows)
+    # shards hold exactly the survivors' extracted text
+    members = read_tar_shards(spark, f"{tmp_path}/shards/shard-*.tar")
+    got = {r["key"]: bytes(r["content"]).decode() for r in members.collect()}
+    assert len(got) == 7
+    assert got[rows["https://www.alpha-site.com/home"]["keep_url"]].startswith(
+        "Alpha & Home"
+    )
+
+
 def test_web_corpus(spark, resolver, tmp_path):
     from pyspark.sql import functions as F
 
