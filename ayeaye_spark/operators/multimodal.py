@@ -17,7 +17,7 @@ North-star component (BASELINE.json).  Design for 100 TB of media:
   compositing), baseline AND progressive JPEG (numpy Huffman + IDCT;
   spectral selection + successive approximation), and WAV (PCM +
   G.711 mu-law/A-law).  Only genuinely exotic variants
-  (arithmetic-coded JPEG, BI_RLE4/exotic-mask BMP, real video
+  (arithmetic-coded JPEG, BI_RLE4/non-standard-mask BMP, real video
   containers) fall back to header metadata or the clearly-marked
   deterministic fake.
 """
@@ -353,6 +353,36 @@ def _bmp_pixel_rows(b: bytes):
             b[data_off:need], dtype=np.uint8
         ).reshape(rows, w, 4)
         px = quad[:, :, :3].reshape(rows, w * 3)
+    elif bpp == 16 and compression in (0, 3):
+        # 16-bit: BI_RGB means RGB555; BI_BITFIELDS with the standard
+        # 565 (or explicit 555) masks — other packings stay header-only
+        if compression == 3:
+            masks = struct.unpack("<III", b[54:66]) if len(b) >= 66 else ()
+            if masks == (0xF800, 0x07E0, 0x001F):
+                rbits, gbits = 5, 6
+            elif masks == (0x7C00, 0x03E0, 0x001F):
+                rbits, gbits = 5, 5
+            else:
+                return None
+        else:
+            rbits, gbits = 5, 5
+        bbits = 5
+        stride = ((w * 2 + 3) // 4) * 4
+        need = data_off + stride * rows
+        if len(b) < need:
+            return None
+        words = np.frombuffer(
+            b[data_off:need], dtype="<u2"
+        ).reshape(rows, stride // 2)[:, :w].astype(np.uint32)
+
+        def expand(v, nbits):  # n-bit channel -> full 0..255 range
+            return ((v * 255) // ((1 << nbits) - 1)).astype(np.uint8)
+
+        r = expand((words >> (gbits + bbits)) & ((1 << rbits) - 1), rbits)
+        g = expand((words >> bbits) & ((1 << gbits) - 1), gbits)
+        bch = expand(words & ((1 << bbits) - 1), bbits)
+        # keep the BGR byte order the other branches produce
+        px = np.stack([bch, g, r], axis=2).reshape(rows, w * 3)
     elif bpp == 8 and compression in (0, 1):
         clr_used = struct.unpack("<I", b[46:50])[0] if len(b) >= 50 else 0
         n_pal = clr_used or 256
@@ -1349,9 +1379,9 @@ def _pixel_gray(b: bytes):
 
 def decode_bmp_pixels(b: bytes) -> dict | None:
     """REAL pixel decode for BMP, no codec library: uncompressed
-    24-bit, 32-bit BGRA, uncompressed 8-bit paletted, and
-    RLE8-compressed 8-bit paletted bitmaps (``_bmp_pixel_rows``),
-    rows orientation-corrected.
+    24-bit, 32-bit BGRA, 16-bit RGB555/565, uncompressed 8-bit
+    paletted, and RLE8-compressed 8-bit paletted bitmaps
+    (``_bmp_pixel_rows``), rows orientation-corrected.
     Returns the header metadata plus a true ``mean_intensity`` (0..255
     over all channel bytes); ``None`` for other depths/compressions."""
     got = _bmp_pixel_rows(b)
@@ -1404,7 +1434,7 @@ def sample_decode(content: bytes) -> dict:
     GIF (stdlib LZW, first frame), baseline SOF0 + progressive SOF2
     JPEG (numpy Huffman + IDCT) and PCM WAV — every fixture format now
     decodes for real; exotic variants (arithmetic-coded JPEG,
-    BI_RLE4/exotic-mask BMP, …) still fall back to header metadata (or
+    BI_RLE4/non-standard-mask BMP, …) still fall back to header metadata (or
     a codec injected via ``decoder=``), ``fake_decode`` for
     everything else.  Drop-in for :func:`decode_images`'
     ``decoder=``."""

@@ -5080,6 +5080,56 @@ class TestBmpPalettedAndRle8:
                  + b"\0" * 16)
         assert _bmp_pixel_rows(weird) is None
 
+    def test_16bpp_555_and_565_decode(self):
+        import struct
+
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _bmp_pixel_rows
+
+        # 2x2 pure channels: red, green / blue, white
+        def word555(r, g, b):
+            return (r << 10) | (g << 5) | b
+
+        def word565(r, g, b):
+            return (r << 11) | (g << 5) | b
+
+        cases = [
+            (0, None, word555, 5),    # BI_RGB -> 555
+            (3, (0x7C00, 0x03E0, 0x001F), word555, 5),
+            (3, (0xF800, 0x07E0, 0x001F), word565, 6),
+        ]
+        for comp, masks, mk, gbits in cases:
+            gmax = (1 << gbits) - 1
+            rows_words = [
+                [mk(31, 0, 0), mk(0, gmax, 0)],
+                [mk(0, 0, 31), mk(31, gmax, 31)],
+            ]
+            extra = struct.pack("<III", *masks) if masks else b""
+            data_off = 54 + len(extra)
+            body = b"".join(
+                struct.pack("<HH", *rows_words[r])  # w=2 -> stride 4, no pad
+                for r in reversed(range(2))
+            )
+            hdr = (b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0,
+                                       data_off)
+                   + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 16, comp,
+                                 len(body), 0, 0, 0, 0) + extra)
+            got = _bmp_pixel_rows(hdr + body)
+            assert got is not None, (comp, masks)
+            out, w, rows = got
+            arr = out.reshape(2, 2, 3)  # BGR order
+            assert tuple(arr[0, 0]) == (0, 0, 255), (comp, masks)   # red
+            assert tuple(arr[0, 1]) == (0, 255, 0), (comp, masks)   # green
+            assert tuple(arr[1, 0]) == (255, 0, 0), (comp, masks)   # blue
+            assert tuple(arr[1, 1]) == (255, 255, 255), (comp, masks)
+        # non-standard 16-bit masks stay header-only
+        weird = (b"BM" + struct.pack("<IHHI", 66 + 16, 0, 0, 66)
+                 + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 16, 3,
+                               16, 0, 0, 0, 0)
+                 + struct.pack("<III", 0xF00, 0x0F0, 0x00F) + b"\0" * 16)
+        assert _bmp_pixel_rows(weird) is None
+
     def test_rle8_property_roundtrip(self):
         """Random index images with run-heavy structure roundtrip
         through the RLE8 encode/decode pair, and RLE always equals the
