@@ -326,6 +326,11 @@ def _bmp_pixel_rows(b: bytes):
 
     data_off = struct.unpack("<I", b[10:14])[0]
     hdr_size = struct.unpack("<I", b[14:18])[0]
+    if hdr_size < 40:
+        # OS/2 BITMAPCOREHEADER (hdr_size=12): 16-bit width/height and
+        # 3-byte RGBTRIPLE palette entries — every offset below would
+        # mis-parse, so stay header-only rather than decode garbage
+        return None
     w, h = struct.unpack("<ii", b[18:26])
     bpp, compression = struct.unpack("<HI", b[28:34])
     rows = abs(h)
@@ -473,9 +478,10 @@ def _png_pixel_array(b: bytes):
     standard 8-bit rendering), grayscale / RGB / RGBA / paletted
     color-type-3 via PLTE expansion, and BOTH non-interlaced and Adam7
     interlaced layouts (each of the seven passes is an independently
-    filtered sub-image, unfiltered then scattered to its lattice).
-    Sub-8-bit depths (1/2/4, vanishingly rare in crawls) stay
-    header-only."""
+    filtered sub-image, unfiltered then scattered to its lattice), plus
+    sub-8-bit depths (1/2/4-bit grayscale and paletted — samples are
+    unpacked bit-wise per scanline and scaled to the full 0..255
+    range)."""
     if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     import struct

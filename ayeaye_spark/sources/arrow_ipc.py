@@ -49,7 +49,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .base import AccessMode, ConnectorError, DataConnector, spark_path
-from .executor_fs import publish_file, uri_join
+from .executor_fs import (
+    has_scheme,
+    publish_file,
+    uri_join,
+    warn_if_worker_reuse_disabled,
+)
 
 MANIFEST_SCHEMA = (
     "shard_id BIGINT, path STRING, n_rows BIGINT, n_bytes BIGINT"
@@ -70,6 +75,8 @@ def write_arrow_shards(
     ACTION — nothing is written until it is collected/saved."""
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
+    if has_scheme(out_dir):
+        warn_if_worker_reuse_disabled(df.sparkSession)
     cols = df.columns
     if key_col not in cols:
         raise ValueError(f"key column {key_col!r} not in {cols}")

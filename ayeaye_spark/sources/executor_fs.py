@@ -33,6 +33,25 @@ Reference parity: this is the executor-side analog of the reference's
 ``smart_open_modifier.py:75-199``, which made remote writes transparent
 for every reference connector; here the remote write goes through the
 same Hadoop FS implementations Spark itself uses for its scans.
+
+TWO DEPLOYMENT CONTRACTS — read before pointing a shard sink at an
+object store:
+
+* **Configuration comes from ``$HADOOP_CONF_DIR`` ONLY.**  The gateway
+  JVM builds a fresh ``Configuration()``; it cannot see session-level
+  ``spark.hadoop.*`` settings (e.g. ``fs.s3a.access.key`` set
+  programmatically on the SparkSession), because Spark's own driver
+  JVM is a different process.  Credentials/endpoints must live in
+  ``core-site.xml`` under ``$HADOOP_CONF_DIR`` (the standard cluster
+  layout), in the scheme's default provider chain (instance roles,
+  ``AWS_*`` env vars), or be embedded in the URI.  An s3a write that
+  works for Spark's scans but not here almost always means the setting
+  exists only as ``spark.hadoop.*``.
+* **``spark.python.worker.reuse`` should stay ``true`` (the default).**
+  The JVM is cached per Python WORKER PROCESS; with reuse disabled
+  every task forks a fresh worker and pays a fresh ~1 s / 256 MB JVM —
+  a 32-slot executor could hold 32 of them (8 GB).  The shard writers
+  emit a one-time warning when the active session disables reuse.
 """
 
 from __future__ import annotations
@@ -42,11 +61,43 @@ import re
 import shutil
 from glob import glob as _local_glob
 
-# one slash suffices: Hadoop Path.toString renders "file:/tmp/x"
-_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/")
+# one slash suffices: Hadoop Path.toString renders "file:/tmp/x".
+# Two+ chars before the colon: a single letter is a Windows drive path
+# ("C:/x"), not a URI scheme (no registered single-letter scheme exists)
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]+:/")
 
 # one gateway per Python worker process, reused across tasks
 _GATEWAY = None
+
+
+_REUSE_WARNED = False
+
+
+def warn_if_worker_reuse_disabled(spark) -> None:
+    """One-time driver-side warning when ``spark.python.worker.reuse``
+    is disabled: without worker reuse every shard-publish task launches
+    (and abandons) its own 256 MB gateway JVM — correct but wasteful.
+    Called by the shard writers before they kick off the export job."""
+    global _REUSE_WARNED
+    if _REUSE_WARNED:
+        return
+    try:
+        reuse = spark.conf.get("spark.python.worker.reuse", "true")
+    except Exception:
+        return
+    if str(reuse).strip().lower() == "false":
+        import warnings
+
+        _REUSE_WARNED = True
+        warnings.warn(
+            "spark.python.worker.reuse is false: each shard-publish task "
+            "will launch its own 256 MB Hadoop-FS gateway JVM instead of "
+            "reusing one per worker process (see "
+            "ayeaye_spark.sources.executor_fs). Re-enable reuse (the "
+            "default) for scheme'd shard destinations.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 def has_scheme(path: str) -> bool:

@@ -165,10 +165,14 @@ def _dechunk(body: bytes) -> bytes:
         if nl < 0:
             return body
         size_token = body[pos:nl].strip().split(b";")[0]
-        try:
-            size = int(size_token, 16)
-        except ValueError:
+        # strict hex only: int(b"-3", 16) / b"+3" / b"1_0" all parse but
+        # are malformed framing — a negative size would walk pos
+        # backwards and loop forever on hostile records
+        if not size_token or any(
+            c not in b"0123456789abcdefABCDEF" for c in size_token
+        ):
             return body
+        size = int(size_token, 16)
         pos = nl + 1
         if size == 0:
             return b"".join(out)
@@ -222,11 +226,16 @@ def http_responses(records: DataFrame) -> DataFrame:
                 pdf["target_uri"], pdf["warc_date"], pdf["payload"]
             ):
                 raw = bytes(payload)
-                sep = raw.find(_CRLF + _CRLF)
-                seplen = 4
-                if sep < 0:  # LF-only origin servers
-                    sep = raw.find(b"\n\n")
-                    seplen = 2
+                # earliest separator wins: an LF-only header whose BODY
+                # happens to contain \r\n\r\n must still split at the
+                # header's \n\n (note \n\n never occurs inside a
+                # \r\n\r\n, so comparing positions is unambiguous)
+                crlf_sep = raw.find(_CRLF + _CRLF)
+                lf_sep = raw.find(b"\n\n")
+                if crlf_sep >= 0 and (lf_sep < 0 or crlf_sep < lf_sep):
+                    sep, seplen = crlf_sep, 4
+                else:
+                    sep, seplen = lf_sep, 2
                 head = raw[:sep].decode("utf-8", "replace") if sep >= 0 else ""
                 body = raw[sep + seplen:] if sep >= 0 else raw
                 status = 0

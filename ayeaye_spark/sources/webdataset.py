@@ -55,7 +55,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .base import AccessMode, ConnectorError, DataConnector, spark_path
-from .executor_fs import has_scheme, publish_file, uri_join
+from .executor_fs import (
+    has_scheme,
+    publish_file,
+    uri_join,
+    warn_if_worker_reuse_disabled,
+)
 
 MANIFEST_SCHEMA = (
     "shard_id BIGINT, path STRING, n_keys BIGINT, n_members BIGINT, n_bytes BIGINT"
@@ -191,6 +196,8 @@ def write_tar_shards(
         raise ValueError("member_cols must be non-empty")
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
+    if has_scheme(out_dir):
+        warn_if_worker_reuse_disabled(df.sparkSession)
     suffixes = dict(member_cols)  # capture for the closure
     ext = ".tar.gz" if compress else ".tar"
     # USTAR caps member names ("{key}.{suffix}") at 100 bytes; tarfile

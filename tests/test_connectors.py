@@ -921,6 +921,45 @@ class TestExecutorFsUnit:
         assert not has_scheme("/data/corpus") and not has_scheme("rel/path")
         assert uri_join("s3a://b/dir/", "f.tar") == "s3a://b/dir/f.tar"
         assert uri_join("/data/x", "f.tar") == "/data/x/f.tar"
+        # single-letter "schemes" are Windows drive paths, not URIs
+        assert not has_scheme("C:/Users/me/corpus")
+        assert not has_scheme("d:/data/x.tar")
+
+    def test_worker_reuse_warning_fires_once(self):
+        """When spark.python.worker.reuse is disabled, the shard
+        writers warn (once) that every task pays a fresh gateway JVM."""
+        import warnings
+
+        from ayeaye_spark.sources import executor_fs
+
+        class _Conf:
+            def __init__(self, reuse):
+                self._reuse = reuse
+
+            def get(self, key, default=None):
+                assert key == "spark.python.worker.reuse"
+                return self._reuse
+
+        class _Spark:
+            def __init__(self, reuse):
+                self.conf = _Conf(reuse)
+
+        old = executor_fs._REUSE_WARNED
+        executor_fs._REUSE_WARNED = False
+        try:
+            with warnings.catch_warnings(record=True) as seen:
+                warnings.simplefilter("always")
+                executor_fs.warn_if_worker_reuse_disabled(_Spark("true"))
+                assert not seen  # default config: silent
+                executor_fs.warn_if_worker_reuse_disabled(_Spark("false"))
+                assert len(seen) == 1
+                assert issubclass(seen[0].category, RuntimeWarning)
+                assert "worker.reuse" in str(seen[0].message)
+                # one-time: a second disabled session does not re-warn
+                executor_fs.warn_if_worker_reuse_disabled(_Spark("false"))
+                assert len(seen) == 1
+        finally:
+            executor_fs._REUSE_WARNED = old
 
     def test_publish_local_move(self, tmp_path):
         from ayeaye_spark.sources.executor_fs import publish_file
@@ -1343,6 +1382,54 @@ class TestWarc:
             assert isinstance(out, bytes)
 
         never_raises()
+
+    def test_dechunk_hostile_framing_terminates(self):
+        """Negative / sign-prefixed / underscore hex size tokens are
+        malformed framing: int(b'-3', 16) parses, and a negative size
+        once walked ``pos`` backwards forever.  All must return the
+        body unchanged (and return at all)."""
+        from ayeaye_spark.sources.warc import _dechunk
+
+        hostile = [
+            b"-3\nAB\n0\n\n",          # the reported infinite loop
+            b"-1\r\nX\r\n0\r\n\r\n",
+            b"+3\r\nabc\r\n0\r\n\r\n",  # int() tolerates '+'
+            b"1_0\r\n" + b"x" * 16,     # int() tolerates '_'
+            b"\n\n",                    # empty size token
+        ]
+        for body in hostile:
+            assert _dechunk(body) == body
+
+    def test_lf_only_header_with_crlf_in_body(self, spark, tmp_path):
+        """An LF-framed response whose BODY contains \\r\\n\\r\\n must
+        split at the header's \\n\\n (earliest separator wins), not at
+        the body occurrence."""
+        from ayeaye_spark.sources.warc import (
+            http_responses, read_warc, write_warc,
+        )
+
+        body = b"<html>line1\r\n\r\nline2</html>"
+        records = [
+            {"warc_type": "response", "target_uri": "https://mix.example/",
+             "content_type": "application/http; msgtype=response",
+             "payload": (b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n"
+                         + body)},
+            # and the normal CRLF case still splits at the CRLF-CRLF
+            # even when an \n\n appears later in the body
+            {"warc_type": "response", "target_uri": "https://crlf.example/",
+             "content_type": "application/http; msgtype=response",
+             "payload": (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                         b"<html>a\n\nb</html>")},
+        ]
+        path = str(tmp_path / "mixsep.warc")
+        write_warc(path, records)
+        got = {r["target_uri"]: r
+               for r in http_responses(read_warc(spark, path)).collect()}
+        mix = got["https://mix.example/"]
+        assert mix["http_status"] == 200
+        assert mix["http_content_type"] == "text/html"
+        assert bytes(mix["body"]) == body
+        assert got["https://crlf.example/"]["html"] == "<html>a\n\nb</html>"
 
     def test_connector_and_glob(self, spark, tmp_path):
         from ayeaye_spark import AccessMode

@@ -5032,6 +5032,24 @@ class TestBmpPalettedAndRle8:
         # palette index out of range
         assert _bmp_pixel_rows(bmp_with(bytes([2, 3, 0, 1]))) is None
 
+    def test_os2_core_header_stays_header_only(self):
+        """BITMAPCOREHEADER (hdr_size=12) stores 16-bit width/height and
+        3-byte RGBTRIPLE palette entries — every BITMAPINFOHEADER offset
+        would mis-parse, so the pixel reader must return None (garbled
+        palette colors feeding dhash/mean are worse than header-only)."""
+        import struct
+
+        from ayeaye_spark.operators.multimodal import _bmp_pixel_rows
+
+        # 2x2 8-bit OS/2 bitmap: core header, RGBTRIPLE palette
+        pal = bytes([10, 20, 30] * 2)  # two 3-byte entries
+        data_off = 14 + 12 + len(pal)
+        body = bytes([0, 1, 0, 0]) + bytes([1, 0, 0, 0])  # 2 padded rows
+        core = (b"BM"
+                + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+                + struct.pack("<IHHHH", 12, 2, 2, 1, 8))
+        assert _bmp_pixel_rows(core + pal + body) is None
+
     def test_bottom_up_orientation_corrected(self):
         """Top row of the array must come back as the top row — i.e.
         the reader undoes bottom-up storage (dHash orientation)."""
