@@ -10463,6 +10463,88 @@ def warc_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_decode_oracle() -> str:
+    """DuckDB replay of the media-decode report.  DuckDB cannot decode
+    PNG/BMP/GIF, so the oracle starts from VALUES literals of the SAME
+    per-file integer decode results the committed fixture produces
+    under ``exact_decode`` (a byte-equality + decode-equality pytest
+    pins the files to these constants), then independently recomputes
+    the downstream mean and dup-group rollup."""
+    from .fixtures.media import MEDIA_EXPECTED
+
+    def lit(v):
+        return _sql_str(v) if isinstance(v, str) else (
+            "NULL" if v is None else str(v)
+        )
+
+    values = ",\n      ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in MEDIA_EXPECTED
+    )
+    return f"""
+    WITH decoded AS (
+      SELECT file, format, CAST(width AS INTEGER) AS width,
+             CAST(height AS INTEGER) AS height,
+             CAST(channels AS INTEGER) AS channels,
+             CAST(pixel_sum AS BIGINT) AS pixel_sum,
+             CAST(n_vals AS BIGINT) AS n_vals,
+             CAST(dhash AS BIGINT) AS dhash
+      FROM (VALUES {values})
+        AS t(file, format, width, height, channels, pixel_sum, n_vals,
+             dhash)
+    )
+    SELECT file, format, width, height, channels,
+           pixel_sum * 1000000 // n_vals AS mean_ppm, dhash,
+           MIN(file) OVER (
+             PARTITION BY COALESCE(CAST(dhash AS VARCHAR), file)
+           ) AS dup_group
+    FROM decoded
+    """
+
+
+@query("media_decode_report", oracle=_media_decode_oracle())
+def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end media-decode acceptance over COMMITTED binary files
+    (``fixtures/media/``): ``binaryFile`` scan → ``decode_images`` with
+    the integer-exact real pixel kernel (``exact_decode``: stdlib-only
+    BMP 24/8-bit-paletted, any-depth PNG, LZW GIF decode + 64-bit
+    dHash) → exact integer mean (ppm) and perceptual-hash dup grouping.
+    The fixture carries the SAME image rendered as PNG and 24-bit BMP —
+    the cross-format near-dup pair collapses to one ``dup_group`` — a
+    16-bit grayscale PNG, a paletted GIF and BMP, and a PCM WAV that
+    degrades to header metadata with null pixel stats (the
+    filter-then-route contract).  Independent of ``sf_dir`` by design —
+    the committed files are the input, as in production media ingest.
+
+    Scale shape: one file per task (``binaryFile``), Arrow-batched
+    ``mapInPandas`` decode, one window over the 64-bit hash key for the
+    grouping — the same plan at 10^9 images.  The oracle replays the
+    per-file decode from VALUES literals that a byte-equality +
+    decode-equality pytest pins to the committed bytes, then recomputes
+    the mean and dup-group rollup independently."""
+    from pyspark.sql import Window as W
+
+    from .fixtures.media import ensure_media_fixture
+    from .operators.multimodal import (
+        EXACT_DECODE_SCHEMA,
+        decode_images,
+        exact_decode,
+    )
+
+    files = spark.read.format("binaryFile").load(ensure_media_fixture())
+    rep = decode_images(
+        files, decoder=exact_decode, batch_schema=EXACT_DECODE_SCHEMA
+    ).select(
+        F.element_at(F.split("path", "/"), -1).alias("file"),
+        "format", "width", "height", "channels",
+        F.expr("pixel_sum * 1000000L DIV n_vals").alias("mean_ppm"),
+        "dhash",
+    )
+    grp = W.partitionBy(
+        F.coalesce(F.col("dhash").cast("string"), F.col("file"))
+    )
+    return rep.withColumn("dup_group", F.min("file").over(grp))
+
+
 def _robots_delay_fixture_sql(d: str) -> str:
     """robots.txt with Crawl-delay directives (source % 3): integer
     delay, fractional delay, and none (default applies); one group

@@ -1,0 +1,256 @@
+"""Committed deterministic media fixture (catalog entry
+``media_decode_report``).
+
+Six small files under ``fixtures/media/`` — two renderings of the SAME
+image (PNG + 24-bit BMP, a cross-format near-dup pair), a 16-bit
+grayscale PNG, a global-color-table GIF, an 8-bit paletted BMP, and a
+PCM WAV — pin the whole media-decode path end to end: ``binaryFile``
+scan → :func:`operators.multimodal.decode_images` with the
+integer-exact :func:`operators.multimodal.exact_decode` kernel →
+mean / perceptual-hash / dup-group rollup.
+
+Every encoder below is byte-deterministic (fixed zlib level, fixed
+header layout, literal-code LZW), so the committed files, a fresh
+:func:`ensure_media_fixture` write, and the ``MEDIA_EXPECTED``
+constants the DuckDB oracle replays from are all provably the same
+data (``tests/test_operators.py::TestMediaFixture`` asserts byte
+equality and decode equality).
+
+Reference parity: the reference treats media as opaque payload bytes
+moved by connectors; pixel-level decode is beyond-reference surface
+(SURVEY §2 north-star), pinned here the same way the crawl fixture
+pins the WARC path.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+MEDIA_DIR_NAME = "media"
+
+
+def media_fixture_dir() -> str:
+    return os.path.join(os.path.dirname(__file__), MEDIA_DIR_NAME)
+
+
+# ---------------------------------------------------------------- encoders
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data)))
+
+
+def encode_png_rgb(px) -> bytes:
+    """(h, w, 3) uint8 RGB -> 8-bit truecolor PNG, filter 0 scanlines,
+    zlib level 9 (deterministic for fixed input)."""
+    h, w, _ = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+            + _png_chunk(b"IEND", b""))
+
+
+def encode_png_gray16(vals) -> bytes:
+    """(h, w) uint16 -> 16-bit grayscale PNG (big-endian samples)."""
+    import numpy as np
+
+    h, w = vals.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + np.ascontiguousarray(vals[r]).astype(">u2").tobytes()
+        for r in range(h)
+    )
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+            + _png_chunk(b"IEND", b""))
+
+
+def encode_bmp24(px) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit BMP (bottom-up BGR
+    rows, stride padded to 4)."""
+    h, w, _ = px.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    body = b"".join(
+        px[r][:, ::-1].tobytes() + b"\x00" * (stride - w * 3)
+        for r in reversed(range(h))
+    )
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                         len(body), 0, 0, 0, 0))
+    return hdr + body
+
+
+def encode_bmp8(idx, palette_rgb) -> bytes:
+    """(h, w) uint8 index array + [(r, g, b)] palette -> uncompressed
+    8-bit paletted BMP (RGBQUAD entries are stored B, G, R, 0)."""
+    h, w = idx.shape
+    pal = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in palette_rgb)
+    stride = ((w + 3) // 4) * 4
+    body = b"".join(
+        bytes(idx[r]) + b"\x00" * (stride - w)
+        for r in reversed(range(h))
+    )
+    data_off = 54 + len(pal)
+    hdr = (b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                         len(body), 0, 0, len(palette_rgb), 0))
+    return hdr + pal + body
+
+
+def encode_gif(idx, palette_rgb) -> bytes:
+    """(h, w) uint8 index array + [(r, g, b)] palette -> GIF89a with a
+    global color table, literal-code LZW (min code size 7, periodic
+    CLEAR so the code width never grows — valid for palettes <= 128)."""
+    h, w = idx.shape
+    n = len(palette_rgb)
+    gct_bits = max(1, (n - 1).bit_length())
+    pal = bytearray()
+    for r, g, b_ in palette_rgb:
+        pal += bytes([r, g, b_])
+    pal += b"\x00" * (3 * ((1 << gct_bits) - n))
+    hdr = (b"GIF89a" + struct.pack("<HH", w, h)
+           + bytes([0x80 | (gct_bits - 1), 0, 0]) + bytes(pal))
+    desc = b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    mcs = 7
+    clear, width = 1 << mcs, mcs + 1
+    bits, acc, nacc = bytearray(), 0, 0
+
+    def emit(code):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    for i, v in enumerate(idx.reshape(-1)):
+        if i and i % 100 == 0:
+            emit(clear)
+        emit(int(v))
+    emit(clear + 1)  # EOI
+    if nacc:
+        bits.append(acc & 0xFF)
+    data = bytes(bits)
+    blocks = b"".join(
+        bytes([min(255, len(data) - o)]) + data[o:o + 255]
+        for o in range(0, len(data), 255)
+    )
+    return hdr + desc + bytes([mcs]) + blocks + b"\x00\x3B"
+
+
+def encode_wav_pcm16(samples, rate: int = 8000) -> bytes:
+    """iterable of int16 -> mono 16-bit PCM WAV."""
+    body = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+
+
+# ------------------------------------------------------------ fixture data
+
+
+def _gradient_px():
+    """16x12 RGB gradient — rendered as BOTH gradient.png and
+    gradient.bmp (the cross-format near-dup pair: identical pixels,
+    identical dHash)."""
+    import numpy as np
+
+    h, w = 12, 16
+    px = np.zeros((h, w, 3), np.uint8)
+    for r in range(h):
+        for c in range(w):
+            px[r, c] = ((r * 16 + c * 5) % 256,
+                        ((r * 37) ^ (c * 53)) % 256,
+                        ((r * r + c * 13) * 7) % 256)
+    return px
+
+
+def _deep16_vals():
+    import numpy as np
+
+    h, w = 10, 14
+    return np.fromfunction(
+        lambda r, c: ((r * 4111) ^ (c * 2571)) % 65536, (h, w),
+        dtype=np.int64,
+    ).astype(np.uint16)
+
+
+def _gif_idx_palette():
+    import numpy as np
+
+    idx = np.fromfunction(
+        lambda r, c: (r + c) % 8, (10, 13), dtype=np.int64
+    ).astype(np.uint8)
+    palette = [((i * 30) % 256, 255 - i * 28, (i * 17) % 256)
+               for i in range(8)]
+    return idx, palette
+
+
+def _bmp8_idx_palette():
+    import numpy as np
+
+    idx = np.fromfunction(
+        lambda r, c: (r * 3 + c * 7) % 16, (11, 14), dtype=np.int64
+    ).astype(np.uint8)
+    palette = [((i * 15) % 256, (i * 40) % 256, 255 - i * 10)
+               for i in range(16)]
+    return idx, palette
+
+
+def media_fixture_files() -> dict[str, bytes]:
+    """name -> deterministic bytes, the committed fixture contents."""
+    grad = _gradient_px()
+    gidx, gpal = _gif_idx_palette()
+    bidx, bpal = _bmp8_idx_palette()
+    tone = [8000 if (i // 10) % 2 == 0 else -8000 for i in range(120)]
+    return {
+        "gradient.png": encode_png_rgb(grad),
+        "gradient.bmp": encode_bmp24(grad),
+        "deep16.png": encode_png_gray16(_deep16_vals()),
+        "palette.gif": encode_gif(gidx, gpal),
+        "blocks8.bmp": encode_bmp8(bidx, bpal),
+        "tone.wav": encode_wav_pcm16(tone),
+    }
+
+
+def ensure_media_fixture() -> str:
+    """Directory of the committed media files, writing any absent file
+    first (encoders are byte-deterministic, so a rewrite reproduces the
+    committed bytes exactly)."""
+    d = media_fixture_dir()
+    os.makedirs(d, exist_ok=True)
+    for name, blob in media_fixture_files().items():
+        path = os.path.join(d, name)
+        if not os.path.exists(path):
+            with open(path, "wb") as f:
+                f.write(blob)
+    return d
+
+
+# Pinned expected decode of each committed file under
+# operators.multimodal.exact_decode — every value an integer/string so
+# the DuckDB oracle replays them as VALUES literals with bit-identical
+# hashing.  (file, format, width, height, channels, pixel_sum, n_vals,
+# dhash); regenerated by tests/test_operators.py::TestMediaFixture when
+# the fixture changes.
+MEDIA_EXPECTED: list[tuple] = [
+    ('blocks8.bmp', 'bmp', 14, 11, 3,
+     61895, 462, 4095621213176290372),
+    ('deep16.png', 'png', 14, 10, 1,
+     12940, 140, 59710262540434945),
+    ('gradient.bmp', 'bmp', 16, 12, 3,
+     71360, 576, 2604529512685581718),
+    ('gradient.png', 'png', 16, 12, 3,
+     71360, 576, 2604529512685581718),
+    ('palette.gif', 'gif', 13, 10, 3,
+     41605, 390, 290508776329610764),
+    ('tone.wav', 'wav', None, None, 1,
+     None, None, None),
+]

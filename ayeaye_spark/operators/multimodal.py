@@ -1463,6 +1463,67 @@ def sample_decode(content: bytes) -> dict:
     return header_decode(content)
 
 
+def exact_decode(content: bytes) -> dict:
+    """Integer-exact pixel decode for oracle-backed media reports: the
+    same real pixel kernels as :func:`sample_decode` (BMP / any-depth
+    PNG / GIF / JPEG) but emitting EXACT integer statistics —
+    ``pixel_sum`` (sum of raw channel bytes) and ``n_vals`` (count) —
+    plus the 64-bit dHash.  Every field is an integer or string, so a
+    DuckDB oracle can replay the decode from VALUES literals with
+    bit-identical value hashing (a float ``mean_intensity`` would have
+    to round-trip through SQL text).  Compute the mean downstream as
+    ``pixel_sum * 1000000 DIV n_vals`` in BOTH engines.  Non-image
+    bytes degrade to header metadata (format/width/height/channels)
+    with null pixel stats, like :func:`sample_decode`.  Drop-in for
+    :func:`decode_images`' ``decoder=`` with ``EXACT_DECODE_SCHEMA``."""
+    import numpy as np
+
+    meta = header_decode(content or b"")
+    out = {
+        "format": meta.get("format"), "width": meta.get("width"),
+        "height": meta.get("height"), "channels": meta.get("channels"),
+        "pixel_sum": None, "n_vals": None, "dhash": None,
+    }
+    if not content:
+        return out
+    arr, w, h, ch = None, 0, 0, 0
+    got = _bmp_pixel_rows(content)
+    if got is not None:
+        arr, w, h = got
+        ch = 3
+    else:
+        got = _png_pixel_array(content)
+        if got is not None:
+            arr, w, h, ch = got
+        else:
+            got = _gif_pixel_array(content)
+            if got is not None:
+                arr, w, h = got
+                ch = 3
+            else:
+                try:
+                    got = _jpeg_pixel_array(content)
+                except (ValueError, IndexError, KeyError):
+                    got = None
+                if got is not None:
+                    arr, w, h, ch = got
+    if arr is None:
+        return out
+    out.update(
+        width=int(w), height=int(h), channels=int(ch),
+        pixel_sum=int(np.asarray(arr, dtype=np.uint64).sum()),
+        n_vals=int(np.asarray(arr).size),
+        dhash=dhash64(content),
+    )
+    return out
+
+
+EXACT_DECODE_SCHEMA = (
+    "path string, format string, width int, height int, channels int, "
+    "pixel_sum long, n_vals long, dhash long"
+)
+
+
 _HEADER_PARSERS = (
     parse_png_header, parse_jpeg_header, parse_gif_header,
     parse_bmp_header, parse_wav_header,
@@ -1511,7 +1572,10 @@ def decode_images(
         cols = [f.strip().split()[0] for f in batch_schema.split(",")]
         for pdf in batches:
             decoded = pdf[content_col].map(decoder)
-            out = pd.DataFrame(list(decoded))
+            # dtype=object: a mixed int/None column would otherwise be
+            # coerced to float64 at construction, silently corrupting
+            # >2^53 values (e.g. 64-bit dHash) before Arrow sees them
+            out = pd.DataFrame(list(decoded), dtype=object)
             out.insert(0, "path", pdf[path_col].values)
             # a pluggable decoder may emit a subset of the schema (the
             # round-1 {width,height,channels,mean_intensity} contract):
@@ -1549,7 +1613,9 @@ def decode_audio(
         cols = [f.strip().split()[0] for f in batch_schema.split(",")]
         for pdf in batches:
             decoded = [decoder(c) or {} for c in pdf[content_col]]
-            out = pd.DataFrame(decoded)
+            # dtype=object: see decode_images — int columns with nulls
+            # must not round-trip through float64
+            out = pd.DataFrame(decoded, dtype=object)
             out.insert(0, "path", pdf[path_col].values)
             for c in cols:
                 if c not in out.columns:

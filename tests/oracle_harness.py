@@ -100,7 +100,14 @@ def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str]:
             )
     if len(spark_rows) != len(duck_rows):
         return False, f"row count differs: spark={len(spark_rows)} duck={len(duck_rows)}"
-    s, d = sorted(spark_rows), sorted(duck_rows)
+
+    # null-safe total order: NULL sorts before any value, and never
+    # reaches a Python None-vs-int comparison (tuple sort only compares
+    # same-position values, which share a column type otherwise)
+    def _key(row):
+        return tuple((x is not None, x) for x in row)
+
+    s, d = sorted(spark_rows, key=_key), sorted(duck_rows, key=_key)
     if s != d:
         diffs = [(a, b) for a, b in zip(s, d) if a != b][:3]
         return False, f"values differ; first diffs: {diffs}"

@@ -879,6 +879,104 @@ class TestIncrementalDedup:
         assert sorted(r["doc_id"] for r in out.collect()) == [11, 12]
 
 
+class TestMediaFixture:
+    """Pins for the committed media fixture (catalog entry
+    media_decode_report): the committed bytes ARE the deterministic
+    encoder output, and exact_decode over them IS the MEDIA_EXPECTED
+    constants the DuckDB oracle replays from — together these make the
+    driver's value-hash check certify the real decode path."""
+
+    def test_committed_bytes_match_encoders(self):
+        import os
+
+        from ayeaye_spark.fixtures.media import (
+            ensure_media_fixture,
+            media_fixture_files,
+        )
+
+        d = ensure_media_fixture()
+        blobs = media_fixture_files()
+        assert sorted(os.listdir(d)) == sorted(blobs)
+        for name, blob in blobs.items():
+            with open(os.path.join(d, name), "rb") as f:
+                assert f.read() == blob, (
+                    f"committed fixtures/media/{name} drifted from the "
+                    "deterministic encoder — regenerate via "
+                    "ensure_media_fixture()"
+                )
+
+    def test_exact_decode_matches_pinned_constants(self):
+        from ayeaye_spark.fixtures.media import (
+            MEDIA_EXPECTED,
+            media_fixture_files,
+        )
+        from ayeaye_spark.operators.multimodal import exact_decode
+
+        got = []
+        for name, blob in sorted(media_fixture_files().items()):
+            dec = exact_decode(blob)
+            got.append((name, dec["format"], dec["width"], dec["height"],
+                        dec["channels"], dec["pixel_sum"], dec["n_vals"],
+                        dec["dhash"]))
+        assert got == [tuple(r) for r in MEDIA_EXPECTED]
+
+    def test_cross_format_pair_same_pixels(self):
+        """gradient.png and gradient.bmp decode to the SAME pixel sums
+        and the SAME dHash — the cross-format near-dup contract the
+        dup_group rollup certifies."""
+        from ayeaye_spark.fixtures.media import media_fixture_files
+        from ayeaye_spark.operators.multimodal import exact_decode
+
+        blobs = media_fixture_files()
+        png = exact_decode(blobs["gradient.png"])
+        bmp = exact_decode(blobs["gradient.bmp"])
+        for k in ("width", "height", "channels", "pixel_sum", "n_vals",
+                  "dhash"):
+            assert png[k] == bmp[k], k
+        assert png["dhash"] is not None
+
+    def test_media_decode_report_golden(self, spark):
+        from ayeaye_spark.catalog import QUERIES
+
+        rows = {r["file"]: r for r in QUERIES["media_decode_report"](
+            spark, "/root/testdata/sf0.001").collect()}
+        assert len(rows) == 6
+        # the pair collapses to one dup_group; everything else is alone
+        assert (rows["gradient.png"]["dup_group"]
+                == rows["gradient.bmp"]["dup_group"] == "gradient.bmp")
+        assert rows["palette.gif"]["dup_group"] == "palette.gif"
+        # the WAV degrades to header metadata with null pixel stats
+        wav = rows["tone.wav"]
+        assert wav["format"] == "wav" and wav["mean_ppm"] is None
+        assert wav["dhash"] is None and wav["dup_group"] == "tone.wav"
+        # integer-exact mean: 71360 * 1e6 DIV 576
+        assert rows["gradient.png"]["mean_ppm"] == 71360 * 1000000 // 576
+
+    def test_decode_images_preserves_int64_precision_with_nulls(self, spark):
+        """Regression: a mapInPandas batch mixing decodable and
+        non-decodable rows must not round-trip int64 columns through
+        float64 (dHash values above 2^53 were silently corrupted)."""
+        from ayeaye_spark.fixtures.media import media_fixture_files
+        from ayeaye_spark.operators.multimodal import (
+            EXACT_DECODE_SCHEMA,
+            decode_images,
+            exact_decode,
+        )
+
+        blobs = media_fixture_files()
+        # one partition -> one Arrow batch containing both rows
+        df = spark.createDataFrame(
+            [("gif", bytearray(blobs["palette.gif"])),
+             ("wav", bytearray(blobs["tone.wav"]))],
+            ["path", "content"],
+        ).coalesce(1)
+        got = {r["path"]: r for r in decode_images(
+            df, decoder=exact_decode, batch_schema=EXACT_DECODE_SCHEMA
+        ).collect()}
+        assert got["gif"]["dhash"] == exact_decode(blobs["palette.gif"])["dhash"]
+        assert got["wav"]["dhash"] is None
+
+
 class TestMediaParserProperties:
     def test_png_roundtrip_random_dims(self):
         import struct
