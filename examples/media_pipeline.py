@@ -97,6 +97,54 @@ class PerceptualMediaDedup(Model):
         self.log(f"kept {len(kept_paths)} of {self.stats['n_files']} media files")
 
 
+class TensorExportPipeline(Model):
+    """Tensor-feed end of the media pipeline: binary media → REAL
+    pure-numpy resize (``resize_images``: stdlib pixel decode +
+    bilinear resample, no codec library) → fixed-shape RGB byte
+    buffers → WebDataset tar shards.  Undecodable files are counted
+    and routed out, never silently dropped; every exported member is
+    exactly ``side*side*3`` bytes, the shape a training loader mmaps
+    straight into a tensor."""
+
+    shard_manifest = Connect(
+        engine_url="json://{output_path}/media_tensor_manifest.json;indent=2",
+        access=AccessMode.WRITE,
+    )
+
+    media_dir: str = "{media_path}"
+    side = 32
+
+    def build(self):
+        from ayeaye_spark import connector_resolver
+        from ayeaye_spark.operators.multimodal import resize_images
+        from ayeaye_spark.sources.webdataset import write_tar_shards
+
+        media_path = connector_resolver.resolve(self.media_dir)
+        out_dir = os.path.join(
+            connector_resolver.resolve("{output_path}"), "tensor_shards"
+        )
+        media = read_binary_dir(self.spark, media_path, "image")
+        tensors = resize_images(media, width=self.side, height=self.side)
+        decoded = tensors.where(F.col("pixels").isNotNull()).select(
+            F.element_at(F.split("path", "/"), -1).alias("key"), "pixels"
+        )
+        shards = write_tar_shards(
+            decoded, out_dir, key_col="key",
+            member_cols={"rgb": "pixels"}, n_shards=2,
+        ).collect()  # the manifest collect IS the write action
+        n_skipped = tensors.where(F.col("pixels").isNull()).count()
+        self.shard_manifest.data = {
+            "shards": sorted(s["path"] for s in shards),
+            "n_tensors": sum(s["n_keys"] for s in shards),
+            "n_skipped": n_skipped,
+            "tensor_bytes": self.side * self.side * 3,
+        }
+        self.log(
+            f"exported {sum(s['n_keys'] for s in shards)} tensors, "
+            f"skipped {n_skipped} undecodable"
+        )
+
+
 if __name__ == "__main__":
     from ayeaye_spark import connector_resolver
 
@@ -104,3 +152,4 @@ if __name__ == "__main__":
     with connector_resolver.context(media_path=os.path.join(here, "data"), output_path=here):
         MediaDedupPipeline().go()
         PerceptualMediaDedup().go()
+        TensorExportPipeline().go()

@@ -413,6 +413,38 @@ def test_perceptual_media_dedup(spark, resolver, tmp_path):
     assert "orig.bmp" in kept and "resave.bmp" not in kept
 
 
+def test_tensor_export_pipeline(spark, resolver, tmp_path):
+    """Resize stage end to end: the committed media fixture exports 5
+    fixed-shape RGB tensors (the WAV routes out as undecodable), and
+    the cross-format PNG/BMP pair yields byte-identical tensors."""
+    from ayeaye_spark.fixtures.media import ensure_media_fixture
+    from ayeaye_spark.sources.webdataset import read_tar_shards
+    from examples.media_pipeline import TensorExportPipeline
+
+    with resolver.context(
+        media_path=ensure_media_fixture(), output_path=str(tmp_path)
+    ):
+        m = TensorExportPipeline()
+        m.log_to_stdout = False
+        assert m.go(spark)
+
+    import json
+
+    doc = json.load(open(tmp_path / "media_tensor_manifest.json"))
+    assert doc["n_tensors"] == 5 and doc["n_skipped"] == 1
+    assert doc["tensor_bytes"] == 32 * 32 * 3
+    members = {
+        (r["key"], r["suffix"]): bytes(r["content"])
+        for r in read_tar_shards(
+            spark, str(tmp_path / "tensor_shards") + "/shard-*.tar"
+        ).collect()
+    }
+    assert len(members) == 5
+    for (_, suffix), data in members.items():
+        assert suffix == "rgb" and len(data) == 32 * 32 * 3
+    assert members[("gradient.png", "rgb")] == members[("gradient.bmp", "rgb")]
+
+
 def test_tokenizer_report(spark, resolver, tmp_path):
     from examples.tokenizer_report import TokenizerReport
 
