@@ -3123,10 +3123,28 @@ def _drain_stream(spark: SparkSession, agg: DataFrame, sink: str,
     re-invocations replace the table instead of accumulating one
     fully-materialized memory table per call.  The result is detached
     from the sink (localCheckpoint) and the temp view dropped, so
-    nothing outlives the call."""
+    nothing outlives the call.
+
+    State parallelism: a stateful streaming query creates one state
+    store per shuffle partition, and each store pays per-micro-batch
+    commit I/O — at acceptance-drain volume that fixed cost dominates
+    (32 partitions: ~6 s; 4: ~2 s for the same drain, same result).
+    These drains are BOUNDED acceptance harnesses, so the query runs
+    with a small state parallelism and the session's setting is
+    restored after; production streams, where state actually has
+    volume, keep the session's partitioning (a new query pins its
+    state partition count from the conf at first start)."""
     from .streaming import events as streamops
 
-    out = streamops.run_to_memory(agg, sink, output_mode=output_mode).localCheckpoint()
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(min(int(prev), 4)))
+        out = streamops.run_to_memory(
+            agg, sink, output_mode=output_mode
+        ).localCheckpoint()
+    finally:
+        spark.conf.set(key, prev)
     spark.catalog.dropTempView(sink)
     return out
 

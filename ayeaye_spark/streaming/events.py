@@ -19,6 +19,8 @@ a streaming DataFrame and Spark maintains state with watermark eviction.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -457,13 +459,30 @@ def enrich_with_static(
 
 def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
     """Execute a bounded stream fully (availableNow) into a memory sink;
-    returns the result as a batch DataFrame."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    returns the result as a batch DataFrame.
+
+    The checkpoint (offsets + state store) goes to a throwaway temp dir
+    on tmpfs when available — an acceptance drain's state is bounded
+    and dies with the call, so paying disk fsync for it is pure
+    overhead.  Durable production streams pass their own
+    ``checkpointLocation`` on a real filesystem instead."""
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(
+        prefix=f"ayeaye-drain-{query_name}-",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
     )
-    q.awaitTermination()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
