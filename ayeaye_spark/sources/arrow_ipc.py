@@ -52,6 +52,7 @@ from .base import AccessMode, ConnectorError, DataConnector, spark_path
 from .executor_fs import (
     has_scheme,
     publish_file,
+    session_hadoop_overrides,
     uri_join,
     warn_if_worker_reuse_disabled,
 )
@@ -77,6 +78,12 @@ def write_arrow_shards(
         raise ValueError("n_shards must be positive")
     if has_scheme(out_dir):
         warn_if_worker_reuse_disabled(df.sparkSession)
+    # driver-side capture: spark.hadoop.* must reach the worker gateway
+    # JVM through the task closure (it builds a fresh Configuration)
+    hadoop_conf = (
+        session_hadoop_overrides(df.sparkSession)
+        if has_scheme(out_dir) else {}
+    )
     cols = df.columns
     if key_col not in cols:
         raise ValueError(f"key column {key_col!r} not in {cols}")
@@ -107,7 +114,7 @@ def write_arrow_shards(
             with ipc.new_file(f, table.schema) as writer:
                 writer.write_table(table)
         n_bytes = os.path.getsize(scratch)
-        publish_file(scratch, path)
+        publish_file(scratch, path, hadoop_conf=hadoop_conf)
         return pd.DataFrame(
             [
                 {

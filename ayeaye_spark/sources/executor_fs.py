@@ -37,16 +37,23 @@ same Hadoop FS implementations Spark itself uses for its scans.
 TWO DEPLOYMENT CONTRACTS — read before pointing a shard sink at an
 object store:
 
-* **Configuration comes from ``$HADOOP_CONF_DIR`` ONLY.**  The gateway
-  JVM builds a fresh ``Configuration()``; it cannot see session-level
-  ``spark.hadoop.*`` settings (e.g. ``fs.s3a.access.key`` set
-  programmatically on the SparkSession), because Spark's own driver
-  JVM is a different process.  Credentials/endpoints must live in
-  ``core-site.xml`` under ``$HADOOP_CONF_DIR`` (the standard cluster
-  layout), in the scheme's default provider chain (instance roles,
-  ``AWS_*`` env vars), or be embedded in the URI.  An s3a write that
-  works for Spark's scans but not here almost always means the setting
-  exists only as ``spark.hadoop.*``.
+* **Configuration = ``$HADOOP_CONF_DIR`` + shipped overrides.**  The
+  gateway JVM builds a fresh ``Configuration()`` — it cannot see the
+  driver JVM's state — so session-level ``spark.hadoop.*`` settings
+  (e.g. ``fs.s3a.access.key`` set programmatically on the SparkConf)
+  are captured DRIVER-side by :func:`session_hadoop_overrides` and
+  shipped through the task closure: the shard writers do this
+  automatically, and every function here takes a ``hadoop_conf=``
+  dict applied on top of the fresh ``Configuration``.  The Python
+  DataSource readers (which plan in a worker with no session) forward
+  ``hadoop.``-prefixed reader options instead.  Anything not shipped
+  must live in ``core-site.xml`` under ``$HADOOP_CONF_DIR`` (the
+  standard cluster layout), in the scheme's default provider chain
+  (instance roles, ``AWS_*`` env vars), or in the URI.  An s3a write
+  that works for Spark's scans but not here almost always means the
+  setting was ``spark.conf.set`` AFTER session start (invisible to
+  ``SparkConf.getAll``) — pass it explicitly via ``hadoop_conf=`` /
+  the ``hadoop.`` option.
 * **``spark.python.worker.reuse`` should stay ``true`` (the default).**
   The JVM is cached per Python WORKER PROCESS; with reuse disabled
   every task forks a fresh worker and pays a fresh ~1 s / 256 MB JVM —
@@ -168,34 +175,72 @@ def _jvm():
     return _GATEWAY.jvm
 
 
-def _fs_and_path(path: str):
-    """(FileSystem, Path) for ``path``'s scheme via the gateway JVM."""
+def session_hadoop_overrides(spark) -> dict[str, str]:
+    """``spark.hadoop.*`` entries from the session's SparkConf, with
+    the prefix stripped — capture DRIVER-side and pass as
+    ``hadoop_conf=`` so programmatic s3a credentials/endpoints reach
+    the worker gateway JVM (which otherwise sees only
+    ``$HADOOP_CONF_DIR``).  Settings ``spark.conf.set`` AFTER session
+    start don't appear in SparkConf — pass those explicitly."""
+    try:
+        items = spark.sparkContext.getConf().getAll()
+    except Exception:
+        return {}
+    pre = "spark.hadoop."
+    return {k[len(pre):]: v for k, v in items if k.startswith(pre)}
+
+
+# FileSystem instances cached per (scheme, authority, overrides):
+# Hadoop's own FileSystem.CACHE keys only on (scheme, authority, ugi),
+# so Path.getFileSystem would silently return an instance built with
+# the FIRST conf ever seen for that scheme — wrong credentials/endpoint
+# for any later call with different overrides.  newInstance bypasses
+# Hadoop's cache; this dict restores the amortization per worker.
+_FS_CACHE: dict = {}
+
+
+def _fs_and_path(path: str, hadoop_conf: dict | None = None):
+    """(FileSystem, Path) for ``path``'s scheme via the gateway JVM.
+    ``hadoop_conf`` entries are applied on top of the fresh
+    ``Configuration`` (i.e. on top of ``$HADOOP_CONF_DIR``)."""
     jvm = _jvm()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(jvm.org.apache.hadoop.conf.Configuration())
+    uri = hpath.toUri()
+    overrides = tuple(sorted((hadoop_conf or {}).items()))
+    key = (str(uri.getScheme()), str(uri.getAuthority()), overrides)
+    fs = _FS_CACHE.get(key)
+    if fs is None:
+        conf = jvm.org.apache.hadoop.conf.Configuration()
+        for k, v in overrides:
+            conf.set(k, str(v))
+        fs = jvm.org.apache.hadoop.fs.FileSystem.newInstance(uri, conf)
+        _FS_CACHE[key] = fs
     return fs, hpath
 
 
-def publish_file(local_path: str, dest: str) -> None:
+def publish_file(local_path: str, dest: str,
+                 hadoop_conf: dict | None = None) -> None:
     """Move an executor-local file to ``dest``.
 
     Scheme-less ``dest`` → ``shutil.move`` (shared/fuse-mount contract);
     any URI scheme (including ``file://``) → JVM-side
     ``copyFromLocalFile(delSrc=True, overwrite=True)`` through the
     Hadoop FS API — the source file is consumed either way.
+    ``hadoop_conf`` ships driver-captured ``spark.hadoop.*`` settings
+    (see :func:`session_hadoop_overrides`).
     """
     if not has_scheme(dest):
         os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
         shutil.move(local_path, dest)
         return
     jvm = _jvm()
-    fs, hdest = _fs_and_path(dest)
+    fs, hdest = _fs_and_path(dest, hadoop_conf)
     fs.copyFromLocalFile(
         True, True, jvm.org.apache.hadoop.fs.Path(local_path), hdest
     )
 
 
-def glob_paths(pattern: str) -> list[str]:
+def glob_paths(pattern: str, hadoop_conf: dict | None = None) -> list[str]:
     """Sorted paths matching ``pattern`` on its filesystem: local
     ``glob`` for scheme-less patterns, ``fs.globStatus`` through the
     gateway JVM for any URI scheme — usable from ANY Python process
@@ -203,14 +248,15 @@ def glob_paths(pattern: str) -> list[str]:
     own gateway."""
     if not has_scheme(pattern):
         return sorted(_local_glob(pattern))
-    fs, hpattern = _fs_and_path(pattern)
+    fs, hpattern = _fs_and_path(pattern, hadoop_conf)
     statuses = fs.globStatus(hpattern)
     if statuses is None:
         return []
     return sorted(str(st.getPath()) for st in statuses)
 
 
-def fetch_to_local(path: str, suffix: str = "") -> tuple[str, bool]:
+def fetch_to_local(path: str, suffix: str = "",
+                   hadoop_conf: dict | None = None) -> tuple[str, bool]:
     """``(local_path, is_temp)`` for ``path``: scheme-less paths pass
     through (not temp); scheme'd paths are copied WHOLE to executor-
     local scratch via JVM-side ``fs.copyToLocalFile`` (bytes never
@@ -225,6 +271,6 @@ def fetch_to_local(path: str, suffix: str = "") -> tuple[str, bool]:
     fd, local = tempfile.mkstemp(suffix=suffix or os.path.basename(path),
                                  prefix="ayeaye-fetch-")
     os.close(fd)
-    fs, hpath = _fs_and_path(path)
+    fs, hpath = _fs_and_path(path, hadoop_conf)
     fs.copyToLocalFile(False, hpath, jvm.org.apache.hadoop.fs.Path(local), True)
     return local, True

@@ -316,6 +316,18 @@ class WdsDataSource(DataSource):
         return WdsReader(self.options)
 
 
+def _hadoop_options(options) -> dict:
+    """``hadoop.``-prefixed reader options, prefix stripped — forwarded
+    to the gateway JVM ``Configuration`` for scheme'd paths.  The
+    DataSource plans in a Python worker with no SparkSession, so
+    ``spark.hadoop.*`` can't be captured there; pass e.g.
+    ``.option("hadoop.fs.s3a.endpoint", ...)`` instead.  (Spark
+    lowercases option keys, which matches Hadoop's ``fs.*`` style.)"""
+    pre = "hadoop."
+    return {k[len(pre):]: v for k, v in options.items()
+            if k.startswith(pre)}
+
+
 class WdsReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
@@ -323,12 +335,13 @@ class WdsReader(DataSourceReader):
             raise ValueError(
                 "ayeaye_wds requires .option('path', '/dir/shard-*.tar')"
             )
+        self.hadoop_conf = _hadoop_options(options)
 
     def partitions(self):
         # scheme-aware listing (see WdsDataSource docstring)
         from .executor_fs import glob_paths
 
-        files = glob_paths(self.path)
+        files = glob_paths(self.path, hadoop_conf=self.hadoop_conf)
         if not files:
             raise FileNotFoundError(f"ayeaye_wds: no shards match {self.path}")
         return [InputPartition(f) for f in files]
@@ -344,7 +357,7 @@ class WdsReader(DataSourceReader):
         from .executor_fs import fetch_to_local
 
         fpath = partition.value
-        local, is_temp = fetch_to_local(fpath)
+        local, is_temp = fetch_to_local(fpath, hadoop_conf=self.hadoop_conf)
         try:
             with tarfile.open(local, mode="r:*") as tar:
                 for info in tar:
@@ -405,12 +418,13 @@ class WarcReader(DataSourceReader):
             raise ValueError(
                 "ayeaye_warc requires .option('path', '/dir/*.warc.gz')"
             )
+        self.hadoop_conf = _hadoop_options(options)
 
     def partitions(self):
         # scheme-aware listing (see WarcDataSource docstring)
         from .executor_fs import glob_paths
 
-        files = glob_paths(self.path)
+        files = glob_paths(self.path, hadoop_conf=self.hadoop_conf)
         if not files:
             raise FileNotFoundError(
                 f"ayeaye_warc: no archives match {self.path}"
@@ -427,7 +441,7 @@ class WarcReader(DataSourceReader):
         from .warc import open_warc, parse_warc_stream
 
         fpath = partition.value
-        local, is_temp = fetch_to_local(fpath)
+        local, is_temp = fetch_to_local(fpath, hadoop_conf=self.hadoop_conf)
         try:
             with open_warc(local) as f:
                 for rec in parse_warc_stream(f):
@@ -482,12 +496,13 @@ class ArrowIpcReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("ayeaye_arrow requires .option('path', ...)")
+        self.hadoop_conf = _hadoop_options(options)
 
     def partitions(self):
         # scheme-aware listing (local glob or fs.globStatus)
         from .executor_fs import glob_paths
 
-        files = glob_paths(self.path)
+        files = glob_paths(self.path, hadoop_conf=self.hadoop_conf)
         if not files:
             raise FileNotFoundError(f"ayeaye_arrow: no files match {self.path}")
         return [InputPartition(f) for f in files]
@@ -503,7 +518,8 @@ class ArrowIpcReader(DataSourceReader):
 
         from .executor_fs import fetch_to_local
 
-        local, is_temp = fetch_to_local(partition.value)
+        local, is_temp = fetch_to_local(partition.value,
+                                        hadoop_conf=self.hadoop_conf)
         try:
             with pa.memory_map(local, "r") as source:
                 reader = ipc.open_file(source)

@@ -58,6 +58,7 @@ from .base import AccessMode, ConnectorError, DataConnector, spark_path
 from .executor_fs import (
     has_scheme,
     publish_file,
+    session_hadoop_overrides,
     uri_join,
     warn_if_worker_reuse_disabled,
 )
@@ -198,6 +199,12 @@ def write_tar_shards(
         raise ValueError("n_shards must be positive")
     if has_scheme(out_dir):
         warn_if_worker_reuse_disabled(df.sparkSession)
+    # driver-side capture: spark.hadoop.* must reach the worker gateway
+    # JVM through the task closure (it builds a fresh Configuration)
+    hadoop_conf = (
+        session_hadoop_overrides(df.sparkSession)
+        if has_scheme(out_dir) else {}
+    )
     suffixes = dict(member_cols)  # capture for the closure
     ext = ".tar.gz" if compress else ".tar"
     # USTAR caps member names ("{key}.{suffix}") at 100 bytes; tarfile
@@ -265,7 +272,7 @@ def write_tar_shards(
                         n_bytes += len(payload)
             if compress:
                 stream.close()
-        publish_file(scratch, path)
+        publish_file(scratch, path, hadoop_conf=hadoop_conf)
         return pd.DataFrame(
             [
                 {

@@ -961,6 +961,52 @@ class TestExecutorFsUnit:
         finally:
             executor_fs._REUSE_WARNED = old
 
+    def test_session_hadoop_overrides_capture(self, spark):
+        """spark.hadoop.* SparkConf entries are captured prefix-stripped
+        (the dict the writers ship into publish_file task closures)."""
+        from ayeaye_spark.sources.executor_fs import session_hadoop_overrides
+
+        got = session_hadoop_overrides(spark)
+        assert isinstance(got, dict)
+        # no spark.hadoop.* in the test session -> empty, never raises
+        assert all(not k.startswith("spark.hadoop.") for k in got)
+
+        class _Conf:
+            def getAll(self):
+                return [("spark.hadoop.fs.s3a.endpoint", "http://minio:9000"),
+                        ("spark.sql.shuffle.partitions", "32")]
+
+        class _Sc:
+            def getConf(self):
+                return _Conf()
+
+        class _Spark:
+            sparkContext = type("X", (), {"getConf": lambda s: _Conf()})()
+
+        assert session_hadoop_overrides(_Spark()) == {
+            "fs.s3a.endpoint": "http://minio:9000"
+        }
+
+    def test_hadoop_conf_reaches_gateway_configuration(self):
+        """hadoop_conf= entries land in the Configuration the gateway
+        JVM resolves filesystems with (the spark.hadoop.* ship path)."""
+        from ayeaye_spark.sources.executor_fs import _fs_and_path
+
+        fs, _ = _fs_and_path("file:///tmp/x", {"ayeaye.test.flag": "42"})
+        assert fs.getConf().get("ayeaye.test.flag") == "42"
+        # and a fresh Configuration without overrides does not leak it
+        fs2, _ = _fs_and_path("file:///tmp/x")
+        assert fs2.getConf().get("ayeaye.test.flag") is None
+
+    def test_pyds_hadoop_option_forwarding(self):
+        from ayeaye_spark.sources.pyds import _hadoop_options
+
+        got = _hadoop_options({"path": "/x/*.tar",
+                               "hadoop.fs.s3a.endpoint": "http://e:9000",
+                               "hadoop.fs.s3a.path.style.access": "true"})
+        assert got == {"fs.s3a.endpoint": "http://e:9000",
+                       "fs.s3a.path.style.access": "true"}
+
     def test_publish_local_move(self, tmp_path):
         from ayeaye_spark.sources.executor_fs import publish_file
 
