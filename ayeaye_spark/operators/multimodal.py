@@ -1635,6 +1635,33 @@ def fake_image_features(content: bytes, dim: int = 8) -> list[float]:
     return [round(c / total, 6) for c in counts]
 
 
+def real_image_features(content: bytes, grid: int = 8) -> list | None:
+    """REAL content-level image embedding, no codec or model library:
+    decode via the stdlib pixel kernels (:func:`_pixel_rgb`),
+    bilinear-resample the grayscale image to a ``grid x grid`` lattice
+    (:func:`_resize_array`), mean-center and L2-normalize the pixel
+    vector — the classic "tiny thumbnail" embedding whose cosine is a
+    cheap structural-similarity signal (cross-format by construction:
+    the same image saved as PNG vs BMP featurizes identically; a
+    re-encode or mild edit stays nearby, unlike byte histograms).
+    Returns ``None`` for undecodable bytes so callers can route them
+    to a codec-backed encoder.  Drop-in for
+    :func:`extract_features`' ``featurizer=``; swap in a real vision
+    encoder in production the same way."""
+    import numpy as np
+
+    arr = _pixel_rgb(content) if content else None
+    if arr is None:
+        return None
+    small = _resize_array(arr, grid, grid, "bilinear").astype(np.float64)
+    v = small.mean(axis=2).reshape(-1)
+    v -= v.mean()
+    norm = float(np.sqrt((v * v).sum()))
+    if norm == 0.0:  # flat image: no structure to compare
+        return [0.0] * (grid * grid)
+    return [float(x) for x in v / norm]
+
+
 def extract_features(
     df: DataFrame,
     *,
@@ -1643,7 +1670,13 @@ def extract_features(
     dim: int = 8,
     featurizer: Callable[[bytes], list] | None = None,
 ) -> DataFrame:
-    """binary → embedding column (array<double>), Arrow-batched."""
+    """binary → embedding column (array<double>), Arrow-batched.
+
+    Default featurizer is the byte-histogram stub
+    (:func:`fake_image_features` — exact-byte similarity only); pass
+    ``featurizer=real_image_features`` for the content-level
+    thumbnail embedding over the stdlib pixel decoders, or a
+    codec/model-backed callable in production."""
     fn = featurizer or (lambda b: fake_image_features(b, dim))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1,11 +1,13 @@
 """End-to-end multimodal pipeline: binary media → features → near-dups.
 
 Composes the multimodal plumbing with similarity search as one model:
-``binaryFile`` scan → (stubbed deterministic) feature extraction via
-Arrow-batched ``mapInPandas`` → pairwise cosine near-duplicate detection
-over the feature vectors → a manifest of media files to keep.  With a
-real decoder injected (PIL/ffmpeg), nothing else changes — the Spark
-plan is identical.
+``binaryFile`` scan → feature extraction via Arrow-batched
+``mapInPandas`` (byte-histogram stub here; pass
+``featurizer=multimodal.real_image_features`` for the real
+thumbnail-embedding over the stdlib pixel decoders, or a model-backed
+encoder in production — the Spark plan is identical either way) →
+pairwise cosine near-duplicate detection over the feature vectors → a
+manifest of media files to keep.
 """
 
 import os

@@ -1078,6 +1078,88 @@ class TestResizeImages:
             resize_images(df, width=0)
 
 
+class TestRealImageFeatures:
+    """Content-level thumbnail embedding over the stdlib decoders
+    (round 12): cross-format identical, edit-robust, None-routing."""
+
+    def test_cross_format_identical(self):
+        from ayeaye_spark.fixtures.media import media_fixture_files
+        from ayeaye_spark.operators.multimodal import real_image_features
+
+        blobs = media_fixture_files()
+        png = real_image_features(blobs["gradient.png"])
+        bmp = real_image_features(blobs["gradient.bmp"])
+        assert png is not None and png == bmp
+        assert len(png) == 64
+        # L2-normalized and mean-centered
+        assert abs(sum(x * x for x in png) - 1.0) < 1e-9
+        assert abs(sum(png)) < 1e-9
+
+    def test_edit_robust_structure_sensitive(self):
+        import numpy as np
+
+        from ayeaye_spark.fixtures.media import encode_bmp24, _gradient_px
+        from ayeaye_spark.operators.multimodal import real_image_features
+
+        base = _gradient_px()
+        edited = base.copy()
+        edited[0, 0] = [255, 255, 255]  # one-pixel edit
+        flipped = base[:, ::-1].copy()  # structurally different
+        f0 = np.array(real_image_features(encode_bmp24(base)))
+        f1 = np.array(real_image_features(encode_bmp24(edited)))
+        f2 = np.array(real_image_features(encode_bmp24(flipped)))
+        # one edited pixel on a 16x12 image still moves a thumbnail
+        # cell; the margin vs a structural change is what matters
+        assert float(f0 @ f1) > 0.85       # near-dup stays close
+        assert float(f0 @ f2) < 0.5        # flip moves far away
+
+    def test_undecodable_and_flat(self):
+        from ayeaye_spark.fixtures.media import (
+            encode_bmp24,
+            media_fixture_files,
+        )
+        from ayeaye_spark.operators.multimodal import real_image_features
+        import numpy as np
+
+        assert real_image_features(media_fixture_files()["tone.wav"]) is None
+        assert real_image_features(b"") is None
+        flat = encode_bmp24(np.full((12, 16, 3), 77, np.uint8))
+        assert real_image_features(flat) == [0.0] * 64
+
+    def test_extract_features_real_near_dup_end_to_end(self, spark):
+        """The media pipeline with the REAL featurizer: the PNG/BMP
+        renderings of the same image pair up as embedding near-dups."""
+        from ayeaye_spark.fixtures.media import ensure_media_fixture
+        from ayeaye_spark.operators.multimodal import (
+            extract_features,
+            real_image_features,
+        )
+        from ayeaye_spark.operators.similarity import embedding_near_dup_pairs
+        from pyspark.sql import functions as F
+
+        files = spark.read.format("binaryFile").load(ensure_media_fixture())
+        feats = extract_features(
+            files, featurizer=real_image_features
+        ).where(F.col("features").isNotNull()).withColumn(
+            "media_id", F.xxhash64("path")
+        )
+        assert feats.count() == 5  # wav routed out
+        pairs = embedding_near_dup_pairs(
+            feats, id_col="media_id", vec_col="features",
+            threshold=0.999, exact=True,
+        )
+        names = {
+            tuple(sorted((a.rsplit("/", 1)[-1], b.rsplit("/", 1)[-1])))
+            for a, b in feats.alias("x").join(
+                pairs, F.col("x.media_id") == pairs.media_id_a
+            ).join(
+                feats.alias("y"),
+                pairs.media_id_b == F.col("y.media_id"),
+            ).select(F.col("x.path"), F.col("y.path")).collect()
+        }
+        assert names == {("gradient.bmp", "gradient.png")}
+
+
 class TestMediaParserProperties:
     def test_png_roundtrip_random_dims(self):
         import struct
