@@ -473,10 +473,11 @@ def _png_pixel_array(b: bytes):
     PNG's DEFLATE needs no external codec; only the per-scanline
     filters have to be undone by hand): ``(px, w, h, channels)`` with
     ``px`` a ``(h, w*channels)`` uint8 array, or ``None`` for non-PNG
-    or unsupported variants.  Supported since round 11: 8-bit AND
+    or unsupported variants.  Supported since round 11 (gray+alpha
+    since round 12 — ALL FIVE spec color types): 8-bit AND
     16-bit depths (16-bit samples downconvert to their high byte, the
-    standard 8-bit rendering), grayscale / RGB / RGBA / paletted
-    color-type-3 via PLTE expansion, and BOTH non-interlaced and Adam7
+    standard 8-bit rendering), grayscale / gray+alpha / RGB / RGBA /
+    paletted color-type-3 via PLTE expansion, and BOTH non-interlaced and Adam7
     interlaced layouts (each of the seven passes is an independently
     filtered sub-image, unfiltered then scattered to its lattice), plus
     sub-8-bit depths (1/2/4-bit grayscale and paletted — samples are
@@ -509,8 +510,8 @@ def _png_pixel_array(b: bytes):
         ">IIBBBBB", ihdr[:13]
     )
     # color type 3 (paletted) decodes as 1 index byte/px then expands
-    # through PLTE to RGB after unfiltering
-    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype)
+    # through PLTE to RGB after unfiltering; type 4 is gray+alpha
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if depth not in (1, 2, 4, 8, 16) or channels is None or comp or filt:
         return None
     if interlace not in (0, 1):
@@ -592,8 +593,9 @@ def _png_pixel_array(b: bytes):
 
 
 def decode_png_pixels(b: bytes) -> dict | None:
-    """REAL pixel decode for PNG at every spec depth (1/2/4/8/16-bit,
-    gray/RGB/RGBA/paletted, plain or Adam7-interlaced), no codec
+    """REAL pixel decode for PNG at every spec depth AND color type
+    (1/2/4/8/16-bit; gray/gray+alpha/RGB/RGBA/paletted; plain or
+    Adam7-interlaced), no codec
     library (:func:`_png_pixel_array`): header metadata plus a true
     ``mean_intensity`` over all channel bytes."""
     got = _png_pixel_array(b)
@@ -1366,6 +1368,8 @@ def _pixel_gray(b: bytes):
     png = _png_pixel_array(b)
     if png is not None:
         px, w, h, ch = png
+        if ch == 2:  # gray+alpha: luminance is channel 0, never alpha
+            return px.reshape(h, w, 2)[:, :, 0].astype(float), w, h
         return px.reshape(h, w, ch)[:, :, : min(ch, 3)].mean(axis=2), w, h
     gif = _gif_pixel_array(b)
     if gif is not None:

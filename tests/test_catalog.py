@@ -177,8 +177,15 @@ class TestCorrectnessWindow:
             # docs_remove_repeated_spans rotated to the oracle gate in
             # round 11 (driver-green in CORRECTNESS_r10); the repeated-
             # span PROFILE keeps the family in-window
-            "substring_surgery": {"docs_repeated_spans"},
+            # substring_surgery GRADUATED in round 12: both members
+            # driver-green (docs_remove_repeated_spans r10,
+            # docs_repeated_spans r11); the family stays value-exact in
+            # the oracle gate every round
             "interval_analytics": {"events_peak_concurrency_daily"},
+            # round-12 family: oracle-backed media decode over the
+            # committed binary fixture (binaryFile -> real pixel decode
+            # -> integer mean + dHash dup grouping)
+            "multimodal": {"media_decode_report"},
             # ann_topk_lsh rotated to the oracle gate in round 7,
             # ann_topk_ivf in round 9 session 2; SQ8 + the Matryoshka
             # prefix-dimension path carry the family in-window
@@ -187,24 +194,19 @@ class TestCorrectnessWindow:
             "salted_agg": {"events_salted_type_counts"},
             "quality_rules": {"docs_gopher_filter"},
             "semantic_dedup": {"dedup_semantic_survivors"},
-            # round-6 families; docs_source_lang_pagerank rotated to
-            # the oracle gate in round 10 session 2 — the crawl-derived
-            # docs_domain_pagerank runs the same pagerank_exact on a
-            # directed link graph and replaces it as the representative
-            "iterative_graph": {"docs_domain_pagerank"},
+            # iterative_graph GRADUATED in round 12:
+            # docs_domain_pagerank's DISTRIBUTED per-iteration loop was
+            # certified by the r11 driver record (small_graph_edges=0);
+            # docs_source_lang_pagerank graduated r10 s2
             # round-7 families
             "bm25_retrieval": {"docs_bm25_topk"},
-            # round-10 family: web-corpus curation.  The r10 trio
-            # (docs_url_dedup / docs_encoding_artifacts /
-            # docs_html_extract) graduated driver-green; the r11
-            # rotation puts the REST of the family plus the committed-
-            # archive end-to-end acceptance entry under the hard check
-            "web_corpus": {
-                "docs_url_canonicalize",
-                "docs_robots_compliance",
-                "docs_crawl_delta",
-                "warc_crawl_curation",
-            },
+            # round-10 family: web-corpus curation.  The whole r11
+            # rotation cohort (url_canonicalize/robots/crawl_delta/...)
+            # graduated driver-green in CORRECTNESS_r11; the committed-
+            # archive END-TO-END acceptance entry carries the family
+            # in-window (it exercises parse -> robots -> extract ->
+            # dedup in one record)
+            "web_corpus": {"warc_crawl_curation"},
         }
         for family, members in families.items():
             assert members <= window, f"{family}: {members - window} outside window"

@@ -5483,7 +5483,7 @@ class TestPngDeepAndInterlaced:
         import zlib
 
         h, w, ch = px16.shape
-        ctype = {1: 0, 3: 2, 4: 6}[ch]
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
         raw = bytearray()
         for r in range(h):
             raw.append(0)
@@ -5548,6 +5548,42 @@ class TestPngDeepAndInterlaced:
         d = decode_png_pixels(self._png16(g16))
         assert d["channels"] == 1
         assert d["mean_intensity"] == float((g16 >> 8).mean())
+
+    def test_gray_alpha_decodes(self):
+        """Color type 4 (gray+alpha, round 12 — the last PNG color
+        type): 8-bit and 16-bit roundtrips; luminance for dHash/resize
+        comes from channel 0, never alpha."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import (
+            _pixel_gray,
+            _png_pixel_array,
+        )
+
+        rng = np.random.RandomState(21)
+        ga = rng.randint(0, 256, size=(9, 11, 2), dtype=np.uint8)
+        raw = b"".join(b"\x00" + ga[r].tobytes() for r in range(9))
+        ihdr = struct.pack(">IIBBBBB", 11, 9, 8, 4, 0, 0, 0)
+        b = (b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr)
+             + self._chunk(b"IDAT", zlib.compress(raw))
+             + self._chunk(b"IEND", b""))
+        got = _png_pixel_array(b)
+        assert got is not None
+        out, w, h, ch = got
+        assert (w, h, ch) == (11, 9, 2)
+        assert (out.reshape(9, 11, 2) == ga).all()
+        gray, gw, gh = _pixel_gray(b)
+        assert (gw, gh) == (11, 9)
+        assert (gray == ga[:, :, 0].astype(float)).all()
+        # 16-bit gray+alpha downconverts to the high bytes
+        ga16 = rng.randint(0, 65536, size=(4, 6, 2)).astype(np.uint16)
+        got16 = _png_pixel_array(self._png16(ga16))
+        assert got16 is not None
+        out16 = got16[0].reshape(4, 6, 2)
+        assert (out16 == (ga16 >> 8).astype(np.uint8)).all()
 
     def test_adam7_roundtrip_odd_dims_and_filters(self):
         import numpy as np
