@@ -310,14 +310,64 @@ def _bmp_rle8(data: bytes, w: int, rows: int):
     return out  # missing end-of-bitmap: accept what framed correctly
 
 
+def _bmp_rle4(data: bytes, w: int, rows: int):
+    """Decode a BI_RLE4 pixel stream into a ``(rows, w)`` uint8 index
+    array in STORED (bottom-up) row order.  Encoded runs alternate the
+    byte's high/low nibble; absolute runs pack two nibbles per byte
+    and pad to a word boundary.  Same escape handling and hostile-
+    framing contract as :func:`_bmp_rle8`."""
+    import numpy as np
+
+    out = np.zeros((rows, w), dtype=np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run, alternating high/low nibble
+            if y >= rows or x + cnt > w:
+                return None
+            hi, lo = val >> 4, val & 0x0F
+            run = np.empty(cnt, dtype=np.uint8)
+            run[0::2] = hi
+            run[1::2] = lo
+            out[y, x:x + cnt] = run
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta: skipped cells stay 0 per spec
+            if i + 1 >= n:
+                return None
+            x, y = x + data[i], y + data[i + 1]
+            i += 2
+            if x > w or y > rows:
+                return None
+        else:  # absolute run of `val` nibbles, byte stream word-padded
+            nbytes = (val + 1) // 2
+            pad = nbytes & 1
+            if i + nbytes + pad > n or y >= rows or x + val > w:
+                return None
+            packed = np.frombuffer(data[i:i + nbytes], dtype=np.uint8)
+            nibs = np.empty(nbytes * 2, dtype=np.uint8)
+            nibs[0::2] = packed >> 4
+            nibs[1::2] = packed & 0x0F
+            out[y, x:x + val] = nibs[:val]
+            x += val
+            i += nbytes + pad
+    return out  # missing end-of-bitmap: accept what framed correctly
+
+
 def _bmp_pixel_rows(b: bytes):
     """Shared BMP pixel reader: ``(px, w, rows)`` with ``px`` a
     ``(rows, w*3)`` uint8 array (BGR byte order as stored, row padding
     stripped, rows returned TOP-DOWN — positive-height bitmaps are
     stored bottom-up and get flipped, so hashes/stats agree with the
     same image in any other format).  Supports uncompressed 24-bit,
-    uncompressed 8-bit paletted, and BI_RLE8-compressed 8-bit paletted
-    bitmaps (round 11); ``None`` for anything else."""
+    32-bit BGRA, 16-bit RGB555/565, 8-bit paletted (plain + BI_RLE8,
+    round 11) and 4-bit paletted (packed nibbles + BI_RLE4, round 12)
+    bitmaps; ``None`` for anything else."""
     if len(b) < 54 or b[:2] != b"BM":
         return None
     import struct
@@ -408,6 +458,36 @@ def _bmp_pixel_rows(b: bytes):
             if h < 0:
                 return None  # RLE bitmaps are bottom-up only (spec)
             idx = _bmp_rle8(b[data_off:], w, rows)
+            if idx is None:
+                return None
+        if int(idx.max()) >= n_pal:
+            return None
+        px = pal[idx.reshape(-1)].reshape(rows, w * 3)
+    elif bpp == 4 and compression in (0, 2):
+        # 4-bit paletted: packed nibbles (BI_RGB) or BI_RLE4 (round 12)
+        clr_used = struct.unpack("<I", b[46:50])[0] if len(b) >= 50 else 0
+        n_pal = clr_used or 16
+        pal_off = 14 + hdr_size
+        pal_raw = b[pal_off:pal_off + 4 * n_pal]
+        if len(pal_raw) < 4 * n_pal:
+            return None
+        pal = np.frombuffer(pal_raw, dtype=np.uint8).reshape(-1, 4)[:, :3]
+        if compression == 0:
+            stride = ((((w + 1) // 2) + 3) // 4) * 4
+            need = data_off + stride * rows
+            if len(b) < need:
+                return None
+            packed = np.frombuffer(
+                b[data_off:need], dtype=np.uint8
+            ).reshape(rows, stride)
+            nibs = np.empty((rows, stride * 2), dtype=np.uint8)
+            nibs[:, 0::2] = packed >> 4
+            nibs[:, 1::2] = packed & 0x0F
+            idx = nibs[:, :w]
+        else:
+            if h < 0:
+                return None  # RLE bitmaps are bottom-up only (spec)
+            idx = _bmp_rle4(b[data_off:], w, rows)
             if idx is None:
                 return None
         if int(idx.max()) >= n_pal:
@@ -1389,8 +1469,8 @@ def _pixel_gray(b: bytes):
 
 def decode_bmp_pixels(b: bytes) -> dict | None:
     """REAL pixel decode for BMP, no codec library: uncompressed
-    24-bit, 32-bit BGRA, 16-bit RGB555/565, uncompressed 8-bit
-    paletted, and RLE8-compressed 8-bit paletted bitmaps
+    24-bit, 32-bit BGRA, 16-bit RGB555/565, 8-bit paletted (plain +
+    BI_RLE8), and 4-bit paletted (packed nibbles + BI_RLE4) bitmaps
     (``_bmp_pixel_rows``), rows orientation-corrected.
     Returns the header metadata plus a true ``mean_intensity`` (0..255
     over all channel bytes); ``None`` for other depths/compressions."""

@@ -5313,6 +5313,128 @@ class TestBmpPalettedAndRle8:
         # palette index out of range
         assert _bmp_pixel_rows(bmp_with(bytes([2, 3, 0, 1]))) is None
 
+    @staticmethod
+    def _bmp4(idx, palette, rle=False):
+        """(h, w) uint8 index array (values < 16) + (n, 3) BGR palette
+        -> real 4-bit BMP: packed nibbles (BI_RGB) or BI_RLE4 encoded
+        runs (pairs as count-2 runs with alternating nibbles)."""
+        import struct
+
+        h, w = idx.shape
+        pal = b"".join(bytes([b_, g, r, 0]) for b_, g, r in palette)
+        if not rle:
+            stride = ((((w + 1) // 2) + 3) // 4) * 4
+            body = bytearray()
+            for r in reversed(range(h)):  # bottom-up
+                row = bytearray()
+                for x in range(0, w, 2):
+                    hi = int(idx[r, x]) << 4
+                    lo = int(idx[r, x + 1]) if x + 1 < w else 0
+                    row.append(hi | lo)
+                row += b"\0" * (stride - len(row))
+                body += row
+            comp = 0
+        else:
+            body = bytearray()
+            for r in reversed(range(h)):
+                for x in range(0, w, 2):
+                    if x + 1 < w:
+                        body += bytes([2, (int(idx[r, x]) << 4)
+                                       | int(idx[r, x + 1])])
+                    else:
+                        body += bytes([1, int(idx[r, x]) << 4])
+                body += bytes([0, 0])  # end of line
+            body += bytes([0, 1])  # end of bitmap
+            comp = 2
+        data_off = 54 + len(pal)
+        hdr = (b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0,
+                                   data_off)
+               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 4, comp,
+                             len(body), 0, 0, len(palette), 0))
+        return hdr + pal + bytes(body)
+
+    def test_4bit_packed_roundtrip(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _bmp_pixel_rows
+
+        rng = np.random.RandomState(17)
+        idx = rng.randint(0, 16, size=(6, 9), dtype=np.uint8)  # odd width
+        palette = [(i * 16, 255 - i * 16, i * 8) for i in range(16)]
+        got = _bmp_pixel_rows(self._bmp4(idx, palette))
+        assert got is not None
+        px, w, rows = got
+        assert (w, rows) == (9, 6)
+        want = np.array(palette, dtype=np.uint8)[idx.reshape(-1)]
+        assert (px.reshape(6, 9, 3) == want.reshape(6, 9, 3)).all()
+
+    def test_rle4_matches_packed(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _bmp_pixel_rows
+
+        rng = np.random.RandomState(19)
+        for w in (8, 9):  # even and odd widths
+            idx = rng.randint(0, 12, size=(5, w), dtype=np.uint8)
+            palette = [(i * 20 % 256, i * 7 % 256, i * 13 % 256)
+                       for i in range(12)]
+            plain = _bmp_pixel_rows(self._bmp4(idx, palette))
+            rle = _bmp_pixel_rows(self._bmp4(idx, palette, rle=True))
+            assert plain is not None and rle is not None
+            assert (plain[0] == rle[0]).all() and plain[1:] == rle[1:]
+
+    def test_rle4_absolute_and_delta_escapes(self):
+        import struct
+
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _bmp_pixel_rows
+
+        # absolute run of 5 nibbles [1,2,3,1,2] (3 bytes + 1 pad),
+        # then delta +1/+1, then encoded run 4 x palette 2
+        body = bytes([0, 5, 0x12, 0x31, 0x20, 0x00,
+                      0, 2, 1, 1,
+                      4, 0x22,
+                      0, 0, 0, 1])
+        pal = bytes([0, 0, 0, 0, 10, 20, 30, 0, 40, 50, 60, 0,
+                     70, 80, 90, 0])
+        data_off = 54 + len(pal)
+        hdr = (b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0,
+                                   data_off)
+               + struct.pack("<IiiHHIIiiII", 40, 10, 2, 1, 4, 2,
+                             len(body), 0, 0, 4, 0))
+        got = _bmp_pixel_rows(hdr + pal + body)
+        assert got is not None
+        px, w, rows = got
+        arr = px.reshape(2, 10, 3)
+        bottom, top = arr[1], arr[0]  # stored bottom-up, returned flipped
+        want_pal = np.array([(0, 0, 0), (10, 20, 30), (40, 50, 60),
+                             (70, 80, 90)], dtype=np.uint8)
+        assert (bottom[:5] == want_pal[[1, 2, 3, 1, 2]]).all()
+        assert (bottom[5] == want_pal[0]).all()  # delta skip stays 0
+        assert (top[6:10] == want_pal[2]).all()  # run after +1/+1 delta
+
+    def test_hostile_rle4_returns_none(self):
+        import struct
+
+        from ayeaye_spark.operators.multimodal import _bmp_pixel_rows
+
+        pal = bytes(4 * 3)
+        data_off = 54 + len(pal)
+
+        def bmp_with(body):
+            hdr = (b"BM"
+                   + struct.pack("<IHHI", data_off + len(body), 0, 0,
+                                 data_off)
+                   + struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 4, 2,
+                                 len(body), 0, 0, 3, 0))
+            return hdr + pal + body
+
+        assert _bmp_pixel_rows(bmp_with(bytes([200, 0x11, 0, 1]))) is None
+        assert _bmp_pixel_rows(bmp_with(bytes([0, 50, 0x12, 0x30]))) is None
+        # palette index out of range (3-entry palette, nibble 0xF)
+        assert _bmp_pixel_rows(bmp_with(bytes([2, 0xFF, 0, 1]))) is None
+
     def test_os2_core_header_stays_header_only(self):
         """BITMAPCOREHEADER (hdr_size=12) stores 16-bit width/height and
         3-byte RGBTRIPLE palette entries — every BITMAPINFOHEADER offset
