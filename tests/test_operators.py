@@ -4456,6 +4456,74 @@ class TestVideoNearDup:
         assert ("a", "b") in got and got[("a", "b")] >= 5 / 7
         assert not any("c" in p or "junk" in p for p in got)
 
+    def test_avi_demux_pixel_roundtrip(self):
+        """REAL RIFF/AVI container (round 12): write_avi -> frame
+        re-wrap as BMP -> pixel equality with the source arrays."""
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        frames = [rng.randint(0, 256, size=(10, 14, 3), dtype=np.uint8)
+                  for _ in range(3)]
+        avi = multimodal.write_avi(frames, fps=5)
+        bmps = multimodal.split_avi_frames(avi)
+        assert len(bmps) == 3
+        for fr, bmp in zip(frames, bmps):
+            assert (multimodal._pixel_rgb(bmp) == fr).all()
+
+    def test_avi_header_metadata(self):
+        import numpy as np
+
+        avi = multimodal.write_avi(
+            [np.zeros((8, 12, 3), np.uint8)] * 4, fps=8
+        )
+        meta = multimodal.parse_avi_header(avi)
+        assert meta == {"format": "avi", "width": 12, "height": 8,
+                        "duration_ms": 500}
+        # header_decode routes AVI; RIFF-WAV still parses as wav
+        assert multimodal.header_decode(avi)["format"] == "avi"
+        import struct
+
+        wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16)
+               + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+               + b"data" + struct.pack("<I", 0))
+        assert multimodal.parse_avi_header(wav) is None
+        assert multimodal.header_decode(wav)["format"] == "wav"
+
+    def test_avi_signatures_match_bmp_container(self, spark):
+        """Cross-container parity: the same frames hash identically
+        whether demuxed from a real AVI or the concatenated-BMP
+        stand-in — the splitter is the only moving part."""
+        import numpy as np
+
+        bmp_frames = [self._frame(i) for i in range(4)]
+        rgb = [multimodal._pixel_rgb(f) for f in bmp_frames]
+        avi = multimodal.write_avi(rgb, fps=10)
+        df = spark.createDataFrame(
+            [("clip.avi", bytearray(avi)),
+             ("noise", bytearray(b"JJ"))],
+            "path string, content binary",
+        )
+        got = {r["path"]: r["frame_hashes"] for r in
+               multimodal.video_frame_signatures(
+                   df, splitter=multimodal.split_avi_frames).collect()}
+        want = [multimodal.dhash64(f) for f in bmp_frames]
+        assert got["clip.avi"] == want
+        assert got["noise"] is None
+
+    def test_avi_hostile_bytes(self):
+        import numpy as np
+
+        avi = multimodal.write_avi(
+            [np.zeros((8, 12, 3), np.uint8)] * 2, fps=4
+        )
+        assert multimodal.split_avi_frames(b"RIFFxxxx") == []
+        assert multimodal.split_avi_frames(b"not a container") == []
+        assert multimodal.parse_avi_header(b"") is None
+        # truncation mid-movi: parses what framed correctly, no raise
+        cut = multimodal.split_avi_frames(avi[:len(avi) * 2 // 3])
+        assert isinstance(cut, list) and len(cut) <= 2
+
     def test_set_jaccard_matches_bruteforce(self, spark):
         """Generic core on integer sets: exact vs python brute force."""
         import random
