@@ -212,6 +212,12 @@ HEADLINE = {
         "parse window is bounded by file size (a robots.txt is ~100 lines), "
         "never corpus cardinality."
     ),
+    "media_decode_report": (
+        "one file per task (binaryFile), Arrow-batched mapInPandas pixel "
+        "decode (integer-exact kernel), one window over the 64-bit dHash "
+        "key for dup grouping — the identical plan at 10^9 images; no "
+        "driver funnel, no per-row Python UDF."
+    ),
     "warc_crawl_curation": (
         "archives parse one-per-task (binaryFile), the robots gate joins "
         "pages to per-host rules on the host key (rules bounded by file "
