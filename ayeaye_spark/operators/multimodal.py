@@ -1627,9 +1627,64 @@ def parse_avi_header(b: bytes) -> dict | None:
     }
 
 
+def parse_mp4_header(b: bytes) -> dict | None:
+    """MP4/ISO-BMFF metadata (REAL box walk, stdlib struct): duration
+    from ``mvhd`` (timescale-normalized to ms, both box versions) and
+    presentation width/height from the video track's ``tkhd`` (16.16
+    fixed point).  Frame decode stays codec territory (H.264/H.265) —
+    this is the metadata/reconnaissance pass a curation pipeline runs
+    before routing to a codec-backed worker pool."""
+    import struct
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    meta: dict = {"format": "mp4", "width": None, "height": None,
+                  "duration_ms": None}
+
+    def walk(data: bytes, depth: int = 0):
+        pos = 0
+        while pos + 8 <= len(data) and depth < 8:
+            (size,) = struct.unpack(">I", data[pos:pos + 4])
+            typ = data[pos + 4:pos + 8]
+            head = 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > len(data):
+                    return
+                (size,) = struct.unpack(">Q", data[pos + 8:pos + 16])
+                head = 16
+            elif size == 0:  # box extends to end of enclosing container
+                size = len(data) - pos
+            if size < head or pos + size > len(data):
+                return  # malformed/truncated: keep what parsed
+            body = data[pos + head:pos + size]
+            if typ in (b"moov", b"trak"):
+                walk(body, depth + 1)
+            elif typ == b"mvhd" and len(body) >= 4:
+                ver = body[0]
+                if ver == 1 and len(body) >= 28 + 4:
+                    ts, dur = struct.unpack(">IQ", body[20:32])
+                elif ver == 0 and len(body) >= 20:
+                    ts, dur = struct.unpack(">II", body[12:20])
+                else:
+                    ts = dur = 0
+                if ts:
+                    meta["duration_ms"] = dur * 1000 // ts
+            elif typ == b"tkhd" and len(body) >= 8:
+                # width/height are the LAST two 16.16 fields of the box
+                w16, h16 = struct.unpack(">II", body[-8:])
+                w, h = w16 >> 16, h16 >> 16
+                if w and h:  # audio tracks carry 0x0
+                    meta["width"], meta["height"] = w, h
+            pos += size
+
+    walk(b)
+    return meta
+
+
 _HEADER_PARSERS = (
     parse_png_header, parse_jpeg_header, parse_gif_header,
     parse_bmp_header, parse_wav_header, parse_avi_header,
+    parse_mp4_header,
 )
 
 _META_KEYS = ("format", "width", "height", "channels", "sample_rate",

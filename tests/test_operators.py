@@ -4524,6 +4524,38 @@ class TestVideoNearDup:
         cut = multimodal.split_avi_frames(avi[:len(avi) * 2 // 3])
         assert isinstance(cut, list) and len(cut) <= 2
 
+    def test_mp4_header_metadata(self):
+        """ISO-BMFF box walk: mvhd duration (both versions) + video
+        tkhd 16.16 width/height; audio-only tkhd (0x0) skipped."""
+        import struct
+
+        def box(typ, payload):
+            return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+        def tkhd(w, h, ver=0):
+            # v0 tkhd: ver/flags + 76 bytes of fields, width/height last
+            body = bytes([ver, 0, 0, 0]) + b"\x00" * 68 \
+                + struct.pack(">II", w << 16, h << 16)
+            return box(b"tkhd", body)
+
+        mvhd_v0 = box(b"mvhd", bytes(4) + bytes(8)
+                      + struct.pack(">II", 1000, 7500) + bytes(80))
+        mvhd_v1 = box(b"mvhd", bytes([1, 0, 0, 0]) + bytes(16)
+                      + struct.pack(">IQ", 600, 1800) + bytes(80))
+        audio_trak = box(b"trak", tkhd(0, 0))
+        video_trak = box(b"trak", tkhd(640, 360))
+        ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        mp4 = ftyp + box(b"moov", mvhd_v0 + audio_trak + video_trak)
+        got = multimodal.parse_mp4_header(mp4)
+        assert got == {"format": "mp4", "width": 640, "height": 360,
+                       "duration_ms": 7500}
+        mp4v1 = ftyp + box(b"moov", mvhd_v1 + video_trak)
+        assert multimodal.parse_mp4_header(mp4v1)["duration_ms"] == 3000
+        # header_decode routes it; hostile/truncated bytes never raise
+        assert multimodal.header_decode(mp4)["format"] == "mp4"
+        assert multimodal.parse_mp4_header(b"\x00\x00\x00\x08free") is None
+        assert multimodal.parse_mp4_header(mp4[:30])["width"] is None
+
     def test_set_jaccard_matches_bruteforce(self, spark):
         """Generic core on integer sets: exact vs python brute force."""
         import random
