@@ -10530,9 +10530,11 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     dHash) → exact integer mean (ppm) and perceptual-hash dup grouping.
     The fixture carries the SAME image rendered as PNG and 24-bit BMP —
     the cross-format near-dup pair collapses to one ``dup_group`` — a
-    16-bit grayscale PNG, a paletted GIF and BMP, and a PCM WAV that
-    degrades to header metadata with null pixel stats (the
-    filter-then-route contract).  Independent of ``sf_dir`` by design —
+    16-bit grayscale PNG, a paletted GIF and BMP, plus a PCM WAV and a
+    real RIFF/AVI clip that degrade to header/container metadata with
+    null pixel stats (the filter-then-route contract; the AVI's
+    width/height come from the round-12 ``parse_avi_header`` RIFF
+    walk).  Independent of ``sf_dir`` by design —
     the committed files are the input, as in production media ingest.
 
     Scale shape: one file per task (``binaryFile``), Arrow-batched

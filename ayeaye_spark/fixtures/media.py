@@ -1,10 +1,11 @@
 """Committed deterministic media fixture (catalog entry
 ``media_decode_report``).
 
-Six small files under ``fixtures/media/`` — two renderings of the SAME
-image (PNG + 24-bit BMP, a cross-format near-dup pair), a 16-bit
-grayscale PNG, a global-color-table GIF, an 8-bit paletted BMP, and a
-PCM WAV — pin the whole media-decode path end to end: ``binaryFile``
+Seven small files under ``fixtures/media/`` — two renderings of the
+SAME image (PNG + 24-bit BMP, a cross-format near-dup pair), a 16-bit
+grayscale PNG, a global-color-table GIF, an 8-bit paletted BMP, a PCM
+WAV, and a real RIFF/AVI clip (uncompressed DIB frames) — pin the
+whole media-decode path end to end: ``binaryFile``
 scan → :func:`operators.multimodal.decode_images` with the
 integer-exact :func:`operators.multimodal.exact_decode` kernel →
 mean / perceptual-hash / dup-group rollup.
@@ -206,10 +207,18 @@ def _bmp8_idx_palette():
 
 def media_fixture_files() -> dict[str, bytes]:
     """name -> deterministic bytes, the committed fixture contents."""
+    import numpy as np
+
+    from ..operators.multimodal import write_avi
+
     grad = _gradient_px()
     gidx, gpal = _gif_idx_palette()
     bidx, bpal = _bmp8_idx_palette()
     tone = [8000 if (i // 10) % 2 == 0 else -8000 for i in range(120)]
+    # three-frame clip: the gradient shifted per frame (real RIFF/AVI,
+    # uncompressed DIB stream — exercises the round-12 demuxer's
+    # metadata path through the oracle record)
+    clip = write_avi([np.roll(grad, k, axis=1) for k in range(3)], fps=5)
     return {
         "gradient.png": encode_png_rgb(grad),
         "gradient.bmp": encode_bmp24(grad),
@@ -217,6 +226,7 @@ def media_fixture_files() -> dict[str, bytes]:
         "palette.gif": encode_gif(gidx, gpal),
         "blocks8.bmp": encode_bmp8(bidx, bpal),
         "tone.wav": encode_wav_pcm16(tone),
+        "clip.avi": clip,
     }
 
 
@@ -243,6 +253,8 @@ def ensure_media_fixture() -> str:
 MEDIA_EXPECTED: list[tuple] = [
     ('blocks8.bmp', 'bmp', 14, 11, 3,
      61895, 462, 4095621213176290372),
+    ('clip.avi', 'avi', 16, 12, None,
+     None, None, None),
     ('deep16.png', 'png', 14, 10, 1,
      12940, 140, 59710262540434945),
     ('gradient.bmp', 'bmp', 16, 12, 3,

@@ -431,7 +431,7 @@ def test_tensor_export_pipeline(spark, resolver, tmp_path):
     import json
 
     doc = json.load(open(tmp_path / "media_tensor_manifest.json"))
-    assert doc["n_tensors"] == 5 and doc["n_skipped"] == 1
+    assert doc["n_tensors"] == 5 and doc["n_skipped"] == 2
     assert doc["tensor_bytes"] == 32 * 32 * 3
     members = {
         (r["key"], r["suffix"]): bytes(r["content"])

@@ -940,7 +940,7 @@ class TestMediaFixture:
 
         rows = {r["file"]: r for r in QUERIES["media_decode_report"](
             spark, "/root/testdata/sf0.001").collect()}
-        assert len(rows) == 6
+        assert len(rows) == 7
         # the pair collapses to one dup_group; everything else is alone
         assert (rows["gradient.png"]["dup_group"]
                 == rows["gradient.bmp"]["dup_group"] == "gradient.bmp")
@@ -949,6 +949,11 @@ class TestMediaFixture:
         wav = rows["tone.wav"]
         assert wav["format"] == "wav" and wav["mean_ppm"] is None
         assert wav["dhash"] is None and wav["dup_group"] == "tone.wav"
+        # the AVI contributes container metadata (real RIFF walk)
+        avi = rows["clip.avi"]
+        assert avi["format"] == "avi"
+        assert (avi["width"], avi["height"]) == (16, 12)
+        assert avi["mean_ppm"] is None and avi["dup_group"] == "clip.avi"
         # integer-exact mean: 71360 * 1e6 DIV 576
         assert rows["gradient.png"]["mean_ppm"] == 71360 * 1000000 // 576
 
@@ -1050,7 +1055,7 @@ class TestResizeImages:
         files = spark.read.format("binaryFile").load(ensure_media_fixture())
         rows = {r["path"].rsplit("/", 1)[-1]: r
                 for r in resize_images(files, width=16, height=16).collect()}
-        assert len(rows) == 6
+        assert len(rows) == 7
         for name in ("gradient.png", "gradient.bmp", "palette.gif",
                      "blocks8.bmp", "deep16.png"):
             px = rows[name]["pixels"]
@@ -1058,8 +1063,10 @@ class TestResizeImages:
         # cross-format pair resizes to identical tensors
         assert bytes(rows["gradient.png"]["pixels"]) == bytes(
             rows["gradient.bmp"]["pixels"])
-        # undecodable (audio) rides the batch with null pixels
+        # undecodable rows (audio, video container) ride the batch
+        # with null pixels — route to split_avi_frames / codec workers
         assert rows["tone.wav"]["pixels"] is None
+        assert rows["clip.avi"]["pixels"] is None
         # consumer-side tensor layout contract
         arr = np.frombuffer(bytes(rows["palette.gif"]["pixels"]),
                             np.uint8).reshape(16, 16, 3)
