@@ -1564,18 +1564,24 @@ def remove_repeated_spans(
     pos = base.select("_id", F.posexplode("_grams").alias("_p0", "_sh")).select(
         "_id", (F.col("_p0") + 1).alias("_pos"), "_sh"
     )
-    dup = (
+    # ONE window-hash aggregate carries both signals — the duplicate
+    # gate (distinct-doc count) AND the canonical occurrence (the
+    # (doc, pos)-lexicographic min over ALL of the hash's occurrences,
+    # identical to computing it over the qualifying subset) — so the
+    # plan pays one _sh shuffle + one join instead of two of each
+    spans = (
         pos.groupBy("_sh")
-        .agg(F.count_distinct("_id").alias("_nd"))
+        .agg(
+            F.count_distinct("_id").alias("_nd"),
+            F.min(
+                F.struct(F.col("_id").alias("i"), F.col("_pos").alias("p"))
+            ).alias("_c"),
+        )
         .where(F.col("_nd") >= min_docs)
-        .select("_sh")
-    )
-    hits = pos.join(dup, on="_sh")
-    canon = hits.groupBy("_sh").agg(
-        F.min(F.struct(F.col("_id").alias("i"), F.col("_pos").alias("p"))).alias("_c")
+        .select("_sh", "_c")
     )
     removable = (
-        hits.join(canon, on="_sh")
+        pos.join(spans, on="_sh")
         .where(~((F.col("_id") == F.col("_c.i")) & (F.col("_pos") == F.col("_c.p"))))
         .select("_id", "_pos")
     )
