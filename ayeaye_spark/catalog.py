@@ -10567,6 +10567,165 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.withColumn("dup_group", F.min("file").over(grp))
 
 
+def _media_audio_oracle() -> str:
+    """DuckDB replay of the audio-quality report from the pinned
+    integer stats (``MEDIA_AUDIO_EXPECTED`` — byte-equality +
+    decode-equality pytest-pinned to the committed WAVs); the ppm
+    ratios and the verdict CASE are recomputed independently."""
+    from .fixtures.media import MEDIA_AUDIO_EXPECTED
+
+    values = ",\n      ".join(
+        "(" + ", ".join(
+            _sql_str(v) if isinstance(v, str) else str(v) for v in row
+        ) + ")" for row in MEDIA_AUDIO_EXPECTED
+    )
+    return f"""
+    WITH stats AS (
+      SELECT file, codec, CAST(sample_rate AS INTEGER) AS sample_rate,
+             CAST(n_samples AS BIGINT) AS n_samples,
+             CAST(peak_abs AS INTEGER) AS peak_abs,
+             CAST(sum_sq AS BIGINT) AS sum_sq,
+             CAST(n_silence AS BIGINT) AS n_silence,
+             CAST(n_clipped AS BIGINT) AS n_clipped,
+             CAST(n_zero_cross AS BIGINT) AS n_zero_cross
+      FROM (VALUES {values})
+        AS t(file, codec, channels, sample_rate, n_samples, peak_abs,
+             sum_sq, n_silence, n_clipped, n_zero_cross)
+    )
+    SELECT file, codec, sample_rate, n_samples, peak_abs,
+           sum_sq // n_samples AS mean_sq,
+           n_silence * 1000000 // n_samples AS silence_ppm,
+           n_clipped * 1000000 // n_samples AS clipping_ppm,
+           n_zero_cross * 10000 // n_samples AS zcr_per_10k,
+           CASE
+             WHEN n_clipped * 1000000 // n_samples > 5000
+               THEN 'clipped'
+             WHEN n_silence * 1000000 // n_samples > 500000
+               THEN 'mostly_silent'
+             ELSE 'ok'
+           END AS verdict
+    FROM stats
+    """
+
+
+@query("media_audio_quality", oracle=_media_audio_oracle())
+def media_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-curation quality gate over the COMMITTED WAV fixtures:
+    ``binaryFile`` scan → :func:`multimodal.exact_audio_stats` (REAL
+    PCM decode — 8/16-bit and the exact G.711 A-law / mu-law
+    expansions — into pure-integer stats) → silence / clipping /
+    zero-crossing ppm ratios and the keep-or-drop verdict a speech-data
+    pipeline filters on.  Every derived column is integer arithmetic
+    (``DIV``), so both engines agree bit-exactly; the oracle replays
+    the per-file decode from pytest-pinned VALUES and recomputes the
+    ratios + verdict independently.  Independent of ``sf_dir`` by
+    design — the committed files are the input.
+
+    Scale shape: one file per task (``binaryFile``), Arrow-batched
+    ``mapInPandas`` decode, then a narrow projection — no shuffle at
+    all; the same plan at 10^8 clips."""
+    from .fixtures.media import ensure_media_fixture
+    from .operators.multimodal import (
+        EXACT_AUDIO_SCHEMA,
+        decode_audio,
+        exact_audio_stats,
+    )
+
+    files = spark.read.format("binaryFile").load(ensure_media_fixture())
+    stats = decode_audio(
+        files, decoder=exact_audio_stats, batch_schema=EXACT_AUDIO_SCHEMA
+    ).where(F.col("codec").isNotNull())
+    return stats.select(
+        F.element_at(F.split("path", "/"), -1).alias("file"),
+        "codec", "sample_rate", "n_samples", "peak_abs",
+        F.expr("sum_sq DIV n_samples").alias("mean_sq"),
+        F.expr("n_silence * 1000000L DIV n_samples").alias("silence_ppm"),
+        F.expr("n_clipped * 1000000L DIV n_samples").alias("clipping_ppm"),
+        F.expr("n_zero_cross * 10000L DIV n_samples").alias("zcr_per_10k"),
+        F.expr(
+            "CASE WHEN n_clipped * 1000000L DIV n_samples > 5000 "
+            "THEN 'clipped' "
+            "WHEN n_silence * 1000000L DIV n_samples > 500000 "
+            "THEN 'mostly_silent' ELSE 'ok' END"
+        ).alias("verdict"),
+    )
+
+
+def _media_scene_oracle() -> str:
+    """DuckDB replay of scene-cut detection from the pinned per-frame
+    dHashes (``MEDIA_VIDEO_EXPECTED``); the lag / xor / bit_count /
+    threshold logic is recomputed independently."""
+    from .fixtures.media import MEDIA_VIDEO_EXPECTED
+
+    values = ",\n      ".join(
+        f"({_sql_str(f)}, {i}, {h})" for f, i, h in MEDIA_VIDEO_EXPECTED
+    )
+    return f"""
+    WITH sig AS (
+      SELECT file, CAST(frame_idx AS INTEGER) AS frame_idx,
+             CAST(dhash AS BIGINT) AS dhash
+      FROM (VALUES {values}) AS t(file, frame_idx, dhash)
+    ),
+    lagged AS (
+      SELECT file, frame_idx, dhash,
+             LAG(dhash) OVER (PARTITION BY file ORDER BY frame_idx)
+             AS prev
+      FROM sig
+    )
+    SELECT file, frame_idx,
+           CAST(bit_count(xor(dhash, prev)) AS INTEGER) AS hamming,
+           bit_count(xor(dhash, prev)) >= 16 AS is_cut
+    FROM lagged WHERE prev IS NOT NULL
+    """
+
+
+@query("media_scene_cuts", oracle=_media_scene_oracle())
+def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the COMMITTED RIFF/AVI clips:
+    ``binaryFile`` scan → :func:`multimodal.video_frame_signatures`
+    with the REAL demuxer (``split_avi_frames``: RIFF walk, DIB frame
+    re-wrap) and per-frame 64-bit dHash → per-clip lag window →
+    hamming distance between consecutive frame hashes → cut where it
+    crosses the threshold (16 of 64 bits).  The frame-sampling /
+    shot-boundary primitive of a video training-data pipeline.  The
+    oracle replays the per-frame hashes from pytest-pinned VALUES and
+    recomputes the window + hamming + threshold independently.
+    Independent of ``sf_dir`` by design.
+
+    Scale shape: one clip per task (``binaryFile``), Arrow-batched
+    ``mapInPandas`` demux+hash, then a window partitioned BY CLIP over
+    per-clip frame counts (bounded state — never a global sort); the
+    same plan at 10^7 clips."""
+    from pyspark.sql import Window as W
+
+    from .fixtures.media import ensure_media_fixture
+    from .operators.multimodal import split_avi_frames, video_frame_signatures
+
+    files = spark.read.format("binaryFile").load(ensure_media_fixture())
+    sig = video_frame_signatures(files, splitter=split_avi_frames).where(
+        F.col("frame_hashes").isNotNull()
+    )
+    fr = sig.select(
+        F.element_at(F.split("path", "/"), -1).alias("file"),
+        F.posexplode("frame_hashes").alias("frame_idx", "dhash"),
+    )
+    w = W.partitionBy("file").orderBy("frame_idx")
+    return (
+        fr.withColumn("prev", F.lag("dhash").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "file",
+            "frame_idx",
+            F.bit_count(F.col("dhash").bitwiseXOR(F.col("prev")))
+            .cast("int")
+            .alias("hamming"),
+            (
+                F.bit_count(F.col("dhash").bitwiseXOR(F.col("prev"))) >= 16
+            ).alias("is_cut"),
+        )
+    )
+
+
 def _robots_delay_fixture_sql(d: str) -> str:
     """robots.txt with Crawl-delay directives (source % 3): integer
     delay, fractional delay, and none (default applies); one group
@@ -10676,6 +10835,11 @@ _WINDOW_ORDER: tuple[str, ...] = (
     # integer mean + dHash dup grouping (the multimodal family's first
     # oracle-backed driver record)
     "media_decode_report",
+    # r12-in (late-round additions): integer-exact audio-quality gate
+    # (real PCM/G.711 decode) and frame-signature scene-cut detection
+    # (real RIFF demux) over the same committed fixture
+    "media_audio_quality",
+    "media_scene_cuts",
     # end-to-end crawl-ingest acceptance (kept: the repo's flagship
     # composite; re-certifies the r12 WARC robustness fixes)
     "warc_crawl_curation",
@@ -10723,9 +10887,6 @@ _WINDOW_ORDER: tuple[str, ...] = (
     # r12-in: end-to-end curation composites never driver-sampled
     "pipeline_clean_corpus",
     "dedup_quality_survivors",
-    # r10-in keepers: cross-store ppm reconciliation + code-switch
-    "docs_embedding_coverage",
-    "docs_code_switch",
     # deduplication family
     "dedup_exact",
     "dedup_minhash_lsh_pairs",

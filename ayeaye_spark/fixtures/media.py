@@ -1,14 +1,18 @@
-"""Committed deterministic media fixture (catalog entry
-``media_decode_report``).
+"""Committed deterministic media fixture (catalog entries
+``media_decode_report``, ``media_audio_quality``, ``media_scene_cuts``).
 
-Seven small files under ``fixtures/media/`` — two renderings of the
+Eleven small files under ``fixtures/media/`` — two renderings of the
 SAME image (PNG + 24-bit BMP, a cross-format near-dup pair), a 16-bit
-grayscale PNG, a global-color-table GIF, an 8-bit paletted BMP, a PCM
-WAV, and a real RIFF/AVI clip (uncompressed DIB frames) — pin the
-whole media-decode path end to end: ``binaryFile``
+grayscale PNG, a global-color-table GIF, an 8-bit paletted BMP, four
+WAVs (PCM tone / silence-heavy / hard-clipped / G.711 mu-law chirp),
+and two real RIFF/AVI clips (uncompressed DIB frames; ``scenes.avi``
+carries two hard scene changes) — pin the whole media-decode path end
+to end: ``binaryFile``
 scan → :func:`operators.multimodal.decode_images` with the
 integer-exact :func:`operators.multimodal.exact_decode` kernel →
-mean / perceptual-hash / dup-group rollup.
+mean / perceptual-hash / dup-group rollup, plus the integer-exact
+audio-quality (:func:`operators.multimodal.exact_audio_stats`) and
+frame-signature scene-cut paths.
 
 Every encoder below is byte-deterministic (fixed zlib level, fixed
 header layout, literal-code LZW), so the committed files, a fresh
@@ -154,6 +158,32 @@ def encode_wav_pcm16(samples, rate: int = 8000) -> bytes:
             + b"data" + struct.pack("<I", len(body)) + body)
 
 
+def _mulaw_byte(v: int) -> int:
+    """Classic G.711 mu-law compress of one int16 sample (bias 0x84,
+    clip 32635, invert) — the inverse direction of
+    ``operators.multimodal._mulaw_expand``; deterministic, so the
+    committed fixture bytes are reproducible."""
+    sign = 0x80 if v < 0 else 0
+    v = min(abs(v), 32635) + 0x84
+    exp, mask = 7, 0x4000
+    while exp > 0 and not (v & mask):
+        exp -= 1
+        mask >>= 1
+    mant = (v >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def encode_wav_mulaw(samples, rate: int = 8000) -> bytes:
+    """iterable of int16 -> mono G.711 mu-law WAV (afmt 7, 8-bit) —
+    exercises the telephony-codec expansion branch of the exact audio
+    kernel end to end."""
+    body = bytes(_mulaw_byte(int(s)) for s in samples)
+    fmt = struct.pack("<HHIIHH", 7, 1, rate, rate, 1, 8)
+    return (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+
+
 # ------------------------------------------------------------ fixture data
 
 
@@ -219,6 +249,26 @@ def media_fixture_files() -> dict[str, bytes]:
     # uncompressed DIB stream — exercises the round-12 demuxer's
     # metadata path through the oracle record)
     clip = write_avi([np.roll(grad, k, axis=1) for k in range(3)], fps=5)
+    # audio-quality trio (catalog entry media_audio_quality): a
+    # silence-heavy clip, a hard-clipped clip, and a mu-law-coded chirp
+    # (integer chirp — no float trig, byte-deterministic everywhere)
+    quiet = ([3000 if i % 2 == 0 else -3000 for i in range(40)]
+             + [0] * 80
+             + [200 if i % 2 == 0 else -200 for i in range(30)])
+    clipped = ([32767 if i % 2 == 0 else -32767 for i in range(80)]
+               + [12000 if i % 2 == 0 else -12000 for i in range(40)])
+    chirp = [((i * i * 37) % 16000) - 8000 for i in range(160)]
+    # five-frame clip with two hard scene changes (catalog entry
+    # media_scene_cuts): gradient -> LSB-jittered gradient (same scene,
+    # pixel bytes differ but the dHash field is stable), checkerboard
+    # x2 (static scene), vertical stripes
+    checker = np.where(
+        (np.indices((12, 16)).sum(axis=0) % 2 == 0)[..., None], 230, 25
+    ).astype(np.uint8).repeat(3, axis=2).reshape(12, 16, 3)
+    diag = np.fromfunction(
+        lambda r, c, k: (r * 23 + c * 91) % 256, (12, 16, 3)
+    ).astype(np.uint8)
+    scenes = write_avi([grad, grad ^ 1, checker, checker, diag], fps=5)
     return {
         "gradient.png": encode_png_rgb(grad),
         "gradient.bmp": encode_bmp24(grad),
@@ -227,6 +277,10 @@ def media_fixture_files() -> dict[str, bytes]:
         "blocks8.bmp": encode_bmp8(bidx, bpal),
         "tone.wav": encode_wav_pcm16(tone),
         "clip.avi": clip,
+        "quiet.wav": encode_wav_pcm16(quiet),
+        "clipped.wav": encode_wav_pcm16(clipped),
+        "chirp_mulaw.wav": encode_wav_mulaw(chirp),
+        "scenes.avi": scenes,
     }
 
 
@@ -253,7 +307,11 @@ def ensure_media_fixture() -> str:
 MEDIA_EXPECTED: list[tuple] = [
     ('blocks8.bmp', 'bmp', 14, 11, 3,
      61895, 462, 4095621213176290372),
+    ('chirp_mulaw.wav', 'wav', None, None, 1,
+     None, None, None),
     ('clip.avi', 'avi', 16, 12, None,
+     None, None, None),
+    ('clipped.wav', 'wav', None, None, 1,
      None, None, None),
     ('deep16.png', 'png', 14, 10, 1,
      12940, 140, 59710262540434945),
@@ -263,6 +321,41 @@ MEDIA_EXPECTED: list[tuple] = [
      71360, 576, 2604529512685581718),
     ('palette.gif', 'gif', 13, 10, 3,
      41605, 390, 290508776329610764),
+    ('quiet.wav', 'wav', None, None, 1,
+     None, None, None),
+    ('scenes.avi', 'avi', 16, 12, None,
+     None, None, None),
     ('tone.wav', 'wav', None, None, 1,
      None, None, None),
+]
+
+# Pinned expected integer audio stats of each WAV under
+# ``operators.multimodal.exact_audio_stats`` — same pin-and-replay
+# contract as MEDIA_EXPECTED (catalog entry ``media_audio_quality``).
+# (file, codec, channels, sample_rate, n_samples, peak_abs, sum_sq,
+# n_silence, n_clipped, n_zero_cross)
+MEDIA_AUDIO_EXPECTED: list[tuple] = [
+    ('chirp_mulaw.wav', 'mulaw', 1, 8000, 160,
+     7932, 3748322560, 9, 0, 92),
+    ('clipped.wav', 'pcm16', 1, 8000, 120,
+     32767, 91654103120, 0, 80, 119),
+    ('quiet.wav', 'pcm16', 1, 8000, 150,
+     3000, 361200000, 110, 0, 69),
+    ('tone.wav', 'pcm16', 1, 8000, 120,
+     8000, 7680000000, 0, 0, 11),
+]
+
+# Pinned per-frame dHashes of each AVI under the real RIFF demux
+# (``split_avi_frames`` + ``dhash64``) — catalog entry
+# ``media_scene_cuts`` replays these as VALUES and both engines compute
+# the lag/hamming cut detection independently.  (file, frame_idx, dhash)
+MEDIA_VIDEO_EXPECTED: list[tuple] = [
+    ('clip.avi', 0, 2604529512685581718),
+    ('clip.avi', 1, -7739802194356825430),
+    ('clip.avi', 2, -7310799712006534445),
+    ('scenes.avi', 0, 2604529512685581718),
+    ('scenes.avi', 1, 2604529512685581718),
+    ('scenes.avi', 2, -8070441733738985472),
+    ('scenes.avi', 3, -8070441733738985472),
+    ('scenes.avi', 4, 4777590422590821090),
 ]

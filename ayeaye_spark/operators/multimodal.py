@@ -193,10 +193,15 @@ def decode_wav_samples(b: bytes) -> dict | None:
     }
 
 
-def _wav_pcm(b: bytes):
-    """Shared PCM reader: ``(x, nch, rate, byte_rate, data_len)`` with
-    ``x`` the normalized [-1, 1] float64 sample stream (channels still
-    interleaved), or ``None`` for non-WAV / compressed encodings."""
+def _wav_pcm_int(b: bytes):
+    """Shared INTEGER PCM reader: ``(s, codec, nch, rate, byte_rate,
+    data_len)`` with ``s`` the int64 sample stream in the int16 domain
+    (channels still interleaved): PCM16 verbatim, PCM8 as
+    ``(u - 128) << 8``, G.711 A-law / mu-law via the exact segment
+    expansions (integer-valued by construction).  ``None`` for non-WAV
+    or other compressed encodings.  Integer-exact, so oracle-backed
+    audio stats can be pinned as SQL literals (the float path in
+    :func:`_wav_pcm` divides these same samples by 32768)."""
     if len(b) < 36 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     import struct
@@ -221,17 +226,33 @@ def _wav_pcm(b: bytes):
         return None
     afmt, nch, rate, byte_rate, bps = fmt
     if afmt == 1 and bps == 16:
-        x = np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.float64)
-        x /= 32768.0
+        s = np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.int64)
+        codec = "pcm16"
     elif afmt == 1 and bps == 8:
-        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        s = (np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128) << 8
+        codec = "pcm8"
     elif afmt == 6 and bps == 8:  # G.711 A-law (telephony speech)
-        x = _alaw_expand(np.frombuffer(data, dtype=np.uint8)) / 32768.0
+        s = _alaw_expand(np.frombuffer(data, dtype=np.uint8)).astype(np.int64)
+        codec = "alaw"
     elif afmt == 7 and bps == 8:  # G.711 mu-law
-        x = _mulaw_expand(np.frombuffer(data, dtype=np.uint8)) / 32768.0
+        s = _mulaw_expand(np.frombuffer(data, dtype=np.uint8)).astype(np.int64)
+        codec = "mulaw"
     else:  # other compressed encodings
         return None
-    return x, nch, rate, byte_rate, len(data)
+    return s, codec, nch, rate, byte_rate, len(data)
+
+
+def _wav_pcm(b: bytes):
+    """Shared PCM reader: ``(x, nch, rate, byte_rate, data_len)`` with
+    ``x`` the normalized [-1, 1] float64 sample stream (channels still
+    interleaved), or ``None`` for non-WAV / compressed encodings."""
+    got = _wav_pcm_int(b)
+    if got is None:
+        return None
+    import numpy as np
+
+    s, _codec, nch, rate, byte_rate, data_len = got
+    return s.astype(np.float64) / 32768.0, nch, rate, byte_rate, data_len
 
 
 def _mulaw_expand(u):
@@ -1781,6 +1802,56 @@ def decode_audio(
             yield out[cols]
 
     return df.mapInPandas(run, schema=batch_schema)
+
+
+# int16-domain quality thresholds: silence = |s| <= 1% of full scale,
+# clipping = |s| >= 99% of full scale.  Integer constants so the stats
+# are exactly replayable as SQL literals by an oracle.
+SILENCE_ABS = 327
+CLIP_ABS = 32440
+
+EXACT_AUDIO_SCHEMA = (
+    "path string, codec string, channels int, sample_rate int, "
+    "n_samples long, peak_abs int, sum_sq long, n_silence long, "
+    "n_clipped long, n_zero_cross long"
+)
+
+
+def exact_audio_stats(content: bytes) -> dict | None:
+    """Integer-exact audio quality stats for oracle-backed media
+    reports: REAL PCM decode (:func:`_wav_pcm_int` — PCM8/16 and the
+    exact G.711 A-law / mu-law expansions) into the int16 domain, then
+    pure-integer statistics a DuckDB oracle can replay as VALUES
+    literals — ``n_samples`` / ``peak_abs`` / ``sum_sq`` (energy) /
+    ``n_silence`` (``|s| <= SILENCE_ABS``) / ``n_clipped``
+    (``|s| >= CLIP_ABS``) / ``n_zero_cross`` (sign changes between
+    consecutive nonzero channel-0 samples).  Derive the float-ish
+    ratios DOWNSTREAM in both engines (``n_silence * 1e6 DIV
+    n_samples`` etc.), exactly like :func:`exact_decode` defers the
+    pixel mean.  ``None`` fields for non-WAV / unsupported codec bytes
+    (the filter-then-route contract).  Drop-in for
+    :func:`decode_audio`' ``decoder=`` with ``EXACT_AUDIO_SCHEMA``."""
+    import numpy as np
+
+    got = _wav_pcm_int(content or b"")
+    if got is None:
+        return None
+    s, codec, nch, rate, _byte_rate, _data_len = got
+    a = np.abs(s)
+    ch0 = s[:: max(nch, 1)]
+    nz = ch0[ch0 != 0]
+    return {
+        "codec": codec,
+        "channels": int(nch),
+        "sample_rate": int(rate),
+        "n_samples": int(s.size),
+        "peak_abs": int(a.max()) if s.size else 0,
+        "sum_sq": int((s * s).sum()),
+        "n_silence": int((a <= SILENCE_ABS).sum()),
+        "n_clipped": int((a >= CLIP_ABS).sum()),
+        # xor of int64s is negative iff the signs differ
+        "n_zero_cross": int(((nz[1:] ^ nz[:-1]) < 0).sum()) if nz.size > 1 else 0,
+    }
 
 
 def fake_image_features(content: bytes, dim: int = 8) -> list[float]:

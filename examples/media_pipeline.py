@@ -147,6 +147,95 @@ class TensorExportPipeline(Model):
         )
 
 
+class AudioVideoCuration(Model):
+    """Audio/video end of the media pipeline: WAVs through the
+    integer-exact quality gate (REAL PCM / G.711 decode →
+    silence/clipping ppm → keep-or-drop verdict) and AVI clips through
+    the scene-cut detector (REAL RIFF demux → per-frame dHash →
+    hamming cuts → the keyframe plan a frame-sampling stage fetches:
+    frame 0 plus the first frame after every cut).  The speech/video
+    counterpart of the image dedup models above — same committed
+    fixture kernels as catalog entries ``media_audio_quality`` and
+    ``media_scene_cuts``."""
+
+    curation_manifest = Connect(
+        engine_url="json://{output_path}/media_av_manifest.json;indent=2",
+        access=AccessMode.WRITE,
+    )
+
+    media_dir: str = "{media_path}"
+    cut_bits = 16
+
+    def build(self):
+        from pyspark.sql import Window as W
+
+        from ayeaye_spark import connector_resolver
+        from ayeaye_spark.operators.multimodal import (
+            EXACT_AUDIO_SCHEMA,
+            decode_audio,
+            exact_audio_stats,
+            split_avi_frames,
+            video_frame_signatures,
+        )
+
+        media_path = connector_resolver.resolve(self.media_dir)
+        media = read_binary_dir(self.spark, media_path, "media")
+
+        audio = decode_audio(
+            media, decoder=exact_audio_stats, batch_schema=EXACT_AUDIO_SCHEMA
+        ).where(F.col("codec").isNotNull())
+        verdicts = audio.select(
+            F.element_at(F.split("path", "/"), -1).alias("file"),
+            F.expr(
+                "CASE WHEN n_clipped * 1000000L DIV n_samples > 5000 "
+                "THEN 'clipped' "
+                "WHEN n_silence * 1000000L DIV n_samples > 500000 "
+                "THEN 'mostly_silent' ELSE 'ok' END"
+            ).alias("verdict"),
+        )
+        kept_audio = sorted(
+            r["file"] for r in verdicts.where("verdict = 'ok'").collect()
+        )
+        dropped_audio = {
+            r["file"]: r["verdict"]
+            for r in verdicts.where("verdict <> 'ok'").collect()
+        }
+
+        sig = video_frame_signatures(media, splitter=split_avi_frames).where(
+            F.col("frame_hashes").isNotNull()
+        )
+        fr = sig.select(
+            F.element_at(F.split("path", "/"), -1).alias("file"),
+            F.posexplode("frame_hashes").alias("frame_idx", "dhash"),
+        )
+        w = W.partitionBy("file").orderBy("frame_idx")
+        keyframes = (
+            fr.withColumn("prev", F.lag("dhash").over(w))
+            .where(
+                F.col("prev").isNull()  # frame 0 always anchors a scene
+                | (
+                    F.bit_count(F.col("dhash").bitwiseXOR(F.col("prev")))
+                    >= self.cut_bits
+                )
+            )
+            .groupBy("file")
+            .agg(F.sort_array(F.collect_list("frame_idx")).alias("frames"))
+        )
+        keyframe_plan = {
+            r["file"]: r["frames"] for r in keyframes.collect()
+        }
+
+        self.curation_manifest.data = {
+            "kept_audio": kept_audio,
+            "dropped_audio": dropped_audio,
+            "keyframe_plan": keyframe_plan,
+        }
+        self.log(
+            f"audio kept {len(kept_audio)}, dropped {len(dropped_audio)}; "
+            f"keyframes for {len(keyframe_plan)} clips"
+        )
+
+
 if __name__ == "__main__":
     from ayeaye_spark import connector_resolver
 
@@ -155,3 +244,4 @@ if __name__ == "__main__":
         MediaDedupPipeline().go()
         PerceptualMediaDedup().go()
         TensorExportPipeline().go()
+        AudioVideoCuration().go()

@@ -415,8 +415,9 @@ def test_perceptual_media_dedup(spark, resolver, tmp_path):
 
 def test_tensor_export_pipeline(spark, resolver, tmp_path):
     """Resize stage end to end: the committed media fixture exports 5
-    fixed-shape RGB tensors (the WAV routes out as undecodable), and
-    the cross-format PNG/BMP pair yields byte-identical tensors."""
+    fixed-shape RGB tensors (the four WAVs and two AVIs route out as
+    not-an-image), and the cross-format PNG/BMP pair yields
+    byte-identical tensors."""
     from ayeaye_spark.fixtures.media import ensure_media_fixture
     from ayeaye_spark.sources.webdataset import read_tar_shards
     from examples.media_pipeline import TensorExportPipeline
@@ -431,7 +432,7 @@ def test_tensor_export_pipeline(spark, resolver, tmp_path):
     import json
 
     doc = json.load(open(tmp_path / "media_tensor_manifest.json"))
-    assert doc["n_tensors"] == 5 and doc["n_skipped"] == 2
+    assert doc["n_tensors"] == 5 and doc["n_skipped"] == 6
     assert doc["tensor_bytes"] == 32 * 32 * 3
     members = {
         (r["key"], r["suffix"]): bytes(r["content"])
@@ -443,6 +444,33 @@ def test_tensor_export_pipeline(spark, resolver, tmp_path):
     for (_, suffix), data in members.items():
         assert suffix == "rgb" and len(data) == 32 * 32 * 3
     assert members[("gradient.png", "rgb")] == members[("gradient.bmp", "rgb")]
+
+
+def test_audio_video_curation(spark, resolver, tmp_path):
+    """Audio gate + keyframe plan end to end over the committed media
+    fixture: the clipped and mostly-silent WAVs drop, the tone and
+    mu-law chirp keep; scenes.avi plans frame 0 plus the two hard
+    cuts, clip.avi (all-motion) plans every frame."""
+    from ayeaye_spark.fixtures.media import ensure_media_fixture
+    from examples.media_pipeline import AudioVideoCuration
+
+    with resolver.context(
+        media_path=ensure_media_fixture(), output_path=str(tmp_path)
+    ):
+        m = AudioVideoCuration()
+        m.log_to_stdout = False
+        assert m.go(spark)
+
+    import json
+
+    doc = json.load(open(tmp_path / "media_av_manifest.json"))
+    assert doc["kept_audio"] == ["chirp_mulaw.wav", "tone.wav"]
+    assert doc["dropped_audio"] == {
+        "clipped.wav": "clipped", "quiet.wav": "mostly_silent"
+    }
+    assert doc["keyframe_plan"] == {
+        "clip.avi": [0, 1, 2], "scenes.avi": [0, 2, 4]
+    }
 
 
 def test_tokenizer_report(spark, resolver, tmp_path):

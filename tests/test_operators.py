@@ -940,7 +940,7 @@ class TestMediaFixture:
 
         rows = {r["file"]: r for r in QUERIES["media_decode_report"](
             spark, "/root/testdata/sf0.001").collect()}
-        assert len(rows) == 7
+        assert len(rows) == 11
         # the pair collapses to one dup_group; everything else is alone
         assert (rows["gradient.png"]["dup_group"]
                 == rows["gradient.bmp"]["dup_group"] == "gradient.bmp")
@@ -980,6 +980,117 @@ class TestMediaFixture:
         ).collect()}
         assert got["gif"]["dhash"] == exact_decode(blobs["palette.gif"])["dhash"]
         assert got["wav"]["dhash"] is None
+
+
+class TestMediaAudioQuality:
+    """Pins for the integer-exact audio path (catalog entry
+    media_audio_quality): exact_audio_stats over the committed WAVs IS
+    the MEDIA_AUDIO_EXPECTED constants the oracle replays from."""
+
+    def test_exact_audio_stats_matches_pinned_constants(self):
+        from ayeaye_spark.fixtures.media import (
+            MEDIA_AUDIO_EXPECTED,
+            media_fixture_files,
+        )
+        from ayeaye_spark.operators.multimodal import exact_audio_stats
+
+        got = []
+        for name, blob in sorted(media_fixture_files().items()):
+            a = exact_audio_stats(blob)
+            if a is not None:
+                got.append((name, a["codec"], a["channels"],
+                            a["sample_rate"], a["n_samples"], a["peak_abs"],
+                            a["sum_sq"], a["n_silence"], a["n_clipped"],
+                            a["n_zero_cross"]))
+        assert got == [tuple(r) for r in MEDIA_AUDIO_EXPECTED]
+
+    def test_mulaw_roundtrip_error_bounded(self):
+        """encode_wav_mulaw → the exact-expansion decode reconstructs
+        every sample within the G.711 quantization bound (half the
+        largest segment step ≈ 2^5 on the 14-bit lattice → 256 in the
+        int16 domain, plus bias slack)."""
+        import numpy as np
+
+        from ayeaye_spark.fixtures.media import encode_wav_mulaw
+        from ayeaye_spark.operators.multimodal import _wav_pcm_int
+
+        x = np.array([0, 1, -1, 33, -33, 500, -500, 8191, -8191,
+                      20000, -20000, 32767, -32767], dtype=np.int64)
+        s, codec, nch, rate, _, _ = _wav_pcm_int(encode_wav_mulaw(x))
+        assert codec == "mulaw" and nch == 1 and rate == 8000
+        assert int(np.abs(s - np.clip(x, -32635, 32635)).max()) <= 1024
+
+    def test_threshold_semantics(self):
+        """Silence counts |s| <= 327, clipping counts |s| >= 32440,
+        zero crossings skip zero-valued samples."""
+        import numpy as np
+
+        from ayeaye_spark.fixtures.media import encode_wav_pcm16
+        from ayeaye_spark.operators.multimodal import exact_audio_stats
+
+        a = exact_audio_stats(encode_wav_pcm16(
+            [0, 327, -327, 328, 32439, -32440, 32767, 0, -5]))
+        assert a["n_silence"] == 5      # 0, 327, -327, 0, -5
+        assert a["n_clipped"] == 2      # -32440, 32767
+        # crossings between consecutive NONZERO samples:
+        # 327,-327 | -327,328 | 32439,-32440 | -32440,32767 | 32767,-5
+        assert a["n_zero_cross"] == 5
+        assert a["peak_abs"] == 32767
+        assert a["sum_sq"] == int((np.array(
+            [0, 327, -327, 328, 32439, -32440, 32767, 0, -5],
+            dtype=np.int64) ** 2).sum())
+
+    def test_media_audio_quality_golden(self, spark):
+        from ayeaye_spark.catalog import QUERIES
+
+        rows = {r["file"]: r for r in QUERIES["media_audio_quality"](
+            spark, "/root/testdata/sf0.001").collect()}
+        assert sorted(rows) == ["chirp_mulaw.wav", "clipped.wav",
+                                "quiet.wav", "tone.wav"]
+        assert rows["clipped.wav"]["verdict"] == "clipped"
+        assert rows["quiet.wav"]["verdict"] == "mostly_silent"
+        assert rows["tone.wav"]["verdict"] == "ok"
+        assert rows["chirp_mulaw.wav"]["codec"] == "mulaw"
+        # integer-exact ratio: 80 clipped of 120 samples
+        assert rows["clipped.wav"]["clipping_ppm"] == 80 * 1000000 // 120
+
+
+class TestMediaSceneCuts:
+    """Pins for the video scene-cut path (catalog entry
+    media_scene_cuts): real RIFF demux per-frame dHashes ARE the
+    MEDIA_VIDEO_EXPECTED constants; cut logic is lag + hamming."""
+
+    def test_frame_hashes_match_pinned_constants(self):
+        from ayeaye_spark.fixtures.media import (
+            MEDIA_VIDEO_EXPECTED,
+            media_fixture_files,
+        )
+        from ayeaye_spark.operators.multimodal import (
+            dhash64,
+            split_avi_frames,
+        )
+
+        got = []
+        for name, blob in sorted(media_fixture_files().items()):
+            for i, fr in enumerate(split_avi_frames(blob)):
+                got.append((name, i, dhash64(fr)))
+        assert got == [tuple(r) for r in MEDIA_VIDEO_EXPECTED]
+
+    def test_media_scene_cuts_golden(self, spark):
+        from ayeaye_spark.catalog import QUERIES
+
+        rows = QUERIES["media_scene_cuts"](
+            spark, "/root/testdata/sf0.001").collect()
+        got = {(r["file"], r["frame_idx"]): (r["hamming"], r["is_cut"])
+               for r in rows}
+        # scenes.avi: jittered gradient is the SAME scene (hamming 0),
+        # the two hard scene changes cross the 16-bit threshold
+        assert got[("scenes.avi", 1)] == (0, False)
+        assert got[("scenes.avi", 3)][1] is False
+        assert got[("scenes.avi", 2)][1] is True
+        assert got[("scenes.avi", 4)][1] is True
+        # the rolling-gradient clip is all-motion: every transition cuts
+        assert got[("clip.avi", 1)][1] and got[("clip.avi", 2)][1]
 
 
 class TestResizeImages:
@@ -1055,7 +1166,7 @@ class TestResizeImages:
         files = spark.read.format("binaryFile").load(ensure_media_fixture())
         rows = {r["path"].rsplit("/", 1)[-1]: r
                 for r in resize_images(files, width=16, height=16).collect()}
-        assert len(rows) == 7
+        assert len(rows) == 11
         for name in ("gradient.png", "gradient.bmp", "palette.gif",
                      "blocks8.bmp", "deep16.png"):
             px = rows[name]["pixels"]
