@@ -218,6 +218,18 @@ HEADLINE = {
         "key for dup grouping — the identical plan at 10^9 images; no "
         "driver funnel, no per-row Python UDF."
     ),
+    "media_audio_quality": (
+        "one file per task (binaryFile), Arrow-batched mapInPandas integer "
+        "PCM decode, then a narrow all-integer projection — NO shuffle at "
+        "all; at 10^8 clips the cost is one decode pass, embarrassingly "
+        "parallel."
+    ),
+    "media_scene_cuts": (
+        "one clip per task (binaryFile), Arrow-batched demux+hash, then a "
+        "window partitioned BY CLIP (per-clip frame counts bound the state "
+        "— never a global sort); hamming is two JVM bit ops in the "
+        "projection."
+    ),
     "warc_crawl_curation": (
         "archives parse one-per-task (binaryFile), the robots gate joins "
         "pages to per-host rules on the host key (rules bounded by file "
