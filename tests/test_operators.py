@@ -1040,6 +1040,76 @@ class TestMediaAudioQuality:
             [0, 327, -327, 328, 32439, -32440, 32767, 0, -5],
             dtype=np.int64) ** 2).sum())
 
+    def test_hostile_bytes_never_raise(self):
+        """Truncations, flipped bytes, and garbage return None (or
+        degraded stats) — never an exception into the executor task."""
+        import random
+
+        from ayeaye_spark.fixtures.media import media_fixture_files
+        from ayeaye_spark.operators.multimodal import exact_audio_stats
+
+        wav = media_fixture_files()["tone.wav"]
+        rng = random.Random(7)
+        for _ in range(200):
+            b = bytearray(wav)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            exact_audio_stats(bytes(b[: rng.randint(0, len(b))]))
+        for blob in (b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE",
+                     bytes(rng.randrange(256) for _ in range(512))):
+            exact_audio_stats(blob)
+
+    def test_stereo_channel_semantics(self):
+        """n_samples counts the interleaved total; zero crossings run
+        over channel 0 only (interleaving must not fabricate
+        crossings)."""
+        import struct
+
+        from ayeaye_spark.operators.multimodal import exact_audio_stats
+
+        # L channel: +100, -100, +100, -100 (3 crossings)
+        # R channel: +5000 constant (0 crossings; would fake 7 if
+        # crossings were computed over the interleaved stream)
+        frames = [(100, 5000), (-100, 5000), (100, 5000), (-100, 5000)]
+        body = b"".join(struct.pack("<hh", l, r) for l, r in frames)
+        fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+        wav = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16) + fmt
+               + b"data" + struct.pack("<I", len(body)) + body)
+        a = exact_audio_stats(wav)
+        assert a["channels"] == 2 and a["n_samples"] == 8
+        assert a["n_zero_cross"] == 3
+        assert a["n_silence"] == 4  # the four |100| samples
+
+    def test_stats_match_numpy_reference(self):
+        """Property: for random PCM16 streams the kernel's integer
+        stats equal a direct numpy computation."""
+        import random
+
+        import numpy as np
+
+        from ayeaye_spark.fixtures.media import encode_wav_pcm16
+        from ayeaye_spark.operators.multimodal import (
+            CLIP_ABS,
+            SILENCE_ABS,
+            exact_audio_stats,
+        )
+
+        rng = random.Random(11)
+        for _ in range(20):
+            xs = [rng.randint(-32768, 32767) for _ in range(rng.randint(1, 400))]
+            a = exact_audio_stats(encode_wav_pcm16(xs))
+            arr = np.array(xs, dtype=np.int64)
+            nz = arr[arr != 0]
+            assert a["n_samples"] == len(xs)
+            assert a["peak_abs"] == int(np.abs(arr).max())
+            assert a["sum_sq"] == int((arr * arr).sum())
+            assert a["n_silence"] == int((np.abs(arr) <= SILENCE_ABS).sum())
+            assert a["n_clipped"] == int((np.abs(arr) >= CLIP_ABS).sum())
+            expect_zc = int(np.sum(np.sign(nz[1:]) != np.sign(nz[:-1]))) \
+                if nz.size > 1 else 0
+            assert a["n_zero_cross"] == expect_zc
+
     def test_media_audio_quality_golden(self, spark):
         from ayeaye_spark.catalog import QUERIES
 
