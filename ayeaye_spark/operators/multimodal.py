@@ -1854,6 +1854,77 @@ def exact_audio_stats(content: bytes) -> dict | None:
     }
 
 
+def _resample_linear_int(s, src_rate: int, dst_rate: int):
+    """Integer-exact linear resample of an int64 sample vector: output
+    index ``n`` samples source position ``n * src/dst`` (rational kept
+    in integers — ``q + f/dst``), linear interpolation rounded as
+    ``(a*(dst-f) + b*f + dst//2) // dst``.  Bit-deterministic on every
+    platform (no float positions), duration-preserving
+    (``n_out = n_in * dst // src``), edge-clamped."""
+    import numpy as np
+
+    if src_rate == dst_rate or s.size == 0:
+        return s.copy()
+    n_out = int(s.size) * dst_rate // src_rate
+    pos = np.arange(n_out, dtype=np.int64) * src_rate
+    q, f = pos // dst_rate, pos % dst_rate
+    q1 = np.minimum(q + 1, s.size - 1)
+    num = s[q] * (dst_rate - f) + s[q1] * f
+    return (num + dst_rate // 2) // dst_rate
+
+
+PREPROCESSED_AUDIO_SCHEMA = (
+    "path string, codec string, sample_rate int, n_samples long, pcm binary"
+)
+
+
+def preprocess_audio(
+    df: DataFrame,
+    *,
+    target_rate: int = 16000,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """The speech-pipeline normalization stage (audio analog of
+    :func:`resize_images`): REAL decode (PCM8/16, G.711 A-law/mu-law)
+    → mono mix-down (integer mean across channels) → integer-exact
+    linear resample to ``target_rate`` → little-endian int16 PCM
+    buffer, the fixed format a training loader or feature extractor
+    consumes.  Non-audio rows come back with null ``pcm`` (the
+    filter-then-route contract); swap a codec-backed decoder in
+    production by pre-decoding to WAV bytes.  Arrow-batched
+    ``mapInPandas``; one file per task, no shuffle."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, b in zip(pdf[path_col], pdf[content_col]):
+                got = _wav_pcm_int(b or b"")
+                if got is None:
+                    rows.append({"path": p, "codec": None,
+                                 "sample_rate": None, "n_samples": None,
+                                 "pcm": None})
+                    continue
+                s, codec, nch, rate, _, _ = got
+                if nch > 1:
+                    frames = s[: (s.size // nch) * nch].reshape(-1, nch)
+                    s = frames.sum(axis=1) // nch
+                out = _resample_linear_int(s, rate, target_rate)
+                rows.append({
+                    "path": p, "codec": codec, "sample_rate": target_rate,
+                    "n_samples": int(out.size),
+                    "pcm": np.clip(out, -32768, 32767)
+                    .astype("<i2").tobytes(),
+                })
+            yield pd.DataFrame(
+                rows, columns=["path", "codec", "sample_rate",
+                               "n_samples", "pcm"], dtype=object,
+            )
+
+    return df.mapInPandas(run, schema=PREPROCESSED_AUDIO_SCHEMA)
+
+
 def fake_image_features(content: bytes, dim: int = 8) -> list[float]:
     """Deterministic FAKE feature vector (byte histogram over ``dim``
     buckets, L1-normalized).  STUB for a real vision encoder."""

@@ -1125,6 +1125,90 @@ class TestMediaAudioQuality:
         assert rows["clipped.wav"]["clipping_ppm"] == 80 * 1000000 // 120
 
 
+class TestPreprocessAudio:
+    """Integer-exact mono mix + linear resample (the speech-pipeline
+    normalization stage; audio analog of resize_images)."""
+
+    def test_identity_same_rate(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _resample_linear_int
+
+        s = np.array([5, -3, 100, 0, -32768], dtype=np.int64)
+        assert (_resample_linear_int(s, 8000, 8000) == s).all()
+
+    def test_exact_2x_upsample_midpoints(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _resample_linear_int
+
+        s = np.array([0, 100, -100, 50], dtype=np.int64)
+        out = _resample_linear_int(s, 8000, 16000)
+        assert out.size == 8
+        # even positions hit sources; odd positions are midpoints
+        assert list(out[::2]) == [0, 100, -100, 50]
+        assert list(out[1::2]) == [50, 0, -25, 50]  # last edge-clamped
+
+    def test_downsample_length_and_determinism(self):
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _resample_linear_int
+
+        s = np.arange(-500, 500, 3, dtype=np.int64)
+        out = _resample_linear_int(s, 44100, 16000)
+        assert out.size == s.size * 16000 // 44100
+        assert (out == _resample_linear_int(s, 44100, 16000)).all()
+        # linear resample of a linear ramp stays within one step
+        diffs = np.diff(out)
+        assert diffs.min() >= 0 and diffs.max() <= 9
+
+    def test_preprocess_audio_end_to_end(self, spark):
+        import struct
+
+        import numpy as np
+
+        from ayeaye_spark.fixtures.media import (
+            ensure_media_fixture,
+            media_fixture_files,
+        )
+        from ayeaye_spark.operators.multimodal import (
+            _resample_linear_int,
+            _wav_pcm_int,
+            preprocess_audio,
+        )
+
+        files = spark.read.format("binaryFile").load(ensure_media_fixture())
+        rows = {r["path"].rsplit("/", 1)[-1]: r
+                for r in preprocess_audio(files, target_rate=16000).collect()}
+        assert len(rows) == 11
+        assert rows["gradient.png"]["pcm"] is None  # routed out
+        tone = rows["tone.wav"]
+        assert tone["sample_rate"] == 16000
+        assert len(tone["pcm"]) == tone["n_samples"] * 2
+        # spark output == driver-side kernel composition, byte-exact
+        s, _, _, rate, _, _ = _wav_pcm_int(media_fixture_files()["tone.wav"])
+        expect = _resample_linear_int(s, rate, 16000)
+        got = np.frombuffer(bytes(tone["pcm"]), dtype="<i2").astype(np.int64)
+        assert (got == expect).all() and got.size == s.size * 2
+
+    def test_stereo_mixdown(self):
+        import struct
+
+        import numpy as np
+
+        from ayeaye_spark.operators.multimodal import _wav_pcm_int
+
+        frames = [(100, 200), (-100, -301), (32767, 32767)]
+        body = b"".join(struct.pack("<hh", l, r) for l, r in frames)
+        fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+        wav = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16) + fmt
+               + b"data" + struct.pack("<I", len(body)) + body)
+        s, _, nch, _, _, _ = _wav_pcm_int(wav)
+        mixed = s.reshape(-1, nch).sum(axis=1) // nch
+        assert list(mixed) == [150, -201, 32767]  # floor div on negatives
+
+
 class TestMediaSceneCuts:
     """Pins for the video scene-cut path (catalog entry
     media_scene_cuts): real RIFF demux per-frame dHashes ARE the
