@@ -65,7 +65,11 @@ def _fresh_spark(sf_dir: str):
     (re)start measures the engine, not session startup: a plain agg, a
     wide-decimal agg (q1's codegen profile — without this the first
     timed query absorbed ~2s of one-off JIT), the parquet footer
-    read, and one Arrow round-trip to spin up the Python worker pool."""
+    read, one Arrow round-trip to spin up the Python worker pool, and
+    one mapInPandas round-trip (a distinct eval path — the first
+    mapInPandas plan in a session otherwise pays ~4s of one-off
+    worker/serde setup, which would land on whichever media/decode
+    query runs first after a recycle)."""
     spark = get_spark("ayeaye_spark_bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.range(1_000_000).selectExpr(
@@ -73,6 +77,7 @@ def _fresh_spark(sf_dir: str):
     ).collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
     spark.range(1_000).toPandas()
+    spark.range(10).mapInPandas(lambda it: it, "id long").collect()
     return spark
 
 
