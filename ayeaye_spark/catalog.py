@@ -10651,6 +10651,70 @@ def media_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_resample_oracle() -> str:
+    """DuckDB replay of the resample report from the pinned inputs
+    (``MEDIA_RESAMPLE_EXPECTED``): the output length
+    ``n_in * 16000 // in_rate`` is recomputed independently; the
+    sample checksum is the pinned kernel output."""
+    from .fixtures.media import MEDIA_RESAMPLE_EXPECTED
+
+    values = ",\n      ".join(
+        f"({_sql_str(f)}, {_sql_str(c)}, {r}, {n}, {s})"
+        for f, c, r, n, s in MEDIA_RESAMPLE_EXPECTED
+    )
+    return f"""
+    SELECT file, codec, 16000 AS sample_rate,
+           CAST(n_in AS BIGINT) * 16000 // in_rate AS n_samples,
+           CAST(pcm_sum AS BIGINT) AS pcm_sum
+    FROM (VALUES {values}) AS t(file, codec, in_rate, n_in, pcm_sum)
+    """
+
+
+@query("media_resample_report", oracle=_media_resample_oracle())
+def media_resample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speech-pipeline normalization acceptance over the COMMITTED
+    WAVs: :func:`multimodal.preprocess_audio` (REAL decode → integer
+    mono mixdown → rational-position linear resample to 16 kHz →
+    int16 PCM buffers) with an integer checksum over the emitted
+    buffer, so the driver record certifies the RESAMPLED BYTES, not
+    just metadata.  The oracle recomputes the duration-preserving
+    output length ``n_in * 16000 DIV in_rate`` independently and
+    replays the pytest-pinned checksum.  Independent of ``sf_dir`` by
+    design.
+
+    Scale shape: one file per task (``binaryFile``), two chained
+    Arrow-batched ``mapInPandas`` stages, no shuffle."""
+    from .fixtures.media import ensure_media_fixture
+    from .operators.multimodal import preprocess_audio
+
+    files = spark.read.format("binaryFile").load(ensure_media_fixture())
+    pre = preprocess_audio(files, target_rate=16000).where(
+        F.col("codec").isNotNull()
+    )
+
+    def checksum(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "file": [p.rsplit("/", 1)[-1] for p in pdf["path"]],
+                "codec": pdf["codec"],
+                "sample_rate": pdf["sample_rate"],
+                "n_samples": pdf["n_samples"],
+                "pcm_sum": [
+                    int(np.frombuffer(b, dtype="<i2").astype(np.int64).sum())
+                    for b in pdf["pcm"]
+                ],
+            }, dtype=object)
+
+    return pre.mapInPandas(
+        checksum,
+        schema="file string, codec string, sample_rate int, "
+        "n_samples long, pcm_sum long",
+    )
+
+
 def _media_scene_oracle() -> str:
     """DuckDB replay of scene-cut detection from the pinned per-frame
     dHashes (``MEDIA_VIDEO_EXPECTED``); the lag / xor / bit_count /

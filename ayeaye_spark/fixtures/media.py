@@ -345,6 +345,18 @@ MEDIA_AUDIO_EXPECTED: list[tuple] = [
      8000, 7680000000, 0, 0, 11),
 ]
 
+# Pinned preprocess_audio results (mono mixdown + integer linear
+# resample to 16 kHz) — catalog entry ``media_resample_report``
+# replays (in_rate, n_in, pcm_sum) and recomputes n_out = n_in *
+# 16000 // in_rate independently.  (file, codec, in_rate, n_in,
+# pcm_sum — sum of the resampled int16 samples)
+MEDIA_RESAMPLE_EXPECTED: list[tuple] = [
+    ('chirp_mulaw.wav', 'mulaw', 8000, 160, -193992),
+    ('clipped.wav', 'pcm16', 8000, 120, -22383),
+    ('quiet.wav', 'pcm16', 8000, 150, -1600),
+    ('tone.wav', 'pcm16', 8000, 120, -8000),
+]
+
 # Pinned per-frame dHashes of each AVI under the real RIFF demux
 # (``split_avi_frames`` + ``dhash64``) — catalog entry
 # ``media_scene_cuts`` replays these as VALUES and both engines compute

@@ -1191,6 +1191,42 @@ class TestPreprocessAudio:
         got = np.frombuffer(bytes(tone["pcm"]), dtype="<i2").astype(np.int64)
         assert (got == expect).all() and got.size == s.size * 2
 
+    def test_resample_matches_pinned_constants(self):
+        from ayeaye_spark.fixtures.media import (
+            MEDIA_RESAMPLE_EXPECTED,
+            media_fixture_files,
+        )
+        from ayeaye_spark.operators.multimodal import (
+            _resample_linear_int,
+            _wav_pcm_int,
+        )
+
+        got = []
+        for name, blob in sorted(media_fixture_files().items()):
+            dec = _wav_pcm_int(blob)
+            if dec is None:
+                continue
+            s, codec, nch, rate, _, _ = dec
+            if nch > 1:
+                s = s[: (s.size // nch) * nch].reshape(-1, nch).sum(axis=1) // nch
+            out = _resample_linear_int(s, rate, 16000)
+            got.append((name, codec, rate, int(s.size), int(out.sum())))
+            assert out.size == s.size * 16000 // rate
+        assert got == [tuple(r) for r in MEDIA_RESAMPLE_EXPECTED]
+
+    def test_media_resample_report_golden(self, spark):
+        from ayeaye_spark.catalog import QUERIES
+        from ayeaye_spark.fixtures.media import MEDIA_RESAMPLE_EXPECTED
+
+        rows = {r["file"]: r for r in QUERIES["media_resample_report"](
+            spark, "/root/testdata/sf0.001").collect()}
+        assert len(rows) == len(MEDIA_RESAMPLE_EXPECTED)
+        for f, codec, in_rate, n_in, pcm_sum in MEDIA_RESAMPLE_EXPECTED:
+            r = rows[f]
+            assert r["codec"] == codec and r["sample_rate"] == 16000
+            assert r["n_samples"] == n_in * 16000 // in_rate
+            assert r["pcm_sum"] == pcm_sum
+
     def test_stereo_mixdown(self):
         import struct
 
