@@ -37,17 +37,52 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connection(sf)
+    # Per-query watchdog: a handful of oracles are deliberately
+    # quadratic (NOT-EXISTS dominance, editdist cross joins) — exact
+    # twins of approximate scale paths.  Fine at the sf0.01 gate
+    # scale; at bigger sf_dirs they can run for hours, wedging an
+    # unattended sweep.  The watchdog interrupts DuckDB and cancels
+    # Spark jobs after $GATE_QUERY_TIMEOUT seconds (default 600) and
+    # reports TIMEOUT instead of hanging; 0 disables.
+    import threading
+
+    budget = float(os.environ.get("GATE_QUERY_TIMEOUT", "600"))
     fails = 0
     for name in only or QUERIES:
         t0 = time.time()
-        try:
-            if name not in ORACLES:
-                n = QUERIES[name](spark, sf).count()
-                ok, msg = n >= 0, f"rows-only ({n} rows, no oracle: approx-by-design)"
-            else:
-                ok, msg = compare(name, spark, con, sf)
-        except Exception as e:  # surface, keep going
-            ok, msg = False, f"EXCEPTION {type(e).__name__}: {str(e)[:300]}"
+        result: dict = {}
+
+        def attempt(q=name):
+            try:
+                if q not in ORACLES:
+                    n = QUERIES[q](spark, sf).count()
+                    result["v"] = (
+                        n >= 0,
+                        f"rows-only ({n} rows, no oracle: approx-by-design)",
+                    )
+                else:
+                    result["v"] = compare(q, spark, con, sf)
+            except Exception as e:  # surface, keep going
+                result["v"] = (
+                    False, f"EXCEPTION {type(e).__name__}: {str(e)[:300]}"
+                )
+
+        worker = threading.Thread(target=attempt, daemon=True)
+        worker.start()
+        worker.join(budget if budget > 0 else None)
+        if worker.is_alive():
+            try:
+                con.interrupt()
+            except Exception:
+                pass
+            try:
+                spark.sparkContext.cancelAllJobs()
+            except Exception:
+                pass
+            worker.join(30)
+            ok, msg = False, f"TIMEOUT after {budget:.0f}s (watchdog)"
+        else:
+            ok, msg = result["v"]
         print(f"{'PASS' if ok else 'FAIL'} {name:34s} {time.time() - t0:6.1f}s {msg}")
         fails += 0 if ok else 1
     print("FAILURES:", fails)
