@@ -2009,6 +2009,60 @@ def frame_sample_plan(
     )
 
 
+KEYFRAME_SCHEMA = "path string, frame_idx int, hamming int, frame binary"
+
+
+def extract_keyframes(
+    df: DataFrame,
+    *,
+    cut_bits: int = 16,
+    content_col: str = "content",
+    path_col: str = "path",
+    splitter: Callable[[bytes], list] | None = None,
+    frame_hasher: Callable[[bytes], int | None] | None = None,
+) -> DataFrame:
+    """Video → the REPRESENTATIVE FRAMES a multimodal training pipeline
+    keeps: demux (real RIFF walk by default), per-frame dHash, and one
+    output row per scene anchor — frame 0 plus every frame whose
+    hamming distance to its predecessor reaches ``cut_bits``.  Each row
+    carries the frame as standalone image bytes (``frame``), so the
+    output pipes straight into :func:`resize_images` /
+    :func:`decode_images` / :func:`extract_features` with
+    ``content_col="frame"``.  ``hamming`` is NULL on frame 0.
+    Non-video rows emit nothing (filter-then-route).  Arrow-batched
+    ``mapInPandas``, one clip per task, no shuffle — the cut decision
+    needs only the previous frame's 64-bit hash, O(1) state however
+    long the clip."""
+    # defaults resolved lazily: split_avi_frames is defined later in
+    # this module (with the video kernels)
+    splitter = splitter or split_avi_frames
+    frame_hasher = frame_hasher or dhash64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, b in zip(pdf[path_col], pdf[content_col]):
+                prev = None
+                for i, fr in enumerate(splitter(b) if b else []):
+                    h = frame_hasher(fr)
+                    if h is None:
+                        continue
+                    ham = (
+                        None if prev is None
+                        else bin((h ^ prev) & 0xFFFFFFFFFFFFFFFF).count("1")
+                    )
+                    if prev is None or ham >= cut_bits:
+                        rows.append({"path": p, "frame_idx": i,
+                                     "hamming": ham, "frame": fr})
+                    prev = h
+            yield pd.DataFrame(
+                rows, columns=["path", "frame_idx", "hamming", "frame"],
+                dtype=object,
+            )
+
+    return df.mapInPandas(run, schema=KEYFRAME_SCHEMA)
+
+
 def _pixel_rgb(b: bytes):
     """Format-agnostic ``(h, w, 3)`` uint8 RGB array from the stdlib
     pixel kernels (BMP / any-depth PNG / GIF / JPEG): grayscale expands

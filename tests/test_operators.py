@@ -1266,6 +1266,42 @@ class TestMediaSceneCuts:
                 got.append((name, i, dhash64(fr)))
         assert got == [tuple(r) for r in MEDIA_VIDEO_EXPECTED]
 
+    def test_extract_keyframes_end_to_end(self, spark):
+        """Keyframe extraction: scenes.avi yields frame 0 + the two
+        cut frames as standalone image bytes that pipe straight into
+        resize_images; non-video rows emit nothing."""
+        from ayeaye_spark.fixtures.media import (
+            ensure_media_fixture,
+            media_fixture_files,
+        )
+        from ayeaye_spark.operators.multimodal import (
+            extract_keyframes,
+            resize_images,
+            split_avi_frames,
+        )
+
+        files = spark.read.format("binaryFile").load(ensure_media_fixture())
+        kf = extract_keyframes(files)
+        rows = [(r["path"].rsplit("/", 1)[-1], r["frame_idx"],
+                 r["hamming"], bytes(r["frame"]))
+                for r in kf.collect()]
+        got = {(f, i): (h, b) for f, i, h, b in rows}
+        assert sorted({f for f, _ in got}) == ["clip.avi", "scenes.avi"]
+        assert sorted(i for f, i in got if f == "scenes.avi") == [0, 2, 4]
+        assert sorted(i for f, i in got if f == "clip.avi") == [0, 1, 2]
+        assert got[("scenes.avi", 0)][0] is None  # frame 0 anchors
+        assert got[("scenes.avi", 2)][0] >= 16
+        # emitted bytes ARE the demuxed frames
+        frames = split_avi_frames(media_fixture_files()["scenes.avi"])
+        assert got[("scenes.avi", 4)][1] == frames[4]
+        # and they pipe into the resize stage as images
+        tensors = resize_images(
+            kf, content_col="frame", width=8, height=8
+        ).where("pixels is not null")
+        assert tensors.count() == 6
+        for r in tensors.collect():
+            assert len(r["pixels"]) == 8 * 8 * 3
+
     def test_media_scene_cuts_golden(self, spark):
         from ayeaye_spark.catalog import QUERIES
 
