@@ -1702,10 +1702,120 @@ def parse_mp4_header(b: bytes) -> dict | None:
     return meta
 
 
+def parse_flac_header(b: bytes) -> dict | None:
+    """FLAC STREAMINFO metadata (REAL block walk, no codec): the
+    mandatory first metadata block packs sample rate (20 bits),
+    channels-1 (3), bits-per-sample-1 (5), and total samples (36) —
+    exact duration, no estimation."""
+    if len(b) < 8 or b[:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(b):
+        hdr = b[pos]
+        size = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        if (hdr & 0x7F) == 0 and pos + 4 + 18 <= len(b):  # STREAMINFO
+            info = b[pos + 4 : pos + 4 + 18]
+            packed = int.from_bytes(info[10:18], "big")
+            rate = packed >> 44
+            nch = ((packed >> 41) & 0x7) + 1
+            total = packed & ((1 << 36) - 1)
+            if rate == 0:
+                return None
+            return {
+                "format": "flac", "channels": int(nch),
+                "sample_rate": int(rate),
+                "duration_ms": int(total) * 1000 // rate if total else None,
+            }
+        if hdr & 0x80:  # last-block flag and it wasn't STREAMINFO
+            return None
+        pos += 4 + size
+    return None
+
+
+# MPEG audio Layer III bitrate (kbps) and sample-rate tables
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                    224, 256, 320)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                    144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000),   # MPEG1
+              2: (22050, 24000, 16000),   # MPEG2
+              0: (11025, 12000, 8000)}    # MPEG2.5
+
+
+def parse_mp3_header(b: bytes) -> dict | None:
+    """MP3 metadata (REAL frame-sync parse): skips a leading ID3v2 tag
+    (syncsafe size), finds the first Layer III frame sync in the next
+    4 KB, reads version/bitrate/samplerate/mode, and estimates
+    duration from the audio byte count at that bitrate (exact for CBR
+    — the dominant encoding; VBR needs a codec-level walk)."""
+    if len(b) < 4:
+        return None
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = ((b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+                | (b[8] & 0x7F) << 7 | (b[9] & 0x7F))
+        pos = 10 + size
+    end = min(pos + 4096, len(b) - 3)
+    while pos < end:
+        if b[pos] == 0xFF and (b[pos + 1] & 0xE0) == 0xE0:
+            ver = (b[pos + 1] >> 3) & 0x3       # 3=MPEG1, 2=MPEG2, 0=2.5
+            layer = (b[pos + 1] >> 1) & 0x3     # 1 = Layer III
+            bri = (b[pos + 2] >> 4) & 0xF
+            sri = (b[pos + 2] >> 2) & 0x3
+            mode = (b[pos + 3] >> 6) & 0x3
+            if ver != 1 and layer == 1 and 0 < bri < 15 and sri < 3:
+                rates = _MP3_RATES[ver]
+                kbps = (_MP3_BITRATES_V1 if ver == 3
+                        else _MP3_BITRATES_V2)[bri]
+                audio_bytes = len(b) - pos
+                return {
+                    "format": "mp3",
+                    "channels": 1 if mode == 3 else 2,
+                    "sample_rate": rates[sri],
+                    "duration_ms": audio_bytes * 8 // kbps,
+                }
+        pos += 1
+    return None
+
+
+def parse_ogg_header(b: bytes) -> dict | None:
+    """Ogg container metadata (REAL page parse): the first page's
+    identification packet gives codec/channels/rate (Vorbis or Opus);
+    the LAST page's granule position gives exact duration (PCM sample
+    count for Vorbis, 48 kHz units for Opus)."""
+    if len(b) < 28 or b[:4] != b"OggS":
+        return None
+    nseg = b[26]
+    first = b[27 + nseg :]
+    out = None
+    if first[:7] == b"\x01vorbis" and len(first) >= 16:
+        nch = first[11]
+        rate = int.from_bytes(first[12:16], "little")
+        out = {"format": "ogg-vorbis", "channels": int(nch),
+               "sample_rate": int(rate)}
+        gr_rate = rate
+    elif first[:8] == b"OpusHead" and len(first) >= 16:
+        nch = first[9]  # magic(8) ver(1) ch(1) pre_skip(2) rate(4)
+        rate = int.from_bytes(first[12:16], "little")
+        out = {"format": "ogg-opus", "channels": int(nch),
+               "sample_rate": int(rate) or 48000}
+        gr_rate = 48000  # Opus granules are always 48 kHz units
+    if out is None or not gr_rate:
+        return None
+    last = b.rfind(b"OggS", max(0, len(b) - 65536))
+    if last >= 0 and last + 14 <= len(b):
+        granule = int.from_bytes(b[last + 6 : last + 14], "little",
+                                 signed=True)
+        if granule > 0:
+            out["duration_ms"] = int(granule) * 1000 // gr_rate
+    return out
+
+
 _HEADER_PARSERS = (
     parse_png_header, parse_jpeg_header, parse_gif_header,
     parse_bmp_header, parse_wav_header, parse_avi_header,
-    parse_mp4_header,
+    parse_mp4_header, parse_flac_header, parse_mp3_header,
+    parse_ogg_header,
 )
 
 _META_KEYS = ("format", "width", "height", "channels", "sample_rate",

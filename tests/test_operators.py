@@ -4900,6 +4900,68 @@ class TestVideoNearDup:
         assert multimodal.parse_mp4_header(b"\x00\x00\x00\x08free") is None
         assert multimodal.parse_mp4_header(mp4[:30])["width"] is None
 
+    def test_flac_header_metadata(self):
+        """STREAMINFO block walk: exact rate/channels/duration."""
+        total, rate, nch = 88200, 44100, 2
+        packed = (rate << 44) | ((nch - 1) << 41) | ((16 - 1) << 36) | total
+        info = (b"\x10\x00\x10\x00" + b"\x00" * 6
+                + packed.to_bytes(8, "big") + b"\x00" * 16)
+        flac = (b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big")
+                + info)
+        got = multimodal.parse_flac_header(flac)
+        assert got == {"format": "flac", "channels": 2,
+                       "sample_rate": 44100, "duration_ms": 2000}
+        # padding block first, STREAMINFO second
+        flac2 = (b"fLaC" + bytes([0x01]) + (4).to_bytes(3, "big") + b"\x00" * 4
+                 + bytes([0x80]) + len(info).to_bytes(3, "big") + info)
+        assert multimodal.parse_flac_header(flac2)["duration_ms"] == 2000
+        assert multimodal.parse_flac_header(b"fLaC") is None
+        assert multimodal.parse_flac_header(b"not-flac") is None
+        # header_decode routes it
+        assert multimodal.header_decode(flac)["format"] == "flac"
+
+    def test_mp3_header_metadata(self):
+        """ID3v2 skip + frame sync parse + CBR duration estimate."""
+        # MPEG1 Layer III, 128 kbps (bri=9), 44100 Hz (sri=0), stereo
+        frame_hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+        audio = frame_hdr + b"\x00" * (16000 - 4)  # 16000 bytes -> 1000 ms
+        got = multimodal.parse_mp3_header(audio)
+        assert got == {"format": "mp3", "channels": 2,
+                       "sample_rate": 44100, "duration_ms": 1000}
+        # ID3v2 tag (syncsafe size 200) precedes the sync
+        id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 72]) + b"\x00" * 200
+        assert multimodal.parse_mp3_header(id3 + audio)["duration_ms"] == 1000
+        # mono flag, MPEG2 table
+        f2 = bytes([0xFF, 0xF3, 0x80, 0xC0]) + b"\x00" * 7996  # 64kbps@8000B
+        got2 = multimodal.parse_mp3_header(f2)
+        assert got2["channels"] == 1 and got2["sample_rate"] == 22050
+        assert got2["duration_ms"] == 8000 * 8 // 64
+        assert multimodal.parse_mp3_header(b"\x00" * 64) is None
+        assert multimodal.header_decode(audio)["format"] == "mp3"
+
+    def test_ogg_header_metadata(self):
+        """First-page id packet + last-page granule duration."""
+        def page(payload, granule=0):
+            seg = bytes([len(payload)])
+            return (b"OggS\x00\x02" + granule.to_bytes(8, "little")
+                    + b"\x01\x00\x00\x00" + b"\x00\x00\x00\x00"
+                    + b"\x00\x00\x00\x00" + b"\x01" + seg + payload)
+
+        vorbis_id = (b"\x01vorbis" + b"\x00\x00\x00\x00" + bytes([2])
+                     + (44100).to_bytes(4, "little") + b"\x00" * 16)
+        ogg = page(vorbis_id) + page(b"\x00" * 20, granule=44100 * 3)
+        got = multimodal.parse_ogg_header(ogg)
+        assert got == {"format": "ogg-vorbis", "channels": 2,
+                       "sample_rate": 44100, "duration_ms": 3000}
+        opus_id = (b"OpusHead\x01" + bytes([1]) + (312).to_bytes(2, "little")
+                   + (16000).to_bytes(4, "little") + b"\x00\x00\x00")
+        ogg2 = page(opus_id) + page(b"\x00" * 10, granule=96000)
+        got2 = multimodal.parse_ogg_header(ogg2)
+        assert got2["format"] == "ogg-opus" and got2["sample_rate"] == 16000
+        assert got2["duration_ms"] == 2000  # 48 kHz granule units
+        assert multimodal.parse_ogg_header(b"OggS") is None
+        assert multimodal.header_decode(ogg)["format"] == "ogg-vorbis"
+
     def test_set_jaccard_matches_bruteforce(self, spark):
         """Generic core on integer sets: exact vs python brute force."""
         import random
