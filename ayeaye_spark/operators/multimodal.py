@@ -1811,6 +1811,92 @@ def parse_ogg_header(b: bytes) -> dict | None:
     return out
 
 
+_ID3_TEXT = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+# frame id -> output key (v2.3/v2.4 four-char ids)
+_ID3_FRAMES = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
+               b"TDRC": "year", b"TYER": "year", b"TCON": "genre",
+               b"COMM": "comment"}
+
+
+def parse_id3_tags(b: bytes) -> dict | None:
+    """ID3v2.3/2.4 text-frame extraction (the audio analog of
+    :func:`parse_exif`): title/artist/album/year/genre/comment decoded
+    per-frame encoding byte (latin-1 / utf-16 BOM / utf-16-be /
+    utf-8).  Returns only the keys present; ``None`` when no ID3v2 tag
+    leads the payload.  Malformed frames end the walk, never raise."""
+    if len(b) < 10 or b[:3] != b"ID3" or b[3] not in (3, 4):
+        return None
+    v24 = b[3] == 4
+    tag_size = ((b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+                | (b[8] & 0x7F) << 7 | (b[9] & 0x7F))
+    end = min(10 + tag_size, len(b))
+    out: dict = {}
+    pos = 10
+    while pos + 10 <= end:
+        fid = b[pos : pos + 4]
+        if not fid.strip(b"\x00"):
+            break  # padding
+        raw = b[pos + 4 : pos + 8]
+        size = (((raw[0] & 0x7F) << 21 | (raw[1] & 0x7F) << 14
+                 | (raw[2] & 0x7F) << 7 | (raw[3] & 0x7F))
+                if v24 else int.from_bytes(raw, "big"))
+        if size <= 0 or pos + 10 + size > end:
+            break
+        key = _ID3_FRAMES.get(fid)
+        if key is not None:
+            payload = b[pos + 10 : pos + 10 + size]
+            if fid == b"COMM" and len(payload) >= 4:
+                # encoding + 3-char language, then descriptor NUL text
+                enc, payload = payload[0], payload[4:]
+                sep = b"\x00\x00" if enc in (1, 2) else b"\x00"
+                cut = payload.find(sep)
+                if cut >= 0:
+                    payload = payload[cut + len(sep):]
+            elif payload:
+                enc, payload = payload[0], payload[1:]
+            else:
+                enc = 0
+            try:
+                text = payload.decode(_ID3_TEXT.get(enc, "latin-1"),
+                                      "replace").strip("\x00").strip()
+            except Exception:
+                text = None
+            if text and key not in out:
+                out[key] = text
+        pos += 10 + size
+    return out or None
+
+
+AUDIO_TAGS_SCHEMA = (
+    "path string, title string, artist string, album string, "
+    "year string, genre string, comment string"
+)
+
+
+def extract_audio_tags(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Arrow-batched ID3 tag extraction: one row per file, null columns
+    where the tag/frame is absent — the metadata-dedup / rights-audit
+    input for an audio corpus, exactly like ``extract_exif`` for
+    images.  One file per task, no shuffle."""
+    keys = ("title", "artist", "album", "year", "genre", "comment")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, blob in zip(pdf[path_col], pdf[content_col]):
+                tags = parse_id3_tags(blob or b"") or {}
+                rows.append({"path": p,
+                             **{k: tags.get(k) for k in keys}})
+            yield pd.DataFrame(rows, columns=["path", *keys], dtype=object)
+
+    return df.mapInPandas(run, schema=AUDIO_TAGS_SCHEMA)
+
+
 _HEADER_PARSERS = (
     parse_png_header, parse_jpeg_header, parse_gif_header,
     parse_bmp_header, parse_wav_header, parse_avi_header,

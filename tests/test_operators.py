@@ -4962,6 +4962,49 @@ class TestVideoNearDup:
         assert multimodal.parse_ogg_header(b"OggS") is None
         assert multimodal.header_decode(ogg)["format"] == "ogg-vorbis"
 
+    def test_id3_tags(self, spark):
+        """ID3v2.3 and v2.4 text frames, utf-16/utf-8 encodings, COMM
+        language+descriptor skip, padding stop; Spark stage end to
+        end."""
+        def frame(fid, payload, v24=False):
+            size = len(payload)
+            raw = (bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                          (size >> 7) & 0x7F, size & 0x7F])
+                   if v24 else size.to_bytes(4, "big"))
+            return fid + raw + b"\x00\x00" + payload
+
+        def tag(frames, ver=3):
+            body = b"".join(frames) + b"\x00" * 16  # padding
+            size = len(body)
+            ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                        (size >> 7) & 0x7F, size & 0x7F])
+            return b"ID3" + bytes([ver, 0, 0]) + ss + body
+
+        t3 = tag([
+            frame(b"TIT2", b"\x03Night Drive"),
+            frame(b"TPE1", b"\x01" + "Café Trio".encode("utf-16")),
+            frame(b"TYER", b"\x001987"),
+            frame(b"COMM", b"\x00engnote\x00a test comment"),
+        ])
+        got = multimodal.parse_id3_tags(t3)
+        assert got["title"] == "Night Drive"
+        assert got["artist"] == "Café Trio"
+        assert got["year"] == "1987"
+        assert got["comment"] == "a test comment"
+        t4 = tag([frame(b"TDRC", b"\x032024-05", v24=True)], ver=4)
+        assert multimodal.parse_id3_tags(t4) == {"year": "2024-05"}
+        assert multimodal.parse_id3_tags(b"no tag here") is None
+        assert multimodal.parse_id3_tags(b"ID3\x03\x00") is None
+        # Spark stage: tagged + untagged rows
+        df = spark.createDataFrame(
+            [("a.mp3", bytearray(t3)), ("b.mp3", bytearray(b"\xff\xfb"))],
+            "path string, content binary",
+        ).coalesce(1)
+        rows = {r["path"]: r
+                for r in multimodal.extract_audio_tags(df).collect()}
+        assert rows["a.mp3"]["artist"] == "Café Trio"
+        assert rows["b.mp3"]["title"] is None
+
     def test_set_jaccard_matches_bruteforce(self, spark):
         """Generic core on integer sets: exact vs python brute force."""
         import random
