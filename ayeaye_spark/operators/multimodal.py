@@ -1811,6 +1811,77 @@ def parse_ogg_header(b: bytes) -> dict | None:
     return out
 
 
+def _ebml_vint(b: bytes, pos: int, keep_marker: bool):
+    """EBML variable-length integer at ``pos`` → (value, next_pos);
+    element IDs keep the length-marker bit, sizes strip it.  ``None``
+    on truncation.  The reserved all-ones 'unknown size' (streamed
+    segments) parses as a huge value — callers cap extents at the
+    buffer end, which descends it correctly."""
+    if pos >= len(b):
+        return None
+    first = b[pos]
+    if first == 0:
+        return None
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(b):
+        return None
+    val = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for i in range(1, length):
+        val = (val << 8) | b[pos + i]
+    return val, pos + length
+
+
+def parse_webm_header(b: bytes) -> dict | None:
+    """Matroska/WebM metadata (REAL EBML walk, no codec): descends
+    Segment → Info for TimestampScale + Duration (exact ms) and
+    Segment → Tracks → TrackEntry → Video for PixelWidth/PixelHeight.
+    ``None`` for non-EBML bytes; truncation degrades to whatever was
+    parsed, never raises."""
+    import struct
+
+    if len(b) < 8 or b[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+    out = {"format": "webm", "width": None, "height": None,
+           "duration_ms": None}
+    scale = 1_000_000  # ns per timestamp tick (Matroska default)
+    duration = None
+
+    def walk(pos: int, end: int, path: tuple):
+        nonlocal scale, duration
+        # containers descended: Segment, Info, Tracks, TrackEntry, Video
+        containers = {0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0}
+        while pos < end:
+            got = _ebml_vint(b, pos, True)
+            if got is None:
+                return
+            eid, pos = got
+            got = _ebml_vint(b, pos, False)
+            if got is None:
+                return
+            size, pos = got
+            nxt = min(pos + size, end)
+            if eid in containers:
+                walk(pos, nxt, path + (eid,))
+            elif eid == 0x2AD7B1:  # TimestampScale (uint)
+                scale = int.from_bytes(b[pos:nxt], "big") or scale
+            elif eid == 0x4489:  # Duration (float, ticks)
+                raw = b[pos:nxt]
+                if len(raw) == 4:
+                    duration = struct.unpack(">f", raw)[0]
+                elif len(raw) == 8:
+                    duration = struct.unpack(">d", raw)[0]
+            elif eid == 0xB0 and 0xE0 in path:  # PixelWidth
+                out["width"] = int.from_bytes(b[pos:nxt], "big") or None
+            elif eid == 0xBA and 0xE0 in path:  # PixelHeight
+                out["height"] = int.from_bytes(b[pos:nxt], "big") or None
+            pos = nxt
+
+    walk(0, len(b), ())
+    if duration is not None and duration > 0:
+        out["duration_ms"] = int(duration * scale / 1_000_000)
+    return out
+
+
 _ID3_TEXT = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
 # frame id -> output key (v2.3/v2.4 four-char ids)
 _ID3_FRAMES = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
@@ -1901,7 +1972,7 @@ _HEADER_PARSERS = (
     parse_png_header, parse_jpeg_header, parse_gif_header,
     parse_bmp_header, parse_wav_header, parse_avi_header,
     parse_mp4_header, parse_flac_header, parse_mp3_header,
-    parse_ogg_header,
+    parse_ogg_header, parse_webm_header,
 )
 
 _META_KEYS = ("format", "width", "height", "channels", "sample_rate",

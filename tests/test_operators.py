@@ -4962,6 +4962,37 @@ class TestVideoNearDup:
         assert multimodal.parse_ogg_header(b"OggS") is None
         assert multimodal.header_decode(ogg)["format"] == "ogg-vorbis"
 
+    def test_webm_header_metadata(self):
+        """EBML walk: Segment->Info duration (TimestampScale-aware)
+        and Tracks->TrackEntry->Video pixel dimensions; unknown-size
+        segments and truncation degrade, never raise."""
+        import struct
+
+        def vsize(n):  # 2-byte EBML size with marker 0x40
+            return bytes([0x40 | (n >> 8), n & 0xFF])
+
+        def elem(eid_bytes, payload):
+            return eid_bytes + vsize(len(payload)) + payload
+
+        ebml_hdr = elem(b"\x1a\x45\xdf\xa3", b"\x00" * 4)
+        ts_scale = elem(b"\x2a\xd7\xb1", (1_000_000).to_bytes(4, "big"))
+        dur = elem(b"\x44\x89", struct.pack(">d", 12500.0))
+        info = elem(b"\x15\x49\xa9\x66", ts_scale + dur)
+        video = elem(b"\xe0", elem(b"\xb0", (640).to_bytes(2, "big"))
+                     + elem(b"\xba", (360).to_bytes(2, "big")))
+        tracks = elem(b"\x16\x54\xae\x6b", elem(b"\xae", video))
+        webm = ebml_hdr + elem(b"\x18\x53\x80\x67", info + tracks)
+        got = multimodal.parse_webm_header(webm)
+        assert got == {"format": "webm", "width": 640, "height": 360,
+                       "duration_ms": 12500}
+        # unknown-size segment (streamed matroska) still descends
+        unk = (ebml_hdr + b"\x18\x53\x80\x67"
+               + b"\x01\xff\xff\xff\xff\xff\xff\xff" + info + tracks)
+        assert multimodal.parse_webm_header(unk)["duration_ms"] == 12500
+        assert multimodal.parse_webm_header(webm[:20])["format"] == "webm"
+        assert multimodal.parse_webm_header(b"not-ebml") is None
+        assert multimodal.header_decode(webm)["format"] == "webm"
+
     def test_id3_tags(self, spark):
         """ID3v2.3 and v2.4 text frames, utf-16/utf-8 encodings, COMM
         language+descriptor skip, padding stop; Spark stage end to
