@@ -1811,6 +1811,32 @@ def parse_ogg_header(b: bytes) -> dict | None:
     return out
 
 
+def parse_tiff_header(b: bytes) -> dict | None:
+    """TIFF metadata via the same IFD machinery as EXIF (both byte
+    orders): ImageWidth/ImageLength (tags 256/257, SHORT or LONG) and
+    SamplesPerPixel (277).  ``None`` for non-TIFF bytes."""
+    import struct
+
+    if len(b) < 8:
+        return None
+    if b[:4] == b"II*\x00":
+        bo = "<"
+    elif b[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        return None
+    (ifd0,) = struct.unpack(bo + "I", b[4:8])
+    entries = _ifd_entries(b, 0, ifd0, bo)
+    if not entries:
+        return None
+    return {
+        "format": "tiff",
+        "width": _exif_int(entries.get(256), bo),
+        "height": _exif_int(entries.get(257), bo),
+        "channels": _exif_int(entries.get(277), bo),
+    }
+
+
 def _ebml_vint(b: bytes, pos: int, keep_marker: bool):
     """EBML variable-length integer at ``pos`` → (value, next_pos);
     element IDs keep the length-marker bit, sizes strip it.  ``None``
@@ -1972,7 +1998,7 @@ _HEADER_PARSERS = (
     parse_png_header, parse_jpeg_header, parse_gif_header,
     parse_bmp_header, parse_wav_header, parse_avi_header,
     parse_mp4_header, parse_flac_header, parse_mp3_header,
-    parse_ogg_header, parse_webm_header,
+    parse_ogg_header, parse_webm_header, parse_tiff_header,
 )
 
 _META_KEYS = ("format", "width", "height", "channels", "sample_rate",

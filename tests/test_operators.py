@@ -4962,6 +4962,32 @@ class TestVideoNearDup:
         assert multimodal.parse_ogg_header(b"OggS") is None
         assert multimodal.header_decode(ogg)["format"] == "ogg-vorbis"
 
+    def test_tiff_header_metadata(self):
+        """IFD0 width/height/channels, both byte orders, offset-chased
+        LONG values."""
+        import struct
+
+        def tiff(bo, fmt_ch):
+            # 3 entries: width SHORT inline, height LONG inline, spp
+            e = struct.pack(bo + "H", 3)
+            e += struct.pack(bo + "HHI", 256, 3, 1) + struct.pack(
+                bo + "H", 800) + b"\x00\x00"
+            e += struct.pack(bo + "HHI", 257, 4, 1) + struct.pack(
+                bo + "I", 600)
+            e += struct.pack(bo + "HHI", 277, 3, 1) + struct.pack(
+                bo + "H", fmt_ch) + b"\x00\x00"
+            e += b"\x00\x00\x00\x00"  # next-IFD terminator
+            magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+            return magic + struct.pack(bo + "I", 8) + e
+
+        for bo in ("<", ">"):
+            got = multimodal.parse_tiff_header(tiff(bo, 3))
+            assert got == {"format": "tiff", "width": 800,
+                           "height": 600, "channels": 3}, bo
+        assert multimodal.parse_tiff_header(b"II*\x00\x08\x00") is None
+        assert multimodal.parse_tiff_header(b"nope") is None
+        assert multimodal.header_decode(tiff("<", 1))["format"] == "tiff"
+
     def test_webm_header_metadata(self):
         """EBML walk: Segment->Info duration (TimestampScale-aware)
         and Tracks->TrackEntry->Video pixel dimensions; unknown-size
