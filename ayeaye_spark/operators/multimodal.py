@@ -1764,15 +1764,25 @@ def parse_mp3_header(b: bytes) -> dict | None:
             sri = (b[pos + 2] >> 2) & 0x3
             mode = (b[pos + 3] >> 6) & 0x3
             if ver != 1 and layer == 1 and 0 < bri < 15 and sri < 3:
-                rates = _MP3_RATES[ver]
+                rate = _MP3_RATES[ver][sri]
                 kbps = (_MP3_BITRATES_V1 if ver == 3
                         else _MP3_BITRATES_V2)[bri]
-                audio_bytes = len(b) - pos
+                # sync is only 11 bits with no magic — demand the NEXT
+                # frame header lands where this frame's length says it
+                # should, or arbitrary bytes would sniff as mp3
+                pad = (b[pos + 2] >> 1) & 0x1
+                flen = (144 if ver == 3 else 72) * kbps * 1000 // rate + pad
+                nxt = pos + flen
+                if nxt + 1 < len(b) and not (
+                    b[nxt] == 0xFF and (b[nxt + 1] & 0xE0) == 0xE0
+                ):
+                    pos += 1
+                    continue
                 return {
                     "format": "mp3",
                     "channels": 1 if mode == 3 else 2,
-                    "sample_rate": rates[sri],
-                    "duration_ms": audio_bytes * 8 // kbps,
+                    "sample_rate": rate,
+                    "duration_ms": (len(b) - pos) * 8 // kbps,
                 }
         pos += 1
     return None

@@ -4922,20 +4922,27 @@ class TestVideoNearDup:
 
     def test_mp3_header_metadata(self):
         """ID3v2 skip + frame sync parse + CBR duration estimate."""
-        # MPEG1 Layer III, 128 kbps (bri=9), 44100 Hz (sri=0), stereo
-        frame_hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
-        audio = frame_hdr + b"\x00" * (16000 - 4)  # 16000 bytes -> 1000 ms
+        # MPEG1 Layer III, 128 kbps (bri=9), 44100 Hz (sri=0), stereo:
+        # frame length 144*128000/44100 = 417; chained frames so the
+        # next-sync validation holds
+        frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * (417 - 4)
+        audio = frame * 38  # 15846 bytes
         got = multimodal.parse_mp3_header(audio)
         assert got == {"format": "mp3", "channels": 2,
-                       "sample_rate": 44100, "duration_ms": 1000}
+                       "sample_rate": 44100,
+                       "duration_ms": len(audio) * 8 // 128}
         # ID3v2 tag (syncsafe size 200) precedes the sync
         id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 72]) + b"\x00" * 200
-        assert multimodal.parse_mp3_header(id3 + audio)["duration_ms"] == 1000
-        # mono flag, MPEG2 table
-        f2 = bytes([0xFF, 0xF3, 0x80, 0xC0]) + b"\x00" * 7996  # 64kbps@8000B
-        got2 = multimodal.parse_mp3_header(f2)
+        assert multimodal.parse_mp3_header(id3 + audio)["sample_rate"] == 44100
+        # mono flag, MPEG2 table: floor(72*64000/22050) = 208
+        f2 = bytes([0xFF, 0xF3, 0x80, 0xC0]) + b"\x00" * (208 - 4)
+        got2 = multimodal.parse_mp3_header(f2 * 40)
         assert got2["channels"] == 1 and got2["sample_rate"] == 22050
-        assert got2["duration_ms"] == 8000 * 8 // 64
+        assert got2["duration_ms"] == 208 * 40 * 8 // 64
+        # a lone mid-buffer sync with no follow-up frame is NOT mp3
+        assert multimodal.parse_mp3_header(
+            b"\x00" * 10 + bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 2000
+        ) is None
         assert multimodal.parse_mp3_header(b"\x00" * 64) is None
         assert multimodal.header_decode(audio)["format"] == "mp3"
 
