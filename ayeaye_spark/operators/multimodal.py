@@ -1851,8 +1851,9 @@ def _ebml_vint(b: bytes, pos: int, keep_marker: bool):
     """EBML variable-length integer at ``pos`` → (value, next_pos);
     element IDs keep the length-marker bit, sizes strip it.  ``None``
     on truncation.  The reserved all-ones 'unknown size' (streamed
-    segments) parses as a huge value — callers cap extents at the
-    buffer end, which descends it correctly."""
+    segments, ANY encoded length incl. the 1-byte ``0xFF``) returns a
+    huge sentinel — callers cap extents at the buffer end, which
+    descends it correctly."""
     if pos >= len(b):
         return None
     first = b[pos]
@@ -1864,6 +1865,8 @@ def _ebml_vint(b: bytes, pos: int, keep_marker: bool):
     val = first if keep_marker else first & ((1 << (8 - length)) - 1)
     for i in range(1, length):
         val = (val << 8) | b[pos + i]
+    if not keep_marker and val == (1 << (7 * length)) - 1:
+        val = 1 << 62  # reserved all-ones: 'size unknown'
     return val, pos + length
 
 
@@ -1886,6 +1889,8 @@ def parse_webm_header(b: bytes) -> dict | None:
         nonlocal scale, duration
         # containers descended: Segment, Info, Tracks, TrackEntry, Video
         containers = {0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0}
+        if len(path) > 8:  # spec nesting is ~5; adversarial nesting
+            return         # must not recurse to stack exhaustion
         while pos < end:
             got = _ebml_vint(b, pos, True)
             if got is None:
@@ -1955,10 +1960,18 @@ def parse_id3_tags(b: bytes) -> dict | None:
             if fid == b"COMM" and len(payload) >= 4:
                 # encoding + 3-char language, then descriptor NUL text
                 enc, payload = payload[0], payload[4:]
-                sep = b"\x00\x00" if enc in (1, 2) else b"\x00"
-                cut = payload.find(sep)
-                if cut >= 0:
-                    payload = payload[cut + len(sep):]
+                if enc in (1, 2):
+                    # UTF-16 terminator must be found on a 2-byte
+                    # stride — a bare find() can land mid-codepoint
+                    # (e.g. after ASCII 0x41 0x00) and shear alignment
+                    for cut in range(0, len(payload) - 1, 2):
+                        if payload[cut : cut + 2] == b"\x00\x00":
+                            payload = payload[cut + 2 :]
+                            break
+                else:
+                    cut = payload.find(b"\x00")
+                    if cut >= 0:
+                        payload = payload[cut + 1 :]
             elif payload:
                 enc, payload = payload[0], payload[1:]
             else:
@@ -2004,11 +2017,14 @@ def extract_audio_tags(
     return df.mapInPandas(run, schema=AUDIO_TAGS_SCHEMA)
 
 
+# Deterministic-magic parsers first; the MP3 frame-sync sniffer is a
+# HEURISTIC (11-bit sync, no magic) and must run last or compressed
+# Ogg/WebM payloads occasionally sniff as mp3 at corpus scale.
 _HEADER_PARSERS = (
     parse_png_header, parse_jpeg_header, parse_gif_header,
     parse_bmp_header, parse_wav_header, parse_avi_header,
-    parse_mp4_header, parse_flac_header, parse_mp3_header,
-    parse_ogg_header, parse_webm_header, parse_tiff_header,
+    parse_mp4_header, parse_flac_header, parse_ogg_header,
+    parse_webm_header, parse_tiff_header, parse_mp3_header,
 )
 
 _META_KEYS = ("format", "width", "height", "channels", "sample_rate",
@@ -2140,6 +2156,12 @@ def exact_audio_stats(content: bytes) -> dict | None:
     if got is None:
         return None
     s, codec, nch, rate, _byte_rate, _data_len = got
+    if s.size == 0:
+        # a valid header with an empty data chunk has nothing to gate
+        # on — route it out like a non-decodable file rather than emit
+        # n_samples=0 that every downstream ppm ratio divides by
+        # (ANSI mode turns that into a job-killing DIVIDE_BY_ZERO)
+        return None
     a = np.abs(s)
     ch0 = s[:: max(nch, 1)]
     nz = ch0[ch0 != 0]

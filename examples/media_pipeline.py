@@ -193,12 +193,15 @@ class AudioVideoCuration(Model):
                 "THEN 'mostly_silent' ELSE 'ok' END"
             ).alias("verdict"),
         )
+        # one collect, partitioned driver-side: two filtered collects
+        # would re-scan and re-decode every WAV as separate Spark jobs
+        verdict_rows = verdicts.collect()
         kept_audio = sorted(
-            r["file"] for r in verdicts.where("verdict = 'ok'").collect()
+            r["file"] for r in verdict_rows if r["verdict"] == "ok"
         )
         dropped_audio = {
             r["file"]: r["verdict"]
-            for r in verdicts.where("verdict <> 'ok'").collect()
+            for r in verdict_rows if r["verdict"] != "ok"
         }
 
         sig = video_frame_signatures(media, splitter=split_avi_frames).where(

@@ -42,18 +42,26 @@ def main() -> int:
     # twins of approximate scale paths.  Fine at the sf0.01 gate
     # scale; at bigger sf_dirs they can run for hours, wedging an
     # unattended sweep.  The watchdog interrupts DuckDB and cancels
-    # Spark jobs after $GATE_QUERY_TIMEOUT seconds (default 600) and
-    # reports TIMEOUT instead of hanging; 0 disables.
+    # the attempt's Spark job group after $GATE_QUERY_TIMEOUT seconds
+    # (default 600) and reports TIMEOUT instead of hanging; 0
+    # disables.  A timed-out worker thread cannot be killed, so the
+    # shared DuckDB connection is REPLACED (the zombie keeps the old
+    # one; DuckDB serializes per connection, so reusing it would make
+    # every later oracle queue behind the stuck statement and cascade
+    # false TIMEOUTs) and the attempt's job group is cancelled with
+    # interruptOnCancel so executor threads actually stop.
     import threading
 
     budget = float(os.environ.get("GATE_QUERY_TIMEOUT", "600"))
     fails = 0
-    for name in only or QUERIES:
+    for qi, name in enumerate(only or QUERIES):
         t0 = time.time()
         result: dict = {}
+        group = f"gate-{qi}-{name}"
 
-        def attempt(q=name):
+        def attempt(q=name, g=group):
             try:
+                spark.sparkContext.setJobGroup(g, q, interruptOnCancel=True)
                 if q not in ORACLES:
                     n = QUERIES[q](spark, sf).count()
                     result["v"] = (
@@ -61,12 +69,13 @@ def main() -> int:
                         f"rows-only ({n} rows, no oracle: approx-by-design)",
                     )
                 else:
-                    result["v"] = compare(q, spark, con, sf)
+                    result["v"] = compare(q, spark, result["con"], sf)
             except Exception as e:  # surface, keep going
                 result["v"] = (
                     False, f"EXCEPTION {type(e).__name__}: {str(e)[:300]}"
                 )
 
+        result["con"] = con
         worker = threading.Thread(target=attempt, daemon=True)
         worker.start()
         worker.join(budget if budget > 0 else None)
@@ -76,11 +85,14 @@ def main() -> int:
             except Exception:
                 pass
             try:
-                spark.sparkContext.cancelAllJobs()
+                spark.sparkContext.cancelJobGroup(group)
             except Exception:
                 pass
             worker.join(30)
             ok, msg = False, f"TIMEOUT after {budget:.0f}s (watchdog)"
+            # abandon the (possibly busy) connection to the zombie
+            # thread; later queries get a fresh one
+            con = duck_connection(sf)
         else:
             ok, msg = result["v"]
         print(f"{'PASS' if ok else 'FAIL'} {name:34s} {time.time() - t0:6.1f}s {msg}")

@@ -1110,6 +1110,20 @@ class TestMediaAudioQuality:
                 if nz.size > 1 else 0
             assert a["n_zero_cross"] == expect_zc
 
+    def test_empty_data_chunk_routes_out(self):
+        """A valid WAV header with a ZERO-LENGTH data chunk returns
+        None (not n_samples=0) — downstream ppm ratios divide by
+        n_samples and ANSI mode would abort the job (review r12)."""
+        import struct
+
+        from ayeaye_spark.operators.multimodal import exact_audio_stats
+
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16) + fmt
+               + b"data" + struct.pack("<I", 0))
+        assert exact_audio_stats(wav) is None
+
     def test_media_audio_quality_golden(self, spark):
         from ayeaye_spark.catalog import QUERIES
 
@@ -5025,6 +5039,17 @@ class TestVideoNearDup:
         assert multimodal.parse_webm_header(webm[:20])["format"] == "webm"
         assert multimodal.parse_webm_header(b"not-ebml") is None
         assert multimodal.header_decode(webm)["format"] == "webm"
+        # adversarial deep nesting must not blow the stack (review
+        # r12: ~1500 nested unknown-size Video containers raised
+        # RecursionError straight through header_decode)
+        bomb = (b"\x1a\x45\xdf\xa3" + b"\x80"
+                + (b"\xe0" + b"\x01" + b"\xff" * 7) * 1500)
+        got_bomb = multimodal.parse_webm_header(bomb)
+        assert got_bomb is not None and got_bomb["format"] == "webm"
+        # 1-byte unknown-size marker 0xFF must descend, not cap at 127
+        big_info = elem(b"\x15\x49\xa9\x66", b"\x00" * 200) + info
+        unk1 = ebml_hdr + b"\x18\x53\x80\x67" + b"\xff" + big_info + tracks
+        assert multimodal.parse_webm_header(unk1)["duration_ms"] == 12500
 
     def test_id3_tags(self, spark):
         """ID3v2.3 and v2.4 text frames, utf-16/utf-8 encodings, COMM
@@ -5049,7 +5074,17 @@ class TestVideoNearDup:
             frame(b"TPE1", b"\x01" + "Café Trio".encode("utf-16")),
             frame(b"TYER", b"\x001987"),
             frame(b"COMM", b"\x00engnote\x00a test comment"),
+            # UTF-16 COMM with a NON-EMPTY descriptor: the 0x0000
+            # terminator sits at an odd offset after ASCII-in-UTF-16
+            # (review r12: a bare find() sheared the alignment)
+            frame(b"TCON", b"\x01" + "Synth".encode("utf-16")),
         ])
+        u16_comm = tag([frame(
+            b"COMM",
+            b"\x01eng" + "A".encode("utf-16") + b"\x00\x00"
+            + "hello".encode("utf-16"),
+        )])
+        assert multimodal.parse_id3_tags(u16_comm)["comment"] == "hello"
         got = multimodal.parse_id3_tags(t3)
         assert got["title"] == "Night Drive"
         assert got["artist"] == "Café Trio"
