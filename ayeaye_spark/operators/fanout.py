@@ -1,0 +1,72 @@
+"""Scale-adaptive fan-out for compute-heavy narrow stages.
+
+Heavy per-row compute (Arrow/pandas text passes, shingle-hash HOF
+chains) inherits the parallelism of the SCAN feeding it.  A small input
+— one parquet file, one row group — arrives as a single split, so the
+expensive stage runs on ONE task while the rest of the cluster idles
+(guide §2.6 stragglers / §6 input split size).  A production corpus has
+thousands of splits and no such problem.
+
+:func:`fan_out_small` closes that gap without hurting the scale path:
+it inserts one round-robin ``repartition(defaultParallelism)`` ONLY
+when the input is a narrow single-scan chain over fewer files than the
+session's parallelism.  Anything already wide (more files than cores),
+anything downstream of a shuffle/aggregate/join (already
+shuffle-partitioned), any checkpointed lineage, and any streaming frame
+is returned untouched — at 100 TB this helper is a no-op by
+construction, mirroring the gate ``pca_embeddings`` has used since
+round 8 (`similarity.py`: "at scale the input already has many
+partitions and this branch never fires").
+
+The probe reads only the UNANALYZED logical plan string and the scan's
+file listing — no job, no AQE stage materialization, no codegen.
+Round-robin repartition is retry-deterministic (Spark sorts before
+repartition by default, SPARK-23207) and every downstream consumer in
+this engine is partitioning-invariant by the repo's exactness design
+(integer/decimal arithmetic, sorted collects), so results are
+bit-identical with and without the fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: Logical-plan node names that mark the input as NOT a narrow
+#: single-scan chain.  "Sort"/"Limit" are conservative (a repartition
+#: would destroy an ordering contract); "LogicalRDD" is a checkpoint
+#: boundary whose width we cannot see; "Generate" fans out rows itself.
+_WIDE_MARKERS = (
+    "Join",
+    "Aggregate",
+    "Repartition",
+    "Window",
+    "Sort",
+    "Limit",
+    "LogicalRDD",
+    "Union",
+    "Generate",
+    "Deduplicate",
+)
+
+
+def fan_out_small(df: DataFrame, *, target: int | None = None) -> DataFrame:
+    """Round-robin repartition a SMALL narrow input to session
+    parallelism; identity for wide, composed, checkpointed or streaming
+    inputs (see module docstring).  Safe to call unconditionally in
+    front of compute-heavy narrow stages."""
+    try:
+        if df.isStreaming:
+            return df
+        spark = df.sparkSession
+        par = target or spark.sparkContext.defaultParallelism
+        if par <= 1:
+            return df
+        plan = df._jdf.queryExecution().logical().toString()
+        if any(m in plan for m in _WIDE_MARKERS):
+            return df
+        files = df.inputFiles()
+        if not files or len(files) >= par:
+            return df
+    except Exception:  # probing must never break the query path
+        return df
+    return df.repartition(par)
