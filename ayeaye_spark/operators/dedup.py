@@ -119,6 +119,9 @@ def with_shingle_hashes(
     once distinct shingles approach 10⁶ (collision envelope: K²/2⁶⁵ vs
     K²/2·10⁹ expected false-equal shingle pairs).
     """
+    from .fanout import fan_out_small
+
+    df = fan_out_small(df)
     return (
         df.withColumn("_tokens", F.expr(P.tokens(text_col, SPARK)))
         .withColumn("_th", F.expr(P.hash_array("_tokens", SPARK, hash_mode)))
@@ -157,8 +160,9 @@ def minhash_signatures_vectorized(
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
     from ..functions import portable_py as PY
+    from .fanout import fan_out_small
 
-    src = df.select(id_col, text_col, *extra_cols)
+    src = fan_out_small(df.select(id_col, text_col, *extra_cols))
     schema = StructType(
         [StructField("_id", LongType()),
          StructField("minhash", ArrayType(LongType())),
@@ -202,8 +206,9 @@ def shingle_hashsets_vectorized(
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
     from ..functions import portable_py as PY
+    from .fanout import fan_out_small
 
-    src = df.select(id_col, text_col, *extra_cols)
+    src = fan_out_small(df.select(id_col, text_col, *extra_cols))
     schema = StructType(
         # _id inherits the source dtype — hardcoding long broke string ids
         [StructField("_id", src.schema[id_col].dataType),
@@ -237,6 +242,7 @@ def simhash_vectorized(
     traversals.  ``fp_bits`` selects the compact (32) or wide (60)
     fingerprint."""
     from ..functions import portable_py as PY
+    from .fanout import fan_out_small
 
     fp = {32: PY.simhash32, 60: PY.simhash60}[fp_bits]
 
@@ -255,7 +261,9 @@ def simhash_vectorized(
                 ],
             })
 
-    return df.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, simhash long")
+    return fan_out_small(df.select(id_col, text_col)).mapInPandas(
+        gen, f"{id_col} long, simhash long"
+    )
 
 
 def minhash_lsh_pairs(
@@ -1547,7 +1555,10 @@ def remove_repeated_spans(
     sorted-array fold; the rewrite itself is a per-row higher-order
     filter — no corpus-wide window, no self-join, no quadratic stage.
     """
+    from .fanout import fan_out_small
+
     _tune_session(df)
+    df = fan_out_small(df)
     text = f"coalesce({text_col}, '')"
     base = (
         df.select(

@@ -149,8 +149,9 @@ def profile_vectorized(
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from ..functions import portable_py as PY
+    from .fanout import fan_out_small
 
-    src = df.select(id_col, text_col, *extra_cols)
+    src = fan_out_small(df.select(id_col, text_col, *extra_cols))
     schema = StructType(
         [src.schema[id_col],
          StructField("lang_pred", StringType()),
@@ -417,9 +418,11 @@ def with_gopher_flags(df: DataFrame, text_col: str) -> DataFrame:
     repetition/format signals as exact integer ppm plus the composed
     pass/fail predicate.  Tokenizes ONCE (materialized ``_tokens``
     column); one scan, no shuffle, every expression JVM-side."""
+    from .fanout import fan_out_small
+
     had = "_tokens" in df.columns
     out = (
-        _with_tokens(df, text_col)
+        _with_tokens(fan_out_small(df), text_col)
         .withColumn("n_words", F.expr(P.size("_tokens", SPARK)).cast("bigint"))
         .withColumn(
             "mean_word_len_ppm", F.expr(P.mean_token_len_ppm("_tokens", SPARK))

@@ -1,0 +1,83 @@
+"""fan_out_small (operators/fanout.py): the round-12 scale-adaptive
+fan-out for compute-heavy narrow stages.
+
+Contract under test:
+
+* a SMALL narrow single-scan chain (fewer input files than the session's
+  parallelism) gets exactly one round-robin repartition to
+  ``defaultParallelism`` — the straggler fix for one-split scans;
+* anything already wide or composed — downstream of a join, aggregate,
+  repartition, generate, checkpoint, or a streaming frame — is returned
+  untouched (identity object, not merely equal plan), so at 100 TB the
+  helper is a no-op by construction;
+* results are row-identical with and without the fan-out (round-robin
+  repartition reorders rows only).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ayeaye_spark.catalog import load
+from ayeaye_spark.operators.fanout import fan_out_small
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestFanOutSmall:
+    def test_small_narrow_scan_fans_out(self, spark):
+        docs = load(spark, SF, "documents").select("doc_id", "text")
+        out = fan_out_small(docs)
+        assert out is not docs
+        par = spark.sparkContext.defaultParallelism
+        assert out.rdd.getNumPartitions() == par
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "RoundRobinPartitioning" in plan
+        assert "hashpartitioning" not in plan
+
+    def test_identity_after_aggregate(self, spark):
+        agg = (
+            load(spark, SF, "documents")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert fan_out_small(agg) is agg
+
+    def test_identity_after_join(self, spark):
+        docs = load(spark, SF, "documents")
+        emb = load(spark, SF, "embeddings")
+        joined = docs.join(emb, docs.doc_id == emb.vec_id)
+        assert fan_out_small(joined) is joined
+
+    def test_identity_after_repartition(self, spark):
+        df = load(spark, SF, "documents").repartition(4)
+        assert fan_out_small(df) is df
+
+    def test_identity_after_checkpoint(self, spark):
+        df = load(spark, SF, "documents").localCheckpoint(eager=True)
+        assert fan_out_small(df) is df
+
+    def test_identity_for_streaming(self, spark):
+        schema = load(spark, SF, "documents").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(SF)
+        )
+        assert fan_out_small(stream) is stream
+
+    def test_rows_identical(self, spark):
+        docs = load(spark, SF, "documents").select("doc_id", "text")
+        a = sorted((r["doc_id"], r["text"]) for r in docs.collect())
+        b = sorted((r["doc_id"], r["text"]) for r in fan_out_small(docs).collect())
+        assert a == b
+
+    def test_wide_input_untouched(self, spark):
+        # more files than parallelism -> no fan-out
+        docs = load(spark, SF, "documents")
+        par = spark.sparkContext.defaultParallelism
+        many = docs.sparkSession.read.parquet(
+            *([f"{SF}/documents.parquet"] * 1)
+        )
+        # single file but target=1 (par <= 1) -> identity
+        assert fan_out_small(many, target=1) is many
+        assert len(docs.inputFiles()) < par  # precondition of the small path

@@ -518,7 +518,16 @@ class TestSessionFourOperatorPlans:
 
         docs = load(spark, SF, "documents").select("doc_id", "text")
         plan = physical_plan(textops.with_gopher_flags(docs, "text"))
-        assert "Exchange" not in plan  # pure scan + project
+        # r12: a single small-input fan-out (round-robin, no key) is the
+        # ONLY allowed exchange — it widens the compute-heavy token/HOF
+        # chain past the one-split scan and is a no-op once the input
+        # has >= defaultParallelism files (see operators/fanout.py).
+        # What must never appear is a KEY shuffle (hashpartitioning) —
+        # the profile itself stays aggregation- and join-free.
+        assert "hashpartitioning" not in plan
+        assert plan.count("Exchange") <= 1
+        if "Exchange" in plan:
+            assert "RoundRobinPartitioning" in plan
         assert plan.count("FileScan") == 1
 
 
