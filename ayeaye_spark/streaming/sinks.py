@@ -329,7 +329,15 @@ def minhash_dedup_sink(
         target = _join(state_dir, f"v={batch_id}")
         if _is_committed(spark, target):
             return  # replayed batch: already folded
-        batch = df.select(id_col, text_col).dropDuplicates([id_col])
+        # detach the narrow (id, text) projection from the micro-batch
+        # plan: downstream LSH joins/aggregates then plan as a regular
+        # batch query (AQE partition coalescing + runtime join picks),
+        # which the streaming incremental planner disables
+        batch = (
+            df.select(id_col, text_col)
+            .localCheckpoint()
+            .dropDuplicates([id_col])
+        )
         prev = _latest_versioned_state(spark, state_dir, before=batch_id)
         existing = prev if prev is not None else batch.limit(0)
         survivors = minhash_dedup_incremental(
