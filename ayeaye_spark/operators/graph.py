@@ -52,11 +52,18 @@ def connected_components(
     overhead over the raw ids, so 200k edges ≈ tens of MB — not the
     hundreds of MB that 2M rows cost.
     """
-    # ONE execution of the (possibly expensive) edge pipeline: collect up
-    # to threshold+1 rows; only on overflow does the distributed loop
-    # recompute it.  A separate count() would run the pipeline twice.
-    rows = edges.select(src, dst).limit(collect_threshold + 1).collect()
-    if len(rows) <= collect_threshold:
+    # ONE execution of the (possibly expensive) edge pipeline: an eager
+    # localCheckpoint materializes it exactly once; the count and the
+    # (bounded) collect below read the checkpointed blocks, and on
+    # overflow the distributed loop reuses them instead of recomputing
+    # the pipeline.  The previous limit(threshold+1).collect() probe
+    # paid executeTake's partition scale-up PLUS a lazy-checkpoint
+    # completion pass over the same upstream (measured ~2x the pipeline
+    # cost at bench scale), and the overflow branch recomputed
+    # everything from scratch.
+    narrow = edges.select(src, dst).localCheckpoint(eager=True)
+    if narrow.count() <= collect_threshold:
+        rows = narrow.collect()
         parent: dict = {}
 
         def find(x):
@@ -78,18 +85,18 @@ def connected_components(
         return edges.sparkSession.createDataFrame(
             out, schema=edges.select(src, dst).schema
         ).toDF("vertex", "component")
-    return _connected_components_distributed(edges, src, dst, max_iterations)
+    return _connected_components_distributed(narrow, src, dst, max_iterations)
 
 
 def _connected_components_distributed(
     edges: DataFrame, src: str, dst: str, max_iterations: int
 ) -> DataFrame:
-    """Iterative min-label propagation (the any-scale path)."""
-    # materialize the (possibly expensive) edge pipeline once — the
-    # direction-doubling union would otherwise run it per branch
-    narrow = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
-        eager=False
-    )
+    """Iterative min-label propagation (the any-scale path).
+
+    ``edges`` arrives already materialized (the caller's eager
+    checkpoint), so the direction-doubling union below reads cached
+    blocks, not the original edge pipeline."""
+    narrow = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     both = narrow.union(narrow.select(F.col("b").alias("a"), F.col("a").alias("b")))
     both = both.distinct().localCheckpoint(eager=False)
 
