@@ -10448,7 +10448,12 @@ def warc_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import web
     from .sources.warc import http_responses, read_warc
 
-    resp = http_responses(read_warc(spark, ensure_crawl_fixture()))
+    # parse each archive ONCE: the narrow response projection feeds four
+    # consumers (robots split, page split, gate join, link extract) that
+    # would otherwise each re-gunzip + re-parse the archive per scan
+    resp = http_responses(
+        read_warc(spark, ensure_crawl_fixture())
+    ).localCheckpoint(eager=False)
     robots = resp.where(
         F.col("target_uri").endswith("/robots.txt")
     ).select(
