@@ -27,6 +27,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ckpt_observed(df: DataFrame, **metrics) -> tuple[DataFrame, dict]:
+    """Eager ``localCheckpoint`` + aggregate metrics in ONE pass.
+
+    Every loop in this module needs, per round, (a) the round's frame
+    materialized with truncated lineage and (b) a tiny aggregate over
+    that same frame (convergence fingerprint, changed-row count, peel
+    count).  Done naively that is two jobs and two full reads per
+    round; ``Dataset.observe`` puts a ``CollectMetrics`` node at the
+    plan root, so the metrics are computed DURING the checkpoint
+    materialization job and the second read disappears — at corpus
+    scale the saved read is proportional to the edge list, not a
+    constant.  Returns ``(checkpointed_df, {name: value})``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    ck = df.observe(
+        obs, *[v.alias(k) for k, v in metrics.items()]
+    ).localCheckpoint(eager=True)
+    return ck, obs.get
+
+
 def connected_components(
     edges: DataFrame,
     src: str,
@@ -122,7 +144,10 @@ def _connected_components_distributed(
         # long chain at 100 TB would never converge in a bounded loop;
         # compressing label chains each round makes it O(log diameter).
         lab2 = prop.select(F.col("v").alias("lv"), F.col("plabel").alias("llabel"))
-        updated = (
+        # materialize + convergence count in ONE pass (_ckpt_observed):
+        # the changed-row count rides the checkpoint job instead of
+        # re-reading the label table
+        updated, m = _ckpt_observed(
             prop.join(lab2, prop.plabel == lab2.lv, "left")
             .select(
                 "v",
@@ -130,9 +155,12 @@ def _connected_components_distributed(
                     F.col("plabel"), F.coalesce("llabel", F.col("plabel"))
                 ).alias("new_label"),
                 "old_label",
-            )
-        ).localCheckpoint(eager=True)  # materialize: convergence check + lineage cut
-        changed = updated.where(F.col("new_label") != F.col("old_label")).count()
+            ),
+            changed=F.sum(
+                (F.col("new_label") != F.col("old_label")).cast("long")
+            ),
+        )
+        changed = int(m["changed"] or 0)
         labels = updated.select("v", F.col("new_label").alias("label"))
         if changed == 0:
             break
@@ -181,23 +209,21 @@ def connected_components_star(
     round early); correctness of the fixpoint is property-tested
     against union-find and the label-propagation path.
     """
-    # canonical strict edges: u > v, self-loops dropped, deduped once
-    e = (
+    # canonical strict edges: u > v, self-loops dropped, deduped once.
+    # The convergence fingerprint rides each checkpoint's
+    # materialization job (_ckpt_observed) — one pass per round where
+    # checkpoint-then-aggregate was two.
+    _fp_metrics = dict(
+        c=F.count(F.lit(1)), h=F.expr("bit_xor(xxhash64(u, v))")
+    )
+    e, m = _ckpt_observed(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        **_fp_metrics,
     )
-
-    def _fingerprint(df: DataFrame) -> tuple:
-        row = df.agg(
-            F.count(F.lit(1)).alias("c"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).first()
-        return (row["c"], row["h"])
-
-    prev_fp = _fingerprint(e)
+    prev_fp = (m["c"], m["h"])
     for _ in range(max_rounds):
         # ---- large-star: group over BOTH directions of each edge ----
         nbrs = e.select(F.col("u").alias("x"), F.col("v").alias("y")).union(
@@ -217,15 +243,15 @@ def connected_components_star(
         # ---- small-star: canonical edges all group at their LARGE
         # endpoint, so N(u)∩{<=u} is exactly the v side of (u, v) ----
         smins = large.groupBy("u").agg(F.min("v").alias("m"))
-        e = (
+        e, m = _ckpt_observed(
             large.join(smins, "u")
             .where(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(smins.select("u", F.col("m").alias("v")))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            **_fp_metrics,
         )
-        fp = _fingerprint(e)
+        fp = (m["c"], m["h"])
         if fp == prev_fp:
             break
         prev_fp = fp
@@ -298,14 +324,13 @@ def k_core(
     for _ in range(max_rounds):
         # the (small) peel frontier is materialized once per round and
         # feeds the emptiness check + both anti-joins without replaying
-        # the degree aggregate
-        low = (
-            _degrees(e)
-            .where(F.col("degree") < k)
-            .select("vertex")
-            .localCheckpoint(eager=True)
+        # the degree aggregate; the emptiness count rides the
+        # checkpoint job (_ckpt_observed) instead of a second action
+        low, m = _ckpt_observed(
+            _degrees(e).where(F.col("degree") < k).select("vertex"),
+            n=F.count(F.lit(1)),
         )
-        if low.isEmpty():
+        if int(m["n"] or 0) == 0:
             break
         e = (
             e.join(low, e.u == low.vertex, "left_anti")
@@ -498,13 +523,14 @@ def pagerank_exact(
         )
         .localCheckpoint(eager=False)
     )
-    nodes = (
+    # node table materialization + node count in one pass
+    nodes, _m = _ckpt_observed(
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        n=F.count(F.lit(1)),
     )
-    n_nodes = nodes.count()
+    n_nodes = int(_m["n"] or 0)
     if n_nodes == 0:  # empty edge list -> empty ranking (both paths)
         from pyspark.sql import types as T
 
