@@ -5984,7 +5984,11 @@ def pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed AFTER the surgery (boilerplate removal changes scores)."""
     docs = load(spark, sf_dir, "documents")
     surgery = dedup.remove_repeated_spans(docs, "doc_id", "text", n=5, min_docs=2)
-    clean = surgery.where(F.col("total_tokens") - F.col("removed_tokens") > 0)
+    # clean feeds the quality pass AND the kept join: materialize the
+    # rewritten corpus once instead of replaying the span surgery
+    clean = surgery.where(
+        F.col("total_tokens") - F.col("removed_tokens") > 0
+    ).localCheckpoint(eager=False)
     q = textops.profile_vectorized(clean, "doc_id", "clean_text").select(
         "doc_id", "quality_ppm"
     )
