@@ -1718,8 +1718,14 @@ def train_hashed_classifier(
                 "h", f"pmod(h, {dim})", SPARK,
             )
         ).alias("_f"),
-    ).where(F.expr("size(_f) > 0")).localCheckpoint(eager=False)
-    n_docs = feats.count()
+    ).where(F.expr("size(_f) > 0"))
+    # corpus count rides the feature checkpoint's materialization job
+    # (one pass, not checkpoint + count)
+    from pyspark.sql import Observation
+
+    _obs = Observation()
+    feats = feats.observe(_obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+    n_docs = int(_obs.get["n"] or 0)
     if n_docs == 0:
         raise ValueError("train_hashed_classifier: no non-empty documents")
 
@@ -1738,9 +1744,26 @@ def train_hashed_classifier(
             "_y", "_f",
             F.expr(f"1.0D / (1.0D + exp(-({margin})))").alias("_p"),
         )
-        # gradient by feature id: residual spread over the doc's tokens
+        # gradient by feature id, with the monitoring aggregates
+        # (exact-integer accuracy count + float loss) OBSERVED on the
+        # pre-explode rows of the SAME job — one corpus scan per
+        # iteration where gradient-then-stats was two (the margin fold
+        # is also evaluated once, not twice)
+        obs = Observation()
         grad = (
-            scored.select(
+            scored.observe(
+                obs,
+                F.sum(
+                    ((F.col("_p") >= 0.5) == (F.col("_y") >= 0.5)).cast("long")
+                ).alias("_ok"),
+                F.sum(
+                    F.expr(
+                        "-(_y * log(greatest(_p, 1e-12)) "
+                        "+ (1.0D - _y) * log(greatest(1.0D - _p, 1e-12)))"
+                    )
+                ).alias("_loss"),
+            )
+            .select(
                 (F.col("_p") - F.col("_y")).alias("_r"),
                 F.expr("size(_f)").alias("_n"),
                 F.explode("_f").alias("_fid"),
@@ -1756,18 +1779,7 @@ def train_hashed_classifier(
             wi - lr * (gi / n_docs + l2 * wi)
             for wi, gi in zip(w, g)
         ]
-        # monitoring: exact integer accuracy + float loss
-        stats = scored.select(
-            F.sum(
-                ((F.col("_p") >= 0.5) == (F.col("_y") >= 0.5)).cast("long")
-            ).alias("_ok"),
-            F.sum(
-                F.expr(
-                    "-(_y * log(greatest(_p, 1e-12)) "
-                    "+ (1.0D - _y) * log(greatest(1.0D - _p, 1e-12)))"
-                )
-            ).alias("_loss"),
-        ).collect()[0]
+        stats = obs.get
         history.append(
             (it, int(stats["_ok"]) * 1_000_000 // n_docs,
              float(stats["_loss"]) / n_docs)
