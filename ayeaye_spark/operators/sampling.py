@@ -539,8 +539,13 @@ def systematic_weighted_sample(
         bucket_expr_sql=f"{id_col} div {id_bucket_width}",
         out_col="_cum",
     )
-    cum = cum.localCheckpoint(eager=False)  # reused by total + selection
-    total = cum.agg(F.max("_cum").alias("_w")).collect()[0]["_w"]
+    # reused by total + selection; the total-weight max rides the
+    # checkpoint materialization job (observe) instead of a second read
+    from pyspark.sql import Observation
+
+    _obs = Observation()
+    cum = cum.observe(_obs, F.max("_cum").alias("_w")).localCheckpoint()
+    total = _obs.get["_w"]
     stride = max(1, total // n)
     offset = stride // 2
     # hits in (cum-w, cum]: floor((cum-offset)/stride) - floor((cum-w-offset)/stride)
