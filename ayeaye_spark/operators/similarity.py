@@ -1223,9 +1223,12 @@ def semantic_dedup_pairs(
     unseen — the SemDeDup trade); the oracle replays the identical
     assignment, so results hash-match exactly.
     """
+    # both self-join aliases read the assignment: the Arrow pass is
+    # opaque to Catalyst (no exchange reuse), so without materialization
+    # each side re-runs the assignment scan
     cells = assign_cells_vectorized(
         corpus, centroids, id_col=id_col, vec_col=vec_col
-    )
+    ).localCheckpoint(eager=False)
     l = cells.select(
         F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "centroid_id"
     )
