@@ -2724,11 +2724,15 @@ def emb_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = 40
     emb = load(spark, sf_dir, "embeddings")
     assigned = similarity.kmeans_embeddings(emb, k=8, iters=3)
+    # the rank plan consumes its input twice (histogram + join-back) and
+    # the k-means assignment is an opaque Arrow pass Catalyst cannot
+    # dedupe — materialize the assignment once (same convention as
+    # pipeline_curation_v2's `sized` checkpoint)
     keyed = assigned.withColumn(
         "hash_bucket",
         F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
         .cast("long"),
-    )
+    ).localCheckpoint(eager=False)
     ranked = relational.grouped_rank_exact(
         keyed, "cluster", "hash_bucket", "vec_id", out_rank="rk", out_n="n"
     )
