@@ -2887,7 +2887,9 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.where(F.col("vec_id") % 50 == 0)
     # queries ⊆ corpus → assign cells once (vectorized — bit-identical to
     # the HOF assignment), filter the query side from it
-    cells = similarity.assign_cells_vectorized(emb, centroids)
+    cells = similarity.assign_cells_vectorized(emb, centroids).localCheckpoint(
+        eager=False
+    )  # corpus side + broadcast query side both read the one Arrow pass
     return similarity.ivf_topk_from_cells(cells, cells.where(F.col("vec_id") < 10), k=5)
 
 
@@ -5297,7 +5299,9 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast); the join is on 50 candidate rows.  Exact integer ppm."""
     emb = load(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") % 50 == 0)
-    cells = similarity.assign_cells_vectorized(emb, centroids)
+    cells = similarity.assign_cells_vectorized(emb, centroids).localCheckpoint(
+        eager=False
+    )  # corpus side + broadcast query side both read the one Arrow pass
     ivf = similarity.ivf_topk_from_cells(
         cells, cells.where(F.col("vec_id") < 10), k=5
     ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
@@ -9382,7 +9386,9 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (the oracle replays the identical cell assignment)."""
     emb = load(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") % 50 == 0)
-    cells = similarity.assign_cells_vectorized(emb, centroids)
+    cells = similarity.assign_cells_vectorized(emb, centroids).localCheckpoint(
+        eager=False
+    )  # corpus side + broadcast query side both read the one Arrow pass
     ivf = similarity.ivf_topk_from_cells(
         cells, cells.where(F.col("vec_id") < 10), k=5
     ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
