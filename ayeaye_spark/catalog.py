@@ -4827,10 +4827,11 @@ def dedup_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles are those of the underlying banded LSH join."""
     from pyspark.sql import Window as W
 
+    # both union branches of the symmetrization read the pair pipeline
     pairs = dedup.minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), "doc_id", "text",
         n=3, k=16, bands=4, threshold=0.3,
-    )
+    ).localCheckpoint(eager=False)
     sym = pairs.select(
         F.col("doc_id_a").alias("doc_id"),
         F.col("doc_id_b").alias("neighbor_id"),
