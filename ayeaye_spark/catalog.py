@@ -2916,8 +2916,12 @@ def _lsh_sig_duck() -> str:
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     # bucket the corpus once (vectorized signature — same sign pattern as
-    # the SQL expression); the query side filters the bucketed frame
-    bucketed = similarity.with_lsh_bucket_vectorized(emb)
+    # the SQL expression); the query side filters the bucketed frame, so
+    # checkpoint the opaque Arrow pass at the fan point (same shared-
+    # sides fix as the IVF cell assignments) or it runs once per side
+    bucketed = similarity.with_lsh_bucket_vectorized(emb).localCheckpoint(
+        eager=False
+    )
     c = bucketed.select(F.col("vec_id").alias("neighbor_id"),
                         F.col("embedding").alias("_cvec"), "bucket")
     q = bucketed.where(F.col("vec_id") < 10).select(
@@ -5786,15 +5790,23 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-method evaluation: how the MinHash-LSH and SimHash pair
     sets overlap (both / only-one counts) — the comparison a curation
     team runs when choosing thresholds, analogous to ``ann_ivf_recall``
-    on the vector side.  Reuses the exact catalog entries (same
-    parameters as their oracles); one full outer join over the two
-    candidate-pair sets, grouped into a 3-row report."""
-    mh = QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
-        "doc_id_a", "doc_id_b"
-    ).alias("m")
-    sh = QUERIES["dedup_simhash_near_pairs"](spark, sf_dir).select(
-        "doc_id_a", "doc_id_b"
-    ).alias("s")
+    on the vector side.  Same parameters (and results) as the two pair
+    catalog entries, but the corpus is scanned/tokenized ONCE: the
+    fused ``two_signature_vectorized`` pass emits both signatures,
+    checkpointed at the fan point so each pair pipeline reads the
+    materialized blocks instead of re-running the Arrow scan; one full
+    outer join over the two candidate-pair sets, grouped into a 3-row
+    report."""
+    sig = dedup.two_signature_vectorized(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, k=16,
+    ).localCheckpoint(eager=False)
+    mh = dedup.minhash_lsh_pairs_from_signatures(
+        sig, "doc_id", k=16, bands=4, threshold=0.3,
+    ).select("doc_id_a", "doc_id_b").alias("m")
+    sh = dedup.hamming_near_pairs(
+        sig.select(F.col("_id").alias("doc_id"), "simhash"),
+        "doc_id", "simhash", fp_bits=32, max_hamming=3, bands=4,
+    ).select("doc_id_a", "doc_id_b").alias("s")
     joined = mh.join(
         sh,
         (F.col("m.doc_id_a") == F.col("s.doc_id_a"))
@@ -6649,10 +6661,12 @@ def dedup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate hubs (and predicts big connected components) before
     the transitive-closure pass is ever run.  Symmetrize the pair list,
     two map-side-combined counts."""
+    # both union branches of the symmetrization read the pair pipeline;
+    # materialize it once (same fan-point fix as dedup_nearest_neighbor)
     pairs = dedup.minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), "doc_id", "text",
         n=3, k=16, bands=4, threshold=0.3,
-    )
+    ).localCheckpoint(eager=False)
     deg = (
         pairs.select(F.col("doc_id_a").alias("doc_id"))
         .unionAll(pairs.select(F.col("doc_id_b").alias("doc_id")))
@@ -8925,12 +8939,14 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
     signature-only dedup at scale).  One signature pass feeds both
     numbers; aggregate output is a single row."""
     docs = load(spark, sf_dir, "documents")
-    # checkpointed: BOTH pair-side joins read this one Arrow pass
+    # checkpointed: the LSH pair pipeline AND both pair-side joins read
+    # this ONE Arrow pass (minhash_lsh_pairs over the raw docs would
+    # re-run the whole signature scan a second time)
     sig = dedup.minhash_signatures_vectorized(
         docs, "doc_id", "text", n=3, k=16
     ).localCheckpoint(eager=False)
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, k=16, bands=4, threshold=0.3
+    pairs = dedup.minhash_lsh_pairs_from_signatures(
+        sig, "doc_id", k=16, bands=4, threshold=0.3
     ).select(F.col("doc_id_a").alias("ida"), F.col("doc_id_b").alias("idb"))
     a = sig.select(F.col("_id").alias("ida"), F.col("minhash").alias("mha"),
                    F.col("_hashset").alias("hsa"))

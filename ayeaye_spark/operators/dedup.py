@@ -266,6 +266,55 @@ def simhash_vectorized(
     )
 
 
+def two_signature_vectorized(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = 16,
+    fp_bits: int = 32,
+) -> DataFrame:
+    """(_id, minhash, _hashset, simhash) in ONE Arrow pass: the corpus
+    is scanned and tokenized once, and the token-hash array feeds BOTH
+    the MinHash shingle chain and the SimHash bit-sum — bit-identical to
+    running :func:`minhash_signatures_vectorized` and
+    :func:`simhash_vectorized` separately (same ``portable_py`` calls),
+    at half the scans/tokenizations.  For consumers that need both
+    signatures over the same corpus (method-agreement evaluation);
+    checkpoint the result before fanning it out to the two pair
+    pipelines, as the Arrow pass is opaque to exchange reuse."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from ..functions import portable_py as PY
+    from .fanout import fan_out_small
+
+    fp = {32: PY.simhash32, 60: PY.simhash60}[fp_bits]
+    src = fan_out_small(df.select(id_col, text_col))
+    schema = StructType([
+        StructField("_id", src.schema[id_col].dataType),
+        StructField("minhash", ArrayType(LongType())),
+        StructField("_hashset", ArrayType(LongType())),
+        StructField("simhash", LongType()),
+    ])
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cache: dict[str, int] = {}
+            ids, sigs, sets, sims = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                th = PY.token_hashes(PY.tokens(text or ""), cache)
+                sh = PY.shingle_hashes(th, n)
+                ids.append(doc_id)
+                sigs.append(PY.minhash(sh, k).tolist())
+                sets.append(sh.tolist())
+                sims.append(fp(th))
+            yield pd.DataFrame(
+                {"_id": ids, "minhash": sigs, "_hashset": sets, "simhash": sims}
+            )
+
+    return src.mapInPandas(gen, schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -330,6 +379,34 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_from_signatures(
+    sig: DataFrame,
+    id_col: str,
+    *,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    strategy: str = "bucket",
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` stages 2-4 (band → bucket → verify)
+    over a PRECOMPUTED ``(_id, minhash, _hashset)`` frame — identical
+    results when the frame came from
+    :func:`minhash_signatures_vectorized` /
+    :func:`two_signature_vectorized` with the same parameters."""
+    _tune_session(sig)
+    candidates = _banded_candidates_from_sig(
+        sig.select("_id", "minhash", "_hashset"),
+        k=k, bands=bands, strategy=strategy, max_bucket_size=max_bucket_size,
+    )
+    verified = candidates.withColumn(
+        "jaccard", F.expr(P.jaccard("set_a", "set_b", SPARK))
+    ).where(F.col("jaccard") >= threshold)
+    return verified.select(
+        F.col("id_a").alias(f"{id_col}_a"), F.col("id_b").alias(f"{id_col}_b"), "jaccard"
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -360,7 +437,6 @@ def lsh_candidate_pairs(
     the separator cannot alias across blocks.
     """
     _tune_session(df)
-    r = k // bands
     if signature == "vectorized" and hash_mode == P.PORTABLE:
         sig = minhash_signatures_vectorized(
             df, id_col, text_col, n=n, k=k,
@@ -377,6 +453,26 @@ def lsh_candidate_pairs(
             F.array_distinct("shingle_hashes").alias("_hashset"),
             *([F.col(block_col).alias("_blk")] if block_col else []),
         )
+    return _banded_candidates_from_sig(
+        sig, k=k, bands=bands, strategy=strategy,
+        max_bucket_size=max_bucket_size, block_col=block_col,
+    )
+
+
+def _banded_candidates_from_sig(
+    sig: DataFrame,
+    *,
+    k: int,
+    bands: int,
+    strategy: str = "bucket",
+    max_bucket_size: int = 64,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Stages 2-3 of :func:`minhash_lsh_pairs` over a PRECOMPUTED
+    signature frame ``(_id, minhash, _hashset[, _blk])`` — split out so
+    consumers that already hold the signatures (e.g. the fused
+    :func:`two_signature_vectorized` pass) skip the signature scan."""
+    r = k // bands
     if block_col:
         # NULL block never pairs (matches the oracle's a.blk = b.blk);
         # length prefix makes "a-1" vs "a" unambiguous in the joined key

@@ -1653,6 +1653,37 @@ class TestReviewRegressions2:
         assert plan.count("MapInPandas") == 1 and "Join" not in plan
 
 
+class TestTwoSignatureFused:
+    def test_fused_pass_matches_separate_signatures_and_pairs(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " extra"), (3, ""),
+             (4, "completely unrelated words here none match at all")],
+            ["doc_id", "text"],
+        )
+        fused = dedup.two_signature_vectorized(df, "doc_id", "text", n=3, k=16)
+        sep_mh = {r["_id"]: (r["minhash"], sorted(r["_hashset"])) for r in
+                  dedup.minhash_signatures_vectorized(
+                      df, "doc_id", "text", n=3, k=16).collect()}
+        sep_sh = {r["doc_id"]: r["simhash"] for r in
+                  dedup.simhash_vectorized(df, "doc_id", "text").collect()}
+        for r in fused.collect():
+            assert (r["minhash"], sorted(r["_hashset"])) == sep_mh[r["_id"]]
+            assert r["simhash"] == sep_sh[r["_id"]]
+        # one Arrow pass, and stages 2-4 over the fused frame reproduce
+        # the end-to-end operator's pairs exactly
+        plan = fused._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1
+        from_sig = {(p["doc_id_a"], p["doc_id_b"], p["jaccard"]) for p in
+                    dedup.minhash_lsh_pairs_from_signatures(
+                        fused, "doc_id", k=16, bands=4, threshold=0.3).collect()}
+        end_to_end = {(p["doc_id_a"], p["doc_id_b"], p["jaccard"]) for p in
+                      dedup.minhash_lsh_pairs(df, "doc_id", "text",
+                                              n=3, k=16, bands=4,
+                                              threshold=0.3).collect()}
+        assert from_sig == end_to_end and (1, 2) in {p[:2] for p in from_sig}
+
+
 class TestAutoShingleDf:
     def test_auto_prunes_hot_shingles_only(self, spark):
         common = "aa bb cc"
