@@ -2426,15 +2426,24 @@ def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     be the truncated/boilerplate copy).  One aggregate per component:
     ``min(struct(-quality, id))`` is the arg-max, no per-component
     window; quality comes from the same bit-identical vectorized
-    profile the doc_quality query pins."""
+    profile the doc_quality query pins.  The signature pass and the
+    quality profile read the same corpus, so the fused
+    ``signature_profile_vectorized`` pass scans/tokenizes it ONCE
+    (checkpointed at the fan point) — same ``portable_py`` calls,
+    identical values."""
     from .operators.graph import dedup_components
 
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=16, bands=4,
-                                    threshold=0.3)
+    fused = dedup.signature_profile_vectorized(
+        docs, "doc_id", "text", n=3, k=16
+    ).localCheckpoint(eager=False)
+    pairs = dedup.minhash_lsh_pairs_from_signatures(
+        fused, "doc_id", k=16, bands=4, threshold=0.3
+    )
     comps = dedup_components(docs, pairs, "doc_id").select("doc_id", "component")
-    q = textops.profile_vectorized(docs, "doc_id", "text").select(
-        "doc_id", F.coalesce("quality_ppm", F.lit(-1)).alias("_q")
+    q = fused.select(
+        F.col("_id").alias("doc_id"),
+        F.coalesce("quality_ppm", F.lit(-1)).alias("_q"),
     )
     return (
         comps.join(q, on="doc_id")
@@ -2797,12 +2806,24 @@ def label_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM-data-pipeline story in one plan: MinHash-LSH dedup →
     language ID + quality scoring → quality filter → per-language corpus
-    stats.  Every stage is the operator library composing lazily — one
-    Catalyst plan, no intermediate materialization."""
+    stats.  The dedup signature pass and the lang-ID/quality profile
+    read the same documents, so the fused
+    ``signature_profile_vectorized`` pass scans/tokenizes the corpus
+    ONCE (checkpointed at the fan point); the survivor anti-join then
+    keeps the already-computed profile columns — same ``portable_py``
+    calls and the same survivor set as the two-pass plan, identical
+    values."""
     docs = load(spark, sf_dir, "documents")
-    survivors = dedup.minhash_dedup(docs, "doc_id", "text", n=3, k=16, bands=4,
-                                    threshold=0.3)
-    profiled = textops.profile_vectorized(survivors, "doc_id", "text")
+    fused = dedup.signature_profile_vectorized(
+        docs, "doc_id", "text", n=3, k=16
+    ).localCheckpoint(eager=False)
+    pairs = dedup.minhash_lsh_pairs_from_signatures(
+        fused, "doc_id", k=16, bands=4, threshold=0.3
+    )
+    dropped = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    profiled = fused.select(
+        F.col("_id").alias("doc_id"), "lang_pred", "quality_ppm"
+    ).join(dropped, on="doc_id", how="left_anti")
     return (
         profiled.where(F.col("quality_ppm") >= 400000)
         .groupBy("lang_pred")

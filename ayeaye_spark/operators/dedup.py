@@ -315,6 +315,61 @@ def two_signature_vectorized(
     return src.mapInPandas(gen, schema)
 
 
+def signature_profile_vectorized(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = 16,
+) -> DataFrame:
+    """(_id, minhash, _hashset, lang_pred, quality_ppm) in ONE Arrow
+    pass: the corpus is scanned and tokenized once, and the token list
+    feeds BOTH the MinHash shingle chain and the lang-ID/quality
+    profile — bit-identical to running
+    :func:`minhash_signatures_vectorized` and
+    ``text.profile_vectorized`` separately (same ``portable_py``
+    calls), at half the scans/tokenizations.  For the dedup→profile
+    pipelines (quality-aware survivor selection, clean-corpus) where
+    both stages read the same documents; checkpoint the result before
+    fanning it out, as the Arrow pass is opaque to exchange reuse."""
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    from ..functions import portable_py as PY
+    from .fanout import fan_out_small
+
+    src = fan_out_small(df.select(id_col, text_col))
+    schema = StructType([
+        StructField("_id", src.schema[id_col].dataType),
+        StructField("minhash", ArrayType(LongType())),
+        StructField("_hashset", ArrayType(LongType())),
+        StructField("lang_pred", StringType()),
+        StructField("quality_ppm", LongType()),
+    ])
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cache: dict[str, int] = {}
+            ids, sigs, sets, langs, quals = [], [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                t = text or ""
+                toks = PY.tokens(t)
+                th = PY.token_hashes(toks, cache)
+                sh = PY.shingle_hashes(th, n)
+                ids.append(doc_id)
+                sigs.append(PY.minhash(sh, k).tolist())
+                sets.append(sh.tolist())
+                langs.append(PY.lang_id(toks))
+                quals.append(PY.quality_score_ppm(t, toks))
+            yield pd.DataFrame({
+                "_id": ids, "minhash": sigs, "_hashset": sets,
+                "lang_pred": langs, "quality_ppm": quals,
+            })
+
+    return src.mapInPandas(gen, schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

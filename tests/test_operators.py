@@ -1684,6 +1684,32 @@ class TestTwoSignatureFused:
         assert from_sig == end_to_end and (1, 2) in {p[:2] for p in from_sig}
 
 
+class TestSignatureProfileFused:
+    def test_fused_pass_matches_separate_signature_and_profile(self, spark):
+        from ayeaye_spark.operators import text as textops
+
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " extra"), (3, ""), (4, None),
+             (5, "le chat et le chien sont dans la maison avec le vin")],
+            ["doc_id", "text"],
+        )
+        fused = dedup.signature_profile_vectorized(df, "doc_id", "text", n=3, k=16)
+        sep_mh = {r["_id"]: (r["minhash"], sorted(r["_hashset"])) for r in
+                  dedup.minhash_signatures_vectorized(
+                      df, "doc_id", "text", n=3, k=16).collect()}
+        sep_prof = {r["doc_id"]: (r["lang_pred"], r["quality_ppm"]) for r in
+                    textops.profile_vectorized(df, "doc_id", "text").collect()}
+        rows = fused.collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert (r["minhash"], sorted(r["_hashset"])) == sep_mh[r["_id"]]
+            assert (r["lang_pred"], r["quality_ppm"]) == sep_prof[r["_id"]]
+        # one Arrow pass end to end
+        plan = fused._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1
+
+
 class TestAutoShingleDf:
     def test_auto_prunes_hot_shingles_only(self, spark):
         common = "aa bb cc"
