@@ -992,6 +992,12 @@ def shared_ngram_profile(
             "_th"
         ),
     )
+    # materialize the tokenization ONCE: the exploded gram frame fans
+    # out into gram->doc-count and per-doc branches whose exchanges
+    # differ (grouping keys (id, gram) vs gram), so ReuseExchange cannot
+    # dedupe them and the scan + tokenize ran per branch (plan showed
+    # 2 identical parquet+Generate subtrees, 0 ReusedExchange)
+    toked = toked.localCheckpoint(eager=False)
     grams = toked.select(
         F.col(id_col),
         F.explode(
@@ -1974,6 +1980,11 @@ def source_overlap_matrix(
             F.expr(P.token_hash_ngrams_all("_th", n, SPARK, hash_mode))
         ).alias("_g"),
     ).distinct()
+    # materialize the distinct (source, gram) vocabulary ONCE: it fans
+    # out into four consumers (per-source vocab, ubiquity cap, and both
+    # aliases of the pair self-join) keyed three different ways, so the
+    # scan + tokenize + explode + distinct otherwise re-runs per branch
+    grams = grams.localCheckpoint(eager=False)
     vocab = grams.groupBy("_src").agg(
         F.count(F.lit(1)).cast("long").alias("_vocab")
     )
