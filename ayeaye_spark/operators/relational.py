@@ -1262,9 +1262,15 @@ def interval_concurrency(
     sum over a run of equal deltas visits the same multiset of values
     regardless of intra-run order.
     """
-    b = df.select(F.col(start_col).alias("ts"), F.lit(1).alias("delta")).unionAll(
-        df.select(F.col(end_col).alias("ts"), F.lit(-1).alias("delta"))
-    )
+    # materialize the (start, end) projection ONCE: the start/end union
+    # legs each re-evaluate the upstream interval pipeline, and the
+    # boundary frame then fans into the bucket aggregate AND the final
+    # join — without this the input (e.g. a two-window sessionize) ran
+    # up to 4x (plan: 4 identical source scans)
+    ivals = df.select(start_col, end_col).localCheckpoint(eager=False)
+    b = ivals.select(
+        F.col(start_col).alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(ivals.select(F.col(end_col).alias("ts"), F.lit(-1).alias("delta")))
     b = b.withColumn("_bkt", F.date_trunc(bucket, F.col("ts")))
     hourly = b.groupBy("_bkt").agg(F.sum("delta").alias("_bsum"))
     wb = Window.orderBy(F.asc("_bkt")).rowsBetween(Window.unboundedPreceding, 0)

@@ -774,6 +774,11 @@ def with_repetition_flags(
     toked = base.withColumn(
         "_th", F.expr(P.hash_array(P.tokens(text_col, SPARK), SPARK, hash_mode))
     ).withColumn("n_tokens", F.expr(P.size("_th", SPARK)).cast("long"))
+    # materialize the tokenization ONCE: three consumers (the 2-gram
+    # explode, the 3-gram explode, the n_tokens projection) otherwise
+    # each re-run the interpreted tokenize+hash chain from its own scan
+    # (plan showed the chain inlined 3x over 5 parquet scans)
+    toked = toked.select(id_col, "_th", "n_tokens").localCheckpoint(eager=False)
 
     def top_gram(n: int, out: str) -> DataFrame:
         grams = toked.select(
