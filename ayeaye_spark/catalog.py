@@ -1333,6 +1333,10 @@ def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.expr(P.lang_id("text", SPARK)).alias("lang_pred")
     )
     cell = pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    # materialize the <= langs² cell frame ONCE: both margin aggregates
+    # and the final join otherwise re-run the interpreted lang-ID chain
+    # from its own scan (plan: the chain inlined 3x)
+    cell = cell.localCheckpoint(eager=False)
     act = cell.groupBy("lang").agg(F.sum("n").alias("a"))
     prd = cell.groupBy("lang_pred").agg(F.sum("n").alias("p"))
     return (
@@ -7176,6 +7180,12 @@ def docs_source_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = textops.with_fingerprint(
         textops.with_gopher_flags(docs, "text"), "text"
     )
+    # materialize the narrow flag projection ONCE: the totals and the
+    # survivor aggregates otherwise each re-run the gopher + fingerprint
+    # chains from their own scan (plan: the chains inlined per branch)
+    flagged = flagged.select(
+        "doc_id", "source", "gopher_pass", "fingerprint"
+    ).localCheckpoint(eager=False)
     tot = flagged.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0))
