@@ -1191,9 +1191,13 @@ def salted_join(
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
     if hot_keys is None:
+        # materialize the <= 1e6/hot_freq_ppm hot keys ONCE: the tag
+        # broadcast feeds BOTH join sides, and the two-pass Misra-Gries
+        # detector (2 fact scans + an Arrow pass) otherwise re-runs per
+        # side (plan: 5 fact scans / 2 MapInPandas; 3 / 1 after)
         hot_keys = heavy_hitters_exact(
             fact, key, min_freq_ppm=hot_freq_ppm
-        ).select(key)
+        ).select(key).localCheckpoint(eager=False)
     tag = F.broadcast(hot_keys.select(key).withColumn("_hot", F.lit(True)))
 
     salt_cols = salt_source_cols or [
