@@ -589,10 +589,6 @@ def retention_curve(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum(F.col(weight_col)).cast("long").alias("_w"),
     )
-    # materialize the bucket frame ONCE: the reversed cumulative and
-    # the totals aggregate otherwise each re-run the corpus scan (and
-    # the derived score expression) from their own branch
-    by_score = by_score.localCheckpoint(eager=False)
     # reversed cumulative: rows/weight at score >= s (tiny frame; the
     # single-partition window carries the aggregated buckets only)
     w = W.orderBy(F.desc("_s")).rowsBetween(W.unboundedPreceding, 0)
