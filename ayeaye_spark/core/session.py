@@ -19,13 +19,35 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+# Guide-§9 production starting configuration for a REAL cluster at the
+# 100 TB scale — opt-in via get_spark(profile="cluster"), never applied
+# by default (bench.py and the driver contract use the default profile,
+# pinned by tests/test_core.py::TestClusterProfile).  Rationale per key:
+# zstd shuffle codec (shuffle bytes dominate at scale; measure vs lz4),
+# 512m scan splits (fewer map tasks feeding each shuffle, guide §2.2),
+# 256m AQE advisory partitions (reduce partitions in the 100 MB–1 GB
+# band, guide §2.2), preferSortMergeJoin=false (AQE may pick
+# shuffled-hash where a build side fits, guide §3.1).  All remain
+# overridable via extra_conf (applied last).
+CLUSTER_PROFILE_CONF = {
+    "spark.io.compression.codec": "zstd",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.sql.files.maxPartitionBytes": "512m",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256m",
+    "spark.sql.join.preferSortMergeJoin": "false",
+}
+
+
 def get_spark(
     app_name: str = "ayeaye_spark",
     *,
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    profile: str = "local",
 ) -> SparkSession:
+    if profile not in ("local", "cluster"):
+        raise ValueError(f"profile must be 'local' or 'cluster', got {profile!r}")
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
@@ -50,6 +72,9 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
+    if profile == "cluster":
+        for k, v in CLUSTER_PROFILE_CONF.items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
+from ..core.checkpoint import ckpt_eager, ckpt_lazy
 
 SPARK = P.SPARK
 
@@ -558,7 +559,7 @@ def _banded_candidates_from_sig(
         # executor-local storage (the same bytes the shuffle would
         # spill anyway) for single-computation; it is the same tradeoff
         # graph.py makes for iterative passes.
-        banded = banded.localCheckpoint(eager=False)
+        banded = banded.transform(ckpt_lazy)
         # oversized band keys: a partial-combined count (no sort) whose
         # survivor set is tiny on any sane corpus, so AQE turns the
         # routing joins below into broadcast anti/semi joins.
@@ -959,7 +960,7 @@ def weighted_jaccard_pairs(
         base.select("_id", *blk, F.explode("_arr").alias("_h"))
         .groupBy("_id", "_h", *blk)
         .agg(F.count(F.lit(1)).alias("_w"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     totals = weights.groupBy("_id").agg(F.sum("_w").alias("_W"))
     join_keys = ["_h"] + blk
@@ -1069,7 +1070,7 @@ def tfidf_cosine_pairs(
         tf.join(dfreq, on=join_keys)
         .withColumn("_w", F.expr("_tf * 1000000L div _df"))
         .select("_id", *blk, "_h", "_w", "_df")
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     prod = "cast(l_w as decimal(19,0)) * cast(r_w as decimal(19,0))"
     norms = weights.groupBy("_id").agg(
@@ -1238,7 +1239,7 @@ def _jaccard_prefix_candidates(
         )
         # both self-join aliases read this — materialize the freq join +
         # sort-aggregate once instead of once per side
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     l, r = prefixes.alias("l"), prefixes.alias("r")
     jk = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in join_keys]
@@ -1309,7 +1310,7 @@ def _jaccard_join_prepped(
     # one set-build pass serves both self-join aliases AND the
     # exact-verify set lookups in the max_item_df path (pre-explode
     # form: smallest stored footprint)
-    prepped = prepped.withColumn("_size", F.size("_hashset")).localCheckpoint(eager=False)
+    prepped = prepped.withColumn("_size", F.size("_hashset")).transform(ckpt_lazy)
     side = ["_side"] if cross_side else []
     exploded = prepped.select(
         "_id", "_size", *(["_block"] if has_block else []), *side,
@@ -1467,7 +1468,7 @@ def boilerplate_score(
     quadratic stage.
     """
     prepped = shingle_hashsets_vectorized(df, id_col, text_col, n=n)
-    prepped = prepped.localCheckpoint(eager=False)
+    prepped = prepped.transform(ckpt_lazy)
     exploded = prepped.select("_id", F.explode("_hashset").alias("_h"))
     dfreq = exploded.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (
@@ -1637,7 +1638,7 @@ def repeated_span_profile(
             )
             .select("_id", "_ntok", "_grams")
         )
-    grams = grams.localCheckpoint(eager=False)
+    grams = grams.transform(ckpt_lazy)
     pos = grams.select(
         "_id", "_ntok", F.posexplode("_grams").alias("_pos0", "_sh")
     ).select("_id", "_ntok", (F.col("_pos0") + 1).alias("_pos"), "_sh")
@@ -1721,7 +1722,7 @@ def remove_repeated_spans(
             "_grams", F.expr(P.token_hash_ngrams_all("_th", n, SPARK, hash_mode))
         )
         .select("_id", "_toks", "_grams")
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     pos = base.select("_id", F.posexplode("_grams").alias("_p0", "_sh")).select(
         "_id", (F.col("_p0") + 1).alias("_pos"), "_sh"
@@ -1858,9 +1859,7 @@ def containment_pairs(
             F.col(id_col).alias("_id"),
             F.array_distinct("shingle_hashes").alias("_hashset"),
         )
-    prepped = prepped.withColumn("_size", F.size("_hashset")).localCheckpoint(
-        eager=False
-    )
+    prepped = prepped.withColumn("_size", F.size("_hashset")).transform(ckpt_lazy)
     exploded = prepped.select("_id", "_size", F.explode("_hashset").alias("_h"))
     if method == "prefix":
         ppm = int(min_containment_ppm)
@@ -2099,8 +2098,8 @@ def hamming_near_pairs(
     # stage.  One eager job pins it exactly once.
     s = sig.select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
-    ).localCheckpoint()
-    hashes = s.select("_h").distinct().localCheckpoint(eager=False)
+    ).transform(ckpt_eager)
+    hashes = s.select("_h").distinct().transform(ckpt_lazy)
     chunks = hashes.select(
         "_h",
         F.explode(F.array(*[
@@ -2191,7 +2190,7 @@ def qgram_edit_distance_pairs(
         .where(F.col("_s").isNotNull())
         .distinct()
         .withColumn("_len", F.length("_s"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     short_floor = (k + 1) * q  # below this, the count bound is <= 0
 

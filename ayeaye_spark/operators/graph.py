@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..core.checkpoint import ckpt_eager, ckpt_lazy
 
 
 def _ckpt_observed(df: DataFrame, **metrics) -> tuple[DataFrame, dict]:
@@ -45,7 +46,7 @@ def _ckpt_observed(df: DataFrame, **metrics) -> tuple[DataFrame, dict]:
     obs = Observation()
     ck = df.observe(
         obs, *[v.alias(k) for k, v in metrics.items()]
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt_eager)
     return ck, obs.get
 
 
@@ -83,7 +84,7 @@ def connected_components(
     # completion pass over the same upstream (measured ~2x the pipeline
     # cost at bench scale), and the overflow branch recomputed
     # everything from scratch.
-    narrow = edges.select(src, dst).localCheckpoint(eager=True)
+    narrow = edges.select(src, dst).transform(ckpt_eager)
     if narrow.count() <= collect_threshold:
         rows = narrow.collect()
         parent: dict = {}
@@ -120,7 +121,7 @@ def _connected_components_distributed(
     blocks, not the original edge pipeline."""
     narrow = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     both = narrow.union(narrow.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    both = both.distinct().localCheckpoint(eager=False)
+    both = both.distinct().transform(ckpt_lazy)
 
     labels = (
         both.select(F.col("a").alias("v"))
@@ -138,7 +139,7 @@ def _connected_components_distributed(
             "v",
             F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("plabel"),
             F.col("label").alias("old_label"),
-        ).localCheckpoint(eager=False)  # jump join reads this twice — once each side
+        ).transform(ckpt_lazy)  # jump join reads this twice — once each side
         # pointer jumping (path halving): label(v) <- label(label(v)).
         # Plain neighbor-min propagation needs O(diameter) rounds — a
         # long chain at 100 TB would never converge in a bounded loop;
@@ -312,7 +313,7 @@ def k_core(
         .where(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt_eager)
     )
 
     def _degrees(g: DataFrame) -> DataFrame:
@@ -335,7 +336,7 @@ def k_core(
         e = (
             e.join(low, e.u == low.vertex, "left_anti")
             .join(low, F.col("v") == low.vertex, "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(ckpt_eager)
         )
     return _degrees(e).where(F.col("degree") >= k)
 
@@ -521,7 +522,7 @@ def pagerank_exact(
         .select(
             "_src", "_dst", F.expr("_w6 div _outw").cast("long").alias("_tw")
         )
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     # node table materialization + node count in one pass
     nodes, _m = _ckpt_observed(
@@ -567,7 +568,7 @@ def pagerank_exact(
                 .cast("long")
                 .alias("_pr"),
             )
-            .localCheckpoint(eager=False)
+            .transform(ckpt_lazy)
         )
     return ranks.select("node", F.col("_pr").alias(pr_col))
 
@@ -614,14 +615,14 @@ def triangle_stats(
         .where(F.col("_u") != F.col("_v"))
         .dropna()
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     deg = (
         e.select(F.col("_u").alias("_x"))
         .unionByName(e.select(F.col("_v").alias("_x")))
         .groupBy("_x")
         .agg(F.count(F.lit(1)).alias("_d"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     # orient each edge low->high in the (degree, id) total order; keep
     # the head's order key for the wedge ordering below
@@ -639,7 +640,7 @@ def triangle_stats(
         )
         .otherwise(F.struct(F.col("_du").alias("d"), F.col("_u").alias("i")))
         .alias("_tkey"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
     wedges = w1.join(
         w2,

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..core.checkpoint import ckpt_lazy
 
 
 def group_collect(
@@ -974,7 +975,7 @@ def skew_report(df: DataFrame, key_cols: list[str], *, top_k: int = 10) -> DataF
     frame.  Run it on a sample or the full table; the output is one
     row."""
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_c"))
-    counts = counts.localCheckpoint(eager=False)  # reused 3× below
+    counts = counts.transform(ckpt_lazy)  # reused 3× below
     top = counts.orderBy(F.desc("_c"), *[F.asc(c) for c in key_cols]).limit(top_k)
     total = counts.agg(
         F.sum("_c").alias("n_rows"),
@@ -1182,6 +1183,14 @@ def salted_join(
     Only ``inner`` and ``left`` are supported: a right/full outer join
     would emit one null-extended row PER UNMATCHED DIM REPLICA, which
     is wrong by construction — rejected loudly.
+    SIDE EFFECT (round-13 doc, ADVICE r12): the returned frame embeds a
+    materialized fan point (``core.checkpoint.materialize``) — under
+    Spark 4.1 AQE merely BUILDING the DataFrame executes the upstream
+    jobs (even with a lazy checkpoint), and the checkpoint boundary
+    severs predicate/column pushdown for callers that filter the
+    output.  Plan-only composition over this operator pays real
+    compute; filter/project the INPUT, not the output, where possible.
+    The checkpoint honors ``ayeaye.checkpoint.mode`` (local|reliable).
     """
     if how not in ("inner", "left"):
         raise ValueError(
@@ -1197,7 +1206,7 @@ def salted_join(
         # side (plan: 5 fact scans / 2 MapInPandas; 3 / 1 after)
         hot_keys = heavy_hitters_exact(
             fact, key, min_freq_ppm=hot_freq_ppm
-        ).select(key).localCheckpoint(eager=False)
+        ).select(key).transform(ckpt_lazy)
     tag = F.broadcast(hot_keys.select(key).withColumn("_hot", F.lit(True)))
 
     salt_cols = salt_source_cols or [
@@ -1265,13 +1274,21 @@ def interval_concurrency(
     (MAX, or values at run boundaries) is deterministic — the running
     sum over a run of equal deltas visits the same multiset of values
     regardless of intra-run order.
+    SIDE EFFECT (round-13 doc, ADVICE r12): the returned frame embeds a
+    materialized fan point (``core.checkpoint.materialize``) — under
+    Spark 4.1 AQE merely BUILDING the DataFrame executes the upstream
+    jobs (even with a lazy checkpoint), and the checkpoint boundary
+    severs predicate/column pushdown for callers that filter the
+    output.  Plan-only composition over this operator pays real
+    compute; filter/project the INPUT, not the output, where possible.
+    The checkpoint honors ``ayeaye.checkpoint.mode`` (local|reliable).
     """
     # materialize the (start, end) projection ONCE: the start/end union
     # legs each re-evaluate the upstream interval pipeline, and the
     # boundary frame then fans into the bucket aggregate AND the final
     # join — without this the input (e.g. a two-window sessionize) ran
     # up to 4x (plan: 4 identical source scans)
-    ivals = df.select(start_col, end_col).localCheckpoint(eager=False)
+    ivals = df.select(start_col, end_col).transform(ckpt_lazy)
     b = ivals.select(
         F.col(start_col).alias("ts"), F.lit(1).alias("delta")
     ).unionAll(ivals.select(F.col(end_col).alias("ts"), F.lit(-1).alias("delta")))
@@ -1391,7 +1408,7 @@ def spearman_correlation(
     enc = df.where(F.expr(pred)).select(
         F.expr(f"cast(round({col_a} * {scale_a}) as bigint)").alias("_va"),
         F.expr(f"cast(round({col_b} * {scale_b}) as bigint)").alias("_vb"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
 
     def rank_map(col: str) -> DataFrame:
         hist = enc.groupBy(col).agg(F.count(F.lit(1)).alias("_cnt"))

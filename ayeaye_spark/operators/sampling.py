@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..core.checkpoint import ckpt_eager, ckpt_lazy
 
 #: LCG constants (glibc's) for the deterministic bucket in [0, 1000).
 HASH_A = 1103515245
@@ -164,7 +165,7 @@ def _bucketed_cumsum(
         # #buckets / 65536 rows.  Exclusive prefix = inclusive − own.
         # (Integral bucket types only — `div` needs them; non-integral
         # buckets fall to the single window, which their caller chose.)
-        totals = totals.localCheckpoint(eager=False)  # inner base AND inner totals
+        totals = totals.transform(ckpt_lazy)  # inner base AND inner totals
         inner = _bucketed_cumsum(
             totals.withColumnRenamed("_cb", "_ocb"),  # free "_cb" for the level below
             token_col="_bt",
@@ -404,9 +405,7 @@ def domain_mix_budget(
     # checkpoint the narrow (group, id, tokens) projection: the totals
     # collect below is an ACTION, and without the cut the later cumsum
     # plan would re-scan (and re-tokenize) the full corpus a second time
-    scoped = df.where(F.col(group_col).isin(*weights.keys())).localCheckpoint(
-        eager=False
-    )
+    scoped = df.where(F.col(group_col).isin(*weights.keys())).transform(ckpt_lazy)
     totals = {
         r[0]: r[1]
         for r in scoped.groupBy(group_col).agg(F.sum(token_col)).collect()
@@ -544,7 +543,7 @@ def systematic_weighted_sample(
     from pyspark.sql import Observation
 
     _obs = Observation()
-    cum = cum.observe(_obs, F.max("_cum").alias("_w")).localCheckpoint()
+    cum = cum.observe(_obs, F.max("_cum").alias("_w")).transform(ckpt_eager)
     total = _obs.get["_w"]
     stride = max(1, total // n)
     offset = stride // 2

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
+from ..core.checkpoint import ckpt_lazy
 
 SPARK = P.SPARK
 
@@ -1228,7 +1229,7 @@ def semantic_dedup_pairs(
     # each side re-runs the assignment scan
     cells = assign_cells_vectorized(
         corpus, centroids, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     l = cells.select(
         F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "centroid_id"
     )
@@ -1339,7 +1340,7 @@ def kcenter_coreset(
         raise ValueError("k must be positive")
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-    base = df.select(id_col, vec_col).localCheckpoint(eager=False)
+    base = df.select(id_col, vec_col).transform(ckpt_lazy)
     seed = base.orderBy(F.asc(id_col)).limit(1).collect()
     if not seed:
         raise ValueError("kcenter_coreset: empty input")
@@ -1449,7 +1450,7 @@ def pca_embeddings(
     d = len(first[vec_col])
     if not (0 < k <= d):
         raise ValueError(f"k must be in [1, {d}]")
-    base = df.select(id_col, vec_col).localCheckpoint(eager=False)
+    base = df.select(id_col, vec_col).transform(ckpt_lazy)
 
     # Materialize the double-cast ONCE per row: inlining the cast into
     # the product lambda re-casts the whole array per element access

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
+from ..core.checkpoint import ckpt_eager, ckpt_lazy
 
 SPARK = P.SPARK
 
@@ -380,7 +381,7 @@ def bm25_topk(
             F.expr(tf_expr(t)).cast("long").alias(f"_tf{i}")
             for i, t in enumerate(terms)
         ],
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
 
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("_n_docs"),
@@ -749,6 +750,14 @@ def with_repetition_flags(
     operators' — still, ``hash_mode="fast"`` (xxhash64) removes even
     the long-document tail (a 10⁵-gram doc expects ~2.5 colliding gram
     pairs in the ~30-bit space).
+    SIDE EFFECT (round-13 doc, ADVICE r12): the returned frame embeds a
+    materialized fan point (``core.checkpoint.materialize``) — under
+    Spark 4.1 AQE merely BUILDING the DataFrame executes the upstream
+    jobs (even with a lazy checkpoint), and the checkpoint boundary
+    severs predicate/column pushdown for callers that filter the
+    output.  Plan-only composition over this operator pays real
+    compute; filter/project the INPUT, not the output, where possible.
+    The checkpoint honors ``ayeaye.checkpoint.mode`` (local|reliable).
     """
     from .dedup import _tune_session  # noqa: PLC0415 — no cycle
 
@@ -778,7 +787,7 @@ def with_repetition_flags(
     # explode, the 3-gram explode, the n_tokens projection) otherwise
     # each re-run the interpreted tokenize+hash chain from its own scan
     # (plan showed the chain inlined 3x over 5 parquet scans)
-    toked = toked.select(id_col, "_th", "n_tokens").localCheckpoint(eager=False)
+    toked = toked.select(id_col, "_th", "n_tokens").transform(ckpt_lazy)
 
     def top_gram(n: int, out: str) -> DataFrame:
         grams = toked.select(
@@ -982,6 +991,14 @@ def shared_ngram_profile(
     0 ppm.
 
     Output: (id_col, n_grams, shared_grams, shared_ppm).
+    SIDE EFFECT (round-13 doc, ADVICE r12): the returned frame embeds a
+    materialized fan point (``core.checkpoint.materialize``) — under
+    Spark 4.1 AQE merely BUILDING the DataFrame executes the upstream
+    jobs (even with a lazy checkpoint), and the checkpoint boundary
+    severs predicate/column pushdown for callers that filter the
+    output.  Plan-only composition over this operator pays real
+    compute; filter/project the INPUT, not the output, where possible.
+    The checkpoint honors ``ayeaye.checkpoint.mode`` (local|reliable).
     """
     from .dedup import _tune_session  # noqa: PLC0415 — no cycle
 
@@ -1002,7 +1019,7 @@ def shared_ngram_profile(
     # differ (grouping keys (id, gram) vs gram), so ReuseExchange cannot
     # dedupe them and the scan + tokenize ran per branch (plan showed
     # 2 identical parquet+Generate subtrees, 0 ReusedExchange)
-    toked = toked.localCheckpoint(eager=False)
+    toked = toked.transform(ckpt_lazy)
     grams = toked.select(
         F.col(id_col),
         F.explode(
@@ -1106,7 +1123,7 @@ def bigram_coherence(
     # re-tokenize the corpus otherwise
     occ = pairs.groupBy(id_col, "h1", "h12").agg(
         F.count(F.lit(1)).alias("_occ")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     c12 = occ.groupBy("h12").agg(F.sum("_occ").alias("_c12"))
     c1 = occ.groupBy("h1").agg(F.sum("_occ").alias("_c1"))
     per_doc = (
@@ -1245,7 +1262,7 @@ def bpe_top_merges(
         .agg(F.count(F.lit(1)).alias("_f"))
         .withColumn("_syms", F.expr("split(_w, '')"))
         .select("_f", "_syms")
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
 
     def esc(s: str) -> str:
@@ -1284,7 +1301,7 @@ def bpe_top_merges(
                 f"then concat(slice(acc, 1, size(acc) - 1), array('{me}')) "
                 "else concat(acc, array(s)) end)"
             ),
-        ).localCheckpoint(eager=False)
+        ).transform(ckpt_lazy)
 
     return df.sparkSession.createDataFrame(
         merges,
@@ -1350,7 +1367,7 @@ def _scored_bigrams(df: DataFrame, text_col: str, min_count: int) -> DataFrame:
     ).select("_p.w1", "_p.w2")
     bg = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("pair_count")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     total = bg.agg(F.sum("pair_count").alias("_T"))
     c1 = bg.groupBy("w1").agg(F.sum("pair_count").alias("_c1"))
     c2 = bg.groupBy("w2").agg(F.sum("pair_count").alias("_c2"))
@@ -1436,7 +1453,7 @@ def duplicate_sentence_profile(
     occ = df.select(
         F.col(id_col),
         F.explode(F.expr(P.hash_array(sent_arr, SPARK, hash_mode))).alias("_sh"),
-    ).localCheckpoint(eager=False)  # two consumers: shared set + probe
+    ).transform(ckpt_lazy)  # two consumers: shared set + probe
     shared = (
         occ.select(id_col, "_sh").distinct()
         .groupBy("_sh")
@@ -1735,7 +1752,7 @@ def train_hashed_classifier(
     from pyspark.sql import Observation
 
     _obs = Observation()
-    feats = feats.observe(_obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+    feats = feats.observe(_obs, F.count(F.lit(1)).alias("n")).transform(ckpt_eager)
     n_docs = int(_obs.get["n"] or 0)
     if n_docs == 0:
         raise ValueError("train_hashed_classifier: no non-empty documents")
@@ -1970,6 +1987,14 @@ def source_overlap_matrix(
 
     Output: (source_a, source_b, shared_grams, grams_a, grams_b,
     jaccard_ppm) for pairs with >= 1 shared gram.
+    SIDE EFFECT (round-13 doc, ADVICE r12): the returned frame embeds a
+    materialized fan point (``core.checkpoint.materialize``) — under
+    Spark 4.1 AQE merely BUILDING the DataFrame executes the upstream
+    jobs (even with a lazy checkpoint), and the checkpoint boundary
+    severs predicate/column pushdown for callers that filter the
+    output.  Plan-only composition over this operator pays real
+    compute; filter/project the INPUT, not the output, where possible.
+    The checkpoint honors ``ayeaye.checkpoint.mode`` (local|reliable).
     """
     from .dedup import _tune_session  # noqa: PLC0415 — no cycle
 
@@ -1989,7 +2014,7 @@ def source_overlap_matrix(
     # out into four consumers (per-source vocab, ubiquity cap, and both
     # aliases of the pair self-join) keyed three different ways, so the
     # scan + tokenize + explode + distinct otherwise re-runs per branch
-    grams = grams.localCheckpoint(eager=False)
+    grams = grams.transform(ckpt_lazy)
     vocab = grams.groupBy("_src").agg(
         F.count(F.lit(1)).cast("long").alias("_vocab")
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import portable as P
+from ..core.checkpoint import ckpt_lazy
 
 
 def with_canonical_url(
@@ -416,7 +417,7 @@ def robots_filter(
         "_m",
         F.col("rule_regex").isNotNull()
         & F.expr(P.regexp_like_col("_pathq", "rule_regex", P.SPARK)),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     # ^ cand feeds BOTH the rank aggregate and the winner lookup below;
     # without persisting it, the robots parse + per-row regex pipeline
     # would execute twice (Catalyst doesn't dedupe common subplans

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from ..core.checkpoint import ckpt_eager
 
 
 # ---------------------------------------------------------------------------
@@ -335,7 +336,7 @@ def minhash_dedup_sink(
         # which the streaming incremental planner disables
         batch = (
             df.select(id_col, text_col)
-            .localCheckpoint()
+            .transform(ckpt_eager)
             .dropDuplicates([id_col])
         )
         prev = _latest_versioned_state(spark, state_dir, before=batch_id)

@@ -57,7 +57,14 @@ STREAMING = {
     "events_stream_trending",
 }
 
-SLOWEST_IN_STDOUT = 5
+# Round-13 (VERDICT r12 item 1): 5 queries gave the driver's
+# round-over-round PERF check almost no common set (3 queries compared,
+# 23 rotation entries mislabeled "dropped").  25 entries is ~30 chars
+# each ≈ 750 chars — still far under the ~4,000-char tail limit that
+# motivated the compact line, and the schema is unchanged (the driver
+# may ADD entries to "queries", never remove).  The full map stays in
+# BENCH_LOCAL.json as before.
+SLOWEST_IN_STDOUT = 25
 
 
 def _fresh_spark(sf_dir: str):

@@ -61,7 +61,7 @@ def main() -> None:
     spark.range(1_000).toPandas()
     spark.range(10).mapInPandas(lambda it_: it_, "id long").collect()
 
-    plans_dir = os.path.join(HERE, "plans", "r12")
+    plans_dir = os.path.join(HERE, "plans", os.environ.get("AYEAYE_PLANS_ROUND", "r13"))
     if tag:
         os.makedirs(plans_dir, exist_ok=True)
 

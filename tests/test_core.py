@@ -126,3 +126,72 @@ class TestResolverThreadVisibility:
                     lambda _: resolver.resolve("x://{env}"), range(4)
                 ))
         assert results == ["x://layered"] * 4
+
+
+class TestClusterProfile:
+    """get_spark(profile='cluster') ships the guide-§9 production conf
+    (round 13, VERDICT r12 item 9) — and the bench/driver path can
+    never pick it up by accident."""
+
+    def test_default_profile_is_local(self):
+        import inspect
+
+        from ayeaye_spark.core.session import get_spark
+
+        assert inspect.signature(get_spark).parameters["profile"].default == "local"
+
+    def test_unknown_profile_rejected(self):
+        import pytest as _pytest
+
+        from ayeaye_spark.core.session import get_spark
+
+        with _pytest.raises(ValueError, match="profile"):
+            get_spark(profile="prod")
+
+    def test_bench_never_requests_cluster_profile(self):
+        import os
+        import re
+
+        bench_src = open(
+            os.path.join(os.path.dirname(__file__), "..", "bench.py")
+        ).read()
+        # bench.py builds its session with the DEFAULT profile: no
+        # profile= kwarg anywhere, and no import of the cluster conf
+        assert "profile=" not in bench_src
+        assert "CLUSTER_PROFILE_CONF" not in bench_src
+        assert re.search(r"get_spark\(\s*\"ayeaye_spark_bench\"\s*\)", bench_src)
+
+    def test_cluster_profile_sets_conf_and_local_does_not(self, spark):
+        """Functional check against the live session: getOrCreate applies
+        builder SQL confs to an existing session, so snapshot/restore the
+        touched keys to keep the shared fixture pristine."""
+        from ayeaye_spark.core.session import CLUSTER_PROFILE_CONF, get_spark
+
+        sql_keys = [k for k in CLUSTER_PROFILE_CONF if k.startswith("spark.sql.")]
+        # get_spark also (re)sets shuffle partitions on an existing
+        # session — snapshot that too so the shared fixture stays at 4
+        saved = {k: spark.conf.get(k, None) for k in sql_keys}
+        saved["spark.sql.shuffle.partitions"] = spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        )
+        try:
+            got = get_spark("ayeaye_profile_test", profile="cluster")
+            for k in sql_keys:
+                assert got.conf.get(k) == CLUSTER_PROFILE_CONF[k], k
+            # and the default profile does NOT set the cluster values:
+            # reset, rebuild default, check the keys went back to Spark
+            # defaults (not the cluster values)
+            for k in sql_keys:
+                spark.conf.unset(k)
+            get_spark("ayeaye_profile_test2")
+            for k in sql_keys:
+                assert spark.conf.get(k, None) != CLUSTER_PROFILE_CONF[k], k
+        finally:
+            for k, old in saved.items():
+                if old is None:
+                    try:
+                        spark.conf.unset(k)
+                    except Exception:
+                        pass
+                else:
+                    spark.conf.set(k, old)
