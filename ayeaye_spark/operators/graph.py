@@ -210,6 +210,16 @@ def connected_components_star(
     round early); correctness of the fixpoint is property-tested
     against union-find and the label-propagation path.
     """
+    # ONE execution of the (possibly expensive) edge pipeline: the
+    # canonicalization below AND the final vertex roll call both read
+    # it, and without this narrow checkpoint the full upstream (for the
+    # dedup queries: the LSH bucket join + Jaccard verify) ran once per
+    # consumer (guide §1.2 don't-compute-twice; same fix
+    # connected_components got in round 12).
+    narrow = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .transform(ckpt_eager)
+    )
     # canonical strict edges: u > v, self-loops dropped, deduped once.
     # The convergence fingerprint rides each checkpoint's
     # materialization job (_ckpt_observed) — one pass per round where
@@ -218,8 +228,7 @@ def connected_components_star(
         c=F.count(F.lit(1)), h=F.expr("bit_xor(xxhash64(u, v))")
     )
     e, m = _ckpt_observed(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
+        narrow.where(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct(),
         **_fp_metrics,
@@ -267,8 +276,8 @@ def connected_components_star(
         .agg(F.min("component").alias("component"))
     )
     verts = (
-        edges.select(F.col(src).alias("vertex"))
-        .union(edges.select(F.col(dst).alias("vertex")))
+        narrow.select(F.col("a").alias("vertex"))
+        .union(narrow.select(F.col("b").alias("vertex")))
         .distinct()
     )
     return verts.join(labels, "vertex", "left").select(
@@ -508,6 +517,15 @@ def pagerank_exact(
                 T.StructField(pr_col, T.LongType()),
             ])
             return edges.sparkSession.createDataFrame(rows, schema)
+    # ONE execution of the (possibly expensive) edge pipeline: the
+    # transition table and the node table below are materialized in
+    # SEPARATE checkpoint jobs, so without this the upstream (e.g. the
+    # full HTML parse -> href resolution -> domain aggregate feeding
+    # docs_domain_pagerank) ran once per consumer (measured: 2 full
+    # parses; guide §1.2 don't-compute-twice).  The edge frame is the
+    # POST-aggregate (src, dst, w) list — far smaller than the corpus
+    # that produced it.
+    e = e.transform(ckpt_eager)
     outw = e.groupBy("_src").agg(F.sum("_w").alias("_outw"))
     trans = (
         e.join(outw, "_src")
@@ -545,7 +563,17 @@ def pagerank_exact(
     base = (1_000_000_000 * (1_000_000 - damping_ppm) // 1_000_000) // n_nodes
     init = 1_000_000_000 // n_nodes
     ranks = nodes.select("node", F.lit(init).cast("long").alias("_pr"))
-    for _ in range(iterations):
+    # UNLIKE the convergence-checked loops above, PageRank runs a FIXED
+    # iteration count — no per-round driver action is needed, so a
+    # per-round checkpoint is pure overhead (measured: 5 extra
+    # materialization jobs + 5 node-table block writes per query; the
+    # whole loop runs as ONE job against the trans/nodes checkpoints,
+    # and every inter-iteration shuffle is already persisted to local
+    # disk by the shuffle machinery, which is what task retries replay).
+    # A checkpoint every _CKPT_EVERY rounds still bounds plan depth /
+    # planning time for callers that ask for many iterations.
+    _CKPT_EVERY = 8
+    for i in range(iterations):
         contrib = (
             ranks.join(trans, ranks["node"] == trans["_src"])
             .select(
@@ -568,8 +596,9 @@ def pagerank_exact(
                 .cast("long")
                 .alias("_pr"),
             )
-            .transform(ckpt_lazy)
         )
+        if (i + 1) % _CKPT_EVERY == 0 and (i + 1) < iterations:
+            ranks = ranks.transform(ckpt_lazy)
     return ranks.select("node", F.col("_pr").alias(pr_col))
 
 
