@@ -6056,28 +6056,93 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-shared_sql(
-    "brand_market_basket",
-    """
-    WITH items AS (
-      SELECT DISTINCT l.l_orderkey, p.p_brand
-      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+# The `items` WITH-CTE below: Spark inlines a CTE into ALL its
+# references (5 in association_rules, 2 in market_basket), so lineitem
+# is scanned once per reference.  Round 12 measured a materialization
+# barrier SLOWER at sf0.1 (twice, reverted): the five cheap
+# broadcast-join subtrees overlap inside one job locally.  At 100 TB
+# the 5x lineitem scan dominates instead, so round 13 gates an eager
+# checkpoint of `items` on the lineitem input size (guide §5
+# cache-when-reused) — sf-scale keeps the measured-faster inlined plan,
+# cluster scale scans lineitem once.  AYEAYE_BRAND_MATERIALIZE=0/1
+# overrides the gate (plan capture / pytest of the gated path).
+_BRAND_ITEMS_MAT_BYTES = 8 << 30  # ~SF 30+; any real cluster corpus
+
+
+def _input_table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a source parquet table (file or directory);
+    'unknown' (non-local path) counts as huge so the scale path wins."""
+    import os
+
+    p = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(p):
+            return sum(e.stat().st_size for e in os.scandir(p) if e.is_file())
+        return os.path.getsize(p)
+    except OSError:
+        return 1 << 62
+
+
+def _brand_items_view(spark: SparkSession, sf_dir: str) -> str:
+    """Register the basket `items` frame (DISTINCT order x brand) as a
+    temp view, eagerly materialized only above the size gate; returns
+    the view name."""
+    import os
+
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    items = (
+        li.alias("l")
+        .join(pt.alias("p"), F.col("l.l_partkey") == F.col("p.p_partkey"))
+        .select("l.l_orderkey", "p.p_brand")
+        .distinct()
+    )
+    force = os.environ.get("AYEAYE_BRAND_MATERIALIZE")
+    if force is not None:
+        materialize = force == "1"
+    else:
+        materialize = _input_table_bytes(sf_dir, "lineitem") > _BRAND_ITEMS_MAT_BYTES
+    if materialize:
+        items = items.transform(ckpt_eager)
+    items.createOrReplaceTempView("_brand_items_v")
+    return "_brand_items_v"
+
+
+_MARKET_BASKET_SQL_TMPL = """
+    WITH items AS ({items_body})
     SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
            COUNT(*) AS n_orders
     FROM items a JOIN items b
       ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
     GROUP BY a.p_brand, b.p_brand
     ORDER BY n_orders DESC, brand_a ASC, brand_b ASC LIMIT 25
-    """,
-    needs=("lineitem", "part"),
+    """
+
+_BRAND_ITEMS_CTE_BODY = """
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey"""
+
+
+@query(
+    "brand_market_basket",
+    oracle=_MARKET_BASKET_SQL_TMPL.format(items_body=_BRAND_ITEMS_CTE_BODY),
 )
-# market-basket notes: within-basket pair mining — the self-join is
-# keyed on the ORDER (baskets are small, so pair fan-out is bounded by
-# max-basket-size², never |table|²); distinct-first collapses repeat
-# brands before pairing.
+def brand_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-basket brand pair mining — the self-join is keyed on the
+    ORDER (baskets are small, so pair fan-out is bounded by
+    max-basket-size², never |table|²); distinct-first collapses repeat
+    brands before pairing.  The `items` frame comes from the size-gated
+    view (see ``_brand_items_view``): inlined per-reference at sf
+    scale, scanned once at cluster scale.  Full ORDER BY tie-break, so
+    results are identical either way."""
+    _ensure_session_defaults(spark)
+    v = _brand_items_view(spark, sf_dir)
+    return spark.sql(
+        _MARKET_BASKET_SQL_TMPL.format(items_body=f"SELECT * FROM {v}")
+    )
 
 
-def _association_rules_sql(d: str) -> str:
+def _association_rules_sql(d: str, items_body: str | None = None) -> str:
     conf = P.int_div("p.n_ab * 1000000", "ca.n", d)
     # lift = (n_ab * N) / (n_a * n_b), compounded as two floor
     # divisions so every intermediate stays far inside int64
@@ -6085,9 +6150,7 @@ def _association_rules_sql(d: str) -> str:
     # compounding in both engines
     lift = P.int_div(f"({conf}) * t.n_orders", "cb.n", d)
     return f"""
-    WITH items AS (
-      SELECT DISTINCT l.l_orderkey, p.p_brand
-      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    WITH items AS ({items_body or _BRAND_ITEMS_CTE_BODY}),
     t AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
     c AS (SELECT p_brand, COUNT(*) AS n FROM items GROUP BY p_brand),
     p AS (
@@ -6123,10 +6186,14 @@ def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the ORDER (pair fan-out bounded by basket size², never
     |table|²); margins and the order total are tiny joins after the
     pair count.  The classic recommendation/affinity primitive,
-    value-exact."""
+    value-exact.  The `items` frame comes from the size-gated view
+    (``_brand_items_view``): inlined into all five CTE references at sf
+    scale (measured faster — the broadcast subtrees overlap in one
+    job), materialized once above the lineitem-bytes gate so 100 TB
+    stops scanning lineitem five times."""
     _ensure_session_defaults(spark)
-    register_views(spark, sf_dir, "lineitem", "part")
-    return spark.sql(_association_rules_sql(SPARK))
+    v = _brand_items_view(spark, sf_dir)
+    return spark.sql(_association_rules_sql(SPARK, items_body=f"SELECT * FROM {v}"))
 
 
 shared_sql(

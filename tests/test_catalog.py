@@ -1,3 +1,5 @@
+import pytest
+
 
 
 class TestSessionConfHygiene:
@@ -531,3 +533,37 @@ class TestKllQuantileRollup:
             # within the rank-error envelope of one another
             for a, b in zip(dm[m], dd[m]):
                 assert abs(a - b) <= max(abs(b) * 0.05, 1e-9), (m, a, b)
+
+
+class TestBrandItemsGate:
+    """The size-gated `items` materialization behind the two brand
+    basket queries (round 13, VERDICT r12 item 3): results must be
+    identical with the gate forced on and off, and the sf-scale default
+    must stay on the inlined (ungated) plan."""
+
+    @pytest.mark.parametrize(
+        "name", ["brand_market_basket", "brand_association_rules"]
+    )
+    def test_gated_equals_inlined(self, spark, monkeypatch, name):
+        import ayeaye_spark.catalog as cat
+
+        sf = "/root/testdata/sf0.001"
+        monkeypatch.setenv("AYEAYE_BRAND_MATERIALIZE", "0")
+        inlined = [tuple(r) for r in cat.QUERIES[name](spark, sf).collect()]
+        monkeypatch.setenv("AYEAYE_BRAND_MATERIALIZE", "1")
+        gated = [tuple(r) for r in cat.QUERIES[name](spark, sf).collect()]
+        assert inlined == gated and len(inlined) > 0
+
+    def test_default_gate_is_off_at_sf_scale(self, monkeypatch):
+        import ayeaye_spark.catalog as cat
+
+        monkeypatch.delenv("AYEAYE_BRAND_MATERIALIZE", raising=False)
+        assert (
+            cat._input_table_bytes("/root/testdata/sf0.1", "lineitem")
+            <= cat._BRAND_ITEMS_MAT_BYTES
+        )
+        # unknown/remote paths count as huge -> scale path
+        assert (
+            cat._input_table_bytes("/no/such/dir", "lineitem")
+            > cat._BRAND_ITEMS_MAT_BYTES
+        )
