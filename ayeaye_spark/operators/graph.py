@@ -99,8 +99,10 @@ def connected_components(
         if len(head) <= collect_threshold:
             return _union_find_components(edges, sel, head)
         return _connected_components_distributed(sel, src, dst, max_iterations)
-    narrow = sel.transform(ckpt_eager)
-    if narrow.count() <= collect_threshold:
+    # the branch-decision count rides the checkpoint materialization
+    # job (_ckpt_observed) instead of a second action over the blocks
+    narrow, m = _ckpt_observed(sel, n=F.count(F.lit(1)))
+    if int(m["n"] or 0) <= collect_threshold:
         return _union_find_components(edges, sel, narrow.collect())
     return _connected_components_distributed(narrow, src, dst, max_iterations)
 
