@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
-from ..core.checkpoint import ckpt_lazy
+from ..core.checkpoint import ckpt_eager, ckpt_lazy
 
 SPARK = P.SPARK
 
@@ -1340,11 +1340,22 @@ def kcenter_coreset(
         raise ValueError("k must be positive")
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-    base = df.select(id_col, vec_col).transform(ckpt_lazy)
-    seed = base.orderBy(F.asc(id_col)).limit(1).collect()
-    if not seed:
+    # the min-id seed rides the base checkpoint's materialization job
+    # (Dataset.observe — struct min compares the unique id first, so it
+    # returns exactly the smallest-id row) instead of a separate
+    # sort-limit action over the blocks (guide §1.2)
+    from pyspark.sql import Observation
+
+    _obs = Observation()
+    base = df.select(id_col, vec_col).observe(
+        _obs,
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col(vec_col).alias("v"))).alias("s"),
+    ).transform(ckpt_eager)
+    seed = _obs.get["s"]
+    if seed is None:
         raise ValueError("kcenter_coreset: empty input")
-    chosen = [(seed[0][id_col], [float(x) for x in seed[0][vec_col]])]
+    chosen = [(seed["i"], [float(x) for x in seed["v"]])]
 
     id_field = base.select(id_col).schema.fields[0]
     vec_field = base.select(vec_col).schema.fields[0]
